@@ -1,0 +1,81 @@
+"""Headline-query benchmark.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+/root/testdata/sf0.1) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...},
+"sf": ...}.
+
+Per query: one warm-up is amortized by running each query twice and keeping
+the median-ish better-of-2? No — driver wants reproducible wall numbers:
+we run one untimed JVM/session warm-up query, then each headline query once,
+timed end-to-end (plan + execute + collect).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+HEADLINE = [
+    "gold_revenue_by_mktsegment",
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "gold_top10_customers_by_revenue",
+    "window_top3_orders_per_customer",
+    "rollup_lineitem_flag_status",
+    "events_json_kpis",
+    "events_sessionization",
+    "events_asof_purchase_before_error",
+    # LLM-pipeline ops
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_hamming",
+    "text_quality_scores",
+    "similarity_cosine_top10",
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from healthcare_data_lakehouse_spark.session import get_spark
+    import __spark_entry__ as e
+
+    spark = get_spark("bench")
+    qs = e.queries()
+
+    # JVM/session warm-up (untimed): touch every input table once.
+    from healthcare_data_lakehouse_spark.tables import TABLE_NAMES, table
+
+    for t in TABLE_NAMES:
+        table(spark, sf_dir, t).count()
+
+    times: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        df = fn(spark, sf_dir)
+        n = df.count()  # force full execution
+        times[name] = round(time.time() - t0, 3)
+
+    total = round(sum(times.values()), 3)
+    print(json.dumps({
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": times,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

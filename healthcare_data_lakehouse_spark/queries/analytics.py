@@ -1,0 +1,400 @@
+"""Gold/Platinum analytics queries over the driver fixtures.
+
+Joins, grouped aggregates, windows, rollups, sessionization, as-of joins —
+the relational surface the reference names only as lineage labels
+(``JOINING``/``AGGREGATION``, reference ``src/lineage/lineage_tracker.py:
+45-46``) but never executes, realized here as first-class Spark plans.
+
+Scale notes (100 TB design point):
+* Fact-side tables (lineitem, orders, events) are never collected or
+  broadcast; dimensions (region, nation, customer at SF where it's small)
+  ride broadcast hash joins automatically under the configured threshold.
+* Money aggregates round to 2 decimals on BOTH engines so double-sum
+  ulp drift can't flip the value hash.
+* Top-k queries carry unique-key tiebreakers so the selected set is
+  deterministic under any partitioning.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from healthcare_data_lakehouse_spark.queries.catalog import register
+from healthcare_data_lakehouse_spark.tables import table
+
+__all__: list[str] = []
+
+
+# --------------------------------------------------------------- flagship
+@register(
+    "gold_revenue_by_mktsegment",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS order_count,
+           COUNT(*) AS lineitem_count
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_mktsegment
+    """,
+    description="Flagship Gold mart: revenue per market segment "
+    "(customer ⋈ orders ⋈ lineitem → hash agg).",
+)
+def gold_revenue_by_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue"),
+            F.countDistinct("o_orderkey").alias("order_count"),
+            F.count(F.lit(1)).alias("lineitem_count"),
+        )
+    )
+
+
+# ------------------------------------------------------------- TPC-H Q1
+@register(
+    "tpch_q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 pricing summary: filtered scan → 8-way hash agg; "
+    "filter and column pruning push into the parquet reader.",
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+# ------------------------------------------------------------- TPC-H Q3
+@register(
+    "tpch_q3_shipping_priority",
+    oracle="""
+    SELECT l.l_orderkey AS orderkey,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           o.o_orderdate AS orderdate,
+           o.o_orderpriority AS orderpriority
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-06-01'
+      AND l.l_shipdate > TIMESTAMP '1998-06-01'
+    GROUP BY l.l_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3 shipping priority: selective dim filter, "
+    "3-way join, top-10 with deterministic tiebreak.",
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-06-01").cast("timestamp")
+    )
+    lineitem = table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-06-01").cast("timestamp")
+    )
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.col("o_orderdate").alias("orderdate"),
+            F.col("o_orderpriority").alias("orderpriority"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("orderkey", "revenue", "orderdate", "orderpriority")
+        .orderBy(F.col("revenue").desc(), F.col("orderkey").asc())
+        .limit(10)
+    )
+
+
+# ------------------------------------------------------------- TPC-H Q5
+@register(
+    "tpch_q5_local_supplier_volume",
+    oracle="""
+    SELECT r.r_name AS region_name, n.n_name AS nation_name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey AND s.s_nationkey = c.c_nationkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    JOIN region r ON r.r_regionkey = n.n_regionkey
+    GROUP BY r.r_name, n.n_name
+    """,
+    description="TPC-H Q5-style local-supplier volume: 6-table star join; "
+    "region/nation/supplier broadcast, facts shuffle once on the join key.",
+)
+def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    supplier = table(spark, sf_dir, "supplier")
+    nation = table(spark, sf_dir, "nation")
+    region = table(spark, sf_dir, "region")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(supplier),
+            (supplier.s_suppkey == lineitem.l_suppkey)
+            & (supplier.s_nationkey == customer.c_nationkey),
+        )
+        .join(F.broadcast(nation), nation.n_nationkey == customer.c_nationkey)
+        .join(F.broadcast(region), region.r_regionkey == nation.n_regionkey)
+        .groupBy(
+            F.col("r_name").alias("region_name"),
+            F.col("n_name").alias("nation_name"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+# ----------------------------------------------------------------- top-k
+@register(
+    "gold_top10_customers_by_revenue",
+    oracle="""
+    SELECT c.c_custkey AS custkey, c.c_name AS name,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_custkey, c.c_name
+    ORDER BY revenue DESC, custkey
+    LIMIT 10
+    """,
+    description="Top-10 customers by revenue (TakeOrdered — no full sort).",
+)
+def gold_top10_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    lineitem = table(spark, sf_dir, "lineitem")
+    return (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .join(lineitem, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(F.col("c_custkey").alias("custkey"), F.col("c_name").alias("name"))
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("custkey").asc())
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------- window
+@register(
+    "window_top3_orders_per_customer",
+    oracle="""
+    SELECT custkey, orderkey, totalprice, rn
+    FROM (
+        SELECT o_custkey AS custkey, o_orderkey AS orderkey,
+               o_totalprice AS totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+    description="Window ranking: top-3 orders per customer "
+    "(one shuffle on the partition key; deterministic tiebreak).",
+)
+def window_top3_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.col("o_totalprice").alias("totalprice"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+# ---------------------------------------------------------------- rollup
+@register(
+    "rollup_lineitem_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="ROLLUP aggregate over (returnflag, linestatus) — "
+    "subtotal + grand-total rows in one pass.",
+)
+def rollup_lineitem_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+# ------------------------------------------------------------------ JSON
+@register(
+    "events_json_kpis",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           ROUND(AVG(value), 4) AS avg_value,
+           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Semi-structured ops: JSON field extraction from "
+    "events.props + grouped KPIs.",
+)
+def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    return events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.avg("value"), 4).alias("avg_value"),
+        F.sum(k).alias("sum_k"),
+    )
+
+
+# -------------------------------------------------------------- sessions
+@register(
+    "events_sessionization",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > INTERVAL 30 MINUTE
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+    )
+    SELECT user_id,
+           SUM(is_start) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM marked
+    GROUP BY user_id
+    """,
+    description="Gap-based sessionization (30-min inactivity) via "
+    "lag window + conditional sum; one shuffle on user_id.",
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    prev_ts = F.lag("ts").over(w)
+    is_start = F.when(
+        prev_ts.isNull()
+        | ((F.col("ts").cast("long") - prev_ts.cast("long")) > 30 * 60),
+        1,
+    ).otherwise(0)
+    return (
+        events.select("user_id", "ts", is_start.alias("is_start"))
+        .groupBy("user_id")
+        .agg(
+            F.sum("is_start").alias("n_sessions"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+    )
+
+
+# ------------------------------------------------------------ as-of join
+@register(
+    "events_asof_purchase_before_error",
+    oracle="""
+    SELECT e.event_id AS error_event_id,
+           e.user_id AS user_id,
+           MAX(p.ts) AS last_purchase_ts
+    FROM events e
+    LEFT JOIN events p
+      ON p.user_id = e.user_id AND p.event_type = 'purchase' AND p.ts <= e.ts
+    WHERE e.event_type = 'error'
+    GROUP BY e.event_id, e.user_id
+    """,
+    description="As-of join: for every error event, the most recent prior "
+    "purchase by the same user. Spark plan is the scalable union+window "
+    "last_value formulation (one shuffle, no O(n^2) range join); the "
+    "oracle is the naive max-join.",
+)
+def events_asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    # Union formulation: tag purchase timestamps, carry them forward with
+    # last_value(ignorenulls) ordered by ts (purchases sort before errors on
+    # ts ties so `<=` semantics hold), then keep error rows.
+    tagged = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        "event_type",
+        F.when(F.col("event_type") == "purchase", F.col("ts")).alias("purchase_ts"),
+        F.when(F.col("event_type") == "purchase", F.lit(0)).otherwise(F.lit(1)).alias(
+            "tie_rank"
+        ),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("tie_rank").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        tagged.withColumn(
+            "last_purchase_ts", F.last("purchase_ts", ignorenulls=True).over(w)
+        )
+        .filter(F.col("event_type") == "error")
+        .select(
+            F.col("event_id").alias("error_event_id"),
+            "user_id",
+            "last_purchase_ts",
+        )
+    )

@@ -1,0 +1,258 @@
+"""Medallion zones and load patterns on a manifest-based Parquet store.
+
+The reference keeps zones as an in-memory nested dict
+(``src/etl/etl_manager.py:156-160`` — "In-memory storage for demo") with four
+load patterns (FULL/APPEND/MERGE/INCREMENTAL, ``src/etl/etl_manager.py:40-43,
+445-476``) and a quarantine dict (``src/etl/etl_manager.py:160, 371-393``).
+
+Here a dataset is a directory of immutable Parquet *commits* plus an atomic
+JSON manifest — the same transaction-log idea Delta Lake uses, minimal
+edition (delta-spark is not available in this environment):
+
+    <root>/<zone>/<dataset>/
+        _manifest.json          # {"version": N, "commits": ["c000001", ...]}
+        c000001/*.parquet       # immutable commit directory
+        c000002/*.parquet
+
+* ``FULL``        → write one commit, manifest lists only it.
+* ``APPEND``      → write one commit, manifest appends it (no data rewrite —
+                    O(new data), scales to 100 TB tables).
+* ``INCREMENTAL`` → left-anti join on the id column finds genuinely new rows;
+                    only those are written as an appended commit.
+* ``MERGE``       → upsert; rows with matching ids are replaced. Without
+                    Delta's file-level pruning this rewrites the unmatched
+                    remainder (read + anti-join + union + new FULL commit).
+                    At scale you'd bound the rewrite by partitioning the
+                    table on a merge-prunable key (``partition_columns``) so
+                    only touched partitions rewrite.
+
+Readers load ``spark.read.parquet(*commit_dirs)`` — column pruning and
+predicate pushdown reach the Parquet scan unchanged.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+from enum import Enum
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+__all__ = ["DataZone", "LoadType", "ZoneStore", "ZONE_ORDER"]
+
+
+class DataZone(str, Enum):
+    """Unified medallion zones.
+
+    The reference ships two incompatible enums (RAW/... in
+    ``src/quality/data_quality.py:27-34``, LANDING/... in
+    ``src/lineage/lineage_tracker.py:28-35``); per SURVEY.md header note 6 we
+    unify on LANDING(=RAW)/BRONZE/SILVER/GOLD/PLATINUM.
+    """
+
+    LANDING = "landing"
+    BRONZE = "bronze"
+    SILVER = "silver"
+    GOLD = "gold"
+    PLATINUM = "platinum"
+
+    # Alias: the quality module calls the first zone RAW.
+    @classmethod
+    def from_name(cls, name: str) -> "DataZone":
+        name = name.strip().lower()
+        if name == "raw":
+            return cls.LANDING
+        return cls(name)
+
+
+#: Promotion order (reference ``src/etl/etl_manager.py:140-146``).
+ZONE_ORDER: list[DataZone] = [
+    DataZone.LANDING,
+    DataZone.BRONZE,
+    DataZone.SILVER,
+    DataZone.GOLD,
+    DataZone.PLATINUM,
+]
+
+
+class LoadType(str, Enum):
+    """Load patterns (reference ``src/etl/etl_manager.py:38-43``)."""
+
+    FULL = "full"
+    APPEND = "append"
+    MERGE = "merge"
+    INCREMENTAL = "incremental"
+
+
+class ZoneStore:
+    """Parquet-backed zone storage with atomic manifest commits."""
+
+    MANIFEST = "_manifest.json"
+
+    def __init__(self, spark: SparkSession, root: str):
+        self.spark = spark
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    # ------------------------------------------------------------------ paths
+    def dataset_path(self, zone: DataZone, dataset: str) -> str:
+        return os.path.join(self.root, zone.value, dataset)
+
+    def _quarantine_path(self, job_id: str) -> str:
+        return os.path.join(self.root, "_quarantine", job_id)
+
+    def _read_manifest(self, path: str) -> dict:
+        mf = os.path.join(path, self.MANIFEST)
+        if not os.path.exists(mf):
+            return {"version": 0, "commits": []}
+        with open(mf) as f:
+            return json.load(f)
+
+    def _write_manifest(self, path: str, manifest: dict) -> None:
+        # Atomic replace: readers see either the old or the new manifest.
+        tmp = os.path.join(path, self.MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f)
+        os.replace(tmp, os.path.join(path, self.MANIFEST))
+
+    def _new_commit(
+        self, path: str, df: DataFrame, partition_columns: list[str] | None
+    ) -> str:
+        manifest = self._read_manifest(path)
+        version = manifest["version"] + 1
+        commit = f"c{version:06d}"
+        writer = df.write.mode("overwrite")
+        if partition_columns:
+            writer = writer.partitionBy(*partition_columns)
+        writer.parquet(os.path.join(path, commit))
+        return commit
+
+    # ------------------------------------------------------------------- read
+    def exists(self, zone: DataZone, dataset: str) -> bool:
+        return bool(self._read_manifest(self.dataset_path(zone, dataset))["commits"])
+
+    def read(self, zone: DataZone, dataset: str) -> DataFrame | None:
+        """L1 source read (reference ``get_zone_data``,
+        ``src/etl/etl_manager.py:582-588`` — returns ``[]`` when absent;
+        here ``None`` when absent so callers can build an empty DF with the
+        right schema if they have one)."""
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        if not manifest["commits"]:
+            return None
+        dirs = [os.path.join(path, c) for c in manifest["commits"]]
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def list_datasets(self, zone: DataZone) -> list[str]:
+        zdir = os.path.join(self.root, zone.value)
+        if not os.path.isdir(zdir):
+            return []
+        return sorted(
+            d for d in os.listdir(zdir)
+            if os.path.exists(os.path.join(zdir, d, self.MANIFEST))
+        )
+
+    # ------------------------------------------------------------------ write
+    def write(
+        self,
+        zone: DataZone,
+        dataset: str,
+        df: DataFrame,
+        load_type: LoadType = LoadType.FULL,
+        id_field: str = "id",
+        partition_columns: list[str] | None = None,
+    ) -> int:
+        """Write ``df`` under the given load pattern; returns rows written.
+
+        Reference semantics ``src/etl/etl_manager.py:441-476``:
+        FULL replaces, APPEND inserts all, MERGE upserts on ``id_field``,
+        INCREMENTAL inserts only ids not already present.
+        """
+        path = self.dataset_path(zone, dataset)
+        os.makedirs(path, exist_ok=True)
+        manifest = self._read_manifest(path)
+        existing = self.read(zone, dataset)
+
+        if load_type == LoadType.FULL or existing is None:
+            out, replace = df, True
+        elif load_type == LoadType.APPEND:
+            out, replace = df, False
+        elif load_type == LoadType.INCREMENTAL:
+            # Only genuinely-new ids land; existing rows are never touched
+            # (reference :468-476). Anti join streams map-side when the id
+            # set is broadcastable; otherwise a shuffled hash join — either
+            # way no rewrite of existing data.
+            out = df.join(
+                existing.select(id_field).distinct(), on=id_field, how="left_anti"
+            )
+            replace = False
+        elif load_type == LoadType.MERGE:
+            # Upsert (reference :456-467): matched rows replaced, new rows
+            # appended. Parquet has no in-place update → keep the untouched
+            # remainder + all incoming rows as a fresh FULL commit.
+            keep = existing.join(
+                df.select(id_field).distinct(), on=id_field, how="left_anti"
+            )
+            out = keep.unionByName(df, allowMissingColumns=True)
+            replace = True
+        else:  # pragma: no cover
+            raise ValueError(f"unknown load type: {load_type}")
+
+        out = out.persist()
+        try:
+            n = out.count()
+            if n == 0 and not replace:
+                return 0
+            commit = self._new_commit(path, out, partition_columns)
+            manifest["version"] += 1
+            if replace:
+                stale = list(manifest["commits"])
+                manifest["commits"] = [commit]
+            else:
+                stale = []
+                manifest["commits"].append(commit)
+            self._write_manifest(path, manifest)
+            for c in stale:
+                shutil.rmtree(os.path.join(path, c), ignore_errors=True)
+            return n
+        finally:
+            out.unpersist()
+
+    # -------------------------------------------------------------- quarantine
+    def write_quarantine(
+        self,
+        job_id: str,
+        df: DataFrame,
+        reason: str,
+        quality_score: float,
+        batch_ts: str,
+    ) -> int:
+        """L6 quarantine sink: stamp ``_quarantine_time``,
+        ``_quarantine_reason``, ``_quality_score`` and append
+        (reference ``src/etl/etl_manager.py:371-393``)."""
+        path = self._quarantine_path(job_id)
+        os.makedirs(path, exist_ok=True)
+        manifest = self._read_manifest(path)
+        stamped = (
+            df.withColumn("_quarantine_time", F.lit(batch_ts))
+            .withColumn("_quarantine_reason", F.lit(reason))
+            .withColumn("_quality_score", F.lit(float(quality_score)))
+        )
+        n = stamped.count()
+        commit = self._new_commit(path, stamped, None)
+        manifest["version"] += 1
+        manifest["commits"].append(commit)
+        self._write_manifest(path, manifest)
+        return n
+
+    def read_quarantine(self, job_id: str) -> DataFrame | None:
+        """L7 quarantine read (reference ``src/etl/etl_manager.py:590-595``)."""
+        path = self._quarantine_path(job_id)
+        manifest = self._read_manifest(path)
+        if not manifest["commits"]:
+            return None
+        return self.spark.read.option("mergeSchema", "true").parquet(
+            *[os.path.join(path, c) for c in manifest["commits"]]
+        )

@@ -1,0 +1,125 @@
+"""Local replica of the driver's correctness gate.
+
+Runs every ``queries()`` entry on Spark and its ``oracle_sql()`` twin on
+DuckDB at the given scale factor, then compares row count, column names,
+and an order-insensitive value hash (values stringified with float
+normalization). Usage:
+
+    python tools/compare.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import duckdb  # noqa: E402
+
+
+def norm_value(v) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(norm_value(x) for x in v) + "]"
+    return str(v)
+
+
+def row_blob(row) -> str:
+    return "|".join(norm_value(v) for v in row)
+
+
+def table_digest(rows, col_order):
+    blobs = sorted(row_blob([r[i] for i in col_order]) for r in rows)
+    import hashlib
+
+    return hashlib.sha256("\n".join(blobs).encode()).hexdigest()[:16]
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import __spark_entry__ as e
+    from healthcare_data_lakehouse_spark.session import get_spark
+
+    spark = get_spark("compare")
+    qs = e.queries()
+    oracles = e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in ["region", "nation", "customer", "supplier", "part", "orders",
+              "lineitem", "events", "documents", "embeddings"]:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            s_cols = sdf.columns
+            s_rows = [tuple(r) for r in sdf.collect()]
+        except Exception as ex:
+            print(f"FAIL {name}: spark error: {ex}")
+            failures.append(name)
+            continue
+        spark_s = time.time() - t0
+        if name not in oracles:
+            print(f"ROWS-ONLY {name}: {len(s_rows)} rows ({spark_s:.1f}s)")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            d_cols = [c[0] for c in res.description]
+            d_rows = res.fetchall()
+        except Exception as ex:
+            print(f"FAIL {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+
+        ok = True
+        if sorted(s_cols) != sorted(d_cols):
+            print(f"FAIL {name}: columns spark={s_cols} duck={d_cols}")
+            ok = False
+        elif len(s_rows) != len(d_rows):
+            print(f"FAIL {name}: rows spark={len(s_rows)} duck={len(d_rows)}")
+            ok = False
+        else:
+            s_order = [s_cols.index(c) for c in sorted(s_cols)]
+            d_order = [d_cols.index(c) for c in sorted(d_cols)]
+            hs, hd = table_digest(s_rows, s_order), table_digest(d_rows, d_order)
+            if hs != hd:
+                print(f"FAIL {name}: value hash {hs} != {hd}")
+                # show first diff
+                sb = sorted(row_blob([r[i] for i in s_order]) for r in s_rows)
+                db = sorted(row_blob([r[i] for i in d_order]) for r in d_rows)
+                for a, b in zip(sb, db):
+                    if a != b:
+                        print(f"  spark: {a}\n  duck : {b}")
+                        break
+                ok = False
+        if ok:
+            print(f"OK   {name}: {len(s_rows)} rows ({spark_s:.1f}s)")
+        else:
+            failures.append(name)
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
