@@ -1,1 +1,339 @@
-"""Placeholder — populated in later milestones."""
+"""Transform, load-pattern, and full-pipeline queries (SURVEY.md §2.1/2.2/2.6).
+
+These entries exercise the REAL engine components — the transform registry,
+the ZoneStore load patterns, the ETL manager's quality-gated pipeline — and
+hash-compare their outputs against DuckDB SQL that restates the semantics
+independently.
+
+T2 oracle parity notes: the reference tries ``%Y-%m-%d, %m/%d/%Y, %d/%m/%Y,
+%Y%m%d`` in order, first parse wins, unparseable passes through
+(``src/etl/etl_manager.py:507-519``); DuckDB's ``try_strptime`` chain
+mirrors Spark's ``try_to_timestamp`` chain exactly (both NULL on mismatch).
+"""
+
+from __future__ import annotations
+
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_spark import transforms as T
+from healthcare_data_lakehouse_spark.fixtures import HEALTHCARE_CTE, healthcare_frame
+from healthcare_data_lakehouse_spark.queries.catalog import register
+from healthcare_data_lakehouse_spark.tables import table
+from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
+
+__all__: list[str] = []
+
+
+# SQL fragment: T2 chain for one column (DuckDB side).
+def _t2_sql(col: str) -> str:
+    parsed = (
+        f"COALESCE(try_strptime({col}, '%Y-%m-%d'), try_strptime({col}, '%m/%d/%Y'), "
+        f"try_strptime({col}, '%d/%m/%Y'), try_strptime({col}, '%Y%m%d'))"
+    )
+    return (
+        f"CASE WHEN {col} IS NOT NULL AND {col} <> '' AND {parsed} IS NOT NULL "
+        f"THEN strftime({parsed}, '%Y-%m-%d') ELSE {col} END"
+    )
+
+
+# ----------------------------------------------------------------- T1
+@register(
+    "transform_dedup_first_wins",
+    oracle="""
+    SELECT l_orderkey AS id, l_linenumber, l_partkey, l_quantity
+    FROM (
+        SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+               ROW_NUMBER() OVER (
+                   PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey
+               ) AS rn
+        FROM lineitem
+    ) WHERE rn = 1
+    """,
+    description="T1 first-wins dedup (reference etl_manager.py:482-496): "
+    "keep the first row per id in ingest order (= l_linenumber here).",
+)
+def transform_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = (
+        table(spark, sf_dir, "lineitem")
+        .select(
+            F.col("l_orderkey").alias("id"),
+            "l_linenumber",
+            "l_partkey",
+            "l_suppkey",
+            "l_quantity",
+        )
+        # explicit deterministic ingest-order stand-in; (linenumber,
+        # partkey, suppkey) is unique within an order in this fixture
+        .withColumn(
+            T.INGEST_ORDER_COL,
+            (
+                F.col("l_linenumber").cast("long") * 1_000_000_000
+                + F.col("l_partkey").cast("long") * 10_000
+                + F.col("l_suppkey").cast("long")
+            ),
+        )
+    )
+    return T.deduplicate(li).drop(T.INGEST_ORDER_COL, "l_suppkey")
+
+
+# ----------------------------------------------------------------- T2
+@register(
+    "transform_standardize_dates",
+    oracle=f"""
+    WITH {HEALTHCARE_CTE}
+    SELECT id, {_t2_sql('birth_date')} AS birth_date,
+           {_t2_sql('admission_date')} AS admission_date
+    FROM records
+    """,
+    description="T2 date standardization: 4-format precedence chain, "
+    "first parse wins, junk passes through (etl_manager.py:498-522).",
+)
+def transform_standardize_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = healthcare_frame(spark, sf_dir)
+    return T.standardize_dates(df).select("id", "birth_date", "admission_date")
+
+
+# ------------------------------------------------------- T3 + T4 + T5
+@register(
+    "transform_clean_pipeline",
+    oracle=f"""
+    WITH {HEALTHCARE_CTE},
+    trimmed AS (
+        SELECT id, trim(patient_id) AS patient_id, trim(birth_date) AS birth_date,
+               trim(diagnosis_code) AS diagnosis_code,
+               trim(patient_name) AS patient_name, trim(ssn) AS ssn,
+               trim(address) AS address
+        FROM records
+    ),
+    nulled AS (
+        SELECT id, patient_id, birth_date, diagnosis_code, patient_name, ssn,
+               CASE WHEN address IN ('', 'NULL', 'null', 'N/A', 'n/a', 'NA',
+                                     'None', 'none')
+                    THEN NULL ELSE address END AS address
+        FROM trimmed
+    )
+    SELECT id, patient_id, birth_date,
+           CASE WHEN diagnosis_code IS NOT NULL AND diagnosis_code <> ''
+                THEN trim(upper(diagnosis_code)) ELSE diagnosis_code END
+               AS diagnosis_code,
+           patient_name, ssn, address
+    FROM nulled
+    """,
+    description="T4 trim_strings -> T5 null_handling -> T3 uppercase_codes "
+    "chain in config order (etl_manager.py:253-262): whitespace stripped, "
+    "'N/A' sentinels nulled, codes uppercased.",
+)
+def transform_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = healthcare_frame(spark, sf_dir).select(
+        "id", "patient_id", "birth_date", "diagnosis_code",
+        "patient_name", "ssn", "address",
+    )
+    reg = T.standard_registry("1970-01-01T00:00:00")
+    return reg.apply(df, ["trim_strings", "null_handling", "uppercase_codes"])
+
+
+# ---------------------------------------------------------- L4 MERGE
+@register(
+    "load_merge_upsert",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey AS id, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    source AS (
+        SELECT o_orderkey AS id, o_totalprice * 2 AS o_totalprice,
+               'U' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT id, ROUND(o_totalprice, 2) AS totalprice, o_orderstatus AS status
+    FROM (
+        SELECT * FROM source
+        UNION ALL
+        SELECT t.* FROM target t ANTI JOIN source s ON t.id = s.id
+    )
+    """,
+    description="L4 MERGE upsert through the real ZoneStore "
+    "(etl_manager.py:456-467): matched ids replaced, new ids appended.",
+)
+def load_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("id"), "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        (F.col("o_totalprice") * 2).alias("o_totalprice"),
+        F.lit("U").alias("o_orderstatus"),
+    )
+    store = ZoneStore(spark, tempfile.mkdtemp(prefix="zs_merge_"))
+    store.write(DataZone.SILVER, "orders_m", target, LoadType.FULL)
+    store.write(DataZone.SILVER, "orders_m", source, LoadType.MERGE)
+    out = store.read(DataZone.SILVER, "orders_m")
+    return out.select(
+        "id",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+# ---------------------------------------------------- L5 INCREMENTAL
+@register(
+    "load_incremental_append_new",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey AS id, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    source AS (
+        SELECT o_orderkey AS id, o_totalprice, 'NEW' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT id, ROUND(o_totalprice, 2) AS totalprice, o_orderstatus AS status
+    FROM (
+        SELECT * FROM target
+        UNION ALL
+        SELECT s.* FROM source s ANTI JOIN target t ON s.id = t.id
+    )
+    """,
+    description="L5 INCREMENTAL through the real ZoneStore "
+    "(etl_manager.py:468-476): only ids absent from the target append; "
+    "existing rows never touched.",
+)
+def load_incremental_append_new(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("id"), "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        "o_totalprice",
+        F.lit("NEW").alias("o_orderstatus"),
+    )
+    store = ZoneStore(spark, tempfile.mkdtemp(prefix="zs_incr_"))
+    store.write(DataZone.SILVER, "orders_i", target, LoadType.FULL)
+    store.write(DataZone.SILVER, "orders_i", source, LoadType.INCREMENTAL)
+    out = store.read(DataZone.SILVER, "orders_i")
+    return out.select(
+        "id",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+# --------------------------------------------------- P1 full pipeline
+# Quarantine predicates for the healthcare frame at SILVER, as data-derived
+# by the quality engine: DQ001 (patient_id null), DQ003 (bad id format),
+# DQ006 (clinical range) FAIL at this dirt level; DQ002/DQ004 only WARN and
+# DQ005 passes post-dedup, so they contribute no quarantine rows.
+_Q1_FAIL = "(id IS NULL OR patient_id IS NULL OR birth_date IS NULL)"
+_Q3_FAIL = (
+    "(patient_id IS NOT NULL AND patient_id <> '' AND NOT "
+    "regexp_matches(upper(patient_id), '^[A-Z0-9]{6,20}$|^[a-f0-9-]{36}$'))"
+)
+_Q6_FAIL = (
+    "((age IS NOT NULL AND (age < 0 OR age > 150)) OR "
+    "(heart_rate IS NOT NULL AND (heart_rate < 20 OR heart_rate > 300)))"
+)
+
+_PIPELINE_ORACLE_BODY = f"""
+    WITH {HEALTHCARE_CTE},
+    deduped AS (
+        -- duplicate rows are exact copies, so first-wins dedup == DISTINCT
+        SELECT DISTINCT * FROM records
+    ),
+    transformed AS (
+        -- trim_strings touches every string column; only diagnosis_code
+        -- and ssn carry whitespace in this frame
+        SELECT id, patient_id,
+               {_t2_sql('birth_date')} AS birth_date,
+               {_t2_sql('admission_date')} AS admission_date,
+               age, heart_rate,
+               trim(diagnosis_code) AS diagnosis_code, patient_name,
+               trim(ssn) AS ssn,
+               CAST(NULL AS VARCHAR) AS address
+        FROM deduped
+    )
+"""
+
+
+@register(
+    "etl_run_job_silver",
+    oracle=_PIPELINE_ORACLE_BODY
+    + f"""
+    SELECT * FROM transformed
+    WHERE NOT ({_Q1_FAIL} OR {_Q3_FAIL} OR {_Q6_FAIL})
+    """,
+    description="P1 run_job end-to-end: dedup→standardize_dates→trim→"
+    "null_handling, fused quality scan at SILVER, exact predicate "
+    "quarantine split, FULL write, zone read-back "
+    "(etl_manager.py:206-356).",
+)
+def etl_run_job_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.etl import (
+        ETLJobConfig,
+        ETLStatus,
+        HealthcareETLManager,
+    )
+
+    df = healthcare_frame(spark, sf_dir)
+    mgr = HealthcareETLManager(
+        spark, tempfile.mkdtemp(prefix="wh_job_"), quarantine_cap=None
+    )
+    config = ETLJobConfig(
+        job_id="silver_patients",
+        source_name="patients",
+        target_zone=DataZone.SILVER,
+        load_type=LoadType.FULL,
+        required_fields=["id", "patient_id", "birth_date"],
+        transformations=[
+            "deduplicate", "standardize_dates", "trim_strings", "null_handling",
+        ],
+    )
+    result = mgr.run_job(config, df)
+    if result.status != ETLStatus.COMPLETED:
+        raise RuntimeError(f"job failed: {result.error_message}")
+    out = mgr.get_zone_data(DataZone.SILVER, "patients")
+    return out.drop(T.INGEST_ORDER_COL)
+
+
+@register(
+    "etl_quarantine_split",
+    oracle=_PIPELINE_ORACLE_BODY
+    + f"""
+    SELECT id, patient_id, 'failed' AS _quarantine_reason
+    FROM transformed
+    WHERE {_Q1_FAIL} OR {_Q3_FAIL} OR {_Q6_FAIL}
+    """,
+    description="L6/L7 quarantine sink+read: rows failing any FAILED rule "
+    "are stamped and stored per job (etl_manager.py:371-393,590-595).",
+)
+def etl_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.etl import (
+        ETLJobConfig,
+        ETLStatus,
+        HealthcareETLManager,
+    )
+
+    df = healthcare_frame(spark, sf_dir)
+    mgr = HealthcareETLManager(
+        spark, tempfile.mkdtemp(prefix="wh_quar_"), quarantine_cap=None
+    )
+    config = ETLJobConfig(
+        job_id="silver_patients_q",
+        source_name="patients",
+        target_zone=DataZone.SILVER,
+        load_type=LoadType.FULL,
+        required_fields=["id", "patient_id", "birth_date"],
+        transformations=[
+            "deduplicate", "standardize_dates", "trim_strings", "null_handling",
+        ],
+    )
+    result = mgr.run_job(config, df)
+    if result.status != ETLStatus.COMPLETED:
+        raise RuntimeError(f"job failed: {result.error_message}")
+    q = mgr.get_quarantined("silver_patients_q")
+    return q.select("id", "patient_id", "_quarantine_reason")

@@ -1,1 +1,300 @@
-"""Placeholder — populated in later milestones."""
+"""Quality-rule queries: the REAL DataQualityValidator vs SQL oracles.
+
+Each entry runs the engine's fused-scan validator over the dirty healthcare
+frame (fixtures.py) and emits per-rule result rows; the oracle restates each
+rule's scoring — including the reference's per-field-instance denominators
+with break-on-first-failure (``src/quality/data_quality.py:597-607``),
+truthy "populated" semantics, and empty-input conventions — as independent
+DuckDB SQL over the identical frame.
+
+Score rounding: the reference reports raw float ratios; for hash-stable
+comparison both sides round half-away-from-zero to 6 places (DuckDB ROUND
+rounds half away from zero; Python ``round`` is banker's — so the Spark side
+uses an explicit half-up helper).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import (
+    BooleanType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from healthcare_data_lakehouse_spark.fixtures import HEALTHCARE_CTE, healthcare_frame
+from healthcare_data_lakehouse_spark.quality import (
+    DataQualityValidator,
+    ICD10_RE,
+    ISO_DATE_RE,
+    PATIENT_ID_RE,
+)
+from healthcare_data_lakehouse_spark.queries.catalog import register
+from healthcare_data_lakehouse_spark.zones import DataZone
+
+__all__: list[str] = []
+
+REQUIRED = ["id", "patient_id", "birth_date"]
+
+RESULT_SCHEMA = StructType([
+    StructField("rule_id", StringType()),
+    StructField("status", StringType()),
+    StructField("score", DoubleType()),
+    StructField("records_checked", LongType()),
+    StructField("records_passed", LongType()),
+    StructField("records_failed", LongType()),
+])
+
+
+def _round_half_up(x: float, places: int = 6) -> float:
+    factor = 10 ** places
+    return math.floor(abs(x) * factor + 0.5) / factor * (1 if x >= 0 else -1)
+
+
+def _validator_rows(
+    spark: SparkSession, sf_dir: str, zone: DataZone
+) -> DataFrame:
+    df = healthcare_frame(spark, sf_dir)
+    validator = DataQualityValidator("patients", id_field="id", quarantine_cap=None)
+    report = validator.validate(df, zone, required_fields=REQUIRED)
+    rows = [
+        (
+            r.rule_id,
+            r.status.value,
+            _round_half_up(r.score, 6),
+            r.records_checked,
+            r.records_passed,
+            r.records_failed,
+        )
+        for r in report.check_results
+    ]
+    return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+
+# ------------------------------------------------------------- oracle SQL
+# Per-record flag expressions over the `records` CTE (raw dirty frame).
+_FLAGS = f"""
+flags AS (
+  SELECT
+    COALESCE(CAST(id AS VARCHAR), 'None') AS rid,
+    (id IS NULL OR patient_id IS NULL OR birth_date IS NULL) AS q1_fail,
+    (birth_date IS NOT NULL AND birth_date <> '') AS b_pop,
+    NOT regexp_matches(birth_date, '{ISO_DATE_RE}') AS b_inv,
+    (admission_date IS NOT NULL AND admission_date <> '') AS a_pop,
+    NOT regexp_matches(admission_date, '{ISO_DATE_RE}') AS a_inv,
+    (patient_id IS NOT NULL AND patient_id <> '') AS p_pop,
+    NOT regexp_matches(upper(patient_id), '{PATIENT_ID_RE}') AS p_inv,
+    (diagnosis_code IS NOT NULL AND diagnosis_code <> '') AS d_pop,
+    NOT regexp_matches(trim(upper(diagnosis_code)), '{ICD10_RE}') AS d_inv,
+    (age IS NOT NULL) AS g_pop,
+    (age < 0 OR age > 150) AS g_inv,
+    (heart_rate IS NOT NULL) AS h_pop,
+    (heart_rate < 20 OR heart_rate > 300) AS h_inv,
+    ((patient_name IS NOT NULL AND patient_name <> '')
+     OR (birth_date IS NOT NULL AND birth_date <> '')
+     OR (ssn IS NOT NULL AND ssn <> '')
+     OR (address IS NOT NULL AND address <> '')) AS has_phi
+  FROM records
+),
+aggs AS (
+  SELECT
+    COUNT(*) AS total,
+    COUNT(DISTINCT rid) AS n_distinct,
+    SUM(CASE WHEN q1_fail THEN 1 ELSE 0 END) AS q1_failed,
+    -- DQ002: field instances birth_date then admission_date; a record
+    -- breaks at its first failing field (later fields uncounted).
+    SUM((CASE WHEN b_pop THEN 1 ELSE 0 END)
+      + (CASE WHEN a_pop AND NOT (b_pop AND b_inv) THEN 1 ELSE 0 END)) AS q2_checked,
+    SUM(CASE WHEN (b_pop AND b_inv)
+              OR (a_pop AND a_inv AND NOT (b_pop AND b_inv))
+             THEN 1 ELSE 0 END) AS q2_failed,
+    SUM(CASE WHEN p_pop THEN 1 ELSE 0 END) AS q3_checked,
+    SUM(CASE WHEN p_pop AND p_inv THEN 1 ELSE 0 END) AS q3_failed,
+    SUM(CASE WHEN d_pop THEN 1 ELSE 0 END) AS q4_checked,
+    SUM(CASE WHEN d_pop AND d_inv THEN 1 ELSE 0 END) AS q4_failed,
+    SUM((CASE WHEN g_pop THEN 1 ELSE 0 END)
+      + (CASE WHEN h_pop AND NOT (g_pop AND g_inv) THEN 1 ELSE 0 END)) AS q6_checked,
+    SUM(CASE WHEN (g_pop AND g_inv)
+              OR (h_pop AND h_inv AND NOT (g_pop AND g_inv))
+             THEN 1 ELSE 0 END) AS q6_failed,
+    SUM(CASE WHEN has_phi THEN 1 ELSE 0 END) AS q8_with_phi
+  FROM flags
+)
+"""
+
+
+def _rule_row_sql(
+    rule_id: str, checked: str, failed: str, fail_below: float, warn_below: float
+) -> str:
+    """One per-rule result row (score = passed/checked, 1.0 on empty)."""
+    score = (
+        f"CASE WHEN {checked} > 0 "
+        f"THEN CAST({checked} - {failed} AS DOUBLE) / {checked} ELSE 1.0 END"
+    )
+    return f"""
+    SELECT '{rule_id}' AS rule_id,
+           CASE WHEN {score} < {fail_below} THEN 'failed'
+                WHEN {score} < {warn_below} THEN 'warning'
+                ELSE 'passed' END AS status,
+           ROUND({score}, 6) AS score,
+           CAST({checked} AS BIGINT) AS records_checked,
+           CAST({checked} - {failed} AS BIGINT) AS records_passed,
+           CAST({failed} AS BIGINT) AS records_failed
+    FROM aggs
+    """
+
+
+_Q1_ROW = """
+    SELECT 'DQ001' AS rule_id,
+           CASE WHEN total = 0 THEN 'skipped'
+                WHEN CAST(total - q1_failed AS DOUBLE) / total < 0.95 THEN 'failed'
+                WHEN CAST(total - q1_failed AS DOUBLE) / total < 0.99 THEN 'warning'
+                ELSE 'passed' END AS status,
+           ROUND(CAST(total - q1_failed AS DOUBLE) / total, 6) AS score,
+           CAST(total AS BIGINT) AS records_checked,
+           CAST(total - q1_failed AS BIGINT) AS records_passed,
+           CAST(q1_failed AS BIGINT) AS records_failed
+    FROM aggs
+"""
+
+_Q5_ROW = """
+    SELECT 'DQ005' AS rule_id,
+           CASE WHEN total - n_distinct > 0 THEN 'failed' ELSE 'passed' END AS status,
+           ROUND(CASE WHEN total > 0
+                      THEN CAST(n_distinct AS DOUBLE) / total ELSE 1.0 END, 6) AS score,
+           CAST(total AS BIGINT) AS records_checked,
+           CAST(n_distinct AS BIGINT) AS records_passed,
+           CAST(total - n_distinct AS BIGINT) AS records_failed
+    FROM aggs
+"""
+
+_Q8_ROW = """
+    SELECT 'DQ008' AS rule_id,
+           CASE WHEN (CASE WHEN total > 0
+                           THEN CAST(q8_with_phi AS DOUBLE) / total
+                           ELSE 0.0 END) < 0.5
+                THEN 'warning' ELSE 'passed' END AS status,
+           ROUND(CASE WHEN total > 0
+                      THEN CAST(q8_with_phi AS DOUBLE) / total ELSE 0.0 END, 6) AS score,
+           CAST(total AS BIGINT) AS records_checked,
+           CAST(q8_with_phi AS BIGINT) AS records_passed,
+           CAST(total - q8_with_phi AS BIGINT) AS records_failed
+    FROM aggs
+"""
+
+
+@register(
+    "quality_validate_silver",
+    oracle=f"""
+    WITH {HEALTHCARE_CTE}, {_FLAGS}
+    {_Q1_ROW}
+    UNION ALL {_rule_row_sql('DQ002', 'q2_checked', 'q2_failed', 0.95, 0.99)}
+    UNION ALL {_rule_row_sql('DQ003', 'q3_checked', 'q3_failed', 0.99, 1.0)}
+    UNION ALL {_rule_row_sql('DQ004', 'q4_checked', 'q4_failed', 0.95, 0.99)}
+    UNION ALL {_Q5_ROW}
+    UNION ALL {_rule_row_sql('DQ006', 'q6_checked', 'q6_failed', 0.95, 0.99)}
+    """,
+    description="Q1-Q6 fused single-scan validation at SILVER "
+    "(data_quality.py:310-419): per-rule status/score/denominator parity "
+    "including break-on-first-failure instance counting.",
+)
+def quality_validate_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _validator_rows(spark, sf_dir, DataZone.SILVER)
+
+
+@register(
+    "quality_validate_bronze",
+    oracle=f"""
+    WITH {HEALTHCARE_CTE}, {_FLAGS}
+    {_Q1_ROW}
+    UNION ALL {_rule_row_sql('DQ003', 'q3_checked', 'q3_failed', 0.99, 1.0)}
+    UNION ALL {_Q5_ROW}
+    UNION ALL {_Q8_ROW}
+    """,
+    description="Zone-filtered rule execution at BRONZE (Q1/Q3/Q5/Q8 "
+    "applicable; data_quality.py:337-342) incl. PHI-presence check.",
+)
+def quality_validate_bronze(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _validator_rows(spark, sf_dir, DataZone.BRONZE)
+
+
+@register(
+    "quality_promotion_gate",
+    oracle=f"""
+    WITH {HEALTHCARE_CTE}, {_FLAGS},
+    rule_rows AS (
+        SELECT 'completeness' AS dimension, 1.0 AS w,
+               CAST(total - q1_failed AS DOUBLE) / total AS score,
+               0.95 AS fail_below, 0.99 AS warn_below
+        FROM aggs
+        UNION ALL
+        SELECT 'validity', 0.9,
+               CAST(q2_checked - q2_failed AS DOUBLE) / q2_checked, 0.95, 0.99
+        FROM aggs
+        UNION ALL
+        SELECT 'validity', 0.9,
+               CAST(q3_checked - q3_failed AS DOUBLE) / q3_checked, 0.99, 1.0
+        FROM aggs
+        UNION ALL
+        SELECT 'accuracy', 1.2,
+               CAST(q4_checked - q4_failed AS DOUBLE) / q4_checked, 0.95, 0.99
+        FROM aggs
+        UNION ALL
+        SELECT 'uniqueness', 1.0, CAST(n_distinct AS DOUBLE) / total,
+               -- DQ005: FAILED on any duplicate, never warns
+               CASE WHEN (SELECT total - n_distinct FROM aggs) > 0
+                    THEN 1.1 ELSE 0.0 END, 0.0
+        FROM aggs
+        UNION ALL
+        SELECT 'accuracy', 1.2,
+               CAST(q6_checked - q6_failed AS DOUBLE) / q6_checked, 0.95, 0.99
+        FROM aggs
+    ),
+    gate AS (
+        SELECT
+            SUM(score * w) / SUM(w) AS overall,
+            AVG(score) FILTER (WHERE dimension = 'completeness') AS comp,
+            AVG(score) FILTER (WHERE dimension = 'accuracy') AS acc,
+            AVG(score) FILTER (WHERE dimension = 'uniqueness') AS uniq,
+            SUM(CASE WHEN score < fail_below THEN 1 ELSE 0 END) AS n_failed,
+            SUM(CASE WHEN score >= fail_below AND score < warn_below
+                     THEN 1 ELSE 0 END) AS n_warned
+        FROM rule_rows
+    )
+    SELECT (SELECT CAST(total AS BIGINT) FROM aggs) AS total_records,
+           ROUND(overall, 6) AS overall_score,
+           CASE WHEN n_failed > 0 THEN 'failed'
+                WHEN n_warned > 0 THEN 'warning'
+                ELSE 'passed' END AS overall_status,
+           (overall >= 0.95
+            AND COALESCE(comp >= 0.95, TRUE)
+            AND COALESCE(acc >= 0.98, TRUE)
+            AND COALESCE(uniq >= 1.0, TRUE)
+            AND n_failed <= 0) AS promotion_eligible
+    FROM gate
+    """,
+    description="A2-A4 weighted overall score + worst-of status + zone "
+    "promotion gate at SILVER (data_quality.py:427-526).",
+)
+def quality_promotion_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = healthcare_frame(spark, sf_dir)
+    validator = DataQualityValidator("patients", id_field="id", quarantine_cap=None)
+    report = validator.validate(df, DataZone.SILVER, required_fields=REQUIRED)
+    schema = StructType([
+        StructField("total_records", LongType()),
+        StructField("overall_score", DoubleType()),
+        StructField("overall_status", StringType()),
+        StructField("promotion_eligible", BooleanType()),
+    ])
+    row = [(
+        report.total_records,
+        _round_half_up(report.overall_score, 6),
+        report.overall_status.value,
+        bool(report.promotion_eligible),
+    )]
+    return spark.createDataFrame(row, schema)

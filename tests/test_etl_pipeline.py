@@ -1,0 +1,114 @@
+"""run_job state machine / quarantine / promote_zone tests (SURVEY.md §2.6)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+
+from healthcare_data_lakehouse_spark.etl import (
+    ETLJobConfig,
+    ETLStatus,
+    HealthcareETLManager,
+)
+from healthcare_data_lakehouse_spark.zones import DataZone, LoadType
+
+
+@pytest.fixture()
+def mgr(spark):
+    return HealthcareETLManager(
+        spark, tempfile.mkdtemp(prefix="wh_test_"), quarantine_cap=None
+    )
+
+
+def clean_rows(spark):
+    # 20 clean records: valid patient ids, ISO dates, in-range vitals
+    return spark.createDataFrame([
+        Row(
+            id=str(i),
+            patient_id=f"MRN{i:09d}",
+            birth_date="1990-01-02",
+            age=40.0,
+            heart_rate=70.0,
+        )
+        for i in range(20)
+    ])
+
+
+def test_clean_job_completes(spark, mgr):
+    config = ETLJobConfig(
+        job_id="j1", source_name="pat", target_zone=DataZone.SILVER,
+        load_type=LoadType.FULL,
+        required_fields=["id", "patient_id"],
+        transformations=["deduplicate", "trim_strings"],
+    )
+    result = mgr.run_job(config, clean_rows(spark))
+    assert result.status == ETLStatus.COMPLETED, result.error_message
+    assert result.records_read == 20
+    assert result.records_written == 20
+    assert result.records_quarantined == 0
+    assert result.quality_report.promotion_eligible
+    assert result.run_id.startswith("run_")
+    assert mgr.get_zone_data(DataZone.SILVER, "pat").count() == 20
+    # lineage recorded
+    assert result.lineage_node_id is not None
+    up = mgr.lineage_tracker.get_upstream_lineage(result.lineage_node_id)
+    assert len(up) == 1
+
+
+def test_dirty_job_quarantines_and_promotes_rest(spark, mgr):
+    dirty = clean_rows(spark).unionByName(
+        spark.createDataFrame(
+            [(str(100 + i), None, "1990-01-02", 40.0, 70.0) for i in range(5)],
+            "id string, patient_id string, birth_date string, "
+            "age double, heart_rate double",
+        )
+    )
+    config = ETLJobConfig(
+        job_id="j2", source_name="pat2", target_zone=DataZone.SILVER,
+        load_type=LoadType.FULL,
+        required_fields=["id", "patient_id"],
+        transformations=[],
+    )
+    result = mgr.run_job(config, dirty)
+    # 5/25 null patient_id -> DQ001 score 0.8 FAILED -> not eligible
+    assert result.status == ETLStatus.COMPLETED
+    assert result.records_quarantined == 5
+    assert result.records_written == 20
+    q = mgr.get_quarantined("j2")
+    assert q.count() == 5
+    assert set(r._quarantine_reason for r in q.collect()) == {"failed"}
+
+
+def test_quarantine_disabled_fails_job(spark, mgr):
+    dirty = spark.createDataFrame(
+        [(str(i), None) for i in range(10)],
+        "id string, patient_id string",
+    )
+    config = ETLJobConfig(
+        job_id="j3", source_name="pat3", target_zone=DataZone.SILVER,
+        load_type=LoadType.FULL, required_fields=["id", "patient_id"],
+        enable_quarantine=False,
+    )
+    result = mgr.run_job(config, dirty)
+    assert result.status == ETLStatus.FAILED
+    assert "Quality gate failed" in result.error_message
+    assert mgr.get_zone_data(DataZone.SILVER, "pat3") is None
+
+
+def test_promote_zone_default_chain(spark, mgr):
+    mgr.store.write(
+        DataZone.BRONZE, "pat4",
+        clean_rows(spark), LoadType.FULL,
+    )
+    result = mgr.promote_zone("pat4", DataZone.BRONZE, DataZone.SILVER)
+    assert result.status == ETLStatus.COMPLETED, result.error_message
+    out = mgr.get_zone_data(DataZone.SILVER, "pat4")
+    assert out.count() == 20
+    assert "_processed_at" in out.columns  # add_metadata in default chain
+
+
+def test_promote_empty_zone_raises(mgr):
+    with pytest.raises(ValueError, match="No data found"):
+        mgr.promote_zone("ghost", DataZone.BRONZE, DataZone.SILVER)

@@ -1,0 +1,69 @@
+"""ZoneStore load-pattern tests (SURVEY.md §2.2 L1-L7)."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+from pyspark.sql import Row
+
+from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
+
+
+@pytest.fixture()
+def store(spark):
+    return ZoneStore(spark, tempfile.mkdtemp(prefix="zs_test_"))
+
+
+def rows(df):
+    return sorted((r.id, r.v) for r in df.collect())
+
+
+def test_full_replaces(spark, store):
+    a = spark.createDataFrame([Row(id="1", v="a"), Row(id="2", v="b")])
+    b = spark.createDataFrame([Row(id="3", v="c")])
+    store.write(DataZone.BRONZE, "d", a, LoadType.FULL)
+    store.write(DataZone.BRONZE, "d", b, LoadType.FULL)
+    assert rows(store.read(DataZone.BRONZE, "d")) == [("3", "c")]
+
+
+def test_append_inserts_all(spark, store):
+    a = spark.createDataFrame([Row(id="1", v="a")])
+    store.write(DataZone.BRONZE, "d", a, LoadType.APPEND)
+    store.write(DataZone.BRONZE, "d", a, LoadType.APPEND)
+    assert rows(store.read(DataZone.BRONZE, "d")) == [("1", "a"), ("1", "a")]
+
+
+def test_merge_upserts(spark, store):
+    a = spark.createDataFrame([Row(id="1", v="a"), Row(id="2", v="b")])
+    b = spark.createDataFrame([Row(id="2", v="B"), Row(id="3", v="c")])
+    store.write(DataZone.SILVER, "d", a, LoadType.FULL)
+    store.write(DataZone.SILVER, "d", b, LoadType.MERGE)
+    assert rows(store.read(DataZone.SILVER, "d")) == [
+        ("1", "a"), ("2", "B"), ("3", "c")
+    ]
+
+
+def test_incremental_never_updates(spark, store):
+    a = spark.createDataFrame([Row(id="1", v="a"), Row(id="2", v="b")])
+    b = spark.createDataFrame([Row(id="2", v="CHANGED"), Row(id="3", v="c")])
+    store.write(DataZone.SILVER, "d", a, LoadType.FULL)
+    store.write(DataZone.SILVER, "d", b, LoadType.INCREMENTAL)
+    assert rows(store.read(DataZone.SILVER, "d")) == [
+        ("1", "a"), ("2", "b"), ("3", "c")
+    ]
+
+
+def test_quarantine_roundtrip(spark, store):
+    bad = spark.createDataFrame([Row(id="9", v="x")])
+    n = store.write_quarantine("job1", bad, "failed", 0.5, "2026-01-01T00:00:00")
+    assert n == 1
+    q = store.read_quarantine("job1").collect()[0]
+    assert q._quarantine_reason == "failed"
+    assert q._quality_score == 0.5
+    assert store.read_quarantine("nope") is None
+
+
+def test_read_missing_returns_none(store):
+    assert store.read(DataZone.GOLD, "nope") is None
+    assert not store.exists(DataZone.GOLD, "nope")
