@@ -1,0 +1,98 @@
+"""Multimodal column plumbing: opaque binary payloads + typed metadata.
+
+Images/audio/video ride through the lakehouse as ``binary`` columns with a
+metadata struct (modality, codec, dims). The Spark-side machinery —
+schema, Arrow-batched ``mapInPandas`` feature extraction, partition-safe
+batch iteration — is real and tested; the actual media DECODE step is
+stubbed (no image/audio libraries in this container) behind
+``decode_stub``, which raises ``NotImplementedError`` unless
+``fake=True``, in which case it derives deterministic pseudo-features from
+the bytes so the pipeline shape is exercisable end-to-end.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    BinaryType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+__all__ = ["as_binary_assets", "extract_binary_features", "decode_stub"]
+
+ASSET_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("payload", BinaryType()),
+    StructField("modality", StringType()),
+    StructField("codec", StringType()),
+])
+
+FEATURE_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("n_bytes", LongType()),
+    StructField("sha256", StringType()),
+    StructField("modality", StringType()),
+    StructField("fake_width", LongType()),
+    StructField("fake_height", LongType()),
+])
+
+
+def as_binary_assets(
+    df: DataFrame, id_col: str = "doc_id", payload_col: str = "text"
+) -> DataFrame:
+    """Model any bytes-bearing column as a multimodal asset table
+    (here: utf-8 text bytes standing in for media payloads)."""
+    return df.select(
+        F.col(id_col).alias("asset_id"),
+        F.encode(F.col(payload_col), "utf-8").alias("payload"),
+        F.lit("image").alias("modality"),
+        F.lit("raw").alias("codec"),
+    )
+
+
+def decode_stub(payload: bytes, fake: bool = False) -> tuple[int, int]:
+    """Media decode STUB. Real deployments plug PIL/ffmpeg here; this
+    container has neither, so ``fake=True`` derives deterministic
+    pseudo-dimensions from the payload bytes (keeps the pipeline testable
+    without pretending to decode)."""
+    if not fake:
+        raise NotImplementedError(
+            "media decoding requires image/audio libraries not present in "
+            "this environment; pass fake=True for deterministic "
+            "pseudo-features"
+        )
+    n = len(payload)
+    return (n % 640 + 1, (n * 7) % 480 + 1)
+
+
+def extract_binary_features(assets: DataFrame, fake_decode: bool = True) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    ``mapInPandas`` keeps the columnar batch shape end-to-end: each
+    partition streams pandas batches through the extractor — the pattern a
+    real CPU/GPU decode stage uses (one Python worker per core, payload
+    bytes never hit the driver).
+    """
+
+    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            dims = [decode_stub(p, fake=fake_decode) for p in payloads]
+            yield pd.DataFrame({
+                "asset_id": pdf["asset_id"],
+                "n_bytes": [len(p) for p in payloads],
+                "sha256": [hashlib.sha256(p).hexdigest() for p in payloads],
+                "modality": pdf["modality"],
+                "fake_width": [d[0] for d in dims],
+                "fake_height": [d[1] for d in dims],
+            })
+
+    return assets.mapInPandas(extract, schema=FEATURE_SCHEMA)

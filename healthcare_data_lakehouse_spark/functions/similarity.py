@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns (``array<float>``).
+
+* **Brute-force cosine top-k** — the exact baseline: one narrow pass
+  computing dot products against a broadcast query vector (``F.aggregate``
+  + ``zip_with``, all JVM-side), then TakeOrdered for top-k. At 100 TB the
+  scan dominates; no shuffle until the final k-row reduction.
+* **Random-hyperplane LSH** — the scale path: H sign-bits bucket each
+  vector; candidates share the query's bucket, exact cosine re-ranks only
+  those. Hyperplanes come from a fixed LCG so the bucketing is
+  reproducible across engines (oracle-checkable).
+
+Math notes: accumulation is sequential left-to-right in DOUBLE on both
+engines, so scores are bit-comparable after rounding; the driver fixture's
+embeddings are unit-normalized (checked), so cosine == dot product — norms
+are still computed for generality.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = [
+    "dot",
+    "l2_norm",
+    "cosine",
+    "cosine_top_k",
+    "HYPERPLANES",
+    "hyperplane_bucket",
+    "lsh_top_k",
+]
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential double-precision dot product of two float arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+        )
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def cosine_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k by cosine against a literal query vector.
+
+    The query vector rides into the plan as a literal array (broadcast by
+    value); ordering carries an id tiebreak so the selected set is
+    deterministic.
+    """
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- LSH path
+_N_PLANES = 8
+_DIM = 64
+
+
+def _lcg_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes in [-0.5, 0.5)."""
+    planes, state = [], 2026
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append(state / float(2**31) - 0.5)
+        planes.append(row)
+    return planes
+
+
+HYPERPLANES: list[list[float]] = _lcg_planes(_N_PLANES, _DIM)
+
+
+def hyperplane_bucket(vec: Column) -> Column:
+    """LSH bucket id: integer of the 8 sign bits of plane dot products."""
+    bucket = F.lit(0).cast("bigint")
+    for i, plane in enumerate(HYPERPLANES):
+        p = F.array(*[F.lit(v) for v in plane])
+        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(2**i).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+    return bucket
+
+
+def lsh_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate top-k: exact cosine re-rank restricted to the query's
+    LSH bucket. Recall trades against the 2^8 bucketing; at scale, multiple
+    tables (band OR-ing) would widen recall — single-table here."""
+    import math
+
+    qb = 0
+    for i, plane in enumerate(HYPERPLANES):
+        d = 0.0
+        for x, y in zip(query_vec, plane):
+            d += float(x) * y
+        if d > 0:
+            qb += 2**i
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.withColumn("bucket", hyperplane_bucket(F.col(vec_col)))
+        .filter(F.col("bucket") == qb)
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

@@ -1,1 +1,448 @@
-"""Placeholder — populated in later milestones."""
+"""LLM-training-data pipeline queries: dedup families, similarity search,
+text analysis, multimodal plumbing — the 100 TB extension surface.
+
+Every oracle restates the operator in independent DuckDB SQL over the same
+parquet. Hash portability: token/shingle hashes are ``int(md5[:12],16)``
+(Spark ``conv``, DuckDB hex cast — verified identical), minhash
+permutations and LSH hyperplanes come from fixed LCGs shared by both sides.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_spark.functions import dedup as D
+from healthcare_data_lakehouse_spark.functions import similarity as S
+from healthcare_data_lakehouse_spark.functions import text as TX
+from healthcare_data_lakehouse_spark.functions.multimodal import (
+    as_binary_assets,
+    extract_binary_features,
+)
+from healthcare_data_lakehouse_spark.queries.catalog import register
+from healthcare_data_lakehouse_spark.tables import table
+
+__all__: list[str] = []
+
+_H48 = "CAST(('0x' || substr(md5({c}), 1, 12)) AS BIGINT)"
+
+
+def _docs_with_dups(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
+    """documents ∪ exact copies of every (doc_id % mod == 0) doc under a
+    shifted id — controlled near-duplicate injection."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % mod == 0).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    return docs.unionAll(dups)
+
+
+_DOCS_DUPS_SQL = """
+docs AS (
+    SELECT doc_id, text FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % {mod} = 0
+)
+"""
+
+# DuckDB shingle table: distinct k=3 word shingles per doc (parity with
+# dedup.word_shingles: 0x1F-joined, <k tokens -> single whole-text shingle).
+_SHINGLES_SQL = """
+toks AS (
+    SELECT doc_id, string_split(text, ' ') AS t FROM docs
+),
+shingles AS (
+    SELECT DISTINCT doc_id,
+           array_to_string(t[i:i+2], chr(31)) AS shingle
+    FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+    WHERE len(t) >= 3
+    UNION
+    SELECT DISTINCT doc_id, array_to_string(t, chr(31)) AS shingle
+    FROM toks WHERE len(t) < 3
+)
+"""
+
+
+# ------------------------------------------------------------- text stats
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+           ROUND(CASE WHEN length(text) > 0
+                 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+                 ELSE 0.0 END, 6) AS punct_ratio,
+           ROUND(CASE WHEN len(string_split(text, ' ')) > 0
+                 THEN CAST(len(list_filter(string_split(lower(text), ' '),
+                      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                      / len(string_split(text, ' '))
+                 ELSE 0.0 END, 6) AS stopword_ratio,
+           ROUND(0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
+               + 0.3 * (1.0 - CASE WHEN length(text) > 0
+                     THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+                     ELSE 0.0 END)
+               + 0.3 * least(1.0, 4.0 * CASE WHEN len(string_split(text, ' ')) > 0
+                     THEN CAST(len(list_filter(string_split(lower(text), ' '),
+                          x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                          / len(string_split(text, ' '))
+                     ELSE 0.0 END), 6) AS quality_score
+    FROM documents
+    """,
+    description="Text quality scoring: length/punctuation/stopword ratios "
+    "fused into one narrow JVM-side pass (no UDFs, no shuffle).",
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    cols = TX.quality_score_cols(F.col("text"))
+    return docs.select(
+        "doc_id",
+        cols["n_chars"].alias("n_chars"),
+        cols["n_tokens"].cast("bigint").alias("n_tokens"),
+        cols["punct_ratio"].alias("punct_ratio"),
+        cols["stopword_ratio"].alias("stopword_ratio"),
+        cols["quality_score"].alias("quality_score"),
+    )
+
+
+@register(
+    "text_language_id",
+    oracle="""
+    SELECT doc_id, lang AS lang_declared,
+           CASE
+             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+             WHEN regexp_matches(' ' || lower(text) || ' ',
+                  ' (el|la|los|las|es|una|uno|que) ') THEN 'es'
+             WHEN regexp_matches(' ' || lower(text) || ' ',
+                  ' (der|die|das|und|ist|nicht) ') THEN 'de'
+             WHEN regexp_matches(' ' || lower(text) || ' ',
+                  ' (le|les|des|est|une|dans) ') THEN 'fr'
+             WHEN regexp_matches(' ' || lower(text) || ' ',
+                  ' (the|a|of|and|to|is|it) ') THEN 'en'
+             ELSE 'und'
+           END AS lang_pred
+    FROM documents
+    """,
+    description="Marker-regex language ID heuristic (CJK/Cyrillic ranges + "
+    "stopword markers, first-match precedence).",
+)
+def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.col("lang").alias("lang_declared"),
+        TX.language_id(F.col("text")).alias("lang_pred"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+    FROM documents
+    """,
+    description="Content fingerprint: md5 over whitespace-normalized "
+    "lowercase text (exact-dedup / recrawl identity).",
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
+
+
+# ------------------------------------------------------------------ dedup
+@register(
+    "dedup_exact_documents",
+    oracle=_DOCS_DUPS_SQL.format(mod=10).join(["WITH ", """
+    SELECT md5(text) AS text_hash,
+           MIN(doc_id) AS doc_id,
+           COUNT(*) AS n_copies
+    FROM docs GROUP BY md5(text)
+    """]),
+    description="Exact dedup: content-hash groupBy keeping the lowest id "
+    "as survivor; single shuffle with map-side partial aggregation.",
+)
+def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.exact_dedup(_docs_with_dups(spark, sf_dir, 10))
+
+
+@register(
+    "dedup_ngram_jaccard_pairs",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=20)
+    + ", "
+    + _SHINGLES_SQL
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+    """,
+    description="Exact 3-gram-shingle Jaccard near-dup pairs (>=0.8): "
+    "shingle self-join bounds candidates to shingle-sharing pairs.",
+)
+def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.jaccard_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.8)
+
+
+def _minhash_oracle() -> str:
+    mins = ",\n           ".join(
+        f"MIN(({a} * h + {b}) % {D.MERSENNE_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(D.MINHASH_PERMS)
+    )
+    return (
+        "WITH "
+        + _DOCS_DUPS_SQL.format(mod=20)
+        + ", "
+        + _SHINGLES_SQL
+        + f""",
+    hashed AS (
+        SELECT doc_id, {_H48.format(c='shingle')} AS h FROM shingles
+    )
+    SELECT doc_id,
+           {mins}
+    FROM hashed GROUP BY doc_id
+    """
+    )
+
+
+@register(
+    "dedup_minhash_signatures",
+    oracle=_minhash_oracle(),
+    description="MinHash signatures (12 portable md5-derived permutations) "
+    "in ONE groupBy — signature width doesn't add shuffles.",
+)
+def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.minhash_signature(_docs_with_dups(spark, sf_dir, 20))
+
+
+def _lsh_pairs_oracle() -> str:
+    band_selects = []
+    for band in range(D.N_BANDS):
+        cols = [f"mh_{band * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)]
+        key = f"'{band}:' || " + " || ':' || ".join(
+            f"CAST({c} AS VARCHAR)" for c in cols
+        )
+        band_selects.append(f"SELECT doc_id AS sid, {key} AS bkey FROM sig")
+    bucket_sql = "\n        UNION ALL ".join(band_selects)
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {D.MERSENNE_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(D.MINHASH_PERMS)
+    )
+    return (
+        "WITH "
+        + _DOCS_DUPS_SQL.format(mod=20)
+        + ", "
+        + _SHINGLES_SQL
+        + f""",
+    hashed AS (
+        SELECT doc_id, {_H48.format(c='shingle')} AS h FROM shingles
+    ),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM hashed GROUP BY doc_id
+    ),
+    bucket AS (
+        {bucket_sql}
+    ),
+    cand AS (
+        SELECT DISTINCT l.sid AS id_a, r.sid AS id_b
+        FROM bucket l JOIN bucket r ON l.bkey = r.bkey AND l.sid < r.sid
+    ),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shingles a ON a.doc_id = c.id_a
+        JOIN shingles b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+    """
+    )
+
+
+@register(
+    "dedup_minhash_lsh_pairs",
+    oracle=_lsh_pairs_oracle(),
+    description="MinHash-LSH near-dup pairs: band buckets (6x2) generate "
+    "candidates, exact Jaccard verifies — never an all-pairs join.",
+)
+def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
+
+
+def _simhash_oracle() -> str:
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(32)
+    )
+    bits = "\n         + ".join(
+        f"CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+    WITH toks AS (
+        SELECT DISTINCT doc_id, u.tok
+        FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
+    ),
+    hashed AS (
+        SELECT doc_id, {_H48.format(c='tok')} AS h FROM toks
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM hashed GROUP BY doc_id
+    )
+    SELECT doc_id,
+           {bits} AS simhash
+    FROM votes
+    """
+
+
+@register(
+    "dedup_simhash_hamming",
+    oracle=_simhash_oracle(),
+    description="32-bit SimHash signatures over distinct-token sets "
+    "(sign-aggregated voting; hamming distance gives near-dup distance).",
+)
+def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    return D.simhash32(docs)
+
+
+# ------------------------------------------------------------- similarity
+_COSINE_SQL = """
+    SELECT e.vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS score
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+"""
+
+
+@register(
+    "similarity_cosine_top10",
+    oracle=f"""
+    SELECT vec_id, score FROM ({_COSINE_SQL})
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    description="Exact brute-force cosine top-10 against vec_id=0: narrow "
+    "scan + TakeOrdered; the ANN baseline.",
+)
+def similarity_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.cosine_top_k(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+    description="Embedding hygiene scan: L2 norms + dimensionality "
+    "(array ops fully JVM-side via F.aggregate).",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(S.l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    # bucket bit i = (dot(embedding, plane_i) > 0); planes embedded as
+    # literal lists (same LCG constants as similarity.HYPERPLANES)
+    plane_bits = []
+    for i, plane in enumerate(S.HYPERPLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        plane_bits.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0 "
+            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        )
+    bucket = "\n             + ".join(plane_bits)
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {bucket} AS bucket
+        FROM embeddings
+    ),
+    qb AS (SELECT bucket, embedding FROM bucketed WHERE vec_id = 0)
+    SELECT b.vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(b.embedding, qb.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qb.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS score
+    FROM bucketed b, qb
+    WHERE b.bucket = qb.bucket AND b.vec_id <> 0
+    ORDER BY score DESC, b.vec_id LIMIT 5
+    """
+
+
+@register(
+    "similarity_lsh_top5",
+    oracle=_lsh_topk_oracle(),
+    description="ANN scale path: 8-hyperplane sign-LSH bucket prune + exact "
+    "cosine re-rank inside the query's bucket (deterministic LCG planes).",
+)
+def similarity_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.lsh_top_k(emb.filter(F.col("vec_id") != 0), list(qvec), k=5)
+
+
+# ------------------------------------------------------------- multimodal
+@register(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           'image' AS modality,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+    description="Multimodal plumbing: binary payload column + Arrow-batched "
+    "mapInPandas feature extraction (decode stage stubbed — deterministic "
+    "pseudo-decode; schema/partitioning/batch shape real).",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    assets = as_binary_assets(docs)
+    return extract_binary_features(assets, fake_decode=True)

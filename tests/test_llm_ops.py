@@ -1,0 +1,94 @@
+"""Unit tests for the LLM-pipeline operator family."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_spark.functions import dedup as D
+from healthcare_data_lakehouse_spark.functions import similarity as S
+from healthcare_data_lakehouse_spark.functions import text as TX
+from healthcare_data_lakehouse_spark.functions.multimodal import (
+    as_binary_assets,
+    decode_stub,
+    extract_binary_features,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame([
+        Row(doc_id=1, text="the cat sat on the mat"),
+        Row(doc_id=2, text="the cat sat on the mat"),          # exact dup of 1
+        Row(doc_id=3, text="the cat sat on the red mat"),      # near dup
+        Row(doc_id=4, text="completely different words here entirely"),
+    ])
+
+
+def test_exact_dedup(docs):
+    out = {r.doc_id: r.n_copies for r in D.exact_dedup(docs).collect()}
+    assert out == {1: 2, 3: 1, 4: 1}  # survivor = min id
+
+
+def test_jaccard_pairs_finds_near_dups(docs):
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in
+             D.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert pairs[(1, 2)] == 1.0
+    assert (1, 3) in pairs and 0.5 <= pairs[(1, 3)] < 1.0
+    assert not any(4 in p for p in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact(docs):
+    lsh = {(r.id_a, r.id_b) for r in
+           D.lsh_candidate_pairs(docs, threshold=0.5).collect()}
+    exact = {(r.id_a, r.id_b) for r in
+             D.jaccard_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in lsh  # identical docs always collide in every band
+    assert lsh <= exact   # LSH-verified pairs are a subset of exact pairs
+
+
+def test_simhash_identical_docs_same_signature(docs):
+    sig = {r.doc_id: r.simhash for r in D.simhash32(docs).collect()}
+    assert sig[1] == sig[2]
+    assert 0 <= sig[1] < 2**32
+    # hamming distance of near-dups < distance of unrelated docs
+    def ham(a, b):
+        return bin(a ^ b).count("1")
+    assert ham(sig[1], sig[3]) < ham(sig[1], sig[4])
+
+
+def test_cosine_top_k_orders_by_similarity(spark):
+    emb = spark.createDataFrame([
+        (1, [1.0, 0.0]), (2, [0.9, 0.1]), (3, [0.0, 1.0]), (4, [-1.0, 0.0]),
+    ], "vec_id int, embedding array<float>")
+    out = S.cosine_top_k(emb, [1.0, 0.0], k=2).collect()
+    assert [r.vec_id for r in out] == [1, 2]
+    assert out[0].score == 1.0
+
+
+def test_text_helpers(spark):
+    df = spark.createDataFrame([Row(text="The cat, and a dog!")])
+    row = df.select(
+        TX.token_count(F.col("text")).alias("n"),
+        TX.punct_count(F.col("text")).alias("p"),
+        TX.stopword_count(F.col("text")).alias("s"),
+        TX.language_id(F.col("text")).alias("lang"),
+    ).collect()[0]
+    assert row.n == 5
+    assert row.p == 2          # comma + bang
+    assert row.s == 3          # the, and, a
+    assert row.lang == "en"
+    zh = spark.createDataFrame([Row(text="你好世界")])
+    assert zh.select(TX.language_id(F.col("text")).alias("l")).head().l == "zh"
+
+
+def test_multimodal_stub_contract(spark):
+    with pytest.raises(NotImplementedError, match="media decoding"):
+        decode_stub(b"bytes")
+    df = spark.createDataFrame([Row(doc_id=1, text="hello")])
+    feats = extract_binary_features(as_binary_assets(df)).collect()[0]
+    assert feats.n_bytes == 5
+    assert feats.fake_width == 5 % 640 + 1
+    import hashlib
+    assert feats.sha256 == hashlib.sha256(b"hello").hexdigest()
