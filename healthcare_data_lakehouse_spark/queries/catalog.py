@@ -47,6 +47,7 @@ def load_all() -> dict[str, QuerySpec]:
         etl_queries,
         llm_ops,
         quality_queries,
+        streaming_queries,
     )
 
     return QUERIES

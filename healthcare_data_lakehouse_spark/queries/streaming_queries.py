@@ -1,0 +1,51 @@
+"""Structured Streaming queries run to completion over bounded sources.
+
+The stream drains via ``Trigger.AvailableNow`` so results are deterministic
+and oracle-comparable against batch SQL over the same input — proving the
+streaming plan computes the batch-equivalent answer (the core guarantee of
+Spark's unified batch/stream model).
+"""
+
+from __future__ import annotations
+
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_spark.queries.catalog import register
+
+__all__: list[str] = []
+
+
+@register(
+    "streaming_event_window_counts",
+    oracle="""
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Structured Streaming: file-source stream -> event-time "
+    "tumbling-window aggregation, drained with AvailableNow; equals the "
+    "batch answer (unified engine guarantee).",
+)
+def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import run_stream_to_table
+
+    def prepare(stream: DataFrame) -> DataFrame:
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return stream
+
+    return run_stream_to_table(
+        spark,
+        f"{sf_dir}/events.parquet",
+        tempfile.mkdtemp(prefix="stream_"),
+        window="1 hour",
+        prepare=prepare,
+        query_name=f"stream_result_{uuid.uuid4().hex[:8]}",
+    )
