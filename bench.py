@@ -29,6 +29,10 @@ HEADLINE = [
     "gold_top10_customers_by_revenue",
     "window_top3_orders_per_customer",
     "rollup_lineitem_flag_status",
+    "tpch_q6_forecast_revenue",
+    "tpch_q4_priority_with_returns",
+    "tpch_q13_customer_order_distribution",
+    "tpch_q14_promo_revenue",
     "events_json_kpis",
     "events_sessionization",
     "events_asof_purchase_before_error",
@@ -38,6 +42,7 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "text_quality_scores",
     "similarity_cosine_top10",
+    "dedup_embedding_cosine_pairs",
 ]
 
 

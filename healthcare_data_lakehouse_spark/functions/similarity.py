@@ -28,6 +28,7 @@ __all__ = [
     "HYPERPLANES",
     "hyperplane_bucket",
     "lsh_top_k",
+    "embedding_near_dup_pairs",
 ]
 
 
@@ -105,6 +106,43 @@ def hyperplane_bucket(vec: Column) -> Column:
             F.lit(0).cast("bigint")
         )
     return bucket
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed.
+
+    Candidate pairs share a random-hyperplane bucket (identical vectors
+    always collide), then exact cosine keeps pairs at/above ``threshold``.
+    The self-join shuffles both sides on the bucket key only — candidate
+    volume is the sum of per-bucket squares, never n^2. At 100 TB recall
+    is widened with multiple bucket tables (band OR-ing) and skewed
+    buckets are split by salting; single-table here to stay
+    oracle-checkable.
+    """
+    b = df.select(
+        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col)).alias("bucket")
+    )
+    lhs, rhs = b.alias("a"), b.alias("b")
+    return (
+        lhs.join(
+            rhs,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(
+                cosine(F.col(f"a.{vec_col}"), F.col(f"b.{vec_col}")), 6
+            ).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
 
 
 def lsh_top_k(

@@ -285,6 +285,165 @@ def rollup_lineitem_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------------------- TPC-H Q6
+@register(
+    "tpch_q6_forecast_revenue",
+    oracle="""
+    SELECT ROUND(SUM(l_extendedprice * l_discount), 2) AS revenue,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate < TIMESTAMP '1998-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6 forecast revenue: pure scan-filter-aggregate; all "
+    "four predicates push into the parquet reader (PushedFilters), zero "
+    "shuffle beyond the final partial-agg merge.",
+)
+def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+
+
+# ------------------------------------------------------- TPC-H Q4 (semi)
+@register(
+    "tpch_q4_priority_with_returns",
+    oracle="""
+    SELECT o.o_orderpriority AS orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_returnflag = 'R'
+          AND l.l_shipdate > o.o_orderdate
+    )
+    GROUP BY o.o_orderpriority
+    """,
+    description="TPC-H Q4 shape: EXISTS as a LEFT SEMI join with a non-equi "
+    "correlated predicate (returned item shipped after order date); semi "
+    "join emits each order at most once — no fact-side row explosion.",
+)
+def tpch_q4_priority_with_returns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            li,
+            (li.l_orderkey == orders.o_orderkey)
+            & (li.l_shipdate > orders.o_orderdate),
+            "left_semi",
+        )
+        .groupBy(F.col("o_orderpriority").alias("orderpriority"))
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+# ------------------------------------------------------ TPC-H Q13 (outer)
+@register(
+    "tpch_q13_customer_order_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY c.c_custkey
+    )
+    GROUP BY c_count
+    """,
+    description="TPC-H Q13 customer-order distribution: LEFT OUTER join "
+    "preserving order-less customers, two-level re-aggregation (per-customer "
+    "count, then histogram).",
+)
+def tpch_q13_customer_order_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    per_cust = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return per_cust.groupBy("c_count").agg(F.count(F.lit(1)).alias("custdist"))
+
+
+# ------------------------------------------------------------ TPC-H Q14
+@register(
+    "tpch_q14_promo_revenue",
+    oracle="""
+    SELECT ROUND(100.0 * SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN l.l_extendedprice * (1 - l.l_discount) ELSE 0 END)
+               / SUM(l.l_extendedprice * (1 - l.l_discount)), 4) AS promo_pct,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS total_revenue
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate < TIMESTAMP '1998-01-01'
+    """,
+    description="TPC-H Q14 promo revenue share: broadcast-joined part dim + "
+    "conditional aggregate (CASE inside SUM) — one fact scan, no shuffle on "
+    "the fact side.",
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    part = table(spark, sf_dir, "part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo_rev = F.when(F.col("p_type") == "PROMO", rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(part), part.p_partkey == li.l_partkey).agg(
+        F.round(100.0 * F.sum(promo_rev) / F.sum(rev), 4).alias("promo_pct"),
+        F.round(F.sum(rev), 2).alias("total_revenue"),
+    )
+
+
+# ------------------------------------------------------------- anti join
+@register(
+    "anti_join_parts_no_bulk_orders",
+    oracle="""
+    SELECT p.p_type AS part_type,
+           COUNT(*) AS n_parts,
+           ROUND(AVG(p.p_retailprice), 2) AS avg_retailprice
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_partkey = p.p_partkey AND l.l_quantity > 48
+    )
+    GROUP BY p.p_type
+    """,
+    description="NOT EXISTS as LEFT ANTI join: parts never ordered in bulk "
+    "(quantity > 48); the lineitem side is pre-filtered so the anti join "
+    "probes a small build set.",
+)
+def anti_join_parts_no_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = table(spark, sf_dir, "part")
+    bulk = table(spark, sf_dir, "lineitem").filter(F.col("l_quantity") > 48)
+    return (
+        part.join(bulk, bulk.l_partkey == part.p_partkey, "left_anti")
+        .groupBy(F.col("p_type").alias("part_type"))
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg("p_retailprice"), 2).alias("avg_retailprice"),
+        )
+    )
+
+
 # ------------------------------------------------------------------ JSON
 @register(
     "events_json_kpis",

@@ -426,6 +426,102 @@ def similarity_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     return S.lsh_top_k(emb.filter(F.col("vec_id") != 0), list(qvec), k=5)
 
 
+def _bucket_sql(vec_expr: str = "embedding") -> str:
+    """DuckDB expression for the 8-bit hyperplane bucket (same LCG planes)."""
+    bits = []
+    for i, plane in enumerate(S.HYPERPLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        bits.append(
+            f"CASE WHEN list_sum(list_transform(list_zip({vec_expr}, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0 "
+            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        )
+    return "\n             + ".join(bits)
+
+
+def _embedding_pairs_oracle() -> str:
+    cos = """
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    return f"""
+    WITH vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    bucketed AS (
+        SELECT vec_id, embedding,
+               {_bucket_sql()} AS bucket
+        FROM vecs
+    ),
+    scored AS (
+        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+               ROUND({cos}, 6) AS cosine
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
+    """
+
+
+@register(
+    "dedup_embedding_cosine_pairs",
+    oracle=_embedding_pairs_oracle(),
+    description="Embedding-cosine near-dup pairs (>=0.95): hyperplane-LSH "
+    "bucket join generates candidates (identical vectors always collide), "
+    "exact cosine verifies — the semantic-dedup scale path, never n^2.",
+)
+def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    return S.embedding_near_dup_pairs(emb.unionAll(dups), threshold=0.95)
+
+
+_PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+
+
+@register(
+    "text_token_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS BIGINT)
+               AS n_pre_tokens,
+           ROUND(CASE WHEN len(regexp_extract_all(text, '{_PRETOKEN_RE}')) > 0
+                 THEN CAST(length(text) AS DOUBLE)
+                      / len(regexp_extract_all(text, '{_PRETOKEN_RE}'))
+                 ELSE 0.0 END, 4) AS chars_per_token
+    FROM documents
+    """,
+    description="Token counting: whitespace split + BPE-ish pre-tokenizer "
+    "regex (letter runs / digit runs / single symbols) — the token-budget "
+    "estimator for training-data curation; narrow JVM-side pass.",
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pre = F.regexp_extract_all(F.col("text"), F.lit(_PRETOKEN_RE), 0)
+    n_pre = F.size(pre)
+    return docs.select(
+        "doc_id",
+        TX.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
+        n_pre.cast("bigint").alias("n_pre_tokens"),
+        F.round(
+            F.when(
+                n_pre > 0, F.length("text").cast("double") / n_pre
+            ).otherwise(0.0),
+            4,
+        ).alias("chars_per_token"),
+    )
+
+
 # ------------------------------------------------------------- multimodal
 @register(
     "multimodal_binary_features",

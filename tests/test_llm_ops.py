@@ -92,3 +92,43 @@ def test_multimodal_stub_contract(spark):
     assert feats.fake_width == 5 % 640 + 1
     import hashlib
     assert feats.sha256 == hashlib.sha256(b"hello").hexdigest()
+
+
+def test_embedding_near_dup_pairs(spark):
+    # 64-dim vectors (hyperplanes are 64-dim): 1&2 identical, 3 near-dup
+    # of 1, 4 orthogonal-ish.
+    base = [1.0] + [0.0] * 63
+    near = [1.0, 0.05] + [0.0] * 62
+    other = [0.0] * 32 + [1.0] + [0.0] * 31
+    emb = spark.createDataFrame(
+        [(1, base), (2, base), (3, near), (4, other)],
+        "vec_id int, embedding array<float>",
+    )
+    pairs = {
+        (r.id_a, r.id_b): r.cosine
+        for r in S.embedding_near_dup_pairs(emb, threshold=0.95).collect()
+    }
+    assert pairs[(1, 2)] == 1.0  # identical vectors always share a bucket
+    if (1, 3) in pairs:          # near-dup may land in the same bucket
+        assert pairs[(1, 3)] >= 0.95
+    assert not any(4 in p for p in pairs)
+
+
+def test_token_stats_pretokenizer(spark):
+    docs = spark.createDataFrame(
+        [(1, "Hello, world! v2.0 costs $15"), (2, "")],
+        "doc_id int, text string",
+    )
+    out = docs.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(
+                F.col("text"), F.lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), 0
+            )
+        ).alias("n_pre"),
+        TX.token_count(F.col("text")).alias("n_ws"),
+    ).collect()
+    rows = {r.doc_id: (r.n_pre, r.n_ws) for r in out}
+    # Hello , world ! v 2 . 0 costs $ 15 -> 11 pre-tokens, 5 ws tokens
+    assert rows[1] == (11, 5)
+    assert rows[2][0] == 0
