@@ -124,8 +124,16 @@ def embedding_near_dup_pairs(
     buckets are split by salting; single-table here to stay
     oracle-checkable.
     """
-    b = df.select(
-        F.col(id_col), F.col(vec_col), hyperplane_bucket(F.col(vec_col)).alias("bucket")
+    # repartition: a compact parquet source gives few splits, serializing
+    # the 8 plane dot-products; persist: the self-join reads buckets twice
+    b = (
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            F.col(id_col),
+            F.col(vec_col),
+            hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+        )
+        .persist()
     )
     lhs, rhs = b.alias("a"), b.alias("b")
     return (
