@@ -337,3 +337,58 @@ def etl_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         raise RuntimeError(f"job failed: {result.error_message}")
     q = mgr.get_quarantined("silver_patients_q")
     return q.select("id", "patient_id", "_quarantine_reason")
+
+
+@register(
+    "lineage_medallion_edges",
+    oracle="""
+    WITH ids AS (
+        SELECT 'asset_' || substr(sha256('customer:bronze:1.0.0'), 1, 16) AS bronze_id,
+               'asset_' || substr(sha256('customer:silver:1.0.0'), 1, 16) AS silver_id,
+               'asset_' || substr(sha256('customer:gold:1.0.0'), 1, 16)   AS gold_id
+    )
+    SELECT bronze_id AS src_asset_id, silver_id AS dst_asset_id,
+           'clean_customer' AS step_name, 'cleaning' AS transformation_type,
+           TRUE AS upstream_of_gold
+    FROM ids
+    UNION ALL
+    SELECT silver_id, gold_id, 'aggregate_customer', 'aggregation', TRUE
+    FROM ids
+    """,
+    description="Lineage graph (G1/G2/G4): content-hash asset ids, "
+    "medallion edge recording, upstream DFS — the graph is driver-side "
+    "metadata (SURVEY.md §2.5), emitted as a DataFrame for audit joins. "
+    "The oracle recomputes the sha256-derived ids independently.",
+)
+def lineage_medallion_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.lineage import (
+        LineageTracker,
+        TransformationType,
+    )
+
+    tracker = LineageTracker()
+    bronze = tracker.register_asset(
+        "customer", DataZone.BRONZE, f"{sf_dir}/customer.parquet"
+    )
+    silver = tracker.register_asset("customer", DataZone.SILVER, "warehouse/silver")
+    gold = tracker.register_asset("customer", DataZone.GOLD, "warehouse/gold")
+    s1 = tracker.record_transformation(
+        "clean_customer", TransformationType.CLEANING,
+        [bronze.asset_id], silver.asset_id,
+    )
+    s2 = tracker.record_transformation(
+        "aggregate_customer", TransformationType.AGGREGATION,
+        [silver.asset_id], gold.asset_id,
+    )
+    upstream = set(tracker.get_upstream_lineage(gold.asset_id))
+    rows = [
+        (bronze.asset_id, silver.asset_id, s1.step_name,
+         s1.transformation_type.value, bronze.asset_id in upstream),
+        (silver.asset_id, gold.asset_id, s2.step_name,
+         s2.transformation_type.value, silver.asset_id in upstream),
+    ]
+    return spark.createDataFrame(
+        rows,
+        "src_asset_id string, dst_asset_id string, step_name string, "
+        "transformation_type string, upstream_of_gold boolean",
+    )

@@ -49,3 +49,27 @@ def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
         prepare=prepare,
         query_name=f"stream_result_{uuid.uuid4().hex[:8]}",
     )
+
+
+@register(
+    "streaming_stateful_user_totals",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY user_id
+    """,
+    description="Custom stateful streaming operator: applyInPandasWithState "
+    "holds per-user running totals in group state (Arrow-batched, "
+    "key-partitioned); drained bounded stream equals the batch aggregate.",
+)
+def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stateful_user_totals,
+    )
+
+    return stateful_user_totals(
+        spark,
+        f"{sf_dir}/events.parquet",
+        tempfile.mkdtemp(prefix="stateful_"),
+        query_name=f"stateful_result_{uuid.uuid4().hex[:8]}",
+    )

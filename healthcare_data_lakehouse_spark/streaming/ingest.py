@@ -23,7 +23,24 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
-__all__ = ["stream_files_to_bronze", "windowed_event_counts", "run_stream_to_table"]
+__all__ = [
+    "stream_files_to_bronze",
+    "windowed_event_counts",
+    "run_stream_to_table",
+    "stateful_user_totals",
+]
+
+
+def _stream_source_dir(source_parquet: str, work_dir: str) -> str:
+    """File-source streams need a directory; symlink a lone file into one."""
+    if os.path.isdir(source_parquet):
+        return source_parquet
+    src_dir = os.path.join(work_dir, "src")
+    os.makedirs(src_dir, exist_ok=True)
+    link = os.path.join(src_dir, os.path.basename(source_parquet))
+    if not os.path.exists(link):
+        os.symlink(os.path.abspath(source_parquet), link)
+    return src_dir
 
 
 def stream_files_to_bronze(
@@ -109,16 +126,9 @@ def run_stream_to_table(
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(source_parquet).schema
-    src_dir = source_parquet if os.path.isdir(source_parquet) else None
-    if src_dir is None:
-        # file-source streams need a directory
-        src_dir = os.path.join(work_dir, "src")
-        os.makedirs(src_dir, exist_ok=True)
-        os.symlink(
-            os.path.abspath(source_parquet),
-            os.path.join(src_dir, os.path.basename(source_parquet)),
-        )
-    stream = spark.readStream.schema(schema).parquet(src_dir)
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_source_dir(source_parquet, work_dir)
+    )
     if prepare is not None:
         stream = prepare(stream)
     out = windowed_event_counts(stream, window=window)
@@ -134,3 +144,73 @@ def run_stream_to_table(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stateful_user_totals(
+    spark: SparkSession,
+    source_parquet: str,
+    work_dir: str,
+    query_name: str = "stateful_result",
+) -> DataFrame:
+    """Custom stateful streaming operator: per-user running totals held in
+    ``applyInPandasWithState`` group state across micro-batches.
+
+    This is the pattern for stateful logic Spark's built-in aggregates can't
+    express (per-key models, custom eviction): Arrow-batched pandas per
+    group, explicit state schema, update output mode. State is partitioned
+    by the grouping key, so it scales horizontally with executors; at 100 TB
+    the state store (RocksDB in a cluster deployment) spills per-key state
+    off-heap.
+
+    Drained with AvailableNow over a bounded source; the final update per
+    key (selected by the monotone event count) equals the batch aggregate —
+    which is what the oracle asserts.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+    from pyspark.sql.window import Window
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_parquet).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .parquet(_stream_source_dir(source_parquet, work_dir))
+        .select("user_id", "value")
+    )
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+        )
+
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id bigint, n_events bigint, sum_value double",
+        stateStructType="n bigint, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(work_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # last update per key = the row with the (monotone) max event count
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(query_name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+        )
+    )

@@ -47,3 +47,21 @@ def test_streaming_window_counts_equal_batch(spark, sf_dir):
     b = {tuple(r) for r in batch.collect()}
     assert s == b
     assert len(s) > 0
+
+
+def test_stateful_user_totals_equal_batch(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.catalog import load_all
+    from healthcare_data_lakehouse_spark.tables import table
+
+    streamed = load_all()["streaming_stateful_user_totals"].fn(spark, sf_dir)
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0
