@@ -26,7 +26,12 @@ from pyspark.sql.types import (
     StructType,
 )
 
-__all__ = ["as_binary_assets", "extract_binary_features", "decode_stub"]
+__all__ = [
+    "as_binary_assets",
+    "extract_binary_features",
+    "decode_stub",
+    "sample_frames",
+]
 
 ASSET_SCHEMA = StructType([
     StructField("asset_id", LongType()),
@@ -96,3 +101,61 @@ def extract_binary_features(assets: DataFrame, fake_decode: bool = True) -> Data
             })
 
     return assets.mapInPandas(extract, schema=FEATURE_SCHEMA)
+
+
+FRAME_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("frame_idx", LongType()),
+    StructField("n_frames", LongType()),
+    StructField("frame_sha", StringType()),
+    StructField("resized_w", LongType()),
+    StructField("resized_h", LongType()),
+])
+
+
+def sample_frames(
+    assets: DataFrame, max_frames: int = 4, fake_decode: bool = True
+) -> DataFrame:
+    """Frame sampling + resize planning over "video" payloads — the
+    variable-cardinality (explode-shaped) pandas-UDF pattern.
+
+    Each input asset yields up to ``max_frames`` evenly-strided frame rows
+    (stride = ceil(n_frames / max_frames)). The decode is the same
+    deterministic stub (frame count derived from payload length, frame
+    hash from payload+index, resize dims integer-scaled into a 224 box);
+    the Spark-side mechanics — mapInPandas emitting MORE rows than it
+    consumes, per-partition batch streaming, typed output schema — are
+    exactly what a real ffmpeg frame sampler uses.
+    """
+    if not fake_decode:
+        raise NotImplementedError(
+            "video decoding requires media libraries not present in this "
+            "environment; pass fake_decode=True for the deterministic stub"
+        )
+
+    def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = {k: [] for k in (
+                "asset_id", "frame_idx", "n_frames", "frame_sha",
+                "resized_w", "resized_h",
+            )}
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                n = len(payload)
+                n_frames = n // 100 + 1
+                stride = -(-n_frames // max_frames)  # ceil
+                w, h = decode_stub(payload, fake=True)
+                m = max(w, h)
+                for idx in range(0, n_frames, stride):
+                    out["asset_id"].append(aid)
+                    out["frame_idx"].append(idx)
+                    out["n_frames"].append(n_frames)
+                    out["frame_sha"].append(
+                        hashlib.sha256(
+                            payload + b":" + str(idx).encode()
+                        ).hexdigest()
+                    )
+                    out["resized_w"].append(w * 224 // m)
+                    out["resized_h"].append(h * 224 // m)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(sample, schema=FRAME_SCHEMA)

@@ -29,6 +29,8 @@ __all__ = [
     "hyperplane_bucket",
     "lsh_top_k",
     "embedding_near_dup_pairs",
+    "ivf_assign",
+    "ivf_top_k",
 ]
 
 
@@ -178,6 +180,84 @@ def lsh_top_k(
         .filter(F.col("bucket") == qb)
         .select(
             F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )
+
+
+# --------------------------------------------------------------- IVF path
+def ivf_assign(
+    df: DataFrame,
+    centroid_ids: list[int],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF coarse assignment: each vector joins its nearest centroid.
+
+    The centroid table is tiny by construction (the coarse quantizer always
+    is), so the assignment is a broadcast nested-loop over k centroids —
+    one narrow pass over the corpus, no shuffle of the vectors. Centroids
+    here are picked deterministically by id (a production build replaces
+    this with k-means; the assignment/probe mechanics are identical).
+    Ties break toward the lowest centroid id.
+    """
+    centroids = df.filter(F.col(id_col).isin([int(c) for c in centroid_ids])).select(
+        F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
+    )
+    from pyspark.sql.window import Window
+
+    sim = cosine(F.col(vec_col), F.col("cvec"))
+    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cid"))
+    return (
+        df.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(F.col(id_col), F.col(vec_col), F.col("cid"))
+    )
+
+
+def ivf_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    centroid_vecs: dict[int, list[float]],
+    k: int = 5,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    exclude_ids: list[int] | None = None,
+) -> DataFrame:
+    """IVF probe: exact cosine top-k restricted to the ``nprobe`` inverted
+    lists whose centroids are nearest the query.
+
+    Probe selection runs driver-side over the metadata-scale centroid set;
+    the corpus-side work is a partition-pruned scan of the probed lists
+    (at scale the assignment is materialized partitioned BY cid, so
+    non-probed lists are never read) + TakeOrdered.
+    """
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dp = sum(float(x) * float(y) for x, y in zip(a, b))
+        na = sum(float(x) * float(x) for x in a) ** 0.5
+        nb = sum(float(y) * float(y) for y in b) ** 0.5
+        return dp / (na * nb)
+
+    ranked = sorted(
+        centroid_vecs.items(), key=lambda kv: (-_cos(query_vec, kv[1]), kv[0])
+    )
+    probe_cids = [cid for cid, _ in ranked[:nprobe]]
+
+    assigned = ivf_assign(df, list(centroid_vecs.keys()), id_col, vec_col)
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    cand = assigned.filter(F.col("cid").isin(probe_cids))
+    if exclude_ids:
+        cand = cand.filter(~F.col(id_col).isin([int(i) for i in exclude_ids]))
+    return (
+        cand.select(
+            F.col(id_col),
+            F.col("cid"),
             F.round(cosine(F.col(vec_col), q), 6).alias("score"),
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())

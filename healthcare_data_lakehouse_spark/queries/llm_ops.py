@@ -522,6 +522,77 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_IVF_CENTROID_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"""
+             list_sum(list_transform(list_zip({a}, {b}),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform({a},
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform({b},
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+
+
+def _ivf_oracle() -> str:
+    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id IN ({ids})
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+    ),
+    member AS (SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    qprobe AS (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
+               ) AS prn
+        FROM centroids c, q
+    )
+    SELECT m.vec_id, m.cid,
+           ROUND({_cos_sql('m.embedding', 'q.embedding')}, 6) AS score
+    FROM member m, q
+    WHERE m.cid IN (SELECT cid FROM qprobe WHERE prn <= 2)
+      AND m.vec_id <> 0
+    ORDER BY score DESC, m.vec_id LIMIT 5
+    """
+
+
+@register(
+    "similarity_ivf_top5",
+    oracle=_ivf_oracle(),
+    description="IVF ANN: broadcast nearest-centroid assignment builds "
+    "inverted lists, the query probes its nprobe=2 nearest lists, exact "
+    "cosine re-ranks only those members (partition-pruned at scale; "
+    "centroids deterministic-by-id standing in for k-means).",
+)
+def similarity_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id").isin([0] + _IVF_CENTROID_IDS)).select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: list(r.embedding) for r in rows}
+    return S.ivf_top_k(
+        emb,
+        vecs[0],
+        {cid: vecs[cid] for cid in _IVF_CENTROID_IDS},
+        k=5,
+        nprobe=2,
+        exclude_ids=[0],
+    )
+
+
 # ------------------------------------------------------------- multimodal
 @register(
     "multimodal_binary_features",
@@ -542,3 +613,40 @@ def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     assets = as_binary_assets(docs)
     return extract_binary_features(assets, fake_decode=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id AS asset_id, text,
+               octet_length(encode(text)) AS n,
+               octet_length(encode(text)) // 100 + 1 AS n_frames,
+               octet_length(encode(text)) % 640 + 1 AS w,
+               (octet_length(encode(text)) * 7) % 480 + 1 AS h
+        FROM documents
+    ),
+    meta2 AS (
+        SELECT *,
+               CAST(ceil(CAST(n_frames AS DOUBLE) / 4) AS BIGINT) AS stride,
+               greatest(w, h) AS m
+        FROM meta
+    )
+    SELECT asset_id,
+           CAST(u.idx AS BIGINT) AS frame_idx,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           sha256(text || ':' || CAST(u.idx AS VARCHAR)) AS frame_sha,
+           CAST(w * 224 // m AS BIGINT) AS resized_w,
+           CAST(h * 224 // m AS BIGINT) AS resized_h
+    FROM meta2, UNNEST(range(0, n_frames, stride)) AS u(idx)
+    """,
+    description="Multimodal frame sampling: variable-cardinality "
+    "mapInPandas (one asset -> up to 4 strided frame rows) + integer "
+    "resize planning into a 224 box; decode stubbed deterministically, "
+    "batch mechanics real.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    return sample_frames(as_binary_assets(docs), max_frames=4)

@@ -132,3 +132,47 @@ def test_token_stats_pretokenizer(spark):
     # Hello , world ! v 2 . 0 costs $ 15 -> 11 pre-tokens, 5 ws tokens
     assert rows[1] == (11, 5)
     assert rows[2][0] == 0
+
+
+def test_ivf_assignment_and_probe(spark):
+    # 4 clusters along distinct axes; centroids = ids 1..4, query near axis 0
+    import itertools
+    rows = []
+    for c in range(4):
+        for j in range(5):
+            v = [0.0] * 64
+            v[c * 10] = 1.0
+            v[(c * 10 + 5) % 64] = 0.1 * j  # spread within cluster
+            rows.append((c * 10 + j + 1, v))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    centroids = {cid: rows[[r[0] for r in rows].index(cid)][1]
+                 for cid in (1, 11, 21, 31)}
+    assigned = S.ivf_assign(emb, [1, 11, 21, 31])
+    by_cluster = {r.vec_id: r.cid for r in assigned.collect()}
+    assert by_cluster[2] == 1 and by_cluster[12] == 11  # same-axis cohesion
+    q = [0.0] * 64
+    q[0] = 1.0
+    out = S.ivf_top_k(emb, q, centroids, k=3, nprobe=1, exclude_ids=[])
+    got = [r.vec_id for r in out.collect()]
+    assert got[0] == 1  # the centroid itself is the nearest member
+    assert all(v <= 5 for v in got)  # all results from cluster 0's list
+
+
+def test_sample_frames_stride_and_cardinality(spark):
+    from healthcare_data_lakehouse_spark.functions.multimodal import (
+        as_binary_assets,
+        sample_frames,
+    )
+
+    docs = spark.createDataFrame(
+        [(1, "x" * 50), (2, "y" * 450)], "doc_id int, text string"
+    )
+    out = sample_frames(as_binary_assets(docs), max_frames=4).collect()
+    per = {}
+    for r in out:
+        per.setdefault(r.asset_id, []).append(r)
+    # 50 bytes -> 1 frame; 450 bytes -> 5 frames, stride 2 -> idx 0,2,4
+    assert [r.frame_idx for r in per[1]] == [0]
+    assert sorted(r.frame_idx for r in per[2]) == [0, 2, 4]
+    assert all(r.resized_w <= 224 and r.resized_h <= 224 for r in out)
+    assert len({r.frame_sha for r in out}) == len(out)  # per-frame identity
