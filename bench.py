@@ -62,15 +62,22 @@ def main() -> None:
     for t in TABLE_NAMES:
         table(spark, sf_dir, t).count()
 
+    # Median of 3 timed runs per query (BASELINE.md measurement plan:
+    # warm JVM, median of 3) — plan + execute + count end-to-end each run,
+    # with cached intermediates cleared so every run pays the full cost.
+    runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()  # force full execution
-        times[name] = round(time.time() - t0, 3)
+        samples = []
+        for _ in range(runs):
+            spark.catalog.clearCache()
+            t0 = time.time()
+            fn(spark, sf_dir).count()  # force full execution
+            samples.append(time.time() - t0)
+        times[name] = round(sorted(samples)[len(samples) // 2], 3)
 
     total = round(sum(times.values()), 3)
     print(json.dumps({

@@ -444,6 +444,53 @@ def anti_join_parts_no_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# ------------------------------------------------------------ percentiles
+@register(
+    "percentile_order_value_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           ROUND(quantile_cont(o.o_totalprice, 0.5), 2) AS median_price,
+           ROUND(quantile_cont(o.o_totalprice, 0.9), 2) AS p90_price,
+           COUNT(*) AS n_orders
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    description="Exact interpolated percentiles (median/p90 order value per "
+    "segment): sort-based aggregate; at scale swap to approx_percentile "
+    "(t-digest sketch, mergeable, one pass) — exact kept here for the "
+    "oracle hash-match.",
+)
+def percentile_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(F.broadcast(customer), customer.c_custkey == orders.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+# -------------------------------------------------------------- sketches
+@register(
+    "sketch_hll_distinct_users",
+    oracle=None,  # HLL estimates are engine-specific -> rows-only check
+    description="HyperLogLog++ NDV sketch per event_type "
+    "(approx_count_distinct): mergeable fixed-size state, the 100 TB path "
+    "for cardinality where exact countDistinct's expand+shuffle is "
+    "unaffordable; exact count carried alongside for error inspection.",
+)
+def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 # ------------------------------------------------------------------ JSON
 @register(
     "events_json_kpis",
