@@ -392,3 +392,43 @@ def lineage_medallion_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
         "src_asset_id string, dst_asset_id string, step_name string, "
         "transformation_type string, upstream_of_gold boolean",
     )
+
+
+def _roundtrip_query(fmt: str):
+    def q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from healthcare_data_lakehouse_spark.sources import read_source, write_sink
+
+        events = table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value"
+        )
+        out = tempfile.mkdtemp(prefix=f"src_{fmt}_")
+        write_sink(events, out, fmt=fmt)
+        back = read_source(spark, out, fmt=fmt, schema=events.schema)
+        return back.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+
+    return q
+
+
+_ROUNDTRIP_ORACLE = """
+    SELECT event_type, COUNT(*) AS n_events, ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY event_type
+"""
+
+register(
+    "source_json_roundtrip_events",
+    oracle=_ROUNDTRIP_ORACLE,
+    description="JSON sink+source round-trip (explicit schema, no "
+    "inference): aggregate over the re-read copy hash-matches the "
+    "original — connector fidelity proof.",
+)(_roundtrip_query("json"))
+
+register(
+    "source_csv_roundtrip_events",
+    oracle=_ROUNDTRIP_ORACLE,
+    description="CSV sink+source round-trip (header + explicit schema): "
+    "aggregate over the re-read copy hash-matches the original.",
+)(_roundtrip_query("csv"))

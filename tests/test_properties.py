@@ -1,0 +1,82 @@
+"""Property-based tests (SURVEY.md §5.4): algebraic laws the engine's
+transforms must satisfy on arbitrary inputs, not just fixtures."""
+
+from __future__ import annotations
+
+import pytest
+
+try:
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+except ImportError:  # pragma: no cover
+    pytest.skip("hypothesis not installed", allow_module_level=True)
+
+from pyspark.sql import Row
+
+from healthcare_data_lakehouse_spark import transforms as T
+
+SENTINELS = ["", "NULL", "null", "N/A", "n/a", "NA", "None", "none"]
+
+value_st = st.one_of(
+    st.none(),
+    st.sampled_from(SENTINELS),
+    st.text(
+        alphabet=st.characters(whitelist_categories=("L", "N", "Zs")),
+        max_size=12,
+    ),
+)
+rows_st = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=5), value_st),
+    min_size=1,
+    max_size=8,
+)
+
+_SETTINGS = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _key(t):
+    return tuple((x is None, x or "") for x in t)
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(
+        [Row(id=str(i), v=v) for i, v in rows], "id string, v string"
+    )
+
+
+@given(rows=rows_st)
+@_SETTINGS
+def test_null_handling_is_idempotent(spark, rows):
+    once = T.null_handling(_df(spark, rows)).collect()
+    twice = T.null_handling(T.null_handling(_df(spark, rows))).collect()
+    assert sorted(map(tuple, once), key=_key) == sorted(map(tuple, twice), key=_key)
+    assert all(r.v not in SENTINELS for r in once)
+
+
+@given(rows=rows_st)
+@_SETTINGS
+def test_deduplicate_is_idempotent_and_first_wins(spark, rows):
+    df = T.with_ingest_order(_df(spark, rows))
+    once = T.deduplicate(df, id_field="id")
+    again = T.deduplicate(once, id_field="id")
+    got_once = sorted(map(tuple, once.select("id", "v").collect()), key=_key)
+    got_again = sorted(map(tuple, again.select("id", "v").collect()), key=_key)
+    assert got_once == got_again
+    # model: python dict keeping the FIRST value per id
+    model: dict[str, str | None] = {}
+    for i, v in rows:
+        model.setdefault(str(i), v)
+    assert got_once == sorted(model.items(), key=_key)
+
+
+@given(rows=rows_st)
+@_SETTINGS
+def test_trim_strings_fixpoint(spark, rows):
+    out = T.trim_strings(T.trim_strings(_df(spark, rows))).collect()
+    one = T.trim_strings(_df(spark, rows)).collect()
+    assert sorted(map(tuple, out), key=_key) == sorted(map(tuple, one), key=_key)
+    assert all(r.v is None or r.v == r.v.strip() for r in one)
