@@ -1,0 +1,56 @@
+"""Skew-mitigation join utilities.
+
+Skewed join keys are the classic 100 TB failure mode: one hot key pins one
+reducer while the fleet idles. Two remedies ship here:
+
+* **AQE skew-join splitting** — on by default in this engine's sessions
+  (``spark.sql.adaptive.skewJoin.enabled``); handles skew transparently for
+  sort-merge joins. Prefer it.
+* **Explicit salting** (this module) — for the cases AQE can't see
+  (broadcast-ineligible small side joined on a hot key, or deterministic
+  plans wanted): the fact side gets a uniform random-ish salt derived from
+  a unique column (deterministic, not ``rand()``, so retries/oracles
+  reproduce); the dimension side is replicated ``n_salts`` times; the join
+  key becomes (key, salt), spreading each hot key over ``n_salts``
+  reducers. Results are identical to the unsalted join — only the shuffle
+  layout changes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["with_salt", "replicate_for_salt", "salted_join"]
+
+
+def with_salt(df: DataFrame, unique_col: str, n_salts: int) -> DataFrame:
+    """Deterministic salt in [0, n_salts): a stable hash of a unique
+    column, NOT rand() — reruns and oracle comparisons reproduce."""
+    return df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(unique_col)), F.lit(n_salts))
+    )
+
+
+def replicate_for_salt(df: DataFrame, n_salts: int) -> DataFrame:
+    """Explode the (small) side across every salt value."""
+    return df.withColumn(
+        "_salt",
+        F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1))),
+    )
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    fact_unique_col: str,
+    n_salts: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Join ``fact`` to ``dim`` on ``on`` with an ``n_salts``-way salted
+    key, defeating hot-key reducer skew. Semantically identical to
+    ``fact.join(dim, on, how)`` for 1:1/N:1 dimension joins."""
+    f = with_salt(fact, fact_unique_col, n_salts)
+    d = replicate_for_salt(dim, n_salts)
+    return f.join(d, [on, "_salt"], how).drop("_salt")

@@ -773,3 +773,37 @@ def events_asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataF
             "last_purchase_ts",
         )
     )
+
+
+# ------------------------------------------------------------- skew join
+@register(
+    "skew_salted_join_event_kpis",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, AVG(value) AS type_avg
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(e.value - d.type_avg), 2) AS sum_dev
+    FROM events e JOIN dim d ON d.event_type = e.event_type
+    GROUP BY e.event_type
+    """,
+    description="Skew-mitigated join: events (hot low-cardinality "
+    "event_type key) joined to a per-type dim via deterministic 8-way "
+    "salting — each hot key spreads over 8 reducers; result is provably "
+    "identical to the unsalted join (the oracle runs it unsalted).",
+)
+def skew_salted_join_event_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.skew import salted_join
+    from healthcare_data_lakehouse_spark.tables import table as _t
+
+    events = _t(spark, sf_dir, "events")
+    dim = events.groupBy("event_type").agg(F.avg("value").alias("type_avg"))
+    joined = salted_join(
+        events, dim, on="event_type", fact_unique_col="event_id", n_salts=8
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum(F.col("value") - F.col("type_avg")), 2).alias("sum_dev"),
+    )

@@ -176,3 +176,20 @@ def test_sample_frames_stride_and_cardinality(spark):
     assert sorted(r.frame_idx for r in per[2]) == [0, 2, 4]
     assert all(r.resized_w <= 224 and r.resized_h <= 224 for r in out)
     assert len({r.frame_sha for r in out}) == len(out)  # per-frame identity
+
+
+def test_salted_join_equals_plain_join(spark):
+    from healthcare_data_lakehouse_spark.functions.skew import salted_join
+
+    fact = spark.createDataFrame(
+        [(i, "hot" if i % 10 else "cold", float(i)) for i in range(200)],
+        "event_id int, k string, v double",
+    )
+    dim = spark.createDataFrame(
+        [("hot", 1.0), ("cold", 2.0)], "k string, w double"
+    )
+    salted = salted_join(fact, dim, on="k", fact_unique_col="event_id", n_salts=4)
+    plain = fact.join(dim, "k")
+    s = sorted(map(tuple, salted.select("event_id", "k", "v", "w").collect()))
+    p = sorted(map(tuple, plain.select("event_id", "k", "v", "w").collect()))
+    assert s == p and len(s) == 200
