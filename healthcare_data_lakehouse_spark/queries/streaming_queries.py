@@ -73,3 +73,54 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         tempfile.mkdtemp(prefix="stateful_"),
         query_name=f"stateful_result_{uuid.uuid4().hex[:8]}",
     )
+
+
+@register(
+    "session_window_per_user",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    ),
+    sessions AS (
+        SELECT user_id, sess_id, COUNT(*) AS n_ev,
+               date_diff('second', MIN(ts), MAX(ts)) AS dur_s
+        FROM islands GROUP BY user_id, sess_id
+    )
+    SELECT user_id, COUNT(*) AS n_sessions,
+           SUM(n_ev) AS n_events,
+           SUM(dur_s) AS total_session_seconds
+    FROM sessions GROUP BY user_id
+    """,
+    description="Spark-native session windows (F.session_window, 30-min "
+    "gap): one shuffle on user_id, merge-on-overlap state — the same "
+    "operator runs unchanged in Structured Streaming with a watermark; "
+    "oracle restates it as gap-island SQL.",
+)
+def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    events = table(spark, sf_dir, "events")
+    sessions = events.groupBy(
+        "user_id", F.session_window("ts", "30 minutes").alias("sw")
+    ).agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.unix_timestamp(F.max("ts")) - F.unix_timestamp(F.min("ts"))).alias(
+            "dur_s"
+        ),
+    )
+    return sessions.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_ev").alias("n_events"),
+        F.sum("dur_s").alias("total_session_seconds"),
+    )

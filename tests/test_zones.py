@@ -67,3 +67,31 @@ def test_quarantine_roundtrip(spark, store):
 def test_read_missing_returns_none(store):
     assert store.read(DataZone.GOLD, "nope") is None
     assert not store.exists(DataZone.GOLD, "nope")
+
+
+def test_bucketed_tables_join_without_shuffle(spark):
+    """Bucketed co-located join: both sides bucketed 4-way on the key ->
+    the sort-merge join reads pre-bucketed files with NO Exchange (the
+    100 TB pattern for repeatedly-joined fact tables)."""
+    from pyspark.sql import functions as F
+
+    spark.sql("DROP TABLE IF EXISTS bkt_a")
+    spark.sql("DROP TABLE IF EXISTS bkt_b")
+    a = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 2).alias("va"))
+    b = spark.range(1000).select(F.col("id").alias("k"), (F.col("id") * 3).alias("vb"))
+    a.write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_a")
+    b.write.bucketBy(4, "k").sortBy("k").mode("overwrite").saveAsTable("bkt_b")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force a sort-merge join so bucket co-location (not broadcast)
+        # is what eliminates the shuffle
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        joined = spark.table("bkt_a").join(spark.table("bkt_b"), "k")
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # no shuffle: co-located
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
