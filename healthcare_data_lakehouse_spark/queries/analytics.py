@@ -807,3 +807,31 @@ def skew_salted_join_event_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_events"),
         F.round(F.sum(F.col("value") - F.col("type_avg")), 2).alias("sum_dev"),
     )
+
+
+# ------------------------------------------------------------------ cube
+@register(
+    "cube_lineitem_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           COUNT(*) AS n_rows,
+           ROUND(AVG(l_quantity), 4) AS avg_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    description="CUBE over (returnflag, linestatus): all 4 grouping sets "
+    "in one pass (expand + single hash agg); GROUPING() markers "
+    "disambiguate subtotal rows from genuine NULL keys.",
+)
+def cube_lineitem_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("bigint").alias("g_flag"),
+        F.grouping("l_linestatus").cast("bigint").alias("g_status"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+    ).select(
+        "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "avg_qty"
+    )

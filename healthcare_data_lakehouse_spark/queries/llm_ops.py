@@ -593,6 +593,61 @@ def similarity_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "embedding_int8_quantization",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               embedding,
+               127.0 / list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    ),
+    errs AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)
+                            - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale))
+                   AS qerr,
+               len(embedding) AS dim
+        FROM scaled
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_max(qerr), 6) AS max_err,
+           ROUND(list_sum(qerr) / dim, 6) AS mean_err
+    FROM errs
+    """,
+    description="Int8 scalar quantization audit: per-vector scale "
+    "(127/max|x|), floor(x*scale+0.5) quantizer (floor, not round — "
+    "identical halfway behavior on both engines), reconstruction error "
+    "stats. The 4x-compression path for 100 TB vector stores; narrow "
+    "JVM-side array math, no shuffle.",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scale = 127.0 / F.array_max(absd)
+    df = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qerr = F.transform(
+        F.col("embedding"),
+        lambda x: F.abs(
+            x.cast("double")
+            - F.floor(x.cast("double") * F.col("scale") + 0.5) / F.col("scale")
+        ),
+    )
+    return df.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max(qerr), 6).alias("max_err"),
+        F.round(
+            F.aggregate(qerr, F.lit(0.0), lambda a, v: a + v)
+            / F.size("embedding"),
+            6,
+        ).alias("mean_err"),
+    )
+
+
 # ------------------------------------------------------------- multimodal
 @register(
     "multimodal_binary_features",

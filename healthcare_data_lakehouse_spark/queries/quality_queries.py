@@ -18,6 +18,7 @@ from __future__ import annotations
 import math
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BooleanType,
     DoubleType,
@@ -298,3 +299,98 @@ def quality_promotion_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         bool(report.promotion_eligible),
     )]
     return spark.createDataFrame(row, schema)
+
+
+@register(
+    "quality_custom_rule_ssn_plaintext",
+    oracle=f"""
+    WITH {HEALTHCARE_CTE},
+    s AS (
+        SELECT COUNT(CASE WHEN ssn IS NOT NULL AND ssn <> '' THEN 1 END)
+                   AS checked,
+               COUNT(CASE WHEN ssn IS NOT NULL AND ssn <> ''
+                          AND regexp_matches(trim(ssn),
+                              '^[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}$')
+                     THEN 1 END) AS failed
+        FROM records
+    )
+    SELECT 'DQ100' AS rule_id,
+           CASE WHEN checked = 0 THEN 'passed'
+                WHEN CAST(checked - failed AS DOUBLE) / checked < 0.95
+                    THEN 'failed'
+                WHEN CAST(checked - failed AS DOUBLE) / checked < 0.99
+                    THEN 'warning'
+                ELSE 'passed' END AS status,
+           ROUND(CASE WHEN checked = 0 THEN 1.0
+                 ELSE CAST(checked - failed AS DOUBLE) / checked END, 6)
+               AS score,
+           checked AS records_checked,
+           checked - failed AS records_passed,
+           failed AS records_failed
+    FROM s
+    """,
+    description="Custom-rule escape hatch (reference add_rule, "
+    "data_quality.py:305-308): a user-registered PHI-leak detector "
+    "(plaintext SSN pattern) whose aggregates FUSE into the same single "
+    "validation scan as the built-in rules — extensibility without extra "
+    "passes.",
+)
+def quality_custom_rule_ssn_plaintext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Column
+    from healthcare_data_lakehouse_spark.quality import (
+        QualityDimension,
+        QualityStatus,
+        SparkQualityRule,
+    )
+
+    df = healthcare_frame(spark, sf_dir)
+    validator = DataQualityValidator("patients", id_field="id", quarantine_cap=None)
+
+    SSN_RE = "^[0-9]{3}-[0-9]{2}-[0-9]{4}$"
+
+    def populated(df: DataFrame) -> Column:
+        return F.col("ssn").isNotNull() & (F.col("ssn") != "")
+
+    def leaked(df: DataFrame) -> Column:
+        return populated(df) & F.trim(F.col("ssn")).rlike(SSN_RE)
+
+    def aggs(df: DataFrame, _) -> list[Column]:
+        return [
+            F.sum(F.when(populated(df), 1).otherwise(0)).alias("DQ100__checked"),
+            F.sum(F.when(leaked(df), 1).otherwise(0)).alias("DQ100__failed"),
+        ]
+
+    def summarize(row: dict, _) -> dict:
+        checked = int(row["DQ100__checked"] or 0)
+        failed = int(row["DQ100__failed"] or 0)
+        passed = checked - failed
+        score = (passed / checked) if checked > 0 else 1.0
+        status = (
+            QualityStatus.PASSED if checked == 0 or score >= 0.99
+            else QualityStatus.WARNING if score >= 0.95
+            else QualityStatus.FAILED
+        )
+        return dict(
+            status=status, score=score, records_checked=checked,
+            records_passed=passed, records_failed=failed,
+            details=f"{failed}/{checked} populated SSNs stored in plaintext",
+        )
+
+    validator.add_rule(SparkQualityRule(
+        "DQ100", "ssn_not_plaintext",
+        "PHI leak detector: populated SSNs must not match the plaintext "
+        "###-##-#### pattern (should be tokenized/encrypted upstream)",
+        QualityDimension.VALIDITY, "critical",
+        [DataZone.BRONZE], agg_exprs=aggs, summarize=summarize,
+        fail_condition=lambda df, _: leaked(df),
+    ))
+    report = validator.validate(df, DataZone.BRONZE, required_fields=REQUIRED)
+    rows = [
+        (
+            r.rule_id, r.status.value, _round_half_up(r.score, 6),
+            r.records_checked, r.records_passed, r.records_failed,
+        )
+        for r in report.check_results
+        if r.rule_id == "DQ100"
+    ]
+    return spark.createDataFrame(rows, RESULT_SCHEMA)
