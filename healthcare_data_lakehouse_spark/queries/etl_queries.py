@@ -432,3 +432,56 @@ register(
     description="CSV sink+source round-trip (header + explicit schema): "
     "aggregate over the re-read copy hash-matches the original.",
 )(_roundtrip_query("csv"))
+
+
+@register(
+    "platinum_customer_features",
+    oracle="""
+    WITH per_order AS (
+        SELECT o.o_custkey AS custkey, o.o_orderkey, o.o_orderdate,
+               o.o_totalprice,
+               LAG(o.o_orderdate) OVER (
+                   PARTITION BY o.o_custkey
+                   ORDER BY o.o_orderdate, o.o_orderkey
+               ) AS prev_date
+        FROM orders o
+    )
+    SELECT custkey,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS lifetime_value,
+           ROUND(AVG(o_totalprice), 4) AS avg_order_value,
+           MAX(o_orderdate) AS last_order_at,
+           ROUND(AVG(date_diff('second', prev_date, o_orderdate)) / 86400.0, 4)
+               AS avg_reorder_days
+    FROM per_order
+    GROUP BY custkey
+    """,
+    description="Platinum feature mart: per-customer ML features (lifetime "
+    "value, order cadence via lag window) — one shuffle on the entity key "
+    "shared by the window AND the aggregate (co-partitioned, no second "
+    "exchange).",
+)
+def platinum_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    per_order = orders.select(
+        F.col("o_custkey").alias("custkey"),
+        "o_orderdate",
+        "o_totalprice",
+        F.lag("o_orderdate").over(w).alias("prev_date"),
+    )
+    gap_days = (
+        F.unix_timestamp(F.col("o_orderdate").cast("timestamp"))
+        - F.unix_timestamp(F.col("prev_date").cast("timestamp"))
+    ) / 86400.0
+    return per_order.groupBy("custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+        F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        F.max("o_orderdate").alias("last_order_at"),
+        F.round(F.avg(gap_days), 4).alias("avg_reorder_days"),
+    )
