@@ -33,8 +33,12 @@ HEADLINE = [
     "tpch_q4_priority_with_returns",
     "tpch_q13_customer_order_distribution",
     "tpch_q14_promo_revenue",
+    "tpch_q18_large_volume_orders",
+    "percentile_order_value_by_segment",
+    "platinum_customer_features",
     "events_json_kpis",
     "events_sessionization",
+    "session_window_per_user",
     "events_asof_purchase_before_error",
     # LLM-pipeline ops
     "dedup_exact_documents",
@@ -42,7 +46,9 @@ HEADLINE = [
     "dedup_simhash_hamming",
     "text_quality_scores",
     "similarity_cosine_top10",
+    "similarity_ivf_top5",
     "dedup_embedding_cosine_pairs",
+    "embedding_int8_quantization",
 ]
 
 
