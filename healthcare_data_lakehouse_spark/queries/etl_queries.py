@@ -485,3 +485,61 @@ def platinum_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("o_orderdate").alias("last_order_at"),
         F.round(F.avg(gap_days), 4).alias("avg_reorder_days"),
     )
+
+
+@register(
+    "scd2_customer_dimension",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment
+        FROM customer
+    )
+    SELECT id, name, segment,
+           CAST(1 AS BIGINT) AS version,
+           CAST(0 AS BIGINT) AS valid_from_batch,
+           CAST(CASE WHEN id % 10 = 0 THEN 1 END AS BIGINT) AS valid_to_batch,
+           id % 10 <> 0 AS is_current
+    FROM base
+    UNION ALL
+    SELECT id, name, 'RESEGMENTED', 2, 1, NULL, TRUE
+    FROM base WHERE id % 10 = 0
+    UNION ALL
+    SELECT id + 1000000, 'New Customer ' || CAST(id AS VARCHAR), 'NEWSEG',
+           1, 1, NULL, TRUE
+    FROM base WHERE id % 100 = 0
+    """,
+    description="SCD2 dimension versioning (scd.py): CDC batch closes "
+    "changed current versions (valid_to, is_current=false) and inserts "
+    "successors; unchanged incoming rows are no-ops, unseen keys insert "
+    "v1. One join against CURRENT rows only — history never rescanned; "
+    "maps 1:1 to Delta MERGE in deployment.",
+)
+def scd2_customer_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.scd import scd2_initial, scd2_merge
+
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    dim0 = scd2_initial(base, batch_id=0)
+    incoming = (
+        # CDC batch: every id%5 row arrives; only id%10 actually changed
+        base.filter(F.col("id") % 5 == 0)
+        .withColumn(
+            "segment",
+            F.when(F.col("id") % 10 == 0, F.lit("RESEGMENTED")).otherwise(
+                F.col("segment")
+            ),
+        )
+        .unionByName(
+            base.filter(F.col("id") % 100 == 0).select(
+                (F.col("id") + 1_000_000).alias("id"),
+                F.concat(F.lit("New Customer "), F.col("id").cast("string")).alias(
+                    "name"
+                ),
+                F.lit("NEWSEG").alias("segment"),
+            )
+        )
+    )
+    return scd2_merge(dim0, incoming, key="id", batch_id=1)

@@ -226,7 +226,9 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signature(_docs_with_dups(spark, sf_dir, 20))
 
 
-def _lsh_pairs_oracle() -> str:
+def _lsh_pairs_ctes() -> tuple[str, str]:
+    """(CTE chain, final pair-select) for the LSH near-dup pipeline —
+    composable so the cluster oracle can extend it recursively."""
     band_selects = []
     for band in range(D.N_BANDS):
         cols = [f"mh_{band * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)]
@@ -239,9 +241,8 @@ def _lsh_pairs_oracle() -> str:
         f"MIN(({a} * h + {b}) % {D.MERSENNE_P}) AS mh_{j}"
         for j, (a, b) in enumerate(D.MINHASH_PERMS)
     )
-    return (
-        "WITH "
-        + _DOCS_DUPS_SQL.format(mod=20)
+    ctes = (
+        _DOCS_DUPS_SQL.format(mod=20)
         + ", "
         + _SHINGLES_SQL
         + f""",
@@ -268,6 +269,9 @@ def _lsh_pairs_oracle() -> str:
         JOIN shingles b ON b.doc_id = c.id_b AND a.shingle = b.shingle
         GROUP BY c.id_a, c.id_b
     )
+    """
+    )
+    final = """
     SELECT id_a, id_b,
            ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
     FROM inter
@@ -275,7 +279,12 @@ def _lsh_pairs_oracle() -> str:
     JOIN sizes sb ON sb.doc_id = id_b
     WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
     """
-    )
+    return ctes, final
+
+
+def _lsh_pairs_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    return "WITH " + ctes + final
 
 
 @register(
@@ -286,6 +295,40 @@ def _lsh_pairs_oracle() -> str:
 )
 def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
+
+
+def _clusters_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT DISTINCT a AS node, a AS root FROM edges
+        UNION
+        SELECT e.b AS node, r.root
+        FROM reach r JOIN edges e ON e.a = r.node
+    )
+    SELECT node AS doc_id, MIN(root) AS cluster_id
+    FROM reach GROUP BY node
+    """
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle=_clusters_oracle(),
+    description="Duplicate clusters: near-dup similarity isn't transitive, "
+    "so LSH pairs feed min-label propagation to a fixpoint (connected "
+    "components; iterative DataFrame joins, O(diameter) rounds) — keep one "
+    "doc per cluster. Oracle recomputes components with a recursive CTE.",
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
+    return D.connected_components(pairs)
 
 
 def _simhash_oracle() -> str:

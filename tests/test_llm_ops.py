@@ -193,3 +193,38 @@ def test_salted_join_equals_plain_join(spark):
     s = sorted(map(tuple, salted.select("event_id", "k", "v", "w").collect()))
     p = sorted(map(tuple, plain.select("event_id", "k", "v", "w").collect()))
     assert s == p and len(s) == 200
+
+
+def test_connected_components_transitive_closure(spark):
+    pairs = spark.createDataFrame(
+        [(1, 2, 0.9), (2, 3, 0.8), (5, 6, 0.99)],
+        "id_a int, id_b int, jaccard double",
+    )
+    out = {r.doc_id: r.cluster_id for r in D.connected_components(pairs).collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}  # chain 1-2-3 merges
+
+
+def test_scd2_merge_lifecycle(spark):
+    from healthcare_data_lakehouse_spark.scd import scd2_initial, scd2_merge
+
+    base = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c")], "id int, attr string"
+    )
+    dim = scd2_initial(base, batch_id=0)
+    incoming = spark.createDataFrame(
+        [(1, "a"),        # unchanged -> no-op
+         (2, "B2"),       # changed  -> close v1, insert v2
+         (9, "new")],     # unseen   -> insert v1
+        "id int, attr string",
+    )
+    out = scd2_merge(dim, incoming, key="id", batch_id=1)
+    rows = {(r.id, r.version): r for r in out.collect()}
+    assert len(rows) == 5
+    assert rows[(1, 1)].is_current and rows[(1, 1)].valid_to_batch is None
+    assert not rows[(2, 1)].is_current and rows[(2, 1)].valid_to_batch == 1
+    assert rows[(2, 2)].is_current and rows[(2, 2)].attr == "B2"
+    assert rows[(3, 1)].is_current
+    assert rows[(9, 1)].is_current and rows[(9, 1)].valid_from_batch == 1
+    # idempotence: replaying the same batch produces no new versions
+    again = scd2_merge(out, incoming, key="id", batch_id=2)
+    assert again.count() == 5
