@@ -302,10 +302,16 @@ class DataQualityValidator:
         dataset_name: str,
         id_field: str = "id",
         quarantine_cap: int | None = 100,
+        fk_checks: list[tuple[str, DataFrame, str]] | None = None,
     ):
+        """``fk_checks``: optional list of (fk_col, parent_df, parent_key).
+        When given, DQ007 referential integrity runs FOR REAL (left-anti
+        probe per FK); when absent it keeps the reference's stub-pass
+        behavior (``data_quality.py:821-837``) — see SURVEY.md §2.3 Q7."""
         self.dataset_name = dataset_name
         self.id_field = id_field
         self.quarantine_cap = quarantine_cap
+        self.fk_checks = fk_checks or []
         self._required_fields: list[str] = []
         self.rules: list[SparkQualityRule] = []
         self._init_healthcare_rules()
@@ -532,25 +538,71 @@ class DataQualityValidator:
             fail_condition=lambda df, _: v._q6_parts(df)[1],
         ))
 
-        # DQ007 referential_integrity (stub-pass, real check optional) ----
-        def q7_aggs(df: DataFrame, _) -> list[Column]:
-            return [F.count(F.lit(1)).alias("DQ007__total")]
+        # DQ007 referential_integrity -------------------------------------
+        # No FK config -> reference stub-pass parity (data_quality.py:
+        # 821-837). With fk_checks -> the real thing: one broadcast-or-SMJ
+        # left join per FK marking orphans (can't fuse into the shared
+        # scan — joins need their own pass; still one pass for ALL FKs).
+        if not self.fk_checks:
+            def q7_aggs(df: DataFrame, _) -> list[Column]:
+                return [F.count(F.lit(1)).alias("DQ007__total")]
 
-        def q7_sum(row: dict, _) -> dict:
-            total = row["DQ007__total"]
-            return dict(status=QualityStatus.PASSED, score=1.0,
-                        records_checked=total, records_passed=total,
-                        records_failed=0,
-                        details="Referential integrity check "
-                                "(stub - implement with reference tables)")
+            def q7_sum(row: dict, _) -> dict:
+                total = row["DQ007__total"]
+                return dict(status=QualityStatus.PASSED, score=1.0,
+                            records_checked=total, records_passed=total,
+                            records_failed=0,
+                            details="Referential integrity check "
+                                    "(stub - implement with reference tables)")
 
-        self.add_rule(SparkQualityRule(
-            "DQ007", "referential_integrity",
-            "Foreign key references must be valid",
-            QualityDimension.INTEGRITY, "major",
-            [DataZone.GOLD],
-            agg_exprs=q7_aggs, summarize=q7_sum,
-        ))
+            self.add_rule(SparkQualityRule(
+                "DQ007", "referential_integrity",
+                "Foreign key references must be valid",
+                QualityDimension.INTEGRITY, "major",
+                [DataZone.GOLD],
+                agg_exprs=q7_aggs, summarize=q7_sum,
+            ))
+        else:
+            def q7_orphan_marked(df: DataFrame) -> DataFrame:
+                out = df
+                for i, (fk, parent, pkey) in enumerate(self.fk_checks):
+                    keys = parent.select(F.col(pkey).alias(f"__pk_{i}")).distinct()
+                    out = out.join(
+                        keys, out[fk] == keys[f"__pk_{i}"], "left"
+                    ).withColumn(
+                        f"__orphan_{i}",
+                        F.col(fk).isNotNull() & F.col(f"__pk_{i}").isNull(),
+                    ).drop(f"__pk_{i}")
+                orphan_any = F.lit(False)
+                for i in range(len(self.fk_checks)):
+                    orphan_any = orphan_any | F.col(f"__orphan_{i}")
+                return out.withColumn("__orphan", orphan_any)
+
+            def q7_check(df: DataFrame) -> QualityCheckResult:
+                marked = q7_orphan_marked(df)
+                agg = marked.agg(
+                    F.count(F.lit(1)).alias("total"),
+                    F.sum(F.when(F.col("__orphan"), 1).otherwise(0)).alias("bad"),
+                ).collect()[0]
+                total, bad = int(agg["total"]), int(agg["bad"] or 0)
+                score = ((total - bad) / total) if total else 1.0
+                status = (QualityStatus.PASSED if bad == 0
+                          else QualityStatus.FAILED if score < 0.99
+                          else QualityStatus.WARNING)
+                return QualityCheckResult(
+                    "DQ007", "referential_integrity",
+                    QualityDimension.INTEGRITY, status, score,
+                    total, total - bad, bad,
+                    details=f"{bad}/{total} rows reference missing parents "
+                            f"across {len(self.fk_checks)} FK(s)")
+
+            self.add_rule(SparkQualityRule(
+                "DQ007", "referential_integrity",
+                "Foreign key references must be valid",
+                QualityDimension.INTEGRITY, "major",
+                [DataZone.GOLD],
+                check_fn=q7_check,
+            ))
 
         # DQ008 phi_fields_present ---------------------------------------
         def q8_has_phi(df: DataFrame) -> Column:

@@ -394,3 +394,63 @@ def quality_custom_rule_ssn_plaintext(spark: SparkSession, sf_dir: str) -> DataF
         if r.rule_id == "DQ100"
     ]
     return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+
+@register(
+    "quality_fk_integrity_gold",
+    oracle="""
+    WITH gold AS (
+        SELECT o_orderkey, o_custkey FROM orders
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_custkey + 9000000
+        FROM orders WHERE o_orderkey % 100 = 0
+    ),
+    s AS (
+        SELECT COUNT(*) AS total,
+               COUNT(CASE WHEN o_custkey IS NOT NULL
+                          AND o_custkey NOT IN (SELECT c_custkey FROM customer)
+                     THEN 1 END) AS bad
+        FROM gold
+    )
+    SELECT 'DQ007' AS rule_id,
+           CASE WHEN bad = 0 THEN 'passed'
+                WHEN CAST(total - bad AS DOUBLE) / total < 0.99 THEN 'failed'
+                ELSE 'warning' END AS status,
+           ROUND(CAST(total - bad AS DOUBLE) / total, 6) AS score,
+           total AS records_checked,
+           total - bad AS records_passed,
+           bad AS records_failed
+    FROM s
+    """,
+    description="DQ007 referential integrity FOR REAL (SURVEY §2.3 Q7): "
+    "orders-with-injected-orphans validated against customer via a "
+    "left-join orphan probe — the stub passes only when no FK config is "
+    "given; with config, orphans are counted and graded.",
+)
+def quality_fk_integrity_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    gold = orders.unionByName(
+        orders.filter(F.col("o_orderkey") % 100 == 0).select(
+            (F.col("o_orderkey") + 10_000_000).alias("o_orderkey"),
+            (F.col("o_custkey") + 9_000_000).alias("o_custkey"),
+        )
+    )
+    customer = table(spark, sf_dir, "customer")
+    validator = DataQualityValidator(
+        "gold_orders",
+        id_field="o_orderkey",
+        quarantine_cap=None,
+        fk_checks=[("o_custkey", customer, "c_custkey")],
+    )
+    report = validator.validate(gold, DataZone.GOLD)
+    rows = [
+        (
+            r.rule_id, r.status.value, _round_half_up(r.score, 6),
+            r.records_checked, r.records_passed, r.records_failed,
+        )
+        for r in report.check_results
+        if r.rule_id == "DQ007"
+    ]
+    return spark.createDataFrame(rows, RESULT_SCHEMA)

@@ -112,3 +112,28 @@ def test_promote_zone_default_chain(spark, mgr):
 def test_promote_empty_zone_raises(mgr):
     with pytest.raises(ValueError, match="No data found"):
         mgr.promote_zone("ghost", DataZone.BRONZE, DataZone.SILVER)
+
+
+def test_dq007_real_fk_check(spark):
+    """With fk_checks configured, DQ007 counts orphans; without, stub-pass."""
+    from healthcare_data_lakehouse_spark.quality import DataQualityValidator
+    from healthcare_data_lakehouse_spark.zones import DataZone
+
+    child = spark.createDataFrame(
+        [(1, 10), (2, 20), (3, 99), (4, None)], "id int, fk int"
+    )
+    parent = spark.createDataFrame([(10,), (20,)], "pk int")
+
+    v = DataQualityValidator(
+        "t", id_field="id", fk_checks=[("fk", parent, "pk")]
+    )
+    r = {c.rule_id: c for c in
+         v.validate(child, DataZone.GOLD).check_results}["DQ007"]
+    # row 3 is an orphan; NULL fk (row 4) is not a violation
+    assert r.records_failed == 1 and r.records_checked == 4
+    assert r.status.value == "failed"  # 3/4 = 0.75 < 0.99
+
+    stub = DataQualityValidator("t", id_field="id")
+    r2 = {c.rule_id: c for c in
+          stub.validate(child, DataZone.GOLD).check_results}["DQ007"]
+    assert r2.status.value == "passed" and r2.records_failed == 0
