@@ -419,7 +419,7 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT p.p_type AS part_type,
            COUNT(*) AS n_parts,
-           ROUND(AVG(p.p_retailprice), 2) AS avg_retailprice
+           ROUND(SUM(p.p_retailprice), 2) AS sum_retailprice
     FROM part p
     WHERE NOT EXISTS (
         SELECT 1 FROM lineitem l
@@ -439,7 +439,7 @@ def anti_join_parts_no_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFram
         .groupBy(F.col("p_type").alias("part_type"))
         .agg(
             F.count(F.lit(1)).alias("n_parts"),
-            F.round(F.avg("p_retailprice"), 2).alias("avg_retailprice"),
+            F.round(F.sum("p_retailprice"), 2).alias("sum_retailprice"),
         )
     )
 
