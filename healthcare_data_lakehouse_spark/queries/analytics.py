@@ -835,3 +835,57 @@ def cube_lineitem_flag_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         "l_returnflag", "l_linestatus", "g_flag", "g_status", "n_rows", "avg_qty"
     )
+
+
+# ----------------------------------------------------- TPC-H Q2 (join-back)
+@register(
+    "tpch_q2_cheapest_supplier_per_part",
+    oracle="""
+    WITH cost AS (
+        SELECT l_partkey AS partkey, l_suppkey AS suppkey,
+               ROUND(AVG(l_extendedprice / l_quantity), 6) AS unit_cost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    ),
+    best AS (
+        SELECT partkey, MIN(unit_cost) AS min_cost
+        FROM cost GROUP BY partkey
+    )
+    SELECT c.partkey, MIN(c.suppkey) AS suppkey, c.unit_cost AS min_unit_cost
+    FROM cost c JOIN best b
+      ON b.partkey = c.partkey AND c.unit_cost = b.min_cost
+    GROUP BY c.partkey, c.unit_cost
+    """,
+    description="TPC-H Q2 shape: per-group minimum joined back to select "
+    "the argmin row (cheapest supplier per part by observed unit cost); "
+    "both aggregates and the join share the partkey shuffle, lowest "
+    "suppkey breaks cost ties deterministically.",
+)
+def tpch_q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    cost = (
+        li.groupBy(
+            F.col("l_partkey").alias("partkey"),
+            F.col("l_suppkey").alias("suppkey"),
+        )
+        .agg(
+            F.round(
+                F.avg(F.col("l_extendedprice") / F.col("l_quantity")), 6
+            ).alias("unit_cost")
+        )
+    )
+    best = cost.groupBy("partkey").agg(F.min("unit_cost").alias("min_cost"))
+    c, b = cost.alias("c"), best.alias("b")
+    return (
+        c.join(
+            b,
+            (F.col("c.partkey") == F.col("b.partkey"))
+            & (F.col("c.unit_cost") == F.col("b.min_cost")),
+        )
+        .groupBy(
+            F.col("c.partkey").alias("partkey"),
+            F.col("c.unit_cost").alias("min_unit_cost"),
+        )
+        .agg(F.min(F.col("c.suppkey")).alias("suppkey"))
+        .select("partkey", "suppkey", "min_unit_cost")
+    )

@@ -65,3 +65,85 @@ def test_stateful_user_totals_equal_batch(spark, sf_dir):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_watermark_drops_late_data(spark):
+    """Two micro-batches: batch 2 carries an event older than the
+    watermark bound — append-mode output must exclude it from its window
+    (state for that window was finalized and evicted)."""
+    import os
+    import tempfile
+
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        windowed_event_counts,
+    )
+
+    work = tempfile.mkdtemp(prefix="late_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+
+    def write_batch(name, rows, mtime):
+        df = spark.createDataFrame(
+            rows, "ts string, event_type string, value double"
+        ).select(
+            F.col("ts").cast("timestamp").alias("ts"), "event_type", "value"
+        )
+        # flatten the part file into the stream dir (the file source lists
+        # files, not nested dirs) with a distinct mtime (batch order is
+        # by mod time and both writes can share a clock second)
+        staging = os.path.join(work, f"stage_{name}")
+        df.coalesce(1).write.parquet(staging)
+        part = next(
+            f for f in os.listdir(staging)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        dest = os.path.join(src, f"{name}.parquet")
+        os.rename(os.path.join(staging, part), dest)
+        os.utime(dest, (mtime, mtime))
+
+    # micro-batch 1: events up to 12:00 -> watermark will advance to 11:50
+    write_batch("b1", [
+        ("2026-01-01 10:00:00", "click", 1.0),
+        ("2026-01-01 10:02:00", "click", 1.0),
+        ("2026-01-01 12:00:00", "click", 1.0),
+    ], mtime=1_000_000)
+    # micro-batch 2: benign row; the 10:00 window's state is finalized
+    # and emitted under watermark 11:50 at this batch's end
+    write_batch("b2", [
+        ("2026-01-01 12:01:00", "click", 1.0),
+    ], mtime=2_000_000)
+    # micro-batch 3: a FAR-late event (10:01 vs watermark 11:51) whose
+    # window state no longer exists -> dropped, never re-emitted
+    write_batch("b3", [
+        ("2026-01-01 10:01:00", "click", 99.0),
+        ("2026-01-01 12:02:00", "click", 1.0),
+    ], mtime=3_000_000)
+
+    schema = spark.read.parquet(os.path.join(src, "b1.parquet")).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .option("latestFirst", "false")
+        .parquet(src)
+    )
+    out = windowed_event_counts(
+        stream, window="5 minutes", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.format("memory")
+        .queryName("late_test")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    rows = {
+        (r.window_start.isoformat(), r.n_events, float(r.sum_value))
+        for r in spark.table("late_test").collect()
+    }
+    # the late event (value 99) was dropped: the 10:00 window emitted
+    # with only the two on-time events, and 99 appears in no window
+    assert not any(v >= 99.0 for (_, _, v) in rows)
+    assert ("2026-01-01T10:00:00", 2, 2.0) in rows
