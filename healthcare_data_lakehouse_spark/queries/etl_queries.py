@@ -543,3 +543,30 @@ def scd2_customer_dimension(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scd2_merge(dim0, incoming, key="id", batch_id=1)
+
+
+@register(
+    "lineage_columns_from_plan",
+    oracle="""
+    SELECT 'mktsegment' AS column_name, 'c_mktsegment' AS source_columns
+    UNION ALL SELECT 'revenue', 'l_discount,l_extendedprice'
+    UNION ALL SELECT 'order_count', 'o_orderkey'
+    UNION ALL SELECT 'lineitem_count', ''
+    """,
+    description="Column lineage DERIVED from the Catalyst analyzed plan "
+    "(plan_lineage.py) for the flagship 3-table mart: every output column "
+    "traced to its source-relation columns through join+aggregate — no "
+    "hand-authored lineage, the plan itself is the provenance record.",
+)
+def lineage_columns_from_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.plan_lineage import (
+        column_lineage_from_plan,
+    )
+    from healthcare_data_lakehouse_spark.queries import analytics
+
+    flagship = analytics.gold_revenue_by_mktsegment(spark, sf_dir)
+    lin = column_lineage_from_plan(flagship)
+    rows = [(col, ",".join(srcs)) for col, srcs in lin.items()]
+    return spark.createDataFrame(
+        rows, "column_name string, source_columns string"
+    )

@@ -84,3 +84,30 @@ def test_pipeline_runs_and_audit_export(tracker):
 
     with pytest.raises(ValueError, match="Pipeline run not found"):
         tracker.complete_pipeline_run("nope")
+
+
+def test_column_lineage_from_plan(spark):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.plan_lineage import (
+        column_lineage_from_plan,
+    )
+
+    a = spark.createDataFrame([(1, 2.0, "x")], "k int, v double, s string")
+    b = spark.createDataFrame([(1, 5.0)], "k int, w double")
+    df = (
+        a.join(b, "k")
+        .groupBy(F.col("s").alias("grp"))
+        .agg(
+            F.round(F.sum(F.col("v") * F.col("w")), 2).alias("vw"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    lin = column_lineage_from_plan(df)
+    assert lin["grp"] == ["s"]
+    assert lin["vw"] == ["v", "w"]  # both join sides traced through
+    assert lin["n"] == []           # literal-only aggregate: no sources
+
+    # pass-through shapes (filter on top) resolve to identity
+    flt = a.filter(F.col("v") > 0)
+    assert column_lineage_from_plan(flt)["s"] == ["s"]
