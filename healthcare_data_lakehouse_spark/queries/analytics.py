@@ -889,3 +889,106 @@ def tpch_q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> Data
         .agg(F.min(F.col("c.suppkey")).alias("suppkey"))
         .select("partkey", "suppkey", "min_unit_cost")
     )
+
+
+# ----------------------------------------------------------------- pivot
+@register(
+    "pivot_returnflag_by_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F_count,
+           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O_count,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN l_extendedprice ELSE 0 END), 2) AS F_price,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN l_extendedprice ELSE 0 END), 2) AS O_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="PIVOT: linestatus spread into columns with explicit value "
+    "list (no extra distinct-discovery job), compiling to conditional "
+    "aggregates in one pass — the oracle states that compilation.",
+)
+def pivot_returnflag_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = (
+        li.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg(
+            F.count(F.lit(1)).alias("count"),
+            F.round(F.sum("l_extendedprice"), 2).alias("price"),
+        )
+    )
+    return p.select(
+        "l_returnflag",
+        F.col("F_count"),
+        F.col("O_count"),
+        F.col("F_price"),
+        F.col("O_price"),
+    )
+
+
+# ------------------------------------------------------------- range join
+@register(
+    "range_join_errors_after_purchase",
+    oracle="""
+    SELECT p.user_id,
+           COUNT(*) AS n_pairs,
+           MIN(date_diff('second', p.ts, e.ts)) AS min_gap_seconds
+    FROM events p JOIN events e
+      ON e.user_id = p.user_id
+     AND p.event_type = 'purchase' AND e.event_type = 'error'
+     AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    GROUP BY p.user_id
+    """,
+    description="Banded range join, bucket-partitioned: both sides bucket "
+    "ts into band-width buckets and equi-join on (user, bucket) with the "
+    "error side probing its own + previous bucket — candidate volume is "
+    "O(events per adjacent bucket pair), never the O(n^2) nested loop a "
+    "raw inequality join plans; exact band predicate filters after. The "
+    "oracle runs the naive inequality join.",
+)
+def range_join_errors_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    band = 3600  # seconds
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+        F.floor(F.unix_timestamp(F.col("ts").cast("timestamp")) / band).alias(
+            "p_bucket"
+        ),
+    )
+    errors = (
+        events.filter(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.floor(
+                F.unix_timestamp(F.col("ts").cast("timestamp")) / band
+            ).alias("e_bucket"),
+        )
+        # an error can match purchases in its own or the previous bucket
+        .withColumn(
+            "probe_bucket",
+            F.explode(F.array(F.col("e_bucket"), F.col("e_bucket") - 1)),
+        )
+    )
+    pairs = purchases.join(
+        errors,
+        (purchases.p_user == errors.e_user)
+        & (purchases.p_bucket == errors.probe_bucket),
+    ).filter(
+        (F.col("e_ts") > F.col("p_ts"))
+        & (
+            F.unix_timestamp(F.col("e_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("p_ts").cast("timestamp"))
+            <= band
+        )
+    )
+    return pairs.groupBy(F.col("p_user").alias("user_id")).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.min(
+            F.unix_timestamp(F.col("e_ts").cast("timestamp"))
+            - F.unix_timestamp(F.col("p_ts").cast("timestamp"))
+        ).alias("min_gap_seconds"),
+    )

@@ -748,3 +748,23 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return sample_frames(as_binary_assets(docs), max_frames=4)
+
+
+@register(
+    "setop_docs_removed_by_dedup",
+    oracle=_DOCS_DUPS_SQL.format(mod=10).join(["WITH ", """
+    , survivors AS (
+        SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY md5(text)
+    )
+    SELECT doc_id FROM docs
+    EXCEPT ALL
+    SELECT doc_id FROM survivors
+    """]),
+    description="Set operation EXCEPT ALL: the removal manifest of exact "
+    "dedup (corpus minus survivors) — the audit artifact a compliance "
+    "pipeline keeps; compiles to a hash anti-semantics shuffle on doc_id.",
+)
+def setop_docs_removed_by_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 10)
+    survivors = D.exact_dedup(docs).select("doc_id")
+    return docs.select("doc_id").exceptAll(survivors)
