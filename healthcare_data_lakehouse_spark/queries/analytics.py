@@ -1322,3 +1322,329 @@ def tpch_q22_dormant_high_balance(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("c_acctbal"), 2).alias("totacctbal"),
         )
     )
+
+
+# ------------------------------------------------- window: moving average
+@register(
+    "window_moving_avg_daily_revenue",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS daily_rev
+        FROM orders GROUP BY day
+    )
+    SELECT day, daily_rev,
+           ROUND(AVG(daily_rev) OVER (
+               ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 2)
+               AS ma7,
+           ROUND(SUM(daily_rev) OVER (
+               ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+               2) AS cum_rev
+    FROM daily
+    """,
+    description="Time-series windows: daily order revenue with 7-day "
+    "moving average and running total. One agg shuffle to day grain, "
+    "then ONE window over a single global sort — at 100 TB the day-grain "
+    "series is ~thousands of rows regardless of input size, so the "
+    "unpartitioned window is safe (cardinality collapses before it).",
+)
+def window_moving_avg_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.to_date("o_orderdate").alias("day")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("daily_rev"))
+    w = Window.orderBy("day")
+    return daily.select(
+        "day",
+        "daily_rev",
+        F.round(F.avg("daily_rev").over(w.rowsBetween(-6, 0)), 2).alias("ma7"),
+        F.round(
+            F.sum("daily_rev").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+            2,
+        ).alias("cum_rev"),
+    )
+
+
+# --------------------------------------------- window: MoM revenue growth
+@register(
+    "window_mom_revenue_growth",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY month
+    )
+    SELECT month, rev,
+           ROUND(rev / LAG(rev) OVER (ORDER BY month) - 1, 4) AS growth
+    FROM monthly
+    """,
+    description="LAG window: month-over-month revenue growth rate. "
+    "Month-grain series is tiny after the aggregate shuffle; the lag "
+    "window needs no partition column because cardinality has already "
+    "collapsed to #months.",
+)
+def window_mom_revenue_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.date_trunc("month", "o_orderdate").cast("date").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = Window.orderBy("month")
+    return monthly.select(
+        "month",
+        "rev",
+        F.round(F.col("rev") / F.lag("rev").over(w) - 1, 4).alias("growth"),
+    )
+
+
+# ------------------------------------------------ window: customer deciles
+@register(
+    "window_customer_value_deciles",
+    oracle="""
+    WITH cust AS (
+        SELECT c.c_custkey AS custkey,
+               ROUND(SUM(o.o_totalprice), 2) AS spend
+        FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+        GROUP BY custkey
+    )
+    SELECT decile,
+           COUNT(*) AS numcust,
+           ROUND(SUM(spend), 2) AS decile_spend
+    FROM (
+        SELECT custkey, spend,
+               NTILE(10) OVER (ORDER BY spend DESC, custkey) AS decile
+        FROM cust
+    ) GROUP BY decile
+    """,
+    description="NTILE deciles of customer lifetime spend, re-aggregated "
+    "to decile totals. The (spend, custkey) compound sort key makes tile "
+    "assignment total-ordered and deterministic under any partitioning. "
+    "At 100 TB: NTILE needs a global sort; computing it over the "
+    "customer-grain aggregate (not the raw fact) keeps the sorted set "
+    "to #customers rows.",
+)
+def window_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = table(spark, sf_dir, "customer")
+    orders = table(spark, sf_dir, "orders")
+    cust = (
+        customer.join(orders, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_custkey").alias("custkey"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+    )
+    w = Window.orderBy(F.col("spend").desc(), F.col("custkey"))
+    return (
+        cust.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum("spend"), 2).alias("decile_spend"),
+        )
+    )
+
+
+# --------------------------------------------- calendar densification ---
+@register(
+    "calendar_daily_event_gapfill",
+    oracle="""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    calendar AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    daily AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n
+        FROM events GROUP BY day
+    )
+    SELECT c.day, COALESCE(d.n, 0) AS n_events
+    FROM calendar c LEFT JOIN daily d ON d.day = c.day
+    """,
+    description="Calendar densification (gap fill): generate the full "
+    "min..max day spine with sequence()+explode and left-join the "
+    "daily counts, zero-filling missing days — the standard time-series "
+    "preparation step Spark has no built-in for. The spine is tiny "
+    "(#days rows) so it broadcasts; the fact side aggregates to day "
+    "grain BEFORE the join, so the spine join never touches raw events.",
+)
+def calendar_daily_event_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    bounds = events.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    return calendar.join(F.broadcast(daily), "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n_events")
+    )
+
+
+# ----------------------------------------------------- set op: INTERSECT
+@register(
+    "setop_users_purchase_and_error",
+    oracle="""
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    """,
+    description="Set operation INTERSECT (distinct): users who both "
+    "purchased and errored — compiles to a left-semi hash join over "
+    "de-duplicated key sets; one shuffle per side on user_id.",
+)
+def setop_users_purchase_and_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    p = events.filter(F.col("event_type") == "purchase").select("user_id")
+    e = events.filter(F.col("event_type") == "error").select("user_id")
+    return p.intersect(e)
+
+
+# ------------------------------------------------- explicit GROUPING SETS
+@register(
+    "groupingsets_lineitem_flag_status",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           GROUPING(l_returnflag) AS g_flag,
+           GROUPING(l_linestatus) AS g_status,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+    """,
+    description="Explicit GROUPING SETS (the general form behind "
+    "ROLLUP/CUBE, already covered separately) with GROUPING() null "
+    "markers. Spark expands the sets into one Expand node feeding a "
+    "single hash aggregate — one pass over the fact, not one scan per "
+    "set.",
+)
+def groupingsets_lineitem_flag_status(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("gs_lineitem")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_linestatus,
+               CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+               CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+               ROUND(SUM(l_quantity), 2) AS sum_qty,
+               COUNT(*) AS n
+        FROM gs_lineitem
+        GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+                                (l_returnflag), ())
+        """
+    )
+
+
+# ---------------------------------------- TPC-H Q16 (NOT IN supplier cnt)
+@register(
+    "tpch_q16_part_supplier_counts",
+    oracle="""
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT l.l_suppkey) AS supplier_cnt
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand <> 'Brand#1'
+      AND p.p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+      AND l.l_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    """,
+    description="TPC-H Q16 shape: distinct-supplier counts per part "
+    "attribute triple, excluding deficit suppliers via NOT IN "
+    "(fixtures carry no partsupp/comment; the exclusion predicate is "
+    "s_acctbal < 0). s_suppkey is non-null so the null-aware NOT IN "
+    "safely compiles to a broadcast LEFT ANTI join; brand/size "
+    "predicates push into the part scan.",
+)
+def tpch_q16_part_supplier_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    bad = supplier.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    parts = part.filter(
+        (F.col("p_brand") != "Brand#1")
+        & F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45)
+    )
+    return (
+        li.join(F.broadcast(bad), li.l_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+# ------------------------------------- TPC-H Q21 (sole late supplier) ---
+@register(
+    "tpch_q21_sole_late_supplier",
+    oracle="""
+    SELECT s.s_name AS s_name, COUNT(*) AS numwait
+    FROM lineitem l1
+    JOIN orders o ON o.o_orderkey = l1.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (
+          SELECT 1 FROM lineitem l2
+          WHERE l2.l_orderkey = l1.l_orderkey
+            AND l2.l_suppkey <> l1.l_suppkey
+      )
+      AND NOT EXISTS (
+          SELECT 1 FROM lineitem l3
+          JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+          WHERE l3.l_orderkey = l1.l_orderkey
+            AND l3.l_suppkey <> l1.l_suppkey
+            AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY s_name
+    """,
+    description="TPC-H Q21 shape: suppliers solely responsible for late "
+    "multi-supplier orders (late = shipped >60 days after order date; "
+    "fixtures carry no commit/receipt dates). EXISTS compiles to LEFT "
+    "SEMI and NOT EXISTS to LEFT ANTI, both with the non-equal-supplier "
+    "condition folded into the join predicate — three shuffles on "
+    "orderkey, reusing the same partitioning, never a correlated "
+    "per-row subquery.",
+)
+def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    supplier = table(spark, sf_dir, "supplier")
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            li.l_orderkey == orders.o_orderkey,
+        )
+        .filter(
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+        )
+        .select("l_orderkey", "l_suppkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2"), F.col("l_suppkey").alias("s2")
+    )
+    l1 = late.join(
+        l2,
+        (late.l_orderkey == l2.o2) & (late.l_suppkey != l2.s2),
+        "left_semi",
+    )
+    l3 = late.select(
+        F.col("l_orderkey").alias("o3"), F.col("l_suppkey").alias("s3")
+    )
+    sole = l1.join(
+        l3,
+        (l1.l_orderkey == l3.o3) & (l1.l_suppkey != l3.s3),
+        "left_anti",
+    )
+    return (
+        sole.join(F.broadcast(supplier), sole.l_suppkey == F.col("s_suppkey"))
+        .groupBy(F.col("s_name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
