@@ -1648,3 +1648,124 @@ def tpch_q21_sole_late_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("s_name"))
         .agg(F.count(F.lit(1)).alias("numwait"))
     )
+
+
+# ----------------------------------------- TPC-H Q20 (nested agg semi) --
+@register(
+    "tpch_q20_heavy_widget_shippers",
+    oracle="""
+    WITH shipped AS (
+        SELECT l.l_suppkey, SUM(l.l_quantity) AS qty
+        FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+        WHERE p.p_name LIKE '%widget%'
+          AND l.l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l.l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l.l_suppkey
+    )
+    SELECT s.s_name AS s_name, ROUND(s.s_acctbal, 2) AS acctbal
+    FROM supplier s
+    WHERE s.s_suppkey IN (
+        SELECT l_suppkey FROM shipped
+        WHERE qty > (SELECT 1.2 * AVG(qty) FROM shipped)
+    )
+    """,
+    description="TPC-H Q20 shape: suppliers who shipped an "
+    "above-average volume of widget parts in 1997 (fixtures carry no "
+    "partsupp.availqty; threshold is 1.2x the mean shipped quantity, "
+    "scale-free). The nested aggregate materializes once and feeds "
+    "both the scalar threshold and the IN-list; IN compiles to LEFT "
+    "SEMI against the tiny filtered key set — broadcast, no "
+    "re-aggregation.",
+)
+def tpch_q20_heavy_widget_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    part = table(spark, sf_dir, "part")
+    supplier = table(spark, sf_dir, "supplier")
+    shipped = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(
+            F.broadcast(part.filter(F.col("p_name").like("%widget%"))),
+            li.l_partkey == part.p_partkey,
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+    )
+    threshold = shipped.agg((1.2 * F.avg("qty")).alias("thr"))
+    heavy = (
+        shipped.join(F.broadcast(threshold))
+        .filter(F.col("qty") > F.col("thr"))
+        .select("l_suppkey")
+    )
+    return (
+        supplier.join(
+            F.broadcast(heavy), supplier.s_suppkey == heavy.l_suppkey, "left_semi"
+        )
+        .select(
+            F.col("s_name"), F.round(F.col("s_acctbal"), 2).alias("acctbal")
+        )
+    )
+
+
+# ------------------------------------------------ deterministic sampling
+@register(
+    "sample_systematic_orders",
+    oracle="""
+    SELECT COUNT(*) AS n_sampled,
+           ROUND(SUM(o_totalprice), 2) AS sampled_revenue,
+           MIN(o_orderkey) AS min_key, MAX(o_orderkey) AS max_key
+    FROM orders
+    WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) < '0d'
+    """,
+    description="Systematic content-hash sampling: keep rows whose "
+    "md5(key) first byte < 0x0d (~5.1%). Unlike TABLESAMPLE this is "
+    "reproducible across engines, runs, and cluster sizes — the sample "
+    "is a pure function of the data, so a 100 TB re-run or a DuckDB "
+    "audit selects the identical row set. Fully pushed into the scan "
+    "projection; no shuffle before the final scalar aggregate.",
+)
+def sample_systematic_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.filter(
+            F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2) < "0d"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_sampled"),
+            F.round(F.sum("o_totalprice"), 2).alias("sampled_revenue"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+    )
+
+
+# --------------------------------------------------------------- histogram
+@register(
+    "histogram_order_totalprice",
+    oracle="""
+    SELECT CAST(FLOOR(o_totalprice / 20000.0) AS BIGINT) AS bin,
+           COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bin
+    """,
+    description="Fixed-width histogram of order value: one map-side "
+    "combinable aggregate keyed by the bin expression — the "
+    "distributed histogram primitive (#bins cardinality out, "
+    "regardless of input scale).",
+)
+def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy(
+            F.floor(F.col("o_totalprice") / 20000.0).alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -827,3 +827,71 @@ def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("doc_id", "term", "tfidf")
     )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label,
+           pos,
+           ROUND(AVG(val), 6) AS centroid_val
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    description="Per-class centroids (the k-means/IVF training "
+    "primitive): posexplode each vector and hash-aggregate the "
+    "element-wise mean keyed by (label, dimension). Map-side partial "
+    "aggregation collapses each partition to #labels x dim rows before "
+    "the shuffle — at 100 TB the shuffle carries only partial sums, "
+    "never raw vectors. 1-based pos matches SQL generate_subscripts.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos0", "val")
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+@register(
+    "nullsafe_join_event_band",
+    oracle="""
+    WITH banded AS (
+        SELECT event_id,
+               NULLIF(CAST(json_extract(props, '$.k') AS INTEGER) % 5, 0)
+                   AS band
+        FROM events
+    ),
+    dims AS (SELECT DISTINCT band FROM banded)
+    SELECT d.band, COUNT(e.event_id) AS n_events
+    FROM dims d JOIN banded e ON e.band IS NOT DISTINCT FROM d.band
+    GROUP BY d.band
+    """,
+    description="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): a "
+    "derived nullable band key joins its dimension INCLUDING the NULL "
+    "band — the semantics a plain equi-join silently drops. Spark "
+    "plans <=> as a hash join key (null hashes like a value), so this "
+    "stays a shuffle/broadcast hash join, not a nested loop.",
+)
+def nullsafe_join_event_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    banded = events.select(
+        "event_id",
+        F.nullif(
+            F.get_json_object("props", "$.k").cast("int") % 5, F.lit(0)
+        ).alias("band"),
+    )
+    dims = banded.select("band").distinct().withColumnRenamed("band", "d_band")
+    return (
+        banded.join(F.broadcast(dims), banded.band.eqNullSafe(F.col("d_band")))
+        .groupBy(F.col("d_band").alias("band"))
+        .agg(F.count("event_id").alias("n_events"))
+    )
