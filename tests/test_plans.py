@@ -47,3 +47,72 @@ def test_text_quality_is_narrow(spark, sf_dir):
     # pure per-row scoring: no shuffle at all
     assert "Exchange hashpartitioning" not in plan
     assert "BatchEvalPython" not in plan  # no row-at-a-time Python in hot path
+
+
+def test_runtime_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """With broadcast off (the 100 TB big-join regime), Catalyst injects a
+    bloom filter built from the selective dim side and pushes might_contain
+    onto the fact scan — rows drop before the shuffle, not after."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.tables import table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+            "0",
+        )
+        li = table(spark, sf_dir, "lineitem")
+        orders = table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
+    """Hive-style partitioned layout + a partition-key predicate must show
+    up as PartitionFilters on the scan (directory-level data skipping —
+    the mechanism that turns a 100 TB scan into a single-day scan)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.tables import table
+
+    out = str(tmp_path / "events_by_day")
+    events = table(spark, sf_dir, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    events.write.partitionBy("day").mode("overwrite").parquet(out)
+
+    back = spark.read.parquet(out)
+    one_day = back.select(F.max("day").alias("d")).first()["d"]
+    q = back.filter(F.col("day") == F.lit(one_day)).select("event_id")
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    seg = plan.split("PartitionFilters", 1)
+    assert len(seg) == 2 and "day" in seg[1][:200]
+    # pruning is real: multiple day directories exist, the filtered read
+    # returns a strict subset
+    n_days = back.select("day").distinct().count()
+    assert n_days > 1
+    assert 0 < q.count() < back.count()
