@@ -28,6 +28,9 @@ __all__ = [
     "windowed_event_counts",
     "run_stream_to_table",
     "stateful_user_totals",
+    "enrich_stream_with_dim",
+    "dedup_stream_within_watermark",
+    "stream_upsert_to_zone",
 ]
 
 
@@ -214,3 +217,82 @@ def stateful_user_totals(
             "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
         )
     )
+
+
+def enrich_stream_with_dim(
+    stream: DataFrame, dim: DataFrame, key: str
+) -> DataFrame:
+    """Stream-static join: enrich a streaming fact with a batch dimension.
+
+    The static side is broadcast to every micro-batch (re-read per batch,
+    so slowly-changing dims pick up updates between triggers); the stream
+    side never shuffles for the join. This is the streaming counterpart
+    of the Gold-mart star join — stateless, so no watermark is needed.
+    """
+    return stream.join(F.broadcast(dim), key, "left")
+
+
+def dedup_stream_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key streaming dedup with BOUNDED state.
+
+    ``dropDuplicates`` on a stream keeps every key seen forever;
+    ``dropDuplicatesWithinWatermark`` expires key state once the
+    watermark passes it — the only formulation that survives an
+    unbounded feed. At-least-once upstream delivery (file redelivery,
+    Kafka replays) becomes exactly-once per key within the lateness
+    horizon.
+    """
+    if stream.isStreaming:
+        return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            keys
+        )
+    return stream.dropDuplicates(keys)
+
+
+def stream_upsert_to_zone(
+    spark: SparkSession,
+    source_parquet: str,
+    work_dir: str,
+    store,
+    zone,
+    dataset: str,
+    id_col: str = "event_id",
+    prepare=None,
+):
+    """Continuous MERGE: foreachBatch upsert of each micro-batch into a
+    zone table keyed by ``id_col``.
+
+    ``foreachBatch`` is the streaming escape hatch for sinks Spark has no
+    native writer for (MERGE semantics here). Each batch id is recorded by
+    the checkpoint, so a replayed batch re-merges idempotently — the
+    classic exactly-once upsert recipe (maps to ``MERGE INTO`` on Delta in
+    deployment; locally the parquet ZoneStore rewrite).
+    """
+    from healthcare_data_lakehouse_spark.zones import LoadType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_parquet).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stream_source_dir(source_parquet, work_dir))
+    )
+    if prepare is not None:
+        stream = prepare(stream)
+
+    def upsert(batch_df: DataFrame, batch_id: int) -> None:
+        store.write(zone, dataset, batch_df, LoadType.MERGE, id_field=id_col)
+
+    q = (
+        stream.writeStream.foreachBatch(upsert)
+        .option("checkpointLocation", os.path.join(work_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read(zone, dataset)

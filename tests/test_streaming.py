@@ -147,3 +147,123 @@ def test_watermark_drops_late_data(spark):
     # with only the two on-time events, and 99 appears in no window
     assert not any(v >= 99.0 for (_, _, v) in rows)
     assert ("2026-01-01T10:00:00", 2, 2.0) in rows
+
+
+def test_stream_static_join_equal_batch(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        _stream_source_dir,
+        enrich_stream_with_dim,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    work = tempfile.mkdtemp(prefix="stream_dim_")
+    events_batch = table(spark, sf_dir, "events")
+    dim = (
+        events_batch.select("user_id")
+        .distinct()
+        .withColumn("user_band", F.col("user_id") % 4)
+    )
+    expected = (
+        enrich_stream_with_dim(events_batch, dim, "user_id")
+        .groupBy("user_band")
+        .count()
+        .collect()
+    )
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    src = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(src).schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_source_dir(src, work)
+    )
+    out = enrich_stream_with_dim(stream, dim, "user_id")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dim_join")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.table("stream_dim_join").groupBy("user_band").count().collect()
+    )
+    assert sorted(map(tuple, got)) == sorted(map(tuple, expected))
+
+
+def test_stream_dedup_within_watermark(spark):
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        dedup_stream_within_watermark,
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_dedup_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    rows = spark.range(50).select(
+        F.col("id").alias("k"),
+        F.timestamp_seconds(F.lit(1_700_000_000) + F.col("id")).alias("ts"),
+    )
+    # the same 50 keys delivered twice (at-least-once upstream)
+    rows.write.parquet(os.path.join(src, "f1"))
+    rows.write.parquet(os.path.join(src, "f2"))
+
+    schema = rows.schema
+    stream = spark.readStream.schema(schema).parquet(src + "/*")
+    out = dedup_stream_within_watermark(stream, ["k"], "ts", "1 minute")
+    q = (
+        out.writeStream.format("memory")
+        .queryName("stream_dedup")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("stream_dedup")
+    assert got.count() == 50
+    assert got.select("k").distinct().count() == 50
+
+
+def test_stream_upsert_merge_idempotent(spark):
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stream_upsert_to_zone,
+    )
+    from healthcare_data_lakehouse_spark.zones import DataZone, ZoneStore
+
+    work = tempfile.mkdtemp(prefix="stream_upsert_")
+    src = os.path.join(work, "landing")
+    os.makedirs(src)
+    v1 = spark.range(20).select(
+        F.col("id").cast("string").alias("event_id"), F.lit("v1").alias("val")
+    )
+    v2 = spark.range(10, 25).select(
+        F.col("id").cast("string").alias("event_id"), F.lit("v2").alias("val")
+    )
+    v1.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    v2.coalesce(1).write.parquet(os.path.join(src, "b2"))
+
+    store = ZoneStore(spark, os.path.join(work, "zones"))
+    out = stream_upsert_to_zone(
+        spark,
+        os.path.join(src, "b1"),
+        os.path.join(work, "w1"),
+        store,
+        DataZone.SILVER,
+        "stream_events",
+    )
+    assert out.count() == 20
+
+    # second feed overlaps ids 10-19: MERGE must update them in place and
+    # append 20-24, never duplicate
+    out2 = stream_upsert_to_zone(
+        spark,
+        os.path.join(src, "b2"),
+        os.path.join(work, "w2"),
+        store,
+        DataZone.SILVER,
+        "stream_events",
+    )
+    assert out2.count() == 25
+    assert out2.filter(F.col("event_id") == "15").collect()[0]["val"] == "v2"
+    assert out2.filter(F.col("event_id") == "5").collect()[0]["val"] == "v1"
