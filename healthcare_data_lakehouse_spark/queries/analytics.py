@@ -1769,3 +1769,193 @@ def histogram_order_totalprice(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+# ------------------------------------------------------- funnel analysis
+@register(
+    "events_funnel_view_click_purchase",
+    oracle="""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t1 FROM events
+        WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e JOIN v ON v.user_id = e.user_id AND e.ts > v.t1
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t3
+        FROM events e JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT COUNT(*) FROM v) AS step_view,
+           (SELECT COUNT(*) FROM c) AS step_click,
+           (SELECT COUNT(*) FROM p) AS step_purchase
+    """,
+    description="Ordered funnel: users who viewed, then clicked after "
+    "first view, then purchased after first click. Each step is a "
+    "per-user MIN aggregate semi-joined to the next event type with a "
+    "time-order predicate — three shuffles all partitioned on user_id "
+    "(one reusable exchange per step at scale), no window over raw "
+    "events and no per-user collect.",
+)
+def events_funnel_view_click_purchase(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+
+    def first_after(prev: DataFrame, etype: str, tcol: str, out: str) -> DataFrame:
+        e = events.filter(F.col("event_type") == etype).select(
+            F.col("user_id").alias("u"), "ts"
+        )
+        return (
+            e.join(prev, (e.u == prev.user_id) & (e.ts > prev[tcol]))
+            .groupBy(F.col("u").alias("user_id"))
+            .agg(F.min("ts").alias(out))
+        )
+
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    c = first_after(v, "click", "t1", "t2")
+    p = first_after(c, "purchase", "t2", "t3")
+    return (
+        v.agg(F.count(F.lit(1)).alias("step_view"))
+        .crossJoin(c.agg(F.count(F.lit(1)).alias("step_click")))
+        .crossJoin(p.agg(F.count(F.lit(1)).alias("step_purchase")))
+    )
+
+
+# ------------------------------------------------- PSI drift detection --
+@register(
+    "quality_psi_value_drift",
+    oracle="""
+    WITH binned AS (
+        SELECT CAST(FLOOR(value / 50.0) AS BIGINT) AS bin,
+               CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 'ref'
+                    ELSE 'cur' END AS period,
+               COUNT(*) AS n
+        FROM events GROUP BY bin, period
+    ),
+    tot AS (SELECT period, SUM(n) AS t FROM binned GROUP BY period),
+    props AS (
+        SELECT b.bin,
+               MAX(CASE WHEN b.period = 'ref'
+                   THEN (b.n + 0.5) / (t.t + 0.5) END) AS p_ref,
+               MAX(CASE WHEN b.period = 'cur'
+                   THEN (b.n + 0.5) / (t.t + 0.5) END) AS p_cur
+        FROM binned b JOIN tot t ON t.period = b.period
+        GROUP BY b.bin
+    )
+    SELECT ROUND(SUM((COALESCE(p_cur, 0.0005) - COALESCE(p_ref, 0.0005))
+                 * LN(COALESCE(p_cur, 0.0005) / COALESCE(p_ref, 0.0005))),
+                 4) AS psi,
+           COUNT(*) AS n_bins
+    FROM props
+    """,
+    description="Population Stability Index between the first and "
+    "second half-month of the value distribution — the standard "
+    "feature-drift monitor for an ML data pipeline. Both periods bin "
+    "in ONE pass (period is a CASE key, not two scans), proportions "
+    "smooth additively, and the PSI reduction is a scalar aggregate — "
+    "input-size-independent output.",
+)
+def quality_psi_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    binned = events.groupBy(
+        F.floor(F.col("value") / 50.0).alias("bin"),
+        F.when(
+            F.col("ts") < F.lit("2024-01-16").cast("timestamp"), "ref"
+        )
+        .otherwise("cur")
+        .alias("period"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = binned.groupBy("period").agg(F.sum("n").alias("t"))
+    props = (
+        binned.join(F.broadcast(tot), "period")
+        .groupBy("bin")
+        .agg(
+            F.max(
+                F.when(
+                    F.col("period") == "ref",
+                    (F.col("n") + 0.5) / (F.col("t") + 0.5),
+                )
+            ).alias("p_ref"),
+            F.max(
+                F.when(
+                    F.col("period") == "cur",
+                    (F.col("n") + 0.5) / (F.col("t") + 0.5),
+                )
+            ).alias("p_cur"),
+        )
+    )
+    eps = F.lit(0.0005)
+    p_ref = F.coalesce(F.col("p_ref"), eps)
+    p_cur = F.coalesce(F.col("p_cur"), eps)
+    return props.agg(
+        F.round(F.sum((p_cur - p_ref) * F.log(p_cur / p_ref)), 4).alias("psi"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+
+
+# ------------------------------------------------- RFM segmentation -----
+@register(
+    "rfm_customer_segments",
+    oracle="""
+    WITH mx AS (SELECT CAST(MAX(ts) AS DATE) AS md FROM events),
+    rfm AS (
+        SELECT user_id,
+               date_diff('day', CAST(MAX(ts) AS DATE), mx.md) AS recency,
+               COUNT(*) AS freq,
+               ROUND(SUM(value), 2) AS monetary
+        FROM events, mx
+        WHERE event_type = 'purchase'
+        GROUP BY user_id, mx.md
+    )
+    SELECT r_tile, f_tile, m_tile, COUNT(*) AS n_users
+    FROM (
+        SELECT NTILE(5) OVER (ORDER BY recency, user_id) AS r_tile,
+               NTILE(5) OVER (ORDER BY freq DESC, user_id) AS f_tile,
+               NTILE(5) OVER (ORDER BY monetary DESC, user_id) AS m_tile
+        FROM rfm
+    ) GROUP BY r_tile, f_tile, m_tile
+    """,
+    description="RFM segmentation: recency/frequency/monetary quintiles "
+    "per purchasing user, re-aggregated to segment sizes. All three "
+    "NTILEs sort the user-grain aggregate (not raw events) with "
+    "user_id tiebreaks for total determinism; the three windows share "
+    "one global sort input at #users cardinality.",
+)
+def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    # snapshot date = max over ALL events (the analysis date), matching the
+    # oracle — not the purchase-only max, which could lag it
+    mx = events.agg(F.to_date(F.max("ts")).alias("md"))
+    rfm = (
+        purchases.crossJoin(F.broadcast(mx))
+        .groupBy("user_id", "md")
+        .agg(
+            F.datediff(F.col("md"), F.to_date(F.max("ts"))).alias("recency"),
+            F.count(F.lit(1)).alias("freq"),
+            F.round(F.sum("value"), 2).alias("monetary"),
+        )
+    )
+    return (
+        rfm.select(
+            F.ntile(5)
+            .over(Window.orderBy("recency", "user_id"))
+            .alias("r_tile"),
+            F.ntile(5)
+            .over(Window.orderBy(F.col("freq").desc(), "user_id"))
+            .alias("f_tile"),
+            F.ntile(5)
+            .over(Window.orderBy(F.col("monetary").desc(), "user_id"))
+            .alias("m_tile"),
+        )
+        .groupBy("r_tile", "f_tile", "m_tile")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

@@ -895,3 +895,49 @@ def nullsafe_join_event_band(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.col("d_band").alias("band"))
         .agg(F.count("event_id").alias("n_events"))
     )
+
+
+@register(
+    "text_bigram_topk",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, string_split(text, ' ') AS tl FROM documents
+    ),
+    pairs AS (
+        SELECT tl[pos] || ' ' || tl[pos + 1] AS bigram
+        FROM tok, UNNEST(range(1, len(tl))) AS u(pos)
+    ),
+    counted AS (
+        SELECT bigram, COUNT(*) AS n FROM pairs GROUP BY bigram
+    )
+    SELECT bigram, n FROM (
+        SELECT bigram, n,
+               ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rn
+        FROM counted
+    ) WHERE rn <= 20
+    """,
+    description="Corpus-wide top-20 bigrams: adjacent-token pairs built "
+    "ARRAY-SIDE with transform(sequence(...)) — no self-join of the "
+    "exploded token table on position (that join would shuffle the "
+    "full token volume twice). Count aggregates with map-side combine; "
+    "the global top-k window runs over the already-aggregated "
+    "vocabulary, with the bigram string as tiebreak.",
+)
+def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(split(text, ' ')) - 1), "
+                "i -> concat(element_at(split(text, ' '), i), ' ', "
+                "element_at(split(text, ' '), i + 1)))"
+            )
+        ).alias("bigram")
+    )
+    counted = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("bigram", "n")
+    )
