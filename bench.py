@@ -40,6 +40,14 @@ HEADLINE = [
     "events_sessionization",
     "session_window_per_user",
     "events_asof_purchase_before_error",
+    "tpch_q7_nation_trade_volume",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q21_sole_late_supplier",
+    "window_moving_avg_daily_revenue",
+    "calendar_daily_event_gapfill",
+    "events_funnel_view_click_purchase",
+    "rfm_customer_segments",
     # LLM-pipeline ops
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
@@ -49,6 +57,9 @@ HEADLINE = [
     "similarity_ivf_top5",
     "dedup_embedding_cosine_pairs",
     "embedding_int8_quantization",
+    "text_tfidf_top_terms",
+    "text_bigram_topk",
+    "embedding_label_centroids",
 ]
 
 

@@ -925,12 +925,13 @@ def nullsafe_join_event_band(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
-    pairs = docs.select(
+    # split once per row; the transform lambda indexes the materialized
+    # array (inlining split into the lambda re-tokenizes per element)
+    pairs = docs.select(F.split("text", " ").alias("tl")).select(
         F.explode(
             F.expr(
-                "transform(sequence(1, size(split(text, ' ')) - 1), "
-                "i -> concat(element_at(split(text, ' '), i), ' ', "
-                "element_at(split(text, ' '), i + 1)))"
+                "transform(sequence(1, size(tl) - 1), "
+                "i -> concat(element_at(tl, i), ' ', element_at(tl, i + 1)))"
             )
         ).alias("bigram")
     )
