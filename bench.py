@@ -48,6 +48,11 @@ HEADLINE = [
     "calendar_daily_event_gapfill",
     "events_funnel_view_click_purchase",
     "rfm_customer_segments",
+    "events_retention_cohorts",
+    "events_dau_wau",
+    "events_type_transition_matrix",
+    "orders_pareto_top_customers",
+    "orders_interpurchase_days",
     # LLM-pipeline ops
     "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
@@ -60,6 +65,8 @@ HEADLINE = [
     "text_tfidf_top_terms",
     "text_bigram_topk",
     "embedding_label_centroids",
+    "embedding_dim_stats",
+    "text_top_tokens_per_lang",
 ]
 
 

@@ -1,0 +1,333 @@
+"""Behavioral / statistical analytics: cohorts, sliding actives, Markov
+transitions, Pareto concentration, correlated-subquery shapes, purchase
+cadence, vector column statistics, per-group top-k over exploded text.
+
+The reference models these workloads only as pipeline stage labels
+(``AGGREGATION``/``JOINING``, reference ``src/lineage/lineage_tracker.py:
+45-46``) and as quality-metric scaffolding (reference
+``src/quality/data_quality.py``); here each is a first-class Spark plan
+with a DuckDB oracle.
+
+Scale notes (100 TB design point):
+* Sliding distinct-actives uses the coverage-explode trick (each
+  (user, day) emits the 7 days it covers) instead of a range self-join:
+  one explode + one hash agg, both map-side combinable — no O(days x
+  events) join, no window over a single partition.
+* The only global ordered windows are over post-aggregation outputs
+  whose cardinality is the *customer* count, not the fact count; at
+  1e8+ customers the same prefix-sum becomes a two-pass
+  partition-offset job, noted on the query.
+* Per-group top-k uses row_number over (group) partitions — shuffles
+  once on the group key with map-side partial counts first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from healthcare_data_lakehouse_spark.queries.catalog import register
+from healthcare_data_lakehouse_spark.tables import table
+
+__all__: list[str] = []
+
+
+# ------------------------------------------------------- retention cohorts
+@register(
+    "events_retention_cohorts",
+    oracle="""
+    WITH act AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+      FROM events
+    ),
+    coh AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id)
+    SELECT c.cohort_week AS cohort_week,
+           datediff('day', c.cohort_week, a.week) // 7 AS week_offset,
+           COUNT(DISTINCT a.user_id) AS active_users
+    FROM act a JOIN coh c ON a.user_id = c.user_id
+    GROUP BY 1, 2
+    """,
+    description="Weekly cohort retention matrix: cohort = first-active "
+    "week, active_users per (cohort, week_offset). Monday-start weeks on "
+    "both engines.",
+)
+def events_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    return (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.countDistinct("user_id").alias("active_users"))
+    )
+
+
+# ------------------------------------------------------------ sliding WAU
+@register(
+    "events_dau_wau",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    dau AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY day),
+    wau AS (
+      SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
+      FROM (SELECT DISTINCT day FROM pairs) d
+      JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+      GROUP BY d.day
+    )
+    SELECT dau.day AS day, dau.dau AS dau, wau.wau AS wau
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+    description="Daily active users + trailing-7-day actives. Spark side "
+    "avoids the O(days x events) range join: each (user, day) pair "
+    "explodes the 7 future days it covers, then one distinct-count per "
+    "day — fully map-side-combinable at 100 TB.",
+)
+def events_dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pairs = ev.select(F.col("ts").cast("date").alias("day"), "user_id").distinct()
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    # a user active on day d counts toward WAU of every day in [d, d+6]
+    cover = pairs.select(
+        F.explode(F.expr("sequence(day, date_add(day, 6))")).alias("day"),
+        "user_id",
+    )
+    wau = cover.groupBy("day").agg(F.countDistinct("user_id").alias("wau"))
+    # inner join keeps only observed days (dau's domain)
+    return dau.join(wau, "day")
+
+
+# ------------------------------------------------ Markov transition matrix
+@register(
+    "events_type_transition_matrix",
+    oracle="""
+    WITH seq AS (
+      SELECT event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+               AS prev_type
+      FROM events
+    ),
+    agg AS (
+      SELECT prev_type, event_type AS next_type, COUNT(*) AS transitions
+      FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    )
+    SELECT prev_type, next_type, transitions,
+           ROUND(transitions * 1.0 / SUM(transitions)
+                 OVER (PARTITION BY prev_type), 6) AS prob
+    FROM agg
+    """,
+    description="First-order Markov transition matrix over per-user event "
+    "sequences; prob = row-conditional P(next|prev). (user_id, ts) is "
+    "unique in the fixture so LAG ordering is total.",
+)
+def events_type_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    agg = seq.groupBy(
+        "prev_type", F.col("event_type").alias("next_type")
+    ).agg(F.count(F.lit(1)).alias("transitions"))
+    wp = Window.partitionBy("prev_type")
+    return agg.withColumn(
+        "prob",
+        F.round(F.col("transitions") / F.sum("transitions").over(wp), 6),
+    )
+
+
+# ------------------------------------------------------ Pareto / cum share
+@register(
+    "orders_pareto_top_customers",
+    oracle="""
+    WITH rev AS (
+      SELECT o_custkey, ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY o_custkey
+    ),
+    tot AS (SELECT ROUND(SUM(revenue), 2) AS total_revenue FROM rev),
+    ranked AS (
+      SELECT o_custkey, revenue,
+             ROW_NUMBER() OVER (ORDER BY revenue DESC, o_custkey)
+               AS revenue_rank,
+             ROUND(SUM(revenue) OVER (ORDER BY revenue DESC, o_custkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+               AS cum_revenue
+      FROM rev
+    )
+    SELECT r.o_custkey, r.revenue, r.revenue_rank, r.cum_revenue,
+           ROUND(r.cum_revenue / t.total_revenue, 6) AS cum_share
+    FROM ranked r CROSS JOIN tot t
+    WHERE r.revenue_rank <= 20
+    """,
+    description="Pareto concentration: top-20 customers by revenue with "
+    "cumulative share of total. Ordered prefix-sum runs over the "
+    "customer-grain aggregate (not the fact table); at 1e8+ customers "
+    "the same result comes from a two-pass per-partition-offset scan.",
+)
+def orders_pareto_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    rev = orders.groupBy("o_custkey").agg(
+        F.round(F.sum("o_totalprice"), 2).alias("revenue")
+    )
+    total = rev.agg(F.round(F.sum("revenue"), 2).alias("total_revenue"))
+    order_cols = [F.desc("revenue"), F.asc("o_custkey")]
+    w_rank = Window.orderBy(*order_cols)
+    w_cum = Window.orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rev.withColumn("revenue_rank", F.row_number().over(w_rank))
+        .withColumn("cum_revenue", F.round(F.sum("revenue").over(w_cum), 2))
+        .filter(F.col("revenue_rank") <= 20)
+        .crossJoin(F.broadcast(total))
+        .withColumn(
+            "cum_share", F.round(F.col("cum_revenue") / F.col("total_revenue"), 6)
+        )
+        .select(
+            "o_custkey", "revenue", "revenue_rank", "cum_revenue", "cum_share"
+        )
+    )
+
+
+# ------------------------------------------- correlated-subquery shape
+@register(
+    "orders_above_customer_avg",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           cust_avg
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+               AS cust_avg
+      FROM orders
+    )
+    WHERE o_totalprice > 1.5 * cust_avg
+    """,
+    description="Correlated scalar subquery shape (orders 1.5x above the "
+    "same customer's average), decorrelated to a partitioned window — "
+    "one shuffle on the correlation key. Threshold compares against the "
+    "ROUNDED average so the predicate is reproducible across engines.",
+)
+def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    return (
+        orders.withColumn(
+            "cust_avg", F.round(F.avg("o_totalprice").over(w), 2)
+        )
+        .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
+        .select("o_custkey", "o_orderkey", "o_totalprice", "cust_avg")
+    )
+
+
+# ------------------------------------------------------ purchase cadence
+@register(
+    "orders_interpurchase_days",
+    oracle="""
+    WITH gaps AS (
+      SELECT o_custkey,
+             datediff('day',
+                      LAG(o_orderdate) OVER (PARTITION BY o_custkey
+                                             ORDER BY o_orderdate, o_orderkey),
+                      o_orderdate) AS gap
+      FROM orders
+    )
+    SELECT o_custkey, COUNT(*) AS n_gaps,
+           ROUND(AVG(gap), 4) AS avg_gap_days,
+           MIN(gap) AS min_gap_days, MAX(gap) AS max_gap_days
+    FROM gaps WHERE gap IS NOT NULL GROUP BY o_custkey
+    """,
+    description="Inter-purchase cadence per customer (LAG over orderdate "
+    "with orderkey tiebreak — duplicate (custkey, date) pairs exist in "
+    "the fixture, so the tiebreak makes the sequence total-ordered).",
+)
+def orders_interpurchase_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    gaps = orders.withColumn(
+        "gap", F.datediff("o_orderdate", F.lag("o_orderdate").over(w))
+    ).filter(F.col("gap").isNotNull())
+    return gaps.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_gaps"),
+        F.round(F.avg("gap"), 4).alias("avg_gap_days"),
+        F.min("gap").alias("min_gap_days"),
+        F.max("gap").alias("max_gap_days"),
+    )
+
+
+# ------------------------------------------------- vector column statistics
+@register(
+    "embedding_dim_stats",
+    oracle="""
+    SELECT dim, ROUND(AVG(x), 4) AS mean_x,
+           ROUND(STDDEV_SAMP(x), 4) AS std_x,
+           ROUND(MIN(x), 4) AS min_x, ROUND(MAX(x), 4) AS max_x,
+           COUNT(*) AS n
+    FROM (
+      SELECT generate_subscripts(embedding, 1) - 1 AS dim,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    )
+    GROUP BY dim
+    """,
+    description="Per-dimension feature statistics over the embedding "
+    "column (posexplode -> hash agg with map-side partials; the natural "
+    "normalization/whitening precursor). At 100 TB this is the one-pass "
+    "column-stats job — no collect, no transpose.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    x = emb.select(F.posexplode("embedding").alias("dim", "xf")).select(
+        "dim", F.col("xf").cast("double").alias("x")
+    )
+    return x.groupBy("dim").agg(
+        F.round(F.avg("x"), 4).alias("mean_x"),
+        F.round(F.stddev_samp("x"), 4).alias("std_x"),
+        F.round(F.min("x"), 4).alias("min_x"),
+        F.round(F.max("x"), 4).alias("max_x"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# ------------------------------------------- per-group top-k over explode
+@register(
+    "text_top_tokens_per_lang",
+    oracle="""
+    WITH toks AS (
+      SELECT lang, UNNEST(string_split(text, ' ')) AS token FROM documents
+    ),
+    counts AS (
+      SELECT lang, token, COUNT(*) AS cnt FROM toks
+      WHERE token <> '' GROUP BY lang, token
+    )
+    SELECT lang, token, cnt, rnk FROM (
+      SELECT lang, token, cnt,
+             ROW_NUMBER() OVER (PARTITION BY lang
+                                ORDER BY cnt DESC, token) AS rnk
+      FROM counts
+    ) WHERE rnk <= 5
+    """,
+    description="Top-5 tokens per language: heavy explode -> two-level "
+    "agg (map-side partial on (lang, token)) -> per-group top-k via "
+    "row_number over the group partition. The rank window shuffles only "
+    "the (lang, token, cnt) aggregate, never raw tokens.",
+)
+def text_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    ).filter(F.col("token") != "")
+    counts = toks.groupBy("lang", "token").agg(F.count(F.lit(1)).alias("cnt"))
+    w = Window.partitionBy("lang").orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("rnk", F.row_number().over(w)).filter(
+        F.col("rnk") <= 5
+    )

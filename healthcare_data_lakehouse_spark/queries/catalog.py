@@ -44,6 +44,7 @@ def load_all() -> dict[str, QuerySpec]:
     """Import every query submodule so registrations run."""
     from healthcare_data_lakehouse_spark.queries import (  # noqa: F401
         analytics,
+        behavior,
         etl_queries,
         llm_ops,
         quality_queries,
