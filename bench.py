@@ -67,6 +67,8 @@ HEADLINE = [
     "embedding_label_centroids",
     "embedding_dim_stats",
     "text_top_tokens_per_lang",
+    "events_props_variant_stats",
+    "text_array_stats_hof",
 ]
 
 

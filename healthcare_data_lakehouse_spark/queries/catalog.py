@@ -48,6 +48,7 @@ def load_all() -> dict[str, QuerySpec]:
         etl_queries,
         llm_ops,
         quality_queries,
+        semistructured,
         streaming_queries,
     )
 

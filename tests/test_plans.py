@@ -116,3 +116,28 @@ def test_partitioned_write_prunes_partitions(spark, sf_dir, tmp_path):
     n_days = back.select("day").distinct().count()
     assert n_days > 1
     assert 0 < q.count() < back.count()
+
+
+def test_hof_array_stats_has_no_explode_no_python(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "text_array_stats_hof")
+    # the per-document stats stay inside the array column: no Generate
+    # (explode) widening the row count, no Python eval in the plan
+    assert "Generate" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_variant_extract_is_jvm_side(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "events_props_variant_stats")
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # map-side combine before the single shuffle on event_type
+    assert "partial_" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_unpivot_expands_after_aggregate(spark, sf_dir):
+    df = load_all()["unpivot_lineitem_metrics"].fn(spark, sf_dir)
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    # melt must sit above the aggregate: Expand's child contains Aggregate,
+    # so the 3x row expansion applies to |returnflags| rows, not the scan
+    assert "Expand" in optimized
+    assert optimized.index("Expand") < optimized.index("Aggregate")
