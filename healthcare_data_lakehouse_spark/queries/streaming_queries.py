@@ -124,3 +124,36 @@ def session_window_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_ev").alias("n_events"),
         F.sum("dur_s").alias("total_session_seconds"),
     )
+
+
+@register(
+    "streaming_interval_join_clicks_purchases",
+    oracle="""
+    SELECT c.user_id AS user_id, c.l_ts AS l_ts, c.click_id AS click_id,
+           p.r_ts AS r_ts, p.purchase_id AS purchase_id
+    FROM (SELECT user_id, ts AS l_ts, event_id AS click_id
+          FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts AS r_ts, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.r_ts >= c.l_ts
+     AND p.r_ts <= c.l_ts + INTERVAL 10 MINUTE
+    """,
+    description="Stream-stream watermarked interval join (purchase within "
+    "10min of a click, same user), run as two real streams drained with "
+    "AvailableNow; the time-bound predicate keeps both join-state buffers "
+    "bounded on an unbounded feed.",
+)
+def streaming_interval_join_clicks_purchases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        run_interval_join_stream,
+    )
+
+    return run_interval_join_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        tempfile.mkdtemp(prefix="stream_ssj_"),
+        query_name=f"ssj_result_{uuid.uuid4().hex[:8]}",
+    ).select("user_id", "l_ts", "click_id", "r_ts", "purchase_id")

@@ -31,6 +31,8 @@ __all__ = [
     "enrich_stream_with_dim",
     "dedup_stream_within_watermark",
     "stream_upsert_to_zone",
+    "join_streams_within_interval",
+    "run_interval_join_stream",
 ]
 
 
@@ -296,3 +298,92 @@ def stream_upsert_to_zone(
     )
     q.awaitTermination()
     return store.read(zone, dataset)
+
+
+def join_streams_within_interval(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    left_ts: str = "l_ts",
+    right_ts: str = "r_ts",
+    max_delay: str = "10 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: a right-side event matches a left-side
+    event with the same key when it lands within ``(left_ts, left_ts +
+    max_delay]``.
+
+    Both sides carry event-time watermarks and the join predicate carries
+    the time bound — together they let Spark EXPIRE buffered rows on both
+    sides (a left row can't match once the right watermark passes
+    ``left_ts + max_delay``), so join state stays bounded on an unbounded
+    feed. Without the interval condition a stream-stream join must buffer
+    both streams forever. Inner-join matches emit immediately (append
+    mode); the watermark governs only state eviction.
+
+    The same plan runs unchanged on batch frames (no watermark applied),
+    which is what the DuckDB oracle compares against.
+    """
+    if left.isStreaming:
+        left = left.withWatermark(left_ts, watermark)
+    if right.isStreaming:
+        right = right.withWatermark(right_ts, watermark)
+    cond = (
+        (left[key] == right[key])
+        & (right[right_ts] >= left[left_ts])
+        & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return left.join(right, cond, "inner").drop(right[key])
+
+
+def run_interval_join_stream(
+    spark: SparkSession,
+    source_parquet: str,
+    work_dir: str,
+    query_name: str = "interval_join_result",
+    max_delay: str = "10 minutes",
+) -> DataFrame:
+    """Run the click->purchase interval join AS two real streams over the
+    bounded events source, drained with AvailableNow, and return the
+    materialized result table."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_parquet).schema
+    src_dir = _stream_source_dir(source_parquet, work_dir)
+
+    def typed_stream() -> DataFrame:
+        s = spark.readStream.schema(schema).parquet(src_dir)
+        if dict(s.dtypes).get("ts") == "bigint":
+            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return s
+
+    clicks = (
+        typed_stream()
+        .filter(F.col("event_type") == "click")
+        .select(
+            "user_id",
+            F.col("ts").alias("l_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+    )
+    purchases = (
+        typed_stream()
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts").alias("r_ts"),
+            F.col("event_id").alias("purchase_id"),
+        )
+    )
+    joined = join_streams_within_interval(
+        clicks, purchases, max_delay=max_delay
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -220,6 +220,63 @@ class ZoneStore:
         finally:
             out.unpersist()
 
+    # ------------------------------------------------------------- compaction
+    def compact(
+        self,
+        zone: DataZone,
+        dataset: str,
+        target_file_bytes: int = 128 * 1024 * 1024,
+    ) -> dict:
+        """OPTIMIZE-style bin-packing compaction.
+
+        APPEND/INCREMENTAL loads accumulate one commit directory (and many
+        small files) per batch; reads then pay per-file open cost and lose
+        row-group-level locality. Compaction rewrites the dataset as ONE
+        fresh commit with ``ceil(total_bytes / target_file_bytes)`` files,
+        swapped in atomically via the manifest — readers see the old or the
+        new file set, never a mix. Maps to Delta/Iceberg ``OPTIMIZE``
+        (bin-packing) in a cluster deployment; there the table format's
+        transaction log plays the manifest's role.
+
+        File/byte accounting walks only this dataset's commit directories
+        (driver-side metadata, not data). Returns before/after stats.
+        """
+        import math
+
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        if not manifest["commits"]:
+            raise ValueError(f"no data to compact: {zone.value}/{dataset}")
+
+        def _stats(commits: list[str]) -> tuple[int, int]:
+            files = total = 0
+            for c in commits:
+                for root_, _, fs in os.walk(os.path.join(path, c)):
+                    for f in fs:
+                        if f.endswith(".parquet"):
+                            files += 1
+                            total += os.path.getsize(os.path.join(root_, f))
+            return files, total
+
+        files_before, bytes_before = _stats(manifest["commits"])
+        n_files = max(1, math.ceil(bytes_before / target_file_bytes))
+        df = self.read(zone, dataset).repartition(n_files)
+        commit = self._new_commit(path, df, None)
+        manifest["version"] += 1
+        stale = list(manifest["commits"])
+        manifest["commits"] = [commit]
+        self._write_manifest(path, manifest)
+        for c in stale:
+            shutil.rmtree(os.path.join(path, c), ignore_errors=True)
+        files_after, bytes_after = _stats([commit])
+        return {
+            "files_before": files_before,
+            "files_after": files_after,
+            "bytes_before": bytes_before,
+            "bytes_after": bytes_after,
+            "commits_before": len(stale),
+        }
+
     # -------------------------------------------------------------- quarantine
     def write_quarantine(
         self,

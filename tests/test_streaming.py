@@ -267,3 +267,31 @@ def test_stream_upsert_merge_idempotent(spark):
     assert out2.count() == 25
     assert out2.filter(F.col("event_id") == "15").collect()[0]["val"] == "v2"
     assert out2.filter(F.col("event_id") == "5").collect()[0]["val"] == "v1"
+
+
+def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        join_streams_within_interval,
+        run_interval_join_stream,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("r_ts"), F.col("event_id").alias("purchase_id")
+    )
+    expected = sorted(
+        (r.click_id, r.purchase_id)
+        for r in join_streams_within_interval(clicks, purchases).collect()
+    )
+
+    work = tempfile.mkdtemp(prefix="stream_ssj_t_")
+    got_df = run_interval_join_stream(
+        spark, f"{sf_dir}/events.parquet", work, query_name="ssj_test"
+    )
+    got = sorted((r.click_id, r.purchase_id) for r in got_df.collect())
+    assert got == expected
+    assert len(got) > 0

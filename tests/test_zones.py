@@ -95,3 +95,42 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         spark.sql("DROP TABLE IF EXISTS bkt_a")
         spark.sql("DROP TABLE IF EXISTS bkt_b")
+
+
+def test_compact_bin_packs_small_files(spark, store):
+    import pyspark.sql.functions as F
+
+    # 5 appended batches, each written with parallelism -> many small files
+    for i in range(5):
+        batch = (
+            spark.range(i * 100, (i + 1) * 100)
+            .select(F.col("id").cast("string").alias("id"))
+            .withColumn("v", F.concat(F.lit("v"), F.col("id")))
+            .repartition(4)
+        )
+        store.write(DataZone.BRONZE, "many", batch, LoadType.APPEND)
+
+    # materialize before compacting: the swap deletes old commit dirs, so
+    # plans captured earlier can't be re-collected afterwards
+    before_rows = sorted(rows(store.read(DataZone.BRONZE, "many")))
+    n_before = len(before_rows)
+    stats = store.compact(DataZone.BRONZE, "many")
+    assert stats["files_before"] >= 20
+    assert stats["files_after"] == 1  # 500 tiny rows fit one target file
+    assert stats["commits_before"] == 5
+
+    after = store.read(DataZone.BRONZE, "many")
+    assert after.count() == n_before
+    assert sorted(rows(after)) == before_rows
+    # manifest now points at a single commit; a second compact is a no-op
+    # rewrite that still preserves everything
+    stats2 = store.compact(DataZone.BRONZE, "many")
+    assert stats2["commits_before"] == 1
+    assert store.read(DataZone.BRONZE, "many").count() == n_before
+
+
+def test_compact_missing_dataset_raises(store):
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.compact(DataZone.GOLD, "nope")
