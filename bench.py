@@ -69,6 +69,8 @@ HEADLINE = [
     "text_top_tokens_per_lang",
     "events_props_variant_stats",
     "text_array_stats_hof",
+    "kmeans_embeddings_lloyd",
+    "sample_stratified_by_segment",
 ]
 
 

@@ -331,3 +331,160 @@ def text_top_tokens_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     return counts.withColumn("rnk", F.row_number().over(w)).filter(
         F.col("rnk") <= 5
     )
+
+
+# ------------------------------------------------------ stratified sample
+@register(
+    "sample_stratified_by_segment",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_total,
+           COUNT(*) FILTER (
+             substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 2) <
+             CASE c.c_mktsegment WHEN 'BUILDING' THEN '33'
+                                 WHEN 'AUTOMOBILE' THEN '1a'
+                                 ELSE '0d' END
+           ) AS n_sampled
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    GROUP BY 1
+    """,
+    description="Stratified content-hash sampling: per-stratum rates "
+    "(BUILDING ~20%, AUTOMOBILE ~10%, rest ~5%) via md5-prefix "
+    "thresholds. Reproducible across engines/runs/cluster sizes — unlike "
+    "sampleBy's seeded Bernoulli — so a downsampled training corpus can "
+    "be audited or regenerated exactly at 100 TB.",
+)
+def sample_stratified_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    h = F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 2)
+    thr = (
+        F.when(F.col("c_mktsegment") == "BUILDING", "33")
+        .when(F.col("c_mktsegment") == "AUTOMOBILE", "1a")
+        .otherwise("0d")
+    )
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.count_if(h < thr).alias("n_sampled"),
+        )
+    )
+
+
+# ----------------------------------------------- percent_rank / cume_dist
+@register(
+    "window_order_percentile_rank",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment, o.o_orderkey, o.o_totalprice,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume_d
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WINDOW w AS (PARTITION BY c.c_mktsegment
+                 ORDER BY o.o_totalprice, o.o_orderkey)
+    """,
+    description="Relative standing of every order within its market "
+    "segment (percent_rank + cume_dist). The orderkey tiebreak makes the "
+    "within-partition order total, so ranks are deterministic under any "
+    "partitioning.",
+)
+def window_order_percentile_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    w = Window.partitionBy("mktsegment").orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            F.col("c_mktsegment").alias("mktsegment"),
+            "o_orderkey",
+            "o_totalprice",
+        )
+        .withColumn("pct_rank", F.round(F.percent_rank().over(w), 6))
+        .withColumn("cume_d", F.round(F.cume_dist().over(w), 6))
+    )
+
+
+# ----------------------------------------------------- iterative k-means
+_KMEANS_ORACLE = """
+WITH pts AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+         CAST(UNNEST(embedding) AS DOUBLE) AS x
+  FROM embeddings
+),
+cent0 AS (SELECT vec_id AS c, i, x FROM pts WHERE vec_id < 4),
+d0 AS (
+  SELECT p.vec_id, c.c, SUM((p.x - c.x) * (p.x - c.x)) AS d
+  FROM pts p JOIN cent0 c ON p.i = c.i GROUP BY 1, 2
+),
+a0 AS (
+  SELECT vec_id, c, d FROM (
+    SELECT vec_id, c, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM d0
+  ) WHERE rn = 1
+),
+cent1 AS (
+  SELECT a0.c, p.i, AVG(p.x) AS x
+  FROM pts p JOIN a0 ON p.vec_id = a0.vec_id GROUP BY a0.c, p.i
+),
+d1 AS (
+  SELECT p.vec_id, c.c, SUM((p.x - c.x) * (p.x - c.x)) AS d
+  FROM pts p JOIN cent1 c ON p.i = c.i GROUP BY 1, 2
+),
+a1 AS (
+  SELECT vec_id, c, d FROM (
+    SELECT vec_id, c, d,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+    FROM d1
+  ) WHERE rn = 1
+)
+SELECT c AS cluster_id, COUNT(*) AS n_points,
+       ROUND(SUM(d), 2) AS inertia
+FROM a1 GROUP BY c
+"""
+
+
+@register(
+    "kmeans_embeddings_lloyd",
+    oracle=_KMEANS_ORACLE,
+    description="Two Lloyd iterations of k-means (k=4) over the embedding "
+    "column, centroids seeded from vec_id 0..3 for determinism. Each "
+    "iteration is assign (distance join + per-point argmin) then update "
+    "(per-cluster/dim mean) — the distributed iterative-ML pattern "
+    "without MLlib. The oracle unrolls both iterations as CTEs, proving "
+    "the DataFrame loop computes exactly the relational fixpoint step.",
+)
+def kmeans_embeddings_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", (F.col("i") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    # deterministic seed: the first k points ARE the initial centroids
+    cent = pts.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c"), "i", "x"
+    )
+    assign = None
+    for _ in range(2):  # assign -> update, twice (second update unused)
+        diff = F.col("p.x") - F.col("c.x")
+        d = (
+            pts.alias("p")
+            .join(F.broadcast(cent.alias("c")), F.col("p.i") == F.col("c.i"))
+            .groupBy(F.col("p.vec_id").alias("vec_id"), F.col("c.c").alias("c"))
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "c")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cent = (
+            pts.join(assign.select("vec_id", "c"), "vec_id")
+            .groupBy("c", "i")
+            .agg(F.avg("x").alias("x"))
+        )
+    return assign.groupBy(F.col("c").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_points"),
+        F.round(F.sum("d"), 2).alias("inertia"),
+    )

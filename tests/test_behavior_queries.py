@@ -86,3 +86,39 @@ def test_top_tokens_rank_dense_per_lang(spark, sf_dir):
         assert [r for r, _ in rks] == list(range(1, len(rks) + 1)), lang
         cnts = [c for _, c in rks]
         assert cnts == sorted(cnts, reverse=True), lang
+
+
+def test_stratified_sample_rates_near_targets(spark, sf_dir):
+    rows = behavior.sample_stratified_by_segment(spark, sf_dir).collect()
+    rates = {r.mktsegment: r.n_sampled / r.n_total for r in rows}
+    assert 0.1 < rates["BUILDING"] < 0.3
+    assert 0.04 < rates["AUTOMOBILE"] < 0.18
+    others = [v for k, v in rates.items() if k not in ("BUILDING", "AUTOMOBILE")]
+    assert others and all(0.01 < v < 0.1 for v in others)
+    # stratified: BUILDING oversampled relative to the base strata
+    assert rates["BUILDING"] > max(others)
+
+
+def test_percentile_rank_bounds(spark, sf_dir):
+    df = behavior.window_order_percentile_rank(spark, sf_dir)
+    import pyspark.sql.functions as F
+
+    agg = df.groupBy("mktsegment").agg(
+        F.min("pct_rank").alias("lo"),
+        F.max("pct_rank").alias("hi"),
+        F.max("cume_d").alias("cd_hi"),
+        F.min("cume_d").alias("cd_lo"),
+    ).collect()
+    for r in agg:
+        assert r.lo == 0.0 and r.hi == 1.0
+        assert r.cd_hi == 1.0 and r.cd_lo > 0.0
+
+
+def test_kmeans_partitions_all_points(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = behavior.kmeans_embeddings_lloyd(spark, sf_dir).collect()
+    n_vec = table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_points for r in rows) == n_vec
+    assert len(rows) <= 4
+    assert all(r.inertia > 0 for r in rows)
