@@ -71,6 +71,9 @@ HEADLINE = [
     "text_array_stats_hof",
     "kmeans_embeddings_lloyd",
     "sample_stratified_by_segment",
+    "stats_price_quantity_regression",
+    "text_zipf_slope",
+    "events_value_twap_per_user",
 ]
 
 

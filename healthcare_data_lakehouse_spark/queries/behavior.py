@@ -488,3 +488,145 @@ def kmeans_embeddings_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_points"),
         F.round(F.sum("d"), 2).alias("inertia"),
     )
+
+
+# ----------------------------------------------- statistical aggregates
+@register(
+    "stats_price_quantity_regression",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(CORR(l_extendedprice, l_quantity), 6) AS price_qty_corr,
+           ROUND(COVAR_SAMP(l_extendedprice, l_quantity), 4) AS price_qty_covar,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Distributed bivariate statistics (corr / covar / OLS "
+    "slope+intercept) per group in ONE aggregate pass — the regr_* "
+    "family keeps running moments, so a 100 TB fit is a map-side-"
+    "combinable agg, not an iterative solver.",
+)
+def stats_price_quantity_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr(y, x), 6).alias("price_qty_corr"),
+        F.round(F.covar_samp(y, x), 4).alias("price_qty_covar"),
+        F.round(F.regr_slope(y, x), 4).alias("slope"),
+        F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+# --------------------------------------------------------- Zipf fit
+@register(
+    "text_zipf_slope",
+    oracle="""
+    WITH freq AS (
+      SELECT token, COUNT(*) AS cnt FROM (
+        SELECT UNNEST(string_split(text, ' ')) AS token FROM documents
+      ) WHERE token <> '' GROUP BY token
+    ),
+    ranked AS (
+      SELECT cnt,
+             ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rnk
+      FROM freq
+    )
+    SELECT COUNT(*) AS n_tokens,
+           ROUND(REGR_SLOPE(LN(cnt), LN(rnk)), 4) AS zipf_slope,
+           ROUND(REGR_INTERCEPT(LN(cnt), LN(rnk)), 4) AS zipf_intercept,
+           MAX(cnt) AS top_freq
+    FROM ranked
+    """,
+    description="Zipf's-law fit over the corpus: token frequencies -> "
+    "rank (total-order tiebreak) -> OLS of ln(freq) on ln(rank). A "
+    "natural-corpus health check for training data (slope near -1 "
+    "expected; synthetic fixtures deviate). Rank window runs over the "
+    "token-vocabulary aggregate, not raw tokens.",
+)
+def text_zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("token"))
+    ranked = freq.withColumn("rnk", F.row_number().over(w))
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.regr_slope(F.log("cnt"), F.log("rnk")), 4).alias("zipf_slope"),
+        F.round(F.regr_intercept(F.log("cnt"), F.log("rnk")), 4).alias(
+            "zipf_intercept"
+        ),
+        F.max("cnt").alias("top_freq"),
+    )
+
+
+# ------------------------------------------------- time-weighted average
+@register(
+    "events_value_twap_per_user",
+    oracle="""
+    WITH spans AS (
+      SELECT user_id, value,
+             datediff('microsecond', ts,
+                      LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts))
+               AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           COUNT(*) AS n_spans,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twap
+    FROM spans WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    description="Time-weighted average of the event value per user: each "
+    "reading holds until the next one (LEAD span weighting, exact "
+    "integer microseconds on both engines). The time-series TWAP/TVWAP "
+    "primitive — one window pass + one agg, shuffled once on user_id.",
+)
+def events_value_twap_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    spans = ev.withColumn(
+        "dt_us",
+        F.unix_micros(F.lead("ts").over(w)) - F.unix_micros(F.col("ts")),
+    ).filter(F.col("dt_us").isNotNull())
+    return spans.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_spans"),
+        F.round(F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4).alias(
+            "twap"
+        ),
+    )
+
+
+# ----------------------------------------------------------- YoY growth
+@register(
+    "orders_yoy_growth",
+    oracle="""
+    WITH yearly AS (
+      SELECT CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS order_year,
+             ROUND(SUM(o_totalprice), 2) AS revenue
+      FROM orders GROUP BY 1
+    )
+    SELECT order_year, revenue,
+           ROUND(100.0 * (revenue - LAG(revenue) OVER (ORDER BY order_year))
+                 / LAG(revenue) OVER (ORDER BY order_year), 4) AS yoy_pct
+    FROM yearly
+    """,
+    description="Year-over-year revenue growth: fact scan -> yearly agg "
+    "(map-side combinable) -> LAG over the tiny year-grain series.",
+)
+def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    yearly = orders.groupBy(
+        F.year("o_orderdate").cast("long").alias("order_year")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("revenue"))
+    w = Window.orderBy("order_year")
+    prev = F.lag("revenue").over(w)
+    return yearly.withColumn(
+        "yoy_pct", F.round(100.0 * (F.col("revenue") - prev) / prev, 4)
+    )

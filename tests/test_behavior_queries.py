@@ -122,3 +122,38 @@ def test_kmeans_partitions_all_points(spark, sf_dir):
     assert sum(r.n_points for r in rows) == n_vec
     assert len(rows) <= 4
     assert all(r.inertia > 0 for r in rows)
+
+
+def test_twap_within_value_range(spark, sf_dir):
+    import pyspark.sql.functions as F
+
+    from healthcare_data_lakehouse_spark.tables import table
+
+    twap = behavior.events_value_twap_per_user(spark, sf_dir)
+    bounds = (
+        table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+    )
+    joined = twap.join(bounds, "user_id").collect()
+    assert joined
+    for r in joined:
+        assert r.lo - 1e-6 <= r.twap <= r.hi + 1e-6, r.user_id
+
+
+def test_zipf_slope_negative(spark, sf_dir):
+    row = behavior.text_zipf_slope(spark, sf_dir).collect()[0]
+    assert row.zipf_slope < 0  # frequency decreases with rank, always
+    assert row.n_tokens > 0 and row.top_freq >= 1
+
+
+def test_regression_consistency(spark, sf_dir):
+    rows = behavior.stats_price_quantity_regression(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the synthetic fixture draws price independently of quantity, so
+        # only the mathematical invariants hold: bounded corr, corr and
+        # slope sharing a sign (slope = corr * sy/sx), finite fit
+        assert -1.0 <= r.price_qty_corr <= 1.0, r.l_returnflag
+        assert (r.slope >= 0) == (r.price_qty_corr >= 0), r.l_returnflag
+        assert r.intercept is not None and r.n > 0
