@@ -74,6 +74,8 @@ HEADLINE = [
     "stats_price_quantity_regression",
     "text_zipf_slope",
     "events_value_twap_per_user",
+    "dedup_containment_pairs",
+    "histogram_equal_frequency_totalprice",
 ]
 
 

@@ -1959,3 +1959,73 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("r_tile", "f_tile", "m_tile")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "sketch_approx_percentile_order_value",
+    oracle=None,  # t-digest style estimates are engine-specific -> rows-only
+    description="approx_percentile sketch per market segment (p50/p95, "
+    "accuracy 10000): mergeable bounded-memory quantile state — the "
+    "100 TB path where exact percentile's full sort per group is "
+    "unaffordable. Exact percentiles ship alongside "
+    "(percentile_order_value_by_segment) for error inspection.",
+)
+def sketch_approx_percentile_order_value(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+    return (
+        orders.join(customer, orders.o_custkey == customer.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.round(
+                F.expr(
+                    "approx_percentile(o_totalprice, 0.5, 10000)"
+                ),
+                2,
+            ).alias("p50_approx"),
+            F.round(
+                F.expr(
+                    "approx_percentile(o_totalprice, 0.95, 10000)"
+                ),
+                2,
+            ).alias("p95_approx"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+    )
+
+
+@register(
+    "histogram_equal_frequency_totalprice",
+    oracle="""
+    WITH buckets AS (
+      SELECT o_totalprice,
+             NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+      FROM orders
+    )
+    SELECT decile, COUNT(*) AS n,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM buckets GROUP BY decile
+    """,
+    description="Equal-frequency (decile) histogram: NTILE with a "
+    "total-order tiebreak, then per-bucket bounds — the optimizer-"
+    "statistics histogram form, complementing the fixed-width one. At "
+    "1e9+ rows the same cuts come from approx_percentile boundaries "
+    "instead of a global NTILE sort.",
+)
+def histogram_equal_frequency_totalprice(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+    )

@@ -942,3 +942,32 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("bigram", "n")
     )
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=20)
+    + ", "
+    + _SHINGLES_SQL
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / sa.sz, 6) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(n_inter AS DOUBLE) / sa.sz >= 0.7
+    """,
+    description="Directional shingle containment C(A->B)=|A∩B|/|A| "
+    "(>=0.7): catches sub-document duplication (quotes, boilerplate, "
+    "full-inclusion) that symmetric Jaccard under-scores. Same bounded "
+    "shingle self-join as the Jaccard pass.",
+)
+def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.containment_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.7)
