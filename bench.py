@@ -76,6 +76,8 @@ HEADLINE = [
     "events_value_twap_per_user",
     "dedup_containment_pairs",
     "histogram_equal_frequency_totalprice",
+    "events_ohlc_bars",
+    "quality_redact_pii_documents",
 ]
 
 

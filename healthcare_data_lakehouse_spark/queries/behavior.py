@@ -630,3 +630,33 @@ def orders_yoy_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yearly.withColumn(
         "yoy_pct", F.round(100.0 * (F.col("revenue") - prev) / prev, 4)
     )
+
+
+# ------------------------------------------------------- OHLC downsampling
+@register(
+    "events_ohlc_bars",
+    oracle="""
+    SELECT event_type, CAST(ts AS DATE) AS day,
+           ROUND(ARG_MIN(value, ts), 4) AS open_v,
+           ROUND(MAX(value), 4) AS high_v,
+           ROUND(MIN(value), 4) AS low_v,
+           ROUND(ARG_MAX(value, ts), 4) AS close_v,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2
+    """,
+    description="Daily OHLC bars per event type (min_by/max_by ordered "
+    "aggregates — ts is collision-free in the fixture, so open/close are "
+    "well-defined). The time-series downsampling primitive: one "
+    "map-side-combinable agg pass, output cardinality |types| x |days| "
+    "regardless of input scale.",
+)
+def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("event_type", F.col("ts").cast("date").alias("day")).agg(
+        F.round(F.min_by("value", "ts"), 4).alias("open_v"),
+        F.round(F.max("value"), 4).alias("high_v"),
+        F.round(F.min("value"), 4).alias("low_v"),
+        F.round(F.max_by("value", "ts"), 4).alias("close_v"),
+        F.count(F.lit(1)).alias("n"),
+    )

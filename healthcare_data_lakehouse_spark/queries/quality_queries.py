@@ -454,3 +454,47 @@ def quality_fk_integrity_gold(spark: SparkSession, sf_dir: str) -> DataFrame:
         if r.rule_id == "DQ007"
     ]
     return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+
+_SSN_RE = "[0-9]{3}-[0-9]{2}-[0-9]{4}"
+
+
+@register(
+    "quality_redact_pii_documents",
+    oracle=f"""
+    WITH docs AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 2000000 AS doc_id,
+             text || ' ssn 123-45-6789 contact 987-65-4321' AS text
+      FROM documents WHERE doc_id % 25 = 0
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_SSN_RE}')) AS BIGINT) AS n_ssn,
+           sha256(regexp_replace(text, '{_SSN_RE}', '[SSN]', 'g')) AS text_hash
+    FROM docs
+    """,
+    description="PII redaction for the healthcare zone (reference flags "
+    "plaintext SSNs, `src/quality/data_quality.py:590-592`, but never "
+    "removes them): count SSN-shaped tokens, redact them, fingerprint "
+    "the sanitized text (sha256) for audit. Pure JVM regexp + hash — "
+    "scan-speed over 100 TB, no UDF. Fixture docs carry no PII, so the "
+    "query injects tainted copies deterministically and proves they "
+    "redact to the same hash as their clean source would.",
+)
+def quality_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    tainted = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" ssn 123-45-6789 contact 987-65-4321")).alias(
+            "text"
+        ),
+    )
+    all_docs = docs.unionAll(tainted)
+    return all_docs.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(_SSN_RE)).cast("long").alias("n_ssn"),
+        F.sha2(F.regexp_replace("text", _SSN_RE, "[SSN]"), 256).alias("text_hash"),
+    )
