@@ -59,6 +59,7 @@ __all__ = [
     "CLINICAL_RANGES",
     "PHI_FIELDS",
     "DIMENSION_WEIGHTS",
+    "with_observed_metrics",
 ]
 
 
@@ -825,3 +826,21 @@ class DataQualityValidator:
 
         failed = sum(1 for r in results if r.status == QualityStatus.FAILED)
         return failed <= thresholds.max_failed_critical
+
+
+def with_observed_metrics(df: DataFrame, name: str, exprs: dict[str, Column]):
+    """Attach inline quality telemetry to a frame: the named aggregate
+    expressions are computed BY the action that consumes ``df`` (a write,
+    a count) — zero extra scans, exactly the metrics-on-ingest pattern the
+    reference pays a second validation pass for (reference
+    ``src/quality/data_quality.py:345-349`` re-reads records per check).
+
+    Returns ``(df, observation)``; read ``observation.get`` after the
+    action completes. On a 100 TB load this is the only affordable way to
+    emit row counts / null rates / sums per batch: the metrics ride the
+    write's own scan.
+    """
+    from pyspark.sql import Observation
+
+    obs = Observation(name)
+    return df.observe(obs, *[c.alias(k) for k, c in exprs.items()]), obs

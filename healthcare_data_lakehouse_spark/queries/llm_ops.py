@@ -971,3 +971,43 @@ def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.containment_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.7)
+
+
+@register(
+    "dedup_transitive_closure_sql",
+    oracle=(
+        lambda: (
+            lambda ctes, final: "WITH RECURSIVE "
+            + ctes
+            + f""",
+    pairs AS ({final}),
+    reach(src, dst) AS (
+        SELECT id_a, id_b FROM pairs
+        UNION ALL
+        SELECT r.src, p.id_b FROM reach r JOIN pairs p ON p.id_a = r.dst
+    )
+    SELECT DISTINCT src AS ancestor_id, dst AS reachable_id FROM reach
+    """
+        )(*_lsh_pairs_ctes())
+    )(),
+    description="Transitive closure of the near-dup DAG via Spark 4 "
+    "native WITH RECURSIVE (the id_a < id_b orientation makes the edge "
+    "set acyclic, so UNION ALL recursion terminates at the longest "
+    "chain). Complements dedup_duplicate_clusters' iterative-DataFrame "
+    "label propagation: same fixpoint machinery, declared in SQL and "
+    "executed by the engine's recursion operator.",
+)
+def dedup_transitive_closure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
+    view = f"dup_edges_{_uuid.uuid4().hex[:8]}"
+    pairs.createOrReplaceTempView(view)
+    return spark.sql(f"""
+        WITH RECURSIVE reach(src, dst) AS (
+            SELECT id_a, id_b FROM {view}
+            UNION ALL
+            SELECT r.src, e.id_b FROM reach r JOIN {view} e ON e.id_a = r.dst
+        )
+        SELECT DISTINCT src AS ancestor_id, dst AS reachable_id FROM reach
+    """)

@@ -137,3 +137,31 @@ def test_dq007_real_fk_check(spark):
     r2 = {c.rule_id: c for c in
           stub.validate(child, DataZone.GOLD).check_results}["DQ007"]
     assert r2.status.value == "passed" and r2.records_failed == 0
+
+
+def test_observed_metrics_ride_the_write(spark, tmp_path):
+    """Observation metrics are computed by the write's own scan — no
+    second pass — and match independently computed values."""
+    import pyspark.sql.functions as F
+
+    from healthcare_data_lakehouse_spark.quality import with_observed_metrics
+
+    df = spark.range(1000).select(
+        F.col("id"),
+        F.when(F.col("id") % 10 == 0, None).otherwise(F.col("id") % 7).alias("v"),
+    )
+    observed, obs = with_observed_metrics(
+        df,
+        "ingest_metrics",
+        {
+            "n_rows": F.count(F.lit(1)),
+            "n_null_v": F.count_if(F.col("v").isNull()),
+            "sum_v": F.sum("v"),
+        },
+    )
+    observed.write.mode("overwrite").parquet(str(tmp_path / "out"))
+    got = obs.get
+    assert got["n_rows"] == 1000
+    assert got["n_null_v"] == 100
+    expected_sum = df.agg(F.sum("v")).first()[0]
+    assert got["sum_v"] == expected_sum
