@@ -1,0 +1,122 @@
+"""Plan linter: scale discipline enforced over the whole query catalog.
+
+Builds (without executing) the physical plan of every registered batch
+query and flags:
+
+* ``CartesianProduct`` — an unbounded all-pairs join is never acceptable
+  at 100 TB (broadcast nested-loop against a tiny side is fine and is not
+  flagged).
+* Row/Arrow Python evaluation (``BatchEvalPython`` / ``ArrowEvalPython``
+  / ``MapInPandas``) outside the explicitly-Python operators — hot paths
+  must stay in codegen; Python is reserved for the multimodal decode
+  surface where it's the design.
+* ``Exchange SinglePartition`` feeding a sort/window — legal only over
+  post-aggregation small-grain data, so every use must be declared in
+  ``GLOBAL_WINDOW_OK`` with its justification (the allowlist IS the
+  design doc; an undeclared single-partition stage fails the lint).
+
+Queries that execute work inside their builder (streaming drains, ETL
+jobs) are skipped; their guarantees live in dedicated tests.
+
+Usage: ``python tools/plan_lint.py [sf_dir]``
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+# Builders that RUN things (streams, ETL jobs, zone writes) when called;
+# their plans are post-hoc table scans, not the pipeline shape.
+SKIP_PREFIXES = ("streaming_", "etl_", "load_", "quality_validate",
+                 "quality_promotion", "source_", "scd2_", "lineage_",
+                 "dedup_transitive_closure_sql")
+
+# Python evaluation is the design here (Arrow-batched decode/stateful ops).
+PYTHON_OK = {
+    "multimodal_binary_features",
+    "multimodal_frame_sample",
+}
+
+# Single-partition ordered stages justified by small post-aggregation
+# grain. Global top-k queries don't appear here because Spark plans them
+# as TakeOrderedAndProject (per-partition top-k + merge), which never
+# single-partitions the data — the linter verified that.
+GLOBAL_WINDOW_OK = {
+    "orders_pareto_top_customers": "cum-share window over customer-grain aggregate",
+    "window_customer_value_deciles": "NTILE over customer-grain aggregate",
+    "window_moving_avg_daily_revenue": "series is day-grain post-agg",
+    "window_mom_revenue_growth": "series is month-grain post-agg",
+    "orders_yoy_growth": "series is year-grain post-agg",
+    "text_zipf_slope": "rank window over the vocabulary aggregate",
+    "histogram_equal_frequency_totalprice":
+        "NTILE sort at orders grain locally; approx_percentile cuts at 1e9+ "
+        "(noted on the query)",
+    "rfm_customer_segments": "quintile windows over customer-grain aggregate",
+}
+
+
+def lint(spark, sf_dir: str) -> list[str]:
+    from healthcare_data_lakehouse_spark.queries.catalog import load_all
+
+    violations: list[str] = []
+    for name, spec in sorted(load_all().items()):
+        if name.startswith(SKIP_PREFIXES) or name in (
+            "quality_fk_integrity_gold", "quality_custom_rule_ssn_plaintext",
+        ):
+            continue
+        try:
+            plan = spec.fn(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
+        except Exception as exc:  # noqa: BLE001
+            violations.append(f"{name}: plan build failed: {exc}")
+            continue
+        if "CartesianProduct" in plan:
+            violations.append(f"{name}: CartesianProduct in plan")
+        if name not in PYTHON_OK and any(
+            tok in plan for tok in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas")
+        ):
+            violations.append(f"{name}: Python evaluation in hot path")
+        if _has_ordered_single_partition(plan) and name not in GLOBAL_WINDOW_OK:
+            violations.append(
+                f"{name}: undeclared single-partition Sort/Window "
+                "(add to GLOBAL_WINDOW_OK with justification if the grain is small)"
+            )
+    return violations
+
+
+def _has_ordered_single_partition(plan: str) -> bool:
+    """True when an ``Exchange SinglePartition`` feeds a Sort or Window.
+
+    A single-partition exchange merging scalar-aggregate partials is the
+    normal O(#partitions) final step and is NOT flagged; pulling the data
+    onto one task to ORDER it is what needs justification. The plan tree
+    prints parents above children, so the exchange's consumer appears in
+    the text just before it."""
+    start = 0
+    while True:
+        idx = plan.find("Exchange SinglePartition", start)
+        if idx < 0:
+            return False
+        consumer_context = plan[max(0, idx - 400):idx]
+        if "Window" in consumer_context or "Sort " in consumer_context:
+            return True
+        start = idx + 1
+
+
+if __name__ == "__main__":
+    from pyspark.sql import SparkSession
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.shuffle.partitions", "8")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    vs = lint(spark, sf_dir)
+    for v in vs:
+        print("VIOLATION", v)
+    print(f"{'FAIL' if vs else 'OK'}: {len(vs)} violations")
+    sys.exit(1 if vs else 0)
