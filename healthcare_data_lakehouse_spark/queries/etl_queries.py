@@ -570,3 +570,51 @@ def lineage_columns_from_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, source_columns string"
     )
+
+
+@register(
+    "load_time_travel_diff",
+    oracle="""
+    WITH v1 AS (
+        SELECT o_orderkey AS id, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 0
+    ),
+    v2_extra AS (
+        SELECT o_orderkey AS id, o_totalprice FROM orders
+        WHERE o_orderkey % 3 = 1
+    )
+    SELECT 'v1' AS version_label, COUNT(*) AS n_rows,
+           ROUND(SUM(o_totalprice), 2) AS total
+    FROM v1
+    UNION ALL
+    SELECT 'v2', COUNT(*), ROUND(SUM(o_totalprice), 2)
+    FROM (SELECT * FROM v1 UNION ALL SELECT * FROM v2_extra)
+    """,
+    description="Time travel on the ZoneStore manifest (Delta/Iceberg "
+    "snapshot-read semantics on plain parquet): write v1, append v2, "
+    "then read BOTH versions back side-by-side — the audit/debug/"
+    "reproduce-yesterday's-training-set primitive. Superseded commits "
+    "stay readable until vacuum() reclaims them.",
+)
+def load_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    v1 = orders.filter(F.col("o_orderkey") % 3 == 0).select(
+        F.col("o_orderkey").alias("id"), "o_totalprice"
+    )
+    extra = orders.filter(F.col("o_orderkey") % 3 == 1).select(
+        F.col("o_orderkey").alias("id"), "o_totalprice"
+    )
+    store = ZoneStore(spark, tempfile.mkdtemp(prefix="zs_tt_"))
+    store.write(DataZone.SILVER, "orders_tt", v1, LoadType.FULL)
+    store.write(DataZone.SILVER, "orders_tt", extra, LoadType.APPEND)
+
+    def summarize(df: DataFrame, label: str) -> DataFrame:
+        return df.agg(
+            F.lit(label).alias("version_label"),
+            F.count(F.lit(1)).alias("n_rows"),
+            F.round(F.sum("o_totalprice"), 2).alias("total"),
+        ).select("version_label", "n_rows", "total")
+
+    return summarize(
+        store.read_version(DataZone.SILVER, "orders_tt", 1), "v1"
+    ).unionAll(summarize(store.read_version(DataZone.SILVER, "orders_tt", 2), "v2"))

@@ -208,17 +208,75 @@ class ZoneStore:
             commit = self._new_commit(path, out, partition_columns)
             manifest["version"] += 1
             if replace:
-                stale = list(manifest["commits"])
                 manifest["commits"] = [commit]
             else:
-                stale = []
                 manifest["commits"].append(commit)
+            # Time travel: every version's commit membership is recorded and
+            # superseded commit dirs are RETAINED until vacuum() — the same
+            # contract as Delta's transaction log + VACUUM.
+            manifest.setdefault("history", {})[str(manifest["version"])] = list(
+                manifest["commits"]
+            )
             self._write_manifest(path, manifest)
-            for c in stale:
-                shutil.rmtree(os.path.join(path, c), ignore_errors=True)
             return n
         finally:
             out.unpersist()
+
+    # ------------------------------------------------------------ time travel
+    def read_version(
+        self, zone: DataZone, dataset: str, version: int
+    ) -> DataFrame:
+        """Read the dataset exactly as it stood after commit ``version``
+        (1-based). Raises if the version never existed or its files were
+        reclaimed by :meth:`vacuum` — the Delta/Iceberg time-travel
+        contract on the parquet ZoneStore."""
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        membership = manifest.get("history", {}).get(str(version))
+        if membership is None:
+            raise ValueError(
+                f"version {version} not available for {zone.value}/{dataset} "
+                f"(current: {manifest['version']}; vacuumed or never written)"
+            )
+        dirs = [os.path.join(path, c) for c in membership]
+        if not all(os.path.isdir(d) for d in dirs):
+            raise ValueError(
+                f"version {version} of {zone.value}/{dataset} was vacuumed"
+            )
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
+    def vacuum(
+        self, zone: DataZone, dataset: str, retain_last: int = 2
+    ) -> dict:
+        """Reclaim commit directories referenced only by versions older
+        than the newest ``retain_last`` — bounding time-travel storage the
+        way Delta's ``VACUUM`` bounds tombstoned files. Returns stats."""
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        history: dict = manifest.get("history", {})
+        if not manifest["commits"]:
+            return {"removed_commits": 0, "retained_versions": 0}
+        versions = sorted(int(v) for v in history)
+        keep_versions = versions[-retain_last:] if retain_last > 0 else []
+        live: set[str] = set(manifest["commits"])
+        for v in keep_versions:
+            live.update(history[str(v)])
+        removed = 0
+        for entry in list(os.listdir(path)):
+            full = os.path.join(path, entry)
+            if (
+                os.path.isdir(full)
+                and entry.startswith("c")
+                and entry not in live
+            ):
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+        manifest["history"] = {str(v): history[str(v)] for v in keep_versions}
+        self._write_manifest(path, manifest)
+        return {
+            "removed_commits": removed,
+            "retained_versions": len(keep_versions),
+        }
 
     # ------------------------------------------------------------- compaction
     def compact(
@@ -265,9 +323,10 @@ class ZoneStore:
         manifest["version"] += 1
         stale = list(manifest["commits"])
         manifest["commits"] = [commit]
+        # like Delta OPTIMIZE: the rewrite is a new version; superseded
+        # commits stay readable via read_version until vacuum()
+        manifest.setdefault("history", {})[str(manifest["version"])] = [commit]
         self._write_manifest(path, manifest)
-        for c in stale:
-            shutil.rmtree(os.path.join(path, c), ignore_errors=True)
         files_after, bytes_after = _stats([commit])
         return {
             "files_before": files_before,

@@ -110,8 +110,8 @@ def test_compact_bin_packs_small_files(spark, store):
         )
         store.write(DataZone.BRONZE, "many", batch, LoadType.APPEND)
 
-    # materialize before compacting: the swap deletes old commit dirs, so
-    # plans captured earlier can't be re-collected afterwards
+    # materialize before compacting so the comparison reads pre-swap state
+    # (old commits stay on disk for time travel until vacuum())
     before_rows = sorted(rows(store.read(DataZone.BRONZE, "many")))
     n_before = len(before_rows)
     stats = store.compact(DataZone.BRONZE, "many")
@@ -134,3 +134,48 @@ def test_compact_missing_dataset_raises(store):
 
     with pytest.raises(ValueError):
         store.compact(DataZone.GOLD, "nope")
+
+
+def test_time_travel_reads_past_versions(spark, store):
+    a = spark.createDataFrame([Row(id="1", v="a")])
+    b = spark.createDataFrame([Row(id="2", v="b")])
+    c = spark.createDataFrame([Row(id="9", v="z")])
+    store.write(DataZone.SILVER, "tt", a, LoadType.FULL)      # v1
+    store.write(DataZone.SILVER, "tt", b, LoadType.APPEND)    # v2
+    store.write(DataZone.SILVER, "tt", c, LoadType.FULL)      # v3
+
+    assert rows(store.read_version(DataZone.SILVER, "tt", 1)) == [("1", "a")]
+    assert sorted(rows(store.read_version(DataZone.SILVER, "tt", 2))) == [
+        ("1", "a"), ("2", "b")
+    ]
+    # latest version == current read
+    assert rows(store.read_version(DataZone.SILVER, "tt", 3)) == rows(
+        store.read(DataZone.SILVER, "tt")
+    )
+    import pytest
+
+    with pytest.raises(ValueError):
+        store.read_version(DataZone.SILVER, "tt", 99)
+
+
+def test_vacuum_reclaims_old_versions_keeps_current(spark, store):
+    import pytest
+
+    a = spark.createDataFrame([Row(id="1", v="a")])
+    b = spark.createDataFrame([Row(id="2", v="b")])
+    store.write(DataZone.SILVER, "vac", a, LoadType.FULL)     # v1
+    store.write(DataZone.SILVER, "vac", b, LoadType.FULL)     # v2 (supersedes)
+    store.write(DataZone.SILVER, "vac", a, LoadType.APPEND)   # v3
+
+    stats = store.vacuum(DataZone.SILVER, "vac", retain_last=1)
+    assert stats["removed_commits"] >= 1
+    # current read unaffected
+    assert sorted(rows(store.read(DataZone.SILVER, "vac"))) == [
+        ("1", "a"), ("2", "b")
+    ]
+    # reclaimed version is gone, retained latest still time-travels
+    with pytest.raises(ValueError):
+        store.read_version(DataZone.SILVER, "vac", 1)
+    assert sorted(rows(store.read_version(DataZone.SILVER, "vac", 3))) == [
+        ("1", "a"), ("2", "b")
+    ]
