@@ -618,3 +618,29 @@ def load_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     return summarize(
         store.read_version(DataZone.SILVER, "orders_tt", 1), "v1"
     ).unionAll(summarize(store.read_version(DataZone.SILVER, "orders_tt", 2), "v2"))
+
+
+@register(
+    "source_file_provenance",
+    oracle="""
+    SELECT 'orders.parquet' AS source_file,
+           COUNT(*) AS n_rows,
+           COUNT(DISTINCT o_orderkey) AS n_keys
+    FROM orders
+    """,
+    description="Row-level file provenance via the _metadata hidden "
+    "column: every row carries the file it came from at scan time — the "
+    "audit primitive the reference fakes with driver-side metadata "
+    "(reference `src/lineage/lineage_tracker.py:70` records formats as "
+    "strings). Zero cost: the value is constant per scan split, no join.",
+)
+def source_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return (
+        orders.select("o_orderkey", F.col("_metadata.file_name").alias("source_file"))
+        .groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("o_orderkey").alias("n_keys"),
+        )
+    )

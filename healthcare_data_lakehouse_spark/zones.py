@@ -245,6 +245,33 @@ class ZoneStore:
             )
         return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
+    def diff_versions(
+        self,
+        zone: DataZone,
+        dataset: str,
+        from_version: int,
+        to_version: int,
+        id_field: str = "id",
+    ) -> DataFrame:
+        """Row-level change feed between two retained versions (Delta CDF
+        analog on the parquet ZoneStore): full outer join on ``id_field``
+        classifying each id as insert / delete / update / unchanged.
+        Both versions must still be retained (see :meth:`vacuum`)."""
+        old = self.read_version(zone, dataset, from_version)
+        new = self.read_version(zone, dataset, to_version)
+        o = old.select(F.col(id_field).alias("_id"), F.struct("*").alias("_old"))
+        n = new.select(F.col(id_field).alias("_id"), F.struct("*").alias("_new"))
+        joined = o.join(n, "_id", "full_outer")
+        change = (
+            F.when(F.col("_old").isNull(), F.lit("insert"))
+            .when(F.col("_new").isNull(), F.lit("delete"))
+            .when(F.col("_old") == F.col("_new"), F.lit("unchanged"))
+            .otherwise(F.lit("update"))
+        )
+        return joined.select(
+            F.col("_id").alias(id_field), change.alias("_change_type")
+        )
+
     def vacuum(
         self, zone: DataZone, dataset: str, retain_last: int = 2
     ) -> dict:

@@ -179,3 +179,35 @@ def test_vacuum_reclaims_old_versions_keeps_current(spark, store):
     assert sorted(rows(store.read_version(DataZone.SILVER, "vac", 3))) == [
         ("1", "a"), ("2", "b")
     ]
+
+
+def test_diff_versions_classifies_changes(spark, store):
+    v1 = spark.createDataFrame(
+        [Row(id="1", v="a"), Row(id="2", v="b"), Row(id="3", v="c")]
+    )
+    v2 = spark.createDataFrame(
+        [Row(id="2", v="B"), Row(id="3", v="c"), Row(id="4", v="d")]
+    )
+    store.write(DataZone.SILVER, "cdc", v1, LoadType.FULL)
+    store.write(DataZone.SILVER, "cdc", v2, LoadType.FULL)
+    changes = {
+        r.id: r._change_type
+        for r in store.diff_versions(DataZone.SILVER, "cdc", 1, 2).collect()
+    }
+    assert changes == {
+        "1": "delete", "2": "update", "3": "unchanged", "4": "insert"
+    }
+
+
+def test_schema_evolution_across_appends(spark, store):
+    """APPEND commits may add columns; reads merge schemas and old rows
+    surface NULL for late-arriving fields (the lakehouse evolution
+    contract; maps to Delta mergeSchema)."""
+    base = spark.createDataFrame([Row(id="1", v="a")])
+    widened = spark.createDataFrame([Row(id="2", v="b", extra=42)])
+    store.write(DataZone.BRONZE, "evo", base, LoadType.APPEND)
+    store.write(DataZone.BRONZE, "evo", widened, LoadType.APPEND)
+    out = store.read(DataZone.BRONZE, "evo")
+    assert "extra" in out.columns
+    got = {r.id: r.extra for r in out.collect()}
+    assert got == {"1": None, "2": 42}
