@@ -33,6 +33,7 @@ __all__ = [
     "stream_upsert_to_zone",
     "join_streams_within_interval",
     "run_interval_join_stream",
+    "stream_incremental_gold_counts",
 ]
 
 
@@ -387,3 +388,60 @@ def run_interval_join_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stream_incremental_gold_counts(
+    spark: SparkSession,
+    source_parquet: str,
+    work_dir: str,
+    store,
+    zone,
+    dataset: str,
+    key_col: str = "event_type",
+):
+    """Streaming materialized view: maintain a Gold aggregate
+    incrementally. Each micro-batch computes its partial counts/sums and
+    merges them ADDITIVELY into the zone table (matched keys accumulate,
+    new keys insert) — the foreachBatch pattern for `MERGE INTO ...
+    UPDATE SET n = n + batch.n` where the sink has no native additive
+    merge. State lives in the table, not the stream: a restart resumes
+    from the checkpoint and the aggregate is never recomputed from
+    scratch. At 100 TB this is how continuously-updated Gold marts avoid
+    full-history reaggregation."""
+    from pyspark.sql import functions as FX
+
+    from healthcare_data_lakehouse_spark.zones import LoadType
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_parquet).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stream_source_dir(source_parquet, work_dir))
+    )
+
+    def merge_partials(batch_df: DataFrame, batch_id: int) -> None:
+        partial = batch_df.groupBy(key_col).agg(
+            FX.count(FX.lit(1)).alias("n_events"),
+            FX.sum("value").alias("sum_value"),
+        )
+        existing = store.read(zone, dataset)
+        if existing is not None:
+            partial = (
+                existing.unionByName(partial)
+                .groupBy(key_col)
+                .agg(
+                    FX.sum("n_events").alias("n_events"),
+                    FX.sum("sum_value").alias("sum_value"),
+                )
+            )
+        store.write(zone, dataset, partial, LoadType.FULL)
+
+    q = (
+        stream.writeStream.foreachBatch(merge_partials)
+        .option("checkpointLocation", os.path.join(work_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read(zone, dataset)

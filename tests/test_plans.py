@@ -141,3 +141,36 @@ def test_unpivot_expands_after_aggregate(spark, sf_dir):
     # so the 3x row expansion applies to |returnflags| rows, not the scan
     assert "Expand" in optimized
     assert optimized.index("Expand") < optimized.index("Aggregate")
+
+
+def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
+    """The engine can override Catalyst's join choice per query: MERGE
+    forces sort-merge even under broadcast thresholds, SHUFFLE_HASH forces
+    a hash join — the knobs for known-skew or known-huge sides at 100 TB."""
+    import pyspark.sql.functions as F
+
+    from healthcare_data_lakehouse_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    customer = table(spark, sf_dir, "customer")
+
+    smj = orders.join(
+        customer.hint("merge"), orders.o_custkey == customer.c_custkey
+    )
+    plan = smj._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan and "BroadcastHashJoin" not in plan
+
+    shj = orders.join(
+        customer.hint("shuffle_hash"), orders.o_custkey == customer.c_custkey
+    )
+    plan = shj._jdf.queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+
+    bc = orders.join(
+        F.broadcast(customer), orders.o_custkey == customer.c_custkey
+    )
+    plan = bc._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # all three strategies compute the same join
+    n = bc.count()
+    assert smj.count() == n and shj.count() == n

@@ -295,3 +295,38 @@ def test_stream_stream_interval_join_equals_batch(spark, sf_dir):
     got = sorted((r.click_id, r.purchase_id) for r in got_df.collect())
     assert got == expected
     assert len(got) > 0
+
+
+def test_stream_incremental_gold_counts_equals_batch(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stream_incremental_gold_counts,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from healthcare_data_lakehouse_spark.zones import DataZone, ZoneStore
+
+    work = tempfile.mkdtemp(prefix="stream_inc_")
+    store = ZoneStore(spark, os.path.join(work, "wh"))
+    out = stream_incremental_gold_counts(
+        spark, f"{sf_dir}/events.parquet", work, store, DataZone.GOLD, "evt_counts"
+    )
+    got = {
+        r.event_type: (r.n_events, round(r.sum_value, 2))
+        for r in out.collect()
+    }
+    batch = (
+        table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("s"))
+    )
+    expected = {r.event_type: (r.n, r.s) for r in batch.collect()}
+    assert set(got) == set(expected)
+    for k in expected:
+        assert got[k][0] == expected[k][0], k
+        assert abs(got[k][1] - expected[k][1]) < 0.05, k
+    # restart/replay: a second drain over the same (fully-consumed) source
+    # must be a no-op — the checkpoint prevents double counting
+    out2 = stream_incremental_gold_counts(
+        spark, f"{sf_dir}/events.parquet", work, store, DataZone.GOLD, "evt_counts"
+    )
+    got2 = {r.event_type: r.n_events for r in out2.collect()}
+    assert got2 == {k: v[0] for k, v in expected.items()}
