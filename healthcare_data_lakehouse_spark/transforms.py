@@ -27,6 +27,7 @@ __all__ = [
     "null_handling",
     "add_metadata",
     "standard_registry",
+    "python_record_transform",
     "DATE_FIELDS",
     "DATE_FORMATS",
     "CODE_FIELDS",
@@ -238,3 +239,37 @@ def standard_registry(batch_ts: str) -> TransformRegistry:
         )
     )
     return reg
+
+
+def python_record_transform(
+    name: str,
+    record_fn: Callable[[dict], dict],
+    description: str = "",
+) -> TransformSpec:
+    """Adapter for the reference's arbitrary row-level Python transforms
+    (``transform_fn: dict -> dict``, reference ``src/etl/etl_manager.py:
+    123``): wraps the per-record callable in Arrow-batched ``mapInPandas``
+    so it plugs into the registry next to the Column-native transforms.
+
+    THE PERF CLIFF, explicitly: this moves every row through Python.
+    Arrow batching keeps it ~10-100x faster than a row-at-a-time UDF, but
+    it is still orders slower than the JVM Column transforms — reserve it
+    for logic Columns genuinely can't express, and keep it OUT of 100 TB
+    hot paths. Schema is preserved (dict keys must match columns).
+    """
+
+    def apply(df: DataFrame) -> DataFrame:
+        schema = df.schema
+        cols = [f.name for f in schema.fields]
+
+        def run(batches):
+            for pdf in batches:
+                recs = [record_fn(dict(zip(cols, row))) for row in
+                        pdf.itertuples(index=False, name=None)]
+                import pandas as pd
+
+                yield pd.DataFrame(recs, columns=cols)
+
+        return df.mapInPandas(run, schema=schema)
+
+    return TransformSpec(name, apply, description or f"python record fn {name}")

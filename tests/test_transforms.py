@@ -86,3 +86,34 @@ def test_registry_config_order_and_silent_skip(spark):
     reg = T.standard_registry("2026-01-01T00:00:00")
     out = reg.apply(df, ["no_such_transform", "trim_strings", "null_handling"])
     assert out.collect()[0].v is None  # unknown skipped, order respected
+
+
+def test_python_record_transform_composes_with_registry(spark):
+    """The reference's dict->dict escape hatch runs Arrow-batched and
+    composes with Column-native transforms in one config-ordered
+    pipeline."""
+    from pyspark.sql import Row
+
+    from healthcare_data_lakehouse_spark.transforms import (
+        TransformRegistry,
+        TransformSpec,
+        python_record_transform,
+        trim_strings,
+    )
+
+    df = spark.createDataFrame(
+        [Row(id="1", code="  ab-12  "), Row(id="2", code="cd-34")]
+    )
+
+    def mask_code(rec: dict) -> dict:
+        rec = dict(rec)
+        if rec["code"]:
+            rec["code"] = rec["code"][:2] + "**"
+        return rec
+
+    reg = TransformRegistry()
+    reg.register(TransformSpec("trim_strings", trim_strings, ""))
+    reg.register(python_record_transform("mask_code", mask_code))
+    out = reg.apply(df, ["trim_strings", "mask_code", "unknown_is_skipped"])
+    got = {r.id: r.code for r in out.collect()}
+    assert got == {"1": "ab**", "2": "cd**"}
