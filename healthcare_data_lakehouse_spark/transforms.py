@@ -145,14 +145,24 @@ def uppercase_codes(df: DataFrame, fields: list[str] | None = None) -> DataFrame
 
 
 # --------------------------------------------------------------------- T4
+#: Python ``str.strip()`` strips Unicode White_Space plus the C0 separators
+#: FS/GS/RS/US (0x1c-0x1f); Spark ``trim`` strips ASCII 0x20 only.  Java's
+#: ``\p{IsWhite_Space}`` covers the Unicode set, so the union class below is
+#: exact ``str.strip()`` parity (found by hypothesis: '\xa0' NBSP survived
+#: ``F.trim``).
+_PY_STRIP_RE = r"^[\p{IsWhite_Space}\x1c-\x1f]+|[\p{IsWhite_Space}\x1c-\x1f]+$"
+
+
 def trim_strings(df: DataFrame) -> DataFrame:
     """Strip every string-typed column (reference ``etl_manager.py:539-549``).
 
     Schema-driven (one projection, no per-value isinstance): only
-    ``StringType`` columns are touched.
+    ``StringType`` columns are touched.  Uses a Unicode-whitespace regexp, not
+    ``F.trim``, because the reference strips via Python ``str.strip()`` which
+    removes NBSP/ideographic spaces that ``trim`` leaves behind.
     """
     cols = [
-        F.trim(F.col(f.name)).alias(f.name)
+        F.regexp_replace(F.col(f.name), _PY_STRIP_RE, "").alias(f.name)
         if isinstance(f.dataType, StringType)
         else F.col(f.name)
         for f in df.schema.fields
