@@ -78,6 +78,11 @@ HEADLINE = [
     "histogram_equal_frequency_totalprice",
     "events_ohlc_bars",
     "quality_redact_pii_documents",
+    "dedup_span_duplication",
+    "sketch_cms_heavy_hitters",
+    "sample_language_balanced",
+    "text_bigram_lm_score",
+    "tpch_q11_important_part_value",
 ]
 
 

@@ -2029,3 +2029,49 @@ def histogram_equal_frequency_totalprice(
             F.round(F.max("o_totalprice"), 2).alias("hi"),
         )
     )
+
+
+# ------------------------------------------------------------ TPC-H Q11
+@register(
+    "tpch_q11_important_part_value",
+    oracle="""
+    WITH pv AS (
+        SELECT l.l_partkey AS partkey,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS v
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n ON n.n_nationkey = s.s_nationkey
+        WHERE n.n_name IN ('NATION_3', 'NATION_7')
+        GROUP BY l.l_partkey
+    )
+    SELECT partkey, ROUND(v, 2) AS part_value
+    FROM pv
+    WHERE v > (SELECT SUM(v) * 0.001 FROM pv)
+    """,
+    description="TPC-H Q11 shape (partsupp value share adapted to the "
+    "fixture star): per-part revenue within a nation slice, kept only "
+    "above a scalar-subquery fraction of the slice total. The dims are "
+    "broadcast; the threshold is a one-row aggregate joined back via "
+    "broadcast cross join, NOT a window over a single partition — the "
+    "per-part aggregate stays fully parallel. Reference parity: the "
+    "reference has no joins at all (SURVEY §2.7, lineage 'JOINING' "
+    "label only, src/lineage/lineage_tracker.py:46).",
+)
+def tpch_q11_important_part_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    nat = table(spark, sf_dir, "nation").filter(
+        F.col("n_name").isin("NATION_3", "NATION_7")
+    )
+    pv = (
+        li.join(F.broadcast(supp), supp.s_suppkey == li.l_suppkey)
+        .join(F.broadcast(nat), nat.n_nationkey == supp.s_nationkey)
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("v"))
+    )
+    threshold = pv.agg((F.sum("v") * 0.001).alias("cut"))
+    return (
+        pv.join(F.broadcast(threshold))
+        .filter(F.col("v") > F.col("cut"))
+        .select("partkey", F.round("v", 2).alias("part_value"))
+    )

@@ -1011,3 +1011,286 @@ def dedup_transitive_closure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         SELECT DISTINCT src AS ancestor_id, dst AS reachable_id FROM reach
     """)
+
+
+# ---------------------------------------------------- span-level dedup
+@register(
+    "dedup_span_duplication",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=15)
+    + """,
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM docs),
+    spans AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(array_to_string(tl[i:i+7], chr(31))), 1, 12)) AS BIGINT) AS h
+        FROM toks, UNNEST(range(1, len(tl) - 7 + 1)) AS u(i)
+        WHERE len(tl) >= 8
+    ),
+    duph AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
+    dup AS (
+        SELECT s.doc_id, COUNT(*) AS n_dup FROM spans s
+        JOIN duph ON duph.h = s.h GROUP BY s.doc_id
+    )
+    SELECT t.doc_id, t.n_spans,
+           COALESCE(d.n_dup, 0) AS n_dup_spans,
+           ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_spans, 6) AS dup_span_ratio
+    FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
+    """,
+    description="Exact duplicated-span detection (the substring-dedup "
+    "pass of 'Deduplicating Training Data Makes Language Models "
+    "Better', Lee et al. 2021, done at token-8-gram granularity): every "
+    "positional 8-token span is hashed (portable 48-bit md5 prefix), "
+    "spans seen in >= 2 distinct docs are marked, and each doc reports "
+    "its duplicated-span fraction. Fully shuffle-bounded: one groupBy "
+    "over span hashes (map-side combined), one semi-join back. At 100 "
+    "TB the span table is the dominant shuffle; the hash (6 bytes) "
+    "rather than the span text (~50 bytes) is what shuffles.",
+)
+def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir, 15)
+    toks = corpus.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("doc_id", F.split("text", " ", -1).alias("tl"))
+    spans = toks.filter(F.size("tl") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tl) - 7), "
+                "i -> concat_ws(chr(31), slice(tl, i, 8)))"
+            )
+        ).alias("span"),
+    ).select("doc_id", D.token_hash48(F.col("span")).alias("h"))
+    duph = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    tot = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
+    dup = (
+        spans.join(duph, "h", "left_semi")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_dup"))
+    )
+    return (
+        tot.join(dup, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_spans",
+            F.coalesce("n_dup", F.lit(0)).alias("n_dup_spans"),
+            F.round(
+                F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_spans"), 6
+            ).alias("dup_span_ratio"),
+        )
+    )
+
+
+# ------------------------------------------------- count-min sketch
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle="""
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    kb AS (
+        SELECT k, d,
+               CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || k), 1, 12)) AS BIGINT) % 1024 AS bucket
+        FROM k, UNNEST([0, 1, 2]) AS u(d)
+    ),
+    cms AS (SELECT d, bucket, COUNT(*) AS cnt FROM kb GROUP BY d, bucket),
+    est AS (
+        SELECT kd.k, MIN(cms.cnt) AS est_count
+        FROM (SELECT DISTINCT k, d, bucket FROM kb) kd
+        JOIN cms ON cms.d = kd.d AND cms.bucket = kd.bucket
+        GROUP BY kd.k
+    ),
+    truth AS (SELECT k, COUNT(*) AS true_count FROM k GROUP BY k)
+    SELECT k AS user_id, est_count, true_count FROM (
+        SELECT est.k, est.est_count, truth.true_count,
+               ROW_NUMBER() OVER (ORDER BY est.est_count DESC, est.k) AS rn
+        FROM est JOIN truth ON truth.k = est.k
+    ) WHERE rn <= 10
+    """,
+    description="Count-min sketch heavy hitters: depth-3 x width-1024 "
+    "sketch with portable md5 bucket hashing, estimate = min over the "
+    "three bucket counts, top-10 by estimate with the exact count "
+    "alongside (overestimate bias visible when buckets collide). The "
+    "sketch itself is 3072 rows regardless of input size — the whole "
+    "point at 100 TB: the event->bucket agg is map-side combined, the "
+    "3 KB sketch broadcasts back onto the distinct-key probe, and no "
+    "full per-key count table ever shuffles for the estimate path.",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    kb = ev.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            D.token_hash48(
+                                F.concat_ws(":", F.lit(str(d)), F.col("k"))
+                            )
+                            % 1024
+                        ).alias("bucket"),
+                    )
+                    for d in range(3)
+                ]
+            )
+        ).alias("db"),
+    ).select("k", "db.d", "db.bucket")
+    cms = kb.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    est = (
+        kb.distinct()
+        .join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    truth = ev.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    w = Window.orderBy(F.col("est_count").desc(), F.col("k"))
+    return (
+        est.join(truth, "k")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("k").alias("user_id"), "est_count", "true_count")
+    )
+
+
+# ------------------------------------------- multilingual rebalancing
+@register(
+    "sample_language_balanced",
+    oracle="""
+    WITH stats AS (
+        SELECT lang, COUNT(*) AS n_docs,
+               SUM(COUNT(*)) OVER () AS total
+        FROM documents GROUP BY lang
+    ),
+    rates AS (
+        SELECT lang, n_docs,
+               LEAST(1.0,
+                   (sqrt(CAST(n_docs AS DOUBLE) / total)
+                    / SUM(sqrt(CAST(n_docs AS DOUBLE) / total)) OVER ())
+                   * 0.5 * total / n_docs) AS rate
+        FROM stats
+    )
+    SELECT r.lang, r.n_docs, ROUND(r.rate, 6) AS sample_rate,
+           COALESCE(SUM(CASE WHEN
+               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+               / 281474976710656.0 < r.rate THEN 1 ELSE 0 END), 0) AS n_sampled
+    FROM rates r JOIN documents d ON d.lang = r.lang
+    GROUP BY r.lang, r.n_docs, r.rate
+    """,
+    description="Temperature-balanced multilingual resampling (the "
+    "alpha=0.5 exponentiated-smoothing scheme of XLM-R / mC4): per-lang "
+    "rates q_l ~ p_l^0.5 renormalized to a 50% corpus budget, capped at "
+    "1.0, then applied as a deterministic md5-threshold Bernoulli on "
+    "doc_id (reproducible across engines and runs, unlike seeded "
+    "sample()). Lang stats are a handful of rows — the rate computation "
+    "is driver-scale; the only big-data pass is the one hash-filter "
+    "scan, which is embarrassingly parallel with zero shuffle beyond "
+    "the final per-lang count.",
+)
+def sample_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # lang cardinality is tiny: the scalar total and sqrt-sum denominators
+    # are one-row aggregates broadcast back (window-free, stays parallel)
+    total = stats.agg(F.sum("n_docs").alias("total"))
+    with_p = stats.join(F.broadcast(total)).withColumn(
+        "sq", F.sqrt(F.col("n_docs").cast("double") / F.col("total"))
+    )
+    sqsum = with_p.agg(F.sum("sq").alias("sqsum"))
+    rates = with_p.join(F.broadcast(sqsum)).select(
+        "lang",
+        "n_docs",
+        F.least(
+            F.lit(1.0),
+            (F.col("sq") / F.col("sqsum")) * 0.5 * F.col("total") / F.col("n_docs"),
+        ).alias("rate"),
+    )
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    return (
+        docs.join(F.broadcast(rates), "lang")
+        .groupBy("lang", "n_docs", "rate")
+        .agg(F.coalesce(F.sum(F.when(u < F.col("rate"), 1).otherwise(0)), F.lit(0)).alias("n_sampled"))
+        .select("lang", "n_docs", F.round("rate", 6).alias("sample_rate"), "n_sampled")
+    )
+
+
+# ------------------------------------------------- bigram LM scoring
+@register(
+    "text_bigram_lm_score",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    bi AS (
+        SELECT doc_id, tl[i] AS w1, tl[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(tl))) AS u(i)
+        WHERE len(tl) >= 2
+    ),
+    uni AS (
+        SELECT t.tok AS w, COUNT(*) AS un
+        FROM toks, UNNEST(tl) AS t(tok) GROUP BY t.tok
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    bn AS (SELECT w1, w2, COUNT(*) AS bn FROM bi GROUP BY w1, w2)
+    SELECT bi.doc_id,
+           COUNT(*) AS n_bigrams,
+           ROUND(AVG(log2(CAST(bn.bn + 1 AS DOUBLE) / (uni.un + vocab.v))), 4)
+               AS avg_log2_prob
+    FROM bi
+    JOIN bn ON bn.w1 = bi.w1 AND bn.w2 = bi.w2
+    JOIN uni ON uni.w = bi.w1
+    CROSS JOIN vocab
+    GROUP BY bi.doc_id
+    """,
+    description="Bigram language-model document scoring (the KenLM-style "
+    "perplexity filter of CCNet/Gopher, self-trained on the corpus): "
+    "add-one-smoothed P(w2|w1) = (B+1)/(U+V) from corpus bigram/unigram "
+    "counts, each doc scored by its mean log2 probability. Counts build "
+    "with map-side combine; the per-doc score is two hash joins against "
+    "the (much smaller) vocabulary aggregates plus a broadcast scalar "
+    "|V|. Sub-4-decimal rounding keeps the cross-engine float sum "
+    "order-insensitive.",
+)
+def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("tl"))
+    bi = toks.filter(F.size("tl") >= 2).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tl) - 1), "
+                "i -> struct(element_at(tl, i) AS w1, element_at(tl, i + 1) AS w2))"
+            )
+        ).alias("p"),
+    ).select("doc_id", "p.w1", "p.w2")
+    uni = (
+        toks.select(F.explode("tl").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("un"))
+    )
+    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
+    bn = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
+    return (
+        bi.join(bn, ["w1", "w2"])
+        .join(uni, uni.w == bi.w1)
+        .join(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    F.log2((F.col("bn") + 1).cast("double") / (F.col("un") + F.col("v")))
+                ),
+                4,
+            ).alias("avg_log2_prob"),
+        )
+    )

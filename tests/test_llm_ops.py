@@ -228,3 +228,54 @@ def test_scd2_merge_lifecycle(spark):
     # idempotence: replaying the same batch produces no new versions
     again = scd2_merge(out, incoming, key="id", batch_id=2)
     assert again.count() == 5
+
+
+# ----------------------------------------------------- round-current additions
+def test_span_duplication_flags_shared_spans(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import dedup_span_duplication
+
+    out = {r.doc_id: r for r in dedup_span_duplication(spark, "/root/testdata/sf0.001").collect()}
+    # injected exact copies (doc_id % 15 == 0 shifted by 1e6) must have
+    # dup_span_ratio == 1.0 on both sides of the copy
+    copies = [i for i in out if i >= 1_000_000]
+    assert copies, "controlled duplicate injection produced no copies"
+    for cid in copies:
+        assert out[cid].dup_span_ratio == 1.0
+        assert out[cid - 1_000_000].dup_span_ratio == 1.0
+    # span accounting: a doc with n tokens >= 8 has n-7 spans
+    assert all(r.n_dup_spans <= r.n_spans for r in out.values())
+
+
+def test_cms_estimate_upper_bounds_truth(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import sketch_cms_heavy_hitters
+
+    rows = sketch_cms_heavy_hitters(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10
+    # CMS never underestimates; at this width it should be near-exact
+    assert all(r.est_count >= r.true_count for r in rows)
+    ests = [r.est_count for r in rows]
+    assert ests == sorted(ests, reverse=True)
+
+
+def test_language_balanced_rates(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import sample_language_balanced
+
+    rows = sample_language_balanced(spark, "/root/testdata/sf0.001").collect()
+    by_lang = {r.lang: r for r in rows}
+    assert all(0.0 < r.sample_rate <= 1.0 for r in rows)
+    assert all(r.n_sampled <= r.n_docs for r in rows)
+    # temperature flattening: rarer langs get a HIGHER rate than common ones
+    common = max(rows, key=lambda r: r.n_docs)
+    rare = min(rows, key=lambda r: r.n_docs)
+    if rare.n_docs < common.n_docs:
+        assert rare.sample_rate >= common.sample_rate
+
+
+def test_bigram_lm_scores_are_negative_logprobs(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import text_bigram_lm_score
+
+    rows = text_bigram_lm_score(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # smoothed probabilities are < 1 -> log2 < 0; n_bigrams = n_tokens - 1
+    assert all(r.avg_log2_prob < 0 for r in rows)
+    assert all(r.n_bigrams >= 1 for r in rows)
