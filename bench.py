@@ -83,6 +83,10 @@ HEADLINE = [
     "sample_language_balanced",
     "text_bigram_lm_score",
     "tpch_q11_important_part_value",
+    "similarity_recall_lsh_at5",
+    "sample_reservoir_per_lang",
+    "stats_jackknife_mean_ci",
+    "er_fuzzy_customer_match",
 ]
 
 

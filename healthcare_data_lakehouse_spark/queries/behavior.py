@@ -660,3 +660,69 @@ def events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max_by("value", "ts"), 4).alias("close_v"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+# ---------------------------------------------------- jackknife CI
+@register(
+    "stats_jackknife_mean_ci",
+    oracle="""
+    WITH folds AS (
+        SELECT c.c_mktsegment AS segment,
+               CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1, 12)) AS BIGINT) % 10 AS fold,
+               SUM(o.o_totalprice) AS s, COUNT(*) AS c
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment, fold
+    ),
+    tot AS (
+        SELECT segment, SUM(s) AS ts, SUM(c) AS tc
+        FROM folds GROUP BY segment
+    ),
+    loo AS (
+        SELECT f.segment,
+               (t.ts - f.s) / (t.tc - f.c) AS m_i,
+               t.ts / t.tc AS m, t.tc AS n
+        FROM folds f JOIN tot t ON t.segment = f.segment
+    )
+    SELECT segment, CAST(MAX(n) AS BIGINT) AS n_orders,
+           ROUND(MAX(m), 4) AS mean_totalprice,
+           ROUND(sqrt(9.0 / 10.0 * SUM((m_i - m) * (m_i - m))), 4) AS jackknife_se
+    FROM loo GROUP BY segment
+    """,
+    description="Delete-a-group jackknife standard error of the mean "
+    "order value per segment: 10 deterministic md5 folds, leave-one-"
+    "fold-out means reconstructed from per-(segment,fold) sums — ONE "
+    "pass over the fact table, then arithmetic on the 5x10-row "
+    "aggregate. The textbook alternative (bootstrap resampling the raw "
+    "rows B times) rescans the 100 TB table B times; fold-sum jackknife "
+    "gets a defensible CI from a single map-side-combined aggregation.",
+)
+def stats_jackknife_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        % 10
+    )
+    folds = (
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"), fold.alias("fold"))
+        .agg(F.sum("o_totalprice").alias("s"), F.count(F.lit(1)).alias("c"))
+    )
+    tot = folds.groupBy("segment").agg(
+        F.sum("s").alias("ts"), F.sum("c").alias("tc")
+    )
+    loo = folds.join(tot, "segment").select(
+        "segment",
+        ((F.col("ts") - F.col("s")) / (F.col("tc") - F.col("c"))).alias("m_i"),
+        (F.col("ts") / F.col("tc")).alias("m"),
+        F.col("tc").alias("n"),
+    )
+    return loo.groupBy("segment").agg(
+        F.max("n").cast("bigint").alias("n_orders"),
+        F.round(F.max("m"), 4).alias("mean_totalprice"),
+        F.round(
+            F.sqrt(9.0 / 10.0 * F.sum((F.col("m_i") - F.col("m")) * (F.col("m_i") - F.col("m")))),
+            4,
+        ).alias("jackknife_se"),
+    )

@@ -1294,3 +1294,167 @@ def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("avg_log2_prob"),
         )
     )
+
+
+# --------------------------------------------------- ANN quality eval
+def _cos_sql(a: str, b: str) -> str:
+    return f"""
+             list_sum(list_transform(list_zip({a}, {b}),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform({a},
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform({b},
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+
+
+def _recall_oracle() -> str:
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+        FROM bucketed WHERE vec_id < 10
+    ),
+    exact5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    lsh5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, b.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("b.embedding", "q.qv")}, 6) DESC,
+                                b.vec_id) AS rn
+            FROM bucketed b JOIN q
+              ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
+    agg_l AS (SELECT qid, COUNT(*) AS n_lsh FROM lsh5 GROUP BY qid),
+    agg_o AS (
+        SELECT e.qid, COUNT(*) AS n_overlap
+        FROM exact5 e JOIN lsh5 l ON l.qid = e.qid AND l.vec_id = e.vec_id
+        GROUP BY e.qid
+    )
+    SELECT a.qid AS query_id, a.n_exact,
+           COALESCE(b.n_lsh, 0) AS n_lsh,
+           COALESCE(c.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(c.n_overlap, 0) AS DOUBLE) / 5, 2) AS recall_at_5
+    FROM agg_e a
+    LEFT JOIN agg_l b ON b.qid = a.qid
+    LEFT JOIN agg_o c ON c.qid = a.qid
+    """
+
+
+@register(
+    "similarity_recall_lsh_at5",
+    oracle=_recall_oracle(),
+    description="ANN quality harness: recall@5 of the 8-plane sign-LSH "
+    "index against exact brute-force cosine, evaluated over a 10-query "
+    "panel in one shot. The query panel broadcasts (rows, not a "
+    "collect-loop); exact scoring is a broadcast nested-loop against "
+    "the 10-row side, LSH scoring probes only same-bucket candidates; "
+    "both re-rank on the ROUNDED score with id tiebreak so the top-5 "
+    "sets are engine-deterministic. This is the measurement loop you "
+    "run before trusting an ANN index at 100 TB — recall ~1.0 on "
+    "identical-distribution panels, degrading as planes get too few "
+    "for the corpus density.",
+)
+def similarity_recall_lsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", S.hyperplane_bucket(F.col("embedding")).alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    exact5 = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    lsh5 = (
+        b.join(
+            F.broadcast(q),
+            (b.bucket == q.qbucket) & (b.vec_id != q.qid),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    agg_l = lsh5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_lsh"))
+    agg_o = (
+        exact5.join(lsh5, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        agg_e.join(agg_l, "qid", "left")
+        .join(agg_o, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce("n_lsh", F.lit(0)).alias("n_lsh"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)).cast("double") / 5, 2).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+# ------------------------------------------------ per-group reservoir
+@register(
+    "sample_reservoir_per_lang",
+    oracle="""
+    SELECT lang, doc_id FROM (
+        SELECT lang, doc_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        FROM documents
+    ) WHERE rn <= 20
+    """,
+    description="Deterministic k=20 per-language reservoir: rank by the "
+    "md5 of the id inside each lang partition and keep the first 20. "
+    "Equivalent in distribution to uniform reservoir sampling but "
+    "reproducible across engines, runs, and partitionings (a seeded "
+    "sample() is none of those). The window partitions by lang, so "
+    "parallelism follows group count; no global sort exists.",
+)
+def sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("lang", "doc_id")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
+    )
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("lang", "doc_id")
+    )

@@ -42,3 +42,34 @@ def test_oracle_alignment_duckdb(spark, sf_dir, specs):
         d_cols = [c[0] for c in res.description]
         s_cols = spec.fn(spark, sf_dir).columns
         assert sorted(d_cols) == sorted(s_cols), name
+
+
+def test_fuzzy_match_resolves_every_variant(spark):
+    from healthcare_data_lakehouse_spark.queries.analytics import er_fuzzy_customer_match
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    rows = er_fuzzy_customer_match(spark, "/root/testdata/sf0.001").collect()
+    n_variants = (
+        table(spark, "/root/testdata/sf0.001", "customer")
+        .filter(F.col("c_custkey") % 10 == 3)
+        .count()
+    )
+    # blocking keeps the true master in every variant's block (the typo
+    # touches only the last 2 chars), so every variant resolves to
+    # something within distance 2
+    assert len(rows) == n_variants
+    assert all(r.best_distance <= 2 for r in rows)
+    by_variant = {r.variant_id: r for r in rows}
+    # a variant ending in '33' transposes to itself: the true master MUST
+    # win at distance 0
+    for v, r in by_variant.items():
+        true_key = v - 1_000_000
+        if true_key % 100 == 33:
+            assert r.best_custkey == true_key
+            assert r.best_distance == 0
+    # dense numeric ids make distance-0 false merges the norm: a
+    # transposed id is usually another real customer; the query must
+    # surface those as rank-1 (auditable), never distance > 0 beats 0
+    zero_hits = [r for r in rows if r.best_distance == 0]
+    assert zero_hits, "expected at least one exact (possibly false-merge) hit"

@@ -157,3 +157,26 @@ def test_regression_consistency(spark, sf_dir):
         assert -1.0 <= r.price_qty_corr <= 1.0, r.l_returnflag
         assert (r.slope >= 0) == (r.price_qty_corr >= 0), r.l_returnflag
         assert r.intercept is not None and r.n > 0
+
+
+def test_jackknife_se_positive_and_mean_sane(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import stats_jackknife_mean_ci
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    rows = stats_jackknife_mean_ci(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    truth = {
+        r.segment: r.m
+        for r in table(spark, "/root/testdata/sf0.001", "orders")
+        .join(
+            table(spark, "/root/testdata/sf0.001", "customer"),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(F.avg("o_totalprice").alias("m"))
+        .collect()
+    }
+    for r in rows:
+        assert r.jackknife_se > 0
+        assert abs(r.mean_totalprice - truth[r.segment]) < 0.01

@@ -279,3 +279,29 @@ def test_bigram_lm_scores_are_negative_logprobs(spark):
     # smoothed probabilities are < 1 -> log2 < 0; n_bigrams = n_tokens - 1
     assert all(r.avg_log2_prob < 0 for r in rows)
     assert all(r.n_bigrams >= 1 for r in rows)
+
+
+def test_recall_panel_is_complete_and_bounded(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import similarity_recall_lsh_at5
+
+    rows = similarity_recall_lsh_at5(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 10  # one row per query in the panel
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_overlap <= min(5, r.n_lsh)
+        assert r.recall_at_5 == round(r.n_overlap / 5.0, 2)
+
+
+def test_reservoir_caps_per_lang(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import sample_reservoir_per_lang
+
+    rows = sample_reservoir_per_lang(spark, "/root/testdata/sf0.001").collect()
+    from collections import Counter
+
+    per = Counter(r.lang for r in rows)
+    assert all(n <= 20 for n in per.values())
+    # deterministic: same result on a second run
+    again = sample_reservoir_per_lang(spark, "/root/testdata/sf0.001").collect()
+    assert sorted((r.lang, r.doc_id) for r in rows) == sorted(
+        (r.lang, r.doc_id) for r in again
+    )
