@@ -87,6 +87,10 @@ HEADLINE = [
     "sample_reservoir_per_lang",
     "stats_jackknife_mean_ci",
     "er_fuzzy_customer_match",
+    "graph_pagerank_neardup",
+    "window_range_7day_user_value",
+    "stats_winsorized_mean_by_segment",
+    "embedding_label_pca",
 ]
 
 

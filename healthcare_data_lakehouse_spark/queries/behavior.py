@@ -726,3 +726,89 @@ def stats_jackknife_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("jackknife_se"),
     )
+
+
+# ------------------------------------------- RANGE-interval window
+@register(
+    "window_range_7day_user_value",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(SUM(value) OVER (
+               PARTITION BY user_id
+               ORDER BY datediff('microsecond', TIMESTAMP '1970-01-01', ts)
+               RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW
+           ), 2) AS value_7d
+    FROM events
+    """,
+    description="Trailing-7-day per-user value sum as a RANGE frame over "
+    "epoch-microsecond ordering (a time-interval frame, not a row-count "
+    "frame: gaps and same-timestamp peers are handled by VALUE distance, "
+    "which ROWS BETWEEN cannot express). One shuffle on user_id; frame "
+    "evaluation is the sliding two-pointer pass inside each partition.",
+)
+def window_range_7day_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros(F.col("ts")))
+        .rangeBetween(-604_800_000_000, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.sum("value").over(w), 2).alias("value_7d"),
+    )
+
+
+# ------------------------------------------------ winsorized stats
+@register(
+    "stats_winsorized_mean_by_segment",
+    oracle="""
+    WITH cuts AS (
+        SELECT c.c_mktsegment AS segment,
+               quantile_cont(o.o_totalprice, 0.05) AS p05,
+               quantile_cont(o.o_totalprice, 0.95) AS p95
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY c.c_mktsegment
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(AVG(o.o_totalprice), 4) AS raw_mean,
+           ROUND(AVG(LEAST(GREATEST(o.o_totalprice, cuts.p05), cuts.p95)), 4)
+               AS winsorized_mean
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN cuts ON cuts.segment = c.c_mktsegment
+    GROUP BY c.c_mktsegment
+    """,
+    description="Per-segment winsorized mean (outliers clamped to the "
+    "exact p05/p95 before averaging): the robust-statistics primitive "
+    "for corrupted numeric feeds. Two passes sharing one shuffle key — "
+    "percentile cuts per segment (5 rows) broadcast back onto the "
+    "fact scan for the clamp+mean. At larger SFs swap the exact "
+    "percentile for approx_percentile and the plan shape is unchanged.",
+)
+def stats_winsorized_mean_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    joined = orders.join(
+        F.broadcast(cust), cust.c_custkey == orders.o_custkey
+    ).select(F.col("c_mktsegment").alias("segment"), "o_totalprice")
+    cuts = joined.groupBy("segment").agg(
+        F.expr("percentile(o_totalprice, 0.05)").alias("p05"),
+        F.expr("percentile(o_totalprice, 0.95)").alias("p95"),
+    )
+    return (
+        joined.join(F.broadcast(cuts), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.avg("o_totalprice"), 4).alias("raw_mean"),
+            F.round(
+                F.avg(
+                    F.least(F.greatest(F.col("o_totalprice"), F.col("p05")), F.col("p95"))
+                ),
+                4,
+            ).alias("winsorized_mean"),
+        )
+    )

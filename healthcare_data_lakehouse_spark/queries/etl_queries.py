@@ -644,3 +644,14 @@ def source_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("o_orderkey").alias("n_keys"),
         )
     )
+
+
+register(
+    "source_orc_roundtrip_events",
+    oracle=_ROUNDTRIP_ORACLE,
+    description="ORC sink+source round-trip (columnar alternative to "
+    "parquet, same explicit-schema discipline): aggregate over the "
+    "re-read copy hash-matches the original. ORC keeps the same "
+    "predicate-pushdown/column-pruning story as parquet in Spark, so "
+    "the engine is storage-format-agnostic across both.",
+)(_roundtrip_query("orc"))

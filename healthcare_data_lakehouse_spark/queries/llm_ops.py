@@ -1458,3 +1458,116 @@ def sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 20)
         .select("lang", "doc_id")
     )
+
+
+# ------------------------------------------------------- graph: PageRank
+def _pagerank_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    step = """
+    r{next} AS (
+        SELECT n.id,
+               0.15 / nn.n + 0.85 * COALESCE(SUM(r{prev}.pr / deg.d), 0) AS pr
+        FROM nodes n CROSS JOIN nn
+        LEFT JOIN ed ON ed.dst = n.id
+        LEFT JOIN r{prev} ON r{prev}.id = ed.src
+        LEFT JOIN deg ON deg.src = ed.src
+        GROUP BY n.id, nn.n
+    )"""
+    iters = ",".join(step.format(next=i + 1, prev=i) for i in range(3))
+    return f"""
+    WITH {ctes},
+    pairs AS ({final}),
+    ed AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION ALL
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM ed),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
+    r0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
+    {iters}
+    SELECT id AS doc_id, ROUND(pr, 6) AS pagerank FROM r3
+    """
+
+
+@register(
+    "graph_pagerank_neardup",
+    oracle=_pagerank_oracle(),
+    description="Three synchronous PageRank iterations (d=0.85) over the "
+    "undirected MinHash-LSH near-dup graph: contribution = join(edges, "
+    "ranks) / out-degree, new rank = teleport + damped sum — each "
+    "iteration is one equi-join + one hash agg, the canonical "
+    "iterative-graph pattern on a relational engine (every node in the "
+    "edge set has degree >= 1, so no dangling-mass term). The oracle "
+    "unrolls all three iterations as CTEs on top of the full LSH "
+    "pipeline. At 100 TB-scale graphs you checkpoint ranks every few "
+    "iterations to cut the lineage chain; noted here because 3 "
+    "iterations compose lazily without it.",
+)
+def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
+    ed = pairs.select(
+        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
+    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
+    ed = ed.persist()
+    nodes = ed.select(F.col("src").alias("id")).distinct().persist()
+    n = nodes.count()
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    ranks = nodes.select("id", (F.lit(1.0) / n).alias("pr"))
+    for _ in range(3):
+        contrib = (
+            ed.join(ranks, ranks.id == ed.src)
+            .join(deg, "src")
+            .select("dst", (F.col("pr") / F.col("d")).alias("c"))
+            .groupBy("dst")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = nodes.join(contrib, nodes.id == F.col("dst"), "left").select(
+            "id", (0.15 / n + 0.85 * F.coalesce("s", F.lit(0.0))).alias("pr")
+        )
+    return ranks.select(F.col("id").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
+
+
+# ---------------------------------------- grouped scientific compute
+@register(
+    "embedding_label_pca",
+    oracle=None,
+    description="Per-label PCA condition scan via applyInPandas: each "
+    "label group's covariance spectrum (numpy eigh on the 64x64 Gram "
+    "matrix) yields the top-eigenvalue share — a collapse/anisotropy "
+    "monitor for embedding spaces. The Arrow-batched grouped-map is "
+    "the designed Python surface (one group per task, 64^2 floats of "
+    "state regardless of group row count: the O(n) work is the Gram "
+    "accumulation, which pandas does vectorized). Rows-only check: "
+    "eigensolver float details are platform-dependent, so no SQL "
+    "oracle — the engine-side test asserts spectral invariants "
+    "(ratios in [1/64, 1], eigenvalue sum equals total variance).",
+)
+def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def pca_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = np.stack(pdf["embedding"].to_numpy())
+        centered = mat - mat.mean(axis=0, keepdims=True)
+        cov = centered.T @ centered / max(len(mat) - 1, 1)
+        evals = np.linalg.eigvalsh(cov)
+        total = float(evals.sum())
+        top = float(evals[-1])
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(mat)],
+                "top_var_ratio": [round(top / total, 4) if total > 0 else 0.0],
+                "total_variance": [round(total, 4)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        pca_group,
+        "label int, n_vecs bigint, top_var_ratio double, total_variance double",
+    )

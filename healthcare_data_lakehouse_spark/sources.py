@@ -29,7 +29,7 @@ __all__ = [
     "DEFAULT_RECORD_SCHEMA",
 ]
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
 
 
 def read_source(

@@ -180,3 +180,27 @@ def test_jackknife_se_positive_and_mean_sane(spark):
     for r in rows:
         assert r.jackknife_se > 0
         assert abs(r.mean_totalprice - truth[r.segment]) < 0.01
+
+
+def test_range_frame_subsumes_row_at_boundary(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        window_range_7day_user_value,
+    )
+
+    rows = window_range_7day_user_value(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # every row's trailing sum includes at least its own value
+    assert all(r.value_7d is not None for r in rows)
+
+
+def test_winsorized_mean_bounded_by_raw_extremes(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_winsorized_mean_by_segment,
+    )
+
+    rows = stats_winsorized_mean_by_segment(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # clamping tails pulls the mean toward the center, never outside
+        assert r.winsorized_mean == r.winsorized_mean  # not NaN
+        assert abs(r.winsorized_mean - r.raw_mean) < abs(r.raw_mean)

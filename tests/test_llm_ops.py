@@ -305,3 +305,26 @@ def test_reservoir_caps_per_lang(spark):
     assert sorted((r.lang, r.doc_id) for r in rows) == sorted(
         (r.lang, r.doc_id) for r in again
     )
+
+
+def test_pagerank_mass_conserved_and_dups_rank_high(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import graph_pagerank_neardup
+
+    rows = graph_pagerank_neardup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    total = sum(r.pagerank for r in rows)
+    # synchronous PR over a dangling-free graph conserves mass ~ 1.0
+    assert abs(total - 1.0) < 0.01
+    assert all(r.pagerank > 0 for r in rows)
+
+
+def test_label_pca_spectral_invariants(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import embedding_label_pca
+
+    rows = embedding_label_pca(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # top eigenvalue share of a 64-dim covariance lies in [1/64, 1]
+        assert 1.0 / 64 - 1e-6 <= r.top_var_ratio <= 1.0
+        assert r.total_variance > 0
+        assert r.n_vecs >= 2
