@@ -91,6 +91,9 @@ HEADLINE = [
     "window_range_7day_user_value",
     "stats_winsorized_mean_by_segment",
     "embedding_label_pca",
+    "assoc_part_pairs_lift",
+    "fullouter_daily_orders_vs_events",
+    "text_bpe_pair_counts",
 ]
 
 

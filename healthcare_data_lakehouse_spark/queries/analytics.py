@@ -2141,3 +2141,130 @@ def er_fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dist").alias("best_distance"),
         )
     )
+
+
+# ------------------------------------------- market-basket analysis
+@register(
+    "assoc_part_pairs_lift",
+    oracle="""
+    WITH baskets AS (
+        SELECT DISTINCT l_orderkey, l_partkey FROM lineitem
+    ),
+    n_orders AS (SELECT COUNT(DISTINCT l_orderkey) AS n FROM baskets),
+    item AS (
+        SELECT l_partkey, COUNT(*) AS n_item FROM baskets GROUP BY l_partkey
+        HAVING COUNT(*) >= 20
+    ),
+    freq AS (
+        SELECT b.l_orderkey, b.l_partkey FROM baskets b
+        JOIN item i ON i.l_partkey = b.l_partkey
+    ),
+    pairs AS (
+        SELECT a.l_partkey AS part_a, b.l_partkey AS part_b, COUNT(*) AS n_co
+        FROM freq a JOIN freq b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY a.l_partkey, b.l_partkey
+        HAVING COUNT(*) >= 3
+    )
+    SELECT part_a, part_b, n_co,
+           ROUND(CAST(p.n_co AS DOUBLE) / ia.n_item, 6) AS confidence,
+           ROUND(CAST(p.n_co AS DOUBLE) * n_orders.n / (ia.n_item * ib.n_item), 6)
+               AS lift
+    FROM pairs p
+    JOIN item ia ON ia.l_partkey = p.part_a
+    JOIN item ib ON ib.l_partkey = p.part_b
+    CROSS JOIN n_orders
+    """,
+    description="Market-basket association rules over order baskets: "
+    "co-occurrence pairs with confidence and lift. The A-priori "
+    "anti-monotonicity prefilter (items below min-support can never "
+    "form a frequent pair) shrinks the basket table BEFORE the "
+    "positional self-join — at 100 TB this is the difference between "
+    "a bounded pair space and a quadratic blow-up; the join shuffles "
+    "on orderkey so each basket's pairs form locally.",
+)
+def assoc_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    baskets = li.select("l_orderkey", "l_partkey").distinct()
+    n_orders = baskets.select("l_orderkey").distinct().count()
+    item = (
+        baskets.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("n_item"))
+        .filter(F.col("n_item") >= 20)
+    )
+    freq = baskets.join(item.select("l_partkey"), "l_partkey", "left_semi")
+    a = freq.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
+    )
+    b = freq.select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
+    )
+    pairs = (
+        a.join(b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b")))
+        .groupBy("part_a", "part_b")
+        .agg(F.count(F.lit(1)).alias("n_co"))
+        .filter(F.col("n_co") >= 3)
+    )
+    ia = item.select(F.col("l_partkey").alias("part_a"), F.col("n_item").alias("n_a"))
+    ib = item.select(F.col("l_partkey").alias("part_b"), F.col("n_item").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(ia), "part_a")
+        .join(F.broadcast(ib), "part_b")
+        .select(
+            "part_a",
+            "part_b",
+            "n_co",
+            F.round(F.col("n_co").cast("double") / F.col("n_a"), 6).alias("confidence"),
+            F.round(
+                F.col("n_co").cast("double") * n_orders / (F.col("n_a") * F.col("n_b")),
+                6,
+            ).alias("lift"),
+        )
+    )
+
+
+# --------------------------------------------- FULL OUTER alignment
+@register(
+    "fullouter_daily_orders_vs_events",
+    oracle="""
+    WITH o AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 2) AS revenue
+        FROM orders GROUP BY 1
+    ),
+    e AS (
+        SELECT CAST(ts AS DATE) AS day, COUNT(*) AS n_events
+        FROM events GROUP BY 1
+    )
+    SELECT COALESCE(o.day, e.day) AS day,
+           COALESCE(o.n_orders, 0) AS n_orders,
+           COALESCE(o.revenue, 0.0) AS revenue,
+           COALESCE(e.n_events, 0) AS n_events
+    FROM o FULL OUTER JOIN e ON e.day = o.day
+    """,
+    description="FULL OUTER day-grain alignment of two independently "
+    "aggregated facts (order revenue vs event volume): days present in "
+    "either side survive with zero-fill — the reconciliation join shape "
+    "for cross-system audit. Both inputs aggregate to day grain BEFORE "
+    "the join, so the outer join moves day-count rows, not fact rows.",
+)
+def fullouter_daily_orders_vs_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    events = table(spark, sf_dir, "events")
+    o = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+    e = events.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return (
+        o.withColumnRenamed("day", "o_day")
+        .join(e, F.col("o_day") == e.day, "full_outer")
+        .select(
+            F.coalesce(F.col("o_day"), F.col("day")).alias("day"),
+            F.coalesce("n_orders", F.lit(0)).alias("n_orders"),
+            F.coalesce("revenue", F.lit(0.0)).alias("revenue"),
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        )
+    )

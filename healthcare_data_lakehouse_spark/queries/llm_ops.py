@@ -1571,3 +1571,62 @@ def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         pca_group,
         "label int, n_vecs bigint, top_var_ratio double, total_variance double",
     )
+
+
+# -------------------------------------------------- BPE pair counts
+@register(
+    "text_bpe_pair_counts",
+    oracle="""
+    WITH words AS (
+        SELECT t.tok AS w, COUNT(*) AS freq
+        FROM (SELECT string_split(text, ' ') AS tl FROM documents),
+             UNNEST(tl) AS t(tok)
+        WHERE t.tok <> ''
+        GROUP BY t.tok
+    ),
+    pairs AS (
+        SELECT substr(w, i, 2) AS pair, SUM(freq) AS n
+        FROM words, UNNEST(range(1, length(w))) AS u(i)
+        WHERE length(w) >= 2
+        GROUP BY substr(w, i, 2)
+    )
+    SELECT pair, n FROM (
+        SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rn
+        FROM pairs
+    ) WHERE rn <= 15
+    """,
+    description="The BPE merge-selection primitive: corpus-weighted "
+    "adjacent character-pair frequencies (a tokenizer-training step, "
+    "computed over the word-frequency table rather than raw text — the "
+    "standard factorization that turns an O(corpus chars) pass into "
+    "O(vocab chars) after one word-count agg). Character semantics, "
+    "not bytes, on both engines, so the CJK/Cyrillic fixture docs "
+    "count correctly. Top-15 by count with pair tiebreak.",
+)
+def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    words = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    pairs = (
+        words.filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
+                )
+            ).alias("pair"),
+            "freq",
+        )
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("n"))
+    )
+    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
+    return (
+        pairs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 15)
+        .select("pair", "n")
+    )

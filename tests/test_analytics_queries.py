@@ -73,3 +73,26 @@ def test_fuzzy_match_resolves_every_variant(spark):
     # surface those as rank-1 (auditable), never distance > 0 beats 0
     zero_hits = [r for r in rows if r.best_distance == 0]
     assert zero_hits, "expected at least one exact (possibly false-merge) hit"
+
+
+def test_assoc_rules_lift_consistency(spark):
+    from healthcare_data_lakehouse_spark.queries.analytics import assoc_part_pairs_lift
+
+    rows = assoc_part_pairs_lift(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert 0 < r.confidence <= 1.0
+        assert r.lift > 0
+
+
+def test_fullouter_preserves_both_calendars(spark):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        fullouter_daily_orders_vs_events,
+    )
+
+    rows = fullouter_daily_orders_vs_events(spark, "/root/testdata/sf0.001").collect()
+    # event days without orders AND order days without events both survive
+    assert any(r.n_orders == 0 and r.n_events > 0 for r in rows)
+    assert any(r.n_events == 0 and r.n_orders > 0 for r in rows)
+    assert all(r.day is not None for r in rows)

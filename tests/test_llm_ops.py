@@ -328,3 +328,13 @@ def test_label_pca_spectral_invariants(spark):
         assert 1.0 / 64 - 1e-6 <= r.top_var_ratio <= 1.0
         assert r.total_variance > 0
         assert r.n_vecs >= 2
+
+
+def test_bpe_pairs_are_two_chars_weighted(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import text_bpe_pair_counts
+
+    rows = text_bpe_pair_counts(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 15
+    assert all(len(r.pair) == 2 for r in rows)
+    ns = [r.n for r in rows]
+    assert ns == sorted(ns, reverse=True)
