@@ -94,6 +94,9 @@ HEADLINE = [
     "assoc_part_pairs_lift",
     "fullouter_daily_orders_vs_events",
     "text_bpe_pair_counts",
+    "pipeline_llm_corpus_curation",
+    "sample_train_test_split",
+    "privacy_pseudonymized_join",
 ]
 
 

@@ -1630,3 +1630,135 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 15)
         .select("pair", "n")
     )
+
+
+# --------------------------------------- composite curation pipeline
+_SCORE_SQL = """
+    ROUND(0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
+        + 0.3 * (1.0 - CASE WHEN length(text) > 0
+              THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
+              ELSE 0.0 END)
+        + 0.3 * least(1.0, 4.0 * CASE WHEN len(string_split(text, ' ')) > 0
+              THEN CAST(len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+                   / len(string_split(text, ' '))
+              ELSE 0.0 END), 6)
+"""
+
+
+@register(
+    "pipeline_llm_corpus_curation",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id, lang, text, {_SCORE_SQL} AS q FROM documents
+    ),
+    kept AS (SELECT * FROM scored WHERE q >= 0.5),
+    surv AS (
+        SELECT MIN(doc_id) AS doc_id FROM kept
+        GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+    ),
+    uniq AS (SELECT k.* FROM kept k JOIN surv s ON s.doc_id = k.doc_id),
+    raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang),
+    nq AS (SELECT lang, COUNT(*) AS n_quality FROM kept GROUP BY lang),
+    nu AS (
+        SELECT lang, COUNT(*) AS n_unique,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_kept
+        FROM uniq GROUP BY lang
+    )
+    SELECT raw.lang, raw.n_raw,
+           COALESCE(nq.n_quality, 0) AS n_quality,
+           COALESCE(nu.n_unique, 0) AS n_unique,
+           COALESCE(nu.tokens_kept, 0) AS tokens_kept
+    FROM raw
+    LEFT JOIN nq ON nq.lang = raw.lang
+    LEFT JOIN nu ON nu.lang = raw.lang
+    """,
+    description="The composite LLM-corpus curation funnel — quality "
+    "filter (heuristic score >= 0.5) then exact near-normalized dedup "
+    "(min-id survivor per whitespace-normalized md5 fingerprint) — "
+    "reported as a per-language attrition funnel (raw -> quality -> "
+    "unique) with surviving token mass. This is the operator "
+    "COMPOSITION story: each stage is the already-tested primitive "
+    "(quality_score_cols, fingerprint, exact-dedup groupBy) chained "
+    "lazily so Catalyst fuses the scan; only the dedup groupBy and the "
+    "per-lang rollup shuffle. At 100 TB insert the MinHash stage "
+    "between them — same shape, one more keyed agg.",
+)
+def pipeline_llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    scored = docs.select(
+        "doc_id",
+        "lang",
+        "text",
+        TX.quality_score_cols(F.col("text"))["quality_score"].alias("q"),
+    )
+    kept = scored.filter(F.col("q") >= 0.5)
+    surv = (
+        kept.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    uniq = kept.join(surv, "doc_id", "left_semi")
+    raw = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
+    nq = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
+    nu = uniq.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum(F.size(F.split("text", " ", -1))).cast("bigint").alias("tokens_kept"),
+    )
+    return (
+        raw.join(nq, "lang", "left")
+        .join(nu, "lang", "left")
+        .select(
+            "lang",
+            "n_raw",
+            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
+            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
+            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
+        )
+    )
+
+
+# ------------------------------------------------ train/test split
+@register(
+    "sample_train_test_split",
+    oracle="""
+    WITH split AS (
+        SELECT label,
+               CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                         / 281474976710656.0 < 0.8
+                    THEN 'train' ELSE 'test' END AS split
+        FROM embeddings
+    ),
+    per AS (SELECT split, label, COUNT(*) AS n FROM split GROUP BY split, label),
+    tot AS (SELECT split, SUM(n) AS nt FROM per GROUP BY split)
+    SELECT per.split, per.label, per.n,
+           ROUND(CAST(per.n AS DOUBLE) / tot.nt, 6) AS frac_within_split
+    FROM per JOIN tot ON tot.split = per.split
+    """,
+    description="Deterministic 80/20 train/test split by id-hash "
+    "threshold with per-split class-balance audit: the md5 split is "
+    "stable across engines, runs, partitionings, AND dataset growth "
+    "(a row's split never changes when new rows arrive — the property "
+    "randomSplit() lacks, and the one that matters for 100 TB "
+    "incremental corpora where yesterday's test row must not leak "
+    "into today's train set).",
+)
+def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    u = (
+        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    split = emb.select(
+        "label", F.when(u < 0.8, "train").otherwise("test").alias("split")
+    )
+    per = split.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
+    tot = per.groupBy("split").agg(F.sum("n").alias("nt"))
+    return per.join(F.broadcast(tot), "split").select(
+        "split",
+        "label",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("frac_within_split"),
+    )

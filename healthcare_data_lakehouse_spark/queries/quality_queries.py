@@ -498,3 +498,60 @@ def quality_redact_pii_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count("text", F.lit(_SSN_RE)).cast("long").alias("n_ssn"),
         F.sha2(F.regexp_replace("text", _SSN_RE, "[SSN]"), 256).alias("text_hash"),
     )
+
+
+@register(
+    "privacy_pseudonymized_join",
+    oracle="""
+    WITH o AS (
+        SELECT md5('pepper:' || CAST(o_custkey AS VARCHAR)) AS tok,
+               o_totalprice
+        FROM orders
+    ),
+    c AS (
+        SELECT md5('pepper:' || CAST(c_custkey AS VARCHAR)) AS tok,
+               c_mktsegment
+        FROM customer
+    )
+    SELECT c.c_mktsegment AS segment,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o.o_totalprice), 2) AS revenue
+    FROM o JOIN c ON c.tok = o.tok
+    GROUP BY c.c_mktsegment
+    """,
+    description="Pseudonymization that preserves referential integrity: "
+    "both sides tokenize the customer key independently with the same "
+    "peppered hash (deterministic surrogate, raw id never in the "
+    "output schema), then join ON THE TOKEN — revenue per segment "
+    "matches the raw-key join exactly (the oracle is that proof). "
+    "This is the de-identification pattern the reference's PHI "
+    "handling gestures at (src/quality/data_quality.py:839-873 flags "
+    "PHI presence; here the engine makes the protected join real). "
+    "Hashing adds zero shuffles: the token is computed in the scan "
+    "projection on both sides.",
+)
+def privacy_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    o = orders.select(
+        F.md5(F.concat(F.lit("pepper:"), F.col("o_custkey").cast("string"))).alias(
+            "tok"
+        ),
+        "o_totalprice",
+    )
+    c = cust.select(
+        F.md5(F.concat(F.lit("pepper:"), F.col("c_custkey").cast("string"))).alias(
+            "tok"
+        ),
+        "c_mktsegment",
+    )
+    return (
+        o.join(F.broadcast(c), "tok")
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -338,3 +338,43 @@ def test_bpe_pairs_are_two_chars_weighted(spark):
     assert all(len(r.pair) == 2 for r in rows)
     ns = [r.n for r in rows]
     assert ns == sorted(ns, reverse=True)
+
+
+def test_curation_funnel_is_monotone(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_llm_corpus_curation,
+    )
+
+    rows = pipeline_llm_corpus_curation(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_raw >= r.n_quality >= r.n_unique >= 0
+        if r.n_unique > 0:
+            assert r.tokens_kept > 0
+
+
+def test_train_test_split_is_stable_under_growth(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import sample_train_test_split
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    rows = sample_train_test_split(spark, "/root/testdata/sf0.001").collect()
+    splits = {r.split for r in rows}
+    assert splits == {"train", "test"}
+    n_train = sum(r.n for r in rows if r.split == "train")
+    n_test = sum(r.n for r in rows if r.split == "test")
+    frac = n_train / (n_train + n_test)
+    assert 0.7 < frac < 0.9  # hash threshold hits ~80/20
+    # growth stability: the sf0.001 train ids are a subset of sf0.01's
+    def train_ids(sf):
+        emb = table(spark, sf, "embeddings")
+        u = (
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10)
+            .cast("bigint")
+            .cast("double")
+            / F.lit(281474976710656.0)
+        )
+        return {r.vec_id for r in emb.filter(u < 0.8).select("vec_id").collect()}
+
+    small, big = train_ids("/root/testdata/sf0.001"), train_ids("/root/testdata/sf0.01")
+    assert small <= big
