@@ -97,6 +97,9 @@ HEADLINE = [
     "pipeline_llm_corpus_curation",
     "sample_train_test_split",
     "privacy_pseudonymized_join",
+    "pipeline_sequence_packing",
+    "pipeline_decontaminate_train",
+    "text_repetition_ratio",
 ]
 
 

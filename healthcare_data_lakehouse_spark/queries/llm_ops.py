@@ -1762,3 +1762,194 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("frac_within_split"),
     )
+
+
+# ---------------------------------------------- sequence packing
+@register(
+    "pipeline_sequence_packing",
+    oracle="""
+    WITH toks AS (
+        SELECT lang, doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    packed AS (
+        SELECT lang, doc_id, n_tokens,
+               CAST(FLOOR((SUM(n_tokens) OVER (
+                   PARTITION BY lang ORDER BY doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) - 1) / 2048) AS BIGINT) AS bin_id
+        FROM toks
+    )
+    SELECT lang, bin_id,
+           COUNT(*) AS n_docs,
+           SUM(n_tokens) AS tokens,
+           ROUND(LEAST(SUM(n_tokens), 2048) / 2048.0, 6) AS fill_ratio
+    FROM packed
+    GROUP BY lang, bin_id
+    """,
+    description="Sequential sequence-packing for pretraining batches: "
+    "docs are packed in stable doc_id order into 2048-token context "
+    "bins via a running-sum window, PER SHARD (lang) — the per-shard "
+    "partitioning is what makes packing distributable at 100 TB (a "
+    "global greedy pack would serialize the corpus through one "
+    "partition; per-shard packing keys the window on the shard and "
+    "scales with shard count). Bin id = floor((cumsum-1)/capacity), "
+    "so a doc straddling a boundary starts its own bin — the simple "
+    "deterministic variant of first-fit used by most LLM data loaders.",
+)
+def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "lang",
+        "doc_id",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = toks.withColumn(
+        "bin_id", F.floor((F.sum("n_tokens").over(w) - 1) / 2048).cast("bigint")
+    )
+    return packed.groupBy("lang", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("tokens"),
+        F.round(F.least(F.sum("n_tokens"), F.lit(2048)) / 2048.0, 6).alias(
+            "fill_ratio"
+        ),
+    )
+
+
+# ------------------------------------------- decontamination
+@register(
+    "pipeline_decontaminate_train",
+    oracle="""
+    WITH eval_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
+    ),
+    train_docs AS (
+        SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
+    ),
+    eval_spans AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(array_to_string(tl[i:i+7], chr(31))), 1, 12)) AS BIGINT) AS h
+        FROM (SELECT string_split(text, ' ') AS tl FROM eval_docs),
+             UNNEST(range(1, len(tl) - 7 + 1)) AS u(i)
+        WHERE len(tl) >= 8
+    ),
+    train_spans AS (
+        SELECT doc_id,
+               CAST(('0x' || substr(md5(array_to_string(tl[i:i+7], chr(31))), 1, 12)) AS BIGINT) AS h
+        FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM train_docs),
+             UNNEST(range(1, len(tl) - 7 + 1)) AS u(i)
+        WHERE len(tl) >= 8
+    ),
+    contaminated AS (
+        SELECT DISTINCT t.doc_id
+        FROM train_spans t JOIN eval_spans e ON e.h = t.h
+    )
+    SELECT (SELECT COUNT(*) FROM train_docs) AS n_train,
+           (SELECT COUNT(*) FROM eval_docs) AS n_eval,
+           (SELECT COUNT(*) FROM contaminated) AS n_contaminated,
+           ROUND(CAST((SELECT COUNT(*) FROM contaminated) AS DOUBLE)
+                 / (SELECT COUNT(*) FROM train_docs), 6) AS contamination_rate
+    """,
+    description="Benchmark decontamination (the n-gram overlap scrub "
+    "every serious pretraining pipeline runs before training): train "
+    "docs sharing any 8-token span hash with the held-out eval slice "
+    "are flagged. The eval span set is the SMALL side — at 100 TB it "
+    "broadcasts (benchmarks are MBs) and the train scan never "
+    "shuffles its spans at all; here both sides are expressed as the "
+    "general semi-join so the same plan covers eval sets too big to "
+    "broadcast. Returns the audit scalar row (counts + rate).",
+)
+def pipeline_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    is_eval = F.col("doc_id") % 37 == 0
+    span_expr = F.expr(
+        "transform(sequence(1, size(tl) - 7), "
+        "i -> concat_ws(chr(31), slice(tl, i, 8)))"
+    )
+
+    def spans(df: DataFrame) -> DataFrame:
+        return (
+            df.select("doc_id", F.split("text", " ", -1).alias("tl"))
+            .filter(F.size("tl") >= 8)
+            .select("doc_id", F.explode(span_expr).alias("span"))
+            .select("doc_id", D.token_hash48(F.col("span")).alias("h"))
+        )
+
+    eval_spans = spans(docs.filter(is_eval)).select("h").distinct()
+    train_spans = spans(docs.filter(~is_eval))
+    contaminated = (
+        train_spans.join(F.broadcast(eval_spans), "h", "left_semi")
+        .select("doc_id")
+        .distinct()
+    )
+    # one fully-lazy plan: three one-row aggregates broadcast-cross-joined
+    # (no driver-side .count() actions — the audit row is itself a query)
+    nt = docs.filter(~is_eval).agg(F.count(F.lit(1)).alias("n_train"))
+    ne = docs.filter(is_eval).agg(F.count(F.lit(1)).alias("n_eval"))
+    nc = contaminated.agg(F.count(F.lit(1)).alias("n_contaminated"))
+    return (
+        nt.join(F.broadcast(ne))
+        .join(F.broadcast(nc))
+        .select(
+            "n_train",
+            "n_eval",
+            "n_contaminated",
+            F.round(
+                F.col("n_contaminated").cast("double") / F.col("n_train"), 6
+            ).alias("contamination_rate"),
+        )
+    )
+
+
+# ------------------------------------------- within-doc repetition
+@register(
+    "text_repetition_ratio",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    grams AS (
+        SELECT doc_id,
+               len(tl) - 2 AS n_grams,
+               len(list_distinct(list_transform(range(1, len(tl) - 2 + 1),
+                   i -> array_to_string(tl[i:i+2], chr(31))))) AS n_distinct
+        FROM toks WHERE len(tl) >= 3
+    )
+    SELECT doc_id, n_grams, n_distinct,
+           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS repetition_ratio
+    FROM grams
+    """,
+    description="Within-document repetition ratio (the Gopher/MassiveText "
+    "duplicate-3-gram quality signal): 1 - distinct/total positional "
+    "3-grams, computed ENTIRELY inside the array column (transform + "
+    "array_distinct, zero explode, zero shuffle) — each doc's signal "
+    "is one narrow projection; boilerplate-heavy and looping docs "
+    "score high and get filtered before training.",
+)
+def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("tl"))
+    grams = toks.filter(F.size("tl") >= 3).select(
+        "doc_id",
+        (F.size("tl") - 2).alias("n_grams"),
+        F.size(
+            F.array_distinct(
+                F.expr(
+                    "transform(sequence(1, size(tl) - 2), "
+                    "i -> concat_ws(chr(31), slice(tl, i, 3)))"
+                )
+            )
+        ).alias("n_distinct"),
+    )
+    return grams.select(
+        "doc_id",
+        "n_grams",
+        "n_distinct",
+        F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6).alias(
+            "repetition_ratio"
+        ),
+    )

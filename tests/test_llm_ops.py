@@ -378,3 +378,42 @@ def test_train_test_split_is_stable_under_growth(spark):
 
     small, big = train_ids("/root/testdata/sf0.001"), train_ids("/root/testdata/sf0.01")
     assert small <= big
+
+
+def test_sequence_packing_respects_capacity_per_shard(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import pipeline_sequence_packing
+
+    rows = pipeline_sequence_packing(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0 < r.fill_ratio <= 1.0
+        assert r.n_docs >= 1
+    # bins are dense from 0 within each lang
+    from collections import defaultdict
+
+    bins = defaultdict(list)
+    for r in rows:
+        bins[r.lang].append(r.bin_id)
+    for lang, ids in bins.items():
+        assert sorted(ids) == list(range(len(ids)))
+
+
+def test_decontamination_flags_injected_overlap(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_decontaminate_train,
+    )
+
+    row = pipeline_decontaminate_train(spark, "/root/testdata/sf0.001").collect()[0]
+    assert row.n_train > 0 and row.n_eval > 0
+    assert 0.0 <= row.contamination_rate <= 1.0
+    assert row.n_contaminated <= row.n_train
+
+
+def test_repetition_ratio_bounds(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import text_repetition_ratio
+
+    rows = text_repetition_ratio(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.repetition_ratio < 1.0
+        assert r.n_distinct <= r.n_grams
