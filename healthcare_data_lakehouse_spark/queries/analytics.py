@@ -2268,3 +2268,44 @@ def fullouter_daily_orders_vs_events(spark: SparkSession, sf_dir: str) -> DataFr
             F.coalesce("n_events", F.lit(0)).alias("n_events"),
         )
     )
+
+
+# --------------------------------------------------- SQL front end
+@register(
+    "sql_flagship_revenue",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+           COUNT(DISTINCT o.o_orderkey) AS order_count,
+           COUNT(*) AS lineitem_count
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY c.c_mktsegment
+    """,
+    description="The flagship mart expressed through the engine's SQL "
+    "front end (temp views + spark.sql) rather than the DataFrame "
+    "builder: identical ANSI text runs on Spark and the DuckDB oracle, "
+    "proving the catalog/view surface — a user can address every zone "
+    "table in pure SQL. Catalyst produces the same physical plan as "
+    "the DataFrame twin (same pushdown, same broadcast), because both "
+    "lower to the same logical plan.",
+)
+def sql_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid as _uuid
+
+    suffix = _uuid.uuid4().hex[:8]
+    views = {}
+    for t in ("customer", "orders", "lineitem"):
+        views[t] = f"{t}_{suffix}"
+        table(spark, sf_dir, t).createOrReplaceTempView(views[t])
+    return spark.sql(f"""
+        SELECT c.c_mktsegment AS mktsegment,
+               ROUND(SUM(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue,
+               COUNT(DISTINCT o.o_orderkey) AS order_count,
+               COUNT(*) AS lineitem_count
+        FROM {views['customer']} c
+        JOIN {views['orders']} o ON o.o_custkey = c.c_custkey
+        JOIN {views['lineitem']} l ON l.l_orderkey = o.o_orderkey
+        GROUP BY c.c_mktsegment
+    """)
