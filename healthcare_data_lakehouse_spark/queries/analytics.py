@@ -2186,7 +2186,9 @@ def er_fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 def assoc_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders = baskets.select("l_orderkey").distinct().count()
+    n_orders_df = baskets.agg(
+        F.count_distinct("l_orderkey").alias("n_orders_total")
+    )
     item = (
         baskets.groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_item"))
@@ -2210,13 +2212,16 @@ def assoc_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pairs.join(F.broadcast(ia), "part_a")
         .join(F.broadcast(ib), "part_b")
+        .join(F.broadcast(n_orders_df))
         .select(
             "part_a",
             "part_b",
             "n_co",
             F.round(F.col("n_co").cast("double") / F.col("n_a"), 6).alias("confidence"),
             F.round(
-                F.col("n_co").cast("double") * n_orders / (F.col("n_a") * F.col("n_b")),
+                F.col("n_co").cast("double")
+                * F.col("n_orders_total")
+                / (F.col("n_a") * F.col("n_b")),
                 6,
             ).alias("lift"),
         )
