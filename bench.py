@@ -100,6 +100,9 @@ HEADLINE = [
     "pipeline_sequence_packing",
     "pipeline_decontaminate_train",
     "text_repetition_ratio",
+    "events_value_anomalies",
+    "stats_mad_outliers_by_segment",
+    "embedding_matryoshka_fidelity",
 ]
 
 

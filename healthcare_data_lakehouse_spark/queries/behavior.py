@@ -812,3 +812,120 @@ def stats_winsorized_mean_by_segment(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("winsorized_mean"),
         )
     )
+
+
+# --------------------------------------------- rolling anomaly scan
+@register(
+    "events_value_anomalies",
+    oracle="""
+    WITH stats AS (
+        SELECT event_id, user_id, ts, value,
+               AVG(value) OVER w AS mu,
+               STDDEV_SAMP(value) OVER w AS sigma,
+               COUNT(*) OVER w AS n_window
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 30 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_id, user_id,
+           ROUND(value, 4) AS value,
+           ROUND((value - mu) / sigma, 4) AS zscore
+    FROM stats
+    WHERE n_window >= 10 AND sigma > 0
+      AND ABS((value - mu) / sigma) > 3
+    """,
+    description="Rolling anomaly detection: each event scored against "
+    "the trailing-30-event mean/stddev of ITS OWN user's history "
+    "(strictly preceding rows — no self-leakage), flagged at |z| > 3 "
+    "with a 10-event warm-up. One user-keyed window pass computes "
+    "mean, stddev and count in a single frame evaluation; the monitor "
+    "shape for metric streams at any scale (per-entity state, never "
+    "a global sort).",
+)
+def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-30, -1)
+    )
+    stats = ev.select(
+        "event_id",
+        "user_id",
+        "value",
+        F.avg("value").over(w).alias("mu"),
+        F.stddev_samp("value").over(w).alias("sigma"),
+        F.count(F.lit(1)).over(w).alias("n_window"),
+    )
+    z = (F.col("value") - F.col("mu")) / F.col("sigma")
+    return stats.filter(
+        (F.col("n_window") >= 10) & (F.col("sigma") > 0) & (F.abs(z) > 3)
+    ).select(
+        "event_id",
+        "user_id",
+        F.round("value", 4).alias("value"),
+        F.round(z, 4).alias("zscore"),
+    )
+
+
+# ------------------------------------------------- robust outliers
+@register(
+    "stats_mad_outliers_by_segment",
+    oracle="""
+    WITH j AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice AS x
+        FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    ),
+    med AS (
+        SELECT segment, quantile_cont(x, 0.5) AS m FROM j GROUP BY segment
+    ),
+    mad AS (
+        SELECT j.segment, quantile_cont(ABS(j.x - med.m), 0.5) AS mad, MAX(med.m) AS m
+        FROM j JOIN med ON med.segment = j.segment
+        GROUP BY j.segment
+    )
+    SELECT j.segment,
+           COUNT(*) AS n_orders,
+           ROUND(MAX(mad.m), 4) AS median_price,
+           ROUND(MAX(mad.mad), 4) AS mad,
+           SUM(CASE WHEN ABS(j.x - mad.m) > 3 * 1.4826 * mad.mad
+               THEN 1 ELSE 0 END) AS n_outliers
+    FROM j JOIN mad ON mad.segment = j.segment
+    GROUP BY j.segment
+    """,
+    description="Median-absolute-deviation outlier census per segment "
+    "(the robust twin of the z-score: immune to the outliers it "
+    "hunts): median -> MAD -> 3-sigma-equivalent cut at 1.4826*MAD. "
+    "Three passes sharing ONE shuffle key, each reducing to a 5-row "
+    "broadcast joined back; swap exact medians for approx_percentile "
+    "at 1e9+ rows per group, plan shape unchanged.",
+)
+def stats_mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    j = orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey).select(
+        F.col("c_mktsegment").alias("segment"), F.col("o_totalprice").alias("x")
+    )
+    med = j.groupBy("segment").agg(F.expr("percentile(x, 0.5)").alias("m"))
+    mad = (
+        j.join(F.broadcast(med), "segment")
+        .groupBy("segment")
+        .agg(
+            F.expr("percentile(abs(x - m), 0.5)").alias("mad"),
+            F.max("m").alias("m"),
+        )
+    )
+    return (
+        j.join(F.broadcast(mad), "segment")
+        .groupBy("segment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.max("m"), 4).alias("median_price"),
+            F.round(F.max("mad"), 4).alias("mad"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("x") - F.col("m")) > 3 * 1.4826 * F.col("mad"), 1
+                ).otherwise(0)
+            ).alias("n_outliers"),
+        )
+    )

@@ -1953,3 +1953,53 @@ def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "repetition_ratio"
         ),
     )
+
+
+# ---------------------------------------- matryoshka truncation audit
+@register(
+    "embedding_matryoshka_fidelity",
+    oracle="""
+    WITH pair AS (
+        SELECT label,
+               list_sum(list_transform(list_zip(embedding[1:16], embedding[1:16]),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS t_dot,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS full_sq
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(sqrt(t_dot) / sqrt(full_sq)), 6) AS avg_truncation_cosine,
+           ROUND(MIN(sqrt(t_dot) / sqrt(full_sq)), 6) AS min_truncation_cosine
+    FROM pair GROUP BY label
+    """,
+    description="Matryoshka-truncation fidelity audit: cosine between "
+    "each full 64-d vector and its first-16-dims truncation reduces "
+    "algebraically to ||head|| / ||full|| (the truncated dims "
+    "contribute zero to the dot product), so the whole audit is one "
+    "narrow array-slice projection + a per-label agg — zero shuffle "
+    "beyond the 10-row rollup. The go/no-go measurement before "
+    "serving MRL-style truncated embeddings at a fraction of the "
+    "index cost: avg near 1 means the head dims carry the geometry.",
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 16)
+    t_dot = F.aggregate(
+        head, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    full_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    ratio = F.sqrt(t_dot) / F.sqrt(full_sq)
+    return (
+        emb.select("label", ratio.alias("r"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("r"), 6).alias("avg_truncation_cosine"),
+            F.round(F.min("r"), 6).alias("min_truncation_cosine"),
+        )
+    )

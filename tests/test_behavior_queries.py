@@ -204,3 +204,23 @@ def test_winsorized_mean_bounded_by_raw_extremes(spark):
         # clamping tails pulls the mean toward the center, never outside
         assert r.winsorized_mean == r.winsorized_mean  # not NaN
         assert abs(r.winsorized_mean - r.raw_mean) < abs(r.raw_mean)
+
+
+def test_anomalies_are_true_outliers(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import events_value_anomalies
+
+    rows = events_value_anomalies(spark, "/root/testdata/sf0.01").collect()
+    assert rows  # fixture has heavy-tailed values
+    assert all(abs(r.zscore) > 3 for r in rows)
+
+
+def test_mad_robust_to_extremes(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_mad_outliers_by_segment,
+    )
+
+    rows = stats_mad_outliers_by_segment(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.mad >= 0
+        assert 0 <= r.n_outliers < r.n_orders

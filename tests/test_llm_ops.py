@@ -417,3 +417,15 @@ def test_repetition_ratio_bounds(spark):
     for r in rows:
         assert 0.0 <= r.repetition_ratio < 1.0
         assert r.n_distinct <= r.n_grams
+
+
+def test_matryoshka_ratio_bounds(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        embedding_matryoshka_fidelity,
+    )
+
+    rows = embedding_matryoshka_fidelity(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # |head|/|full| is in (0, 1]; 16/64 random dims -> ~sqrt(1/4) = 0.5
+        assert 0.0 < r.min_truncation_cosine <= r.avg_truncation_cosine <= 1.0
