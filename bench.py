@@ -103,6 +103,7 @@ HEADLINE = [
     "events_value_anomalies",
     "stats_mad_outliers_by_segment",
     "embedding_matryoshka_fidelity",
+    "events_cumulative_unique_users",
 ]
 
 

@@ -929,3 +929,45 @@ def stats_mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
             ).alias("n_outliers"),
         )
     )
+
+
+# -------------------------------------- cumulative distinct actives
+@register(
+    "events_cumulative_unique_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    daily_new AS (
+        SELECT first_day AS day, COUNT(*) AS new_users
+        FROM first_seen GROUP BY first_day
+    )
+    SELECT day, new_users,
+           SUM(new_users) OVER (ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS cumulative_users
+    FROM daily_new
+    """,
+    description="Cumulative distinct users over time WITHOUT "
+    "COUNT(DISTINCT) OVER (which Spark — and most engines — reject): "
+    "each user reduces to their first-seen day (one keyed agg), daily "
+    "new-user counts re-aggregate, and the running total is a window "
+    "over the DAY-grain series. The decomposition turns an "
+    "unbounded-state distinct-over-window into two map-side-combinable "
+    "aggs + a prefix sum over O(days) rows — the only shape that "
+    "survives a 100 TB event table (declared small-grain: the ordered "
+    "stage touches day-count rows).",
+)
+def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    first_seen = ev.groupBy("user_id").agg(
+        F.min(F.col("ts").cast("date")).alias("first_day")
+    )
+    daily_new = first_seen.groupBy(F.col("first_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily_new.select(
+        "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
+    )

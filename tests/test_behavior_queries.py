@@ -224,3 +224,19 @@ def test_mad_robust_to_extremes(spark):
     for r in rows:
         assert r.mad >= 0
         assert 0 <= r.n_outliers < r.n_orders
+
+
+def test_cumulative_users_monotone(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_cumulative_unique_users,
+    )
+
+    rows = sorted(
+        events_cumulative_unique_users(spark, "/root/testdata/sf0.01").collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    cum = 0
+    for r in rows:
+        cum += r.new_users
+        assert r.cumulative_users == cum

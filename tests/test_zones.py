@@ -211,3 +211,34 @@ def test_schema_evolution_across_appends(spark, store):
     assert "extra" in out.columns
     got = {r.id: r.extra for r in out.collect()}
     assert got == {"1": None, "2": 42}
+
+
+def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
+    """Backfill one day of a day-partitioned table without touching the
+    others: dynamic partitionOverwriteMode rewrites ONLY partitions
+    present in the incoming frame — at 100 TB a backfill job touches the
+    affected day directories, never the table."""
+    from pyspark.sql import functions as F
+
+    path = str(tmp_path / "day_partitioned")
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-02", 20.0), (3, "2024-01-03", 30.0)],
+        "id int, day string, v double",
+    )
+    base.write.partitionBy("day").parquet(path)
+    fix = spark.createDataFrame([(9, "2024-01-02", 99.0)], "id int, day string, v double")
+    with_conf = spark.conf
+    old = with_conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+    with_conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        fix.write.mode("overwrite").partitionBy("day").parquet(path)
+    finally:
+        with_conf.set("spark.sql.sources.partitionOverwriteMode", old)
+    got = {
+        (r.id, r.day, r.v)
+        for r in spark.read.parquet(path)
+        .select("id", F.col("day").cast("string").alias("day"), "v")
+        .collect()
+    }
+    # day 02 replaced wholesale; days 01/03 untouched
+    assert got == {(1, "2024-01-01", 10.0), (9, "2024-01-02", 99.0), (3, "2024-01-03", 30.0)}

@@ -58,6 +58,7 @@ GLOBAL_WINDOW_OK = {
         "NTILE sort at orders grain locally; approx_percentile cuts at 1e9+ "
         "(noted on the query)",
     "rfm_customer_segments": "quintile windows over customer-grain aggregate",
+    "events_cumulative_unique_users": "prefix sum over the day-grain series",
 }
 
 
