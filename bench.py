@@ -104,6 +104,9 @@ HEADLINE = [
     "stats_mad_outliers_by_segment",
     "embedding_matryoshka_fidelity",
     "events_cumulative_unique_users",
+    "dedup_canonical_selection",
+    "events_top_paths_3step",
+    "quality_profile_events_columns",
 ]
 
 

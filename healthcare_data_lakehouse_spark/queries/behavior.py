@@ -971,3 +971,51 @@ def events_cumulative_unique_users(spark: SparkSession, sf_dir: str) -> DataFram
     return daily_new.select(
         "day", "new_users", F.sum("new_users").over(w).alias("cumulative_users")
     )
+
+
+# ------------------------------------------------- path mining
+@register(
+    "events_top_paths_3step",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type AS t1,
+               LEAD(event_type, 1) OVER w AS t2,
+               LEAD(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    paths AS (
+        SELECT t1 || '>' || t2 || '>' || t3 AS path, COUNT(*) AS n
+        FROM seq WHERE t3 IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT path, n FROM (
+        SELECT path, n, ROW_NUMBER() OVER (ORDER BY n DESC, path) AS rn
+        FROM paths
+    ) WHERE rn <= 5
+    """,
+    description="Top-5 three-step behavioral paths (the k=3 extension of "
+    "the first-order Markov matrix): consecutive event-type triples "
+    "per user via two LEADs sharing one user-keyed window, counted "
+    "with map-side combine. Path mining at this shape never "
+    "materializes per-user sequences as arrays — the window stays "
+    "streaming-friendly and the agg output is O(|type|^3), tiny at "
+    "any corpus size.",
+)
+def events_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        F.col("event_type").alias("t1"),
+        F.lead("event_type", 1).over(w).alias("t2"),
+        F.lead("event_type", 2).over(w).alias("t3"),
+    ).filter(F.col("t3").isNotNull())
+    paths = seq.select(
+        F.concat_ws(">", "t1", "t2", "t3").alias("path")
+    ).groupBy("path").agg(F.count(F.lit(1)).alias("n"))
+    wtop = Window.orderBy(F.col("n").desc(), F.col("path"))
+    return (
+        paths.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 5)
+        .select("path", "n")
+    )

@@ -2003,3 +2003,56 @@ def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.min("r"), 6).alias("min_truncation_cosine"),
         )
     )
+
+
+# --------------------------------------- canonical survivor selection
+@register(
+    "dedup_canonical_selection",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=10)
+    + f""",
+    scored AS (
+        SELECT doc_id, text,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
+               {_SCORE_SQL} AS q
+        FROM docs
+    )
+    SELECT fp,
+           COUNT(*) AS n_members,
+           MIN(doc_id) FILTER (WHERE rn = 1) AS canonical_doc_id,
+           ROUND(MAX(q), 6) AS best_quality
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
+        FROM scored
+    )
+    GROUP BY fp
+    HAVING COUNT(*) >= 2
+    """,
+    description="Canonical-survivor dedup: within each exact-fingerprint "
+    "duplicate group keep the HIGHEST-QUALITY member (quality-desc, "
+    "id tiebreak), not the arbitrary or first one — the policy real "
+    "corpus pipelines want when mirrors differ in OCR/boilerplate "
+    "damage. One fingerprint-keyed window; reporting only groups with "
+    ">= 2 members keeps the output the exception list, not the corpus.",
+)
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 10)
+    scored = docs.select(
+        "doc_id",
+        TX.fingerprint(F.col("text")).alias("fp"),
+        TX.quality_score_cols(F.col("text"))["quality_score"].alias("q"),
+    )
+    w = Window.partitionBy("fp").orderBy(F.col("q").desc(), F.col("doc_id"))
+    ranked = scored.withColumn("rn", F.row_number().over(w))
+    return (
+        ranked.groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
+                "canonical_doc_id"
+            ),
+            F.round(F.max("q"), 6).alias("best_quality"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )

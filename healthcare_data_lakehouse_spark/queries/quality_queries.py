@@ -555,3 +555,72 @@ def privacy_pseudonymized_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+@register(
+    "quality_profile_events_columns",
+    oracle="""
+    SELECT 'event_id' AS column_name,
+           COUNT(*) - COUNT(event_id) AS n_nulls,
+           COUNT(DISTINCT event_id) AS n_distinct,
+           CAST(MIN(event_id) AS VARCHAR) AS min_value,
+           CAST(MAX(event_id) AS VARCHAR) AS max_value
+    FROM events
+    UNION ALL
+    SELECT 'user_id', COUNT(*) - COUNT(user_id), COUNT(DISTINCT user_id),
+           CAST(MIN(user_id) AS VARCHAR), CAST(MAX(user_id) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'event_type', COUNT(*) - COUNT(event_type), COUNT(DISTINCT event_type),
+           CAST(MIN(event_type) AS VARCHAR), CAST(MAX(event_type) AS VARCHAR)
+    FROM events
+    UNION ALL
+    SELECT 'value', COUNT(*) - COUNT(value), COUNT(DISTINCT value),
+           CAST(ROUND(MIN(value), 4) AS VARCHAR), CAST(ROUND(MAX(value), 4) AS VARCHAR)
+    FROM events
+    """,
+    description="Dynamic column profiler (the discovery scan a lakehouse "
+    "runs on unknown feeds before writing rules): null counts, distinct "
+    "cardinality, min/max per column, built FROM THE SCHEMA at plan "
+    "time and fused into ONE aggregation pass — the profile of N "
+    "columns costs one scan, not N (the reference's per-rule rescan "
+    "anti-pattern, src/quality/data_quality.py:337-346, fixed the "
+    "same way the quality engine fixes it). Output unpivots to one "
+    "row per column for the audit table.",
+)
+def quality_profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    cols = ["event_id", "user_id", "event_type", "value"]
+    aggs = []
+    for c in cols:
+        val = F.col(c)
+        if c == "value":
+            mn, mx = F.round(F.min(val), 4), F.round(F.max(val), 4)
+        else:
+            mn, mx = F.min(val), F.max(val)
+        aggs += [
+            (F.count(F.lit(1)) - F.count(val)).alias(f"{c}__nulls"),
+            F.count_distinct(val).alias(f"{c}__distinct"),
+            mn.cast("string").alias(f"{c}__min"),
+            mx.cast("string").alias(f"{c}__max"),
+        ]
+    one = ev.agg(*aggs)
+    profile = one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("column_name"),
+                        F.col(f"{c}__nulls").alias("n_nulls"),
+                        F.col(f"{c}__distinct").alias("n_distinct"),
+                        F.col(f"{c}__min").alias("min_value"),
+                        F.col(f"{c}__max").alias("max_value"),
+                    )
+                    for c in cols
+                ]
+            )
+        ).alias("p")
+    )
+    return profile.select("p.*")

@@ -240,3 +240,13 @@ def test_cumulative_users_monotone(spark):
     for r in rows:
         cum += r.new_users
         assert r.cumulative_users == cum
+
+
+def test_top_paths_are_valid_triples(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import events_top_paths_3step
+
+    rows = events_top_paths_3step(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 5
+    for r in rows:
+        assert len(r.path.split(">")) == 3
+        assert r.n >= 1

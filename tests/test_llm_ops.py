@@ -429,3 +429,14 @@ def test_matryoshka_ratio_bounds(spark):
     for r in rows:
         # |head|/|full| is in (0, 1]; 16/64 random dims -> ~sqrt(1/4) = 0.5
         assert 0.0 < r.min_truncation_cosine <= r.avg_truncation_cosine <= 1.0
+
+
+def test_canonical_selection_prefers_quality(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import dedup_canonical_selection
+
+    rows = dedup_canonical_selection(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.n_members >= 2
+        assert r.canonical_doc_id is not None
+        assert 0.0 <= r.best_quality <= 1.0
