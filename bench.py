@@ -107,6 +107,7 @@ HEADLINE = [
     "dedup_canonical_selection",
     "events_top_paths_3step",
     "quality_profile_events_columns",
+    "scd2_point_in_time_revenue",
 ]
 
 

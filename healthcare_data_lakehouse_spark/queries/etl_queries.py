@@ -655,3 +655,82 @@ register(
     "predicate-pushdown/column-pruning story as parquet in Spark, so "
     "the engine is storage-format-agnostic across both.",
 )(_roundtrip_query("orc"))
+
+
+@register(
+    "scd2_point_in_time_revenue",
+    oracle="""
+    WITH base AS (
+        SELECT c_custkey AS id, c_mktsegment AS segment FROM customer
+    ),
+    dim AS (
+        SELECT id, segment,
+               CAST(0 AS BIGINT) AS valid_from_batch,
+               CAST(CASE WHEN id % 10 = 0 THEN 1 END AS BIGINT) AS valid_to_batch
+        FROM base
+        UNION ALL
+        SELECT id, 'RESEGMENTED', 1, NULL FROM base WHERE id % 10 = 0
+    ),
+    facts AS (
+        SELECT o_custkey, o_totalprice,
+               CAST(o_orderkey % 2 AS BIGINT) AS as_of_batch
+        FROM orders
+    )
+    SELECT d.segment, f.as_of_batch,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(f.o_totalprice), 2) AS revenue
+    FROM facts f
+    JOIN dim d
+      ON d.id = f.o_custkey
+     AND d.valid_from_batch <= f.as_of_batch
+     AND (d.valid_to_batch IS NULL OR f.as_of_batch < d.valid_to_batch)
+    GROUP BY d.segment, f.as_of_batch
+    """,
+    description="Point-in-time (AS OF) fact-to-dimension join over the "
+    "SCD2 version history: each order resolves the customer attributes "
+    "valid AT ITS OWN batch (valid_from <= b < valid_to), so "
+    "re-segmented customers split their revenue across the old and new "
+    "segment by time — the audit-correct alternative to joining "
+    "current-state dims that silently rewrites history. The join keys "
+    "on the equi id (hash join); the validity range is a residual "
+    "filter, never a range-scan join. Every SCD2 deployment needs "
+    "exactly this read path; scd2_customer_dimension builds the write "
+    "path.",
+)
+def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("id"), F.col("c_mktsegment").alias("segment")
+    )
+    v1 = base.select(
+        "id",
+        "segment",
+        F.lit(0).cast("bigint").alias("valid_from_batch"),
+        F.when(F.col("id") % 10 == 0, F.lit(1)).cast("bigint").alias(
+            "valid_to_batch"
+        ),
+    )
+    v2 = base.filter(F.col("id") % 10 == 0).select(
+        "id",
+        F.lit("RESEGMENTED").alias("segment"),
+        F.lit(1).cast("bigint").alias("valid_from_batch"),
+        F.lit(None).cast("bigint").alias("valid_to_batch"),
+    )
+    dim = v1.unionByName(v2)
+    facts = table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_totalprice",
+        (F.col("o_orderkey") % 2).cast("bigint").alias("as_of_batch"),
+    )
+    cond = (
+        (dim.id == facts.o_custkey)
+        & (dim.valid_from_batch <= facts.as_of_batch)
+        & (dim.valid_to_batch.isNull() | (facts.as_of_batch < dim.valid_to_batch))
+    )
+    return (
+        facts.join(F.broadcast(dim), cond)
+        .groupBy("segment", "as_of_batch")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

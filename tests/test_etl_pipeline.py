@@ -165,3 +165,17 @@ def test_observed_metrics_ride_the_write(spark, tmp_path):
     assert got["n_null_v"] == 100
     expected_sum = df.agg(F.sum("v")).first()[0]
     assert got["sum_v"] == expected_sum
+
+
+def test_point_in_time_join_splits_resegmented_history(spark):
+    from healthcare_data_lakehouse_spark.queries.etl_queries import (
+        scd2_point_in_time_revenue,
+    )
+
+    rows = scd2_point_in_time_revenue(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # RESEGMENTED revenue exists only at batch 1 (version valid_from=1)
+    reseg = [r for r in rows if r.segment == "RESEGMENTED"]
+    assert reseg and all(r.as_of_batch == 1 for r in reseg)
+    # every (segment, batch) row is positive
+    assert all(r.n_orders > 0 and r.revenue > 0 for r in rows)
