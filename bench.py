@@ -108,6 +108,9 @@ HEADLINE = [
     "events_top_paths_3step",
     "quality_profile_events_columns",
     "scd2_point_in_time_revenue",
+    "dedup_multisignal_pairs",
+    "events_hour_of_week_profile",
+    "events_user_type_sets",
 ]
 
 

@@ -1019,3 +1019,64 @@ def events_top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .select("path", "n")
     )
+
+
+# ------------------------------------------------ seasonality profile
+@register(
+    "events_hour_of_week_profile",
+    oracle="""
+    WITH counted AS (
+        SELECT CAST(extract(dow FROM ts) + 1 AS INT) AS day_of_week,
+               CAST(extract(hour FROM ts) AS INT) AS hour_of_day,
+               COUNT(*) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (SELECT SUM(n) AS t FROM counted)
+    SELECT day_of_week, hour_of_day, n,
+           ROUND(CAST(n AS DOUBLE) / tot.t, 6) AS share
+    FROM counted CROSS JOIN tot
+    """,
+    description="Hour-of-week traffic seasonality (the 7x24 load "
+    "profile behind capacity planning and anomaly baselines): one "
+    "map-side-combined agg to 168 cells, total joined back as a "
+    "broadcast scalar — never a window over the fact table. Spark "
+    "dayofweek() (1=Sunday) matches DuckDB dow+1 exactly.",
+)
+def events_hour_of_week_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    counted = ev.groupBy(
+        F.dayofweek("ts").alias("day_of_week"), F.hour("ts").alias("hour_of_day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    tot = counted.agg(F.sum("n").alias("t"))
+    return counted.join(F.broadcast(tot)).select(
+        "day_of_week",
+        "hour_of_day",
+        "n",
+        F.round(F.col("n").cast("double") / F.col("t"), 6).alias("share"),
+    )
+
+
+# ------------------------------------------- deterministic set agg
+@register(
+    "events_user_type_sets",
+    oracle="""
+    SELECT user_id,
+           list_sort(list(DISTINCT event_type)) AS type_set,
+           CAST(len(list(DISTINCT event_type)) AS INT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+    description="Deterministic set aggregation: per-user distinct "
+    "event-type vocabulary as a SORTED array (collect_set alone is "
+    "partition-order-dependent; sort_array makes the value stable and "
+    "hash-comparable across engines, runs, and partitionings — the "
+    "discipline every array-valued gold column needs). One keyed agg; "
+    "set cardinality is bounded by |event_type|, so state stays tiny "
+    "per group at any fact volume.",
+)
+def events_user_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_set("event_type")).alias("type_set"),
+        F.size(F.collect_set("event_type")).alias("n_types"),
+    )

@@ -2056,3 +2056,68 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_members") >= 2)
     )
+
+
+# -------------------------------------- multi-signal dedup fusion
+def _multisignal_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    cos = """
+             list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(ea.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(eb.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    return f"""
+    WITH {ctes},
+    text_pairs AS ({final}),
+    emb_aug AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
+    )
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ROUND({cos}, 6) AS cosine,
+           p.jaccard >= 0.5 AND {cos} >= 0.95 AS confirmed
+    FROM text_pairs p
+    JOIN emb_aug ea ON ea.vec_id = p.id_a
+    JOIN emb_aug eb ON eb.vec_id = p.id_b
+    """
+
+
+@register(
+    "dedup_multisignal_pairs",
+    oracle=_multisignal_oracle(),
+    description="Multi-signal dedup fusion: the cheap signal (MinHash-LSH "
+    "text pairs) PROPOSES, the expensive signal (embedding cosine) "
+    "VERIFIES — candidates carry both scores and a confirmed flag "
+    "(J >= 0.5 AND cos >= 0.95). This staging is the 100 TB shape: "
+    "the quadratic-ish candidate generation runs on 48-bit text "
+    "hashes; the 64-float dot products run only on the surviving "
+    "pair list (orders of magnitude smaller), joined by id against "
+    "the vector table. Doc/vector ids are aligned by the fixture; "
+    "injected text dups get their source's vector.",
+)
+def dedup_multisignal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    emb_aug = emb.unionAll(
+        emb.filter(F.col("vec_id") % 20 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    )
+    ea = emb_aug.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    eb = emb_aug.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    cos = S.cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.join(ea, ea.ia == pairs.id_a)
+        .join(eb, eb.ib == pairs.id_b)
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(cos, 6).alias("cosine"),
+            ((F.col("jaccard") >= 0.5) & (cos >= 0.95)).alias("confirmed"),
+        )
+    )

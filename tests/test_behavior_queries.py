@@ -250,3 +250,23 @@ def test_top_paths_are_valid_triples(spark):
     for r in rows:
         assert len(r.path.split(">")) == 3
         assert r.n >= 1
+
+
+def test_hour_of_week_shares_sum_to_one(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_hour_of_week_profile,
+    )
+
+    rows = events_hour_of_week_profile(spark, "/root/testdata/sf0.001").collect()
+    assert all(1 <= r.day_of_week <= 7 and 0 <= r.hour_of_day <= 23 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+
+
+def test_user_type_sets_sorted_and_bounded(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import events_user_type_sets
+
+    rows = events_user_type_sets(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert r.type_set == sorted(r.type_set)
+        assert r.n_types == len(r.type_set) > 0

@@ -440,3 +440,15 @@ def test_canonical_selection_prefers_quality(spark):
         assert r.n_members >= 2
         assert r.canonical_doc_id is not None
         assert 0.0 <= r.best_quality <= 1.0
+
+
+def test_multisignal_confirms_injected_dups(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import dedup_multisignal_pairs
+
+    rows = dedup_multisignal_pairs(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    injected = [r for r in rows if r.id_b == r.id_a + 1_000_000]
+    assert injected
+    for r in injected:
+        # identical text + identical vector -> both signals fire
+        assert r.jaccard == 1.0 and r.cosine == 1.0 and r.confirmed
