@@ -111,6 +111,8 @@ HEADLINE = [
     "dedup_multisignal_pairs",
     "events_hour_of_week_profile",
     "events_user_type_sets",
+    "events_peak_minute_users_per_day",
+    "suppliers_covering_all_top_parts",
 ]
 
 

@@ -2314,3 +2314,55 @@ def sql_flagship_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN {views['lineitem']} l ON l.l_orderkey = o.o_orderkey
         GROUP BY c.c_mktsegment
     """)
+
+
+# --------------------------------------------- relational division
+@register(
+    "suppliers_covering_all_top_parts",
+    oracle="""
+    WITH top_parts AS (
+        SELECT l_partkey FROM lineitem
+        GROUP BY l_partkey
+        ORDER BY SUM(l_quantity) DESC, l_partkey
+        LIMIT 5
+    ),
+    cover AS (
+        SELECT DISTINCT l.l_suppkey, l.l_partkey
+        FROM lineitem l JOIN top_parts t ON t.l_partkey = l.l_partkey
+    )
+    SELECT s.s_suppkey AS suppkey, s.s_name AS name
+    FROM supplier s
+    JOIN (
+        SELECT l_suppkey FROM cover GROUP BY l_suppkey HAVING COUNT(*) = 5
+    ) c ON c.l_suppkey = s.s_suppkey
+    """,
+    description="Relational division (the FOR ALL quantifier): suppliers "
+    "who ship EVERY one of the top-5 parts by volume. Division "
+    "rewrites to counting: semi-join the fact against the broadcast "
+    "divisor set, distinct per (supplier, part), then HAVING count = "
+    "|divisor| — no double-NOT-EXISTS nesting, no cartesian check; "
+    "two keyed aggs and two broadcasts regardless of fact size.",
+)
+def suppliers_covering_all_top_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    supp = table(spark, sf_dir, "supplier")
+    top_parts = (
+        li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("qty"))
+        .orderBy(F.col("qty").desc(), F.col("l_partkey"))
+        .limit(5)
+        .select("l_partkey")
+    )
+    cover = (
+        li.join(F.broadcast(top_parts), "l_partkey")
+        .select("l_suppkey", "l_partkey")
+        .distinct()
+    )
+    full = (
+        cover.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") == 5)
+    )
+    return supp.join(F.broadcast(full), supp.s_suppkey == full.l_suppkey).select(
+        F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name")
+    )

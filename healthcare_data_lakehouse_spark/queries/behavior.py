@@ -1080,3 +1080,42 @@ def events_user_type_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sort_array(F.collect_set("event_type")).alias("type_set"),
         F.size(F.collect_set("event_type")).alias("n_types"),
     )
+
+
+# --------------------------------------------- peak concurrency
+@register(
+    "events_peak_minute_users_per_day",
+    oracle="""
+    WITH pm AS (
+        SELECT CAST(ts AS DATE) AS day,
+               date_trunc('minute', ts) AS minute,
+               COUNT(DISTINCT user_id) AS n_users
+        FROM events GROUP BY 1, 2
+    )
+    SELECT day, peak_users, MIN(minute) AS first_peak_minute FROM (
+        SELECT day, minute, n_users,
+               MAX(n_users) OVER (PARTITION BY day) AS peak_users
+        FROM pm
+    ) WHERE n_users = peak_users
+    GROUP BY day, peak_users
+    """,
+    description="Peak concurrent load per day: distinct active users per "
+    "minute bucket, then the per-day maximum with its earliest "
+    "attaining minute (deterministic argmax). Two keyed aggs + one "
+    "day-partitioned window over the MINUTE-grain series (1440 rows "
+    "per day regardless of event volume) — the capacity-planning "
+    "query that never sorts the fact table.",
+)
+def events_peak_minute_users_per_day(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    pm = ev.groupBy(
+        F.col("ts").cast("date").alias("day"),
+        F.date_trunc("minute", "ts").alias("minute"),
+    ).agg(F.count_distinct("user_id").alias("n_users"))
+    w = Window.partitionBy("day")
+    return (
+        pm.withColumn("peak_users", F.max("n_users").over(w))
+        .filter(F.col("n_users") == F.col("peak_users"))
+        .groupBy("day", "peak_users")
+        .agg(F.min("minute").alias("first_peak_minute"))
+    )

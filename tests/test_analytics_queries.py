@@ -96,3 +96,34 @@ def test_fullouter_preserves_both_calendars(spark):
     assert any(r.n_orders == 0 and r.n_events > 0 for r in rows)
     assert any(r.n_events == 0 and r.n_orders > 0 for r in rows)
     assert all(r.day is not None for r in rows)
+
+
+def test_division_suppliers_truly_cover(spark):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        suppliers_covering_all_top_parts,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    li = table(spark, "/root/testdata/sf0.01", "lineitem")
+    top = [
+        r.l_partkey
+        for r in li.groupBy("l_partkey")
+        .agg(F.sum("l_quantity").alias("q"))
+        .orderBy(F.col("q").desc(), "l_partkey")
+        .limit(5)
+        .collect()
+    ]
+    winners = {
+        r.suppkey
+        for r in suppliers_covering_all_top_parts(spark, "/root/testdata/sf0.01").collect()
+    }
+    for s in winners:
+        shipped = {
+            r.l_partkey
+            for r in li.filter(F.col("l_suppkey") == s)
+            .select("l_partkey")
+            .distinct()
+            .collect()
+        }
+        assert set(top) <= shipped

@@ -270,3 +270,14 @@ def test_user_type_sets_sorted_and_bounded(spark):
     for r in rows:
         assert r.type_set == sorted(r.type_set)
         assert r.n_types == len(r.type_set) > 0
+
+
+def test_peak_minute_is_max(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_peak_minute_users_per_day,
+    )
+
+    rows = events_peak_minute_users_per_day(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    assert all(r.peak_users >= 1 for r in rows)
+    assert all(r.first_peak_minute.date() == r.day for r in rows)
