@@ -113,6 +113,9 @@ HEADLINE = [
     "events_user_type_sets",
     "events_peak_minute_users_per_day",
     "suppliers_covering_all_top_parts",
+    "sample_weighted_reservoir_per_lang",
+    "text_inverted_index_sample",
+    "stats_lineitem_corr_matrix",
 ]
 
 

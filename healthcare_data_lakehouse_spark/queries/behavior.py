@@ -1119,3 +1119,52 @@ def events_peak_minute_users_per_day(spark: SparkSession, sf_dir: str) -> DataFr
         .groupBy("day", "peak_users")
         .agg(F.min("minute").alias("first_peak_minute"))
     )
+
+
+# --------------------------------------------- correlation matrix
+@register(
+    "stats_lineitem_corr_matrix",
+    oracle="""
+    SELECT 'quantity' AS var_a, 'extendedprice' AS var_b,
+           ROUND(corr(l_quantity, l_extendedprice), 6) AS r
+    FROM lineitem
+    UNION ALL
+    SELECT 'quantity', 'discount', ROUND(corr(l_quantity, l_discount), 6)
+    FROM lineitem
+    UNION ALL
+    SELECT 'extendedprice', 'discount', ROUND(corr(l_extendedprice, l_discount), 6)
+    FROM lineitem
+    """,
+    description="Pairwise correlation matrix of three fact measures in "
+    "ONE aggregation pass (all corr states accumulate in the same "
+    "scan, then unpivot to long form) — the feature-selection screen "
+    "that would naively cost one scan per pair. Running-moments "
+    "states are mergeable, so the 100 TB matrix is one "
+    "map-side-combined pass regardless of how many pairs ride along.",
+)
+def stats_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    one = li.agg(
+        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("qp"),
+        F.round(F.corr("l_quantity", "l_discount"), 6).alias("qd"),
+        F.round(F.corr("l_extendedprice", "l_discount"), 6).alias("pd"),
+    )
+    pairs = [
+        ("quantity", "extendedprice", "qp"),
+        ("quantity", "discount", "qd"),
+        ("extendedprice", "discount", "pd"),
+    ]
+    return one.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(a).alias("var_a"),
+                        F.lit(b).alias("var_b"),
+                        F.col(c).alias("r"),
+                    )
+                    for a, b, c in pairs
+                ]
+            )
+        ).alias("p")
+    ).select("p.*")

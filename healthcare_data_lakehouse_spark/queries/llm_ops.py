@@ -2121,3 +2121,103 @@ def dedup_multisignal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ((F.col("jaccard") >= 0.5) & (cos >= 0.95)).alias("confirmed"),
         )
     )
+
+
+# --------------------------------------- weighted reservoir sampling
+@register(
+    "sample_weighted_reservoir_per_lang",
+    oracle="""
+    WITH keyed AS (
+        SELECT lang, doc_id, n_chars,
+               POWER(
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
+                       / 281474976710656.0,
+                   1.0 / n_chars) AS k
+        FROM documents WHERE n_chars > 0
+    )
+    SELECT lang, doc_id, n_chars FROM (
+        SELECT lang, doc_id, n_chars,
+               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
+        FROM keyed
+    ) WHERE rn <= 10
+    """,
+    description="Weighted reservoir sampling (Efraimidis-Spirakis A-Res: "
+    "key = u^(1/w), keep the top-k keys) with deterministic md5 "
+    "uniforms — longer documents win proportionally to n_chars, "
+    "reproducibly across engines and partitionings. The one-pass, "
+    "merge-friendly way to draw weight-proportional samples at 100 TB: "
+    "each partition keeps its local top-k, the combiner merges — "
+    "exactly what the lang-partitioned window computes.",
+)
+def sample_weighted_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    keyed = docs.select(
+        "lang", "doc_id", "n_chars", F.pow(u, 1.0 / F.col("n_chars")).alias("k")
+    )
+    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id"))
+    return (
+        keyed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id", "n_chars")
+    )
+
+
+# ------------------------------------------------- inverted index
+@register(
+    "text_inverted_index_sample",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, t.term
+        FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+             UNNEST(tl) AS t(term)
+        WHERE t.term <> ''
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
+    top_terms AS (
+        SELECT term, df FROM (
+            SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
+            FROM df
+        ) WHERE rn <= 20
+    )
+    SELECT t.term, tt.df,
+           list_sort(list(t.doc_id))[1:10] AS posting_sample
+    FROM tok t JOIN top_terms tt ON tt.term = t.term
+    GROUP BY t.term, tt.df
+    """,
+    description="Inverted-index construction (the search/retrieval "
+    "primitive): distinct (doc, term) postings, document frequencies, "
+    "and for the 20 highest-df terms a sorted 10-doc posting-list "
+    "sample. Posting lists are per-term sorted arrays — build cost is "
+    "one distinct agg + one term-keyed agg; the cap keeps driver "
+    "output bounded while the full index would write partitioned BY "
+    "TERM for point lookups.",
+)
+def text_inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = (
+        docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
+        .filter(F.col("term") != "")
+        .distinct()
+    )
+    df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    wtop = Window.orderBy(F.col("df").desc(), F.col("term"))
+    top_terms = (
+        df.withColumn("rn", F.row_number().over(wtop))
+        .filter(F.col("rn") <= 20)
+        .select("term", "df")
+    )
+    return (
+        tok.join(F.broadcast(top_terms), "term")
+        .groupBy("term", "df")
+        .agg(
+            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
+                "posting_sample"
+            )
+        )
+    )

@@ -281,3 +281,14 @@ def test_peak_minute_is_max(spark):
     assert rows
     assert all(r.peak_users >= 1 for r in rows)
     assert all(r.first_peak_minute.date() == r.day for r in rows)
+
+
+def test_corr_matrix_bounds(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import stats_lineitem_corr_matrix
+
+    rows = stats_lineitem_corr_matrix(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 3
+    for r in rows:
+        assert -1.0 <= r.r <= 1.0
+    # the fixture generates measures independently: correlations are weak
+    assert all(abs(r.r) < 0.2 for r in rows)

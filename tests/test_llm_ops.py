@@ -452,3 +452,36 @@ def test_multisignal_confirms_injected_dups(spark):
     for r in injected:
         # identical text + identical vector -> both signals fire
         assert r.jaccard == 1.0 and r.cosine == 1.0 and r.confirmed
+
+
+def test_weighted_reservoir_favors_long_docs(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sample_weighted_reservoir_per_lang,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    rows = sample_weighted_reservoir_per_lang(spark, "/root/testdata/sf0.01").collect()
+    from collections import Counter
+
+    per = Counter(r.lang for r in rows)
+    assert all(n <= 10 for n in per.values())
+    # weight-proportional draw: sampled docs skew longer than corpus mean
+    corpus_mean = (
+        table(spark, "/root/testdata/sf0.01", "documents")
+        .agg(F.avg("n_chars"))
+        .head()[0]
+    )
+    sample_mean = sum(r.n_chars for r in rows) / len(rows)
+    assert sample_mean > corpus_mean
+
+
+def test_inverted_index_postings_sorted(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import text_inverted_index_sample
+
+    rows = text_inverted_index_sample(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    for r in rows:
+        assert r.posting_sample == sorted(r.posting_sample)
+        assert 1 <= len(r.posting_sample) <= 10
+        assert r.df >= len(r.posting_sample)
