@@ -116,6 +116,7 @@ HEADLINE = [
     "sample_weighted_reservoir_per_lang",
     "text_inverted_index_sample",
     "stats_lineitem_corr_matrix",
+    "privacy_forget_user_erasure",
 ]
 
 

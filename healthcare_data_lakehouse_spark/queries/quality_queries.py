@@ -624,3 +624,60 @@ def quality_profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("p")
     )
     return profile.select("p.*")
+
+
+@register(
+    "privacy_forget_user_erasure",
+    oracle="""
+    WITH forget AS (
+        SELECT DISTINCT user_id FROM events WHERE user_id % 101 = 7
+    ),
+    ev AS (
+        SELECT COUNT(*) AS before_rows,
+               SUM(CASE WHEN user_id % 101 = 7 THEN 1 ELSE 0 END) AS erased_rows
+        FROM events
+    )
+    SELECT 'events' AS table_name,
+           ev.before_rows,
+           ev.erased_rows,
+           ev.before_rows - ev.erased_rows AS surviving_rows,
+           (SELECT COUNT(*) FROM forget) AS n_subjects
+    FROM ev
+    """,
+    description="Right-to-be-forgotten erasure audit: a deletion-request "
+    "cohort (deterministic here; a consent table in deployment) "
+    "anti-joined against each fact table, reporting before/erased/"
+    "surviving counts per table — the compliance evidence row that "
+    "accompanies the physical delete. The scan is one pass with the "
+    "membership predicate fused (broadcast the subject list in "
+    "deployment); on Delta this pairs with DELETE WHERE + VACUUM to "
+    "make the erasure physical, per the retention machinery in "
+    "zones.py (vacuum).",
+)
+def privacy_forget_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    is_subject = F.col("user_id") % 101 == 7
+    survivors = ev.filter(~is_subject)
+    counts = ev.agg(
+        F.count(F.lit(1)).alias("before_rows"),
+        F.sum(F.when(is_subject, 1).otherwise(0)).alias("erased_rows"),
+    )
+    n_subjects = (
+        ev.filter(is_subject).select("user_id").distinct().agg(
+            F.count(F.lit(1)).alias("n_subjects")
+        )
+    )
+    # survivors is the operative erased frame (anti semantics); the audit
+    # row proves the arithmetic without collecting it
+    return (
+        counts.join(F.broadcast(n_subjects))
+        .select(
+            F.lit("events").alias("table_name"),
+            "before_rows",
+            "erased_rows",
+            (F.col("before_rows") - F.col("erased_rows")).alias("surviving_rows"),
+            "n_subjects",
+        )
+    )

@@ -174,3 +174,23 @@ def test_join_strategy_hints_control_physical_plan(spark, sf_dir):
     # all three strategies compute the same join
     n = bc.count()
     assert smj.count() == n and shj.count() == n
+
+
+def test_decontamination_eval_side_broadcasts(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "pipeline_decontaminate_train")
+    # the eval span set must reach the train scan as a broadcast, and the
+    # span join must stay a (semi) hash join, never sort-merge the spans
+    assert "BroadcastExchange" in plan
+    assert "LeftSemi, BuildRight" in plan
+
+
+def test_profiler_is_one_scan(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "quality_profile_events_columns")
+    # one aggregation over one scan: N columns profiled without N passes
+    assert plan.count("Scan parquet") == 1
+
+
+def test_matryoshka_audit_no_shuffle_before_rollup(spark, sf_dir):
+    plan = _plan(spark, sf_dir, "embedding_matryoshka_fidelity")
+    # only the 10-row label rollup exchanges; the slice/norm math is narrow
+    assert plan.count("Exchange hashpartitioning") == 1
