@@ -117,6 +117,7 @@ HEADLINE = [
     "text_inverted_index_sample",
     "stats_lineitem_corr_matrix",
     "privacy_forget_user_erasure",
+    "embedding_centroid_drift",
 ]
 
 

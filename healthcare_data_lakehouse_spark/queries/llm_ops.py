@@ -2221,3 +2221,59 @@ def text_inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ------------------------------------------- centroid drift monitor
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH pts AS (
+        SELECT label, vec_id % 2 AS half, generate_subscripts(embedding, 1) AS i,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, half, i, AVG(x) AS c FROM pts GROUP BY label, half, i
+    ),
+    paired AS (
+        SELECT a.label, a.i, a.c AS ca, b.c AS cb
+        FROM cent a JOIN cent b
+          ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           ROUND(SUM(ca * cb) / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))), 6)
+               AS centroid_cosine,
+           ROUND(sqrt(SUM((ca - cb) * (ca - cb))), 6) AS centroid_l2_dist
+    FROM paired GROUP BY label
+    """,
+    description="Embedding representation-drift monitor: per-label "
+    "centroids of two deterministic halves of the corpus (stand-ins "
+    "for two ingestion batches), compared by cosine and L2 — the "
+    "embedding-space analogue of the PSI value-drift monitor, catching "
+    "encoder regressions/model swaps before they poison the index. "
+    "Centroids are O(labels x dims) from one posexplode agg; the "
+    "comparison is a dim-keyed self-join of that tiny aggregate.",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("i", "xf"),
+    ).select("label", "half", (F.col("i") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    cent = pts.groupBy("label", "half", "i").agg(F.avg("x").alias("c"))
+    a = cent.filter(F.col("half") == 0).select("label", "i", F.col("c").alias("ca"))
+    b = cent.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("cb")
+    )
+    paired = a.join(b, (a.label == F.col("lb")) & (a.i == F.col("ib")))
+    return paired.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (F.sqrt(F.sum(F.col("ca") * F.col("ca"))) * F.sqrt(F.sum(F.col("cb") * F.col("cb")))),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))), 6
+        ).alias("centroid_l2_dist"),
+    )

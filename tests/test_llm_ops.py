@@ -388,6 +388,16 @@ def test_sequence_packing_respects_capacity_per_shard(spark):
     for r in rows:
         assert 0 < r.fill_ratio <= 1.0
         assert r.n_docs >= 1
+    # token conservation: packing moves every token into exactly one bin
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    total = (
+        table(spark, "/root/testdata/sf0.001", "documents")
+        .select(F.sum(F.size(F.split("text", " ", -1))).alias("t"))
+        .head()[0]
+    )
+    assert sum(r.tokens for r in rows) == total
     # bins are dense from 0 within each lang
     from collections import defaultdict
 
@@ -485,3 +495,33 @@ def test_inverted_index_postings_sorted(spark):
         assert r.posting_sample == sorted(r.posting_sample)
         assert 1 <= len(r.posting_sample) <= 10
         assert r.df >= len(r.posting_sample)
+
+
+def test_weighted_reservoir_deterministic(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sample_weighted_reservoir_per_lang,
+    )
+
+    a = sorted(
+        (r.lang, r.doc_id)
+        for r in sample_weighted_reservoir_per_lang(spark, "/root/testdata/sf0.001").collect()
+    )
+    b = sorted(
+        (r.lang, r.doc_id)
+        for r in sample_weighted_reservoir_per_lang(spark, "/root/testdata/sf0.001").collect()
+    )
+    assert a == b
+
+
+def test_centroid_drift_halves_agree_on_iid_fixture(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import embedding_centroid_drift
+
+    rows = embedding_centroid_drift(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        # fixture embeddings are ~zero-mean: half-centroids are noise
+        # vectors, so cosine is unconstrained — assert the metric bounds
+        assert -1.0 <= r.centroid_cosine <= 1.0
+        # and that iid halves stay CLOSE in absolute terms (drift alarm
+        # threshold would sit far above this)
+        assert 0 <= r.centroid_l2_dist < 1.0
