@@ -118,6 +118,7 @@ HEADLINE = [
     "stats_lineitem_corr_matrix",
     "privacy_forget_user_erasure",
     "embedding_centroid_drift",
+    "dedup_incremental_lsh_gate",
 ]
 
 

@@ -2277,3 +2277,82 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))), 6
         ).alias("centroid_l2_dist"),
     )
+
+
+# ------------------------------------------- incremental dedup gate
+def _probe_oracle() -> str:
+    mins = ",\n               ".join(
+        f"MIN(({a} * h + {b}) % {D.MERSENNE_P}) AS mh_{j}"
+        for j, (a, b) in enumerate(D.MINHASH_PERMS)
+    )
+    band_selects = []
+    for band in range(D.N_BANDS):
+        cols = [f"mh_{band * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)]
+        key = f"'{band}:' || " + " || ':' || ".join(
+            f"CAST({c} AS VARCHAR)" for c in cols
+        )
+        band_selects.append("SELECT sid, {k} AS bkey FROM {{t}}".format(k=key))
+    buckets = "\n        UNION ALL ".join(band_selects)
+    shingle_body = """
+        SELECT DISTINCT doc_id AS sid,
+               array_to_string(t[i:i+2], chr(31)) AS shingle
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
+             , UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+        WHERE len(t) >= 3
+        UNION
+        SELECT DISTINCT doc_id, array_to_string(t, chr(31))
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
+        WHERE len(t) < 3
+    """
+    return f"""
+    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
+    incoming AS (
+        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 5
+    ),
+    shc AS ({shingle_body.format(src="corpus")}),
+    shi AS ({shingle_body.format(src="incoming")}),
+    hc AS (SELECT sid, {_H48.format(c="shingle")} AS h FROM shc),
+    hi AS (SELECT sid, {_H48.format(c="shingle")} AS h FROM shi),
+    pc AS (SELECT sid, COUNT(*) AS sz, {mins} FROM hc GROUP BY sid),
+    pi AS (SELECT sid, COUNT(*) AS sz, {mins} FROM hi GROUP BY sid),
+    bc AS ({buckets.format(t="pc")}),
+    bi AS ({buckets.format(t="pi")}),
+    cand AS (
+        SELECT DISTINCT i.sid AS incoming_id, c.sid AS corpus_id
+        FROM bi i JOIN bc c ON c.bkey = i.bkey
+    ),
+    inter AS (
+        SELECT cand.incoming_id, cand.corpus_id, COUNT(*) AS n_inter
+        FROM cand
+        JOIN shi a ON a.sid = cand.incoming_id
+        JOIN shc b ON b.sid = cand.corpus_id AND b.shingle = a.shingle
+        GROUP BY cand.incoming_id, cand.corpus_id
+    )
+    SELECT incoming_id, corpus_id,
+           ROUND(CAST(n_inter AS DOUBLE) / (pi.sz + pc.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN pi ON pi.sid = incoming_id
+    JOIN pc ON pc.sid = corpus_id
+    WHERE CAST(n_inter AS DOUBLE) / (pi.sz + pc.sz - n_inter) >= 0.5
+    """
+
+
+@register(
+    "dedup_incremental_lsh_gate",
+    oracle=_probe_oracle(),
+    description="Incremental dedup gate (the admission check every new "
+    "crawl batch passes before joining the corpus): incoming docs probe "
+    "the corpus LSH index via a bucket EQUI-join — never a self-join "
+    "over corpus ∪ batch — and only bucket-colliding candidates pay "
+    "exact Jaccard verification. In deployment the corpus "
+    "signature/bucket tables are materialized once and appended per "
+    "batch, so each increment costs its own signatures plus a probe "
+    "proportional to candidate volume (functions/dedup.py lsh_probe).",
+)
+def dedup_incremental_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") % 13 != 5)
+    incoming = docs.filter(F.col("doc_id") % 13 == 5).select(
+        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
+    )
+    return D.lsh_probe(corpus, incoming, threshold=0.5)

@@ -525,3 +525,21 @@ def test_centroid_drift_halves_agree_on_iid_fixture(spark):
         # and that iid halves stay CLOSE in absolute terms (drift alarm
         # threshold would sit far above this)
         assert 0 <= r.centroid_l2_dist < 1.0
+
+
+def test_lsh_probe_finds_exact_copy_in_corpus(spark):
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.functions import dedup as D
+
+    corpus = spark.createDataFrame([
+        Row(doc_id=1, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=2, text="completely unrelated content about databases"),
+    ])
+    incoming = spark.createDataFrame([
+        Row(doc_id=100, text="the quick brown fox jumps over the lazy dog"),
+        Row(doc_id=101, text="totally novel text never seen before anywhere"),
+    ])
+    got = {(r.incoming_id, r.corpus_id): r.jaccard
+           for r in D.lsh_probe(corpus, incoming, threshold=0.5).collect()}
+    assert got.get((100, 1)) == 1.0      # exact copy gates against its source
+    assert all(i != 101 for i, _ in got)  # novel doc passes the gate
