@@ -194,3 +194,27 @@ def test_matryoshka_audit_no_shuffle_before_rollup(spark, sf_dir):
     plan = _plan(spark, sf_dir, "embedding_matryoshka_fidelity")
     # only the 10-row label rollup exchanges; the slice/norm math is narrow
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_flagship_survives_broadcast_disabled(spark, sf_dir):
+    """At 100 TB the dimension tables can exceed the broadcast threshold;
+    the same code must degrade to sort-merge/shuffled-hash and stay
+    correct — AQE picks the strategy from runtime stats, the query text
+    never changes."""
+    from healthcare_data_lakehouse_spark.queries.catalog import load_all
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fn = load_all()["gold_revenue_by_mktsegment"].fn
+        df = fn(spark, sf_dir)
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        rows = {r.mktsegment: r.revenue for r in df.collect()}
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    # no broadcast anywhere; a shuffle-side join strategy took over
+    assert "BroadcastHashJoin" not in plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    # and the answer matches the broadcast plan's
+    base = {r.mktsegment: r.revenue for r in fn(spark, sf_dir).collect()}
+    assert rows == base
