@@ -119,6 +119,7 @@ HEADLINE = [
     "privacy_forget_user_erasure",
     "embedding_centroid_drift",
     "dedup_incremental_lsh_gate",
+    "events_ewma_user_value",
 ]
 
 

@@ -1168,3 +1168,63 @@ def stats_lineitem_corr_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.*")
+
+
+# --------------------------------------------------- windowed EWMA
+@register(
+    "events_ewma_user_value",
+    oracle="""
+    WITH framed AS (
+        SELECT event_id, user_id, value,
+               list(value) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 19 PRECEDING AND CURRENT ROW
+               ) AS vs
+        FROM events
+    )
+    SELECT event_id, user_id,
+           ROUND(
+               list_sum(list_transform(
+                   list_zip(vs, range(len(vs) - 1, -1, -1)),
+                   p -> p[1] * 0.3 * POWER(0.7, p[2])))
+               / list_sum(list_transform(
+                   range(len(vs) - 1, -1, -1),
+                   k -> 0.3 * POWER(0.7, k))),
+           4) AS ewma
+    FROM framed
+    """,
+    description="Exponentially-weighted moving average (alpha=0.3) over "
+    "the trailing 20 events per user — the recursive EWMA recurrence "
+    "is inexpressible in plain SQL windows, but the BOUNDED-window "
+    "form factors into an array: collect the frame once, weight by "
+    "age with pow inside the array lambda, normalize by the weight "
+    "mass (no cold-start bias). One user-keyed window pass; the array "
+    "never exceeds 20 floats per row, so state is constant and the "
+    "whole expression stays in codegen — the pattern generalizes to "
+    "any finite-memory filter (Holt smoothing, windowed convolution).",
+)
+def events_ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-19, 0)
+    )
+    framed = ev.select(
+        "event_id", "user_id", F.collect_list("value").over(w).alias("vs")
+    )
+    return framed.select(
+        "event_id",
+        "user_id",
+        F.round(
+            F.expr(
+                "aggregate(zip_with(vs, sequence(size(vs) - 1, 0, -1), "
+                "(x, k) -> x * 0.3 * power(0.7, k)), 0D, (a, b) -> a + b)"
+            )
+            / F.expr(
+                "aggregate(sequence(size(vs) - 1, 0, -1), 0D, "
+                "(a, k) -> a + 0.3 * power(0.7, k))"
+            ),
+            4,
+        ).alias("ewma"),
+    )

@@ -292,3 +292,18 @@ def test_corr_matrix_bounds(spark):
         assert -1.0 <= r.r <= 1.0
     # the fixture generates measures independently: correlations are weak
     assert all(abs(r.r) < 0.2 for r in rows)
+
+
+def test_ewma_tracks_level_and_is_bounded(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import events_ewma_user_value
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = events_ewma_user_value(spark, sf).collect()
+    assert rows
+    lo, hi = (
+        table(spark, sf, "events").agg(F.min("value"), F.max("value")).head()
+    )
+    # a normalized convex combination never leaves the value range
+    assert all(lo - 1e-6 <= r.ewma <= hi + 1e-6 for r in rows)
