@@ -120,6 +120,7 @@ HEADLINE = [
     "embedding_centroid_drift",
     "dedup_incremental_lsh_gate",
     "events_ewma_user_value",
+    "rollup_revenue_calendar",
 ]
 
 

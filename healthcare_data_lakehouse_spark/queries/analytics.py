@@ -2366,3 +2366,43 @@ def suppliers_covering_all_top_parts(spark: SparkSession, sf_dir: str) -> DataFr
     return supp.join(F.broadcast(full), supp.s_suppkey == full.l_suppkey).select(
         F.col("s_suppkey").alias("suppkey"), F.col("s_name").alias("name")
     )
+
+
+# --------------------------------------------- calendar hierarchy
+@register(
+    "rollup_revenue_calendar",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS quarter,
+           CAST(EXTRACT(month FROM o_orderdate) AS INT) AS month,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS revenue
+    FROM orders
+    GROUP BY ROLLUP (
+        EXTRACT(year FROM o_orderdate),
+        EXTRACT(quarter FROM o_orderdate),
+        EXTRACT(month FROM o_orderdate)
+    )
+    """,
+    description="Calendar-hierarchy ROLLUP (month -> quarter -> year -> "
+    "grand total): the OLAP drill-down axis every revenue dashboard "
+    "needs, computed as ONE Expand + one hash agg (4 grouping levels "
+    "share the scan; a UNION ALL of four GROUP BYs would scan 4x). "
+    "NULL level markers distinguish subtotal rows exactly as in the "
+    "flag/status rollup twin.",
+)
+def rollup_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("year"),
+            F.quarter("o_orderdate").alias("quarter"),
+            F.month("o_orderdate").alias("month"),
+            "o_totalprice",
+        )
+        .rollup("year", "quarter", "month")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

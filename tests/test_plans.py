@@ -218,3 +218,16 @@ def test_flagship_survives_broadcast_disabled(spark, sf_dir):
     # and the answer matches the broadcast plan's
     base = {r.mktsegment: r.revenue for r in fn(spark, sf_dir).collect()}
     assert rows == base
+
+
+def test_aqe_coalesces_small_shuffles(spark, sf_dir):
+    """AQE merges the 32 configured shuffle partitions down to what the
+    data volume actually needs — the runtime re-plan the 100 TB design
+    leans on instead of hand-tuning spark.sql.shuffle.partitions per
+    query."""
+    from healthcare_data_lakehouse_spark.queries.catalog import load_all
+
+    df = load_all()["gold_revenue_by_mktsegment"].fn(spark, sf_dir)
+    df.collect()  # AQE finalizes the plan only after execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan

@@ -330,3 +330,42 @@ def test_stream_incremental_gold_counts_equals_batch(spark, sf_dir):
     )
     got2 = {r.event_type: r.n_events for r in out2.collect()}
     assert got2 == {k: v[0] for k, v in expected.items()}
+
+
+def test_stream_stateful_anomaly_profile_matches_batch(spark, tmp_path):
+    """The streaming Welford profile converges to the batch moments: count
+    and mean exactly, variance to float tolerance; flags are sane."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stream_stateful_anomaly_monitor,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    src = "/root/testdata/sf0.001/events.parquet"
+    got = {
+        r.user_id: r
+        for r in stream_stateful_anomaly_monitor(
+            spark, src, str(tmp_path), query_name="anom_t"
+        ).collect()
+    }
+    batch = {
+        r.user_id: r
+        for r in table(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("user_id")
+        .agg(
+            F.count("value").alias("n"),
+            F.avg("value").alias("mean"),
+            F.var_samp("value").alias("var"),
+        )
+        .collect()
+    }
+    assert set(got) == set(batch)
+    for uid, b in batch.items():
+        g = got[uid]
+        assert g.n_events == b.n
+        assert abs(g.mean_value - b.mean) < 1e-9 * max(1.0, abs(b.mean))
+        if b.n > 1 and b.var is not None:
+            stream_var = g.m2 / (g.n_events - 1)
+            assert abs(stream_var - b.var) < 1e-6 * max(1.0, b.var)
+        assert 0 <= g.n_flagged < g.n_events
