@@ -2356,3 +2356,62 @@ def dedup_incremental_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
     )
     return D.lsh_probe(corpus, incoming, threshold=0.5)
+
+
+# ------------------------------------------- sentence boilerplate
+@register(
+    "text_sentence_boilerplate",
+    oracle="""
+    WITH sents AS (
+        SELECT doc_id, trim(s.sent) AS sent
+        FROM (SELECT doc_id, string_split(text, '. ') AS sl FROM documents),
+             UNNEST(sl) AS s(sent)
+        WHERE trim(s.sent) <> ''
+    ),
+    freq AS (
+        SELECT sent, COUNT(DISTINCT doc_id) AS n_docs
+        FROM sents GROUP BY sent
+    ),
+    boiler AS (SELECT sent FROM freq WHERE n_docs >= 3)
+    SELECT s.doc_id,
+           COUNT(*) AS n_sentences,
+           SUM(CASE WHEN b.sent IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
+           ROUND(SUM(CASE WHEN b.sent IS NOT NULL THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+               AS boilerplate_ratio
+    FROM sents s LEFT JOIN boiler b ON b.sent = s.sent
+    GROUP BY s.doc_id
+    """,
+    description="Sentence-level boilerplate detection (the CCNet line/"
+    "sentence dedup stage, the adaptive-unit complement to fixed "
+    "8-gram span dedup): sentences recurring across >= 3 distinct "
+    "docs are boilerplate (headers, disclaimers, navigation), each "
+    "doc reports its contamination ratio. Sentence frequency is one "
+    "hash agg over (sentence, doc) pairs; the boilerplate set joins "
+    "back semi-style — at 100 TB hash the sentence (as the span "
+    "pass does) so only 6-byte keys shuffle.",
+)
+def text_sentence_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sents = (
+        docs.select("doc_id", F.explode(F.split("text", r"\. ", -1)).alias("raw"))
+        .select("doc_id", F.trim("raw").alias("sent"))
+        .filter(F.col("sent") != "")
+    )
+    boiler = (
+        sents.groupBy("sent")
+        .agg(F.count_distinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 3)
+        .select("sent")
+    )
+    marked = sents.join(
+        boiler.withColumn("is_boiler", F.lit(1)), "sent", "left"
+    )
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_sentences"),
+        F.coalesce(F.sum("is_boiler"), F.lit(0)).alias("n_boilerplate"),
+        F.round(
+            F.coalesce(F.sum("is_boiler"), F.lit(0)).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("boilerplate_ratio"),
+    )

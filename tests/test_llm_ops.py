@@ -543,3 +543,15 @@ def test_lsh_probe_finds_exact_copy_in_corpus(spark):
            for r in D.lsh_probe(corpus, incoming, threshold=0.5).collect()}
     assert got.get((100, 1)) == 1.0      # exact copy gates against its source
     assert all(i != 101 for i, _ in got)  # novel doc passes the gate
+
+
+def test_sentence_boilerplate_bounds(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import text_sentence_boilerplate
+
+    rows = text_sentence_boilerplate(spark, "/root/testdata/sf0.01").collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_boilerplate <= r.n_sentences
+        assert 0.0 <= r.boilerplate_ratio <= 1.0
+    # the synthetic corpus repeats sentence templates: some boilerplate exists
+    assert any(r.n_boilerplate > 0 for r in rows)
