@@ -121,7 +121,7 @@ HEADLINE = [
     "dedup_incremental_lsh_gate",
     "events_ewma_user_value",
     "rollup_revenue_calendar",
-    "text_sentence_boilerplate",
+    "text_chunk_boilerplate",
 ]
 
 

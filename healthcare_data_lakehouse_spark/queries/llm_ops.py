@@ -2358,56 +2358,63 @@ def dedup_incremental_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.lsh_probe(corpus, incoming, threshold=0.5)
 
 
-# ------------------------------------------- sentence boilerplate
+# ------------------------------------------- chunk-level boilerplate
 @register(
-    "text_sentence_boilerplate",
-    oracle="""
-    WITH sents AS (
-        SELECT doc_id, trim(s.sent) AS sent
-        FROM (SELECT doc_id, string_split(text, '. ') AS sl FROM documents),
-             UNNEST(sl) AS s(sent)
-        WHERE trim(s.sent) <> ''
+    "text_chunk_boilerplate",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=12)
+    + """,
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM docs),
+    chunks AS (
+        SELECT doc_id,
+               array_to_string(tl[i * 12 + 1 : i * 12 + 12], chr(31)) AS chunk
+        FROM toks,
+             UNNEST(range(0, CAST(ceil(len(tl) / 12.0) AS INT))) AS u(i)
     ),
     freq AS (
-        SELECT sent, COUNT(DISTINCT doc_id) AS n_docs
-        FROM sents GROUP BY sent
+        SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
+        FROM chunks GROUP BY chunk
     ),
-    boiler AS (SELECT sent FROM freq WHERE n_docs >= 3)
-    SELECT s.doc_id,
-           COUNT(*) AS n_sentences,
-           SUM(CASE WHEN b.sent IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
-           ROUND(SUM(CASE WHEN b.sent IS NOT NULL THEN 1.0 ELSE 0 END) / COUNT(*), 6)
+    boiler AS (SELECT chunk FROM freq WHERE n_docs >= 2)
+    SELECT c.doc_id,
+           COUNT(*) AS n_chunks,
+           SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
+           ROUND(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1.0 ELSE 0 END) / COUNT(*), 6)
                AS boilerplate_ratio
-    FROM sents s LEFT JOIN boiler b ON b.sent = s.sent
-    GROUP BY s.doc_id
+    FROM chunks c LEFT JOIN boiler b ON b.chunk = c.chunk
+    GROUP BY c.doc_id
     """,
-    description="Sentence-level boilerplate detection (the CCNet line/"
-    "sentence dedup stage, the adaptive-unit complement to fixed "
-    "8-gram span dedup): sentences recurring across >= 3 distinct "
-    "docs are boilerplate (headers, disclaimers, navigation), each "
-    "doc reports its contamination ratio. Sentence frequency is one "
-    "hash agg over (sentence, doc) pairs; the boilerplate set joins "
-    "back semi-style — at 100 TB hash the sentence (as the span "
-    "pass does) so only 6-byte keys shuffle.",
+    description="Chunk-level boilerplate detection (the line/sentence "
+    "dedup stage of CCNet/RefinedWeb, at NON-OVERLAPPING 12-token "
+    "chunk grain — the cheap unit those pipelines use when text has "
+    "no sentence structure): chunks recurring across >= 2 distinct "
+    "docs mark contamination, each doc reports its ratio. "
+    "Non-overlapping chunking emits n/12 units per doc versus the "
+    "span pass's n overlapping units — an order of magnitude less "
+    "shuffle for the coarse screen, with the span pass as the "
+    "precise follow-up. Same hash-don't-shuffle-text rule at scale.",
 )
-def text_sentence_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    sents = (
-        docs.select("doc_id", F.explode(F.split("text", r"\. ", -1)).alias("raw"))
-        .select("doc_id", F.trim("raw").alias("sent"))
-        .filter(F.col("sent") != "")
+def text_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir, 12)
+    toks = corpus.select("doc_id", F.split("text", " ", -1).alias("tl"))
+    chunks = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, int(ceil(size(tl) / 12.0)) - 1), "
+                "i -> concat_ws(chr(31), slice(tl, i * 12 + 1, 12)))"
+            )
+        ).alias("chunk"),
     )
     boiler = (
-        sents.groupBy("sent")
+        chunks.groupBy("chunk")
         .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 3)
-        .select("sent")
+        .filter(F.col("n_docs") >= 2)
+        .select("chunk")
     )
-    marked = sents.join(
-        boiler.withColumn("is_boiler", F.lit(1)), "sent", "left"
-    )
+    marked = chunks.join(boiler.withColumn("is_boiler", F.lit(1)), "chunk", "left")
     return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sentences"),
+        F.count(F.lit(1)).alias("n_chunks"),
         F.coalesce(F.sum("is_boiler"), F.lit(0)).alias("n_boilerplate"),
         F.round(
             F.coalesce(F.sum("is_boiler"), F.lit(0)).cast("double")

@@ -545,13 +545,17 @@ def test_lsh_probe_finds_exact_copy_in_corpus(spark):
     assert all(i != 101 for i, _ in got)  # novel doc passes the gate
 
 
-def test_sentence_boilerplate_bounds(spark):
-    from healthcare_data_lakehouse_spark.queries.llm_ops import text_sentence_boilerplate
+def test_chunk_boilerplate_flags_injected_copies(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import text_chunk_boilerplate
 
-    rows = text_sentence_boilerplate(spark, "/root/testdata/sf0.01").collect()
+    rows = {r.doc_id: r for r in text_chunk_boilerplate(spark, "/root/testdata/sf0.01").collect()}
     assert rows
-    for r in rows:
-        assert 0 <= r.n_boilerplate <= r.n_sentences
+    for r in rows.values():
+        assert 0 <= r.n_boilerplate <= r.n_chunks
         assert 0.0 <= r.boilerplate_ratio <= 1.0
-    # the synthetic corpus repeats sentence templates: some boilerplate exists
-    assert any(r.n_boilerplate > 0 for r in rows)
+    # injected exact copies share every chunk with their source
+    copies = [d for d in rows if d >= 1_000_000]
+    assert copies
+    for c in copies:
+        assert rows[c].boilerplate_ratio == 1.0
+        assert rows[c - 1_000_000].boilerplate_ratio == 1.0
