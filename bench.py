@@ -122,6 +122,9 @@ HEADLINE = [
     "events_ewma_user_value",
     "rollup_revenue_calendar",
     "text_chunk_boilerplate",
+    "stats_welch_ttest_purchase_click",
+    "quality_benford_first_digit",
+    "stats_ks_value_drift",
 ]
 
 

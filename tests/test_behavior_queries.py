@@ -307,3 +307,52 @@ def test_ewma_tracks_level_and_is_bounded(spark):
     )
     # a normalized convex combination never leaves the value range
     assert all(lo - 1e-6 <= r.ewma <= hi + 1e-6 for r in rows)
+
+
+def test_welch_ttest_moments_match_numpy(spark):
+    import math
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_welch_ttest_purchase_click,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    r = stats_welch_ttest_purchase_click(spark, sf).head()
+    ev = table(spark, sf, "events").collect()
+    a = [e.value for e in ev if e.event_type == "purchase"]
+    b = [e.value for e in ev if e.event_type == "click"]
+    assert r.n1 == len(a) and r.n2 == len(b)
+
+    def var(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / (len(xs) - 1)
+
+    md = sum(a) / len(a) - sum(b) / len(b)
+    t = md / math.sqrt(var(a) / len(a) + var(b) / len(b))
+    assert abs(r.mean_diff - md) < 1e-3
+    assert abs(r.t_stat - t) < 1e-3
+
+
+def test_benford_shares_partition_unity(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        quality_benford_first_digit,
+    )
+
+    rows = quality_benford_first_digit(spark, "/root/testdata/sf0.001").collect()
+    assert {r.digit for r in rows} <= set(range(1, 10))
+    assert abs(sum(r.actual_share for r in rows) - 1.0) < 1e-4
+    # Benford expectation itself sums to 1 over digits 1..9
+    assert abs(sum(r.benford_share for r in rows) - 1.0) < 2e-3
+
+
+def test_ks_drift_stat_bounded_and_self_zero(spark):
+    from healthcare_data_lakehouse_spark.queries.behavior import stats_ks_value_drift
+
+    r = stats_ks_value_drift(spark, "/root/testdata/sf0.001").head()
+    assert 0.0 <= r.ks_stat <= 1.0
+    assert r.ks_crit_95 > 0
+    assert r.n_a > 0 and r.n_b > 0
+    # the fixture draws both halves from one stationary distribution:
+    # the drift statistic must sit below the 95% rejection cut
+    assert r.ks_stat <= r.ks_crit_95

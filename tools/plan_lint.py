@@ -59,6 +59,7 @@ GLOBAL_WINDOW_OK = {
         "(noted on the query)",
     "rfm_customer_segments": "quintile windows over customer-grain aggregate",
     "events_cumulative_unique_users": "prefix sum over the day-grain series",
+    "stats_ks_value_drift": "CDF prefix sum over the 200-bin histogram aggregate",
 }
 
 
