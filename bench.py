@@ -125,6 +125,8 @@ HEADLINE = [
     "stats_welch_ttest_purchase_click",
     "quality_benford_first_digit",
     "stats_ks_value_drift",
+    "graph_triangle_count_neardup",
+    "similarity_minhash_jaccard_error",
 ]
 
 

@@ -2422,3 +2422,164 @@ def text_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("boilerplate_ratio"),
     )
+
+
+# ------------------------------------------------ triangle counting
+def _tri_pairs_oracle_ctes() -> str:
+    cos = """
+             list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    return f"""
+    vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+        UNION ALL
+        SELECT vec_id + 2000000 AS vec_id, embedding
+        FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    bucketed AS (
+        SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM vecs
+    ),
+    pairs AS (
+        SELECT id_a, id_b FROM (
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   ROUND({cos}, 6) AS cosine
+            FROM bucketed a JOIN bucketed b
+              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        ) WHERE cosine >= 0.95
+    )
+    """
+
+
+@register(
+    "graph_triangle_count_neardup",
+    oracle=f"""
+    WITH {_tri_pairs_oracle_ctes()},
+    tri AS (
+        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+        FROM pairs e1
+        JOIN pairs e2 ON e2.id_a = e1.id_b
+        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+    )
+    SELECT vec_id, COUNT(*) AS n_triangles
+    FROM (SELECT UNNEST([a, b, c]) AS vec_id FROM tri)
+    GROUP BY vec_id
+    """,
+    description="Per-node triangle counts over the embedding near-dup "
+    "graph (two injected copies per selected vector close each triangle). "
+    "Compact-forward orientation: edges stored once as (lo, hi), wedges "
+    "built by joining hi->lo, closed by an equi-join back onto the edge "
+    "set — 3 hash joins on edge keys, never an all-pairs pass. At 100 TB "
+    "the orientation key becomes degree (low-degree vertex first), which "
+    "bounds wedge fan-out by the arboricity instead of the max degree; "
+    "the plan shape (2 self equi-joins + explode + count) is unchanged. "
+    "Triangle density is the standard cluster-cohesion check on a "
+    "near-dup graph before transitive-closure dedup: bridges (low "
+    "triangle support) are the edges that over-merge clusters.",
+)
+def graph_triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    sel = emb.filter(F.col("vec_id") % 25 == 0)
+    vecs = emb.unionAll(
+        sel.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
+    ).unionAll(
+        sel.select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
+    )
+    pairs = (
+        S.embedding_near_dup_pairs(vecs, threshold=0.95)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
+        .join(
+            e3,
+            (F.col("e3.id_a") == F.col("e1.id_a"))
+            & (F.col("e3.id_b") == F.col("e2.id_b")),
+        )
+        .select(
+            F.col("e1.id_a").alias("a"),
+            F.col("e1.id_b").alias("b"),
+            F.col("e2.id_b").alias("c"),
+        )
+    )
+    return (
+        tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
+        .groupBy("vec_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+# ------------------------------------ minhash estimator error audit
+def _minhash_error_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    eq = " + ".join(
+        f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(len(D.MINHASH_PERMS))
+    )
+    return f"""
+    WITH {ctes},
+    pairs AS ({final})
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ROUND(({eq}) / {float(len(D.MINHASH_PERMS))}, 6) AS mh_estimate,
+           ROUND(ABS(p.jaccard - ({eq}) / {float(len(D.MINHASH_PERMS))}), 6)
+             AS abs_err
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    """
+
+
+@register(
+    "similarity_minhash_jaccard_error",
+    oracle=_minhash_error_oracle(),
+    description="Estimator-quality audit for the MinHash sketch: on every "
+    "LSH-verified near-dup pair, the signature-agreement estimate "
+    "(fraction of 12 permutations whose minima collide — the unbiased "
+    "MinHash Jaccard estimator) is laid beside the exact shingle-set "
+    "Jaccard it approximates, with per-pair absolute error. The "
+    "companion to similarity_recall_lsh_at5: that measures candidate "
+    "RECALL, this measures estimate FIDELITY, the two knobs (bands x "
+    "rows, permutation count) a 100 TB dedup run must tune before "
+    "trusting the sketch in place of exact verification. Signatures "
+    "join broadcast-size per pair; the corpus is shingled once.",
+)
+def similarity_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    pairs = D.lsh_candidate_pairs(docs, threshold=0.5)
+    sig = D.minhash_signature(docs)
+    n = len(D.MINHASH_PERMS)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(n)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(n)],
+    )
+    est = (
+        sum(
+            F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+            for j in range(n)
+        )
+        / float(n)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(est, 6).alias("mh_estimate"),
+            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
+        )
+    )

@@ -559,3 +559,37 @@ def test_chunk_boilerplate_flags_injected_copies(spark):
     for c in copies:
         assert rows[c].boilerplate_ratio == 1.0
         assert rows[c - 1_000_000].boilerplate_ratio == 1.0
+
+
+def test_triangle_counts_close_injected_triples(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        graph_triangle_count_neardup,
+    )
+
+    rows = graph_triangle_count_neardup(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_node = {r.vec_id: r.n_triangles for r in rows}
+    # every selected vector forms exactly one (orig, +1M, +2M) triangle,
+    # and all three corners report it
+    origs = [v for v in by_node if v < 1_000_000]
+    assert origs
+    for v in origs:
+        assert v % 25 == 0
+        assert by_node[v] == 1
+        assert by_node[v + 1_000_000] == 1
+        assert by_node[v + 2_000_000] == 1
+
+
+def test_minhash_estimate_exact_on_identical_pairs(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        similarity_minhash_jaccard_error,
+    )
+
+    rows = similarity_minhash_jaccard_error(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.mh_estimate <= 1.0
+        assert r.abs_err == round(abs(r.jaccard - r.mh_estimate), 6)
+        # identical docs: every permutation minimum collides
+        if r.id_b - r.id_a == 1_000_000:
+            assert r.jaccard == 1.0 and r.mh_estimate == 1.0 and r.abs_err == 0.0
