@@ -127,6 +127,8 @@ HEADLINE = [
     "stats_ks_value_drift",
     "graph_triangle_count_neardup",
     "similarity_minhash_jaccard_error",
+    "dedup_bloom_prefilter_probe",
+    "pipeline_shard_manifest",
 ]
 
 

@@ -2583,3 +2583,164 @@ def similarity_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
         )
     )
+
+
+# ----------------------------------------------- bloom-filter prefilter
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+@register(
+    "dedup_bloom_prefilter_probe",
+    oracle=f"""
+    WITH corpus AS (
+        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+    ),
+    bits AS (
+        SELECT DISTINCT
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || fp), 1, 12))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM corpus, UNNEST([0, 1, 2]) AS u(j)
+    ),
+    incoming AS (
+        SELECT doc_id + 1000000 AS doc_id,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents WHERE doc_id % 7 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               md5(regexp_replace(trim(lower(text || ' xyzzy')), '\\s+', ' ', 'g'))
+          AS fp
+        FROM documents WHERE doc_id % 7 = 1
+    ),
+    probe AS (
+        SELECT i.doc_id, i.fp,
+               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || i.fp), 1, 12))
+                    AS BIGINT) % {_BLOOM_M} AS pos
+        FROM incoming i, UNNEST([0, 1, 2]) AS u(j)
+    ),
+    hits AS (
+        SELECT p.doc_id, p.fp,
+               COUNT(b.pos) AS n_hit
+        FROM probe p LEFT JOIN bits b ON b.pos = p.pos
+        GROUP BY p.doc_id, p.fp
+    )
+    SELECT h.doc_id,
+           (h.n_hit = {_BLOOM_K}) AS bloom_hit,
+           (c.fp IS NOT NULL) AS exact_member
+    FROM hits h
+    LEFT JOIN (SELECT DISTINCT fp FROM corpus) c ON c.fp = h.fp
+    """,
+    description="Portable Bloom-filter dedup prefilter: the corpus's "
+    f"fingerprints set k={_BLOOM_K} md5-derived bits in an m={_BLOOM_M} "
+    "filter (the bit table aggregates to <= m rows REGARDLESS of corpus "
+    "size, then broadcasts); an incoming batch claims membership only "
+    "when all k probed bits are set, laid beside exact membership so "
+    "false positives are observable in the result. One-sided by "
+    "construction: bloom_hit is always true for true members (no false "
+    "negatives). The explicit DataFrame twin of the engine's runtime "
+    "bloom pushdown (tests/test_plans.py): at 100 TB the filter gates "
+    "the expensive shingle/LSH machinery to candidate novel docs only, "
+    "and the bit table unions incrementally across ingest batches.",
+)
+def dedup_bloom_prefilter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    fp = TX.fingerprint(F.col("text"))
+    corpus = docs.select(fp.alias("fp"))
+    j = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("j")
+    pos = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("fp"))),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % _BLOOM_M
+    ).alias("pos")
+    bits = corpus.select("fp", j).select(pos).distinct()
+    incoming = (
+        docs.filter(F.col("doc_id") % 7 == 0)
+        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), fp.alias("fp"))
+        .unionAll(
+            docs.filter(F.col("doc_id") % 7 == 1).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                TX.fingerprint(F.concat(F.col("text"), F.lit(" xyzzy"))).alias("fp"),
+            )
+        )
+    )
+    probe = incoming.select("doc_id", "fp", j).select("doc_id", "fp", pos)
+    hits = (
+        probe.join(F.broadcast(bits.withColumnRenamed("pos", "bpos")),
+                   F.col("pos") == F.col("bpos"), "left")
+        .groupBy("doc_id", "fp")
+        .agg(F.count("bpos").alias("n_hit"))
+    )
+    members = corpus.distinct().withColumnRenamed("fp", "mfp")
+    return (
+        hits.join(F.broadcast(members), F.col("fp") == F.col("mfp"), "left")
+        .select(
+            "doc_id",
+            (F.col("n_hit") == _BLOOM_K).alias("bloom_hit"),
+            F.col("mfp").isNotNull().alias("exact_member"),
+        )
+    )
+
+
+# ------------------------------------------------ training shard manifest
+@register(
+    "pipeline_shard_manifest",
+    oracle="""
+    WITH sharded AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) % 16 AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               n_chars
+        FROM documents
+    ),
+    per AS (
+        SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
+               SUM(n_chars) AS n_chars
+        FROM sharded GROUP BY shard
+    ),
+    tot AS (SELECT AVG(n_tokens) AS mean_tokens FROM per)
+    SELECT shard, n_docs, n_tokens, n_chars,
+           ROUND(n_tokens / tot.mean_tokens, 6) AS load_factor
+    FROM per, tot
+    """,
+    description="Deterministic 16-way output-shard manifest for a "
+    "training-data write: content-hash shard assignment (stable under "
+    "reruns and cluster resizing, unlike round-robin), per-shard doc / "
+    "token / byte mass, and load_factor against the mean shard so "
+    "stragglers are visible BEFORE the write. The pre-write audit every "
+    "100 TB pipeline runs: a load_factor far from 1.0 means one output "
+    "file dominates the epoch's read parallelism. One hash aggregate to "
+    "16 rows; the scalar mean broadcasts back.",
+)
+def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sharded = docs.select(
+        (
+            F.conv(
+                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+            ).cast("bigint")
+            % 16
+        ).alias("shard"),
+        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
+        "n_chars",
+    )
+    per = sharded.groupBy("shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("n_chars").alias("n_chars"),
+    )
+    tot = per.agg(F.avg("n_tokens").alias("mean_tokens"))
+    return per.crossJoin(F.broadcast(tot)).select(
+        "shard",
+        "n_docs",
+        "n_tokens",
+        "n_chars",
+        F.round(F.col("n_tokens") / F.col("mean_tokens"), 6).alias("load_factor"),
+    )

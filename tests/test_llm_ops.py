@@ -593,3 +593,37 @@ def test_minhash_estimate_exact_on_identical_pairs(spark):
         # identical docs: every permutation minimum collides
         if r.id_b - r.id_a == 1_000_000:
             assert r.jaccard == 1.0 and r.mh_estimate == 1.0 and r.abs_err == 0.0
+
+
+def test_bloom_prefilter_one_sided(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        dedup_bloom_prefilter_probe,
+    )
+
+    rows = dedup_bloom_prefilter_probe(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    # no false negatives, ever: every exact member must bloom-hit
+    assert all(r.bloom_hit for r in rows if r.exact_member)
+    # the +1M batch is verbatim copies -> exact members; +2M batch is
+    # perturbed -> non-members
+    for r in rows:
+        if r.doc_id >= 2_000_000:
+            assert not r.exact_member
+        else:
+            assert r.exact_member
+
+
+def test_shard_manifest_conserves_mass(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import pipeline_shard_manifest
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = pipeline_shard_manifest(spark, sf).collect()
+    assert 1 <= len(rows) <= 16
+    n_docs = table(spark, sf, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    total_chars = table(spark, sf, "documents").agg(F.sum("n_chars")).head()[0]
+    assert sum(r.n_chars for r in rows) == total_chars
+    mean_lf = sum(r.load_factor for r in rows) / len(rows)
+    assert abs(mean_lf - 1.0) < 1e-3
