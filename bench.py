@@ -129,6 +129,9 @@ HEADLINE = [
     "similarity_minhash_jaccard_error",
     "dedup_bloom_prefilter_probe",
     "pipeline_shard_manifest",
+    "text_langid_confusion",
+    "pipeline_rag_chunks",
+    "pipeline_global_row_index",
 ]
 
 

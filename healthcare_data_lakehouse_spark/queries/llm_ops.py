@@ -2744,3 +2744,157 @@ def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_chars",
         F.round(F.col("n_tokens") / F.col("mean_tokens"), 6).alias("load_factor"),
     )
+
+
+# ------------------------------------------- language-ID confusion audit
+_LANGID_SQL = """
+           CASE
+             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
+             WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
+             WHEN regexp_matches(' ' || lower(text) || ' ',
+                  ' (el|la|los|las|es|una|uno|que) ') THEN 'es'
+             WHEN regexp_matches(' ' || lower(text) || ' ',
+                  ' (der|die|das|und|ist|nicht) ') THEN 'de'
+             WHEN regexp_matches(' ' || lower(text) || ' ',
+                  ' (le|les|des|est|une|dans) ') THEN 'fr'
+             WHEN regexp_matches(' ' || lower(text) || ' ',
+                  ' (the|a|of|and|to|is|it) ') THEN 'en'
+             ELSE 'und'
+           END
+"""
+
+
+@register(
+    "text_langid_confusion",
+    oracle=f"""
+    WITH pred AS (
+        SELECT lang AS lang_declared, {_LANGID_SQL} AS lang_pred
+        FROM documents
+    ),
+    tot AS (
+        SELECT lang_declared, COUNT(*) AS n_lang FROM pred GROUP BY lang_declared
+    )
+    SELECT p.lang_declared, p.lang_pred, COUNT(*) AS n_docs,
+           ROUND(COUNT(*) * 1.0 / MAX(t.n_lang), 6) AS recall
+    FROM pred p JOIN tot t ON t.lang_declared = p.lang_declared
+    GROUP BY p.lang_declared, p.lang_pred
+    """,
+    description="Classifier-evaluation confusion matrix for the marker "
+    "language-ID heuristic against the declared lang label: per "
+    "(declared, predicted) cell counts plus per-class recall (the "
+    "diagonal cell's share of its row). The eval harness every "
+    "heuristic filter in a curation pipeline needs before it gates "
+    "data at scale — same pattern as similarity_recall_lsh_at5 but "
+    "for a classification stage. One regex scan, one |langs|^2-cell "
+    "aggregate, row totals broadcast back.",
+)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    pred = docs.select(
+        F.col("lang").alias("lang_declared"),
+        TX.language_id(F.col("text")).alias("lang_pred"),
+    )
+    tot = pred.groupBy("lang_declared").agg(F.count(F.lit(1)).alias("n_lang"))
+    return (
+        pred.join(F.broadcast(tot), "lang_declared")
+        .groupBy("lang_declared", "lang_pred")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.count(F.lit(1)) * 1.0 / F.max("n_lang"), 6).alias("recall"),
+        )
+    )
+
+
+# ------------------------------------------------------- RAG chunking
+@register(
+    "pipeline_rag_chunks",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    chunks AS (
+        SELECT doc_id,
+               CAST((i - 1) / 48 AS BIGINT) AS chunk_idx,
+               t[i:least(i + 63, len(t))] AS chunk
+        FROM toks, UNNEST(range(1, len(t) + 1, 48)) AS u(i)
+    )
+    SELECT doc_id, chunk_idx,
+           CAST(len(chunk) AS INT) AS n_tokens,
+           chunk[1] AS first_token,
+           md5(array_to_string(chunk, ' ')) AS chunk_hash
+    FROM chunks
+    """,
+    description="Retrieval-corpus chunking: each document splits into "
+    "64-token windows with 16-token overlap (stride 48), emitting per "
+    "chunk its token count, anchor token, and content hash (the "
+    "embedding/index key). Entirely array-side: slice over a stride "
+    "sequence then ONE posexplode — no Python, no per-token explode "
+    "(the naive token-explode + window shuffles |tokens| rows; this "
+    "shuffles |chunks|). The front half of every RAG/embedding "
+    "pipeline; downstream the chunk_hash is the dedup + incremental "
+    "re-embed key.",
+)
+def pipeline_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
+    # stride positions 0, 48, 96, ... (0-based); slice is 1-based
+    chunks = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(1, size(t), 48), i -> slice(t, i, 64))"
+            )
+        ).alias("chunk_idx", "chunk"),
+    )
+    return chunks.select(
+        "doc_id",
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        F.size("chunk").alias("n_tokens"),
+        F.element_at("chunk", 1).alias("first_token"),
+        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
+    )
+
+
+# ------------------------------------------- global stable row index
+@register(
+    "pipeline_global_row_index",
+    oracle="""
+    SELECT doc_id,
+           ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_idx
+    FROM documents
+    """,
+    description="Contiguous 0-based global sample index over the corpus "
+    "WITHOUT a single-partition sort: range-repartition on the key, "
+    "rank within each range partition, then add per-partition offsets "
+    "(prefix sum over the tiny partition-count table, broadcast back). "
+    "The two-pass partition-offset scheme every epoch-indexed training "
+    "loader needs at 100 TB — the naive ROW_NUMBER() OVER (ORDER BY "
+    "key) funnels the corpus through one task; here no stage sees more "
+    "than one range partition's rows. Result is partition-boundary-"
+    "independent, so the oracle is the naive window.",
+)
+def pipeline_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism // 2, 4)
+    ranged = docs.repartitionByRange(n_parts, "doc_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    # per-partition counts -> exclusive prefix offsets (|parts| rows)
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = (
+        Window.orderBy("pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_local = Window.partitionBy("pid").orderBy("doc_id")
+    return (
+        ranged.withColumn("local_rank", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (F.col("offset") + F.col("local_rank") - 1).alias("row_idx"),
+        )
+    )

@@ -627,3 +627,66 @@ def test_shard_manifest_conserves_mass(spark):
     assert sum(r.n_chars for r in rows) == total_chars
     mean_lf = sum(r.load_factor for r in rows) / len(rows)
     assert abs(mean_lf - 1.0) < 1e-3
+
+
+def test_langid_confusion_rows_partition_each_lang(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import text_langid_confusion
+    from healthcare_data_lakehouse_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    rows = text_langid_confusion(spark, sf).collect()
+    assert rows
+    per_lang: dict = {}
+    for r in rows:
+        per_lang.setdefault(r.lang_declared, 0)
+        per_lang[r.lang_declared] += r.n_docs
+        assert 0.0 <= r.recall <= 1.0
+    truth = {
+        r.lang: r.n
+        for r in table(spark, sf, "documents").groupBy("lang").count()
+        .withColumnRenamed("count", "n").collect()
+    }
+    assert per_lang == truth
+
+
+def test_rag_chunks_cover_and_bound(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import pipeline_rag_chunks
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = pipeline_rag_chunks(spark, sf).collect()
+    assert rows
+    n_docs = table(spark, sf, "documents").count()
+    by_doc: dict = {}
+    for r in rows:
+        assert 1 <= r.n_tokens <= 64
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert len(by_doc) == n_docs
+    tok_counts = {
+        r.doc_id: r.n
+        for r in table(spark, sf, "documents")
+        .select("doc_id", F.size(F.split("text", " ")).alias("n"))
+        .collect()
+    }
+    for doc, chunks in by_doc.items():
+        idxs = sorted(c.chunk_idx for c in chunks)
+        assert idxs == list(range(len(idxs)))  # contiguous stride windows
+        # each chunk spans min(64, remaining) tokens from its stride start,
+        # and the final chunk ends exactly at the document's last token
+        chunks = sorted(chunks, key=lambda c: c.chunk_idx)
+        total = tok_counts[doc]
+        for c in chunks:
+            assert c.n_tokens == min(64, total - c.chunk_idx * 48)
+        assert (len(chunks) - 1) * 48 + chunks[-1].n_tokens == total
+
+
+def test_global_row_index_is_dense_rank_order(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_global_row_index,
+    )
+
+    rows = pipeline_global_row_index(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    got = sorted((r.doc_id, r.row_idx) for r in rows)
+    assert [i for _, i in got] == list(range(len(rows)))

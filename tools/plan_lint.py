@@ -60,6 +60,8 @@ GLOBAL_WINDOW_OK = {
     "rfm_customer_segments": "quintile windows over customer-grain aggregate",
     "events_cumulative_unique_users": "prefix sum over the day-grain series",
     "stats_ks_value_drift": "CDF prefix sum over the 200-bin histogram aggregate",
+    "pipeline_global_row_index":
+        "offset prefix sum over the |partitions|-row count table",
 }
 
 
