@@ -132,6 +132,9 @@ HEADLINE = [
     "text_langid_confusion",
     "pipeline_rag_chunks",
     "pipeline_global_row_index",
+    "events_type_runs",
+    "stats_qq_purchase_click",
+    "dedup_semdedup_clusters",
 ]
 
 

@@ -1425,3 +1425,102 @@ def stats_ks_value_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ks_crit_95"),
     )
+
+
+# ------------------------------------------------- gaps-and-islands runs
+@register(
+    "events_type_runs",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts, event_id) AS rn_type
+      FROM events
+    ),
+    runs AS (
+      SELECT user_id, event_type, rn - rn_type AS island,
+             COUNT(*) AS run_len
+      FROM seq GROUP BY user_id, event_type, island
+    )
+    SELECT event_type, run_len, COUNT(*) AS n_runs
+    FROM runs GROUP BY event_type, run_len
+    """,
+    description="Gaps-and-islands: maximal runs of identical consecutive "
+    "event types per user via the rank-difference trick (two windows "
+    "sharing ONE user-partitioned shuffle — rn minus per-type rn is "
+    "constant exactly on a run), reduced to the run-length distribution "
+    "per type. The canonical sessionless streak primitive (repeat "
+    "errors, retry storms, habit loops); event_id tiebreak makes runs "
+    "deterministic under timestamp ties. Windows partition by user — "
+    "no global ordering anywhere.",
+)
+def events_type_runs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w_all = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    w_type = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        (F.row_number().over(w_all) - F.row_number().over(w_type)).alias("island"),
+    )
+    runs = seq.groupBy("user_id", "event_type", "island").agg(
+        F.count(F.lit(1)).alias("run_len")
+    )
+    return runs.groupBy("event_type", "run_len").agg(
+        F.count(F.lit(1)).alias("n_runs")
+    )
+
+
+# ------------------------------------------------- QQ quantile alignment
+_QQ_PROBS = [round(0.05 * i, 2) for i in range(1, 20)]
+
+
+@register(
+    "stats_qq_purchase_click",
+    oracle=f"""
+    WITH g AS (
+      SELECT quantile_cont(CASE WHEN event_type = 'purchase' THEN value END,
+                           {_QQ_PROBS}) AS qa,
+             quantile_cont(CASE WHEN event_type = 'click' THEN value END,
+                           {_QQ_PROBS}) AS qb
+      FROM events
+    )
+    SELECT ROUND(CAST(0.05 * i AS DOUBLE), 2) AS quantile,
+           ROUND(qa[i], 6) AS q_purchase,
+           ROUND(qb[i], 6) AS q_click,
+           ROUND(qb[i] - qa[i], 6) AS qq_gap
+    FROM g, UNNEST(generate_series(1, 19)) AS u(i)
+    """,
+    description="Quantile-quantile alignment of purchase vs click value "
+    "distributions: 19 matched exact percentiles for both cohorts from "
+    "ONE conditional-aggregate pass (percentile takes the probability "
+    "ARRAY, so quantile count never adds passes), exploded to the QQ "
+    "table with per-quantile gaps. Reads shape differences the mean "
+    "hides — where in the distribution the cohorts diverge, not just "
+    "whether (the graphical twin of stats_welch_ttest / stats_ks). At "
+    "1e9+ rows per group swap percentile for approx_percentile; plan "
+    "unchanged.",
+)
+def stats_qq_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    probs = ", ".join(str(p) for p in _QQ_PROBS)
+    g = ev.agg(
+        F.expr(
+            "percentile(CASE WHEN event_type = 'purchase' THEN value END, "
+            f"array({probs}))"
+        ).alias("qa"),
+        F.expr(
+            "percentile(CASE WHEN event_type = 'click' THEN value END, "
+            f"array({probs}))"
+        ).alias("qb"),
+    )
+    return g.select(
+        F.posexplode(F.arrays_zip("qa", "qb")).alias("i", "q")
+    ).select(
+        F.round((F.col("i") + 1) * 0.05, 2).alias("quantile"),
+        F.round(F.col("q.qa"), 6).alias("q_purchase"),
+        F.round(F.col("q.qb"), 6).alias("q_click"),
+        F.round(F.col("q.qb") - F.col("q.qa"), 6).alias("qq_gap"),
+    )

@@ -2898,3 +2898,142 @@ def pipeline_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("offset") + F.col("local_rank") - 1).alias("row_idx"),
         )
     )
+
+
+# ---------------------------------------------------------- SemDeDup
+def _semdedup_oracle() -> str:
+    cos = """
+             list_sum(list_transform(list_zip(va.embedding, vb.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(va.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(vb.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+    return f"""
+    WITH vecs AS (
+      SELECT vec_id, embedding FROM embeddings
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id, embedding
+      FROM embeddings WHERE vec_id % 25 = 0
+    ),
+    pts AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(UNNEST(embedding) AS DOUBLE) AS x
+      FROM vecs
+    ),
+    cent0 AS (SELECT vec_id AS c, i, x FROM pts WHERE vec_id < 4),
+    d0 AS (
+      SELECT p.vec_id, c.c, SUM((p.x - c.x) * (p.x - c.x)) AS d
+      FROM pts p JOIN cent0 c ON p.i = c.i GROUP BY 1, 2
+    ),
+    a0 AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d0
+      ) WHERE rn = 1
+    ),
+    cent1 AS (
+      SELECT a0.c, p.i, AVG(p.x) AS x
+      FROM pts p JOIN a0 ON p.vec_id = a0.vec_id GROUP BY a0.c, p.i
+    ),
+    d1 AS (
+      SELECT p.vec_id, c.c, SUM((p.x - c.x) * (p.x - c.x)) AS d
+      FROM pts p JOIN cent1 c ON p.i = c.i GROUP BY 1, 2
+    ),
+    a1 AS (
+      SELECT vec_id, c FROM (
+        SELECT vec_id, c,
+               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
+        FROM d1
+      ) WHERE rn = 1
+    ),
+    pairs AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib
+      FROM a1 a JOIN a1 b ON a.c = b.c AND a.vec_id < b.vec_id
+      JOIN vecs va ON va.vec_id = a.vec_id
+      JOIN vecs vb ON vb.vec_id = b.vec_id
+      WHERE ROUND({cos}, 6) >= 0.95
+    ),
+    pruned AS (SELECT DISTINCT ib FROM pairs)
+    SELECT a1.c AS cluster_id,
+           COUNT(*) AS n_points,
+           COUNT(p.ib) AS n_pruned,
+           ROUND(COUNT(p.ib) * 1.0 / COUNT(*), 6) AS prune_rate
+    FROM a1 LEFT JOIN pruned p ON p.ib = a1.vec_id
+    GROUP BY a1.c
+    """
+
+
+@register(
+    "dedup_semdedup_clusters",
+    oracle=_semdedup_oracle(),
+    description="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "dedup where k-means clusters BOUND the candidate set — cosine pairs "
+    "are only computed within a cluster, so candidate volume is the sum "
+    "of per-cluster squares, never corpus^2 (the whole point at 100 TB: "
+    "k scales with corpus size to keep clusters bounded). Two Lloyd "
+    "iterations (seeded from vec_id 0..3, same loop as "
+    "kmeans_embeddings_lloyd) assign every vector incl. injected "
+    "copies; within-cluster pairs at cosine >= 0.95 prune the higher "
+    "id (deterministic survivor); per-cluster census of points / "
+    "pruned / prune_rate. Oracle unrolls the full pipeline — Lloyd "
+    "iterations AND the prune — as one CTE chain.",
+)
+def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vecs = emb.unionAll(
+        emb.filter(F.col("vec_id") % 25 == 0).select(
+            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+        )
+    ).persist()
+    pts = vecs.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select(
+        "vec_id", (F.col("i") + 1).alias("i"), F.col("xf").cast("double").alias("x")
+    )
+    cent = pts.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("c"), "i", "x")
+    assign = None
+    for _ in range(2):
+        diff = F.col("p.x") - F.col("c.x")
+        d = (
+            pts.alias("p")
+            .join(F.broadcast(cent.alias("c")), F.col("p.i") == F.col("c.i"))
+            .groupBy(F.col("p.vec_id").alias("vec_id"), F.col("c.c").alias("c"))
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "c")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "c")
+        )
+        cent = (
+            pts.join(assign, "vec_id").groupBy("c", "i").agg(F.avg("x").alias("x"))
+        )
+    assign = assign.persist()
+    av = assign.join(vecs, "vec_id")
+    a, b = av.alias("a"), av.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.c") == F.col("b.c"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(
+            F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
+            >= 0.95
+        )
+        .select(F.col("b.vec_id").alias("ib"))
+    )
+    pruned = pairs.distinct()
+    return (
+        assign.join(pruned, assign.vec_id == pruned.ib, "left")
+        .groupBy(F.col("c").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_points"),
+            F.count("ib").alias("n_pruned"),
+            F.round(F.count("ib") * 1.0 / F.count(F.lit(1)), 6).alias("prune_rate"),
+        )
+    )

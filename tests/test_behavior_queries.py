@@ -356,3 +356,30 @@ def test_ks_drift_stat_bounded_and_self_zero(spark):
     # the fixture draws both halves from one stationary distribution:
     # the drift statistic must sit below the 95% rejection cut
     assert r.ks_stat <= r.ks_crit_95
+
+
+def test_type_runs_conserve_events(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import events_type_runs
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = events_type_runs(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.run_len * r.n_runs for r in rows)
+    assert total == table(spark, sf_dir, "events").count()
+    assert all(r.run_len >= 1 and r.n_runs >= 1 for r in rows)
+
+
+def test_qq_quantiles_monotone(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_qq_purchase_click,
+    )
+
+    rows = sorted(
+        stats_qq_purchase_click(spark, sf_dir).collect(), key=lambda r: r.quantile
+    )
+    assert len(rows) == 19
+    qp = [r.q_purchase for r in rows]
+    qc = [r.q_click for r in rows]
+    assert qp == sorted(qp) and qc == sorted(qc)
+    for r in rows:
+        assert abs(r.qq_gap - round(r.q_click - r.q_purchase, 6)) < 1e-9

@@ -690,3 +690,23 @@ def test_global_row_index_is_dense_rank_order(spark):
     assert rows
     got = sorted((r.doc_id, r.row_idx) for r in rows)
     assert [i for _, i in got] == list(range(len(rows)))
+
+
+def test_semdedup_prunes_exactly_injected_copies(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        dedup_semdedup_clusters,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    rows = dedup_semdedup_clusters(spark, sf).collect()
+    assert 1 <= len(rows) <= 4
+    emb = table(spark, sf, "embeddings")
+    n = emb.count()
+    n_dups = emb.filter(F.col("vec_id") % 25 == 0).count()
+    assert sum(r.n_points for r in rows) == n + n_dups
+    # natural vectors are near-orthogonal: only injected copies prune
+    assert sum(r.n_pruned for r in rows) == n_dups
+    for r in rows:
+        assert 0.0 <= r.prune_rate <= 1.0
