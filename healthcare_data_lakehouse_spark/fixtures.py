@@ -18,6 +18,9 @@ Injection rates (per orderkey ``k``):
   birth_date         'junk-date' @ k%13==0, else ISO / MM/dd/yyyy /
                      dd/MM/yyyy / yyyyMMdd cycling on k%4
   admission_date     MM/dd/yyyy @ k%17==0 (fails ISO regex), else ISO
+  discharge_date     admission - 3 days @ k%19==0 (cross-field
+                     consistency violation), NULL @ k%21==0, else
+                     admission + (k%10) days, always ISO
   age                200.0 @ k%9==0 (out of range), NULL @ k%23==0,
                      else 10..99
   heart_rate         500.0 @ k%29==0 (out of range), else 60..149
@@ -66,6 +69,20 @@ def healthcare_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(yyyymmdd)
         .alias("birth_date"),
         F.when(k % 17 == 0, mmddyyyy).otherwise(d).alias("admission_date"),
+        F.when(
+            k % 19 == 0,
+            F.date_format(
+                F.date_sub(F.col("o_orderdate").cast("date"), 3), "yyyy-MM-dd"
+            ),
+        )
+        .when(k % 21 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.date_format(
+                F.date_add(F.col("o_orderdate").cast("date"), (k % 10).cast("int")),
+                "yyyy-MM-dd",
+            )
+        )
+        .alias("discharge_date"),
         F.when(k % 9 == 0, F.lit(200.0))
         .when(k % 23 == 0, F.lit(None).cast("double"))
         .otherwise(((k * 7) % 90 + 10).cast("double"))
@@ -111,6 +128,10 @@ rec0 AS (
     CASE WHEN k % 17 = 0
          THEN substr(d,6,2) || '/' || substr(d,9,2) || '/' || substr(d,1,4)
          ELSE d END AS admission_date,
+    CASE WHEN k % 19 = 0 THEN CAST(CAST(d AS DATE) - 3 AS VARCHAR)
+         WHEN k % 21 = 0 THEN NULL
+         ELSE CAST(CAST(d AS DATE) + CAST(k % 10 AS INTEGER) AS VARCHAR)
+         END AS discharge_date,
     CASE WHEN k % 9 = 0 THEN 200.0
          WHEN k % 23 = 0 THEN NULL
          ELSE CAST((k * 7) % 90 + 10 AS DOUBLE) END AS age,

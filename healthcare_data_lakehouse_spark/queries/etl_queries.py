@@ -251,6 +251,7 @@ _PIPELINE_ORACLE_BODY = f"""
         SELECT id, patient_id,
                {_t2_sql('birth_date')} AS birth_date,
                {_t2_sql('admission_date')} AS admission_date,
+               {_t2_sql('discharge_date')} AS discharge_date,
                age, heart_rate,
                trim(diagnosis_code) AS diagnosis_code, patient_name,
                trim(ssn) AS ssn,

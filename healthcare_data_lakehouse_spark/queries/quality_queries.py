@@ -88,6 +88,8 @@ flags AS (
     NOT regexp_matches(birth_date, '{ISO_DATE_RE}') AS b_inv,
     (admission_date IS NOT NULL AND admission_date <> '') AS a_pop,
     NOT regexp_matches(admission_date, '{ISO_DATE_RE}') AS a_inv,
+    (discharge_date IS NOT NULL AND discharge_date <> '') AS c_pop,
+    NOT regexp_matches(discharge_date, '{ISO_DATE_RE}') AS c_inv,
     (patient_id IS NOT NULL AND patient_id <> '') AS p_pop,
     NOT regexp_matches(upper(patient_id), '{PATIENT_ID_RE}') AS p_inv,
     (diagnosis_code IS NOT NULL AND diagnosis_code <> '') AS d_pop,
@@ -107,12 +109,17 @@ aggs AS (
     COUNT(*) AS total,
     COUNT(DISTINCT rid) AS n_distinct,
     SUM(CASE WHEN q1_fail THEN 1 ELSE 0 END) AS q1_failed,
-    -- DQ002: field instances birth_date then admission_date; a record
-    -- breaks at its first failing field (later fields uncounted).
+    -- DQ002: field instances birth_date -> admission_date ->
+    -- discharge_date (reference field order); a record breaks at its
+    -- first failing field (later fields uncounted).
     SUM((CASE WHEN b_pop THEN 1 ELSE 0 END)
-      + (CASE WHEN a_pop AND NOT (b_pop AND b_inv) THEN 1 ELSE 0 END)) AS q2_checked,
+      + (CASE WHEN a_pop AND NOT (b_pop AND b_inv) THEN 1 ELSE 0 END)
+      + (CASE WHEN c_pop AND NOT (b_pop AND b_inv)
+                         AND NOT (a_pop AND a_inv) THEN 1 ELSE 0 END)) AS q2_checked,
     SUM(CASE WHEN (b_pop AND b_inv)
               OR (a_pop AND a_inv AND NOT (b_pop AND b_inv))
+              OR (c_pop AND c_inv AND NOT (b_pop AND b_inv)
+                                  AND NOT (a_pop AND a_inv))
              THEN 1 ELSE 0 END) AS q2_failed,
     SUM(CASE WHEN p_pop THEN 1 ELSE 0 END) AS q3_checked,
     SUM(CASE WHEN p_pop AND p_inv THEN 1 ELSE 0 END) AS q3_failed,
@@ -681,3 +688,127 @@ def privacy_forget_user_erasure(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_subjects",
         )
     )
+
+
+_PARSE_ADM = (
+    "COALESCE(try_strptime(admission_date, '%Y-%m-%d'), "
+    "try_strptime(admission_date, '%m/%d/%Y'), "
+    "try_strptime(admission_date, '%d/%m/%Y'), "
+    "try_strptime(admission_date, '%Y%m%d'))"
+)
+_PARSE_DIS = (
+    "COALESCE(try_strptime(discharge_date, '%Y-%m-%d'), "
+    "try_strptime(discharge_date, '%m/%d/%Y'), "
+    "try_strptime(discharge_date, '%d/%m/%Y'), "
+    "try_strptime(discharge_date, '%Y%m%d'))"
+)
+
+
+@register(
+    "quality_consistency_rule_discharge",
+    oracle=f"""
+    WITH {HEALTHCARE_CTE},
+    parsed AS (
+        SELECT {_PARSE_ADM} AS adm, {_PARSE_DIS} AS dis FROM records
+        WHERE admission_date IS NOT NULL AND admission_date <> ''
+          AND discharge_date IS NOT NULL AND discharge_date <> ''
+    ),
+    s AS (
+        SELECT COUNT(CASE WHEN adm IS NOT NULL AND dis IS NOT NULL
+                     THEN 1 END) AS checked,
+               COUNT(CASE WHEN adm IS NOT NULL AND dis IS NOT NULL
+                          AND dis < adm THEN 1 END) AS failed
+        FROM parsed
+    )
+    SELECT 'DQ101' AS rule_id,
+           CASE WHEN checked = 0 THEN 'passed'
+                WHEN CAST(checked - failed AS DOUBLE) / checked < 0.95
+                    THEN 'failed'
+                WHEN CAST(checked - failed AS DOUBLE) / checked < 0.99
+                    THEN 'warning'
+                ELSE 'passed' END AS status,
+           ROUND(CASE WHEN checked = 0 THEN 1.0
+                 ELSE CAST(checked - failed AS DOUBLE) / checked END, 6)
+               AS score,
+           checked AS records_checked,
+           checked - failed AS records_passed,
+           failed AS records_failed
+    FROM s
+    """,
+    description="CONSISTENCY-dimension cross-field rule the reference "
+    "defines a weight for (1.1, data_quality.py:427-457) but never "
+    "ships a rule in: discharge must not precede admission, both parsed "
+    "with the T2 four-format chain (a consistency check must parse like "
+    "the transforms do, or format dirt masquerades as order violations). "
+    "Registered through the same add_rule surface as DQ100, fusing into "
+    "the shared single validation scan — cross-FIELD checks cost no "
+    "extra pass because they are row-local predicates, unlike "
+    "cross-RECORD checks (DQ005) which aggregate.",
+)
+def quality_consistency_rule_discharge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Column
+    from healthcare_data_lakehouse_spark.quality import (
+        QualityDimension,
+        QualityStatus,
+        SparkQualityRule,
+    )
+    from healthcare_data_lakehouse_spark.transforms import DATE_FORMATS
+
+    df = healthcare_frame(spark, sf_dir)
+    validator = DataQualityValidator("patients", id_field="id", quarantine_cap=None)
+
+    def parsed(col: str) -> Column:
+        c = F.col(col)
+        populated = c.isNotNull() & (c != "")
+        ts = F.coalesce(*[F.try_to_timestamp(c, F.lit(f)) for f in DATE_FORMATS])
+        return F.when(populated, ts)
+
+    def both(df: DataFrame) -> Column:
+        return parsed("admission_date").isNotNull() & parsed(
+            "discharge_date"
+        ).isNotNull()
+
+    def violated(df: DataFrame) -> Column:
+        return both(df) & (parsed("discharge_date") < parsed("admission_date"))
+
+    def aggs(df: DataFrame, _) -> list[Column]:
+        return [
+            F.sum(F.when(both(df), 1).otherwise(0)).alias("DQ101__checked"),
+            F.sum(F.when(violated(df), 1).otherwise(0)).alias("DQ101__failed"),
+        ]
+
+    def summarize(row: dict, _) -> dict:
+        checked = int(row["DQ101__checked"] or 0)
+        failed = int(row["DQ101__failed"] or 0)
+        score = ((checked - failed) / checked) if checked > 0 else 1.0
+        status = (
+            QualityStatus.PASSED if checked == 0 or score >= 0.99
+            else QualityStatus.WARNING if score >= 0.95
+            else QualityStatus.FAILED
+        )
+        return dict(
+            status=status, score=score, records_checked=checked,
+            records_passed=checked - failed, records_failed=failed,
+            details=f"{failed}/{checked} stays discharge before admission",
+        )
+
+    validator.add_rule(SparkQualityRule(
+        "DQ101", "discharge_not_before_admission",
+        "Cross-field consistency: discharge_date >= admission_date when "
+        "both parse under the standard four-format chain",
+        QualityDimension.CONSISTENCY, "major",
+        [DataZone.SILVER], agg_exprs=aggs, summarize=summarize,
+        fail_condition=lambda df, _: violated(df),
+    ))
+    report = validator.validate(df, DataZone.SILVER, required_fields=REQUIRED)
+    rows = [
+        (
+            r.rule_id, r.status.value, _round_half_up(r.score, 6),
+            r.records_checked, r.records_passed, r.records_failed,
+        )
+        for r in report.check_results
+        if r.rule_id == "DQ101"
+    ]
+    return spark.createDataFrame(rows, RESULT_SCHEMA)

@@ -179,3 +179,18 @@ def test_point_in_time_join_splits_resegmented_history(spark):
     assert reseg and all(r.as_of_batch == 1 for r in reseg)
     # every (segment, batch) row is positive
     assert all(r.n_orders > 0 and r.revenue > 0 for r in rows)
+
+
+def test_consistency_rule_flags_only_true_reversals(spark):
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        quality_consistency_rule_discharge,
+    )
+
+    r = quality_consistency_rule_discharge(spark, "/root/testdata/sf0.001").head()
+    assert r.rule_id == "DQ101"
+    # fixture injects discharge = admission - 3 days at k%19==0 (~5.3% of
+    # populated pairs) -> below the 0.95 fail cut
+    assert r.status == "failed"
+    assert r.records_checked > 0
+    assert 0.93 < r.score < 0.96
+    assert r.records_failed + r.records_passed == r.records_checked

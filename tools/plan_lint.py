@@ -72,6 +72,7 @@ def lint(spark, sf_dir: str) -> list[str]:
     for name, spec in sorted(load_all().items()):
         if name.startswith(SKIP_PREFIXES) or name in (
             "quality_fk_integrity_gold", "quality_custom_rule_ssn_plaintext",
+            "quality_consistency_rule_discharge",
         ):
             continue
         try:
