@@ -135,6 +135,8 @@ HEADLINE = [
     "events_type_runs",
     "stats_qq_purchase_click",
     "dedup_semdedup_clusters",
+    "stats_gini_customer_revenue",
+    "sample_neyman_allocation",
 ]
 
 

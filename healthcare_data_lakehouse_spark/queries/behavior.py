@@ -1524,3 +1524,101 @@ def stats_qq_purchase_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("q.qb"), 6).alias("q_click"),
         F.round(F.col("q.qb") - F.col("q.qa"), 6).alias("qq_gap"),
     )
+
+
+# ------------------------------------------------------ Gini coefficient
+@register(
+    "stats_gini_customer_revenue",
+    oracle="""
+    WITH cust AS (
+      SELECT o_custkey, SUM(o_totalprice) AS rev
+      FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+      SELECT rev, ROW_NUMBER() OVER (ORDER BY rev, o_custkey) AS i
+      FROM cust
+    )
+    SELECT COUNT(*) AS n_customers,
+           ROUND(SUM(rev), 2) AS total_revenue,
+           ROUND(2.0 * SUM(i * rev) / (COUNT(*) * SUM(rev))
+                 - (COUNT(*) + 1.0) / COUNT(*), 6) AS gini
+    FROM ranked
+    """,
+    description="Gini concentration coefficient of customer revenue via "
+    "the rank formula G = 2*sum(i*x_i)/(n*sum(x)) - (n+1)/n over "
+    "ascending-sorted spend: the scalar summary of the Pareto curve "
+    "(orders_pareto_top_customers shows the shape, this one number "
+    "tracks it over time). The rank window runs over the customer-grain "
+    "AGGREGATE, not orders; at 1e8+ customers the same rank becomes the "
+    "two-pass partition-offset scheme proven in "
+    "pipeline_global_row_index — identical plan family, one more pass.",
+)
+def stats_gini_customer_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = orders.groupBy("o_custkey").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.orderBy("rev", "o_custkey")
+    ranked = cust.withColumn("i", F.row_number().over(w))
+    n = F.count(F.lit(1))
+    return ranked.agg(
+        n.alias("n_customers"),
+        F.round(F.sum("rev"), 2).alias("total_revenue"),
+        F.round(
+            2.0 * F.sum(F.col("i") * F.col("rev")) / (n * F.sum("rev"))
+            - (n + 1.0) / n,
+            6,
+        ).alias("gini"),
+    )
+
+
+# --------------------------------------------------- Neyman allocation
+@register(
+    "sample_neyman_allocation",
+    oracle="""
+    WITH strata AS (
+      SELECT c.c_mktsegment AS segment,
+             COUNT(*) AS n_orders,
+             stddev_samp(o.o_totalprice) AS sd
+      FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+      GROUP BY c.c_mktsegment
+    ),
+    tot AS (SELECT SUM(n_orders * sd) AS denom FROM strata)
+    SELECT segment, n_orders,
+           ROUND(sd, 4) AS stddev_price,
+           ROUND(n_orders * sd / tot.denom, 6) AS alloc_share,
+           CAST(FLOOR(1000 * n_orders * sd / tot.denom) AS BIGINT)
+             AS alloc_samples
+    FROM strata, tot
+    """,
+    description="Neyman-optimal stratified sample allocation: for a fixed "
+    "budget (1000), each stratum's share is proportional to N_h * "
+    "sigma_h — variable strata get more probes than proportional "
+    "allocation would give, minimizing the estimator's variance. The "
+    "design step in front of sample_stratified_by_segment (which "
+    "executes per-stratum rates): one (n, stddev) running-moments agg "
+    "per stratum, scalar denominator broadcast back. At 100 TB the "
+    "allocation table is O(strata) and drives the md5-threshold "
+    "sampling pass with zero extra scans.",
+)
+def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    strata = (
+        orders.join(F.broadcast(cust), cust.c_custkey == orders.o_custkey)
+        .groupBy(F.col("c_mktsegment").alias("segment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.stddev_samp("o_totalprice").alias("sd"),
+        )
+    )
+    tot = strata.agg(F.sum(F.col("n_orders") * F.col("sd")).alias("denom"))
+    return strata.crossJoin(F.broadcast(tot)).select(
+        "segment",
+        "n_orders",
+        F.round("sd", 4).alias("stddev_price"),
+        F.round(F.col("n_orders") * F.col("sd") / F.col("denom"), 6).alias(
+            "alloc_share"
+        ),
+        F.floor(1000 * F.col("n_orders") * F.col("sd") / F.col("denom"))
+        .cast("bigint")
+        .alias("alloc_samples"),
+    )

@@ -157,3 +157,55 @@ def streaming_interval_join_clicks_purchases(
         tempfile.mkdtemp(prefix="stream_ssj_"),
         query_name=f"ssj_result_{uuid.uuid4().hex[:8]}",
     ).select("user_id", "l_ts", "click_id", "r_ts", "purchase_id")
+
+
+@register(
+    "streaming_session_window_counts",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts, value, event_id,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                    OR ts - LAG(ts) OVER w > INTERVAL 10 MINUTE
+                    THEN 1 ELSE 0 END AS is_start
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    islands AS (
+        SELECT user_id, ts, value,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                   ROWS UNBOUNDED PRECEDING) AS sess_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 10 MINUTE AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM islands GROUP BY user_id, sess_id
+    """,
+    description="Session windows executed AS A STREAM (AvailableNow "
+    "drain): merging window state per user — a late-but-in-watermark "
+    "event can fuse two open sessions, which tumbling-window state never "
+    "does; the watermark is what finalizes and evicts merged sessions. "
+    "Session-grain output (start/end/count/sum); equals the batch "
+    "session_window answer over the same input, oracle restates it as "
+    "gap-island SQL. Completes the streaming ladder: tumbling "
+    "(streaming_event_window_counts) -> session (this) -> custom state "
+    "(streaming_stateful_user_totals).",
+)
+def streaming_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import run_session_stream
+
+    def prepare(stream: DataFrame) -> DataFrame:
+        if dict(stream.dtypes).get("ts") == "bigint":
+            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
+        return stream
+
+    return run_session_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        tempfile.mkdtemp(prefix="stream_sess_"),
+        gap="10 minutes",
+        prepare=prepare,
+        query_name=f"stream_sessions_{uuid.uuid4().hex[:8]}",
+    )

@@ -533,3 +533,70 @@ def stream_stateful_anomaly_monitor(
         .filter(F.col("rn") == 1)
         .select("user_id", "n_events", "mean_value", "m2", "n_flagged")
     )
+
+
+def session_window_counts(
+    events: DataFrame,
+    gap: str = "10 minutes",
+    watermark: str = "30 minutes",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Per-user session windows (sessions close after ``gap`` of
+    inactivity) — one plan for batch and stream.
+
+    Streaming session windows are MERGING state: unlike tumbling windows,
+    a late-but-in-watermark row can fuse two open sessions, so the state
+    store must support window merge (Spark's session-window state does);
+    the watermark is what lets merged sessions ever finalize and evict.
+    """
+    src = events
+    if src.isStreaming:
+        src = src.withWatermark(ts_col, watermark)
+    return (
+        src.groupBy(
+            F.col("user_id"),
+            F.session_window(F.col(ts_col), gap).alias("sw"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def run_session_stream(
+    spark: SparkSession,
+    source_parquet: str,
+    work_dir: str,
+    gap: str = "10 minutes",
+    prepare=None,
+    query_name: str = "stream_sessions",
+) -> DataFrame:
+    """Drain the session-window pipeline as an AvailableNow stream over a
+    bounded parquet source; complete mode + memory sink so the final
+    table equals the batch answer (same harness as run_stream_to_table)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_parquet).schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_source_dir(source_parquet, work_dir)
+    )
+    if prepare is not None:
+        stream = prepare(stream)
+    out = session_window_counts(stream, gap=gap)
+    q = (
+        out.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work_dir, "chk_sess"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)

@@ -383,3 +383,39 @@ def test_qq_quantiles_monotone(spark, sf_dir):
     assert qp == sorted(qp) and qc == sorted(qc)
     for r in rows:
         assert abs(r.qq_gap - round(r.q_click - r.q_purchase, 6)) < 1e-9
+
+
+def test_gini_matches_direct_computation(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_gini_customer_revenue,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    r = stats_gini_customer_revenue(spark, sf_dir).head()
+    revs = sorted(
+        x.rev
+        for x in table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("rev"))
+        .collect()
+    )
+    n, tot = len(revs), sum(revs)
+    gini = 2 * sum((i + 1) * x for i, x in enumerate(revs)) / (n * tot) - (n + 1) / n
+    assert r.n_customers == n
+    assert abs(r.gini - gini) < 1e-5
+    assert 0.0 <= r.gini < 1.0
+
+
+def test_neyman_allocation_sums_to_budget_share(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        sample_neyman_allocation,
+    )
+
+    rows = sample_neyman_allocation(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.alloc_share for r in rows) - 1.0) < 1e-4
+    # floor() allocation never exceeds the budget
+    assert sum(r.alloc_samples for r in rows) <= 1000
+    for r in rows:
+        assert r.alloc_samples >= 0 and r.stddev_price > 0

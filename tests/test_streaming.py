@@ -369,3 +369,17 @@ def test_stream_stateful_anomaly_profile_matches_batch(spark, tmp_path):
             stream_var = g.m2 / (g.n_events - 1)
             assert abs(stream_var - b.var) < 1e-6 * max(1.0, b.var)
         assert 0 <= g.n_flagged < g.n_events
+
+
+def test_stream_session_windows_equal_batch(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.catalog import load_all
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        session_window_counts,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    streamed = load_all()["streaming_session_window_counts"].fn(spark, sf_dir)
+    batch = session_window_counts(table(spark, sf_dir, "events"), gap="10 minutes")
+    s = {tuple(r) for r in streamed.collect()}
+    b = {tuple(r) for r in batch.collect()}
+    assert s == b and len(s) > 0

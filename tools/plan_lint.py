@@ -62,6 +62,9 @@ GLOBAL_WINDOW_OK = {
     "stats_ks_value_drift": "CDF prefix sum over the 200-bin histogram aggregate",
     "pipeline_global_row_index":
         "offset prefix sum over the |partitions|-row count table",
+    "stats_gini_customer_revenue":
+        "rank window over the customer-grain aggregate (partition-offset "
+        "scheme at 1e8+ customers, see pipeline_global_row_index)",
 }
 
 
