@@ -137,6 +137,8 @@ HEADLINE = [
     "dedup_semdedup_clusters",
     "stats_gini_customer_revenue",
     "sample_neyman_allocation",
+    "sample_dsir_importance",
+    "stats_quantile_normalize_sources",
 ]
 
 

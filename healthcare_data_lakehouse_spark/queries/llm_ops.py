@@ -3037,3 +3037,142 @@ def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.count("ib") * 1.0 / F.count(F.lit(1)), 6).alias("prune_rate"),
         )
     )
+
+
+# ------------------------------------------------ DSIR importance weights
+@register(
+    "sample_dsir_importance",
+    oracle="""
+    WITH toks AS (
+        SELECT doc_id, lang, t.tok AS w
+        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tl
+              FROM documents), UNNEST(tl) AS t(tok)
+    ),
+    hashed AS (
+        SELECT doc_id, lang,
+               CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 1024 AS b
+        FROM toks
+    ),
+    tgt AS (
+        SELECT b, COUNT(*) AS cnt FROM hashed WHERE lang = 'en' GROUP BY b
+    ),
+    raw AS (SELECT b, COUNT(*) AS cnt FROM hashed GROUP BY b),
+    tot AS (
+        SELECT (SELECT SUM(cnt) FROM tgt) AS nt,
+               (SELECT SUM(cnt) FROM raw) AS nr
+    )
+    SELECT h.doc_id,
+           COUNT(*) AS n_tokens,
+           ROUND(AVG(
+             ln((COALESCE(t.cnt, 0) + 1.0) / (tot.nt + 1024))
+             - ln((r.cnt + 1.0) / (tot.nr + 1024))
+           ), 4) AS dsir_logratio
+    FROM hashed h
+    LEFT JOIN tgt t ON t.b = h.b
+    JOIN raw r ON r.b = h.b
+    CROSS JOIN tot
+    GROUP BY h.doc_id
+    """,
+    description="DSIR importance weights (Xie et al. 2023, "
+    "arXiv:2302.03169): hashed-unigram (1024-bucket) feature models for "
+    "the TARGET distribution (lang='en' here) and the RAW corpus, each "
+    "doc scored by its mean log importance ratio ln(p_tgt/p_raw) — "
+    "positive means target-like, the resampling key for domain-matched "
+    "pretraining selection. The hash trick is the scale move: model "
+    "state is a fixed 1024-row table per side regardless of vocabulary, "
+    "so both models broadcast; scoring is two broadcast joins on the "
+    "bucket id, never a vocabulary-sized shuffle.",
+)
+def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split("text", " ", -1)).alias("w"),
+    ).select("doc_id", "lang", (D.token_hash48(F.col("w")) % 1024).alias("b"))
+    tgt = (
+        hashed.filter(F.col("lang") == "en")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tcnt"))
+    )
+    raw = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("rcnt"))
+    nt = tgt.agg(F.sum("tcnt").alias("nt"))
+    nr = raw.agg(F.sum("rcnt").alias("nr"))
+    return (
+        hashed.join(F.broadcast(tgt), "b", "left")
+        .join(F.broadcast(raw), "b")
+        .join(F.broadcast(nt))
+        .join(F.broadcast(nr))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(
+                F.avg(
+                    F.log(
+                        (F.coalesce(F.col("tcnt"), F.lit(0)) + 1.0)
+                        / (F.col("nt") + 1024)
+                    )
+                    - F.log((F.col("rcnt") + 1.0) / (F.col("nr") + 1024))
+                ),
+                4,
+            ).alias("dsir_logratio"),
+        )
+    )
+
+
+# ------------------------------------------- quantile normalization map
+@register(
+    "stats_quantile_normalize_sources",
+    oracle="""
+    WITH pooled AS (
+        SELECT quantile_cont(n_chars,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS pq
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, COUNT(*) AS n_docs,
+               quantile_cont(n_chars,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS sq
+        FROM documents GROUP BY source
+    )
+    SELECT s.source, s.n_docs,
+           ROUND(CAST(0.1 * i AS DOUBLE), 2) AS quantile,
+           ROUND(s.sq[i], 4) AS src_value,
+           ROUND(p.pq[i], 4) AS pooled_value,
+           ROUND(s.sq[i] - p.pq[i], 4) AS shift
+    FROM per_src s CROSS JOIN pooled p,
+         UNNEST(generate_series(1, 9)) AS u(i)
+    """,
+    description="Quantile-normalization mapping table: each source's "
+    "doc-length deciles laid against the pooled corpus deciles, with the "
+    "per-knot shift — the batch-effect correction primitive (align "
+    "heterogeneous crawl sources onto one reference distribution before "
+    "mixing, the tabular twin of embedding centroid alignment). One "
+    "grouped percentile-array pass + one global pass; the 9-knot "
+    "mapping broadcasts onto any downstream rescale scan. Same "
+    "percentile-array trick as stats_qq_purchase_click, grouped.",
+)
+def stats_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    probs = "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)"
+    pooled = docs.agg(F.expr(f"percentile(n_chars, {probs})").alias("pq"))
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.expr(f"percentile(n_chars, {probs})").alias("sq"),
+    )
+    return (
+        per_src.crossJoin(F.broadcast(pooled))
+        .select(
+            "source",
+            "n_docs",
+            F.posexplode(F.arrays_zip("sq", "pq")).alias("i", "z"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round((F.col("i") + 1) * 0.1, 2).alias("quantile"),
+            F.round(F.col("z.sq"), 4).alias("src_value"),
+            F.round(F.col("z.pq"), 4).alias("pooled_value"),
+            F.round(F.col("z.sq") - F.col("z.pq"), 4).alias("shift"),
+        )
+    )

@@ -710,3 +710,45 @@ def test_semdedup_prunes_exactly_injected_copies(spark):
     assert sum(r.n_pruned for r in rows) == n_dups
     for r in rows:
         assert 0.0 <= r.prune_rate <= 1.0
+
+
+def test_dsir_separates_target_from_rest(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sample_dsir_importance,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    sf = "/root/testdata/sf0.001"
+    scores = {
+        r.doc_id: r.dsir_logratio
+        for r in sample_dsir_importance(spark, sf).collect()
+    }
+    langs = {
+        r.doc_id: r.lang
+        for r in table(spark, sf, "documents").select("doc_id", "lang").collect()
+    }
+    assert set(scores) == set(langs)
+    en = [scores[d] for d, l in langs.items() if l == "en"]
+    rest = [scores[d] for d, l in langs.items() if l != "en"]
+    assert en and rest
+    # importance ratio must rank target-language docs above the rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_quantile_normalize_map_is_consistent(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        stats_quantile_normalize_sources,
+    )
+
+    rows = stats_quantile_normalize_sources(spark, "/root/testdata/sf0.001").collect()
+    assert rows
+    by_src: dict = {}
+    for r in rows:
+        assert abs(r.shift - round(r.src_value - r.pooled_value, 4)) < 1e-9
+        by_src.setdefault(r.source, []).append(r)
+    for src, knots in by_src.items():
+        assert len(knots) == 9
+        knots = sorted(knots, key=lambda r: r.quantile)
+        vals = [k.src_value for k in knots]
+        pooled = [k.pooled_value for k in knots]
+        assert vals == sorted(vals) and pooled == sorted(pooled)
