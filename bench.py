@@ -139,6 +139,8 @@ HEADLINE = [
     "sample_neyman_allocation",
     "sample_dsir_importance",
     "stats_quantile_normalize_sources",
+    "graph_supplier_copart_pairs",
+    "events_locf_daily_user_value",
 ]
 
 

@@ -2406,3 +2406,114 @@ def rollup_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# -------------------------------------------- bipartite co-supply graph
+@register(
+    "graph_supplier_copart_pairs",
+    oracle="""
+    WITH sp AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    pairs AS (
+        SELECT a.s AS supp_a, b.s AS supp_b, COUNT(*) AS shared_parts
+        FROM sp a JOIN sp b ON a.p = b.p AND a.s < b.s
+        GROUP BY a.s, b.s
+    )
+    SELECT supp_a, supp_b, shared_parts
+    FROM pairs
+    ORDER BY shared_parts DESC, supp_a, supp_b LIMIT 25
+    """,
+    description="Bipartite-projection co-occurrence graph: suppliers "
+    "linked by the parts they both ship (the supplier-side projection "
+    "of the supplier-part bipartite graph), strongest 25 edges with "
+    "total-order tiebreaks (TakeOrdered — per-partition top-k + merge, "
+    "no global sort). "
+    "The co-occurrence self-join is keyed on the SHARED entity (part), "
+    "so candidate volume is the sum of per-part squared supplier "
+    "counts — bounded by the fan-out of the densest part, never "
+    "|suppliers|^2; at 100 TB hot parts (huge supplier lists) are "
+    "capped or salted exactly like hot LSH buckets. The same plan "
+    "builds user-cooccurrence, doc-citation, and basket-affinity "
+    "graphs.",
+)
+def graph_supplier_copart_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = sp.alias("a"), sp.alias("b")
+    return (
+        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        .groupBy(
+            F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b")
+        )
+        .agg(F.count(F.lit(1)).alias("shared_parts"))
+        .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
+        .limit(25)
+    )
+
+
+# ------------------------------------------------- LOCF daily gap fill
+@register(
+    "events_locf_daily_user_value",
+    oracle="""
+    WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day,
+               ROUND(AVG(value), 4) AS day_value
+        FROM events WHERE event_type = 'purchase' GROUP BY 1, 2
+    ),
+    spans AS (
+        SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily
+        GROUP BY user_id
+    ),
+    spine AS (
+        SELECT s.user_id, CAST(u.d AS DATE) AS day
+        FROM spans s, UNNEST(generate_series(s.d0, s.d1, INTERVAL 1 DAY))
+             AS u(d)
+    )
+    SELECT sp.user_id, sp.day,
+           LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+               PARTITION BY sp.user_id ORDER BY sp.day
+               ROWS UNBOUNDED PRECEDING) AS locf_value,
+           (d.day_value IS NULL) AS is_filled
+    FROM spine sp LEFT JOIN daily d
+      ON d.user_id = sp.user_id AND d.day = sp.day
+    """,
+    description="Last-observation-carried-forward densification: each "
+    "user's purchase-value series is expanded to a contiguous daily "
+    "spine (sequence+explode, bounded by the user's own active span) "
+    "and gaps inherit the most recent real observation via last(value) "
+    "IGNORE NULLS over a user-partitioned running frame — the standard "
+    "panel-data imputation (sensor readings, account balances, feature "
+    "staleness). Completes the densification trio: zero-fill "
+    "(calendar_daily_event_gapfill), as-of join (events_asof...), LOCF "
+    "(this). Spine explode is per-user-bounded; the window never "
+    "crosses users, so no global sort exists anywhere.",
+)
+def events_locf_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.round(F.avg("value"), 4).alias("day_value"))
+    spans = daily.groupBy("user_id").agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    )
+    spine = spans.select(
+        "user_id",
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("day"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.last("day_value", ignorenulls=True).over(w).alias("locf_value"),
+            F.col("day_value").isNull().alias("is_filled"),
+        )
+    )

@@ -127,3 +127,41 @@ def test_division_suppliers_truly_cover(spark):
             .collect()
         }
         assert set(top) <= shipped
+
+
+def test_copart_pairs_are_strongest_edges(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        graph_supplier_copart_pairs,
+    )
+
+    rows = graph_supplier_copart_pairs(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 25
+    counts = [r.shared_parts for r in rows]
+    assert counts == sorted(counts, reverse=True)
+    for r in rows:
+        assert r.supp_a < r.supp_b  # canonical orientation, no mirrors
+
+
+def test_locf_fills_only_gaps_and_carries_last(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        events_locf_daily_user_value,
+    )
+
+    rows = events_locf_daily_user_value(spark, sf_dir).collect()
+    assert rows
+    by_user: dict = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    for user, series in by_user.items():
+        series = sorted(series, key=lambda r: r.day)
+        # spine is contiguous daily
+        days = [r.day for r in series]
+        assert (days[-1] - days[0]).days + 1 == len(days)
+        # first day is a real observation; filled days repeat the last value
+        assert not series[0].is_filled
+        prev = series[0].locf_value
+        for r in series[1:]:
+            if r.is_filled:
+                assert r.locf_value == prev
+            prev = r.locf_value
+        assert all(r.locf_value is not None for r in series)
