@@ -141,6 +141,7 @@ HEADLINE = [
     "stats_quantile_normalize_sources",
     "graph_supplier_copart_pairs",
     "events_locf_daily_user_value",
+    "dedup_prefix_filter_jaccard",
 ]
 
 

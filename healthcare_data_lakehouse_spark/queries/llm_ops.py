@@ -3176,3 +3176,42 @@ def stats_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFr
             F.round(F.col("z.sq") - F.col("z.pq"), 4).alias("shift"),
         )
     )
+
+
+# --------------------------------------------- PPJoin prefix filtering
+@register(
+    "dedup_prefix_filter_jaccard",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=20)
+    + ", "
+    + _SHINGLES_SQL
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    inter AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.7
+    """,
+    description="PPJoin prefix-filtered exact-Jaccard join (Xiao et al., "
+    "WWW'08): shingles ranked rarest-first, only the |d|-ceil(t|d|)+1 "
+    "prefix is self-joined — LOSSLESS by the pigeonhole bound, so the "
+    "oracle is plain exhaustive shingle-join Jaccard and the hashes "
+    "must agree exactly. The scale story over dedup_ngram_jaccard_"
+    "pairs: the full shingle join fans out on COMMON shingles (the "
+    "quadratic hot keys), while prefixes keep only each doc's RAREST "
+    "shingles — the join keys with the smallest fan-out — cutting "
+    "candidate volume by orders of magnitude at corpus scale with "
+    "zero recall loss (test asserts candidates strictly shrink).",
+)
+def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.prefix_filter_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir, 20), threshold=0.7
+    )

@@ -752,3 +752,37 @@ def test_quantile_normalize_map_is_consistent(spark):
         vals = [k.src_value for k in knots]
         pooled = [k.pooled_value for k in knots]
         assert vals == sorted(vals) and pooled == sorted(pooled)
+
+
+def test_prefix_filter_lossless_and_smaller(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import _docs_with_dups
+
+    sf = "/root/testdata/sf0.001"
+    docs = _docs_with_dups(spark, sf, 20)
+    exact = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    filtered = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.prefix_filter_jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    # lossless: identical result set AND identical similarity values
+    assert filtered == exact and exact
+
+    # the prefix index is strictly smaller than the full shingle table
+    sh = D._shingle_table(docs, "doc_id", "text", 3)
+    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
+    n_shingle_rows = sh.count()
+    # prefix length |d| - ceil(0.7|d|) + 1 is ~30% of |d|
+    from pyspark.sql.window import Window as W
+
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
+    w = W.partitionBy("sid").orderBy("df", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sizes, "sid")
+        .filter(F.col("pos") <= F.col("sz") - F.ceil(0.7 * F.col("sz")) + 1)
+    )
+    assert prefix.count() < 0.5 * n_shingle_rows
