@@ -43,6 +43,7 @@ def register(
 def load_all() -> dict[str, QuerySpec]:
     """Import every query submodule so registrations run."""
     from healthcare_data_lakehouse_spark.queries import (  # noqa: F401
+        advanced,
         analytics,
         behavior,
         etl_queries,

@@ -1,0 +1,84 @@
+"""Semantic invariants for the advanced analytics queries (sf0.001).
+
+The oracle gate proves Spark == DuckDB; these tests prove both are
+*right*: bitmap popcounts reconcile with the distinct-day counts,
+CUSUM telescopes to ~0 and flags exactly the peak, bootstrap CI
+brackets the point estimate at a plausible width, Heaps' beta lands
+in the sublinear band real text occupies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from healthcare_data_lakehouse_spark.queries import advanced
+from healthcare_data_lakehouse_spark.tables import table
+
+
+def test_activity_bitmap_popcount_matches_distinct_days(spark, sf_dir):
+    rows = advanced.events_user_activity_bitmap(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    days = (
+        ev.select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.datediff(F.max("day"), F.min("day")).alias("span"),
+        )
+    )
+    truth = {r.user_id: r for r in days.collect()}
+    for r in rows:
+        assert r.bitmap > 0  # sign bit never set (63-day cap)
+        assert r.bitmap & 1  # day 0 is the user's own first day
+        t = truth[r.user_id]
+        # popcount == distinct days, when all fall inside the 63-day window
+        if t.span < 63:
+            assert r.active_days == t.n_days
+            assert r.last_day_idx == t.span
+        else:
+            assert r.active_days <= t.n_days
+            assert r.last_day_idx < 63
+        assert 1 <= r.week1_days <= min(7, r.active_days)
+
+
+def test_cusum_telescopes_and_flags_unique_peak(spark, sf_dir):
+    rows = sorted(
+        advanced.events_changepoint_cusum(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert len(rows) > 5
+    # sum of deviations over the whole series telescopes to zero
+    assert abs(rows[-1].cusum) < 1e-2
+    peak = max(abs(r.cusum) for r in rows)
+    flagged = [r for r in rows if r.is_changepoint]
+    assert flagged and all(abs(r.cusum) == peak for r in flagged)
+    # running property: cusum_t - cusum_{t-1} = dv_t - mean
+    mean = sum(r.daily_value for r in rows) / len(rows)
+    for prev, cur in zip(rows, rows[1:]):
+        assert abs((cur.cusum - prev.cusum) - (cur.daily_value - mean)) < 0.05
+
+
+def test_bootstrap_ci_brackets_point_estimate(spark, sf_dir):
+    (r,) = advanced.stats_bootstrap_ci(spark, sf_dir).collect()
+    orders = table(spark, sf_dir, "orders")
+    assert r.n_orders == orders.count()
+    assert r.ci_lo < r.point_mean < r.ci_hi
+    assert r.boot_se > 0
+    # CI width should be a few SEs, not degenerate and not absurd
+    assert (r.ci_hi - r.ci_lo) < 10 * r.boot_se
+    # bootstrap SE tracks sigma/sqrt(n) within a loose factor
+    import math
+
+    sd = orders.agg(F.stddev_samp("o_totalprice")).first()[0]
+    theory = sd / math.sqrt(r.n_orders)
+    assert theory / 3 < r.boot_se < theory * 3
+
+
+def test_heaps_beta_sublinear(spark, sf_dir):
+    (r,) = advanced.text_heaps_law_fit(spark, sf_dir).collect()
+    assert r.n_docs > 0
+    assert 0 < r.heaps_beta <= 1.0  # vocabulary grows sublinearly
+    assert r.heaps_k > 0
+    assert 0 < r.avg_ttr <= 1.0

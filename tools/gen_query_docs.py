@@ -14,6 +14,7 @@ ROOT = Path(__file__).resolve().parent.parent
 sys.path.insert(0, str(ROOT))
 
 MODULE_TITLES = {
+    "advanced": "Advanced analytics (bitmaps, changepoints, resampling, corpus laws)",
     "analytics": "Relational analytics (TPC-H shapes, windows, sets, sampling, sketches)",
     "behavior": "Behavioral & statistical analytics",
     "etl_queries": "ETL, loads, lineage, time travel",

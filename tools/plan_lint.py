@@ -65,6 +65,7 @@ GLOBAL_WINDOW_OK = {
     "stats_gini_customer_revenue":
         "rank window over the customer-grain aggregate (partition-offset "
         "scheme at 1e8+ customers, see pipeline_global_row_index)",
+    "events_changepoint_cusum": "CUSUM prefix sum over the day-grain series",
 }
 
 
