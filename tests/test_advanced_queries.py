@@ -82,3 +82,59 @@ def test_heaps_beta_sublinear(spark, sf_dir):
     assert 0 < r.heaps_beta <= 1.0  # vocabulary grows sublinearly
     assert r.heaps_k > 0
     assert 0 < r.avg_ttr <= 1.0
+
+
+def test_sweepline_concurrency_bounded_by_active_users(spark, sf_dir):
+    rows = advanced.events_concurrent_sessions_sweepline(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    # a user has at most one session open at a time, so peak concurrency
+    # on any day never exceeds that day's (or any) distinct user count
+    n_users = ev.select("user_id").distinct().count()
+    for r in rows:
+        assert 0 <= r.peak_concurrent <= n_users
+        assert r.n_boundaries > 0
+    # global invariant: total +1s == total -1s == number of sessions
+    assert max(r.peak_concurrent for r in rows) >= 1
+
+
+def test_dictionary_audit_covers_all_columns(spark, sf_dir):
+    rows = {r.col_name: r for r in
+            advanced.storage_dictionary_encoding_audit(spark, sf_dir).collect()}
+    li = table(spark, sf_dir, "lineitem")
+    assert set(rows) == set(li.columns)
+    n = li.count()
+    for r in rows.values():
+        assert r.n_values == n  # no nulls in the fixture
+        assert 1 <= r.n_distinct <= n
+        assert (2 ** r.dict_bits) >= r.n_distinct
+        assert r.est_ratio > 0
+    # flag columns are the canonical dictionary wins
+    assert rows["l_returnflag"].n_distinct <= 3
+    assert rows["l_returnflag"].dict_bits <= 2
+    assert rows["l_orderkey"].n_distinct == li.select("l_orderkey").distinct().count()
+
+
+def test_wilson_interval_brackets_rate_and_tightens_with_n(spark, sf_dir):
+    rows = advanced.stats_wilson_ci_purchase_rate(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.wilson_lo <= r.rate <= r.wilson_hi <= 1
+        assert r.purchases <= r.trials
+    # wider interval for smaller n at comparable rates (spot: min vs max n)
+    small = min(rows, key=lambda r: r.trials)
+    big = max(rows, key=lambda r: r.trials)
+    if big.trials > 3 * small.trials:
+        assert (small.wilson_hi - small.wilson_lo) > (
+            big.wilson_hi - big.wilson_lo
+        ) * 0.8
+
+
+def test_theil_sen_matches_ols_on_clean_series(spark, sf_dir):
+    (r,) = advanced.stats_theil_sen_daily_trend(spark, sf_dir).collect()
+    assert r.n_pairs == r.n_days * (r.n_days - 1) // 2
+    # synthetic revenue has no gross outliers: the two estimators agree
+    # in sign-or-near-zero and the robust one is finite
+    assert r.theil_sen_slope is not None and r.ols_slope is not None
+    daily_rev_scale = abs(r.ols_slope) + 1.0
+    assert abs(r.theil_sen_slope - r.ols_slope) < max(100.0, 50 * daily_rev_scale)

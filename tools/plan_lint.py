@@ -66,6 +66,9 @@ GLOBAL_WINDOW_OK = {
         "rank window over the customer-grain aggregate (partition-offset "
         "scheme at 1e8+ customers, see pipeline_global_row_index)",
     "events_changepoint_cusum": "CUSUM prefix sum over the day-grain series",
+    "events_concurrent_sessions_sweepline":
+        "concurrency prefix sum over the session-boundary table (2x "
+        "sessions rows; partition-offset scheme at 1e9+ sessions)",
 }
 
 
