@@ -581,3 +581,341 @@ def stats_theil_sen_daily_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         ols.crossJoin(F.broadcast(sl))
         .select("n_days", "n_pairs", "theil_sen_slope", "ols_slope")
     )
+
+
+# ------------------------------------------- chi-square independence
+@register(
+    "stats_chisq_lang_source",
+    oracle="""
+    WITH obs AS (
+        SELECT lang, source, COUNT(*) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+        SELECT rt.lang, ct.source, COALESCE(obs.o, 0) AS o,
+               CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+        FROM rt CROSS JOIN ct CROSS JOIN n
+        LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+    ),
+    tot AS (
+        SELECT SUM((o - e) * (o - e) / e) AS chi2,
+               (COUNT(DISTINCT lang) - 1) * (COUNT(DISTINCT source) - 1)
+                   AS df
+        FROM cells
+    )
+    SELECT c.lang, c.source, CAST(c.o AS INT) AS observed,
+           ROUND(c.e, 4) AS expected,
+           ROUND((c.o - c.e) / sqrt(c.e), 4) AS std_residual,
+           ROUND(t.chi2, 4) AS chi2_total,
+           CAST(t.df AS INT) AS df
+    FROM cells c CROSS JOIN tot t
+    """,
+    description="Chi-square test of independence on the lang x source "
+    "contingency table: per-cell expected counts from broadcast "
+    "marginals, standardized residuals locating WHICH cells drive the "
+    "dependence, and the pooled chi2 statistic + degrees of freedom — "
+    "the categorical drift/bias detector (is a crawl source skewed "
+    "toward a language?) complementing the numeric drift monitors "
+    "(PSI, KS). One groupBy over the fact table; marginals and the "
+    "total are broadcast one-row/short-table joins on the "
+    "cell-grain result.",
+)
+def stats_chisq_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    grid = rt.crossJoin(ct).crossJoin(F.broadcast(n))
+    cells = grid.join(F.broadcast(obs), ["lang", "source"], "left").select(
+        "lang",
+        "source",
+        F.coalesce("o", F.lit(0)).alias("o"),
+        (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e"),
+    )
+    tot = cells.agg(
+        F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"),
+        (
+            (F.countDistinct("lang") - 1) * (F.countDistinct("source") - 1)
+        ).alias("df"),
+    )
+    return cells.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "source",
+        F.col("o").cast("int").alias("observed"),
+        F.round("e", 4).alias("expected"),
+        F.round((F.col("o") - F.col("e")) / F.sqrt("e"), 4).alias(
+            "std_residual"
+        ),
+        F.round("chi2", 4).alias("chi2_total"),
+        F.col("df").cast("int").alias("df"),
+    )
+
+
+# ------------------------------------------- mutual information
+@register(
+    "stats_mutual_info_type_hour",
+    oracle="""
+    WITH joint AS (
+        SELECT event_type, EXTRACT(hour FROM ts) AS hr, COUNT(*) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    n AS (SELECT SUM(c) AS n FROM joint),
+    px AS (SELECT event_type, SUM(c) AS cx FROM joint GROUP BY 1),
+    py AS (SELECT hr, SUM(c) AS cy FROM joint GROUP BY 1)
+    SELECT ROUND(SUM((CAST(j.c AS DOUBLE) / n.n)
+                 * log2(CAST(j.c AS DOUBLE) * n.n
+                        / (CAST(px.cx AS DOUBLE) * py.cy))), 4) AS mi_bits,
+           ROUND(-SUM((CAST(j.c AS DOUBLE) / n.n)
+                      * log2(CAST(j.c AS DOUBLE) / n.n)), 4) AS h_joint,
+           CAST(COUNT(DISTINCT j.event_type) AS INT) AS n_types,
+           CAST(COUNT(DISTINCT j.hr) AS INT) AS n_hours
+    FROM joint j JOIN px USING (event_type) JOIN py USING (hr) CROSS JOIN n
+    """,
+    description="Mutual information (bits) between event type and "
+    "hour-of-day, with the joint entropy: MI > 0 means WHEN an event "
+    "happens carries information about WHAT it is — the "
+    "feature-relevance / leakage detector used in feature selection "
+    "and in auditing time-based train/test splits. Everything reduces "
+    "to ONE groupBy on the (type, hour) joint (|types|x24 cells); "
+    "marginals re-aggregate the cell table and broadcast back. The "
+    "plugin estimator is exact for the observed distribution, no "
+    "sampling.",
+)
+def stats_mutual_info_type_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    joint = ev.groupBy(
+        "event_type", F.hour("ts").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    n = joint.agg(F.sum("c").alias("n"))
+    px = joint.groupBy("event_type").agg(F.sum("c").alias("cx"))
+    py = joint.groupBy("hr").agg(F.sum("c").alias("cy"))
+    j = (
+        joint.join(F.broadcast(px), "event_type")
+        .join(F.broadcast(py), "hr")
+        .crossJoin(F.broadcast(n))
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    return j.agg(
+        F.round(
+            F.sum(
+                p
+                * F.log2(
+                    F.col("c").cast("double")
+                    * F.col("n")
+                    / (F.col("cx").cast("double") * F.col("cy"))
+                )
+            ),
+            4,
+        ).alias("mi_bits"),
+        F.round(-F.sum(p * F.log2(p)), 4).alias("h_joint"),
+        F.countDistinct("event_type").cast("int").alias("n_types"),
+        F.countDistinct("hr").cast("int").alias("n_hours"),
+    )
+
+
+# ------------------------------------------- Kaplan-Meier survival
+@register(
+    "stats_kaplan_meier_session_duration",
+    oracle="""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN datediff('microsecond',
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                        > 1800000000
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+               ts
+        FROM marked
+    ),
+    iv AS (
+        SELECT user_id,
+               CAST(datediff('microsecond', MIN(ts), MAX(ts)) // 60000000
+                    AS BIGINT) AS dur,
+               MAX(ts) AS e
+        FROM sess GROUP BY user_id, sid
+    ),
+    lastev AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY 1),
+    obs AS (
+        SELECT iv.dur,
+               CASE WHEN iv.e = l.last_ts THEN 0 ELSE 1 END AS event
+        FROM iv JOIN lastev l ON iv.user_id = l.user_id
+    ),
+    by_t AS (
+        SELECT dur, SUM(event) AS d, COUNT(*) AS m
+        FROM obs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d,
+               SUM(m) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_at_risk
+        FROM by_t
+    )
+    SELECT dur AS dur_minutes, CAST(n_at_risk AS INT) AS n_at_risk,
+           CAST(d AS INT) AS n_ended,
+           ROUND(exp(SUM(ln(greatest(1 - CAST(d AS DOUBLE) / n_at_risk, 1e-300)))
+                 OVER (ORDER BY dur
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 4) AS km_survival
+    FROM risk WHERE d > 0
+    """,
+    description="Kaplan-Meier survival curve of session duration "
+    "(minute grain, 30-min-gap sessions): each user's final session "
+    "is right-CENSORED — it may have continued past the observation "
+    "horizon, so it leaves the risk set without counting as an ended "
+    "session. That censoring correction is exactly what naive "
+    "avg-session-length metrics get wrong (they undercount long "
+    "sessions). Product-limit S(t) = prod(1 - d_i/n_i) as exp of a "
+    "running log-sum window; the risk set is a reverse-cumulative "
+    "count. Both KM windows run over the DURATION-grain table (<= "
+    "max-session-minutes rows), never session grain — the standard "
+    "churn / length-of-stay curve, engine-native.",
+)
+def stats_kaplan_meier_session_duration(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+    sess = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_sess").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(60_000_000)
+            )
+            .cast("long")
+            .alias("dur"),
+            F.max("ts").alias("e"),
+        )
+    )
+    lastev = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    obs = sess.join(lastev, "user_id").select(
+        "dur",
+        F.when(F.col("e") == F.col("last_ts"), 0).otherwise(1).alias("event"),
+    )
+    by_t = obs.groupBy("dur").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.withColumn("n_at_risk", F.sum("m").over(w_desc))
+    w_asc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        risk.withColumn(
+            "km_survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            F.greatest(
+                                1
+                                - F.col("d").cast("double")
+                                / F.col("n_at_risk"),
+                                F.lit(1e-300),
+                            )
+                        )
+                    ).over(w_asc)
+                ),
+                4,
+            ),
+        )
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("dur_minutes"),
+            F.col("n_at_risk").cast("int").alias("n_at_risk"),
+            F.col("d").cast("int").alias("n_ended"),
+            "km_survival",
+        )
+    )
+
+
+# ------------------------------------------- one-way ANOVA
+@register(
+    "stats_anova_value_by_type",
+    oracle="""
+    WITH g AS (
+        SELECT event_type, COUNT(*) AS n, AVG(value) AS m,
+               var_samp(value) AS v
+        FROM events GROUP BY event_type
+    ),
+    tot AS (
+        SELECT SUM(n) AS nn, SUM(n * m) / SUM(n) AS gm, COUNT(*) AS k
+        FROM g
+    )
+    SELECT CAST(t.k AS INT) AS n_groups,
+           CAST(t.nn AS INT) AS n_obs,
+           ROUND(SUM(g.n * (g.m - t.gm) * (g.m - t.gm)), 4) AS ss_between,
+           ROUND(SUM(g.v * (g.n - 1)), 4) AS ss_within,
+           ROUND((SUM(g.n * (g.m - t.gm) * (g.m - t.gm)) / (t.k - 1))
+                 / (SUM(g.v * (g.n - 1)) / (t.nn - t.k)), 4) AS f_stat,
+           ROUND(SUM(g.n * (g.m - t.gm) * (g.m - t.gm))
+                 / (SUM(g.n * (g.m - t.gm) * (g.m - t.gm))
+                    + SUM(g.v * (g.n - 1))), 4) AS eta_squared
+    FROM g CROSS JOIN tot t
+    GROUP BY t.k, t.nn
+    """,
+    description="One-way ANOVA of event value across event types: "
+    "between/within sum-of-squares decomposition, the F statistic, "
+    "and eta-squared effect size — does the metric MEAN differ by "
+    "category beyond noise? Generalizes the two-group Welch t-test "
+    "already shipped to k groups. One grouped-moments scan (count/"
+    "mean/variance per type — map-side combinable Welford states); "
+    "the decomposition is arithmetic over the k-row group table "
+    "against its broadcast grand mean.",
+)
+def stats_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("value").alias("m"),
+        F.var_samp("value").alias("v"),
+    )
+    tot = g.agg(
+        F.sum("n").alias("nn"),
+        (F.sum(F.col("n") * F.col("m")) / F.sum("n")).alias("gm"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ssb = F.sum(F.col("n") * (F.col("m") - F.col("gm")) ** 2)
+    ssw = F.sum(F.col("v") * (F.col("n") - 1))
+    return (
+        g.crossJoin(F.broadcast(tot))
+        .groupBy("k", "nn")
+        .agg(
+            F.round(ssb, 4).alias("ss_between"),
+            F.round(ssw, 4).alias("ss_within"),
+            F.round(
+                (ssb / (F.col("k") - 1)) / (ssw / (F.col("nn") - F.col("k"))),
+                4,
+            ).alias("f_stat"),
+            F.round(ssb / (ssb + ssw), 4).alias("eta_squared"),
+        )
+        .select(
+            F.col("k").cast("int").alias("n_groups"),
+            F.col("nn").cast("int").alias("n_obs"),
+            "ss_between",
+            "ss_within",
+            "f_stat",
+            "eta_squared",
+        )
+    )

@@ -130,6 +130,57 @@ def test_wilson_interval_brackets_rate_and_tightens_with_n(spark, sf_dir):
         ) * 0.8
 
 
+def test_chisq_cells_reconcile_and_residuals_sum(spark, sf_dir):
+    rows = advanced.stats_chisq_lang_source(spark, sf_dir).collect()
+    assert rows
+    n_docs = table(spark, sf_dir, "documents").count()
+    assert sum(r.observed for r in rows) == n_docs
+    # expected counts reproduce the same total, and chi2 equals the
+    # sum of squared residuals (within rounding)
+    assert abs(sum(r.expected for r in rows) - n_docs) < 0.1
+    chi2 = rows[0].chi2_total
+    assert all(r.chi2_total == chi2 for r in rows)
+    assert abs(sum(r.std_residual**2 for r in rows) - chi2) < 0.5
+    assert rows[0].df >= 1
+
+
+def test_mutual_info_bounded_by_entropies(spark, sf_dir):
+    (r,) = advanced.stats_mutual_info_type_hour(spark, sf_dir).collect()
+    assert r.mi_bits >= 0
+    import math
+
+    # MI <= min(H(X), H(Y)) <= log2 of the smaller cardinality
+    assert r.mi_bits <= math.log2(min(r.n_types, r.n_hours)) + 1e-6
+    assert r.h_joint <= math.log2(r.n_types * r.n_hours) + 1e-6
+
+
+def test_kaplan_meier_monotone_from_one(spark, sf_dir):
+    rows = sorted(
+        advanced.stats_kaplan_meier_session_duration(spark, sf_dir).collect(),
+        key=lambda r: r.dur_minutes,
+    )
+    assert rows
+    surv = [r.km_survival for r in rows]
+    assert all(0 <= s <= 1 for s in surv)
+    assert surv == sorted(surv, reverse=True)  # survival never increases
+    assert surv[0] < 1.0  # first death time drops below 1
+    # risk set shrinks as duration grows
+    risk = [r.n_at_risk for r in rows]
+    assert risk == sorted(risk, reverse=True)
+    assert all(r.n_ended <= r.n_at_risk for r in rows)
+
+
+def test_anova_decomposition_consistent(spark, sf_dir):
+    (r,) = advanced.stats_anova_value_by_type(spark, sf_dir).collect()
+    ev = table(spark, sf_dir, "events")
+    assert r.n_groups == ev.select("event_type").distinct().count()
+    assert r.n_obs == ev.count()
+    assert r.ss_between >= 0 and r.ss_within > 0
+    assert r.f_stat >= 0
+    # eta^2 = SSB / (SSB + SSW) by definition
+    assert abs(r.eta_squared - r.ss_between / (r.ss_between + r.ss_within)) < 1e-3
+
+
 def test_theil_sen_matches_ols_on_clean_series(spark, sf_dir):
     (r,) = advanced.stats_theil_sen_daily_trend(spark, sf_dir).collect()
     assert r.n_pairs == r.n_days * (r.n_days - 1) // 2

@@ -69,6 +69,9 @@ GLOBAL_WINDOW_OK = {
     "events_concurrent_sessions_sweepline":
         "concurrency prefix sum over the session-boundary table (2x "
         "sessions rows; partition-offset scheme at 1e9+ sessions)",
+    "stats_kaplan_meier_session_duration":
+        "risk-set and product-limit windows over the duration-grain "
+        "table (<= max-lifetime-days rows)",
 }
 
 
