@@ -919,3 +919,207 @@ def stats_anova_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             "eta_squared",
         )
     )
+
+
+# ------------------------------------------- LATERAL correlated top-k
+@register(
+    "lateral_top2_acctbal_per_nation",
+    oracle="""
+    SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+    FROM nation n, LATERAL (
+        SELECT c_name, c_acctbal FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) t
+    """,
+    description="Correlated LATERAL subquery: the two richest "
+    "customers per nation, written as a per-row dependent subquery "
+    "with ORDER BY ... LIMIT — the SQL-standard lateral-join surface. "
+    "Catalyst DECORRELATES it: the physical plan is one "
+    "WindowGroupLimit (partial per-partition top-2 before the "
+    "shuffle, final after) + broadcast hash join with the nation dim "
+    "— NOT a per-nation re-execution of the inner query, so cost is "
+    "one pass over customer regardless of |nation|. The same lateral "
+    "written naively in a tuple-at-a-time engine runs the subquery "
+    "|outer| times.",
+)
+def lateral_top2_acctbal_per_nation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import uuid as _uuid
+
+    suffix = _uuid.uuid4().hex[:8]
+    for t in ("nation", "customer"):
+        table(spark, sf_dir, t).createOrReplaceTempView(f"{t}_{suffix}")
+    return spark.sql(f"""
+        SELECT n.n_name, t.c_name, ROUND(t.c_acctbal, 2) AS acctbal
+        FROM nation_{suffix} n, LATERAL (
+            SELECT c_name, c_acctbal FROM customer_{suffix} c
+            WHERE c.c_nationkey = n.n_nationkey
+            ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) t
+    """)
+
+
+# ------------------------------------------- penny-exact proration
+@register(
+    "finance_penny_allocation",
+    oracle="""
+    WITH base AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               o.o_totalprice,
+               100.0 * o.o_totalprice * l.l_extendedprice
+                   / SUM(l.l_extendedprice)
+                     OVER (PARTITION BY l.l_orderkey) AS raw_cents
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    flo AS (
+        SELECT l_orderkey, l_linenumber, o_totalprice,
+               CAST(floor(raw_cents) AS BIGINT) AS base_cents,
+               raw_cents - floor(raw_cents) AS rem,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                   ORDER BY raw_cents - floor(raw_cents) DESC, l_linenumber)
+                   AS rnk
+        FROM base
+    ),
+    defc AS (
+        SELECT l_orderkey, l_linenumber, o_totalprice, base_cents, rnk,
+               CAST(round(100 * o_totalprice) AS BIGINT)
+                   - SUM(base_cents) OVER (PARTITION BY l_orderkey)
+                   AS deficit
+        FROM flo
+    ),
+    fixed AS (
+        SELECT l_orderkey, o_totalprice,
+               SUM(base_cents
+                   + CASE WHEN rnk <= deficit THEN 1 ELSE 0 END)
+                   AS alloc_cents,
+               COUNT(*) AS n_lines
+        FROM defc GROUP BY l_orderkey, o_totalprice
+    )
+    SELECT l_orderkey, CAST(n_lines AS INT) AS n_lines,
+           ROUND(alloc_cents / 100.0, 2) AS allocated_total,
+           ROUND(o_totalprice, 2) AS order_total,
+           alloc_cents = CAST(round(100 * o_totalprice) AS BIGINT)
+               AS exact_match
+    FROM fixed
+    """,
+    description="Penny-exact proration (largest-remainder method): "
+    "each order's total is allocated across its line items "
+    "proportionally to extended price, floored to whole cents, and "
+    "the leftover pennies go to the lines with the largest "
+    "fractional remainders — so every order's allocations sum to the "
+    "order total TO THE CENT (exact_match is the shipped audit "
+    "column). The rounding-residual correction every billing / "
+    "cost-allocation / revenue-split pipeline needs; naive "
+    "round(share) drifts by up to n_lines/2 cents per order. All "
+    "windows partition by order key — one shuffle, no global stage.",
+)
+def finance_penny_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice"
+    )
+    wo = Window.partitionBy("l_orderkey")
+    base = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_totalprice",
+        (
+            100.0
+            * F.col("o_totalprice")
+            * F.col("l_extendedprice")
+            / F.sum("l_extendedprice").over(wo)
+        ).alias("raw_cents"),
+    )
+    flo = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_totalprice",
+        F.floor("raw_cents").cast("bigint").alias("base_cents"),
+        (F.col("raw_cents") - F.floor("raw_cents")).alias("rem"),
+        F.row_number()
+        .over(
+            Window.partitionBy("l_orderkey").orderBy(
+                (F.col("raw_cents") - F.floor("raw_cents")).desc(),
+                "l_linenumber",
+            )
+        )
+        .alias("rnk"),
+    )
+    deficit = (
+        F.round(100 * F.col("o_totalprice")).cast("bigint")
+        - F.sum("base_cents").over(wo)
+    )
+    fixed = (
+        flo.withColumn(
+            "cents",
+            F.col("base_cents")
+            + F.when(F.col("rnk") <= deficit, 1).otherwise(0),
+        )
+        .groupBy("l_orderkey", "o_totalprice")
+        .agg(
+            F.sum("cents").alias("alloc_cents"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+    return fixed.select(
+        "l_orderkey",
+        F.col("n_lines").cast("int").alias("n_lines"),
+        F.round(F.col("alloc_cents") / 100.0, 2).alias("allocated_total"),
+        F.round("o_totalprice", 2).alias("order_total"),
+        (
+            F.col("alloc_cents")
+            == F.round(100 * F.col("o_totalprice")).cast("bigint")
+        ).alias("exact_match"),
+    )
+
+
+# ------------------------------------------- cross-system table checksum
+_CHECKSUM_TABLES = {
+    "region": "concat_ws('|', r_regionkey, r_name)",
+    "nation": "concat_ws('|', n_nationkey, n_name, n_regionkey)",
+    "customer": (
+        "concat_ws('|', c_custkey, c_name, c_nationkey, "
+        "CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS {str_t}), c_mktsegment)"
+    ),
+}
+
+
+@register(
+    "quality_table_checksum",
+    oracle="\n    UNION ALL\n    ".join(
+        f"""SELECT '{t}' AS table_name, COUNT(*) AS n_rows,
+           bit_xor(CAST(('0x' || substr(md5({expr.format(str_t='VARCHAR')}),
+                         1, 15)) AS BIGINT)) AS checksum
+    FROM {t}"""
+        for t, expr in _CHECKSUM_TABLES.items()
+    ),
+    description="Order-insensitive migration checksum per table: each "
+    "row canonicalizes to a delimited string (doubles pinned through "
+    "DECIMAL(18,2) so both engines print identical text), hashes to "
+    "a 60-bit integer, and the table digest is the commutative "
+    "bit_xor of row hashes + the row count — equal digests on two "
+    "systems certify row-level equality with NO sort, NO join, NO "
+    "data movement beyond one aggregate per side. The standard "
+    "cross-engine reconciliation primitive for lakehouse migrations "
+    "(xor is associative/commutative, so it maps and combines on "
+    "any partitioning; a multiset-safe upgrade adds a sum-mod "
+    "component, covered by n_rows here).",
+)
+def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for t, expr in _CHECKSUM_TABLES.items():
+        row_str = expr.format(str_t="STRING")
+        df = table(spark, sf_dir, t).agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.expr(
+                "bit_xor(CAST(conv(substr(md5("
+                + row_str
+                + "), 1, 15), 16, 10) AS BIGINT))"
+            ).alias("checksum"),
+        ).select(F.lit(t).alias("table_name"), "n_rows", "checksum")
+        out = df if out is None else out.unionAll(df)
+    return out

@@ -189,3 +189,52 @@ def test_theil_sen_matches_ols_on_clean_series(spark, sf_dir):
     assert r.theil_sen_slope is not None and r.ols_slope is not None
     daily_rev_scale = abs(r.ols_slope) + 1.0
     assert abs(r.theil_sen_slope - r.ols_slope) < max(100.0, 50 * daily_rev_scale)
+
+
+def test_lateral_topk_decorrelates_to_window_group_limit(spark, sf_dir):
+    df = advanced.lateral_top2_acctbal_per_nation(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Catalyst must rewrite the correlated lateral into a windowed
+    # top-k, not re-execute the subquery per outer row
+    assert "WindowGroupLimit" in plan
+    rows = df.collect()
+    n_nations = table(spark, sf_dir, "nation").count()
+    by_nation: dict = {}
+    for r in rows:
+        by_nation.setdefault(r.n_name, []).append(r.acctbal)
+    assert len(by_nation) <= n_nations
+    for vals in by_nation.values():
+        assert len(vals) <= 2
+        assert vals == sorted(vals, reverse=True)
+
+
+def test_penny_allocation_always_exact(spark, sf_dir):
+    df = advanced.finance_penny_allocation(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    # THE invariant: every order's cent allocation reconciles exactly
+    assert all(r.exact_match for r in rows)
+    assert all(abs(r.allocated_total - r.order_total) < 0.005 for r in rows)
+    li = table(spark, sf_dir, "lineitem")
+    assert sum(r.n_lines for r in rows) == li.count()
+
+
+def test_table_checksum_detects_any_row_change(spark, sf_dir):
+    rows = {r.table_name: r for r in
+            advanced.quality_table_checksum(spark, sf_dir).collect()}
+    assert set(rows) == {"region", "nation", "customer"}
+    for t, r in rows.items():
+        assert r.n_rows == table(spark, sf_dir, t).count(), t
+        assert r.checksum != 0
+    # sensitivity: recomputing over customer minus one row changes the
+    # digest (xor of the removed row's hash re-surfaces)
+    cust = table(spark, sf_dir, "customer")
+    sub = cust.filter(F.col("c_custkey") != 1)
+    h = (
+        "bit_xor(CAST(conv(substr(md5(concat_ws('|', c_custkey, c_name, "
+        "c_nationkey, CAST(CAST(c_acctbal AS DECIMAL(18,2)) AS STRING), "
+        "c_mktsegment)), 1, 15), 16, 10) AS BIGINT))"
+    )
+    full_ck = rows["customer"].checksum
+    sub_ck = sub.agg(F.expr(h)).first()[0]
+    assert sub_ck != full_ck
