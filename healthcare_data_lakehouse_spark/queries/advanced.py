@@ -1123,3 +1123,328 @@ def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(F.lit(t).alias("table_name"), "n_rows", "checksum")
         out = df if out is None else out.unionAll(df)
     return out
+
+
+# ------------------------------------------- cohort LTV curves
+@register(
+    "orders_cohort_ltv",
+    oracle="""
+    WITH coh AS (
+        SELECT o_custkey,
+               CAST(date_trunc('month', MIN(o_orderdate)) AS DATE)
+                   AS cohort_month
+        FROM orders GROUP BY o_custkey
+    ),
+    rev AS (
+        SELECT c.cohort_month,
+               (EXTRACT(year FROM o.o_orderdate)
+                - EXTRACT(year FROM c.cohort_month)) * 12
+               + (EXTRACT(month FROM o.o_orderdate)
+                  - EXTRACT(month FROM c.cohort_month)) AS month_offset,
+               SUM(o.o_totalprice) AS m_rev
+        FROM orders o JOIN coh c ON o.o_custkey = c.o_custkey
+        GROUP BY 1, 2
+    ),
+    size AS (
+        SELECT cohort_month, COUNT(*) AS cohort_customers
+        FROM coh GROUP BY 1
+    )
+    SELECT r.cohort_month, CAST(r.month_offset AS INT) AS month_offset,
+           CAST(s.cohort_customers AS INT) AS cohort_customers,
+           ROUND(SUM(r.m_rev) OVER (PARTITION BY r.cohort_month
+                 ORDER BY r.month_offset
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / s.cohort_customers, 2) AS ltv_per_customer
+    FROM rev r JOIN size s ON r.cohort_month = s.cohort_month
+    """,
+    description="Customer-lifetime-value curves by acquisition cohort: "
+    "customers are grouped by first-order month, and each cohort's "
+    "CUMULATIVE revenue per customer unfolds over months-since-"
+    "acquisition — the payback-period / LTV:CAC readout, and the "
+    "revenue-weighted twin of events_retention_cohorts (which counts "
+    "presence, not value). Two hash aggregates (customer-grain "
+    "first-order, then cohort x offset revenue) and a running-sum "
+    "window PARTITIONED by cohort over the offset-grain matrix — "
+    "every stage is keyed, no global ordered stage anywhere.",
+)
+def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    coh = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).cast("date").alias(
+            "cohort_month"
+        )
+    )
+    rev = (
+        orders.join(coh, "o_custkey")
+        .groupBy(
+            "cohort_month",
+            (
+                (F.year("o_orderdate") - F.year("cohort_month")) * 12
+                + (F.month("o_orderdate") - F.month("cohort_month"))
+            ).alias("month_offset"),
+        )
+        .agg(F.sum("o_totalprice").alias("m_rev"))
+    )
+    size = coh.groupBy("cohort_month").agg(
+        F.count(F.lit(1)).alias("cohort_customers")
+    )
+    w = (
+        Window.partitionBy("cohort_month")
+        .orderBy("month_offset")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        rev.join(F.broadcast(size), "cohort_month")
+        .select(
+            "cohort_month",
+            F.col("month_offset").cast("int").alias("month_offset"),
+            F.col("cohort_customers").cast("int").alias("cohort_customers"),
+            F.round(
+                F.sum("m_rev").over(w) / F.col("cohort_customers"), 2
+            ).alias("ltv_per_customer"),
+        )
+    )
+
+
+# ------------------------------------------- rank-shift leaderboard
+@register(
+    "brand_rank_shift_quarterly",
+    oracle="""
+    WITH q AS (
+        SELECT p.p_brand,
+               CAST(date_trunc('quarter', o.o_orderdate) AS DATE) AS qtr,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN part p ON l.l_partkey = p.p_partkey
+        GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT p_brand, qtr, ROUND(rev, 2) AS revenue,
+               RANK() OVER (PARTITION BY qtr
+                            ORDER BY ROUND(rev, 2) DESC, p_brand) AS rnk
+        FROM q
+    )
+    SELECT p_brand, qtr, revenue, CAST(rnk AS INT) AS rnk,
+           CAST(LAG(rnk) OVER (PARTITION BY p_brand ORDER BY qtr)
+                - rnk AS INT) AS rank_change
+    FROM ranked
+    """,
+    description="Quarterly brand revenue leaderboard with rank "
+    "momentum: every brand's within-quarter revenue rank plus its "
+    "shift vs the previous quarter (positive = climbing) — the "
+    "share-shift diagnostic behind 'who is winning the category'. "
+    "Two window families on two DIFFERENT keys (rank partitioned by "
+    "quarter, LAG partitioned by brand) over the brand x quarter "
+    "aggregate — both shuffles touch only the |brands|x|quarters| "
+    "grain, never the fact join. Ranks compare 2-dp-rounded revenue "
+    "with a brand tiebreak so float noise cannot reorder them.",
+)
+def brand_rank_shift_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    q = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy(
+            "p_brand",
+            F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr"),
+        )
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+    ranked = q.withColumn(
+        "rnk",
+        F.rank().over(
+            Window.partitionBy("qtr").orderBy(
+                F.col("revenue").desc(), "p_brand"
+            )
+        ),
+    )
+    return ranked.select(
+        "p_brand",
+        "qtr",
+        "revenue",
+        F.col("rnk").cast("int").alias("rnk"),
+        (
+            F.lag("rnk").over(Window.partitionBy("p_brand").orderBy("qtr"))
+            - F.col("rnk")
+        )
+        .cast("int")
+        .alias("rank_change"),
+    )
+
+
+# ------------------------------------------- two-pass exact median
+@register(
+    "stats_twopass_exact_median",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(l_extendedprice, 0.5) AS exact_median
+    FROM lineitem
+    """,
+    description="Exact (discrete, lower) median of l_extendedprice "
+    "WITHOUT a global sort: pass 1 aggregates min/max/count plus a "
+    "4096-bin histogram in one scan; the driver walks the tiny bin "
+    "table to locate the bin holding the k-th element (k=ceil(n/2)) "
+    "and how many elements precede it; pass 2 filters to that single "
+    "bin (predicate pushed to the scan) and selects the (k-prior)-th "
+    "smallest within it — sorting only |bin| rows. Total cost: two "
+    "scans + one tiny sort, vs a full-table sort; this is how exact "
+    "order statistics stay feasible at 100 TB when approx_percentile "
+    "error bounds aren't acceptable (billing, SLA percentiles). "
+    "Matches DuckDB's quantile_disc(0.5) element-for-element.",
+)
+def stats_twopass_exact_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_extendedprice")
+    nbins = 4096
+    stats = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("l_extendedprice").alias("lo"),
+        F.max("l_extendedprice").alias("hi"),
+    ).first()
+    n, lo, hi = stats.n, float(stats.lo), float(stats.hi)
+    k = (n + 1) // 2  # 1-based rank of the lower median
+    width = (hi - lo) / nbins or 1.0
+    bin_col = F.least(
+        F.floor((F.col("l_extendedprice") - F.lit(lo)) / F.lit(width)),
+        F.lit(nbins - 1),
+    ).cast("int")
+    hist = (
+        li.groupBy(bin_col.alias("b"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy("b")
+        .collect()
+    )
+    cum = 0
+    target_bin, prior = 0, 0
+    for r in hist:
+        if cum + r.c >= k:
+            target_bin, prior = r.b, cum
+            break
+        cum += r.c
+    b_lo = lo + target_bin * width
+    b_hi = hi if target_bin == nbins - 1 else lo + (target_bin + 1) * width
+    within = li.filter(
+        (F.col("l_extendedprice") >= b_lo)
+        & (
+            F.col("l_extendedprice") <= F.lit(b_hi)
+            if target_bin == nbins - 1
+            else F.col("l_extendedprice") < F.lit(b_hi)
+        )
+    )
+    kth = (
+        within.orderBy("l_extendedprice")
+        .limit(k - prior)
+        .agg(F.max("l_extendedprice").alias("exact_median"))
+    )
+    return kth.select(
+        F.lit(n).cast("bigint").alias("n"), "exact_median"
+    )
+
+
+# ------------------------------------------- first- vs last-touch attribution
+@register(
+    "events_attribution_first_vs_last",
+    oracle="""
+    WITH tagged AS (
+        SELECT user_id, ts, event_type,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts DESC, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   AS purchases_after
+        FROM events
+    ),
+    journeys AS (
+        SELECT user_id, purchases_after AS journey_id,
+               MIN(CASE WHEN event_type <> 'purchase' THEN ts END)
+                   AS first_ts,
+               MAX(CASE WHEN event_type <> 'purchase' THEN ts END)
+                   AS last_ts
+        FROM tagged
+        WHERE purchases_after > 0
+        GROUP BY user_id, purchases_after
+    ),
+    pick AS (
+        SELECT j.user_id, j.journey_id,
+               MIN(CASE WHEN t.ts = j.first_ts THEN t.event_type END)
+                   AS first_touch,
+               MIN(CASE WHEN t.ts = j.last_ts THEN t.event_type END)
+                   AS last_touch
+        FROM journeys j
+        JOIN tagged t
+          ON t.user_id = j.user_id AND t.purchases_after = j.journey_id
+         AND t.event_type <> 'purchase'
+        GROUP BY j.user_id, j.journey_id
+    )
+    SELECT first_touch, last_touch, COUNT(*) AS journeys
+    FROM pick
+    WHERE first_touch IS NOT NULL
+    GROUP BY 1, 2
+    """,
+    description="Marketing attribution audit: for every purchase "
+    "journey (the events between consecutive purchases of one user), "
+    "which channel gets credit under FIRST-touch vs LAST-touch rules "
+    "— the off-diagonal mass of this matrix is exactly the revenue "
+    "that would be re-assigned by switching attribution models. "
+    "Journeys come from a reverse-ordered running count of purchases "
+    "(each non-purchase event is keyed to the purchase that follows "
+    "it) — one user-partitioned window, one grouped min/max per "
+    "journey, one conditional-pick join back; everything shuffles on "
+    "user_id once and then on the tiny journey grain.",
+)
+def events_attribution_first_vs_last(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w_rev = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    tagged = ev.withColumn(
+        "purchases_after",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w_rev),
+            F.lit(0),
+        ),
+    )
+    nonp = tagged.filter(
+        (F.col("purchases_after") > 0) & (F.col("event_type") != "purchase")
+    )
+    journeys = nonp.groupBy(
+        "user_id", F.col("purchases_after").alias("journey_id")
+    ).agg(F.min("ts").alias("first_ts"), F.max("ts").alias("last_ts"))
+    pick = (
+        journeys.join(
+            nonp.select(
+                "user_id",
+                F.col("purchases_after").alias("journey_id"),
+                "ts",
+                "event_type",
+            ),
+            ["user_id", "journey_id"],
+        )
+        .groupBy("user_id", "journey_id")
+        .agg(
+            F.min(
+                F.when(F.col("ts") == F.col("first_ts"), F.col("event_type"))
+            ).alias("first_touch"),
+            F.min(
+                F.when(F.col("ts") == F.col("last_ts"), F.col("event_type"))
+            ).alias("last_touch"),
+        )
+    )
+    return (
+        pick.filter(F.col("first_touch").isNotNull())
+        .groupBy("first_touch", "last_touch")
+        .agg(F.count(F.lit(1)).alias("journeys"))
+    )

@@ -219,6 +219,72 @@ def test_penny_allocation_always_exact(spark, sf_dir):
     assert sum(r.n_lines for r in rows) == li.count()
 
 
+def test_cohort_ltv_monotone_within_cohort(spark, sf_dir):
+    rows = advanced.orders_cohort_ltv(spark, sf_dir).collect()
+    assert rows
+    by_cohort: dict = {}
+    for r in rows:
+        by_cohort.setdefault(r.cohort_month, []).append(
+            (r.month_offset, r.ltv_per_customer, r.cohort_customers)
+        )
+    n_cust = table(spark, sf_dir, "orders").select("o_custkey").distinct().count()
+    assert sum(v[0][2] for v in by_cohort.values()) == n_cust
+    for cohort, pts in by_cohort.items():
+        pts.sort()
+        assert pts[0][0] == 0, cohort  # offset 0 always present
+        ltvs = [p[1] for p in pts]
+        assert ltvs == sorted(ltvs), cohort  # cumulative LTV never drops
+        assert ltvs[0] > 0
+
+
+def test_brand_rank_shift_rank_consistency(spark, sf_dir):
+    rows = advanced.brand_rank_shift_quarterly(spark, sf_dir).collect()
+    assert rows
+    by_q: dict = {}
+    for r in rows:
+        by_q.setdefault(r.qtr, []).append(r)
+    for qtr, rs in by_q.items():
+        ranks = sorted(r.rnk for r in rs)
+        assert ranks[0] == 1, qtr
+        # rank 1 has the max revenue
+        top = max(rs, key=lambda r: r.revenue)
+        assert min(rs, key=lambda r: r.rnk).revenue == top.revenue
+    # rank_change is null exactly on each brand's first quarter
+    by_brand: dict = {}
+    for r in rows:
+        by_brand.setdefault(r.p_brand, []).append(r)
+    for brand, rs in by_brand.items():
+        rs.sort(key=lambda r: r.qtr)
+        assert rs[0].rank_change is None
+        for prev, cur in zip(rs, rs[1:]):
+            assert cur.rank_change == prev.rnk - cur.rnk
+
+
+def test_twopass_median_equals_sorted_kth(spark, sf_dir):
+    (r,) = advanced.stats_twopass_exact_median(spark, sf_dir).collect()
+    li = table(spark, sf_dir, "lineitem")
+    vals = sorted(x[0] for x in li.select("l_extendedprice").collect())
+    k = (len(vals) + 1) // 2
+    assert r.n == len(vals)
+    assert r.exact_median == vals[k - 1]  # exact element, not interpolated
+
+
+def test_attribution_journeys_reconcile_with_purchases(spark, sf_dir):
+    rows = advanced.events_attribution_first_vs_last(spark, sf_dir).collect()
+    assert rows
+    ev = table(spark, sf_dir, "events")
+    n_purchases = ev.filter(F.col("event_type") == "purchase").count()
+    total_journeys = sum(r.journeys for r in rows)
+    # every counted journey precedes a purchase; purchases with no
+    # prior non-purchase event produce no journey
+    assert 0 < total_journeys <= n_purchases
+    types = set(
+        t[0] for t in ev.select("event_type").distinct().collect()
+    ) - {"purchase"}
+    for r in rows:
+        assert r.first_touch in types and r.last_touch in types
+
+
 def test_table_checksum_detects_any_row_change(spark, sf_dir):
     rows = {r.table_name: r for r in
             advanced.quality_table_checksum(spark, sf_dir).collect()}
