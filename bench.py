@@ -142,6 +142,26 @@ HEADLINE = [
     "graph_supplier_copart_pairs",
     "events_locf_daily_user_value",
     "dedup_prefix_filter_jaccard",
+    # advanced analytics
+    "events_user_activity_bitmap",
+    "events_changepoint_cusum",
+    "stats_bootstrap_ci",
+    "text_heaps_law_fit",
+    "events_concurrent_sessions_sweepline",
+    "storage_dictionary_encoding_audit",
+    "stats_wilson_ci_purchase_rate",
+    "stats_theil_sen_daily_trend",
+    "stats_chisq_lang_source",
+    "stats_mutual_info_type_hour",
+    "stats_kaplan_meier_session_duration",
+    "stats_anova_value_by_type",
+    "lateral_top2_acctbal_per_nation",
+    "finance_penny_allocation",
+    "quality_table_checksum",
+    "orders_cohort_ltv",
+    "brand_rank_shift_quarterly",
+    "stats_twopass_exact_median",
+    "events_attribution_first_vs_last",
 ]
 
 

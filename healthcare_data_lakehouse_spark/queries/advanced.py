@@ -1448,3 +1448,367 @@ def events_attribution_first_vs_last(
         .groupBy("first_touch", "last_touch")
         .agg(F.count(F.lit(1)).alias("journeys"))
     )
+
+
+# ------------------------------------------- price/volume bridge
+@register(
+    "finance_price_volume_bridge",
+    oracle="""
+    WITH yr AS (
+        SELECT c.c_mktsegment AS segment,
+               EXTRACT(year FROM o.o_orderdate) AS y,
+               SUM(l.l_extendedprice * (1 - l.l_discount)) AS rev,
+               SUM(l.l_quantity) AS qty
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE EXTRACT(year FROM o.o_orderdate) IN (1997, 1998)
+        GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT segment,
+               MAX(CASE WHEN y = 1997 THEN rev END) AS rev1,
+               MAX(CASE WHEN y = 1998 THEN rev END) AS rev2,
+               MAX(CASE WHEN y = 1997 THEN qty END) AS q1,
+               MAX(CASE WHEN y = 1998 THEN qty END) AS q2
+        FROM yr GROUP BY segment
+    )
+    SELECT segment,
+           ROUND(rev1, 2) AS rev_1997,
+           ROUND(rev2, 2) AS rev_1998,
+           ROUND(rev2 - rev1, 2) AS delta,
+           ROUND((q2 - q1) * (rev1 / q1), 2) AS volume_effect,
+           ROUND((rev2 / q2 - rev1 / q1) * q2, 2) AS price_effect,
+           ROUND((rev2 - rev1) - (q2 - q1) * (rev1 / q1)
+                 - (rev2 / q2 - rev1 / q1) * q2, 2) AS residual
+    FROM wide WHERE q1 > 0 AND q2 > 0
+    """,
+    description="Price/volume bridge (revenue variance decomposition) "
+    "per market segment, 1997 -> 1998: delta revenue splits into a "
+    "VOLUME effect ((q2-q1) x old unit price) and a PRICE effect "
+    "((p2-p1) x new volume) that reconcile to the delta EXACTLY by "
+    "construction — the algebraic identity (q2-q1)p1 + (p2-p1)q2 = "
+    "q2p2 - q1p1, so the shipped residual column is 0.00 and any "
+    "nonzero value flags a broken pipeline. The FP&A 'bridge/"
+    "waterfall' primitive. One star-join aggregate to segment x year "
+    "grain, then a conditional-pivot to wide and pure arithmetic.",
+)
+def finance_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    cust = table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_mktsegment"
+    )
+    yr = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .filter(F.year("o_orderdate").isin(1997, 1998))
+        .groupBy(
+            F.col("c_mktsegment").alias("segment"),
+            F.year("o_orderdate").alias("y"),
+        )
+        .agg(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias(
+                "rev"
+            ),
+            F.sum("l_quantity").alias("qty"),
+        )
+    )
+    wide = yr.groupBy("segment").agg(
+        F.max(F.when(F.col("y") == 1997, F.col("rev"))).alias("rev1"),
+        F.max(F.when(F.col("y") == 1998, F.col("rev"))).alias("rev2"),
+        F.max(F.when(F.col("y") == 1997, F.col("qty"))).alias("q1"),
+        F.max(F.when(F.col("y") == 1998, F.col("qty"))).alias("q2"),
+    )
+    p1 = F.col("rev1") / F.col("q1")
+    p2 = F.col("rev2") / F.col("q2")
+    vol = (F.col("q2") - F.col("q1")) * p1
+    prc = (p2 - p1) * F.col("q2")
+    return wide.filter((F.col("q1") > 0) & (F.col("q2") > 0)).select(
+        "segment",
+        F.round("rev1", 2).alias("rev_1997"),
+        F.round("rev2", 2).alias("rev_1998"),
+        F.round(F.col("rev2") - F.col("rev1"), 2).alias("delta"),
+        F.round(vol, 2).alias("volume_effect"),
+        F.round(prc, 2).alias("price_effect"),
+        F.round((F.col("rev2") - F.col("rev1")) - vol - prc, 2).alias(
+            "residual"
+        ),
+    )
+
+
+# ------------------------------------------- degree assortativity
+@register(
+    "graph_degree_assortativity_coparts",
+    oracle="""
+    WITH op AS (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    e AS (
+        SELECT a.p AS pa, b.p AS pb
+        FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+        GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ),
+    und AS (
+        SELECT pa AS s, pb AS t FROM e
+        UNION ALL
+        SELECT pb AS s, pa AS t FROM e
+    ),
+    deg AS (SELECT s AS node, COUNT(*) AS d FROM und GROUP BY s)
+    SELECT CAST(COUNT(*) / 2 AS INT) AS n_edges,
+           CAST((SELECT COUNT(*) FROM deg) AS INT) AS n_nodes,
+           ROUND(AVG(ds.d), 4) AS mean_edge_degree,
+           ROUND(corr(ds.d, dt.d), 4) AS assortativity
+    FROM und
+    JOIN deg ds ON und.s = ds.node
+    JOIN deg dt ON und.t = dt.node
+    """,
+    description="Degree assortativity (Newman 2002) of the part "
+    "co-purchase graph (parts co-occurring in >= 2 distinct orders): "
+    "the Pearson correlation of endpoint degrees over directed edge "
+    "copies. Positive = popular parts co-sell with popular parts "
+    "(hub-hub retail pattern, basket-recommendation friendly); "
+    "negative = hub-and-spoke accessories. The >= 2 support floor is "
+    "the same A-priori prefilter as assoc_part_pairs_lift — it is "
+    "what keeps the co-occurrence self-join quadratic only within "
+    "orders, not across the catalog. Degrees are one hash agg on the "
+    "edge list; the correlation is one running-moments agg over "
+    "edges joined twice to the broadcast-sized degree table.",
+)
+def graph_degree_assortativity_coparts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
+        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= 2)
+        .select("pa", "pb")
+    )
+    und = e.select(F.col("pa").alias("s"), F.col("pb").alias("t")).unionAll(
+        e.select(F.col("pb").alias("s"), F.col("pa").alias("t"))
+    )
+    deg = und.groupBy(F.col("s").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
+    joined = (
+        und.join(
+            F.broadcast(deg.select(F.col("node"), F.col("d").alias("ds"))),
+            und.s == F.col("node"),
+        )
+        .drop("node")
+        .join(
+            F.broadcast(deg.select(F.col("node"), F.col("d").alias("dt"))),
+            und.t == F.col("node"),
+        )
+    )
+    return joined.crossJoin(F.broadcast(n_nodes)).groupBy("n_nodes").agg(
+        (F.count(F.lit(1)) / 2).cast("int").alias("n_edges"),
+        F.round(F.avg("ds"), 4).alias("mean_edge_degree"),
+        F.round(F.corr("ds", "dt"), 4).alias("assortativity"),
+    ).select(
+        "n_edges",
+        F.col("n_nodes").cast("int").alias("n_nodes"),
+        "mean_edge_degree",
+        "assortativity",
+    )
+
+
+# ------------------------------------------- sampled pairwise distance
+@register(
+    "embedding_sampled_pairwise_distance",
+    oracle="""
+    WITH n AS (SELECT COUNT(*) AS n, MIN(vec_id) AS v0 FROM embeddings),
+    idx AS (
+        SELECT i,
+               (i * 2654435761) % n.n + n.v0 AS ia,
+               (i * 40503 + 2654435769) % n.n + n.v0 AS ib
+        FROM UNNEST(generate_series(0, 1999)) AS t(i) CROSS JOIN n
+    ),
+    pairs AS (
+        SELECT idx.i,
+               list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+               / (sqrt(list_sum(list_transform(a.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+                   AS cosine
+        FROM idx
+        JOIN embeddings a ON a.vec_id = idx.ia
+        JOIN embeddings b ON b.vec_id = idx.ib
+        WHERE idx.ia <> idx.ib
+    )
+    SELECT COUNT(*) AS n_pairs,
+           ROUND(AVG(1 - cosine), 4) AS mean_cos_dist,
+           ROUND(STDDEV_SAMP(1 - cosine), 4) AS sd_cos_dist,
+           ROUND(AVG(1 - cosine)
+                 - 1.96 * STDDEV_SAMP(1 - cosine) / sqrt(COUNT(*)), 4)
+               AS ci_lo,
+           ROUND(AVG(1 - cosine)
+                 + 1.96 * STDDEV_SAMP(1 - cosine) / sqrt(COUNT(*)), 4)
+               AS ci_hi
+    FROM pairs
+    """,
+    description="Mean pairwise cosine distance of the embedding "
+    "corpus, estimated from 2000 HASH-CHOSEN pairs with a CLT "
+    "interval — the O(K) answer to an O(n^2) question (corpus "
+    "diversity / collapse monitoring: shrinking mean pairwise "
+    "distance = mode collapse in a generator or over-deduplication). "
+    "Pair indices come from fixed Knuth-multiplicative index maps, "
+    "so the 'random' sample is exactly reproducible on any engine "
+    "with NO RNG state; the two index joins broadcast the 2000-row "
+    "pair table against the corpus — the fact table is never "
+    "self-joined.",
+)
+def embedding_sampled_pairwise_distance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = emb.agg(
+        F.count(F.lit(1)).alias("n"), F.min("vec_id").alias("v0")
+    )
+    idx = (
+        spark.range(0, 2000)
+        .toDF("i")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "i",
+            ((F.col("i") * 2654435761) % F.col("n") + F.col("v0")).alias("ia"),
+            (
+                (F.col("i") * 40503 + 2654435769) % F.col("n") + F.col("v0")
+            ).alias("ib"),
+        )
+        .filter(F.col("ia") != F.col("ib"))
+    )
+    dot = (
+        "aggregate(zip_with(a.embedding, b.embedding, "
+        "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+        "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+    )
+    nrm = (
+        "sqrt(aggregate(transform({v}, x -> CAST(x AS DOUBLE) "
+        "* CAST(x AS DOUBLE)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    pairs = (
+        F.broadcast(idx)
+        .join(emb.alias("a"), F.col("ia") == F.col("a.vec_id"))
+        .join(emb.alias("b"), F.col("ib") == F.col("b.vec_id"))
+        .select(
+            (
+                F.lit(1)
+                - F.expr(dot)
+                / (
+                    F.expr(nrm.format(v="a.embedding"))
+                    * F.expr(nrm.format(v="b.embedding"))
+                )
+            ).alias("dist")
+        )
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("dist"), 4).alias("mean_cos_dist"),
+        F.round(F.stddev_samp("dist"), 4).alias("sd_cos_dist"),
+        F.round(
+            F.avg("dist")
+            - 1.96 * F.stddev_samp("dist") / F.sqrt(F.count(F.lit(1))),
+            4,
+        ).alias("ci_lo"),
+        F.round(
+            F.avg("dist")
+            + 1.96 * F.stddev_samp("dist") / F.sqrt(F.count(F.lit(1))),
+            4,
+        ).alias("ci_hi"),
+    )
+
+
+# ------------------------------------------- Monte Carlo VaR
+@register(
+    "stats_monte_carlo_var",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day, SUM(o_totalprice) AS rev
+        FROM orders GROUP BY 1
+    ),
+    params AS (
+        SELECT AVG(rev) AS mu, STDDEV_SAMP(rev) AS sigma FROM daily
+    ),
+    draws AS (
+        SELECT p.mu + p.sigma
+               * sqrt(-2 * ln((CAST(('0x' || substr(md5('mc:' || i || ':1'),
+                          1, 12)) AS BIGINT) + 1.0) / 281474976710657))
+               * cos(6.283185307179586
+                     * CAST(('0x' || substr(md5('mc:' || i || ':2'), 1, 12))
+                            AS BIGINT) / 281474976710656)
+               AS sim
+        FROM UNNEST(generate_series(0, 9999)) AS t(i) CROSS JOIN params p
+    )
+    SELECT COUNT(*) AS n_draws,
+           ROUND(p.mu, 2) AS mu,
+           ROUND(p.sigma, 2) AS sigma,
+           ROUND(p.mu - quantile_cont(sim, 0.05), 2) AS var95_mc,
+           ROUND(1.6448536269514722 * p.sigma, 2) AS var95_normal
+    FROM draws CROSS JOIN params p
+    GROUP BY p.mu, p.sigma
+    """,
+    description="Monte Carlo 95% value-at-risk of daily revenue: "
+    "10,000 normal draws generated WITHOUT any RNG state — each draw "
+    "is Box-Muller over two md5-derived uniforms, so every engine "
+    "(and every retry of a failed task: determinism IS the "
+    "fault-tolerance story) produces the identical sample. The MC "
+    "VaR lands on the closed-form normal VaR (1.6449 sigma), "
+    "validating the simulation harness before it's pointed at "
+    "non-Gaussian compound distributions where no closed form "
+    "exists. One day-grain aggregate for (mu, sigma), one 10k-row "
+    "generated scan, one percentile.",
+)
+def stats_monte_carlo_var(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").cast("date").alias("day")).agg(
+        F.sum("o_totalprice").alias("rev")
+    )
+    params = daily.agg(
+        F.avg("rev").alias("mu"), F.stddev_samp("rev").alias("sigma")
+    )
+    h1 = (
+        "CAST(conv(substr(md5(concat('mc:', CAST(i AS STRING), ':1')), "
+        "1, 12), 16, 10) AS BIGINT)"
+    )
+    h2 = (
+        "CAST(conv(substr(md5(concat('mc:', CAST(i AS STRING), ':2')), "
+        "1, 12), 16, 10) AS BIGINT)"
+    )
+    draws = (
+        spark.range(0, 10000)
+        .toDF("i")
+        .crossJoin(F.broadcast(params))
+        .select(
+            (
+                F.col("mu")
+                + F.col("sigma")
+                * F.sqrt(-2 * F.log((F.expr(h1) + 1.0) / 281474976710657.0))
+                * F.cos(
+                    6.283185307179586 * F.expr(h2) / 281474976710656.0
+                )
+            ).alias("sim")
+        )
+    )
+    return draws.crossJoin(F.broadcast(params)).groupBy("mu", "sigma").agg(
+        F.count(F.lit(1)).alias("n_draws"),
+        F.round(F.expr("mu - percentile(sim, 0.05)"), 2).alias("var95_mc"),
+        F.round(1.6448536269514722 * F.col("sigma"), 2).alias("var95_normal"),
+    ).select(
+        "n_draws",
+        F.round("mu", 2).alias("mu"),
+        F.round("sigma", 2).alias("sigma"),
+        "var95_mc",
+        "var95_normal",
+    )

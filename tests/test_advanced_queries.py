@@ -285,6 +285,41 @@ def test_attribution_journeys_reconcile_with_purchases(spark, sf_dir):
         assert r.first_touch in types and r.last_touch in types
 
 
+def test_price_volume_bridge_reconciles_exactly(spark, sf_dir):
+    rows = advanced.finance_price_volume_bridge(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # the bridge identity: volume + price effects == delta, residual 0
+        assert abs(r.residual) < 0.02, r.segment
+        assert abs((r.volume_effect + r.price_effect) - r.delta) <= 0.03
+        assert abs(r.delta - (r.rev_1998 - r.rev_1997)) < 0.02
+
+
+def test_assortativity_in_valid_range(spark, sf_dir):
+    (r,) = advanced.graph_degree_assortativity_coparts(spark, sf_dir).collect()
+    assert r.n_edges > 0 and r.n_nodes > 0
+    assert r.mean_edge_degree >= 1
+    if r.assortativity is not None:
+        assert -1.0 <= r.assortativity <= 1.0
+
+
+def test_sampled_pairwise_distance_brackets(spark, sf_dir):
+    (r,) = advanced.embedding_sampled_pairwise_distance(spark, sf_dir).collect()
+    assert r.n_pairs > 1900  # a few self-pairs excluded
+    assert 0 <= r.mean_cos_dist <= 2
+    assert r.ci_lo <= r.mean_cos_dist <= r.ci_hi
+    assert r.sd_cos_dist > 0
+
+
+def test_monte_carlo_var_close_to_normal_theory(spark, sf_dir):
+    (r,) = advanced.stats_monte_carlo_var(spark, sf_dir).collect()
+    assert r.n_draws == 10000
+    assert r.sigma > 0
+    # with 10k gaussian draws the MC estimate lands within ~5% of the
+    # closed form — this validates the hash-seeded Box-Muller harness
+    assert abs(r.var95_mc - r.var95_normal) / r.var95_normal < 0.05
+
+
 def test_table_checksum_detects_any_row_change(spark, sf_dir):
     rows = {r.table_name: r for r in
             advanced.quality_table_checksum(spark, sf_dir).collect()}
