@@ -186,26 +186,36 @@ def main() -> None:
     # with cached intermediates cleared so every run pays the full cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
         samples = []
-        for _ in range(runs):
-            spark.catalog.clearCache()
-            t0 = time.time()
-            fn(spark, sf_dir).count()  # force full execution
-            samples.append(time.time() - t0)
-        times[name] = round(sorted(samples)[len(samples) // 2], 3)
+        # per-query isolation: one broken query must never zero the whole
+        # bench run (round-2 postmortem) — record the error, keep timing
+        try:
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, sf_dir).count()  # force full execution
+                samples.append(time.time() - t0)
+            times[name] = round(sorted(samples)[len(samples) // 2], 3)
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+            print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

@@ -21,7 +21,7 @@ import json
 import os
 import uuid
 from collections import defaultdict
-from dataclasses import dataclass, field as dc_field
+from dataclasses import dataclass, field as dc_field, fields as dc_fields, is_dataclass
 from datetime import datetime, timezone
 from enum import Enum
 from typing import Any
@@ -42,6 +42,27 @@ __all__ = [
 
 def _utcnow() -> datetime:
     return datetime.now(timezone.utc)
+
+
+def _jsonable(value: Any) -> Any:
+    """Recursively coerce a dataclass tree into JSON-ready primitives:
+    enums to their value, datetimes to ISO-8601, nested dataclasses /
+    lists / dicts walked in place. One serializer instead of a hand-rolled
+    dict literal per class keeps field coverage mechanical — adding a
+    dataclass field automatically lands in the audit record."""
+    if is_dataclass(value) and not isinstance(value, type):
+        return {
+            f.name: _jsonable(getattr(value, f.name)) for f in dc_fields(value)
+        }
+    if isinstance(value, Enum):
+        return value.value
+    if isinstance(value, datetime):
+        return value.isoformat()
+    if isinstance(value, list):
+        return [_jsonable(v) for v in value]
+    if isinstance(value, dict):
+        return {k: _jsonable(v) for k, v in value.items()}
+    return value
 
 
 class TransformationType(str, Enum):
@@ -77,20 +98,7 @@ class DataAsset:
     tags: dict[str, str] = dc_field(default_factory=dict)
 
     def to_dict(self) -> dict[str, Any]:
-        return {
-            "asset_id": self.asset_id,
-            "name": self.name,
-            "zone": self.zone.value,
-            "location": self.location,
-            "format": self.format,
-            "schema_version": self.schema_version,
-            "row_count": self.row_count,
-            "column_count": self.column_count,
-            "size_bytes": self.size_bytes,
-            "created_at": self.created_at.isoformat(),
-            "created_by": self.created_by,
-            "tags": self.tags,
-        }
+        return _jsonable(self)
 
 
 @dataclass
@@ -103,14 +111,12 @@ class ColumnLineage:
     logic: str | None = None
 
     def to_dict(self) -> dict[str, Any]:
-        return {
-            "target_column": self.target_column,
-            "source_columns": [
-                {"asset_id": a, "column": c} for a, c in self.source_columns
-            ],
-            "transformation": self.transformation,
-            "logic": self.logic,
-        }
+        d = _jsonable(self)
+        # pair tuples carry no field names; spell them out for the record
+        d["source_columns"] = [
+            {"asset_id": a, "column": c} for a, c in self.source_columns
+        ]
+        return d
 
 
 @dataclass
@@ -127,16 +133,7 @@ class DataQualityCheck:
     error_message: str | None = None
 
     def to_dict(self) -> dict[str, Any]:
-        return {
-            "check_id": self.check_id,
-            "check_name": self.check_name,
-            "check_type": self.check_type,
-            "status": self.status,
-            "expected_value": self.expected_value,
-            "actual_value": self.actual_value,
-            "threshold": self.threshold,
-            "error_message": self.error_message,
-        }
+        return _jsonable(self)
 
 
 @dataclass
@@ -159,22 +156,9 @@ class TransformationStep:
     parameters: dict[str, Any] = dc_field(default_factory=dict)
 
     def to_dict(self) -> dict[str, Any]:
-        return {
-            "step_id": self.step_id,
-            "step_name": self.step_name,
-            "transformation_type": self.transformation_type.value,
-            "input_assets": self.input_assets,
-            "output_asset": self.output_asset,
-            "column_lineage": [c.to_dict() for c in self.column_lineage],
-            "quality_checks": [q.to_dict() for q in self.quality_checks],
-            "started_at": self.started_at.isoformat(),
-            "completed_at": self.completed_at.isoformat(),
-            "duration_seconds": self.duration_seconds,
-            "records_processed": self.records_processed,
-            "records_output": self.records_output,
-            "error": self.error,
-            "parameters": self.parameters,
-        }
+        d = _jsonable(self)
+        d["column_lineage"] = [c.to_dict() for c in self.column_lineage]
+        return d
 
 
 @dataclass
@@ -192,17 +176,9 @@ class PipelineRun:
     error: str | None = None
 
     def to_dict(self) -> dict[str, Any]:
-        return {
-            "run_id": self.run_id,
-            "pipeline_name": self.pipeline_name,
-            "pipeline_version": self.pipeline_version,
-            "steps": [s.to_dict() for s in self.steps],
-            "started_at": self.started_at.isoformat(),
-            "completed_at": self.completed_at.isoformat() if self.completed_at else None,
-            "status": self.status,
-            "triggered_by": self.triggered_by,
-            "error": self.error,
-        }
+        d = _jsonable(self)
+        d["steps"] = [s.to_dict() for s in self.steps]
+        return d
 
 
 @dataclass

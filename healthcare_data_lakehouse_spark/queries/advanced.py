@@ -31,6 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from healthcare_data_lakehouse_spark.functions import dround
 from healthcare_data_lakehouse_spark.queries.catalog import register
 from healthcare_data_lakehouse_spark.tables import table
 
@@ -359,12 +360,11 @@ def events_concurrent_sessions_sweepline(
         )
     )
     agg = pts.groupBy("pt").agg(F.sum("delta").alias("d"))
-    run = agg.withColumn(
-        "conc",
-        F.sum("d").over(
-            Window.orderBy("pt").rowsBetween(Window.unboundedPreceding, 0)
-        ),
-    )
+    # distributed prefix sum (partition-offset scheme) — the boundary table
+    # is 2x sessions; a global Window.orderBy here would be one task
+    from healthcare_data_lakehouse_spark.functions.ordered import running_sum_over
+
+    run = running_sum_over(agg, "pt", "d", "conc")
     return run.groupBy(F.col("pt").cast("date").alias("day")).agg(
         F.max("conc").cast("int").alias("peak_concurrent"),
         F.count(F.lit(1)).cast("int").alias("n_boundaries"),
@@ -423,9 +423,14 @@ _LINEITEM_COLS = (
     "(low-NDV columns compress AND cluster; high-NDV columns do "
     "neither). One scan: the table unpivots through an 11-way stack "
     "(values stringified — injective per engine, so NDV is exact), "
-    "then one hash aggregate per column name. The NDV census at PB "
-    "scale would swap COUNT(DISTINCT) for approx_count_distinct per "
-    "column; exact here so the oracle hash-matches.",
+    "then a TWO-PHASE exact-NDV aggregate: group to (column, value) "
+    "grain first — map-side combine collapses repeats before the "
+    "shuffle, so shuffle volume is the distinct-value census, not "
+    "11x the fact table (a single COUNT(DISTINCT) agg would Expand "
+    "every row 11 ways through the exchange instead) — then one tiny "
+    "per-column rollup. The NDV census at PB scale would swap the "
+    "exact count for approx_count_distinct per column; exact here so "
+    "the oracle hash-matches.",
 )
 def storage_dictionary_encoding_audit(
     spark: SparkSession, sf_dir: str
@@ -441,16 +446,22 @@ def storage_dictionary_encoding_audit(
             "AS (col_name, v, type_bytes, is_string)"
         )
     )
-    dict_bits = F.ceil(F.log2(F.greatest(F.countDistinct("v"), F.lit(2)))).cast(
-        "int"
+    per_val = cols.groupBy("col_name", "v").agg(
+        F.count("v").alias("cnt"),
+        F.max("type_bytes").alias("type_bytes"),
+        F.max(F.col("is_string").cast("int")).alias("is_string"),
     )
+    n_distinct = F.count(F.when(F.col("v").isNotNull(), F.lit(1)))
+    dict_bits = F.ceil(F.log2(F.greatest(n_distinct, F.lit(2)))).cast("int")
     plain_bytes = F.when(
-        F.max(F.col("is_string").cast("int")) == 1,
-        F.round(F.avg(F.length("v")), 2),
+        F.max("is_string") == 1,
+        F.round(
+            F.sum(F.col("cnt") * F.length("v")) / F.sum("cnt"), 2
+        ),
     ).otherwise(F.max("type_bytes").cast("double"))
-    return cols.groupBy("col_name").agg(
-        F.count("v").alias("n_values"),
-        F.countDistinct("v").alias("n_distinct"),
+    return per_val.groupBy("col_name").agg(
+        F.sum("cnt").alias("n_values"),
+        n_distinct.alias("n_distinct"),
         dict_bits.alias("dict_bits"),
         plain_bytes.alias("plain_bytes"),
         F.round(plain_bytes / F.ceil(dict_bits / F.lit(8.0)), 2).alias(
@@ -1151,10 +1162,11 @@ def quality_table_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT r.cohort_month, CAST(r.month_offset AS INT) AS month_offset,
            CAST(s.cohort_customers AS INT) AS cohort_customers,
-           ROUND(SUM(r.m_rev) OVER (PARTITION BY r.cohort_month
+           CAST(ROUND(CAST(SUM(r.m_rev) OVER (PARTITION BY r.cohort_month
                  ORDER BY r.month_offset
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 / s.cohort_customers, 2) AS ltv_per_customer
+                 / s.cohort_customers AS DECIMAL(38,8)), 2) AS DOUBLE)
+               AS ltv_per_customer
     FROM rev r JOIN size s ON r.cohort_month = s.cohort_month
     """,
     description="Customer-lifetime-value curves by acquisition cohort: "
@@ -1199,7 +1211,7 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cohort_month",
             F.col("month_offset").cast("int").alias("month_offset"),
             F.col("cohort_customers").cast("int").alias("cohort_customers"),
-            F.round(
+            dround(
                 F.sum("m_rev").over(w) / F.col("cohort_customers"), 2
             ).alias("ltv_per_customer"),
         )
@@ -1474,13 +1486,17 @@ def events_attribution_first_vs_last(
         FROM yr GROUP BY segment
     )
     SELECT segment,
-           ROUND(rev1, 2) AS rev_1997,
-           ROUND(rev2, 2) AS rev_1998,
-           ROUND(rev2 - rev1, 2) AS delta,
-           ROUND((q2 - q1) * (rev1 / q1), 2) AS volume_effect,
-           ROUND((rev2 / q2 - rev1 / q1) * q2, 2) AS price_effect,
-           ROUND((rev2 - rev1) - (q2 - q1) * (rev1 / q1)
-                 - (rev2 / q2 - rev1 / q1) * q2, 2) AS residual
+           CAST(ROUND(CAST(rev1 AS DECIMAL(38,8)), 2) AS DOUBLE) AS rev_1997,
+           CAST(ROUND(CAST(rev2 AS DECIMAL(38,8)), 2) AS DOUBLE) AS rev_1998,
+           CAST(ROUND(CAST(rev2 - rev1 AS DECIMAL(38,8)), 2) AS DOUBLE)
+               AS delta,
+           CAST(ROUND(CAST((q2 - q1) * (rev1 / q1) AS DECIMAL(38,8)), 2)
+                AS DOUBLE) AS volume_effect,
+           CAST(ROUND(CAST((rev2 / q2 - rev1 / q1) * q2 AS DECIMAL(38,8)), 2)
+                AS DOUBLE) AS price_effect,
+           CAST(ROUND(CAST((rev2 - rev1) - (q2 - q1) * (rev1 / q1)
+                 - (rev2 / q2 - rev1 / q1) * q2 AS DECIMAL(38,8)), 2)
+                AS DOUBLE) AS residual
     FROM wide WHERE q1 > 0 AND q2 > 0
     """,
     description="Price/volume bridge (revenue variance decomposition) "
@@ -1528,12 +1544,12 @@ def finance_price_volume_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
     prc = (p2 - p1) * F.col("q2")
     return wide.filter((F.col("q1") > 0) & (F.col("q2") > 0)).select(
         "segment",
-        F.round("rev1", 2).alias("rev_1997"),
-        F.round("rev2", 2).alias("rev_1998"),
-        F.round(F.col("rev2") - F.col("rev1"), 2).alias("delta"),
-        F.round(vol, 2).alias("volume_effect"),
-        F.round(prc, 2).alias("price_effect"),
-        F.round((F.col("rev2") - F.col("rev1")) - vol - prc, 2).alias(
+        dround("rev1", 2).alias("rev_1997"),
+        dround("rev2", 2).alias("rev_1998"),
+        dround(F.col("rev2") - F.col("rev1"), 2).alias("delta"),
+        dround(vol, 2).alias("volume_effect"),
+        dround(prc, 2).alias("price_effect"),
+        dround((F.col("rev2") - F.col("rev1")) - vol - prc, 2).alias(
             "residual"
         ),
     )

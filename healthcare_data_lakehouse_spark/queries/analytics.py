@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from healthcare_data_lakehouse_spark.functions import dround
 from healthcare_data_lakehouse_spark.queries.catalog import register
 from healthcare_data_lakehouse_spark.tables import table
 
@@ -618,8 +619,10 @@ def tpch_q10_returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame
     "percentile_order_value_by_segment",
     oracle="""
     SELECT c.c_mktsegment AS mktsegment,
-           ROUND(quantile_cont(o.o_totalprice, 0.5), 2) AS median_price,
-           ROUND(quantile_cont(o.o_totalprice, 0.9), 2) AS p90_price,
+           CAST(ROUND(CAST(quantile_cont(o.o_totalprice, 0.5)
+                AS DECIMAL(38,8)), 2) AS DOUBLE) AS median_price,
+           CAST(ROUND(CAST(quantile_cont(o.o_totalprice, 0.9)
+                AS DECIMAL(38,8)), 2) AS DOUBLE) AS p90_price,
            COUNT(*) AS n_orders
     FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
     GROUP BY c.c_mktsegment
@@ -636,8 +639,8 @@ def percentile_order_value_by_segment(spark: SparkSession, sf_dir: str) -> DataF
         orders.join(F.broadcast(customer), customer.c_custkey == orders.o_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
-            F.round(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
-            F.round(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
+            dround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias("median_price"),
+            dround(F.expr("percentile(o_totalprice, 0.9)"), 2).alias("p90_price"),
             F.count(F.lit(1)).alias("n_orders"),
         )
     )
@@ -660,13 +663,33 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sketch_hll_exact_users",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Oracle-checkable twin of sketch_hll_distinct_users: the "
+    "exact per-type NDV the sketch approximates (countDistinct = "
+    "expand+shuffle, affordable at this grain) — lets the sketch query "
+    "stay rows-only without leaving its ground truth unverified.",
+)
+def sketch_hll_exact_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    return events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+    )
+
+
 # ------------------------------------------------------------------ JSON
 @register(
     "events_json_kpis",
     oracle="""
     SELECT event_type,
            COUNT(*) AS n_events,
-           ROUND(AVG(value), 4) AS avg_value,
+           CAST(ROUND(CAST(AVG(value) AS DECIMAL(38,8)), 4) AS DOUBLE)
+               AS avg_value,
            SUM(CAST(props->>'k' AS BIGINT)) AS sum_k
     FROM events
     GROUP BY event_type
@@ -679,7 +702,7 @@ def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
     return events.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.avg("value"), 4).alias("avg_value"),
+        dround(F.avg("value"), 4).alias("avg_value"),
         F.sum(k).alias("sum_k"),
     )
 
@@ -785,7 +808,8 @@ def events_asof_purchase_before_error(spark: SparkSession, sf_dir: str) -> DataF
     )
     SELECT e.event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(e.value - d.type_avg), 2) AS sum_dev
+           CAST(ROUND(CAST(SUM(e.value - d.type_avg) AS DECIMAL(38,8)), 2)
+                AS DOUBLE) AS sum_dev
     FROM events e JOIN dim d ON d.event_type = e.event_type
     GROUP BY e.event_type
     """,
@@ -805,7 +829,7 @@ def skew_salted_join_event_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum(F.col("value") - F.col("type_avg")), 2).alias("sum_dev"),
+        dround(F.sum(F.col("value") - F.col("type_avg")), 2).alias("sum_dev"),
     )
 
 
@@ -898,10 +922,12 @@ def tpch_q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> Data
     SELECT l_returnflag,
            SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F_count,
            SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O_count,
-           ROUND(SUM(CASE WHEN l_linestatus = 'F'
-                     THEN l_extendedprice ELSE 0 END), 2) AS F_price,
-           ROUND(SUM(CASE WHEN l_linestatus = 'O'
-                     THEN l_extendedprice ELSE 0 END), 2) AS O_price
+           CAST(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
+                     THEN l_extendedprice ELSE 0 END) AS DECIMAL(38,8)), 2)
+                AS DOUBLE) AS F_price,
+           CAST(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'O'
+                     THEN l_extendedprice ELSE 0 END) AS DECIMAL(38,8)), 2)
+                AS DOUBLE) AS O_price
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -916,7 +942,7 @@ def pivot_returnflag_by_linestatus(spark: SparkSession, sf_dir: str) -> DataFram
         .pivot("l_linestatus", ["F", "O"])
         .agg(
             F.count(F.lit(1)).alias("count"),
-            F.round(F.sum("l_extendedprice"), 2).alias("price"),
+            dround(F.sum("l_extendedprice"), 2).alias("price"),
         )
     )
     return p.select(
@@ -2432,19 +2458,32 @@ def rollup_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The co-occurrence self-join is keyed on the SHARED entity (part), "
     "so candidate volume is the sum of per-part squared supplier "
     "counts — bounded by the fan-out of the densest part, never "
-    "|suppliers|^2; at 100 TB hot parts (huge supplier lists) are "
-    "capped or salted exactly like hot LSH buckets. The same plan "
-    "builds user-cooccurrence, doc-citation, and basket-affinity "
-    "graphs.",
+    "|suppliers|^2. Hot parts are SALTED like hot LSH buckets: the "
+    "right side buckets suppliers into 8 salts (hash(s) mod 8), the "
+    "left side replicates across all 8, and the join keys on "
+    "(part, salt) — each hot part's quadratic pair generation spreads "
+    "over 8 reducers instead of one task, and every pair still "
+    "appears exactly once (a supplier owns exactly one salt). The "
+    "same plan builds user-cooccurrence, doc-citation, and "
+    "basket-affinity graphs.",
 )
 def graph_supplier_copart_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    n_salts = 8
     li = table(spark, sf_dir, "lineitem")
     sp = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
-    a, b = sp.alias("a"), sp.alias("b")
+    a = sp.withColumn(
+        "r", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    ).alias("a")
+    b = sp.withColumn("r", F.pmod(F.hash("s"), F.lit(n_salts))).alias("b")
     return (
-        a.join(b, (F.col("a.p") == F.col("b.p")) & (F.col("a.s") < F.col("b.s")))
+        a.join(
+            b,
+            (F.col("a.p") == F.col("b.p"))
+            & (F.col("a.r") == F.col("b.r"))
+            & (F.col("a.s") < F.col("b.s")),
+        )
         .groupBy(
             F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b")
         )

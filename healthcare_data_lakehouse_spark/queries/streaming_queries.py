@@ -36,10 +36,7 @@ __all__: list[str] = []
 def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_lakehouse_spark.streaming.ingest import run_stream_to_table
 
-    def prepare(stream: DataFrame) -> DataFrame:
-        if dict(stream.dtypes).get("ts") == "bigint":
-            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return stream
+    from healthcare_data_lakehouse_spark.tables import normalize_event_ts as prepare
 
     return run_stream_to_table(
         spark,
@@ -196,10 +193,7 @@ def streaming_interval_join_clicks_purchases(
 def streaming_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_lakehouse_spark.streaming.ingest import run_session_stream
 
-    def prepare(stream: DataFrame) -> DataFrame:
-        if dict(stream.dtypes).get("ts") == "bigint":
-            stream = stream.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return stream
+    from healthcare_data_lakehouse_spark.tables import normalize_event_ts as prepare
 
     return run_session_stream(
         spark,

@@ -352,10 +352,9 @@ def run_interval_join_stream(
     src_dir = _stream_source_dir(source_parquet, work_dir)
 
     def typed_stream() -> DataFrame:
-        s = spark.readStream.schema(schema).parquet(src_dir)
-        if dict(s.dtypes).get("ts") == "bigint":
-            s = s.withColumn("ts", F.expr("timestamp_micros(ts div 1000)"))
-        return s
+        from healthcare_data_lakehouse_spark.tables import normalize_event_ts
+
+        return normalize_event_ts(spark.readStream.schema(schema).parquet(src_dir))
 
     clicks = (
         typed_stream()

@@ -62,13 +62,14 @@ GLOBAL_WINDOW_OK = {
     "stats_ks_value_drift": "CDF prefix sum over the 200-bin histogram aggregate",
     "pipeline_global_row_index":
         "offset prefix sum over the |partitions|-row count table",
+    "events_concurrent_sessions_sweepline":
+        "partition-offset scheme (functions/ordered.py): the only ordered "
+        "single-partition stage left is the offset prefix sum over the "
+        "|partitions|-row totals table",
     "stats_gini_customer_revenue":
         "rank window over the customer-grain aggregate (partition-offset "
         "scheme at 1e8+ customers, see pipeline_global_row_index)",
     "events_changepoint_cusum": "CUSUM prefix sum over the day-grain series",
-    "events_concurrent_sessions_sweepline":
-        "concurrency prefix sum over the session-boundary table (2x "
-        "sessions rows; partition-offset scheme at 1e9+ sessions)",
     "stats_kaplan_meier_session_duration":
         "risk-set and product-limit windows over the duration-grain "
         "table (<= max-lifetime-days rows)",
