@@ -2458,25 +2458,48 @@ def rollup_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "The co-occurrence self-join is keyed on the SHARED entity (part), "
     "so candidate volume is the sum of per-part squared supplier "
     "counts — bounded by the fan-out of the densest part, never "
-    "|suppliers|^2. Hot parts are SALTED like hot LSH buckets: the "
-    "right side buckets suppliers into 8 salts (hash(s) mod 8), the "
-    "left side replicates across all 8, and the join keys on "
-    "(part, salt) — each hot part's quadratic pair generation spreads "
-    "over 8 reducers instead of one task, and every pair still "
-    "appears exactly once (a supplier owns exactly one salt). The "
-    "same plan builds user-cooccurrence, doc-citation, and "
-    "basket-affinity graphs.",
+    "|suppliers|^2. HOT parts (supplier list over a threshold) are "
+    "salted like hot LSH buckets — the right side buckets their "
+    "suppliers into 8 salts (hash(s) mod 8), the left side "
+    "replicates those rows across all 8, and the join keys on "
+    "(part, salt), spreading each hot part's quadratic pair "
+    "generation over 8 reducers. Cold parts keep salt 0 on both "
+    "sides and pay ZERO replication — targeted salting taxes only "
+    "the keys that are actually skewed (the per-part census is one "
+    "cheap re-aggregation of the already-shuffled distinct table, "
+    "and the hot list broadcasts). Every pair still appears exactly "
+    "once: a supplier owns exactly one salt. The same plan builds "
+    "user-cooccurrence, doc-citation, and basket-affinity graphs.",
 )
 def graph_supplier_copart_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_salts = 8
+    hot_threshold = 64
     li = table(spark, sf_dir, "lineitem")
     sp = li.select(
         F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
     ).distinct()
-    a = sp.withColumn(
-        "r", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
+    hot = (
+        sp.groupBy("p")
+        .agg(F.count(F.lit(1)).alias("n_s"))
+        .filter(F.col("n_s") >= hot_threshold)
+        .select("p", F.lit(True).alias("is_hot"))
+    )
+    salted = sp.join(F.broadcast(hot), "p", "left")
+    a = salted.withColumn(
+        "r",
+        F.explode(
+            F.when(
+                F.col("is_hot").isNotNull(),
+                F.array(*[F.lit(i) for i in range(n_salts)]),
+            ).otherwise(F.array(F.lit(0)))
+        ),
     ).alias("a")
-    b = sp.withColumn("r", F.pmod(F.hash("s"), F.lit(n_salts))).alias("b")
+    b = salted.withColumn(
+        "r",
+        F.when(
+            F.col("is_hot").isNotNull(), F.pmod(F.hash("s"), F.lit(n_salts))
+        ).otherwise(F.lit(0)),
+    ).alias("b")
     return (
         a.join(
             b,
