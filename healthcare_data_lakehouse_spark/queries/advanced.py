@@ -470,6 +470,154 @@ def storage_dictionary_encoding_audit(
     )
 
 
+# ------------------------------------------------- Z-order layout audit
+_Z_BITS = 8
+_Z_FILES = 64
+
+
+def _z_interleave_sql(xcol: str, ycol: str) -> str:
+    """DuckDB expression interleaving the low 8 bits of two ints (Morton)."""
+    terms = [
+        f"((({xcol} >> {i}) & 1) << {2 * i}) + ((({ycol} >> {i}) & 1) << {2 * i + 1})"
+        for i in range(_Z_BITS)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+def _z_interleave_col(x, y):
+    """Spark twin of :func:`_z_interleave_sql` (same bit math, Column API)."""
+    z = F.lit(0)
+    for i in range(_Z_BITS):
+        z = z + F.shiftleft(F.shiftright(x, i).bitwiseAND(F.lit(1)), 2 * i)
+        z = z + F.shiftleft(
+            F.shiftright(y, i).bitwiseAND(F.lit(1)), 2 * i + 1
+        )
+    return z
+
+
+@register(
+    "storage_zorder_pruning_audit",
+    oracle=f"""
+    WITH mm AS (
+        SELECT MIN(l_partkey) AS pmin, MAX(l_partkey) AS pmax,
+               MIN(l_suppkey) AS smin, MAX(l_suppkey) AS smax,
+               MIN(l_orderkey) AS omin, MAX(l_orderkey) AS omax
+        FROM lineitem
+    ),
+    coded AS (
+        SELECT ((l_partkey - mm.pmin) * 255)
+                   // GREATEST(mm.pmax - mm.pmin, 1) AS px,
+               ((l_suppkey - mm.smin) * 255)
+                   // GREATEST(mm.smax - mm.smin, 1) AS sx,
+               l_partkey, l_orderkey, mm.pmin, mm.pmax, mm.omin, mm.omax
+        FROM lineitem, mm
+    ),
+    placed AS (
+        SELECT l_partkey,
+               ({_z_interleave_sql("px", "sx")} * {_Z_FILES}) // 65536
+                   AS zfile,
+               ((l_orderkey - omin) * {_Z_FILES})
+                   // GREATEST(omax - omin + 1, 1) AS nfile,
+               pmin + (pmax - pmin) // 10 AS hi
+        FROM coded
+    ),
+    z AS (
+        SELECT 'zorder' AS layout, zfile AS f, MIN(l_partkey) AS mn,
+               MAX(hi) AS hi
+        FROM placed GROUP BY zfile
+    ),
+    n AS (
+        SELECT 'natural' AS layout, nfile AS f, MIN(l_partkey) AS mn,
+               MAX(hi) AS hi
+        FROM placed GROUP BY nfile
+    ),
+    files AS (SELECT * FROM z UNION ALL SELECT * FROM n)
+    SELECT layout,
+           CAST(COUNT(*) AS INT) AS n_files,
+           CAST(SUM(CASE WHEN mn <= hi THEN 1 ELSE 0 END) AS INT)
+               AS files_scanned,
+           CAST(ROUND(CAST(1.0 - SUM(CASE WHEN mn <= hi THEN 1.0 ELSE 0 END)
+                           / COUNT(*) AS DECIMAL(38,8)), 4) AS DOUBLE)
+               AS skip_ratio
+    FROM files GROUP BY layout
+    """,
+    description="Z-order (Morton-curve) data-layout audit — the planning "
+    "input behind Delta OPTIMIZE ZORDER BY / Iceberg sort orders: rows "
+    "are assigned to equal-z-range 'files' by interleaving the bits of "
+    "two normalized key columns (partkey, suppkey), vs a 'natural' "
+    "layout bucketed by arrival order (orderkey ranges). Per file the "
+    "min/max zone-map of l_partkey decides whether a canonical 10%-range "
+    "predicate could skip the file; the output quantifies how much "
+    "file-level pruning the Z-layout buys over natural order on the SAME "
+    "predicate (the natural layout's zone maps straddle the whole key "
+    "range, so it scans everything). Pure arithmetic bucketing — no "
+    "global sort anywhere; normalization, interleave, and file stats "
+    "are one scan + one O(files) aggregate. At 100 TB this audit runs "
+    "BEFORE paying for a rewrite: it prices the OPTIMIZE against the "
+    "scan savings.",
+)
+def storage_zorder_pruning_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_orderkey"
+    )
+    mm = li.agg(
+        F.min("l_partkey").alias("pmin"),
+        F.max("l_partkey").alias("pmax"),
+        F.min("l_suppkey").alias("smin"),
+        F.max("l_suppkey").alias("smax"),
+        F.min("l_orderkey").alias("omin"),
+        F.max("l_orderkey").alias("omax"),
+    )
+    coded = li.crossJoin(F.broadcast(mm)).select(
+        "l_partkey",
+        "l_orderkey",
+        "pmin",
+        "pmax",
+        "omin",
+        "omax",
+        F.expr(
+            "((l_partkey - pmin) * 255) div greatest(pmax - pmin, 1)"
+        ).alias("px"),
+        F.expr(
+            "((l_suppkey - smin) * 255) div greatest(smax - smin, 1)"
+        ).alias("sx"),
+    )
+    placed = coded.select(
+        "l_partkey",
+        (
+            (_z_interleave_col(F.col("px"), F.col("sx")) * _Z_FILES)
+            / F.lit(65536)
+        ).cast("long").alias("zfile"),
+        F.expr(
+            f"((l_orderkey - omin) * {_Z_FILES}) "
+            "div greatest(omax - omin + 1, 1)"
+        ).alias("nfile"),
+        F.expr("pmin + (pmax - pmin) div 10").alias("hi"),
+    )
+    z = placed.groupBy("zfile").agg(
+        F.min("l_partkey").alias("mn"), F.max("hi").alias("hi")
+    ).select(F.lit("zorder").alias("layout"), "mn", "hi")
+    n = placed.groupBy("nfile").agg(
+        F.min("l_partkey").alias("mn"), F.max("hi").alias("hi")
+    ).select(F.lit("natural").alias("layout"), "mn", "hi")
+    scanned = F.sum(
+        F.when(F.col("mn") <= F.col("hi"), 1).otherwise(0)
+    )
+    return (
+        z.unionAll(n)
+        .groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("int").alias("n_files"),
+            scanned.cast("int").alias("files_scanned"),
+            dround(
+                1.0 - scanned.cast("double") / F.count(F.lit(1)), 4
+            ).alias("skip_ratio"),
+        )
+    )
+
+
 # ------------------------------------------------- Wilson score interval
 @register(
     "stats_wilson_ci_purchase_rate",
