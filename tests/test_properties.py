@@ -80,3 +80,89 @@ def test_trim_strings_fixpoint(spark, rows):
     one = T.trim_strings(_df(spark, rows)).collect()
     assert sorted(map(tuple, out), key=_key) == sorted(map(tuple, one), key=_key)
     assert all(r.v is None or r.v == r.v.strip() for r in one)
+
+
+# ---------------------------------------------------------------- graphs
+edges_st = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=30),
+        st.integers(min_value=0, max_value=30),
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _union_find_components(edges):
+    """Referee model: plain union-find, cluster id = component minimum."""
+    parent: dict[int, int] = {}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        for n in (a, b):
+            parent.setdefault(n, n)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@given(edges=edges_st)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_connected_components_both_algorithms_match_union_find(spark, edges):
+    from healthcare_data_lakehouse_spark.functions.dedup import (
+        connected_components,
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    want = sorted(_union_find_components(edges).items())
+    prop = sorted(
+        (r.doc_id, r.cluster_id) for r in connected_components(df).collect()
+    )
+    star = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_star(df).collect()
+    )
+    assert prop == want
+    assert star == want
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=-1000, max_value=1000),
+            st.integers(min_value=-9, max_value=9),
+        ),
+        min_size=1,
+        max_size=60,
+        unique_by=lambda t: t[0],
+    ),
+    n_parts=st.integers(min_value=1, max_value=9),
+)
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_running_sum_over_matches_python_prefix_sum(spark, rows, n_parts):
+    from healthcare_data_lakehouse_spark.functions.ordered import (
+        running_sum_over,
+    )
+
+    df = spark.createDataFrame(rows, "k long, d long")
+    got = sorted(
+        (r.k, r.c)
+        for r in running_sum_over(df, "k", "d", "c", n_parts=n_parts).collect()
+    )
+    acc, want = 0, []
+    for k, d in sorted(rows):
+        acc += d
+        want.append((k, acc))
+    assert got == want
