@@ -149,6 +149,8 @@ HEADLINE = [
     "text_heaps_law_fit",
     "events_concurrent_sessions_sweepline",
     "storage_dictionary_encoding_audit",
+    "storage_zorder_pruning_audit",
+    "dedup_clusters_star",
     "stats_wilson_ci_purchase_rate",
     "stats_theil_sen_daily_trend",
     "stats_chisq_lang_source",

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from healthcare_data_lakehouse_spark.functions import dedup as D
+from healthcare_data_lakehouse_spark.functions import dround
 from healthcare_data_lakehouse_spark.functions import similarity as S
 from healthcare_data_lakehouse_spark.functions import text as TX
 from healthcare_data_lakehouse_spark.functions.multimodal import (
@@ -765,6 +766,85 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = table(spark, sf_dir, "documents")
     return sample_frames(as_binary_assets(docs), max_frames=4)
+
+
+@register(
+    "multimodal_header_kpis",
+    oracle="""
+    WITH blobs AS (
+        SELECT doc_id, source,
+               unhex(lpad(hex(64 + doc_id % 1024), 8, '0')
+                     || lpad(hex(64 + (doc_id * 7) % 1024), 8, '0')
+                     || lpad(hex(doc_id % 3), 2, '0')) AS content
+        FROM documents
+    ),
+    parsed AS (
+        SELECT source,
+               ('0x' || substring(hex(content), 1, 8))::BIGINT AS w,
+               ('0x' || substring(hex(content), 9, 8))::BIGINT AS h,
+               ('0x' || substring(hex(content), 17, 2))::BIGINT AS codec,
+               octet_length(content) AS n_bytes
+        FROM blobs
+    )
+    SELECT source,
+           CASE codec WHEN 0 THEN 'h264' WHEN 1 THEN 'vp9'
+                ELSE 'av1' END AS codec_name,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(w) AS BIGINT) AS max_width,
+           CAST(ROUND(CAST(AVG(CAST(w AS DOUBLE) / h) AS DECIMAL(38,8)),
+                      4) AS DOUBLE) AS avg_aspect
+    FROM parsed GROUP BY source, codec
+    """,
+    description="JVM-side binary header parsing — the scale complement to "
+    "the mapInPandas decode pipeline: container metadata (width/height/"
+    "codec) lives in the first bytes of a media blob, so a metadata-only "
+    "pass slices the BINARY column with hex/substring/conv entirely "
+    "inside whole-stage codegen — no Python boundary, no Arrow transfer, "
+    "no decode — and rolls up per (source, codec) KPIs. At 100 TB the "
+    "header scan prices the full decode job before anyone pays for it "
+    "(and with parquet column pruning it reads ONLY the blob column's "
+    "first-bytes statistics pages where the writer split them out). The "
+    "blob here is synthesized deterministically from doc_id (no media "
+    "fixtures in the container) but the parse path is the real one: "
+    "bytes in, integers out, both engines agreeing bit-for-bit.",
+)
+def multimodal_header_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    blobs = docs.select(
+        "source",
+        F.unhex(
+            F.concat(
+                F.lpad(F.hex(F.lit(64) + F.col("doc_id") % 1024), 8, "0"),
+                F.lpad(F.hex(F.lit(64) + (F.col("doc_id") * 7) % 1024), 8, "0"),
+                F.lpad(F.hex(F.col("doc_id") % 3), 2, "0"),
+            )
+        ).alias("content"),
+    )
+    hx = F.hex(F.col("content"))
+    parsed = blobs.select(
+        "source",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("w"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h"),
+        F.conv(F.substring(hx, 17, 2), 16, 10).cast("bigint").alias("codec"),
+        F.length("content").alias("n_bytes"),
+    )
+    codec_name = (
+        F.when(F.col("codec") == 0, "h264")
+        .when(F.col("codec") == 1, "vp9")
+        .otherwise("av1")
+    )
+    return (
+        parsed.groupBy("source", codec_name.alias("codec_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("w").alias("max_width"),
+            dround(F.avg(F.col("w").cast("double") / F.col("h")), 4).alias(
+                "avg_aspect"
+            ),
+        )
+    )
 
 
 @register(

@@ -245,6 +245,103 @@ class ZoneStore:
             )
         return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
+    # ------------------------------------------------- stats-based pruning
+    def commit_stats(
+        self, zone: DataZone, dataset: str, column: str
+    ) -> list[dict]:
+        """Per-commit (min, max, null-only) zone maps for ``column``, read
+        from parquet FOOTERS only (pyarrow metadata — no data pages touched).
+        The manifest-level analog of Delta/Iceberg file statistics: O(commits)
+        metadata reads regardless of table size."""
+        import pyarrow.parquet as pq
+
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        out: list[dict] = []
+        for commit in manifest["commits"]:
+            cdir = os.path.join(path, commit)
+            mn = mx = None
+            have_stats = True
+            present = False
+            for f in os.listdir(cdir):
+                if not f.endswith(".parquet"):
+                    continue
+                meta = pq.ParquetFile(os.path.join(cdir, f)).metadata
+                names = {
+                    meta.schema.column(i).name: i
+                    for i in range(meta.num_columns)
+                }
+                if column not in names:
+                    continue
+                present = True
+                ci = names[column]
+                for rg in range(meta.num_row_groups):
+                    st = meta.row_group(rg).column(ci).statistics
+                    if st is None or not st.has_min_max:
+                        have_stats = False
+                        break
+                    mn = st.min if mn is None else min(mn, st.min)
+                    mx = st.max if mx is None else max(mx, st.max)
+                if not have_stats:
+                    break
+            out.append(
+                {
+                    "commit": commit,
+                    "present": present,
+                    "has_stats": have_stats,
+                    "min": mn,
+                    "max": mx,
+                }
+            )
+        return out
+
+    def read_pruned(
+        self,
+        zone: DataZone,
+        dataset: str,
+        column: str,
+        lo=None,
+        hi=None,
+    ) -> tuple[DataFrame, dict]:
+        """Read with commit-level zone-map pruning: commits whose
+        [min, max] footer range cannot intersect [lo, hi] are never opened
+        (commits without the column or without stats are read
+        conservatively — a range predicate is false on NULL, so skipping
+        column-absent commits would also be sound, but conservative keeps
+        the method obviously correct under schema evolution). The residual
+        predicate still applies to the surviving commits, so the result is
+        EXACTLY ``read(...).filter(lo <= column <= hi)`` — pruning only
+        changes how much data is opened. Returns (DataFrame, report) where
+        the report records scanned vs skipped commit counts."""
+        path = self.dataset_path(zone, dataset)
+        stats = self.commit_stats(zone, dataset, column)
+        keep: list[str] = []
+        for s in stats:
+            prunable = s["present"] and s["has_stats"] and s["min"] is not None
+            if prunable and (
+                (lo is not None and s["max"] < lo)
+                or (hi is not None and s["min"] > hi)
+            ):
+                continue
+            keep.append(s["commit"])
+        report = {
+            "commits_total": len(stats),
+            "commits_scanned": len(keep),
+            "commits_skipped": len(stats) - len(keep),
+        }
+        if not keep:
+            df = self.read(zone, dataset)
+            df = df.filter(F.lit(False))
+        else:
+            dirs = [os.path.join(path, c) for c in keep]
+            df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        cond = F.lit(True)
+        if lo is not None:
+            cond = cond & (F.col(column) >= F.lit(lo))
+        if hi is not None:
+            cond = cond & (F.col(column) <= F.lit(hi))
+        return df.filter(cond), report
+
     def diff_versions(
         self,
         zone: DataZone,

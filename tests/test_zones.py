@@ -6,6 +6,7 @@ import tempfile
 
 import pytest
 from pyspark.sql import Row
+from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
 
@@ -242,3 +243,54 @@ def test_dynamic_partition_overwrite_backfill(spark, tmp_path):
     }
     # day 02 replaced wholesale; days 01/03 untouched
     assert got == {(1, "2024-01-01", 10.0), (9, "2024-01-02", 99.0), (3, "2024-01-03", 30.0)}
+
+
+def test_read_pruned_skips_non_overlapping_commits(spark, store):
+    """Commit-level zone-map pruning: 4 APPEND commits with disjoint key
+    ranges; a range predicate opens only the overlapping commit, and the
+    result equals the unpruned filter exactly."""
+    for base in (0, 100, 200, 300):
+        batch = spark.range(base, base + 50).select(
+            F.col("id").cast("string").alias("id"),
+            F.col("id").alias("k"),
+            F.lit(f"b{base}").alias("v"),
+        )
+        store.write(DataZone.SILVER, "pruned", batch, LoadType.APPEND)
+
+    got, report = store.read_pruned(
+        DataZone.SILVER, "pruned", "k", lo=210, hi=240
+    )
+    assert report == {
+        "commits_total": 4,
+        "commits_scanned": 1,
+        "commits_skipped": 3,
+    }
+    full = store.read(DataZone.SILVER, "pruned").filter(
+        (F.col("k") >= 210) & (F.col("k") <= 240)
+    )
+    assert sorted(r.k for r in got.collect()) == sorted(
+        r.k for r in full.collect()
+    )
+    assert got.count() == 31
+
+    # open-ended predicate and a no-match range
+    _, r2 = store.read_pruned(DataZone.SILVER, "pruned", "k", lo=300)
+    assert r2["commits_scanned"] == 1
+    none_df, r3 = store.read_pruned(
+        DataZone.SILVER, "pruned", "k", lo=1000, hi=2000
+    )
+    assert r3["commits_scanned"] == 0 and none_df.count() == 0
+
+
+def test_commit_stats_footer_only(spark, store):
+    batch = spark.range(10, 20).select(
+        F.col("id").cast("string").alias("id"), F.col("id").alias("k")
+    )
+    store.write(DataZone.SILVER, "stats_ds", batch, LoadType.FULL)
+    st = store.commit_stats(DataZone.SILVER, "stats_ds", "k")
+    assert len(st) == 1
+    assert st[0]["present"] and st[0]["has_stats"]
+    assert st[0]["min"] == 10 and st[0]["max"] == 19
+    # unknown column -> conservative (absent, still readable)
+    st2 = store.commit_stats(DataZone.SILVER, "stats_ds", "nope")
+    assert not st2[0]["present"]
