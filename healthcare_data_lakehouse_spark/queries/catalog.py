@@ -55,6 +55,7 @@ PRIORITY = [
     "load_merge_upsert",
     "load_incremental_append_new",
     "load_time_travel_diff",
+    "load_zone_map_pruned_scan",
     "etl_run_job_silver",
     "etl_quarantine_split",
     "lineage_medallion_edges",

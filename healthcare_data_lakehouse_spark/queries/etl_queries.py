@@ -622,6 +622,69 @@ def load_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "load_zone_map_pruned_scan",
+    oracle="""
+    WITH mm AS (
+        SELECT MIN(o_custkey) AS lo, MAX(o_custkey) AS hi FROM orders
+    ),
+    b AS (
+        SELECT lo + (hi - lo + 1) * 3 // 8 AS plo,
+               lo + (hi - lo + 1) * 5 // 8 AS phi
+        FROM mm
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(38,8)), 2) AS DOUBLE)
+               AS total,
+           CAST(2 AS INT) AS commits_scanned,
+           CAST(2 AS INT) AS commits_skipped
+    FROM orders, b
+    WHERE o_custkey >= b.plo AND o_custkey <= b.phi
+    """,
+    description="Commit-level zone-map pruning end-to-end: orders land as "
+    "4 APPEND commits covering disjoint o_custkey quartile ranges (the "
+    "layout a partitioned ingest produces naturally), then a range scan "
+    "consults parquet FOOTER min/max per commit and opens only the two "
+    "overlapping commits — file skipping from statistics, the lakehouse "
+    "scan primitive Delta/Iceberg data-skipping provides, here on the "
+    "plain-parquet ZoneStore (zones.py read_pruned). The oracle pins "
+    "both the query answer (identical to the unpruned filter by "
+    "construction) AND the scanned/skipped commit counts, so the "
+    "pruning itself is hash-verified, not just the data.",
+)
+def load_zone_map_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    mm = orders.agg(
+        F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi")
+    ).collect()[0]
+    store = ZoneStore(spark, tempfile.mkdtemp(prefix="zs_prune_"))
+    # quartile split by value range (not frequency), integer math shared
+    # with the oracle; the probe window spans [3/8, 5/8] of the key range,
+    # which overlaps exactly the middle two commits at any scale factor
+    n = mm.hi - mm.lo + 1
+    edges = [mm.lo + n * i // 4 for i in range(4)] + [mm.hi + 1]
+    for i in range(4):
+        batch = orders.filter(
+            (F.col("o_custkey") >= edges[i]) & (F.col("o_custkey") < edges[i + 1])
+        )
+        store.write(DataZone.SILVER, "orders_zm", batch, LoadType.APPEND)
+    df, report = store.read_pruned(
+        DataZone.SILVER,
+        "orders_zm",
+        "o_custkey",
+        lo=mm.lo + n * 3 // 8,
+        hi=mm.lo + n * 5 // 8,
+    )
+    return df.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.round(F.sum("o_totalprice").cast("decimal(38,8)"), 2)
+        .cast("double")
+        .alias("total"),
+        F.lit(report["commits_scanned"]).cast("int").alias("commits_scanned"),
+        F.lit(report["commits_skipped"]).cast("int").alias("commits_skipped"),
+    )
+
+
+@register(
     "source_file_provenance",
     oracle="""
     SELECT 'orders.parquet' AS source_file,
