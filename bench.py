@@ -151,6 +151,8 @@ HEADLINE = [
     "storage_dictionary_encoding_audit",
     "storage_zorder_pruning_audit",
     "dedup_clusters_star",
+    "sketch_hll_mergeable_daily_rollup",
+    "multimodal_header_kpis",
     "stats_wilson_ci_purchase_rate",
     "stats_theil_sen_daily_trend",
     "stats_chisq_lang_source",

@@ -664,6 +664,147 @@ def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hll_mergeable_daily_rollup",
+    oracle="""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    hashed AS (
+        SELECT day,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM ev
+    ),
+    regs AS (
+        SELECT day, h % 256 AS reg,
+               CASE WHEN h // 256 > 0
+                    THEN 53 - length(bin(h // 256)) ELSE 53 END AS rho
+        FROM hashed
+    ),
+    daily AS (
+        SELECT day, reg, MAX(rho) AS m FROM regs GROUP BY day, reg
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    cum AS (
+        SELECT d.day, m.reg, MAX(m.m) AS m
+        FROM days d JOIN daily m ON m.day <= d.day
+        GROUP BY d.day, m.reg
+    ),
+    z AS (
+        SELECT day,
+               SUM(CAST(POW(2.0, 53 - m) AS BIGINT)) AS z_present,
+               COUNT(*) AS n_present
+        FROM cum GROUP BY day
+    ),
+    firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    exact AS (
+        SELECT d.day, COUNT(*) AS exact_cum_users
+        FROM days d JOIN firsts f ON f.first_day <= d.day
+        GROUP BY d.day
+    )
+    ,raw AS (
+        SELECT day, n_present,
+               ((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+               * 9007199254740992.0
+               / (z_present + (256 - n_present) * 9007199254740992) AS e_raw
+        FROM z
+    )
+    SELECT r.day,
+           CAST(ROUND(CAST(
+               CASE WHEN r.e_raw <= 640.0 AND r.n_present < 256
+                    THEN 256.0 * LN(256.0 / (256 - r.n_present))
+                    ELSE r.e_raw END
+               AS DECIMAL(38,8)), 2) AS DOUBLE) AS est_cum_users,
+           CAST(e.exact_cum_users AS BIGINT) AS exact_cum_users
+    FROM raw r JOIN exact e ON e.day = r.day
+    """,
+    description="Mergeable HyperLogLog built from PLAIN DataFrame ops — "
+    "the sketch-algebra pattern exact distinct cannot offer at 100 TB: "
+    "each event hashes (engine-portable md5 bits) into one of 256 "
+    "registers with a leading-zero rank, a day's sketch is just the "
+    "(day, register, max-rank) table (one map-side-combinable groupBy), "
+    "and MERGING sketches across days is MAX over registers — so the "
+    "day-N cumulative-distinct estimate needs only the O(days x 256) "
+    "register table, never a re-scan of history (the union-state "
+    "property that makes sketch columns storable per partition and "
+    "rolled up at query time). Harmonic-mean estimation is kept in "
+    "INTEGER space (sum of 2^(53-rank) as bigint) so both engines "
+    "compute bit-identical estimates — oracle-hash-verified, with the "
+    "exact cumulative distinct carried alongside as ground truth.",
+)
+def sketch_hll_mergeable_daily_rollup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    ev = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    hashed = ev.select("day", h.alias("h"))
+    regs = hashed.select(
+        "day",
+        (F.col("h") % 256).alias("reg"),
+        F.when(
+            F.expr("h div 256") > 0,
+            F.lit(53) - F.length(F.bin(F.expr("h div 256"))),
+        )
+        .otherwise(53)
+        .alias("rho"),
+    )
+    daily = regs.groupBy("day", "reg").agg(F.max("rho").alias("m"))
+    days = daily.select("day").distinct()
+    cum = (
+        days.alias("d")
+        .join(daily.alias("m"), F.col("m.day") <= F.col("d.day"))
+        .groupBy(F.col("d.day").alias("day"), F.col("m.reg").alias("reg"))
+        .agg(F.max("m.m").alias("m"))
+    )
+    z = cum.groupBy("day").agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("bigint")).alias(
+            "z_present"
+        ),
+        F.count(F.lit(1)).alias("n_present"),
+    )
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    exact = (
+        days.alias("d")
+        .join(
+            F.broadcast(firsts).alias("f"),
+            F.col("f.first_day") <= F.col("d.day"),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count(F.lit(1)).alias("exact_cum_users"))
+    )
+    e_raw = (
+        F.lit((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+        * F.lit(9007199254740992.0)
+        / (
+            F.col("z_present")
+            + (F.lit(256) - F.col("n_present")) * F.lit(9007199254740992)
+        )
+    )
+    # linear-counting correction for the small-cardinality regime
+    # (Flajolet et al.: when E <= 2.5m, count empty registers instead)
+    est = F.when(
+        (e_raw <= 640.0) & (F.col("n_present") < 256),
+        F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256) - F.col("n_present"))),
+    ).otherwise(e_raw)
+    return (
+        z.join(exact, "day")
+        .select(
+            "day",
+            dround(est, 2).alias("est_cum_users"),
+            F.col("exact_cum_users").cast("bigint").alias("exact_cum_users"),
+        )
+    )
+
+
+@register(
     "sketch_hll_exact_users",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
