@@ -804,6 +804,209 @@ def sketch_hll_mergeable_daily_rollup(
     )
 
 
+_HLL_EST_SQL = """
+        CASE WHEN ({raw}) <= 640.0 AND ({np}) < 256
+             THEN 256.0 * LN(256.0 / (256 - ({np})))
+             ELSE ({raw}) END
+"""
+
+
+def _hll_raw_sql(zp: str, np: str) -> str:
+    return (
+        "((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0) * 9007199254740992.0 "
+        f"/ (({zp}) + (256 - ({np})) * 9007199254740992)"
+    )
+
+
+def _hll_est_col(z_present, n_present):
+    """Corrected HLL estimate from integer register aggregates (Column)."""
+    raw = (
+        F.lit((0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0)
+        * F.lit(9007199254740992.0)
+        / (z_present + (F.lit(256) - n_present) * F.lit(9007199254740992))
+    )
+    return F.when(
+        (raw <= 640.0) & (n_present < 256),
+        F.lit(256.0) * F.log(F.lit(256.0) / (F.lit(256) - n_present)),
+    ).otherwise(raw)
+
+
+@register(
+    "sketch_hll_audience_overlap",
+    oracle=f"""
+    WITH ev AS (
+        SELECT event_type AS t, user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    regs AS (
+        SELECT t, h % 256 AS reg,
+               MAX(CASE WHEN h // 256 > 0
+                        THEN 53 - length(bin(h // 256)) ELSE 53 END) AS m
+        FROM ev GROUP BY t, reg
+    ),
+    pairs(ta, tb) AS (
+        VALUES ('click', 'purchase'), ('click', 'view'), ('purchase', 'view')
+    ),
+    uni AS (
+        SELECT p.ta, p.tb, r.reg, MAX(r.m) AS m
+        FROM pairs p JOIN regs r ON r.t = p.ta OR r.t = p.tb
+        GROUP BY p.ta, p.tb, r.reg
+    ),
+    zu AS (
+        SELECT ta, tb,
+               SUM(CAST(POW(2.0, 53 - m) AS BIGINT)) AS zp,
+               COUNT(*) AS np
+        FROM uni GROUP BY ta, tb
+    ),
+    zt AS (
+        SELECT t, SUM(CAST(POW(2.0, 53 - m) AS BIGINT)) AS zp,
+               COUNT(*) AS np
+        FROM regs GROUP BY t
+    ),
+    est AS (
+        SELECT zu.ta, zu.tb,
+               {_HLL_EST_SQL.format(raw=_hll_raw_sql("zu.zp", "zu.np"), np="zu.np")}
+                   AS e_union,
+               {_HLL_EST_SQL.format(raw=_hll_raw_sql("za.zp", "za.np"), np="za.np")}
+                   AS e_a,
+               {_HLL_EST_SQL.format(raw=_hll_raw_sql("zb.zp", "zb.np"), np="zb.np")}
+                   AS e_b
+        FROM zu
+        JOIN zt za ON za.t = zu.ta
+        JOIN zt zb ON zb.t = zu.tb
+    ),
+    users AS (SELECT DISTINCT t, user_id FROM ev),
+    exact_union AS (
+        SELECT p.ta, p.tb, COUNT(DISTINCT e.user_id) AS x_union
+        FROM pairs p JOIN ev e ON e.t IN (p.ta, p.tb)
+        GROUP BY p.ta, p.tb
+    ),
+    exact_inter AS (
+        SELECT p.ta, p.tb, COUNT(*) AS x_inter
+        FROM pairs p
+        JOIN users a ON a.t = p.ta
+        JOIN users b ON b.t = p.tb AND b.user_id = a.user_id
+        GROUP BY p.ta, p.tb
+    )
+    SELECT est.ta AS type_a, est.tb AS type_b,
+           CAST(ROUND(CAST(est.e_union AS DECIMAL(38,8)), 2) AS DOUBLE)
+               AS est_union,
+           CAST(xu.x_union AS BIGINT) AS exact_union,
+           CAST(ROUND(CAST(est.e_a + est.e_b - est.e_union
+                AS DECIMAL(38,8)), 2) AS DOUBLE) AS est_intersection,
+           CAST(xi.x_inter AS BIGINT) AS exact_intersection
+    FROM est
+    JOIN exact_union xu ON xu.ta = est.ta AND xu.tb = est.tb
+    JOIN exact_inter xi ON xi.ta = est.ta AND xi.tb = est.tb
+    """,
+    description="HLL set algebra for audience overlap: per-event-type "
+    "register tables union by element-wise MAX (the only set operation "
+    "sketches support natively) and inclusion-exclusion turns union "
+    "estimates into an INTERSECTION estimate — |A and B| = |A| + |B| - "
+    "|A or B| — without ever materializing either user set. The "
+    "audience-overlap / reach-dedup primitive: at 100 TB the three "
+    "audiences never co-shuffle; each type's 256-row register table is "
+    "the entire interchange. Same integer-space estimation as "
+    "sketch_hll_mergeable_daily_rollup (bit-identical across engines), "
+    "exact counts carried alongside as ground truth.",
+)
+def sketch_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    types = ["view", "click", "purchase"]
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    ev = events.filter(F.col("event_type").isin(types)).select(
+        F.col("event_type").alias("t"), "user_id", h.alias("h")
+    )
+    regs = ev.groupBy(
+        "t", (F.col("h") % 256).alias("reg")
+    ).agg(
+        F.max(
+            F.when(
+                F.expr("h div 256") > 0,
+                F.lit(53) - F.length(F.bin(F.expr("h div 256"))),
+            ).otherwise(53)
+        ).alias("m")
+    )
+    pairs = spark.createDataFrame(
+        [("click", "purchase"), ("click", "view"), ("purchase", "view")],
+        "ta string, tb string",
+    )
+    uni = (
+        pairs.join(
+            regs,
+            (F.col("t") == F.col("ta")) | (F.col("t") == F.col("tb")),
+        )
+        .groupBy("ta", "tb", "reg")
+        .agg(F.max("m").alias("m"))
+    )
+    z_expr = F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("bigint"))
+    zu = uni.groupBy("ta", "tb").agg(
+        z_expr.alias("zp"), F.count(F.lit(1)).alias("np")
+    )
+    zt = regs.groupBy("t").agg(
+        z_expr.alias("zp"), F.count(F.lit(1)).alias("np")
+    )
+    est = (
+        zu.join(
+            zt.select(
+                F.col("t").alias("ta"),
+                F.col("zp").alias("zp_a"),
+                F.col("np").alias("np_a"),
+            ),
+            "ta",
+        )
+        .join(
+            zt.select(
+                F.col("t").alias("tb"),
+                F.col("zp").alias("zp_b"),
+                F.col("np").alias("np_b"),
+            ),
+            "tb",
+        )
+        .select(
+            "ta",
+            "tb",
+            _hll_est_col(F.col("zp"), F.col("np")).alias("e_union"),
+            _hll_est_col(F.col("zp_a"), F.col("np_a")).alias("e_a"),
+            _hll_est_col(F.col("zp_b"), F.col("np_b")).alias("e_b"),
+        )
+    )
+    users = ev.select("t", "user_id").distinct()
+    ua = users.select(F.col("t").alias("ta"), F.col("user_id").alias("u"))
+    ub = users.select(F.col("t").alias("tb"), F.col("user_id").alias("u"))
+    exact_union = (
+        pairs.join(ua, "ta")
+        .unionByName(pairs.join(ub, "tb").select("ta", "tb", "u"))
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("u").alias("x_union"))
+    )
+    exact_inter = (
+        pairs.join(ua, "ta")
+        .join(ub.withColumnRenamed("u", "u2"), "tb")
+        .filter(F.col("u") == F.col("u2"))
+        .groupBy("ta", "tb")
+        .agg(F.countDistinct("u").alias("x_inter"))
+    )
+    return (
+        est.join(exact_union, ["ta", "tb"])
+        .join(exact_inter, ["ta", "tb"])
+        .select(
+            F.col("ta").alias("type_a"),
+            F.col("tb").alias("type_b"),
+            dround(F.col("e_union"), 2).alias("est_union"),
+            F.col("x_union").cast("bigint").alias("exact_union"),
+            dround(
+                F.col("e_a") + F.col("e_b") - F.col("e_union"), 2
+            ).alias("est_intersection"),
+            F.col("x_inter").cast("bigint").alias("exact_intersection"),
+        )
+    )
+
+
 @register(
     "sketch_hll_exact_users",
     oracle="""
