@@ -165,3 +165,42 @@ def test_locf_fills_only_gaps_and_carries_last(spark, sf_dir):
                 assert r.locf_value == prev
             prev = r.locf_value
         assert all(r.locf_value is not None for r in series)
+
+
+def test_hll_rollup_estimate_accuracy(spark, sf_dir, specs):
+    """Linear-counting-corrected HLL must track the exact cumulative
+    distinct within 10% at every day, and be monotone non-decreasing."""
+    rows = sorted(
+        specs["sketch_hll_mergeable_daily_rollup"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.day,
+    )
+    assert rows
+    prev = 0.0
+    for r in rows:
+        assert abs(r.est_cum_users - r.exact_cum_users) <= max(
+            0.10 * r.exact_cum_users, 3
+        ), r
+        assert r.est_cum_users >= prev - 1e-9  # sketch union is monotone
+        prev = r.est_cum_users
+
+
+def test_hll_overlap_consistency(spark, sf_dir, specs):
+    """Inclusion-exclusion invariants: union >= each side's exact count
+    can fail for sketches, but est_intersection must be <= est_union and
+    exact_intersection <= exact_union always."""
+    for r in specs["sketch_hll_audience_overlap"].fn(spark, sf_dir).collect():
+        assert r.exact_intersection <= r.exact_union
+        assert r.est_intersection <= r.est_union + 1e-9
+        assert abs(r.est_union - r.exact_union) <= max(
+            0.10 * r.exact_union, 3
+        ), r
+
+
+def test_zorder_layout_prunes_better_than_natural(spark, sf_dir, specs):
+    got = {
+        r.layout: r
+        for r in specs["storage_zorder_pruning_audit"].fn(spark, sf_dir).collect()
+    }
+    assert set(got) == {"zorder", "natural"}
+    assert got["zorder"].skip_ratio > got["natural"].skip_ratio
+    assert got["zorder"].files_scanned < got["zorder"].n_files
