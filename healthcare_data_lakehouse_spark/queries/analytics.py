@@ -1008,6 +1008,116 @@ def sketch_hll_audience_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sketch_hll_sliding_7day_users",
+    oracle=f"""
+    WITH ev AS (
+        SELECT CAST(ts AS DATE) AS day, user_id,
+               ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT
+                   AS h
+        FROM events
+    ),
+    daily AS (
+        SELECT day, h % 256 AS reg,
+               MAX(CASE WHEN h // 256 > 0
+                        THEN 53 - length(bin(h // 256)) ELSE 53 END) AS m
+        FROM ev GROUP BY day, reg
+    ),
+    days AS (SELECT DISTINCT day FROM daily),
+    win AS (
+        SELECT d.day, m.reg, MAX(m.m) AS m
+        FROM days d JOIN daily m
+          ON m.day <= d.day AND m.day >= d.day - INTERVAL 6 DAY
+        GROUP BY d.day, m.reg
+    ),
+    z AS (
+        SELECT day, SUM(CAST(POW(2.0, 53 - m) AS BIGINT)) AS zp,
+               COUNT(*) AS np
+        FROM win GROUP BY day
+    ),
+    exact AS (
+        SELECT d.day, COUNT(DISTINCT e.user_id) AS exact_users_7d
+        FROM days d JOIN ev e
+          ON e.day <= d.day AND e.day >= d.day - INTERVAL 6 DAY
+        GROUP BY d.day
+    )
+    SELECT z.day,
+           CAST(ROUND(CAST(
+               {_HLL_EST_SQL.format(raw=_hll_raw_sql("z.zp", "z.np"), np="z.np")}
+               AS DECIMAL(38,8)), 2) AS DOUBLE) AS est_users_7d,
+           CAST(e.exact_users_7d AS BIGINT) AS exact_users_7d
+    FROM z JOIN exact e ON e.day = z.day
+    """,
+    description="Sliding 7-day distinct users from HLL register state — "
+    "the sketch twin of events_dau_wau's exact sliding window: each "
+    "day's 256-register sketch is built once (one map-side-combinable "
+    "groupBy over the facts), and ANY trailing window is answered by "
+    "MAX-merging at most 7 register tables — O(days x 256) work "
+    "regardless of fact volume, where the exact path must re-touch "
+    "every event in the window. Completes the sketch-family ladder: "
+    "point NDV (sketch_hll_distinct_users), cumulative rollup, set "
+    "algebra (audience overlap), sliding window (this). Integer-space "
+    "estimation, linear-counting corrected, exact count alongside.",
+)
+def sketch_hll_sliding_7day_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    h = F.conv(
+        F.substring(F.md5(F.col("user_id").cast("string")), 1, 15), 16, 10
+    ).cast("bigint")
+    ev = events.select(
+        F.col("ts").cast("date").alias("day"), "user_id", h.alias("h")
+    )
+    daily = ev.groupBy(
+        "day", (F.col("h") % 256).alias("reg")
+    ).agg(
+        F.max(
+            F.when(
+                F.expr("h div 256") > 0,
+                F.lit(53) - F.length(F.bin(F.expr("h div 256"))),
+            ).otherwise(53)
+        ).alias("m")
+    )
+    days = daily.select("day").distinct()
+    win = (
+        days.alias("d")
+        .join(
+            daily.alias("m"),
+            (F.col("m.day") <= F.col("d.day"))
+            & (F.col("m.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"), F.col("m.reg").alias("reg"))
+        .agg(F.max("m.m").alias("m"))
+    )
+    z = win.groupBy("day").agg(
+        F.sum(F.pow(F.lit(2.0), F.lit(53) - F.col("m")).cast("bigint")).alias(
+            "zp"
+        ),
+        F.count(F.lit(1)).alias("np"),
+    )
+    exact = (
+        days.alias("d")
+        .join(
+            ev.select("day", "user_id").distinct().alias("e"),
+            (F.col("e.day") <= F.col("d.day"))
+            & (F.col("e.day") >= F.date_sub(F.col("d.day"), 6)),
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.countDistinct("e.user_id").alias("exact_users_7d"))
+    )
+    return (
+        z.join(exact, "day")
+        .select(
+            "day",
+            dround(_hll_est_col(F.col("zp"), F.col("np")), 2).alias(
+                "est_users_7d"
+            ),
+            F.col("exact_users_7d").cast("bigint").alias("exact_users_7d"),
+        )
+    )
+
+
+@register(
     "sketch_hll_exact_users",
     oracle="""
     SELECT event_type, COUNT(DISTINCT user_id) AS exact_users
@@ -2819,9 +2929,16 @@ def graph_supplier_copart_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_salts = 8
     hot_threshold = 64
     li = table(spark, sf_dir, "lineitem")
-    sp = li.select(
-        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-    ).distinct()
+    # materialize the distinct (s, p) table once — the census, both join
+    # sides, and the hot-tag join all read it; without this the scan +
+    # distinct shuffle runs once per consumer
+    sp = (
+        li.select(
+            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
     hot = (
         sp.groupBy("p")
         .agg(F.count(F.lit(1)).alias("n_s"))
