@@ -152,6 +152,8 @@ HEADLINE = [
     "storage_zorder_pruning_audit",
     "dedup_clusters_star",
     "sketch_hll_mergeable_daily_rollup",
+    "sketch_hll_sliding_7day_users",
+    "sketch_hll_audience_overlap",
     "multimodal_header_kpis",
     "stats_wilson_ci_purchase_rate",
     "stats_theil_sen_daily_trend",
