@@ -41,10 +41,14 @@ def running_sum_over(
     spark = df.sparkSession
     if n_parts is None:
         n_parts = max(spark.sparkContext.defaultParallelism // 2, 4)
+    # localCheckpoint (eager), not persist: it MATERIALIZES the frame, so
+    # spark_partition_id is observed identically by the totals pass and
+    # the join pass even under cache eviction, and the blocks are freed
+    # when the DataFrame is GC'd instead of leaking per invocation.
     ranged = (
         df.repartitionByRange(n_parts, order_col)
         .withColumn("_pid", F.spark_partition_id())
-        .persist()
+        .localCheckpoint()
     )
     totals = ranged.groupBy("_pid").agg(F.sum(value_col).alias("_tot"))
     w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)

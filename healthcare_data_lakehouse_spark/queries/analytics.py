@@ -1144,7 +1144,7 @@ def sketch_hll_exact_users(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_events,
            CAST(ROUND(CAST(AVG(value) AS DECIMAL(38,8)), 4) AS DOUBLE)
                AS avg_value,
-           SUM(CAST(props->>'k' AS BIGINT)) AS sum_k
+           CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k
     FROM events
     GROUP BY event_type
     """,
@@ -1174,7 +1174,7 @@ def events_json_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT user_id,
-           SUM(is_start) AS n_sessions,
+           CAST(SUM(is_start) AS BIGINT) AS n_sessions,
            COUNT(*) AS n_events
     FROM marked
     GROUP BY user_id
@@ -1374,8 +1374,10 @@ def tpch_q2_cheapest_supplier_per_part(spark: SparkSession, sf_dir: str) -> Data
     "pivot_returnflag_by_linestatus",
     oracle="""
     SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END) AS F_count,
-           SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END) AS O_count,
+           CAST(SUM(CASE WHEN l_linestatus = 'F' THEN 1 ELSE 0 END)
+                AS BIGINT) AS F_count,
+           CAST(SUM(CASE WHEN l_linestatus = 'O' THEN 1 ELSE 0 END)
+                AS BIGINT) AS O_count,
            CAST(ROUND(CAST(SUM(CASE WHEN l_linestatus = 'F'
                      THEN l_extendedprice ELSE 0 END) AS DECIMAL(38,8)), 2)
                 AS DOUBLE) AS F_price,
@@ -1682,10 +1684,10 @@ def tpch_q9_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame
     oracle="""
     SELECT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
                 THEN 'LATE' ELSE 'ONTIME' END AS ship_bucket,
-           SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS high_line_count,
-           SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
-                    THEN 1 ELSE 0 END) AS low_line_count
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
     FROM lineitem l
     JOIN orders o ON o.o_orderkey = l.l_orderkey
     GROUP BY ship_bucket

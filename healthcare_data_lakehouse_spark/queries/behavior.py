@@ -888,8 +888,8 @@ def events_value_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) AS n_orders,
            ROUND(MAX(mad.m), 4) AS median_price,
            ROUND(MAX(mad.mad), 4) AS mad,
-           SUM(CASE WHEN ABS(j.x - mad.m) > 3 * 1.4826 * mad.mad
-               THEN 1 ELSE 0 END) AS n_outliers
+           CAST(SUM(CASE WHEN ABS(j.x - mad.m) > 3 * 1.4826 * mad.mad
+               THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
     FROM j JOIN mad ON mad.segment = j.segment
     GROUP BY j.segment
     """,
@@ -944,9 +944,9 @@ def stats_mad_outliers_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM first_seen GROUP BY first_day
     )
     SELECT day, new_users,
-           SUM(new_users) OVER (ORDER BY day
+           CAST(SUM(new_users) OVER (ORDER BY day
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS cumulative_users
+               AS BIGINT) AS cumulative_users
     FROM daily_new
     """,
     description="Cumulative distinct users over time WITHOUT "
@@ -1359,7 +1359,8 @@ def quality_benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM binned GROUP BY bin
     ),
     tot AS (
-      SELECT SUM(cnt_a) AS n_a, SUM(cnt_b) AS n_b FROM hist
+      SELECT CAST(SUM(cnt_a) AS BIGINT) AS n_a,
+             CAST(SUM(cnt_b) AS BIGINT) AS n_b FROM hist
     ),
     cdf AS (
       SELECT SUM(cnt_a) OVER (ORDER BY bin) * 1.0 / tot.n_a

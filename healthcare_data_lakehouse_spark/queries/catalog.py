@@ -54,8 +54,11 @@ PRIORITY = [
     "transform_clean_pipeline",
     "load_merge_upsert",
     "load_incremental_append_new",
+    "load_append_inserts_all",
     "load_time_travel_diff",
     "load_zone_map_pruned_scan",
+    "source_csv_roundtrip_events",
+    "source_json_roundtrip_events",
     "etl_run_job_silver",
     "etl_quarantine_split",
     "lineage_medallion_edges",

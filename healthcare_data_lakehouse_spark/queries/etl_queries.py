@@ -13,14 +13,13 @@ mirrors Spark's ``try_to_timestamp`` chain exactly (both NULL on mismatch).
 
 from __future__ import annotations
 
-import tempfile
-
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_spark import transforms as T
 from healthcare_data_lakehouse_spark.fixtures import HEALTHCARE_CTE, healthcare_frame
 from healthcare_data_lakehouse_spark.queries.catalog import register
+from healthcare_data_lakehouse_spark.scratch import scratch_dir
 from healthcare_data_lakehouse_spark.tables import table
 from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
 
@@ -169,7 +168,7 @@ def load_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("o_totalprice") * 2).alias("o_totalprice"),
         F.lit("U").alias("o_orderstatus"),
     )
-    store = ZoneStore(spark, tempfile.mkdtemp(prefix="zs_merge_"))
+    store = ZoneStore(spark, scratch_dir("zs_merge_"))
     store.write(DataZone.SILVER, "orders_m", target, LoadType.FULL)
     store.write(DataZone.SILVER, "orders_m", source, LoadType.MERGE)
     out = store.read(DataZone.SILVER, "orders_m")
@@ -213,10 +212,55 @@ def load_incremental_append_new(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_totalprice",
         F.lit("NEW").alias("o_orderstatus"),
     )
-    store = ZoneStore(spark, tempfile.mkdtemp(prefix="zs_incr_"))
+    store = ZoneStore(spark, scratch_dir("zs_incr_"))
     store.write(DataZone.SILVER, "orders_i", target, LoadType.FULL)
     store.write(DataZone.SILVER, "orders_i", source, LoadType.INCREMENTAL)
     out = store.read(DataZone.SILVER, "orders_i")
+    return out.select(
+        "id",
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+
+
+# ------------------------------------------------------- L3 APPEND
+@register(
+    "load_append_inserts_all",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey AS id, o_totalprice, o_orderstatus
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    source AS (
+        SELECT o_orderkey AS id, o_totalprice, 'APP' AS o_orderstatus
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    SELECT id, ROUND(o_totalprice, 2) AS totalprice, o_orderstatus AS status
+    FROM (
+        SELECT * FROM target
+        UNION ALL
+        SELECT * FROM source
+    )
+    """,
+    description="L3 APPEND through the real ZoneStore "
+    "(etl_manager.py:454-455): every source row lands as a new commit — "
+    "no matching, no dedup, overlapping ids intentionally duplicated "
+    "(the contract that distinguishes APPEND from INCREMENTAL/MERGE).",
+)
+def load_append_inserts_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("id"), "o_totalprice", "o_orderstatus"
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        "o_totalprice",
+        F.lit("APP").alias("o_orderstatus"),
+    )
+    store = ZoneStore(spark, scratch_dir("zs_app_"))
+    store.write(DataZone.SILVER, "orders_a", target, LoadType.FULL)
+    store.write(DataZone.SILVER, "orders_a", source, LoadType.APPEND)
+    out = store.read(DataZone.SILVER, "orders_a")
     return out.select(
         "id",
         F.round("o_totalprice", 2).alias("totalprice"),
@@ -282,7 +326,7 @@ def etl_run_job_silver(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = healthcare_frame(spark, sf_dir)
     mgr = HealthcareETLManager(
-        spark, tempfile.mkdtemp(prefix="wh_job_"), quarantine_cap=None
+        spark, scratch_dir("wh_job_"), quarantine_cap=None
     )
     config = ETLJobConfig(
         job_id="silver_patients",
@@ -321,7 +365,7 @@ def etl_quarantine_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     df = healthcare_frame(spark, sf_dir)
     mgr = HealthcareETLManager(
-        spark, tempfile.mkdtemp(prefix="wh_quar_"), quarantine_cap=None
+        spark, scratch_dir("wh_quar_"), quarantine_cap=None
     )
     config = ETLJobConfig(
         job_id="silver_patients_q",
@@ -402,7 +446,7 @@ def _roundtrip_query(fmt: str):
         events = table(spark, sf_dir, "events").select(
             "event_id", "event_type", "value"
         )
-        out = tempfile.mkdtemp(prefix=f"src_{fmt}_")
+        out = scratch_dir(f"src_{fmt}_")
         write_sink(events, out, fmt=fmt)
         back = read_source(spark, out, fmt=fmt, schema=events.schema)
         return back.groupBy("event_type").agg(
@@ -605,7 +649,7 @@ def load_time_travel_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     extra = orders.filter(F.col("o_orderkey") % 3 == 1).select(
         F.col("o_orderkey").alias("id"), "o_totalprice"
     )
-    store = ZoneStore(spark, tempfile.mkdtemp(prefix="zs_tt_"))
+    store = ZoneStore(spark, scratch_dir("zs_tt_"))
     store.write(DataZone.SILVER, "orders_tt", v1, LoadType.FULL)
     store.write(DataZone.SILVER, "orders_tt", extra, LoadType.APPEND)
 
@@ -656,7 +700,7 @@ def load_zone_map_pruned_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     mm = orders.agg(
         F.min("o_custkey").alias("lo"), F.max("o_custkey").alias("hi")
     ).collect()[0]
-    store = ZoneStore(spark, tempfile.mkdtemp(prefix="zs_prune_"))
+    store = ZoneStore(spark, scratch_dir("zs_prune_"))
     # quartile split by value range (not frequency), integer math shared
     # with the oracle; the probe window spans [3/8, 5/8] of the key range,
     # which overlaps exactly the middle two commits at any scale factor

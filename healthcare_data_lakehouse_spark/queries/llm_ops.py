@@ -1273,9 +1273,10 @@ def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM stats
     )
     SELECT r.lang, r.n_docs, ROUND(r.rate, 6) AS sample_rate,
-           COALESCE(SUM(CASE WHEN
+           CAST(COALESCE(SUM(CASE WHEN
                CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-               / 281474976710656.0 < r.rate THEN 1 ELSE 0 END), 0) AS n_sampled
+               / 281474976710656.0 < r.rate THEN 1 ELSE 0 END), 0)
+               AS BIGINT) AS n_sampled
     FROM rates r JOIN documents d ON d.lang = r.lang
     GROUP BY r.lang, r.n_docs, r.rate
     """,
@@ -1681,7 +1682,7 @@ def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY t.tok
     ),
     pairs AS (
-        SELECT substr(w, i, 2) AS pair, SUM(freq) AS n
+        SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
         FROM words, UNNEST(range(1, length(w))) AS u(i)
         WHERE length(w) >= 2
         GROUP BY substr(w, i, 2)
@@ -1879,7 +1880,7 @@ def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang, bin_id,
            COUNT(*) AS n_docs,
-           SUM(n_tokens) AS tokens,
+           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
            ROUND(LEAST(SUM(n_tokens), 2048) / 2048.0, 6) AS fill_ratio
     FROM packed
     GROUP BY lang, bin_id
@@ -2474,7 +2475,8 @@ def dedup_incremental_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     boiler AS (SELECT chunk FROM freq WHERE n_docs >= 2)
     SELECT c.doc_id,
            COUNT(*) AS n_chunks,
-           SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END) AS n_boilerplate,
+           CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_boilerplate,
            ROUND(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1.0 ELSE 0 END) / COUNT(*), 6)
                AS boilerplate_ratio
     FROM chunks c LEFT JOIN boiler b ON b.chunk = c.chunk
@@ -2797,8 +2799,9 @@ def dedup_bloom_prefilter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     ),
     per AS (
-        SELECT shard, COUNT(*) AS n_docs, SUM(n_tokens) AS n_tokens,
-               SUM(n_chars) AS n_chars
+        SELECT shard, COUNT(*) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
         FROM sharded GROUP BY shard
     ),
     tot AS (SELECT AVG(n_tokens) AS mean_tokens FROM per)

@@ -641,7 +641,8 @@ def quality_profile_events_columns(spark: SparkSession, sf_dir: str) -> DataFram
     ),
     ev AS (
         SELECT COUNT(*) AS before_rows,
-               SUM(CASE WHEN user_id % 101 = 7 THEN 1 ELSE 0 END) AS erased_rows
+               CAST(SUM(CASE WHEN user_id % 101 = 7 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS erased_rows
         FROM events
     )
     SELECT 'events' AS table_name,

@@ -8,13 +8,13 @@ Spark's unified batch/stream model).
 
 from __future__ import annotations
 
-import tempfile
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_spark.queries.catalog import register
+from healthcare_data_lakehouse_spark.scratch import scratch_dir
 
 __all__: list[str] = []
 
@@ -41,7 +41,7 @@ def streaming_event_window_counts(spark: SparkSession, sf_dir: str) -> DataFrame
     return run_stream_to_table(
         spark,
         f"{sf_dir}/events.parquet",
-        tempfile.mkdtemp(prefix="stream_"),
+        scratch_dir("stream_"),
         window="1 hour",
         prepare=prepare,
         query_name=f"stream_result_{uuid.uuid4().hex[:8]}",
@@ -67,7 +67,7 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
     return stateful_user_totals(
         spark,
         f"{sf_dir}/events.parquet",
-        tempfile.mkdtemp(prefix="stateful_"),
+        scratch_dir("stateful_"),
         query_name=f"stateful_result_{uuid.uuid4().hex[:8]}",
     )
 
@@ -95,8 +95,8 @@ def streaming_stateful_user_totals(spark: SparkSession, sf_dir: str) -> DataFram
         FROM islands GROUP BY user_id, sess_id
     )
     SELECT user_id, COUNT(*) AS n_sessions,
-           SUM(n_ev) AS n_events,
-           SUM(dur_s) AS total_session_seconds
+           CAST(SUM(n_ev) AS BIGINT) AS n_events,
+           CAST(SUM(dur_s) AS BIGINT) AS total_session_seconds
     FROM sessions GROUP BY user_id
     """,
     description="Spark-native session windows (F.session_window, 30-min "
@@ -151,7 +151,7 @@ def streaming_interval_join_clicks_purchases(
     return run_interval_join_stream(
         spark,
         f"{sf_dir}/events.parquet",
-        tempfile.mkdtemp(prefix="stream_ssj_"),
+        scratch_dir("stream_ssj_"),
         query_name=f"ssj_result_{uuid.uuid4().hex[:8]}",
     ).select("user_id", "l_ts", "click_id", "r_ts", "purchase_id")
 
@@ -198,7 +198,7 @@ def streaming_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
     return run_session_stream(
         spark,
         f"{sf_dir}/events.parquet",
-        tempfile.mkdtemp(prefix="stream_sess_"),
+        scratch_dir("stream_sess_"),
         gap="10 minutes",
         prepare=prepare,
         query_name=f"stream_sessions_{uuid.uuid4().hex[:8]}",

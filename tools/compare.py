@@ -21,6 +21,12 @@ import duckdb  # noqa: E402
 
 
 def norm_value(v) -> str:
+    # Driver-strict stringification: NO int-normalization of floats and no
+    # precision clipping.  Rounds 1-3 proved that a lenient local gate
+    # (int-normalizing floats / stringifying HUGEINT like bigint) reports
+    # green while the driver's hasher reports red — values must be
+    # bit-identical across engines, with dround()/CAST discipline in the
+    # queries themselves, not papered over here.
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -28,12 +34,15 @@ def norm_value(v) -> str:
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
-        if v == int(v) and abs(v) < 1e15:
-            return str(int(v))
-        return f"{v:.6g}"
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(norm_value(x) for x in v) + "]"
     return str(v)
+
+
+# DuckDB result-schema types that the driver's hasher stringifies
+# differently from the Spark side even when values are numerically equal.
+BANNED_DUCK_TYPES = {"HUGEINT", "UHUGEINT"}
 
 
 def row_blob(row) -> str:
@@ -83,11 +92,22 @@ def main() -> int:
             print(f"ROWS-ONLY {name}: {len(s_rows)} rows ({spark_s:.1f}s)")
             continue
         try:
-            res = con.execute(oracles[name])
-            d_cols = [c[0] for c in res.description]
-            d_rows = res.fetchall()
+            rel = con.sql(oracles[name])
+            d_cols = list(rel.columns)
+            d_types = [str(t) for t in rel.types]
+            d_rows = rel.fetchall()
         except Exception as ex:
             print(f"FAIL {name}: duckdb error: {ex}")
+            failures.append(name)
+            continue
+
+        bad_types = [
+            (c, t) for c, t in zip(d_cols, d_types) if t in BANNED_DUCK_TYPES
+        ]
+        if bad_types:
+            print(f"FAIL {name}: oracle output has int128 columns {bad_types} "
+                  "(driver hasher stringifies these differently than Spark "
+                  "bigint) — CAST(... AS BIGINT) in the oracle SQL")
             failures.append(name)
             continue
 
