@@ -27,6 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from healthcare_data_lakehouse_spark.functions import dround
 from healthcare_data_lakehouse_spark.queries.catalog import register
 from healthcare_data_lakehouse_spark.tables import table
 
@@ -206,7 +207,8 @@ def orders_pareto_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
            cust_avg
     FROM (
       SELECT o_custkey, o_orderkey, o_totalprice,
-             ROUND(AVG(o_totalprice) OVER (PARTITION BY o_custkey), 2)
+             CAST(ROUND(CAST(AVG(o_totalprice) OVER (PARTITION BY o_custkey)
+                  AS DECIMAL(38,8)), 2) AS DOUBLE)
                AS cust_avg
       FROM orders
     )
@@ -222,7 +224,7 @@ def orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("o_custkey")
     return (
         orders.withColumn(
-            "cust_avg", F.round(F.avg("o_totalprice").over(w), 2)
+            "cust_avg", dround(F.avg("o_totalprice").over(w), 2)
         )
         .filter(F.col("o_totalprice") > 1.5 * F.col("cust_avg"))
         .select("o_custkey", "o_orderkey", "o_totalprice", "cust_avg")

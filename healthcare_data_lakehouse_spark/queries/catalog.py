@@ -85,14 +85,15 @@ PRIORITY = [
     "skew_salted_join_event_kpis",
     "pivot_returnflag_by_linestatus",
     "sketch_hll_exact_users",
-    # headline TPC-H shapes + LLM-pipeline representatives
+    # headline TPC-H shapes + LLM-pipeline representatives. The driver
+    # samples the FIRST 50 catalog entries — §2 parity surface,
+    # previously-red queries, and one representative per LLM-pipeline
+    # family must all fit inside that window, so only three TPC-H
+    # representatives ride here (the full Q1-Q22 sweep is verified by
+    # tools/compare.py and pytest every round regardless).
     "tpch_q1_pricing_summary",
     "tpch_q3_shipping_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
     "tpch_q9_profit_by_nation_year",
-    "tpch_q18_large_volume_orders",
-    "tpch_q21_sole_late_supplier",
     "window_top3_orders_per_customer",
     "rollup_lineitem_flag_status",
     "events_funnel_view_click_purchase",

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_spark import transforms as T
 from healthcare_data_lakehouse_spark.fixtures import HEALTHCARE_CTE, healthcare_frame
+from healthcare_data_lakehouse_spark.functions import dround
 from healthcare_data_lakehouse_spark.queries.catalog import register
 from healthcare_data_lakehouse_spark.scratch import scratch_dir
 from healthcare_data_lakehouse_spark.tables import table
@@ -493,10 +494,13 @@ register(
     )
     SELECT custkey,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS lifetime_value,
-           ROUND(AVG(o_totalprice), 4) AS avg_order_value,
+           CAST(ROUND(CAST(SUM(o_totalprice) AS DECIMAL(38,8)), 2) AS DOUBLE)
+               AS lifetime_value,
+           CAST(ROUND(CAST(AVG(o_totalprice) AS DECIMAL(38,8)), 4) AS DOUBLE)
+               AS avg_order_value,
            MAX(o_orderdate) AS last_order_at,
-           ROUND(AVG(date_diff('second', prev_date, o_orderdate)) / 86400.0, 4)
+           CAST(ROUND(CAST(AVG(date_diff('second', prev_date, o_orderdate))
+                / 86400.0 AS DECIMAL(38,8)), 4) AS DOUBLE)
                AS avg_reorder_days
     FROM per_order
     GROUP BY custkey
@@ -525,10 +529,10 @@ def platinum_customer_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     ) / 86400.0
     return per_order.groupBy("custkey").agg(
         F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("lifetime_value"),
-        F.round(F.avg("o_totalprice"), 4).alias("avg_order_value"),
+        dround(F.sum("o_totalprice"), 2).alias("lifetime_value"),
+        dround(F.avg("o_totalprice"), 4).alias("avg_order_value"),
         F.max("o_orderdate").alias("last_order_at"),
-        F.round(F.avg(gap_days), 4).alias("avg_reorder_days"),
+        dround(F.avg(gap_days), 4).alias("avg_reorder_days"),
     )
 
 

@@ -2652,8 +2652,10 @@ def _minhash_error_oracle() -> str:
 )
 def similarity_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_dups(spark, sf_dir, 20)
-    pairs = D.lsh_candidate_pairs(docs, threshold=0.5)
-    sig = D.minhash_signature(docs)
+    # one shingle pass feeds both the pair verification and the signature
+    # columns the estimate reads — lsh_candidate_pairs + minhash_signature
+    # separately would shingle and aggregate the corpus twice
+    pairs, sig = D.lsh_pairs_and_signatures(docs, threshold=0.5)
     n = len(D.MINHASH_PERMS)
     sa = sig.select(
         F.col("doc_id").alias("id_a"),
