@@ -154,6 +154,8 @@ HEADLINE = [
     "sketch_hll_mergeable_daily_rollup",
     "sketch_hll_sliding_7day_users",
     "sketch_hll_audience_overlap",
+    "sketch_histogram_quantiles",
+    "join_bucketed_colocated",
     "multimodal_header_kpis",
     "stats_wilson_ci_purchase_rate",
     "stats_theil_sen_daily_trend",

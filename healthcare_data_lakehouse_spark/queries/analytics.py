@@ -804,6 +804,91 @@ def sketch_hll_mergeable_daily_rollup(
     )
 
 
+@register(
+    "sketch_histogram_quantiles",
+    oracle="""
+    WITH binned AS (
+        SELECT o_orderpriority AS priority,
+               CAST(FLOOR(o_totalprice / 500) AS BIGINT) AS bin,
+               COUNT(*) AS c
+        FROM orders GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT priority, bin, c,
+               CAST(SUM(c) OVER (PARTITION BY priority ORDER BY bin
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+               CAST(SUM(c) OVER (PARTITION BY priority) AS BIGINT) AS n
+        FROM binned
+    ),
+    p50 AS (
+        SELECT priority, MIN(bin) AS b, MAX(n) AS n FROM cum
+        WHERE cum >= CAST(CEIL(0.5 * n) AS BIGINT) GROUP BY priority
+    ),
+    p90 AS (
+        SELECT priority, MIN(bin) AS b FROM cum
+        WHERE cum >= CAST(CEIL(0.9 * n) AS BIGINT) GROUP BY priority
+    )
+    SELECT p50.priority, p50.n AS n_orders,
+           (p50.b + 0.5) * 500 AS approx_p50,
+           (p90.b + 0.5) * 500 AS approx_p90
+    FROM p50 JOIN p90 ON p90.priority = p50.priority
+    """,
+    description="Mergeable fixed-width-histogram quantile sketch (the "
+    "third sketch family beside HLL and CMS): per-key totalprice "
+    "distributions reduce to (key, bin, count) — one map-side-combinable "
+    "groupBy whose state is O(keys x bins) regardless of row count, and "
+    "MERGING two sketches is adding bin counts, so per-partition/per-day "
+    "histograms roll up without re-scanning history (same union-algebra "
+    "argument as the HLL rollup). Quantiles read off the bin CDF: "
+    "smallest bin whose cumulative count reaches ceil(q*n), estimate = "
+    "bin midpoint (error bounded by bin width/2). All selection logic in "
+    "INTEGER space so both engines agree bit-for-bit — unlike "
+    "approx_percentile, whose t-digest state is engine-private.",
+)
+def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    binned = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("priority"),
+            F.floor(F.col("o_totalprice") / 500).cast("bigint").alias("bin"),
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w_cum = (
+        Window.partitionBy("priority")
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_all = Window.partitionBy("priority")
+    cum = binned.select(
+        "priority",
+        "bin",
+        F.sum("c").over(w_cum).alias("cum"),
+        F.sum("c").over(w_all).alias("n"),
+    )
+
+    def _pick(q: float, out: str) -> DataFrame:
+        return (
+            cum.filter(
+                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("bigint")
+            )
+            .groupBy("priority")
+            .agg(F.min("bin").alias(out), F.max("n").alias(f"_n_{out}"))
+        )
+
+    p50 = _pick(0.5, "b50")
+    p90 = _pick(0.9, "b90").drop("_n_b90")
+    return (
+        p50.join(p90, "priority")
+        .select(
+            "priority",
+            F.col("_n_b50").alias("n_orders"),
+            ((F.col("b50") + 0.5) * 500).alias("approx_p50"),
+            ((F.col("b90") + 0.5) * 500).alias("approx_p90"),
+        )
+    )
+
+
 _HLL_EST_SQL = """
         CASE WHEN ({raw}) <= 640.0 AND ({np}) < 256
              THEN 256.0 * LN(256.0 / (256 - ({np})))

@@ -846,3 +846,55 @@ def scd2_point_in_time_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------- bucketed co-located join
+@register(
+    "join_bucketed_colocated",
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           COUNT(*) AS n_orders,
+           CAST(ROUND(CAST(SUM(o.o_totalprice) AS DECIMAL(38,8)), 2)
+                AS DOUBLE) AS revenue
+    FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_mktsegment
+    """,
+    description="Shuffle-free fact-dim equi-join via BUCKETED storage "
+    "layout: both tables are written bucketBy(8, join_key) + sortBy, so "
+    "the sort-merge join reads co-located buckets directly — NO Exchange "
+    "on either join input (asserted in tests/test_plans.py). At 100 TB "
+    "this is the difference between re-shuffling the fact table on every "
+    "join and paying the layout cost once at write time; the only "
+    "remaining exchange is the final tiny per-segment aggregate. Same "
+    "answer as the unbucketed join, which the oracle states.",
+)
+def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+    import uuid
+
+    base = scratch_dir("bucketed_")
+    tag = uuid.uuid4().hex[:8]
+    cust = table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    orders = table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cname, oname = f"cust_b_{tag}", f"orders_b_{tag}"
+    (
+        cust.write.bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .option("path", os.path.join(base, "c"))
+        .saveAsTable(cname)
+    )
+    (
+        orders.write.bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .option("path", os.path.join(base, "o"))
+        .saveAsTable(oname)
+    )
+    c, o = spark.table(cname), spark.table(oname)
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"])
+        .groupBy(F.col("c_mktsegment").alias("mktsegment"))
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            dround(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )

@@ -8,6 +8,7 @@ Spark's unified batch/stream model).
 
 from __future__ import annotations
 
+import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -202,4 +203,122 @@ def streaming_session_window_counts(spark: SparkSession, sf_dir: str) -> DataFra
         gap="10 minutes",
         prepare=prepare,
         query_name=f"stream_sessions_{uuid.uuid4().hex[:8]}",
+    )
+
+
+@register(
+    "streaming_dedup_within_watermark",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_id) AS n_ids
+    FROM events
+    GROUP BY event_type
+    """,
+    description="Streaming exactly-once-per-key dedup "
+    "(dropDuplicatesWithinWatermark): the full event feed is delivered "
+    "TWICE (at-least-once upstream redelivery), streamed through "
+    "key-state dedup on event_id, and drains to exactly the single-copy "
+    "batch answer. State is bounded by the watermark horizon — the only "
+    "dedup formulation that survives an unbounded feed (plain "
+    "dropDuplicates keys state forever). n_events == n_ids proves no "
+    "duplicate survived the replay.",
+)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        dedup_stream_within_watermark,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    work = scratch_dir("stream_dedupq_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type", "ts")
+    # the same feed lands twice — upstream at-least-once redelivery
+    ev.write.parquet(os.path.join(src, "f1"))
+    ev.write.parquet(os.path.join(src, "f2"))
+    stream = spark.readStream.schema(ev.schema).parquet(src + "/*")
+    # wide horizon: every replayed key is still inside the watermark, so
+    # dedup is total regardless of how the files split into micro-batches
+    out = dedup_stream_within_watermark(stream, ["event_id"], "ts", "365 days")
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(work, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("event_id").alias("n_ids"),
+        )
+    )
+
+
+@register(
+    "streaming_upsert_merge_zone",
+    oracle="""
+    WITH target AS (
+        SELECT event_id, event_type, 'orig' AS src FROM events
+    ),
+    source AS (
+        SELECT event_id, event_type, 'upd' AS src
+        FROM events WHERE event_id % 3 = 0
+    ),
+    merged AS (
+        SELECT * FROM source
+        UNION ALL
+        SELECT t.* FROM target t ANTI JOIN source s
+          ON t.event_id = s.event_id
+    )
+    SELECT event_type, src, COUNT(*) AS n
+    FROM merged GROUP BY event_type, src
+    """,
+    description="Continuous MERGE into the lakehouse: an update feed "
+    "streams through foreachBatch upsert (stream_upsert_to_zone) into a "
+    "ZoneStore table keyed by event_id — matched rows replaced in place, "
+    "no duplicates, checkpointed batch ids make replays idempotent (the "
+    "exactly-once streaming-MERGE recipe; MERGE INTO on Delta in "
+    "deployment). Oracle restates the merge as source UNION "
+    "target-anti-source.",
+)
+def streaming_upsert_merge_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stream_upsert_to_zone,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from healthcare_data_lakehouse_spark.zones import (
+        DataZone,
+        LoadType,
+        ZoneStore,
+    )
+
+    work = scratch_dir("stream_upsertq_")
+    ev = table(spark, sf_dir, "events").select("event_id", "event_type")
+    target = ev.withColumn("src", F.lit("orig"))
+    updates = (
+        ev.filter(F.col("event_id") % 3 == 0)
+        .withColumn("src", F.lit("upd"))
+    )
+    landing = os.path.join(work, "landing")
+    updates.write.parquet(landing)
+    store = ZoneStore(spark, os.path.join(work, "zones"))
+    store.write(DataZone.SILVER, "events_up", target, LoadType.FULL)
+    merged = stream_upsert_to_zone(
+        spark,
+        landing,
+        os.path.join(work, "w"),
+        store,
+        DataZone.SILVER,
+        "events_up",
+        id_col="event_id",
+    )
+    return merged.groupBy("event_type", "src").agg(
+        F.count(F.lit(1)).alias("n")
     )

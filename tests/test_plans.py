@@ -231,3 +231,22 @@ def test_aqe_coalesces_small_shuffles(spark, sf_dir):
     df.collect()  # AQE finalizes the plan only after execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
+    """join_bucketed_colocated: both sides bucketed on the join key, so the
+    sort-merge join must consume the bucketed scans directly — the only
+    exchange in the plan is the final per-segment aggregate's."""
+    saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        # force SMJ so the bucketed-scan property is what's under test
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = _plan(spark, sf_dir, "join_bucketed_colocated")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+    assert "SortMergeJoin" in plan
+    join_part = plan.split("SortMergeJoin", 1)[1]
+    # below the join: scans only, no redistribution of either input
+    assert "Exchange hashpartitioning" not in join_part
+    # one exchange total (the 5-row aggregate), never a fact-table shuffle
+    assert plan.count("Exchange hashpartitioning") <= 1
