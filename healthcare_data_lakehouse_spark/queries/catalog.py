@@ -61,7 +61,9 @@ PRIORITY = [
     "source_json_roundtrip_events",
     "etl_run_job_silver",
     "etl_quarantine_split",
+    "etl_promote_zone_chain",
     "lineage_medallion_edges",
+    "lineage_graph_audit",
     "lineage_columns_from_plan",
     "quality_validate_silver",
     "quality_validate_bronze",
@@ -84,7 +86,6 @@ PRIORITY = [
     "events_json_kpis",
     "skew_salted_join_event_kpis",
     "pivot_returnflag_by_linestatus",
-    "sketch_hll_exact_users",
     # headline TPC-H shapes + LLM-pipeline representatives. The driver
     # samples the FIRST 50 catalog entries — §2 parity surface,
     # previously-red queries, and one representative per LLM-pipeline
@@ -92,7 +93,6 @@ PRIORITY = [
     # representatives ride here (the full Q1-Q22 sweep is verified by
     # tools/compare.py and pytest every round regardless).
     "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
     "tpch_q9_profit_by_nation_year",
     "window_top3_orders_per_customer",
     "rollup_lineitem_flag_status",

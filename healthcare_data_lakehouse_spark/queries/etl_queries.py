@@ -898,3 +898,109 @@ def join_bucketed_colocated(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.sum("o_totalprice"), 2).alias("revenue"),
         )
     )
+
+
+# ------------------------------------------ P2/P3 promote chain
+@register(
+    "etl_promote_zone_chain",
+    oracle="""
+    SELECT c_custkey AS id, c_name AS name, c_mktsegment AS segment,
+           TRUE AS empty_zone_raises
+    FROM customer WHERE c_custkey % 4 = 0
+    """,
+    description="P2 promote_zone through the medallion in order (P3): "
+    "customer rows land in BRONZE, promote BRONZE->SILVER->GOLD runs the "
+    "default transformation chain (deduplicate + trim_strings + "
+    "add_metadata, reference etl_manager.py:597-629) through the real "
+    "run_job state machine at each hop; GOLD must hold exactly the "
+    "bronze rows (ids unique so dedup is a no-op, clean strings so trim "
+    "is a no-op). empty_zone_raises pins the promote-from-empty-zone "
+    "ValueError quirk.",
+)
+def etl_promote_zone_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.etl import HealthcareETLManager
+
+    mgr = HealthcareETLManager(
+        spark, scratch_dir("wh_promote_"), quarantine_cap=None
+    )
+    src = table(spark, sf_dir, "customer").filter(F.col("c_custkey") % 4 == 0).select(
+        F.col("c_custkey").alias("id"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+    )
+    mgr.store.write(DataZone.BRONZE, "cust_p", src, LoadType.FULL)
+    r1 = mgr.promote_zone("cust_p", DataZone.BRONZE, DataZone.SILVER)
+    r2 = mgr.promote_zone("cust_p", DataZone.SILVER, DataZone.GOLD)
+    for r in (r1, r2):
+        if r.status.value != "completed":
+            raise RuntimeError(f"promotion failed: {r.error_message}")
+    try:
+        mgr.promote_zone("ghost_p", DataZone.BRONZE, DataZone.SILVER)
+        raised = False
+    except ValueError:
+        raised = True
+    gold = mgr.get_zone_data(DataZone.GOLD, "cust_p")
+    return gold.select(
+        "id", "name", "segment", F.lit(raised).alias("empty_zone_raises")
+    )
+
+
+# ------------------------------------- G3/G5/G6/G7 lineage audit
+@register(
+    "lineage_graph_audit",
+    oracle="""
+    SELECT * FROM (VALUES
+        ('downstream_of_bronze', CAST(4 AS BIGINT)),
+        ('upstream_of_gold', 4),
+        ('report_upstream_count', 4),
+        ('report_zones_traversed', 3),
+        ('audit_total_assets', 4),
+        ('audit_total_runs', 1),
+        ('audit_total_transformations', 3)
+    ) AS t(metric, n)
+    """,
+    description="Lineage graph audit over a DIAMOND dag (bronze feeds two "
+    "silver assets that both feed gold): G5 downstream DFS and G4 "
+    "upstream DFS each count 4 — the duplicate-append quirk (a node "
+    "reachable via two edges appears twice, reference "
+    "lineage_tracker.py:407-449) is pinned, not papered over; G6 report "
+    "counts and zones-traversed, G7 audit-export totals over the G3 "
+    "pipeline run carrying all three steps.",
+)
+def lineage_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.lineage import (
+        LineageTracker,
+        TransformationType,
+    )
+
+    t = LineageTracker()
+    bronze = t.register_asset("events", DataZone.BRONZE, f"{sf_dir}/events.parquet")
+    s1 = t.register_asset("sessions", DataZone.SILVER, "wh/sessions")
+    s2 = t.register_asset("kpis", DataZone.SILVER, "wh/kpis")
+    gold = t.register_asset("mart", DataZone.GOLD, "wh/mart")
+    run = t.start_pipeline_run("events_mart")
+    t.record_transformation(
+        "sessionize", TransformationType.AGGREGATION,
+        [bronze.asset_id], s1.asset_id, pipeline_run_id=run.run_id,
+    )
+    t.record_transformation(
+        "kpi_rollup", TransformationType.AGGREGATION,
+        [bronze.asset_id], s2.asset_id, pipeline_run_id=run.run_id,
+    )
+    t.record_transformation(
+        "mart_join", TransformationType.JOINING,
+        [s1.asset_id, s2.asset_id], gold.asset_id, pipeline_run_id=run.run_id,
+    )
+    t.complete_pipeline_run(run.run_id)
+    report = t.generate_lineage_report(gold.asset_id)
+    audit = t.export_for_audit()
+    rows = [
+        ("downstream_of_bronze", len(t.get_downstream_impact(bronze.asset_id))),
+        ("upstream_of_gold", len(t.get_upstream_lineage(gold.asset_id))),
+        ("report_upstream_count", report["upstream_lineage"]["count"]),
+        ("report_zones_traversed", len(report["data_zones_traversed"])),
+        ("audit_total_assets", audit["summary"]["total_assets"]),
+        ("audit_total_runs", audit["summary"]["total_pipeline_runs"]),
+        ("audit_total_transformations", audit["summary"]["total_transformations"]),
+    ]
+    return spark.createDataFrame(rows, "metric string, n long")
