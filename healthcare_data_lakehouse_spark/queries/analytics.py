@@ -867,22 +867,25 @@ def sketch_histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").over(w_all).alias("n"),
     )
 
-    def _pick(q: float, out: str) -> DataFrame:
-        return (
-            cum.filter(
-                F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("bigint")
-            )
-            .groupBy("priority")
-            .agg(F.min("bin").alias(out), F.max("n").alias(f"_n_{out}"))
+    # both quantiles read off ONE CDF pass: min bin whose cumulative count
+    # reaches the target, as conditional MINs in a single aggregate (a
+    # filter+groupBy per quantile would recompute the whole CDF branch)
+    def _hit(q: float):
+        return F.when(
+            F.col("cum") >= F.ceil(F.lit(q) * F.col("n")).cast("bigint"),
+            F.col("bin"),
         )
 
-    p50 = _pick(0.5, "b50")
-    p90 = _pick(0.9, "b90").drop("_n_b90")
     return (
-        p50.join(p90, "priority")
+        cum.groupBy("priority")
+        .agg(
+            F.max("n").alias("n_orders"),
+            F.min(_hit(0.5)).alias("b50"),
+            F.min(_hit(0.9)).alias("b90"),
+        )
         .select(
             "priority",
-            F.col("_n_b50").alias("n_orders"),
+            "n_orders",
             ((F.col("b50") + 0.5) * 500).alias("approx_p50"),
             ((F.col("b90") + 0.5) * 500).alias("approx_p90"),
         )
