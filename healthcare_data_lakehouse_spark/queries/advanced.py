@@ -100,20 +100,28 @@ def events_user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_changepoint_cusum",
     oracle="""
     WITH daily AS (
-        SELECT CAST(ts AS DATE) AS day, SUM(value) AS dv
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(ROUND(CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,8)), 4)
+                    AS DOUBLE) * 10000) AS BIGINT) AS dvl
         FROM events GROUP BY 1
     ),
-    m AS (SELECT AVG(dv) AS mean_dv FROM daily),
-    cs AS (
-        SELECT day, dv,
-               SUM(dv - m.mean_dv) OVER (ORDER BY day
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS cusum
-        FROM daily CROSS JOIN m
+    tot AS (
+        SELECT CAST(SUM(dvl) AS BIGINT) AS total, COUNT(*) AS n FROM daily
     ),
-    mx AS (SELECT MAX(ROUND(ABS(cusum), 4)) AS mx FROM cs)
-    SELECT day, ROUND(dv, 4) AS daily_value, ROUND(cusum, 4) AS cusum,
-           ROUND(ABS(cusum), 4) = mx.mx AS is_changepoint
+    cs AS (
+        SELECT day, dvl,
+               tot.n * CAST(SUM(dvl) OVER (ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS BIGINT)
+               - CAST(ROW_NUMBER() OVER (ORDER BY day) AS BIGINT) * tot.total
+                   AS cusum_scaled,
+               tot.n AS n
+        FROM daily CROSS JOIN tot
+    ),
+    mx AS (SELECT MAX(ABS(cusum_scaled)) AS mx FROM cs)
+    SELECT day, dvl / 10000.0 AS daily_value,
+           cusum_scaled / (n * 10000.0) AS cusum,
+           ABS(cusum_scaled) = mx.mx AS is_changepoint
     FROM cs CROSS JOIN mx
     """,
     description="CUSUM changepoint detection over the daily value "
@@ -122,26 +130,41 @@ def events_user_activity_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     "point (Page 1954). Complements events_value_anomalies (local "
     "z-score spikes) with a GLOBAL structural-break detector. The "
     "ordered window runs over the day-grain post-aggregation series, "
-    "never the raw events; the mean and the peak are broadcast "
-    "one-row joins. The changepoint flag compares 4-dp-rounded "
-    "magnitudes so float summation noise cannot flip it.",
+    "never the raw events; the totals and the peak are broadcast "
+    "one-row joins. The whole detector runs in SCALED-INTEGER space "
+    "(daily sums pinned to 4-dp via decimal, then cusum_i scaled "
+    "through by n: n*prefix_i - i*total), so deviation-from-mean "
+    "accumulation is exact integer arithmetic — float summation "
+    "order can neither flip a near-zero cusum's sign nor move the "
+    "peak (int64 headroom: |n*prefix| < 2^63 up to ~1e14 in scaled "
+    "daily units; beyond that, widen to DECIMAL(38,0)).",
 )
 def events_changepoint_cusum(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events")
     daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
-        F.sum("value").alias("dv")
+        F.round(dround(F.sum("value"), 4) * 10000)
+        .cast("bigint")
+        .alias("dvl")
     )
-    m = daily.agg(F.avg("dv").alias("mean_dv"))
-    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
-    cs = daily.crossJoin(F.broadcast(m)).withColumn(
-        "cusum", F.sum(F.col("dv") - F.col("mean_dv")).over(w)
+    tot = daily.agg(
+        F.sum("dvl").alias("total"), F.count(F.lit(1)).alias("n")
     )
-    mx = cs.agg(F.max(F.round(F.abs("cusum"), 4)).alias("mx"))
+    w_cum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_rn = Window.orderBy("day")
+    cs = (
+        daily.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "cusum_scaled",
+            F.col("n") * F.sum("dvl").over(w_cum)
+            - F.row_number().over(w_rn).cast("bigint") * F.col("total"),
+        )
+    )
+    mx = cs.agg(F.max(F.abs("cusum_scaled")).alias("mx"))
     return cs.crossJoin(F.broadcast(mx)).select(
         "day",
-        F.round("dv", 4).alias("daily_value"),
-        F.round("cusum", 4).alias("cusum"),
-        (F.round(F.abs("cusum"), 4) == F.col("mx")).alias("is_changepoint"),
+        (F.col("dvl") / 10000.0).alias("daily_value"),
+        (F.col("cusum_scaled") / (F.col("n") * 10000.0)).alias("cusum"),
+        (F.abs("cusum_scaled") == F.col("mx")).alias("is_changepoint"),
     )
 
 
@@ -1380,9 +1403,12 @@ def orders_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY 1, 2
     ),
     ranked AS (
-        SELECT p_brand, qtr, ROUND(rev, 2) AS revenue,
+        SELECT p_brand, qtr,
+               CAST(ROUND(CAST(rev AS DECIMAL(38,8)), 2) AS DOUBLE)
+                   AS revenue,
                RANK() OVER (PARTITION BY qtr
-                            ORDER BY ROUND(rev, 2) DESC, p_brand) AS rnk
+                            ORDER BY CAST(ROUND(CAST(rev AS DECIMAL(38,8)), 2)
+                                          AS DOUBLE) DESC, p_brand) AS rnk
         FROM q
     )
     SELECT p_brand, qtr, revenue, CAST(rnk AS INT) AS rnk,
@@ -1414,7 +1440,7 @@ def brand_rank_shift_quarterly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_trunc("quarter", "o_orderdate").cast("date").alias("qtr"),
         )
         .agg(
-            F.round(
+            dround(
                 F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
             ).alias("revenue")
         )

@@ -1004,3 +1004,91 @@ def lineage_graph_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ("audit_total_transformations", audit["summary"]["total_transformations"]),
     ]
     return spark.createDataFrame(rows, "metric string, n long")
+
+
+# --------------------------------------------- CDF between versions
+@register(
+    "load_change_data_feed",
+    oracle="""
+    WITH classified AS (
+        SELECT CASE
+            WHEN o_orderkey % 5 = 0 AND o_orderkey % 7 <> 0 THEN 'insert'
+            WHEN o_orderkey % 5 <> 0 AND o_orderkey % 7 = 0 THEN 'delete'
+            WHEN o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0
+                 AND o_orderkey % 3 = 0 THEN 'update'
+            WHEN o_orderkey % 5 <> 0 AND o_orderkey % 7 <> 0 THEN 'unchanged'
+        END AS change_type
+        FROM orders
+    )
+    SELECT change_type, COUNT(*) AS n
+    FROM classified WHERE change_type IS NOT NULL
+    GROUP BY change_type
+    """,
+    description="Row-level change data feed between two retained table "
+    "versions (ZoneStore.diff_versions — the Delta CDF analog on the "
+    "parquet manifest): v2 drops some ids, adds others, doubles the "
+    "value of every id divisible by 3; the full-outer id join classifies "
+    "every id as insert/delete/update/unchanged and the oracle recomputes "
+    "the classification from the residue arithmetic directly. The "
+    "downstream-sync primitive: incremental consumers apply the feed "
+    "instead of re-reading the table.",
+)
+def load_change_data_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("value")
+    )
+    v1 = orders.filter(F.col("id") % 5 != 0)
+    v2 = orders.filter(F.col("id") % 7 != 0).withColumn(
+        "value",
+        F.when(F.col("id") % 3 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    store = ZoneStore(spark, scratch_dir("zs_cdf_"))
+    store.write(DataZone.SILVER, "orders_cdf", v1, LoadType.FULL)
+    store.write(DataZone.SILVER, "orders_cdf", v2, LoadType.FULL)
+    feed = store.diff_versions(DataZone.SILVER, "orders_cdf", 1, 2, id_field="id")
+    return feed.groupBy(F.col("_change_type").alias("change_type")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
+# ------------------------------------- OPTIMIZE + VACUUM lifecycle
+@register(
+    "storage_compact_vacuum_audit",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(4 AS INT) AS commits_before,
+           CAST(1 AS INT) AS files_after,
+           CAST(4 AS INT) AS removed_commits
+    FROM orders
+    """,
+    description="Small-file lifecycle end-to-end: 4 APPEND commits "
+    "accumulate (the per-batch ingest pattern), OPTIMIZE-style "
+    "bin-packing compaction (ZoneStore.compact) rewrites them as ONE "
+    "commit swapped in atomically via the manifest, and VACUUM reclaims "
+    "the 4 superseded commit directories (retain_last=1). The oracle "
+    "pins the lifecycle counters AND that not a single row was lost "
+    "across the rewrite — the invariant OPTIMIZE must preserve.",
+)
+def storage_compact_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    store = ZoneStore(spark, scratch_dir("zs_opt_"))
+    for i in range(4):
+        batch = orders.filter(F.col("o_orderkey") % 4 == i)
+        store.write(DataZone.BRONZE, "orders_opt", batch, LoadType.APPEND)
+    stats = store.compact(
+        DataZone.BRONZE, "orders_opt", target_file_bytes=1 << 40
+    )
+    vstats = store.vacuum(DataZone.BRONZE, "orders_opt", retain_last=1)
+    n = store.read(DataZone.BRONZE, "orders_opt").count()
+    row = [(
+        n,
+        stats["commits_before"],
+        stats["files_after"],
+        vstats["removed_commits"],
+    )]
+    return spark.createDataFrame(
+        row,
+        "n_rows long, commits_before int, files_after int, removed_commits int",
+    )
