@@ -829,8 +829,8 @@ def sketch_hll_mergeable_daily_rollup(
         WHERE cum >= CAST(CEIL(0.9 * n) AS BIGINT) GROUP BY priority
     )
     SELECT p50.priority, p50.n AS n_orders,
-           (p50.b + 0.5) * 500 AS approx_p50,
-           (p90.b + 0.5) * 500 AS approx_p90
+           CAST((p50.b + 0.5) * 500 AS DOUBLE) AS approx_p50,
+           CAST((p90.b + 0.5) * 500 AS DOUBLE) AS approx_p90
     FROM p50 JOIN p90 ON p90.priority = p50.priority
     """,
     description="Mergeable fixed-width-histogram quantile sketch (the "

@@ -599,3 +599,116 @@ def run_session_stream(
     )
     q.awaitTermination()
     return spark.table(query_name)
+
+
+def stateful_totals_tws(
+    spark: SparkSession,
+    source_parquet: str,
+    work_dir: str,
+    query_name: str = "tws_result",
+) -> DataFrame:
+    """Per-user running totals via ``transformWithStateInPandas`` — the
+    Spark 4 arbitrary-state API that supersedes ``applyInPandasWithState``
+    (SPARK-46815): a ``StatefulProcessor`` object with named, composable
+    state variables (ValueState here; ListState/MapState/timers available),
+    instead of one monolithic state tuple threaded through a function.
+    Requires the RocksDB state store provider, which is also the right
+    production choice at 100 TB state (off-heap, incremental snapshots).
+
+    Same drain-and-compare contract as :func:`stateful_user_totals`: the
+    final update per key equals the batch aggregate.
+
+    ENVIRONMENT GATE: the transformWithState protocol speaks protobuf
+    between the JVM and the Python stateful-processor worker; without
+    ``google.protobuf`` installed the worker crashes at init, so this
+    raises ``NotImplementedError`` up front with the dependency named.
+    ``applyInPandasWithState`` (:func:`stateful_user_totals`) covers the
+    same semantics protobuf-free and is what the catalog verifies here.
+    """
+    import importlib.util
+
+    if importlib.util.find_spec("google") is None or importlib.util.find_spec(
+        "google.protobuf"
+    ) is None:
+        raise NotImplementedError(
+            "transformWithStateInPandas needs the 'protobuf' package "
+            "(google.protobuf) for the JVM<->Python state protocol; "
+            "install protobuf or use stateful_user_totals "
+            "(applyInPandasWithState) which needs no extra dependency"
+        )
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+    from pyspark.sql.window import Window
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n BIGINT, total DOUBLE"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "sum_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    prev_provider = spark.conf.get(
+        "spark.sql.streaming.stateStore.providerClass", None
+    )
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+    try:
+        schema = spark.read.parquet(source_parquet).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(_stream_source_dir(source_parquet, work_dir))
+            .select("user_id", "value")
+        )
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            statefulProcessor=RunningTotals(),
+            outputStructType="user_id bigint, n_events bigint, sum_value double",
+            outputMode="Update",
+            timeMode="None",
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName(query_name)
+            .outputMode("update")
+            .option("checkpointLocation", os.path.join(work_dir, "chk"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        if prev_provider is None:
+            spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        else:
+            spark.conf.set(
+                "spark.sql.streaming.stateStore.providerClass", prev_provider
+            )
+    w = Window.partitionBy("user_id").orderBy(F.col("n_events").desc())
+    return (
+        spark.table(query_name)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
+        )
+    )

@@ -204,3 +204,34 @@ def test_zorder_layout_prunes_better_than_natural(spark, sf_dir, specs):
     assert set(got) == {"zorder", "natural"}
     assert got["zorder"].skip_ratio > got["natural"].skip_ratio
     assert got["zorder"].files_scanned < got["zorder"].n_files
+
+
+def test_histogram_quantile_sketch_within_bin_error(spark, sf_dir):
+    """The sketch's quantile estimate is the midpoint of the bin containing
+    the target rank, so it must land within bin_width/2 = 250 of the exact
+    discrete quantile — the error bound that makes the sketch usable."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.queries.catalog import load_all
+    from healthcare_data_lakehouse_spark.tables import table
+
+    got = {
+        r.priority: r
+        for r in load_all()["sketch_histogram_quantiles"]
+        .fn(spark, sf_dir)
+        .collect()
+    }
+    exact = {
+        r.priority: r
+        for r in table(spark, sf_dir, "orders")
+        .groupBy(F.col("o_orderpriority").alias("priority"))
+        .agg(
+            F.expr("percentile_approx(o_totalprice, 0.5, 100000)").alias("p50"),
+            F.expr("percentile_approx(o_totalprice, 0.9, 100000)").alias("p90"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for prio, row in got.items():
+        assert abs(row.approx_p50 - exact[prio].p50) <= 250.0 + 1e-6, prio
+        assert abs(row.approx_p90 - exact[prio].p90) <= 250.0 + 1e-6, prio

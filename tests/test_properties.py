@@ -166,3 +166,31 @@ def test_running_sum_over_matches_python_prefix_sum(spark, rows, n_parts):
         acc += d
         want.append((k, acc))
     assert got == want
+
+
+@given(edges=edges_st)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+def test_star_components_unique_label_even_unconverged(spark, edges):
+    """With max_iter too small to reach the fixpoint, the pointer-jumping
+    resolution must still emit exactly ONE cluster_id per doc_id (the
+    failure mode was a node surfacing as both child and root with
+    conflicting labels)."""
+    from healthcare_data_lakehouse_spark.functions.dedup import (
+        connected_components_star,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "id_a long, id_b long")
+    import warnings as w
+
+    with w.catch_warnings():
+        w.simplefilter("ignore")
+        out = connected_components_star(df, max_iter=1).collect()
+    per_doc = {}
+    for r in out:
+        per_doc.setdefault(r.doc_id, set()).add(r.cluster_id)
+    conflicted = {d: cs for d, cs in per_doc.items() if len(cs) > 1}
+    assert not conflicted, f"conflicting labels: {conflicted}"

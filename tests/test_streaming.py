@@ -383,3 +383,43 @@ def test_stream_session_windows_equal_batch(spark, sf_dir):
     s = {tuple(r) for r in streamed.collect()}
     b = {tuple(r) for r in batch.collect()}
     assert s == b and len(s) > 0
+
+
+def test_stateful_totals_tws_gated_or_correct(spark):
+    """transformWithStateInPandas (Spark 4 arbitrary-state API): runs the
+    running-totals processor when protobuf is available, otherwise the
+    environment gate must raise a clear NotImplementedError — never the
+    opaque worker crash."""
+    import importlib.util
+
+    import pytest
+
+    from healthcare_data_lakehouse_spark.scratch import scratch_dir
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stateful_totals_tws,
+    )
+
+    has_protobuf = (
+        importlib.util.find_spec("google") is not None
+        and importlib.util.find_spec("google.protobuf") is not None
+    )
+    if not has_protobuf:
+        with pytest.raises(NotImplementedError, match="protobuf"):
+            stateful_totals_tws(
+                spark,
+                "/root/testdata/sf0.001/events.parquet",
+                scratch_dir("tws_gate_"),
+            )
+        return
+    out = stateful_totals_tws(
+        spark,
+        "/root/testdata/sf0.001/events.parquet",
+        scratch_dir("tws_run_"),
+        query_name="tws_test",
+    )
+    batch = (
+        spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+        .groupBy("user_id")
+        .count()
+    )
+    assert out.count() == batch.count()

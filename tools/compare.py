@@ -110,6 +110,21 @@ def main() -> int:
                   "bigint) — CAST(... AS BIGINT) in the oracle SQL")
             failures.append(name)
             continue
+        # DECIMAL on the oracle side vs double on the Spark side stringifies
+        # differently ('1.50' vs '1.5') — surface the type split directly
+        # instead of leaving a bare hash mismatch to diagnose
+        s_types = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+        split = [
+            (c, t, s_types.get(c, "?"))
+            for c, t in zip(d_cols, d_types)
+            if t.startswith("DECIMAL") and s_types.get(c) == "double"
+        ]
+        if split:
+            print(f"FAIL {name}: oracle DECIMAL vs spark double {split} — "
+                  "CAST the oracle column AS DOUBLE (dround_sql) or make "
+                  "the Spark column decimal")
+            failures.append(name)
+            continue
 
         ok = True
         if sorted(s_cols) != sorted(d_cols):

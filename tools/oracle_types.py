@@ -26,6 +26,11 @@ import duckdb  # noqa: E402
 
 BAD_TYPES = {"HUGEINT", "UHUGEINT"}
 
+#: The catalog convention is doubles everywhere (pinned via dround); a
+#: DECIMAL oracle output stringifies with trailing zeros ('1.50') that a
+#: Spark double never prints, so it is banned as an output type too.
+BAD_PREFIXES = ("DECIMAL",)
+
 TABLES = [
     "region", "nation", "customer", "supplier", "part", "orders",
     "lineitem", "events", "documents", "embeddings",
@@ -49,6 +54,7 @@ def audit(sf_dir: str = "/root/testdata/sf0.001"):
                 (col, str(typ))
                 for col, typ in zip(rel.columns, rel.types)
                 if str(typ) in BAD_TYPES
+                or str(typ).startswith(BAD_PREFIXES)
             ]
         except Exception as ex:  # binding failure is its own bug
             errors[name] = str(ex).splitlines()[0]
