@@ -84,6 +84,8 @@ HEADLINE = [
     "text_bigram_lm_score",
     "tpch_q11_important_part_value",
     "similarity_recall_lsh_at5",
+    "similarity_pq_adc_top5",
+    "similarity_pq_distortion",
     "sample_reservoir_per_lang",
     "stats_jackknife_mean_ci",
     "er_fuzzy_customer_match",
@@ -170,6 +172,8 @@ HEADLINE = [
     "brand_rank_shift_quarterly",
     "stats_twopass_exact_median",
     "events_attribution_first_vs_last",
+    "forecast_holt_monthly_revenue",
+    "sample_coreset_kcenter",
 ]
 
 

@@ -31,6 +31,9 @@ __all__ = [
     "embedding_near_dup_pairs",
     "ivf_assign",
     "ivf_top_k",
+    "pq_sub_dist2",
+    "pq_encode",
+    "pq_adc_dist",
 ]
 
 
@@ -262,4 +265,164 @@ def ivf_top_k(
         )
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
+    )
+
+
+# ------------------------------------------------- product quantization (PQ)
+#
+# PQ (Jégou et al., "Product Quantization for Nearest Neighbor Search",
+# TPAMI 2011) is the standard way to fit a web-scale embedding corpus in
+# memory: split each D-dim vector into M subvectors, quantize each against
+# a K-entry per-subspace codebook, and answer queries with asymmetric
+# distance computation (ADC) — a sum of M table lookups instead of a D-term
+# dot product. At 100 TB the corpus shrinks ~D*4/M bytes per vector and the
+# scan becomes integer-code lookups; the codebook is metadata-scale (M*K
+# subvectors) and rides to every executor as plan literals, so encoding is
+# one narrow pass with NO shuffle and NO Python.
+#
+# Determinism contract (oracle-checkable): per-subspace squared distances
+# are sequential double folds (same order both engines), rounded to 6 dp
+# BEFORE the argmin so a last-ulp wobble can't flip code assignment; ties
+# break toward the lowest code via struct (dist, code) min.
+
+def pq_sub_dist2(a: Column, b: Column, m: int, sub: int) -> Column:
+    """Squared L2 distance over subspace ``m`` (dims m*sub .. (m+1)*sub-1)
+    of two float arrays, accumulated sequentially in DOUBLE."""
+    return F.aggregate(
+        F.zip_with(
+            F.slice(a, m * sub + 1, sub),
+            F.slice(b, m * sub + 1, sub),
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    codebook: list[list[float]],
+    n_sub: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Encode each vector to ``n_sub`` uint8-ish codes (columns
+    ``code_0..code_{n_sub-1}``) against a shared codebook.
+
+    ``codebook`` is K full-dimension vectors (the per-subspace codebooks are
+    their slices — "shared coarse training set" flavor); it is always
+    metadata-scale, so each centroid subvector becomes a literal array in
+    the plan. One narrow projection pass; no shuffle, no Python.
+    """
+    dim = len(codebook[0])
+    sub = dim // n_sub
+    out = df
+    for m in range(n_sub):
+        cands = []
+        for k, cent in enumerate(codebook):
+            c = F.array(*[F.lit(float(v)) for v in cent[m * sub : (m + 1) * sub]])
+            d = F.round(
+                F.aggregate(
+                    F.zip_with(
+                        F.slice(F.col(vec_col), m * sub + 1, sub),
+                        c,
+                        lambda x, y: (x.cast("double") - y)
+                        * (x.cast("double") - y),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+                6,
+            )
+            cands.append(F.struct(d.alias("d"), F.lit(k).alias("c")))
+        out = out.withColumn(f"code_{m}", F.array_min(F.array(*cands))["c"])
+    return out
+
+
+def pq_adc_dist(
+    query_vec: list[float],
+    codebook: list[list[float]],
+    n_sub: int = 4,
+) -> Column:
+    """ADC distance column over ``code_0..code_{n_sub-1}``.
+
+    The M×K distance table is computed driver-side from the query and
+    codebook (plain sequential Python-double sums — bit-identical to the
+    engine folds) and baked into the plan as literal arrays; the per-row
+    cost is M ``element_at`` lookups + an M-term sum. Unrounded — callers
+    round the final output."""
+    dim = len(codebook[0])
+    sub = dim // n_sub
+    total = F.lit(0.0)
+    for m in range(n_sub):
+        lo, hi = m * sub, (m + 1) * sub
+        table = [
+            sum(
+                (float(q) - float(c)) * (float(q) - float(c))
+                for q, c in zip(query_vec[lo:hi], cent[lo:hi])
+            )
+            for cent in codebook
+        ]
+        lut = F.array(*[F.lit(v) for v in table])
+        total = total + F.element_at(lut, F.col(f"code_{m}") + 1)
+    return total
+
+
+# ------------------------------------------ k-center greedy coreset (FPS)
+def kcenter_greedy(
+    df: DataFrame,
+    k: int = 5,
+    start_id: int = 0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center / farthest-point sampling (Gonzalez 1985): the
+    classic 2-approximation coreset — pick the seed, then repeatedly the
+    point FARTHEST from everything selected so far. The standard recipe
+    for a small diverse subset of a huge training corpus (anchor sets,
+    eval probes, cluster seeding).
+
+    Scale shape: k-1 rounds, each ONE narrow map (min-distance against
+    <=k broadcast literal vectors) + a single struct-min reduction —
+    no shuffle of the corpus, no pairwise joins, driver state is k
+    vectors (metadata). Distances are 6dp-rounded before the argmax and
+    ties break toward the lowest id, so selection is deterministic and
+    oracle-checkable.
+
+    Returns (step, <id_col>, dist): selection order, chosen id, and the
+    chosen point's distance to the previously-selected set (NULL for the
+    seed) — the trace of coverage radii, which is also the k-center
+    cost curve.
+    """
+    spark = df.sparkSession
+    seed = df.filter(F.col(id_col) == start_id).select(id_col, vec_col).head()
+    picked = [(1, int(seed[0]), None)]
+    vecs = [[float(x) for x in seed[1]]]
+    dim = len(vecs[0])
+    for step in range(2, k + 1):
+        dists = [
+            pq_sub_dist2(
+                F.col(vec_col), F.array(*[F.lit(x) for x in v]), 0, dim
+            )
+            for v in vecs
+        ]
+        d = F.round(F.least(*dists) if len(dists) > 1 else dists[0], 6)
+        top = (
+            df.filter(~F.col(id_col).isin([p[1] for p in picked]))
+            .select(
+                F.min(
+                    F.struct(
+                        (-d).alias("nd"),
+                        F.col(id_col).alias("vid"),
+                        F.col(vec_col).alias("vec"),
+                    )
+                ).alias("m")
+            )
+            .head()["m"]
+        )
+        picked.append((step, int(top["vid"]), -float(top["nd"])))
+        vecs.append([float(x) for x in top["vec"]])
+    return spark.createDataFrame(
+        picked, f"step int, {id_col} long, dist double"
     )

@@ -3130,3 +3130,95 @@ def events_locf_daily_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("day_value").isNull().alias("is_filled"),
         )
     )
+
+
+# ------------------------------------------- forecast: Holt linear trend
+@register(
+    "forecast_holt_monthly_revenue",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ROUND(SUM(o_totalprice), 2) AS rev,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE)
+               ) AS rn
+        FROM orders GROUP BY 1
+    ),
+    holt AS (
+        SELECT rn, month, rev,
+               CAST(rev AS DOUBLE) AS l,
+               CAST(0 AS DOUBLE) AS b,
+               CAST(NULL AS DOUBLE) AS f
+        FROM monthly WHERE rn = 1
+        UNION ALL
+        SELECT m.rn, m.month, m.rev,
+               0.5 * m.rev + 0.5 * (h.l + h.b),
+               0.25 * ((0.5 * m.rev + 0.5 * (h.l + h.b)) - h.l) + 0.75 * h.b,
+               h.l + h.b
+        FROM holt h JOIN monthly m ON m.rn = h.rn + 1
+    )
+    SELECT month, rev,
+           ROUND(l, 4) AS level,
+           ROUND(b, 4) AS trend,
+           ROUND(f, 4) AS fitted
+    FROM holt
+    """,
+    description="Holt double-exponential smoothing (level+trend) over "
+    "monthly order revenue: alpha=0.5, beta=0.25 (binary-exact constants), "
+    "seed l1=y1/b1=0, fitted = one-step-ahead l+b. One agg shuffle "
+    "collapses 100 TB to a #months-row series; the linear recurrence then "
+    "runs as a single sequential F.aggregate fold over the sorted array — "
+    "post-aggregation metadata scale, the same trick a recursive CTE plays "
+    "in the oracle. No Python, no extra shuffle.",
+)
+def forecast_holt_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    series = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("month", "rev"))).alias("s")
+    )
+
+    alpha, beta = 0.5, 0.25
+
+    def step(acc, x):
+        first = acc["i"] == 0
+        fitted = acc["l"] + acc["b"]
+        new_l = F.when(first, x["rev"].cast("double")).otherwise(
+            alpha * x["rev"] + (1 - alpha) * fitted
+        )
+        new_b = F.when(first, F.lit(0.0)).otherwise(
+            beta * (new_l - acc["l"]) + (1 - beta) * acc["b"]
+        )
+        row = F.struct(
+            x["month"].alias("month"),
+            x["rev"].alias("rev"),
+            F.round(new_l, 4).alias("level"),
+            F.round(new_b, 4).alias("trend"),
+            F.when(first, F.lit(None).cast("double"))
+            .otherwise(F.round(fitted, 4))
+            .alias("fitted"),
+        )
+        return F.struct(
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+            new_l.alias("l"),
+            new_b.alias("b"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    init = F.struct(
+        F.array().cast(
+            "array<struct<month:date,rev:double,level:double,"
+            "trend:double,fitted:double>>"
+        ).alias("rows"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.lit(0).alias("i"),
+    )
+    folded = series.select(
+        F.aggregate(F.col("s"), init, step)["rows"].alias("rows")
+    )
+    return folded.select(F.explode("rows").alias("r")).select(
+        "r.month", "r.rev", "r.level", "r.trend", "r.fitted"
+    )

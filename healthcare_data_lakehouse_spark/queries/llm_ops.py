@@ -3316,3 +3316,214 @@ def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.prefix_filter_jaccard_pairs(
         _docs_with_dups(spark, sf_dir, 20), threshold=0.7
     )
+
+
+# ------------------------------------------------- product quantization
+_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8  # 4 subspaces x 16 dims, 8 codes each
+
+
+def _pq_d2_sql(a: str, b: str, m: int, sub: int = _PQ_SUB) -> str:
+    """DuckDB squared-L2 over subspace ``m`` (sequential double sum, same
+    fold order as the Spark side's F.aggregate)."""
+    lo, hi = m * sub + 1, (m + 1) * sub
+    return (
+        f"list_sum(list_transform(list_zip(list_slice({a}, {lo}, {hi}), "
+        f"list_slice({b}, {lo}, {hi})), "
+        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+        f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
+    )
+
+
+def _pq_cte() -> str:
+    """Shared CTE block: codebook (vec_id 1..8 -> codes 0..7), query
+    (vec_id 0), corpus (the rest), and per-subspace code assignment
+    (rounded-distance argmin, ties to lowest code — mirrors pq_encode)."""
+    code_cols = ",\n               ".join(
+        f"CAST(min(struct_pack(d := ROUND("
+        f"{_pq_d2_sql('c.embedding', 'cb.embedding', m)}, 6), "
+        f"c := cb.code)).c AS INT) AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    adc_terms = "\n               + ".join(
+        _pq_d2_sql("q.embedding", f"cb{m}.embedding", m) for m in range(_PQ_M)
+    )
+    adc_joins = "\n        ".join(
+        f"JOIN cb cb{m} ON cb{m}.code = codes.code_{m}" for m in range(_PQ_M)
+    )
+    return f"""
+    WITH cb AS (
+        SELECT CAST(vec_id - 1 AS INT) AS code, embedding
+        FROM embeddings WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id > {_PQ_K}
+    ),
+    codes AS (
+        SELECT c.vec_id,
+               {code_cols}
+        FROM corpus c CROSS JOIN cb
+        GROUP BY c.vec_id
+    ),
+    adc AS (
+        SELECT codes.vec_id,
+               codes.code_0, codes.code_1, codes.code_2, codes.code_3,
+               ROUND({adc_terms}, 6) AS adc_dist
+        FROM codes
+        {adc_joins}
+        CROSS JOIN q
+    )
+    """
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """Collect the metadata-scale PQ inputs (query vector + 8-row codebook)
+    and return (corpus_df, query_vec, codebook)."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") <= _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    codebook = [vecs[i + 1] for i in range(_PQ_K)]
+    return emb.filter(F.col("vec_id") > _PQ_K), vecs[0], codebook
+
+
+@register(
+    "similarity_pq_adc_top5",
+    oracle=_pq_cte()
+    + """
+    SELECT vec_id, code_0, code_1, code_2, code_3, adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 5
+    """,
+    description="Product quantization ANN (Jegou et al., TPAMI'11): encode "
+    "the corpus to 4x 3-bit codes against an 8-entry-per-subspace codebook "
+    "(deterministic-by-id training rows standing in for k-means), answer "
+    "with asymmetric-distance (ADC) top-5 — the M*K distance table is "
+    "driver-side metadata baked into the plan, so the per-row cost is 4 "
+    "array lookups, no shuffle until the final 5-row TakeOrdered. The "
+    "~21x compression (64 floats -> 4 codes) is how a 100 TB embedding "
+    "corpus fits a scan budget.",
+)
+def similarity_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, qvec, codebook = _pq_parts(spark, sf_dir)
+    enc = S.pq_encode(corpus, codebook, n_sub=_PQ_M)
+    return (
+        enc.select(
+            "vec_id",
+            "code_0",
+            "code_1",
+            "code_2",
+            "code_3",
+            F.round(S.pq_adc_dist(qvec, codebook, n_sub=_PQ_M), 6).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register(
+    "similarity_pq_distortion",
+    oracle=_pq_cte()
+    + f"""
+    , perrow AS (
+        SELECT c.label,
+               CAST(ROUND(a.adc_dist, 6) AS DECIMAL(28,6)) AS d_adc,
+               CAST(ROUND({_pq_d2_sql('c.embedding', 'q.embedding', 0, 64)},
+                    6) AS DECIMAL(28,6)) AS d_exact
+        FROM adc a
+        JOIN corpus c ON c.vec_id = a.vec_id
+        CROSS JOIN q
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(d_adc) AS DOUBLE) / COUNT(*), 4) AS avg_adc,
+           ROUND(CAST(SUM(d_exact) AS DOUBLE) / COUNT(*), 4) AS avg_exact,
+           ROUND(CAST(SUM(d_adc - d_exact) AS DOUBLE) / COUNT(*), 4)
+               AS avg_bias
+    FROM perrow GROUP BY label
+    """,
+    description="PQ quantization-quality audit: per-label mean ADC vs exact "
+    "squared distance to the query and the ADC bias — the recall/compression "
+    "dial a production deployment tunes (more subspaces/codes -> less "
+    "distortion). Per-row values are 6dp-rounded then decimal-summed so the "
+    "cross-row aggregation is order-independent on both engines.",
+)
+def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, qvec, codebook = _pq_parts(spark, sf_dir)
+    enc = S.pq_encode(corpus, codebook, n_sub=_PQ_M)
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    perrow = enc.select(
+        "label",
+        F.round(S.pq_adc_dist(qvec, codebook, n_sub=_PQ_M), 6)
+        .cast("decimal(28,6)")
+        .alias("d_adc"),
+        F.round(S.pq_sub_dist2(F.col("embedding"), qlit, 0, 64), 6)
+        .cast("decimal(28,6)")
+        .alias("d_exact"),
+    )
+    n = F.count(F.lit(1))
+    return perrow.groupBy("label").agg(
+        n.cast("bigint").alias("n"),
+        F.round(F.sum("d_adc").cast("double") / n, 4).alias("avg_adc"),
+        F.round(F.sum("d_exact").cast("double") / n, 4).alias("avg_exact"),
+        F.round(
+            F.sum(F.col("d_adc") - F.col("d_exact")).cast("double") / n, 4
+        ).alias("avg_bias"),
+    )
+
+
+# ----------------------------------------------- k-center coreset sample
+def _kcenter_oracle(k: int = 5) -> str:
+    """Chained-CTE farthest-point sampling: s1 = seed (vec_id 0); each
+    c{i} scores every unselected vector by its 6dp-rounded min squared
+    distance to s1..s{i-1}, and s{i} keeps the argmax (ties to lowest
+    vec_id) — the same rounded-argmax contract as the Spark loop."""
+
+    def d2(a: str, b: str) -> str:
+        return _pq_d2_sql(a, b, 0, 64)
+
+    ctes = [
+        "e AS (SELECT vec_id, embedding FROM embeddings)",
+        "s1 AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0)",
+    ]
+    for i in range(2, k + 1):
+        prev = [f"s{j}" for j in range(1, i)]
+        terms = [d2("e.embedding", f"{s}.embedding") for s in prev]
+        dexpr = terms[0] if len(terms) == 1 else "LEAST(" + ", ".join(terms) + ")"
+        notin = " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in prev)
+        ctes.append(
+            f"c{i} AS (SELECT e.vec_id, e.embedding, "
+            f"ROUND({dexpr}, 6) AS d "
+            f"FROM e, {', '.join(prev)} "
+            f"WHERE e.vec_id NOT IN ({notin}))"
+        )
+        ctes.append(
+            f"s{i} AS (SELECT vec_id, embedding, d FROM c{i} "
+            f"ORDER BY d DESC, vec_id LIMIT 1)"
+        )
+    selects = [
+        "SELECT CAST(1 AS INT) AS step, vec_id, CAST(NULL AS DOUBLE) AS dist FROM s1"
+    ] + [
+        f"SELECT CAST({i} AS INT) AS step, vec_id, d AS dist FROM s{i}"
+        for i in range(2, k + 1)
+    ]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
+
+
+@register(
+    "sample_coreset_kcenter",
+    oracle=_kcenter_oracle(5),
+    description="Greedy k-center / farthest-point coreset (Gonzalez'85 "
+    "2-approximation) over the embedding corpus: k-1 rounds of one narrow "
+    "scan (min distance to <=k broadcast literal vectors) + a struct-min "
+    "reduction each — no corpus shuffle, no pairwise join, so the cost at "
+    "100 TB is k sequential scans. The trace of coverage radii it returns "
+    "is the diversity-sampling dial for training-data curation.",
+)
+def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return S.kcenter_greedy(emb, k=5, start_id=0)

@@ -235,3 +235,26 @@ def test_histogram_quantile_sketch_within_bin_error(spark, sf_dir):
     for prio, row in got.items():
         assert abs(row.approx_p50 - exact[prio].p50) <= 250.0 + 1e-6, prio
         assert abs(row.approx_p90 - exact[prio].p90) <= 250.0 + 1e-6, prio
+
+
+def test_holt_fold_matches_reference_recurrence(spark, sf_dir):
+    # the Spark-side F.aggregate fold must reproduce the Holt recurrence
+    # computed independently from the same monthly inputs
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        forecast_holt_monthly_revenue,
+    )
+
+    out = forecast_holt_monthly_revenue(spark, sf_dir).collect()
+    out.sort(key=lambda r: r.month)
+    assert len(out) > 12
+    alpha, beta = 0.5, 0.25
+    l, b = out[0].rev, 0.0
+    assert out[0].level == round(l, 4) and out[0].fitted is None
+    for r in out[1:]:
+        f = l + b
+        nl = alpha * r.rev + (1 - alpha) * f
+        b = beta * (nl - l) + (1 - beta) * b
+        l = nl
+        assert r.level == round(l, 4)
+        assert r.trend == round(b, 4)
+        assert r.fitted == round(f, 4)

@@ -786,3 +786,66 @@ def test_prefix_filter_lossless_and_smaller(spark):
         .filter(F.col("pos") <= F.col("sz") - F.ceil(0.7 * F.col("sz")) + 1)
     )
     assert prefix.count() < 0.5 * n_shingle_rows
+
+
+def test_pq_encode_and_adc(spark):
+    # 2 well-separated clusters in 8-dim space; codebook = one vector from
+    # each cluster per subspace half, so codes must separate the clusters
+    # and ADC must rank the query's own cluster first.
+    rows = []
+    for i in range(4):
+        v = [1.0, 1.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0]
+        v[2] = 0.05 * i
+        rows.append((10 + i, v))
+    for i in range(4):
+        v = [0.0, 0.0, 1.0, 1.0, 0.0, 0.0, 1.0, 1.0]
+        v[0] = 0.05 * i
+        rows.append((20 + i, v))
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    codebook = [rows[0][1], rows[4][1]]  # one representative per cluster
+    enc = S.pq_encode(emb, codebook, n_sub=2)
+    codes = {r.vec_id: (r.code_0, r.code_1) for r in enc.collect()}
+    assert all(codes[10 + i] == (0, 0) for i in range(4))
+    assert all(codes[20 + i] == (1, 1) for i in range(4))
+
+    q = [1.0, 0.9, 0.0, 0.1, 1.0, 0.0, 0.0, 0.0]  # near cluster A
+    scored = (
+        enc.select("vec_id", S.pq_adc_dist(q, codebook, n_sub=2).alias("d"))
+        .orderBy("d", "vec_id")
+        .collect()
+    )
+    # every cluster-A member beats every cluster-B member under ADC
+    ranked = [r.vec_id for r in scored]
+    assert set(ranked[:4]) == {10, 11, 12, 13}
+    # ADC distance of a vector equals the distance to its codeword
+    # reconstruction (both clusters quantize to their representative)
+    a_dist = scored[0].d
+    exact = sum((x - y) ** 2 for x, y in zip(q, codebook[0]))
+    assert abs(a_dist - exact) < 1e-9
+
+
+def test_pq_code_ties_break_to_lowest_code(spark):
+    emb = spark.createDataFrame(
+        [(1, [0.5, 0.5])], "vec_id int, embedding array<float>"
+    )
+    # both codebook entries equidistant from the vector -> code 0 wins
+    cb = [[1.0, 0.0], [0.0, 1.0]]
+    enc = S.pq_encode(emb, cb, n_sub=1)
+    assert enc.collect()[0].code_0 == 0
+
+
+def test_kcenter_greedy_picks_extremes(spark):
+    # 3 tight clusters at corners of a triangle; k=3 must pick one point
+    # from each cluster, and coverage radii must be non-increasing
+    rows = []
+    corners = [(0.0, 0.0), (10.0, 0.0), (0.0, 10.0)]
+    for ci, (cx, cy) in enumerate(corners):
+        for j in range(3):
+            rows.append((ci * 10 + j, [cx + 0.01 * j, cy]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.kcenter_greedy(emb, k=3, start_id=0).collect()
+    assert [r.step for r in out] == [1, 2, 3]
+    clusters = {r.vec_id // 10 for r in out}
+    assert clusters == {0, 1, 2}
+    assert out[0].dist is None
+    assert out[1].dist >= out[2].dist > 0
