@@ -34,6 +34,7 @@ __all__ = [
     "pq_sub_dist2",
     "pq_encode",
     "pq_adc_dist",
+    "kcenter_greedy",
 ]
 
 
@@ -102,15 +103,25 @@ def _lcg_planes(n_planes: int, dim: int) -> list[list[float]]:
 HYPERPLANES: list[list[float]] = _lcg_planes(_N_PLANES, _DIM)
 
 
-def hyperplane_bucket(vec: Column) -> Column:
-    """LSH bucket id: integer of the 8 sign bits of plane dot products."""
-    bucket = F.lit(0).cast("bigint")
+def hyperplane_bucket(vec_col: str = "embedding") -> Column:
+    """LSH bucket id: integer of the 8 sign bits of plane dot products.
+
+    Takes the vector COLUMN NAME and builds one generated-SQL expression:
+    the 8x64 plane literals cost ~500 py4j round-trips through the Column
+    API, a parsed string is one call. Double math is identical to the
+    Column form (sequential zip/fold, plane lits already double)."""
+    terms = []
     for i, plane in enumerate(HYPERPLANES):
-        p = F.array(*[F.lit(v) for v in plane])
-        bucket = bucket + F.when(dot(vec, p) > 0, F.lit(2**i).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
+        lits = ", ".join(f"{float(v)!r}D" for v in plane)
+        d = (
+            f"aggregate(zip_with({vec_col}, array({lits}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
         )
-    return bucket
+        terms.append(
+            f"CASE WHEN {d} > 0 THEN CAST({2**i} AS BIGINT) "
+            f"ELSE CAST(0 AS BIGINT) END"
+        )
+    return F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
 
 
 def embedding_near_dup_pairs(
@@ -136,7 +147,7 @@ def embedding_near_dup_pairs(
         .select(
             F.col(id_col),
             F.col(vec_col),
-            hyperplane_bucket(F.col(vec_col)).alias("bucket"),
+            hyperplane_bucket(vec_col).alias("bucket"),
         )
         .persist()
     )
@@ -179,7 +190,7 @@ def lsh_top_k(
             qb += 2**i
     q = F.array(*[F.lit(float(v)) for v in query_vec])
     return (
-        df.withColumn("bucket", hyperplane_bucket(F.col(vec_col)))
+        df.withColumn("bucket", hyperplane_bucket(vec_col))
         .filter(F.col("bucket") == qb)
         .select(
             F.col(id_col),
@@ -315,28 +326,28 @@ def pq_encode(
     metadata-scale, so each centroid subvector becomes a literal array in
     the plan. One narrow projection pass; no shuffle, no Python.
     """
+    # The plan is assembled as ONE generated SQL expression per code column
+    # (F.expr), not nested Column calls: n_sub*K centroid literal arrays
+    # built element-wise through the Column API cost thousands of py4j
+    # round-trips (~1.5s of driver time per query build); a parsed string
+    # is one call. Semantics are identical — same HOFs, same double math.
     dim = len(codebook[0])
     sub = dim // n_sub
     out = df
     for m in range(n_sub):
         cands = []
         for k, cent in enumerate(codebook):
-            c = F.array(*[F.lit(float(v)) for v in cent[m * sub : (m + 1) * sub]])
-            d = F.round(
-                F.aggregate(
-                    F.zip_with(
-                        F.slice(F.col(vec_col), m * sub + 1, sub),
-                        c,
-                        lambda x, y: (x.cast("double") - y)
-                        * (x.cast("double") - y),
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ),
-                6,
+            lits = ", ".join(f"{float(v)!r}D" for v in cent[m * sub : (m + 1) * sub])
+            d = (
+                f"round(aggregate(zip_with("
+                f"slice({vec_col}, {m * sub + 1}, {sub}), array({lits}), "
+                f"(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+                f"0.0D, (acc, v) -> acc + v), 6)"
             )
-            cands.append(F.struct(d.alias("d"), F.lit(k).alias("c")))
-        out = out.withColumn(f"code_{m}", F.array_min(F.array(*cands))["c"])
+            cands.append(f"named_struct('d', {d}, 'c', {k})")
+        out = out.withColumn(
+            f"code_{m}", F.expr(f"array_min(array({', '.join(cands)})).c")
+        )
     return out
 
 
@@ -354,7 +365,7 @@ def pq_adc_dist(
     round the final output."""
     dim = len(codebook[0])
     sub = dim // n_sub
-    total = F.lit(0.0)
+    terms = []
     for m in range(n_sub):
         lo, hi = m * sub, (m + 1) * sub
         table = [
@@ -364,9 +375,10 @@ def pq_adc_dist(
             )
             for cent in codebook
         ]
-        lut = F.array(*[F.lit(v) for v in table])
-        total = total + F.element_at(lut, F.col(f"code_{m}") + 1)
-    return total
+        lits = ", ".join(f"{v!r}D" for v in table)
+        terms.append(f"element_at(array({lits}), code_{m} + 1)")
+    # single generated-SQL expression (see pq_encode: py4j chattiness)
+    return F.expr("0.0D + " + " + ".join(terms))
 
 
 # ------------------------------------------ k-center greedy coreset (FPS)

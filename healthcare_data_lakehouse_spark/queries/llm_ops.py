@@ -1471,7 +1471,7 @@ def _recall_oracle() -> str:
 def similarity_recall_lsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     b = emb.select(
-        "vec_id", "embedding", S.hyperplane_bucket(F.col("embedding")).alias("bucket")
+        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bucket")
     )
     q = b.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
