@@ -97,6 +97,7 @@ HEADLINE = [
     "fullouter_daily_orders_vs_events",
     "text_bpe_pair_counts",
     "pipeline_llm_corpus_curation",
+    "pipeline_token_budget_mix",
     "sample_train_test_split",
     "privacy_pseudonymized_join",
     "pipeline_sequence_packing",

@@ -1092,3 +1092,45 @@ def storage_compact_vacuum_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         row,
         "n_rows long, commits_before int, files_after int, removed_commits int",
     )
+
+
+# -------------------------------------------- L-schema: evolution on APPEND
+@register(
+    "load_schema_evolution_append",
+    oracle="""
+    WITH batch1 AS (
+        SELECT o_orderkey AS id, ROUND(o_totalprice, 2) AS totalprice,
+               CAST(NULL AS VARCHAR) AS priority
+        FROM orders WHERE o_orderkey % 4 = 1
+    ),
+    batch2 AS (
+        SELECT o_orderkey AS id, ROUND(o_totalprice, 2) AS totalprice,
+               o_orderpriority AS priority
+        FROM orders WHERE o_orderkey % 4 = 2
+    )
+    SELECT * FROM batch1 UNION ALL SELECT * FROM batch2
+    """,
+    description="Schema evolution across APPEND commits: batch 2 arrives "
+    "with a new `priority` column; ZoneStore reads the union of commit "
+    "schemas (mergeSchema) so old rows surface NULL for the added column — "
+    "the Delta/Iceberg add-column contract without a table-format "
+    "dependency. At 100 TB evolution must not rewrite history: each commit "
+    "keeps its own physical schema, reconciliation happens at scan time.",
+)
+def load_schema_evolution_append(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("id"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+    b2 = orders.filter(F.col("o_orderkey") % 4 == 2).select(
+        F.col("o_orderkey").alias("id"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    store = ZoneStore(spark, scratch_dir("zs_evo_"))
+    store.write(DataZone.SILVER, "orders_evo", b1, LoadType.FULL)
+    store.write(DataZone.SILVER, "orders_evo", b2, LoadType.APPEND)
+    return store.read(DataZone.SILVER, "orders_evo").select(
+        "id", "totalprice", "priority"
+    )

@@ -3527,3 +3527,126 @@ def _kcenter_oracle(k: int = 5) -> str:
 def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return S.kcenter_greedy(emb, k=5, start_id=0)
+
+
+# ------------------------------------------- token-budget source mixture
+@register(
+    "pipeline_token_budget_mix",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) / 281474976710656.0 AS u
+        FROM documents
+    ),
+    stats AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+               CAST(SUM(toks) AS BIGINT) AS tokens_total
+        FROM tok GROUP BY source
+    ),
+    weighted AS (
+        SELECT source, n_docs_total, tokens_total,
+               sqrt(CAST(tokens_total AS DOUBLE)
+                    / CAST(SUM(tokens_total) OVER () AS DOUBLE)) AS sq,
+               CAST(SUM(tokens_total) OVER () AS DOUBLE) AS grand
+        FROM stats
+    ),
+    budgets AS (
+        SELECT source, n_docs_total, tokens_total,
+               (sq / SUM(sq) OVER ()) * 0.25 * grand AS token_budget
+        FROM weighted
+    ),
+    ranked AS (
+        SELECT t.source, t.toks,
+               CAST(SUM(t.toks) OVER (
+                   PARTITION BY t.source ORDER BY t.u, t.doc_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS cum
+        FROM tok t
+    )
+    SELECT b.source, b.n_docs_total, b.tokens_total,
+           ROUND(b.token_budget, 2) AS token_budget,
+           CAST(COALESCE(SUM(CASE WHEN r.cum <= b.token_budget
+                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
+               AS n_docs_kept,
+           CAST(COALESCE(SUM(CASE WHEN r.cum <= b.token_budget
+                                  THEN r.toks ELSE 0 END), 0) AS BIGINT)
+               AS tokens_kept
+    FROM budgets b JOIN ranked r ON r.source = b.source
+    GROUP BY b.source, b.n_docs_total, b.tokens_total, b.token_budget
+    """,
+    description="Token-budget domain mixture (the Pile/Dolma-style source "
+    "reweighting): per-source token mass is smoothed with temperature "
+    "alpha=0.5 and renormalized to a 25%-of-corpus token budget, then each "
+    "source greedily fills its budget in deterministic md5-rank order "
+    "(reproducible across engines/runs — no seeded sample()). Source "
+    "stats are metadata-scale; the corpus-side work is one narrow scan + "
+    "one per-source window cumsum, so the only shuffle is on `source` — "
+    "at 100 TB a skewed giant source salts the cumsum into ranked "
+    "sub-segments, same plan otherwise.",
+)
+def pipeline_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ", -1)).cast("bigint").alias("toks"),
+        u.alias("u"),
+    )
+    stats = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
+        F.sum("toks").cast("bigint").alias("tokens_total"),
+    )
+    # source cardinality is tiny: scalar denominators via one-row
+    # broadcast aggregates (window-free, stays parallel)
+    grand = stats.agg(F.sum("tokens_total").cast("double").alias("grand"))
+    with_sq = stats.join(F.broadcast(grand)).withColumn(
+        "sq", F.sqrt(F.col("tokens_total").cast("double") / F.col("grand"))
+    )
+    sqsum = with_sq.agg(F.sum("sq").alias("sqsum"))
+    budgets = with_sq.join(F.broadcast(sqsum)).select(
+        "source",
+        "n_docs_total",
+        "tokens_total",
+        ((F.col("sq") / F.col("sqsum")) * 0.25 * F.col("grand")).alias(
+            "token_budget"
+        ),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("u", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = tok.select(
+        "source", "toks", F.sum("toks").over(w).cast("bigint").alias("cum")
+    )
+    kept = F.when(F.col("cum") <= F.col("token_budget"), 1).otherwise(0)
+    kept_toks = F.when(
+        F.col("cum") <= F.col("token_budget"), F.col("toks")
+    ).otherwise(F.lit(0))
+    return (
+        ranked.join(F.broadcast(budgets), "source")
+        .groupBy("source", "n_docs_total", "tokens_total", "token_budget")
+        .agg(
+            F.coalesce(F.sum(kept), F.lit(0)).cast("bigint").alias("n_docs_kept"),
+            F.coalesce(F.sum(kept_toks), F.lit(0))
+            .cast("bigint")
+            .alias("tokens_kept"),
+        )
+        .select(
+            "source",
+            "n_docs_total",
+            "tokens_total",
+            F.round("token_budget", 2).alias("token_budget"),
+            "n_docs_kept",
+            "tokens_kept",
+        )
+    )

@@ -849,3 +849,22 @@ def test_kcenter_greedy_picks_extremes(spark):
     assert clusters == {0, 1, 2}
     assert out[0].dist is None
     assert out[1].dist >= out[2].dist > 0
+
+
+def test_token_budget_mix_invariants(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_token_budget_mix,
+    )
+
+    rows = pipeline_token_budget_mix(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # greedy fill never exceeds the budget, and keeps a subset
+        assert r.tokens_kept <= r.token_budget
+        assert 0 <= r.n_docs_kept <= r.n_docs_total
+    # the 25% corpus budget is respected in aggregate (within one doc slop
+    # per source, since fill stops before overflow)
+    total = sum(r.tokens_total for r in rows)
+    kept = sum(r.tokens_kept for r in rows)
+    assert kept <= 0.25 * total
+    assert kept >= 0.10 * total  # sanity: the budget is actually used
