@@ -250,3 +250,21 @@ def test_bucketed_join_has_no_exchange_on_join_inputs(spark, sf_dir):
     assert "Exchange hashpartitioning" not in join_part
     # one exchange total (the 5-row aggregate), never a fact-table shuffle
     assert plan.count("Exchange hashpartitioning") <= 1
+
+
+def test_pq_encode_is_narrow_no_python_no_shuffle(spark, sf_dir):
+    # PQ top-5: one projection pass against plan-literal codebooks +
+    # TakeOrdered; any BatchEvalPython or Exchange would break the
+    # 0-shuffle scale contract
+    plan = _plan(spark, sf_dir, "similarity_pq_adc_top5")
+    assert "BatchEvalPython" not in plan
+    assert "Exchange hashpartitioning" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_token_budget_mix_single_source_shuffle(spark, sf_dir):
+    # corpus-side work shuffles on `source` only (window cumsum); the
+    # budget table rides in as a broadcast
+    plan = _plan(spark, sf_dir, "pipeline_token_budget_mix")
+    assert "BatchEvalPython" not in plan
+    assert "BroadcastExchange" in plan
