@@ -245,6 +245,42 @@ class ZoneStore:
             )
         return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
 
+    def read_changes(
+        self,
+        zone: DataZone,
+        dataset: str,
+        from_version: int,
+        to_version: int,
+    ) -> DataFrame | None:
+        """Rows ADDED between two retained versions, read at file level:
+        the commits in ``to_version``'s membership that ``from_version``
+        lacks. For append-only workloads this is the true Delta-CDF fast
+        path — the change feed costs ZERO compute (no join, no diff scan;
+        just read the new commit dirs), which is what makes incremental
+        view maintenance at 100 TB proportional to the delta, not the
+        history. Returns ``None`` when no commits were added (or the span
+        only replaced commits — use :meth:`diff_versions` for row-level
+        classification of rewrites)."""
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        history = manifest.get("history", {})
+        for v in (from_version, to_version):
+            if str(v) not in history:
+                raise ValueError(
+                    f"version {v} not available for {zone.value}/{dataset}"
+                )
+        old = set(history[str(from_version)])
+        added = [c for c in history[str(to_version)] if c not in old]
+        if not added:
+            return None
+        dirs = [os.path.join(path, c) for c in added]
+        if not all(os.path.isdir(d) for d in dirs):
+            raise ValueError(
+                f"changes {from_version}->{to_version} of "
+                f"{zone.value}/{dataset} were vacuumed"
+            )
+        return self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+
     # ------------------------------------------------- stats-based pruning
     def commit_stats(
         self, zone: DataZone, dataset: str, column: str

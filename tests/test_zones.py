@@ -294,3 +294,21 @@ def test_commit_stats_footer_only(spark, store):
     # unknown column -> conservative (absent, still readable)
     st2 = store.commit_stats(DataZone.SILVER, "stats_ds", "nope")
     assert not st2[0]["present"]
+
+
+def test_read_changes_returns_only_appended_rows(spark, store):
+    from healthcare_data_lakehouse_spark.zones import DataZone, LoadType
+    from pyspark.sql import Row
+
+    b1 = spark.createDataFrame([Row(id=1, v="a"), Row(id=2, v="b")])
+    b2 = spark.createDataFrame([Row(id=3, v="c")])
+    store.write(DataZone.SILVER, "chg", b1, LoadType.FULL)
+    store.write(DataZone.SILVER, "chg", b2, LoadType.APPEND)
+    delta = store.read_changes(DataZone.SILVER, "chg", 1, 2)
+    assert {r.id for r in delta.collect()} == {3}
+    # no commits added between identical versions
+    assert store.read_changes(DataZone.SILVER, "chg", 2, 2) is None
+    # a FULL rewrite replaces commits: the new commit IS the change set
+    b3 = spark.createDataFrame([Row(id=9, v="z")])
+    store.write(DataZone.SILVER, "chg", b3, LoadType.FULL)
+    assert {r.id for r in store.read_changes(DataZone.SILVER, "chg", 2, 3).collect()} == {9}
