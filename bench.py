@@ -175,6 +175,9 @@ HEADLINE = [
     "events_attribution_first_vs_last",
     "forecast_holt_monthly_revenue",
     "sample_coreset_kcenter",
+    "text_gopher_quality_filter",
+    "sample_temperature_lang",
+    "text_token_entropy_by_lang",
 ]
 
 
@@ -219,16 +222,43 @@ def main() -> None:
             print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
 
     total = round(sum(times.values()), 3)
-    out = {
+    sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
+
+    # Full per-query detail goes to a file: the driver records only the
+    # last ~2000 chars of stdout, and 150+ query timings don't fit on one
+    # line (round-3 postmortem: BENCH_r03 has parsed=None because the
+    # JSON line was truncated from the front). The printed line stays
+    # compact — total + the slowest queries that fit — and always parses.
+    full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
-        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "sf": sf_val,
     }
     if errors:
-        out["errors"] = errors
-    print(json.dumps(out))
+        full["errors"] = errors
+    full_path = Path(__file__).resolve().parent / "BENCH_FULL.json"
+    full_path.write_text(json.dumps(full, indent=1))
+
+    ranked = sorted(times.items(), key=lambda kv: -kv[1])
+    out = {
+        "metric": "headline_queries_total_wall",
+        "value": total,
+        "unit": "sec",
+        "sf": sf_val,
+        "queries_run": len(times),
+        "errors_n": len(errors),
+        "full": "BENCH_FULL.json",
+        "queries": dict(ranked),
+    }
+    line = json.dumps(out, separators=(",", ":"))
+    keep = len(ranked)
+    while len(line) > 1800 and keep > 10:
+        keep -= 5
+        out["queries"] = dict(ranked[:keep])
+        line = json.dumps(out, separators=(",", ":"))
+    print(line)
 
 
 if __name__ == "__main__":

@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from healthcare_data_lakehouse_spark.functions import dedup as D
-from healthcare_data_lakehouse_spark.functions import dround
+from healthcare_data_lakehouse_spark.functions import dround, dround_sql
 from healthcare_data_lakehouse_spark.functions import similarity as S
 from healthcare_data_lakehouse_spark.functions import text as TX
 from healthcare_data_lakehouse_spark.functions.multimodal import (
@@ -3649,4 +3649,169 @@ def pipeline_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_kept",
             "tokens_kept",
         )
+    )
+
+
+# ------------------------------------------- gopher-style quality gate
+# Rule names in the fixed order they are evaluated; ``reasons`` joins the
+# fired ones with ',' so the output is a deterministic scalar per doc.
+_GOPHER_RULES = [
+    ("too_few_words", "n_words < 15"),
+    ("too_many_words", "n_words > 500"),
+    ("word_len_out_of_range", "mean_word_len < 2.5 OR mean_word_len > 8.0"),
+    ("excessive_repetition", "dup_word_frac > 0.7"),
+    ("no_stopwords", "stop_hits = 0"),
+]
+
+_GOPHER_REASONS_SQL = ", ".join(
+    f"CASE WHEN {pred} THEN '{name}' END" for name, pred in _GOPHER_RULES
+)
+_GOPHER_PASS_SQL = " OR ".join(f"({pred})" for _, pred in _GOPHER_RULES)
+
+
+@register(
+    "text_gopher_quality_filter",
+    oracle=f"""
+    WITH words AS (
+        SELECT doc_id, string_split(text, ' ') AS w FROM documents
+    ),
+    feats AS (
+        SELECT doc_id,
+               CAST(len(w) AS BIGINT) AS n_words,
+               {dround_sql("CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)", 6)} AS mean_word_len,
+               {dround_sql("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)", 6)} AS dup_word_frac,
+               CAST(len(list_filter(w, x -> lower(x) IN
+                    ('the','a','of','and','to','in','is','it'))) AS BIGINT)
+                    AS stop_hits
+        FROM words
+    )
+    SELECT doc_id, n_words, mean_word_len, dup_word_frac,
+           CAST(CASE WHEN {_GOPHER_PASS_SQL} THEN 0 ELSE 1 END AS INT) AS passes,
+           COALESCE(array_to_string(list_filter([{_GOPHER_REASONS_SQL}],
+                x -> x IS NOT NULL), ','), '') AS reasons
+    FROM feats
+    """,
+    description="Gopher-style composite quality gate: word-count bounds, "
+    "mean-word-length band, duplicate-word fraction, stopword presence — "
+    "one narrow JVM-side scan, no shuffle, rule reasons as a deterministic "
+    "CSV column. Scale: embarrassingly parallel map over documents.",
+)
+def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    w = F.split(F.col("text"), " ")
+    n_words = F.size(w)
+    char_sum = F.aggregate(
+        w, F.lit(0), lambda acc, x: acc + F.length(x)
+    )
+    mean_word_len = dround(char_sum.cast("double") / n_words, 6)
+    dup_frac = dround(
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_words, 6
+    )
+    stop_hits = F.size(
+        F.filter(w, lambda x: F.lower(x).isin(*TX.STOPWORDS))
+    ).cast("bigint")
+    feats = docs.select(
+        "doc_id",
+        n_words.cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    preds = {
+        "too_few_words": F.col("n_words") < 15,
+        "too_many_words": F.col("n_words") > 500,
+        "word_len_out_of_range": (F.col("mean_word_len") < 2.5)
+        | (F.col("mean_word_len") > 8.0),
+        "excessive_repetition": F.col("dup_word_frac") > 0.7,
+        "no_stopwords": F.col("stop_hits") == 0,
+    }
+    fired = F.array(
+        *[F.when(preds[name], F.lit(name)) for name, _ in _GOPHER_RULES]
+    )
+    any_fired = None
+    for name, _ in _GOPHER_RULES:
+        any_fired = preds[name] if any_fired is None else (any_fired | preds[name])
+    return feats.select(
+        "doc_id",
+        "n_words",
+        "mean_word_len",
+        "dup_word_frac",
+        F.when(any_fired, 0).otherwise(1).cast("int").alias("passes"),
+        F.concat_ws(",", F.filter(fired, lambda x: x.isNotNull())).alias(
+            "reasons"
+        ),
+    )
+
+
+# ------------------------------------------- temperature sampling mix
+@register(
+    "sample_temperature_lang",
+    oracle=f"""
+    WITH c AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
+    )
+    SELECT lang, n_docs,
+           {dround_sql("sqrt(CAST(n_docs AS DOUBLE)) / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER ()", 6)} AS weight,
+           CAST({dround_sql("1000.0 * sqrt(CAST(n_docs AS DOUBLE)) / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER ()", 0)} AS BIGINT) AS alloc_docs
+    FROM c
+    """,
+    description="Temperature-based multilingual sampling (alpha=0.5): "
+    "per-language sampling weight n^alpha / sum(n^alpha) and a 1000-doc "
+    "budget allocation — the standard rebalancing used for multilingual "
+    "LM training mixes. One groupBy + a broadcast-size window; the "
+    "per-language table is metadata-scale at any corpus size.",
+)
+def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    c = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
+    wall = Window.partitionBy()
+    sq = F.sqrt(F.col("n_docs").cast("double"))
+    share = sq / F.sum(sq).over(wall)
+    return c.select(
+        "lang",
+        "n_docs",
+        dround(share, 6).alias("weight"),
+        dround(F.lit(1000.0) * share, 0).cast("bigint").alias("alloc_docs"),
+    )
+
+
+# ------------------------------------------- token entropy by language
+@register(
+    "text_token_entropy_by_lang",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tc AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok GROUP BY lang, token
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS vocab,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           {dround_sql("log2(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)", 6)} AS entropy_bits,
+           {dround_sql("(log2(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)) / log2(CAST(COUNT(*) AS DOUBLE))", 6)} AS entropy_norm
+    FROM tc GROUP BY lang
+    """,
+    description="Shannon token entropy per language via the single-agg "
+    "identity H = log2(T) - sum(c*log2 c)/T over token counts, plus "
+    "vocab-normalized entropy — a corpus diversity KPI. Two partial-agg "
+    "shuffles on (lang, token) then (lang); map-side combine keeps the "
+    "shuffle at vocabulary scale, not token scale.",
+)
+def text_token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tc = (
+        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .groupBy("lang", "token")
+        .agg(F.count("*").cast("bigint").alias("c"))
+    )
+    cd = F.col("c").cast("double")
+    t = F.sum("c").cast("double")
+    h = F.log2(t) - F.sum(cd * F.log2(cd)) / t
+    return tc.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("vocab"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        dround(h, 6).alias("entropy_bits"),
+        dround(h / F.log2(F.count("*").cast("double")), 6).alias("entropy_norm"),
     )

@@ -868,3 +868,62 @@ def test_token_budget_mix_invariants(spark, sf_dir):
     kept = sum(r.tokens_kept for r in rows)
     assert kept <= 0.25 * total
     assert kept >= 0.10 * total  # sanity: the budget is actually used
+
+
+def test_gopher_filter_rules_fire(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_gopher_quality_filter,
+    )
+
+    rows = text_gopher_quality_filter(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        fired = [x for x in r.reasons.split(",") if x]
+        # passes <=> no rule fired, and reasons only lists known rules
+        assert (r.passes == 1) == (not fired)
+        assert set(fired) <= {
+            "too_few_words",
+            "too_many_words",
+            "word_len_out_of_range",
+            "excessive_repetition",
+            "no_stopwords",
+        }
+        # feature sanity
+        assert r.n_words >= 1
+        assert 0.0 <= r.dup_word_frac <= 1.0
+        if r.n_words < 15:
+            assert "too_few_words" in fired
+
+
+def test_temperature_sampling_flattens_mix(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sample_temperature_lang,
+    )
+
+    rows = sample_temperature_lang(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_docs for r in rows)
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    # alpha=0.5 upweights rare languages relative to their natural share
+    for r in rows:
+        natural = r.n_docs / total
+        if natural < 1.0 / len(rows):
+            assert r.weight >= natural - 1e-9
+        else:
+            assert r.weight <= natural + 1e-9
+    # the 1000-doc budget is allocated within rounding slop
+    assert abs(sum(r.alloc_docs for r in rows) - 1000) <= len(rows)
+
+
+def test_token_entropy_bounds(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_token_entropy_by_lang,
+    )
+
+    rows = text_token_entropy_by_lang(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # 0 <= H <= log2(vocab); normalized entropy in [0, 1]
+        assert 0.0 <= r.entropy_bits
+        assert r.entropy_norm <= 1.0 + 1e-9
+        assert r.vocab <= r.n_tokens
