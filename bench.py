@@ -178,6 +178,9 @@ HEADLINE = [
     "text_gopher_quality_filter",
     "sample_temperature_lang",
     "text_token_entropy_by_lang",
+    "forecast_stl_decompose_monthly",
+    "events_markov_stationary",
+    "orders_open_backlog_daily",
 ]
 
 

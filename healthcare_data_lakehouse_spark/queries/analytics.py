@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from healthcare_data_lakehouse_spark.functions import dround
+from healthcare_data_lakehouse_spark.functions import dround, dround_sql
 from healthcare_data_lakehouse_spark.queries.catalog import register
 from healthcare_data_lakehouse_spark.tables import table
 
@@ -3221,4 +3221,195 @@ def forecast_holt_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     return folded.select(F.explode("rows").alias("r")).select(
         "r.month", "r.rev", "r.level", "r.trend", "r.fitted"
+    )
+
+
+# ------------------------------------- STL-style seasonal decomposition
+@register(
+    "forecast_stl_decompose_monthly",
+    oracle=f"""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT month, rev,
+               {dround_sql("AVG(rev) OVER (ORDER BY month ROWS BETWEEN 6 PRECEDING AND 6 FOLLOWING)", 4)} AS trend
+        FROM monthly
+    ),
+    d AS (SELECT month, rev, trend, rev - trend AS detr FROM t),
+    s AS (
+        SELECT month, rev, trend, detr,
+               {dround_sql("AVG(detr) OVER (PARTITION BY month(month))", 4)} AS seasonal
+        FROM d
+    )
+    SELECT month, rev, trend, seasonal,
+           {dround_sql("detr - seasonal", 4)} AS residual
+    FROM s
+    """,
+    description="Additive STL-style decomposition of monthly order revenue: "
+    "trend = centered 13-month moving average, seasonal = month-of-year "
+    "mean of the detrended series, residual = remainder. One agg shuffle "
+    "collapses the fact table to a #months-row series; every window after "
+    "that is post-aggregation metadata scale.",
+)
+def forecast_stl_decompose_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.to_date(F.date_trunc("month", "o_orderdate")).alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w13 = Window.orderBy("month").rowsBetween(-6, 6)
+    t = monthly.withColumn("trend", dround(F.avg("rev").over(w13), 4))
+    d = t.withColumn("detr", F.col("rev") - F.col("trend"))
+    s = d.withColumn(
+        "seasonal",
+        dround(F.avg("detr").over(Window.partitionBy(F.month("month"))), 4),
+    )
+    return s.select(
+        "month",
+        "rev",
+        "trend",
+        "seasonal",
+        dround(F.col("detr") - F.col("seasonal"), 4).alias("residual"),
+    )
+
+
+# ------------------------------------- Markov chain stationary distribution
+_MARKOV_ITERS = 30
+
+def _markov_oracle() -> str:
+    # Every CTE is MATERIALIZED: DuckDB inlines single-reference CTEs, and
+    # a 30-deep inlined join/agg chain sends its optimizer superlinear
+    # (30 un-materialized steps never returned; materialized: 0.07s).
+    head = """
+    WITH seq AS MATERIALIZED (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS prev_type
+        FROM events
+    ),
+    counts AS MATERIALIZED (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2
+    ),
+    states AS MATERIALIZED (SELECT DISTINCT prev_type AS state FROM counts),
+    mat AS MATERIALIZED (
+        SELECT prev_type, next_type,
+               CAST(c AS DOUBLE)
+                   / SUM(CAST(c AS DOUBLE)) OVER (PARTITION BY prev_type)
+                   AS prob
+        FROM counts
+        WHERE next_type IN (SELECT state FROM states)
+    ),
+    v0 AS (
+        SELECT state, 1.0 / (SELECT COUNT(*) FROM states) AS v FROM states
+    )"""
+    steps = ",\n".join(
+        f"""    v{k + 1} AS MATERIALIZED (
+        SELECT m.next_type AS state, SUM(v.v * m.prob) AS v
+        FROM v{k} v JOIN mat m ON v.state = m.prev_type
+        GROUP BY 1
+    )"""
+        for k in range(_MARKOV_ITERS)
+    )
+    from healthcare_data_lakehouse_spark.functions import dround_sql as _ds
+
+    return (
+        head
+        + ",\n"
+        + steps
+        + f"""
+    SELECT state, {_ds("v", 6)} AS stationary FROM v{_MARKOV_ITERS}
+    """
+    )
+
+
+@register(
+    "events_markov_stationary",
+    oracle=_markov_oracle(),
+    description="Stationary distribution of the per-user event-type Markov "
+    "chain: transition counting is the distributed part (one lag window + "
+    "one groupBy over 100 TB of events); the row-stochastic matrix is "
+    "|event_types|^2 — metadata scale — so the power iteration (30 steps, "
+    "matching the oracle's unrolled CTE chain) runs driver-side in numpy, "
+    "exactly like IVF centroids. Columns restricted to observed source "
+    "states and rows renormalized so the chain stays stochastic.",
+)
+def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull()
+    )
+    counts = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # |event_types|^2 rows: metadata scale by construction
+    )
+    states = sorted({r.prev_type for r in counts})
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    mat = np.zeros((n, n))
+    for r in counts:
+        if r.next_type in idx:
+            mat[idx[r.prev_type], idx[r.next_type]] = r.c
+    mat = mat / mat.sum(axis=1, keepdims=True)
+    v = np.full(n, 1.0 / n)
+    for _ in range(_MARKOV_ITERS):
+        v = v @ mat
+    out = spark.createDataFrame(
+        [(s, float(v[idx[s]])) for s in states], ["state", "stationary"]
+    )
+    return out.select("state", dround("stationary", 6).alias("stationary"))
+
+
+# ------------------------------------- daily open-order backlog sweepline
+@register(
+    "orders_open_backlog_daily",
+    oracle="""
+    WITH span AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d0,
+               CAST(MAX(l_shipdate) AS DATE) AS d1
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1, 2
+    ),
+    deltas AS (
+        SELECT d0 AS day, 1 AS delta FROM span
+        UNION ALL
+        SELECT CAST(d1 + INTERVAL 1 DAY AS DATE), -1 FROM span
+    ),
+    daily AS (
+        SELECT day, CAST(SUM(delta) AS BIGINT) AS net
+        FROM deltas GROUP BY 1
+    )
+    SELECT day, net,
+           CAST(SUM(net) OVER (ORDER BY day) AS BIGINT) AS open_orders
+    FROM daily
+    """,
+    description="Daily open-order backlog via interval sweepline: each "
+    "order contributes +1 at orderdate and -1 the day after its last "
+    "shipment; a groupBy collapses 100 TB of deltas to a #days-row series "
+    "and the prefix sum runs at day grain. Never expands intervals into "
+    "per-day rows per order (the naive range-explode is O(rows x days)).",
+)
+def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d0"))
+        .agg(F.to_date(F.max("l_shipdate")).alias("d1"))
+    )
+    deltas = span.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionAll(
+        span.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
+    )
+    daily = deltas.groupBy("day").agg(F.sum("delta").cast("bigint").alias("net"))
+    wcum = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return daily.select(
+        "day", "net", F.sum("net").over(wcum).cast("bigint").alias("open_orders")
     )

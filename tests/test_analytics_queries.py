@@ -258,3 +258,62 @@ def test_holt_fold_matches_reference_recurrence(spark, sf_dir):
         assert r.level == round(l, 4)
         assert r.trend == round(b, 4)
         assert r.fitted == round(f, 4)
+
+
+def test_stl_decomposition_identity(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        forecast_stl_decompose_monthly,
+    )
+
+    rows = forecast_stl_decompose_monthly(spark, sf_dir).collect()
+    assert len(rows) > 12
+    for r in rows:
+        # additive identity holds within component rounding (4 dp each)
+        assert abs(r.rev - (r.trend + r.seasonal + r.residual)) < 1e-3
+    # 12 distinct seasonal values at most (month-of-year grain)
+    assert len({round(r.seasonal, 4) for r in rows}) <= 12
+
+
+def test_markov_stationary_is_fixed_point(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        events_markov_stationary,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    rows = events_markov_stationary(spark, sf_dir).collect()
+    pi = {r.state: r.stationary for r in rows}
+    assert abs(sum(pi.values()) - 1.0) < 1e-4
+    assert all(v > 0 for v in pi.values())
+
+    # recompute the transition matrix independently and check pi ~ pi P
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    seq = ev.withColumn("prev", F.lag("event_type").over(w)).filter(
+        F.col("prev").isNotNull()
+    )
+    counts = seq.groupBy("prev", "event_type").count().collect()
+    states = sorted(pi)
+    tot = {s: sum(r["count"] for r in counts if r.prev == s) for s in states}
+    for j in states:
+        nxt = sum(
+            pi[r.prev] * r["count"] / tot[r.prev]
+            for r in counts
+            if r.event_type == j and r.prev in pi
+        )
+        assert abs(nxt - pi[j]) < 1e-4
+
+
+def test_backlog_sweepline_conserves_mass(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        orders_open_backlog_daily,
+    )
+
+    rows = orders_open_backlog_daily(spark, sf_dir).collect()
+    rows.sort(key=lambda r: r.day)
+    assert rows
+    # backlog is a prefix sum of +1/-1 deltas: never negative, ends at 0
+    assert all(r.open_orders >= 0 for r in rows)
+    assert rows[-1].open_orders == 0
+    assert sum(r.net for r in rows) == 0

@@ -73,6 +73,12 @@ GLOBAL_WINDOW_OK = {
     "stats_kaplan_meier_session_duration":
         "risk-set and product-limit windows over the duration-grain "
         "table (<= max-lifetime-days rows)",
+    "sample_temperature_lang":
+        "normalizing window over the per-language aggregate (|langs| rows)",
+    "forecast_stl_decompose_monthly":
+        "trend/cum windows over the month-grain post-agg series",
+    "orders_open_backlog_daily":
+        "prefix sum over the day-grain delta series (sweepline)",
 }
 
 
