@@ -181,6 +181,9 @@ HEADLINE = [
     "forecast_stl_decompose_monthly",
     "events_markov_stationary",
     "orders_open_backlog_daily",
+    "quality_error_rate_control_chart",
+    "events_bot_detection_heuristic",
+    "pipeline_dataset_cards",
 ]
 
 

@@ -27,7 +27,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from healthcare_data_lakehouse_spark.functions import dround
+from healthcare_data_lakehouse_spark.functions import dround, dround_sql
 from healthcare_data_lakehouse_spark.queries.catalog import register
 from healthcare_data_lakehouse_spark.tables import table
 
@@ -1624,4 +1624,138 @@ def sample_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(1000 * F.col("n_orders") * F.col("sd") / F.col("denom"))
         .cast("bigint")
         .alias("alloc_samples"),
+    )
+
+
+# ------------------------------------------- p-chart error-rate monitor
+@register(
+    "quality_error_rate_control_chart",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_errors
+        FROM events GROUP BY 1
+    ),
+    center AS (
+        SELECT CAST(SUM(n_errors) AS DOUBLE) / SUM(n_events) AS pbar
+        FROM daily
+    )
+    SELECT day, n_events, n_errors,
+           {dround_sql("CAST(n_errors AS DOUBLE) / n_events", 6)} AS p,
+           {dround_sql("pbar + 3 * sqrt(pbar * (1 - pbar) / n_events)", 6)} AS ucl,
+           {dround_sql("greatest(pbar - 3 * sqrt(pbar * (1 - pbar) / n_events), 0.0)", 6)} AS lcl,
+           CAST(CASE WHEN CAST(n_errors AS DOUBLE) / n_events
+                          > pbar + 3 * sqrt(pbar * (1 - pbar) / n_events)
+                      OR CAST(n_errors AS DOUBLE) / n_events
+                          < greatest(pbar - 3 * sqrt(pbar * (1 - pbar) / n_events), 0.0)
+                THEN 1 ELSE 0 END AS INT) AS out_of_control
+    FROM daily, center
+    """,
+    description="Shewhart p-chart over the daily error rate: center line "
+    "pbar from the whole series, per-day 3-sigma binomial control limits "
+    "sized by that day's sample count, out-of-control flags. One agg "
+    "shuffle to day grain; the center line is a 1-row broadcast cross "
+    "join — textbook streaming-ready DQ monitoring.",
+)
+def quality_error_rate_control_chart(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("int"))
+        .cast("bigint")
+        .alias("n_errors"),
+    )
+    center = daily.agg(
+        (F.sum("n_errors").cast("double") / F.sum("n_events")).alias("pbar")
+    )
+    p = F.col("n_errors").cast("double") / F.col("n_events")
+    sig = F.sqrt(F.col("pbar") * (1 - F.col("pbar")) / F.col("n_events"))
+    ucl = F.col("pbar") + 3 * sig
+    lcl = F.greatest(F.col("pbar") - 3 * sig, F.lit(0.0))
+    return daily.crossJoin(F.broadcast(center)).select(
+        "day",
+        "n_events",
+        "n_errors",
+        dround(p, 6).alias("p"),
+        dround(ucl, 6).alias("ucl"),
+        dround(lcl, 6).alias("lcl"),
+        F.when((p > ucl) | (p < lcl), 1).otherwise(0).cast("int").alias(
+            "out_of_control"
+        ),
+    )
+
+
+# ------------------------------------------- bot / abuse heuristics
+@register(
+    "events_bot_detection_heuristic",
+    oracle=f"""
+    WITH g AS (
+        SELECT user_id, ts, event_type,
+               COUNT(*) OVER (PARTITION BY user_id, event_type) AS type_n,
+               epoch(ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+                   AS gap_s
+        FROM events
+    ),
+    feats AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               {dround_sql("epoch(MAX(ts) - MIN(ts)) / 86400.0", 6)} AS span_days,
+               {dround_sql("CAST(COUNT(*) AS DOUBLE) / greatest(epoch(MAX(ts) - MIN(ts)) / 86400.0, 1.0)", 6)} AS rate_per_day,
+               {dround_sql("AVG(gap_s)", 6)} AS avg_gap_s,
+               {dround_sql("CAST(MAX(type_n) AS DOUBLE) / COUNT(*)", 6)} AS top_type_frac
+        FROM g GROUP BY user_id
+    )
+    SELECT user_id, n_events, span_days, rate_per_day, avg_gap_s,
+           top_type_frac,
+           CAST(CASE WHEN rate_per_day > 2.75 OR top_type_frac > 0.33
+                THEN 1 ELSE 0 END AS INT) AS bot_suspect
+    FROM feats
+    """,
+    description="Bot/abuse heuristic per user: event rate, inter-event "
+    "cadence (lag gaps), and single-type dominance, flagged against fixed "
+    "thresholds — the pre-filter a training pipeline applies before user "
+    "data enters a corpus. One window + one agg, both partitioned by "
+    "user_id: a single shuffle at 100 TB.",
+)
+def events_bot_detection_heuristic(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wt = Window.partitionBy("user_id", "event_type")
+    wl = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    g = ev.select(
+        "user_id",
+        "ts",
+        F.count("*").over(wt).alias("type_n"),
+        (
+            F.col("ts").cast("double")
+            - F.lag("ts").over(wl).cast("double")
+        ).alias("gap_s"),
+    )
+    span_days = (
+        F.max("ts").cast("double") - F.min("ts").cast("double")
+    ) / 86400.0
+    feats = g.groupBy("user_id").agg(
+        F.count("*").cast("bigint").alias("n_events"),
+        dround(span_days, 6).alias("span_days"),
+        dround(
+            F.count("*").cast("double") / F.greatest(span_days, F.lit(1.0)), 6
+        ).alias("rate_per_day"),
+        dround(F.avg("gap_s"), 6).alias("avg_gap_s"),
+        dround(F.max("type_n").cast("double") / F.count("*"), 6).alias(
+            "top_type_frac"
+        ),
+    )
+    return feats.select(
+        "*",
+        F.when(
+            (F.col("rate_per_day") > 2.75) | (F.col("top_type_frac") > 0.33), 1
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("bot_suspect"),
     )

@@ -3815,3 +3815,92 @@ def text_token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(h, 6).alias("entropy_bits"),
         dround(h / F.log2(F.count("*").cast("double")), 6).alias("entropy_norm"),
     )
+
+
+# ------------------------------------------- per-source dataset cards
+@register(
+    "pipeline_dataset_cards",
+    oracle=f"""
+    WITH per_doc AS (
+        SELECT source, lang, text,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
+        FROM documents
+    ),
+    lang_counts AS (
+        SELECT source, lang, COUNT(*) AS n
+        FROM per_doc GROUP BY source, lang
+    ),
+    top_lang AS (
+        SELECT source, lang AS top_lang,
+               {dround_sql("CAST(n AS DOUBLE) / tot", 6)} AS top_lang_frac
+        FROM (
+            SELECT source, lang, n,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY source ORDER BY n DESC, lang
+                   ) AS rk,
+                   SUM(n) OVER (PARTITION BY source) AS tot
+            FROM lang_counts
+        ) WHERE rk = 1
+    ),
+    base AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(toks) AS BIGINT) AS total_tokens,
+               {dround_sql("AVG(CAST(toks AS DOUBLE))", 6)} AS avg_doc_tokens,
+               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+               {dround_sql("1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*)", 6)} AS exact_dup_frac
+        FROM per_doc GROUP BY source
+    )
+    SELECT b.source, n_docs, total_tokens, avg_doc_tokens, n_langs,
+           top_lang, top_lang_frac, exact_dup_frac
+    FROM base b JOIN top_lang t ON b.source = t.source
+    """,
+    description="Per-source dataset card: doc/token counts, language mix "
+    "(mode language with deterministic tie-break), exact-duplicate "
+    "fraction — the summary table a corpus curator publishes per shard "
+    "source. Two agg shuffles on source grain; distinct-text counting is "
+    "the only wide state and is itself a hash agg (at 100 TB swap "
+    "COUNT(DISTINCT text) for a fingerprint-first groupBy).",
+)
+def pipeline_dataset_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "source",
+        "lang",
+        "text",
+        F.size(F.split("text", " ")).cast("bigint").alias("toks"),
+    )
+    lang_counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
+    wrk = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
+    wsrc = Window.partitionBy("source")
+    top_lang = (
+        lang_counts.withColumn("rk", F.row_number().over(wrk))
+        .withColumn("tot", F.sum("n").over(wsrc))
+        .filter(F.col("rk") == 1)
+        .select(
+            "source",
+            F.col("lang").alias("top_lang"),
+            dround(F.col("n").cast("double") / F.col("tot"), 6).alias(
+                "top_lang_frac"
+            ),
+        )
+    )
+    base = docs.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("toks").cast("bigint").alias("total_tokens"),
+        dround(F.avg(F.col("toks").cast("double")), 6).alias("avg_doc_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        dround(
+            F.lit(1.0) - F.countDistinct("text").cast("double") / F.count("*"),
+            6,
+        ).alias("exact_dup_frac"),
+    )
+    return base.join(top_lang, "source").select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "avg_doc_tokens",
+        "n_langs",
+        "top_lang",
+        "top_lang_frac",
+        "exact_dup_frac",
+    )

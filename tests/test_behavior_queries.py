@@ -419,3 +419,36 @@ def test_neyman_allocation_sums_to_budget_share(spark, sf_dir):
     assert sum(r.alloc_samples for r in rows) <= 1000
     for r in rows:
         assert r.alloc_samples >= 0 and r.stddev_price > 0
+
+
+def test_control_chart_limits_bracket_center(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        quality_error_rate_control_chart,
+    )
+
+    rows = quality_error_rate_control_chart(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.lcl <= r.ucl <= 1.0 + 1e-9
+        assert 0.0 <= r.p <= 1.0
+        # flag consistent with limits (limits are rounded to 6dp, so give
+        # the comparison the same slack)
+        assert (r.out_of_control == 1) == (
+            r.p > r.ucl + 1e-6 or r.p < r.lcl - 1e-6
+        ) or abs(r.p - r.ucl) <= 1e-6 or abs(r.p - r.lcl) <= 1e-6
+
+
+def test_bot_heuristic_features_sane(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_bot_detection_heuristic,
+    )
+
+    rows = events_bot_detection_heuristic(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.n_events >= 1
+        assert 0.0 < r.top_type_frac <= 1.0
+        assert r.span_days >= 0.0
+        assert (r.bot_suspect == 1) == (
+            r.rate_per_day > 2.75 or r.top_type_frac > 0.33
+        )

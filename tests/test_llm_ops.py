@@ -927,3 +927,19 @@ def test_token_entropy_bounds(spark, sf_dir):
         assert 0.0 <= r.entropy_bits
         assert r.entropy_norm <= 1.0 + 1e-9
         assert r.vocab <= r.n_tokens
+
+
+def test_dataset_cards_consistent(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_dataset_cards,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = pipeline_dataset_cards(spark, sf_dir).collect()
+    n_docs_total = table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs_total
+    for r in rows:
+        assert 0.0 <= r.exact_dup_frac < 1.0
+        assert 0.0 < r.top_lang_frac <= 1.0
+        assert r.n_langs >= 1
+        assert abs(r.avg_doc_tokens - r.total_tokens / r.n_docs) < 1e-4
