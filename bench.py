@@ -184,6 +184,9 @@ HEADLINE = [
     "quality_error_rate_control_chart",
     "events_bot_detection_heuristic",
     "pipeline_dataset_cards",
+    "text_rake_keywords",
+    "stats_ridge_regression_normal_eq",
+    "text_ngram_novelty_rate",
 ]
 
 

@@ -3904,3 +3904,183 @@ def pipeline_dataset_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top_lang_frac",
         "exact_dup_frac",
     )
+
+
+# ------------------------------------------- RAKE keyword extraction
+_RAKE_STOP_RE = r"\b(?:the|a|of|and|to|in|is|it)\b"
+
+
+@register(
+    "text_rake_keywords",
+    oracle=f"""
+    WITH phrases AS (
+        SELECT doc_id, trim(p) AS phrase
+        FROM documents,
+             UNNEST(string_split_regex(lower(text), '{_RAKE_STOP_RE}')) AS u(p)
+        WHERE trim(p) <> ''
+    ),
+    pw AS (
+        SELECT phrase,
+               len(list_filter(string_split(phrase, ' '), x -> x <> ''))
+                   AS plen,
+               unnest(list_filter(string_split(phrase, ' '), x -> x <> ''))
+                   AS word
+        FROM phrases
+    ),
+    scores AS (
+        SELECT word,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               CAST(SUM(plen) AS BIGINT) AS degree,
+               {dround_sql("CAST(SUM(plen) AS DOUBLE) / COUNT(*)", 6)} AS score
+        FROM pw GROUP BY word
+    )
+    SELECT word, freq, degree, score
+    FROM scores
+    ORDER BY score DESC, word
+    LIMIT 20
+    """,
+    description="RAKE keyword extraction: phrases are maximal stopword-free "
+    "runs (regex split), word degree = sum of containing-phrase lengths, "
+    "score = degree/freq, global top-20 with a total-order tie-break. "
+    "Explode + one hash agg at vocabulary grain; top-k is a "
+    "TakeOrdered over the aggregate, never a global sort of the corpus.",
+)
+def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    phrases = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower("text"), _RAKE_STOP_RE)).alias("p"),
+    ).select("doc_id", F.trim("p").alias("phrase")).filter(F.col("phrase") != "")
+    words = F.filter(F.split("phrase", " "), lambda x: x != "")
+    pw = phrases.select(
+        F.size(words).alias("plen"), F.explode(words).alias("word")
+    )
+    scores = pw.groupBy("word").agg(
+        F.count("*").cast("bigint").alias("freq"),
+        F.sum("plen").cast("bigint").alias("degree"),
+        dround(F.sum("plen").cast("double") / F.count("*"), 6).alias("score"),
+    )
+    return scores.orderBy(F.desc("score"), F.asc("word")).limit(20)
+
+
+# ------------------------------------------- ridge regression (normal eq)
+@register(
+    "stats_ridge_regression_normal_eq",
+    oracle=f"""
+    WITH m AS (
+        SELECT AVG(l_quantity) AS x1b, AVG(l_discount) AS x2b,
+               AVG(l_extendedprice) AS yb,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+    ),
+    s AS (
+        SELECT n, x1b, x2b, yb,
+               SUM((l_quantity - x1b) * (l_quantity - x1b)) AS s11,
+               SUM((l_quantity - x1b) * (l_discount - x2b)) AS s12,
+               SUM((l_discount - x2b) * (l_discount - x2b)) AS s22,
+               SUM((l_quantity - x1b) * (l_extendedprice - yb)) AS s1y,
+               SUM((l_discount - x2b) * (l_extendedprice - yb)) AS s2y
+        FROM lineitem, m
+        GROUP BY n, x1b, x2b, yb
+    ),
+    solved AS (
+        SELECT n, x1b, x2b, yb, s11, s12, s22, s1y, s2y,
+               0.01 * n AS lam,
+               (s11 + 0.01 * n) * (s22 + 0.01 * n) - s12 * s12 AS det
+        FROM s
+    )
+    SELECT n,
+           {dround_sql("(s1y * (s22 + lam) - s2y * s12) / det", 6)} AS beta_quantity,
+           {dround_sql("((s11 + lam) * s2y - s12 * s1y) / det", 6)} AS beta_discount,
+           {dround_sql("yb - ((s1y * (s22 + lam) - s2y * s12) / det) * x1b - (((s11 + lam) * s2y - s12 * s1y) / det) * x2b", 4)} AS intercept
+    FROM solved
+    """,
+    description="Ridge regression extendedprice ~ quantity + discount via "
+    "distributed normal equations: two map-reduce passes (means, then "
+    "centered cross-products — centering avoids catastrophic cancellation "
+    "in SUM(xy) - n*xbar*ybar) and a closed-form 2x2 solve with lambda = "
+    "0.01n on the slope diagonal. The 'matrix' never leaves the plan: "
+    "at any scale the solve is a 1-row expression.",
+)
+def stats_ridge_regression_normal_eq(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_discount", "l_extendedprice"
+    )
+    m = li.agg(
+        F.avg("l_quantity").alias("x1b"),
+        F.avg("l_discount").alias("x2b"),
+        F.avg("l_extendedprice").alias("yb"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    c1 = F.col("l_quantity") - F.col("x1b")
+    c2 = F.col("l_discount") - F.col("x2b")
+    cy = F.col("l_extendedprice") - F.col("yb")
+    s = (
+        li.crossJoin(F.broadcast(m))
+        .groupBy("n", "x1b", "x2b", "yb")
+        .agg(
+            F.sum(c1 * c1).alias("s11"),
+            F.sum(c1 * c2).alias("s12"),
+            F.sum(c2 * c2).alias("s22"),
+            F.sum(c1 * cy).alias("s1y"),
+            F.sum(c2 * cy).alias("s2y"),
+        )
+    )
+    lam = 0.01 * F.col("n")
+    det = (F.col("s11") + lam) * (F.col("s22") + lam) - F.col("s12") ** 2
+    b1 = (F.col("s1y") * (F.col("s22") + lam) - F.col("s2y") * F.col("s12")) / det
+    b2 = ((F.col("s11") + lam) * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
+    return s.select(
+        "n",
+        dround(b1, 6).alias("beta_quantity"),
+        dround(b2, 6).alias("beta_discount"),
+        dround(
+            F.col("yb") - b1 * F.col("x1b") - b2 * F.col("x2b"), 4
+        ).alias("intercept"),
+    )
+
+
+# ------------------------------------------- n-gram novelty scoring
+@register(
+    "text_ngram_novelty_rate",
+    oracle=f"""
+    WITH docs AS (SELECT doc_id, text FROM documents),
+    {_SHINGLES_SQL.strip().rstrip()},
+    firsts AS (
+        SELECT shingle, MIN(doc_id) AS first_doc
+        FROM shingles GROUP BY shingle
+    )
+    SELECT s.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS novel,
+           {dround_sql("CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS novelty
+    FROM shingles s JOIN firsts f ON s.shingle = f.shingle
+    GROUP BY s.doc_id
+    """,
+    description="Per-document n-gram novelty: fraction of a doc's distinct "
+    "3-word shingles whose global first occurrence (min doc_id) is this "
+    "doc — the incremental-information score used for dedup-aware corpus "
+    "ordering. One shingle-grain groupBy plus an equi-join back; shingle "
+    "attribution shuffles once on the shingle key, never self-joins docs.",
+)
+def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle")
+    )
+    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
+    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
+    return (
+        sh.join(firsts, "shingle")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_shingles"),
+            F.sum(novel).cast("bigint").alias("novel"),
+            dround(F.sum(novel).cast("double") / F.count("*"), 6).alias(
+                "novelty"
+            ),
+        )
+    )

@@ -943,3 +943,63 @@ def test_dataset_cards_consistent(spark, sf_dir):
         assert 0.0 < r.top_lang_frac <= 1.0
         assert r.n_langs >= 1
         assert abs(r.avg_doc_tokens - r.total_tokens / r.n_docs) < 1e-4
+
+
+def test_rake_keywords_scoring(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_rake_keywords,
+    )
+
+    rows = text_rake_keywords(spark, sf_dir).collect()
+    assert len(rows) == 20
+    for r in rows:
+        # degree counts every word of every containing phrase, so
+        # score = degree/freq >= 1 (a word is in its own phrase)
+        assert r.degree >= r.freq
+        assert abs(r.score - round(r.degree / r.freq, 6)) < 1e-9
+        # stopwords can never be keywords: phrases are split on them
+        assert r.word not in {"the", "a", "of", "and", "to", "in", "is", "it"}
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_ridge_shrinks_towards_zero(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        stats_ridge_regression_normal_eq,
+    )
+    import numpy as np
+    from healthcare_data_lakehouse_spark.tables import table
+
+    row = stats_ridge_regression_normal_eq(spark, sf_dir).collect()[0]
+    # independent dense solve on the same data
+    pdf = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_discount", "l_extendedprice")
+        .toPandas()
+    )
+    X = pdf[["l_quantity", "l_discount"]].to_numpy(dtype=float)
+    y = pdf["l_extendedprice"].to_numpy(dtype=float)
+    Xc = X - X.mean(axis=0)
+    yc = y - y.mean()
+    lam = 0.01 * len(y)
+    A = Xc.T @ Xc + lam * np.eye(2)
+    beta = np.linalg.solve(A, Xc.T @ yc)
+    assert abs(row.beta_quantity - beta[0]) < 1e-3
+    assert abs(row.beta_discount - beta[1]) < max(1e-3, abs(beta[1]) * 1e-4)
+    icept = y.mean() - beta @ X.mean(axis=0)
+    assert abs(row.intercept - icept) < 1e-2
+
+
+def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_ngram_novelty_rate,
+    )
+
+    rows = text_ngram_novelty_rate(spark, sf_dir).collect()
+    assert rows
+    by_id = sorted(rows, key=lambda r: r.doc_id)
+    # the lowest doc_id sees every one of its shingles first
+    assert by_id[0].novelty == 1.0
+    for r in rows:
+        assert 0.0 <= r.novelty <= 1.0
+        assert r.novel <= r.n_shingles
