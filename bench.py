@@ -187,6 +187,8 @@ HEADLINE = [
     "text_rake_keywords",
     "stats_ridge_regression_normal_eq",
     "text_ngram_novelty_rate",
+    "quality_fd_discovery",
+    "stats_benjamini_hochberg",
 ]
 
 

@@ -1759,3 +1759,191 @@ def events_bot_detection_heuristic(
         .cast("int")
         .alias("bot_suspect"),
     )
+
+
+# ------------------------------------------- functional dependency scan
+_FD_CANDIDATES = [
+    ("nation", "n_nationkey", "n_regionkey"),
+    ("orders", "o_orderkey", "o_orderstatus"),
+    ("customer", "c_nationkey", "c_mktsegment"),
+    ("orders", "o_custkey", "o_orderpriority"),
+    ("lineitem", "l_suppkey", "l_returnflag"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for tbl, det, dep in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{tbl}.{det}->{dep}' AS fd,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS violating_groups,
+           CAST(ROUND(CAST(SUM(CASE WHEN k > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                / COUNT(*), 6) AS DOUBLE) AS violation_rate,
+           CAST(CASE WHEN MAX(k) = 1 THEN 1 ELSE 0 END AS INT) AS holds
+    FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS k
+          FROM {tbl} GROUP BY {det})""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+@register(
+    "quality_fd_discovery",
+    oracle=_fd_oracle(),
+    description="Functional-dependency discovery over candidate "
+    "(determinant -> dependent) pairs: an FD holds when every determinant "
+    "value maps to exactly one dependent value. Confirms the key-implied "
+    "dependencies and rejects the spurious candidates with exact "
+    "violation rates. "
+    "Per candidate: one groupBy on the determinant with a distinct-count, "
+    "then a 1-row rollup — profiling 100 TB costs |candidates| "
+    "map-side-combinable passes, no joins.",
+)
+def quality_fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = None
+    for tbl, det, dep in _FD_CANDIDATES:
+        g = (
+            table(spark, sf_dir, tbl)
+            .groupBy(det)
+            .agg(F.countDistinct(dep).alias("k"))
+        )
+        row = g.agg(
+            F.lit(f"{tbl}.{det}->{dep}").alias("fd"),
+            F.count("*").cast("bigint").alias("n_groups"),
+            F.sum((F.col("k") > 1).cast("int"))
+            .cast("bigint")
+            .alias("violating_groups"),
+            F.round(
+                F.sum((F.col("k") > 1).cast("int")).cast("double")
+                / F.count("*"),
+                6,
+            ).alias("violation_rate"),
+            F.when(F.max("k") == 1, 1).otherwise(0).cast("int").alias("holds"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out
+
+
+# ------------------------------------------- BH multiple-testing control
+def _erf_sql(x: str) -> str:
+    """Abramowitz-Stegun 7.1.26 erf approximation (|err| < 1.5e-7) as a
+    SQL fragment over a NON-NEGATIVE argument expression."""
+    t = f"(1.0 / (1.0 + 0.3275911 * ({x})))"
+    poly = (
+        f"(0.254829592 * {t} - 0.284496736 * POWER({t}, 2) "
+        f"+ 1.421413741 * POWER({t}, 3) - 1.453152027 * POWER({t}, 4) "
+        f"+ 1.061405429 * POWER({t}, 5))"
+    )
+    return f"(1.0 - {poly} * EXP(-(({x}) * ({x}))))"
+
+
+def _erf_col(x):
+    t = 1.0 / (1.0 + 0.3275911 * x)
+    poly = (
+        0.254829592 * t
+        - 0.284496736 * F.pow(t, 2)
+        + 1.421413741 * F.pow(t, 3)
+        - 1.453152027 * F.pow(t, 4)
+        + 1.061405429 * F.pow(t, 5)
+    )
+    return 1.0 - poly * F.exp(-(x * x))
+
+
+@register(
+    "stats_benjamini_hochberg",
+    oracle=f"""
+    WITH moments AS (
+        SELECT e.event_type AS grp,
+               COUNT(CASE WHEN v.et = e.event_type THEN 1 END) AS n1,
+               AVG(CASE WHEN v.et = e.event_type THEN value END) AS m1,
+               var_samp(CASE WHEN v.et = e.event_type THEN value END) AS v1,
+               COUNT(CASE WHEN v.et <> e.event_type THEN 1 END) AS n2,
+               AVG(CASE WHEN v.et <> e.event_type THEN value END) AS m2,
+               var_samp(CASE WHEN v.et <> e.event_type THEN value END) AS v2
+        FROM (SELECT DISTINCT event_type FROM events) e
+        CROSS JOIN (SELECT event_type AS et, value FROM events) v
+        GROUP BY e.event_type
+    ),
+    tests AS (
+        SELECT grp, CAST(n1 AS BIGINT) AS n1,
+               CAST(ROUND(CAST((m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS DECIMAL(38,8)), 4) AS DOUBLE) AS z,
+               CAST(ROUND(CAST(
+                   1.0 - {_erf_sql("abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) / sqrt(2.0)")}
+               AS DECIMAL(38,8)), 6) AS DOUBLE) AS p
+        FROM moments
+    ),
+    ranked AS (
+        SELECT grp, n1, z, p,
+               CAST(ROW_NUMBER() OVER (ORDER BY p, grp) AS BIGINT) AS rk,
+               COUNT(*) OVER () AS m
+        FROM tests
+    ),
+    flagged AS (
+        SELECT *, CASE WHEN p <= rk * 0.05 / m THEN rk ELSE 0 END AS ok_rk
+        FROM ranked
+    )
+    SELECT grp, n1, z, p, rk,
+           CAST(ROUND(CAST(rk * 0.05 / m AS DECIMAL(38,8)), 6) AS DOUBLE)
+               AS bh_threshold,
+           CAST(CASE WHEN rk <= (SELECT MAX(ok_rk) FROM flagged)
+                THEN 1 ELSE 0 END AS INT) AS rejected
+    FROM flagged
+    """,
+    description="Benjamini-Hochberg FDR control (q=0.05) over per-"
+    "event-type two-sample z-tests of mean value vs the rest: one "
+    "conditional-moments pass per cohort via a tiny |types|-row broadcast "
+    "(the fact table is scanned once per the join's logical dup — at "
+    "scale, pivot to a single conditional agg), normal p-values from an "
+    "Abramowitz-Stegun erf evaluated as pure Column arithmetic (no SciPy, "
+    "no UDF), then the step-up rank test over the |tests|-row aggregate.",
+)
+def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
+    rows = None
+    for t in sorted(types):
+        m = F.when(F.col("event_type") == t, F.col("value"))
+        o = F.when(F.col("event_type") != t, F.col("value"))
+        g = ev.agg(
+            F.lit(t).alias("grp"),
+            F.count(m).cast("bigint").alias("n1"),
+            F.avg(m).alias("m1"),
+            F.var_samp(m).alias("v1"),
+            F.count(o).alias("n2"),
+            F.avg(o).alias("m2"),
+            F.var_samp(o).alias("v2"),
+        )
+        rows = g if rows is None else rows.unionAll(g)
+    zc = (F.col("m1") - F.col("m2")) / F.sqrt(
+        F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
+    )
+    tests = rows.select(
+        "grp",
+        "n1",
+        dround(zc, 4).alias("z"),
+        dround(1.0 - _erf_col(F.abs(zc) / F.sqrt(F.lit(2.0))), 6).alias("p"),
+    )
+    wr = Window.orderBy("p", "grp")
+    wall = Window.partitionBy()
+    ranked = tests.select(
+        "*",
+        F.row_number().over(wr).cast("bigint").alias("rk"),
+        F.count("*").over(wall).alias("m"),
+    )
+    flagged = ranked.withColumn(
+        "ok_rk",
+        F.when(F.col("p") <= F.col("rk") * 0.05 / F.col("m"), F.col("rk"))
+        .otherwise(F.lit(0)),
+    )
+    kmax = flagged.agg(F.max("ok_rk")).collect()[0][0]
+    return flagged.select(
+        "grp",
+        "n1",
+        "z",
+        "p",
+        "rk",
+        dround(F.col("rk") * 0.05 / F.col("m"), 6).alias("bh_threshold"),
+        F.when(F.col("rk") <= F.lit(kmax), 1).otherwise(0).cast("int").alias(
+            "rejected"
+        ),
+    )

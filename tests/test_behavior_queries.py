@@ -452,3 +452,39 @@ def test_bot_heuristic_features_sane(spark, sf_dir):
         assert (r.bot_suspect == 1) == (
             r.rate_per_day > 2.75 or r.top_type_frac > 0.33
         )
+
+
+def test_fd_discovery_verdicts(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        quality_fd_discovery,
+    )
+
+    rows = {r.fd: r for r in quality_fd_discovery(spark, sf_dir).collect()}
+    assert rows["nation.n_nationkey->n_regionkey"].holds == 1
+    assert rows["orders.o_orderkey->o_orderstatus"].holds == 1
+    assert rows["lineitem.l_suppkey->l_returnflag"].holds == 0
+    for r in rows.values():
+        assert (r.holds == 1) == (r.violating_groups == 0)
+        assert 0.0 <= r.violation_rate <= 1.0
+
+
+def test_bh_stepup_monotone(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_benjamini_hochberg,
+    )
+
+    rows = sorted(
+        stats_benjamini_hochberg(spark, sf_dir).collect(), key=lambda r: r.rk
+    )
+    assert rows
+    # rejected set is a prefix of the p-ordered ranks (step-up property)
+    rejected = [r.rejected for r in rows]
+    assert rejected == sorted(rejected, reverse=True)
+    for r in rows:
+        assert 0.0 <= r.p <= 1.0
+        if r.rejected:
+            # a rejected rank is at or below SOME later-or-equal threshold;
+            # its own p can exceed its own threshold only via the step-up
+            assert any(
+                x.p <= x.bh_threshold + 1e-9 for x in rows if x.rk >= r.rk
+            )

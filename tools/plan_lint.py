@@ -73,6 +73,8 @@ GLOBAL_WINDOW_OK = {
     "stats_kaplan_meier_session_duration":
         "risk-set and product-limit windows over the duration-grain "
         "table (<= max-lifetime-days rows)",
+    "stats_benjamini_hochberg":
+        "rank/step-up windows over the |event_types|-row test table",
     "sample_temperature_lang":
         "normalizing window over the per-language aggregate (|langs| rows)",
     "forecast_stl_decompose_monthly":
