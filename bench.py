@@ -189,6 +189,8 @@ HEADLINE = [
     "text_ngram_novelty_rate",
     "quality_fd_discovery",
     "stats_benjamini_hochberg",
+    "load_delete_where",
+    "load_update_set",
 ]
 
 

@@ -1183,3 +1183,81 @@ def load_incremental_view_refresh(spark: SparkSession, sf_dir: str) -> DataFrame
             F.round(F.sum("rev_raw"), 2).alias("revenue"),
         )
     )
+
+
+# --------------------------------------------------- row-level DELETE
+@register(
+    "load_delete_where",
+    oracle="""
+    SELECT o_orderkey AS id,
+           ROUND(o_totalprice, 2) AS totalprice,
+           o_orderstatus AS status
+    FROM orders
+    WHERE NOT COALESCE(o_orderkey % 4 = 2 AND o_totalprice > 50000, FALSE)
+    """,
+    description="Row-level DELETE on the ZoneStore (Delta DELETE "
+    "semantics: TRUE rows removed, FALSE/NULL rows survive) with "
+    "commit-granular copy-on-write — the dataset is loaded as two APPEND "
+    "commits and the predicate only touches one residue class, so the "
+    "other commit rides into the new version without a rewrite. Old "
+    "commits stay readable via time travel until VACUUM.",
+)
+def load_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    store = ZoneStore(spark, scratch_dir("zs_del_"))
+    store.write(
+        DataZone.SILVER, "orders_d", orders.filter(F.col("id") % 4 < 2),
+        LoadType.FULL,
+    )
+    store.write(
+        DataZone.SILVER, "orders_d", orders.filter(F.col("id") % 4 >= 2),
+        LoadType.APPEND,
+    )
+    store.delete_where(
+        DataZone.SILVER, "orders_d", "id % 4 = 2 AND totalprice > 50000"
+    )
+    out = store.read(DataZone.SILVER, "orders_d")
+    return out.select(
+        "id", F.round("totalprice", 2).alias("totalprice"), "status"
+    )
+
+
+# --------------------------------------------------- row-level UPDATE
+@register(
+    "load_update_set",
+    oracle="""
+    SELECT o_orderkey AS id,
+           ROUND(CASE WHEN o_orderkey % 10 = 7
+                 THEN o_totalprice * 1.1 ELSE o_totalprice END, 2)
+               AS totalprice,
+           CASE WHEN o_orderkey % 10 = 7 THEN 'UPD' ELSE o_orderstatus END
+               AS status
+    FROM orders
+    """,
+    description="Row-level UPDATE on the ZoneStore (Delta UPDATE "
+    "semantics: SET expressions applied where the predicate is TRUE, "
+    "other rows byte-preserved) with commit-granular copy-on-write; "
+    "non-matching commits are never rewritten.",
+)
+def load_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    store = ZoneStore(spark, scratch_dir("zs_upd_"))
+    store.write(DataZone.SILVER, "orders_u", orders, LoadType.FULL)
+    store.update_set(
+        DataZone.SILVER,
+        "orders_u",
+        "id % 10 = 7",
+        {"totalprice": "totalprice * 1.1", "status": "'UPD'"},
+    )
+    out = store.read(DataZone.SILVER, "orders_u")
+    return out.select(
+        "id", F.round("totalprice", 2).alias("totalprice"), "status"
+    )

@@ -439,6 +439,132 @@ class ZoneStore:
         }
 
     # ------------------------------------------------------------- compaction
+    def delete_where(
+        self,
+        zone: DataZone,
+        dataset: str,
+        predicate: str,
+        prune_column: str | None = None,
+        prune_lo=None,
+        prune_hi=None,
+    ) -> int:
+        """Row-level DELETE with copy-on-write at commit granularity.
+
+        Delta-DELETE semantics: rows where ``predicate`` is TRUE are
+        removed; rows where it is FALSE **or NULL** survive. Commits with
+        no matching row are carried into the new version untouched (their
+        files are never rewritten); all matching commits are rewritten as
+        ONE fresh commit holding their surviving rows. With
+        ``prune_column``/``prune_lo``/``prune_hi`` given, commits whose
+        parquet-footer [min, max] range cannot intersect the bound are
+        skipped without opening a data page — the same file-statistics
+        gate Delta applies from its transaction log. Returns rows deleted.
+
+        Old commit dirs stay on disk for time travel until :meth:`vacuum`,
+        exactly like :meth:`write`.
+        """
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        if not manifest["commits"]:
+            return 0
+        match = F.coalesce(F.expr(predicate), F.lit(False))
+
+        skip_by_stats: set[str] = set()
+        if prune_column is not None:
+            for st in self.commit_stats(zone, dataset, prune_column):
+                if not (st["present"] and st["has_stats"]):
+                    continue  # conservative: scan it
+                if (prune_hi is not None and st["min"] > prune_hi) or (
+                    prune_lo is not None and st["max"] < prune_lo
+                ):
+                    skip_by_stats.add(st["commit"])
+
+        untouched: list[str] = []
+        changed_dirs: list[str] = []
+        deleted = 0
+        for c in manifest["commits"]:
+            if c in skip_by_stats:
+                untouched.append(c)
+                continue
+            cdf = self.spark.read.parquet(os.path.join(path, c))
+            n = cdf.filter(match).count()
+            if n == 0:
+                untouched.append(c)
+            else:
+                changed_dirs.append(os.path.join(path, c))
+                deleted += n
+        if not changed_dirs:
+            return 0
+        kept = (
+            self.spark.read.option("mergeSchema", "true")
+            .parquet(*changed_dirs)
+            .filter(~match)
+        )
+        new_commits = list(untouched)
+        if kept.count() > 0:
+            new_commits.append(self._new_commit(path, kept, None))
+        manifest["version"] += 1
+        manifest["commits"] = new_commits
+        manifest.setdefault("history", {})[str(manifest["version"])] = list(
+            new_commits
+        )
+        self._write_manifest(path, manifest)
+        return deleted
+
+    def update_set(
+        self,
+        zone: DataZone,
+        dataset: str,
+        predicate: str,
+        assignments: dict[str, str],
+    ) -> int:
+        """Row-level UPDATE with copy-on-write at commit granularity.
+
+        Delta-UPDATE semantics: rows where ``predicate`` is TRUE get each
+        ``column -> SQL expression`` assignment applied; FALSE/NULL rows
+        are byte-preserved. Commits containing no matching row ride into
+        the new version untouched; matching commits are rewritten (all
+        their rows, updated or not) as one fresh commit. Returns rows
+        updated.
+        """
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        if not manifest["commits"]:
+            return 0
+        match = F.coalesce(F.expr(predicate), F.lit(False))
+
+        untouched: list[str] = []
+        changed_dirs: list[str] = []
+        updated = 0
+        for c in manifest["commits"]:
+            cdf = self.spark.read.parquet(os.path.join(path, c))
+            n = cdf.filter(match).count()
+            if n == 0:
+                untouched.append(c)
+            else:
+                changed_dirs.append(os.path.join(path, c))
+                updated += n
+        if not changed_dirs:
+            return 0
+        base = self.spark.read.option("mergeSchema", "true").parquet(
+            *changed_dirs
+        )
+        out = base.withColumns(
+            {
+                col: F.when(match, F.expr(expr)).otherwise(F.col(col))
+                for col, expr in assignments.items()
+            }
+        )
+        new_commits = list(untouched)
+        new_commits.append(self._new_commit(path, out, None))
+        manifest["version"] += 1
+        manifest["commits"] = new_commits
+        manifest.setdefault("history", {})[str(manifest["version"])] = list(
+            new_commits
+        )
+        self._write_manifest(path, manifest)
+        return updated
+
     def compact(
         self,
         zone: DataZone,

@@ -312,3 +312,79 @@ def test_read_changes_returns_only_appended_rows(spark, store):
     b3 = spark.createDataFrame([Row(id=9, v="z")])
     store.write(DataZone.SILVER, "chg", b3, LoadType.FULL)
     assert {r.id for r in store.read_changes(DataZone.SILVER, "chg", 2, 3).collect()} == {9}
+
+
+def test_delete_where_commit_pruning_and_time_travel(spark, tmp_path):
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        DataZone,
+        LoadType,
+        ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    lo = spark.createDataFrame([Row(id=i, v=i * 10) for i in range(5)])
+    hi = spark.createDataFrame([Row(id=i, v=i * 10) for i in range(100, 105)])
+    store.write(DataZone.SILVER, "t", lo, LoadType.FULL)
+    store.write(DataZone.SILVER, "t", hi, LoadType.APPEND)
+    before = store._read_manifest(store.dataset_path(DataZone.SILVER, "t"))
+
+    # predicate only touches the high commit; stats bound skips the low one
+    n = store.delete_where(
+        DataZone.SILVER, "t", "id >= 102", prune_column="id",
+        prune_lo=102,
+    )
+    assert n == 3
+    after = store._read_manifest(store.dataset_path(DataZone.SILVER, "t"))
+    # the untouched commit is carried over by NAME (no rewrite)
+    assert before["commits"][0] in after["commits"]
+    assert before["commits"][1] not in after["commits"]
+    remaining = {r.id for r in store.read(DataZone.SILVER, "t").collect()}
+    assert remaining == {0, 1, 2, 3, 4, 100, 101}
+    # previous version still shows the deleted rows (time travel)
+    old = store.read_version(DataZone.SILVER, "t", after["version"] - 1)
+    assert old.count() == 10
+
+
+def test_delete_where_null_predicate_rows_survive(spark, tmp_path):
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        DataZone,
+        LoadType,
+        ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    df = spark.createDataFrame(
+        [Row(id=1, v=10), Row(id=2, v=None), Row(id=3, v=30)],
+        "id int, v int",
+    )
+    store.write(DataZone.SILVER, "t", df, LoadType.FULL)
+    # v > 15 is NULL for id=2 -> Delta semantics: the row SURVIVES
+    assert store.delete_where(DataZone.SILVER, "t", "v > 15") == 1
+    assert {r.id for r in store.read(DataZone.SILVER, "t").collect()} == {1, 2}
+
+
+def test_update_set_rewrites_only_matching_commits(spark, tmp_path):
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        DataZone,
+        LoadType,
+        ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    a = spark.createDataFrame([Row(id=i, v=1) for i in range(3)])
+    b = spark.createDataFrame([Row(id=i, v=1) for i in range(10, 13)])
+    store.write(DataZone.SILVER, "t", a, LoadType.FULL)
+    store.write(DataZone.SILVER, "t", b, LoadType.APPEND)
+    before = store._read_manifest(store.dataset_path(DataZone.SILVER, "t"))
+
+    n = store.update_set(
+        DataZone.SILVER, "t", "id >= 11", {"v": "v + 100"}
+    )
+    assert n == 2
+    after = store._read_manifest(store.dataset_path(DataZone.SILVER, "t"))
+    assert before["commits"][0] in after["commits"]  # untouched by name
+    got = {r.id: r.v for r in store.read(DataZone.SILVER, "t").collect()}
+    assert got == {0: 1, 1: 1, 2: 1, 10: 1, 11: 101, 12: 101}
