@@ -191,6 +191,9 @@ HEADLINE = [
     "stats_benjamini_hochberg",
     "load_delete_where",
     "load_update_set",
+    "orders_abc_classification",
+    "stats_runs_test_randomness",
+    "events_burstiness_fano",
 ]
 
 

@@ -3413,3 +3413,205 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     return daily.select(
         "day", "net", F.sum("net").over(wcum).cast("bigint").alias("open_orders")
     )
+
+
+# ------------------------------------------- ABC inventory classification
+@register(
+    "orders_abc_classification",
+    oracle=f"""
+    WITH rev AS (
+        SELECT l_partkey, ROUND(SUM(l_extendedprice), 2) AS revenue
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ranked AS (
+        SELECT l_partkey, revenue,
+               SUM(revenue) OVER (
+                   ORDER BY revenue DESC, l_partkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) / SUM(revenue) OVER () AS cum_share
+        FROM rev
+    ),
+    classed AS (
+        SELECT l_partkey, revenue,
+               {dround_sql("cum_share", 6)} AS cum_share,
+               CASE WHEN cum_share <= 0.8 THEN 'A'
+                    WHEN cum_share <= 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM ranked
+    )
+    SELECT abc_class,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           ROUND(SUM(revenue), 2) AS class_revenue,
+           {dround_sql("CAST(COUNT(*) AS DOUBLE) / SUM(COUNT(*)) OVER ()", 6)} AS part_share
+    FROM classed GROUP BY abc_class
+    """,
+    description="ABC (Pareto) inventory classification: parts ranked by "
+    "revenue, cumulative-share cut at 80/95%, rolled up to class KPIs. "
+    "One part-grain agg, then rank/prefix windows over that aggregate; at "
+    "1e9+ parts the prefix sum switches to the partition-offset scheme "
+    "(see pipeline_global_row_index) with identical results.",
+)
+def orders_abc_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    rev = li.groupBy("l_partkey").agg(
+        F.round(F.sum("l_extendedprice"), 2).alias("revenue")
+    )
+    wcum = Window.orderBy(F.desc("revenue"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    ranked = rev.select(
+        "l_partkey",
+        "revenue",
+        (F.sum("revenue").over(wcum) / F.sum("revenue").over(wall)).alias(
+            "cum_share_raw"
+        ),
+    )
+    classed = ranked.select(
+        "revenue",
+        F.when(F.col("cum_share_raw") <= 0.8, "A")
+        .when(F.col("cum_share_raw") <= 0.95, "B")
+        .otherwise("C")
+        .alias("abc_class"),
+    )
+    wall2 = Window.partitionBy()
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_parts"),
+            F.round(F.sum("revenue"), 2).alias("class_revenue"),
+        )
+        .select(
+            "abc_class",
+            "n_parts",
+            "class_revenue",
+            dround(
+                F.col("n_parts").cast("double")
+                / F.sum("n_parts").over(wall2),
+                6,
+            ).alias("part_share"),
+        )
+    )
+
+
+# ------------------------------------------- Wald-Wolfowitz runs test
+@register(
+    "stats_runs_test_randomness",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    med AS (
+        SELECT quantile_cont(rev, 0.5) AS m FROM daily
+    ),
+    signs AS (
+        SELECT day, CASE WHEN rev > m THEN 1 ELSE 0 END AS above
+        FROM daily, med WHERE rev <> m
+    ),
+    runs AS (
+        SELECT above,
+               CASE WHEN LAG(above) OVER (ORDER BY day) IS DISTINCT FROM above
+                    THEN 1 ELSE 0 END AS new_run
+        FROM signs
+    ),
+    agg AS (
+        SELECT CAST(SUM(new_run) AS BIGINT) AS n_runs,
+               CAST(SUM(above) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(above) AS BIGINT) AS n_neg
+        FROM runs
+    )
+    SELECT n_runs, n_pos, n_neg,
+           {dround_sql("1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg)", 4)} AS expected_runs,
+           {dround_sql("(n_runs - (1.0 + 2.0 * n_pos * n_neg / (n_pos + n_neg))) / sqrt( (2.0 * n_pos * n_neg * (2.0 * n_pos * n_neg - n_pos - n_neg)) / ((n_pos + n_neg) * (n_pos + n_neg) * (n_pos + n_neg - 1.0)) )", 4)} AS z
+    FROM agg
+    """,
+    description="Wald-Wolfowitz runs test for randomness of daily revenue "
+    "around its median: run counting via a lag window over the day-grain "
+    "series, exact median from quantile_cont on the aggregate, normal "
+    "approximation z. The whole ordered part runs post-aggregation at "
+    "#days grain.",
+)
+def stats_runs_test_randomness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    med = daily.agg(
+        F.expr("percentile(rev, 0.5)").alias("m")
+    )
+    signs = (
+        daily.crossJoin(F.broadcast(med))
+        .filter(F.col("rev") != F.col("m"))
+        .select("day", (F.col("rev") > F.col("m")).cast("int").alias("above"))
+    )
+    wl = Window.orderBy("day")
+    runs = signs.select(
+        "above",
+        F.when(
+            ~F.lag("above").over(wl).eqNullSafe(F.col("above")), 1
+        ).otherwise(0).alias("new_run"),
+    )
+    agg = runs.agg(
+        F.sum("new_run").cast("bigint").alias("n_runs"),
+        F.sum("above").cast("bigint").alias("n_pos"),
+        (F.count("*") - F.sum("above")).cast("bigint").alias("n_neg"),
+    )
+    np_, nn = F.col("n_pos"), F.col("n_neg")
+    exp_runs = 1.0 + 2.0 * np_ * nn / (np_ + nn)
+    var_runs = (2.0 * np_ * nn * (2.0 * np_ * nn - np_ - nn)) / (
+        (np_ + nn) * (np_ + nn) * (np_ + nn - 1.0)
+    )
+    return agg.select(
+        "n_runs",
+        "n_pos",
+        "n_neg",
+        dround(exp_runs, 4).alias("expected_runs"),
+        dround((F.col("n_runs") - exp_runs) / F.sqrt(var_runs), 4).alias("z"),
+    )
+
+
+# ------------------------------------------- Fano-factor burstiness
+@register(
+    "events_burstiness_fano",
+    oracle=f"""
+    WITH per_min AS (
+        SELECT event_type, date_trunc('minute', ts) AS minute,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_minutes,
+           {dround_sql("AVG(CAST(n AS DOUBLE))", 6)} AS mean_per_min,
+           {dround_sql("var_samp(CAST(n AS DOUBLE))", 6)} AS var_per_min,
+           {dround_sql("var_samp(CAST(n AS DOUBLE)) / AVG(CAST(n AS DOUBLE))", 6)} AS fano,
+           CAST(CASE WHEN var_samp(CAST(n AS DOUBLE))
+                          / AVG(CAST(n AS DOUBLE)) > 1.0
+                THEN 1 ELSE 0 END AS INT) AS bursty
+    FROM per_min GROUP BY event_type
+    """,
+    description="Fano-factor burstiness per event type: variance/mean of "
+    "per-minute arrival counts (1 = Poisson, >1 = bursty). Two hash aggs "
+    "(minute grain then type grain), both map-side combinable — the "
+    "standard traffic-shape screen before rate-limiting or bot review. "
+    "Note: only observed (type, minute) cells enter the count table, so "
+    "the factor conditions on activity — the conservative direction for "
+    "burst screening.",
+)
+def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    per_min = ev.groupBy(
+        "event_type", F.date_trunc("minute", "ts").alias("minute")
+    ).agg(F.count("*").cast("bigint").alias("n"))
+    nd = F.col("n").cast("double")
+    return per_min.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_minutes"),
+        dround(F.avg(nd), 6).alias("mean_per_min"),
+        dround(F.var_samp(nd), 6).alias("var_per_min"),
+        dround(F.var_samp(nd) / F.avg(nd), 6).alias("fano"),
+        F.when(F.var_samp(nd) / F.avg(nd) > 1.0, 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("bursty"),
+    )

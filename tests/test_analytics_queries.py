@@ -317,3 +317,44 @@ def test_backlog_sweepline_conserves_mass(spark, sf_dir):
     assert all(r.open_orders >= 0 for r in rows)
     assert rows[-1].open_orders == 0
     assert sum(r.net for r in rows) == 0
+
+
+def test_abc_classes_partition_revenue(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        orders_abc_classification,
+    )
+
+    rows = {r.abc_class: r for r in orders_abc_classification(spark, sf_dir).collect()}
+    assert set(rows) == {"A", "B", "C"}
+    total_share = sum(r.part_share for r in rows.values())
+    assert abs(total_share - 1.0) < 1e-4
+    # Pareto shape: A holds the most revenue with the fewest parts per unit
+    a, c = rows["A"], rows["C"]
+    assert a.class_revenue > c.class_revenue
+    assert a.class_revenue / a.n_parts > c.class_revenue / c.n_parts
+
+
+def test_runs_test_counts_are_consistent(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        stats_runs_test_randomness,
+    )
+
+    r = stats_runs_test_randomness(spark, sf_dir).collect()[0]
+    # runs are bounded by the sign counts; expected under H0 is in range
+    assert 1 <= r.n_runs <= r.n_pos + r.n_neg
+    assert 1.0 <= r.expected_runs <= r.n_pos + r.n_neg
+    # median split puts the two sign groups within one of each other
+    assert abs(r.n_pos - r.n_neg) <= 1
+
+
+def test_fano_factor_definition(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        events_burstiness_fano,
+    )
+
+    rows = events_burstiness_fano(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.mean_per_min > 0
+        assert abs(r.fano - round(r.var_per_min / r.mean_per_min, 4)) < 1e-2
+        assert (r.bursty == 1) == (r.fano > 1.0) or abs(r.fano - 1.0) < 1e-6

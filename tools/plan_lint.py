@@ -73,6 +73,10 @@ GLOBAL_WINDOW_OK = {
     "stats_kaplan_meier_session_duration":
         "risk-set and product-limit windows over the duration-grain "
         "table (<= max-lifetime-days rows)",
+    "orders_abc_classification":
+        "rank/prefix windows over the part-grain revenue aggregate",
+    "stats_runs_test_randomness":
+        "lag window over the day-grain series",
     "stats_benjamini_hochberg":
         "rank/step-up windows over the |event_types|-row test table",
     "sample_temperature_lang":
