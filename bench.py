@@ -194,6 +194,8 @@ HEADLINE = [
     "orders_abc_classification",
     "stats_runs_test_randomness",
     "events_burstiness_fano",
+    "load_constraint_enforcement",
+    "events_watermark_lateness_audit",
 ]
 
 

@@ -1261,3 +1261,130 @@ def load_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", F.round("totalprice", 2).alias("totalprice"), "status"
     )
+
+
+# --------------------------------------------------- CHECK constraints
+@register(
+    "load_constraint_enforcement",
+    oracle="""
+    WITH dirty AS (
+        SELECT o_orderkey AS id,
+               CASE WHEN o_orderkey % 100 = 1 THEN -o_totalprice
+                    ELSE o_totalprice END AS totalprice,
+               CASE WHEN o_orderkey % 100 = 2 THEN 'X'
+                    ELSE o_orderstatus END AS status
+        FROM orders
+    )
+    SELECT 'status_known' AS name,
+           CAST(SUM(CASE WHEN NOT COALESCE(status IN ('O','F','P'), FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM dirty
+    UNION ALL
+    SELECT 'totalprice_positive' AS name,
+           CAST(SUM(CASE WHEN NOT COALESCE(totalprice > 0, FALSE)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_violations
+    FROM dirty
+    """,
+    description="Table-level CHECK constraints on the ZoneStore (Delta "
+    "delta.constraints parity): constraints live in the manifest, every "
+    "write path audits the incoming batch in ONE fused conditional-"
+    "aggregate scan and fails atomically on violation (NULL counts as a "
+    "violation, matching Delta CHECK). This query returns the audit of a "
+    "deliberately dirty batch; the write-rejection contract is "
+    "pytest-verified (test_constraint_blocks_write).",
+)
+def load_constraint_enforcement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    dirty = orders.select(
+        F.col("o_orderkey").alias("id"),
+        F.when(
+            F.col("o_orderkey") % 100 == 1, -F.col("o_totalprice")
+        ).otherwise(F.col("o_totalprice")).alias("totalprice"),
+        F.when(F.col("o_orderkey") % 100 == 2, "X")
+        .otherwise(F.col("o_orderstatus"))
+        .alias("status"),
+    )
+    store = ZoneStore(spark, scratch_dir("zs_chk_"))
+    store.set_constraint(
+        DataZone.SILVER, "orders_c", "totalprice_positive", "totalprice > 0"
+    )
+    store.set_constraint(
+        DataZone.SILVER, "orders_c", "status_known",
+        "status IN ('O','F','P')",
+    )
+    audit = store.check_constraints(DataZone.SILVER, "orders_c", dirty)
+    return spark.createDataFrame(
+        [(a["name"], a["n_violations"]) for a in audit],
+        "name string, n_violations bigint",
+    )
+
+
+# --------------------------------------------------- watermark sizing audit
+@register(
+    "events_watermark_lateness_audit",
+    oracle="""
+    WITH b AS (
+        SELECT CAST(event_id // 250 AS BIGINT) AS bucket, MAX(ts) AS mx
+        FROM events GROUP BY 1
+    ),
+    wm AS (
+        SELECT bucket,
+               MAX(mx) OVER (
+                   ORDER BY bucket
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ) AS prior_max
+        FROM b
+    ),
+    late AS (
+        SELECT greatest(epoch(w.prior_max) - epoch(e.ts), 0) AS late_s
+        FROM events e
+        JOIN wm w ON CAST(e.event_id // 250 AS BIGINT) = w.bucket
+        WHERE w.prior_max IS NOT NULL
+    )
+    SELECT CASE WHEN late_s = 0 THEN 'on_time'
+                WHEN late_s < 60 THEN 'lt_1m'
+                WHEN late_s < 3600 THEN 'lt_1h'
+                WHEN late_s < 86400 THEN 'lt_1d'
+                ELSE 'ge_1d' END AS lateness_class,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM late GROUP BY 1
+    """,
+    description="Watermark sizing audit: how late events arrive relative "
+    "to the high-water mark at their ingest position (arrival order = "
+    "event_id, bucketed so the running max is a post-aggregation window "
+    "at bucket grain, never a global sort of the fact table). The "
+    "lateness histogram is exactly the evidence needed to pick "
+    "withWatermark() horizons: every 'lt_1h' event would be dropped by a "
+    "1-minute watermark but kept by a 1-hour one.",
+)
+def events_watermark_lateness_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    ev = table(spark, sf_dir, "events")
+    bucket = (F.col("event_id") / 250).cast("bigint")
+    b = ev.groupBy(bucket.alias("bucket")).agg(F.max("ts").alias("mx"))
+    wb = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, -1)
+    wm = b.select("bucket", F.max("mx").over(wb).alias("prior_max"))
+    late = (
+        ev.select(bucket.alias("bucket"), "ts")
+        .join(wm, "bucket")
+        .filter(F.col("prior_max").isNotNull())
+        .select(
+            F.greatest(
+                F.col("prior_max").cast("double") - F.col("ts").cast("double"),
+                F.lit(0.0),
+            ).alias("late_s")
+        )
+    )
+    cls = (
+        F.when(F.col("late_s") == 0, "on_time")
+        .when(F.col("late_s") < 60, "lt_1m")
+        .when(F.col("late_s") < 3600, "lt_1h")
+        .when(F.col("late_s") < 86400, "lt_1d")
+        .otherwise("ge_1d")
+    )
+    return late.groupBy(cls.alias("lateness_class")).agg(
+        F.count("*").cast("bigint").alias("n_events")
+    )

@@ -86,6 +86,10 @@ class LoadType(str, Enum):
     INCREMENTAL = "incremental"
 
 
+class ConstraintViolationError(ValueError):
+    """A write violated a table-level CHECK constraint; nothing committed."""
+
+
 class ZoneStore:
     """Parquet-backed zone storage with atomic manifest commits."""
 
@@ -173,6 +177,24 @@ class ZoneStore:
         path = self.dataset_path(zone, dataset)
         os.makedirs(path, exist_ok=True)
         manifest = self._read_manifest(path)
+
+        # CHECK constraints gate every write path (Delta parity: the txn
+        # fails atomically; no partial commit). One fused audit scan.
+        bad = [
+            a
+            for a in self.check_constraints(zone, dataset, df)
+            if a["n_violations"] > 0
+        ]
+        if bad:
+            detail = "; ".join(
+                f"{a['name']} ({a['expr']}): {a['n_violations']} rows"
+                for a in bad
+            )
+            raise ConstraintViolationError(
+                f"write to {zone.value}/{dataset} violates CHECK "
+                f"constraints: {detail}"
+            )
+
         existing = self.read(zone, dataset)
 
         if load_type == LoadType.FULL or existing is None:
@@ -439,6 +461,49 @@ class ZoneStore:
         }
 
     # ------------------------------------------------------------- compaction
+    def set_constraint(
+        self, zone: DataZone, dataset: str, name: str, expr: str
+    ) -> None:
+        """Register a table-level CHECK constraint (Delta
+        ``delta.constraints.*`` parity): a SQL boolean expression every row
+        of every subsequent write must satisfy. Stored in the manifest, so
+        it travels with the table, not the caller."""
+        path = self.dataset_path(zone, dataset)
+        os.makedirs(path, exist_ok=True)
+        manifest = self._read_manifest(path)
+        manifest.setdefault("constraints", {})[name] = expr
+        self._write_manifest(path, manifest)
+
+    def constraints(self, zone: DataZone, dataset: str) -> dict[str, str]:
+        return dict(
+            self._read_manifest(self.dataset_path(zone, dataset)).get(
+                "constraints", {}
+            )
+        )
+
+    def check_constraints(
+        self, zone: DataZone, dataset: str, df: DataFrame
+    ) -> list[dict]:
+        """Audit ``df`` against the table's CHECK constraints in ONE fused
+        scan (conditional aggregates — never one pass per constraint).
+        A row violates when the expression is FALSE **or NULL** (Delta
+        counts NULL as a violation for CHECK). Returns
+        ``[{name, expr, n_violations}, ...]`` sorted by name."""
+        cons = self.constraints(zone, dataset)
+        if not cons:
+            return []
+        aggs = [
+            F.sum(
+                (~F.coalesce(F.expr(expr), F.lit(False))).cast("long")
+            ).alias(name)
+            for name, expr in sorted(cons.items())
+        ]
+        row = df.agg(*aggs).collect()[0]
+        return [
+            {"name": n, "expr": cons[n], "n_violations": int(row[n])}
+            for n in sorted(cons)
+        ]
+
     def delete_where(
         self,
         zone: DataZone,

@@ -194,3 +194,24 @@ def test_consistency_rule_flags_only_true_reversals(spark):
     assert r.records_checked > 0
     assert 0.93 < r.score < 0.96
     assert r.records_failed + r.records_passed == r.records_checked
+
+
+def test_watermark_lateness_covers_all_late_buckets(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.etl_queries import (
+        events_watermark_lateness_audit,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    rows = events_watermark_lateness_audit(spark, sf_dir).collect()
+    total = sum(r.n_events for r in rows)
+    ev = table(spark, sf_dir, "events")
+    n_events = ev.count()
+    n_first_bucket = ev.filter((F.col("event_id") / 250).cast("bigint") == (
+        ev.agg(F.min((F.col("event_id") / 250).cast("bigint"))).collect()[0][0]
+    )).count()
+    # every event outside the first arrival bucket is classified
+    assert total == n_events - n_first_bucket
+    assert set(r.lateness_class for r in rows) <= {
+        "on_time", "lt_1m", "lt_1h", "lt_1d", "ge_1d"
+    }

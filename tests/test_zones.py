@@ -388,3 +388,32 @@ def test_update_set_rewrites_only_matching_commits(spark, tmp_path):
     assert before["commits"][0] in after["commits"]  # untouched by name
     got = {r.id: r.v for r in store.read(DataZone.SILVER, "t").collect()}
     assert got == {0: 1, 1: 1, 2: 1, 10: 1, 11: 101, 12: 101}
+
+
+def test_constraint_blocks_write(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        ConstraintViolationError,
+        DataZone,
+        LoadType,
+        ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    store.set_constraint(DataZone.SILVER, "t", "v_positive", "v > 0")
+    ok = spark.createDataFrame([Row(id=1, v=5), Row(id=2, v=1)])
+    assert store.write(DataZone.SILVER, "t", ok, LoadType.FULL) == 2
+
+    # violation (including NULL, Delta CHECK semantics) fails atomically
+    bad = spark.createDataFrame(
+        [Row(id=3, v=-1), Row(id=4, v=None)], "id int, v int"
+    )
+    with _pytest.raises(ConstraintViolationError, match="v_positive"):
+        store.write(DataZone.SILVER, "t", bad, LoadType.APPEND)
+    # nothing committed: table still holds exactly the clean rows
+    assert store.read(DataZone.SILVER, "t").count() == 2
+    audit = store.check_constraints(DataZone.SILVER, "t", bad)
+    assert audit == [
+        {"name": "v_positive", "expr": "v > 0", "n_violations": 2}
+    ]

@@ -73,6 +73,8 @@ GLOBAL_WINDOW_OK = {
     "stats_kaplan_meier_session_duration":
         "risk-set and product-limit windows over the duration-grain "
         "table (<= max-lifetime-days rows)",
+    "events_watermark_lateness_audit":
+        "running-max window over the |event_id/250|-bucket aggregate",
     "orders_abc_classification":
         "rank/prefix windows over the part-grain revenue aggregate",
     "stats_runs_test_randomness":
