@@ -196,6 +196,8 @@ HEADLINE = [
     "events_burstiness_fano",
     "load_constraint_enforcement",
     "events_watermark_lateness_audit",
+    "quality_order_lineitem_reconciliation",
+    "events_ab_experiment_cuped",
 ]
 
 

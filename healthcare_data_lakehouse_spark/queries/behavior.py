@@ -1947,3 +1947,74 @@ def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rejected"
         ),
     )
+
+
+# ------------------------------------------- CUPED variance reduction
+@register(
+    "events_ab_experiment_cuped",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS variant,
+               COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                        THEN value END), 0.0) AS x_pre,
+               COALESCE(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                        THEN value END), 0.0) AS y_post
+        FROM events GROUP BY user_id
+    ),
+    theta AS (
+        SELECT covar_samp(x_pre, y_post) / var_samp(x_pre) AS th,
+               AVG(x_pre) AS x_bar
+        FROM per_user
+    ),
+    adj AS (
+        SELECT variant, y_post,
+               y_post - th * (x_pre - x_bar) AS y_cuped
+        FROM per_user, theta
+    )
+    SELECT variant,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {dround_sql("AVG(y_post)", 4)} AS mean_y,
+           {dround_sql("AVG(y_cuped)", 4)} AS mean_y_cuped,
+           {dround_sql("var_samp(y_post)", 2)} AS var_y,
+           {dround_sql("var_samp(y_cuped)", 2)} AS var_y_cuped
+    FROM adj GROUP BY variant
+    """,
+    description="CUPED variance reduction for an A/B readout: per-user "
+    "pre-period covariate X and post-period metric Y (fixed calendar "
+    "split), pooled theta = cov(X,Y)/var(X), adjusted metric "
+    "Y - theta(X - mean X). Two aggs (user grain, then variant grain) "
+    "plus a 1-row broadcast for theta — the experimentation primitive "
+    "that typically cuts required sample size 30-50%.",
+)
+def events_ab_experiment_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, F.col("value"))), F.lit(0.0)
+        ).alias("x_pre"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") >= cut, F.col("value"))), F.lit(0.0)
+        ).alias("y_post"),
+    )
+    theta = per_user.agg(
+        (F.covar_samp("x_pre", "y_post") / F.var_samp("x_pre")).alias("th"),
+        F.avg("x_pre").alias("x_bar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(theta)).select(
+        "variant",
+        "y_post",
+        (
+            F.col("y_post")
+            - F.col("th") * (F.col("x_pre") - F.col("x_bar"))
+        ).alias("y_cuped"),
+    )
+    return adj.groupBy("variant").agg(
+        F.count("*").cast("bigint").alias("n_users"),
+        dround(F.avg("y_post"), 4).alias("mean_y"),
+        dround(F.avg("y_cuped"), 4).alias("mean_y_cuped"),
+        dround(F.var_samp("y_post"), 2).alias("var_y"),
+        dround(F.var_samp("y_cuped"), 2).alias("var_y_cuped"),
+    )

@@ -35,6 +35,7 @@ from healthcare_data_lakehouse_spark.quality import (
     ISO_DATE_RE,
     PATIENT_ID_RE,
 )
+from healthcare_data_lakehouse_spark.functions import dround, dround_sql
 from healthcare_data_lakehouse_spark.queries.catalog import register
 from healthcare_data_lakehouse_spark.zones import DataZone
 
@@ -813,3 +814,78 @@ def quality_consistency_rule_discharge(
         if r.rule_id == "DQ101"
     ]
     return spark.createDataFrame(rows, RESULT_SCHEMA)
+
+
+# ------------------------------------------- cross-table reconciliation
+@register(
+    "quality_order_lineitem_reconciliation",
+    oracle=f"""
+    WITH li AS (
+        SELECT l_orderkey,
+               SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax))
+                   AS li_total
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    j AS (
+        SELECT o.o_orderkey, o.o_totalprice, li.li_total,
+               CASE WHEN li.li_total IS NULL THEN 'missing_lineitems'
+                    WHEN abs(o.o_totalprice - li.li_total)
+                         <= 0.01 * abs(o.o_totalprice) THEN 'within_1pct'
+                    WHEN abs(o.o_totalprice - li.li_total)
+                         <= 0.10 * abs(o.o_totalprice) THEN 'within_10pct'
+                    ELSE 'mismatch' END AS recon_class
+        FROM orders o LEFT JOIN li ON o.o_orderkey = li.l_orderkey
+    )
+    SELECT recon_class,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           {dround_sql("AVG(CASE WHEN li_total IS NOT NULL THEN abs(o_totalprice - li_total) END)", 4)} AS avg_abs_gap
+    FROM j GROUP BY recon_class
+    """,
+    description="Cross-table reconciliation: order headers vs the "
+    "recomputed lineitem rollup (extprice x (1-disc) x (1+tax)), "
+    "classified into tolerance bands with missing-detail detection — the "
+    "ledger-vs-detail audit every warehouse runs. One detail-side "
+    "groupBy + one key join; both shuffle on the same key so AQE "
+    "co-partitions them.",
+)
+def quality_order_lineitem_reconciliation(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table as _table
+
+    orders = _table(spark, sf_dir, "orders")
+    li = (
+        _table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice")
+                * (1 - F.col("l_discount"))
+                * (1 + F.col("l_tax"))
+            ).alias("li_total")
+        )
+    )
+    j = orders.join(li, orders.o_orderkey == li.l_orderkey, "left")
+    gap = F.abs(F.col("o_totalprice") - F.col("li_total"))
+    cls = (
+        F.when(F.col("li_total").isNull(), "missing_lineitems")
+        .when(gap <= 0.01 * F.abs(F.col("o_totalprice")), "within_1pct")
+        .when(gap <= 0.10 * F.abs(F.col("o_totalprice")), "within_10pct")
+        .otherwise("mismatch")
+    )
+    return (
+        j.select(cls.alias("recon_class"), "o_totalprice", "li_total")
+        .groupBy("recon_class")
+        .agg(
+            F.count("*").cast("bigint").alias("n_orders"),
+            dround(
+                F.avg(
+                    F.when(
+                        F.col("li_total").isNotNull(),
+                        F.abs(F.col("o_totalprice") - F.col("li_total")),
+                    )
+                ),
+                4,
+            ).alias("avg_abs_gap"),
+        )
+    )

@@ -488,3 +488,44 @@ def test_bh_stepup_monotone(spark, sf_dir):
             assert any(
                 x.p <= x.bh_threshold + 1e-9 for x in rows if x.rk >= r.rk
             )
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_ab_experiment_cuped,
+    )
+
+    rows = events_ab_experiment_cuped(spark, sf_dir).collect()
+    assert {r.variant for r in rows} == {0, 1}
+    for r in rows:
+        assert r.n_users > 0
+    # pooled adjustment is mean-preserving up to per-variant imbalance
+    tot = sum(r.n_users for r in rows)
+    pooled_y = sum(r.mean_y * r.n_users for r in rows) / tot
+    pooled_c = sum(r.mean_y_cuped * r.n_users for r in rows) / tot
+    assert abs(pooled_y - pooled_c) < 1e-2
+
+    # the CUPED guarantee is POOLED: var(Y - theta(X - Xbar)) =
+    # var(Y) - theta^2 var(X) <= var(Y) when theta = cov/var (per-variant
+    # variance can tick up, which is why the query reports both).
+    # Verify it with an independent pandas computation of the same split.
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    pdf = (
+        ev.groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(F.when(F.col("ts") < cut, F.col("value"))), F.lit(0.0)
+            ).alias("x"),
+            F.coalesce(
+                F.sum(F.when(F.col("ts") >= cut, F.col("value"))), F.lit(0.0)
+            ).alias("y"),
+        )
+        .toPandas()
+    )
+    theta = pdf["x"].cov(pdf["y"]) / pdf["x"].var()
+    y_adj = pdf["y"] - theta * (pdf["x"] - pdf["x"].mean())
+    assert y_adj.var() <= pdf["y"].var() + 1e-9

@@ -215,3 +215,17 @@ def test_watermark_lateness_covers_all_late_buckets(spark, sf_dir):
     assert set(r.lateness_class for r in rows) <= {
         "on_time", "lt_1m", "lt_1h", "lt_1d", "ge_1d"
     }
+
+
+def test_reconciliation_partitions_all_orders(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        quality_order_lineitem_reconciliation,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = quality_order_lineitem_reconciliation(spark, sf_dir).collect()
+    assert sum(r.n_orders for r in rows) == table(spark, sf_dir, "orders").count()
+    classes = {r.recon_class for r in rows}
+    assert classes <= {
+        "within_1pct", "within_10pct", "mismatch", "missing_lineitems"
+    }
