@@ -198,6 +198,7 @@ HEADLINE = [
     "events_watermark_lateness_audit",
     "quality_order_lineitem_reconciliation",
     "events_ab_experiment_cuped",
+    "forecast_holt_winters_monthly",
 ]
 
 

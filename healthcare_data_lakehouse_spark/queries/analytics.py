@@ -3615,3 +3615,137 @@ def events_burstiness_fano(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("bursty"),
     )
+
+
+# ------------------------------------- Holt-Winters triple smoothing
+@register(
+    "forecast_holt_winters_monthly",
+    oracle="""
+    WITH RECURSIVE monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ROUND(SUM(o_totalprice), 2) AS rev,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE)
+               ) AS rn
+        FROM orders GROUP BY 1
+    ),
+    hw AS (
+        SELECT 12 AS rn,
+               (SELECT AVG(rev) FROM monthly WHERE rn <= 12) AS l,
+               CAST(0 AS DOUBLE) AS b,
+               (SELECT list(rev - (SELECT AVG(rev) FROM monthly WHERE rn <= 12)
+                            ORDER BY rn)
+                FROM monthly WHERE rn <= 12) AS s,
+               CAST(NULL AS DOUBLE) AS shead,
+               CAST(NULL AS DOUBLE) AS fitted
+        UNION ALL
+        SELECT m.rn,
+               0.5 * (m.rev - h.s[1]) + 0.5 * (h.l + h.b),
+               0.25 * ((0.5 * (m.rev - h.s[1]) + 0.5 * (h.l + h.b)) - h.l)
+                   + 0.75 * h.b,
+               list_append(
+                   h.s[2:12],
+                   0.25 * (m.rev - (0.5 * (m.rev - h.s[1])
+                                    + 0.5 * (h.l + h.b)))
+                       + 0.75 * h.s[1]
+               ),
+               h.s[1],
+               h.l + h.b + h.s[1]
+        FROM hw h JOIN monthly m ON m.rn = h.rn + 1
+    )
+    SELECT m.month, m.rev,
+           ROUND(h.l, 4) AS level,
+           ROUND(h.b, 4) AS trend,
+           ROUND(h.shead, 4) AS seasonal,
+           ROUND(h.fitted, 4) AS fitted
+    FROM hw h JOIN monthly m ON m.rn = h.rn
+    WHERE h.rn >= 13
+    """,
+    description="Holt-Winters additive triple exponential smoothing "
+    "(alpha=0.5, beta=0.25, gamma=0.25, season m=12) over monthly order "
+    "revenue: first-season init (l = season mean, b = 0, s_i = y_i - l), "
+    "then level/trend/seasonal recurrence with one-step-ahead fitted "
+    "values. Like the Holt query, the 100 TB input collapses to a "
+    "#months series in one agg shuffle and the recurrence runs as a "
+    "single sequential F.aggregate fold whose accumulator carries the "
+    "rolling 12-slot seasonal array — the same state the oracle's "
+    "recursive CTE threads through a LIST column.",
+)
+def forecast_holt_winters_monthly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    series = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("month", "rev"))).alias("s")
+    )
+
+    alpha, beta, gamma = 0.5, 0.25, 0.25
+    m = 12
+
+    def step(acc, x):
+        i = acc["i"]
+        warm = F.when(
+            i < m, F.concat(acc["warm"], F.array(x["rev"].cast("double")))
+        ).otherwise(acc["warm"])
+        # season-complete boundary: initialize l from the warm mean, b=0,
+        # s_i = y_i - l (runs once, when the 12th month lands)
+        warm_mean = (
+            F.aggregate(warm, F.lit(0.0), lambda a, v: a + v) / m
+        )
+        init_now = i == (m - 1)
+        l0 = F.when(init_now, warm_mean).otherwise(acc["l"])
+        s0 = F.when(
+            init_now, F.transform(warm, lambda v: v - warm_mean)
+        ).otherwise(acc["s"])
+        b0 = F.when(init_now, F.lit(0.0)).otherwise(acc["b"])
+
+        shead = F.element_at(s0, 1)
+        fitted = l0 + b0 + shead
+        new_l = alpha * (x["rev"] - shead) + (1 - alpha) * (l0 + b0)
+        new_b = beta * (new_l - l0) + (1 - beta) * b0
+        s_new = F.concat(
+            F.slice(s0, 2, m - 1),
+            F.array(gamma * (x["rev"] - new_l) + (1 - gamma) * shead),
+        )
+        row = F.struct(
+            x["month"].alias("month"),
+            x["rev"].alias("rev"),
+            F.round(new_l, 4).alias("level"),
+            F.round(new_b, 4).alias("trend"),
+            F.round(shead, 4).alias("seasonal"),
+            F.round(fitted, 4).alias("fitted"),
+        )
+        active = i >= m  # months 13+ produce output rows
+        return F.struct(
+            F.when(active, F.concat(acc["rows"], F.array(row)))
+            .otherwise(acc["rows"])
+            .alias("rows"),
+            F.when(active, new_l).otherwise(l0).alias("l"),
+            F.when(active, new_b).otherwise(b0).alias("b"),
+            F.when(active, s_new).otherwise(s0).alias("s"),
+            warm.alias("warm"),
+            (i + 1).alias("i"),
+        )
+
+    init = F.struct(
+        F.array()
+        .cast(
+            "array<struct<month:date,rev:double,level:double,trend:double,"
+            "seasonal:double,fitted:double>>"
+        )
+        .alias("rows"),
+        F.lit(0.0).alias("l"),
+        F.lit(0.0).alias("b"),
+        F.array().cast("array<double>").alias("s"),
+        F.array().cast("array<double>").alias("warm"),
+        F.lit(0).alias("i"),
+    )
+    folded = series.select(
+        F.aggregate(F.col("s"), init, step)["rows"].alias("rows")
+    )
+    return folded.select(F.explode("rows").alias("r")).select(
+        "r.month", "r.rev", "r.level", "r.trend", "r.seasonal", "r.fitted"
+    )

@@ -358,3 +358,41 @@ def test_fano_factor_definition(spark, sf_dir):
         assert r.mean_per_min > 0
         assert abs(r.fano - round(r.var_per_min / r.mean_per_min, 4)) < 1e-2
         assert (r.bursty == 1) == (r.fano > 1.0) or abs(r.fano - 1.0) < 1e-6
+
+
+def test_holt_winters_matches_reference_recurrence(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        forecast_holt_winters_monthly,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    out = sorted(
+        forecast_holt_winters_monthly(spark, sf_dir).collect(),
+        key=lambda r: r.month,
+    )
+    monthly = sorted(
+        table(spark, sf_dir, "orders")
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "month").alias("month"))
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+        .collect(),
+        key=lambda r: r.month,
+    )
+    ys = [r.rev for r in monthly]
+    m, a, b_, g = 12, 0.5, 0.25, 0.25
+    l = sum(ys[:m]) / m
+    b = 0.0
+    s = [y - l for y in ys[:m]]
+    assert len(out) == len(ys) - m
+    for i, r in enumerate(out):
+        y = ys[m + i]
+        sh = s[0]
+        fitted = l + b + sh
+        nl = a * (y - sh) + (1 - a) * (l + b)
+        nb = b_ * (nl - l) + (1 - b_) * b
+        s = s[1:] + [g * (y - nl) + (1 - g) * sh]
+        l, b = nl, nb
+        assert abs(r.level - round(l, 4)) < 1e-6
+        assert abs(r.trend - round(b, 4)) < 1e-6
+        assert abs(r.seasonal - round(sh, 4)) < 1e-6
+        assert abs(r.fitted - round(fitted, 4)) < 1e-6
