@@ -199,6 +199,9 @@ HEADLINE = [
     "quality_order_lineitem_reconciliation",
     "events_ab_experiment_cuped",
     "forecast_holt_winters_monthly",
+    "load_shallow_clone",
+    "events_did_difference_in_differences",
+    "stats_partial_correlation",
 ]
 
 

@@ -2018,3 +2018,108 @@ def events_ab_experiment_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(F.var_samp("y_post"), 2).alias("var_y"),
         dround(F.var_samp("y_cuped"), 2).alias("var_y_cuped"),
     )
+
+
+# ------------------------------------------- difference-in-differences
+@register(
+    "events_did_difference_in_differences",
+    oracle=f"""
+    WITH cells AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant,
+               CAST(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                    THEN 1 ELSE 0 END AS INT) AS post,
+               AVG(value) AS mean_v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1, 2
+    ),
+    wide AS (
+        SELECT
+            MAX(CASE WHEN variant = 1 AND post = 1 THEN mean_v END) AS t_post,
+            MAX(CASE WHEN variant = 1 AND post = 0 THEN mean_v END) AS t_pre,
+            MAX(CASE WHEN variant = 0 AND post = 1 THEN mean_v END) AS c_post,
+            MAX(CASE WHEN variant = 0 AND post = 0 THEN mean_v END) AS c_pre,
+            CAST(SUM(n) AS BIGINT) AS n_events
+        FROM cells
+    )
+    SELECT n_events,
+           {dround_sql("t_post - t_pre", 6)} AS treated_delta,
+           {dround_sql("c_post - c_pre", 6)} AS control_delta,
+           {dround_sql("(t_post - t_pre) - (c_post - c_pre)", 6)} AS did_estimate
+    FROM wide
+    """,
+    description="Difference-in-differences: 2x2 (variant x pre/post) cell "
+    "means in ONE conditional-aggregate pass, estimator = treated delta "
+    "minus control delta — the causal readout when assignment isn't "
+    "randomized but trends are parallel. Output is a single row from a "
+    "4-cell aggregate; any scale collapses in the first shuffle.",
+)
+def events_did_difference_in_differences(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    cells = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        (F.col("ts") >= cut).cast("int").alias("post"),
+    ).agg(F.avg("value").alias("mean_v"), F.count("*").alias("n"))
+    pick = lambda v, p: F.max(  # noqa: E731
+        F.when((F.col("variant") == v) & (F.col("post") == p), F.col("mean_v"))
+    )
+    wide = cells.agg(
+        pick(1, 1).alias("t_post"),
+        pick(1, 0).alias("t_pre"),
+        pick(0, 1).alias("c_post"),
+        pick(0, 0).alias("c_pre"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )
+    return wide.select(
+        "n_events",
+        dround(F.col("t_post") - F.col("t_pre"), 6).alias("treated_delta"),
+        dround(F.col("c_post") - F.col("c_pre"), 6).alias("control_delta"),
+        dround(
+            (F.col("t_post") - F.col("t_pre"))
+            - (F.col("c_post") - F.col("c_pre")),
+            6,
+        ).alias("did_estimate"),
+    )
+
+
+# ------------------------------------------- partial correlation
+@register(
+    "stats_partial_correlation",
+    oracle=f"""
+    WITH c AS (
+        SELECT corr(l_quantity, l_extendedprice) AS r_xy,
+               corr(l_quantity, l_discount) AS r_xz,
+               corr(l_discount, l_extendedprice) AS r_zy,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+    )
+    SELECT n,
+           {dround_sql("r_xy", 6)} AS r_xy,
+           {dround_sql("(r_xy - r_xz * r_zy) / sqrt((1 - r_xz * r_xz) * (1 - r_zy * r_zy))", 6)} AS r_xy_given_z
+    FROM c
+    """,
+    description="Partial correlation of quantity and extendedprice "
+    "controlling for discount, from the 3 pairwise correlations of one "
+    "running-moments pass — corr() keeps sufficient statistics, so the "
+    "control adjustment costs nothing beyond the single scan.",
+)
+def stats_partial_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    c = li.agg(
+        F.corr("l_quantity", "l_extendedprice").alias("r_xy"),
+        F.corr("l_quantity", "l_discount").alias("r_xz"),
+        F.corr("l_discount", "l_extendedprice").alias("r_zy"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    num = F.col("r_xy") - F.col("r_xz") * F.col("r_zy")
+    den = F.sqrt(
+        (1 - F.col("r_xz") * F.col("r_xz"))
+        * (1 - F.col("r_zy") * F.col("r_zy"))
+    )
+    return c.select(
+        "n",
+        dround("r_xy", 6).alias("r_xy"),
+        dround(num / den, 6).alias("r_xy_given_z"),
+    )

@@ -1388,3 +1388,44 @@ def events_watermark_lateness_audit(
     return late.groupBy(cls.alias("lateness_class")).agg(
         F.count("*").cast("bigint").alias("n_events")
     )
+
+
+# --------------------------------------------------- SHALLOW CLONE
+@register(
+    "load_shallow_clone",
+    oracle="""
+    SELECT o_orderkey AS id,
+           ROUND(o_totalprice, 2) AS totalprice,
+           o_orderstatus AS status
+    FROM orders
+    UNION ALL
+    SELECT o_orderkey + 9000000 AS id,
+           ROUND(o_totalprice, 2) AS totalprice,
+           'CLN' AS status
+    FROM orders WHERE o_orderkey % 5 = 0
+    """,
+    description="SHALLOW CLONE (Delta parity): the clone's manifest "
+    "references the source's commit dirs by absolute path — zero bytes "
+    "copied at clone time; an APPEND to the clone lands as a local "
+    "commit, leaving the source untouched (copy-on-write, "
+    "pytest-verified in test_shallow_clone_isolation).",
+)
+def load_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    store = ZoneStore(spark, scratch_dir("zs_cln_"))
+    store.write(DataZone.SILVER, "orders_src", orders, LoadType.FULL)
+    store.clone(DataZone.SILVER, "orders_src", DataZone.GOLD, "orders_cln")
+    extra = orders.filter(F.col("id") % 5 == 0).select(
+        (F.col("id") + 9000000).alias("id"),
+        "totalprice",
+        F.lit("CLN").alias("status"),
+    )
+    store.write(DataZone.GOLD, "orders_cln", extra, LoadType.APPEND)
+    out = store.read(DataZone.GOLD, "orders_cln")
+    return out.select(
+        "id", F.round("totalprice", 2).alias("totalprice"), "status"
+    )

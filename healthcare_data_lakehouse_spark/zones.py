@@ -461,6 +461,43 @@ class ZoneStore:
         }
 
     # ------------------------------------------------------------- compaction
+    def clone(
+        self,
+        zone: DataZone,
+        dataset: str,
+        dst_zone: DataZone,
+        dst_dataset: str,
+    ) -> int:
+        """SHALLOW CLONE (Delta parity): the clone's manifest references the
+        source's commit directories by absolute path — zero data copied.
+        Subsequent writes/DELETEs on the clone create commits in the
+        clone's own directory (copy-on-write), so the source is never
+        mutated through the clone. Faithful to Delta's contract, including
+        the sharp edge: VACUUM on the SOURCE can reclaim commits a shallow
+        clone still references. Returns the number of referenced commits.
+        """
+        src_path = self.dataset_path(zone, dataset)
+        src = self._read_manifest(src_path)
+        if not src["commits"]:
+            raise ValueError(f"nothing to clone: {zone.value}/{dataset}")
+        dst_path = self.dataset_path(dst_zone, dst_dataset)
+        os.makedirs(dst_path, exist_ok=True)
+        abs_commits = [
+            c if os.path.isabs(c) else os.path.join(src_path, c)
+            for c in src["commits"]
+        ]
+        self._write_manifest(
+            dst_path,
+            {
+                "version": 1,
+                "commits": abs_commits,
+                "history": {"1": list(abs_commits)},
+                "cloned_from": src_path,
+                "constraints": dict(src.get("constraints", {})),
+            },
+        )
+        return len(abs_commits)
+
     def set_constraint(
         self, zone: DataZone, dataset: str, name: str, expr: str
     ) -> None:

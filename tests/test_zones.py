@@ -417,3 +417,33 @@ def test_constraint_blocks_write(spark, tmp_path):
     assert audit == [
         {"name": "v_positive", "expr": "v > 0", "n_violations": 2}
     ]
+
+
+def test_shallow_clone_isolation(spark, tmp_path):
+    import os
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        DataZone,
+        LoadType,
+        ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    src = spark.createDataFrame([Row(id=i, v=i) for i in range(10)])
+    store.write(DataZone.SILVER, "src", src, LoadType.FULL)
+    n_refs = store.clone(DataZone.SILVER, "src", DataZone.GOLD, "cln")
+    assert n_refs == 1
+    # zero copy: the clone dir holds only a manifest, no commit dirs yet
+    cdir = store.dataset_path(DataZone.GOLD, "cln")
+    assert [e for e in os.listdir(cdir) if e.startswith("c") and
+            os.path.isdir(os.path.join(cdir, e))] == []
+    assert store.read(DataZone.GOLD, "cln").count() == 10
+
+    # writes to the clone never touch the source (copy-on-write)
+    extra = spark.createDataFrame([Row(id=100, v=100)])
+    store.write(DataZone.GOLD, "cln", extra, LoadType.APPEND)
+    store.delete_where(DataZone.GOLD, "cln", "id < 3")
+    assert store.read(DataZone.GOLD, "cln").count() == 8
+    assert store.read(DataZone.SILVER, "src").count() == 10
+    # and the clone inherited the source's constraints dict (empty here)
+    assert store.constraints(DataZone.GOLD, "cln") == {}
