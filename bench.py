@@ -202,6 +202,7 @@ HEADLINE = [
     "load_shallow_clone",
     "events_did_difference_in_differences",
     "stats_partial_correlation",
+    "load_merge_full_clauses",
 ]
 
 

@@ -1429,3 +1429,71 @@ def load_shallow_clone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", F.round("totalprice", 2).alias("totalprice"), "status"
     )
+
+
+# --------------------------------------------------- full MERGE clauses
+@register(
+    "load_merge_full_clauses",
+    oracle="""
+    WITH target AS (
+        SELECT o_orderkey AS id,
+               ROUND(o_totalprice, 2) AS totalprice,
+               o_orderstatus AS status
+        FROM orders WHERE o_orderkey % 3 <> 0
+    ),
+    source AS (
+        SELECT o_orderkey AS id,
+               ROUND(o_totalprice * 2, 2) AS totalprice,
+               'SRC' AS status
+        FROM orders WHERE o_orderkey % 2 = 0
+    )
+    -- WHEN MATCHED AND t.status = 'F' THEN DELETE;
+    -- WHEN MATCHED THEN UPDATE SET totalprice = s.totalprice, status='UPD';
+    SELECT t.id, s.totalprice, 'UPD' AS status
+    FROM target t JOIN source s ON t.id = s.id
+    WHERE NOT COALESCE(t.status = 'F', FALSE)
+    UNION ALL
+    -- WHEN NOT MATCHED BY SOURCE AND id % 5 = 1 THEN DELETE (keep rest)
+    SELECT t.id, t.totalprice, t.status
+    FROM target t ANTI JOIN source s ON t.id = s.id
+    WHERE NOT COALESCE(t.id % 5 = 1, FALSE)
+    UNION ALL
+    -- WHEN NOT MATCHED THEN INSERT *
+    SELECT s.id, s.totalprice, s.status
+    FROM source s ANTI JOIN target t ON s.id = t.id
+    """,
+    description="Full Delta MERGE INTO clause surface on the ZoneStore: "
+    "WHEN MATCHED AND status='F' THEN DELETE, WHEN MATCHED THEN UPDATE "
+    "SET from source columns, WHEN NOT MATCHED THEN INSERT, WHEN NOT "
+    "MATCHED BY SOURCE AND pred THEN DELETE — each clause a key-"
+    "partitioned join/anti-join branch, the result one FULL copy-on-"
+    "write commit, clause row counts returned to the caller.",
+)
+def load_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    target = orders.filter(F.col("o_orderkey") % 3 != 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    source = orders.filter(F.col("o_orderkey") % 2 == 0).select(
+        F.col("o_orderkey").alias("id"),
+        F.round(F.col("o_totalprice") * 2, 2).alias("totalprice"),
+        F.lit("SRC").alias("status"),
+    )
+    store = ZoneStore(spark, scratch_dir("zs_mrg_"))
+    store.write(DataZone.SILVER, "orders_m", target, LoadType.FULL)
+    store.merge_into(
+        DataZone.SILVER,
+        "orders_m",
+        source,
+        id_field="id",
+        matched_delete="status = 'F'",
+        matched_update={"totalprice": "src_totalprice", "status": "'UPD'"},
+        insert_not_matched=True,
+        not_matched_by_source_delete="id % 5 = 1",
+    )
+    out = store.read(DataZone.SILVER, "orders_m")
+    return out.select(
+        "id", F.round("totalprice", 2).alias("totalprice"), "status"
+    )

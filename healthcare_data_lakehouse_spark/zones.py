@@ -461,6 +461,89 @@ class ZoneStore:
         }
 
     # ------------------------------------------------------------- compaction
+    def merge_into(
+        self,
+        zone: DataZone,
+        dataset: str,
+        source: DataFrame,
+        id_field: str = "id",
+        matched_delete: str | None = None,
+        matched_update: dict[str, str] | None = None,
+        insert_not_matched: bool = True,
+        not_matched_by_source_delete: str | None = None,
+    ) -> dict:
+        """Full Delta ``MERGE INTO`` clause semantics over the ZoneStore:
+
+        * ``WHEN MATCHED AND <matched_delete> THEN DELETE`` — predicate over
+          target columns and ``src_<col>`` source columns;
+        * ``WHEN MATCHED THEN UPDATE SET col = <expr>`` for the remaining
+          matched rows (exprs may reference ``src_<col>``);
+        * ``WHEN NOT MATCHED THEN INSERT *`` (toggleable);
+        * ``WHEN NOT MATCHED BY SOURCE AND <pred> THEN DELETE``.
+
+        Predicates follow CHECK/DELETE NULL discipline (NULL → clause does
+        not fire). The result lands as one FULL commit (copy-on-write);
+        clause row counts are returned. Each input branch is a plain
+        join/anti-join on the merge key, so at 100 TB the whole MERGE is
+        key-partitioned joins + one rewrite — the same shape Delta executes.
+        """
+        tgt = self.read(zone, dataset)
+        src_pref = source.select(
+            [F.col(c).alias(f"src_{c}") for c in source.columns]
+        )
+        if tgt is None:
+            out = source if insert_not_matched else None
+            n = self.write(zone, dataset, out, LoadType.FULL) if out is not None else 0
+            return {"updated": 0, "deleted_matched": 0,
+                    "inserted": n, "deleted_by_source": 0}
+
+        key = F.col(id_field) == F.col(f"src_{id_field}")
+        matched = tgt.join(src_pref, key, "inner")
+        if matched_delete:
+            fire = F.coalesce(F.expr(matched_delete), F.lit(False))
+            n_del_matched = matched.filter(fire).count()
+            matched = matched.filter(~fire)
+        else:
+            n_del_matched = 0
+        if matched_update:
+            matched = matched.withColumns(
+                {
+                    col: F.expr(expr)
+                    for col, expr in matched_update.items()
+                }
+            )
+        matched_out = matched.select(tgt.columns)
+        n_updated = matched_out.count() if matched_update else 0
+
+        unmatched_t = tgt.join(src_pref, key, "left_anti")
+        if not_matched_by_source_delete:
+            fire = F.coalesce(
+                F.expr(not_matched_by_source_delete), F.lit(False)
+            )
+            n_del_src = unmatched_t.filter(fire).count()
+            unmatched_t = unmatched_t.filter(~fire)
+        else:
+            n_del_src = 0
+
+        pieces = [matched_out, unmatched_t]
+        n_ins = 0
+        if insert_not_matched:
+            inserts = source.join(
+                tgt.select(id_field).distinct(), on=id_field, how="left_anti"
+            )
+            n_ins = inserts.count()
+            pieces.append(inserts)
+        out = pieces[0]
+        for p in pieces[1:]:
+            out = out.unionByName(p, allowMissingColumns=True)
+        self.write(zone, dataset, out, LoadType.FULL)
+        return {
+            "updated": n_updated,
+            "deleted_matched": n_del_matched,
+            "inserted": n_ins,
+            "deleted_by_source": n_del_src,
+        }
+
     def clone(
         self,
         zone: DataZone,

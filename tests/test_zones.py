@@ -447,3 +447,38 @@ def test_shallow_clone_isolation(spark, tmp_path):
     assert store.read(DataZone.SILVER, "src").count() == 10
     # and the clone inherited the source's constraints dict (empty here)
     assert store.constraints(DataZone.GOLD, "cln") == {}
+
+
+def test_merge_into_clause_counts(spark, tmp_path):
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        DataZone,
+        LoadType,
+        ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    tgt = spark.createDataFrame(
+        [Row(id=1, v=10, flag="keep"), Row(id=2, v=20, flag="drop"),
+         Row(id=3, v=30, flag="keep"), Row(id=4, v=40, flag="keep")]
+    )
+    src = spark.createDataFrame(
+        [Row(id=1, v=100, flag="s"), Row(id=2, v=200, flag="s"),
+         Row(id=9, v=900, flag="s")]
+    )
+    store.write(DataZone.SILVER, "t", tgt, LoadType.FULL)
+    stats = store.merge_into(
+        DataZone.SILVER, "t", src, id_field="id",
+        matched_delete="flag = 'drop'",
+        matched_update={"v": "src_v"},
+        insert_not_matched=True,
+        not_matched_by_source_delete="id = 4",
+    )
+    assert stats == {
+        "updated": 1,         # id=1 updated from source
+        "deleted_matched": 1,  # id=2 matched + flag=drop
+        "inserted": 1,        # id=9
+        "deleted_by_source": 1,  # id=4
+    }
+    got = {r.id: (r.v, r.flag) for r in store.read(DataZone.SILVER, "t").collect()}
+    assert got == {1: (100, "keep"), 3: (30, "keep"), 9: (900, "s")}
