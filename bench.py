@@ -203,6 +203,8 @@ HEADLINE = [
     "events_did_difference_in_differences",
     "stats_partial_correlation",
     "load_merge_full_clauses",
+    "graph_kcore_supplier_coorder",
+    "orders_littles_law_check",
 ]
 
 

@@ -3372,11 +3372,14 @@ def events_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_open_backlog_daily",
     oracle="""
     WITH span AS (
-        SELECT o_orderkey,
-               CAST(o_orderdate AS DATE) AS d0,
-               CAST(MAX(l_shipdate) AS DATE) AS d1
-        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
-        GROUP BY 1, 2
+        SELECT o_orderkey, d0, greatest(d1, d0) AS d1
+        FROM (
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS DATE) AS d0,
+                   CAST(MAX(l_shipdate) AS DATE) AS d1
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        )
     ),
     deltas AS (
         SELECT d0 AS day, 1 AS delta FROM span
@@ -3404,6 +3407,9 @@ def orders_open_backlog_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.join(li, orders.o_orderkey == li.l_orderkey)
         .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d0"))
         .agg(F.to_date(F.max("l_shipdate")).alias("d1"))
+        # clamp inverted synthetic spans so the -1 can never precede the
+        # +1 and the prefix sum stays a true backlog (>= 0 invariant)
+        .select("o_orderkey", "d0", F.greatest("d1", "d0").alias("d1"))
     )
     deltas = span.select(F.col("d0").alias("day"), F.lit(1).alias("delta")).unionAll(
         span.select(F.date_add("d1", 1).alias("day"), F.lit(-1).alias("delta"))
@@ -3748,4 +3754,178 @@ def forecast_holt_winters_monthly(
     )
     return folded.select(F.explode("rows").alias("r")).select(
         "r.month", "r.rev", "r.level", "r.trend", "r.seasonal", "r.fitted"
+    )
+
+
+# ------------------------------------------- k-core decomposition
+_KCORE_K = 2
+_KCORE_ROUNDS = 6
+
+
+def _kcore_oracle() -> str:
+    # MATERIALIZED per round: DuckDB inlines single-reference CTEs and a
+    # deep join/agg chain sends the optimizer superlinear (same lesson as
+    # events_markov_stationary).
+    head = """
+    WITH e0 AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    )"""
+    steps = []
+    for r in range(_KCORE_ROUNDS):
+        steps.append(f"""    d{r} AS MATERIALIZED (
+        SELECT node, COUNT(*) AS deg FROM (
+            SELECT u AS node FROM e{r} UNION ALL SELECT v FROM e{r}
+        ) GROUP BY node
+    ),
+    keep{r} AS MATERIALIZED (
+        SELECT node FROM d{r} WHERE deg >= {_KCORE_K}
+    ),
+    e{r + 1} AS MATERIALIZED (
+        SELECT u, v FROM e{r}
+        WHERE u IN (SELECT node FROM keep{r})
+          AND v IN (SELECT node FROM keep{r})
+    )""")
+    last = _KCORE_ROUNDS
+    return (
+        head + ",\n" + ",\n".join(steps) + f"""
+    SELECT CAST(COUNT(DISTINCT node) AS BIGINT) AS core_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM e{last}) AS core_edges,
+           (SELECT CAST(COUNT(DISTINCT node) AS BIGINT) FROM d0)
+               AS total_nodes
+    FROM (SELECT u AS node FROM e{last} UNION ALL SELECT v FROM e{last})
+    """
+    )
+
+
+@register(
+    "graph_kcore_supplier_coorder",
+    oracle=_kcore_oracle(),
+    description="2-core of the supplier co-order graph (suppliers linked "
+    "when they serve the same order) by iterative peeling: each of the 6 "
+    "unrolled rounds drops nodes below degree 2 and their incident edges. "
+    "Each round is one degree agg + one semi-join filter — key-partitioned "
+    "shuffles only; rounds are unrolled into the plan exactly like the "
+    "oracle's MATERIALIZED CTE chain, and 6 rounds is past the fixpoint "
+    "at every test SF (peeling converges geometrically).",
+)
+def graph_kcore_supplier_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    total_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .distinct()
+        .count()
+    )
+    for _ in range(_KCORE_ROUNDS):
+        deg = (
+            edges.select(F.col("u").alias("node"))
+            .unionAll(edges.select(F.col("v").alias("node")))
+            .groupBy("node")
+            .agg(F.count("*").alias("deg"))
+        )
+        keep = deg.filter(F.col("deg") >= _KCORE_K).select("node")
+        edges = (
+            edges.join(keep.withColumnRenamed("node", "u"), "u", "left_semi")
+            .join(keep.withColumnRenamed("node", "v"), "v", "left_semi")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    core_nodes = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select("v"))
+        .distinct()
+        .count()
+    )
+    core_edges = edges.count()
+    return spark.createDataFrame(
+        [(core_nodes, core_edges, total_nodes)],
+        "core_nodes bigint, core_edges bigint, total_nodes bigint",
+    )
+
+
+# ------------------------------------------- Little's law validation
+@register(
+    "orders_littles_law_check",
+    oracle=f"""
+    WITH span AS (
+        SELECT o_orderkey, d0, greatest(d1, d0) AS d1
+        FROM (
+            SELECT o_orderkey,
+                   CAST(o_orderdate AS DATE) AS d0,
+                   CAST(MAX(l_shipdate) AS DATE) AS d1
+            FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+            GROUP BY 1, 2
+        )
+    ),
+    horizon AS (
+        SELECT CAST(MIN(d0) AS DATE) AS t0, CAST(MAX(d1) AS DATE) AS t1,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               AVG(CAST(d1 - d0 AS DOUBLE) + 1) AS w_days
+        FROM span
+    )
+    SELECT n_orders,
+           {dround_sql("w_days", 6)} AS avg_wait_days,
+           {dround_sql("CAST(n_orders AS DOUBLE) / (CAST(t1 - t0 AS DOUBLE) + 1)", 6)} AS arrival_rate_per_day,
+           {dround_sql("CAST(n_orders AS DOUBLE) / (CAST(t1 - t0 AS DOUBLE) + 1) * w_days", 6)} AS littles_L,
+           {dround_sql("(SELECT AVG(CAST(cnt AS DOUBLE)) FROM (SELECT d, COUNT(*) AS cnt FROM span, UNNEST(range(CAST(d0 AS DATE), CAST(d1 + INTERVAL 1 DAY AS DATE), INTERVAL 1 DAY)) AS u(d) GROUP BY d))", 6)} AS observed_L
+    FROM horizon
+    """,
+    description="Little's law sanity check on the order pipeline: "
+    "L = lambda x W computed from arrival rate and average order lifetime "
+    "vs the directly observed mean number of open orders. The observed "
+    "side range-explodes intervals to days — bounded: #days per order, "
+    "never order x order — while the closed-form side is one aggregate. "
+    "Agreement (up to edge effects) validates the backlog sweepline.",
+)
+def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    span = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", F.to_date("o_orderdate").alias("d0"))
+        .agg(F.to_date(F.max("l_shipdate")).alias("d1"))
+        # synthetic data can ship before the order date; clamp so every
+        # order has a >=1-day lifetime (both engines identically)
+        .select("o_orderkey", "d0", F.greatest("d1", "d0").alias("d1"))
+    )
+    horizon = span.agg(
+        F.min("d0").alias("t0"),
+        F.max("d1").alias("t1"),
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.avg(F.datediff("d1", "d0").cast("double") + 1).alias("w_days"),
+    )
+    days = span.select(
+        F.explode(F.expr("sequence(d0, d1, interval 1 day)")).alias("d")
+    )
+    observed = days.groupBy("d").count().agg(
+        F.avg(F.col("count").cast("double")).alias("obs_l")
+    )
+    lam = F.col("n_orders").cast("double") / (
+        F.datediff("t1", "t0").cast("double") + 1
+    )
+    return (
+        horizon.crossJoin(F.broadcast(observed))
+        .select(
+            "n_orders",
+            dround("w_days", 6).alias("avg_wait_days"),
+            dround(lam, 6).alias("arrival_rate_per_day"),
+            dround(lam * F.col("w_days"), 6).alias("littles_L"),
+            dround("obs_l", 6).alias("observed_L"),
+        )
     )

@@ -396,3 +396,28 @@ def test_holt_winters_matches_reference_recurrence(spark, sf_dir):
         assert abs(r.trend - round(b, 4)) < 1e-6
         assert abs(r.seasonal - round(sh, 4)) < 1e-6
         assert abs(r.fitted - round(fitted, 4)) < 1e-6
+
+
+def test_kcore_is_subset_with_min_degree(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        graph_kcore_supplier_coorder,
+    )
+
+    r = graph_kcore_supplier_coorder(spark, sf_dir).collect()[0]
+    assert 0 <= r.core_nodes <= r.total_nodes
+    if r.core_nodes:
+        # every surviving node has degree >= 2, so edges >= nodes
+        assert r.core_edges >= r.core_nodes
+
+
+def test_littles_law_holds_approximately(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        orders_littles_law_check,
+    )
+
+    r = orders_littles_law_check(spark, sf_dir).collect()[0]
+    assert r.avg_wait_days >= 1.0
+    assert r.arrival_rate_per_day > 0
+    # L = lambda * W vs the directly observed time-average of open orders:
+    # equal up to horizon edge effects (orders open past the window)
+    assert abs(r.littles_L - r.observed_L) / r.littles_L < 0.2
