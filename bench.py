@@ -205,6 +205,8 @@ HEADLINE = [
     "load_merge_full_clauses",
     "graph_kcore_supplier_coorder",
     "orders_littles_law_check",
+    "similarity_recall_ivf_at5",
+    "quality_expectation_suite_events",
 ]
 
 

@@ -4084,3 +4084,164 @@ def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------------- IVF recall harness
+def _ivf_recall_oracle() -> str:
+    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id IN ({ids})
+    ),
+    member AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                                c.cid) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id < 10
+    ),
+    qprobe AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_cos_sql('q.qv', 'c.cvec')} DESC, c.cid
+                   ) AS prn
+            FROM q CROSS JOIN centroids c
+        ) WHERE prn <= 2
+    ),
+    exact5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    ivf5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, m.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("m.embedding", "q.qv")}, 6) DESC,
+                                m.vec_id) AS rn
+            FROM member m
+            JOIN qprobe p ON m.cid = p.cid
+            JOIN q ON q.qid = p.qid AND m.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
+    agg_i AS (SELECT qid, COUNT(*) AS n_ivf FROM ivf5 GROUP BY qid),
+    agg_o AS (
+        SELECT e.qid, COUNT(*) AS n_overlap
+        FROM exact5 e JOIN ivf5 i ON i.qid = e.qid AND i.vec_id = e.vec_id
+        GROUP BY e.qid
+    )
+    SELECT a.qid AS query_id,
+           CAST(a.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(b.n_ivf, 0) AS BIGINT) AS n_ivf,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                / a.n_exact, 6) AS DOUBLE) AS recall_at_5
+    FROM agg_e a
+    LEFT JOIN agg_i b ON b.qid = a.qid
+    LEFT JOIN agg_o o ON o.qid = a.qid
+    """
+
+
+@register(
+    "similarity_recall_ivf_at5",
+    oracle=_ivf_recall_oracle(),
+    description="ANN quality harness for the IVF index: recall@5 vs exact "
+    "brute-force cosine over the same 10-query panel as the LSH harness "
+    "(nprobe=2 of 8 deterministic centroids). Probe selection is a "
+    "DataFrame-side window over the panel x centroid cross (80 rows), so "
+    "the multi-query variant needs no driver loop; list membership joins "
+    "prune the scan exactly as a cid-partitioned layout would at scale.",
+)
+def similarity_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    member = S.ivf_assign(emb, _IVF_CENTROID_IDS)
+    centroids = emb.filter(F.col("vec_id").isin(_IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.desc("c_sim"), F.asc("cid")
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", S.cosine(F.col("qv"), F.col("cvec")))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= 2)
+        .select("qid", "cid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact5 = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    ivf5 = (
+        member.join(F.broadcast(qprobe), "cid")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    agg_e = exact5.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    agg_i = ivf5.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ivf")
+    )
+    agg_o = (
+        exact5.join(ivf5, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        agg_e.join(agg_i, "qid", "left")
+        .join(agg_o, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce("n_ivf", F.lit(0)).cast("bigint").alias("n_ivf"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall_at_5"),
+        )
+    )

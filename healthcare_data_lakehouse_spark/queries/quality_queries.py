@@ -889,3 +889,50 @@ def quality_order_lineitem_reconciliation(
             ).alias("avg_abs_gap"),
         )
     )
+
+
+# ------------------------------------------- expectation suite
+_EXPECTATIONS = [
+    ("row_count_between", "COUNT(*) BETWEEN 100 AND 1000000000"),
+    ("value_mean_between", "AVG(value) BETWEEN 10.0 AND 10000.0"),
+    ("event_type_in_set",
+     "SUM(CASE WHEN event_type NOT IN "
+     "('view','click','purchase','signup','error') THEN 1 ELSE 0 END) = 0"),
+    ("user_id_never_null", "SUM(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) = 0"),
+    ("event_id_unique", "COUNT(DISTINCT event_id) = COUNT(*)"),
+    ("ts_no_future", "MAX(ts) <= TIMESTAMP '2030-01-01'"),
+    ("value_non_negative_frac",
+     "AVG(CASE WHEN value >= 0 THEN 1.0 ELSE 0.0 END) >= 0.99"),
+]
+
+
+@register(
+    "quality_expectation_suite_events",
+    oracle="\n    UNION ALL\n".join(
+        f"""    SELECT '{name}' AS expectation,
+           CAST(CASE WHEN ({agg}) THEN 1 ELSE 0 END AS INT) AS passed
+    FROM events"""
+        for name, agg in _EXPECTATIONS
+    ),
+    description="Great-Expectations-style suite over the events table: "
+    "row-count bounds, mean bounds, value-set membership, null checks, "
+    "uniqueness, future-timestamp and non-negativity tolerance — each "
+    "expectation an aggregate predicate, ALL evaluated against shared "
+    "scans (Catalyst collapses the per-expectation aggregates; at scale "
+    "fuse them into one agg like quality.py's fused validator). The "
+    "read-side twin of the ZoneStore's write-side CHECK constraints.",
+)
+def quality_expectation_suite_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_exp_events")
+    parts = [
+        f"""SELECT '{name}' AS expectation,
+               CAST(CASE WHEN ({agg}) THEN 1 ELSE 0 END AS INT) AS passed
+        FROM _exp_events"""
+        for name, agg in _EXPECTATIONS
+    ]
+    return spark.sql("\nUNION ALL\n".join(parts))

@@ -229,3 +229,19 @@ def test_reconciliation_partitions_all_orders(spark, sf_dir):
     assert classes <= {
         "within_1pct", "within_10pct", "mismatch", "missing_lineitems"
     }
+
+
+def test_expectation_suite_names_and_flags(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        quality_expectation_suite_events,
+        _EXPECTATIONS,
+    )
+
+    rows = {r.expectation: r.passed
+            for r in quality_expectation_suite_events(spark, sf_dir).collect()}
+    assert set(rows) == {n for n, _ in _EXPECTATIONS}
+    assert all(v in (0, 1) for v in rows.values())
+    # structural expectations hold on the driver fixtures
+    assert rows["user_id_never_null"] == 1
+    assert rows["event_id_unique"] == 1
+    assert rows["event_type_in_set"] == 1

@@ -1003,3 +1003,18 @@ def test_novelty_first_doc_is_fully_novel(spark, sf_dir):
     for r in rows:
         assert 0.0 <= r.novelty <= 1.0
         assert r.novel <= r.n_shingles
+
+
+def test_ivf_recall_bounds_and_panel(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        similarity_recall_ivf_at5,
+    )
+
+    rows = similarity_recall_ivf_at5(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_exact == 5
+        assert 0 <= r.n_overlap <= min(r.n_ivf, 5)
+        assert 0.0 <= r.recall_at_5 <= 1.0
+    # nprobe=2/8 lists should still find most true neighbors on average
+    assert sum(r.recall_at_5 for r in rows) / len(rows) >= 0.2
