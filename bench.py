@@ -207,6 +207,7 @@ HEADLINE = [
     "orders_littles_law_check",
     "similarity_recall_ivf_at5",
     "quality_expectation_suite_events",
+    "stats_mann_whitney_u",
 ]
 
 

@@ -529,3 +529,38 @@ def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
     theta = pdf["x"].cov(pdf["y"]) / pdf["x"].var()
     y_adj = pdf["y"] - theta * (pdf["x"] - pdf["x"].mean())
     assert y_adj.var() <= pdf["y"].var() + 1e-9
+
+
+def test_mann_whitney_matches_scipy_free_reference(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_mann_whitney_u,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    r = stats_mann_whitney_u(spark, sf_dir).collect()[0]
+    # independent reference: rank-based computation in plain python
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("purchase", "click"))
+        .select("event_type", "value")
+        .collect()
+    )
+    xs = sorted((row.value, row.event_type) for row in ev)
+    # average ranks with ties
+    ranks = {}
+    i = 0
+    while i < len(xs):
+        j = i
+        while j < len(xs) and xs[j][0] == xs[i][0]:
+            j += 1
+        avg_rank = (i + 1 + j) / 2.0
+        for k in range(i, j):
+            ranks.setdefault(xs[i][0], avg_rank)
+        i = j
+    r1 = sum(ranks[v] for v, g in xs if g == "purchase")
+    n1 = sum(1 for _, g in xs if g == "purchase")
+    n2 = len(xs) - n1
+    u = n1 * n2 + n1 * (n1 + 1) / 2.0 - r1
+    assert r.n1 == n1 and r.n2 == n2
+    assert abs(r.u_stat - round(u, 4)) < 1e-6
