@@ -208,6 +208,9 @@ HEADLINE = [
     "similarity_recall_ivf_at5",
     "quality_expectation_suite_events",
     "stats_mann_whitney_u",
+    "events_periodicity_autocorr",
+    "storage_partition_advisor",
+    "pipeline_tokenizer_vocab_coverage",
 ]
 
 

@@ -3929,3 +3929,108 @@ def orders_littles_law_check(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround("obs_l", 6).alias("observed_L"),
         )
     )
+
+
+# ------------------------------------------- daily-count autocorrelation
+@register(
+    "events_periodicity_autocorr",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    lags AS (SELECT unnest(range(1, 8)) AS lag)
+    SELECT l.lag,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           {dround_sql("corr(a.n, b.n)", 6)} AS autocorr
+    FROM lags l
+    JOIN daily a ON TRUE
+    JOIN daily b ON b.day = a.day + CAST(l.lag AS INT)
+    GROUP BY l.lag
+    """,
+    description="Autocorrelation of the daily event-count series at lags "
+    "1..7 (weekly periodicity screen): the fact table collapses to day "
+    "grain in one agg, then each lag is a day-grain self-join + corr() "
+    "running moments — no windows, no sort, 7x O(#days) work total.",
+)
+def events_periodicity_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.select(F.col("day").alias("day_a"), F.col("n").alias("na"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("n").alias("nb"))
+    joined = (
+        lags.crossJoin(a)
+        .join(b, F.col("day_b") == F.date_add(F.col("day_a"), F.col("lag")))
+    )
+    return joined.groupBy("lag").agg(
+        F.count("*").cast("bigint").alias("n_pairs"),
+        dround(F.corr("na", "nb"), 6).alias("autocorr"),
+    )
+
+
+# ------------------------------------------- partition layout advisor
+@register(
+    "storage_partition_advisor",
+    oracle=f"""
+    WITH cands AS (
+        SELECT 'event_type' AS candidate, event_type AS k FROM events
+        UNION ALL
+        SELECT 'day', CAST(CAST(ts AS DATE) AS VARCHAR) FROM events
+        UNION ALL
+        SELECT 'user_bucket_16', CAST(user_id % 16 AS VARCHAR) FROM events
+    ),
+    per_part AS (
+        SELECT candidate, k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM cands GROUP BY candidate, k
+    )
+    SELECT candidate,
+           CAST(COUNT(*) AS BIGINT) AS n_partitions,
+           {dround_sql("CAST(MAX(n) AS DOUBLE) / SUM(n)", 6)} AS max_part_frac,
+           {dround_sql("SUM(CAST(n AS DOUBLE) * n) / (SUM(n) * SUM(CAST(n AS DOUBLE)))", 6)} AS expected_scan_frac
+    FROM per_part GROUP BY candidate
+    """,
+    description="Partition-layout advisor: for each candidate partition "
+    "key (event_type, day, hashed user bucket) report partition count, "
+    "largest-partition fraction (skew ceiling for task balance) and the "
+    "expected scan fraction of a random equality predicate (collision "
+    "probability sum p_i^2 — the pruning payoff). One grouped agg per "
+    "candidate over a single union scan; the advisor output is "
+    "O(candidates) rows at any input size.",
+)
+def storage_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cands = (
+        ev.select(
+            F.lit("event_type").alias("candidate"),
+            F.col("event_type").alias("k"),
+        )
+        .unionAll(
+            ev.select(
+                F.lit("day"), F.to_date("ts").cast("string")
+            )
+        )
+        .unionAll(
+            ev.select(
+                F.lit("user_bucket_16"),
+                (F.col("user_id") % 16).cast("string"),
+            )
+        )
+    )
+    per_part = cands.groupBy("candidate", "k").agg(
+        F.count("*").cast("bigint").alias("n")
+    )
+    nd = F.col("n").cast("double")
+    return per_part.groupBy("candidate").agg(
+        F.count("*").cast("bigint").alias("n_partitions"),
+        dround(F.max("n").cast("double") / F.sum("n"), 6).alias(
+            "max_part_frac"
+        ),
+        dround(
+            F.sum(nd * F.col("n"))
+            / (F.sum("n") * F.sum(nd)),
+            6,
+        ).alias("expected_scan_frac"),
+    )

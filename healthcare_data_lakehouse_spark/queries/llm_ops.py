@@ -4245,3 +4245,68 @@ def similarity_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_at_5"),
         )
     )
+
+
+# ------------------------------------------- tokenizer vocab coverage
+@register(
+    "pipeline_tokenizer_vocab_coverage",
+    oracle=f"""
+    WITH train_toks AS (
+        SELECT unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id % 2 = 0
+    ),
+    vocab AS (
+        SELECT token FROM (
+            SELECT token, COUNT(*) AS c,
+                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
+            FROM train_toks GROUP BY token
+        ) WHERE rk <= 1000
+    ),
+    held AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id % 2 = 1
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS covered,
+           {dround_sql("CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS coverage
+    FROM held h LEFT JOIN vocab v ON h.token = v.token
+    GROUP BY lang
+    """,
+    description="Tokenizer vocab coverage / OOV audit: build a top-1000 "
+    "token vocabulary on even doc_ids, measure per-language token "
+    "coverage on the held-out odd half — the go/no-go check before "
+    "freezing a tokenizer for a multilingual corpus. Vocab is a "
+    "vocab-grain TakeOrdered; coverage is a broadcast hash join of the "
+    "tiny vocab against the held-out token stream.",
+)
+def pipeline_tokenizer_vocab_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    train = docs.filter(F.col("doc_id") % 2 == 0).select(
+        F.explode(F.split("text", " ")).alias("token")
+    )
+    vocab = (
+        train.groupBy("token")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("token"))
+        .limit(1000)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    held = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "lang", F.explode(F.split("text", " ")).alias("token")
+    )
+    j = held.join(F.broadcast(vocab), "token", "left")
+    return j.groupBy("lang").agg(
+        F.count("*").cast("bigint").alias("n_tokens"),
+        F.sum(F.coalesce("in_vocab", F.lit(0))).cast("bigint").alias(
+            "covered"
+        ),
+        dround(
+            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("double")
+            / F.count("*"),
+            6,
+        ).alias("coverage"),
+    )

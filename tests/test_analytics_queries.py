@@ -421,3 +421,33 @@ def test_littles_law_holds_approximately(spark, sf_dir):
     # L = lambda * W vs the directly observed time-average of open orders:
     # equal up to horizon edge effects (orders open past the window)
     assert abs(r.littles_L - r.observed_L) / r.littles_L < 0.2
+
+
+def test_autocorr_in_bounds_all_lags(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        events_periodicity_autocorr,
+    )
+
+    rows = events_periodicity_autocorr(spark, sf_dir).collect()
+    assert {r.lag for r in rows} == set(range(1, 8))
+    for r in rows:
+        assert -1.0 - 1e-9 <= r.autocorr <= 1.0 + 1e-9
+        assert r.n_pairs > 0
+    # longer lags can never have MORE pairs than shorter ones
+    by_lag = {r.lag: r.n_pairs for r in rows}
+    assert all(by_lag[i] >= by_lag[i + 1] for i in range(1, 7))
+
+
+def test_partition_advisor_tradeoffs(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        storage_partition_advisor,
+    )
+
+    rows = {r.candidate: r for r in storage_partition_advisor(spark, sf_dir).collect()}
+    assert set(rows) == {"event_type", "day", "user_bucket_16"}
+    for r in rows.values():
+        # scan fraction of an equality predicate is at least 1/n_partitions
+        assert r.expected_scan_frac >= 1.0 / r.n_partitions - 1e-9
+        assert r.max_part_frac >= 1.0 / r.n_partitions - 1e-9
+    # finer keys prune more in expectation
+    assert rows["day"].expected_scan_frac < rows["event_type"].expected_scan_frac

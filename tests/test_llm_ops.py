@@ -1018,3 +1018,20 @@ def test_ivf_recall_bounds_and_panel(spark, sf_dir):
         assert 0.0 <= r.recall_at_5 <= 1.0
     # nprobe=2/8 lists should still find most true neighbors on average
     assert sum(r.recall_at_5 for r in rows) / len(rows) >= 0.2
+
+
+def test_vocab_coverage_bounds(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_tokenizer_vocab_coverage,
+    )
+
+    rows = pipeline_tokenizer_vocab_coverage(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.covered <= r.n_tokens
+        assert 0.0 <= r.coverage <= 1.0
+    # the synthetic corpus has a small shared vocabulary: a top-1000
+    # vocab trained on half the docs should cover most held-out tokens
+    total = sum(r.n_tokens for r in rows)
+    cov = sum(r.covered for r in rows)
+    assert cov / total > 0.5
