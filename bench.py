@@ -211,6 +211,8 @@ HEADLINE = [
     "events_periodicity_autocorr",
     "storage_partition_advisor",
     "pipeline_tokenizer_vocab_coverage",
+    "load_restore_version",
+    "events_markov_removal_attribution",
 ]
 
 

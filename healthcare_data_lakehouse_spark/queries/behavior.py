@@ -2215,3 +2215,209 @@ def stats_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(u, 4).alias("u_stat"),
         dround((u - F.col("n1") * n2d / 2.0) / F.sqrt(var), 4).alias("z"),
     )
+
+
+# ------------------------------- Markov removal-effect attribution
+_ATTR_CHANNELS = ["view", "click", "signup", "error"]
+_ATTR_STEPS = 10
+
+
+def _attr_mat_sql() -> str:
+    """Journey transition matrix: start -> ... -> purchase|end, truncated
+    at each user's first purchase (purchase is absorbing)."""
+    return """
+    ordered AS MATERIALIZED (
+        SELECT user_id, event_type,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS rn,
+               COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1
+                                 ELSE 0 END) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS purchases_before
+        FROM events
+    ),
+    kept AS MATERIALIZED (
+        SELECT user_id, event_type, rn FROM ordered
+        WHERE purchases_before = 0
+    ),
+    pairs AS MATERIALIZED (
+        SELECT f, t FROM (
+            SELECT user_id,
+                   COALESCE(LAG(event_type) OVER (
+                       PARTITION BY user_id ORDER BY rn), 'start') AS f,
+                   event_type AS t
+            FROM kept
+        )
+        UNION ALL
+        SELECT event_type AS f, 'end' AS t FROM (
+            SELECT user_id, event_type,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY user_id ORDER BY rn DESC) AS rvn
+            FROM kept
+        ) WHERE rvn = 1 AND event_type <> 'purchase'
+    ),
+    mat AS MATERIALIZED (
+        SELECT f, t,
+               CAST(COUNT(*) AS DOUBLE)
+                   / SUM(COUNT(*)) OVER (PARTITION BY f) AS p
+        FROM pairs GROUP BY f, t
+    )"""
+
+
+def _attr_scenario_sql(tag: str, removed: str | None) -> str:
+    """10-step conversion-mass chain for one removal scenario."""
+    cond = (
+        f"WHERE f <> '{removed}' AND t <> '{removed}'" if removed else ""
+    )
+    parts = [
+        f"""mat_{tag} AS MATERIALIZED (
+        SELECT f, t, p FROM mat {cond}
+    ),
+    v_{tag}_0 AS MATERIALIZED (SELECT 'start' AS state, 1.0 AS mass)"""
+    ]
+    for i in range(1, _ATTR_STEPS + 1):
+        parts.append(f"""c_{tag}_{i} AS MATERIALIZED (
+        SELECT COALESCE(SUM(v.mass * m.p), 0.0) AS cm
+        FROM v_{tag}_{i - 1} v JOIN mat_{tag} m ON v.state = m.f
+        WHERE m.t = 'purchase'
+    ),
+    v_{tag}_{i} AS MATERIALIZED (
+        SELECT m.t AS state, SUM(v.mass * m.p) AS mass
+        FROM v_{tag}_{i - 1} v JOIN mat_{tag} m ON v.state = m.f
+        WHERE m.t NOT IN ('purchase', 'end') GROUP BY m.t
+    )""")
+    parts.append(f"""conv_{tag} AS MATERIALIZED (
+        SELECT SUM(cm) AS conv FROM (
+            {" UNION ALL ".join(f"SELECT cm FROM c_{tag}_{i}" for i in range(1, _ATTR_STEPS + 1))}
+        )
+    )""")
+    return ",\n    ".join(parts)
+
+
+def _attr_oracle() -> str:
+    scen = [_attr_scenario_sql("base", None)] + [
+        _attr_scenario_sql(c, c) for c in _ATTR_CHANNELS
+    ]
+    effects = ", ".join(
+        f"greatest(1.0 - (SELECT conv FROM conv_{c}) / (SELECT conv FROM conv_base), 0.0) AS eff_{c}"
+        for c in _ATTR_CHANNELS
+    )
+    rows = "\n    UNION ALL\n".join(
+        f"""    SELECT '{c}' AS channel,
+           CAST(ROUND(CAST((SELECT conv FROM conv_base) AS DECIMAL(38,8)), 6) AS DOUBLE) AS conv_base,
+           CAST(ROUND(CAST((SELECT conv FROM conv_{c}) AS DECIMAL(38,8)), 6) AS DOUBLE) AS conv_removed,
+           CAST(ROUND(CAST(eff_{c} AS DECIMAL(38,8)), 6) AS DOUBLE) AS removal_effect,
+           CAST(ROUND(CAST(eff_{c} / NULLIF(eff_view + eff_click + eff_signup + eff_error, 0) AS DECIMAL(38,8)), 6) AS DOUBLE) AS attribution
+    FROM eff"""
+        for c in _ATTR_CHANNELS
+    )
+    return (
+        "WITH "
+        + _attr_mat_sql().strip()
+        + ",\n    "
+        + ",\n    ".join(scen)
+        + f",\n    eff AS MATERIALIZED (SELECT {effects})\n"
+        + rows
+    )
+
+
+@register(
+    "events_markov_removal_attribution",
+    oracle=_attr_oracle(),
+    description="Markov removal-effect channel attribution: user journeys "
+    "truncated at first purchase form a start->...->purchase|end chain; "
+    "baseline 10-step conversion mass vs the same chain with each channel "
+    "removed (its transitions deleted, mass lost — the standard removal "
+    "effect), normalized into attribution shares. Transition counting is "
+    "the distributed part (two windows + one groupBy keyed on user_id); "
+    "the chain arithmetic runs on the |states|^2 matrix driver-side, "
+    "mirroring the oracle's MATERIALIZED CTE chains step for step.",
+)
+def events_markov_removal_attribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wprev = wo.rowsBetween(Window.unboundedPreceding, -1)
+    ordered = ev.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wo).alias("rn"),
+        F.coalesce(
+            F.sum((F.col("event_type") == "purchase").cast("int")).over(
+                wprev
+            ),
+            F.lit(0),
+        ).alias("purchases_before"),
+    )
+    kept = ordered.filter(F.col("purchases_before") == 0)
+    wk = Window.partitionBy("user_id").orderBy("rn")
+    inner = kept.select(
+        F.coalesce(F.lag("event_type").over(wk), F.lit("start")).alias("f"),
+        F.col("event_type").alias("t"),
+    )
+    wlast = Window.partitionBy("user_id").orderBy(F.desc("rn"))
+    ends = (
+        kept.withColumn("rvn", F.row_number().over(wlast))
+        .filter((F.col("rvn") == 1) & (F.col("event_type") != "purchase"))
+        .select(F.col("event_type").alias("f"), F.lit("end").alias("t"))
+    )
+    counts = inner.unionAll(ends).groupBy("f", "t").count().collect()
+
+    # |states|^2 matrix: driver-side chain arithmetic, like IVF centroids
+    from collections import defaultdict
+
+    row_tot: dict = defaultdict(int)
+    for r in counts:
+        row_tot[r.f] += r["count"]
+    P: dict = defaultdict(dict)
+    for r in counts:
+        P[r.f][r.t] = r["count"] / row_tot[r.f]
+
+    def conv(removed: str | None) -> float:
+        v = {"start": 1.0}
+        total = 0.0
+        for _ in range(_ATTR_STEPS):
+            nv: dict = defaultdict(float)
+            for f, mass in v.items():
+                if removed is not None and f == removed:
+                    continue
+                for t, p in P.get(f, {}).items():
+                    if removed is not None and t == removed:
+                        continue
+                    if t == "purchase":
+                        total += mass * p
+                    elif t != "end":
+                        nv[t] += mass * p
+            v = dict(nv)
+        return total
+
+    base = conv(None)
+    effs = {
+        c: max(1.0 - conv(c) / base, 0.0) if base else 0.0
+        for c in _ATTR_CHANNELS
+    }
+    tot_eff = sum(effs.values())
+    rows = [
+        (
+            c,
+            float(base),
+            float(conv(c)),
+            float(effs[c]),
+            float(effs[c] / tot_eff) if tot_eff else None,
+        )
+        for c in _ATTR_CHANNELS
+    ]
+    out = spark.createDataFrame(
+        rows,
+        "channel string, conv_base double, conv_removed double, "
+        "removal_effect double, attribution double",
+    )
+    return out.select(
+        "channel",
+        dround("conv_base", 6).alias("conv_base"),
+        dround("conv_removed", 6).alias("conv_removed"),
+        dround("removal_effect", 6).alias("removal_effect"),
+        dround("attribution", 6).alias("attribution"),
+    )

@@ -1497,3 +1497,39 @@ def load_merge_full_clauses(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", F.round("totalprice", 2).alias("totalprice"), "status"
     )
+
+
+# --------------------------------------------------- RESTORE TO VERSION
+@register(
+    "load_restore_version",
+    oracle="""
+    SELECT o_orderkey AS id,
+           ROUND(o_totalprice, 2) AS totalprice,
+           o_orderstatus AS status
+    FROM orders WHERE o_orderkey % 3 = 0
+    """,
+    description="RESTORE TABLE TO VERSION (Delta parity) on the "
+    "ZoneStore: after an APPEND and a DELETE mutate the table, restore "
+    "to version 1 flips the manifest back to the original commit set — "
+    "metadata-only, data files untouched, and the restore is itself a "
+    "new version (time-travelable / undoable), exactly Delta's contract.",
+)
+def load_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    base = orders.filter(F.col("id") % 3 == 0)
+    store = ZoneStore(spark, scratch_dir("zs_rst_"))
+    store.write(DataZone.SILVER, "orders_r", base, LoadType.FULL)       # v1
+    store.write(
+        DataZone.SILVER, "orders_r",
+        orders.filter(F.col("id") % 3 == 1), LoadType.APPEND,           # v2
+    )
+    store.delete_where(DataZone.SILVER, "orders_r", "id % 2 = 0")       # v3
+    store.restore_version(DataZone.SILVER, "orders_r", 1)               # v4
+    out = store.read(DataZone.SILVER, "orders_r")
+    return out.select(
+        "id", F.round("totalprice", 2).alias("totalprice"), "status"
+    )

@@ -461,6 +461,30 @@ class ZoneStore:
         }
 
     # ------------------------------------------------------------- compaction
+    def restore_version(
+        self, zone: DataZone, dataset: str, version: int
+    ) -> int:
+        """RESTORE TABLE ... TO VERSION (Delta parity): a NEW version whose
+        commit set is the historical version's — data files untouched, so
+        restore is metadata-only and itself time-travelable/undoable. The
+        target version must still be in retained history (vacuum() trims
+        it, same as Delta RESTORE after VACUUM). Returns commits restored.
+        """
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        history: dict = manifest.get("history", {})
+        if str(version) not in history:
+            raise ValueError(
+                f"version {version} not in retained history for "
+                f"{zone.value}/{dataset} (have: {sorted(history)})"
+            )
+        commits = list(history[str(version)])
+        manifest["version"] += 1
+        manifest["commits"] = commits
+        history[str(manifest["version"])] = list(commits)
+        self._write_manifest(path, manifest)
+        return len(commits)
+
     def merge_into(
         self,
         zone: DataZone,

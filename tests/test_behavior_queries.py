@@ -564,3 +564,19 @@ def test_mann_whitney_matches_scipy_free_reference(spark, sf_dir):
     u = n1 * n2 + n1 * (n1 + 1) / 2.0 - r1
     assert r.n1 == n1 and r.n2 == n2
     assert abs(r.u_stat - round(u, 4)) < 1e-6
+
+
+def test_removal_attribution_invariants(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_markov_removal_attribution,
+    )
+
+    rows = events_markov_removal_attribution(spark, sf_dir).collect()
+    assert {r.channel for r in rows} == {"view", "click", "signup", "error"}
+    base = rows[0].conv_base
+    assert 0.0 < base <= 1.0
+    for r in rows:
+        # removing a channel can only lose conversion mass
+        assert r.conv_removed <= base + 1e-9
+        assert 0.0 <= r.removal_effect <= 1.0
+    assert abs(sum(r.attribution for r in rows) - 1.0) < 1e-4

@@ -482,3 +482,27 @@ def test_merge_into_clause_counts(spark, tmp_path):
     }
     got = {r.id: (r.v, r.flag) for r in store.read(DataZone.SILVER, "t").collect()}
     assert got == {1: (100, "keep"), 3: (30, "keep"), 9: (900, "s")}
+
+
+def test_restore_version_is_metadata_only_and_undoable(spark, tmp_path):
+    from pyspark.sql import Row
+    import pytest as _pytest
+    from healthcare_data_lakehouse_spark.zones import (
+        DataZone,
+        LoadType,
+        ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    v1 = spark.createDataFrame([Row(id=i) for i in range(5)])
+    store.write(DataZone.SILVER, "t", v1, LoadType.FULL)          # v1
+    store.write(DataZone.SILVER, "t",
+                spark.createDataFrame([Row(id=99)]), LoadType.APPEND)  # v2
+    assert store.read(DataZone.SILVER, "t").count() == 6
+    store.restore_version(DataZone.SILVER, "t", 1)                 # v3
+    assert store.read(DataZone.SILVER, "t").count() == 5
+    # the restore is itself a version: time travel back to v2 still works
+    assert store.read_version(DataZone.SILVER, "t", 2).count() == 6
+    # unknown version raises
+    with _pytest.raises(ValueError, match="not in retained history"):
+        store.restore_version(DataZone.SILVER, "t", 42)
