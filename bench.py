@@ -213,6 +213,8 @@ HEADLINE = [
     "pipeline_tokenizer_vocab_coverage",
     "load_restore_version",
     "events_markov_removal_attribution",
+    "events_conversion_window_sensitivity",
+    "quality_label_balance_embeddings",
 ]
 
 

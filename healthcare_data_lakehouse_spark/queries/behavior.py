@@ -2421,3 +2421,88 @@ def events_markov_removal_attribution(
         dround("removal_effect", 6).alias("removal_effect"),
         dround("attribution", 6).alias("attribution"),
     )
+
+
+# ------------------------------- conversion-window sensitivity
+@register(
+    "events_conversion_window_sensitivity",
+    oracle=f"""
+    WITH views AS (
+        SELECT user_id, event_id, ts FROM events WHERE event_type = 'view'
+    ),
+    buys AS (
+        SELECT user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    lagged AS (
+        SELECT v.event_id,
+               MIN(epoch(b.ts) - epoch(v.ts)) AS lag_s
+        FROM views v JOIN buys b
+          ON b.user_id = v.user_id
+         AND b.ts > v.ts
+         AND b.ts <= v.ts + INTERVAL 7 DAY
+        GROUP BY v.event_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_views FROM views),
+    wins AS (
+        SELECT * FROM (VALUES ('01_1h', 3600.0), ('02_6h', 21600.0),
+                              ('03_1d', 86400.0), ('04_7d', 604800.0))
+            AS w(window_label, w_s)
+    )
+    SELECT window_label, n_views,
+           CAST(COALESCE((SELECT COUNT(*) FROM lagged
+                          WHERE lag_s <= w_s), 0) AS BIGINT) AS n_converted,
+           {dround_sql("CAST(COALESCE((SELECT COUNT(*) FROM lagged WHERE lag_s <= w_s), 0) AS DOUBLE) / n_views", 6)} AS conversion_rate
+    FROM wins, tot
+    """,
+    description="Attribution-window sensitivity: view->purchase "
+    "conversion rate at 1h/6h/1d/7d windows from ONE user-keyed interval "
+    "join bounded by the widest window (min lag per view), then four "
+    "conditional counts over the per-view lag table — never one join "
+    "per window. The evidence for choosing a conversion window before "
+    "locking in funnel metrics.",
+)
+def events_conversion_window_sensitivity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", "event_id", F.col("ts").cast("double").alias("vt")
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("bu"), F.col("ts").cast("double").alias("bt")
+    )
+    lagged = (
+        views.join(
+            buys,
+            (F.col("bu") == F.col("user_id"))
+            & (F.col("bt") > F.col("vt"))
+            & (F.col("bt") <= F.col("vt") + 604800.0),
+        )
+        .groupBy("event_id")
+        .agg(F.min(F.col("bt") - F.col("vt")).alias("lag_s"))
+    )
+    n_views = views.count()
+    wins = spark.createDataFrame(
+        [("01_1h", 3600.0), ("02_6h", 21600.0),
+         ("03_1d", 86400.0), ("04_7d", 604800.0)],
+        "window_label string, w_s double",
+    )
+    conv = lagged.crossJoin(F.broadcast(wins)).groupBy("window_label").agg(
+        F.sum((F.col("lag_s") <= F.col("w_s")).cast("int"))
+        .cast("bigint")
+        .alias("n_converted")
+    )
+    return (
+        wins.join(conv, "window_label", "left")
+        .select(
+            "window_label",
+            F.lit(n_views).cast("bigint").alias("n_views"),
+            F.coalesce("n_converted", F.lit(0)).cast("bigint").alias(
+                "n_converted"
+            ),
+            dround(
+                F.coalesce("n_converted", F.lit(0)).cast("double") / n_views,
+                6,
+            ).alias("conversion_rate"),
+        )
+    )

@@ -4310,3 +4310,53 @@ def pipeline_tokenizer_vocab_coverage(
             6,
         ).alias("coverage"),
     )
+
+
+# ------------------------------------------- label balance audit
+@register(
+    "quality_label_balance_embeddings",
+    oracle=f"""
+    WITH c AS (
+        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+        FROM embeddings GROUP BY label
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS total,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM c
+    )
+    SELECT label, n,
+           {dround_sql("CAST(n AS DOUBLE) / total", 6)} AS share,
+           {dround_sql("(n - CAST(total AS DOUBLE) / k) * (n - CAST(total AS DOUBLE) / k) / (CAST(total AS DOUBLE) / k)", 6)} AS chisq_term,
+           CAST(CASE WHEN n < 0.5 * CAST(total AS DOUBLE) / k
+                      OR n > 2.0 * CAST(total AS DOUBLE) / k
+                THEN 1 ELSE 0 END AS INT) AS imbalanced
+    FROM c, tot
+    """,
+    description="Class-balance audit of the embedding labels: per-label "
+    "share, chi-square-vs-uniform contribution, and a 2x over/under "
+    "representation flag — the check before training on a labeled "
+    "corpus. One groupBy + a 1-row broadcast of the totals.",
+)
+def quality_label_balance_embeddings(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    c = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
+    tot = c.agg(
+        F.sum("n").cast("bigint").alias("total"),
+        F.count("*").cast("bigint").alias("k"),
+    )
+    exp = F.col("total").cast("double") / F.col("k")
+    return c.crossJoin(F.broadcast(tot)).select(
+        "label",
+        "n",
+        dround(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+        dround((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias(
+            "chisq_term"
+        ),
+        F.when((F.col("n") < 0.5 * exp) | (F.col("n") > 2.0 * exp), 1)
+        .otherwise(0)
+        .cast("int")
+        .alias("imbalanced"),
+    )

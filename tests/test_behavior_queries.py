@@ -580,3 +580,20 @@ def test_removal_attribution_invariants(spark, sf_dir):
         assert r.conv_removed <= base + 1e-9
         assert 0.0 <= r.removal_effect <= 1.0
     assert abs(sum(r.attribution for r in rows) - 1.0) < 1e-4
+
+
+def test_conversion_window_monotone(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_conversion_window_sensitivity,
+    )
+
+    rows = sorted(
+        events_conversion_window_sensitivity(spark, sf_dir).collect(),
+        key=lambda r: r.window_label,
+    )
+    assert [r.window_label for r in rows] == ["01_1h", "02_6h", "03_1d", "04_7d"]
+    # wider windows can only convert MORE views
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_converted <= b.n_converted
+        assert a.n_views == b.n_views
+    assert all(0.0 <= r.conversion_rate <= 1.0 for r in rows)

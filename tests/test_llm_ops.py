@@ -1035,3 +1035,16 @@ def test_vocab_coverage_bounds(spark, sf_dir):
     total = sum(r.n_tokens for r in rows)
     cov = sum(r.covered for r in rows)
     assert cov / total > 0.5
+
+
+def test_label_balance_chisq_and_shares(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        quality_label_balance_embeddings,
+    )
+
+    rows = quality_label_balance_embeddings(spark, sf_dir).collect()
+    assert rows
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    for r in rows:
+        assert r.chisq_term >= 0.0
+        assert r.imbalanced in (0, 1)
