@@ -215,6 +215,7 @@ HEADLINE = [
     "events_markov_removal_attribution",
     "events_conversion_window_sensitivity",
     "quality_label_balance_embeddings",
+    "dedup_ground_truth_eval",
 ]
 
 

@@ -4360,3 +4360,126 @@ def quality_label_balance_embeddings(
         .cast("int")
         .alias("imbalanced"),
     )
+
+
+# ------------------------------------------- dedup ground-truth eval
+def _gt_eval_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    return f"""
+    WITH {ctes},
+    pairs AS ({final}),
+    truth AS (
+        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    m AS (
+        SELECT
+            (SELECT COUNT(*) FROM truth) AS n_truth,
+            (SELECT COUNT(*) FROM cand) AS n_cand,
+            (SELECT COUNT(*) FROM pairs) AS n_verified,
+            (SELECT COUNT(*) FROM truth t JOIN cand c
+                ON c.id_a = t.id_a AND c.id_b = t.id_b) AS truth_in_cand,
+            (SELECT COUNT(*) FROM truth t JOIN pairs p
+                ON p.id_a = t.id_a AND p.id_b = t.id_b) AS truth_in_verified
+    )
+    SELECT CAST(n_truth AS BIGINT) AS n_truth,
+           CAST(n_cand AS BIGINT) AS n_cand,
+           CAST(n_verified AS BIGINT) AS n_verified,
+           CAST(truth_in_cand AS BIGINT) AS truth_in_cand,
+           CAST(truth_in_verified AS BIGINT) AS truth_in_verified,
+           CAST(ROUND(CAST(truth_in_cand AS DOUBLE) / n_truth, 6) AS DOUBLE)
+               AS recall_cand,
+           CAST(ROUND(CAST(truth_in_verified AS DOUBLE) / n_truth, 6)
+                AS DOUBLE) AS recall_verified
+    FROM m
+    """
+
+
+@register(
+    "dedup_ground_truth_eval",
+    oracle=_gt_eval_oracle(),
+    description="Dedup pipeline evaluation against injected ground truth: "
+    "exact copies planted at doc_id+1e6 must surface as LSH candidates "
+    "and survive Jaccard verification (identical docs share every "
+    "signature band, so candidate recall is 1.0 by construction — the "
+    "harness exists to catch regressions in banding/hashing, and the "
+    "candidate count vs truth count exposes the filter's selectivity). "
+    "Reuses the one-shingle-pass LSH machinery; metrics are scalar "
+    "aggregates over the pair tables.",
+)
+def dedup_ground_truth_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    sh = D._shingle_table(docs, "doc_id", "text", 3).persist()
+    per_doc = D._signature_table(sh)
+    bucket = D._bucket_table(per_doc)
+    l, r = bucket.alias("l"), bucket.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.sid") < F.col("r.sid")),
+        )
+        .select(F.col("l.sid").alias("id_a"), F.col("r.sid").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    sizes = per_doc.select("sid", "sz")
+    inter = (
+        cand.join(a, cand.id_a == F.col("a.sid"))
+        .join(
+            b,
+            (cand.id_b == F.col("b.sid"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
+    pairs = (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "j",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("j") >= 0.5)
+        .select("id_a", "id_b")
+        .persist()
+    )
+    truth = (
+        docs.filter(F.col("doc_id") >= 1_000_000)
+        .select(
+            (F.col("doc_id") - 1_000_000).alias("id_a"),
+            F.col("doc_id").alias("id_b"),
+        )
+        .persist()
+    )
+    n_truth = truth.count()
+    n_cand = cand.count()
+    n_verified = pairs.count()
+    truth_in_cand = truth.join(cand, ["id_a", "id_b"]).count()
+    truth_in_verified = truth.join(pairs, ["id_a", "id_b"]).count()
+    for df_ in (sh, cand, pairs, truth):
+        df_.unpersist()
+    return spark.createDataFrame(
+        [
+            (
+                n_truth,
+                n_cand,
+                n_verified,
+                truth_in_cand,
+                truth_in_verified,
+                round(truth_in_cand / n_truth, 6) if n_truth else None,
+                round(truth_in_verified / n_truth, 6) if n_truth else None,
+            )
+        ],
+        "n_truth bigint, n_cand bigint, n_verified bigint, "
+        "truth_in_cand bigint, truth_in_verified bigint, "
+        "recall_cand double, recall_verified double",
+    )

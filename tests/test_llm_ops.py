@@ -1048,3 +1048,17 @@ def test_label_balance_chisq_and_shares(spark, sf_dir):
     for r in rows:
         assert r.chisq_term >= 0.0
         assert r.imbalanced in (0, 1)
+
+
+def test_ground_truth_eval_perfect_recall_on_exact_copies(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        dedup_ground_truth_eval,
+    )
+
+    r = dedup_ground_truth_eval(spark, sf_dir).collect()[0]
+    assert r.n_truth > 0
+    # exact copies share every band: candidate AND verified recall are 1.0
+    assert r.recall_cand == 1.0
+    assert r.recall_verified == 1.0
+    assert r.n_cand >= r.n_truth
+    assert r.truth_in_verified <= r.n_verified
