@@ -1231,9 +1231,9 @@ def load_delete_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     "load_update_set",
     oracle="""
     SELECT o_orderkey AS id,
-           ROUND(CASE WHEN o_orderkey % 10 = 7
-                 THEN o_totalprice * 1.1 ELSE o_totalprice END, 2)
-               AS totalprice,
+           CAST(ROUND(CAST(CASE WHEN o_orderkey % 10 = 7
+                 THEN o_totalprice * 1.1 ELSE o_totalprice END
+                 AS DECIMAL(38,8)), 2) AS DOUBLE) AS totalprice,
            CASE WHEN o_orderkey % 10 = 7 THEN 'UPD' ELSE o_orderstatus END
                AS status
     FROM orders
@@ -1258,8 +1258,10 @@ def load_update_set(spark: SparkSession, sf_dir: str) -> DataFrame:
         {"totalprice": "totalprice * 1.1", "status": "'UPD'"},
     )
     out = store.read(DataZone.SILVER, "orders_u")
+    # x*1.1 lands on .xx5 halfway points constantly; decimal-routed
+    # rounding (dround) keeps both engines bit-identical
     return out.select(
-        "id", F.round("totalprice", 2).alias("totalprice"), "status"
+        "id", dround("totalprice", 2).alias("totalprice"), "status"
     )
 
 
