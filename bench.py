@@ -216,6 +216,8 @@ HEADLINE = [
     "events_conversion_window_sensitivity",
     "quality_label_balance_embeddings",
     "dedup_ground_truth_eval",
+    "text_perplexity_buckets_ccnet",
+    "events_power_analysis_mde",
 ]
 
 

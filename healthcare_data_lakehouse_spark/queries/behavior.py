@@ -2506,3 +2506,43 @@ def events_conversion_window_sensitivity(
             ).alias("conversion_rate"),
         )
     )
+
+
+# ------------------------------------------- power analysis / MDE
+@register(
+    "events_power_analysis_mde",
+    oracle=f"""
+    WITH g AS (
+        SELECT CAST(user_id % 2 AS INT) AS variant,
+               AVG(value) AS mean_v, var_samp(value) AS var_v,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT variant, n,
+           {dround_sql("mean_v", 4)} AS mean_v,
+           {dround_sql("(1.959964 + 0.841621) * sqrt(2.0 * var_v / n)", 4)} AS mde_abs,
+           {dround_sql("(1.959964 + 0.841621) * sqrt(2.0 * var_v / n) / mean_v", 6)} AS mde_rel
+    FROM g
+    """,
+    description="A/B power analysis: minimum detectable effect at "
+    "alpha=0.05 / power=0.8 ((z_a/2 + z_b) * sqrt(2 sigma^2 / n)) per "
+    "variant from one conditional-moments pass — the pre-experiment "
+    "sizing readout that pairs with the CUPED and DiD queries.",
+)
+def events_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy(
+        (F.col("user_id") % 2).cast("int").alias("variant")
+    ).agg(
+        F.avg("value").alias("mean_v"),
+        F.var_samp("value").alias("var_v"),
+        F.count("*").cast("bigint").alias("n"),
+    )
+    mde = (1.959964 + 0.841621) * F.sqrt(2.0 * F.col("var_v") / F.col("n"))
+    return g.select(
+        "variant",
+        "n",
+        dround("mean_v", 4).alias("mean_v"),
+        dround(mde, 4).alias("mde_abs"),
+        dround(mde / F.col("mean_v"), 6).alias("mde_rel"),
+    )

@@ -4483,3 +4483,116 @@ def dedup_ground_truth_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "truth_in_cand bigint, truth_in_verified bigint, "
         "recall_cand double, recall_verified double",
     )
+
+
+# ------------------------------------------- CCNet perplexity buckets
+_LM_SCORE_SQL = """
+    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tl FROM documents),
+    bi AS (
+        SELECT doc_id, lang, tl[i] AS w1, tl[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(tl))) AS u(i)
+        WHERE len(tl) >= 2
+    ),
+    uni AS (
+        SELECT t.tok AS w, COUNT(*) AS un
+        FROM toks, UNNEST(tl) AS t(tok) GROUP BY t.tok
+    ),
+    vocab AS (SELECT COUNT(*) AS v FROM uni),
+    bn AS (SELECT w1, w2, COUNT(*) AS bn FROM bi GROUP BY w1, w2),
+    scored AS (
+        SELECT bi.doc_id, bi.lang,
+               ROUND(AVG(log2(CAST(bn.bn + 1 AS DOUBLE) / (uni.un + vocab.v))), 4)
+                   AS score
+        FROM bi
+        JOIN bn ON bn.w1 = bi.w1 AND bn.w2 = bi.w2
+        JOIN uni ON uni.w = bi.w1
+        CROSS JOIN vocab
+        GROUP BY bi.doc_id, bi.lang
+    ),
+    tiled AS (
+        SELECT doc_id, lang, score,
+               NTILE(3) OVER (
+                   PARTITION BY lang ORDER BY score DESC, doc_id
+               ) AS tile
+        FROM scored
+    )
+"""
+
+
+@register(
+    "text_perplexity_buckets_ccnet",
+    oracle=f"""
+    WITH {_LM_SCORE_SQL.strip()}
+    SELECT lang,
+           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {dround_sql("AVG(score)", 4)} AS avg_score
+    FROM tiled
+    GROUP BY 1, 2
+    """,
+    description="CCNet-style perplexity partitioning: per-doc bigram-LM "
+    "scores (add-one smoothing, self-trained) cut into head/middle/tail "
+    "thirds per language by NTILE over a total order, with per-bucket counts and "
+    "mean score. The standard quality-stratified sampling layout for web "
+    "corpora. Cutoffs are per-language scalars from a doc-grain "
+    "aggregate; the bucket assignment is a broadcast join back.",
+)
+def text_perplexity_buckets_ccnet(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "lang", F.split("text", " ", -1).alias("tl"))
+    bi = (
+        toks.filter(F.size("tl") >= 2)
+        .select(
+            "doc_id",
+            "lang",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tl) - 1), "
+                    "i -> struct(element_at(tl, i) AS w1, "
+                    "element_at(tl, i + 1) AS w2))"
+                )
+            ).alias("p"),
+        )
+        .select("doc_id", "lang", "p.w1", "p.w2")
+    )
+    uni = (
+        toks.select(F.explode("tl").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("un"))
+    )
+    vocab = uni.agg(F.count("*").alias("v"))
+    bn = bi.groupBy("w1", "w2").agg(F.count("*").alias("bn"))
+    scored = (
+        bi.join(bn, ["w1", "w2"])
+        .join(uni, bi.w1 == uni.w)
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.round(
+                F.avg(
+                    F.log2(
+                        (F.col("bn") + 1).cast("double")
+                        / (F.col("un") + F.col("v"))
+                    )
+                ),
+                4,
+            ).alias("score")
+        )
+    )
+    # NTILE over a TOTAL order (score desc, doc_id): exact thirds with no
+    # quantile interpolation — Spark and DuckDB percentile() disagree in
+    # the 8th decimal, which flips boundary docs; tiling cannot.
+    wt = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
+    tiled = scored.withColumn("tile", F.ntile(3).over(wt))
+    bucket = (
+        F.when(F.col("tile") == 1, "head")
+        .when(F.col("tile") == 2, "middle")
+        .otherwise("tail")
+    )
+    return tiled.groupBy("lang", bucket.alias("bucket")).agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        dround(F.avg("score"), 4).alias("avg_score"),
+    )

@@ -597,3 +597,19 @@ def test_conversion_window_monotone(spark, sf_dir):
         assert a.n_converted <= b.n_converted
         assert a.n_views == b.n_views
     assert all(0.0 <= r.conversion_rate <= 1.0 for r in rows)
+
+
+def test_mde_shrinks_with_sample_size(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_power_analysis_mde,
+    )
+
+    rows = events_power_analysis_mde(spark, sf_dir).collect()
+    assert len(rows) == 2
+    for r in rows:
+        assert r.mde_abs > 0
+        assert r.mde_rel > 0
+        # MDE formula: proportional to sqrt(var/n)
+    a, b = rows
+    if a.n > b.n * 4:
+        assert a.mde_abs < b.mde_abs

@@ -1062,3 +1062,20 @@ def test_ground_truth_eval_perfect_recall_on_exact_copies(spark, sf_dir):
     assert r.recall_verified == 1.0
     assert r.n_cand >= r.n_truth
     assert r.truth_in_verified <= r.n_verified
+
+
+def test_perplexity_buckets_are_thirds(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_perplexity_buckets_ccnet,
+    )
+
+    rows = text_perplexity_buckets_ccnet(spark, sf_dir).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r.lang, {})[r.bucket] = r
+    for lang, buckets in by_lang.items():
+        assert set(buckets) == {"head", "middle", "tail"}
+        ns = [buckets[b].n_docs for b in ("head", "middle", "tail")]
+        assert max(ns) - min(ns) <= 1  # NTILE thirds
+        # head = highest scores (least perplexing)
+        assert buckets["head"].avg_score >= buckets["tail"].avg_score
