@@ -218,6 +218,8 @@ HEADLINE = [
     "dedup_ground_truth_eval",
     "text_perplexity_buckets_ccnet",
     "events_power_analysis_mde",
+    "text_bigram_pmi_topk",
+    "quality_duplicate_full_rows_events",
 ]
 
 

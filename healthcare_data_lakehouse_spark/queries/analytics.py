@@ -3832,6 +3832,7 @@ def graph_kcore_supplier_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .count()
     )
+    prev_edges = edges.count()
     for _ in range(_KCORE_ROUNDS):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -3846,6 +3847,11 @@ def graph_kcore_supplier_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint()
         )
+        n_edges = edges.count()
+        if n_edges == prev_edges:
+            break  # peeling fixpoint: further rounds are no-ops, so the
+            # early exit is result-identical to the oracle's fixed 6
+        prev_edges = n_edges
     core_nodes = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select("v"))

@@ -4048,17 +4048,19 @@ def stats_ridge_regression_normal_eq(
     oracle=f"""
     WITH docs AS (SELECT doc_id, text FROM documents),
     {_SHINGLES_SQL.strip().rstrip()},
-    firsts AS (
-        SELECT shingle, MIN(doc_id) AS first_doc
-        FROM shingles GROUP BY shingle
+    totals AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
+        FROM shingles GROUP BY doc_id
+    ),
+    novel AS (
+        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS novel
+        FROM (SELECT MIN(doc_id) AS first_doc FROM shingles GROUP BY shingle)
+        GROUP BY first_doc
     )
-    SELECT s.doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_shingles,
-           CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
-                AS BIGINT) AS novel,
-           {dround_sql("CAST(SUM(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS novelty
-    FROM shingles s JOIN firsts f ON s.shingle = f.shingle
-    GROUP BY s.doc_id
+    SELECT t.doc_id, t.n_shingles,
+           CAST(COALESCE(n.novel, 0) AS BIGINT) AS novel,
+           {dround_sql("CAST(COALESCE(n.novel, 0) AS DOUBLE) / t.n_shingles", 6)} AS novelty
+    FROM totals t LEFT JOIN novel n ON n.doc_id = t.doc_id
     """,
     description="Per-document n-gram novelty: fraction of a doc's distinct "
     "3-word shingles whose global first occurrence (min doc_id) is this "
@@ -4070,19 +4072,28 @@ def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     sh = docs.select(
         "doc_id", F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle")
+    ).localCheckpoint()  # the explode feeds two aggregations; pay it once
+    totals = sh.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_shingles")
     )
-    firsts = sh.groupBy("shingle").agg(F.min("doc_id").alias("first_doc"))
-    novel = (F.col("first_doc") == F.col("doc_id")).cast("int")
-    return (
-        sh.join(firsts, "shingle")
+    # two-level aggregation instead of joining firsts back on the (wide)
+    # shingle key: shingle->min(doc), then min_doc->count. The second
+    # shuffle is doc-grain, ~100x narrower than the shingle join-back.
+    novel = (
+        sh.groupBy("shingle")
+        .agg(F.min("doc_id").alias("doc_id"))
         .groupBy("doc_id")
-        .agg(
-            F.count("*").cast("bigint").alias("n_shingles"),
-            F.sum(novel).cast("bigint").alias("novel"),
-            dround(F.sum(novel).cast("double") / F.count("*"), 6).alias(
-                "novelty"
-            ),
-        )
+        .agg(F.count("*").cast("bigint").alias("novel"))
+    )
+    return totals.join(novel, "doc_id", "left").select(
+        "doc_id",
+        "n_shingles",
+        F.coalesce("novel", F.lit(0)).cast("bigint").alias("novel"),
+        dround(
+            F.coalesce("novel", F.lit(0)).cast("double")
+            / F.col("n_shingles"),
+            6,
+        ).alias("novelty"),
     )
 
 
@@ -4595,4 +4606,77 @@ def text_perplexity_buckets_ccnet(
     return tiled.groupBy("lang", bucket.alias("bucket")).agg(
         F.count("*").cast("bigint").alias("n_docs"),
         dround(F.avg("score"), 4).alias("avg_score"),
+    )
+
+
+# ------------------------------------------- PMI collocations
+@register(
+    "text_bigram_pmi_topk",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    bi AS (
+        SELECT tl[i] AS w1, tl[i + 1] AS w2
+        FROM toks, UNNEST(range(1, len(tl))) AS u(i)
+        WHERE len(tl) >= 2
+    ),
+    bn AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bi GROUP BY w1, w2
+    ),
+    un AS (
+        SELECT w, CAST(SUM(c) AS BIGINT) AS u FROM (
+            SELECT w1 AS w, c FROM bn UNION ALL SELECT w2, c FROM bn
+        ) GROUP BY w
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM bn)
+    SELECT w1, w2, c,
+           {dround_sql("log2(CAST(c AS DOUBLE) * t / (CAST(u1.u AS DOUBLE) * u2.u))", 6)} AS pmi
+    FROM bn
+    JOIN un u1 ON u1.w = bn.w1
+    JOIN un u2 ON u2.w = bn.w2
+    CROSS JOIN tot
+    WHERE c >= 5
+    ORDER BY pmi DESC, w1, w2
+    LIMIT 20
+    """,
+    description="PMI collocation mining: top-20 bigrams by pointwise "
+    "mutual information (log2 c*T / u1*u2, unigram mass from bigram "
+    "position counts), min support 5, total-order tie-break. Counts "
+    "build with map-side combine; the PMI join touches only the "
+    "vocabulary-grain aggregates — the classic keyphrase primitive.",
+)
+def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ", -1).alias("tl"))
+    bi = toks.filter(F.size("tl") >= 2).select(
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tl) - 1), "
+                "i -> struct(element_at(tl, i) AS w1, "
+                "element_at(tl, i + 1) AS w2))"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    bn = bi.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
+    un = (
+        bn.select(F.col("w1").alias("w"), "c")
+        .unionAll(bn.select(F.col("w2").alias("w"), "c"))
+        .groupBy("w")
+        .agg(F.sum("c").cast("bigint").alias("u"))
+    )
+    tot = bn.agg(F.sum("c").cast("bigint").alias("t"))
+    u1 = un.select(F.col("w").alias("w1"), F.col("u").alias("u1"))
+    u2 = un.select(F.col("w").alias("w2"), F.col("u").alias("u2"))
+    pmi = F.log2(
+        F.col("c").cast("double") * F.col("t")
+        / (F.col("u1").cast("double") * F.col("u2"))
+    )
+    return (
+        bn.filter(F.col("c") >= 5)
+        .join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(tot))
+        .select("w1", "w2", "c", dround(pmi, 6).alias("pmi"))
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(20)
     )

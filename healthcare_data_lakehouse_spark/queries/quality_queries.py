@@ -936,3 +936,48 @@ def quality_expectation_suite_events(
         for name, agg in _EXPECTATIONS
     ]
     return spark.sql("\nUNION ALL\n".join(parts))
+
+
+# ------------------------------------------- full-row duplicate audit
+@register(
+    "quality_duplicate_full_rows_events",
+    oracle="""
+    WITH h AS (
+        SELECT event_id, ts, user_id, event_type, value, props,
+               COUNT(*) AS n
+        FROM events
+        GROUP BY event_id, ts, user_id, event_type, value, props
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS distinct_rows,
+           CAST(SUM(n) AS BIGINT) AS total_rows,
+           CAST(SUM(CASE WHEN n > 1 THEN n - 1 ELSE 0 END) AS BIGINT)
+               AS duplicate_rows,
+           CAST(SUM(CASE WHEN n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS duplicated_groups,
+           CAST(MAX(n) AS BIGINT) AS max_multiplicity
+    FROM h
+    """,
+    description="Full-row duplicate audit: group on every column at once "
+    "(the all-column hash groupBy every ingestion pipeline runs after a "
+    "suspected double-load), reporting distinct/total/excess rows and "
+    "the worst multiplicity. One map-side-combinable agg; at 100 TB "
+    "group on xxhash64(struct(*)) first so only 8-byte keys shuffle.",
+)
+def quality_duplicate_full_rows_events(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table as _table
+
+    ev = _table(spark, sf_dir, "events")
+    h = ev.groupBy(*ev.columns).agg(F.count("*").alias("n"))
+    return h.agg(
+        F.count("*").cast("bigint").alias("distinct_rows"),
+        F.sum("n").cast("bigint").alias("total_rows"),
+        F.sum(F.when(F.col("n") > 1, F.col("n") - 1).otherwise(0))
+        .cast("bigint")
+        .alias("duplicate_rows"),
+        F.sum((F.col("n") > 1).cast("int")).cast("bigint").alias(
+            "duplicated_groups"
+        ),
+        F.max("n").cast("bigint").alias("max_multiplicity"),
+    )

@@ -245,3 +245,15 @@ def test_expectation_suite_names_and_flags(spark, sf_dir):
     assert rows["user_id_never_null"] == 1
     assert rows["event_id_unique"] == 1
     assert rows["event_type_in_set"] == 1
+
+
+def test_full_row_duplicate_audit_consistent(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        quality_duplicate_full_rows_events,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    r = quality_duplicate_full_rows_events(spark, sf_dir).collect()[0]
+    assert r.total_rows == table(spark, sf_dir, "events").count()
+    assert r.distinct_rows + r.duplicate_rows == r.total_rows
+    assert (r.duplicate_rows == 0) == (r.max_multiplicity == 1)

@@ -1079,3 +1079,15 @@ def test_perplexity_buckets_are_thirds(spark, sf_dir):
         assert max(ns) - min(ns) <= 1  # NTILE thirds
         # head = highest scores (least perplexing)
         assert buckets["head"].avg_score >= buckets["tail"].avg_score
+
+
+def test_pmi_topk_support_and_order(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_bigram_pmi_topk,
+    )
+
+    rows = text_bigram_pmi_topk(spark, sf_dir).collect()
+    assert 0 < len(rows) <= 20
+    pmis = [r.pmi for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+    assert all(r.c >= 5 for r in rows)
