@@ -220,6 +220,7 @@ HEADLINE = [
     "events_power_analysis_mde",
     "text_bigram_pmi_topk",
     "quality_duplicate_full_rows_events",
+    "stats_spearman_rank_corr",
 ]
 
 

@@ -2546,3 +2546,71 @@ def events_power_analysis_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(mde, 4).alias("mde_abs"),
         dround(mde / F.col("mean_v"), 6).alias("mde_rel"),
     )
+
+
+# ------------------------------------------- Spearman rank correlation
+@register(
+    "stats_spearman_rank_corr",
+    oracle=f"""
+    WITH vq AS (
+        SELECT l_quantity AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    rq AS (
+        SELECT v,
+               COALESCE(SUM(c) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + (c + 1) / 2.0 AS r
+        FROM vq
+    ),
+    vp AS (
+        SELECT l_extendedprice AS v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lineitem GROUP BY 1
+    ),
+    rp AS (
+        SELECT v,
+               COALESCE(SUM(c) OVER (
+                   ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) + (c + 1) / 2.0 AS r
+        FROM vp
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           {dround_sql("corr(rq.r, rp.r)", 6)} AS spearman_rho
+    FROM lineitem li
+    JOIN rq ON rq.v = li.l_quantity
+    JOIN rp ON rp.v = li.l_extendedprice
+    """,
+    description="Spearman rank correlation of quantity vs extendedprice: "
+    "average ranks from distinct-value counts + a prefix sum over the "
+    "value-grain aggregate (the Mann-Whitney machinery), joined back to "
+    "rows for a plain Pearson corr() over ranks. Robust to the monotone "
+    "transformations that break Pearson; the rank join broadcasts the "
+    "50-value quantity table and hash-joins the price table.",
+)
+def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_quantity", "l_extendedprice"
+    )
+
+    def ranks(col: str):
+        vq = li.groupBy(F.col(col).alias("v")).agg(
+            F.count("*").cast("bigint").alias("c")
+        )
+        wp = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, -1)
+        return vq.select(
+            "v",
+            (
+                F.coalesce(F.sum("c").over(wp), F.lit(0))
+                + (F.col("c") + 1) / 2.0
+            ).alias("r"),
+        )
+
+    rq = ranks("l_quantity").withColumnRenamed("v", "l_quantity")
+    rp = ranks("l_extendedprice").withColumnRenamed("v", "l_extendedprice")
+    j = li.join(F.broadcast(rq.withColumnRenamed("r", "r_q")), "l_quantity").join(
+        rp.withColumnRenamed("r", "r_p"), "l_extendedprice"
+    )
+    return j.agg(
+        F.count("*").cast("bigint").alias("n"),
+        dround(F.corr("r_q", "r_p"), 6).alias("spearman_rho"),
+    )

@@ -613,3 +613,21 @@ def test_mde_shrinks_with_sample_size(spark, sf_dir):
     a, b = rows
     if a.n > b.n * 4:
         assert a.mde_abs < b.mde_abs
+
+
+def test_spearman_matches_pandas_reference(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_spearman_rank_corr,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    r = stats_spearman_rank_corr(spark, sf_dir).collect()[0]
+    pdf = (
+        table(spark, sf_dir, "lineitem")
+        .select("l_quantity", "l_extendedprice")
+        .toPandas()
+    )
+    # pandas spearman needs scipy (absent): rank manually, then Pearson
+    ref = pdf["l_quantity"].rank().corr(pdf["l_extendedprice"].rank())
+    assert abs(r.spearman_rho - ref) < 1e-4
+    assert r.n == len(pdf)

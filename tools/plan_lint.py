@@ -79,6 +79,9 @@ GLOBAL_WINDOW_OK = {
         "rank/prefix windows over the part-grain revenue aggregate",
     "stats_runs_test_randomness":
         "lag window over the day-grain series",
+    "stats_spearman_rank_corr":
+        "prefix sums over the two distinct-value aggregates (same scale "
+        "note as stats_mann_whitney_u)",
     "stats_mann_whitney_u":
         "prefix sum over the distinct-value aggregate (bin or "
         "partition-offset at continuous-double scale, noted on the query)",
