@@ -221,6 +221,8 @@ HEADLINE = [
     "text_bigram_pmi_topk",
     "quality_duplicate_full_rows_events",
     "stats_spearman_rank_corr",
+    "events_uplift_qini_deciles",
+    "quality_rule_mining_bounds",
 ]
 
 

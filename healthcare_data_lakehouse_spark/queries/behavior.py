@@ -2614,3 +2614,70 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").cast("bigint").alias("n"),
         dround(F.corr("r_q", "r_p"), 6).alias("spearman_rho"),
     )
+
+
+# ------------------------------------------- uplift by decile (Qini-style)
+@register(
+    "events_uplift_qini_deciles",
+    oracle=f"""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(user_id % 2 AS INT) AS variant,
+               COALESCE(SUM(CASE WHEN ts < TIMESTAMP '2024-01-15'
+                        THEN value END), 0.0) AS x_pre,
+               CAST(MAX(CASE WHEN ts >= TIMESTAMP '2024-01-15'
+                        AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS INT) AS converted
+        FROM events GROUP BY user_id
+    ),
+    tiled AS (
+        SELECT variant, converted,
+               NTILE(5) OVER (ORDER BY x_pre DESC, user_id) AS score_bucket
+        FROM per_user
+    )
+    SELECT score_bucket,
+           CAST(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_treat,
+           CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_ctrl,
+           {dround_sql("CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS DOUBLE) / NULLIF(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 0)", 6)} AS rate_treat,
+           {dround_sql("CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS DOUBLE) / NULLIF(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 0)", 6)} AS rate_ctrl,
+           {dround_sql("CAST(SUM(CASE WHEN variant = 1 THEN converted ELSE 0 END) AS DOUBLE) / NULLIF(SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END), 0) - CAST(SUM(CASE WHEN variant = 0 THEN converted ELSE 0 END) AS DOUBLE) / NULLIF(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END), 0)", 6)} AS uplift
+    FROM tiled GROUP BY score_bucket
+    """,
+    description="Uplift-by-quintile (Qini-style) readout: users scored by "
+    "pre-period activity, NTILE(5) over a total order, per-bucket "
+    "treatment-vs-control conversion uplift — the targeting evaluation "
+    "that decides WHO should get the treatment, complementing the "
+    "average-effect CUPED/DiD queries. User-grain aggregate then a "
+    "user-grain window (partition-offset scheme at 1e8+ users).",
+)
+def events_uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    cut = F.lit("2024-01-15").cast("timestamp")
+    per_user = ev.groupBy("user_id").agg(
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.coalesce(
+            F.sum(F.when(F.col("ts") < cut, F.col("value"))), F.lit(0.0)
+        ).alias("x_pre"),
+        F.max(
+            F.when(
+                (F.col("ts") >= cut) & (F.col("event_type") == "purchase"), 1
+            ).otherwise(0)
+        ).cast("int").alias("converted"),
+    )
+    wt = Window.orderBy(F.desc("x_pre"), F.asc("user_id"))
+    tiled = per_user.withColumn("score_bucket", F.ntile(5).over(wt))
+    t = F.when(F.col("variant") == 1, F.col("converted")).otherwise(0)
+    c = F.when(F.col("variant") == 0, F.col("converted")).otherwise(0)
+    nt = F.sum((F.col("variant") == 1).cast("int")).cast("bigint")
+    nc = F.sum((F.col("variant") == 0).cast("int")).cast("bigint")
+    rt = F.sum(t).cast("double") / F.nullif(nt, F.lit(0))
+    rc = F.sum(c).cast("double") / F.nullif(nc, F.lit(0))
+    return tiled.groupBy("score_bucket").agg(
+        nt.alias("n_treat"),
+        nc.alias("n_ctrl"),
+        dround(rt, 6).alias("rate_treat"),
+        dround(rc, 6).alias("rate_ctrl"),
+        dround(rt - rc, 6).alias("uplift"),
+    )

@@ -981,3 +981,59 @@ def quality_duplicate_full_rows_events(
         ),
         F.max("n").cast("bigint").alias("max_multiplicity"),
     )
+
+
+# ------------------------------------------- DQ rule mining (bounds)
+_RULE_MINE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def _rule_mine_oracle() -> str:
+    parts = []
+    for c in _RULE_MINE_COLS:
+        parts.append(f"""
+    SELECT '{c}' AS column_name,
+           (SELECT MIN(v) FROM (
+               SELECT {c} AS v,
+                      CAST(SUM(COUNT(*)) OVER (ORDER BY {c}) AS DOUBLE)
+                          / (SELECT COUNT(*) FROM lineitem) AS cum
+               FROM lineitem GROUP BY {c}
+           ) WHERE cum >= 0.01) AS lo_p1,
+           (SELECT MIN(v) FROM (
+               SELECT {c} AS v,
+                      CAST(SUM(COUNT(*)) OVER (ORDER BY {c}) AS DOUBLE)
+                          / (SELECT COUNT(*) FROM lineitem) AS cum
+               FROM lineitem GROUP BY {c}
+           ) WHERE cum >= 0.99) AS hi_p99""")
+    return "\n    UNION ALL\n".join(parts)
+
+
+@register(
+    "quality_rule_mining_bounds",
+    oracle=_rule_mine_oracle(),
+    description="DQ rule mining: suggested [p1, p99] validity bounds per "
+    "numeric column as EXACT order statistics from distinct-value counts "
+    "+ a cumulative-share prefix sum (first value crossing each "
+    "percentile — no quantile interpolation, so both engines agree "
+    "bit-for-bit). The auto-profiling step that seeds range rules like "
+    "the reference's DQ006 clinical bounds instead of hand-writing them.",
+)
+def quality_rule_mining_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as _W
+    from healthcare_data_lakehouse_spark.tables import table as _table
+
+    li = _table(spark, sf_dir, "lineitem")
+    total = li.count()
+    out = None
+    for c in _RULE_MINE_COLS:
+        vc = li.groupBy(F.col(c).alias("v")).agg(F.count("*").alias("n"))
+        wc = _W.orderBy("v").rowsBetween(_W.unboundedPreceding, 0)
+        cum = vc.select(
+            "v", (F.sum("n").over(wc).cast("double") / total).alias("cum")
+        )
+        row = cum.agg(
+            F.lit(c).alias("column_name"),
+            F.min(F.when(F.col("cum") >= 0.01, F.col("v"))).alias("lo_p1"),
+            F.min(F.when(F.col("cum") >= 0.99, F.col("v"))).alias("hi_p99"),
+        )
+        out = row if out is None else out.unionAll(row)
+    return out

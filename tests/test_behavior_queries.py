@@ -631,3 +631,22 @@ def test_spearman_matches_pandas_reference(spark, sf_dir):
     ref = pdf["l_quantity"].rank().corr(pdf["l_extendedprice"].rank())
     assert abs(r.spearman_rho - ref) < 1e-4
     assert r.n == len(pdf)
+
+
+def test_uplift_quintiles_partition_users(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_uplift_qini_deciles,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = events_uplift_qini_deciles(spark, sf_dir).collect()
+    assert {r.score_bucket for r in rows} == {1, 2, 3, 4, 5}
+    n_users = table(spark, sf_dir, "events").select("user_id").distinct().count()
+    assert sum(r.n_treat + r.n_ctrl for r in rows) == n_users
+    for r in rows:
+        # tiny buckets can miss one arm entirely -> NULL rates/uplift
+        if r.uplift is None:
+            assert r.n_treat == 0 or r.n_ctrl == 0
+            continue
+        assert -1.0 <= r.uplift <= 1.0
+        assert abs(r.uplift - round(r.rate_treat - r.rate_ctrl, 6)) < 2e-6

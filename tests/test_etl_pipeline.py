@@ -257,3 +257,25 @@ def test_full_row_duplicate_audit_consistent(spark, sf_dir):
     assert r.total_rows == table(spark, sf_dir, "events").count()
     assert r.distinct_rows + r.duplicate_rows == r.total_rows
     assert (r.duplicate_rows == 0) == (r.max_multiplicity == 1)
+
+
+def test_rule_mining_bounds_bracket_data(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        quality_rule_mining_bounds,
+        _RULE_MINE_COLS,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from pyspark.sql import functions as F
+
+    rows = {r.column_name: r for r in quality_rule_mining_bounds(spark, sf_dir).collect()}
+    assert set(rows) == set(_RULE_MINE_COLS)
+    li = table(spark, sf_dir, "lineitem")
+    for c, r in rows.items():
+        assert r.lo_p1 <= r.hi_p99
+        mn, mx = li.agg(F.min(c), F.max(c)).collect()[0]
+        assert mn <= r.lo_p1 and r.hi_p99 <= mx
+        # the suggested band keeps ~98% of rows
+        inside = li.filter(
+            (F.col(c) >= r.lo_p1) & (F.col(c) <= r.hi_p99)
+        ).count()
+        assert inside / li.count() >= 0.97

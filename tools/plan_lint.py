@@ -79,6 +79,11 @@ GLOBAL_WINDOW_OK = {
         "rank/prefix windows over the part-grain revenue aggregate",
     "stats_runs_test_randomness":
         "lag window over the day-grain series",
+    "events_uplift_qini_deciles":
+        "NTILE over the user-grain aggregate (partition-offset at 1e8+)",
+    "quality_rule_mining_bounds":
+        "cumulative-share prefix sums over per-column distinct-value "
+        "aggregates (bin at continuous-double scale)",
     "stats_spearman_rank_corr":
         "prefix sums over the two distinct-value aggregates (same scale "
         "note as stats_mann_whitney_u)",
