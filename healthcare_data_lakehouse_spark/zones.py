@@ -90,6 +90,11 @@ class ConstraintViolationError(ValueError):
     """A write violated a table-level CHECK constraint; nothing committed."""
 
 
+class ConcurrentModificationError(RuntimeError):
+    """The table advanced past the writer's expected version (optimistic
+    concurrency conflict, Delta parity); nothing committed."""
+
+
 class ZoneStore:
     """Parquet-backed zone storage with atomic manifest commits."""
 
@@ -167,6 +172,8 @@ class ZoneStore:
         load_type: LoadType = LoadType.FULL,
         id_field: str = "id",
         partition_columns: list[str] | None = None,
+        expected_version: int | None = None,
+        txn_id: str | None = None,
     ) -> int:
         """Write ``df`` under the given load pattern; returns rows written.
 
@@ -177,6 +184,23 @@ class ZoneStore:
         path = self.dataset_path(zone, dataset)
         os.makedirs(path, exist_ok=True)
         manifest = self._read_manifest(path)
+
+        # Optimistic concurrency (Delta parity): a writer that read the
+        # table at version V commits only if the table is still at V.
+        if (
+            expected_version is not None
+            and manifest["version"] != expected_version
+        ):
+            raise ConcurrentModificationError(
+                f"{zone.value}/{dataset} is at version "
+                f"{manifest['version']}, writer expected "
+                f"{expected_version} — re-read and retry"
+            )
+
+        # Idempotent writes (Delta txnAppId parity): a retried batch with
+        # a txn id already recorded commits nothing and reports 0 rows.
+        if txn_id is not None and txn_id in manifest.get("txns", []):
+            return 0
 
         # CHECK constraints gate every write path (Delta parity: the txn
         # fails atomically; no partial commit). One fused audit scan.
@@ -239,6 +263,8 @@ class ZoneStore:
             manifest.setdefault("history", {})[str(manifest["version"])] = list(
                 manifest["commits"]
             )
+            if txn_id is not None:
+                manifest.setdefault("txns", []).append(txn_id)
             self._write_manifest(path, manifest)
             return n
         finally:

@@ -506,3 +506,38 @@ def test_restore_version_is_metadata_only_and_undoable(spark, tmp_path):
     # unknown version raises
     with _pytest.raises(ValueError, match="not in retained history"):
         store.restore_version(DataZone.SILVER, "t", 42)
+
+
+def test_optimistic_concurrency_and_idempotent_txn(spark, tmp_path):
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        ConcurrentModificationError,
+        DataZone,
+        LoadType,
+        ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    df1 = spark.createDataFrame([Row(id=1, v=1)])
+    store.write(DataZone.SILVER, "t", df1, LoadType.FULL)  # -> v1
+
+    # a writer that read at v1 succeeds; one still expecting v0 conflicts
+    store.write(
+        DataZone.SILVER, "t", df1, LoadType.APPEND, expected_version=1
+    )  # -> v2
+    with _pytest.raises(ConcurrentModificationError, match="expected 1"):
+        store.write(
+            DataZone.SILVER, "t", df1, LoadType.APPEND, expected_version=1
+        )
+    assert store.read(DataZone.SILVER, "t").count() == 2
+
+    # idempotent retry: the same txn id commits once
+    n1 = store.write(
+        DataZone.SILVER, "t", df1, LoadType.APPEND, txn_id="batch-42"
+    )
+    n2 = store.write(
+        DataZone.SILVER, "t", df1, LoadType.APPEND, txn_id="batch-42"
+    )
+    assert (n1, n2) == (1, 0)
+    assert store.read(DataZone.SILVER, "t").count() == 3
