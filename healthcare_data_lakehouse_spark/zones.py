@@ -127,10 +127,14 @@ class ZoneStore:
         os.replace(tmp, os.path.join(path, self.MANIFEST))
 
     def _new_commit(
-        self, path: str, df: DataFrame, partition_columns: list[str] | None
+        self,
+        path: str,
+        df: DataFrame,
+        partition_columns: list[str] | None,
+        version: int | None = None,
     ) -> str:
-        manifest = self._read_manifest(path)
-        version = manifest["version"] + 1
+        if version is None:
+            version = self._read_manifest(path)["version"] + 1
         commit = f"c{version:06d}"
         writer = df.write.mode("overwrite")
         if partition_columns:
@@ -251,7 +255,26 @@ class ZoneStore:
             n = out.count()
             if n == 0 and not replace:
                 return 0
-            commit = self._new_commit(path, out, partition_columns)
+            commit = self._new_commit(
+                path, out, partition_columns, version=manifest["version"] + 1
+            )
+            # Commit-time revalidation: the entry check above is
+            # check-then-act; a writer that committed while our Spark write
+            # was in flight would otherwise be silently overwritten by the
+            # stale manifest below. Re-read and compare immediately before
+            # publishing. (A conflicting commit landing inside this final
+            # read→replace window can still race across processes — a true
+            # CAS needs a lock service or an atomic create-if-absent log,
+            # which is exactly what Delta's LogStore provides on real
+            # storage. The orphaned commit dir from a detected conflict is
+            # unreferenced and reclaimed by vacuum-style cleanup.)
+            fresh = self._read_manifest(path)
+            if fresh["version"] != manifest["version"]:
+                raise ConcurrentModificationError(
+                    f"{zone.value}/{dataset} advanced to version "
+                    f"{fresh['version']} during the write (writer read "
+                    f"{manifest['version']}) — re-read and retry"
+                )
             manifest["version"] += 1
             if replace:
                 manifest["commits"] = [commit]
@@ -547,6 +570,26 @@ class ZoneStore:
             return {"updated": 0, "deleted_matched": 0,
                     "inserted": n, "deleted_by_source": 0}
 
+        # Delta MERGE raises when multiple source rows match one target row
+        # (DELTA_MULTIPLE_SOURCE_ROW_MATCHING_TARGET_ROW); without this the
+        # inner join below would silently duplicate the matched target row.
+        # Cheap check: duplicate keys in the source that also exist in the
+        # target. One agg + semi-join, no data rewrite.
+        dup_keys = (
+            source.groupBy(id_field)
+            .count()
+            .filter(F.col("count") > 1)
+            .join(tgt.select(id_field).distinct(), id_field, "left_semi")
+        )
+        n_dup = dup_keys.limit(1).count()
+        if n_dup:
+            sample = [r[id_field] for r in dup_keys.limit(5).collect()]
+            raise ValueError(
+                "MERGE source has multiple rows matching the same target "
+                f"row on {id_field!r} (e.g. {sample}); Delta MERGE rejects "
+                "this — dedupe the source first"
+            )
+
         key = F.col(id_field) == F.col(f"src_{id_field}")
         matched = tgt.join(src_pref, key, "inner")
         if matched_delete:
@@ -669,8 +712,10 @@ class ZoneStore:
             for name, expr in sorted(cons.items())
         ]
         row = df.agg(*aggs).collect()[0]
+        # SUM over zero rows is NULL — an empty write audits as 0 violations
+        # (and must commit an empty version, not crash).
         return [
-            {"name": n, "expr": cons[n], "n_violations": int(row[n])}
+            {"name": n, "expr": cons[n], "n_violations": int(row[n] or 0)}
             for n in sorted(cons)
         ]
 
@@ -707,7 +752,11 @@ class ZoneStore:
         skip_by_stats: set[str] = set()
         if prune_column is not None:
             for st in self.commit_stats(zone, dataset, prune_column):
-                if not (st["present"] and st["has_stats"]):
+                # mirror read_pruned: a zero-row-group commit reports
+                # has_stats=True with min/max None — scan conservatively
+                if not (
+                    st["present"] and st["has_stats"] and st["min"] is not None
+                ):
                     continue  # conservative: scan it
                 if (prune_hi is not None and st["min"] > prune_hi) or (
                     prune_lo is not None and st["max"] < prune_lo
@@ -737,7 +786,11 @@ class ZoneStore:
         )
         new_commits = list(untouched)
         if kept.count() > 0:
-            new_commits.append(self._new_commit(path, kept, None))
+            new_commits.append(
+                self._new_commit(
+                    path, kept, None, version=manifest["version"] + 1
+                )
+            )
         manifest["version"] += 1
         manifest["commits"] = new_commits
         manifest.setdefault("history", {})[str(manifest["version"])] = list(
@@ -790,8 +843,28 @@ class ZoneStore:
                 for col, expr in assignments.items()
             }
         )
+        # CHECK constraints gate UPDATE like every other write path (Delta
+        # enforces CHECK on UPDATE): audit the rewritten commit before any
+        # file or manifest is touched. Untouched commits already passed at
+        # their own write time.
+        bad = [
+            a
+            for a in self.check_constraints(zone, dataset, out)
+            if a["n_violations"] > 0
+        ]
+        if bad:
+            detail = "; ".join(
+                f"{a['name']} ({a['expr']}): {a['n_violations']} rows"
+                for a in bad
+            )
+            raise ConstraintViolationError(
+                f"UPDATE on {zone.value}/{dataset} violates CHECK "
+                f"constraints: {detail}"
+            )
         new_commits = list(untouched)
-        new_commits.append(self._new_commit(path, out, None))
+        new_commits.append(
+            self._new_commit(path, out, None, version=manifest["version"] + 1)
+        )
         manifest["version"] += 1
         manifest["commits"] = new_commits
         manifest.setdefault("history", {})[str(manifest["version"])] = list(

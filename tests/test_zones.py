@@ -541,3 +541,132 @@ def test_optimistic_concurrency_and_idempotent_txn(spark, tmp_path):
     )
     assert (n1, n2) == (1, 0)
     assert store.read(DataZone.SILVER, "t").count() == 3
+
+
+def test_empty_write_to_constrained_table_commits_zero_rows(spark, tmp_path):
+    # ADVICE r4: SUM over an empty frame is NULL; the constraint audit must
+    # report 0 violations and let the empty FULL commit through.
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
+
+    store = ZoneStore(spark, str(tmp_path))
+    store.set_constraint(DataZone.SILVER, "t", "v_positive", "v > 0")
+    ok = spark.createDataFrame([Row(id=1, v=5)])
+    store.write(DataZone.SILVER, "t", ok, LoadType.FULL)
+    empty = spark.createDataFrame([], "id int, v int")
+    audit = store.check_constraints(DataZone.SILVER, "t", empty)
+    assert audit == [{"name": "v_positive", "expr": "v > 0", "n_violations": 0}]
+    assert store.write(DataZone.SILVER, "t", empty, LoadType.FULL) == 0
+    assert store.read(DataZone.SILVER, "t").count() == 0
+
+
+def test_update_set_enforces_check_constraints(spark, tmp_path):
+    # ADVICE r4: Delta enforces CHECK on UPDATE; update_set must not bypass.
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        ConstraintViolationError, DataZone, LoadType, ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    store.set_constraint(DataZone.SILVER, "t", "v_positive", "v > 0")
+    df = spark.createDataFrame([Row(id=1, v=5), Row(id=2, v=7)])
+    store.write(DataZone.SILVER, "t", df, LoadType.FULL)
+    with _pytest.raises(ConstraintViolationError, match="v_positive"):
+        store.update_set(DataZone.SILVER, "t", "id = 2", {"v": "-1"})
+    # nothing committed: values and version unchanged
+    got = {r.id: r.v for r in store.read(DataZone.SILVER, "t").collect()}
+    assert got == {1: 5, 2: 7}
+    assert store._read_manifest(store.dataset_path(DataZone.SILVER, "t"))[
+        "version"] == 1
+    # a legal UPDATE still lands
+    assert store.update_set(DataZone.SILVER, "t", "id = 2", {"v": "99"}) == 1
+    got = {r.id: r.v for r in store.read(DataZone.SILVER, "t").collect()}
+    assert got == {1: 5, 2: 99}
+
+
+def test_write_detects_conflict_landing_during_spark_write(
+    spark, tmp_path, monkeypatch
+):
+    # ADVICE r4: entry-time OCC is check-then-act; a commit landing while
+    # the parquet write is in flight must be detected at publish time, not
+    # silently overwritten by the stale manifest.
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        ConcurrentModificationError, DataZone, LoadType, ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    df = spark.createDataFrame([Row(id=1, v=1)])
+    store.write(DataZone.SILVER, "t", df, LoadType.FULL)  # -> v1
+
+    orig = ZoneStore._new_commit
+
+    def racing_commit(self, path, d, pc, version=None):
+        commit = orig(self, path, d, pc, version)
+        # simulate another process committing between our file write and
+        # our manifest publish
+        m = self._read_manifest(path)
+        m["version"] += 1
+        m.setdefault("history", {})[str(m["version"])] = list(m["commits"])
+        self._write_manifest(path, m)
+        return commit
+
+    monkeypatch.setattr(ZoneStore, "_new_commit", racing_commit)
+    with _pytest.raises(ConcurrentModificationError, match="advanced"):
+        store.write(
+            DataZone.SILVER, "t", df, LoadType.APPEND, expected_version=1
+        )
+    monkeypatch.setattr(ZoneStore, "_new_commit", orig)
+    # losing writer published nothing: data unchanged
+    assert store.read(DataZone.SILVER, "t").count() == 1
+
+
+def test_delete_where_pruning_survives_statless_empty_commit(spark, tmp_path):
+    # ADVICE r4: a commit whose parquet has zero row groups yields
+    # min=None with has_stats=True; pruning must scan it conservatively
+    # instead of raising TypeError on None comparison.
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
+
+    store = ZoneStore(spark, str(tmp_path))
+    empty = spark.createDataFrame([], "id long, v long").coalesce(1)
+    store.write(DataZone.SILVER, "t", empty, LoadType.FULL)
+    data = spark.createDataFrame([Row(id=i, v=i) for i in range(10)])
+    store.write(DataZone.SILVER, "t", data, LoadType.APPEND)
+    n = store.delete_where(
+        DataZone.SILVER, "t", "v >= 8",
+        prune_column="v", prune_lo=8, prune_hi=None,
+    )
+    assert n == 2
+    assert store.read(DataZone.SILVER, "t").count() == 8
+
+
+def test_merge_into_rejects_duplicate_source_match(spark, tmp_path):
+    # ADVICE r4: Delta MERGE raises when multiple source rows match one
+    # target row; silent duplication of the target row is a deviation.
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
+
+    store = ZoneStore(spark, str(tmp_path))
+    tgt = spark.createDataFrame([Row(id=1, v=10), Row(id=2, v=20)])
+    store.write(DataZone.SILVER, "t", tgt, LoadType.FULL)
+    dup_src = spark.createDataFrame(
+        [Row(id=1, v=100), Row(id=1, v=101), Row(id=9, v=900)]
+    )
+    with _pytest.raises(ValueError, match="multiple rows matching"):
+        store.merge_into(
+            DataZone.SILVER, "t", dup_src, id_field="id",
+            matched_update={"v": "src_v"},
+        )
+    # duplicate keys only on the INSERT side don't match a target row;
+    # Delta permits them (both insert) — so do we
+    ins_only_dup = spark.createDataFrame([Row(id=9, v=900), Row(id=9, v=901)])
+    stats = store.merge_into(
+        DataZone.SILVER, "t", ins_only_dup, id_field="id",
+        matched_update={"v": "src_v"},
+    )
+    assert stats["inserted"] == 2
+    assert store.read(DataZone.SILVER, "t").count() == 4
