@@ -274,12 +274,20 @@ def main() -> None:
     # line (round-3 postmortem: BENCH_r03 has parsed=None because the
     # JSON line was truncated from the front). The printed line stays
     # compact — total + the slowest queries that fit — and always parses.
+    # No-silent-caps: the headline list curates the catalog (streaming
+    # drains, zone-write loads, shape-duplicates excluded) — record how
+    # many and which, so the curation is visible, not implicit.
+    excluded = sorted(set(qs) - set(HEADLINE))
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
         "sf": sf_val,
+        "catalog": len(qs),
+        "headline": len(times),
+        "excluded": len(excluded),
+        "excluded_queries": excluded,
     }
     if errors:
         full["errors"] = errors
@@ -294,6 +302,8 @@ def main() -> None:
         "sf": sf_val,
         "queries_run": len(times),
         "errors_n": len(errors),
+        "catalog": len(qs),
+        "excluded": len(excluded),
         "full": "BENCH_FULL.json",
         "queries": dict(ranked),
     }

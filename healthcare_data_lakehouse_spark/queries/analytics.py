@@ -2998,69 +2998,75 @@ def rollup_revenue_calendar(spark: SparkSession, sf_dir: str) -> DataFrame:
     "linked by the parts they both ship (the supplier-side projection "
     "of the supplier-part bipartite graph), strongest 25 edges with "
     "total-order tiebreaks (TakeOrdered — per-partition top-k + merge, "
-    "no global sort). "
-    "The co-occurrence self-join is keyed on the SHARED entity (part), "
-    "so candidate volume is the sum of per-part squared supplier "
-    "counts — bounded by the fan-out of the densest part, never "
-    "|suppliers|^2. HOT parts (supplier list over a threshold) are "
-    "salted like hot LSH buckets — the right side buckets their "
-    "suppliers into 8 salts (hash(s) mod 8), the left side "
-    "replicates those rows across all 8, and the join keys on "
-    "(part, salt), spreading each hot part's quadratic pair "
-    "generation over 8 reducers. Cold parts keep salt 0 on both "
-    "sides and pay ZERO replication — targeted salting taxes only "
-    "the keys that are actually skewed (the per-part census is one "
-    "cheap re-aggregation of the already-shuffled distinct table, "
-    "and the hot list broadcasts). Every pair still appears exactly "
-    "once: a supplier owns exactly one salt. The same plan builds "
-    "user-cooccurrence, doc-citation, and basket-affinity graphs.",
+    "no global sort). Hybrid pair generation keyed on the SHARED "
+    "entity (part), so candidate volume is the sum of per-part squared "
+    "supplier counts — bounded by the fan-out of the densest part, "
+    "never |suppliers|^2. COLD parts (supplier set under a threshold) "
+    "expand combinations entirely inside codegen: one groupBy(part) "
+    "collect_set, then a flatten(transform(...)) higher-order "
+    "expression emits each sorted pair exactly once — zero join, zero "
+    "replication. The tiny grouped table is explicitly repartitioned "
+    "before the explode: AQE coalesces a 20k-row aggregate to 1-2 "
+    "partitions, which would serialize the 400x pair amplification "
+    "onto 2 threads (measured 2.5x slowdown at sf0.1) — the classic "
+    "small-input/explosive-output AQE trap. HOT parts would "
+    "concentrate an n^2 array in one task, so they take the salted "
+    "self-join path instead, like hot LSH buckets: the right side "
+    "buckets suppliers into 8 salts (hash(s) mod 8), the left side "
+    "replicates across all 8, and the join keys on (part, salt), "
+    "spreading each hot part's quadratic pair generation over 8 "
+    "reducers while cold parts pay ZERO replication. Every pair still "
+    "appears exactly once (a supplier owns one salt; cold/hot parts "
+    "are disjoint). The same plan builds user-cooccurrence, "
+    "doc-citation, and basket-affinity graphs.",
 )
 def graph_supplier_copart_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_salts = 8
     hot_threshold = 64
     li = table(spark, sf_dir, "lineitem")
-    # materialize the distinct (s, p) table once — the census, both join
-    # sides, and the hot-tag join all read it; without this the scan +
-    # distinct shuffle runs once per consumer
-    sp = (
-        li.select(
-            F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
-        )
-        .distinct()
+    sp = li.select(
+        F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p")
+    ).distinct()
+    # one shuffle: per-part sorted supplier set; repartition defeats the
+    # AQE coalesce that would otherwise serialize the explode below
+    grouped = (
+        sp.groupBy("p")
+        .agg(F.array_sort(F.collect_set("s")).alias("ss"))
+        .repartition(64)
         .localCheckpoint()
     )
-    hot = (
-        sp.groupBy("p")
-        .agg(F.count(F.lit(1)).alias("n_s"))
-        .filter(F.col("n_s") >= hot_threshold)
-        .select("p", F.lit(True).alias("is_hot"))
+    cold_pairs = (
+        grouped.filter(F.size("ss") < hot_threshold)
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ss, (x, i) -> "
+                    "transform(slice(ss, i + 2, size(ss)), "
+                    "y -> struct(x AS supp_a, y AS supp_b))))"
+                )
+            ).alias("pr")
+        )
+        .select("pr.supp_a", "pr.supp_b")
     )
-    salted = sp.join(F.broadcast(hot), "p", "left")
-    a = salted.withColumn(
-        "r",
-        F.explode(
-            F.when(
-                F.col("is_hot").isNotNull(),
-                F.array(*[F.lit(i) for i in range(n_salts)]),
-            ).otherwise(F.array(F.lit(0)))
-        ),
+    # hot parts: back to (p, s) rows (linear, never n^2) and salted join
+    hot_sp = grouped.filter(F.size("ss") >= hot_threshold).select(
+        "p", F.explode("ss").alias("s")
+    )
+    a = hot_sp.withColumn(
+        "r", F.explode(F.array(*[F.lit(i) for i in range(n_salts)]))
     ).alias("a")
-    b = salted.withColumn(
-        "r",
-        F.when(
-            F.col("is_hot").isNotNull(), F.pmod(F.hash("s"), F.lit(n_salts))
-        ).otherwise(F.lit(0)),
+    b = hot_sp.withColumn(
+        "r", F.pmod(F.hash("s"), F.lit(n_salts))
     ).alias("b")
+    hot_pairs = a.join(
+        b,
+        (F.col("a.p") == F.col("b.p"))
+        & (F.col("a.r") == F.col("b.r"))
+        & (F.col("a.s") < F.col("b.s")),
+    ).select(F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b"))
     return (
-        a.join(
-            b,
-            (F.col("a.p") == F.col("b.p"))
-            & (F.col("a.r") == F.col("b.r"))
-            & (F.col("a.s") < F.col("b.s")),
-        )
-        .groupBy(
-            F.col("a.s").alias("supp_a"), F.col("b.s").alias("supp_b")
-        )
+        cold_pairs.unionByName(hot_pairs)
+        .groupBy("supp_a", "supp_b")
         .agg(F.count(F.lit(1)).alias("shared_parts"))
         .orderBy(F.desc("shared_parts"), "supp_a", "supp_b")
         .limit(25)

@@ -1890,30 +1890,63 @@ def _erf_col(x):
     FROM flagged
     """,
     description="Benjamini-Hochberg FDR control (q=0.05) over per-"
-    "event-type two-sample z-tests of mean value vs the rest: one "
-    "conditional-moments pass per cohort via a tiny |types|-row broadcast "
-    "(the fact table is scanned once per the join's logical dup — at "
-    "scale, pivot to a single conditional agg), normal p-values from an "
-    "Abramowitz-Stegun erf evaluated as pure Column arithmetic (no SciPy, "
-    "no UDF), then the step-up rank test over the |tests|-row aggregate.",
+    "event-type two-sample z-tests of mean value vs the rest: ONE "
+    "groupBy(event_type) moments pass over the fact table plus a 1-row "
+    "broadcast of the global moments; each cohort's complement (the "
+    "'rest') is recovered algebraically via the Chan et al. pairwise "
+    "central-moment combine (M2_rest = M2_total - M2_grp - "
+    "delta^2*n1*n2/N), so the table is scanned exactly once regardless "
+    "of type cardinality — no driver-side per-type loop. Normal "
+    "p-values from an Abramowitz-Stegun erf evaluated as pure Column "
+    "arithmetic (no SciPy, no UDF), then the step-up rank test over the "
+    "|tests|-row aggregate.",
 )
 def stats_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = table(spark, sf_dir, "events").select("event_type", "value")
-    types = [r.event_type for r in ev.select("event_type").distinct().collect()]
-    rows = None
-    for t in sorted(types):
-        m = F.when(F.col("event_type") == t, F.col("value"))
-        o = F.when(F.col("event_type") != t, F.col("value"))
-        g = ev.agg(
-            F.lit(t).alias("grp"),
-            F.count(m).cast("bigint").alias("n1"),
-            F.avg(m).alias("m1"),
-            F.var_samp(m).alias("v1"),
-            F.count(o).alias("n2"),
-            F.avg(o).alias("m2"),
-            F.var_samp(o).alias("v2"),
-        )
-        rows = g if rows is None else rows.unionAll(g)
+    per = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("value").cast("bigint").alias("n1"),
+        F.avg("value").alias("m1"),
+        F.var_samp("value").alias("v1"),
+    )
+    # Global moments recovered from the |types|-row aggregate itself
+    # (law of total variance: M2_total = sum M2_i + sum n_i*(m_i-m_all)^2)
+    # via window sums over the tiny frame — keeps the whole query at ONE
+    # scan of the fact table.
+    wall0 = Window.partitionBy()
+    n_all = F.sum("n1").over(wall0)
+    m_all = F.sum(F.col("n1") * F.col("m1")).over(wall0) / n_all
+    withg = per.select(
+        "*",
+        n_all.alias("n_all"),
+        m_all.alias("m_all"),
+        F.sum(F.col("v1") * (F.col("n1") - 1)).over(wall0).alias("m2_within"),
+    ).withColumn(
+        "m2_between",
+        F.sum(
+            F.col("n1")
+            * (F.col("m1") - F.col("m_all"))
+            * (F.col("m1") - F.col("m_all"))
+        ).over(Window.partitionBy("n_all")),
+    )
+    n2c = F.col("n_all") - F.col("n1")
+    m2c = (F.col("n_all") * F.col("m_all") - F.col("n1") * F.col("m1")) / n2c
+    # Chan pairwise combine, solved for the complement's central moment:
+    # M2_total = M2_grp + M2_rest + delta^2 * n1*n2/N
+    m2_total = F.col("m2_within") + F.col("m2_between")
+    m2_grp = F.col("v1") * (F.col("n1") - 1)
+    delta = F.col("m1") - m2c
+    v2c = (
+        m2_total - m2_grp - delta * delta * F.col("n1") * n2c / F.col("n_all")
+    ) / (n2c - 1)
+    rows = withg.select(
+        "grp",
+        "n1",
+        "m1",
+        "v1",
+        n2c.alias("n2"),
+        m2c.alias("m2"),
+        v2c.alias("v2"),
+    )
     zc = (F.col("m1") - F.col("m2")) / F.sqrt(
         F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2")
     )

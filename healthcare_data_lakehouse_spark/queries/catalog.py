@@ -86,26 +86,30 @@ PRIORITY = [
     "events_json_kpis",
     "skew_salted_join_event_kpis",
     "pivot_returnflag_by_linestatus",
-    # headline TPC-H shapes + LLM-pipeline representatives. The driver
-    # samples the FIRST 50 catalog entries — §2 parity surface,
-    # previously-red queries, and one representative per LLM-pipeline
-    # family must all fit inside that window, so only three TPC-H
-    # representatives ride here (the full Q1-Q22 sweep is verified by
-    # tools/compare.py and pytest every round regardless).
+    # Representatives + round-4/5-new rotation. The driver samples the
+    # FIRST 50 catalog entries — the §2 parity surface and previously-red
+    # queries above stay pinned; the remaining slots rotate RECENTLY ADDED
+    # families (write surface, rank stats, attribution, forecasting) into
+    # the sampled window so driver verification keeps covering new code.
+    # The full TPC-H Q1-Q22 sweep and every LLM-pipeline family are
+    # verified by tools/compare.py and pytest every round regardless.
     "tpch_q1_pricing_summary",
-    "tpch_q9_profit_by_nation_year",
-    "window_top3_orders_per_customer",
-    "rollup_lineitem_flag_status",
-    "events_funnel_view_click_purchase",
-    "events_retention_cohorts",
-    "dedup_exact_documents",
     "dedup_minhash_lsh_pairs",
-    "dedup_simhash_hamming",
     "similarity_cosine_top10",
-    "similarity_ivf_top5",
-    "text_quality_scores",
-    "text_tfidf_top_terms",
-    "pipeline_llm_corpus_curation",
+    # round-4-new write surface (exercises the round-5 ZoneStore
+    # hardening: UPDATE constraint gate, MERGE dup-source check, OCC)
+    "load_delete_where",
+    "load_update_set",
+    "load_constraint_enforcement",
+    "load_merge_full_clauses",
+    "load_restore_version",
+    # round-4-new stats / attribution / forecasting
+    "stats_mann_whitney_u",
+    "stats_spearman_rank_corr",
+    "events_attribution_first_vs_last",
+    "events_markov_removal_attribution",
+    "forecast_holt_winters_monthly",
+    "dedup_ground_truth_eval",
 ]
 
 

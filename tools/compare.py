@@ -75,9 +75,11 @@ def main() -> int:
         )
 
     failures = []
+    ran = 0
     for name, fn in qs.items():
         if only and name not in only:
             continue
+        ran += 1
         t0 = time.time()
         try:
             sdf = fn(spark, sf_dir)
@@ -152,8 +154,15 @@ def main() -> int:
         else:
             failures.append(name)
 
-    print(f"\n{len(qs) - len(failures)}/{len(qs)} passed")
-    return 1 if failures else 0
+    # Tally only queries actually RUN — a filtered invocation must not count
+    # skipped queries as passed (a typo'd name would otherwise print a green
+    # full-catalog banner).
+    print(f"\n{ran - len(failures)}/{ran} passed", end="")
+    unknown = sorted(only - set(qs)) if only else []
+    if unknown:
+        print(f"  (UNKNOWN query names skipped: {unknown})", end="")
+    print()
+    return 1 if failures or unknown else 0
 
 
 if __name__ == "__main__":
