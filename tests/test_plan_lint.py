@@ -13,3 +13,65 @@ def test_catalog_passes_plan_lint(spark, sf_dir):
     from plan_lint import lint
 
     assert lint(spark, sf_dir) == []
+
+
+# Measured single-partition exchange volume at sf0.001 (tools/plan_lint.py
+# single_partition_exchange_rows), pinned with ~3x headroom. Each bound is
+# the runtime teeth behind the GLOBAL_WINDOW_OK justification: the
+# allowlist claims the ordered one-task stage sees only grain-sized data
+# (days/months/vocab/deciles/...), and this test fails if a future edit
+# silently grows that stage. Entries whose justification notes
+# "continuous-double scale" (distinct-value aggregates) legitimately track
+# the fact-table row count at tiny SF — their bounds pin today's volume so
+# growth is still caught.
+GRAIN_BOUNDS = {
+    "events_changepoint_cusum": 100,
+    "events_concurrent_sessions_sweepline": 64,
+    "events_cumulative_unique_users": 16,
+    "events_uplift_qini_deciles": 50,
+    "events_watermark_lateness_audit": 16,
+    "forecast_stl_decompose_monthly": 240,
+    "histogram_equal_frequency_totalprice": 4_500,
+    "orders_abc_classification": 600,
+    "orders_open_backlog_daily": 4_800,
+    "orders_pareto_top_customers": 500,
+    "orders_yoy_growth": 30,
+    "pipeline_global_row_index": 64,
+    "quality_rule_mining_bounds": 18_000,
+    "rfm_customer_segments": 50,
+    "sample_temperature_lang": 16,
+    "stats_benjamini_hochberg": 16,
+    "stats_gini_customer_revenue": 500,
+    "stats_kaplan_meier_session_duration": 100,
+    "stats_ks_value_drift": 400,
+    "stats_mann_whitney_u": 1_200,
+    "stats_runs_test_randomness": 3_300,
+    "stats_spearman_rank_corr": 18_000,
+    "text_zipf_slope": 100,
+    "window_customer_value_deciles": 500,
+    "window_mom_revenue_growth": 240,
+    "window_moving_avg_daily_revenue": 3_300,
+}
+
+
+def test_allowlisted_single_partition_stages_stay_grain_sized(spark, sf_dir):
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from plan_lint import GLOBAL_WINDOW_OK, single_partition_exchange_rows
+
+    from healthcare_data_lakehouse_spark.queries.catalog import load_all
+
+    qs = load_all()
+    # every allowlist entry must carry a bound (adding to GLOBAL_WINDOW_OK
+    # without declaring the grain here fails loudly)
+    assert set(GRAIN_BOUNDS) == set(GLOBAL_WINDOW_OK)
+
+    over = {}
+    for name, bound in sorted(GRAIN_BOUNDS.items()):
+        rows = single_partition_exchange_rows(qs[name].fn(spark, sf_dir))
+        worst = max(rows, default=0)
+        if worst > bound:
+            over[name] = (worst, bound)
+    assert over == {}, f"single-partition stages grew past declared grain: {over}"

@@ -101,6 +101,41 @@ GLOBAL_WINDOW_OK = {
 }
 
 
+def single_partition_exchange_rows(df) -> list[int]:
+    """Execute ``df`` and return the record count moved through EVERY
+    ``Exchange SinglePartition`` in its executed plan (AQE-final).
+
+    This is the runtime teeth behind ``GLOBAL_WINDOW_OK``: the allowlist
+    justifies each single-partition ordered stage by a small declared
+    grain (day/month/vocab/...), and tests pin the measured volume to
+    that grain so a future edit can't silently grow a one-task stage.
+    The final merge of scalar-aggregate partials also lands here; it is
+    O(#partitions) rows and never trips a grain bound."""
+    df.collect()  # execute this exact QueryExecution so metrics populate
+    out: list[int] = []
+
+    def walk(node) -> None:
+        nn = node.nodeName()
+        if nn.startswith("AdaptiveSparkPlan"):
+            walk(node.executedPlan())
+            return
+        if nn.endswith("QueryStage"):
+            walk(node.plan())
+            return
+        if nn == "Exchange" and (
+            node.outputPartitioning().toString() == "SinglePartition"
+        ):
+            m = node.metrics().get("shuffleRecordsWritten")
+            if not m.isEmpty():
+                out.append(int(m.get().value()))
+        cs = node.children()
+        for i in range(cs.size()):
+            walk(cs.apply(i))
+
+    walk(df._jdf.queryExecution().executedPlan())
+    return out
+
+
 def lint(spark, sf_dir: str) -> list[str]:
     from healthcare_data_lakehouse_spark.queries.catalog import load_all
 
