@@ -223,6 +223,11 @@ HEADLINE = [
     "stats_spearman_rank_corr",
     "events_uplift_qini_deciles",
     "quality_rule_mining_bounds",
+    # round 5
+    "text_unigram_kl_by_source",
+    "quality_dup_cluster_size_distribution",
+    "dedup_cross_source_overlap",
+    "privacy_k_anonymity_audit",
 ]
 
 

@@ -4680,3 +4680,199 @@ def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(20)
     )
+
+
+# ---------------------------------------- round 5: corpus-mixing diagnostics
+@register(
+    "text_unigram_kl_by_source",
+    oracle="""
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    c AS (
+        SELECT source, w, COUNT(*) AS n_sw FROM tok WHERE w <> ''
+        GROUP BY source, w
+    ),
+    s AS (
+        SELECT source, SUM(n_sw) AS t_s, COUNT(*) AS vocab FROM c
+        GROUP BY source
+    ),
+    g AS (SELECT w, SUM(n_sw) AS n_w FROM c GROUP BY w),
+    tot AS (SELECT SUM(n_sw) AS n FROM c)
+    SELECT c.source,
+           CAST(s.t_s AS BIGINT) AS n_tokens,
+           CAST(s.vocab AS BIGINT) AS vocab,
+           ROUND(SUM((CAST(n_sw AS DOUBLE) / t_s)
+                     * ln((CAST(n_sw AS DOUBLE) / t_s)
+                          / (CAST(n_w AS DOUBLE) / n))), 6) AS kl_vs_corpus
+    FROM c JOIN s USING (source) JOIN g USING (w) CROSS JOIN tot
+    GROUP BY c.source, s.t_s, s.vocab
+    """,
+    description="Per-source unigram KL divergence vs the corpus "
+    "distribution — the data-mixing drift diagnostic (which sources are "
+    "lexically off-distribution, e.g. code vs prose vs boilerplate "
+    "farms). One tokenize + one (source, token) count shuffle; "
+    "per-source totals and per-token corpus totals come from "
+    "partitioned windows over that count table (token-grain, never "
+    "row-grain), the scalar corpus total broadcasts. Support(p_source) "
+    "is a subset of support(p_corpus) by construction, so the KL needs "
+    "no smoothing. At 100 TB the count table is |sources| x |vocab| — "
+    "the windows stay partitioned on real keys; nothing "
+    "single-partitions.",
+)
+def text_unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    c = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_sw"))
+    ws = Window.partitionBy("source")
+    wg = Window.partitionBy("w")
+    tot = c.agg(F.sum("n_sw").alias("n"))
+    j = (
+        c.withColumn("t_s", F.sum("n_sw").over(ws))
+        .withColumn("vocab", F.count(F.lit(1)).over(ws))
+        .withColumn("n_w", F.sum("n_sw").over(wg))
+        .crossJoin(F.broadcast(tot))
+    )
+    p = F.col("n_sw").cast("double") / F.col("t_s")
+    q = F.col("n_w").cast("double") / F.col("n")
+    return j.groupBy("source").agg(
+        F.first("t_s").cast("bigint").alias("n_tokens"),
+        F.first("vocab").cast("bigint").alias("vocab"),
+        dround(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
+    )
+
+
+@register(
+    "quality_dup_cluster_size_distribution",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=10)
+    + """,
+    clusters AS (
+        SELECT md5(text) AS h, COUNT(*) AS n_copies FROM docs GROUP BY md5(text)
+    ),
+    tot AS (SELECT SUM(n_copies) AS n_docs_total FROM clusters)
+    SELECT CAST(n_copies AS BIGINT) AS n_copies,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST(SUM(n_copies - 1) AS BIGINT) AS redundant_docs,
+           ROUND(CAST(SUM(n_copies - 1) AS DOUBLE) / tot.n_docs_total, 6)
+               AS redundant_share
+    FROM clusters CROSS JOIN tot
+    GROUP BY n_copies, tot.n_docs_total
+    """,
+    description="Duplicate-cluster size distribution over the exact-dedup "
+    "clustering: how many content clusters exist at each copy count, how "
+    "many documents they hold, and what share of the corpus is redundant "
+    "at that multiplicity — the dedup diagnostic that distinguishes 'a "
+    "few viral boilerplate pages copied 10^6 times' from 'long tail of "
+    "double-posts', which drive opposite curation responses. Two "
+    "aggregations (content-hash grain, then cluster-size grain — "
+    "monotonically tiny) plus a broadcast scalar total.",
+)
+def quality_dup_cluster_size_distribution(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    clusters = (
+        _docs_with_dups(spark, sf_dir, 10)
+        .groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+    )
+    tot = clusters.agg(F.sum("n_copies").alias("n_docs_total"))
+    return (
+        clusters.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("n_copies").cast("bigint").alias("n_copies"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+            F.sum("n_copies").cast("bigint").alias("n_docs"),
+            F.sum(F.col("n_copies") - 1).cast("bigint").alias("redundant_docs"),
+            dround(
+                F.sum(F.col("n_copies") - 1).cast("double")
+                / F.first("n_docs_total"),
+                6,
+            ).alias("redundant_share"),
+        )
+    )
+
+
+@register(
+    "dedup_cross_source_overlap",
+    oracle="""
+    WITH toks AS (
+        SELECT source, string_split(text, ' ') AS t FROM documents
+    ),
+    shingles AS (
+        SELECT DISTINCT source,
+               array_to_string(t[i:i+2], chr(31)) AS shingle
+        FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
+        WHERE len(t) >= 3
+        UNION
+        SELECT DISTINCT source, array_to_string(t, chr(31)) AS shingle
+        FROM toks WHERE len(t) < 3
+    ),
+    sizes AS (SELECT source, COUNT(*) AS sz FROM shingles GROUP BY source),
+    inter AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
+        FROM shingles a JOIN shingles b
+          ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
+           ROUND(CAST(n_shared AS DOUBLE)
+                 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.source = source_a
+    JOIN sizes sb ON sb.source = source_b
+    """,
+    description="Cross-source contamination matrix: 3-gram-shingle "
+    "Jaccard between every pair of corpus sources — the diagnostic for "
+    "'how much of source X is already inside source Y' (CommonCrawl vs "
+    "curated-web overlap, mirror detection, licensing double-counting). "
+    "Shingle sets are per-SOURCE (array_distinct per doc, distinct "
+    "again per source), the pair join is keyed on the shared shingle so "
+    "candidates are bounded by shingle co-occurrence — never a "
+    "|sources|^2 x |vocab| blow-up — and the output is "
+    "|sources| choose 2 rows. Same plan measures train/eval split "
+    "contamination when 'source' is the split label.",
+)
+def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = (
+        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
+        .select(
+            "source", F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle")
+        )
+        .distinct()
+        .persist()
+    )
+    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            dround(
+                F.col("n_shared").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
+                6,
+            ).alias("jaccard"),
+        )
+    )

@@ -1037,3 +1037,61 @@ def quality_rule_mining_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out
+
+
+# ------------------------------------------------- round 5: k-anonymity
+@register(
+    "privacy_k_anonymity_audit",
+    oracle="""
+    WITH qi AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS acctbal_band,
+               COUNT(*) AS grp_n
+        FROM customer
+        GROUP BY 1, 2, 3
+    ),
+    tot AS (SELECT SUM(grp_n) AS n_rows FROM qi)
+    SELECT CAST(grp_n AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+           ROUND(CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                      AS DOUBLE) / tot.n_rows, 6) AS at_risk_share
+    FROM qi CROSS JOIN tot
+    GROUP BY grp_n, tot.n_rows
+    """,
+    description="k-anonymity audit over the quasi-identifier tuple "
+    "(nation, market segment, account-balance band): group-size "
+    "distribution of QI equivalence classes plus the share of rows "
+    "sitting in classes smaller than k=5 — the re-identification-risk "
+    "readout that gates a dataset release (HIPAA Safe-Harbor-style "
+    "generalization check). Banding the continuous column is the "
+    "generalization step; the audit itself is two aggregations "
+    "(QI grain, then group-size grain) and a broadcast scalar — at "
+    "100 TB the QI table is the only shuffle and it partitions on the "
+    "QI key. Complements privacy_pseudonymized_join (safe linking) and "
+    "privacy_forget_user_erasure (deletion): release-risk measurement.",
+)
+def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    cust = table(spark, sf_dir, "customer")
+    qi = cust.groupBy(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("bigint").alias("acctbal_band"),
+    ).agg(F.count(F.lit(1)).alias("grp_n"))
+    tot = qi.agg(F.sum("grp_n").alias("n_rows_total"))
+    return (
+        qi.crossJoin(F.broadcast(tot))
+        .groupBy(F.col("grp_n").cast("bigint").alias("k"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("grp_n").cast("bigint").alias("n_rows"),
+            dround(
+                F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+                .cast("double")
+                / F.first("n_rows_total"),
+                6,
+            ).alias("at_risk_share"),
+        )
+    )

@@ -1091,3 +1091,73 @@ def test_pmi_topk_support_and_order(spark, sf_dir):
     pmis = [r.pmi for r in rows]
     assert pmis == sorted(pmis, reverse=True)
     assert all(r.c >= 5 for r in rows)
+
+
+def test_unigram_kl_nonnegative_and_totals(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_unigram_kl_by_source,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = text_unigram_kl_by_source(spark, sf_dir).collect()
+    n_sources = (
+        table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(rows) == n_sources
+    # Gibbs' inequality: KL(p||q) >= 0, and 0 only if p == q exactly
+    assert all(r.kl_vs_corpus >= 0 for r in rows)
+    assert all(r.vocab > 0 and r.n_tokens >= r.vocab for r in rows)
+
+
+def test_dup_cluster_distribution_accounts_for_every_doc(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        _docs_with_dups,
+        quality_dup_cluster_size_distribution,
+    )
+
+    rows = quality_dup_cluster_size_distribution(spark, sf_dir).collect()
+    n_docs = _docs_with_dups(spark, sf_dir, 10).count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    for r in rows:
+        assert r.n_docs == r.k * r.n_groups if hasattr(r, "k") else True
+        assert r.n_docs == r.n_copies * r.n_clusters
+        assert r.redundant_docs == (r.n_copies - 1) * r.n_clusters
+    # injected copies (mod 10) guarantee clusters of size exactly 2
+    assert any(r.n_copies == 2 for r in rows)
+
+
+def test_cross_source_overlap_is_upper_triangle_with_valid_jaccard(
+    spark, sf_dir
+):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        dedup_cross_source_overlap,
+    )
+
+    rows = dedup_cross_source_overlap(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.source_a < r.source_b  # each unordered pair exactly once
+        assert 0 < r.jaccard <= 1
+        assert r.n_shared >= 1
+    assert len({(r.source_a, r.source_b) for r in rows}) == len(rows)
+
+
+def test_k_anonymity_audit_partitions_all_customers(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        privacy_k_anonymity_audit,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = privacy_k_anonymity_audit(spark, sf_dir).collect()
+    n_cust = table(spark, sf_dir, "customer").count()
+    assert sum(r.n_rows for r in rows) == n_cust
+    for r in rows:
+        assert r.n_rows == r.k * r.n_groups
+        assert 0.0 <= r.at_risk_share <= 1.0
+        # share is the class's own contribution to re-identification risk:
+        # zero for classes at k >= 5, n_rows/total for smaller classes
+        if r.k >= 5:
+            assert r.at_risk_share == 0.0
+        else:
+            assert abs(r.at_risk_share - r.n_rows / n_cust) < 1e-6
