@@ -109,7 +109,9 @@ PRIORITY = [
     "events_attribution_first_vs_last",
     "events_markov_removal_attribution",
     "forecast_holt_winters_monthly",
-    "dedup_ground_truth_eval",
+    # round-5-new representative (dedup_ground_truth_eval rotates out:
+    # independently verified green in rounds 4 and 5)
+    "text_unigram_kl_by_source",
 ]
 
 
