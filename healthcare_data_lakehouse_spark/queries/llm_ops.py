@@ -2377,7 +2377,11 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ------------------------------------------- incremental dedup gate
-def _probe_oracle() -> str:
+def _probe_ctes(corpus_sql: str, incoming_sql: str, threshold: float = 0.5) -> str:
+    """WITH-body CTE chain for an LSH probe of ``incoming_sql`` against
+    ``corpus_sql`` (both ``SELECT doc_id, text ...``), ending in a
+    ``hits(incoming_id, corpus_id, jaccard)`` CTE at >= threshold —
+    shared by the batch gate oracle and the streaming admission oracle."""
     mins = ",\n               ".join(
         f"MIN(({a} * h + {b}) % {D.MERSENNE_P}) AS mh_{j}"
         for j, (a, b) in enumerate(D.MINHASH_PERMS)
@@ -2402,10 +2406,8 @@ def _probe_oracle() -> str:
         WHERE len(t) < 3
     """
     return f"""
-    WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5),
-    incoming AS (
-        SELECT doc_id + 2000000 AS doc_id, text FROM documents WHERE doc_id % 13 = 5
-    ),
+    corpus AS ({corpus_sql}),
+    incoming AS ({incoming_sql}),
     shc AS ({shingle_body.format(src="corpus")}),
     shi AS ({shingle_body.format(src="incoming")}),
     hc AS (SELECT sid, {_H48.format(c="shingle")} AS h FROM shc),
@@ -2424,13 +2426,28 @@ def _probe_oracle() -> str:
         JOIN shi a ON a.sid = cand.incoming_id
         JOIN shc b ON b.sid = cand.corpus_id AND b.shingle = a.shingle
         GROUP BY cand.incoming_id, cand.corpus_id
+    ),
+    hits AS (
+        SELECT incoming_id, corpus_id,
+               ROUND(CAST(n_inter AS DOUBLE) / (pi.sz + pc.sz - n_inter), 6)
+                   AS jaccard
+        FROM inter
+        JOIN pi ON pi.sid = incoming_id
+        JOIN pc ON pc.sid = corpus_id
+        WHERE CAST(n_inter AS DOUBLE) / (pi.sz + pc.sz - n_inter)
+              >= {threshold}
+    )"""
+
+
+def _probe_oracle() -> str:
+    ctes = _probe_ctes(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5",
+        "SELECT doc_id + 2000000 AS doc_id, text FROM documents "
+        "WHERE doc_id % 13 = 5",
     )
-    SELECT incoming_id, corpus_id,
-           ROUND(CAST(n_inter AS DOUBLE) / (pi.sz + pc.sz - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN pi ON pi.sid = incoming_id
-    JOIN pc ON pc.sid = corpus_id
-    WHERE CAST(n_inter AS DOUBLE) / (pi.sz + pc.sz - n_inter) >= 0.5
+    return f"""
+    WITH {ctes}
+    SELECT incoming_id, corpus_id, jaccard FROM hits
     """
 
 
@@ -4874,5 +4891,146 @@ def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
                 6,
             ).alias("jaccard"),
+        )
+    )
+
+
+@register(
+    "text_tokenizer_fertility_by_lang",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(text, '{_PRETOKEN_RE}')))
+               AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(length(text)) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(text, '{_PRETOKEN_RE}'))), 4)
+               AS chars_per_token,
+           ROUND(CAST(SUM(len(regexp_extract_all(text, '{_PRETOKEN_RE}')))
+                      AS DOUBLE)
+                 / SUM(len(string_split(text, ' '))), 4) AS tokens_per_word
+    FROM documents
+    GROUP BY lang
+    """,
+    description="Tokenizer fertility by language: corpus-level "
+    "chars-per-token and tokens-per-word under the BPE-ish "
+    "pre-tokenizer — the cost model behind multilingual token budgets "
+    "(a language at 2x fertility pays 2x context length and 2x compute "
+    "for the same text; the metric that drives vocab-allocation and "
+    "per-language sampling decisions). Narrow single-pass scan-agg: "
+    "token counts are computed per row with regexp_extract_all and "
+    "summed lang-wise — no explode, no shuffle beyond the |langs|-group "
+    "final merge. Complements pipeline_tokenizer_vocab_coverage (OOV "
+    "rate) with the length-inflation axis.",
+)
+def text_tokenizer_fertility_by_lang(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_words = F.size(F.split(F.col("text"), " ", -1))
+    n_toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PRETOKEN_RE), 0))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(n_words).cast("bigint").alias("n_words"),
+        F.sum(n_toks).cast("bigint").alias("n_tokens"),
+        dround(
+            F.sum(F.length("text")).cast("double") / F.sum(n_toks), 4
+        ).alias("chars_per_token"),
+        dround(F.sum(n_toks).cast("double") / F.sum(n_words), 4).alias(
+            "tokens_per_word"
+        ),
+    )
+
+
+@register(
+    "pipeline_packing_efficiency_curve",
+    oracle="""
+    WITH lens AS (
+        SELECT doc_id,
+               least(len(regexp_extract_all(text,
+                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')), 512) AS n
+        FROM documents
+    ),
+    tiled AS (
+        SELECT doc_id, n,
+               NTILE(1) OVER (ORDER BY n, doc_id) AS k1,
+               NTILE(2) OVER (ORDER BY n, doc_id) AS k2,
+               NTILE(4) OVER (ORDER BY n, doc_id) AS k4,
+               NTILE(8) OVER (ORDER BY n, doc_id) AS k8
+        FROM lens
+    ),
+    unp AS (
+        SELECT 1 AS n_buckets, k1 AS b, n FROM tiled
+        UNION ALL SELECT 2, k2, n FROM tiled
+        UNION ALL SELECT 4, k4, n FROM tiled
+        UNION ALL SELECT 8, k8, n FROM tiled
+    ),
+    bucketed AS (
+        SELECT n_buckets, b, MAX(n) AS pad_to, SUM(n) AS toks, COUNT(*) AS docs
+        FROM unp GROUP BY n_buckets, b
+    )
+    SELECT CAST(n_buckets AS INT) AS n_buckets,
+           CAST(SUM(toks) AS BIGINT) AS real_tokens,
+           CAST(SUM(CAST(pad_to AS BIGINT) * docs) AS BIGINT) AS padded_tokens,
+           ROUND(1.0 - CAST(SUM(toks) AS DOUBLE)
+                       / SUM(CAST(pad_to AS BIGINT) * docs), 6) AS waste_ratio
+    FROM bucketed
+    GROUP BY n_buckets
+    """,
+    description="Length-bucketed padding-waste curve: documents (capped "
+    "at a 512-token context) are split into 1/2/4/8 length-quantile "
+    "buckets and padded to each bucket's max length — the curve "
+    "quantifies how much compute naive fixed-length batching burns on "
+    "pad tokens and how fast sorted bucketing reclaims it (the "
+    "bucketed-batching / sequence-packing tradeoff every trainer "
+    "tunes; compare pipeline_sequence_packing, which eliminates the "
+    "waste entirely by first-fit packing). All four NTILE assignments "
+    "ride ONE window pass over the doc-length projection (doc-grain, "
+    "tiebroken on doc_id for cross-engine determinism), then one "
+    "bucket-grain and one curve-grain aggregate. At 1e9+ docs the "
+    "quantile cuts come from a binned length histogram instead of "
+    "NTILE (length <= context cap makes the bins exact).",
+)
+def pipeline_packing_efficiency_curve(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n = F.least(
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PRETOKEN_RE), 0)),
+        F.lit(512),
+    )
+    lens = docs.select("doc_id", n.alias("n"))
+    w = Window.orderBy("n", "doc_id")
+    tiled = lens.select(
+        "n",
+        F.ntile(1).over(w).alias("k1"),
+        F.ntile(2).over(w).alias("k2"),
+        F.ntile(4).over(w).alias("k4"),
+        F.ntile(8).over(w).alias("k8"),
+    )
+    unp = None
+    for kb in (1, 2, 4, 8):
+        part = tiled.select(
+            F.lit(kb).alias("n_buckets"), F.col(f"k{kb}").alias("b"), "n"
+        )
+        unp = part if unp is None else unp.unionAll(part)
+    bucketed = unp.groupBy("n_buckets", "b").agg(
+        F.max("n").alias("pad_to"),
+        F.sum("n").alias("toks"),
+        F.count(F.lit(1)).alias("docs"),
+    )
+    return (
+        bucketed.groupBy(F.col("n_buckets").cast("int").alias("n_buckets"))
+        .agg(
+            F.sum("toks").cast("bigint").alias("real_tokens"),
+            F.sum(F.col("pad_to") * F.col("docs"))
+            .cast("bigint")
+            .alias("padded_tokens"),
+            dround(
+                1.0
+                - F.sum("toks").cast("double")
+                / F.sum(F.col("pad_to") * F.col("docs")),
+                6,
+            ).alias("waste_ratio"),
         )
     )

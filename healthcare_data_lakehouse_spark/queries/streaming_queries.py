@@ -322,3 +322,81 @@ def streaming_upsert_merge_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
     return merged.groupBy("event_type", "src").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+def _admission_oracle() -> str:
+    from healthcare_data_lakehouse_spark.queries.llm_ops import _probe_ctes
+
+    ctes = _probe_ctes(
+        "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
+        """SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1
+           UNION ALL
+           SELECT doc_id + 3000000 AS doc_id, text FROM documents
+           WHERE doc_id % 3 = 0 AND doc_id % 5 = 0""",
+    )
+    return f"""
+    WITH {ctes}
+    SELECT doc_id FROM corpus
+    UNION ALL
+    SELECT doc_id FROM incoming
+    WHERE doc_id NOT IN (SELECT incoming_id FROM hits)
+    """
+
+
+@register(
+    "streaming_neardup_admission_gate",
+    oracle=_admission_oracle(),
+    description="Streaming corpus ingestion with NEAR-dup admission "
+    "control: micro-batch 0 seeds the corpus (every doc admitted into "
+    "the ZoneStore-materialized index), micro-batch 1 mixes fresh docs "
+    "with exact copies of seeded docs and probes the index via the LSH "
+    "bucket equi-join (functions/dedup.py lsh_probe) — colliding docs "
+    "(Jaccard >= 0.5) are refused admission, the rest append, and the "
+    "index the NEXT batch would probe already contains them. "
+    "foreachBatch + materialized index is the correct Spark formulation "
+    "(the state is the whole corpus index keyed by LSH bucket — not "
+    "expressible as watermark dedup or stateless operators); per-batch "
+    "file ordering is pinned by source-file mtime so the drain is "
+    "deterministic and the final admitted corpus equals the sequential "
+    "batch answer the oracle computes. Within one batch, docs probe the "
+    "same index snapshot and do not gate each other (micro-batch "
+    "atomicity). Returns the admitted doc_ids.",
+)
+def streaming_neardup_admission_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stream_neardup_admission,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from healthcare_data_lakehouse_spark.zones import DataZone, ZoneStore
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    work = scratch_dir("stream_gate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    seed = docs.filter(F.col("doc_id") % 3 == 0)
+    second = docs.filter(F.col("doc_id") % 3 == 1).unionAll(
+        docs.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0))
+        .select((F.col("doc_id") + 3_000_000).alias("doc_id"), "text")
+    )
+    seed.coalesce(1).write.parquet(os.path.join(src, "b0"))
+    second.coalesce(1).write.parquet(os.path.join(src, "b1"))
+    # one data file per phase + pinned mtimes: the file source orders
+    # batches by timestamp, so b0 seeds before b1 probes — deterministic
+    t = 1_700_000_000
+    for sub, ts in (("b0", t), ("b1", t + 1000)):
+        for root, _, files in os.walk(os.path.join(src, sub)):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    store = ZoneStore(spark, os.path.join(work, "zones"))
+    q = stream_neardup_admission(
+        spark,
+        src + "/*",
+        seed.schema,
+        store,
+        DataZone.BRONZE,
+        "corpus",
+        os.path.join(work, "chk"),
+        threshold=0.5,
+    )
+    q.awaitTermination()
+    return store.read(DataZone.BRONZE, "corpus").select("doc_id")

@@ -34,6 +34,7 @@ __all__ = [
     "join_streams_within_interval",
     "run_interval_join_stream",
     "stream_incremental_gold_counts",
+    "stream_neardup_admission",
 ]
 
 
@@ -711,4 +712,85 @@ def stateful_totals_tws(
         .select(
             "user_id", "n_events", F.round("sum_value", 2).alias("sum_value")
         )
+    )
+
+
+def stream_neardup_admission(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    store,
+    zone,
+    dataset: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+):
+    """Streaming corpus ingestion with NEAR-duplicate admission control —
+    the continuous form of the incremental dedup gate
+    (``functions/dedup.py::lsh_probe``): every micro-batch probes the
+    ALREADY-MATERIALIZED corpus's LSH index, only non-colliding documents
+    are appended, and the index the next batch probes therefore includes
+    this batch's admissions.
+
+    Semantics: the corpus index advances at micro-batch boundaries —
+    documents within one batch all probe the same index snapshot and do
+    not gate each other (per-batch atomicity, the same granularity as
+    every foreachBatch sink). Near-dup admission cannot be expressed as a
+    stateless stream operator or watermark dedup (the state is the whole
+    corpus index, keyed by LSH bucket, not by event key/time), so
+    ``foreachBatch`` + the ZoneStore-materialized index is the correct
+    Spark formulation; at 100 TB the corpus side is the appended
+    signature/bucket table, so each batch pays its own signatures plus a
+    candidate-bounded probe join — never a rescan of the corpus text.
+
+    Each batch also appends one audit row (batch_id, n_in, n_admitted,
+    n_rejected) to ``<dataset>_audit``. Returns the started AvailableNow
+    StreamingQuery.
+    """
+    from healthcare_data_lakehouse_spark.functions import dedup as D
+    from healthcare_data_lakehouse_spark.zones import LoadType
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.select(id_col, text_col).persist()
+        try:
+            n_in = batch.count()
+            corpus = store.read(zone, dataset)
+            if corpus is None:
+                admitted = batch
+            else:
+                hits = D.lsh_probe(
+                    corpus.select(id_col, text_col),
+                    batch,
+                    threshold=threshold,
+                    id_col=id_col,
+                    text_col=text_col,
+                )
+                dup_ids = hits.select(
+                    F.col("incoming_id").alias(id_col)
+                ).distinct()
+                admitted = batch.join(dup_ids, id_col, "left_anti")
+            n_adm = store.write(
+                zone, dataset, admitted, LoadType.APPEND, id_field=id_col
+            )
+            audit = spark.createDataFrame(
+                [(int(batch_id), int(n_in), int(n_adm), int(n_in - n_adm))],
+                "batch_id long, n_in long, n_admitted long, n_rejected long",
+            )
+            store.write(zone, f"{dataset}_audit", audit, LoadType.APPEND)
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

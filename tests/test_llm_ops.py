@@ -1161,3 +1161,44 @@ def test_k_anonymity_audit_partitions_all_customers(spark, sf_dir):
             assert r.at_risk_share == 0.0
         else:
             assert abs(r.at_risk_share - r.n_rows / n_cust) < 1e-6
+
+
+def test_tokenizer_fertility_by_lang_bounds(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_tokenizer_fertility_by_lang,
+    )
+
+    rows = text_tokenizer_fertility_by_lang(spark, sf_dir).collect()
+    assert len(rows) > 0
+    for r in rows:
+        # the pre-tokenizer splits words, never merges: every whitespace
+        # word yields >= 1 token, so fertility >= 1
+        assert r.tokens_per_word >= 1.0
+        assert r.chars_per_token > 0
+        assert r.n_tokens >= r.n_words > 0
+
+
+def test_packing_curve_waste_monotone_in_buckets(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_packing_efficiency_curve,
+    )
+
+    rows = {
+        r.n_buckets: r
+        for r in pipeline_packing_efficiency_curve(spark, sf_dir).collect()
+    }
+    assert set(rows) == {1, 2, 4, 8}
+    # real token mass is bucket-invariant; padding never beats real
+    totals = {r.real_tokens for r in rows.values()}
+    assert len(totals) == 1
+    for r in rows.values():
+        assert r.padded_tokens >= r.real_tokens
+        assert 0.0 <= r.waste_ratio < 1.0
+    # quantile buckets nest: max-per-bucket padding waste is monotonically
+    # non-increasing as bucket count doubles
+    assert (
+        rows[1].padded_tokens
+        >= rows[2].padded_tokens
+        >= rows[4].padded_tokens
+        >= rows[8].padded_tokens
+    )

@@ -423,3 +423,30 @@ def test_stateful_totals_tws_gated_or_correct(spark):
         .count()
     )
     assert out.count() == batch.count()
+
+
+def test_neardup_admission_gate_rejects_copies_and_audits(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.queries.streaming_queries import (
+        streaming_neardup_admission_gate,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    admitted = streaming_neardup_admission_gate(spark, sf_dir)
+    ids = {r.doc_id for r in admitted.collect()}
+
+    docs = table(spark, sf_dir, "documents")
+    seed_ids = {
+        r.doc_id for r in docs.filter(F.col("doc_id") % 3 == 0).collect()
+    }
+    copy_ids = {
+        r.doc_id + 3_000_000
+        for r in docs.filter(
+            (F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 5 == 0)
+        ).collect()
+    }
+    # every seed admitted (batch 0 probes an empty index)
+    assert seed_ids <= ids
+    # every exact copy of a seeded doc refused admission (Jaccard 1.0)
+    assert not (copy_ids & ids)

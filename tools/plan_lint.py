@@ -98,6 +98,9 @@ GLOBAL_WINDOW_OK = {
         "trend/cum windows over the month-grain post-agg series",
     "orders_open_backlog_daily":
         "prefix sum over the day-grain delta series (sweepline)",
+    "pipeline_packing_efficiency_curve":
+        "NTILE quartet over the doc-length projection (doc-grain; binned "
+        "histogram cuts at 1e9+ docs, noted on the query)",
 }
 
 
