@@ -228,6 +228,8 @@ HEADLINE = [
     "quality_dup_cluster_size_distribution",
     "dedup_cross_source_overlap",
     "privacy_k_anonymity_audit",
+    "text_tokenizer_fertility_by_lang",
+    "pipeline_packing_efficiency_curve",
 ]
 
 

@@ -1535,3 +1535,60 @@ def load_restore_version(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "id", F.round("totalprice", 2).alias("totalprice"), "status"
     )
+
+
+# ------------------------------------------ round 5: audit-on-write
+@register(
+    "load_observed_write_metrics",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_null_value,
+           CAST(ROUND(CAST(SUM(value) AS DECIMAL(38,8)), 2) AS DOUBLE)
+               AS sum_value,
+           CAST(MIN(user_id) AS BIGINT) AS min_user,
+           CAST(MAX(user_id) AS BIGINT) AS max_user
+    FROM events
+    WHERE event_type = 'purchase'
+    """,
+    description="Audit-on-write via the Observation API: the quality "
+    "telemetry (row count, null count, value sum, user-id bounds) is "
+    "computed BY the zone write's own scan — df.observe() attaches the "
+    "aggregates to the frame and the write action itself populates "
+    "them, so a 100 TB ingest emits its batch metrics for exactly zero "
+    "extra passes. The reference instead re-reads records per check "
+    "(src/quality/data_quality.py:345-349) — a second full scan per "
+    "rule. The returned row is the observation read back AFTER the "
+    "write committed; the oracle recomputes the same aggregates "
+    "independently, proving observed == recomputed.",
+)
+def load_observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.quality import with_observed_metrics
+
+    ev = (
+        table(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select("event_id", "user_id", "value")
+    )
+    observed, obs = with_observed_metrics(
+        ev,
+        "write_audit",
+        {
+            "n_rows": F.count(F.lit(1)).cast("bigint"),
+            "n_null_value": F.sum(
+                F.when(F.col("value").isNull(), 1).otherwise(0)
+            ).cast("bigint"),
+            "sum_value": dround(F.sum("value"), 2),
+            "min_user": F.min("user_id").cast("bigint"),
+            "max_user": F.max("user_id").cast("bigint"),
+        },
+    )
+    store = ZoneStore(spark, scratch_dir("zs_obs_"))
+    store.write(DataZone.BRONZE, "purchases", observed, LoadType.FULL)
+    m = obs.get
+    return spark.createDataFrame(
+        [(m["n_rows"], m["n_null_value"], m["sum_value"], m["min_user"],
+          m["max_user"])],
+        "n_rows bigint, n_null_value bigint, sum_value double, "
+        "min_user bigint, max_user bigint",
+    )
