@@ -324,9 +324,10 @@ def _clusters_oracle() -> str:
     "dedup_duplicate_clusters",
     oracle=_clusters_oracle(),
     description="Duplicate clusters: near-dup similarity isn't transitive, "
-    "so LSH pairs feed min-label propagation to a fixpoint (connected "
-    "components; iterative DataFrame joins, O(diameter) rounds) — keep one "
-    "doc per cluster. Oracle recomputes components with a recursive CTE.",
+    "so LSH pairs feed min-label propagation with pointer doubling to a "
+    "fixpoint (connected components; iterative DataFrame joins, "
+    "O(log diameter) rounds) — keep one doc per cluster. Oracle "
+    "recomputes components with a recursive CTE.",
 )
 def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)

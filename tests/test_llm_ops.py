@@ -204,6 +204,29 @@ def test_connected_components_transitive_closure(spark):
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}  # chain 1-2-3 merges
 
 
+def test_star_components_unconverged_chain_regression(spark):
+    """Round-5 regression: a 30-node chain with max_iter=1 exhausts the
+    star budget, forcing the pointer-jumping fallback. The bug was (a) the
+    jump loop reusing max_iter as its budget and (b) roots derived as ALL
+    distinct targets — doc 26 came back labeled {22, 26}. The fallback is
+    the 100 TB iteration-budget path, so it must resolve to exactly one
+    label per doc; on a chain the resolved label is the true component
+    minimum as well."""
+    import warnings
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(30)], "id_a long, id_b long"
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        out = D.connected_components_star(chain, max_iter=1).collect()
+    per: dict = {}
+    for r in out:
+        per.setdefault(r.doc_id, set()).add(r.cluster_id)
+    assert len(per) == 31
+    assert all(cs == {0} for cs in per.values()), per
+
+
 def test_scd2_merge_lifecycle(spark):
     from healthcare_data_lakehouse_spark.scd import scd2_initial, scd2_merge
 
@@ -1120,7 +1143,6 @@ def test_dup_cluster_distribution_accounts_for_every_doc(spark, sf_dir):
     n_docs = _docs_with_dups(spark, sf_dir, 10).count()
     assert sum(r.n_docs for r in rows) == n_docs
     for r in rows:
-        assert r.n_docs == r.k * r.n_groups if hasattr(r, "k") else True
         assert r.n_docs == r.n_copies * r.n_clusters
         assert r.redundant_docs == (r.n_copies - 1) * r.n_clusters
     # injected copies (mod 10) guarantee clusters of size exactly 2

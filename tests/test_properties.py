@@ -6,7 +6,7 @@ from __future__ import annotations
 import pytest
 
 try:
-    from hypothesis import HealthCheck, given, settings
+    from hypothesis import HealthCheck, example, given, settings
     from hypothesis import strategies as st
 except ImportError:  # pragma: no cover
     pytest.skip("hypothesis not installed", allow_module_level=True)
@@ -83,6 +83,13 @@ def test_trim_strings_fixpoint(spark, rows):
 
 
 # ---------------------------------------------------------------- graphs
+# Pinned falsifying shapes (hypothesis rotates examples each run because
+# .hypothesis/ is gitignored — these keep the round-5 regression visible
+# on every run): a deep chain defeats a 1-round star budget, a cycle
+# exercises the symmetric-edge path.
+CHAIN_30 = [(i, i + 1) for i in range(30)]
+CYCLE_12 = [(i, (i + 1) % 12) for i in range(12)]
+
 edges_st = st.lists(
     st.tuples(
         st.integers(min_value=0, max_value=30),
@@ -113,6 +120,8 @@ def _union_find_components(edges):
 
 
 @given(edges=edges_st)
+@example(edges=CHAIN_30)
+@example(edges=CYCLE_12)
 @settings(max_examples=8, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 def test_connected_components_both_algorithms_match_union_find(spark, edges):
@@ -169,6 +178,8 @@ def test_running_sum_over_matches_python_prefix_sum(spark, rows, n_parts):
 
 
 @given(edges=edges_st)
+@example(edges=CHAIN_30)
+@example(edges=CYCLE_12)
 @settings(max_examples=6, deadline=None,
           suppress_health_check=[HealthCheck.too_slow])
 def test_star_components_unique_label_even_unconverged(spark, edges):
