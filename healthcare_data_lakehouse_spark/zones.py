@@ -126,6 +126,61 @@ class ZoneStore:
             json.dump(manifest, f)
         os.replace(tmp, os.path.join(path, self.MANIFEST))
 
+    def _stage_commit(
+        self,
+        path: str,
+        df: DataFrame,
+        partition_columns: list[str] | None,
+    ) -> str:
+        """Write commit data to a uniquely-named staging directory. Racing
+        writers each get their own staging dir, so the (long) Spark write
+        can never clobber another writer's already-published files — the
+        bug with writing straight to ``c{V+1}`` in overwrite mode was that
+        the OCC loser overwrote the winner's data before the publish-time
+        version check raised."""
+        import uuid
+
+        staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+        writer = df.write.mode("overwrite")
+        if partition_columns:
+            writer = writer.partitionBy(*partition_columns)
+        writer.parquet(staging)
+        return staging
+
+    def _publish_commit(self, path: str, staging: str, version: int) -> str:
+        """Atomically claim commit slot ``c{version}`` by renaming the
+        staging dir onto it. POSIX rename onto an existing non-empty
+        directory fails (and commit dirs are never empty), so this is an
+        effective create-if-absent: of two racers that both passed the
+        manifest check, exactly one rename succeeds — the same role
+        Delta's LogStore put-if-absent plays. A commit dir orphaned by a
+        crash between publish and manifest write is unreferenced and
+        reclaimed by :meth:`vacuum`."""
+        commit = f"c{version:06d}"
+        try:
+            os.rename(staging, os.path.join(path, commit))
+        except OSError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise ConcurrentModificationError(
+                f"commit slot {commit} in {path} already claimed by a "
+                "concurrent writer — re-read and retry"
+            ) from None
+        return commit
+
+    def _check_unchanged(
+        self, path: str, expected_version: int, op: str
+    ) -> None:
+        """Commit-time OCC revalidation shared by every rewrite path: the
+        manifest read at operation entry must still be current immediately
+        before publish, else a commit that landed during the (long) Spark
+        rewrite would be silently dropped from the new commit list."""
+        fresh = self._read_manifest(path)
+        if fresh["version"] != expected_version:
+            raise ConcurrentModificationError(
+                f"{path} advanced to version {fresh['version']} during "
+                f"{op} (writer read {expected_version}) — re-read and retry"
+            )
+
     def _new_commit(
         self,
         path: str,
@@ -135,12 +190,8 @@ class ZoneStore:
     ) -> str:
         if version is None:
             version = self._read_manifest(path)["version"] + 1
-        commit = f"c{version:06d}"
-        writer = df.write.mode("overwrite")
-        if partition_columns:
-            writer = writer.partitionBy(*partition_columns)
-        writer.parquet(os.path.join(path, commit))
-        return commit
+        staging = self._stage_commit(path, df, partition_columns)
+        return self._publish_commit(path, staging, version)
 
     # ------------------------------------------------------------------- read
     def exists(self, zone: DataZone, dataset: str) -> bool:
@@ -255,26 +306,25 @@ class ZoneStore:
             n = out.count()
             if n == 0 and not replace:
                 return 0
-            commit = self._new_commit(
-                path, out, partition_columns, version=manifest["version"] + 1
-            )
-            # Commit-time revalidation: the entry check above is
-            # check-then-act; a writer that committed while our Spark write
-            # was in flight would otherwise be silently overwritten by the
-            # stale manifest below. Re-read and compare immediately before
-            # publishing. (A conflicting commit landing inside this final
-            # read→replace window can still race across processes — a true
-            # CAS needs a lock service or an atomic create-if-absent log,
-            # which is exactly what Delta's LogStore provides on real
-            # storage. The orphaned commit dir from a detected conflict is
-            # unreferenced and reclaimed by vacuum-style cleanup.)
-            fresh = self._read_manifest(path)
-            if fresh["version"] != manifest["version"]:
-                raise ConcurrentModificationError(
-                    f"{zone.value}/{dataset} advanced to version "
-                    f"{fresh['version']} during the write (writer read "
-                    f"{manifest['version']}) — re-read and retry"
+            # Stage to a unique dir, revalidate the manifest, THEN claim
+            # the commit slot by atomic rename. The entry check above is
+            # check-then-act; a writer that committed while our Spark
+            # write was in flight would otherwise be silently overwritten
+            # by the stale manifest below. The rename itself is
+            # create-if-absent (see _publish_commit), so even two writers
+            # that both pass this revalidation cannot clobber each
+            # other's data — at most one publishes c{V+1}.
+            staging = self._stage_commit(path, out, partition_columns)
+            try:
+                self._check_unchanged(
+                    path, manifest["version"], f"write {zone.value}/{dataset}"
                 )
+            except ConcurrentModificationError:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
+            commit = self._publish_commit(
+                path, staging, manifest["version"] + 1
+            )
             manifest["version"] += 1
             if replace:
                 manifest["commits"] = [commit]
@@ -495,10 +545,12 @@ class ZoneStore:
         removed = 0
         for entry in list(os.listdir(path)):
             full = os.path.join(path, entry)
-            if (
-                os.path.isdir(full)
-                and entry.startswith("c")
-                and entry not in live
+            if not os.path.isdir(full):
+                continue
+            # also reclaim staging dirs orphaned by a writer that crashed
+            # mid-stage (they are never referenced by any manifest)
+            if entry.startswith("_staging_") or (
+                entry.startswith("c") and entry not in live
             ):
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
@@ -528,6 +580,9 @@ class ZoneStore:
                 f"{zone.value}/{dataset} (have: {sorted(history)})"
             )
         commits = list(history[str(version)])
+        # Metadata-only, but still a rewrite of the commit list — a commit
+        # landing between the entry read and this publish would be lost.
+        self._check_unchanged(path, manifest["version"], "RESTORE")
         manifest["version"] += 1
         manifest["commits"] = commits
         history[str(manifest["version"])] = list(commits)
@@ -786,11 +841,17 @@ class ZoneStore:
         )
         new_commits = list(untouched)
         if kept.count() > 0:
+            staging = self._stage_commit(path, kept, None)
+            try:
+                self._check_unchanged(path, manifest["version"], "DELETE")
+            except ConcurrentModificationError:
+                shutil.rmtree(staging, ignore_errors=True)
+                raise
             new_commits.append(
-                self._new_commit(
-                    path, kept, None, version=manifest["version"] + 1
-                )
+                self._publish_commit(path, staging, manifest["version"] + 1)
             )
+        else:
+            self._check_unchanged(path, manifest["version"], "DELETE")
         manifest["version"] += 1
         manifest["commits"] = new_commits
         manifest.setdefault("history", {})[str(manifest["version"])] = list(
@@ -862,8 +923,14 @@ class ZoneStore:
                 f"constraints: {detail}"
             )
         new_commits = list(untouched)
+        staging = self._stage_commit(path, out, None)
+        try:
+            self._check_unchanged(path, manifest["version"], "UPDATE")
+        except ConcurrentModificationError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
         new_commits.append(
-            self._new_commit(path, out, None, version=manifest["version"] + 1)
+            self._publish_commit(path, staging, manifest["version"] + 1)
         )
         manifest["version"] += 1
         manifest["commits"] = new_commits
@@ -913,7 +980,13 @@ class ZoneStore:
         files_before, bytes_before = _stats(manifest["commits"])
         n_files = max(1, math.ceil(bytes_before / target_file_bytes))
         df = self.read(zone, dataset).repartition(n_files)
-        commit = self._new_commit(path, df, None)
+        staging = self._stage_commit(path, df, None)
+        try:
+            self._check_unchanged(path, manifest["version"], "OPTIMIZE")
+        except ConcurrentModificationError:
+            shutil.rmtree(staging, ignore_errors=True)
+            raise
+        commit = self._publish_commit(path, staging, manifest["version"] + 1)
         manifest["version"] += 1
         stale = list(manifest["commits"])
         manifest["commits"] = [commit]

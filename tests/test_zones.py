@@ -2,6 +2,7 @@
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 import pytest
@@ -601,26 +602,121 @@ def test_write_detects_conflict_landing_during_spark_write(
     df = spark.createDataFrame([Row(id=1, v=1)])
     store.write(DataZone.SILVER, "t", df, LoadType.FULL)  # -> v1
 
-    orig = ZoneStore._new_commit
+    racer_df = spark.createDataFrame([Row(id=99, v=99)])
+    orig = ZoneStore._stage_commit
 
-    def racing_commit(self, path, d, pc, version=None):
-        commit = orig(self, path, d, pc, version)
-        # simulate another process committing between our file write and
-        # our manifest publish
+    def racing_stage(self, path, d, pc):
+        staging = orig(self, path, d, pc)
+        # a REAL concurrent commit (data files + manifest bump) landing
+        # while our parquet write is in flight — ADVICE r5: the earlier
+        # simulation bumped only the version, which missed the loser
+        # overwriting the winner's already-committed c{V+1} files
         m = self._read_manifest(path)
-        m["version"] += 1
-        m.setdefault("history", {})[str(m["version"])] = list(m["commits"])
+        v = m["version"] + 1
+        racer_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"c{v:06d}")
+        )
+        m["version"] = v
+        m["commits"].append(f"c{v:06d}")
+        m.setdefault("history", {})[str(v)] = list(m["commits"])
         self._write_manifest(path, m)
-        return commit
+        return staging
 
-    monkeypatch.setattr(ZoneStore, "_new_commit", racing_commit)
+    monkeypatch.setattr(ZoneStore, "_stage_commit", racing_stage)
     with _pytest.raises(ConcurrentModificationError, match="advanced"):
         store.write(
             DataZone.SILVER, "t", df, LoadType.APPEND, expected_version=1
         )
-    monkeypatch.setattr(ZoneStore, "_new_commit", orig)
-    # losing writer published nothing: data unchanged
-    assert store.read(DataZone.SILVER, "t").count() == 1
+    monkeypatch.setattr(ZoneStore, "_stage_commit", orig)
+    # the WINNER's commit survives byte-for-byte: the loser staged to its
+    # own unique dir, so c000002 was never overwritten
+    got = {r.id: r.v for r in store.read(DataZone.SILVER, "t").collect()}
+    assert got == {1: 1, 99: 99}
+    # the loser's staging dir was cleaned up on abort
+    path = store.dataset_path(DataZone.SILVER, "t")
+    assert not [e for e in os.listdir(path) if e.startswith("_staging_")]
+
+
+def test_publish_commit_is_create_if_absent(spark, tmp_path):
+    # Two writers can both pass the manifest revalidation inside the race
+    # window; the directory rename must then act as a put-if-absent so at
+    # most one claims c{V+1} and the winner's files are never clobbered.
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        ConcurrentModificationError, DataZone, LoadType, ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    store.write(
+        DataZone.SILVER, "t", spark.createDataFrame([Row(id=1)]),
+        LoadType.FULL,
+    )
+    path = store.dataset_path(DataZone.SILVER, "t")
+    # winner already claimed c000002
+    spark.createDataFrame([Row(id=2)]).write.parquet(
+        os.path.join(path, "c000002")
+    )
+    staging = store._stage_commit(
+        path, spark.createDataFrame([Row(id=3)]), None
+    )
+    with _pytest.raises(ConcurrentModificationError, match="claimed"):
+        store._publish_commit(path, staging, 2)
+    # winner's files intact, loser's staging removed
+    assert {
+        r.id
+        for r in spark.read.parquet(os.path.join(path, "c000002")).collect()
+    } == {2}
+    assert not os.path.exists(staging)
+
+
+@pytest.mark.parametrize("op", ["update", "delete", "compact"])
+def test_rewrite_paths_detect_concurrent_commit(
+    spark, tmp_path, monkeypatch, op
+):
+    # ADVICE r5: update_set / delete_where / compact read the manifest
+    # once, run a long Spark rewrite, then published blindly — a commit
+    # landing during the rewrite was silently dropped (lost update).
+    import pytest as _pytest
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        ConcurrentModificationError, DataZone, LoadType, ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    store.write(
+        DataZone.SILVER, "t",
+        spark.createDataFrame([Row(id=1, v=5), Row(id=2, v=7)]),
+        LoadType.FULL,
+    )
+    racer_df = spark.createDataFrame([Row(id=99, v=99)])
+    orig = ZoneStore._stage_commit
+
+    def racing_stage(self, path, d, pc):
+        staging = orig(self, path, d, pc)
+        m = self._read_manifest(path)
+        v = m["version"] + 1
+        racer_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"c{v:06d}")
+        )
+        m["version"] = v
+        m["commits"].append(f"c{v:06d}")
+        m.setdefault("history", {})[str(v)] = list(m["commits"])
+        self._write_manifest(path, m)
+        return staging
+
+    monkeypatch.setattr(ZoneStore, "_stage_commit", racing_stage)
+    with _pytest.raises(ConcurrentModificationError, match="advanced"):
+        if op == "update":
+            store.update_set(DataZone.SILVER, "t", "id = 2", {"v": "9"})
+        elif op == "delete":
+            store.delete_where(DataZone.SILVER, "t", "id = 2")
+        else:
+            store.compact(DataZone.SILVER, "t")
+    monkeypatch.setattr(ZoneStore, "_stage_commit", orig)
+    # racer's commit survives; no partial rewrite published
+    got = {r.id: r.v for r in store.read(DataZone.SILVER, "t").collect()}
+    assert got == {1: 5, 2: 7, 99: 99}
 
 
 def test_delete_where_pruning_survives_statless_empty_commit(spark, tmp_path):
