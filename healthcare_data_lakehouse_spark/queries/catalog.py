@@ -83,35 +83,42 @@ PRIORITY = [
     "percentile_order_value_by_segment",
     "orders_cohort_ltv",
     "finance_price_volume_bridge",
-    "events_json_kpis",
-    "skew_salted_join_event_kpis",
-    "pivot_returnflag_by_linestatus",
-    # Representatives + round-4/5-new rotation. The driver samples the
-    # FIRST 50 catalog entries — the §2 parity surface and previously-red
-    # queries above stay pinned; the remaining slots rotate RECENTLY ADDED
-    # families (write surface, rank stats, attribution, forecasting) into
-    # the sampled window so driver verification keeps covering new code.
-    # The full TPC-H Q1-Q22 sweep and every LLM-pipeline family are
-    # verified by tools/compare.py and pytest every round regardless.
-    "tpch_q1_pricing_summary",
-    "dedup_minhash_lsh_pairs",
-    "similarity_cosine_top10",
-    # round-4-new write surface (exercises the round-5 ZoneStore
-    # hardening: UPDATE constraint gate, MERGE dup-source check, OCC)
+    # (events_json_kpis, skew_salted_join_event_kpis and
+    # pivot_returnflag_by_linestatus rotated out in round 6: green since
+    # round 3 and still verified by the full compare.py sweep each round)
+    # Round-6 rotation. The driver samples the FIRST 50 catalog entries —
+    # the §2 parity surface and previously-red queries above stay pinned;
+    # the remaining slots rotate (a) queries whose CODE PATHS were
+    # rewritten this round or last, so oracle parity after a rewrite is
+    # evidenced in the committed driver record (ADVICE r5), and (b)
+    # recently added queries. The full TPC-H Q1-Q22 sweep and every
+    # LLM-pipeline family are verified by tools/compare.py and pytest
+    # every round regardless.
+    # -- zone-write surface over the round-6 OCC rework (staged commits,
+    #    rename-publish, revalidation in update/delete/compact/restore)
     "load_delete_where",
     "load_update_set",
-    "load_constraint_enforcement",
-    "load_merge_full_clauses",
     "load_restore_version",
-    # round-4-new stats / attribution / forecasting
-    "stats_mann_whitney_u",
-    "stats_spearman_rank_corr",
-    "events_attribution_first_vs_last",
-    "events_markov_removal_attribution",
-    "forecast_holt_winters_monthly",
-    # round-5-new representative (dedup_ground_truth_eval rotates out:
-    # independently verified green in rounds 4 and 5)
+    "storage_compact_vacuum_audit",
+    # -- rewritten in round 5, rotated in per ADVICE r5 (single-scan
+    #    complement moments / hybrid HOF+salted copartition)
+    "stats_benjamini_hochberg",
+    "graph_supplier_copart_pairs",
+    # -- rewritten in round 6: pointer-doubling propagation + fixed
+    #    star fallback
+    "dedup_duplicate_clusters",
+    "dedup_clusters_star",
+    # -- round-5-new
     "text_unigram_kl_by_source",
+    "load_observed_write_metrics",
+    "quality_dup_cluster_size_distribution",
+    "dedup_cross_source_overlap",
+    "text_tokenizer_fertility_by_lang",
+    "pipeline_packing_efficiency_curve",
+    "privacy_k_anonymity_audit",
+    "streaming_neardup_admission_gate",
+    # -- round-6-new
+    "text_bpe_merge_rounds",
 ]
 
 

@@ -1730,6 +1730,133 @@ def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# -------------------------------------------------- BPE merge rounds
+_BPE_SEP = "\x1f"  # unit separator: absent from document text
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle(n_rounds: int) -> str:
+    """Unrolled-CTE oracle for the iterative BPE merge loop (the
+    kmeans_embeddings_lloyd pattern): each round counts symbol pairs over
+    the word-frequency table, picks the top pair (count desc, then left/
+    right symbol), and applies the merge via the double-separator string
+    encoding — ``replace(s, SEP a SEP SEP b SEP, SEP ab SEP)`` is exactly
+    the greedy left-to-right non-overlapping BPE merge, because the
+    interior ``SEP SEP`` delimiter donates one SEP to each of two
+    adjacent matches while symbol-boundary SEPs make partial-symbol
+    matches impossible."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    ctes = [
+        f"""w0 AS (
+        SELECT {sep} || array_to_string(string_split(t.tok, ''), {sep2})
+                 || {sep} AS s,
+               COUNT(*) AS freq
+        FROM (SELECT string_split(text, ' ') AS tl FROM documents),
+             UNNEST(tl) AS t(tok)
+        WHERE t.tok <> ''
+        GROUP BY t.tok
+    )"""
+    ]
+    for k in range(1, n_rounds + 1):
+        ctes.append(f"""p{k} AS (
+        SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS n
+        FROM (SELECT string_split(trim(s, chr(31)), {sep2}) AS l, freq
+              FROM w{k - 1}),
+             UNNEST(range(1, len(l))) AS u(i)
+        WHERE len(l) >= 2
+        GROUP BY 1, 2
+    )""")
+        ctes.append(
+            f"b{k} AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM p{k} "
+            "ORDER BY n DESC, a, b LIMIT 1)"
+        )
+        ctes.append(f"""w{k} AS (
+        SELECT replace(w.s, {sep}||b.a||{sep2}||b.b||{sep},
+                       {sep}||b.a||b.b||{sep}) AS s, w.freq
+        FROM w{k - 1} w CROSS JOIN b{k} b
+    )""")
+    selects = "\n    UNION ALL ".join(
+        f"SELECT CAST({k} AS INTEGER) AS merge_round, a AS left_sym, "
+        f"b AS right_sym, n AS pair_freq FROM b{k}"
+        for k in range(1, n_rounds + 1)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes)
+        + f"\n    SELECT * FROM ({selects}) ORDER BY merge_round"
+    )
+
+
+@register(
+    "text_bpe_merge_rounds",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    description="An actual BPE tokenizer-training loop, not just one "
+    "round of pair counts: 6 iterative merge rounds over the word-"
+    "frequency table — count adjacent symbol pairs (corpus-weighted), "
+    "merge the argmax pair everywhere, re-count. Words are encoded as "
+    "separator-delimited symbol strings so the merge is ONE map-side "
+    "replace() per round (no re-tokenization scan); per-round cost is "
+    "one vocab-sized groupBy plus a top-1 collect (metadata-scale). The "
+    "oracle unrolls all 6 rounds as CTEs, pinning every intermediate "
+    "argmax and the greedy non-overlapping merge semantics.",
+)
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sep, sep2 = _BPE_SEP, _BPE_SEP + _BPE_SEP
+    words = (
+        docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            F.concat(
+                F.lit(sep), F.array_join(F.split("w", ""), sep2), F.lit(sep)
+            ).alias("s"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for k in range(1, _BPE_ROUNDS + 1):
+        pairs = (
+            words.withColumn(
+                "l", F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
+            )
+            .filter(F.size("l") >= 2)
+            .select(
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(l) - 1), "
+                        "i -> struct(l[i-1] AS a, l[i] AS b))"
+                    )
+                ).alias("p"),
+                "freq",
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("n"))
+        )
+        # top-1 merge selection: a 1-row collect (metadata scale), same
+        # convergence-scalar pattern as the k-means / pagerank loops
+        best = pairs.orderBy(F.col("n").desc(), "a", "b").first()
+        if best is None:  # pragma: no cover - corpus of 1-char words
+            break
+        merges.append((k, best.a, best.b, int(best.n)))
+        # localCheckpoint: each round's replace materializes, keeping the
+        # per-round plan constant-depth instead of stacking k replaces
+        words = words.withColumn(
+            "s",
+            F.replace(
+                F.col("s"),
+                F.lit(sep + best.a + sep2 + best.b + sep),
+                F.lit(sep + best.a + best.b + sep),
+            ),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_round int, left_sym string, right_sym string, pair_freq long",
+    )
+
+
 # --------------------------------------- composite curation pipeline
 _SCORE_SQL = """
     ROUND(0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
