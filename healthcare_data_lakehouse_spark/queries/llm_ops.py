@@ -1787,37 +1787,31 @@ def _bpe_oracle(n_rounds: int) -> str:
     )
 
 
-@register(
-    "text_bpe_merge_rounds",
-    oracle=_bpe_oracle(_BPE_ROUNDS),
-    description="An actual BPE tokenizer-training loop, not just one "
-    "round of pair counts: 6 iterative merge rounds over the word-"
-    "frequency table — count adjacent symbol pairs (corpus-weighted), "
-    "merge the argmax pair everywhere, re-count. Words are encoded as "
-    "separator-delimited symbol strings so the merge is ONE map-side "
-    "replace() per round (no re-tokenization scan); per-round cost is "
-    "one vocab-sized groupBy plus a top-1 collect (metadata-scale). The "
-    "oracle unrolls all 6 rounds as CTEs, pinning every intermediate "
-    "argmax and the greedy non-overlapping merge semantics.",
-)
-def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
+def _bpe_encode_col(w) -> "F.Column":
+    """Word -> double-separator symbol-string encoding."""
     sep, sep2 = _BPE_SEP, _BPE_SEP + _BPE_SEP
+    return F.concat(
+        F.lit(sep), F.array_join(F.split(w, ""), sep2), F.lit(sep)
+    )
+
+
+def _bpe_learn(
+    spark: SparkSession, sf_dir: str, n_rounds: int
+) -> list[tuple[int, str, str, int]]:
+    """Run ``n_rounds`` of BPE merge learning over the corpus-wide word-
+    frequency table; returns [(round, left, right, pair_freq)]."""
+    sep, sep2 = _BPE_SEP, _BPE_SEP + _BPE_SEP
+    docs = table(spark, sf_dir, "documents")
     words = (
         docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
         .filter(F.col("w") != "")
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            F.concat(
-                F.lit(sep), F.array_join(F.split("w", ""), sep2), F.lit(sep)
-            ).alias("s"),
-            "freq",
-        )
+        .select(_bpe_encode_col(F.col("w")).alias("s"), "freq")
         .localCheckpoint()
     )
     merges: list[tuple[int, str, str, int]] = []
-    for k in range(1, _BPE_ROUNDS + 1):
+    for k in range(1, n_rounds + 1):
         pairs = (
             words.withColumn(
                 "l", F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
@@ -1851,9 +1845,145 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(sep + best.a + best.b + sep),
             ),
         ).localCheckpoint()
+    return merges
+
+
+@register(
+    "text_bpe_merge_rounds",
+    oracle=_bpe_oracle(_BPE_ROUNDS),
+    description="An actual BPE tokenizer-training loop, not just one "
+    "round of pair counts: 6 iterative merge rounds over the word-"
+    "frequency table — count adjacent symbol pairs (corpus-weighted), "
+    "merge the argmax pair everywhere, re-count. Words are encoded as "
+    "separator-delimited symbol strings so the merge is ONE map-side "
+    "replace() per round (no re-tokenization scan); per-round cost is "
+    "one vocab-sized groupBy plus a top-1 collect (metadata-scale). The "
+    "oracle unrolls all 6 rounds as CTEs, pinning every intermediate "
+    "argmax and the greedy non-overlapping merge semantics.",
+)
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merges = _bpe_learn(spark, sf_dir, _BPE_ROUNDS)
     return spark.createDataFrame(
         merges,
         "merge_round int, left_sym string, right_sym string, pair_freq long",
+    )
+
+
+def _bpe_encode_oracle(n_rounds: int) -> str:
+    """Oracle for the ENCODE side: learn merges corpus-wide (same CTE
+    chain as :func:`_bpe_oracle`), then apply them in learned order to a
+    per-language word-frequency table and aggregate token statistics."""
+    sep = "chr(31)"
+    sep2 = f"{sep}||{sep}"
+    learn = _bpe_oracle(n_rounds)
+    learn_ctes = learn[len("WITH ") : learn.rindex("\n    SELECT")]
+    apply_ctes = [
+        f"""wl0 AS (
+        SELECT lang,
+               {sep} || array_to_string(string_split(t.tok, ''), {sep2})
+                 || {sep} AS s,
+               COUNT(*) AS freq, length(t.tok) AS wchars
+        FROM (SELECT lang, string_split(text, ' ') AS tl FROM documents),
+             UNNEST(tl) AS t(tok)
+        WHERE t.tok <> ''
+        GROUP BY lang, t.tok
+    )"""
+    ]
+    for k in range(1, n_rounds + 1):
+        apply_ctes.append(f"""wl{k} AS (
+        SELECT w.lang,
+               replace(w.s, {sep}||b.a||{sep2}||b.b||{sep},
+                       {sep}||b.a||b.b||{sep}) AS s,
+               w.freq, w.wchars
+        FROM wl{k - 1} w CROSS JOIN b{k} b
+    )""")
+    fertility = dround_sql(
+        "CAST(SUM(freq * ntok) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE)", 6
+    )
+    compression = dround_sql(
+        "CAST(SUM(freq * wchars) AS DOUBLE) / CAST(SUM(freq * ntok) AS DOUBLE)",
+        6,
+    )
+    applied = ",\n    ".join(apply_ctes)
+    return f"""WITH {learn_ctes},
+    {applied},
+    toks AS (
+        SELECT lang, freq, wchars,
+               len(string_split(trim(s, chr(31)), {sep2})) AS ntok
+        FROM wl{n_rounds}
+    )
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(freq * wchars) AS BIGINT) AS n_chars,
+           CAST(SUM(freq * ntok) AS BIGINT) AS bpe_tokens,
+           {fertility} AS fertility,
+           {compression} AS chars_per_token
+    FROM toks GROUP BY lang ORDER BY lang"""
+
+
+@register(
+    "text_bpe_encode_token_counts",
+    oracle=_bpe_encode_oracle(_BPE_ROUNDS),
+    description="The ENCODE side of the BPE loop: apply the 6 corpus-"
+    "learned merges in order to a per-language word-frequency table "
+    "(each application is one map-side replace — tokenizing the corpus "
+    "costs O(vocab) string work after the one word-count shuffle, never "
+    "a per-document scan per merge) and report per-language token "
+    "counts, fertility (tokens/word) and chars-per-token compression — "
+    "the metrics that decide whether a tokenizer under-serves a "
+    "language. Oracle re-learns the merges in unrolled CTEs and applies "
+    "them to the same per-language table.",
+)
+def text_bpe_encode_token_counts(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    sep, sep2 = _BPE_SEP, _BPE_SEP + _BPE_SEP
+    merges = _bpe_learn(spark, sf_dir, _BPE_ROUNDS)
+    docs = table(spark, sf_dir, "documents")
+    wl = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ", -1)).alias("w")
+        )
+        .filter(F.col("w") != "")
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "lang",
+            _bpe_encode_col(F.col("w")).alias("s"),
+            "freq",
+            F.length("w").alias("wchars"),
+        )
+    )
+    s = F.col("s")
+    for _, a, b, _n in merges:
+        s = F.replace(s, F.lit(sep + a + sep2 + b + sep), F.lit(sep + a + b + sep))
+    toks = (
+        wl.withColumn("s2", s)
+        .withColumn(
+            "ntok",
+            F.size(
+                F.split(F.expr("substring(s2, 2, length(s2) - 2)"), sep2)
+            ),
+        )
+    )
+    return (
+        toks.groupBy("lang")
+        .agg(
+            F.sum("freq").alias("n_words"),
+            F.sum(F.col("freq") * F.col("wchars")).alias("n_chars"),
+            F.sum(F.col("freq") * F.col("ntok")).alias("bpe_tokens"),
+            dround(
+                F.sum(F.col("freq") * F.col("ntok")).cast("double")
+                / F.sum("freq").cast("double"),
+                6,
+            ).alias("fertility"),
+            dround(
+                F.sum(F.col("freq") * F.col("wchars")).cast("double")
+                / F.sum(F.col("freq") * F.col("ntok")).cast("double"),
+                6,
+            ).alias("chars_per_token"),
+        )
+        .orderBy("lang")
     )
 
 
