@@ -230,6 +230,11 @@ HEADLINE = [
     "privacy_k_anonymity_audit",
     "text_tokenizer_fertility_by_lang",
     "pipeline_packing_efficiency_curve",
+    # round 6/7: flagship LLM-ops tokenizer primitives (VERDICT r6 ask #3)
+    "text_bpe_merge_rounds",
+    "text_bpe_encode_token_counts",
+    # round 7: make the CC pointer-doubling cost visible (VERDICT r6 ask #6)
+    "dedup_duplicate_clusters",
 ]
 
 

@@ -239,12 +239,17 @@ class HealthcareETLManager:
                     config, result.records_read, transformed, report
                 )
 
-            written = self.store.write(
-                config.target_zone,
-                config.source_name,
-                transformed,
-                load_type=config.load_type,
-                partition_columns=config.partition_columns or None,
+            # Bounded OCC retry: if a concurrent writer claims the commit
+            # slot during our (long) Spark write, re-read and re-attempt
+            # instead of failing the whole job run.
+            written = self.store.with_retry(
+                lambda: self.store.write(
+                    config.target_zone,
+                    config.source_name,
+                    transformed,
+                    load_type=config.load_type,
+                    partition_columns=config.partition_columns or None,
+                )
             )
             # records_written reports the promoted row count (reference
             # :330 counts the post-split batch, not the table delta).

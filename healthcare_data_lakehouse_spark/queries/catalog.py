@@ -100,12 +100,11 @@ PRIORITY = [
     "load_update_set",
     "load_restore_version",
     "storage_compact_vacuum_audit",
-    # -- rewritten in round 5, rotated in per ADVICE r5 (single-scan
-    #    complement moments / hybrid HOF+salted copartition)
-    "stats_benjamini_hochberg",
-    "graph_supplier_copart_pairs",
-    # -- rewritten in round 6: pointer-doubling propagation + fixed
-    #    star fallback
+    # (stats_benjamini_hochberg, graph_supplier_copart_pairs rotated out
+    # in round 7: r5 rewrites, green in the r6 driver window and in every
+    # full compare.py sweep since)
+    # -- rewritten again in round 7: round-1 doubling gate (propagation)
+    #    + converged-path roots fast path (star)
     "dedup_duplicate_clusters",
     "dedup_clusters_star",
     # -- round-5-new
@@ -117,8 +116,10 @@ PRIORITY = [
     "pipeline_packing_efficiency_curve",
     "privacy_k_anonymity_audit",
     "streaming_neardup_admission_gate",
-    # -- round-6-new
+    # -- round-6-new (encode side rotated in round 7 per ADVICE r6: it
+    #    landed in r6's final commit and missed the driver window)
     "text_bpe_merge_rounds",
+    "text_bpe_encode_token_counts",
 ]
 
 

@@ -159,7 +159,16 @@ class ZoneStore:
         commit = f"c{version:06d}"
         try:
             os.rename(staging, os.path.join(path, commit))
-        except OSError:
+        except OSError as exc:
+            # Only the exists-style errnos mean "slot already claimed".
+            # Anything else (ENOSPC, EACCES, EXDEV, ...) is a real I/O
+            # failure: re-raise it untouched and leave the staging dir on
+            # disk as diagnostic evidence — misreporting it as a conflict
+            # (and deleting the data) hid the actual cause.
+            import errno
+
+            if exc.errno not in (errno.EEXIST, errno.ENOTEMPTY):
+                raise
             shutil.rmtree(staging, ignore_errors=True)
             raise ConcurrentModificationError(
                 f"commit slot {commit} in {path} already claimed by a "
@@ -192,6 +201,27 @@ class ZoneStore:
             version = self._read_manifest(path)["version"] + 1
         staging = self._stage_commit(path, df, partition_columns)
         return self._publish_commit(path, staging, version)
+
+    def with_retry(self, op, max_attempts: int = 3):
+        """Bounded OCC retry loop (Delta parity: conflicting txns re-read
+        the log and re-attempt). ``op`` is a zero-argument callable that
+        performs ONE ZoneStore operation end-to-end; every ZoneStore
+        rewrite path re-reads the manifest at its own entry, so simply
+        re-invoking ``op`` gives each attempt a fresh snapshot. Returns
+        ``op()``'s result on the first attempt that commits; re-raises the
+        last :class:`ConcurrentModificationError` after ``max_attempts``
+        losses. Non-conflict exceptions propagate immediately — retrying
+        a constraint violation or I/O error would just repeat it."""
+        if max_attempts < 1:
+            raise ValueError("max_attempts must be >= 1")
+        last: ConcurrentModificationError | None = None
+        for _ in range(max_attempts):
+            try:
+                return op()
+            except ConcurrentModificationError as exc:
+                last = exc
+        assert last is not None
+        raise last
 
     # ------------------------------------------------------------------- read
     def exists(self, zone: DataZone, dataset: str) -> bool:
@@ -527,11 +557,25 @@ class ZoneStore:
         )
 
     def vacuum(
-        self, zone: DataZone, dataset: str, retain_last: int = 2
+        self,
+        zone: DataZone,
+        dataset: str,
+        retain_last: int = 2,
+        staging_retention_sec: float = 3600.0,
     ) -> dict:
         """Reclaim commit directories referenced only by versions older
         than the newest ``retain_last`` — bounding time-travel storage the
-        way Delta's ``VACUUM`` bounds tombstoned files. Returns stats."""
+        way Delta's ``VACUUM`` bounds tombstoned files. Returns stats.
+
+        Staging dirs (``_staging_*``) are live for the full duration of a
+        concurrent writer's Spark parquet write, so only those older than
+        ``staging_retention_sec`` (mtime-based, like Delta VACUUM's
+        retention window) are reclaimed — a racing vacuum must never
+        delete a healthy in-flight stage or race ``rmtree`` against a
+        finishing write (which would publish a commit with missing part
+        files)."""
+        import time
+
         path = self.dataset_path(zone, dataset)
         manifest = self._read_manifest(path)
         history: dict = manifest.get("history", {})
@@ -548,10 +592,19 @@ class ZoneStore:
             if not os.path.isdir(full):
                 continue
             # also reclaim staging dirs orphaned by a writer that crashed
-            # mid-stage (they are never referenced by any manifest)
-            if entry.startswith("_staging_") or (
-                entry.startswith("c") and entry not in live
-            ):
+            # mid-stage (they are never referenced by any manifest) — but
+            # only past the retention window: a young staging dir may be
+            # an in-flight concurrent write
+            if entry.startswith("_staging_"):
+                try:
+                    age = time.time() - os.path.getmtime(full)
+                except OSError:
+                    continue  # concurrently published/removed
+                if age < staging_retention_sec:
+                    continue
+                shutil.rmtree(full, ignore_errors=True)
+                removed += 1
+            elif entry.startswith("c") and entry not in live:
                 shutil.rmtree(full, ignore_errors=True)
                 removed += 1
         manifest["history"] = {str(v): history[str(v)] for v in keep_versions}

@@ -1224,3 +1224,27 @@ def test_packing_curve_waste_monotone_in_buckets(spark, sf_dir):
         >= rows[4].padded_tokens
         >= rows[8].padded_tokens
     )
+
+
+def test_bpe_encode_fertility_and_compression_invariants(spark):
+    """ADVICE r6: text_bpe_encode_token_counts had no pytest coverage.
+    Invariants: every word is at least one token (fertility >= 1), BPE
+    never produces more tokens than characters (bpe_tokens <= n_chars,
+    so chars_per_token >= 1), and merges only ever REDUCE the token
+    count from the char-level start (bpe_tokens <= n_chars exactly
+    captures that, since char-level tokenization has one token per
+    char)."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_bpe_encode_token_counts,
+    )
+
+    rows = text_bpe_encode_token_counts(
+        spark, "/root/testdata/sf0.001"
+    ).collect()
+    assert rows, "expected at least one language"
+    for r in rows:
+        assert r.n_words > 0
+        assert r.fertility >= 1.0, r
+        assert r.bpe_tokens <= r.n_chars, r
+        assert r.bpe_tokens >= r.n_words, r
+        assert r.chars_per_token >= 1.0, r

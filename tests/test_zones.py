@@ -766,3 +766,124 @@ def test_merge_into_rejects_duplicate_source_match(spark, tmp_path):
     )
     assert stats["inserted"] == 2
     assert store.read(DataZone.SILVER, "t").count() == 4
+
+
+def test_with_retry_loser_retries_and_both_commits_land(
+    spark, tmp_path, monkeypatch
+):
+    # VERDICT r6 ask #5: every rewrite path raises
+    # ConcurrentModificationError correctly, but callers had no retry
+    # story. The OCC loser must re-read and re-attempt; afterwards BOTH
+    # the racer's and the retried writer's rows are in the table.
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import (
+        ConcurrentModificationError, DataZone, LoadType, ZoneStore,
+    )
+
+    store = ZoneStore(spark, str(tmp_path))
+    store.write(
+        DataZone.SILVER, "t", spark.createDataFrame([Row(id=1, v=1)]),
+        LoadType.FULL,
+    )
+    racer_df = spark.createDataFrame([Row(id=99, v=99)])
+    orig = ZoneStore._stage_commit
+    raced = {"n": 0}
+
+    def racing_stage_once(self, path, d, pc):
+        staging = orig(self, path, d, pc)
+        if raced["n"] == 0:  # racer lands only during the FIRST attempt
+            raced["n"] += 1
+            m = self._read_manifest(path)
+            v = m["version"] + 1
+            racer_df.write.mode("overwrite").parquet(
+                os.path.join(path, f"c{v:06d}")
+            )
+            m["version"] = v
+            m["commits"].append(f"c{v:06d}")
+            m.setdefault("history", {})[str(v)] = list(m["commits"])
+            self._write_manifest(path, m)
+        return staging
+
+    monkeypatch.setattr(ZoneStore, "_stage_commit", racing_stage_once)
+    mine = spark.createDataFrame([Row(id=2, v=2)])
+    n = store.with_retry(
+        lambda: store.write(DataZone.SILVER, "t", mine, LoadType.APPEND)
+    )
+    assert n == 1
+    got = {r.id: r.v for r in store.read(DataZone.SILVER, "t").collect()}
+    assert got == {1: 1, 2: 2, 99: 99}  # both commits landed
+    # exhausted retries re-raise the conflict
+
+    def always_racing_stage(self, path, d, pc):
+        staging = orig(self, path, d, pc)
+        m = self._read_manifest(path)
+        m["version"] += 1
+        self._write_manifest(path, m)
+        return staging
+
+    monkeypatch.setattr(ZoneStore, "_stage_commit", always_racing_stage)
+    with pytest.raises(ConcurrentModificationError):
+        store.with_retry(
+            lambda: store.write(
+                DataZone.SILVER, "t", mine, LoadType.APPEND
+            ),
+            max_attempts=2,
+        )
+
+
+def test_vacuum_spares_young_staging_dirs(spark, tmp_path):
+    # ADVICE r6 (medium): vacuum unconditionally rmtree'd every
+    # _staging_* dir, racing live in-flight writes. Staging dirs younger
+    # than the retention window must survive; older ones are reclaimed.
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
+
+    store = ZoneStore(spark, str(tmp_path))
+    store.write(
+        DataZone.SILVER, "t", spark.createDataFrame([Row(id=1)]),
+        LoadType.FULL,
+    )
+    path = store.dataset_path(DataZone.SILVER, "t")
+    young = os.path.join(path, "_staging_young")
+    old = os.path.join(path, "_staging_old")
+    os.makedirs(young)
+    os.makedirs(old)
+    os.utime(old, (0, 0))  # epoch mtime — far past any retention window
+    stats = store.vacuum(DataZone.SILVER, "t")
+    assert os.path.isdir(young)  # in-flight stage untouched
+    assert not os.path.exists(old)  # orphan reclaimed
+    assert stats["removed_commits"] == 1
+    # explicit zero retention reclaims immediately (operator override)
+    store.vacuum(DataZone.SILVER, "t", staging_retention_sec=0.0)
+    assert not os.path.exists(young)
+
+
+def test_publish_commit_reraises_non_conflict_oserror(
+    spark, tmp_path, monkeypatch
+):
+    # ADVICE r6 (low): a bare OSError catch misreported ENOSPC/EACCES as
+    # "slot already claimed" and deleted the staged data — destroying the
+    # evidence. Non-conflict errnos must propagate with staging intact.
+    import errno as _errno
+    from pyspark.sql import Row
+    from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
+
+    store = ZoneStore(spark, str(tmp_path))
+    store.write(
+        DataZone.SILVER, "t", spark.createDataFrame([Row(id=1)]),
+        LoadType.FULL,
+    )
+    path = store.dataset_path(DataZone.SILVER, "t")
+    staging = store._stage_commit(
+        path, spark.createDataFrame([Row(id=2)]), None
+    )
+
+    def enospc_rename(src, dst):
+        raise OSError(_errno.ENOSPC, "No space left on device", dst)
+
+    monkeypatch.setattr(os, "rename", enospc_rename)
+    with pytest.raises(OSError) as exc_info:
+        store._publish_commit(path, staging, 2)
+    monkeypatch.undo()
+    assert exc_info.value.errno == _errno.ENOSPC
+    assert os.path.isdir(staging)  # evidence preserved, not deleted
