@@ -235,6 +235,16 @@ HEADLINE = [
     "text_bpe_encode_token_counts",
     # round 7: make the CC pointer-doubling cost visible (VERDICT r6 ask #6)
     "dedup_duplicate_clusters",
+    # round-7-new operators
+    "dedup_winnowing_fingerprints",
+    "dedup_threshold_sweep_pr",
+    "pipeline_shard_dup_leakage",
+    "text_script_mix_audit",
+    "pipeline_doremi_mixture_step",
+    "privacy_l_diversity_audit",
+    "dedup_minhash_band_planner",
+    "pipeline_embedding_decontamination",
+    "sample_leakage_free_split",
 ]
 
 

@@ -107,19 +107,26 @@ PRIORITY = [
     #    + converged-path roots fast path (star)
     "dedup_duplicate_clusters",
     "dedup_clusters_star",
-    # -- round-5-new
-    "text_unigram_kl_by_source",
-    "load_observed_write_metrics",
-    "quality_dup_cluster_size_distribution",
-    "dedup_cross_source_overlap",
-    "text_tokenizer_fertility_by_lang",
-    "pipeline_packing_efficiency_curve",
-    "privacy_k_anonymity_audit",
-    "streaming_neardup_admission_gate",
-    # -- round-6-new (encode side rotated in round 7 per ADVICE r6: it
-    #    landed in r6's final commit and missed the driver window)
-    "text_bpe_merge_rounds",
+    # (round-5-new batch — text_unigram_kl_by_source,
+    # load_observed_write_metrics, quality_dup_cluster_size_distribution,
+    # dedup_cross_source_overlap, text_tokenizer_fertility_by_lang,
+    # pipeline_packing_efficiency_curve, privacy_k_anonymity_audit,
+    # streaming_neardup_admission_gate — and text_bpe_merge_rounds rotated
+    # out in round 7: all evidenced green in CORRECTNESS_r06 and verified
+    # by every full compare.py sweep)
+    # -- round-6-new encode side, rotated in per ADVICE r6 (landed in
+    #    r6's final commit and missed the driver window)
     "text_bpe_encode_token_counts",
+    # -- round-7-new
+    "dedup_winnowing_fingerprints",
+    "dedup_threshold_sweep_pr",
+    "pipeline_shard_dup_leakage",
+    "text_script_mix_audit",
+    "pipeline_doremi_mixture_step",
+    "privacy_l_diversity_audit",
+    "dedup_minhash_band_planner",
+    "pipeline_embedding_decontamination",
+    "sample_leakage_free_split",
 ]
 
 

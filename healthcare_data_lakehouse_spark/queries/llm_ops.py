@@ -5292,3 +5292,798 @@ def pipeline_packing_efficiency_curve(
             ).alias("waste_ratio"),
         )
     )
+
+
+# =============================================================== round 7
+# Winnowing fingerprints, threshold-sweep PR, shard leakage, script audit,
+# and a DoReMi-style mixture reweighting step — all pure DataFrame plans.
+
+_WINNOW_K = 4  # word k-gram length
+_WINNOW_W = 4  # winnowing window (k-grams per window)
+_WINNOW_CAP = 50  # drop fingerprints shared by more docs (boilerplate)
+
+
+def _winnow_oracle() -> str:
+    k, w, cap = _WINNOW_K, _WINNOW_W, _WINNOW_CAP
+    return (
+        "WITH "
+        + _DOCS_DUPS_SQL.format(mod=25)
+        + f""",
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM docs),
+    kg AS (
+        SELECT doc_id, i,
+               {_H48.format(c=f"array_to_string(tl[i:i+{k - 1}], chr(31))")} AS h
+        FROM toks, UNNEST(range(1, len(tl) - {k} + 2)) AS u(i)
+        WHERE len(tl) >= {k}
+    ),
+    win AS (
+        SELECT doc_id, i,
+               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
+                   AS fp,
+               COUNT(*) OVER (PARTITION BY doc_id) AS m
+        FROM kg
+    ),
+    fps AS (
+        SELECT DISTINCT doc_id, fp FROM win
+        WHERE i <= greatest(m - {w} + 1, 1)
+    ),
+    keepfp AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {cap}),
+    ffps AS (SELECT f.doc_id, f.fp FROM fps f JOIN keepfp USING (fp)),
+    nf AS (SELECT doc_id, COUNT(*) AS nfp FROM ffps GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM ffps a JOIN ffps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    )
+    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
+           {dround_sql("CAST(n_shared AS DOUBLE) / least(na.nfp, nb.nfp)", 6)}
+               AS overlap
+    FROM shared
+    JOIN nf na ON na.doc_id = id_a
+    JOIN nf nb ON nb.doc_id = id_b
+    """
+    )
+
+
+@register(
+    "dedup_winnowing_fingerprints",
+    oracle=_winnow_oracle(),
+    description="Winnowing document fingerprints (Schleimer et al., "
+    "SIGMOD'03 — the MOSS algorithm): hash word 4-grams, slide a "
+    "4-hash window per doc and keep each window's minimum, giving a "
+    "~1/w-density fingerprint set with the guarantee that any shared "
+    "run of >= w+k-1 words yields a shared fingerprint. Candidate "
+    "pairs = docs sharing >= 2 fingerprints (equi-join on the "
+    "fingerprint hash — never all-pairs); ubiquitous fingerprints "
+    "(> 50 docs, boilerplate) are dropped before the join, exactly the "
+    "frequency cap MOSS applies, so no bucket goes quadratic at scale. "
+    "Complements dedup_span_duplication (all overlapping 8-gram "
+    "hashes): winnowing keeps 1/w of the positions, which is the "
+    "storage/shuffle budget that makes fingerprint dedup feasible at "
+    "100 TB.",
+)
+def dedup_winnowing_fingerprints(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    k, w, cap = _WINNOW_K, _WINNOW_W, _WINNOW_CAP
+    sep = "\x1f"
+    docs = _docs_with_dups(spark, sf_dir, 25)
+    base = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("tl")
+    ).filter(F.size("tl") >= k)
+    kg = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("tl") - k + 1)).alias("i"),
+        F.col("tl"),
+    ).select(
+        "doc_id",
+        "i",
+        D.token_hash48(
+            F.concat_ws(sep, F.slice(F.col("tl"), F.col("i"), k))
+        ).alias("h"),
+    )
+    per_doc = Window.partitionBy("doc_id")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    fps = (
+        kg.withColumn("fp", F.min("h").over(win))
+        .withColumn("m", F.count(F.lit(1)).over(per_doc))
+        .filter(F.col("i") <= F.greatest(F.col("m") - w + 1, F.lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    keep = (
+        fps.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .filter(F.col("n_docs") <= cap)
+        .select("fp")
+    )
+    ffps = fps.join(keep, "fp")
+    nf = ffps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
+    a, b = ffps.alias("a"), ffps.alias("b")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.fp") == F.col("b.fp"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
+    na = nf.select(F.col("doc_id").alias("id_a"), F.col("nfp").alias("nfp_a"))
+    nb = nf.select(F.col("doc_id").alias("id_b"), F.col("nfp").alias("nfp_b"))
+    return (
+        shared.join(na, "id_a")
+        .join(nb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            dround(
+                F.col("n_shared").cast("double")
+                / F.least("nfp_a", "nfp_b"),
+                6,
+            ).alias("overlap"),
+        )
+    )
+
+
+_SWEEP_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+
+
+def _threshold_sweep_oracle() -> str:
+    ctes, _ = _lsh_pairs_ctes()
+    ths = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
+    return f"""
+    WITH {ctes},
+    pairs AS (
+        SELECT id_a, id_b,
+               {dround_sql(
+                   "CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)", 6
+               )} AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    truth AS (
+        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+        FROM documents WHERE doc_id % 20 = 0
+    ),
+    flagged AS (
+        SELECT p.j,
+               CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_truth
+        FROM pairs p
+        LEFT JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b
+    ),
+    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+    sweep AS (
+        SELECT th.threshold,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(is_truth) AS BIGINT) AS n_truth_hit
+        FROM flagged, UNNEST([{ths}]) AS th(threshold)
+        WHERE j >= th.threshold
+        GROUP BY 1
+    )
+    SELECT CAST(threshold AS DOUBLE) AS threshold, n_pairs, n_truth_hit,
+           {dround_sql("CAST(n_truth_hit AS DOUBLE) / n_pairs", 6)}
+               AS precision_at_t,
+           {dround_sql("CAST(n_truth_hit AS DOUBLE) / n_truth", 6)}
+               AS recall_at_t
+    FROM sweep, nt
+    ORDER BY threshold
+    """
+
+
+def _scored_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(id_a, id_b, j) for every LSH CANDIDATE pair (no threshold filter) —
+    the scored pair table both the threshold sweep and the band planner
+    re-aggregate. One shingle pass, one band bucket join, one verify join."""
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    sh = D._shingle_table(docs, "doc_id", "text", 3).persist()
+    bucket = D._bucket_table(D._signature_table(sh))
+    l, r = bucket.alias("l"), bucket.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.sid") < F.col("r.sid")),
+        )
+        .select(F.col("l.sid").alias("id_a"), F.col("r.sid").alias("id_b"))
+        .distinct()
+    )
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, cand.id_a == F.col("a.sid"))
+        .join(
+            b,
+            (cand.id_b == F.col("b.sid"))
+            & (F.col("a.shingle") == F.col("b.shingle")),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sizes = D._signature_table(sh).select("sid", "sz")
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
+    return (
+        inter.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn(
+            "j",
+            dround(
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+    )
+
+
+@register(
+    "dedup_threshold_sweep_pr",
+    oracle=_threshold_sweep_oracle(),
+    description="Precision/recall sweep for the LSH near-dup verifier in "
+    "ONE pass: exact Jaccard is computed once per candidate pair (the "
+    "expensive shingle-intersection join runs once), then a 7-value "
+    "threshold array is exploded against the scored pairs so every "
+    "operating point is a cheap re-aggregation of the same pair table — "
+    "vs re-running the pipeline per threshold. Ground truth is the "
+    "planted exact-copy set; precision counts how many surviving pairs "
+    "are planted copies, recall how many planted copies survive. The "
+    "curve is what picks the production threshold before a 100 TB run.",
+)
+def dedup_threshold_sweep_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _scored_lsh_pairs(spark, sf_dir)
+    truth = (
+        table(spark, sf_dir, "documents")
+        .filter(F.col("doc_id") % 20 == 0)
+        .select(
+            F.col("doc_id").alias("id_a"),
+            (F.col("doc_id") + 1_000_000).alias("id_b"),
+            F.lit(1).alias("is_truth"),
+        )
+    )
+    flagged = pairs.join(F.broadcast(truth), ["id_a", "id_b"], "left").select(
+        "j", F.coalesce("is_truth", F.lit(0)).alias("is_truth")
+    )
+    ths = F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
+    sweep = (
+        flagged.select(
+            "j", "is_truth", F.explode(ths).alias("threshold")
+        )
+        .filter(F.col("j") >= F.col("threshold"))
+        .groupBy("threshold")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum("is_truth").cast("bigint").alias("n_truth_hit"),
+        )
+    )
+    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return (
+        sweep.crossJoin(F.broadcast(nt))
+        .select(
+            "threshold",
+            "n_pairs",
+            "n_truth_hit",
+            dround(
+                F.col("n_truth_hit").cast("double") / F.col("n_pairs"), 6
+            ).alias("precision_at_t"),
+            dround(
+                F.col("n_truth_hit").cast("double") / F.col("n_truth"), 6
+            ).alias("recall_at_t"),
+        )
+        .orderBy("threshold")
+    )
+
+
+_N_SHARDS = 8
+
+
+def _shard_leakage_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    h = _H48.format(c="CAST(id_a AS VARCHAR)")
+    h2 = _H48.format(c="CAST(id_b AS VARCHAR)")
+    return f"""
+    WITH {ctes},
+    pairs AS ({final}),
+    sharded AS (
+        SELECT least({h} % {_N_SHARDS}, {h2} % {_N_SHARDS}) AS shard_a,
+               greatest({h} % {_N_SHARDS}, {h2} % {_N_SHARDS}) AS shard_b
+        FROM pairs
+    )
+    SELECT shard_a, shard_b,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(shard_a <> shard_b AS INT) AS cross_shard
+    FROM sharded GROUP BY shard_a, shard_b
+    ORDER BY shard_a, shard_b
+    """
+
+
+@register(
+    "pipeline_shard_dup_leakage",
+    oracle=_shard_leakage_oracle(),
+    description="Duplicate leakage across training shards: assign every "
+    "doc to one of 8 shards by portable content-independent id hash, "
+    "then count verified near-dup pairs within vs across shard "
+    "boundaries. Cross-shard duplicates are the pairs a shard-local "
+    "dedup pass would MISS — the number that decides whether global "
+    "dedup (this repo's LSH bucket-join, which is shard-oblivious) is "
+    "required before a multi-node training run, or per-shard dedup "
+    "suffices. Shard ids derive from the pair table directly (a hash "
+    "expression, no extra join); the heavy lifting is the one shared "
+    "LSH pipeline.",
+)
+def pipeline_shard_dup_leakage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = D.lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir, 20), threshold=0.5
+    )
+    sh_a = F.pmod(D.token_hash48(F.col("id_a").cast("string")), F.lit(_N_SHARDS))
+    sh_b = F.pmod(D.token_hash48(F.col("id_b").cast("string")), F.lit(_N_SHARDS))
+    return (
+        pairs.select(
+            F.least(sh_a, sh_b).alias("shard_a"),
+            F.greatest(sh_a, sh_b).alias("shard_b"),
+        )
+        .groupBy("shard_a", "shard_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
+        .withColumn(
+            "cross_shard",
+            (F.col("shard_a") != F.col("shard_b")).cast("int"),
+        )
+        .orderBy("shard_a", "shard_b")
+    )
+
+
+@register(
+    "text_script_mix_audit",
+    oracle=r"""
+    WITH per_doc AS (
+        SELECT lang,
+               length(text) AS n_chars,
+               length(text) - length(regexp_replace(
+                   text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
+               length(text) - length(regexp_replace(
+                   text, '[\x{0400}-\x{04ff}]', '', 'g')) AS n_cyr,
+               length(text) - length(regexp_replace(
+                   text, '[A-Za-z]', '', 'g')) AS n_latin
+        FROM documents
+    ),
+    classed AS (
+        SELECT lang,
+               CASE
+                 WHEN n_cjk > 0 AND n_cyr > 0 THEN 'mixed'
+                 WHEN n_cjk > 0 THEN 'cjk'
+                 WHEN n_cyr > 0 THEN 'cyrillic'
+                 ELSE 'latin'
+               END AS script_profile,
+               CASE WHEN n_chars > 0
+                    THEN CAST(n_cjk AS DOUBLE) / n_chars ELSE 0.0 END AS cjk_ratio,
+               CASE WHEN n_chars > 0
+                    THEN CAST(n_latin AS DOUBLE) / n_chars ELSE 0.0 END AS latin_ratio
+        FROM per_doc
+    )
+    SELECT lang, script_profile,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(ROUND(CAST(AVG(cjk_ratio) AS DECIMAL(38,8)), 6) AS DOUBLE)
+               AS avg_cjk_ratio,
+           CAST(ROUND(CAST(AVG(latin_ratio) AS DECIMAL(38,8)), 6) AS DOUBLE)
+               AS avg_latin_ratio
+    FROM classed GROUP BY lang, script_profile
+    ORDER BY lang, script_profile
+    """,
+    description="Script-mix audit: per doc, count CJK / Cyrillic / Latin "
+    "codepoints with three regexp-strip length deltas (one narrow "
+    "JVM-side scan, no UDF, no shuffle until the tiny per-language "
+    "rollup), classify the script profile, and aggregate "
+    "lang x profile counts and ratios. Catches mislabeled-language and "
+    "mixed-script (spam/injection) documents — the cheap pre-filter "
+    "that runs before any per-doc language model at corpus scale.",
+)
+def text_script_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_cjk = n_chars - F.length(
+        F.regexp_replace(F.col("text"), "[一-鿿]", "")
+    )
+    n_cyr = n_chars - F.length(
+        F.regexp_replace(F.col("text"), "[Ѐ-ӿ]", "")
+    )
+    n_latin = n_chars - F.length(
+        F.regexp_replace(F.col("text"), "[A-Za-z]", "")
+    )
+    profile = (
+        F.when((n_cjk > 0) & (n_cyr > 0), F.lit("mixed"))
+        .when(n_cjk > 0, F.lit("cjk"))
+        .when(n_cyr > 0, F.lit("cyrillic"))
+        .otherwise(F.lit("latin"))
+    )
+    ratio = lambda n: F.when(  # noqa: E731
+        n_chars > 0, n.cast("double") / n_chars
+    ).otherwise(F.lit(0.0))
+    return (
+        docs.select(
+            "lang",
+            profile.alias("script_profile"),
+            ratio(n_cjk).alias("cjk_ratio"),
+            ratio(n_latin).alias("latin_ratio"),
+        )
+        .groupBy("lang", "script_profile")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            dround(F.avg("cjk_ratio"), 6).alias("avg_cjk_ratio"),
+            dround(F.avg("latin_ratio"), 6).alias("avg_latin_ratio"),
+        )
+        .orderBy("lang", "script_profile")
+    )
+
+
+_DOREMI_ETA = 5.0
+
+
+@register(
+    "pipeline_doremi_mixture_step",
+    oracle=f"""
+    WITH scored AS (
+        SELECT source,
+               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
+               {_SCORE_SQL} AS q
+        FROM documents
+    ),
+    per_source AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               SUM(n_tokens) AS toks,
+               AVG(q) AS mean_quality
+        FROM scored GROUP BY source
+    ),
+    with_share AS (
+        SELECT *, toks / SUM(toks) OVER () AS token_share FROM per_source
+    ),
+    with_excess AS (
+        SELECT *,
+               mean_quality - SUM(token_share * mean_quality) OVER ()
+                   AS excess
+        FROM with_share
+    ),
+    with_w AS (
+        SELECT *, token_share * exp({_DOREMI_ETA} * excess) AS unnorm
+        FROM with_excess
+    )
+    SELECT source, n_docs,
+           {dround_sql("token_share", 6)} AS token_share,
+           {dround_sql("mean_quality", 6)} AS mean_quality,
+           {dround_sql("excess", 6)} AS excess,
+           {dround_sql("unnorm / SUM(unnorm) OVER ()", 6)} AS new_weight
+    FROM with_w
+    ORDER BY source
+    """,
+    description="One DoReMi-style mixture-reweighting step (Xie et al. "
+    "2023, simplified): start from token-share proportional sampling "
+    "weights per source, use mean quality score as the per-domain "
+    "excess-reward proxy, and take one exponentiated-gradient step "
+    "(w ∝ p·exp(eta·excess)) toward upweighting above-average domains. "
+    "All domain-level scalar math over a sources-sized table; the only "
+    "corpus-scale work is one scan + one groupBy(source) with partial "
+    "aggregation — the shape that holds at 100 TB where the domain "
+    "table stays tiny. Global sums are window aggregates over the "
+    "20-row domain table (single-partition by design at that grain).",
+)
+def pipeline_doremi_mixture_step(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    q = TX.quality_score_cols(F.col("text"))["quality_score"]
+    per_source = docs.select(
+        "source",
+        F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tokens"),
+        q.alias("q"),
+    ).groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").alias("toks"),
+        F.avg("q").alias("mean_quality"),
+    )
+    tot = per_source.agg(F.sum("toks").alias("total_toks"))
+    shared = per_source.crossJoin(F.broadcast(tot)).withColumn(
+        "token_share", F.col("toks") / F.col("total_toks")
+    )
+    qbar = shared.agg(
+        F.sum(F.col("token_share") * F.col("mean_quality")).alias("qbar")
+    )
+    exc = shared.crossJoin(F.broadcast(qbar)).withColumn(
+        "excess", F.col("mean_quality") - F.col("qbar")
+    ).withColumn(
+        "unnorm",
+        F.col("token_share") * F.exp(F.lit(_DOREMI_ETA) * F.col("excess")),
+    )
+    z = exc.agg(F.sum("unnorm").alias("z"))
+    return (
+        exc.crossJoin(F.broadcast(z))
+        .select(
+            "source",
+            "n_docs",
+            dround(F.col("token_share"), 6).alias("token_share"),
+            dround(F.col("mean_quality"), 6).alias("mean_quality"),
+            dround(F.col("excess"), 6).alias("excess"),
+            dround(F.col("unnorm") / F.col("z"), 6).alias("new_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+_BAND_CONFIGS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12)]
+
+
+def _band_planner_oracle() -> str:
+    ctes, _ = _lsh_pairs_ctes()
+    grid = ", ".join(f"({b}, {r})" for b, r in _BAND_CONFIGS)
+    return f"""
+    WITH {ctes},
+    pairs AS (
+        SELECT id_a, id_b,
+               {dround_sql(
+                   "CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)", 6
+               )} AS j
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = id_a
+        JOIN sizes sb ON sb.doc_id = id_b
+    ),
+    grid(n_bands, rows_per_band) AS (VALUES {grid}),
+    probed AS (
+        SELECT g.n_bands, g.rows_per_band,
+               1.0 - POWER(1.0 - POWER(p.j, g.rows_per_band), g.n_bands)
+                   AS p,
+               p.j
+        FROM pairs p, grid g
+    )
+    SELECT CAST(n_bands AS INT) AS n_bands,
+           CAST(rows_per_band AS INT) AS rows_per_band,
+           {dround_sql("SUM(p)", 6)} AS expected_candidates,
+           {dround_sql(
+               "SUM(CASE WHEN j >= 0.5 THEN p ELSE 0.0 END)"
+               " / SUM(CASE WHEN j >= 0.5 THEN 1.0 ELSE 0.0 END)", 6
+           )} AS recall_at_05,
+           {dround_sql(
+               "SUM(CASE WHEN j < 0.5 THEN p ELSE 0.0 END) / SUM(p)", 6
+           )} AS lowj_share
+    FROM probed
+    GROUP BY n_bands, rows_per_band
+    ORDER BY n_bands DESC
+    """
+
+
+@register(
+    "dedup_minhash_band_planner",
+    oracle=_band_planner_oracle(),
+    description="LSH banding operating-point planner: before committing a "
+    "100 TB corpus to one (bands, rows) choice, price every split of "
+    "the 12-perm budget against the corpus's OWN observed pair-"
+    "similarity distribution. For each config the S-curve "
+    "p(j) = 1-(1-j^r)^b gives the per-pair detection probability; "
+    "summing it over the scored candidate pairs yields expected "
+    "candidate volume, expected recall on true near-dups (j >= 0.5), "
+    "and the share of candidate load wasted on low-j pairs — the "
+    "recall/cost frontier the production banding is picked from. One "
+    "shared LSH scoring pipeline + a 6-row grid explode; each config "
+    "is a re-aggregation, never a re-run. (The pair sample is the "
+    "current 6x2 banding's candidate set, so low-j mass is a lower "
+    "bound — stated, not silent.)",
+)
+def dedup_minhash_band_planner(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = _scored_lsh_pairs(spark, sf_dir)
+    grid = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("n_bands"), F.lit(r).alias("rows_per_band")
+            )
+            for b, r in _BAND_CONFIGS
+        ]
+    )
+    probed = (
+        pairs.select("j", F.explode(grid).alias("g"))
+        .select(
+            F.col("g.n_bands").alias("n_bands"),
+            F.col("g.rows_per_band").alias("rows_per_band"),
+            "j",
+        )
+        .withColumn(
+            "p",
+            1.0
+            - F.pow(
+                1.0 - F.pow(F.col("j"), F.col("rows_per_band")),
+                F.col("n_bands"),
+            ),
+        )
+    )
+    hi = F.when(F.col("j") >= 0.5, F.col("p")).otherwise(F.lit(0.0))
+    hi_n = F.when(F.col("j") >= 0.5, F.lit(1.0)).otherwise(F.lit(0.0))
+    lo = F.when(F.col("j") < 0.5, F.col("p")).otherwise(F.lit(0.0))
+    return (
+        probed.groupBy(
+            F.col("n_bands").cast("int").alias("n_bands"),
+            F.col("rows_per_band").cast("int").alias("rows_per_band"),
+        )
+        .agg(
+            dround(F.sum("p"), 6).alias("expected_candidates"),
+            dround(F.sum(hi) / F.sum(hi_n), 6).alias("recall_at_05"),
+            dround(F.sum(lo) / F.sum("p"), 6).alias("lowj_share"),
+        )
+        .orderBy(F.col("n_bands").desc())
+    )
+
+
+@register(
+    "pipeline_embedding_decontamination",
+    oracle=f"""
+    WITH ev AS (
+        SELECT vec_id AS eval_id, embedding AS eval_emb
+        FROM embeddings WHERE vec_id % 50 = 0
+    ),
+    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
+    scored AS (
+        SELECT c.vec_id, ev.eval_id,
+               {dround_sql(
+                   "list_sum(list_transform(list_zip(c.embedding, ev.eval_emb),"
+                   " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
+                   " / (sqrt(list_sum(list_transform(c.embedding,"
+                   " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+                   " * sqrt(list_sum(list_transform(ev.eval_emb,"
+                   " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))", 6
+               )} AS cos
+        FROM corpus c, ev
+    ),
+    best AS (
+        SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cos,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cos DESC, eval_id DESC) AS rn
+        FROM scored
+    )
+    SELECT vec_id, nearest_eval_id, max_cos,
+           CAST(max_cos >= 0.9 AS INT) AS contaminated
+    FROM best WHERE rn = 1
+    ORDER BY vec_id
+    """,
+    description="Embedding-space decontamination, the semantic companion "
+    "to pipeline_decontaminate_train's n-gram overlap: score every "
+    "corpus vector against the (tiny, broadcast) eval/benchmark "
+    "embedding set and flag cosine >= 0.9 as contaminated — catches "
+    "paraphrased benchmark leakage that exact n-gram matching misses "
+    "(the scheme used for GSM8K/MMLU leak audits). The eval side is "
+    "MBs against a 100 TB corpus, so the join is a broadcast "
+    "nested-loop that never shuffles the corpus; per-vector argmax is "
+    "a struct-max aggregation, no window over corpus-scale data.",
+)
+def pipeline_embedding_decontamination(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ev = emb.filter(F.col("vec_id") % 50 == 0).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("embedding").alias("eval_emb"),
+    )
+    corpus = emb.filter(F.col("vec_id") % 50 != 0)
+    cos = dround(
+        S.cosine(F.col("embedding"), F.col("eval_emb")), 6
+    )
+    best = (
+        corpus.crossJoin(F.broadcast(ev))
+        .select("vec_id", F.struct(cos.alias("c"), "eval_id").alias("sc"))
+        .groupBy("vec_id")
+        .agg(F.max("sc").alias("m"))
+    )
+    return best.select(
+        "vec_id",
+        F.col("m.eval_id").alias("nearest_eval_id"),
+        F.col("m.c").alias("max_cos"),
+        (F.col("m.c") >= 0.9).cast("int").alias("contaminated"),
+    ).orderBy("vec_id")
+
+
+def _leakage_free_split_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    u = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0"
+    return f"""
+    WITH {ctes},
+    pairs AS ({final}),
+    split AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               CASE WHEN {u} < 0.8 THEN 'train' ELSE 'test' END AS part
+        FROM docs
+    ),
+    sym AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    leaked AS (
+        SELECT DISTINCT s.doc_id
+        FROM split s
+        JOIN sym e ON e.a = s.doc_id
+        JOIN split t ON t.doc_id = e.b AND t.part = 'test'
+        WHERE s.part = 'train'
+    ),
+    labeled AS (
+        SELECT s.doc_id, s.n_tokens,
+               CASE WHEN s.part = 'train' AND l.doc_id IS NOT NULL
+                    THEN 'train_removed' ELSE s.part END AS bucket
+        FROM split s LEFT JOIN leaked l ON l.doc_id = s.doc_id
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM labeled GROUP BY bucket ORDER BY bucket
+    """
+
+
+@register(
+    "sample_leakage_free_split",
+    oracle=_leakage_free_split_oracle(),
+    description="Leakage-free train/test split: after the deterministic "
+    "80/20 id-hash split, any TRAIN doc that is a verified near-dup of "
+    "a TEST doc is evicted to a 'train_removed' bucket — the standard "
+    "guard against evaluating on paraphrases of the training set "
+    "(Lee et al. 2021 show near-dup train/test leakage inflates eval). "
+    "Composes the hash split (stable under dataset growth) with the "
+    "LSH-verified near-dup pair table via one semi-join against the "
+    "test side; reports doc and token mass per bucket, which is what "
+    "the training-budget accounting consumes.",
+)
+def sample_leakage_free_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    u = (
+        F.conv(
+            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+        / F.lit(281474976710656.0)
+    )
+    split = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        F.when(u < 0.8, F.lit("train")).otherwise(F.lit("test")).alias("part"),
+    )
+    pairs = D.lsh_candidate_pairs(docs, threshold=0.5)
+    sym = pairs.select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    ).unionAll(
+        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
+    ).distinct()
+    test_ids = split.filter(F.col("part") == "test").select(
+        F.col("doc_id").alias("b")
+    )
+    leaked = (
+        sym.join(test_ids, "b")
+        .select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("leak", F.lit(1))
+    )
+    labeled = split.join(leaked, "doc_id", "left").select(
+        "n_tokens",
+        F.when(
+            (F.col("part") == "train") & F.col("leak").isNotNull(),
+            F.lit("train_removed"),
+        )
+        .otherwise(F.col("part"))
+        .alias("bucket"),
+    )
+    return (
+        labeled.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        )
+        .orderBy("bucket")
+    )

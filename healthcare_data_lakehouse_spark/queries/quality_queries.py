@@ -1095,3 +1095,61 @@ def privacy_k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("at_risk_share"),
         )
     )
+
+
+@register(
+    "privacy_l_diversity_audit",
+    oracle="""
+    WITH banded AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE
+                 WHEN c_acctbal < 0 THEN 'neg'
+                 WHEN c_acctbal < 3000 THEN 'low'
+                 WHEN c_acctbal < 7000 THEN 'mid'
+                 ELSE 'high'
+               END AS balance_band
+        FROM customer
+    )
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS k_size,
+           CAST(COUNT(DISTINCT balance_band) AS BIGINT) AS l_distinct,
+           CAST(COUNT(DISTINCT balance_band) < 3 AS INT) AS below_l3
+    FROM banded
+    GROUP BY c_nationkey, c_mktsegment
+    ORDER BY c_nationkey, c_mktsegment
+    """,
+    description="l-diversity audit, the companion to "
+    "privacy_k_anonymity_audit: k-anonymity alone fails when everyone "
+    "in an equivalence class shares the SAME sensitive value "
+    "(homogeneity attack, Machanavajjhala et al. '07). Per "
+    "quasi-identifier class (nation x market segment), count members "
+    "(k) and DISTINCT sensitive values (l, account-balance band); "
+    "classes with l < 3 leak the band through the quasi-identifiers "
+    "alone. One groupBy with partial aggregation — the class table is "
+    "QI-cardinality-sized regardless of row count, so the audit is "
+    "one shuffle at any scale.",
+)
+def privacy_l_diversity_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    cust = table(spark, sf_dir, "customer")
+    band = (
+        F.when(F.col("c_acctbal") < 0, F.lit("neg"))
+        .when(F.col("c_acctbal") < 3000, F.lit("low"))
+        .when(F.col("c_acctbal") < 7000, F.lit("mid"))
+        .otherwise(F.lit("high"))
+    )
+    return (
+        cust.select("c_nationkey", "c_mktsegment", band.alias("balance_band"))
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("k_size"),
+            F.countDistinct("balance_band").cast("bigint").alias("l_distinct"),
+        )
+        .withColumn(
+            "below_l3", (F.col("l_distinct") < 3).cast("int")
+        )
+        .orderBy("c_nationkey", "c_mktsegment")
+    )

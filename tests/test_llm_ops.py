@@ -1248,3 +1248,228 @@ def test_bpe_encode_fertility_and_compression_invariants(spark):
         assert r.bpe_tokens <= r.n_chars, r
         assert r.bpe_tokens >= r.n_words, r
         assert r.chars_per_token >= 1.0, r
+
+
+SF001 = "/root/testdata/sf0.001"
+
+
+def test_winnowing_planted_dups_fully_overlap(spark):
+    """Identical planted copies share the entire fingerprint set, so the
+    pair (d, d+1e6) must surface with overlap == 1.0; winnowing never
+    reports more shared fingerprints than either doc has (overlap <= 1)
+    and the >= 2 shared floor holds for every emitted pair."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        dedup_winnowing_fingerprints,
+    )
+
+    rows = dedup_winnowing_fingerprints(spark, SF001).collect()
+    assert rows
+    planted = {
+        (r.id_a, r.id_b): r for r in rows if r.id_b == r.id_a + 1_000_000
+    }
+    assert planted, "expected planted exact copies among pairs"
+    for r in planted.values():
+        assert r.overlap == 1.0, r
+    for r in rows:
+        assert r.n_shared >= 2
+        assert 0.0 < r.overlap <= 1.0
+
+
+def test_threshold_sweep_monotone_and_exact_dups_survive(spark):
+    """Raising the Jaccard threshold can only shrink the surviving pair
+    set (n_pairs, n_truth_hit, recall all non-increasing), and planted
+    EXACT copies have j = 1.0, so recall at the top threshold is 1.0."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        dedup_threshold_sweep_pr,
+    )
+
+    rows = sorted(
+        dedup_threshold_sweep_pr(spark, SF001).collect(),
+        key=lambda r: r.threshold,
+    )
+    assert [r.threshold for r in rows] == [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
+    for a, b in zip(rows, rows[1:]):
+        assert a.n_pairs >= b.n_pairs
+        assert a.n_truth_hit >= b.n_truth_hit
+        assert a.recall_at_t >= b.recall_at_t
+    assert rows[-1].recall_at_t == 1.0
+    for r in rows:
+        assert r.n_truth_hit <= r.n_pairs
+        assert 0.0 <= r.precision_at_t <= 1.0
+
+
+def test_shard_leakage_partitions_all_pairs(spark):
+    """Shard-pair rows partition the verified near-dup pair set exactly:
+    per-cell counts sum to the total, orientation is normalized
+    (shard_a <= shard_b), and cross_shard is derived consistently."""
+    import healthcare_data_lakehouse_spark.functions.dedup as D
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        _docs_with_dups,
+        pipeline_shard_dup_leakage,
+    )
+
+    rows = pipeline_shard_dup_leakage(spark, SF001).collect()
+    total = D.lsh_candidate_pairs(
+        _docs_with_dups(spark, SF001, 20), threshold=0.5
+    ).count()
+    assert sum(r.n_pairs for r in rows) == total
+    for r in rows:
+        assert 0 <= r.shard_a <= r.shard_b < 8
+        assert r.cross_shard == int(r.shard_a != r.shard_b)
+
+
+def test_script_mix_covers_corpus_and_classifies_consistently(spark):
+    """Every document lands in exactly one (lang, profile) cell, profiles
+    are consistent with the measured ratios (a latin-profile cell has
+    zero CJK mass by definition), and ratios stay in [0, 1]. The
+    synthetic fixture is Latin-script for every declared lang — the
+    audit exists precisely to surface that declared lang and script
+    disagree, so a CJK classifier is exercised separately below."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_script_mix_audit,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = text_script_mix_audit(spark, SF001).collect()
+    n_docs = table(spark, SF001, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert {r.script_profile for r in rows} <= {
+        "latin", "cjk", "cyrillic", "mixed"
+    }
+    for r in rows:
+        assert 0.0 <= r.avg_cjk_ratio <= 1.0
+        assert 0.0 <= r.avg_latin_ratio <= 1.0
+        if r.script_profile == "latin":
+            assert r.avg_cjk_ratio == 0.0
+        if r.script_profile == "cjk":
+            assert r.avg_cjk_ratio > 0.0
+    # the classifier itself, pinned on real CJK/Cyrillic content
+    from pyspark.sql import Row
+
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="模型 训练 数据", lang="zh", source="s", n_chars=6),
+            Row(doc_id=2, text="данные модели", lang="ru", source="s", n_chars=13),
+            Row(doc_id=3, text="mixed 数据 данные", lang="en", source="s", n_chars=15),
+            Row(doc_id=4, text="plain latin text", lang="en", source="s", n_chars=16),
+        ]
+    )
+    import healthcare_data_lakehouse_spark.queries.llm_ops as L
+    from healthcare_data_lakehouse_spark.tables import table as _table
+    import unittest.mock as mock
+
+    with mock.patch.object(L, "table", lambda *_a, **_k: probe):
+        got = {
+            (r.lang, r.script_profile)
+            for r in L.text_script_mix_audit(spark, SF001).collect()
+        }
+    assert got == {
+        ("zh", "cjk"), ("ru", "cyrillic"), ("en", "mixed"), ("en", "latin")
+    }, got
+
+
+def test_doremi_step_normalizes_and_orders_by_excess(spark):
+    """New weights are a distribution (sum 1, all positive) and the
+    reweighting ratio new_weight/token_share is monotone in excess —
+    exactly the exponentiated-gradient direction."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_doremi_mixture_step,
+    )
+
+    rows = pipeline_doremi_mixture_step(spark, SF001).collect()
+    assert abs(sum(r.new_weight for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.token_share for r in rows) - 1.0) < 1e-4
+    assert all(r.new_weight > 0 for r in rows)
+    by_excess = sorted(rows, key=lambda r: r.excess)
+    ratios = [r.new_weight / r.token_share for r in by_excess]
+    assert all(a <= b + 1e-9 for a, b in zip(ratios, ratios[1:])), ratios
+
+
+def test_l_diversity_bounds(spark):
+    """l never exceeds the band cardinality (4) nor the class size, the
+    below_l3 flag matches l, and class sizes sum to the table size."""
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        privacy_l_diversity_audit,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = privacy_l_diversity_audit(spark, SF001).collect()
+    n_cust = table(spark, SF001, "customer").count()
+    assert sum(r.k_size for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r.l_distinct <= min(4, r.k_size)
+        assert r.below_l3 == int(r.l_distinct < 3)
+
+
+def test_band_planner_s_curve_tradeoffs(spark):
+    """More bands with shorter rows = higher recall AND more candidate
+    load (the S-curve shifts left): expected_candidates and recall_at_05
+    are both monotone non-decreasing in n_bands across the b*r=12 grid;
+    every probability-derived column stays in-range; planted exact
+    copies (j=1) are detected by EVERY config, so recall never hits 0."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        dedup_minhash_band_planner,
+    )
+
+    rows = sorted(
+        dedup_minhash_band_planner(spark, SF001).collect(),
+        key=lambda r: r.n_bands,
+    )
+    assert [(r.n_bands, r.rows_per_band) for r in rows] == [
+        (1, 12), (2, 6), (3, 4), (4, 3), (6, 2), (12, 1)
+    ]
+    for a, b in zip(rows, rows[1:]):
+        assert a.expected_candidates <= b.expected_candidates + 1e-9
+        assert a.recall_at_05 <= b.recall_at_05 + 1e-9
+    for r in rows:
+        assert 0.0 < r.recall_at_05 <= 1.0
+        assert 0.0 <= r.lowj_share < 1.0
+        assert r.expected_candidates > 0.0
+
+
+def test_embedding_decontamination_eval_neighbors_flagged(spark):
+    """Every corpus vector gets exactly one row with its argmax eval
+    neighbor; cosines live in [-1, 1]; the contaminated flag matches the
+    0.9 threshold; and eval vectors themselves never appear as corpus
+    rows (the eval set is held out by construction)."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_embedding_decontamination,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = pipeline_embedding_decontamination(spark, SF001).collect()
+    emb_n = table(spark, SF001, "embeddings").count()
+    eval_n = (
+        table(spark, SF001, "embeddings")
+        .filter(F.col("vec_id") % 50 == 0)
+        .count()
+    )
+    assert len(rows) == emb_n - eval_n
+    assert len({r.vec_id for r in rows}) == len(rows)
+    for r in rows:
+        assert r.nearest_eval_id % 50 == 0
+        assert -1.0 <= r.max_cos <= 1.0
+        assert r.contaminated == int(r.max_cos >= 0.9)
+
+
+def test_leakage_free_split_evicts_test_neighbors(spark):
+    """Bucket doc counts partition the (augmented) corpus; evicted docs
+    exist iff some near-dup pair crosses the split boundary; and every
+    planted copy of a TEST doc is evicted from train when the hash split
+    assigned it to train."""
+    import healthcare_data_lakehouse_spark.functions.dedup as D
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        _docs_with_dups,
+        sample_leakage_free_split,
+    )
+
+    rows = {r.bucket: r for r in sample_leakage_free_split(spark, SF001).collect()}
+    assert set(rows) <= {"train", "test", "train_removed"}
+    total = _docs_with_dups(spark, SF001, 20).count()
+    assert sum(r.n_docs for r in rows.values()) == total
+    assert rows["test"].n_docs > 0 and rows["train"].n_docs > 0
+    # cross-boundary near-dup pairs exist in this fixture (planted copies
+    # hash independently of their originals), so eviction must trigger
+    assert "train_removed" in rows and rows["train_removed"].n_docs > 0
+    for r in rows.values():
+        assert r.n_tokens >= r.n_docs  # every doc has at least one token
