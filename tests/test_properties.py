@@ -205,3 +205,67 @@ def test_star_components_unique_label_even_unconverged(spark, edges):
         per_doc.setdefault(r.doc_id, set()).add(r.cluster_id)
     conflicted = {d: cs for d, cs in per_doc.items() if len(cs) > 1}
     assert not conflicted, f"conflicting labels: {conflicted}"
+
+
+# ----------------------------------------------------- winnowing guarantee
+# Schleimer et al. SIGMOD'03, Theorem: with k-gram length k and window w,
+# any shared substring of at least w + k - 1 tokens produces at least one
+# shared fingerprint. Exercised directly on the production selection logic
+# (same k=4, w=4 as dedup_winnowing_fingerprints).
+_winnow_word = st.text(alphabet="abcdefgh", min_size=1, max_size=3)
+
+
+@given(
+    shared=st.lists(_winnow_word, min_size=7, max_size=12),  # >= w+k-1 = 7
+    pre_a=st.lists(_winnow_word, min_size=0, max_size=5),
+    post_b=st.lists(_winnow_word, min_size=0, max_size=5),
+)
+@_SETTINGS
+def test_winnowing_shared_run_guarantee(spark, shared, pre_a, post_b):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+    from healthcare_data_lakehouse_spark.functions import dedup as D
+
+    k, w = 4, 4
+    sep = "\x1f"
+    docs = spark.createDataFrame(
+        [
+            (1, " ".join(pre_a + shared)),
+            (2, " ".join(shared + post_b)),
+        ],
+        "doc_id long, text string",
+    )
+    base = docs.select(
+        "doc_id", F.split(F.col("text"), " ").alias("tl")
+    ).filter(F.size("tl") >= k)
+    kg = base.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.size("tl") - k + 1)).alias("i"),
+        "tl",
+    ).select(
+        "doc_id",
+        "i",
+        D.token_hash48(
+            F.concat_ws(sep, F.slice(F.col("tl"), F.col("i"), k))
+        ).alias("h"),
+    )
+    per_doc = Window.partitionBy("doc_id")
+    win = (
+        Window.partitionBy("doc_id")
+        .orderBy("i")
+        .rowsBetween(Window.currentRow, w - 1)
+    )
+    fps = (
+        kg.withColumn("fp", F.min("h").over(win))
+        .withColumn("m", F.count(F.lit(1)).over(per_doc))
+        .filter(F.col("i") <= F.greatest(F.col("m") - w + 1, F.lit(1)))
+        .select("doc_id", "fp")
+        .distinct()
+        .collect()
+    )
+    by_doc: dict = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+    assert by_doc[1] & by_doc[2], (
+        f"shared {len(shared)}-token run produced no shared fingerprint"
+    )
