@@ -94,11 +94,12 @@ PRIORITY = [
     # recently added queries. The full TPC-H Q1-Q22 sweep and every
     # LLM-pipeline family are verified by tools/compare.py and pytest
     # every round regardless.
-    # -- zone-write surface over the round-6 OCC rework (staged commits,
-    #    rename-publish, revalidation in update/delete/compact/restore)
-    "load_delete_where",
+    # -- zone-write surface over the r6 OCC rework + r7 vacuum-retention/
+    #    errno-narrowing/with_retry changes (load_delete_where and
+    #    load_restore_version rotated out in r7: green in CORRECTNESS_r06,
+    #    their rewrite paths untouched this round; update_set still covers
+    #    the shared publish path and compact_vacuum covers vacuum)
     "load_update_set",
-    "load_restore_version",
     "storage_compact_vacuum_audit",
     # (stats_benjamini_hochberg, graph_supplier_copart_pairs rotated out
     # in round 7: r5 rewrites, green in the r6 driver window and in every
@@ -127,6 +128,8 @@ PRIORITY = [
     "dedup_minhash_band_planner",
     "pipeline_embedding_decontamination",
     "sample_leakage_free_split",
+    "streaming_quality_admission_gate",
+    "quality_schema_drift_versions",
 ]
 
 

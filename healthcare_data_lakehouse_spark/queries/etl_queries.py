@@ -1592,3 +1592,73 @@ def load_observed_write_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows bigint, n_null_value bigint, sum_value double, "
         "min_user bigint, max_user bigint",
     )
+
+
+@register(
+    "quality_schema_drift_versions",
+    oracle="""
+    SELECT * FROM (VALUES
+        (1, 2, 'id,totalprice', '', ''),
+        (2, 3, 'id,priority,totalprice', 'priority', ''),
+        (3, 4, 'id,priority,segment,totalprice', 'segment', '')
+    ) AS t(version, n_columns, columns, added_vs_prev, removed_vs_prev)
+    ORDER BY version
+    """,
+    description="Schema-drift audit across table versions: read each "
+    "retained version's reconciled schema from the versioned store and "
+    "report per-version column sets plus added/removed columns vs the "
+    "previous version — the drift report a governance layer runs before "
+    "promoting readers to a new schema (Delta's schema-evolution "
+    "history made queryable). APPEND commits never rewrite history, so "
+    "each version's schema is the mergeSchema union of its commit "
+    "schemas at scan time; the audit itself touches only parquet "
+    "footers and the manifest — metadata-scale at any table size. "
+    "Oracle pins the expected evolution of the deterministic "
+    "three-step write sequence.",
+)
+def quality_schema_drift_versions(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    b1 = orders.filter(F.col("o_orderkey") % 4 == 1).select(
+        F.col("o_orderkey").alias("id"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+    )
+    b2 = orders.filter(F.col("o_orderkey") % 4 == 2).select(
+        F.col("o_orderkey").alias("id"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+    )
+    b3 = orders.filter(F.col("o_orderkey") % 4 == 3).select(
+        F.col("o_orderkey").alias("id"),
+        F.round("o_totalprice", 2).alias("totalprice"),
+        F.col("o_orderpriority").alias("priority"),
+        F.lit("BUILDING").alias("segment"),
+    )
+    store = ZoneStore(spark, scratch_dir("zs_drift_"))
+    store.write(DataZone.SILVER, "orders_drift", b1, LoadType.FULL)
+    store.write(DataZone.SILVER, "orders_drift", b2, LoadType.APPEND)
+    store.write(DataZone.SILVER, "orders_drift", b3, LoadType.APPEND)
+    rows = []
+    prev: set[str] = set()
+    for v in (1, 2, 3):
+        cols = set(
+            store.read_version(DataZone.SILVER, "orders_drift", v).columns
+        )
+        added = sorted(cols - prev) if v > 1 else []
+        removed = sorted(prev - cols) if v > 1 else []
+        rows.append(
+            (
+                v,
+                len(cols),
+                ",".join(sorted(cols)),
+                ",".join(added),
+                ",".join(removed),
+            )
+        )
+        prev = cols
+    return spark.createDataFrame(
+        rows,
+        "version int, n_columns int, columns string, "
+        "added_vs_prev string, removed_vs_prev string",
+    ).orderBy("version")

@@ -400,3 +400,83 @@ def streaming_neardup_admission_gate(spark: SparkSession, sf_dir: str) -> DataFr
     )
     q.awaitTermination()
     return store.read(DataZone.BRONZE, "corpus").select("doc_id")
+
+
+_GATE_POPULATED = "({c} IS NOT NULL AND trim(CAST({c} AS VARCHAR)) <> '')"
+_GATE_FAIL_SQL = f"""(
+    NOT ({_GATE_POPULATED.format(c='id')}
+         AND {_GATE_POPULATED.format(c='patient_id')}
+         AND {_GATE_POPULATED.format(c='birth_date')})
+    OR ({_GATE_POPULATED.format(c='patient_id')}
+        AND NOT regexp_matches(patient_id, '^MRN[0-9]{{9}}$'))
+    OR (age IS NOT NULL AND NOT (age BETWEEN 0.0 AND 120.0))
+    OR (heart_rate IS NOT NULL AND NOT (heart_rate BETWEEN 20.0 AND 250.0))
+    OR (TRY_CAST(admission_date AS DATE) IS NOT NULL
+        AND TRY_CAST(discharge_date AS DATE) IS NOT NULL
+        AND TRY_CAST(discharge_date AS DATE) < TRY_CAST(admission_date AS DATE))
+)"""
+
+
+@register(
+    "streaming_quality_admission_gate",
+    oracle="WITH "
+    + __import__(
+        "healthcare_data_lakehouse_spark.fixtures", fromlist=["HEALTHCARE_CTE"]
+    ).HEALTHCARE_CTE
+    + f"""
+    SELECT id, patient_id FROM records WHERE NOT {_GATE_FAIL_SQL}
+    """,
+    description="Streaming bronze-admission quality gate: the dirty "
+    "healthcare frame arrives as two micro-batches (pinned file mtimes "
+    "→ deterministic drain); each batch is split by the ROW-LOCAL "
+    "admission predicate (completeness of id/patient_id/birth_date, "
+    "MRN format validity, age/heart-rate range accuracy, "
+    "discharge-before-admission consistency) — passing rows append to "
+    "the zone, failing rows land in the per-batch quarantine sink, one "
+    "audit row per batch records the split. Row-local rules are "
+    "exactly the subset a stream CAN decide without state (uniqueness "
+    "and referential integrity need materialized indexes — covered by "
+    "the incremental LSH/MERGE gates), and row-locality is what makes "
+    "the drained result equal the oracle's one-pass batch answer. The "
+    "gate is a narrow filter fused into each micro-batch scan: no "
+    "state store, no shuffle beyond the two sink writes.",
+)
+def streaming_quality_admission_gate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.fixtures import healthcare_frame
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stream_quality_admission,
+    )
+    from healthcare_data_lakehouse_spark.zones import DataZone, ZoneStore
+
+    frame = healthcare_frame(spark, sf_dir)
+    work = scratch_dir("stream_qgate_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    half = F.col("id").cast("bigint") % 2
+    frame.filter(half == 0).coalesce(1).write.parquet(
+        os.path.join(src, "b0")
+    )
+    frame.filter(half == 1).coalesce(1).write.parquet(
+        os.path.join(src, "b1")
+    )
+    t = 1_700_000_000
+    for sub, ts in (("b0", t), ("b1", t + 1000)):
+        for root, _, files in os.walk(os.path.join(src, sub)):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    store = ZoneStore(spark, os.path.join(work, "zones"))
+    q = stream_quality_admission(
+        spark,
+        src + "/*",
+        frame.schema,
+        store,
+        DataZone.BRONZE,
+        "patients_stream",
+        os.path.join(work, "chk"),
+    )
+    q.awaitTermination()
+    return store.read(DataZone.BRONZE, "patients_stream").select(
+        "id", "patient_id"
+    )

@@ -794,3 +794,99 @@ def stream_neardup_admission(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def quality_admission_condition() -> "Column":
+    """Row-local admission predicate for streaming quality gating: TRUE
+    when the record FAILS any rule that can be decided from the row alone
+    — completeness of (id, patient_id, birth_date), patient-id format
+    validity, age / heart-rate range accuracy, and admission-vs-discharge
+    date consistency. Mirrors DQ001/DQ003/DQ005 plus the CONSISTENCY rule
+    from ``quality.py``; UNIQUENESS and referential INTEGRITY are
+    deliberately absent — they cannot be decided row-locally on a stream
+    and belong to the incremental index gates (``lsh_probe``, MERGE) that
+    hold materialized state. Exposed as a plain Column so the batch
+    validator, the streaming gate, and the oracle restatement stay in
+    lockstep."""
+    populated = lambda c: F.col(c).isNotNull() & (  # noqa: E731
+        F.trim(F.col(c).cast("string")) != ""
+    )
+    completeness_fail = ~(
+        populated("id") & populated("patient_id") & populated("birth_date")
+    )
+    validity_fail = populated("patient_id") & ~F.col("patient_id").rlike(
+        r"^MRN[0-9]{9}$"
+    )
+    accuracy_fail = (
+        F.col("age").isNotNull() & ~F.col("age").between(0.0, 120.0)
+    ) | (
+        F.col("heart_rate").isNotNull()
+        & ~F.col("heart_rate").between(20.0, 250.0)
+    )
+    # try_cast, not cast: under ANSI mode (Spark 4 default) a plain cast
+    # THROWS on the fixture's MM/dd/yyyy dates instead of yielding NULL
+    adm = F.expr("try_cast(admission_date AS date)")
+    dis = F.expr("try_cast(discharge_date AS date)")
+    consistency_fail = (
+        adm.isNotNull() & dis.isNotNull() & (dis < adm)
+    )
+    return completeness_fail | validity_fail | accuracy_fail | consistency_fail
+
+
+def stream_quality_admission(
+    spark: SparkSession,
+    source_dir: str,
+    schema: StructType,
+    store,
+    zone,
+    dataset: str,
+    checkpoint_dir: str,
+):
+    """Streaming ingestion with a per-row QUALITY admission gate: every
+    micro-batch is split by :func:`quality_admission_condition` — passing
+    rows append to the zone dataset, failing rows land in the quarantine
+    sink under a per-batch job id, and one audit row per batch records
+    the split. The batch-equivalence guarantee holds because the gate is
+    row-local (no batch-level aggregate feeds the decision), so the
+    drained result equals one batch pass over the union — which is
+    exactly what the oracle computes. At scale this is the
+    bronze-admission topology: the gate is a narrow filter fused into the
+    micro-batch scan, the quarantine write is the only extra sink, and no
+    state store is involved at all."""
+    from healthcare_data_lakehouse_spark.zones import LoadType
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(source_dir)
+    )
+    fail = quality_admission_condition()
+
+    def gate(batch_df: DataFrame, batch_id: int) -> None:
+        batch = batch_df.withColumn("__fail", fail).persist()
+        try:
+            n_in = batch.count()
+            quarantined = batch.filter(F.col("__fail")).drop("__fail")
+            passed = batch.filter(~F.col("__fail")).drop("__fail")
+            n_q = store.write_quarantine(
+                f"{dataset}_gate_b{batch_id}",
+                quarantined,
+                reason="failed_row_rules",
+                quality_score=0.0,
+                batch_ts=str(batch_id),
+            )
+            n_adm = store.write(zone, dataset, passed, LoadType.APPEND)
+            audit = spark.createDataFrame(
+                [(int(batch_id), int(n_in), int(n_adm), int(n_q))],
+                "batch_id long, n_in long, n_admitted long, n_quarantined long",
+            )
+            store.write(zone, f"{dataset}_audit", audit, LoadType.APPEND)
+        finally:
+            batch.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(gate)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

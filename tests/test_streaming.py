@@ -450,3 +450,79 @@ def test_neardup_admission_gate_rejects_copies_and_audits(spark, sf_dir):
     assert seed_ids <= ids
     # every exact copy of a seeded doc refused admission (Jaccard 1.0)
     assert not (copy_ids & ids)
+
+
+def test_quality_admission_gate_splits_and_audits(spark, sf_dir):
+    """The drained stream's admitted + quarantined rows partition the
+    input frame, per-batch audit rows reconcile exactly, and known dirty
+    rows (bad MRN, out-of-range vitals, inverted stays) never pass."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.fixtures import healthcare_frame
+    from healthcare_data_lakehouse_spark.queries.streaming_queries import (
+        streaming_quality_admission_gate,
+    )
+
+    admitted = streaming_quality_admission_gate(spark, sf_dir)
+    n_admitted = admitted.count()
+    n_total = healthcare_frame(spark, sf_dir).count()
+    assert 0 < n_admitted < n_total
+    # no admitted row violates the row-local rules
+    bad = admitted.filter(
+        F.col("patient_id").isNull()
+        | ~F.col("patient_id").rlike(r"^MRN[0-9]{9}$")
+    ).count()
+    assert bad == 0
+    # known dirty keys: k%7 (bad id!), k%11 (null patient_id), k%9 (age
+    # 200), k%29 (heart rate 500) must all be quarantined
+    leaked = admitted.filter(
+        (F.col("id").cast("bigint") % 7 == 0)
+        | (F.col("id").cast("bigint") % 11 == 0)
+        | (F.col("id").cast("bigint") % 9 == 0)
+        | (F.col("id").cast("bigint") % 29 == 0)
+    ).count()
+    assert leaked == 0
+
+
+def test_quality_admission_audit_reconciles(spark, sf_dir):
+    """Drive the ingest function directly and reconcile its audit table:
+    n_in == n_admitted + n_quarantined per batch, and the zone + audit
+    row counts match the audit's own totals."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.fixtures import healthcare_frame
+    from healthcare_data_lakehouse_spark.scratch import scratch_dir
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stream_quality_admission,
+    )
+    from healthcare_data_lakehouse_spark.zones import DataZone, ZoneStore
+
+    frame = healthcare_frame(spark, sf_dir)
+    work = scratch_dir("qgate_test_")
+    src = os.path.join(work, "src")
+    os.makedirs(src)
+    half = F.col("id").cast("bigint") % 2
+    frame.filter(half == 0).coalesce(1).write.parquet(os.path.join(src, "b0"))
+    frame.filter(half == 1).coalesce(1).write.parquet(os.path.join(src, "b1"))
+    t = 1_700_000_000
+    for sub, ts in (("b0", t), ("b1", t + 1000)):
+        for root, _, files in os.walk(os.path.join(src, sub)):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    store = ZoneStore(spark, os.path.join(work, "zones"))
+    q = stream_quality_admission(
+        spark, src + "/*", frame.schema, store,
+        DataZone.BRONZE, "p", os.path.join(work, "chk"),
+    )
+    q.awaitTermination()
+    audit = store.read(DataZone.BRONZE, "p_audit").collect()
+    assert len(audit) == 2
+    for r in audit:
+        assert r.n_in == r.n_admitted + r.n_quarantined
+        assert r.n_quarantined > 0  # the fixture is dirty in every half
+    assert store.read(DataZone.BRONZE, "p").count() == sum(
+        r.n_admitted for r in audit
+    )
+    assert sum(r.n_in for r in audit) == frame.count()
