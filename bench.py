@@ -245,6 +245,8 @@ HEADLINE = [
     "dedup_minhash_band_planner",
     "pipeline_embedding_decontamination",
     "sample_leakage_free_split",
+    "text_unigram_viterbi_segment",
+    "quality_schema_drift_versions",
 ]
 
 

@@ -130,6 +130,7 @@ PRIORITY = [
     "sample_leakage_free_split",
     "streaming_quality_admission_gate",
     "quality_schema_drift_versions",
+    "text_unigram_viterbi_segment",
 ]
 
 

@@ -4738,36 +4738,57 @@ def dedup_ground_truth_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b")
         .persist()
     )
-    truth = (
-        docs.filter(F.col("doc_id") >= 1_000_000)
-        .select(
-            (F.col("doc_id") - 1_000_000).alias("id_a"),
-            F.col("doc_id").alias("id_b"),
-        )
-        .persist()
+    truth = docs.filter(F.col("doc_id") >= 1_000_000).select(
+        (F.col("doc_id") - 1_000_000).alias("id_a"),
+        F.col("doc_id").alias("id_b"),
+        F.lit(1).alias("is_truth"),
     )
-    n_truth = truth.count()
-    n_cand = cand.count()
-    n_verified = pairs.count()
-    truth_in_cand = truth.join(cand, ["id_a", "id_b"]).count()
-    truth_in_verified = truth.join(pairs, ["id_a", "id_b"]).count()
-    for df_ in (sh, cand, pairs, truth):
-        df_.unpersist()
-    return spark.createDataFrame(
-        [
-            (
-                n_truth,
-                n_cand,
-                n_verified,
-                truth_in_cand,
-                truth_in_verified,
-                round(truth_in_cand / n_truth, 6) if n_truth else None,
-                round(truth_in_verified / n_truth, 6) if n_truth else None,
-            )
-        ],
-        "n_truth bigint, n_cand bigint, n_verified bigint, "
-        "truth_in_cand bigint, truth_in_verified bigint, "
-        "recall_cand double, recall_verified double",
+    # One lazy plan, zero driver-side counts: each pair table left-joins
+    # the (broadcast-small) truth set and folds to a 1-row aggregate; the
+    # three aggregates cross-join into the single result row. The old
+    # shape ran FIVE sequential driver actions (counts + join-counts) —
+    # same answer, ~2x the wall clock, and the metrics materialized on
+    # the driver instead of in the plan.
+    tb = F.broadcast(truth)
+    cand_m = cand.join(tb, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
+        F.sum(F.coalesce("is_truth", F.lit(0))).cast("bigint").alias(
+            "truth_in_cand"
+        ),
+    )
+    ver_m = pairs.join(tb, ["id_a", "id_b"], "left").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_verified"),
+        F.sum(F.coalesce("is_truth", F.lit(0))).cast("bigint").alias(
+            "truth_in_verified"
+        ),
+    )
+    truth_m = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
+    return (
+        truth_m.crossJoin(F.broadcast(cand_m))
+        .crossJoin(F.broadcast(ver_m))
+        .select(
+            "n_truth",
+            "n_cand",
+            "n_verified",
+            "truth_in_cand",
+            "truth_in_verified",
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.col("truth_in_cand").cast("double")
+                    / F.col("n_truth"),
+                    6,
+                ),
+            ).alias("recall_cand"),
+            F.when(
+                F.col("n_truth") > 0,
+                F.round(
+                    F.col("truth_in_verified").cast("double")
+                    / F.col("n_truth"),
+                    6,
+                ),
+            ).alias("recall_verified"),
+        )
     )
 
 
@@ -6087,3 +6108,213 @@ def sample_leakage_free_split(
         )
         .orderBy("bucket")
     )
+
+
+_VIT_MAXLEN = 12  # words longer than this are excluded (stated cap)
+_VIT_MAXPIECE = 4
+
+
+def _viterbi_oracle() -> str:
+    K, P = _VIT_MAXLEN, _VIT_MAXPIECE
+    parts = [
+        f"""wl AS MATERIALIZED (
+        SELECT lang, u.w FROM documents,
+             UNNEST(string_split(text, ' ')) AS u(w)
+        WHERE u.w <> '' AND length(u.w) <= {K}
+    )""",
+        """lwf AS MATERIALIZED (
+        SELECT lang, w, COUNT(*) AS freq FROM wl GROUP BY lang, w
+    )""",
+        """wf AS MATERIALIZED (
+        SELECT w, CAST(SUM(freq) AS BIGINT) AS wfreq FROM lwf GROUP BY w
+    )""",
+        f"""spans AS MATERIALIZED (
+        SELECT w, wfreq, s.i AS s, l.j AS len,
+               substr(w, s.i, l.j) AS piece, s.i + l.j - 1 AS e
+        FROM wf,
+             UNNEST(range(1, length(w) + 1)) AS s(i),
+             UNNEST(range(1, {P} + 1)) AS l(j)
+        WHERE s.i + l.j - 1 <= length(w)
+    )""",
+        """pc AS MATERIALIZED (
+        SELECT piece, CAST(SUM(wfreq) AS BIGINT) AS pcount
+        FROM spans GROUP BY piece
+    )""",
+        """sp AS MATERIALIZED (
+        SELECT spans.w, spans.s, spans.e, pc.pcount
+        FROM spans JOIN pc USING (piece)
+    )""",
+        "dp0 AS MATERIALIZED (SELECT w, 0 AS np, CAST(0 AS BIGINT) AS sc FROM wf)",
+    ]
+    for i in range(1, K + 1):
+        lo = max(0, i - P)
+        prev = "\n            UNION ALL ".join(
+            f"SELECT w, {j} AS i, np, sc FROM dp{j}"
+            for j in range(lo, i)
+        )
+        parts.append(f"""dp{i} AS MATERIALIZED (
+        SELECT w, np, sc FROM (
+            SELECT sp.w, b.np + 1 AS np, b.sc + sp.pcount AS sc,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sp.w
+                       ORDER BY b.np + 1 ASC, b.sc + sp.pcount DESC
+                   ) AS rn
+            FROM sp
+            JOIN ({prev}) b
+              ON b.w = sp.w AND sp.s = b.i + 1
+            WHERE sp.e = {i}
+        ) WHERE rn = 1
+    )""")
+    final_union = "\n        UNION ALL ".join(
+        f"SELECT w, {i} AS i, np FROM dp{i}" for i in range(1, K + 1)
+    )
+    ctes = ",\n    ".join(parts)
+    return f"""
+    WITH {ctes},
+    npw AS MATERIALIZED (
+        SELECT d.w, d.np FROM ({final_union}) d
+        JOIN wf ON wf.w = d.w AND length(wf.w) = d.i
+    )
+    SELECT lang,
+           CAST(SUM(freq) AS BIGINT) AS n_words,
+           CAST(SUM(freq * np) AS BIGINT) AS total_pieces,
+           {dround_sql(
+               "CAST(SUM(freq * np) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE)", 6
+           )} AS pieces_per_word,
+           {dround_sql(
+               "CAST(SUM(freq * length(w)) AS DOUBLE)"
+               " / CAST(SUM(freq * np) AS DOUBLE)", 6
+           )} AS chars_per_piece
+    FROM lwf JOIN npw USING (w)
+    GROUP BY lang ORDER BY lang
+    """
+
+
+@register(
+    "text_unigram_viterbi_segment",
+    oracle=_viterbi_oracle(),
+    description="SentencePiece-style subword segmentation via Viterbi DP "
+    "over a substring seed vocabulary: every 1..4-char substring of the "
+    "word inventory (corpus-frequency weighted) is a candidate piece, "
+    "and each word is segmented optimally by dynamic programming — "
+    "fewest pieces first, then highest total piece frequency (an "
+    "INTEGER-exact objective, chosen over log-prob costs so the argmin "
+    "can never diverge across engines by a ulp of ln; the DP shape is "
+    "identical to unigram-LM Viterbi). The DP runs on the DISTINCT "
+    "word-frequency table, never the corpus: one scan + groupBy builds "
+    "the word inventory, and each of the 12 position rounds is a "
+    "vocab-sized join — the same O(vocab)-per-round contract as the "
+    "BPE loop, so segmentation cost is independent of corpus size. "
+    "Words longer than 12 chars are excluded (cap stated, matched by "
+    "the oracle; production raises the unroll depth). Reports "
+    "per-language pieces/word and chars/piece — tie-invariant metrics "
+    "(optimal np and score are unique even when segmentations tie).",
+)
+def text_unigram_viterbi_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    K, P = _VIT_MAXLEN, _VIT_MAXPIECE
+    docs = table(spark, sf_dir, "documents")
+    wl = (
+        docs.select(
+            "lang", F.explode(F.split("text", " ", -1)).alias("w")
+        )
+        .filter((F.col("w") != "") & (F.length("w") <= K))
+    )
+    lwf = wl.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("freq"))
+    wf = (
+        lwf.groupBy("w")
+        .agg(F.sum("freq").cast("bigint").alias("wfreq"))
+        .persist()
+    )
+    spans = (
+        wf.select(
+            "w",
+            "wfreq",
+            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("s"),
+        )
+        .select(
+            "w",
+            "wfreq",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.lit(1),
+                    F.least(F.lit(P), F.length("w") - F.col("s") + 1),
+                )
+            ).alias("len"),
+        )
+        .select(
+            "w",
+            "wfreq",
+            "s",
+            (F.col("s") + F.col("len") - 1).alias("e"),
+            F.substring(F.col("w"), F.col("s"), F.col("len")).alias("piece"),
+        )
+    )
+    pc = spans.groupBy("piece").agg(
+        F.sum("wfreq").cast("bigint").alias("pcount")
+    )
+    sp = spans.join(pc, "piece").select("w", "s", "e", "pcount").persist()
+    # DP rounds over positions: `best` accumulates the optimal (np, sc)
+    # per (word, prefix length i). Lexicographic (np asc, sc desc) via
+    # integer struct-min (negated sc). localCheckpoint per round keeps
+    # plan depth constant — same discipline as the CC loops.
+    best = wf.select(
+        "w",
+        F.lit(0).alias("i"),
+        F.lit(0).alias("np"),
+        F.lit(0).cast("bigint").alias("sc"),
+    ).localCheckpoint()
+    # One metadata-scale scalar (like the BPE loop's per-round top-1):
+    # rounds beyond the longest word are provable no-ops, so don't pay
+    # their checkpoint jobs. The cap K still bounds the plan statically.
+    maxlen = wf.agg(F.max(F.length("w"))).collect()[0][0] or 0
+    for i in range(1, min(K, maxlen) + 1):
+        ends = sp.filter(F.col("e") == i).alias("sp")
+        cand = ends.join(
+            best.alias("b"),
+            (F.col("sp.w") == F.col("b.w"))
+            & (F.col("b.i") == F.col("sp.s") - 1),
+        ).select(
+            F.col("sp.w").alias("w"),
+            (F.col("b.np") + 1).alias("np"),
+            (F.col("b.sc") + F.col("sp.pcount")).alias("sc"),
+        )
+        bi = (
+            cand.groupBy("w")
+            .agg(F.min(F.struct(F.col("np"), (-F.col("sc")).alias("nsc"))).alias("m"))
+            .select(
+                "w",
+                F.lit(i).alias("i"),
+                F.col("m.np").alias("np"),
+                (-F.col("m.nsc")).alias("sc"),
+            )
+        )
+        best = best.unionAll(bi).localCheckpoint()
+    npw = best.join(
+        wf.select("w", F.length("w").alias("wlen")),
+        "w",
+    ).filter(F.col("i") == F.col("wlen")).select("w", "np")
+    out = (
+        lwf.join(npw, "w")
+        .groupBy("lang")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_words"),
+            F.sum(F.col("freq") * F.col("np")).cast("bigint").alias(
+                "total_pieces"
+            ),
+            dround(
+                F.sum(F.col("freq") * F.col("np")).cast("double")
+                / F.sum("freq").cast("double"),
+                6,
+            ).alias("pieces_per_word"),
+            dround(
+                F.sum(F.col("freq") * F.length("w")).cast("double")
+                / F.sum(F.col("freq") * F.col("np")).cast("double"),
+                6,
+            ).alias("chars_per_piece"),
+        )
+        .orderBy("lang")
+    )
+    return out

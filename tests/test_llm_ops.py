@@ -1473,3 +1473,36 @@ def test_leakage_free_split_evicts_test_neighbors(spark):
     assert "train_removed" in rows and rows["train_removed"].n_docs > 0
     for r in rows.values():
         assert r.n_tokens >= r.n_docs  # every doc has at least one token
+
+
+def test_unigram_viterbi_invariants_and_pinned_case(spark):
+    """Fixture invariants: every word yields at least ceil(len/4) and at
+    most len pieces, so 1 <= pieces_per_word and 1 <= chars_per_piece <= 4.
+    Pinned micro-case: 'abcd' segments as one 4-char piece (fewest
+    pieces), and 'ababab' (len 6) needs exactly 2 pieces."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import healthcare_data_lakehouse_spark.queries.llm_ops as L
+
+    rows = L.text_unigram_viterbi_segment(spark, SF001).collect()
+    assert rows and {r.lang for r in rows} == {"de", "en", "es", "fr", "zh"}
+    for r in rows:
+        assert r.pieces_per_word >= 1.0
+        assert 1.0 <= r.chars_per_piece <= 4.0
+        assert r.total_pieces >= r.n_words
+
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="abcd ababab", lang="xx", source="s", n_chars=11),
+        ]
+    )
+    with mock.patch.object(L, "table", lambda *_a, **_k: probe):
+        got = {r.lang: r for r in
+               L.text_unigram_viterbi_segment(spark, SF001).collect()}
+    r = got["xx"]
+    # 'abcd' -> 1 piece, 'ababab' -> 2 pieces (e.g. 'aba'+'bab' or
+    # 'abab'+'ab'); total = 3 pieces over 2 words
+    assert r.n_words == 2
+    assert r.total_pieces == 3
