@@ -246,6 +246,7 @@ HEADLINE = [
     "pipeline_embedding_decontamination",
     "sample_leakage_free_split",
     "text_unigram_viterbi_segment",
+    "text_unigram_lm_em_round",
     "quality_schema_drift_versions",
 ]
 

@@ -6190,29 +6190,9 @@ def _viterbi_oracle() -> str:
     """
 
 
-@register(
-    "text_unigram_viterbi_segment",
-    oracle=_viterbi_oracle(),
-    description="SentencePiece-style subword segmentation via Viterbi DP "
-    "over a substring seed vocabulary: every 1..4-char substring of the "
-    "word inventory (corpus-frequency weighted) is a candidate piece, "
-    "and each word is segmented optimally by dynamic programming — "
-    "fewest pieces first, then highest total piece frequency (an "
-    "INTEGER-exact objective, chosen over log-prob costs so the argmin "
-    "can never diverge across engines by a ulp of ln; the DP shape is "
-    "identical to unigram-LM Viterbi). The DP runs on the DISTINCT "
-    "word-frequency table, never the corpus: one scan + groupBy builds "
-    "the word inventory, and each of the 12 position rounds is a "
-    "vocab-sized join — the same O(vocab)-per-round contract as the "
-    "BPE loop, so segmentation cost is independent of corpus size. "
-    "Words longer than 12 chars are excluded (cap stated, matched by "
-    "the oracle; production raises the unroll depth). Reports "
-    "per-language pieces/word and chars/piece — tie-invariant metrics "
-    "(optimal np and score are unique even when segmentations tie).",
-)
-def text_unigram_viterbi_segment(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
+def _viterbi_tables(spark: SparkSession, sf_dir: str):
+    """(lwf, wf, sp): per-lang word freqs, distinct-word corpus freqs, and
+    span costs (w, s, e, pcount) for the substring seed vocabulary."""
     K, P = _VIT_MAXLEN, _VIT_MAXPIECE
     docs = table(spark, sf_dir, "documents")
     wl = (
@@ -6256,15 +6236,23 @@ def text_unigram_viterbi_segment(
         F.sum("wfreq").cast("bigint").alias("pcount")
     )
     sp = spans.join(pc, "piece").select("w", "s", "e", "pcount").persist()
-    # DP rounds over positions: `best` accumulates the optimal (np, sc)
-    # per (word, prefix length i). Lexicographic (np asc, sc desc) via
-    # integer struct-min (negated sc). localCheckpoint per round keeps
-    # plan depth constant — same discipline as the CC loops.
+    return lwf, wf, sp
+
+
+def _viterbi_best(spark: SparkSession, wf: DataFrame, sp: DataFrame) -> DataFrame:
+    """DP rounds over positions: returns (w, i, np, sc, L) — the optimal
+    (piece count, score) per (word, prefix length) plus the chosen last-
+    piece length L as a deterministic backpointer. Lexicographic
+    (np asc, sc desc, L desc) via integer struct-min (negations), so the
+    argmin is exact in any engine. localCheckpoint per round keeps plan
+    depth constant — same discipline as the CC loops."""
+    K = _VIT_MAXLEN
     best = wf.select(
         "w",
         F.lit(0).alias("i"),
         F.lit(0).alias("np"),
         F.lit(0).cast("bigint").alias("sc"),
+        F.lit(0).alias("L"),
     ).localCheckpoint()
     # One metadata-scale scalar (like the BPE loop's per-round top-1):
     # rounds beyond the longest word are provable no-ops, so don't pay
@@ -6280,18 +6268,57 @@ def text_unigram_viterbi_segment(
             F.col("sp.w").alias("w"),
             (F.col("b.np") + 1).alias("np"),
             (F.col("b.sc") + F.col("sp.pcount")).alias("sc"),
+            (F.col("sp.e") - F.col("sp.s") + 1).alias("L"),
         )
         bi = (
             cand.groupBy("w")
-            .agg(F.min(F.struct(F.col("np"), (-F.col("sc")).alias("nsc"))).alias("m"))
+            .agg(
+                F.min(
+                    F.struct(
+                        F.col("np"),
+                        (-F.col("sc")).alias("nsc"),
+                        (-F.col("L")).alias("nL"),
+                    )
+                ).alias("m")
+            )
             .select(
                 "w",
                 F.lit(i).alias("i"),
                 F.col("m.np").alias("np"),
                 (-F.col("m.nsc")).alias("sc"),
+                (-F.col("m.nL")).alias("L"),
             )
         )
         best = best.unionAll(bi).localCheckpoint()
+    return best
+
+
+
+@register(
+    "text_unigram_viterbi_segment",
+    oracle=_viterbi_oracle(),
+    description="SentencePiece-style subword segmentation via Viterbi DP "
+    "over a substring seed vocabulary: every 1..4-char substring of the "
+    "word inventory (corpus-frequency weighted) is a candidate piece, "
+    "and each word is segmented optimally by dynamic programming — "
+    "fewest pieces first, then highest total piece frequency (an "
+    "INTEGER-exact objective, chosen over log-prob costs so the argmin "
+    "can never diverge across engines by a ulp of ln; the DP shape is "
+    "identical to unigram-LM Viterbi). The DP runs on the DISTINCT "
+    "word-frequency table, never the corpus: one scan + groupBy builds "
+    "the word inventory, and each of the 12 position rounds is a "
+    "vocab-sized join — the same O(vocab)-per-round contract as the "
+    "BPE loop, so segmentation cost is independent of corpus size. "
+    "Words longer than 12 chars are excluded (cap stated, matched by "
+    "the oracle; production raises the unroll depth). Reports "
+    "per-language pieces/word and chars/piece — tie-invariant metrics "
+    "(optimal np and score are unique even when segmentations tie).",
+)
+def text_unigram_viterbi_segment(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    lwf, wf, sp = _viterbi_tables(spark, sf_dir)
+    best = _viterbi_best(spark, wf, sp)
     npw = best.join(
         wf.select("w", F.length("w").alias("wlen")),
         "w",
@@ -6318,3 +6345,168 @@ def text_unigram_viterbi_segment(
         .orderBy("lang")
     )
     return out
+
+
+def _viterbi_bp_ctes() -> str:
+    """Shared CTE prefix through the backpointered DP tables dp1..dpK —
+    identical seeding/spans as :func:`_viterbi_oracle`, with each dp
+    round keeping the chosen last-piece length L (tie-break np asc,
+    sc desc, L desc — all integers)."""
+    K, P = _VIT_MAXLEN, _VIT_MAXPIECE
+    parts = [
+        f"""wl AS MATERIALIZED (
+        SELECT lang, u.w FROM documents,
+             UNNEST(string_split(text, ' ')) AS u(w)
+        WHERE u.w <> '' AND length(u.w) <= {K}
+    )""",
+        """lwf AS MATERIALIZED (
+        SELECT lang, w, COUNT(*) AS freq FROM wl GROUP BY lang, w
+    )""",
+        """wf AS MATERIALIZED (
+        SELECT w, CAST(SUM(freq) AS BIGINT) AS wfreq FROM lwf GROUP BY w
+    )""",
+        f"""spans AS MATERIALIZED (
+        SELECT w, wfreq, s.i AS s, l.j AS len,
+               substr(w, s.i, l.j) AS piece, s.i + l.j - 1 AS e
+        FROM wf,
+             UNNEST(range(1, length(w) + 1)) AS s(i),
+             UNNEST(range(1, {P} + 1)) AS l(j)
+        WHERE s.i + l.j - 1 <= length(w)
+    )""",
+        """pc AS MATERIALIZED (
+        SELECT piece, CAST(SUM(wfreq) AS BIGINT) AS pcount
+        FROM spans GROUP BY piece
+    )""",
+        """sp AS MATERIALIZED (
+        SELECT spans.w, spans.s, spans.e, pc.pcount
+        FROM spans JOIN pc USING (piece)
+    )""",
+        "dp0 AS MATERIALIZED (SELECT w, 0 AS np, CAST(0 AS BIGINT) AS sc,"
+        " 0 AS L FROM wf)",
+    ]
+    for i in range(1, K + 1):
+        lo = max(0, i - P)
+        prev = "\n            UNION ALL ".join(
+            f"SELECT w, {j} AS i, np, sc FROM dp{j}"
+            for j in range(lo, i)
+        )
+        parts.append(f"""dp{i} AS MATERIALIZED (
+        SELECT w, np, sc, L FROM (
+            SELECT sp.w, b.np + 1 AS np, b.sc + sp.pcount AS sc,
+                   sp.e - sp.s + 1 AS L,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY sp.w
+                       ORDER BY b.np + 1 ASC, b.sc + sp.pcount DESC,
+                                sp.e - sp.s + 1 DESC
+                   ) AS rn
+            FROM sp
+            JOIN ({prev}) b
+              ON b.w = sp.w AND sp.s = b.i + 1
+            WHERE sp.e = {i}
+        ) WHERE rn = 1
+    )""")
+    bp_union = "\n        UNION ALL ".join(
+        f"SELECT w, {i} AS i, L FROM dp{i}" for i in range(1, K + 1)
+    )
+    parts.append(f"bp AS MATERIALIZED (\n        {bp_union}\n    )")
+    return ",\n    ".join(parts)
+
+
+def _unigram_em_oracle() -> str:
+    K = _VIT_MAXLEN
+    walk_parts = ["walk0 AS MATERIALIZED (SELECT w, length(w) AS i FROM wf)"]
+    for t in range(1, K + 1):
+        walk_parts.append(f"""step{t} AS MATERIALIZED (
+        SELECT k.w, substr(k.w, k.i - bp.L + 1, bp.L) AS piece,
+               k.i - bp.L AS ni
+        FROM walk{t - 1} k JOIN bp ON bp.w = k.w AND bp.i = k.i
+        WHERE k.i > 0
+    )""")
+        walk_parts.append(
+            f"walk{t} AS MATERIALIZED "
+            f"(SELECT w, ni AS i FROM step{t} WHERE ni > 0)"
+        )
+    pieces_union = "\n        UNION ALL ".join(
+        f"SELECT w, piece FROM step{t}" for t in range(1, K + 1)
+    )
+    walk_sql = ",\n    ".join(walk_parts)
+    return f"""
+    WITH {_viterbi_bp_ctes()},
+    {walk_sql},
+    pieces AS MATERIALIZED ({pieces_union}),
+    usage AS (
+        SELECT p.piece,
+               CAST(COUNT(DISTINCT p.w) AS BIGINT) AS n_words,
+               CAST(SUM(wf.wfreq) AS BIGINT) AS usage
+        FROM pieces p JOIN wf ON wf.w = p.w
+        GROUP BY p.piece
+    ),
+    tot AS (SELECT CAST(SUM(usage) AS BIGINT) AS total FROM usage)
+    SELECT piece, n_words, usage,
+           {dround_sql("CAST(usage AS DOUBLE) / total", 6)} AS usage_share
+    FROM usage, tot
+    ORDER BY usage DESC, piece
+    LIMIT 20
+    """
+
+
+@register(
+    "text_unigram_lm_em_round",
+    oracle=_unigram_em_oracle(),
+    description="The M-step completing the unigram-LM EM round: "
+    "reconstruct every word's OPTIMAL segmentation by walking the "
+    "Viterbi backpointers (deterministic integer tie-break: fewest "
+    "pieces, highest score, longest last piece), then re-estimate piece "
+    "usage — corpus-frequency-weighted counts over the chosen "
+    "segmentations, exactly what SentencePiece feeds its next EM "
+    "iteration and prune step. The walk is <= 12 vocab-sized joins "
+    "(positions strictly decrease by the chosen piece length), so like "
+    "the E-step it never touches the corpus after the one word-count "
+    "scan. Returns the top-20 pieces by usage with share — the vocab "
+    "head the prune step would keep.",
+)
+def text_unigram_lm_em_round(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    _lwf, wf, sp = _viterbi_tables(spark, sf_dir)
+    best = _viterbi_best(spark, wf, sp)
+    bp = best.filter(F.col("i") > 0).select("w", "i", "L").localCheckpoint()
+    walk = wf.select("w", F.length("w").alias("i"))
+    pieces = None
+    for _t in range(_VIT_MAXLEN):
+        step = (
+            walk.filter(F.col("i") > 0)
+            .join(bp, ["w", "i"])
+            .select(
+                "w",
+                F.substring(
+                    F.col("w"), F.col("i") - F.col("L") + 1, F.col("L")
+                ).alias("piece"),
+                (F.col("i") - F.col("L")).alias("ni"),
+            )
+        )
+        emitted = step.select("w", "piece")
+        pieces = emitted if pieces is None else pieces.unionAll(emitted)
+        walk = step.select("w", F.col("ni").alias("i")).localCheckpoint()
+    usage = (
+        pieces.join(wf, "w")
+        .groupBy("piece")
+        .agg(
+            F.countDistinct("w").cast("bigint").alias("n_words"),
+            F.sum("wfreq").cast("bigint").alias("usage"),
+        )
+    )
+    tot = usage.agg(F.sum("usage").cast("bigint").alias("total"))
+    return (
+        usage.crossJoin(F.broadcast(tot))
+        .select(
+            "piece",
+            "n_words",
+            "usage",
+            dround(F.col("usage").cast("double") / F.col("total"), 6).alias(
+                "usage_share"
+            ),
+        )
+        .orderBy(F.col("usage").desc(), "piece")
+        .limit(20)
+    )

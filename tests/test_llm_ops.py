@@ -1506,3 +1506,32 @@ def test_unigram_viterbi_invariants_and_pinned_case(spark):
     # 'abab'+'ab'); total = 3 pieces over 2 words
     assert r.n_words == 2
     assert r.total_pieces == 3
+
+
+def test_unigram_em_usage_head_and_pinned_case(spark):
+    """Usage head invariants: shares are a (partial) distribution over
+    the top-20, every piece is 1-4 chars, n_words never exceeds usage.
+    Pinned micro-case: 'abcd abcd ab' re-estimates usage {abcd: 2, ab: 1}
+    — each word is one optimal piece, weighted by corpus frequency."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import healthcare_data_lakehouse_spark.queries.llm_ops as L
+
+    rows = L.text_unigram_lm_em_round(spark, SF001).collect()
+    assert 0 < len(rows) <= 20
+    assert sum(r.usage_share for r in rows) <= 1.0 + 1e-9
+    usages = [r.usage for r in rows]
+    assert usages == sorted(usages, reverse=True)
+    for r in rows:
+        assert 1 <= len(r.piece) <= 4
+        assert r.n_words <= r.usage
+
+    probe = spark.createDataFrame(
+        [Row(doc_id=1, text="abcd abcd ab", lang="xx", source="s", n_chars=12)]
+    )
+    with mock.patch.object(L, "table", lambda *_a, **_k: probe):
+        got = {r.piece: r.usage for r in
+               L.text_unigram_lm_em_round(spark, SF001).collect()}
+    assert got == {"abcd": 2, "ab": 1}, got
