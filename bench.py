@@ -248,6 +248,7 @@ HEADLINE = [
     "text_unigram_viterbi_segment",
     "text_unigram_lm_em_round",
     "quality_schema_drift_versions",
+    "forecast_backtest_mape",
 ]
 
 

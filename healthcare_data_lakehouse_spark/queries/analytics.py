@@ -4046,3 +4046,106 @@ def storage_partition_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("expected_scan_frac"),
     )
+
+
+@register(
+    "forecast_backtest_mape",
+    oracle="""
+    WITH monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    laged AS (
+        SELECT month, rev,
+               ROW_NUMBER() OVER (ORDER BY month) AS rn,
+               COUNT(*) OVER () AS n_months,
+               LAG(rev, 1) OVER (ORDER BY month) AS f_naive,
+               LAG(rev, 12) OVER (ORDER BY month) AS f_snaive,
+               (LAG(rev, 1) OVER (ORDER BY month)
+                + LAG(rev, 2) OVER (ORDER BY month)
+                + LAG(rev, 3) OVER (ORDER BY month)) / 3.0 AS f_ma3
+        FROM monthly
+    ),
+    folds AS (
+        SELECT * FROM laged WHERE rn > n_months - 12 AND rn > 12
+    ),
+    unp AS (
+        SELECT 'naive' AS method, rev, f_naive AS f FROM folds
+        UNION ALL SELECT 'seasonal_naive', rev, f_snaive FROM folds
+        UNION ALL SELECT 'moving_avg_3', rev, f_ma3 FROM folds
+    )
+    SELECT method,
+           CAST(COUNT(*) AS BIGINT) AS n_folds,
+           CAST(ROUND(CAST(AVG(abs(rev - f) / rev) AS DECIMAL(38,8)), 6)
+                AS DOUBLE) AS mape,
+           CAST(ROUND(CAST(AVG(abs(rev - f)) AS DECIMAL(38,8)), 6)
+                AS DOUBLE) AS mae
+    FROM unp GROUP BY method ORDER BY method
+    """,
+    description="Rolling-origin forecast backtest: score naive, "
+    "seasonal-naive (lag 12), and 3-month moving-average one-step "
+    "forecasts over the last 12 months of the monthly revenue series "
+    "by MAPE and MAE — the baseline table every forecasting method "
+    "(Holt, Holt-Winters, STL here) must beat before deployment, per "
+    "the M-competition protocol. One agg shuffle collapses the fact "
+    "table to #months rows; lags, folds, and both error metrics are "
+    "post-aggregation window math at metadata scale.",
+)
+def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    w = W.orderBy("month")
+    laged = monthly.select(
+        "month",
+        "rev",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(W.partitionBy()).alias("n_months"),
+        F.lag("rev", 1).over(w).alias("f_naive"),
+        F.lag("rev", 12).over(w).alias("f_snaive"),
+        (
+            (
+                F.lag("rev", 1).over(w)
+                + F.lag("rev", 2).over(w)
+                + F.lag("rev", 3).over(w)
+            )
+            / 3.0
+        ).alias("f_ma3"),
+    )
+    folds = laged.filter(
+        (F.col("rn") > F.col("n_months") - 12) & (F.col("rn") > 12)
+    )
+    unp = folds.select(
+        "rev",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("naive").alias("method"),
+                    F.col("f_naive").alias("f"),
+                ),
+                F.struct(
+                    F.lit("seasonal_naive").alias("method"),
+                    F.col("f_snaive").alias("f"),
+                ),
+                F.struct(
+                    F.lit("moving_avg_3").alias("method"),
+                    F.col("f_ma3").alias("f"),
+                ),
+            )
+        ).alias("mf"),
+    ).select("rev", F.col("mf.method").alias("method"), F.col("mf.f").alias("f"))
+    return (
+        unp.groupBy("method")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_folds"),
+            dround(F.avg(F.abs(F.col("rev") - F.col("f")) / F.col("rev")), 6).alias(
+                "mape"
+            ),
+            dround(F.avg(F.abs(F.col("rev") - F.col("f"))), 6).alias("mae"),
+        )
+        .orderBy("method")
+    )

@@ -81,9 +81,9 @@ PRIORITY = [
     "events_value_twap_per_user",
     "window_range_7day_user_value",
     "percentile_order_value_by_segment",
-    "orders_cohort_ltv",
-    # (finance_price_volume_bridge rotated out in round 7: green in the
-    # driver record since its round-4 fix and in every full sweep)
+    # (orders_cohort_ltv, finance_price_volume_bridge rotated out in
+    # round 7: green in the driver record since their round-4 fixes and
+    # in every full sweep)
     # (events_json_kpis, skew_salted_join_event_kpis and
     # pivot_returnflag_by_linestatus rotated out in round 6: green since
     # round 3 and still verified by the full compare.py sweep each round)
@@ -133,6 +133,7 @@ PRIORITY = [
     "quality_schema_drift_versions",
     "text_unigram_viterbi_segment",
     "text_unigram_lm_em_round",
+    "forecast_backtest_mape",
 ]
 
 

@@ -451,3 +451,19 @@ def test_partition_advisor_tradeoffs(spark, sf_dir):
         assert r.max_part_frac >= 1.0 / r.n_partitions - 1e-9
     # finer keys prune more in expectation
     assert rows["day"].expected_scan_frac < rows["event_type"].expected_scan_frac
+
+
+def test_forecast_backtest_folds_and_method_sanity(spark, sf_dir):
+    """Exactly 12 rolling-origin folds per method; MAPE/MAE are positive
+    and finite; naive and seasonal-naive both produce errors (the series
+    is neither constant nor perfectly seasonal)."""
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        forecast_backtest_mape,
+    )
+
+    rows = {r.method: r for r in forecast_backtest_mape(spark, sf_dir).collect()}
+    assert set(rows) == {"naive", "seasonal_naive", "moving_avg_3"}
+    for r in rows.values():
+        assert r.n_folds == 12
+        assert 0.0 < r.mape
+        assert 0.0 < r.mae
