@@ -30,6 +30,7 @@ GRAIN_BOUNDS = {
     "events_cumulative_unique_users": 16,
     "events_uplift_qini_deciles": 50,
     "events_watermark_lateness_audit": 16,
+    "forecast_backtest_mape": 240,
     "forecast_stl_decompose_monthly": 240,
     "histogram_equal_frequency_totalprice": 4_500,
     "orders_abc_classification": 600,

@@ -96,6 +96,8 @@ GLOBAL_WINDOW_OK = {
         "normalizing window over the per-language aggregate (|langs| rows)",
     "forecast_stl_decompose_monthly":
         "trend/cum windows over the month-grain post-agg series",
+    "forecast_backtest_mape":
+        "lag/rank windows over the month-grain post-agg series",
     "orders_open_backlog_daily":
         "prefix sum over the day-grain delta series (sweepline)",
     "pipeline_packing_efficiency_curve":
