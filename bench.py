@@ -249,6 +249,7 @@ HEADLINE = [
     "text_unigram_lm_em_round",
     "quality_schema_drift_versions",
     "forecast_backtest_mape",
+    "pipeline_curriculum_phases",
 ]
 
 

@@ -6510,3 +6510,89 @@ def text_unigram_lm_em_round(
         .orderBy(F.col("usage").desc(), "piece")
         .limit(20)
     )
+
+
+@register(
+    "pipeline_curriculum_phases",
+    oracle=f"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+               {_SCORE_SQL} AS q
+        FROM documents
+    ),
+    phased AS (
+        SELECT doc_id, n_tokens, q,
+               NTILE(4) OVER (ORDER BY q DESC, doc_id) AS phase
+        FROM scored
+    ),
+    per AS (
+        SELECT phase,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+               AVG(q) AS mq
+        FROM phased GROUP BY phase
+    ),
+    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
+    SELECT phase,
+           n_docs,
+           n_tokens,
+           {dround_sql("mq", 6)} AS mean_quality,
+           {dround_sql(
+               "SUM(n_tokens) OVER (ORDER BY phase)"
+               " / CAST(total AS DOUBLE)", 6
+           )} AS cum_token_share
+    FROM per, tot
+    ORDER BY phase
+    """,
+    description="Curriculum-learning schedule: rank the corpus by quality "
+    "score (deterministic total order, doc_id tiebreak) and cut it into "
+    "4 curriculum phases — training consumes phase 1 (cleanest) first "
+    "and anneals toward the noisier tail, the schedule used by "
+    "quality-curriculum pretraining recipes. Reports per-phase doc/"
+    "token budgets, mean quality, and the cumulative token share the "
+    "scheduler feeds the data loader. NTILE runs at doc grain here "
+    "(same declared trade-off as pipeline_packing_efficiency_curve: "
+    "at 1e9+ docs the cuts come from a binned score histogram instead "
+    "— noted, not silent); everything after the cut is a 4-row "
+    "aggregate.",
+)
+def pipeline_curriculum_phases(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql.window import Window as W
+
+    docs = table(spark, sf_dir, "documents")
+    q = TX.quality_score_cols(F.col("text"))["quality_score"]
+    scored = docs.select(
+        "doc_id",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
+        q.alias("q"),
+    )
+    phased = scored.withColumn(
+        "phase",
+        F.ntile(4).over(W.orderBy(F.col("q").desc(), F.col("doc_id"))),
+    )
+    per = phased.groupBy("phase").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
+        F.avg("q").alias("mq"),
+    )
+    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("total"))
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "phase",
+            "n_docs",
+            "n_tokens",
+            dround(F.col("mq"), 6).alias("mean_quality"),
+            dround(
+                F.sum("n_tokens")
+                .over(W.orderBy("phase"))
+                .cast("double")
+                / F.col("total"),
+                6,
+            ).alias("cum_token_share"),
+        )
+        .orderBy("phase")
+    )

@@ -1535,3 +1535,27 @@ def test_unigram_em_usage_head_and_pinned_case(spark):
         got = {r.piece: r.usage for r in
                L.text_unigram_lm_em_round(spark, SF001).collect()}
     assert got == {"abcd": 2, "ab": 1}, got
+
+
+def test_curriculum_phases_quality_monotone_and_partition(spark):
+    """Phases partition the corpus (doc counts differ by at most 1 per
+    NTILE contract, token sums partition the total), mean quality is
+    strictly ordered easy-to-hard, and cumulative share ends at 1.0."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_curriculum_phases,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = sorted(
+        pipeline_curriculum_phases(spark, SF001).collect(),
+        key=lambda r: r.phase,
+    )
+    assert [r.phase for r in rows] == [1, 2, 3, 4]
+    n_docs = table(spark, SF001, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    assert max(r.n_docs for r in rows) - min(r.n_docs for r in rows) <= 1
+    quals = [r.mean_quality for r in rows]
+    assert quals == sorted(quals, reverse=True)
+    assert abs(rows[-1].cum_token_share - 1.0) < 1e-9
+    shares = [r.cum_token_share for r in rows]
+    assert shares == sorted(shares)

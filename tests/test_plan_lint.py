@@ -37,6 +37,7 @@ GRAIN_BOUNDS = {
     "orders_open_backlog_daily": 4_800,
     "orders_pareto_top_customers": 500,
     "orders_yoy_growth": 30,
+    "pipeline_curriculum_phases": 1_600,
     "pipeline_packing_efficiency_curve": 1_600,
     "pipeline_global_row_index": 64,
     "quality_rule_mining_bounds": 18_000,

@@ -103,6 +103,10 @@ GLOBAL_WINDOW_OK = {
     "pipeline_packing_efficiency_curve":
         "NTILE quartet over the doc-length projection (doc-grain; binned "
         "histogram cuts at 1e9+ docs, noted on the query)",
+    "pipeline_curriculum_phases":
+        "NTILE over the doc-score projection (doc-grain; binned score "
+        "histogram cuts at 1e9+ docs, noted on the query) + 4-row "
+        "cumulative window",
 }
 
 
