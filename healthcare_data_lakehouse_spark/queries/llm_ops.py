@@ -6473,7 +6473,11 @@ def text_unigram_lm_em_round(
     bp = best.filter(F.col("i") > 0).select("w", "i", "L").localCheckpoint()
     walk = wf.select("w", F.length("w").alias("i"))
     pieces = None
-    for _t in range(_VIT_MAXLEN):
+    # positions strictly decrease by >= 1 per round, so maxlen rounds
+    # suffice — the same no-op-round trim as the DP loop (wf is cached,
+    # the scalar is a metadata-scale agg)
+    maxlen = wf.agg(F.max(F.length("w"))).collect()[0][0] or 0
+    for _t in range(min(_VIT_MAXLEN, maxlen)):
         step = (
             walk.filter(F.col("i") > 0)
             .join(bp, ["w", "i"])
