@@ -250,6 +250,8 @@ HEADLINE = [
     "quality_schema_drift_versions",
     "forecast_backtest_mape",
     "pipeline_curriculum_phases",
+    "quality_null_pattern_clusters",
+    "events_segment_migration_matrix",
 ]
 
 

@@ -2714,3 +2714,110 @@ def events_uplift_qini_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(rc, 6).alias("rate_ctrl"),
         dround(rt - rc, 6).alias("uplift"),
     )
+
+
+@register(
+    "events_segment_migration_matrix",
+    oracle="""
+    WITH bounds AS (
+        SELECT MIN(CAST(ts AS DATE)) AS d0,
+               CAST(MIN(CAST(ts AS DATE))
+                    + CAST(FLOOR(date_diff('day', MIN(CAST(ts AS DATE)),
+                                           MAX(CAST(ts AS DATE))) / 2)
+                           AS INTEGER) AS DATE) AS mid
+        FROM events
+    ),
+    halves AS (
+        SELECT user_id,
+               CASE WHEN CAST(ts AS DATE) <= b.mid THEN 'h1' ELSE 'h2' END
+                   AS half
+        FROM events, bounds b
+    ),
+    per AS (
+        SELECT user_id, half, COUNT(*) AS n FROM halves GROUP BY user_id, half
+    ),
+    hm AS (
+        SELECT half, CAST(SUM(n) AS DOUBLE) / COUNT(*) AS mean_n
+        FROM per GROUP BY half
+    ),
+    seg AS (
+        SELECT p.user_id, p.half,
+               CASE WHEN p.n >= 1.15 * hm.mean_n THEN 'heavy'
+                    WHEN p.n <= 0.85 * hm.mean_n THEN 'light'
+                    ELSE 'mid' END AS segment
+        FROM per p JOIN hm ON hm.half = p.half
+    ),
+    users AS (SELECT DISTINCT user_id FROM halves),
+    mat AS (
+        SELECT COALESCE(s1.segment, 'absent') AS seg_h1,
+               COALESCE(s2.segment, 'absent') AS seg_h2
+        FROM users u
+        LEFT JOIN seg s1 ON s1.user_id = u.user_id AND s1.half = 'h1'
+        LEFT JOIN seg s2 ON s2.user_id = u.user_id AND s2.half = 'h2'
+    )
+    SELECT seg_h1, seg_h2, CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM mat GROUP BY seg_h1, seg_h2
+    ORDER BY seg_h1, seg_h2
+    """,
+    description="Engagement-segment migration matrix: split the event "
+    "timeline at its date midpoint, bucket each user's per-half "
+    "activity into engagement tiers relative to that half's mean "
+    "(heavy >= 1.15x, light <= 0.85x, mid between, absent if no "
+    "events), and count users per (before, after) segment pair — the "
+    "churn/upgrade flow table a lifecycle team reads. Mean-relative "
+    "thresholds are scale-invariant yet quantile-free, keeping the "
+    "segmentation deterministic and shuffle-light: one user-grain "
+    "groupBy plus a users-sized self-join, no global sort at any "
+    "scale; the midpoint is a 1-row broadcast scalar.",
+)
+def events_segment_migration_matrix(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    )
+    bounds = ev.agg(
+        F.min("day").alias("d0"), F.max("day").alias("d1")
+    ).select(
+        F.expr("date_add(d0, CAST(floor(datediff(d1, d0) / 2) AS INT))").alias(
+            "mid"
+        )
+    )
+    halves = ev.crossJoin(F.broadcast(bounds)).select(
+        "user_id",
+        F.when(F.col("day") <= F.col("mid"), F.lit("h1"))
+        .otherwise(F.lit("h2"))
+        .alias("half"),
+    )
+    per = halves.groupBy("user_id", "half").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    hm = per.groupBy("half").agg(
+        (F.sum("n").cast("double") / F.count(F.lit(1))).alias("mean_n")
+    )
+    seg = per.join(F.broadcast(hm), "half").select(
+        "user_id",
+        "half",
+        F.when(F.col("n") >= 1.15 * F.col("mean_n"), F.lit("heavy"))
+        .when(F.col("n") <= 0.85 * F.col("mean_n"), F.lit("light"))
+        .otherwise(F.lit("mid"))
+        .alias("segment"),
+    )
+    users = halves.select("user_id").distinct()
+    s1 = seg.filter(F.col("half") == "h1").select(
+        "user_id", F.col("segment").alias("seg1")
+    )
+    s2 = seg.filter(F.col("half") == "h2").select(
+        "user_id", F.col("segment").alias("seg2")
+    )
+    return (
+        users.join(s1, "user_id", "left")
+        .join(s2, "user_id", "left")
+        .select(
+            F.coalesce("seg1", F.lit("absent")).alias("seg_h1"),
+            F.coalesce("seg2", F.lit("absent")).alias("seg_h2"),
+        )
+        .groupBy("seg_h1", "seg_h2")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .orderBy("seg_h1", "seg_h2")
+    )

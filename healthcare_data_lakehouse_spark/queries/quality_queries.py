@@ -1153,3 +1153,69 @@ def privacy_l_diversity_audit(
         )
         .orderBy("c_nationkey", "c_mktsegment")
     )
+
+
+@register(
+    "quality_null_pattern_clusters",
+    oracle="WITH "
+    + HEALTHCARE_CTE
+    + """
+    , pat AS (
+        SELECT (CASE WHEN patient_id IS NULL THEN '1' ELSE '0' END
+             || CASE WHEN birth_date IS NULL THEN '1' ELSE '0' END
+             || CASE WHEN discharge_date IS NULL THEN '1' ELSE '0' END
+             || CASE WHEN age IS NULL THEN '1' ELSE '0' END
+             || CASE WHEN patient_name IS NULL THEN '1' ELSE '0' END
+             || CASE WHEN ssn IS NULL THEN '1' ELSE '0' END) AS null_pattern
+        FROM records
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM pat)
+    SELECT null_pattern,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(ROUND(CAST(CAST(COUNT(*) AS DOUBLE) / n AS DECIMAL(38,8)), 6)
+                AS DOUBLE) AS share
+    FROM pat, tot
+    GROUP BY null_pattern, n
+    ORDER BY null_pattern
+    """,
+    description="Null-pattern mining (data-profiling classic): collapse "
+    "every row to its missingness bitmask over the six nullable "
+    "healthcare fields and count pattern frequencies — co-occurring "
+    "nulls expose upstream extraction bugs (a whole segment dropped) "
+    "that per-column null rates average away. One narrow scan + one "
+    "groupBy whose cardinality is bounded by 2^6 regardless of row "
+    "count; the pattern string is computed JVM-side, no UDF.",
+)
+def quality_null_pattern_clusters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.fixtures import healthcare_frame
+
+    frame = healthcare_frame(spark, sf_dir)
+    bit = lambda c: F.when(F.col(c).isNull(), F.lit("1")).otherwise(  # noqa: E731
+        F.lit("0")
+    )
+    pat = frame.select(
+        F.concat(
+            bit("patient_id"),
+            bit("birth_date"),
+            bit("discharge_date"),
+            bit("age"),
+            bit("patient_name"),
+            bit("ssn"),
+        ).alias("null_pattern")
+    )
+    tot = pat.agg(F.count(F.lit(1)).alias("n"))
+    return (
+        pat.groupBy("null_pattern")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "null_pattern",
+            "n_rows",
+            dround(F.col("n_rows").cast("double") / F.col("n"), 6).alias(
+                "share"
+            ),
+        )
+        .orderBy("null_pattern")
+    )

@@ -650,3 +650,22 @@ def test_uplift_quintiles_partition_users(spark, sf_dir):
             continue
         assert -1.0 <= r.uplift <= 1.0
         assert abs(r.uplift - round(r.rate_treat - r.rate_ctrl, 6)) < 2e-6
+
+
+def test_segment_migration_matrix_partitions_users(spark, sf_dir):
+    """Matrix cells partition the user base; segments come from the
+    fixed tier set; at this fixture scale every user is active in both
+    halves, so 'absent' appears only if a user is truly one-sided."""
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_segment_migration_matrix,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = events_segment_migration_matrix(spark, sf_dir).collect()
+    n_users = (
+        table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert sum(r.n_users for r in rows) == n_users
+    tiers = {"heavy", "mid", "light", "absent"}
+    assert all(r.seg_h1 in tiers and r.seg_h2 in tiers for r in rows)
+    assert len(rows) > 1, "mean-relative tiers should split the base"

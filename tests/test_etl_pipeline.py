@@ -279,3 +279,20 @@ def test_rule_mining_bounds_bracket_data(spark, sf_dir):
             (F.col(c) >= r.lo_p1) & (F.col(c) <= r.hi_p99)
         ).count()
         assert inside / li.count() >= 0.97
+
+
+def test_null_pattern_clusters_cover_rows_and_known_patterns(spark, sf_dir):
+    """Pattern shares sum to 1 over all rows; the all-populated pattern
+    and the known fixture injections (null patient_id at k%11, null
+    discharge at k%21, null age at k%23) all surface."""
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        quality_null_pattern_clusters,
+    )
+
+    rows = quality_null_pattern_clusters(spark, sf_dir).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-4
+    pats = {r.null_pattern for r in rows}
+    assert all(len(p) == 6 and set(p) <= {"0", "1"} for p in pats)
+    # null patient_id (first bit) and null age (fourth bit) each occur
+    assert any(p[0] == "1" for p in pats)
+    assert any(p[3] == "1" for p in pats)
