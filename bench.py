@@ -252,6 +252,8 @@ HEADLINE = [
     "pipeline_curriculum_phases",
     "quality_null_pattern_clusters",
     "events_segment_migration_matrix",
+    "similarity_lsh_multiprobe_top5",
+    "dedup_bcubed_cluster_eval",
 ]
 
 

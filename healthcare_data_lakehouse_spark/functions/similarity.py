@@ -438,3 +438,44 @@ def kcenter_greedy(
     return spark.createDataFrame(
         picked, f"step int, {id_col} long, dist double"
     )
+
+
+def lsh_multiprobe_top_k(
+    df: DataFrame,
+    query_vec: list[float],
+    k: int = 5,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Multi-probe LSH top-k (Lv et al., VLDB'07): besides the query's own
+    bucket, probe the buckets reached by flipping the ``nprobe - 1``
+    hyperplane bits with the SMALLEST |margin| — the planes the query sits
+    closest to, where a true neighbor most likely landed on the other
+    side. Recall rises toward exact without any extra hash tables; the
+    probe-set computation touches only the query vector (driver-side
+    metadata), and the scan stays one bucket-membership filter + exact
+    re-rank over ~nprobe/2^planes of the corpus. Deterministic: margin
+    ties break by plane index."""
+    margins = []
+    qb = 0
+    for i, plane in enumerate(HYPERPLANES):
+        d = 0.0
+        for x, y in zip(query_vec, plane):
+            d += float(x) * y
+        if d > 0:
+            qb += 2**i
+        margins.append((abs(d), i))
+    flips = [i for _, i in sorted(margins)[: max(0, nprobe - 1)]]
+    probes = [qb] + [qb ^ (1 << i) for i in flips]
+    q = F.array(*[F.lit(float(v)) for v in query_vec])
+    return (
+        df.withColumn("bucket", hyperplane_bucket(vec_col))
+        .filter(F.col("bucket").isin(probes))
+        .select(
+            F.col(id_col),
+            F.round(cosine(F.col(vec_col), q), 6).alias("score"),
+        )
+        .orderBy(F.col("score").desc(), F.col(id_col).asc())
+        .limit(k)
+    )

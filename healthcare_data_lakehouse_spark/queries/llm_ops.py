@@ -6600,3 +6600,183 @@ def pipeline_curriculum_phases(
         )
         .orderBy("phase")
     )
+
+
+def _lsh_multiprobe_oracle(nprobe: int = 4) -> str:
+    dots = []
+    for i, plane in enumerate(S.HYPERPLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dots.append(
+            f"SELECT {i} AS i, "
+            f"list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot "
+            f"FROM q"
+        )
+    dots_sql = "\n        UNION ALL ".join(dots)
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT bucket, embedding FROM bucketed WHERE vec_id = 0),
+    margins AS (
+        SELECT i, ABS(dot) AS m FROM ({dots_sql})
+    ),
+    flips AS (SELECT i FROM margins ORDER BY m, i LIMIT {nprobe - 1}),
+    probes AS (
+        SELECT qb.bucket AS pb FROM qb
+        UNION ALL
+        SELECT xor(qb.bucket, CAST(1 AS BIGINT) << f.i) FROM qb, flips f
+    )
+    SELECT b.vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(b.embedding, qb.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qb.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           , 6) AS score
+    FROM bucketed b, qb
+    WHERE b.vec_id <> 0 AND b.bucket IN (SELECT pb FROM probes)
+    ORDER BY score DESC, b.vec_id
+    LIMIT 5
+    """
+
+
+@register(
+    "similarity_lsh_multiprobe_top5",
+    oracle=_lsh_multiprobe_oracle(),
+    description="Multi-probe LSH ANN (Lv et al., VLDB'07): probe the "
+    "query's bucket PLUS the 3 buckets across the lowest-|margin| "
+    "hyperplanes — where a true neighbor most likely landed on the "
+    "other side of a close plane. Raises recall toward exact without "
+    "extra hash tables or index duplication (the classic memory/recall "
+    "trade of multi-table LSH); the probe set derives from the query "
+    "vector alone, so the corpus-side plan is one bucket-membership "
+    "filter + exact cosine re-rank, same as single-probe.",
+)
+def similarity_lsh_multiprobe_top5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.lsh_multiprobe_top_k(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=5, nprobe=4
+    )
+
+
+def _bcubed_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    return f"""
+    WITH RECURSIVE {ctes},
+    pairs AS ({final}),
+    edges AS (
+        SELECT id_a AS a, id_b AS b FROM pairs
+        UNION
+        SELECT id_b AS a, id_a AS b FROM pairs
+    ),
+    reach(node, root) AS (
+        SELECT DISTINCT a AS node, a AS root FROM edges
+        UNION
+        SELECT e.b AS node, r.root
+        FROM reach r JOIN edges e ON e.a = r.node
+    ),
+    comp AS (SELECT node AS doc_id, MIN(root) AS c FROM reach GROUP BY node),
+    assign AS (
+        SELECT d.doc_id,
+               COALESCE(comp.c, d.doc_id) AS c,
+               CASE WHEN d.doc_id >= 1000000
+                         AND (d.doc_id - 1000000) % 20 = 0
+                    THEN d.doc_id - 1000000
+                    ELSE d.doc_id END AS t
+        FROM docs d LEFT JOIN comp ON comp.doc_id = d.doc_id
+    ),
+    csz AS (SELECT c, COUNT(*) AS nc FROM assign GROUP BY c),
+    tsz AS (SELECT t, COUNT(*) AS nt FROM assign GROUP BY t),
+    isz AS (SELECT c, t, COUNT(*) AS ni FROM assign GROUP BY c, t),
+    per AS (
+        SELECT CAST(isz.ni AS DOUBLE) / csz.nc AS p,
+               CAST(isz.ni AS DOUBLE) / tsz.nt AS r
+        FROM assign a
+        JOIN csz ON csz.c = a.c
+        JOIN tsz ON tsz.t = a.t
+        JOIN isz ON isz.c = a.c AND isz.t = a.t
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(p) AS bp, AVG(r) AS br
+        FROM per
+    )
+    SELECT n_docs,
+           {dround_sql("bp", 6)} AS bcubed_precision,
+           {dround_sql("br", 6)} AS bcubed_recall,
+           {dround_sql("2.0 * bp * br / (bp + br)", 6)} AS bcubed_f1
+    FROM agg
+    """
+
+
+@register(
+    "dedup_bcubed_cluster_eval",
+    oracle=_bcubed_oracle(),
+    description="B-cubed CLUSTER-level evaluation of the dedup pipeline "
+    "(Bagga & Baldwin '98 — the standard for coreference/dedup "
+    "clustering, unlike pair-level PR it rewards partial credit and "
+    "punishes both over- and under-merging per document): every doc "
+    "scores |C∩T|/|C| precision and |C∩T|/|T| recall against the "
+    "planted truth clustering (planted copy + original together, "
+    "everything else singleton), averaged corpus-wide. Docs outside "
+    "any near-dup pair count as their own singleton cluster — the "
+    "full-corpus accounting pair-level eval silently skips. Three "
+    "cluster-grain aggregates + joins back on the assignment table; "
+    "no step exceeds O(docs).",
+)
+def dedup_bcubed_cluster_eval(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20).select("doc_id")
+    pairs = D.lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir, 20), threshold=0.5
+    )
+    comp = D.connected_components(pairs).withColumnRenamed("cluster_id", "c")
+    t = F.when(
+        (F.col("doc_id") >= 1_000_000)
+        & ((F.col("doc_id") - 1_000_000) % 20 == 0),
+        F.col("doc_id") - 1_000_000,
+    ).otherwise(F.col("doc_id"))
+    assign = (
+        docs.join(comp, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("c", F.col("doc_id")).alias("c"),
+            t.alias("t"),
+        )
+        .persist()
+    )
+    csz = assign.groupBy("c").agg(F.count(F.lit(1)).alias("nc"))
+    tsz = assign.groupBy("t").agg(F.count(F.lit(1)).alias("nt"))
+    isz = assign.groupBy("c", "t").agg(F.count(F.lit(1)).alias("ni"))
+    per = (
+        assign.join(csz, "c")
+        .join(tsz, "t")
+        .join(isz, ["c", "t"])
+        .select(
+            (F.col("ni").cast("double") / F.col("nc")).alias("p"),
+            (F.col("ni").cast("double") / F.col("nt")).alias("r"),
+        )
+    )
+    agg = per.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("p").alias("bp"),
+        F.avg("r").alias("br"),
+    )
+    return agg.select(
+        "n_docs",
+        dround(F.col("bp"), 6).alias("bcubed_precision"),
+        dround(F.col("br"), 6).alias("bcubed_recall"),
+        dround(
+            2.0 * F.col("bp") * F.col("br") / (F.col("bp") + F.col("br")), 6
+        ).alias("bcubed_f1"),
+    )

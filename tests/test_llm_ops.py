@@ -1559,3 +1559,39 @@ def test_curriculum_phases_quality_monotone_and_partition(spark):
     assert abs(rows[-1].cum_token_share - 1.0) < 1e-9
     shares = [r.cum_token_share for r in rows]
     assert shares == sorted(shares)
+
+
+def test_multiprobe_dominates_single_probe(spark):
+    """Multi-probe's candidate set is a superset of single-probe's, so at
+    every rank its score is >= the single-probe score; both return at
+    most k rows sorted descending."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        similarity_lsh_multiprobe_top5,
+        similarity_lsh_top5,
+    )
+
+    multi = similarity_lsh_multiprobe_top5(spark, SF001).collect()
+    single = similarity_lsh_top5(spark, SF001).collect()
+    assert 0 < len(multi) <= 5
+    ms = [r.score for r in multi]
+    assert ms == sorted(ms, reverse=True)
+    for i, r in enumerate(single):
+        if i < len(multi):
+            assert multi[i].score >= r.score - 1e-9
+
+
+def test_bcubed_recall_perfect_on_exact_copies(spark):
+    """Planted EXACT copies always survive banding+verification, so every
+    truth cluster is contained in a found cluster: B-cubed recall is
+    exactly 1.0 and only over-merging can pull precision below 1.0."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        _docs_with_dups,
+        dedup_bcubed_cluster_eval,
+    )
+
+    r = dedup_bcubed_cluster_eval(spark, SF001).collect()[0]
+    assert r.n_docs == _docs_with_dups(spark, SF001, 20).count()
+    assert r.bcubed_recall == 1.0
+    assert 0.5 < r.bcubed_precision <= 1.0
+    lo, hi = sorted([r.bcubed_precision, r.bcubed_recall])
+    assert lo - 1e-6 <= r.bcubed_f1 <= hi + 1e-6
