@@ -77,13 +77,11 @@ PRIORITY = [
     # show up in the oracle record
     "events_sessionization",
     "events_concurrent_sessions_sweepline",
-    "stats_kaplan_meier_session_duration",
-    "events_value_twap_per_user",
-    "window_range_7day_user_value",
-    "percentile_order_value_by_segment",
-    # (orders_cohort_ltv, finance_price_volume_bridge rotated out in
-    # round 7: green in the driver record since their round-4 fixes and
-    # in every full sweep)
+    # (orders_cohort_ltv, finance_price_volume_bridge,
+    # stats_kaplan_meier_session_duration, events_value_twap_per_user,
+    # window_range_7day_user_value, percentile_order_value_by_segment
+    # rotated out in round 7: green in the driver record for 2+ rounds
+    # and re-verified by every full compare.py sweep)
     # (events_json_kpis, skew_salted_join_event_kpis and
     # pivot_returnflag_by_linestatus rotated out in round 6: green since
     # round 3 and still verified by the full compare.py sweep each round)
@@ -134,6 +132,10 @@ PRIORITY = [
     "text_unigram_viterbi_segment",
     "text_unigram_lm_em_round",
     "forecast_backtest_mape",
+    "pipeline_curriculum_phases",
+    "quality_null_pattern_clusters",
+    "similarity_lsh_multiprobe_top5",
+    "dedup_bcubed_cluster_eval",
 ]
 
 
