@@ -254,6 +254,7 @@ HEADLINE = [
     "events_segment_migration_matrix",
     "similarity_lsh_multiprobe_top5",
     "dedup_bcubed_cluster_eval",
+    "similarity_recall_multiprobe_at5",
 ]
 
 

@@ -6780,3 +6780,178 @@ def dedup_bcubed_cluster_eval(
             2.0 * F.col("bp") * F.col("br") / (F.col("bp") + F.col("br")), 6
         ).alias("bcubed_f1"),
     )
+
+
+def _recall_multiprobe_oracle(nprobe: int = 4) -> str:
+    dots = []
+    for i, plane in enumerate(S.HYPERPLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dots.append(
+            f"SELECT qid, {i} AS i, "
+            f"ABS(list_sum(list_transform(list_zip(qv, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS m "
+            f"FROM q"
+        )
+    dots_sql = "\n        UNION ALL ".join(dots)
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+        FROM bucketed WHERE vec_id < 10
+    ),
+    exact5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    qm AS ({dots_sql}),
+    flips AS (
+        SELECT qid, i FROM (
+            SELECT qid, i,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY m, i) AS rn
+            FROM qm
+        ) WHERE rn <= {nprobe - 1}
+    ),
+    probes AS (
+        SELECT qid, qbucket AS pb FROM q
+        UNION ALL
+        SELECT f.qid, xor(q.qbucket, CAST(1 AS BIGINT) << f.i)
+        FROM flips f JOIN q USING (qid)
+    ),
+    mp5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT p.qid, b.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY ROUND({_cos_sql("b.embedding", "q.qv")}, 6) DESC,
+                                b.vec_id) AS rn
+            FROM bucketed b
+            JOIN probes p ON b.bucket = p.pb
+            JOIN q ON q.qid = p.qid AND b.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
+    agg_m AS (SELECT qid, COUNT(*) AS n_multiprobe FROM mp5 GROUP BY qid),
+    agg_o AS (
+        SELECT e.qid, COUNT(*) AS n_overlap
+        FROM exact5 e JOIN mp5 l ON l.qid = e.qid AND l.vec_id = e.vec_id
+        GROUP BY e.qid
+    )
+    SELECT a.qid AS query_id, a.n_exact,
+           COALESCE(b.n_multiprobe, 0) AS n_multiprobe,
+           COALESCE(c.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(c.n_overlap, 0) AS DOUBLE) / 5, 2) AS recall_at_5
+    FROM agg_e a
+    LEFT JOIN agg_m b ON b.qid = a.qid
+    LEFT JOIN agg_o c ON c.qid = a.qid
+    """
+
+
+@register(
+    "similarity_recall_multiprobe_at5",
+    oracle=_recall_multiprobe_oracle(),
+    description="Recall@5 of MULTI-PROBE LSH over the same 10-query panel "
+    "as similarity_recall_lsh_at5 — the probe set (own bucket + 3 "
+    "lowest-|margin| bit flips, per query) is computed as a DataFrame "
+    "over the broadcast panel, no driver loop; per-query recall "
+    "dominates single-probe by construction since every single-probe "
+    "candidate is also a multi-probe candidate. The pair of harnesses "
+    "is the memory/recall frontier you price before choosing probe "
+    "count at 100 TB.",
+)
+def similarity_recall_multiprobe_at5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    nprobe = 4
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    exact5 = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    planes = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in plane])
+            for plane in S.HYPERPLANES
+        ]
+    )
+    qm = q.select(
+        "qid",
+        "qbucket",
+        F.posexplode(planes).alias("i", "plane"),
+        F.col("qv"),
+    ).select(
+        "qid",
+        "qbucket",
+        "i",
+        F.abs(S.dot(F.col("qv"), F.col("plane"))).alias("m"),
+    )
+    wq = Window.partitionBy("qid").orderBy("m", "i")
+    flips = (
+        qm.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe - 1)
+        .select(
+            "qid",
+            F.expr("qbucket ^ CAST(shiftleft(1, i) AS BIGINT)").alias("pb"),
+        )
+    )
+    probes = q.select("qid", F.col("qbucket").alias("pb")).unionAll(flips)
+    mp5 = (
+        b.join(F.broadcast(probes), b.bucket == probes.pb)
+        .join(
+            F.broadcast(q.select("qid", "qv")).withColumnRenamed("qid", "q2"),
+            (F.col("qid") == F.col("q2")) & (b.vec_id != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    agg_m = mp5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_multiprobe"))
+    agg_o = (
+        exact5.join(mp5, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        agg_e.join(agg_m, "qid", "left")
+        .join(agg_o, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce("n_multiprobe", F.lit(0)).alias("n_multiprobe"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / 5, 2
+            ).alias("recall_at_5"),
+        )
+    )

@@ -1595,3 +1595,24 @@ def test_bcubed_recall_perfect_on_exact_copies(spark):
     assert 0.5 < r.bcubed_precision <= 1.0
     lo, hi = sorted([r.bcubed_precision, r.bcubed_recall])
     assert lo - 1e-6 <= r.bcubed_f1 <= hi + 1e-6
+
+
+def test_multiprobe_recall_dominates_single_probe_recall(spark):
+    """Per query, the multi-probe candidate set contains the single-probe
+    set, so recall@5 can only rise; the panel covers all 10 queries."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        similarity_recall_lsh_at5,
+        similarity_recall_multiprobe_at5,
+    )
+
+    single = {
+        r.query_id: r.recall_at_5
+        for r in similarity_recall_lsh_at5(spark, SF001).collect()
+    }
+    multi = {
+        r.query_id: r.recall_at_5
+        for r in similarity_recall_multiprobe_at5(spark, SF001).collect()
+    }
+    assert set(multi) == set(range(10))
+    for qid, rec in multi.items():
+        assert rec >= single.get(qid, 0.0) - 1e-9, (qid, rec, single.get(qid))
