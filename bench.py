@@ -255,6 +255,8 @@ HEADLINE = [
     "similarity_lsh_multiprobe_top5",
     "dedup_bcubed_cluster_eval",
     "similarity_recall_multiprobe_at5",
+    "sketch_kmv_distinct_users",
+    "graph_clustering_coefficient_neardup",
 ]
 
 

@@ -6955,3 +6955,235 @@ def similarity_recall_multiprobe_at5(
             ).alias("recall_at_5"),
         )
     )
+
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    k = _KMV_K
+    raw_est = (
+        f"({k} - 1) / (CAST(k.kth_h AS DOUBLE) / 281474976710656.0)"
+    )
+    est = (
+        f"CASE WHEN k.n_kept < {k} THEN CAST(k.n_kept AS DOUBLE) "
+        f"ELSE {dround_sql(raw_est, 6)} END"
+    )
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    hashed AS (
+        SELECT day, {_H48.format(c="CAST(user_id AS VARCHAR)")} AS h FROM du
+    ),
+    ranked AS (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM hashed
+    ),
+    kth AS (
+        SELECT day,
+               MAX(h) AS kth_h,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM ranked WHERE rn <= {k} GROUP BY day
+    ),
+    exact AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS exact_users
+        FROM du GROUP BY day
+    )
+    SELECT e.day, e.exact_users,
+           {est} AS kmv_estimate,
+           {dround_sql(f"ABS(({est}) - e.exact_users) / e.exact_users", 6)}
+               AS rel_error
+    FROM exact e JOIN kth k ON k.day = e.day
+    ORDER BY e.day
+    """
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    oracle=_kmv_oracle(),
+    description="KMV (k-minimum-values) distinct sketch, the mergeable "
+    "alternative to HLL with a fully DETERMINISTIC estimate: keep the "
+    "64 smallest md5-derived hashes per day; the estimator "
+    "(k-1)/normalized-kth-minimum is exact arithmetic over portable "
+    "integer hashes, so unlike HLL no engine-specific register math "
+    "exists to paper over — the oracle reproduces the estimate "
+    "bit-for-bit. Days with fewer than k users fall back to the exact "
+    "kept count (the sketch IS the distinct set there). Merge across "
+    "partitions/days = k smallest of the union of k-min sets — an "
+    "associative combine, which is what makes the sketch rollup-able "
+    "at 100 TB. Per-day window is keyed (never global); reports "
+    "estimate vs exact with relative error.",
+)
+def sketch_kmv_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    k = _KMV_K
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    hashed = du.select(
+        "day", D.token_hash48(F.col("user_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("day").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("day")
+        .agg(
+            F.max("h").alias("kth_h"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+    exact = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_users")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        dround(
+            (k - 1)
+            / (F.col("kth_h").cast("double") / F.lit(281474976710656.0)),
+            6,
+        )
+    )
+    return (
+        exact.join(kth, "day")
+        .select(
+            "day",
+            "exact_users",
+            est.alias("kmv_estimate"),
+            dround(
+                F.abs(est - F.col("exact_users").cast("double"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("day")
+    )
+
+
+def _lcc_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    return f"""
+    WITH {ctes},
+    pairs AS ({final}),
+    e AS (
+        SELECT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
+        FROM pairs GROUP BY 1, 2
+    ),
+    sym AS (
+        SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
+    ),
+    deg AS (SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a),
+    wedge AS (
+        SELECT s1.a AS node, s1.b AS x, s2.b AS y
+        FROM sym s1 JOIN sym s2 ON s2.a = s1.a AND s1.b < s2.b
+    ),
+    tri AS (
+        SELECT w.node, COUNT(*) AS t
+        FROM wedge w JOIN e ON e.u = w.x AND e.v = w.y
+        GROUP BY w.node
+    ),
+    lcc AS (
+        SELECT deg.node, deg.d,
+               CASE WHEN deg.d >= 2
+                    THEN 2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1))
+                    ELSE 0.0 END AS c
+        FROM deg LEFT JOIN tri ON tri.node = deg.node
+    ),
+    banded AS (
+        SELECT CASE WHEN d = 1 THEN '1'
+                    WHEN d <= 3 THEN '2-3'
+                    WHEN d <= 7 THEN '4-7'
+                    ELSE '8+' END AS degree_band,
+               d, c
+        FROM lcc
+    )
+    SELECT degree_band,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           {dround_sql("AVG(CAST(d AS DOUBLE))", 6)} AS avg_degree,
+           {dround_sql("AVG(c)", 6)} AS avg_lcc
+    FROM banded GROUP BY degree_band ORDER BY degree_band
+    """
+
+
+@register(
+    "graph_clustering_coefficient_neardup",
+    oracle=_lcc_oracle(),
+    description="Local clustering coefficient over the near-dup graph "
+    "(2T(v) / d(v)(d(v)-1)): high LCC marks cliquish duplicate "
+    "neighborhoods (template families — safe to collapse to one "
+    "survivor), low LCC marks chain/star shapes where transitive "
+    "merging deserves scrutiny before deleting data. Per-node "
+    "triangles come from one wedge self-join checked against the "
+    "oriented edge set — the compact-forward pattern whose fan-out is "
+    "bounded by degree, same discipline as the global triangle count; "
+    "reported as degree-banded averages so the output is "
+    "band-cardinality-sized at any graph size.",
+)
+def graph_clustering_coefficient_neardup(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = D.lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir, 20), threshold=0.5
+    )
+    e = (
+        pairs.select(
+            F.least("id_a", "id_b").alias("u"),
+            F.greatest("id_a", "id_b").alias("v"),
+        )
+        .distinct()
+        .persist()
+    )
+    sym = e.unionAll(
+        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
+    deg = sym.groupBy(F.col("a").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    s1, s2 = sym.alias("s1"), sym.alias("s2")
+    wedge = s1.join(
+        s2,
+        (F.col("s2.a") == F.col("s1.a")) & (F.col("s1.b") < F.col("s2.b")),
+    ).select(
+        F.col("s1.a").alias("node"),
+        F.col("s1.b").alias("x"),
+        F.col("s2.b").alias("y"),
+    )
+    tri = (
+        wedge.join(
+            e, (e.u == wedge.x) & (e.v == wedge.y)
+        )
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("t"))
+    )
+    lcc = deg.join(tri, "node", "left").select(
+        "d",
+        F.when(
+            F.col("d") >= 2,
+            2.0
+            * F.coalesce("t", F.lit(0))
+            / (F.col("d") * (F.col("d") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("c"),
+    )
+    band = (
+        F.when(F.col("d") == 1, F.lit("1"))
+        .when(F.col("d") <= 3, F.lit("2-3"))
+        .when(F.col("d") <= 7, F.lit("4-7"))
+        .otherwise(F.lit("8+"))
+    )
+    return (
+        lcc.select(band.alias("degree_band"), "d", "c")
+        .groupBy("degree_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            dround(F.avg(F.col("d").cast("double")), 6).alias("avg_degree"),
+            dround(F.avg("c"), 6).alias("avg_lcc"),
+        )
+        .orderBy("degree_band")
+    )

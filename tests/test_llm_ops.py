@@ -1616,3 +1616,49 @@ def test_multiprobe_recall_dominates_single_probe_recall(spark):
     assert set(multi) == set(range(10))
     for qid, rec in multi.items():
         assert rec >= single.get(qid, 0.0) - 1e-9, (qid, rec, single.get(qid))
+
+
+def test_kmv_estimate_bounds_and_small_day_exactness(spark):
+    """Days with fewer than k users report the exact kept count
+    (rel_error 0); estimates stay positive; relative error is bounded
+    well inside the k=64 theoretical ~1/sqrt(k-1) envelope x a safety
+    factor."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sketch_kmv_distinct_users,
+    )
+
+    rows = sketch_kmv_distinct_users(spark, SF001).collect()
+    assert rows
+    for r in rows:
+        assert r.kmv_estimate > 0
+        if r.exact_users < 64:
+            assert r.kmv_estimate == float(r.exact_users)
+            assert r.rel_error == 0.0
+        else:
+            assert r.rel_error < 0.5
+
+
+def test_clustering_coefficient_bands_partition_nodes(spark):
+    """Band node counts partition the graph's node set; planted exact
+    copies form 2-cliques (degree>=1); avg_lcc stays within [0, 1]."""
+    import healthcare_data_lakehouse_spark.functions.dedup as D
+    from pyspark.sql import functions as F
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        _docs_with_dups,
+        graph_clustering_coefficient_neardup,
+    )
+
+    rows = graph_clustering_coefficient_neardup(spark, SF001).collect()
+    pairs = D.lsh_candidate_pairs(
+        _docs_with_dups(spark, SF001, 20), threshold=0.5
+    )
+    n_nodes = (
+        pairs.select(F.col("id_a").alias("n"))
+        .unionAll(pairs.select(F.col("id_b").alias("n")))
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    for r in rows:
+        assert 0.0 <= r.avg_lcc <= 1.0
+        assert r.avg_degree >= 1.0
