@@ -257,6 +257,7 @@ HEADLINE = [
     "similarity_recall_multiprobe_at5",
     "sketch_kmv_distinct_users",
     "graph_clustering_coefficient_neardup",
+    "dedup_candidate_selectivity_compare",
 ]
 
 

@@ -7187,3 +7187,214 @@ def graph_clustering_coefficient_neardup(
         )
         .orderBy("degree_band")
     )
+
+
+def _selectivity_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
+        for b in range(32)
+    )
+    bits = "\n         + ".join(
+        f"CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+    WITH {ctes},
+    lsh_pairs AS ({final}),
+    exact_groups AS (
+        SELECT md5(text) AS h, COUNT(*) AS s FROM docs GROUP BY md5(text)
+    ),
+    exact_m AS (
+        SELECT CAST(CAST(SUM(s * (s - 1)) AS BIGINT) / 2 AS BIGINT)
+                   AS n_candidates
+        FROM exact_groups
+    ),
+    stoks AS (
+        SELECT DISTINCT doc_id, u.tok
+        FROM docs, UNNEST(string_split(text, ' ')) AS u(tok)
+    ),
+    shashed AS (
+        SELECT doc_id, {_H48.format(c='tok')} AS h FROM stoks
+    ),
+    svotes AS (
+        SELECT doc_id,
+               {votes}
+        FROM shashed GROUP BY doc_id
+    ),
+    ssig AS (
+        SELECT doc_id,
+               {bits} AS simhash
+        FROM svotes
+    ),
+    sband AS (
+        SELECT doc_id, b.i AS band, (simhash >> (8 * b.i)) & 255 AS key
+        FROM ssig, UNNEST(range(0, 4)) AS b(i)
+    ),
+    scand AS (
+        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
+        FROM sband l JOIN sband r
+          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
+    ),
+    sinter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM scand c
+        JOIN shingles a ON a.doc_id = c.id_a
+        JOIN shingles b ON b.doc_id = c.id_b AND a.shingle = b.shingle
+        GROUP BY c.id_a, c.id_b
+    ),
+    sver AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_verified
+        FROM sinter
+        JOIN sizes sa ON sa.doc_id = sinter.id_a
+        JOIN sizes sb ON sb.doc_id = sinter.id_b
+        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
+    ),
+    rows_ AS (
+        SELECT 'exact_hash' AS method, n_candidates,
+               n_candidates AS n_verified
+        FROM exact_m
+        UNION ALL
+        SELECT 'minhash_lsh',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh_pairs)
+        UNION ALL
+        SELECT 'simhash_banded',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM scand),
+               (SELECT n_verified FROM sver)
+    )
+    SELECT method, n_candidates, n_verified,
+           {dround_sql(
+               "CASE WHEN n_candidates > 0 THEN "
+               "CAST(n_verified AS DOUBLE) / n_candidates ELSE 0.0 END", 6
+           )} AS precision_at_05
+    FROM rows_ ORDER BY method
+    """
+
+
+@register(
+    "dedup_candidate_selectivity_compare",
+    oracle=_selectivity_oracle(),
+    description="Strategy-selection table for dedup at scale: the three "
+    "candidate generators (exact content hash, 4x8-bit SimHash band "
+    "blocking, MinHash-LSH banding) run over the SAME corpus and are "
+    "verified against the SAME exact-Jaccard >= 0.5 ground truth from "
+    "ONE shared shingle pass — reporting candidate volume vs verified "
+    "volume vs precision. This is the measurement that prices the "
+    "shuffle budget before a 100 TB run: exact hashing is "
+    "perfect-precision but recalls only byte-identical docs, SimHash "
+    "bands are cheapest per doc but loosest, LSH sits between; all "
+    "three stay equi-join candidate generation — never all-pairs.",
+)
+def dedup_candidate_selectivity_compare(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    sh = D._shingle_table(docs, "doc_id", "text", 3).persist()
+    per_doc = D._signature_table(sh)
+    sizes = per_doc.select("sid", "sz")
+
+    def verified_count(cand: DataFrame) -> DataFrame:
+        a, b = sh.alias("a"), sh.alias("b")
+        inter = (
+            cand.join(a, cand.id_a == F.col("a.sid"))
+            .join(
+                b,
+                (cand.id_b == F.col("b.sid"))
+                & (F.col("a.shingle") == F.col("b.shingle")),
+            )
+            .groupBy("id_a", "id_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
+        return (
+            inter.join(sa, "id_a")
+            .join(sb, "id_b")
+            .filter(
+                F.col("n_inter").cast("double")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+                >= 0.5
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
+        )
+
+    # exact content hash: every within-group pair is J=1 by construction
+    exact_m = (
+        docs.groupBy(F.md5("text").alias("h"))
+        .agg(F.count(F.lit(1)).alias("s"))
+        .agg(
+            (F.sum(F.col("s") * (F.col("s") - 1)).cast("bigint") / 2)
+            .cast("bigint")
+            .alias("n_candidates")
+        )
+    )
+    exact_row = exact_m.select(
+        F.lit("exact_hash").alias("method"),
+        "n_candidates",
+        F.col("n_candidates").alias("n_verified"),
+    )
+
+    # minhash-LSH banding
+    bucket = D._bucket_table(per_doc)
+    l, r = bucket.alias("l"), bucket.alias("r")
+    lsh_cand = (
+        l.join(
+            r,
+            (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.sid") < F.col("r.sid")),
+        )
+        .select(F.col("l.sid").alias("id_a"), F.col("r.sid").alias("id_b"))
+        .distinct()
+        .persist()
+    )
+    lsh_row = (
+        lsh_cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        .crossJoin(F.broadcast(verified_count(lsh_cand)))
+        .select(F.lit("minhash_lsh").alias("method"), "n_candidates", "n_verified")
+    )
+
+    # simhash 4x8-bit band blocking (shiftright needs an int literal, so
+    # the per-band key is built via a transform() SQL expression)
+    sig = D.simhash32(docs)
+    bands = sig.selectExpr(
+        "doc_id",
+        "explode(transform(sequence(0, 3), "
+        "b -> struct(b AS band, shiftright(simhash, 8 * b) & 255 AS key)"
+        ")) AS bk",
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    sl, sr = bands.alias("sl"), bands.alias("sr")
+    scand = (
+        sl.join(
+            sr,
+            (F.col("sl.band") == F.col("sr.band"))
+            & (F.col("sl.key") == F.col("sr.key"))
+            & (F.col("sl.doc_id") < F.col("sr.doc_id")),
+        )
+        .select(
+            F.col("sl.doc_id").alias("id_a"), F.col("sr.doc_id").alias("id_b")
+        )
+        .distinct()
+        .persist()
+    )
+    sim_row = (
+        scand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+        .crossJoin(F.broadcast(verified_count(scand)))
+        .select(
+            F.lit("simhash_banded").alias("method"), "n_candidates", "n_verified"
+        )
+    )
+
+    out = exact_row.unionAll(lsh_row).unionAll(sim_row)
+    return out.select(
+        "method",
+        "n_candidates",
+        "n_verified",
+        dround(
+            F.when(
+                F.col("n_candidates") > 0,
+                F.col("n_verified").cast("double") / F.col("n_candidates"),
+            ).otherwise(F.lit(0.0)),
+            6,
+        ).alias("precision_at_05"),
+    ).orderBy("method")

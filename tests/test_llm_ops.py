@@ -1662,3 +1662,27 @@ def test_clustering_coefficient_bands_partition_nodes(spark):
     for r in rows:
         assert 0.0 <= r.avg_lcc <= 1.0
         assert r.avg_degree >= 1.0
+
+
+def test_selectivity_compare_method_frontier(spark):
+    """exact_hash is perfect precision (verified == candidates); every
+    verified count never exceeds its candidate count; LSH finds at least
+    the planted copies exact hashing finds; precision stays in (0, 1]."""
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        dedup_candidate_selectivity_compare,
+    )
+
+    rows = {
+        r.method: r
+        for r in dedup_candidate_selectivity_compare(spark, SF001).collect()
+    }
+    assert set(rows) == {"exact_hash", "minhash_lsh", "simhash_banded"}
+    ex = rows["exact_hash"]
+    assert ex.n_verified == ex.n_candidates
+    assert ex.precision_at_05 == 1.0
+    for r in rows.values():
+        assert 0 <= r.n_verified <= r.n_candidates
+        assert 0.0 <= r.precision_at_05 <= 1.0
+    # identical planted copies are verified dups under every generator
+    assert rows["minhash_lsh"].n_verified >= ex.n_candidates
+    assert rows["simhash_banded"].n_verified >= ex.n_candidates
