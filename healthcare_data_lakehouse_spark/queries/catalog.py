@@ -75,9 +75,8 @@ PRIORITY = [
     "quality_consistency_rule_discharge",
     # previously-red queries: keep them inside any sampled prefix so fixes
     # show up in the oracle record
-    "events_sessionization",
-    "events_concurrent_sessions_sweepline",
-    # (orders_cohort_ltv, finance_price_volume_bridge,
+    # (events_sessionization, events_concurrent_sessions_sweepline,
+    # orders_cohort_ltv, finance_price_volume_bridge,
     # stats_kaplan_meier_session_duration, events_value_twap_per_user,
     # window_range_7day_user_value, percentile_order_value_by_segment
     # rotated out in round 7: green in the driver record for 2+ rounds
@@ -136,6 +135,8 @@ PRIORITY = [
     "quality_null_pattern_clusters",
     "similarity_lsh_multiprobe_top5",
     "dedup_bcubed_cluster_eval",
+    "sketch_kmv_distinct_users",
+    "dedup_candidate_selectivity_compare",
 ]
 
 
