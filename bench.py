@@ -258,6 +258,10 @@ HEADLINE = [
     "sketch_kmv_distinct_users",
     "graph_clustering_coefficient_neardup",
     "dedup_candidate_selectivity_compare",
+    "stats_roc_auc_quality_vs_gopher",
+    "quality_calibration_ece_brier",
+    "stats_isotonic_calibration_pav",
+    "stats_cohens_kappa_quality_raters",
 ]
 
 

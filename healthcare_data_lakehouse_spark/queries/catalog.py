@@ -68,11 +68,13 @@ PRIORITY = [
     "quality_validate_silver",
     "quality_validate_bronze",
     "quality_promotion_gate",
-    "quality_custom_rule_ssn_plaintext",
     "quality_fk_integrity_gold",
-    "quality_redact_pii_documents",
-    "quality_profile_events_columns",
-    "quality_consistency_rule_discharge",
+    # (quality_custom_rule_ssn_plaintext, quality_redact_pii_documents,
+    # quality_profile_events_columns, quality_consistency_rule_discharge
+    # rotated out in round 7: hash-green in the r5 AND r6 driver records,
+    # code untouched since, not §2-cited rows — still verified by every
+    # full compare.py sweep; slots freed for the round-7 classifier-
+    # evaluation family below)
     # previously-red queries: keep them inside any sampled prefix so fixes
     # show up in the oracle record
     # (events_sessionization, events_concurrent_sessions_sweepline,
@@ -137,6 +139,12 @@ PRIORITY = [
     "dedup_bcubed_cluster_eval",
     "sketch_kmv_distinct_users",
     "dedup_candidate_selectivity_compare",
+    # -- round-7-new classifier-evaluation family (quality score vs
+    #    Gopher gate: ranking, calibration, repair, rater agreement)
+    "stats_roc_auc_quality_vs_gopher",
+    "quality_calibration_ece_brier",
+    "stats_isotonic_calibration_pav",
+    "stats_cohens_kappa_quality_raters",
 ]
 
 

@@ -7398,3 +7398,400 @@ def dedup_candidate_selectivity_compare(
             6,
         ).alias("precision_at_05"),
     ).orderBy("method")
+
+
+# ------------------------------------- quality-classifier evaluation
+# The continuous length/punct/stopword quality score (text_quality_scores)
+# is the cheap "distilled classifier"; the Gopher rule gate
+# (text_gopher_quality_filter) is the expensive "gold" labeler. This
+# family measures how well the score ranks (ROC-AUC), how honest its
+# probabilities are (ECE / Brier), how to repair them (isotonic PAV
+# calibration), and how much two rule-based raters agree beyond chance
+# (Cohen's kappa) — the evaluation loop every production quality filter
+# for LLM training data goes through before it gates a 100 TB corpus.
+# Corpus-scale work in every query is ONE scan + one groupBy; all the
+# evaluation math happens on score-grain / bin-grain aggregates.
+
+_QEVAL_SQL = f"""
+qe_scored AS (
+    SELECT doc_id, {_SCORE_SQL} AS q, string_split(text, ' ') AS w
+    FROM documents
+),
+qe_feats AS (
+    SELECT doc_id, q,
+           CAST(len(w) AS BIGINT) AS n_words,
+           {dround_sql("CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)", 6)} AS mean_word_len,
+           {dround_sql("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)", 6)} AS dup_word_frac,
+           CAST(len(list_filter(w, x -> lower(x) IN
+                ('the','a','of','and','to','in','is','it'))) AS BIGINT)
+                AS stop_hits
+    FROM qe_scored
+),
+qe_labeled AS (
+    SELECT doc_id, q,
+           CAST(CASE WHEN {_GOPHER_PASS_SQL} THEN 0 ELSE 1 END AS INT)
+               AS label
+    FROM qe_feats
+)
+"""
+
+
+def _quality_vs_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, q, label): the continuous quality score next to the
+    Gopher-gate 0/1 label, both reusing the exact expressions of their
+    standalone queries so cross-engine parity is inherited."""
+    docs = table(spark, sf_dir, "documents")
+    q = TX.quality_score_cols(F.col("text"))["quality_score"]
+    w = F.split(F.col("text"), " ")
+    mean_word_len = dround(
+        F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
+        / F.size(w),
+        6,
+    )
+    dup_frac = dround(
+        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
+    )
+    stop_hits = F.size(
+        F.filter(w, lambda x: F.lower(x).isin(*TX.STOPWORDS))
+    ).cast("bigint")
+    feats = docs.select(
+        "doc_id",
+        q.alias("q"),
+        F.size(w).cast("bigint").alias("n_words"),
+        mean_word_len.alias("mean_word_len"),
+        dup_frac.alias("dup_word_frac"),
+        stop_hits.alias("stop_hits"),
+    )
+    fail = (
+        (F.col("n_words") < 15)
+        | (F.col("n_words") > 500)
+        | (F.col("mean_word_len") < 2.5)
+        | (F.col("mean_word_len") > 8.0)
+        | (F.col("dup_word_frac") > 0.7)
+        | (F.col("stop_hits") == 0)
+    )
+    return feats.select(
+        "doc_id", "q", F.when(fail, 0).otherwise(1).cast("int").alias("label")
+    )
+
+
+@register(
+    "stats_roc_auc_quality_vs_gopher",
+    oracle=f"""
+    WITH {_QEVAL_SQL},
+    qe_groups AS (
+        SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS pos
+        FROM qe_labeled GROUP BY q
+    ),
+    qe_ranked AS (
+        SELECT q, n, pos,
+               CAST(COALESCE(SUM(n) OVER (ORDER BY q
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                    AS BIGINT) AS cum_before
+        FROM qe_groups
+    ),
+    qe_tot AS (
+        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(n - pos) AS BIGINT) AS n_neg,
+               SUM(pos * (cum_before + (n + 1) / 2.0)) AS rank_sum
+        FROM qe_ranked
+    )
+    SELECT n_pos, n_neg,
+           {dround_sql("(rank_sum - n_pos * (n_pos + 1) / 2.0)"
+                       " / (n_pos * n_neg)", 6)} AS auc,
+           {dround_sql("2.0 * ((rank_sum - n_pos * (n_pos + 1) / 2.0)"
+                       " / (n_pos * n_neg)) - 1.0", 6)} AS gini
+    FROM qe_tot
+    """,
+    description="Tie-aware ROC-AUC (Mann-Whitney form) of the continuous "
+    "quality score against the Gopher-gate label: group by distinct "
+    "score, prefix-sum group sizes for average ranks, then "
+    "AUC = (rank_sum_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg). Average "
+    "ranks are multiples of 0.5 (exactly representable), so the rank "
+    "sum is order-independent and bit-identical across engines. The "
+    "corpus-scale work is one scan + one groupBy(score); the prefix "
+    "window runs over the distinct-rounded-score aggregate (<= 1e6 "
+    "rows at any corpus size for 6-decimal scores in [0,1] — bin-grain, "
+    "same argument as stats_mann_whitney_u).",
+)
+def stats_roc_auc_quality_vs_gopher(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    labeled = _quality_vs_gopher(spark, sf_dir)
+    groups = labeled.groupBy("q").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    wspec = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = groups.withColumn(
+        "cum_before",
+        F.coalesce(F.sum("n").over(wspec), F.lit(0)).cast("bigint"),
+    )
+    tot = ranked.agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(F.col("n") - F.col("pos")).cast("bigint").alias("n_neg"),
+        F.sum(
+            F.col("pos") * (F.col("cum_before") + (F.col("n") + 1) / 2.0)
+        ).alias("rank_sum"),
+    )
+    auc = (
+        F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
+    ) / (F.col("n_pos") * F.col("n_neg"))
+    return tot.select(
+        "n_pos",
+        "n_neg",
+        dround(auc, 6).alias("auc"),
+        dround(2.0 * auc - 1.0, 6).alias("gini"),
+    )
+
+
+@register(
+    "quality_calibration_ece_brier",
+    oracle=f"""
+    WITH {_QEVAL_SQL},
+    qe_binned AS (
+        SELECT least(CAST(floor(q * 10) AS INT), 9) AS bin, q, label
+        FROM qe_labeled
+    ),
+    qe_bins AS (
+        SELECT bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               AVG(q) AS conf,
+               AVG(CAST(label AS DOUBLE)) AS acc,
+               SUM((q - label) * (q - label)) AS sq_sum
+        FROM qe_binned GROUP BY bin
+    )
+    SELECT bin, n_docs,
+           {dround_sql("conf", 6)} AS conf,
+           {dround_sql("acc", 6)} AS acc,
+           {dround_sql("abs(acc - conf)", 6)} AS gap,
+           {dround_sql("SUM(n_docs * abs(acc - conf)) OVER ()"
+                       " / SUM(n_docs) OVER ()", 6)} AS ece,
+           {dround_sql("SUM(sq_sum) OVER () / SUM(n_docs) OVER ()", 6)}
+               AS brier
+    FROM qe_bins
+    ORDER BY bin
+    """,
+    description="Reliability diagram + expected calibration error + "
+    "Brier score for the quality score read as P(passes the Gopher "
+    "gate): 10 equal-width probability bins, per-bin mean confidence "
+    "vs empirical accuracy, ECE as the doc-weighted |acc - conf| sum, "
+    "Brier as mean squared error. Equal-width binning (not NTILE) so "
+    "bin membership is a pure map — one scan + groupBy(bin); the "
+    "normalizing window runs over the <=10-row bin table.",
+)
+def quality_calibration_ece_brier(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    labeled = _quality_vs_gopher(spark, sf_dir)
+    binned = labeled.select(
+        F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9)).alias("bin"),
+        "q",
+        "label",
+    )
+    bins = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.avg("q").alias("conf"),
+        F.avg(F.col("label").cast("double")).alias("acc"),
+        F.sum(
+            (F.col("q") - F.col("label")) * (F.col("q") - F.col("label"))
+        ).alias("sq_sum"),
+    )
+    wall = Window.partitionBy()
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    return bins.select(
+        "bin",
+        "n_docs",
+        dround(F.col("conf"), 6).alias("conf"),
+        dround(F.col("acc"), 6).alias("acc"),
+        dround(gap, 6).alias("gap"),
+        dround(
+            F.sum(F.col("n_docs") * gap).over(wall)
+            / F.sum("n_docs").over(wall),
+            6,
+        ).alias("ece"),
+        dround(
+            F.sum("sq_sum").over(wall) / F.sum("n_docs").over(wall), 6
+        ).alias("brier"),
+    ).orderBy("bin")
+
+
+@register(
+    "stats_isotonic_calibration_pav",
+    oracle=f"""
+    WITH {_QEVAL_SQL},
+    iso_bins AS (
+        SELECT least(CAST(floor(q * 10) AS INT), 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(label) AS BIGINT) AS pos
+        FROM qe_labeled GROUP BY 1
+    ),
+    iso_pref AS (
+        SELECT bin, n_docs, pos,
+               CAST(SUM(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cn,
+               CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
+        FROM iso_bins
+    ),
+    iso_pairs AS (
+        SELECT lo.bin AS i, hi.bin AS j,
+               CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
+                   / (hi.cn - lo.cn + lo.n_docs) AS avg_ij
+        FROM iso_pref lo JOIN iso_pref hi ON lo.bin <= hi.bin
+    ),
+    iso_trip AS (
+        SELECT p.i, k.bin AS k, MIN(p.avg_ij) AS mn
+        FROM iso_pairs p
+        JOIN iso_bins k ON p.i <= k.bin AND p.j >= k.bin
+        GROUP BY p.i, k.bin
+    ),
+    iso_fit AS (
+        SELECT k AS bin, MAX(mn) AS iso FROM iso_trip GROUP BY k
+    )
+    SELECT b.bin, b.n_docs,
+           {dround_sql("CAST(b.pos AS DOUBLE) / b.n_docs", 6)} AS raw_rate,
+           {dround_sql("f.iso", 6)} AS iso_rate
+    FROM iso_bins b JOIN iso_fit f ON f.bin = b.bin
+    ORDER BY b.bin
+    """,
+    description="Isotonic calibration of the quality score via the "
+    "pool-adjacent-violators solution in closed minimax form: over the "
+    "10 equal-width score bins, fit(k) = max over i<=k of min over "
+    "j>=k of the weighted mean label on bins i..j — the exact PAV "
+    "fixpoint without iteration (Ayer et al. 1955 minimax identity), "
+    "so no driver loop and no cross-engine convergence drift. Bin "
+    "means are exact integer ratios (pos/count), making every "
+    "min/max comparison bit-identical. Corpus-scale work is one scan "
+    "+ groupBy(bin); the minimax runs as tiny broadcast joins over "
+    "the <=10-row bin table (<=55 pairs, <=550 triples).",
+)
+def stats_isotonic_calibration_pav(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    labeled = _quality_vs_gopher(spark, sf_dir)
+    bins = labeled.groupBy(
+        F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("label").cast("bigint").alias("pos"),
+    )
+    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    pref = bins.select(
+        "bin",
+        "n_docs",
+        "pos",
+        F.sum("n_docs").over(wb).cast("bigint").alias("cn"),
+        F.sum("pos").over(wb).cast("bigint").alias("cp"),
+    )
+    lo = pref.alias("lo")
+    hi = pref.alias("hi")
+    pairs = lo.join(
+        F.broadcast(hi), F.col("lo.bin") <= F.col("hi.bin")
+    ).select(
+        F.col("lo.bin").alias("i"),
+        F.col("hi.bin").alias("j"),
+        (
+            (F.col("hi.cp") - F.col("lo.cp") + F.col("lo.pos")).cast("double")
+            / (F.col("hi.cn") - F.col("lo.cn") + F.col("lo.n_docs"))
+        ).alias("avg_ij"),
+    )
+    ks = bins.select(F.col("bin").alias("k"))
+    trip = (
+        pairs.join(
+            F.broadcast(ks),
+            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
+        )
+        .groupBy("i", "k")
+        .agg(F.min("avg_ij").alias("mn"))
+    )
+    fit = trip.groupBy(F.col("k").alias("bin")).agg(F.max("mn").alias("iso"))
+    return (
+        bins.join(fit, "bin")
+        .select(
+            "bin",
+            "n_docs",
+            dround(F.col("pos").cast("double") / F.col("n_docs"), 6).alias(
+                "raw_rate"
+            ),
+            dround(F.col("iso"), 6).alias("iso_rate"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "stats_cohens_kappa_quality_raters",
+    oracle=f"""
+    WITH {_QEVAL_SQL},
+    kp_rated AS (
+        SELECT label AS a,
+               CAST(CASE WHEN q >= 0.55 THEN 1 ELSE 0 END AS INT) AS b
+        FROM qe_labeled
+    ),
+    kp_cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+               CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+               CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        FROM kp_rated
+    )
+    SELECT n, n11, n10, n01, n00,
+           {dround_sql("CAST(n11 + n00 AS DOUBLE) / n", 6)} AS po,
+           {dround_sql("(CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)"
+                       " + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)", 6)} AS pe,
+           {dround_sql("(CAST(n11 + n00 AS DOUBLE) / n"
+                       " - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)"
+                       "    + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))"
+                       " / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)"
+                       "    + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))", 6)} AS kappa
+    FROM kp_cells
+    """,
+    description="Cohen's kappa between two independent rule-based "
+    "quality raters — the Gopher gate vs a 0.55 threshold on the "
+    "continuous score — chance-corrected agreement for deciding "
+    "whether a cheap distilled filter can replace an expensive one. "
+    "The 2x2 contingency table is one scan of conditional-sum "
+    "aggregates (integer-exact, so po/pe/kappa are bit-identical); "
+    "no window, no join, no shuffle beyond the final 1-row reduce.",
+)
+def stats_cohens_kappa_quality_raters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    labeled = _quality_vs_gopher(spark, sf_dir)
+    rated = labeled.select(
+        F.col("label").alias("a"),
+        F.when(F.col("q") >= 0.55, 1).otherwise(0).cast("int").alias("b"),
+    )
+    cells = rated.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("n11"),
+        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("int"))
+        .cast("bigint")
+        .alias("n01"),
+        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("int"))
+        .cast("bigint")
+        .alias("n00"),
+    )
+    nd = F.col("n").cast("double")
+    po = (F.col("n11") + F.col("n00")).cast("double") / nd
+    pe = ((F.col("n11") + F.col("n10")).cast("double") / nd) * (
+        (F.col("n11") + F.col("n01")).cast("double") / nd
+    ) + ((F.col("n01") + F.col("n00")).cast("double") / nd) * (
+        (F.col("n10") + F.col("n00")).cast("double") / nd
+    )
+    return cells.select(
+        "n",
+        "n11",
+        "n10",
+        "n01",
+        "n00",
+        dround(po, 6).alias("po"),
+        dround(pe, 6).alias("pe"),
+        dround((po - pe) / (1.0 - pe), 6).alias("kappa"),
+    )

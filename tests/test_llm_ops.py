@@ -1686,3 +1686,79 @@ def test_selectivity_compare_method_frontier(spark):
     # identical planted copies are verified dups under every generator
     assert rows["minhash_lsh"].n_verified >= ex.n_candidates
     assert rows["simhash_banded"].n_verified >= ex.n_candidates
+
+
+# ----------------------------- quality-classifier evaluation family
+
+
+def test_roc_auc_bounds_and_signal(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        stats_roc_auc_quality_vs_gopher,
+    )
+
+    row = stats_roc_auc_quality_vs_gopher(spark, sf_dir).collect()[0]
+    assert row.n_pos > 0 and row.n_neg > 0
+    assert 0.0 <= row.auc <= 1.0
+    # the score and the gate share length/stopword features, so the
+    # ranking must carry real signal (well above coin-flip)
+    assert row.auc > 0.6
+    # auc and gini are each rounded to 6 decimals from the unrounded
+    # value, so the identity holds only to the rounding grid
+    assert abs(row.gini - (2 * row.auc - 1)) < 2e-6
+
+
+def test_calibration_ece_brier_invariants(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        quality_calibration_ece_brier,
+    )
+
+    rows = quality_calibration_ece_brier(spark, sf_dir).collect()
+    assert rows, "at least one populated bin"
+    assert all(0 <= r.bin <= 9 for r in rows)
+    # ece/brier are constant catalog-style audit columns on every row
+    assert len({r.ece for r in rows}) == 1
+    assert len({r.brier for r in rows}) == 1
+    for r in rows:
+        assert 0.0 <= r.conf <= 1.0 and 0.0 <= r.acc <= 1.0
+        assert abs(r.gap - abs(r.acc - r.conf)) < 2e-6
+    # ECE is a weighted mean of per-bin gaps: bounded by the max gap
+    assert rows[0].ece <= max(r.gap for r in rows) + 1e-9
+    assert 0.0 <= rows[0].brier <= 1.0
+
+
+def test_isotonic_pav_fit_is_monotone_and_mean_preserving(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        stats_isotonic_calibration_pav,
+    )
+
+    rows = sorted(
+        stats_isotonic_calibration_pav(spark, sf_dir).collect(),
+        key=lambda r: r.bin,
+    )
+    iso = [r.iso_rate for r in rows]
+    assert iso == sorted(iso), "PAV fit must be non-decreasing"
+    # weighted mean preservation: sum(n * iso) == sum(n * raw) (PAV
+    # pools averages, never mass) — equality up to rounding of the
+    # published 6-decimal rates
+    n = [r.n_docs for r in rows]
+    raw = [r.raw_rate for r in rows]
+    tot = sum(n)
+    assert abs(
+        sum(a * b for a, b in zip(n, iso)) / tot
+        - sum(a * b for a, b in zip(n, raw)) / tot
+    ) < 1e-4
+    # fit stays within the raw-rate envelope
+    assert min(raw) - 1e-9 <= min(iso) and max(iso) <= max(raw) + 1e-9
+
+
+def test_cohens_kappa_identities(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        stats_cohens_kappa_quality_raters,
+    )
+
+    r = stats_cohens_kappa_quality_raters(spark, sf_dir).collect()[0]
+    assert r.n == r.n11 + r.n10 + r.n01 + r.n00
+    assert abs(r.po - (r.n11 + r.n00) / r.n) < 1e-6
+    assert -1.0 <= r.kappa <= 1.0
+    # po/pe/kappa satisfy the defining identity
+    assert abs(r.kappa - (r.po - r.pe) / (1 - r.pe)) < 1e-5

@@ -40,6 +40,7 @@ GRAIN_BOUNDS = {
     "pipeline_curriculum_phases": 1_600,
     "pipeline_packing_efficiency_curve": 1_600,
     "pipeline_global_row_index": 64,
+    "quality_calibration_ece_brier": 16,
     "quality_rule_mining_bounds": 18_000,
     "rfm_customer_segments": 50,
     "sample_temperature_lang": 16,
@@ -48,6 +49,8 @@ GRAIN_BOUNDS = {
     "stats_kaplan_meier_session_duration": 100,
     "stats_ks_value_drift": 400,
     "stats_mann_whitney_u": 1_200,
+    "stats_isotonic_calibration_pav": 16,
+    "stats_roc_auc_quality_vs_gopher": 1_200,
     "stats_runs_test_randomness": 3_300,
     "stats_spearman_rank_corr": 18_000,
     "text_zipf_slope": 100,

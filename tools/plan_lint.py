@@ -107,6 +107,14 @@ GLOBAL_WINDOW_OK = {
         "NTILE over the doc-score projection (doc-grain; binned score "
         "histogram cuts at 1e9+ docs, noted on the query) + 4-row "
         "cumulative window",
+    "stats_roc_auc_quality_vs_gopher":
+        "rank prefix sum over the distinct-rounded-score aggregate "
+        "(<= 1e6 rows for 6-decimal scores in [0,1], same scale note "
+        "as stats_mann_whitney_u)",
+    "quality_calibration_ece_brier":
+        "normalizing window over the <=10-row calibration-bin aggregate",
+    "stats_isotonic_calibration_pav":
+        "prefix sums over the <=10-row calibration-bin aggregate",
 }
 
 
