@@ -4149,3 +4149,148 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("method")
     )
+
+
+# ------------------------------------- nation-partition modularity
+@register(
+    "graph_modularity_supplier_nations",
+    oracle="""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS MATERIALIZED (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+            SELECT u AS node FROM edges UNION ALL SELECT v FROM edges
+        ) GROUP BY node
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM edges),
+    nat AS (
+        SELECT d.node, d.deg, s.s_nationkey AS nationkey
+        FROM deg d JOIN supplier s ON s.s_suppkey = d.node
+    ),
+    per_nat AS (
+        SELECT nationkey,
+               CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+               CAST(SUM(deg) AS BIGINT) AS nation_degree
+        FROM nat GROUP BY nationkey
+    ),
+    intra AS (
+        SELECT nu.nationkey, CAST(COUNT(*) AS BIGINT) AS intra_edges
+        FROM edges e
+        JOIN nat nu ON nu.node = e.u
+        JOIN nat nv ON nv.node = e.v
+        WHERE nu.nationkey = nv.nationkey
+        GROUP BY nu.nationkey
+    ),
+    scored AS (
+        SELECT p.nationkey, p.n_suppliers, p.nation_degree,
+               CAST(COALESCE(i.intra_edges, 0) AS BIGINT) AS intra_edges,
+               CAST(4 * m.m * COALESCE(i.intra_edges, 0)
+                    - p.nation_degree * p.nation_degree AS BIGINT) AS num
+        FROM per_nat p
+        LEFT JOIN intra i ON i.nationkey = p.nationkey
+        CROSS JOIN m
+    )
+    SELECT n.n_name AS nation, s.n_suppliers, s.nation_degree,
+           s.intra_edges,
+           CAST(ROUND(CAST(CAST(s.num AS DOUBLE)
+                / (4.0 * m.m * m.m) AS DECIMAL(38,8)), 6) AS DOUBLE)
+               AS q_contrib,
+           CAST(ROUND(CAST(CAST((SELECT SUM(num) FROM scored) AS DOUBLE)
+                / (4.0 * m.m * m.m) AS DECIMAL(38,8)), 6) AS DOUBLE)
+               AS q_total
+    FROM scored s
+    JOIN nation n ON n.n_nationkey = s.nationkey
+    CROSS JOIN m
+    """,
+    description="Newman modularity of the nation partition on the "
+    "supplier co-order graph (suppliers linked when they serve the same "
+    "order): per nation, Q_c = e_c/m - (deg_c/2m)^2 — how much more "
+    "intra-nation co-supply occurs than a degree-preserving random "
+    "rewiring would produce — plus the corpus-wide Q. All counting stays "
+    "in BIGINT (per-nation numerator 4*m*e_c - deg_c^2, exact map-side "
+    "combinable sums); each published number is ONE integer-ratio "
+    "division, so cross-engine float drift is impossible. The edge "
+    "build is the same orderkey self-join as the k-core query; the "
+    "nation attribution is a broadcast join against the supplier dim. "
+    "At 100 TB the degree and intra-edge aggregates are key-partitioned "
+    "shuffles on suppkey/nationkey with partial aggregation; the final "
+    "per-nation table is dim-sized.",
+)
+def graph_modularity_supplier_nations(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(
+            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
+        )
+        .distinct()
+        .persist()
+    )
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    )
+    m = edges.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    nat = deg.join(
+        F.broadcast(sup), deg["node"] == sup["s_suppkey"]
+    ).select("node", "deg", F.col("s_nationkey").alias("nationkey"))
+    per_nat = nat.groupBy("nationkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_suppliers"),
+        F.sum("deg").cast("bigint").alias("nation_degree"),
+    )
+    node_nat = F.broadcast(
+        nat.select("node", "nationkey")
+    )  # supplier-dim sized: one row per graph node
+    intra = (
+        edges.join(
+            node_nat.withColumnsRenamed({"node": "u", "nationkey": "nu"}), "u"
+        )
+        .join(
+            node_nat.withColumnsRenamed({"node": "v", "nationkey": "nv"}), "v"
+        )
+        .filter(F.col("nu") == F.col("nv"))
+        .groupBy(F.col("nu").alias("nationkey"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("intra_edges"))
+    )
+    scored = (
+        per_nat.join(intra, "nationkey", "left")
+        .withColumn(
+            "intra_edges", F.coalesce(F.col("intra_edges"), F.lit(0)).cast("bigint")
+        )
+        .crossJoin(F.broadcast(m))
+        .withColumn(
+            "num",
+            (
+                F.lit(4) * F.col("m") * F.col("intra_edges")
+                - F.col("nation_degree") * F.col("nation_degree")
+            ).cast("bigint"),
+        )
+    )
+    tot = scored.agg(F.sum("num").cast("bigint").alias("num_tot"))
+    denom = 4.0 * F.col("m") * F.col("m")
+    return (
+        scored.crossJoin(F.broadcast(tot))
+        .join(F.broadcast(nation), scored["nationkey"] == nation["n_nationkey"])
+        .select(
+            F.col("n_name").alias("nation"),
+            "n_suppliers",
+            "nation_degree",
+            "intra_edges",
+            dround(F.col("num").cast("double") / denom, 6).alias("q_contrib"),
+            dround(F.col("num_tot").cast("double") / denom, 6).alias("q_total"),
+        )
+    )

@@ -7795,3 +7795,408 @@ def stats_cohens_kappa_quality_raters(
         dround(pe, 6).alias("pe"),
         dround((po - pe) / (1.0 - pe), 6).alias("kappa"),
     )
+
+
+# ------------------------------------- UniMax language budget allocation
+@register(
+    "sample_unimax_language_budget",
+    oracle=f"""
+    WITH um_mass AS (
+        SELECT lang,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m,
+               CAST(4 * SUM(len(string_split(text, ' '))) AS BIGINT) AS cap
+        FROM documents GROUP BY lang
+    ),
+    um_ranked AS (
+        SELECT lang, m, cap,
+               CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS k,
+               CAST(SUM(cap) OVER (ORDER BY cap, lang) AS BIGINT) AS pref
+        FROM um_mass
+    ),
+    um_tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(m) AS BIGINT) AS t,
+               CAST(2 * SUM(m) AS BIGINT) AS b
+        FROM um_mass
+    ),
+    um_seg AS (
+        SELECT CAST(COALESCE(MAX(CASE WHEN pref + (n - k) * cap <= b
+                                      THEN k END), 0) AS BIGINT) AS ks,
+               CAST(COALESCE(MAX(CASE WHEN pref + (n - k) * cap <= b
+                                      THEN pref END), 0) AS BIGINT) AS p
+        FROM um_ranked, um_tot
+    ),
+    um_thr AS (
+        SELECT CAST(b - p AS DOUBLE) / (n - ks) AS tstar, b, t
+        FROM um_seg, um_tot
+    )
+    SELECT r.lang, r.m AS lang_tokens, r.cap AS cap_tokens,
+           {dround_sql("least(CAST(r.cap AS DOUBLE), h.tstar)", 4)}
+               AS alloc_tokens,
+           {dround_sql("least(CAST(r.cap AS DOUBLE), h.tstar) / r.m", 6)}
+               AS epochs,
+           {dround_sql("least(CAST(r.cap AS DOUBLE), h.tstar) / h.b", 6)}
+               AS alloc_share
+    FROM um_ranked r, um_thr h
+    """,
+    description="UniMax language budget allocation (Chung et al. 2023): "
+    "distribute a 2x-corpus token budget across languages as uniformly "
+    "as possible subject to a 4-epoch-per-language repeat cap — the "
+    "closed-form water-filling solution. Rank languages by capped "
+    "capacity ascending; the largest k with pref_k + (n-k)*cap_k <= B "
+    "marks the saturated segment (an all-bigint comparison, so the "
+    "segment choice is bit-identical across engines); the water level "
+    "T* = (B - pref_k)/(n - k) caps every remaining language. Corpus-"
+    "scale work is ONE scan + groupBy(lang) with map-side combine; the "
+    "water-filling runs entirely over the language-grain aggregate "
+    "(tens of rows at any corpus size).",
+)
+def sample_unimax_language_budget(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
+    mass = docs.groupBy("lang").agg(
+        F.sum(toks).cast("bigint").alias("m"),
+        (F.lit(4) * F.sum(toks)).cast("bigint").alias("cap"),
+    )
+    wrank = Window.orderBy("cap", "lang")
+    ranked = mass.select(
+        "lang",
+        "m",
+        "cap",
+        F.row_number().over(wrank).cast("bigint").alias("k"),
+        F.sum("cap").over(
+            wrank.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("bigint").alias("pref"),
+    )
+    tot = mass.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("m").cast("bigint").alias("t"),
+        (F.lit(2) * F.sum("m")).cast("bigint").alias("b"),
+    )
+    feasible = (
+        F.col("pref") + (F.col("n") - F.col("k")) * F.col("cap")
+    ) <= F.col("b")
+    seg = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.coalesce(F.max(F.when(feasible, F.col("k"))), F.lit(0))
+        .cast("bigint")
+        .alias("ks"),
+        F.coalesce(F.max(F.when(feasible, F.col("pref"))), F.lit(0))
+        .cast("bigint")
+        .alias("p"),
+    )
+    thr = seg.crossJoin(F.broadcast(tot)).select(
+        (
+            (F.col("b") - F.col("p")).cast("double")
+            / (F.col("n") - F.col("ks"))
+        ).alias("tstar"),
+        "b",
+    )
+    alloc = F.least(F.col("cap").cast("double"), F.col("tstar"))
+    return ranked.crossJoin(F.broadcast(thr)).select(
+        "lang",
+        F.col("m").alias("lang_tokens"),
+        F.col("cap").alias("cap_tokens"),
+        dround(alloc, 4).alias("alloc_tokens"),
+        dround(alloc / F.col("m"), 6).alias("epochs"),
+        dround(alloc / F.col("b"), 6).alias("alloc_share"),
+    )
+
+
+# --------------------------------------------------- BM25 retrieval
+_BM25_PANEL: list[tuple[str, str]] = [
+    ("q1", "hash"), ("q1", "join"), ("q1", "table"),
+    ("q2", "stream"), ("q2", "window"), ("q2", "agg"),
+    ("q3", "vector"), ("q3", "scan"), ("q3", "filter"),
+]
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+
+def _bm25_oracle() -> str:
+    panel_rows = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_PANEL)
+    terms = ", ".join(sorted({f"'{t}'" for _, t in _BM25_PANEL}))
+    # contribution is rounded to integer micro-units BEFORE the per-doc
+    # sum, so the aggregate is an order-free BIGINT sum on both engines
+    micro = f"""CAST(ROUND(CAST(
+        (ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
+         * ((t.tf * {_BM25_K1 + 1.0}) / (t.tf + {_BM25_K1} * ({1.0 - _BM25_B}
+            + {_BM25_B} * (CAST(t.dl AS DOUBLE)
+                           / (CAST(s.sumdl AS DOUBLE) / s.n))))))
+        * 1000000 AS DECIMAL(38,8)), 0) AS BIGINT)"""
+    return f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(len(t)) AS BIGINT) AS sumdl
+        FROM toks
+    ),
+    panel(query_id, term) AS (VALUES {panel_rows}),
+    tf AS (
+        SELECT doc_id, term,
+               CAST(COUNT(*) AS BIGINT) AS tf,
+               CAST(MAX(dl) AS BIGINT) AS dl
+        FROM (
+            SELECT doc_id, len(t) AS dl, UNNEST(t) AS term FROM toks
+        )
+        WHERE term IN ({terms})
+        GROUP BY doc_id, term
+    ),
+    dfreq AS (
+        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
+    ),
+    contrib AS (
+        SELECT p.query_id, t.doc_id, {micro} AS micro
+        FROM tf t
+        JOIN panel p ON p.term = t.term
+        JOIN dfreq d ON d.term = t.term
+        CROSS JOIN stats s
+    ),
+    scored AS (
+        SELECT query_id, doc_id,
+               CAST(SUM(micro) AS BIGINT) AS s_micro,
+               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
+        FROM contrib GROUP BY query_id, doc_id
+    )
+    SELECT query_id, doc_id, n_terms_matched,
+           {dround_sql("s_micro / 1000000.0", 6)} AS score, rank
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY query_id ORDER BY s_micro DESC, doc_id
+        ) AS BIGINT) AS rank
+        FROM scored
+    )
+    WHERE rank <= 5
+    """
+
+
+@register(
+    "text_bm25_topk",
+    oracle=_bm25_oracle(),
+    description="BM25 top-5 retrieval (k1=1.2, b=0.75, Lucene's "
+    "ln(1+(N-df+0.5)/(df+0.5)) idf) for a fixed 3-query panel over the "
+    "documents table. One tokenize+explode pass filtered to the 9 panel "
+    "terms feeds term frequencies, document lengths ride the same pass "
+    "(no second doc-length join); document frequencies and corpus stats "
+    "are tiny aggregates broadcast back onto the postings. Per-term "
+    "contributions are rounded to integer MICRO-units before the per-doc "
+    "sum, so the score aggregate is an order-free BIGINT sum — immune to "
+    "double-accumulation ordering across engines and partitionings. "
+    "Top-5 per query by (score desc, doc_id) row_number. At 100 TB the "
+    "postings build shuffles once on (doc,term); everything joined onto "
+    "it (panel, df, corpus stats) is broadcast-sized.",
+)
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", F.split(F.col("text"), " ", -1).alias("t")
+    )
+    stats = docs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.size("t")).cast("bigint").alias("sumdl"),
+    )
+    panel = spark.createDataFrame(_BM25_PANEL, "query_id string, term string")
+    terms = sorted({t for _, t in _BM25_PANEL})
+    tf = (
+        docs.select(
+            "doc_id",
+            F.size("t").alias("dl"),
+            F.explode("t").alias("term"),
+        )
+        .filter(F.col("term").isin(terms))
+        .groupBy("doc_id", "term")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("tf"),
+            F.max("dl").cast("bigint").alias("dl"),
+        )
+    )
+    dfreq = tf.groupBy("term").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    avgdl = F.col("sumdl").cast("double") / F.col("n")
+    idf = F.log(
+        F.lit(1)
+        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
+    )
+    tfpart = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(_BM25_K1)
+        * (
+            F.lit(1.0 - _BM25_B)
+            + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
+        )
+    )
+    micro = (
+        F.round(((idf * tfpart) * 1000000).cast("decimal(38,8)"), 0)
+        .cast("bigint")
+        .alias("micro")
+    )
+    contrib = (
+        tf.join(F.broadcast(panel), "term")
+        .join(F.broadcast(dfreq), "term")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", micro)
+    )
+    scored = contrib.groupBy("query_id", "doc_id").agg(
+        F.sum("micro").cast("bigint").alias("s_micro"),
+        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("s_micro").desc(), F.col("doc_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rank") <= 5)
+        .select(
+            "query_id",
+            "doc_id",
+            "n_terms_matched",
+            dround(F.col("s_micro") / 1000000.0, 6).alias("score"),
+            "rank",
+        )
+    )
+
+
+# --------------------------------------------- Bloom-filter FPR audit
+_BLOOM_M = 4096
+_BLOOM_K = 3
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)"
+        f" || ':' || j), 1, 12)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "sketch_bloom_filter_fpr",
+    oracle=f"""
+    WITH members AS (
+        SELECT c_custkey AS key FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    jj(j) AS (VALUES (0), (1), (2)),
+    bits AS (
+        SELECT DISTINCT {_bloom_pos_sql("key")} AS pos
+        FROM members CROSS JOIN jj
+    ),
+    nonmembers AS (
+        SELECT c_custkey AS key FROM customer WHERE c_custkey % 3 = 0
+    ),
+    probe AS (
+        SELECT n.key, CAST(COUNT(b.pos) AS BIGINT) AS hits
+        FROM nonmembers n
+        CROSS JOIN jj
+        LEFT JOIN bits b ON b.pos = {_bloom_pos_sql("n.key")}
+        GROUP BY n.key
+    ),
+    agg AS (
+        SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+               CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+               CAST(COUNT(*) AS BIGINT) AS n_nonmembers,
+               CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS false_positives
+        FROM probe
+    )
+    SELECT m_bits, k_hashes, n_members, bits_set, n_nonmembers,
+           false_positives,
+           {dround_sql("CAST(false_positives AS DOUBLE) / n_nonmembers", 6)}
+               AS fpr_measured,
+           {dround_sql(f"CAST(bits_set AS DOUBLE) / {_BLOOM_M}", 6)}
+               AS occupancy,
+           {dround_sql(
+               f"(CAST(bits_set AS DOUBLE) / {_BLOOM_M})"
+               f" * (CAST(bits_set AS DOUBLE) / {_BLOOM_M})"
+               f" * (CAST(bits_set AS DOUBLE) / {_BLOOM_M})", 6)}
+               AS fpr_expected
+    FROM agg
+    """,
+    description="Bloom-filter false-positive-rate audit: a 4096-bit, "
+    "3-hash Bloom filter is built over the member shard of the customer "
+    "keyspace (custkey % 3 != 0 — a structural split that holds at every "
+    "SF; portable md5-derived positions, key:j salting) and probed with "
+    "every key of the held-out shard; measured FPR is laid beside the "
+    "occupancy-based expectation rho^k (rho = bits_set/m, an EXACT "
+    "power-of-two division, cubed with plain multiplies — no pow(), so "
+    "no cross-engine libm drift). This is the sizing check a 100 TB "
+    "pipeline runs before shipping a Bloom filter into a broadcast "
+    "semi-join or an LSH pre-filter (dedup_bloom_prefilter_probe): the "
+    "bit array build is one groupBy-distinct over member hashes "
+    "(map-side combinable), the filter itself is KB-sized and "
+    "broadcast to the probe side regardless of member cardinality.",
+)
+def sketch_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    members = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    jj = spark.range(_BLOOM_K).select(F.col("id").alias("j"))
+
+    def pos(key: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key.cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+
+    bits = (
+        members.crossJoin(F.broadcast(jj))
+        .select(pos(F.col("key")).alias("pos"))
+        .distinct()
+    )
+    nonmembers = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    probe = (
+        nonmembers.crossJoin(F.broadcast(jj))
+        .select("key", pos(F.col("key")).alias("pos"))
+        .join(F.broadcast(bits).withColumnRenamed("pos", "hit"),
+              F.col("pos") == F.col("hit"), "left")
+        .groupBy("key")
+        .agg(F.count("hit").cast("bigint").alias("hits"))
+    )
+    counts = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonmembers"),
+        F.sum(F.when(F.col("hits") == _BLOOM_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("false_positives"),
+    )
+    n_mem = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    occ = F.col("bits_set").cast("double") / _BLOOM_M
+    return (
+        counts.crossJoin(F.broadcast(n_mem))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.lit(_BLOOM_M).cast("bigint").alias("m_bits"),
+            F.lit(_BLOOM_K).cast("bigint").alias("k_hashes"),
+            "n_members",
+            "bits_set",
+            "n_nonmembers",
+            "false_positives",
+            dround(
+                F.col("false_positives").cast("double")
+                / F.col("n_nonmembers"),
+                6,
+            ).alias("fpr_measured"),
+            dround(occ, 6).alias("occupancy"),
+            dround(occ * occ * occ, 6).alias("fpr_expected"),
+        )
+    )

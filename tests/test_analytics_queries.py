@@ -467,3 +467,21 @@ def test_forecast_backtest_folds_and_method_sanity(spark, sf_dir):
         assert r.n_folds == 12
         assert 0.0 < r.mape
         assert 0.0 < r.mae
+
+
+def test_modularity_contributions_sum_to_total(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        graph_modularity_supplier_nations,
+    )
+
+    rows = graph_modularity_supplier_nations(spark, sf_dir).collect()
+    assert rows
+    q_total = rows[0].q_total
+    assert all(abs(r.q_total - q_total) < 1e-9 for r in rows)
+    assert -1.0 <= q_total <= 1.0
+    # per-nation contributions add up to Q (each rounded to 6dp)
+    assert abs(sum(r.q_contrib for r in rows) - q_total) < 1e-5 * len(rows) + 1e-4
+    # handshake: nation degrees sum to 2m, intra edges cannot exceed m
+    two_m = sum(r.nation_degree for r in rows)
+    assert two_m % 2 == 0
+    assert sum(r.intra_edges for r in rows) <= two_m // 2

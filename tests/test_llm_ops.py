@@ -1762,3 +1762,59 @@ def test_cohens_kappa_identities(spark, sf_dir):
     assert -1.0 <= r.kappa <= 1.0
     # po/pe/kappa satisfy the defining identity
     assert abs(r.kappa - (r.po - r.pe) / (1 - r.pe)) < 1e-5
+
+
+def test_unimax_waterfill_budget_and_caps(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sample_unimax_language_budget,
+    )
+
+    rows = sample_unimax_language_budget(spark, sf_dir).collect()
+    assert rows, "every corpus has at least one language"
+    total_mass = sum(r.lang_tokens for r in rows)
+    budget = 2 * total_mass
+    # the 4-epoch repeat cap binds per language ...
+    for r in rows:
+        assert r.alloc_tokens <= r.cap_tokens + 1e-6
+        assert r.epochs <= 4.0 + 1e-6
+        assert abs(r.epochs - r.alloc_tokens / r.lang_tokens) < 1e-4
+    # ... and the water-filling exhausts the 2x-corpus budget exactly
+    # (B = 2T < 4T = total capacity, so full spend is always feasible)
+    assert abs(sum(r.alloc_tokens for r in rows) - budget) < 1e-2 * budget
+    assert abs(sum(r.alloc_share for r in rows) - 1.0) < 1e-3
+    # every unsaturated language sits at the common water level
+    unsat = [r.alloc_tokens for r in rows if r.alloc_tokens < r.cap_tokens]
+    if len(unsat) > 1:
+        assert max(unsat) - min(unsat) < 1e-4
+
+
+def test_bm25_topk_ranking_contract(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import text_bm25_topk
+
+    rows = text_bm25_topk(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert set(by_q) == {"q1", "q2", "q3"}
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == [1, 2, 3, 4, 5]
+        scores = [r.score for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(s > 0 for s in scores)
+        assert all(1 <= r.n_terms_matched <= 3 for r in rs)
+
+
+def test_bloom_fpr_matches_occupancy_model(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sketch_bloom_filter_fpr,
+    )
+
+    r = sketch_bloom_filter_fpr(spark, sf_dir).collect()[0]
+    assert r.n_nonmembers > 0, "held-out shard is 1/3 of the keyspace"
+    assert r.n_members > 0 and r.false_positives is not None
+    assert 0 < r.bits_set <= min(r.m_bits, r.k_hashes * r.n_members)
+    assert abs(r.occupancy - r.bits_set / r.m_bits) < 1e-6
+    assert abs(r.fpr_expected - r.occupancy**3) < 1e-5
+    # the rho^k independence model should be close on md5-uniform hashes
+    assert abs(r.fpr_measured - r.fpr_expected) < 0.1

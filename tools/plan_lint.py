@@ -48,6 +48,9 @@ PYTHON_OK = {
 # as TakeOrderedAndProject (per-partition top-k + merge), which never
 # single-partitions the data — the linter verified that.
 GLOBAL_WINDOW_OK = {
+    "sample_unimax_language_budget":
+        "water-filling rank/prefix windows over the language-grain "
+        "aggregate (tens of rows at any corpus size)",
     "orders_pareto_top_customers": "cum-share window over customer-grain aggregate",
     "window_customer_value_deciles": "NTILE over customer-grain aggregate",
     "window_moving_avg_daily_revenue": "series is day-grain post-agg",
