@@ -262,6 +262,13 @@ HEADLINE = [
     "quality_calibration_ece_brier",
     "stats_isotonic_calibration_pav",
     "stats_cohens_kappa_quality_raters",
+    "sample_unimax_language_budget",
+    "text_bm25_topk",
+    "sketch_bloom_filter_fpr",
+    "graph_modularity_supplier_nations",
+    "stats_permutation_test_purchase_click",
+    "text_good_turing_trigrams",
+    "privacy_dp_laplace_histogram",
 ]
 
 

@@ -2821,3 +2821,184 @@ def events_segment_migration_matrix(
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
         .orderBy("seg_h1", "seg_h2")
     )
+
+
+# ------------------------------------------------ randomization test
+_PERM_B = 64
+_PERM_H48 = (
+    "CAST(('0x' || substr(md5(CAST(o.event_id AS VARCHAR) || ':' || r.b),"
+    " 1, 12)) AS BIGINT) % 2"
+)
+
+
+@register(
+    "stats_permutation_test_purchase_click",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_id,
+               event_type,
+               CAST(ROUND(CAST(value * 100 AS DECIMAL(38,8)), 0) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    base AS (
+        SELECT
+          CAST(SUM(CASE WHEN event_type = 'purchase' THEN cents END)
+               AS BIGINT) AS sum_p,
+          CAST(COUNT(CASE WHEN event_type = 'purchase' THEN 1 END)
+               AS BIGINT) AS n_p,
+          CAST(SUM(CASE WHEN event_type = 'click' THEN cents END)
+               AS BIGINT) AS sum_c,
+          CAST(COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+               AS BIGINT) AS n_c
+        FROM obs
+    ),
+    perms AS (
+        SELECT b,
+          CAST(SUM(CASE WHEN grp = 0 THEN cents END) AS BIGINT) AS sum_a,
+          CAST(COUNT(CASE WHEN grp = 0 THEN 1 END) AS BIGINT) AS n_a,
+          CAST(SUM(CASE WHEN grp = 1 THEN cents END) AS BIGINT) AS sum_b,
+          CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_b
+        FROM (
+            SELECT o.cents, r.b, {_PERM_H48} AS grp
+            FROM obs o
+            CROSS JOIN (SELECT UNNEST(range(0, {_PERM_B})) AS b) r
+        )
+        GROUP BY b
+    ),
+    scored AS (
+        SELECT p.b,
+               ABS(CAST(p.sum_a AS DOUBLE) / p.n_a
+                   - CAST(p.sum_b AS DOUBLE) / p.n_b) AS stat_b,
+               ABS(CAST(q.sum_p AS DOUBLE) / q.n_p
+                   - CAST(q.sum_c AS DOUBLE) / q.n_c) AS stat_obs
+        FROM perms p CROSS JOIN base q
+        WHERE p.n_a > 0 AND p.n_b > 0
+    )
+    SELECT q.n_p AS n_purchase, q.n_c AS n_click,
+           {dround_sql("CAST(q.sum_p AS DOUBLE) / q.n_p / 100.0", 6)}
+               AS mean_purchase,
+           {dround_sql("CAST(q.sum_c AS DOUBLE) / q.n_c / 100.0", 6)}
+               AS mean_click,
+           {dround_sql("MAX(s.stat_obs) / 100.0", 6)} AS stat_obs,
+           CAST({_PERM_B} AS BIGINT) AS n_perms,
+           CAST(SUM(CASE WHEN s.stat_b >= s.stat_obs THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_exceed,
+           {dround_sql(
+               "(1.0 + SUM(CASE WHEN s.stat_b >= s.stat_obs THEN 1 ELSE 0 "
+               f"END)) / {_PERM_B + 1}", 6)} AS p_value
+    FROM scored s CROSS JOIN base q
+    GROUP BY q.n_p, q.n_c, q.sum_p, q.sum_c
+    """,
+    description="Randomization (permutation) test for the purchase-vs-"
+    "click mean-value difference: 64 deterministic md5-derived "
+    "relabelings of every observation (event_id:b salting — the same "
+    "portable coin every engine flips identically), two-sided statistic "
+    "|mean_A - mean_B|, p = (1 + #{b: stat_b >= stat_obs}) / (B+1). "
+    "Values are quantized to exact integer CENTS before any aggregation, "
+    "so every per-relabeling sum is an order-free BIGINT sum (immune to "
+    "double-accumulation ordering); each statistic is then ONE fixed "
+    "scalar expression over those integers, bit-identical across "
+    "engines. The B-fold blow-up is a crossJoin with a 64-row literal — "
+    "embarrassingly parallel, map-side combinable, one shuffle on b; at "
+    "100 TB the same plan holds with B partial aggregates per partition.",
+)
+def stats_permutation_test_purchase_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_id",
+        "event_type",
+        F.round((F.col("value") * 100).cast("decimal(38,8)"), 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    base = obs.agg(
+        F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")))
+        .cast("bigint")
+        .alias("sum_p"),
+        F.count(F.when(F.col("event_type") == "purchase", 1))
+        .cast("bigint")
+        .alias("n_p"),
+        F.sum(F.when(F.col("event_type") == "click", F.col("cents")))
+        .cast("bigint")
+        .alias("sum_c"),
+        F.count(F.when(F.col("event_type") == "click", 1))
+        .cast("bigint")
+        .alias("n_c"),
+    )
+    bb = spark.range(_PERM_B).select(F.col("id").alias("b"))
+    grp = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_id").cast("string"),
+                        F.lit(":"),
+                        F.col("b").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    perms = (
+        obs.crossJoin(F.broadcast(bb))
+        .select("cents", "b", grp.alias("grp"))
+        .groupBy("b")
+        .agg(
+            F.sum(F.when(F.col("grp") == 0, F.col("cents")))
+            .cast("bigint")
+            .alias("sum_a"),
+            F.count(F.when(F.col("grp") == 0, 1)).cast("bigint").alias("n_a"),
+            F.sum(F.when(F.col("grp") == 1, F.col("cents")))
+            .cast("bigint")
+            .alias("sum_b"),
+            F.count(F.when(F.col("grp") == 1, 1)).cast("bigint").alias("n_b"),
+        )
+    )
+    scored = (
+        perms.crossJoin(F.broadcast(base))
+        .filter((F.col("n_a") > 0) & (F.col("n_b") > 0))
+        .select(
+            F.abs(
+                F.col("sum_a").cast("double") / F.col("n_a")
+                - F.col("sum_b").cast("double") / F.col("n_b")
+            ).alias("stat_b"),
+            F.abs(
+                F.col("sum_p").cast("double") / F.col("n_p")
+                - F.col("sum_c").cast("double") / F.col("n_c")
+            ).alias("stat_obs"),
+            "n_p",
+            "n_c",
+            "sum_p",
+            "sum_c",
+        )
+    )
+    exceed = F.sum(
+        F.when(F.col("stat_b") >= F.col("stat_obs"), 1).otherwise(0)
+    ).cast("bigint")
+    return scored.groupBy("n_p", "n_c", "sum_p", "sum_c").agg(
+        F.max("stat_obs").alias("_so"),
+        exceed.alias("n_exceed"),
+    ).select(
+        F.col("n_p").alias("n_purchase"),
+        F.col("n_c").alias("n_click"),
+        dround(F.col("sum_p").cast("double") / F.col("n_p") / 100.0, 6).alias(
+            "mean_purchase"
+        ),
+        dround(F.col("sum_c").cast("double") / F.col("n_c") / 100.0, 6).alias(
+            "mean_click"
+        ),
+        dround(F.col("_so") / 100.0, 6).alias("stat_obs"),
+        F.lit(_PERM_B).cast("bigint").alias("n_perms"),
+        "n_exceed",
+        dround(
+            (F.lit(1.0) + F.col("n_exceed")) / (_PERM_B + 1), 6
+        ).alias("p_value"),
+    )

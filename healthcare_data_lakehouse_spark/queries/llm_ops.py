@@ -8200,3 +8200,100 @@ def sketch_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(occ * occ * occ, 6).alias("fpr_expected"),
         )
     )
+
+
+# --------------------------------------- Good-Turing count smoothing
+@register(
+    "text_good_turing_trigrams",
+    oracle=f"""
+    WITH toks AS (
+        SELECT string_split(text, ' ') AS t FROM documents
+    ),
+    tris AS (
+        SELECT array_to_string(t[i:i+2], chr(31)) AS g
+        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3
+    ),
+    cnt AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM tris GROUP BY g
+    ),
+    coc AS (
+        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM cnt GROUP BY r
+    ),
+    tot AS (
+        SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tok,
+               CAST(COALESCE(MAX(CASE WHEN r = 1 THEN n_r END), 0)
+                    AS BIGINT) AS n1
+        FROM coc
+    )
+    SELECT c.r, c.n_r,
+           {dround_sql("(c.r + 1) * CAST(c2.n_r AS DOUBLE) / c.n_r", 6)}
+               AS r_star,
+           t.n_tok AS total_trigrams,
+           {dround_sql("CAST(t.n1 AS DOUBLE) / t.n_tok", 8)}
+               AS missing_mass
+    FROM coc c
+    LEFT JOIN coc c2 ON c2.r = c.r + 1
+    CROSS JOIN tot t
+    """,
+    description="Good-Turing frequency re-estimation over corpus "
+    "trigram counts: the count-of-counts table N_r and the smoothed "
+    "count r* = (r+1) N_(r+1)/N_r, plus the unseen-event missing mass "
+    "N_1/N — the LM-smoothing primitive behind Katz backoff and the "
+    "coverage estimator ('how much probability mass belongs to n-grams "
+    "this corpus has never seen') a training-data curation run uses to "
+    "decide whether more data will still teach the model new text. "
+    "Everything before the final dim-sized join is integer counting — "
+    "trigram explode, two nested groupBys, all map-side combinable; the "
+    "count-of-counts table is at most max-frequency rows, so the r+1 "
+    "self-join and the totals broadcast are free at any corpus size. "
+    "r* where N_(r+1)=0 publishes NULL (the raw Good-Turing estimator "
+    "is undefined there; smoothing N_r, e.g. Simple GT, is a fit "
+    "problem, not a counting problem).",
+)
+def text_good_turing_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        F.split(F.col("text"), " ", -1).alias("t")
+    )
+    tris = (
+        docs.filter(F.size("t") >= 3)
+        .select(
+            F.explode(
+                F.sequence(F.lit(1), F.size("t") - 2)
+            ).alias("i"),
+            "t",
+        )
+        .select(
+            F.concat_ws("\x1f", F.slice(F.col("t"), F.col("i"), 3)).alias("g")
+        )
+    )
+    cnt = tris.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
+    coc = cnt.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    tot = coc.agg(
+        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tok"),
+        F.coalesce(
+            F.max(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n1"),
+    )
+    nxt = coc.select(
+        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
+    )
+    return (
+        coc.join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "r",
+            "n_r",
+            dround(
+                ((F.col("r") + 1) * F.col("n_r_next").cast("double"))
+                / F.col("n_r"),
+                6,
+            ).alias("r_star"),
+            F.col("n_tok").alias("total_trigrams"),
+            dround(F.col("n1").cast("double") / F.col("n_tok"), 8).alias(
+                "missing_mass"
+            ),
+        )
+    )

@@ -1219,3 +1219,90 @@ def quality_null_pattern_clusters(
         )
         .orderBy("null_pattern")
     )
+
+
+# --------------------------------- differentially-private histogram
+_DP_EPS = 1.0
+_DP_SCALE = float(2**48)
+
+
+@register(
+    "privacy_dp_laplace_histogram",
+    oracle=f"""
+    WITH hist AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS true_count
+        FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ),
+    noised AS (
+        SELECT event_type, day, true_count,
+               CAST(('0x' || substr(md5(event_type || ':'
+                    || CAST(day AS VARCHAR)), 1, 12)) AS BIGINT)
+                   / {_DP_SCALE} AS u
+        FROM hist
+    )
+    SELECT event_type, day, true_count,
+           {dround_sql(
+               "CASE WHEN u < 0.5 "
+               f"THEN ln(greatest(2 * u, 1e-12)) / {_DP_EPS} "
+               f"ELSE -ln(greatest(2 * (1 - u), 1e-12)) / {_DP_EPS} END", 6)}
+               AS noise,
+           {dround_sql(
+               "true_count + (CASE WHEN u < 0.5 "
+               f"THEN ln(greatest(2 * u, 1e-12)) / {_DP_EPS} "
+               f"ELSE -ln(greatest(2 * (1 - u), 1e-12)) / {_DP_EPS} END)", 6)}
+               AS noisy_count
+    FROM noised
+    """,
+    description="Differentially-private daily event histogram "
+    "(eps=1.0, sensitivity 1): per (event_type, day) cell, Laplace "
+    "noise drawn by inverse-CDF from a portable md5-derived uniform "
+    "(cell-keyed, so the draw is reproducible — this query audits the "
+    "MECHANISM's utility: noise magnitude and noisy-vs-true error per "
+    "cell; production release would key the uniform by a secret seed). "
+    "The histogram is ONE groupBy with map-side combine at any scale; "
+    "the noise is a per-row scalar expression on the dim-sized "
+    "aggregate, no second pass. The piecewise inverse CDF "
+    "sign(u-.5)*ln(...) keeps one ln per cell; the 1e-12 floor guards "
+    "the measure-zero u=0 endpoint.",
+)
+def privacy_dp_laplace_histogram(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    ev = table(spark, sf_dir, "events")
+    hist = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("true_count"))
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("event_type"),
+                        F.lit(":"),
+                        F.col("day").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        / F.lit(_DP_SCALE)
+    )
+    noise = F.when(
+        F.col("u") < 0.5,
+        F.log(F.greatest(2 * F.col("u"), F.lit(1e-12))) / _DP_EPS,
+    ).otherwise(
+        -F.log(F.greatest(2 * (1 - F.col("u")), F.lit(1e-12))) / _DP_EPS
+    )
+    return hist.withColumn("u", u).select(
+        "event_type",
+        "day",
+        "true_count",
+        dround(noise, 6).alias("noise"),
+        dround(F.col("true_count") + noise, 6).alias("noisy_count"),
+    )

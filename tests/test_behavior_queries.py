@@ -669,3 +669,16 @@ def test_segment_migration_matrix_partitions_users(spark, sf_dir):
     tiers = {"heavy", "mid", "light", "absent"}
     assert all(r.seg_h1 in tiers and r.seg_h2 in tiers for r in rows)
     assert len(rows) > 1, "mean-relative tiers should split the base"
+
+
+def test_permutation_test_identities(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_permutation_test_purchase_click,
+    )
+
+    r = stats_permutation_test_purchase_click(spark, sf_dir).collect()[0]
+    assert r.n_purchase > 0 and r.n_click > 0
+    assert r.n_perms == 64
+    assert 0 <= r.n_exceed <= r.n_perms
+    assert abs(r.p_value - (1 + r.n_exceed) / (r.n_perms + 1)) < 1e-5
+    assert abs(r.stat_obs - abs(r.mean_purchase - r.mean_click)) < 1e-4

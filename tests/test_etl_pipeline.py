@@ -296,3 +296,18 @@ def test_null_pattern_clusters_cover_rows_and_known_patterns(spark, sf_dir):
     # null patient_id (first bit) and null age (fourth bit) each occur
     assert any(p[0] == "1" for p in pats)
     assert any(p[3] == "1" for p in pats)
+
+
+def test_dp_histogram_noise_is_additive_and_bounded(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        privacy_dp_laplace_histogram,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = privacy_dp_laplace_histogram(spark, sf_dir).collect()
+    n_events = table(spark, sf_dir, "events").count()
+    assert sum(r.true_count for r in rows) == n_events
+    for r in rows:
+        assert abs(r.noisy_count - (r.true_count + r.noise)) < 2e-6
+        # md5 uniforms keep the inverse-CDF draw in a sane Laplace range
+        assert abs(r.noise) < 30.0

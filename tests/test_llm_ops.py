@@ -1818,3 +1818,19 @@ def test_bloom_fpr_matches_occupancy_model(spark, sf_dir):
     assert abs(r.fpr_expected - r.occupancy**3) < 1e-5
     # the rho^k independence model should be close on md5-uniform hashes
     assert abs(r.fpr_measured - r.fpr_expected) < 0.1
+
+
+def test_good_turing_mass_identities(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_good_turing_trigrams,
+    )
+
+    rows = text_good_turing_trigrams(spark, sf_dir).collect()
+    assert rows
+    total = rows[0].total_trigrams
+    assert sum(r.r * r.n_r for r in rows) == total
+    assert all(abs(r.missing_mass - rows[0].missing_mass) < 1e-12 for r in rows)
+    assert 0.0 <= rows[0].missing_mass < 1.0
+    for r in rows:
+        if r.r_star is not None:
+            assert r.r_star > 0
