@@ -269,6 +269,8 @@ HEADLINE = [
     "stats_permutation_test_purchase_click",
     "text_good_turing_trigrams",
     "privacy_dp_laplace_histogram",
+    "text_mattr_lexical_diversity",
+    "sample_pps_systematic_suppliers",
 ]
 
 

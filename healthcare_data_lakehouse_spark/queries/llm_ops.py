@@ -8297,3 +8297,198 @@ def text_good_turing_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ------------------------------------- MATTR lexical diversity
+_MATTR_W = 50
+
+
+@register(
+    "text_mattr_lexical_diversity",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
+    ),
+    win AS (
+        SELECT doc_id, lang,
+               CAST(SUM(len(list_distinct(t[i:i+{_MATTR_W - 1}])))
+                    AS BIGINT) AS d_sum,
+               CAST(COUNT(*) AS BIGINT) AS n_windows
+        FROM toks, UNNEST(range(1, len(t) - {_MATTR_W} + 2)) AS u(i)
+        WHERE len(t) >= {_MATTR_W}
+        GROUP BY doc_id, lang
+    ),
+    ttr AS (
+        SELECT doc_id,
+               CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
+               CAST(len(t) AS BIGINT) AS n_tokens
+        FROM toks
+    )
+    SELECT w.lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(w.n_windows) AS BIGINT) AS n_windows,
+           {dround_sql(
+               f"CAST(SUM(w.d_sum) AS DOUBLE)"
+               f" / ({_MATTR_W} * SUM(w.n_windows))", 6)} AS pooled_mattr,
+           {dround_sql(
+               "CAST(SUM(tt.n_types) AS DOUBLE) / SUM(tt.n_tokens)", 6)}
+               AS pooled_ttr
+    FROM win w JOIN ttr tt ON tt.doc_id = w.doc_id
+    GROUP BY w.lang
+    """,
+    description=f"Moving-average type-token ratio (MATTR, window "
+    f"{_MATTR_W}) pooled per language, beside the pooled plain TTR it "
+    "corrects: TTR collapses as documents grow (Heaps' law), MATTR "
+    "holds the measurement window fixed so lexical diversity is "
+    "comparable across document lengths — a standard quality-filter "
+    "feature (repetitive/boilerplate text scores low). Per doc the "
+    "window pass keeps only TWO integers (sum of per-window distinct "
+    "counts, window count), so the language rollup is an order-free "
+    "BIGINT sum and each published ratio is ONE division — no double "
+    "accumulation anywhere. The per-doc O(len x W) distinct-count work "
+    "is row-local map work (higher-order functions, no shuffle); the "
+    "rollup is a dim-sized groupBy(lang).",
+)
+def text_mattr_lexical_diversity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", F.split(F.col("text"), " ", -1).alias("t")
+    )
+    w = _MATTR_W
+    idx = F.sequence(F.lit(1), F.size("t") - (w - 1))
+    d_sum = F.aggregate(
+        idx,
+        F.lit(0).cast("bigint"),
+        lambda acc, i: acc
+        + F.size(F.array_distinct(F.slice(F.col("t"), i, w))),
+    )
+    win = docs.filter(F.size("t") >= w).select(
+        "doc_id",
+        "lang",
+        d_sum.alias("d_sum"),
+        (F.size("t") - (w - 1)).cast("bigint").alias("n_windows"),
+        F.size(F.array_distinct("t")).cast("bigint").alias("n_types"),
+        F.size("t").cast("bigint").alias("n_tokens"),
+    )
+    return win.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_windows").cast("bigint").alias("n_windows"),
+        dround(
+            F.sum("d_sum").cast("double")
+            / (F.lit(w) * F.sum("n_windows")),
+            6,
+        ).alias("pooled_mattr"),
+        dround(
+            F.sum("n_types").cast("double") / F.sum("n_tokens"), 6
+        ).alias("pooled_ttr"),
+    )
+
+
+# --------------------------------- PPS systematic sampling (suppliers)
+_PPS_N = 20
+
+
+@register(
+    "sample_pps_systematic_suppliers",
+    oracle=f"""
+    WITH sizes AS (
+        SELECT l_suppkey AS s_suppkey,
+               CAST(SUM(CAST(ROUND(CAST(l_extendedprice * (1 - l_discount)
+                    * 100 AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT)
+                   AS revenue_cents
+        FROM lineitem GROUP BY l_suppkey
+    ),
+    cum AS (
+        SELECT s_suppkey, revenue_cents,
+               CAST(SUM(revenue_cents) OVER (
+                   ORDER BY s_suppkey
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS c_hi
+        FROM sizes WHERE revenue_cents > 0
+    ),
+    tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS t
+            FROM sizes WHERE revenue_cents > 0),
+    hits AS (
+        SELECT c.s_suppkey, c.revenue_cents, c.c_hi, tot.t,
+               LEAST({_PPS_N}, CASE WHEN 2 * {_PPS_N} * c.c_hi >= tot.t
+                   THEN (2 * {_PPS_N} * c.c_hi - tot.t) // (2 * tot.t) + 1
+                   ELSE 0 END)
+             - LEAST({_PPS_N}, CASE
+                   WHEN 2 * {_PPS_N} * (c.c_hi - c.revenue_cents) >= tot.t
+                   THEN (2 * {_PPS_N} * (c.c_hi - c.revenue_cents) - tot.t)
+                        // (2 * tot.t) + 1
+                   ELSE 0 END) AS n_hits
+        FROM cum c CROSS JOIN tot
+    )
+    SELECT s_suppkey, revenue_cents, CAST(n_hits AS BIGINT) AS n_hits,
+           {dround_sql(
+               f"{_PPS_N} * CAST(revenue_cents AS DOUBLE) / t", 8)}
+               AS expected_hits
+    FROM hits WHERE n_hits >= 1
+    """,
+    description=f"Probability-proportional-to-size SYSTEMATIC sample of "
+    f"{_PPS_N} supplier draws, size = lineitem revenue: selection points "
+    "sit at the deterministic midpoints T(2k+1)/2n of the cumulative-"
+    "size axis, a supplier is drawn once per point inside its interval "
+    "(large units can be drawn multiple times - n_hits is the "
+    "multiplicity, E[n_hits] = n*size/T). The entire selection rule is "
+    "INTEGER arithmetic on exact revenue cents - the point-in-interval "
+    "count telescopes to g(C_i) - g(C_(i-1)) with g(C) = "
+    "floor((2nC - T)/2T) + 1 - so engines can never disagree on the "
+    "drawn set. Per-lineitem cents are fixed scalar expressions, the "
+    "supplier rollup is one map-side-combinable groupBy; the prefix sum "
+    "runs over the supplier DIM (declared in the plan lint - at 1e8+ "
+    "suppliers it becomes the standard two-pass partition-offset "
+    "prefix sum).",
+)
+def sample_pps_systematic_suppliers(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    cents = (
+        F.round(
+            (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
+            .cast("decimal(38,8)"),
+            0,
+        ).cast("bigint")
+    )
+    sizes = (
+        li.select("l_suppkey", cents.alias("cents"))
+        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+        .filter(F.col("revenue_cents") > 0)
+    )
+    wcum = Window.orderBy("s_suppkey").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = sizes.select(
+        "s_suppkey",
+        "revenue_cents",
+        F.sum("revenue_cents").over(wcum).cast("bigint").alias("c_hi"),
+    )
+    tot = sizes.agg(F.sum("revenue_cents").cast("bigint").alias("t"))
+    n = _PPS_N
+
+    def g(c: str) -> F.Column:
+        lo = F.lit(2) * n * F.col(c) >= F.col("t")
+        val = F.expr(
+            f"(2 * {n} * {c} - t) DIV (2 * t)"
+        ) + 1
+        return F.least(F.lit(n).cast("bigint"), F.when(lo, val).otherwise(0))
+
+    hits = (
+        cum.crossJoin(F.broadcast(tot))
+        .withColumn("c_lo", F.col("c_hi") - F.col("revenue_cents"))
+        .withColumn("n_hits", (g("c_hi") - g("c_lo")).cast("bigint"))
+    )
+    return hits.filter(F.col("n_hits") >= 1).select(
+        "s_suppkey",
+        "revenue_cents",
+        "n_hits",
+        dround(
+            F.lit(n) * F.col("revenue_cents").cast("double") / F.col("t"), 8
+        ).alias("expected_hits"),
+    )

@@ -1834,3 +1834,34 @@ def test_good_turing_mass_identities(spark, sf_dir):
     for r in rows:
         if r.r_star is not None:
             assert r.r_star > 0
+
+
+def test_mattr_bounds_and_window_math(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_mattr_lexical_diversity,
+    )
+
+    rows = text_mattr_lexical_diversity(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        # a 50-token window of a ~40-word vocab cannot be all-distinct
+        assert 0.0 < r.pooled_mattr <= 1.0
+        assert 0.0 < r.pooled_ttr <= 1.0
+        # fixed-window MATTR always reads above the length-penalized TTR
+        # on long repetitive docs
+        assert r.pooled_mattr >= r.pooled_ttr
+        assert r.n_windows >= r.n_docs
+
+
+def test_pps_systematic_draw_count_and_weights(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sample_pps_systematic_suppliers,
+    )
+
+    rows = sample_pps_systematic_suppliers(spark, sf_dir).collect()
+    assert sum(r.n_hits for r in rows) == 20, "exactly n draws land"
+    for r in rows:
+        assert r.n_hits >= 1
+        # multiplicity can't exceed the expected count by more than 1
+        # (systematic PPS property: |hits - E[hits]| < 1)
+        assert abs(r.n_hits - r.expected_hits) < 1.0

@@ -51,6 +51,10 @@ GLOBAL_WINDOW_OK = {
     "sample_unimax_language_budget":
         "water-filling rank/prefix windows over the language-grain "
         "aggregate (tens of rows at any corpus size)",
+    "sample_pps_systematic_suppliers":
+        "cumulative-size prefix sum over the supplier DIM aggregate; at "
+        "1e8+ suppliers becomes the two-pass partition-offset prefix sum "
+        "(noted on the query)",
     "orders_pareto_top_customers": "cum-share window over customer-grain aggregate",
     "window_customer_value_deciles": "NTILE over customer-grain aggregate",
     "window_moving_avg_daily_revenue": "series is day-grain post-agg",
