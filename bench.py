@@ -271,6 +271,8 @@ HEADLINE = [
     "privacy_dp_laplace_histogram",
     "text_mattr_lexical_diversity",
     "sample_pps_systematic_suppliers",
+    "graph_label_propagation_communities",
+    "stats_brown_forsythe_variance",
 ]
 
 

@@ -4294,3 +4294,4 @@ def graph_modularity_supplier_nations(
             dround(F.col("num_tot").cast("double") / denom, 6).alias("q_total"),
         )
     )
+

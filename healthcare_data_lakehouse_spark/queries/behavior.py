@@ -3002,3 +3002,139 @@ def stats_permutation_test_purchase_click(
             (F.lit(1.0) + F.col("n_exceed")) / (_PERM_B + 1), 6
         ).alias("p_value"),
     )
+
+
+# -------------------------------------- Brown-Forsythe variance test
+@register(
+    "stats_brown_forsythe_variance",
+    oracle=f"""
+    WITH obs AS (
+        SELECT event_type,
+               CAST(ROUND(CAST(value * 100 AS DECIMAL(38,8)), 0) AS BIGINT)
+                   AS cents
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    med AS (
+        SELECT event_type,
+               CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med_cents
+        FROM obs GROUP BY event_type
+    ),
+    dev AS (
+        SELECT o.event_type, ABS(o.cents - m.med_cents) AS z
+        FROM obs o JOIN med m ON m.event_type = o.event_type
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(z) AS BIGINT) AS s,
+               CAST(SUM(z * z) AS BIGINT) AS q
+        FROM dev GROUP BY event_type
+    ),
+    wide AS (
+        SELECT
+          MAX(CASE WHEN event_type = 'purchase' THEN n END) AS n_p,
+          MAX(CASE WHEN event_type = 'purchase' THEN s END) AS s_p,
+          MAX(CASE WHEN event_type = 'purchase' THEN q END) AS q_p,
+          MAX(CASE WHEN event_type = 'purchase' THEN med_cents END) AS med_p,
+          MAX(CASE WHEN event_type = 'click' THEN n END) AS n_c,
+          MAX(CASE WHEN event_type = 'click' THEN s END) AS s_c,
+          MAX(CASE WHEN event_type = 'click' THEN q END) AS q_c,
+          MAX(CASE WHEN event_type = 'click' THEN med_cents END) AS med_c
+        FROM g JOIN med USING (event_type)
+    )
+    SELECT n_p AS n_purchase, n_c AS n_click,
+           {dround_sql("med_p / 100.0", 2)} AS median_purchase,
+           {dround_sql("med_c / 100.0", 2)} AS median_click,
+           {dround_sql("CAST(s_p AS DOUBLE) / n_p / 100.0", 6)}
+               AS mad_purchase,
+           {dround_sql("CAST(s_c AS DOUBLE) / n_c / 100.0", 6)}
+               AS mad_click,
+           {dround_sql(
+               "(n_p + n_c - 2) * "
+               "(CAST(s_p AS DOUBLE) * s_p / n_p"
+               " + CAST(s_c AS DOUBLE) * s_c / n_c"
+               " - CAST(s_p + s_c AS DOUBLE) * (s_p + s_c) / (n_p + n_c))"
+               " / (CAST(q_p AS DOUBLE) + q_c"
+               " - CAST(s_p AS DOUBLE) * s_p / n_p"
+               " - CAST(s_c AS DOUBLE) * s_c / n_c)", 6)} AS f_stat
+    FROM wide
+    """,
+    description="Brown-Forsythe (median-centered Levene) test for "
+    "equality of spread between purchase and click values: deviations "
+    "z = |x - group median| feed a one-way ANOVA F. Values quantize to "
+    "exact integer cents, group medians are exact discrete medians, so "
+    "every z is an INTEGER — n/sum(z)/sum(z^2) are order-free BIGINT "
+    "aggregates and the F statistic is ONE fixed scalar expression "
+    "over them (engines cannot diverge). The median is the only "
+    "rank-based step: per-group sort at test scale; at 100 TB it "
+    "swaps in the two-pass histogram order-statistic "
+    "(stats_twopass_exact_median) with the same downstream integers. "
+    "Companion to stats_welch_ttest (means) and "
+    "stats_permutation_test (distribution-free means): this one "
+    "answers the VARIANCE question robustly under non-normality.",
+)
+def stats_brown_forsythe_variance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    obs = ev.filter(F.col("event_type").isin("purchase", "click")).select(
+        "event_type",
+        F.round((F.col("value") * 100).cast("decimal(38,8)"), 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    wmed = Window.partitionBy("event_type").orderBy("cents")
+    wall = Window.partitionBy("event_type")
+    med = (
+        obs.withColumn("rn", F.row_number().over(wmed))
+        .withColumn("n", F.count(F.lit(1)).over(wall))
+        .filter(F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        .select("event_type", F.col("cents").alias("med_cents"))
+    )
+    dev = obs.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("cents") - F.col("med_cents")).alias("z")
+    )
+    g = dev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("z").cast("bigint").alias("s"),
+        F.sum(F.col("z") * F.col("z")).cast("bigint").alias("q"),
+    ).join(F.broadcast(med), "event_type")
+
+    def pick(col: str, et: str) -> F.Column:
+        return F.max(F.when(F.col("event_type") == et, F.col(col)))
+
+    wide = g.agg(
+        pick("n", "purchase").alias("n_p"),
+        pick("s", "purchase").alias("s_p"),
+        pick("q", "purchase").alias("q_p"),
+        pick("med_cents", "purchase").alias("med_p"),
+        pick("n", "click").alias("n_c"),
+        pick("s", "click").alias("s_c"),
+        pick("q", "click").alias("q_c"),
+        pick("med_cents", "click").alias("med_c"),
+    )
+    sp, sc = F.col("s_p").cast("double"), F.col("s_c").cast("double")
+    num = (
+        sp * F.col("s_p") / F.col("n_p")
+        + sc * F.col("s_c") / F.col("n_c")
+        - (F.col("s_p") + F.col("s_c")).cast("double")
+        * (F.col("s_p") + F.col("s_c"))
+        / (F.col("n_p") + F.col("n_c"))
+    )
+    den = (
+        F.col("q_p").cast("double")
+        + F.col("q_c")
+        - sp * F.col("s_p") / F.col("n_p")
+        - sc * F.col("s_c") / F.col("n_c")
+    )
+    return wide.select(
+        F.col("n_p").alias("n_purchase"),
+        F.col("n_c").alias("n_click"),
+        dround(F.col("med_p") / 100.0, 2).alias("median_purchase"),
+        dround(F.col("med_c") / 100.0, 2).alias("median_click"),
+        dround(sp / F.col("n_p") / 100.0, 6).alias("mad_purchase"),
+        dround(sc / F.col("n_c") / 100.0, 6).alias("mad_click"),
+        dround(
+            (F.col("n_p") + F.col("n_c") - 2) * num / den, 6
+        ).alias("f_stat"),
+    )

@@ -8492,3 +8492,98 @@ def sample_pps_systematic_suppliers(
             F.lit(n) * F.col("revenue_cents").cast("double") / F.col("t"), 8
         ).alias("expected_hits"),
     )
+
+
+# ------------------------------------- label propagation communities
+_LPA_ROUNDS = 3
+
+
+def _lpa_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    head = f"""
+    WITH {ctes},
+    pairs AS ({final}),
+    adj AS MATERIALIZED (
+        SELECT id_a AS x, id_b AS y FROM pairs
+        UNION ALL
+        SELECT id_b AS x, id_a AS y FROM pairs
+    ),
+    l0 AS MATERIALIZED (
+        SELECT DISTINCT x AS node, x AS label FROM adj
+    )"""
+    steps = []
+    for r in range(_LPA_ROUNDS):
+        steps.append(f"""    v{r + 1} AS MATERIALIZED (
+        SELECT a.x AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
+        FROM adj a JOIN l{r} l ON l.node = a.y
+        GROUP BY a.x, l.label
+    ),
+    l{r + 1} AS MATERIALIZED (
+        SELECT node, label FROM (
+            SELECT node, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY node ORDER BY c DESC, label
+                   ) AS rn
+            FROM v{r + 1}
+        ) WHERE rn = 1
+    )""")
+    return (
+        head + ",\n" + ",\n".join(steps) + f"""
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM l{_LPA_ROUNDS}
+    GROUP BY label
+    """
+    )
+
+
+@register(
+    "graph_label_propagation_communities",
+    oracle=_lpa_oracle(),
+    description=f"Synchronous label propagation ({_LPA_ROUNDS} unrolled "
+    "rounds) over the MinHash-LSH near-dup graph: every node adopts the "
+    "most frequent label among its neighbors each round, ties broken by "
+    "smallest label — asynchronous LPA's update-order dependence is "
+    "exactly what a distributed engine cannot reproduce, so the "
+    "synchronous sweep with a total tie-break is the only shippable "
+    "variant. Unlike min-label propagation (= connected components), "
+    "frequency voting can split bridged near-dup blobs into dense "
+    "cores. Each round is one neighbor-join + one (node,label) count + "
+    "one per-node argmax window — key-partitioned shuffles mirroring "
+    "the oracle's MATERIALIZED CTE chain; the Pregel-style state is one "
+    "(node,label) table per round, checkpointed to cut lineage.",
+)
+def graph_label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    pairs = D.lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir, 20), threshold=0.5
+    )
+    adj = (
+        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
+        .unionAll(
+            pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
+        )
+        .localCheckpoint()
+    )
+    labels = (
+        adj.select(F.col("x").alias("node"))
+        .distinct()
+        .select("node", F.col("node").alias("label"))
+    )
+    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
+    for _ in range(_LPA_ROUNDS):
+        votes = (
+            adj.join(labels.withColumnRenamed("node", "y"), "y")
+            .groupBy(F.col("x").alias("node"), "label")
+            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        )
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+            .localCheckpoint()
+        )
+    return labels.groupBy(F.col("label").alias("community")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
+    )

@@ -682,3 +682,15 @@ def test_permutation_test_identities(spark, sf_dir):
     assert 0 <= r.n_exceed <= r.n_perms
     assert abs(r.p_value - (1 + r.n_exceed) / (r.n_perms + 1)) < 1e-5
     assert abs(r.stat_obs - abs(r.mean_purchase - r.mean_click)) < 1e-4
+
+
+def test_brown_forsythe_statistic_identities(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_brown_forsythe_variance,
+    )
+
+    r = stats_brown_forsythe_variance(spark, sf_dir).collect()[0]
+    assert r.n_purchase > 0 and r.n_click > 0
+    assert r.median_purchase > 0 and r.median_click > 0
+    assert r.mad_purchase > 0 and r.mad_click > 0
+    assert r.f_stat >= 0

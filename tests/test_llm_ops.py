@@ -1865,3 +1865,28 @@ def test_pps_systematic_draw_count_and_weights(spark, sf_dir):
         # multiplicity can't exceed the expected count by more than 1
         # (systematic PPS property: |hits - E[hits]| < 1)
         assert abs(r.n_hits - r.expected_hits) < 1.0
+
+
+def test_lpa_communities_partition_the_neardup_nodes(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        graph_label_propagation_communities,
+        _docs_with_dups,
+    )
+    from healthcare_data_lakehouse_spark.functions import dedup as D
+
+    rows = graph_label_propagation_communities(spark, sf_dir).collect()
+    assert rows and all(r.n_nodes >= 1 for r in rows)
+    pairs = D.lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir, 20), threshold=0.5
+    )
+    import pyspark.sql.functions as F
+
+    n_nodes = (
+        pairs.select(F.col("id_a").alias("n"))
+        .unionAll(pairs.select("id_b"))
+        .distinct()
+        .count()
+    )
+    # labels form a partition: every node lands in exactly one community
+    assert sum(r.n_nodes for r in rows) == n_nodes
+    assert len(rows) > 1, "the injected dup clusters are not one blob"

@@ -25,6 +25,10 @@ def test_catalog_passes_plan_lint(spark, sf_dir):
 # the fact-table row count at tiny SF — their bounds pin today's volume so
 # growth is still caught.
 GRAIN_BOUNDS = {
+    # water-filling runs over the language-grain aggregate
+    "sample_unimax_language_budget": 16,
+    # cumulative-size prefix sum over the supplier dim (sf0.001: 100)
+    "sample_pps_systematic_suppliers": 600,
     "events_changepoint_cusum": 100,
     "events_concurrent_sessions_sweepline": 64,
     "events_cumulative_unique_users": 16,
