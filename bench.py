@@ -273,6 +273,7 @@ HEADLINE = [
     "sample_pps_systematic_suppliers",
     "graph_label_propagation_communities",
     "stats_brown_forsythe_variance",
+    "pipeline_shard_assignment_rendezvous",
 ]
 
 

@@ -8587,3 +8587,141 @@ def graph_label_propagation_communities(
     return labels.groupBy(F.col("label").alias("community")).agg(
         F.count(F.lit(1)).cast("bigint").alias("n_nodes")
     )
+
+
+# --------------------------------- rendezvous (HRW) shard assignment
+_HRW_SHARDS = [f"s{i}" for i in range(9)]  # 8 before, s8 added after
+
+
+def _hrw_oracle() -> str:
+    def h(s: str) -> str:
+        return (
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)"
+            f" || '@' || '{s}'), 1, 12)) AS BIGINT)"
+        )
+
+    l9 = "[" + ", ".join(h(s) for s in _HRW_SHARDS) + "]"
+    l8 = "[" + ", ".join(h(s) for s in _HRW_SHARDS[:8]) + "]"
+    return f"""
+    WITH assign AS (
+        SELECT doc_id,
+               list_position({l8}, list_max({l8})) AS a8,
+               list_position({l9}, list_max({l9})) AS a9
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(CASE WHEN a8 <> a9 THEN 1 ELSE 0 END) AS BIGINT)
+                   AS moved_total
+        FROM assign
+    ),
+    shards AS (
+        SELECT UNNEST(range(1, 10)) AS sid
+    )
+    SELECT 's' || CAST(s.sid - 1 AS VARCHAR) AS shard,
+           CAST(COALESCE(SUM(CASE WHEN a.a8 = s.sid THEN 1 END), 0)
+                AS BIGINT) AS n_before,
+           CAST(COALESCE(SUM(CASE WHEN a.a9 = s.sid THEN 1 END), 0)
+                AS BIGINT) AS n_after,
+           CAST(COALESCE(SUM(CASE WHEN a.a8 = s.sid AND a.a9 = s.sid
+                THEN 1 END), 0) AS BIGINT) AS stayed,
+           t.moved_total,
+           {dround_sql("CAST(t.moved_total AS DOUBLE) / t.n_docs", 6)}
+               AS moved_frac
+    FROM shards s
+    LEFT JOIN assign a ON a.a8 = s.sid OR a.a9 = s.sid
+    CROSS JOIN tot t
+    GROUP BY s.sid, t.moved_total, t.n_docs
+    """
+
+
+@register(
+    "pipeline_shard_assignment_rendezvous",
+    oracle=_hrw_oracle(),
+    description="Rendezvous (highest-random-weight) shard assignment "
+    "audit: every document hashes once per shard (portable md5, "
+    "doc@shard salting) and lands on the arg-max shard; the query "
+    "compares the 8-shard assignment with the 9-shard assignment after "
+    "adding s8. HRW's minimal-disruption guarantee is checked "
+    "structurally: a document moves IFF its new-shard hash wins, so "
+    "stayed == n_after on every pre-existing shard and moved_frac "
+    "concentrates at ~1/9 — this is the consistent-hashing property "
+    "that lets a 100 TB corpus re-shard without a full shuffle (only "
+    "the moving 1/n of rows rewrites). All per-doc work is row-local "
+    "scalar hashing (no join, no shuffle before the 9-row rollup); the "
+    "argmax is a fixed-order list_position(max) with lowest-index "
+    "tie-break, bit-identical across engines.",
+)
+def pipeline_shard_assignment_rendezvous(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+
+    def h(s: str) -> F.Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("doc_id").cast("string"), F.lit("@" + s)
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+
+    arr9 = F.array(*[h(s) for s in _HRW_SHARDS])
+    arr8 = F.array(*[h(s) for s in _HRW_SHARDS[:8]])
+    assign = docs.select(
+        F.array_position(arr8, F.array_max(arr8)).alias("a8"),
+        F.array_position(arr9, F.array_max(arr9)).alias("a9"),
+    )
+    tot = assign.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.when(F.col("a8") != F.col("a9"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("moved_total"),
+    )
+    shards = spark.range(1, 10).select(F.col("id").alias("sid"))
+    joined = F.broadcast(shards).join(
+        assign, (F.col("a8") == F.col("sid")) | (F.col("a9") == F.col("sid")),
+        "left",
+    )
+    per = joined.groupBy("sid").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("a8") == F.col("sid"), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_before"),
+        F.coalesce(
+            F.sum(F.when(F.col("a9") == F.col("sid"), 1)), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("n_after"),
+        F.coalesce(
+            F.sum(
+                F.when(
+                    (F.col("a8") == F.col("sid"))
+                    & (F.col("a9") == F.col("sid")),
+                    1,
+                )
+            ),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("stayed"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        F.concat(F.lit("s"), (F.col("sid") - 1).cast("string")).alias(
+            "shard"
+        ),
+        "n_before",
+        "n_after",
+        "stayed",
+        "moved_total",
+        dround(
+            F.col("moved_total").cast("double") / F.col("n_docs"), 6
+        ).alias("moved_frac"),
+    )

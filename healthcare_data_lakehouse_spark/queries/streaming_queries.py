@@ -480,3 +480,53 @@ def streaming_quality_admission_gate(
     return store.read(DataZone.BRONZE, "patients_stream").select(
         "id", "patient_id"
     )
+
+
+@register(
+    "streaming_sliding_topk_event_types",
+    oracle="""
+    WITH slides AS (
+        SELECT time_bucket(INTERVAL '15 minutes', ts)
+                   - (j * INTERVAL '15 minutes') AS window_start,
+               event_type
+        FROM events, UNNEST(range(0, 4)) AS u(j)
+    ),
+    counts AS (
+        SELECT window_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM slides GROUP BY window_start, event_type
+    )
+    SELECT window_start, event_type, n_events, rank FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY window_start
+            ORDER BY n_events DESC, event_type
+        ) AS BIGINT) AS rank
+        FROM counts
+    ) WHERE rank <= 3
+    """,
+    description="Structured Streaming SLIDING windows (1h window, 15min "
+    "slide): each event fans out to its 4 covering windows inside the "
+    "watermarked streaming aggregation; the drained bounded stream is "
+    "then ranked top-3 event types per window as a batch post-pass "
+    "(ranking is not a streaming-supported aggregate — the two-phase "
+    "shape is how production ranks streaming counts). The oracle "
+    "reproduces the epoch-aligned slide fan-out relationally: "
+    "time_bucket minus j*slide for j in 0..3.",
+)
+def streaming_sliding_topk_event_types(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        sliding_topk_event_types,
+    )
+    from healthcare_data_lakehouse_spark.tables import (
+        normalize_event_ts as prepare,
+    )
+
+    return sliding_topk_event_types(
+        spark,
+        f"{sf_dir}/events.parquet",
+        scratch_dir("slidetopk_"),
+        prepare=prepare,
+        query_name=f"slide_topk_{uuid.uuid4().hex[:8]}",
+    )

@@ -890,3 +890,64 @@ def stream_quality_admission(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def sliding_topk_event_types(
+    spark: SparkSession,
+    source_parquet: str,
+    work_dir: str,
+    window: str = "1 hour",
+    slide: str = "15 minutes",
+    k: int = 3,
+    prepare=None,
+    query_name: str = "sliding_topk_result",
+) -> DataFrame:
+    """SLIDING-window event-type counts as a stream, then top-k per window.
+
+    The stream computes the heavy part — each event fans out to the
+    window/slide covering windows (4 here) inside the streaming agg, with
+    the watermark bounding state. Ranking is not a streaming-supported
+    aggregate, so the drained (bounded, AvailableNow) result is ranked as
+    a batch post-pass — exactly the two-phase shape a production job uses
+    (stream maintains counts; a cheap downstream consumer ranks).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_parquet).schema
+    stream = spark.readStream.schema(schema).parquet(
+        _stream_source_dir(source_parquet, work_dir)
+    )
+    if prepare is not None:
+        stream = prepare(stream)
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(
+            F.window(F.col("ts"), window, slide).alias("w"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(query_name)
+    from pyspark.sql.window import Window as W
+
+    rank_w = W.partitionBy("w").orderBy(
+        F.col("n_events").desc(), F.col("event_type")
+    )
+    return (
+        res.withColumn("rank", F.row_number().over(rank_w).cast("bigint"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            F.col("n_events").cast("bigint").alias("n_events"),
+            "rank",
+        )
+    )

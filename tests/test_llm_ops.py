@@ -1890,3 +1890,27 @@ def test_lpa_communities_partition_the_neardup_nodes(spark, sf_dir):
     # labels form a partition: every node lands in exactly one community
     assert sum(r.n_nodes for r in rows) == n_nodes
     assert len(rows) > 1, "the injected dup clusters are not one blob"
+
+
+def test_rendezvous_minimal_disruption_invariants(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_shard_assignment_rendezvous,
+    )
+
+    rows = {
+        r.shard: r
+        for r in pipeline_shard_assignment_rendezvous(spark, sf_dir).collect()
+    }
+    assert set(rows) == {f"s{i}" for i in range(9)}
+    n_docs = sum(r.n_before for r in rows.values())
+    assert sum(r.n_after for r in rows.values()) == n_docs
+    # HRW minimal disruption: pre-existing shards only ever LOSE docs
+    for i in range(8):
+        r = rows[f"s{i}"]
+        assert r.stayed == r.n_after <= r.n_before
+    # ... and every moved doc lands on the new shard
+    s8 = rows["s8"]
+    assert s8.n_before == 0 and s8.stayed == 0
+    assert s8.n_after == s8.moved_total
+    # expected churn ~1/9
+    assert 0.02 < s8.moved_total / n_docs < 0.25

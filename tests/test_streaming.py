@@ -526,3 +526,21 @@ def test_quality_admission_audit_reconciles(spark, sf_dir):
         r.n_admitted for r in audit
     )
     assert sum(r.n_in for r in audit) == frame.count()
+
+
+def test_sliding_topk_window_contract(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.streaming_queries import (
+        streaming_sliding_topk_event_types,
+    )
+
+    rows = streaming_sliding_topk_event_types(spark, sf_dir).collect()
+    assert rows
+    by_w = {}
+    for r in rows:
+        by_w.setdefault(r.window_start, []).append(r)
+    for w, rs in by_w.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= 3
+        counts = [r.n_events for r in rs]
+        assert counts == sorted(counts, reverse=True)
