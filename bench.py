@@ -274,6 +274,8 @@ HEADLINE = [
     "graph_label_propagation_communities",
     "stats_brown_forsythe_variance",
     "pipeline_shard_assignment_rendezvous",
+    "multimodal_tile_manifest",
+    "sketch_join_cardinality_estimate",
 ]
 
 

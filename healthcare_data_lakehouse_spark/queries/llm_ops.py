@@ -8725,3 +8725,166 @@ def pipeline_shard_assignment_rendezvous(
             F.col("moved_total").cast("double") / F.col("n_docs"), 6
         ).alias("moved_frac"),
     )
+
+
+# ------------------------------------------ multimodal tile manifest
+_TILE = 128
+
+
+@register(
+    "multimodal_tile_manifest",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id AS asset_id,
+               octet_length(encode(text)) AS n,
+               octet_length(encode(text)) % 640 + 1 AS w,
+               (octet_length(encode(text)) * 7) % 480 + 1 AS h
+        FROM documents
+    ),
+    grid AS (
+        SELECT asset_id, w, h, tx.i AS tile_x, ty.i AS tile_y
+        FROM dims,
+             UNNEST(range(0, CAST(ceil(w / {_TILE}.0) AS BIGINT))) AS tx(i),
+             UNNEST(range(0, CAST(ceil(h / {_TILE}.0) AS BIGINT))) AS ty(i)
+    )
+    SELECT asset_id, CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(LEAST({_TILE}, w - tile_x * {_TILE}) AS BIGINT) AS tile_w,
+           CAST(LEAST({_TILE}, h - tile_y * {_TILE}) AS BIGINT) AS tile_h,
+           CAST(tile_y * {_TILE} * w + tile_x * {_TILE} AS BIGINT)
+               AS byte_offset,
+           CAST(LEAST({_TILE}, w - tile_x * {_TILE})
+                * LEAST({_TILE}, h - tile_y * {_TILE}) AS BIGINT)
+               AS byte_len
+    FROM grid
+    """,
+    description=f"Tiled-decode planning manifest for image assets: the "
+    "asset table rides the REAL multimodal path (binary payloads, "
+    "Arrow-batched mapInPandas fake-decode for dimensions — the "
+    "container has no image libs, so decode_stub derives deterministic "
+    f"pseudo-dims), then each asset fans out to its {_TILE}x{_TILE} "
+    "tile grid with row-major byte ranges — the unit of work a "
+    "GPU/CPU decode stage schedules, sized so one tile fits cache and "
+    "one task never holds a whole 100k-px image. The DuckDB oracle "
+    "recomputes the stub's dimension arithmetic relationally "
+    "(octet_length of the payload), so this query cross-checks the "
+    "Python mapInPandas plumbing against SQL end-to-end. Grid "
+    "explode is row-local (sequence + explode, no shuffle); manifest "
+    "grain is tiles, partitioned by asset hash.",
+)
+def multimodal_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = extract_binary_features(as_binary_assets(docs), fake_decode=True)
+    t = _TILE
+    dims = feats.select(
+        "asset_id",
+        F.col("fake_width").cast("bigint").alias("w"),
+        F.col("fake_height").cast("bigint").alias("h"),
+    )
+    grid = dims.select(
+        "asset_id",
+        "w",
+        "h",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("w") / t).cast("bigint") - 1)
+        ).alias("tile_x"),
+    ).select(
+        "asset_id",
+        "w",
+        "h",
+        "tile_x",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("h") / t).cast("bigint") - 1)
+        ).alias("tile_y"),
+    )
+    tile_w = F.least(F.lit(t), F.col("w") - F.col("tile_x") * t)
+    tile_h = F.least(F.lit(t), F.col("h") - F.col("tile_y") * t)
+    return grid.select(
+        "asset_id",
+        F.col("tile_x").cast("bigint").alias("tile_x"),
+        F.col("tile_y").cast("bigint").alias("tile_y"),
+        tile_w.cast("bigint").alias("tile_w"),
+        tile_h.cast("bigint").alias("tile_h"),
+        (F.col("tile_y") * t * F.col("w") + F.col("tile_x") * t)
+        .cast("bigint")
+        .alias("byte_offset"),
+        (tile_w * tile_h).cast("bigint").alias("byte_len"),
+    )
+
+
+# ----------------------------- sampled join-cardinality estimation
+_JCE_MOD = 16
+
+
+@register(
+    "sketch_join_cardinality_estimate",
+    oracle=f"""
+    WITH keys AS (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n * n) AS BIGINT) AS exact_join_size,
+               CAST(COUNT(*) FILTER (WHERE {_H48.format(
+                   c="CAST(k AS VARCHAR)")} % {_JCE_MOD} = 0)
+                   AS BIGINT) AS sampled_keys,
+               CAST({_JCE_MOD} * SUM(n * n) FILTER (WHERE {_H48.format(
+                   c="CAST(k AS VARCHAR)")} % {_JCE_MOD} = 0)
+                   AS BIGINT) AS estimate
+        FROM keys
+    )
+    SELECT n_keys, exact_join_size, sampled_keys, estimate,
+           {dround_sql(
+               "ABS(CAST(estimate AS DOUBLE) - exact_join_size)"
+               " / exact_join_size", 6)} AS rel_err
+    FROM agg
+    """,
+    description="Sampled join-cardinality estimation — the optimizer "
+    "statistic behind join reordering: the lineitem self-join size on "
+    "l_partkey is sum_k n(k)^2; a 1/16 DISTINCT-KEY sample (portable "
+    "md5 coin on the key, so every engine samples the same keys) "
+    "estimates it as 16 * sum over sampled keys, laid beside the exact "
+    "answer with relative error. Key-level sampling is the correct "
+    "design for join estimation (row-level Bernoulli biases n(k)^2 "
+    "terms down); at 100 TB both the exact and sampled sums are one "
+    "map-side-combinable groupBy(key) + one scalar aggregate — the "
+    "exact pass here is the audit, production keeps only the sampled "
+    "pass. Everything is BIGINT until the published rel_err.",
+)
+def sketch_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+        % _JCE_MOD
+        == 0
+    )
+    nn = F.col("n") * F.col("n")
+    agg = keys.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(nn).cast("bigint").alias("exact_join_size"),
+        F.count(F.when(coin, 1)).cast("bigint").alias("sampled_keys"),
+        (F.lit(_JCE_MOD) * F.sum(F.when(coin, nn)))
+        .cast("bigint")
+        .alias("estimate"),
+    )
+    return agg.select(
+        "n_keys",
+        "exact_join_size",
+        "sampled_keys",
+        "estimate",
+        dround(
+            F.abs(
+                F.col("estimate").cast("double") - F.col("exact_join_size")
+            )
+            / F.col("exact_join_size"),
+            6,
+        ).alias("rel_err"),
+    )

@@ -1914,3 +1914,39 @@ def test_rendezvous_minimal_disruption_invariants(spark, sf_dir):
     assert s8.n_after == s8.moved_total
     # expected churn ~1/9
     assert 0.02 < s8.moved_total / n_docs < 0.25
+
+
+def test_tile_manifest_covers_every_pixel_once(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        multimodal_tile_manifest,
+    )
+    import pyspark.sql.functions as F
+
+    df = multimodal_tile_manifest(spark, sf_dir)
+    per_asset = (
+        df.groupBy("asset_id")
+        .agg(
+            F.sum("byte_len").alias("covered"),
+            F.max(F.col("tile_x") * 128 + F.col("tile_w")).alias("w"),
+            F.max(F.col("tile_y") * 128 + F.col("tile_h")).alias("h"),
+        )
+        .collect()
+    )
+    assert per_asset
+    for r in per_asset:
+        # disjoint tiles covering the full w*h plane exactly once
+        assert r.covered == r.w * r.h
+        assert 1 <= r.w <= 640 and 1 <= r.h <= 480
+
+
+def test_join_cardinality_sample_is_unbiased_scale(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sketch_join_cardinality_estimate,
+    )
+
+    r = sketch_join_cardinality_estimate(spark, sf_dir).collect()[0]
+    assert r.exact_join_size >= r.n_keys  # sum n^2 >= sum 1
+    assert 0 < r.sampled_keys < r.n_keys
+    assert r.estimate % 16 == 0
+    # 1/16 key sample over ~uniform fan-outs stays within 50% rel err
+    assert r.rel_err < 0.5

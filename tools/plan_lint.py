@@ -38,6 +38,7 @@ SKIP_PREFIXES = ("streaming_", "etl_", "load_", "quality_validate",
 PYTHON_OK = {
     "multimodal_binary_features",
     "multimodal_frame_sample",
+    "multimodal_tile_manifest",
     # grouped scientific compute: numpy eigensolver per label group is
     # the designed Arrow-batched Python surface (see the query docstring)
     "embedding_label_pca",
