@@ -2913,7 +2913,7 @@ def stats_permutation_test_purchase_click(
         F.round((F.col("value") * 100).cast("decimal(38,8)"), 0)
         .cast("bigint")
         .alias("cents"),
-    )
+    ).persist()  # feeds the observed stats AND the 64-fold relabeling
     base = obs.agg(
         F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")))
         .cast("bigint")
@@ -3082,7 +3082,7 @@ def stats_brown_forsythe_variance(
         F.round((F.col("value") * 100).cast("decimal(38,8)"), 0)
         .cast("bigint")
         .alias("cents"),
-    )
+    ).persist()  # feeds the median pass AND the deviation pass
     wmed = Window.partitionBy("event_type").orderBy("cents")
     wall = Window.partitionBy("event_type")
     med = (

@@ -8011,6 +8011,9 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("tf"),
             F.max("dl").cast("bigint").alias("dl"),
         )
+        .persist()  # feeds both the postings join and dfreq: one
+        # tokenize+explode scan instead of two (Catalyst doesn't share
+        # subplans across the df-count and score branches)
     )
     dfreq = tf.groupBy("term").agg(
         F.count(F.lit(1)).cast("bigint").alias("df")
