@@ -7294,28 +7294,41 @@ def dedup_candidate_selectivity_compare(
     per_doc = D._signature_table(sh)
     sizes = per_doc.select("sid", "sz")
 
-    def verified_count(cand: DataFrame) -> DataFrame:
-        a, b = sh.alias("a"), sh.alias("b")
-        inter = (
-            cand.join(a, cand.id_a == F.col("a.sid"))
-            .join(
-                b,
-                (cand.id_b == F.col("b.sid"))
-                & (F.col("a.shingle") == F.col("b.shingle")),
-            )
-            .groupBy("id_a", "id_b")
-            .agg(F.count(F.lit(1)).alias("n_inter"))
+    # Ground truth ONCE via the shingle inverted index (pairs sharing >=1
+    # shingle -> exact Jaccard filter), then each generator's candidates
+    # are verified by a broadcast semi-join against this small truth set.
+    # The previous shape verified per candidate set by exploding
+    # candidates x shingles — quadratic in bucket skew: the 8-bit simhash
+    # bands emit ~7M candidates on this near-uniform corpus (that IS the
+    # query's finding) and the explode cost 60s at sf0.1. Any J>=0.5 pair
+    # shares a shingle, so |cand ∩ truth| is exactly the old n_verified.
+    a, b = sh.alias("a"), sh.alias("b")
+    sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
+    truth = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.sid") < F.col("b.sid")),
         )
-        sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
-        sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
+        .groupBy(
+            F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .filter(
+            F.col("n_inter").cast("double")
+            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+            >= 0.5
+        )
+        .select("id_a", "id_b")
+        .persist()
+    )
+
+    def verified_count(cand: DataFrame) -> DataFrame:
         return (
-            inter.join(sa, "id_a")
-            .join(sb, "id_b")
-            .filter(
-                F.col("n_inter").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-                >= 0.5
-            )
+            cand.join(F.broadcast(truth), ["id_a", "id_b"], "left_semi")
             .agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
         )
 
