@@ -276,6 +276,9 @@ HEADLINE = [
     "pipeline_shard_assignment_rendezvous",
     "multimodal_tile_manifest",
     "sketch_join_cardinality_estimate",
+    "text_js_divergence_lang_pairs",
+    "privacy_t_closeness_audit",
+    "graph_adamic_adar_link_prediction",
 ]
 
 

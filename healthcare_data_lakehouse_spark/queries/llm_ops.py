@@ -8904,3 +8904,266 @@ def sketch_join_cardinality_estimate(
             6,
         ).alias("rel_err"),
     )
+
+
+# --------------------------------- Jensen-Shannon divergence, lang pairs
+@register(
+    "text_js_divergence_lang_pairs",
+    oracle=f"""
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    c AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n FROM tok
+        WHERE w <> '' GROUP BY lang, w
+    ),
+    t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY lang),
+    lp AS (
+        SELECT a.lang AS lang_a, b.lang AS lang_b
+        FROM t a JOIN t b ON a.lang < b.lang
+    ),
+    terms AS (
+        SELECT p.lang_a, p.lang_b, c.w,
+               CAST(SUM(CASE WHEN c.lang = p.lang_a THEN c.n END)
+                    AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN c.lang = p.lang_b THEN c.n END)
+                    AS BIGINT) AS n_b
+        FROM lp p JOIN c ON c.lang IN (p.lang_a, p.lang_b)
+        GROUP BY p.lang_a, p.lang_b, c.w
+    ),
+    contrib AS (
+        SELECT lang_a, lang_b,
+               CAST(ROUND(CAST((
+                 CASE WHEN COALESCE(n_a, 0) > 0 THEN
+                   0.5 * (CAST(n_a AS DOUBLE) / ta.tot)
+                   * ln((CAST(n_a AS DOUBLE) / ta.tot)
+                        / (0.5 * (COALESCE(CAST(n_a AS DOUBLE), 0) / ta.tot
+                           + COALESCE(CAST(n_b AS DOUBLE), 0) / tb.tot)))
+                 ELSE 0 END
+                 +
+                 CASE WHEN COALESCE(n_b, 0) > 0 THEN
+                   0.5 * (CAST(n_b AS DOUBLE) / tb.tot)
+                   * ln((CAST(n_b AS DOUBLE) / tb.tot)
+                        / (0.5 * (COALESCE(CAST(n_a AS DOUBLE), 0) / ta.tot
+                           + COALESCE(CAST(n_b AS DOUBLE), 0) / tb.tot)))
+                 ELSE 0 END
+               ) * 1000000000 AS DECIMAL(38,8)), 0) AS BIGINT) AS nano
+        FROM terms
+        JOIN t ta ON ta.lang = terms.lang_a
+        JOIN t tb ON tb.lang = terms.lang_b
+    )
+    SELECT lang_a, lang_b,
+           {dround_sql("SUM(nano) / 1000000000.0", 6)} AS jsd_nats,
+           {dround_sql("SUM(nano) / 1000000000.0 / ln(2)", 6)} AS jsd_bits
+    FROM contrib GROUP BY lang_a, lang_b
+    """,
+    description="Jensen-Shannon divergence between every pair of "
+    "language unigram distributions — the SYMMETRIC, always-finite "
+    "corpus-comparison metric (KL blows up on support mismatch; JSD's "
+    "mixture midpoint never does), the standard 'how different are "
+    "these corpus slices' number when planning a multilingual data "
+    "mix. Per-term contributions are rounded to integer NANO-units "
+    "before the per-pair sum, so the aggregate is an order-free BIGINT "
+    "sum — immune to double-accumulation order across engines and "
+    "partitionings (the vocab-grain term table is where all float work "
+    "happens, as one fixed scalar expression per row). Corpus-scale "
+    "work is ONE tokenize + one (lang, token) count; the pair fan-out "
+    "joins the dim-sized count table against a |langs|^2 literal.",
+)
+def text_js_divergence_lang_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    c = tok.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).persist()
+    t = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("tot"))
+    ta, tb = t.alias("ta"), t.alias("tb")
+    lp = ta.join(
+        tb, F.col("ta.lang") < F.col("tb.lang")
+    ).select(
+        F.col("ta.lang").alias("lang_a"),
+        F.col("tb.lang").alias("lang_b"),
+        F.col("ta.tot").alias("tot_a"),
+        F.col("tb.tot").alias("tot_b"),
+    )
+    terms = (
+        F.broadcast(lp)
+        .join(
+            c,
+            (c["lang"] == F.col("lang_a")) | (c["lang"] == F.col("lang_b")),
+        )
+        .groupBy("lang_a", "lang_b", "w")
+        .agg(
+            F.sum(F.when(F.col("lang") == F.col("lang_a"), F.col("n")))
+            .cast("bigint")
+            .alias("n_a"),
+            F.sum(F.when(F.col("lang") == F.col("lang_b"), F.col("n")))
+            .cast("bigint")
+            .alias("n_b"),
+            F.max("tot_a").alias("tot_a"),
+            F.max("tot_b").alias("tot_b"),
+        )
+    )
+    pa = F.coalesce(F.col("n_a").cast("double"), F.lit(0.0)) / F.col("tot_a")
+    pb = F.coalesce(F.col("n_b").cast("double"), F.lit(0.0)) / F.col("tot_b")
+    m = 0.5 * (pa + pb)
+    part = F.when(
+        F.coalesce(F.col("n_a"), F.lit(0)) > 0,
+        0.5
+        * (F.col("n_a").cast("double") / F.col("tot_a"))
+        * F.log((F.col("n_a").cast("double") / F.col("tot_a")) / m),
+    ).otherwise(F.lit(0.0)) + F.when(
+        F.coalesce(F.col("n_b"), F.lit(0)) > 0,
+        0.5
+        * (F.col("n_b").cast("double") / F.col("tot_b"))
+        * F.log((F.col("n_b").cast("double") / F.col("tot_b")) / m),
+    ).otherwise(F.lit(0.0))
+    nano = (
+        F.round((part * 1000000000).cast("decimal(38,8)"), 0)
+        .cast("bigint")
+        .alias("nano")
+    )
+    import math
+
+    return (
+        terms.select("lang_a", "lang_b", nano)
+        .groupBy("lang_a", "lang_b")
+        .agg(
+            dround(F.sum("nano") / 1000000000.0, 6).alias("jsd_nats"),
+            dround(
+                F.sum("nano") / 1000000000.0 / math.log(2), 6
+            ).alias("jsd_bits"),
+        )
+    )
+
+
+
+# ------------------------------------- Adamic-Adar link prediction
+_AA_PANEL_MOD = 97
+
+
+@register(
+    "graph_adamic_adar_link_prediction",
+    oracle=f"""
+    WITH edges AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS MATERIALIZED (
+        SELECT u AS x, v AS y FROM edges
+        UNION ALL
+        SELECT v AS x, u AS y FROM edges
+    ),
+    deg AS MATERIALIZED (
+        SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY x
+    ),
+    wedges AS (
+        SELECT l.x AS src, r.y AS dst, l.y AS z
+        FROM adj l JOIN adj r ON r.x = l.y AND r.y <> l.x
+        WHERE l.x % {_AA_PANEL_MOD} = 0
+    ),
+    nonedges AS (
+        SELECT w.src, w.dst, w.z FROM wedges w
+        WHERE NOT EXISTS (
+            SELECT 1 FROM adj a WHERE a.x = w.src AND a.y = w.dst
+        )
+    ),
+    scored AS (
+        SELECT src, dst,
+               CAST(COUNT(*) AS BIGINT) AS n_common,
+               CAST(SUM(CAST(ROUND(CAST(1000000 / ln(d.d)
+                    AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT) AS s_micro
+        FROM nonedges n JOIN deg d ON d.node = n.z
+        GROUP BY src, dst
+    )
+    SELECT src AS source_part, dst AS candidate_part, n_common,
+           {dround_sql("s_micro / 1000000.0", 6)} AS adamic_adar, rnk
+    FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+            PARTITION BY src ORDER BY s_micro DESC, dst
+        ) AS BIGINT) AS rnk
+        FROM scored
+    )
+    WHERE rnk <= 5
+    """,
+    description="Adamic-Adar link prediction on the part co-order graph "
+    "(parts linked when they appear in the same order — a SPARSE "
+    "market-basket graph, ~4% density, unlike the complete supplier "
+    "graphs): for a deterministic panel of source parts (partkey % 97 "
+    "= 0), every two-hop neighbor NOT already co-ordered is scored "
+    "sum_z 1/ln(deg z) over common neighbors — rare shared baskets are "
+    "stronger evidence than hub parts; these are the 'never bought "
+    "together yet, most likely next' recommendations. Wedge fan-out is "
+    "panel-bounded (|panel| x deg^2, linear in the panel — the honest "
+    "production shape for a query set, never the all-pairs wedge "
+    "blow-up); contributions round to integer MICRO-units before the "
+    "per-pair sum (order-free BIGINT aggregate; common neighbors have "
+    "deg >= 2 so ln never vanishes); top-5 per source via a "
+    "source-partitioned window.",
+)
+def graph_adamic_adar_link_prediction(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    adj = (
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionAll(edges.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .persist()
+    )
+    deg = adj.groupBy(F.col("x").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    l = adj.filter(F.col("x") % _AA_PANEL_MOD == 0).alias("l")
+    r = adj.alias("r")
+    wedges = l.join(
+        r, (F.col("r.x") == F.col("l.y")) & (F.col("r.y") != F.col("l.x"))
+    ).select(
+        F.col("l.x").alias("src"),
+        F.col("r.y").alias("dst"),
+        F.col("l.y").alias("z"),
+    )
+    nonedges = wedges.join(
+        adj.withColumnsRenamed({"x": "src", "y": "dst"}),
+        ["src", "dst"],
+        "left_anti",
+    )
+    micro = F.round(
+        (F.lit(1000000) / F.log(F.col("d"))).cast("decimal(38,8)"), 0
+    ).cast("bigint")
+    scored = (
+        nonedges.join(F.broadcast(deg).withColumnRenamed("node", "z"), "z")
+        .groupBy("src", "dst")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_common"),
+            F.sum(micro).cast("bigint").alias("s_micro"),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("s_micro").desc(), "dst")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
+        .filter(F.col("rnk") <= 5)
+        .select(
+            F.col("src").alias("source_part"),
+            F.col("dst").alias("candidate_part"),
+            "n_common",
+            dround(F.col("s_micro") / 1000000.0, 6).alias("adamic_adar"),
+            "rnk",
+        )
+    )

@@ -1306,3 +1306,105 @@ def privacy_dp_laplace_histogram(
         dround(noise, 6).alias("noise"),
         dround(F.col("true_count") + noise, 6).alias("noisy_count"),
     )
+
+
+# -------------------------------------------- t-closeness audit
+@register(
+    "privacy_t_closeness_audit",
+    oracle=f"""
+    WITH banded AS (
+        SELECT c_nationkey, c_mktsegment,
+               CASE
+                 WHEN c_acctbal < 0 THEN 0
+                 WHEN c_acctbal < 3000 THEN 1
+                 WHEN c_acctbal < 7000 THEN 2
+                 ELSE 3
+               END AS band
+        FROM customer
+    ),
+    g AS (
+        SELECT c_nationkey, c_mktsegment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) FILTER (WHERE band <= 0) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE band <= 1) AS BIGINT) AS c1,
+               CAST(COUNT(*) FILTER (WHERE band <= 2) AS BIGINT) AS c2
+        FROM banded GROUP BY c_nationkey, c_mktsegment
+    ),
+    gtot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nn,
+               CAST(COUNT(*) FILTER (WHERE band <= 0) AS BIGINT) AS g0,
+               CAST(COUNT(*) FILTER (WHERE band <= 1) AS BIGINT) AS g1,
+               CAST(COUNT(*) FILTER (WHERE band <= 2) AS BIGINT) AS g2
+        FROM banded
+    )
+    SELECT g.c_nationkey, g.c_mktsegment, g.n AS n_rows,
+           {dround_sql(
+               "(ABS(CAST(g.c0 AS DOUBLE) / g.n - CAST(x.g0 AS DOUBLE) / x.nn)"
+               " + ABS(CAST(g.c1 AS DOUBLE) / g.n - CAST(x.g1 AS DOUBLE) / x.nn)"
+               " + ABS(CAST(g.c2 AS DOUBLE) / g.n - CAST(x.g2 AS DOUBLE) / x.nn))"
+               " / 3", 6)} AS t_emd,
+           CAST((ABS(CAST(g.c0 AS DOUBLE) / g.n - CAST(x.g0 AS DOUBLE) / x.nn)
+               + ABS(CAST(g.c1 AS DOUBLE) / g.n - CAST(x.g1 AS DOUBLE) / x.nn)
+               + ABS(CAST(g.c2 AS DOUBLE) / g.n - CAST(x.g2 AS DOUBLE) / x.nn))
+               / 3 <= 0.2 AS BOOLEAN) AS t_close_02
+    FROM g CROSS JOIN gtot x
+    """,
+    description="t-closeness audit over the same quasi-identifier "
+    "groups and ordered sensitive attribute as the k-anonymity / "
+    "l-diversity audits (QI = nation x mktsegment, sensitive = 4 "
+    "ordered balance bands): per group, the ordered-attribute Earth "
+    "Mover's Distance between the group's band distribution and the "
+    "global one — EMD over an ordered domain is the mean absolute "
+    "cumulative-share gap, so with a FIXED 4-band domain it pivots to "
+    "three integer cumulative counts per group and the published "
+    "number is a fixed scalar expression over exact BIGINTs (no "
+    "aggregation of floats anywhere). Completes the Sweeney/"
+    "Machanavajjhala/Li privacy-audit triple: k-anonymity bounds "
+    "re-identification, l-diversity bounds attribute disclosure from "
+    "missing variety, t-closeness bounds it from skewed variety. One "
+    "scan, one groupBy; the global distribution broadcasts.",
+)
+def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.tables import table
+
+    cust = table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.when(F.col("c_acctbal") < 0, 0)
+        .when(F.col("c_acctbal") < 3000, 1)
+        .when(F.col("c_acctbal") < 7000, 2)
+        .otherwise(3)
+        .alias("band"),
+    )
+
+    def cums(prefix: str) -> list:
+        return [
+            F.count(F.when(F.col("band") <= i, 1))
+            .cast("bigint")
+            .alias(f"{prefix}{i}")
+            for i in range(3)
+        ]
+
+    g = cust.groupBy("c_nationkey", "c_mktsegment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), *cums("c")
+    )
+    glob = cust.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nn"), *cums("g")
+    )
+    emd = (
+        sum(
+            F.abs(
+                F.col(f"c{i}").cast("double") / F.col("n")
+                - F.col(f"g{i}").cast("double") / F.col("nn")
+            )
+            for i in range(3)
+        )
+        / 3
+    )
+    return g.crossJoin(F.broadcast(glob)).select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.col("n").alias("n_rows"),
+        dround(emd, 6).alias("t_emd"),
+        (emd <= 0.2).cast("boolean").alias("t_close_02"),
+    )

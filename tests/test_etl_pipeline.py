@@ -311,3 +311,18 @@ def test_dp_histogram_noise_is_additive_and_bounded(spark, sf_dir):
         assert abs(r.noisy_count - (r.true_count + r.noise)) < 2e-6
         # md5 uniforms keep the inverse-CDF draw in a sane Laplace range
         assert abs(r.noise) < 30.0
+
+
+def test_t_closeness_emd_bounds(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        privacy_t_closeness_audit,
+    )
+
+    rows = privacy_t_closeness_audit(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0.0 <= r.t_emd <= 1.0
+        assert r.t_close_02 == (r.t_emd <= 0.2)
+    # the global distribution is a weighted mix of the groups, so not
+    # every group can sit at the extreme
+    assert any(r.t_emd < 0.5 for r in rows)

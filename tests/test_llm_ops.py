@@ -1950,3 +1950,51 @@ def test_join_cardinality_sample_is_unbiased_scale(spark, sf_dir):
     assert r.estimate % 16 == 0
     # 1/16 key sample over ~uniform fan-outs stays within 50% rel err
     assert r.rel_err < 0.5
+
+
+def test_jsd_symmetric_bounded_pairs(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_js_divergence_lang_pairs,
+    )
+
+    rows = text_js_divergence_lang_pairs(spark, sf_dir).collect()
+    langs = set()
+    for r in rows:
+        assert r.lang_a < r.lang_b, "each unordered pair appears once"
+        langs.update([r.lang_a, r.lang_b])
+        assert 0.0 <= r.jsd_nats <= 0.6931472 + 1e-6, "JSD <= ln 2"
+        assert abs(r.jsd_bits - r.jsd_nats / 0.6931471805599453) < 1e-5
+    n = len(langs)
+    assert len(rows) == n * (n - 1) // 2
+
+
+def test_adamic_adar_predicts_only_nonedges(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        graph_adamic_adar_link_prediction,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    import pyspark.sql.functions as F
+
+    df = graph_adamic_adar_link_prediction(spark, sf_dir)
+    rows = df.collect()
+    assert rows
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = {
+        (r.u, r.v)
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") != F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+        .collect()
+    }
+    for r in rows:
+        assert r.source_part % 97 == 0
+        assert (r.source_part, r.candidate_part) not in edges
+        assert r.n_common >= 1 and r.adamic_adar > 0
+        assert 1 <= r.rnk <= 5
