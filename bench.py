@@ -279,6 +279,7 @@ HEADLINE = [
     "text_js_divergence_lang_pairs",
     "privacy_t_closeness_audit",
     "graph_adamic_adar_link_prediction",
+    "stats_kendall_tau_daily",
 ]
 
 

@@ -3138,3 +3138,95 @@ def stats_brown_forsythe_variance(
             (F.col("n_p") + F.col("n_c") - 2) * num / den, 6
         ).alias("f_stat"),
     )
+
+
+# ------------------------------------------------ Kendall's tau-b
+@register(
+    "stats_kendall_tau_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CAST(ROUND(CAST(value * 100 AS DECIMAL(38,8)), 0)
+                    AS BIGINT)) AS BIGINT) AS cents
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.n_events - b.n_events)
+                         * (a.cents - b.cents) > 0 THEN 1 ELSE 0 END AS con,
+               CASE WHEN (a.n_events - b.n_events)
+                         * (a.cents - b.cents) < 0 THEN 1 ELSE 0 END AS dis,
+               CASE WHEN a.n_events = b.n_events
+                         AND a.cents <> b.cents THEN 1 ELSE 0 END AS tx,
+               CASE WHEN a.cents = b.cents
+                         AND a.n_events <> b.n_events THEN 1 ELSE 0 END AS ty
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    agg AS (
+        SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+               CAST(SUM(con) AS BIGINT) AS c,
+               CAST(SUM(dis) AS BIGINT) AS d,
+               CAST(SUM(tx) AS BIGINT) AS tx,
+               CAST(SUM(ty) AS BIGINT) AS ty
+        FROM pairs
+    )
+    SELECT n_days, c AS concordant, d AS discordant,
+           {dround_sql(
+               "(CAST(c AS DOUBLE) - d)"
+               " / sqrt((CAST(c AS DOUBLE) + d + tx)"
+               " * (CAST(c AS DOUBLE) + d + ty))", 6)} AS kendall_tau_b
+    FROM agg
+    """,
+    description="Kendall's tau-b rank correlation between daily event "
+    "volume and daily event value — the tie-aware, outlier-immune "
+    "companion to stats_spearman_rank_corr (tau has a direct "
+    "probabilistic reading: P(concordant) - P(discordant)). Values "
+    "quantize to exact integer cents, so concordant / discordant / tie "
+    "counts are pure BIGINT comparisons over the DAY-GRAIN aggregate "
+    "pair table (O(days^2) pairs of a dim-sized series — at 10 years "
+    "that is ~6.6M comparisons, constant in corpus size; the corpus-"
+    "scale work is the one groupBy(day) scan). The statistic is one "
+    "fixed scalar expression over five exact integers — engines cannot "
+    "diverge.",
+)
+def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(
+            F.round((F.col("value") * 100).cast("decimal(38,8)"), 0).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("cents"),
+    ).persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    dx = F.col("a.n_events") - F.col("b.n_events")
+    dy = F.col("a.cents") - F.col("b.cents")
+    pairs = a.join(b, F.col("a.day") < F.col("b.day")).select(
+        F.when(dx * dy > 0, 1).otherwise(0).alias("con"),
+        F.when(dx * dy < 0, 1).otherwise(0).alias("dis"),
+        F.when((dx == 0) & (dy != 0), 1).otherwise(0).alias("tx"),
+        F.when((dy == 0) & (dx != 0), 1).otherwise(0).alias("ty"),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    agg = pairs.agg(
+        F.sum("con").cast("bigint").alias("c"),
+        F.sum("dis").cast("bigint").alias("d"),
+        F.sum("tx").cast("bigint").alias("tx"),
+        F.sum("ty").cast("bigint").alias("ty"),
+    )
+    return agg.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        dround(
+            (F.col("c").cast("double") - F.col("d"))
+            / F.sqrt(
+                (F.col("c").cast("double") + F.col("d") + F.col("tx"))
+                * (F.col("c").cast("double") + F.col("d") + F.col("ty"))
+            ),
+            6,
+        ).alias("kendall_tau_b"),
+    )

@@ -694,3 +694,17 @@ def test_brown_forsythe_statistic_identities(spark, sf_dir):
     assert r.median_purchase > 0 and r.median_click > 0
     assert r.mad_purchase > 0 and r.mad_click > 0
     assert r.f_stat >= 0
+
+
+def test_kendall_tau_identities(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_kendall_tau_daily,
+    )
+
+    r = stats_kendall_tau_daily(spark, sf_dir).collect()[0]
+    assert r.n_days > 1
+    total_pairs = r.n_days * (r.n_days - 1) // 2
+    assert r.concordant + r.discordant <= total_pairs
+    assert -1.0 <= r.kendall_tau_b <= 1.0
+    # volume and value are strongly positively associated day to day
+    assert r.kendall_tau_b > 0
