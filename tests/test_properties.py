@@ -269,3 +269,123 @@ def test_winnowing_shared_run_guarantee(spark, shared, pre_a, post_b):
     assert by_doc[1] & by_doc[2], (
         f"shared {len(shared)}-token run produced no shared fingerprint"
     )
+
+
+# ----------------------------- round-7 operators: sampling/allocation laws
+import os
+import tempfile
+
+_ALLOC_SETTINGS = settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+
+
+def _fixture_dir(spark, name, df):
+    tmp = tempfile.mkdtemp(prefix="prop_fixture_")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        os.path.join(tmp, f"{name}.parquet")
+    )
+    return tmp
+
+
+def _brute_waterfill(masses):
+    """Reference UniMax: distribute B=2T under per-lang cap 4m."""
+    total = sum(masses)
+    budget = 2.0 * total
+    items = sorted(
+        ((4 * m, i) for i, m in enumerate(masses)), key=lambda x: x[0]
+    )
+    alloc = [0.0] * len(masses)
+    remaining, k = budget, len(items)
+    for cap, i in items:
+        if cap * k <= remaining:
+            alloc[i] = float(cap)
+            remaining -= cap
+        else:
+            share = remaining / k
+            alloc[i] = share
+            remaining -= share
+        k -= 1
+    return alloc
+
+
+@given(masses=st.lists(st.integers(min_value=1, max_value=40),
+                       min_size=1, max_size=5))
+@example(masses=[1, 1, 1])
+@example(masses=[40, 1])
+@_ALLOC_SETTINGS
+def test_unimax_matches_bruteforce_waterfill(spark, masses):
+    from pyspark.sql import Row as R
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sample_unimax_language_budget,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            R(doc_id=i, lang=f"l{i:02d}", source="s", text=" ".join(["w"] * m))
+            for i, m in enumerate(masses)
+        ]
+    )
+    sf = _fixture_dir(spark, "documents", docs)
+    rows = {r.lang: r for r in sample_unimax_language_budget(spark, sf).collect()}
+    expect = _brute_waterfill(masses)
+    assert len(rows) == len(masses)
+    for i, m in enumerate(masses):
+        r = rows[f"l{i:02d}"]
+        assert r.lang_tokens == m
+        assert abs(r.alloc_tokens - expect[i]) < 1e-3, (masses, i)
+
+
+@given(weights=st.lists(st.integers(min_value=1, max_value=1000),
+                        min_size=1, max_size=12))
+@example(weights=[1000, 1, 1, 1])
+@_ALLOC_SETTINGS
+def test_pps_systematic_draw_law(spark, weights):
+    from pyspark.sql import Row as R
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sample_pps_systematic_suppliers,
+    )
+
+    li = spark.createDataFrame(
+        [
+            R(l_suppkey=i + 1, l_extendedprice=float(w), l_discount=0.0)
+            for i, w in enumerate(weights)
+        ]
+    )
+    sf = _fixture_dir(spark, "lineitem", li)
+    rows = sample_pps_systematic_suppliers(spark, sf).collect()
+    assert sum(r.n_hits for r in rows) == 20, "systematic PPS lands exactly n"
+    total = sum(weights)
+    for r in rows:
+        w = weights[r.s_suppkey - 1]
+        # |hits - n*w/T| < 1: the defining property of systematic PPS
+        assert abs(r.n_hits - 20 * w / total) < 1.0, (weights, r.s_suppkey)
+
+
+@given(ids=st.sets(st.integers(min_value=0, max_value=10_000),
+                   min_size=1, max_size=60))
+@_ALLOC_SETTINGS
+def test_rendezvous_disruption_law(spark, ids):
+    from pyspark.sql import Row as R
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        pipeline_shard_assignment_rendezvous,
+    )
+
+    docs = spark.createDataFrame([R(doc_id=i) for i in sorted(ids)])
+    sf = _fixture_dir(spark, "documents", docs)
+    rows = {
+        r.shard: r
+        for r in pipeline_shard_assignment_rendezvous(spark, sf).collect()
+    }
+    n = len(ids)
+    assert sum(r.n_before for r in rows.values()) == n
+    assert sum(r.n_after for r in rows.values()) == n
+    for i in range(8):
+        r = rows[f"s{i}"]
+        assert r.stayed == r.n_after <= r.n_before
+    assert rows["s8"].n_after == rows["s8"].moved_total
