@@ -145,6 +145,20 @@ PRIORITY = [
     "quality_calibration_ece_brier",
     "stats_isotonic_calibration_pav",
     "stats_cohens_kappa_quality_raters",
+    # ROUND-8 ROTATION PLAN (window stays exactly 50): the 23 queries
+    # added late in r7 (sample_unimax_language_budget, text_bm25_topk,
+    # sketch_bloom_filter_fpr, graph_modularity_supplier_nations,
+    # stats_permutation_test_purchase_click, text_good_turing_trigrams,
+    # privacy_dp_laplace_histogram, text_mattr_lexical_diversity,
+    # sample_pps_systematic_suppliers, graph_label_propagation_communities,
+    # stats_brown_forsythe_variance, streaming_sliding_topk_event_types,
+    # pipeline_shard_assignment_rendezvous, multimodal_tile_manifest,
+    # sketch_join_cardinality_estimate, text_js_divergence_lang_pairs,
+    # privacy_t_closeness_audit, graph_adamic_adar_link_prediction,
+    # stats_kendall_tau_daily) ride COMPARE_FULL_r07.txt (336/336) +
+    # pytest this round; once CORRECTNESS_r07 lands green, rotate them
+    # into the slots of the r7-early entries above that the driver record
+    # then evidences.
 ]
 
 
