@@ -389,3 +389,116 @@ def test_rendezvous_disruption_law(spark, ids):
         r = rows[f"s{i}"]
         assert r.stayed == r.n_after <= r.n_before
     assert rows["s8"].n_after == rows["s8"].moved_total
+
+
+def _brute_bm25(texts, panel, k1=1.2, b=0.75):
+    """Reference BM25 over whitespace tokens; returns {(qid, doc): score}."""
+    import math
+
+    toks = [t.split(" ") for t in texts]
+    n = len(toks)
+    avgdl = sum(len(t) for t in toks) / n
+    scores = {}
+    for qid, terms in panel.items():
+        for d, t in enumerate(toks):
+            s = 0.0
+            matched = 0
+            for term in terms:
+                tf = t.count(term)
+                if tf == 0:
+                    continue
+                df = sum(1 for tt in toks if term in tt)
+                idf = math.log(1 + (n - df + 0.5) / (df + 0.5))
+                s += idf * (tf * (k1 + 1)) / (
+                    tf + k1 * (1 - b + b * len(t) / avgdl)
+                )
+                matched += 1
+            if matched:
+                scores[(qid, d)] = s
+    return scores
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(["hash", "join", "table", "scan", "agg", "x"]),
+            min_size=1,
+            max_size=12,
+        ),
+        min_size=2,
+        max_size=8,
+    )
+)
+@_ALLOC_SETTINGS
+def test_bm25_matches_bruteforce(spark, docs):
+    from pyspark.sql import Row as R
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        _BM25_PANEL,
+        text_bm25_topk,
+    )
+
+    frame = spark.createDataFrame(
+        [
+            R(doc_id=i, lang="en", source="s", text=" ".join(words))
+            for i, words in enumerate(docs)
+        ]
+    )
+    sf = _fixture_dir(spark, "documents", frame)
+    rows = text_bm25_topk(spark, sf).collect()
+    panel = {}
+    for qid, term in _BM25_PANEL:
+        panel.setdefault(qid, []).append(term)
+    ref = _brute_bm25([" ".join(w) for w in docs], panel)
+    for r in rows:
+        key = (r.query_id, r.doc_id)
+        assert key in ref, key
+        # engine scores sum integer micro-units; reference is float
+        assert abs(r.score - ref[key]) < 2e-5, (key, r.score, ref[key])
+    # per query, the engine's rank-1 doc carries the max reference score
+    by_q = {}
+    for r in rows:
+        if r.rank == 1:
+            by_q[r.query_id] = r.doc_id
+    for qid, best in by_q.items():
+        top_ref = max(
+            (s for (q, _), s in ref.items() if q == qid), default=0.0
+        )
+        assert abs(ref[(qid, best)] - top_ref) < 2e-5
+
+
+@given(
+    docs=st.lists(
+        st.lists(
+            st.sampled_from(list("abcdef")), min_size=50, max_size=80
+        ),
+        min_size=1,
+        max_size=5,
+    )
+)
+@_ALLOC_SETTINGS
+def test_mattr_matches_bruteforce(spark, docs):
+    from pyspark.sql import Row as R
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_mattr_lexical_diversity,
+    )
+
+    frame = spark.createDataFrame(
+        [
+            R(doc_id=i, lang="xx", source="s", text=" ".join(words))
+            for i, words in enumerate(docs)
+        ]
+    )
+    sf = _fixture_dir(spark, "documents", frame)
+    rows = text_mattr_lexical_diversity(spark, sf).collect()
+    assert len(rows) == 1
+    w = 50
+    d_sum = sum(
+        len(set(t[i:i + w]))
+        for t in docs
+        for i in range(len(t) - w + 1)
+    )
+    n_win = sum(len(t) - w + 1 for t in docs)
+    assert rows[0].n_windows == n_win
+    assert abs(rows[0].pooled_mattr - d_sum / (w * n_win)) < 1e-5
