@@ -530,3 +530,102 @@ def streaming_sliding_topk_event_types(
         prepare=prepare,
         query_name=f"slide_topk_{uuid.uuid4().hex[:8]}",
     )
+
+
+@register(
+    "streaming_static_enrichment_join",
+    oracle="""
+    WITH cents AS (
+        SELECT user_id, event_type, ts,
+               CAST(ROUND(CAST(value * 100 AS DECIMAL(38,8)), 0) AS BIGINT)
+                   AS cents
+        FROM events
+    ),
+    tiers AS (
+        SELECT user_id,
+               CASE WHEN SUM(cents) / COUNT(*) >= 3000 THEN 'high'
+                    WHEN SUM(cents) / COUNT(*) >= 1500 THEN 'mid'
+                    ELSE 'low' END AS tier
+        FROM cents GROUP BY user_id
+    )
+    SELECT time_bucket(INTERVAL '1 day', c.ts) AS window_start,
+           t.tier,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS n_users
+    FROM cents c JOIN tiers t ON t.user_id = c.user_id
+    GROUP BY window_start, t.tier
+    """,
+    description="Stream-static enrichment join — the third canonical "
+    "streaming join shape beside stream-stream interval join and "
+    "foreachBatch upsert: a STATIC user-tier dimension (batch-derived "
+    "spend tiers, exact integer-cents thresholds) broadcast-joins onto "
+    "the event stream row-by-row, then a watermarked daily window "
+    "aggregates per tier. On a real deployment the static side is a "
+    "slowly-refreshed dim table; Spark re-resolves it per micro-batch "
+    "while the stream side holds only window state. Drained bounded "
+    "(AvailableNow) and compared against the identical batch join+agg.",
+)
+def streaming_static_enrichment_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        _stream_source_dir,
+    )
+    from healthcare_data_lakehouse_spark.tables import (
+        normalize_event_ts,
+        table,
+    )
+
+    work_dir = scratch_dir("strstatic_")
+    cents = F.round((F.col("value") * 100).cast("decimal(38,8)"), 0).cast(
+        "bigint"
+    )
+    hist = table(spark, sf_dir, "events").select("user_id", cents.alias("c"))
+    avg_c = F.sum("c") / F.count(F.lit(1))
+    static_tiers = hist.groupBy("user_id").agg(
+        F.when(avg_c >= 3000, "high")
+        .when(avg_c >= 1500, "mid")
+        .otherwise("low")
+        .alias("tier")
+    )
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(f"{sf_dir}/events.parquet").schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(
+            _stream_source_dir(f"{sf_dir}/events.parquet", work_dir)
+        )
+    )
+    enriched = stream.withWatermark("ts", "10 minutes").join(
+        F.broadcast(static_tiers), "user_id"
+    )
+    agg = enriched.groupBy(
+        F.window(F.col("ts"), "1 day").alias("w"), F.col("tier")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_events"))
+    name = f"strstatic_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(work_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    res = spark.table(name).select(
+        F.col("w.start").alias("window_start"), "tier", "n_events"
+    )
+    # exact distinct users per (window, tier) is not a streaming-supported
+    # aggregate alongside complete-mode windows; compute it batch-side
+    # from the same static tiers (the production pattern: the stream
+    # maintains counts, a cheap batch pass fills exact distincts)
+    ev = table(spark, sf_dir, "events").select(
+        F.date_trunc("day", F.col("ts")).alias("window_start"), "user_id"
+    )
+    users = (
+        ev.join(F.broadcast(static_tiers), "user_id")
+        .groupBy("window_start", "tier")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    )
+    return res.join(users, ["window_start", "tier"]).select(
+        "window_start", "tier", F.col("n_events").cast("bigint").alias("n_events"), "n_users"
+    )

@@ -544,3 +544,20 @@ def test_sliding_topk_window_contract(spark, sf_dir):
         assert len(rs) <= 3
         counts = [r.n_events for r in rs]
         assert counts == sorted(counts, reverse=True)
+
+
+def test_stream_static_join_equals_batch(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.streaming_queries import (
+        streaming_static_enrichment_join,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    rows = streaming_static_enrichment_join(spark, sf_dir).collect()
+    assert rows
+    total = sum(r.n_events for r in rows)
+    assert total == table(spark, sf_dir, "events").count(), (
+        "every event lands in exactly one (window, tier) cell"
+    )
+    assert {r.tier for r in rows} <= {"low", "mid", "high"}
+    for r in rows:
+        assert 1 <= r.n_users <= r.n_events
