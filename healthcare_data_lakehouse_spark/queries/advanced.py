@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from healthcare_data_lakehouse_spark.functions import dround
+from healthcare_data_lakehouse_spark.functions import dround, dround_sql
 from healthcare_data_lakehouse_spark.queries.catalog import register
 from healthcare_data_lakehouse_spark.tables import table
 
@@ -2001,4 +2001,102 @@ def stats_monte_carlo_var(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("sigma", 2).alias("sigma"),
         "var95_mc",
         "var95_normal",
+    )
+
+
+# ------------------------------------------- Cramér's V (bias-corrected)
+@register(
+    "stats_cramers_v_lang_source",
+    oracle=f"""
+    WITH obs AS (
+        SELECT lang, source, COUNT(*) AS o
+        FROM documents GROUP BY 1, 2
+    ),
+    rt AS (SELECT lang, SUM(o) AS r FROM obs GROUP BY lang),
+    ct AS (SELECT source, SUM(o) AS c FROM obs GROUP BY source),
+    n AS (SELECT SUM(o) AS n FROM obs),
+    cells AS (
+        SELECT COALESCE(obs.o, 0) AS o,
+               CAST(rt.r AS DOUBLE) * ct.c / n.n AS e
+        FROM rt CROSS JOIN ct CROSS JOIN n
+        LEFT JOIN obs ON obs.lang = rt.lang AND obs.source = ct.source
+    ),
+    dims AS (
+        SELECT CAST((SELECT COUNT(*) FROM rt) AS BIGINT) AS r,
+               CAST((SELECT COUNT(*) FROM ct) AS BIGINT) AS c,
+               CAST((SELECT n FROM n) AS BIGINT) AS n,
+               (SELECT SUM((o - e) * (o - e) / e) FROM cells) AS chi2
+    ),
+    corr AS (
+        SELECT r, c, n, chi2,
+               chi2 / n AS phi2,
+               GREATEST(0.0, chi2 / n
+                        - CAST((r - 1) * (c - 1) AS DOUBLE) / (n - 1))
+                   AS phi2_t,
+               r - CAST((r - 1) * (r - 1) AS DOUBLE) / (n - 1) AS r_t,
+               c - CAST((c - 1) * (c - 1) AS DOUBLE) / (n - 1) AS c_t
+        FROM dims
+    )
+    SELECT n AS n_docs, CAST(r AS INT) AS n_langs, CAST(c AS INT) AS n_sources,
+           {dround_sql("chi2", 4)} AS chi2,
+           {dround_sql("sqrt(phi2 / LEAST(r - 1, c - 1))", 6)} AS cramers_v,
+           {dround_sql("sqrt(phi2_t / LEAST(r_t - 1.0, c_t - 1.0))", 6)}
+               AS cramers_v_corrected
+    FROM corr
+    """,
+    description="Cramér's V effect size for the lang x source association, "
+    "plus the Bergsma bias-corrected variant: chi-square alone grows with "
+    "N (stats_chisq_lang_source will flag ANY dependence at 100 TB row "
+    "counts), while V in [0,1] answers the question monitoring actually "
+    "asks — HOW skewed is the crawl-source/language mix, on a scale "
+    "stable across corpus sizes. The uncorrected V overestimates on "
+    "small tables; the corrected variant shrinks phi^2 by its "
+    "independence-null expectation. Same plan skeleton as the chi-square "
+    "query: one fact-table groupBy, broadcast marginals, a "
+    "|langs|x|sources| cell grid.",
+)
+def stats_cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    obs = docs.groupBy("lang", "source").agg(F.count(F.lit(1)).alias("o"))
+    rt = obs.groupBy("lang").agg(F.sum("o").alias("r"))
+    ct = obs.groupBy("source").agg(F.sum("o").alias("c"))
+    n = obs.agg(F.sum("o").alias("n"))
+    cells = (
+        rt.crossJoin(ct)
+        .crossJoin(F.broadcast(n))
+        .join(F.broadcast(obs), ["lang", "source"], "left")
+        .select(
+            F.coalesce("o", F.lit(0)).alias("o"),
+            (F.col("r").cast("double") * F.col("c") / F.col("n")).alias("e"),
+        )
+    )
+    dims = (
+        cells.agg(F.sum((F.col("o") - F.col("e")) ** 2 / F.col("e")).alias("chi2"))
+        .crossJoin(F.broadcast(rt.agg(F.count(F.lit(1)).cast("bigint").alias("r"))))
+        .crossJoin(F.broadcast(ct.agg(F.count(F.lit(1)).cast("bigint").alias("c"))))
+        .crossJoin(F.broadcast(n.select(F.col("n").cast("bigint").alias("n"))))
+    )
+    nd = F.col("n").cast("double")
+    phi2 = F.col("chi2") / F.col("n")
+    phi2_t = F.greatest(
+        F.lit(0.0),
+        phi2 - ((F.col("r") - 1) * (F.col("c") - 1)).cast("double") / (F.col("n") - 1),
+    )
+    r_t = F.col("r") - ((F.col("r") - 1) * (F.col("r") - 1)).cast("double") / (
+        F.col("n") - 1
+    )
+    c_t = F.col("c") - ((F.col("c") - 1) * (F.col("c") - 1)).cast("double") / (
+        F.col("n") - 1
+    )
+    return dims.select(
+        F.col("n").alias("n_docs"),
+        F.col("r").cast("int").alias("n_langs"),
+        F.col("c").cast("int").alias("n_sources"),
+        dround(F.col("chi2"), 4).alias("chi2"),
+        dround(
+            F.sqrt(phi2 / F.least(F.col("r") - 1, F.col("c") - 1)), 6
+        ).alias("cramers_v"),
+        dround(F.sqrt(phi2_t / F.least(r_t - 1.0, c_t - 1.0)), 6).alias(
+            "cramers_v_corrected"
+        ),
     )

@@ -4295,3 +4295,108 @@ def graph_modularity_supplier_nations(
         )
     )
 
+
+# ------------------------------------------- HITS hubs & authorities
+@register(
+    "graph_hits_hubs_authorities",
+    oracle="""
+    WITH edges AS (
+        SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM lineitem
+    ),
+    a1 AS (  -- authority round 1 with h0 = 1: in-degree (exact int)
+        SELECT p, CAST(COUNT(*) AS BIGINT) AS a1 FROM edges GROUP BY p
+    ),
+    h1 AS (  -- hub round 1: sum of neighbour authority scores (exact int)
+        SELECT e.s, CAST(SUM(a1.a1) AS BIGINT) AS h1
+        FROM edges e JOIN a1 ON e.p = a1.p GROUP BY e.s
+    ),
+    a2 AS (  -- authority round 2 (exact int)
+        SELECT e.p, CAST(SUM(h1.h1) AS BIGINT) AS a2
+        FROM edges e JOIN h1 ON e.s = h1.s GROUP BY e.p
+    ),
+    h2 AS (  -- hub round 2 (exact int)
+        SELECT e.s, CAST(SUM(a2.a2) AS BIGINT) AS h2
+        FROM edges e JOIN a2 ON e.p = a2.p GROUP BY e.s
+    ),
+    ta AS (SELECT SUM(a2) AS t FROM a2),
+    th AS (SELECT SUM(h2) AS t FROM h2),
+    top_a AS (
+        SELECT 'authority' AS role, p AS node_id, a2 AS raw_score,
+               CAST(ROUND(CAST(CAST(a2 AS DOUBLE) / ta.t AS DECIMAL(38,8)),
+                          6) AS DOUBLE) AS norm_score
+        FROM a2 CROSS JOIN ta ORDER BY a2 DESC, p LIMIT 10
+    ),
+    top_h AS (
+        SELECT 'hub' AS role, s AS node_id, h2 AS raw_score,
+               CAST(ROUND(CAST(CAST(h2 AS DOUBLE) / th.t AS DECIMAL(38,8)),
+                          6) AS DOUBLE) AS norm_score
+        FROM h2 CROSS JOIN th ORDER BY h2 DESC, s LIMIT 10
+    )
+    SELECT * FROM top_a UNION ALL SELECT * FROM top_h
+    """,
+    description="HITS (Kleinberg) over the bipartite supplier->part "
+    "order graph: two full mutual-reinforcement rounds (authority = sum "
+    "of supplying hubs' scores, hub = sum of supplied authorities' "
+    "scores), reported as top-10 per role. Scores stay UNNORMALIZED "
+    "INTEGERS through both rounds — normalization is a positive scalar "
+    "that never changes HITS rankings, so deferring it to one final "
+    "division keeps every intermediate exact and the engines "
+    "bit-identical (float power iteration would accumulate "
+    "order-dependent ulp drift across joins). Each round is one "
+    "shuffle-join + one map-side-combinable agg on the deduped edge "
+    "list; round count is fixed, so the job graph is constant-depth at "
+    "any scale. Top-10 via TakeOrderedAndProject (per-partition heads, "
+    "no global sort partition).",
+)
+def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    edges = (
+        li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+        .persist()
+    )
+    a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))
+    h1 = (
+        edges.join(a1, "p")
+        .groupBy("s")
+        .agg(F.sum("a1").cast("bigint").alias("h1"))
+    )
+    a2 = (
+        edges.join(h1, "s")
+        .groupBy("p")
+        .agg(F.sum("h1").cast("bigint").alias("a2"))
+    )
+    h2 = (
+        edges.join(a2, "p")
+        .groupBy("s")
+        .agg(F.sum("a2").cast("bigint").alias("h2"))
+    )
+    ta = a2.agg(F.sum("a2").alias("t"))
+    th = h2.agg(F.sum("h2").alias("t"))
+    top_a = (
+        a2.crossJoin(F.broadcast(ta))
+        .orderBy(F.col("a2").desc(), "p")
+        .limit(10)
+        .select(
+            F.lit("authority").alias("role"),
+            F.col("p").alias("node_id"),
+            F.col("a2").alias("raw_score"),
+            dround(F.col("a2").cast("double") / F.col("t"), 6).alias(
+                "norm_score"
+            ),
+        )
+    )
+    top_h = (
+        h2.crossJoin(F.broadcast(th))
+        .orderBy(F.col("h2").desc(), "s")
+        .limit(10)
+        .select(
+            F.lit("hub").alias("role"),
+            F.col("s").alias("node_id"),
+            F.col("h2").alias("raw_score"),
+            dround(F.col("h2").cast("double") / F.col("t"), 6).alias(
+                "norm_score"
+            ),
+        )
+    )
+    return top_a.unionByName(top_h)

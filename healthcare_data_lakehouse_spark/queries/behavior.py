@@ -3230,3 +3230,103 @@ def stats_kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kendall_tau_b"),
     )
+
+
+# ------------------------------------------------ Kruskal-Wallis H
+@register(
+    "stats_kruskal_wallis_value_by_type",
+    oracle=f"""
+    WITH gv AS (
+        SELECT value, event_type, CAST(COUNT(*) AS BIGINT) AS n_gv
+        FROM events GROUP BY value, event_type
+    ),
+    tv AS (
+        SELECT value, CAST(SUM(n_gv) AS BIGINT) AS t FROM gv GROUP BY value
+    ),
+    ranked AS (
+        SELECT value, t,
+               COALESCE(SUM(t) OVER (
+                   ORDER BY value
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS c_lt
+        FROM tv
+    ),
+    per_g AS (
+        SELECT gv.event_type,
+               CAST(SUM(gv.n_gv) AS BIGINT) AS n_g,
+               SUM(gv.n_gv * (r.c_lt + (r.t + 1) / 2.0)) AS r_g
+        FROM gv JOIN ranked r ON gv.value = r.value
+        GROUP BY gv.event_type
+    ),
+    ties AS (
+        SELECT SUM(CAST(t AS DOUBLE) * t * t - t) AS tie_sum FROM ranked
+    ),
+    agg AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n,
+               CAST(COUNT(*) AS INT) AS k,
+               SUM(r_g * r_g / n_g) AS s
+        FROM per_g
+    )
+    SELECT n AS n_total, k AS n_groups,
+           {dround_sql(
+               "12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s - 3.0 * (n + 1)", 4)}
+               AS h_stat,
+           {dround_sql(
+               "(12.0 / (CAST(n AS DOUBLE) * (n + 1)) * s - 3.0 * (n + 1))"
+               " / (1.0 - tie_sum / (CAST(n AS DOUBLE) * n * n - n))", 4)}
+               AS h_corrected
+    FROM agg CROSS JOIN ties
+    """,
+    description="Kruskal-Wallis H across ALL event types (the k-sample "
+    "generalization of stats_mann_whitney_u): average-rank tie handling "
+    "via per-distinct-value group counts + one prefix sum over the "
+    "value-grain aggregate — never a row-level global sort. Rank sums "
+    "stay EXACT in doubles (c_lt integer + half-integer offsets), so "
+    "engines agree bit-for-bit before the final scalar expression. "
+    "Same continuous-double caveat as MWU: at 100 TB bin values first "
+    "or switch the prefix sum to the partition-offset scheme "
+    "(functions/ordered.py).",
+)
+def stats_kruskal_wallis_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    gv = ev.groupBy("value", "event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gv")
+    )
+    tv = gv.groupBy("value").agg(F.sum("n_gv").cast("bigint").alias("t"))
+    wp = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = tv.select(
+        "value",
+        "t",
+        F.coalesce(F.sum("t").over(wp), F.lit(0)).alias("c_lt"),
+    )
+    per_g = (
+        gv.join(ranked, "value")
+        .groupBy("event_type")
+        .agg(
+            F.sum("n_gv").cast("bigint").alias("n_g"),
+            F.sum(
+                F.col("n_gv") * (F.col("c_lt") + (F.col("t") + 1) / 2.0)
+            ).alias("r_g"),
+        )
+    )
+    ties = ranked.agg(
+        F.sum(
+            F.col("t").cast("double") * F.col("t") * F.col("t") - F.col("t")
+        ).alias("tie_sum")
+    )
+    agg = per_g.agg(
+        F.sum("n_g").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("int").alias("k"),
+        F.sum(F.col("r_g") * F.col("r_g") / F.col("n_g")).alias("s"),
+    )
+    nd = F.col("n").cast("double")
+    h = 12.0 / (nd * (F.col("n") + 1)) * F.col("s") - 3.0 * (F.col("n") + 1)
+    corr = 1.0 - F.col("tie_sum") / (nd * F.col("n") * F.col("n") - F.col("n"))
+    return agg.crossJoin(F.broadcast(ties)).select(
+        F.col("n").alias("n_total"),
+        F.col("k").alias("n_groups"),
+        dround(h, 4).alias("h_stat"),
+        dround(h / corr, 4).alias("h_corrected"),
+    )

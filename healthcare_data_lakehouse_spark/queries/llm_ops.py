@@ -9167,3 +9167,73 @@ def graph_adamic_adar_link_prediction(
             "rnk",
         )
     )
+
+
+# ---------------------------------------------- Flesch readability
+@register(
+    "text_readability_flesch",
+    oracle=f"""
+    WITH scored AS (
+        SELECT lang,
+               GREATEST(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
+                   AS sents,
+               length(string_split_regex(trim(text), '\\s+')) AS words,
+               GREATEST(
+                   length(string_split_regex(trim(text), '\\s+')),
+                   length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
+                   - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
+               ) AS sylls
+        FROM documents WHERE lang IN ('en', 'es', 'de', 'fr')
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {dround_sql("AVG(CAST(words AS DOUBLE) / sents)", 4)}
+               AS words_per_sentence,
+           {dround_sql("AVG(CAST(sylls AS DOUBLE) / words)", 4)}
+               AS syllables_per_word,
+           {dround_sql(
+               "AVG(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)"
+               " - 84.6 * (CAST(sylls AS DOUBLE) / words))", 4)}
+               AS flesch_reading_ease
+    FROM scored GROUP BY lang
+    """,
+    description="Flesch reading-ease profile per language: sentence "
+    "count from terminal-punctuation chars, words from a whitespace "
+    "split, syllables from the vowel-group proxy (count of [aeiouy]+ "
+    "runs, floored at one per word) — the classic corpus-readability "
+    "screen used alongside Gopher-style quality gates to spot sources "
+    "whose prose is boilerplate-short or run-on-long. Latin-script "
+    "languages only (the formula is undefined for zh's unsegmented "
+    "script). Pure per-row JVM expressions (regexp_replace/split) "
+    "folded into one scan + one lang-grain agg; zero shuffles beyond "
+    "the 4-group hash agg, trivially scan-bound at 100 TB.",
+)
+def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "es", "de", "fr")
+    )
+    lowered = F.lower(F.col("text"))
+    sents = F.greatest(
+        F.lit(1), F.length(F.regexp_replace(F.col("text"), r"[^.!?]", ""))
+    )
+    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    vgroups = F.length(
+        F.regexp_replace(lowered, r"[aeiouy]+", "#")
+    ) - F.length(F.regexp_replace(lowered, r"[aeiouy]+", ""))
+    sylls = F.greatest(words, vgroups)
+    scored = docs.select(
+        "lang",
+        sents.alias("sents"),
+        words.alias("words"),
+        sylls.alias("sylls"),
+    )
+    wps = F.col("words").cast("double") / F.col("sents")
+    spw = F.col("sylls").cast("double") / F.col("words")
+    return scored.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        dround(F.avg(wps), 4).alias("words_per_sentence"),
+        dround(F.avg(spw), 4).alias("syllables_per_word"),
+        dround(F.avg(206.835 - 1.015 * wps - 84.6 * spw), 4).alias(
+            "flesch_reading_ease"
+        ),
+    )

@@ -339,3 +339,33 @@ def test_table_checksum_detects_any_row_change(spark, sf_dir):
     full_ck = rows["customer"].checksum
     sub_ck = sub.agg(F.expr(h)).first()[0]
     assert sub_ck != full_ck
+
+
+def test_cramers_v_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.advanced import (
+        stats_cramers_v_lang_source,
+    )
+
+    r = stats_cramers_v_lang_source(spark, sf_dir).collect()[0]
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    ct = pd.crosstab(docs["lang"], docs["source"])
+    o = ct.to_numpy().astype(float)
+    n = o.sum()
+    e = np.outer(o.sum(axis=1), o.sum(axis=0)) / n
+    chi2 = ((o - e) ** 2 / e).sum()
+    rr, cc = o.shape
+    v = np.sqrt(chi2 / n / min(rr - 1, cc - 1))
+    phi2_t = max(0.0, chi2 / n - (rr - 1) * (cc - 1) / (n - 1))
+    r_t = rr - (rr - 1) ** 2 / (n - 1)
+    c_t = cc - (cc - 1) ** 2 / (n - 1)
+    v_t = np.sqrt(phi2_t / min(r_t - 1, c_t - 1))
+
+    assert r.n_docs == int(n) and r.n_langs == rr and r.n_sources == cc
+    assert abs(r.chi2 - chi2) < 1e-2
+    assert abs(r.cramers_v - v) < 1e-5
+    assert abs(r.cramers_v_corrected - v_t) < 1e-5
+    assert 0.0 <= r.cramers_v <= 1.0

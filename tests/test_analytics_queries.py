@@ -485,3 +485,46 @@ def test_modularity_contributions_sum_to_total(spark, sf_dir):
     two_m = sum(r.nation_degree for r in rows)
     assert two_m % 2 == 0
     assert sum(r.intra_edges for r in rows) <= two_m // 2
+
+
+def test_hits_matches_bruteforce(spark, sf_dir):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        graph_hits_hubs_authorities,
+    )
+
+    rows = graph_hits_hubs_authorities(spark, sf_dir).collect()
+    got_a = {
+        r.node_id: r.raw_score for r in rows if r.role == "authority"
+    }
+    got_h = {r.node_id: r.raw_score for r in rows if r.role == "hub"}
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    edges = li[["l_suppkey", "l_partkey"]].drop_duplicates()
+    a1 = edges.groupby("l_partkey").size()
+    h1 = edges.merge(
+        a1.rename("a1"), left_on="l_partkey", right_index=True
+    ).groupby("l_suppkey")["a1"].sum()
+    a2 = edges.merge(
+        h1.rename("h1"), left_on="l_suppkey", right_index=True
+    ).groupby("l_partkey")["h1"].sum()
+    h2 = edges.merge(
+        a2.rename("a2"), left_on="l_partkey", right_index=True
+    ).groupby("l_suppkey")["a2"].sum()
+
+    # pandas keeps the summed column's source name: a2's values column is
+    # "h1", h2's is "a2"
+    exp_a = a2.reset_index().sort_values(
+        ["h1", "l_partkey"], ascending=[False, True]
+    ).head(10)
+    for _, row in exp_a.iterrows():
+        assert got_a[row["l_partkey"]] == row["h1"]
+    exp_h = h2.reset_index().sort_values(
+        ["a2", "l_suppkey"], ascending=[False, True]
+    ).head(10)
+    for _, row in exp_h.iterrows():
+        assert got_h[row["l_suppkey"]] == row["a2"]
+    # normalized scores are a probability-style distribution slice
+    for r in rows:
+        assert 0.0 < r.norm_score <= 1.0

@@ -708,3 +708,40 @@ def test_kendall_tau_identities(spark, sf_dir):
     assert -1.0 <= r.kendall_tau_b <= 1.0
     # volume and value are strongly positively associated day to day
     assert r.kendall_tau_b > 0
+
+
+def test_kruskal_wallis_matches_bruteforce(spark, sf_dir):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_kruskal_wallis_value_by_type,
+    )
+
+    r = stats_kruskal_wallis_value_by_type(spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")[["event_type", "value"]]
+    ranks = ev["value"].rank(method="average")
+    n = len(ev)
+    k = ev["event_type"].nunique()
+    s = sum(
+        grp.sum() ** 2 / len(grp) for _, grp in ranks.groupby(ev["event_type"])
+    )
+    h = 12.0 / (n * (n + 1)) * s - 3.0 * (n + 1)
+    tie = sum(c**3 - c for c in ev["value"].value_counts())
+    h_corr = h / (1.0 - tie / (n**3 - n))
+
+    assert r.n_total == n and r.n_groups == k
+    assert abs(r.h_stat - h) < 1e-3
+    assert abs(r.h_corrected - h_corr) < 1e-3
+
+
+def test_kruskal_wallis_reduces_to_zero_on_identical_groups(spark, sf_dir):
+    # all groups drawn from the same pooled sample => H >= 0 always; the
+    # tie-corrected value can only grow |H|
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_kruskal_wallis_value_by_type,
+    )
+
+    r = stats_kruskal_wallis_value_by_type(spark, sf_dir).collect()[0]
+    assert r.h_stat >= 0
+    assert r.h_corrected >= r.h_stat

@@ -1998,3 +1998,43 @@ def test_adamic_adar_predicts_only_nonedges(spark, sf_dir):
         assert (r.source_part, r.candidate_part) not in edges
         assert r.n_common >= 1 and r.adamic_adar > 0
         assert 1 <= r.rnk <= 5
+
+
+def test_flesch_readability_matches_bruteforce(spark, sf_dir):
+    import re
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_readability_flesch,
+    )
+
+    rows = {
+        r.lang: r for r in text_readability_flesch(spark, sf_dir).collect()
+    }
+    assert set(rows) == {"en", "es", "de", "fr"}
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    docs = docs[docs["lang"].isin(["en", "es", "de", "fr"])]
+
+    def per_doc(text):
+        sents = max(1, len(re.findall(r"[.!?]", text)))
+        words = len(re.split(r"\s+", text.strip()))
+        vg = len(re.findall(r"[aeiouy]+", text.lower()))
+        sylls = max(words, vg)
+        return words / sents, sylls / words
+
+    for lang, grp in docs.groupby("lang"):
+        stats = [per_doc(t) for t in grp["text"]]
+        wps = sum(s[0] for s in stats) / len(stats)
+        spw = sum(s[1] for s in stats) / len(stats)
+        flesch = sum(
+            206.835 - 1.015 * s[0] - 84.6 * s[1] for s in stats
+        ) / len(stats)
+        r = rows[lang]
+        assert r.n_docs == len(grp)
+        assert abs(r.words_per_sentence - wps) < 1e-3
+        assert abs(r.syllables_per_word - spw) < 1e-3
+        assert abs(r.flesch_reading_ease - flesch) < 1e-3
+        # the vowel-group floor guarantees at least one syllable per word
+        assert r.syllables_per_word >= 1.0

@@ -95,6 +95,10 @@ GLOBAL_WINDOW_OK = {
     "stats_spearman_rank_corr":
         "prefix sums over the two distinct-value aggregates (same scale "
         "note as stats_mann_whitney_u)",
+    "stats_kruskal_wallis_value_by_type":
+        "rank prefix sum over the distinct-value aggregate (continuous-"
+        "double scale: bin values or partition-offset at 100 TB, same "
+        "caveat as stats_mann_whitney_u)",
     "stats_mann_whitney_u":
         "prefix sum over the distinct-value aggregate (bin or "
         "partition-offset at continuous-double scale, noted on the query)",
