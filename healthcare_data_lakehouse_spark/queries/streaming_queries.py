@@ -629,3 +629,68 @@ def streaming_static_enrichment_join(
     return res.join(users, ["window_start", "tier"]).select(
         "window_start", "tier", F.col("n_events").cast("bigint").alias("n_events"), "n_users"
     )
+
+
+@register(
+    "streaming_left_outer_interval_join",
+    oracle="""
+    WITH c AS (SELECT user_id, ts AS l_ts, event_id AS click_id
+               FROM events WHERE event_type = 'click'),
+    p AS (SELECT user_id, ts AS r_ts, event_id AS purchase_id
+          FROM events WHERE event_type = 'purchase'),
+    wm AS (
+        SELECT LEAST((SELECT MAX(l_ts) FROM c), (SELECT MAX(r_ts) FROM p))
+               - INTERVAL 10 MINUTE AS w
+    ),
+    matched AS (
+        SELECT c.user_id AS user_id, c.l_ts AS l_ts, c.click_id AS click_id,
+               p.r_ts AS r_ts, p.purchase_id AS purchase_id
+        FROM c JOIN p
+          ON c.user_id = p.user_id
+         AND p.r_ts >= c.l_ts
+         AND p.r_ts <= c.l_ts + INTERVAL 10 MINUTE
+    ),
+    unmatched AS (
+        SELECT c.user_id, c.l_ts, c.click_id,
+               CAST(NULL AS TIMESTAMP) AS r_ts,
+               CAST(NULL AS BIGINT) AS purchase_id
+        FROM c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM p
+            WHERE p.user_id = c.user_id
+              AND p.r_ts >= c.l_ts
+              AND p.r_ts <= c.l_ts + INTERVAL 10 MINUTE
+        )
+        AND c.l_ts + INTERVAL 10 MINUTE < (SELECT w FROM wm)
+    )
+    SELECT * FROM matched UNION ALL SELECT * FROM unmatched
+    """,
+    description="Stream-stream LEFT OUTER interval join (clicks left, "
+    "purchases right, 10-min bound), run as two real watermarked streams "
+    "drained with AvailableNow: matches emit immediately; a matchless "
+    "click is HELD IN STATE until the global watermark (min across both "
+    "streams' event-time maxima, minus the 10-min delay) proves no "
+    "future purchase can land inside its bound, then emits once with "
+    "nulls on the right. Clicks still inside the final watermark horizon "
+    "are never emitted as unmatched — that truncation is the streaming "
+    "outer-join contract on an unbounded feed, and the oracle restates "
+    "it exactly (anti-join filtered to l_ts + bound < final watermark). "
+    "Completes the join ladder: inner interval "
+    "(streaming_interval_join_clicks_purchases) -> stream-static "
+    "enrichment (streaming_static_enrichment_join) -> outer with "
+    "watermark-driven null emission (this).",
+)
+def streaming_left_outer_interval_join(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        run_interval_join_stream,
+    )
+
+    return run_interval_join_stream(
+        spark,
+        f"{sf_dir}/events.parquet",
+        scratch_dir("stream_lojo_"),
+        query_name=f"lojo_result_{uuid.uuid4().hex[:8]}",
+        how="left_outer",
+    ).select("user_id", "l_ts", "click_id", "r_ts", "purchase_id")

@@ -310,10 +310,20 @@ def join_streams_within_interval(
     right_ts: str = "r_ts",
     max_delay: str = "10 minutes",
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
-    """Stream-stream inner join: a right-side event matches a left-side
+    """Stream-stream join: a right-side event matches a left-side
     event with the same key when it lands within ``(left_ts, left_ts +
     max_delay]``.
+
+    ``how='left_outer'`` adds the outer-join streaming semantics: a left
+    row with NO match is held in state until the watermark proves no
+    future right row can satisfy the time bound (watermark past
+    ``left_ts + max_delay``), then emitted once with nulls on the right
+    side. On a drained bounded feed this means left rows inside the
+    final watermark horizon are never emitted as unmatched — that
+    truncation IS the streaming contract, and the batch oracle must
+    restate it.
 
     Both sides carry event-time watermarks and the join predicate carries
     the time bound — together they let Spark EXPIRE buffered rows on both
@@ -335,7 +345,7 @@ def join_streams_within_interval(
         & (right[right_ts] >= left[left_ts])
         & (right[right_ts] <= left[left_ts] + F.expr(f"INTERVAL {max_delay}"))
     )
-    return left.join(right, cond, "inner").drop(right[key])
+    return left.join(right, cond, how).drop(right[key])
 
 
 def run_interval_join_stream(
@@ -344,6 +354,7 @@ def run_interval_join_stream(
     work_dir: str,
     query_name: str = "interval_join_result",
     max_delay: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Run the click->purchase interval join AS two real streams over the
     bounded events source, drained with AvailableNow, and return the
@@ -376,7 +387,7 @@ def run_interval_join_stream(
         )
     )
     joined = join_streams_within_interval(
-        clicks, purchases, max_delay=max_delay
+        clicks, purchases, max_delay=max_delay, how=how
     )
     q = (
         joined.writeStream.format("memory")

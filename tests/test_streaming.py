@@ -561,3 +561,50 @@ def test_stream_static_join_equals_batch(spark, sf_dir):
     assert {r.tier for r in rows} <= {"low", "mid", "high"}
     for r in rows:
         assert 1 <= r.n_users <= r.n_events
+
+
+def test_left_outer_interval_join_watermark_contract(spark, sf_dir):
+    import datetime
+
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.queries.streaming_queries import (
+        streaming_left_outer_interval_join,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+
+    res = streaming_left_outer_interval_join(spark, sf_dir).cache()
+    matched = res.filter(F.col("purchase_id").isNotNull())
+    unmatched = res.filter(F.col("purchase_id").isNull())
+
+    ev = table(spark, sf_dir, "events")
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("l_ts"), F.col("event_id").alias("click_id")
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("pu"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    cond = (
+        (c.user_id == p.pu)
+        & (p.r_ts >= c.l_ts)
+        & (p.r_ts <= c.l_ts + F.expr("INTERVAL 10 MINUTES"))
+    )
+    # matches are exactly the batch inner join
+    batch_matched = c.join(p, cond, "inner")
+    assert matched.count() == batch_matched.count()
+
+    # every unmatched row is a batch anti-join row past the final watermark
+    maxc = c.agg(F.max("l_ts")).first()[0]
+    maxp = p.agg(F.max("r_ts")).first()[0]
+    wm = min(maxc, maxp) - datetime.timedelta(minutes=10)
+    anti = c.join(p, cond, "left_anti").filter(
+        F.col("l_ts") + F.expr("INTERVAL 10 MINUTES") < F.lit(wm)
+    )
+    assert unmatched.count() == anti.count()
+    got = {r.click_id for r in unmatched.collect()}
+    exp = {r.click_id for r in anti.collect()}
+    assert got == exp
+    # and at least one anti row sits inside the horizon (truncation real)
+    assert c.join(p, cond, "left_anti").count() > anti.count()
