@@ -4400,3 +4400,87 @@ def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return top_a.unionByName(top_h)
+
+# ------------------------------------------- AMS tug-of-war F2 sketch
+@register(
+    "sketch_ams_f2_user_moment",
+    oracle=f"""
+    WITH counts AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c,
+               md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events GROUP BY user_id
+    ),
+    signed AS (
+        SELECT j.j,
+               SUM((1 - 2 * (('0x' || substr(counts.h, j.j + 1, 1))::BIGINT
+                             % 2)) * counts.c) AS z
+        FROM counts CROSS JOIN (SELECT UNNEST(range(0, 16)) AS j) j
+        GROUP BY j.j
+    ),
+    est AS (SELECT CAST(SUM(z * z) AS BIGINT) AS sz FROM signed),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS f2,
+               CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM counts
+    )
+    SELECT n_users, f2 AS f2_exact,
+           {dround_sql("CAST(sz AS DOUBLE) / 16.0", 2)} AS f2_ams,
+           {dround_sql(
+               "100.0 * (CAST(sz AS DOUBLE) / 16.0 - f2) / f2", 4)}
+               AS rel_error_pct
+    FROM exact CROSS JOIN est
+    """,
+    description="AMS (Alon-Matias-Szegedy) tug-of-war sketch estimating "
+    "the second frequency moment F2 = sum c_u^2 of the per-user event "
+    "distribution — the self-join-size / skew statistic behind join "
+    "planning and heavy-hitter detection — against the exact value. "
+    "16 independent +-1 sign vectors come from md5 hex-digit parities, "
+    "so every Z_j = sum sign*c_u is an EXACT integer (map-side "
+    "combinable agg; the 16x expansion rides one explode on the "
+    "user-grain aggregate, not the fact table) and the estimate "
+    "mean(Z_j^2) stays exact until one final division. In streaming "
+    "form the same Z_j update per event is O(16) state total — this is "
+    "the batch twin auditing its error. Complements "
+    "sketch_join_cardinality_estimate (sampling) with a sketch whose "
+    "error bound is distribution-free.",
+)
+def sketch_ams_f2_user_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    ).withColumn("h", F.md5(F.col("user_id").cast("string")))
+    js = spark.range(0, 16).select(F.col("id").cast("int").alias("j"))
+    signed = (
+        counts.crossJoin(F.broadcast(js))
+        .select(
+            "j",
+            (
+                (
+                    1
+                    - 2
+                    * (
+                        F.conv(F.expr("substring(h, j + 1, 1)"), 16, 10)
+                        .cast("bigint")
+                        % 2
+                    )
+                )
+                * F.col("c")
+            ).alias("s"),
+        )
+        .groupBy("j")
+        .agg(F.sum("s").alias("z"))
+    )
+    est = signed.agg(F.sum(F.col("z") * F.col("z")).cast("bigint").alias("sz"))
+    exact = counts.agg(
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("f2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+    )
+    ams = F.col("sz").cast("double") / 16.0
+    return exact.crossJoin(F.broadcast(est)).select(
+        "n_users",
+        F.col("f2").alias("f2_exact"),
+        dround(ams, 2).alias("f2_ams"),
+        dround(100.0 * (ams - F.col("f2")) / F.col("f2"), 4).alias(
+            "rel_error_pct"
+        ),
+    )

@@ -9237,3 +9237,116 @@ def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             "flesch_reading_ease"
         ),
     )
+
+
+# ------------------------------------------ Horvitz-Thompson PPS audit
+@register(
+    "sample_horvitz_thompson_chars",
+    oracle=f"""
+    WITH base AS (
+        SELECT doc_id, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) / 281474976710656.0 AS u
+        FROM documents
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_chars) AS BIGINT) AS x,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM base
+    ),
+    marked AS (
+        SELECT b.n_chars, t.x, t.n_docs,
+               LEAST(1.0, 200.0 * b.n_chars / t.x) AS pi,
+               b.u < LEAST(1.0, 200.0 * b.n_chars / t.x) AS sampled,
+               200.0 * b.n_chars >= t.x AS certainty
+        FROM base b CROSS JOIN tot t
+    ),
+    agg AS (
+        SELECT MAX(x) AS x, MAX(n_docs) AS n_docs,
+               CAST(COUNT(*) FILTER (WHERE sampled) AS BIGINT) AS n_sampled,
+               CAST(COUNT(*) FILTER (WHERE sampled AND NOT certainty)
+                    AS BIGINT) AS n_small,
+               CAST(COALESCE(SUM(n_chars)
+                    FILTER (WHERE sampled AND NOT certainty), 0)
+                    AS BIGINT) AS sx_small,
+               CAST(COALESCE(SUM(n_chars)
+                    FILTER (WHERE sampled AND certainty), 0)
+                    AS BIGINT) AS sx_big
+        FROM marked
+    )
+    SELECT n_docs, n_sampled, x AS true_total,
+           {dround_sql("n_small * (CAST(x AS DOUBLE) / 200.0) + sx_big", 2)}
+               AS ht_total,
+           {dround_sql(
+               "100.0 * ((n_small * (CAST(x AS DOUBLE) / 200.0) + sx_big) - x)"
+               " / x", 4)} AS rel_error_pct,
+           {dround_sql(
+               "sqrt((CAST(x AS DOUBLE) / 200.0) * (CAST(x AS DOUBLE) / 200.0)"
+               " * (n_small - 200.0 * sx_small / x))", 2)} AS se_est
+    FROM agg
+    """,
+    description="Horvitz-Thompson estimation under deterministic "
+    "Poisson-PPS sampling (inclusion probability proportional to "
+    "n_chars, expected sample ~200 docs, md5-hash uniforms so the "
+    "'random' draw is reproducible across engines, runs, and "
+    "partitionings): the design-unbiased answer to 'estimate corpus "
+    "token mass from a size-biased sample'. The key identity is kept "
+    "EXACT: under strict PPS every non-certainty sampled unit "
+    "contributes x_i/pi_i = X/n0 — a constant — so the estimator "
+    "collapses to integer counts times one ratio, plus certainty units "
+    "verbatim; the HT variance estimator collapses the same way. One "
+    "scan + one broadcast total; no per-row float accumulation to "
+    "drift.",
+)
+def sample_horvitz_thompson_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .cast("double")
+        / F.lit(281474976710656.0)
+    )
+    base = docs.select("doc_id", "n_chars", u.alias("u"))
+    tot = base.agg(
+        F.sum("n_chars").cast("bigint").alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+    )
+    pi = F.least(F.lit(1.0), 200.0 * F.col("n_chars") / F.col("x"))
+    marked = base.crossJoin(F.broadcast(tot)).select(
+        "n_chars",
+        "x",
+        "n_docs",
+        (F.col("u") < pi).alias("sampled"),
+        (200.0 * F.col("n_chars") >= F.col("x")).alias("certainty"),
+    )
+    sm = F.col("sampled") & ~F.col("certainty")
+    bg = F.col("sampled") & F.col("certainty")
+    agg = marked.agg(
+        F.max("x").alias("x"),
+        F.max("n_docs").alias("n_docs"),
+        F.sum(F.col("sampled").cast("int")).cast("bigint").alias("n_sampled"),
+        F.sum(sm.cast("int")).cast("bigint").alias("n_small"),
+        F.coalesce(F.sum(F.when(sm, F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("sx_small"),
+        F.coalesce(F.sum(F.when(bg, F.col("n_chars"))), F.lit(0))
+        .cast("bigint")
+        .alias("sx_big"),
+    )
+    ratio = F.col("x").cast("double") / 200.0
+    ht = F.col("n_small") * ratio + F.col("sx_big")
+    return agg.select(
+        "n_docs",
+        "n_sampled",
+        F.col("x").alias("true_total"),
+        dround(ht, 2).alias("ht_total"),
+        dround(100.0 * (ht - F.col("x")) / F.col("x"), 4).alias(
+            "rel_error_pct"
+        ),
+        dround(
+            F.sqrt(
+                ratio * ratio * (F.col("n_small") - 200.0 * F.col("sx_small") / F.col("x"))
+            ),
+            2,
+        ).alias("se_est"),
+    )

@@ -528,3 +528,29 @@ def test_hits_matches_bruteforce(spark, sf_dir):
     # normalized scores are a probability-style distribution slice
     for r in rows:
         assert 0.0 < r.norm_score <= 1.0
+
+
+def test_ams_f2_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.analytics import (
+        sketch_ams_f2_user_moment,
+    )
+
+    r = sketch_ams_f2_user_moment(spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    counts = ev.groupby("user_id").size()
+    f2 = int((counts**2).sum())
+    sz = 0
+    for j in range(16):
+        z = 0
+        for uid, c in counts.items():
+            d = int(hashlib.md5(str(uid).encode()).hexdigest()[j], 16)
+            z += (1 - 2 * (d % 2)) * int(c)
+        sz += z * z
+    assert r.n_users == len(counts)
+    assert r.f2_exact == f2
+    assert abs(r.f2_ams - sz / 16.0) < 0.01

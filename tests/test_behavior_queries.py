@@ -745,3 +745,34 @@ def test_kruskal_wallis_reduces_to_zero_on_identical_groups(spark, sf_dir):
     r = stats_kruskal_wallis_value_by_type(spark, sf_dir).collect()[0]
     assert r.h_stat >= 0
     assert r.h_corrected >= r.h_stat
+
+
+def test_ljung_box_matches_bruteforce(spark, sf_dir):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_ljung_box_daily_volume,
+    )
+
+    rows = {
+        r.lag: r for r in stats_ljung_box_daily_volume(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(range(1, 8))
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupby(ev["ts"].dt.normalize()).size()
+    idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+    series = daily.reindex(idx, fill_value=0).to_numpy(dtype=float)
+    n = len(series)
+    m = series.mean()
+    dev = series - m
+    ss = (dev**2).sum()
+    q = 0.0
+    for k in range(1, 8):
+        rho = (dev[:-k] * dev[k:]).sum() / ss
+        q += rho**2 / (n - k)
+        r = rows[k]
+        assert abs(r.rho - rho) < 1e-4
+        assert abs(r.q_stat - n * (n + 2) * q) < 1e-2
+    # the event feed has strong day-to-day structure: Q(7) >> chi2 crit 14.1
+    assert rows[7].q_stat > 0

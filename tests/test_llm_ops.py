@@ -2038,3 +2038,35 @@ def test_flesch_readability_matches_bruteforce(spark, sf_dir):
         assert abs(r.flesch_reading_ease - flesch) < 1e-3
         # the vowel-group floor guarantees at least one syllable per word
         assert r.syllables_per_word >= 1.0
+
+
+def test_horvitz_thompson_identities(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        sample_horvitz_thompson_chars,
+    )
+
+    r = sample_horvitz_thompson_chars(spark, sf_dir).collect()[0]
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    x = int(docs["n_chars"].sum())
+    ht = 0.0
+    n_sampled = 0
+    for doc_id, nc in zip(docs["doc_id"], docs["n_chars"]):
+        u = (
+            int(hashlib.md5(str(doc_id).encode()).hexdigest()[:12], 16)
+            / 281474976710656.0
+        )
+        pi = min(1.0, 200.0 * nc / x)
+        if u < pi:
+            n_sampled += 1
+            ht += nc / pi
+    assert r.n_docs == len(docs)
+    assert r.true_total == x
+    assert r.n_sampled == n_sampled
+    assert abs(r.ht_total - ht) < 0.5
+    # design-unbiasedness sanity: estimate lands within a few SEs of truth
+    assert abs(r.ht_total - x) < 6 * max(r.se_est, 1.0)
