@@ -2100,3 +2100,138 @@ def stats_cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cramers_v_corrected"
         ),
     )
+
+
+# ------------------------------------------- Nelson-Aalen cumulative hazard
+@register(
+    "stats_nelson_aalen_cumhaz",
+    oracle=f"""
+    WITH marked AS (
+        SELECT user_id, ts,
+               CASE WHEN datediff('microsecond',
+                        LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts)
+                        > 1800000000
+                     OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                        IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id,
+               SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid,
+               ts
+        FROM marked
+    ),
+    iv AS (
+        SELECT user_id,
+               CAST(datediff('microsecond', MIN(ts), MAX(ts)) // 60000000
+                    AS BIGINT) AS dur,
+               MAX(ts) AS e
+        FROM sess GROUP BY user_id, sid
+    ),
+    lastev AS (SELECT user_id, MAX(ts) AS last_ts FROM events GROUP BY 1),
+    obs AS (
+        SELECT iv.dur,
+               CASE WHEN iv.e = l.last_ts THEN 0 ELSE 1 END AS event
+        FROM iv JOIN lastev l ON iv.user_id = l.user_id
+    ),
+    by_t AS (
+        SELECT dur, SUM(event) AS d, COUNT(*) AS m
+        FROM obs GROUP BY dur
+    ),
+    risk AS (
+        SELECT dur, d,
+               SUM(m) OVER (ORDER BY dur DESC
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS n_at_risk
+        FROM by_t
+    )
+    SELECT dur AS dur_minutes, CAST(n_at_risk AS INT) AS n_at_risk,
+           CAST(d AS INT) AS n_ended,
+           {dround_sql(
+               "SUM(CAST(d AS DOUBLE) / n_at_risk)"
+               " OVER (ORDER BY dur"
+               "       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 4)}
+               AS na_cum_hazard,
+           {dround_sql(
+               "SUM(CAST(d AS DOUBLE) / (CAST(n_at_risk AS DOUBLE)"
+               "                          * n_at_risk))"
+               " OVER (ORDER BY dur"
+               "       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)", 6)}
+               AS na_variance,
+           {dround_sql(
+               "exp(-SUM(CAST(d AS DOUBLE) / n_at_risk)"
+               "     OVER (ORDER BY dur"
+               "           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))",
+               4)} AS fh_survival
+    FROM risk WHERE d > 0
+    """,
+    description="Nelson-Aalen cumulative hazard of session duration "
+    "(minute grain, 30-min-gap sessions, final session per user "
+    "right-censored) with its variance estimator and the derived "
+    "Fleming-Harrington survival exp(-H) — the additive companion to "
+    "stats_kaplan_meier_session_duration's product-limit curve (NA is "
+    "preferred at small risk sets and is the quantity Cox models "
+    "baseline on; FH >= KM pointwise is a built-in cross-check). Same "
+    "scale shape as KM: one sessionization pass, then every window "
+    "runs over the DURATION-grain table (<= max-session-minutes rows); "
+    "the ordered prefix sums accumulate in sorted order, so both "
+    "engines add the same doubles in the same sequence.",
+)
+def stats_nelson_aalen_cumhaz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts")
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+    sess = (
+        ev.withColumn(
+            "new_sess",
+            F.when(gap_us.isNull() | (gap_us > 1_800_000_000), 1).otherwise(0),
+        )
+        .withColumn(
+            "sid",
+            F.sum("new_sess").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .groupBy("user_id", "sid")
+        .agg(
+            (
+                (F.unix_micros(F.max("ts")) - F.unix_micros(F.min("ts")))
+                / F.lit(60_000_000)
+            )
+            .cast("long")
+            .alias("dur"),
+            F.max("ts").alias("e"),
+        )
+    )
+    lastev = ev.groupBy("user_id").agg(F.max("ts").alias("last_ts"))
+    obs = sess.join(lastev, "user_id").select(
+        "dur",
+        F.when(F.col("e") == F.col("last_ts"), 0).otherwise(1).alias("event"),
+    )
+    by_t = obs.groupBy("dur").agg(
+        F.sum("event").alias("d"), F.count(F.lit(1)).alias("m")
+    )
+    w_desc = Window.orderBy(F.col("dur").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    risk = by_t.withColumn("n_at_risk", F.sum("m").over(w_desc))
+    w_asc = Window.orderBy("dur").rowsBetween(Window.unboundedPreceding, 0)
+    dd = F.col("d").cast("double")
+    haz = F.sum(dd / F.col("n_at_risk")).over(w_asc)
+    var = F.sum(
+        dd / (F.col("n_at_risk").cast("double") * F.col("n_at_risk"))
+    ).over(w_asc)
+    return (
+        risk.withColumn("na_cum_hazard", dround(haz, 4))
+        .withColumn("na_variance", dround(var, 6))
+        .withColumn("fh_survival", dround(F.exp(-haz), 4))
+        .filter(F.col("d") > 0)
+        .select(
+            F.col("dur").alias("dur_minutes"),
+            F.col("n_at_risk").cast("int").alias("n_at_risk"),
+            F.col("d").cast("int").alias("n_ended"),
+            "na_cum_hazard",
+            "na_variance",
+            "fh_survival",
+        )
+    )

@@ -3448,7 +3448,7 @@ def stats_ljung_box_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ra, rb = rho.alias("ra"), rho.alias("rb")
     return (
-        ra.join(rb, F.col("rb.k") <= F.col("ra.k"))
+        ra.join(F.broadcast(rb), F.col("rb.k") <= F.col("ra.k"))
         .groupBy(F.col("ra.k"), F.col("ra.r"), F.col("ra.n_days"))
         .agg(
             F.sum(

@@ -9350,3 +9350,79 @@ def sample_horvitz_thompson_chars(spark: SparkSession, sf_dir: str) -> DataFrame
             2,
         ).alias("se_est"),
     )
+
+
+# ------------------------------------- Fleiss' kappa, three raters
+@register(
+    "stats_fleiss_kappa_quality_raters",
+    oracle=f"""
+    WITH {_QEVAL_SQL},
+    fk_rated AS (
+        SELECT (label
+                + CASE WHEN q >= 0.55 THEN 1 ELSE 0 END
+                + CASE WHEN q >= 0.45 THEN 1 ELSE 0 END) AS n1
+        FROM qe_labeled
+    ),
+    fk_agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(n1) AS BIGINT) AS s1,
+               CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS sq
+        FROM fk_rated
+    )
+    SELECT n AS n_docs, s1 AS votes_keep,
+           {dround_sql("CAST(sq - 3 * n AS DOUBLE) / (6.0 * n)", 6)} AS p_bar,
+           {dround_sql(
+               "(CAST(s1 AS DOUBLE) / (3.0 * n)) * (CAST(s1 AS DOUBLE) / (3.0 * n))"
+               " + (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))"
+               "   * (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))", 6)} AS p_e,
+           {dround_sql(
+               "(CAST(sq - 3 * n AS DOUBLE) / (6.0 * n)"
+               " - ((CAST(s1 AS DOUBLE) / (3.0 * n)) * (CAST(s1 AS DOUBLE) / (3.0 * n))"
+               "    + (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))"
+               "      * (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))))"
+               " / (1.0 - ((CAST(s1 AS DOUBLE) / (3.0 * n)) * (CAST(s1 AS DOUBLE) / (3.0 * n))"
+               "    + (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))"
+               "      * (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))))", 6)}
+               AS fleiss_kappa
+    FROM fk_agg
+    """,
+    description="Fleiss' kappa across THREE rule-based quality raters "
+    "(the Gopher gate, a strict 0.55 threshold, a lenient 0.45 "
+    "threshold on the continuous score) — the multi-rater "
+    "generalization of stats_cohens_kappa_quality_raters, the "
+    "standard agreement statistic for LLM-judge panels and labeling "
+    "crowds. Per-doc agreement P_i collapses to integer vote counts "
+    "(n1 in 0..3), so N, sum n1, and sum of squared votes are the ONLY "
+    "aggregates needed; kappa is one exact scalar expression over "
+    "three BIGINTs — engines cannot diverge. One scan, one 1-row "
+    "reduce; rater count is a constant, not a data dimension.",
+)
+def stats_fleiss_kappa_quality_raters(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    labeled = _quality_vs_gopher(spark, sf_dir)
+    n1 = (
+        F.col("label")
+        + F.when(F.col("q") >= 0.55, 1).otherwise(0)
+        + F.when(F.col("q") >= 0.45, 1).otherwise(0)
+    )
+    agg = labeled.select(n1.alias("n1")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("n1").cast("bigint").alias("s1"),
+        F.sum(
+            F.col("n1") * F.col("n1") + (3 - F.col("n1")) * (3 - F.col("n1"))
+        )
+        .cast("bigint")
+        .alias("sq"),
+    )
+    nd = F.col("n").cast("double")
+    p_bar = (F.col("sq") - 3 * F.col("n")).cast("double") / (6.0 * nd)
+    p1 = F.col("s1").cast("double") / (3.0 * nd)
+    p_e = p1 * p1 + (1.0 - p1) * (1.0 - p1)
+    return agg.select(
+        F.col("n").alias("n_docs"),
+        F.col("s1").alias("votes_keep"),
+        dround(p_bar, 6).alias("p_bar"),
+        dround(p_e, 6).alias("p_e"),
+        dround((p_bar - p_e) / (1.0 - p_e), 6).alias("fleiss_kappa"),
+    )

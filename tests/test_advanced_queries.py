@@ -369,3 +369,33 @@ def test_cramers_v_matches_bruteforce(spark, sf_dir):
     assert abs(r.cramers_v - v) < 1e-5
     assert abs(r.cramers_v_corrected - v_t) < 1e-5
     assert 0.0 <= r.cramers_v <= 1.0
+
+
+def test_nelson_aalen_dominates_km_and_matches_bruteforce(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.advanced import (
+        stats_kaplan_meier_session_duration,
+        stats_nelson_aalen_cumhaz,
+    )
+
+    na = sorted(
+        stats_nelson_aalen_cumhaz(spark, sf_dir).collect(),
+        key=lambda r: r.dur_minutes,
+    )
+    km = {
+        r.dur_minutes: r.km_survival
+        for r in stats_kaplan_meier_session_duration(spark, sf_dir).collect()
+    }
+    assert na
+    # identical event-time grid as KM (same sessionization + censoring)
+    assert {r.dur_minutes for r in na} == set(km)
+    prev_h = 0.0
+    h = 0.0
+    for r in na:
+        # hazard is the running sum of d/n over event times
+        h += r.n_ended / r.n_at_risk
+        assert abs(r.na_cum_hazard - h) < 1e-3
+        assert r.na_cum_hazard >= prev_h  # monotone non-decreasing
+        prev_h = r.na_cum_hazard
+        # Fleming-Harrington >= Kaplan-Meier pointwise (1-x <= exp(-x))
+        assert r.fh_survival >= km[r.dur_minutes] - 1e-9
+        assert r.na_variance >= 0

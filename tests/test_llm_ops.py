@@ -2070,3 +2070,29 @@ def test_horvitz_thompson_identities(spark, sf_dir):
     assert abs(r.ht_total - ht) < 0.5
     # design-unbiasedness sanity: estimate lands within a few SEs of truth
     assert abs(r.ht_total - x) < 6 * max(r.se_est, 1.0)
+
+
+def test_fleiss_kappa_matches_bruteforce(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        _quality_vs_gopher,
+        stats_fleiss_kappa_quality_raters,
+    )
+
+    r = stats_fleiss_kappa_quality_raters(spark, sf_dir).collect()[0]
+
+    rows = _quality_vs_gopher(spark, sf_dir).collect()
+    n = len(rows)
+    votes = [
+        row.label + (1 if row.q >= 0.55 else 0) + (1 if row.q >= 0.45 else 0)
+        for row in rows
+    ]
+    s1 = sum(votes)
+    p_bar = sum(v * v + (3 - v) * (3 - v) - 3 for v in votes) / (6.0 * n)
+    p1 = s1 / (3.0 * n)
+    p_e = p1 * p1 + (1 - p1) * (1 - p1)
+    kappa = (p_bar - p_e) / (1 - p_e)
+
+    assert r.n_docs == n and r.votes_keep == s1
+    assert abs(r.p_bar - p_bar) < 1e-5
+    assert abs(r.fleiss_kappa - kappa) < 1e-5
+    assert -1.0 <= r.fleiss_kappa <= 1.0

@@ -51,6 +51,7 @@ GRAIN_BOUNDS = {
     "stats_benjamini_hochberg": 16,
     "stats_gini_customer_revenue": 500,
     "stats_kaplan_meier_session_duration": 100,
+    "stats_nelson_aalen_cumhaz": 100,
     "stats_ks_value_drift": 400,
     "stats_kruskal_wallis_value_by_type": 3_000,
     "stats_mann_whitney_u": 1_200,

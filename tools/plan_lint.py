@@ -78,6 +78,9 @@ GLOBAL_WINDOW_OK = {
         "rank window over the customer-grain aggregate (partition-offset "
         "scheme at 1e8+ customers, see pipeline_global_row_index)",
     "events_changepoint_cusum": "CUSUM prefix sum over the day-grain series",
+    "stats_nelson_aalen_cumhaz":
+        "hazard/variance prefix sums over the duration-grain table "
+        "(<= max-session-minutes rows, same grain as Kaplan-Meier)",
     "stats_kaplan_meier_session_duration":
         "risk-set and product-limit windows over the duration-grain "
         "table (<= max-lifetime-days rows)",
