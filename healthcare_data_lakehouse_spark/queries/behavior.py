@@ -3464,3 +3464,106 @@ def stats_ljung_box_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("q_stat"),
         )
     )
+
+
+# ---------------------------------- Cochran-Mantel-Haenszel stratified test
+@register(
+    "events_cmh_purchase_by_variant_daystrata",
+    oracle=f"""
+    WITH pc AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(user_id % 2 AS INT) AS variant,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS hit
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    strata AS (
+        SELECT day,
+               CAST(SUM(CASE WHEN variant = 0 THEN hit ELSE 0 END)
+                    AS BIGINT) AS a,
+               CAST(SUM(CASE WHEN variant = 0 THEN 1 - hit ELSE 0 END)
+                    AS BIGINT) AS b,
+               CAST(SUM(CASE WHEN variant = 1 THEN hit ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN variant = 1 THEN 1 - hit ELSE 0 END)
+                    AS BIGINT) AS d
+        FROM pc GROUP BY day
+    ),
+    kept AS (SELECT * FROM strata WHERE a + b + c + d > 1),
+    terms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+               SUM(CAST(a AS DOUBLE)) AS sa,
+               SUM(CAST((a + b) AS DOUBLE) * (a + c) / (a + b + c + d)) AS se,
+               SUM(CAST((a + b) AS DOUBLE) * (c + d) * (a + c) * (b + d)
+                   / (CAST((a + b + c + d) AS DOUBLE)
+                      * (a + b + c + d) * (a + b + c + d - 1))) AS sv,
+               SUM(CAST(a AS DOUBLE) * d / (a + b + c + d)) AS smh_num,
+               SUM(CAST(b AS DOUBLE) * c / (a + b + c + d)) AS smh_den
+        FROM kept
+    )
+    SELECT n_strata,
+           {dround_sql("(sa - se) * (sa - se) / sv", 4)} AS cmh_chi2,
+           {dround_sql("smh_num / smh_den", 4)} AS mh_odds_ratio
+    FROM terms
+    """,
+    description="Cochran-Mantel-Haenszel test of variant -> purchase "
+    "association stratified by DAY (variant = deterministic user_id "
+    "parity split): the Simpson's-paradox-proof A/B readout — pooling "
+    "days can manufacture or mask an effect when traffic mix shifts, "
+    "while CMH compares within each day and pools evidence; the "
+    "Mantel-Haenszel common odds ratio is the effect size. Each "
+    "stratum's 2x2 cells are one integer groupBy(day) pass; the "
+    "statistic sums ~|days| rational terms — dim-grain work at any "
+    "corpus size, fact-grain cost is the single scan.",
+)
+def events_cmh_purchase_by_variant_daystrata(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    pc = ev.select(
+        F.col("ts").cast("date").alias("day"),
+        (F.col("user_id") % 2).cast("int").alias("variant"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("hit"),
+    )
+    strata = pc.groupBy("day").agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("hit")).otherwise(0))
+        .cast("bigint")
+        .alias("a"),
+        F.sum(F.when(F.col("variant") == 0, 1 - F.col("hit")).otherwise(0))
+        .cast("bigint")
+        .alias("b"),
+        F.sum(F.when(F.col("variant") == 1, F.col("hit")).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(F.col("variant") == 1, 1 - F.col("hit")).otherwise(0))
+        .cast("bigint")
+        .alias("d"),
+    )
+    n = F.col("a") + F.col("b") + F.col("c") + F.col("d")
+    kept = strata.filter(n > 1)
+    nd = n.cast("double")
+    terms = kept.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_strata"),
+        F.sum(F.col("a").cast("double")).alias("sa"),
+        F.sum(
+            (F.col("a") + F.col("b")).cast("double") * (F.col("a") + F.col("c")) / n
+        ).alias("se"),
+        F.sum(
+            (F.col("a") + F.col("b")).cast("double")
+            * (F.col("c") + F.col("d"))
+            * (F.col("a") + F.col("c"))
+            * (F.col("b") + F.col("d"))
+            / (nd * n * (n - 1))
+        ).alias("sv"),
+        F.sum(F.col("a").cast("double") * F.col("d") / n).alias("smh_num"),
+        F.sum(F.col("b").cast("double") * F.col("c") / n).alias("smh_den"),
+    )
+    return terms.select(
+        "n_strata",
+        dround(
+            (F.col("sa") - F.col("se")) * (F.col("sa") - F.col("se")) / F.col("sv"),
+            4,
+        ).alias("cmh_chi2"),
+        dround(F.col("smh_num") / F.col("smh_den"), 4).alias("mh_odds_ratio"),
+    )

@@ -9426,3 +9426,171 @@ def stats_fleiss_kappa_quality_raters(
         dround(p_e, 6).alias("p_e"),
         dround((p_bar - p_e) / (1.0 - p_e), 6).alias("fleiss_kappa"),
     )
+
+
+# ------------------------------------- McNemar paired-rater test
+@register(
+    "stats_mcnemar_quality_raters",
+    oracle=f"""
+    WITH {_QEVAL_SQL},
+    mc_cells AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN label = 1 AND q < 0.55 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n10,
+               CAST(SUM(CASE WHEN label = 0 AND q >= 0.55 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n01
+        FROM qe_labeled
+    )
+    SELECT n, n10 AS gopher_only_keeps, n01 AS score_only_keeps,
+           {dround_sql(
+               "CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)", 4)}
+               AS mcnemar_chi2,
+           {dround_sql(
+               "(abs(CAST(n10 - n01 AS DOUBLE)) - 1.0)"
+               " * (abs(CAST(n10 - n01 AS DOUBLE)) - 1.0) / (n10 + n01)", 4)}
+               AS mcnemar_chi2_cc
+    FROM mc_cells
+    """,
+    description="McNemar's paired test on the SAME documents rated by "
+    "the Gopher gate and the 0.55 score threshold: kappa "
+    "(stats_cohens_kappa_quality_raters) asks 'do they agree'; McNemar "
+    "asks the sharper replacement question — 'when they disagree, is "
+    "one systematically stricter?' Only the discordant cells enter the "
+    "statistic, so it detects marginal-rate bias that high agreement "
+    "can hide. Integer cells from one scan; chi2 (plus the "
+    "continuity-corrected variant) is one exact expression over two "
+    "BIGINTs.",
+)
+def stats_mcnemar_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = _quality_vs_gopher(spark, sf_dir)
+    cells = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(((F.col("label") == 1) & (F.col("q") < 0.55)).cast("int"))
+        .cast("bigint")
+        .alias("n10"),
+        F.sum(((F.col("label") == 0) & (F.col("q") >= 0.55)).cast("int"))
+        .cast("bigint")
+        .alias("n01"),
+    )
+    diff = (F.col("n10") - F.col("n01")).cast("double")
+    tot = F.col("n10") + F.col("n01")
+    return cells.select(
+        "n",
+        F.col("n10").alias("gopher_only_keeps"),
+        F.col("n01").alias("score_only_keeps"),
+        dround(diff * diff / tot, 4).alias("mcnemar_chi2"),
+        dround(
+            (F.abs(diff) - 1.0) * (F.abs(diff) - 1.0) / tot, 4
+        ).alias("mcnemar_chi2_cc"),
+    )
+
+
+# ------------------------------------- content-defined chunk dedup
+@register(
+    "dedup_content_defined_chunks",
+    oracle=f"""
+    WITH cdc_toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(text, ' '), 1) AS pos,
+               unnest(string_split(text, ' ')) AS tok
+        FROM documents
+    ),
+    cdc_marked AS (
+        SELECT doc_id, pos, tok,
+               CASE WHEN ('0x' || substr(md5(tok), 1, 1))::BIGINT % 8 = 0
+                    THEN 1 ELSE 0 END AS boundary
+        FROM cdc_toks
+    ),
+    cdc_chunked AS (
+        SELECT doc_id, pos, tok,
+               COALESCE(SUM(boundary) OVER (
+                   PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS cid
+        FROM cdc_marked
+    ),
+    cdc_chunks AS (
+        SELECT doc_id, cid,
+               md5(string_agg(tok, ' ' ORDER BY pos)) AS chash,
+               CAST(COUNT(*) AS BIGINT) AS n_toks
+        FROM cdc_chunked GROUP BY doc_id, cid
+    ),
+    cdc_reuse AS (
+        SELECT chash, CAST(COUNT(*) AS BIGINT) AS uses,
+               CAST(MAX(n_toks) AS BIGINT) AS n_toks
+        FROM cdc_chunks GROUP BY chash
+    )
+    SELECT CAST(SUM(uses) AS BIGINT) AS n_chunks,
+           CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
+           {dround_sql(
+               "1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(uses)", 6)}
+               AS dup_chunk_frac,
+           {dround_sql(
+               "CAST(SUM(uses * n_toks) AS DOUBLE) / SUM(uses)", 4)}
+               AS avg_chunk_tokens,
+           CAST(MAX(uses) AS BIGINT) AS max_chunk_reuse
+    FROM cdc_reuse
+    """,
+    description="Content-defined chunking (CDC) dedup audit: chunk "
+    "boundaries come from each token's OWN hash (md5 first hex digit % "
+    "8 == 0, expected chunk ~8 tokens), so a one-token insertion "
+    "reshifts at most one chunk instead of every fixed-width block "
+    "downstream — the property that makes CDC the storage-dedup "
+    "standard (LBFS/restic/borg) and the right primitive for detecting "
+    "COPIED SPANS across documents that exact-doc and minhash dedup "
+    "both miss. Corpus-level readout: chunk count, unique chunks, "
+    "duplicated-chunk fraction, mean chunk length, hottest chunk "
+    "reuse. One explode + one partitioned prefix sum + two hash aggs — "
+    "all keyed shuffles, no global ordering anywhere.",
+)
+def dedup_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    marked = toks.withColumn(
+        "boundary",
+        (
+            F.conv(F.substring(F.md5(F.col("tok")), 1, 1), 16, 10).cast(
+                "bigint"
+            )
+            % 8
+            == 0
+        ).cast("int"),
+    )
+    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    chunked = marked.withColumn(
+        "cid", F.coalesce(F.sum("boundary").over(wdoc), F.lit(0))
+    )
+    chunks = chunked.groupBy("doc_id", "cid").agg(
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda x: x["tok"],
+                ),
+                " ",
+            )
+        ).alias("chash"),
+        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
+    )
+    reuse = chunks.groupBy("chash").agg(
+        F.count(F.lit(1)).cast("bigint").alias("uses"),
+        F.max("n_toks").cast("bigint").alias("n_toks"),
+    )
+    return reuse.agg(
+        F.sum("uses").cast("bigint").alias("n_chunks"),
+        F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
+        dround(
+            1.0 - F.count(F.lit(1)).cast("double") / F.sum("uses"), 6
+        ).alias("dup_chunk_frac"),
+        dround(
+            F.sum(F.col("uses") * F.col("n_toks")).cast("double")
+            / F.sum("uses"),
+            4,
+        ).alias("avg_chunk_tokens"),
+        F.max("uses").cast("bigint").alias("max_chunk_reuse"),
+    )

@@ -776,3 +776,39 @@ def test_ljung_box_matches_bruteforce(spark, sf_dir):
         assert abs(r.q_stat - n * (n + 2) * q) < 1e-2
     # the event feed has strong day-to-day structure: Q(7) >> chi2 crit 14.1
     assert rows[7].q_stat > 0
+
+
+def test_cmh_matches_bruteforce(spark, sf_dir):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_cmh_purchase_by_variant_daystrata,
+    )
+
+    r = events_cmh_purchase_by_variant_daystrata(spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev = ev[ev["event_type"].isin(["purchase", "click"])].copy()
+    ev["day"] = ev["ts"].dt.normalize()
+    ev["variant"] = ev["user_id"] % 2
+    ev["hit"] = (ev["event_type"] == "purchase").astype(int)
+    sa = se = sv = num = den = 0.0
+    n_strata = 0
+    for _, g in ev.groupby("day"):
+        a = int(((g.variant == 0) & (g.hit == 1)).sum())
+        b = int(((g.variant == 0) & (g.hit == 0)).sum())
+        c = int(((g.variant == 1) & (g.hit == 1)).sum())
+        d = int(((g.variant == 1) & (g.hit == 0)).sum())
+        n = a + b + c + d
+        if n <= 1:
+            continue
+        n_strata += 1
+        sa += a
+        se += (a + b) * (a + c) / n
+        sv += (a + b) * (c + d) * (a + c) * (b + d) / (n * n * (n - 1))
+        num += a * d / n
+        den += b * c / n
+    assert r.n_strata == n_strata
+    assert abs(r.cmh_chi2 - (sa - se) ** 2 / sv) < 1e-3
+    assert abs(r.mh_odds_ratio - num / den) < 1e-3
+    assert r.mh_odds_ratio > 0

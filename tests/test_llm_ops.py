@@ -2096,3 +2096,57 @@ def test_fleiss_kappa_matches_bruteforce(spark, sf_dir):
     assert abs(r.p_bar - p_bar) < 1e-5
     assert abs(r.fleiss_kappa - kappa) < 1e-5
     assert -1.0 <= r.fleiss_kappa <= 1.0
+
+
+def test_mcnemar_matches_kappa_cells(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        _quality_vs_gopher,
+        stats_mcnemar_quality_raters,
+    )
+
+    r = stats_mcnemar_quality_raters(spark, sf_dir).collect()[0]
+    rows = _quality_vs_gopher(spark, sf_dir).collect()
+    n10 = sum(1 for x in rows if x.label == 1 and x.q < 0.55)
+    n01 = sum(1 for x in rows if x.label == 0 and x.q >= 0.55)
+    assert r.gopher_only_keeps == n10
+    assert r.score_only_keeps == n01
+    assert abs(r.mcnemar_chi2 - (n10 - n01) ** 2 / (n10 + n01)) < 1e-3
+    # continuity correction only ever shrinks the statistic
+    assert r.mcnemar_chi2_cc <= r.mcnemar_chi2 + 1e-9
+
+
+def test_cdc_chunks_match_bruteforce(spark, sf_dir):
+    import hashlib
+    from collections import Counter
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        dedup_content_defined_chunks,
+    )
+
+    r = dedup_content_defined_chunks(spark, sf_dir).collect()[0]
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    counter = Counter()
+    total_chunks = 0
+    tok_total = 0
+    for text in docs["text"]:
+        toks = text.split(" ")
+        chunk = []
+        for t in toks:
+            chunk.append(t)
+            if int(hashlib.md5(t.encode()).hexdigest()[0], 16) % 8 == 0:
+                counter[" ".join(chunk)] += 1
+                total_chunks += 1
+                tok_total += len(chunk)
+                chunk = []
+        if chunk:
+            counter[" ".join(chunk)] += 1
+            total_chunks += 1
+            tok_total += len(chunk)
+    assert r.n_chunks == total_chunks
+    assert r.n_unique_chunks == len(counter)
+    assert abs(r.avg_chunk_tokens - tok_total / total_chunks) < 1e-3
+    assert r.max_chunk_reuse == max(counter.values())
+    assert 0.0 <= r.dup_chunk_frac < 1.0
