@@ -158,7 +158,16 @@ PRIORITY = [
     # stats_kendall_tau_daily) ride COMPARE_FULL_r07.txt (336/336) +
     # pytest this round; once CORRECTNESS_r07 lands green, rotate them
     # into the slots of the r7-early entries above that the driver record
-    # then evidences.
+    # then evidences. The final-stretch r7 additions
+    # (stats_kruskal_wallis_value_by_type, stats_cramers_v_lang_source,
+    # graph_hits_hubs_authorities, text_readability_flesch,
+    # streaming_left_outer_interval_join, stats_ljung_box_daily_volume,
+    # sample_horvitz_thompson_chars, sketch_ams_f2_user_moment,
+    # stats_fleiss_kappa_quality_raters, stats_nelson_aalen_cumhaz,
+    # events_cmh_purchase_by_variant_daystrata,
+    # stats_mcnemar_quality_raters, dedup_content_defined_chunks) ride
+    # the refreshed end-of-round full sweep + per-query brute-force
+    # pytests and join the same rotation pool.
 ]
 
 
