@@ -280,6 +280,21 @@ HEADLINE = [
     "privacy_t_closeness_audit",
     "graph_adamic_adar_link_prediction",
     "stats_kendall_tau_daily",
+    # round-7 final stretch
+    "stats_kruskal_wallis_value_by_type",
+    "stats_cramers_v_lang_source",
+    "graph_hits_hubs_authorities",
+    "text_readability_flesch",
+    "streaming_left_outer_interval_join",
+    "stats_ljung_box_daily_volume",
+    "sample_horvitz_thompson_chars",
+    "sketch_ams_f2_user_moment",
+    "stats_fleiss_kappa_quality_raters",
+    "stats_nelson_aalen_cumhaz",
+    "events_cmh_purchase_by_variant_daystrata",
+    "stats_mcnemar_quality_raters",
+    "dedup_content_defined_chunks",
+    "events_markov_entropy_rate",
 ]
 
 

@@ -3567,3 +3567,182 @@ def events_cmh_purchase_by_variant_daystrata(
         ).alias("cmh_chi2"),
         dround(F.col("smh_num") / F.col("smh_den"), 4).alias("mh_odds_ratio"),
     )
+
+
+# --------------------------------- Markov conditional entropy rate
+@register(
+    "events_markov_entropy_rate",
+    oracle=f"""
+    WITH seq AS (
+        SELECT event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts)
+                   AS prev_type
+        FROM events
+    ),
+    pairs AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2
+    ),
+    rowtot AS (
+        SELECT prev_type, CAST(SUM(c) AS BIGINT) AS cr
+        FROM pairs GROUP BY prev_type
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS ct FROM pairs),
+    terms AS (
+        SELECT SUM(-(CAST(p.c AS DOUBLE) / t.ct)
+                   * log2(CAST(p.c AS DOUBLE) / r.cr)) AS h_cond,
+               SUM(CASE WHEN p.prev_type = p.next_type
+                        THEN CAST(p.c AS DOUBLE) / t.ct ELSE 0 END)
+                   AS self_loop_mass
+        FROM pairs p
+        JOIN rowtot r ON r.prev_type = p.prev_type
+        CROSS JOIN tot t
+    ),
+    marg AS (
+        SELECT SUM(-(CAST(cr AS DOUBLE) / t.ct)
+                   * log2(CAST(cr AS DOUBLE) / t.ct)) AS h_marg
+        FROM rowtot CROSS JOIN tot t
+    )
+    SELECT {dround_sql("h_cond", 6)} AS entropy_rate_bits,
+           {dround_sql("h_marg", 6)} AS marginal_entropy_bits,
+           {dround_sql("1.0 - h_cond / h_marg", 6)} AS predictability_gain,
+           {dround_sql("self_loop_mass", 6)} AS self_loop_mass
+    FROM terms CROSS JOIN marg
+    """,
+    description="Entropy rate of the per-user event process: the "
+    "conditional entropy H(next | prev) of the empirical first-order "
+    "chain next to the marginal H(next), in bits. Their gap is the "
+    "predictability the Markov structure buys — the model-selection "
+    "scalar sitting on top of events_type_transition_matrix (which "
+    "reports the matrix but no summary), and the quantity sequence-"
+    "model papers quote as the corpus's intrinsic next-event "
+    "difficulty. All mass terms are exact BIGINT transition counts "
+    "over one LAG scan; the two entropies are single-pass sums over "
+    "the |types|^2 cell table.",
+)
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts")
+    pairs = (
+        ev.withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    rowtot = pairs.groupBy("prev_type").agg(
+        F.sum("c").cast("bigint").alias("cr")
+    )
+    tot = pairs.agg(F.sum("c").cast("bigint").alias("ct"))
+    terms = (
+        pairs.join(F.broadcast(rowtot), "prev_type")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("c").cast("double") / F.col("ct"))
+                * F.log2(F.col("c").cast("double") / F.col("cr"))
+            ).alias("h_cond"),
+            F.sum(
+                F.when(
+                    F.col("prev_type") == F.col("next_type"),
+                    F.col("c").cast("double") / F.col("ct"),
+                ).otherwise(0.0)
+            ).alias("self_loop_mass"),
+        )
+    )
+    marg = (
+        rowtot.crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                -(F.col("cr").cast("double") / F.col("ct"))
+                * F.log2(F.col("cr").cast("double") / F.col("ct"))
+            ).alias("h_marg")
+        )
+    )
+    return terms.crossJoin(F.broadcast(marg)).select(
+        dround(F.col("h_cond"), 6).alias("entropy_rate_bits"),
+        dround(F.col("h_marg"), 6).alias("marginal_entropy_bits"),
+        dround(1.0 - F.col("h_cond") / F.col("h_marg"), 6).alias(
+            "predictability_gain"
+        ),
+        dround(F.col("self_loop_mass"), 6).alias("self_loop_mass"),
+    )
+
+
+# --------------------------------------- Hill tail-index estimator
+@register(
+    "stats_hill_tail_index_orders",
+    oracle=f"""
+    WITH deg AS (
+        SELECT o_custkey, CAST(COUNT(*) AS BIGINT) AS k
+        FROM orders GROUP BY o_custkey
+    ),
+    tail AS (
+        SELECT k FROM deg ORDER BY k DESC, o_custkey LIMIT 100
+    ),
+    xmin AS (SELECT MIN(k) AS x_min FROM tail),
+    hill AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k_tail,
+               SUM(ln(CAST(t.k AS DOUBLE) / m.x_min)) AS logsum
+        FROM tail t CROSS JOIN xmin m
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM(k) AS BIGINT) AS n_orders
+        FROM deg
+    ),
+    tailmass AS (SELECT CAST(SUM(k) AS BIGINT) AS tail_orders FROM tail)
+    SELECT t.n_customers, t.n_orders,
+           CAST(m.x_min AS BIGINT) AS x_min,
+           {dround_sql("1.0 + h.k_tail / h.logsum", 4)} AS hill_alpha,
+           {dround_sql(
+               "CAST(tm.tail_orders AS DOUBLE) / t.n_orders", 6)}
+               AS tail_order_share
+    FROM hill h CROSS JOIN xmin m CROSS JOIN tot t CROSS JOIN tailmass tm
+    """,
+    description="Hill estimator of the tail index of the orders-per-"
+    "customer distribution (top-100 tail, alpha = 1 + k / sum ln(x_i/"
+    "x_min)): the one-number answer to 'how heavy-tailed is this key?' "
+    "that drives skew-mitigation choices — alpha near 2 means the "
+    "hottest keys dominate shuffle partitions and salting "
+    "(skew_salted_join_event_kpis) pays for itself; large alpha means "
+    "hash partitioning is already balanced. Degree census is one "
+    "groupBy; the tail is TakeOrderedAndProject with a total-order "
+    "tiebreak (count desc, custkey), so both engines pick the "
+    "identical 100 customers; the log-sum runs over those 100 rows "
+    "only.",
+)
+def stats_hill_tail_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    deg = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("k")
+    ).persist()
+    tail = deg.orderBy(F.col("k").desc(), "o_custkey").limit(100).select("k")
+    xmin = tail.agg(F.min("k").alias("x_min"))
+    hill = tail.crossJoin(F.broadcast(xmin)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k_tail"),
+        F.sum(F.log(F.col("k").cast("double") / F.col("x_min"))).alias(
+            "logsum"
+        ),
+    )
+    tot = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("k").cast("bigint").alias("n_orders"),
+    )
+    tailmass = tail.agg(F.sum("k").cast("bigint").alias("tail_orders"))
+    return (
+        hill.crossJoin(F.broadcast(xmin))
+        .crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(tailmass))
+        .select(
+            "n_customers",
+            "n_orders",
+            F.col("x_min").cast("bigint").alias("x_min"),
+            dround(1.0 + F.col("k_tail") / F.col("logsum"), 4).alias(
+                "hill_alpha"
+            ),
+            dround(
+                F.col("tail_orders").cast("double") / F.col("n_orders"), 6
+            ).alias("tail_order_share"),
+        )
+    )

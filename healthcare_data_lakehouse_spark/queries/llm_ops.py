@@ -9594,3 +9594,122 @@ def dedup_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_chunk_tokens"),
         F.max("uses").cast("bigint").alias("max_chunk_reuse"),
     )
+
+
+# ------------------------------------- Burrows' Delta stylometry
+@register(
+    "text_burrows_delta_sources",
+    oracle=f"""
+    WITH bd_toks AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    bd_mfw AS (
+        SELECT w FROM (
+            SELECT w, CAST(COUNT(*) AS BIGINT) AS c
+            FROM bd_toks GROUP BY w
+            ORDER BY c DESC, w LIMIT 50
+        )
+    ),
+    bd_srctot AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS toks
+        FROM bd_toks GROUP BY source
+    ),
+    bd_counts AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bd_toks WHERE w IN (SELECT w FROM bd_mfw)
+        GROUP BY source, w
+    ),
+    bd_grid AS (
+        SELECT s.source, m.w,
+               CAST(COALESCE(c.c, 0) AS DOUBLE) / s.toks AS f
+        FROM bd_srctot s CROSS JOIN bd_mfw m
+        LEFT JOIN bd_counts c ON c.source = s.source AND c.w = m.w
+    ),
+    bd_norm AS (
+        SELECT w, AVG(f) AS mu,
+               sqrt(AVG(f * f) - AVG(f) * AVG(f)) AS sigma
+        FROM bd_grid GROUP BY w
+    ),
+    bd_z AS (
+        SELECT g.source, g.w, (g.f - n.mu) / n.sigma AS z
+        FROM bd_grid g JOIN bd_norm n ON n.w = g.w
+        WHERE n.sigma > 0
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           {dround_sql("AVG(abs(a.z - b.z))", 6)} AS burrows_delta
+    FROM bd_z a JOIN bd_z b ON a.w = b.w AND a.source < b.source
+    GROUP BY a.source, b.source
+    """,
+    description="Burrows' Delta between crawl sources: z-scores of the "
+    "50 most-frequent corpus words per source (zero-filled grid, "
+    "population sigma), pairwise mean |z_a - z_b| — the standard "
+    "stylometric distance used for authorship attribution, here "
+    "repurposed as a which-sources-write-alike monitor (near-zero "
+    "Delta between two 'independent' crawls is a mirrored-content "
+    "flag that token-count KPIs miss). Fact-scale work is ONE token "
+    "explode; everything after runs on the |sources| x 50 grid. The "
+    "MFW pick uses a total order (count desc, word) so both engines "
+    "choose the identical vocabulary.",
+)
+def text_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).persist()
+    mfw = (
+        toks.groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .orderBy(F.col("c").desc(), "w")
+        .limit(50)
+        .select("w")
+    )
+    srctot = toks.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("toks")
+    )
+    counts = (
+        toks.join(F.broadcast(mfw), "w")
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    grid = (
+        srctot.crossJoin(F.broadcast(mfw))
+        .join(F.broadcast(counts), ["source", "w"], "left")
+        .select(
+            "source",
+            "w",
+            (F.coalesce("c", F.lit(0)).cast("double") / F.col("toks")).alias(
+                "f"
+            ),
+        )
+    )
+    norm = grid.groupBy("w").agg(
+        F.avg("f").alias("mu"),
+        F.sqrt(F.avg(F.col("f") * F.col("f")) - F.avg("f") * F.avg("f")).alias(
+            "sigma"
+        ),
+    )
+    z = (
+        grid.join(F.broadcast(norm), "w")
+        .filter(F.col("sigma") > 0)
+        .select(
+            "source", "w", ((F.col("f") - F.col("mu")) / F.col("sigma")).alias("z")
+        )
+    )
+    a, b = z.alias("a"), z.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(
+            dround(F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6).alias(
+                "burrows_delta"
+            )
+        )
+    )

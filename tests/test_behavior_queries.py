@@ -812,3 +812,59 @@ def test_cmh_matches_bruteforce(spark, sf_dir):
     assert abs(r.cmh_chi2 - (sa - se) ** 2 / sv) < 1e-3
     assert abs(r.mh_odds_ratio - num / den) < 1e-3
     assert r.mh_odds_ratio > 0
+
+
+def test_markov_entropy_rate_bounds(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_markov_entropy_rate,
+    )
+
+    r = events_markov_entropy_rate(spark, sf_dir).collect()[0]
+    # conditioning can only reduce entropy
+    assert 0 < r.entropy_rate_bits <= r.marginal_entropy_bits + 1e-9
+    assert 0 <= r.predictability_gain < 1
+    assert 0 <= r.self_loop_mass <= 1
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts"]
+    )
+    h_cond = 0.0
+    pairs: dict = {}
+    for uid, g in ev.groupby("user_id"):
+        types = list(g["event_type"])
+        for a, b in zip(types, types[1:]):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    ct = sum(pairs.values())
+    row = {}
+    for (a, _), c in pairs.items():
+        row[a] = row.get(a, 0) + c
+    for (a, b), c in pairs.items():
+        h_cond -= (c / ct) * math.log2(c / row[a])
+    assert abs(r.entropy_rate_bits - h_cond) < 1e-4
+
+
+def test_hill_alpha_matches_bruteforce(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_hill_tail_index_orders,
+    )
+
+    r = stats_hill_tail_index_orders(spark, sf_dir).collect()[0]
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    deg = orders.groupby("o_custkey").size().reset_index(name="k")
+    tail = deg.sort_values(["k", "o_custkey"], ascending=[False, True]).head(
+        100
+    )["k"]
+    x_min = int(tail.min())
+    alpha = 1.0 + len(tail) / sum(math.log(k / x_min) for k in tail)
+    assert r.x_min == x_min
+    assert abs(r.hill_alpha - alpha) < 1e-3
+    assert 0 < r.tail_order_share <= 1

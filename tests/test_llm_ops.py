@@ -2150,3 +2150,24 @@ def test_cdc_chunks_match_bruteforce(spark, sf_dir):
     assert abs(r.avg_chunk_tokens - tok_total / total_chunks) < 1e-3
     assert r.max_chunk_reuse == max(counter.values())
     assert 0.0 <= r.dup_chunk_frac < 1.0
+
+
+def test_burrows_delta_is_metric_like(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_burrows_delta_sources,
+    )
+
+    rows = text_burrows_delta_sources(spark, sf_dir).collect()
+    # 20 sources -> C(20,2) unordered pairs, canonical orientation
+    assert len(rows) == 190
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert r.burrows_delta >= 0
+    # symmetry of the construction: every source appears in 19 pairs
+    from collections import Counter
+
+    c = Counter()
+    for r in rows:
+        c[r.source_a] += 1
+        c[r.source_b] += 1
+    assert set(c.values()) == {19}
