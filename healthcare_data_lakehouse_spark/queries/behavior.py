@@ -3746,3 +3746,179 @@ def stats_hill_tail_index_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tail_order_share"),
         )
     )
+
+
+# --------------------------------- Breusch-Pagan heteroscedasticity
+@register(
+    "stats_breusch_pagan_price_quantity",
+    oracle=f"""
+    WITH fit AS (
+        SELECT REGR_SLOPE(l_extendedprice, l_quantity) AS b,
+               REGR_INTERCEPT(l_extendedprice, l_quantity) AS a,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+    ),
+    resid AS (
+        SELECT l.l_quantity AS x,
+               (l.l_extendedprice - f.a - f.b * l.l_quantity)
+               * (l.l_extendedprice - f.a - f.b * l.l_quantity) AS u,
+               f.n, f.a, f.b
+        FROM lineitem l CROSS JOIN fit f
+    )
+    SELECT MAX(n) AS n,
+           {dround_sql("MAX(b)", 4)} AS slope,
+           {dround_sql("MAX(a)", 4)} AS intercept,
+           {dround_sql("CORR(u, x) * CORR(u, x)", 6)} AS r2_aux,
+           {dround_sql("MAX(n) * CORR(u, x) * CORR(u, x)", 2)} AS bp_lm
+    FROM resid
+    """,
+    description="Breusch-Pagan heteroscedasticity test on the price ~ "
+    "quantity fit (Koenker studentized form: LM = n * R^2 of squared "
+    "residuals regressed on the predictor): OLS standard errors and "
+    "every CI built on them silently assume constant error variance, "
+    "and for a price model that assumption is exactly what fails — "
+    "spread grows with quantity — so this is the gate between "
+    "stats_price_quantity_regression and trusting its inference. Two "
+    "passes: one regr_slope/intercept agg, then a single corr() over "
+    "squared residuals (R^2 against one regressor IS corr^2) — no "
+    "fourth-moment power sums to lose precision on, both passes "
+    "map-side combinable.",
+)
+def stats_breusch_pagan_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    fit = li.agg(
+        F.regr_slope("l_extendedprice", "l_quantity").alias("b"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    e = F.col("l_extendedprice") - F.col("a") - F.col("b") * F.col("l_quantity")
+    resid = li.crossJoin(F.broadcast(fit)).select(
+        F.col("l_quantity").alias("x"),
+        (e * e).alias("u"),
+        "n",
+        "a",
+        "b",
+    )
+    r2 = F.corr("u", "x") * F.corr("u", "x")
+    return resid.agg(
+        F.max("n").alias("n"),
+        dround(F.max("b"), 4).alias("slope"),
+        dround(F.max("a"), 4).alias("intercept"),
+        dround(r2, 6).alias("r2_aux"),
+        dround(F.max("n") * r2, 2).alias("bp_lm"),
+    )
+
+
+# --------------------------------- Durbin-Watson on the daily trend
+@register(
+    "stats_durbin_watson_daily_revenue",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT MIN(o_orderdate) AS lo, MAX(o_orderdate) AS hi FROM orders
+    ),
+    calendar AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    raw AS (
+        SELECT o_orderdate AS day,
+               CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100
+                    AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_orderdate
+    ),
+    daily AS (
+        SELECT c.day,
+               CAST(datediff('day', b.lo, c.day) AS BIGINT) AS t,
+               COALESCE(r.cents, 0) / 100.0 AS y
+        FROM calendar c LEFT JOIN raw r ON r.day = c.day CROSS JOIN bounds b
+    ),
+    fit AS (
+        SELECT REGR_SLOPE(y, t) AS b, REGR_INTERCEPT(y, t) AS a,
+               CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily
+    ),
+    resid AS (
+        SELECT d.t, d.y - f.a - f.b * d.t AS e, f.n_days, f.a, f.b
+        FROM daily d CROSS JOIN fit f
+    ),
+    dw AS (
+        SELECT SUM((c.e - p.e) * (c.e - p.e)) AS num
+        FROM resid c JOIN resid p ON p.t = c.t - 1
+    ),
+    den AS (SELECT SUM(e * e) AS den, MAX(n_days) AS n_days,
+                   MAX(a) AS a, MAX(b) AS b
+            FROM resid)
+    SELECT n_days,
+           {dround_sql("b", 4)} AS trend_slope,
+           {dround_sql("num / den", 4)} AS durbin_watson
+    FROM dw CROSS JOIN den
+    """,
+    description="Durbin-Watson statistic on the residuals of the daily-"
+    "revenue linear trend (gap-filled calendar spine, integer-cents "
+    "daily sums): DW near 2 = independent errors, near 0 = positive "
+    "serial correlation — the one-number lag-1 companion to the "
+    "Ljung-Box portmanteau, and the classic 'is this trend fit "
+    "lying to you' check before quoting its standard errors. The "
+    "consecutive-residual pairing is a day-offset equi-join on the "
+    "day-grain table (t = t-1), never a global-sort window; the OLS "
+    "detrend is one regr_slope pass.",
+)
+def stats_durbin_watson_daily_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    raw = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round((F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0).cast(
+                "bigint"
+            )
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    bounds = orders.agg(
+        F.min("o_orderdate").alias("lo"), F.max("o_orderdate").alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = (
+        calendar.join(F.broadcast(raw), "day", "left")
+        .crossJoin(F.broadcast(bounds.select("lo")))
+        .select(
+            F.datediff("day", "lo").cast("bigint").alias("t"),
+            (F.coalesce("cents", F.lit(0)) / 100.0).alias("y"),
+        )
+        .persist()
+    )
+    fit = daily.agg(
+        F.regr_slope("y", "t").alias("b"),
+        F.regr_intercept("y", "t").alias("a"),
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+    )
+    resid = daily.crossJoin(F.broadcast(fit)).select(
+        "t",
+        (F.col("y") - F.col("a") - F.col("b") * F.col("t")).alias("e"),
+        "n_days",
+        "a",
+        "b",
+    )
+    c, p = resid.alias("c"), resid.alias("p")
+    dw = c.join(p, F.col("p.t") == F.col("c.t") - 1).agg(
+        F.sum(
+            (F.col("c.e") - F.col("p.e")) * (F.col("c.e") - F.col("p.e"))
+        ).alias("num")
+    )
+    den = resid.agg(
+        F.sum(F.col("e") * F.col("e")).alias("den"),
+        F.max("n_days").alias("n_days"),
+        F.max("b").alias("b"),
+    )
+    return dw.crossJoin(F.broadcast(den)).select(
+        "n_days",
+        dround(F.col("b"), 4).alias("trend_slope"),
+        dround(F.col("num") / F.col("den"), 4).alias("durbin_watson"),
+    )

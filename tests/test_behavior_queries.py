@@ -868,3 +868,52 @@ def test_hill_alpha_matches_bruteforce(spark, sf_dir):
     assert r.x_min == x_min
     assert abs(r.hill_alpha - alpha) < 1e-3
     assert 0 < r.tail_order_share <= 1
+
+
+def test_breusch_pagan_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_breusch_pagan_price_quantity,
+    )
+
+    r = stats_breusch_pagan_price_quantity(spark, sf_dir).collect()[0]
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    x = li["l_quantity"].to_numpy(dtype=float)
+    y = li["l_extendedprice"].to_numpy(dtype=float)
+    b = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    a = y.mean() - b * x.mean()
+    u = (y - a - b * x) ** 2
+    r2 = np.corrcoef(u, x)[0, 1] ** 2
+    assert r.n == len(li)
+    assert abs(r.slope - b) < 1e-2
+    assert abs(r.r2_aux - r2) < 1e-4
+    assert abs(r.bp_lm - len(li) * r2) < max(0.05, len(li) * 1e-4)
+    assert r.bp_lm >= 0
+
+
+def test_durbin_watson_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_durbin_watson_daily_revenue,
+    )
+
+    r = stats_durbin_watson_daily_revenue(spark, sf_dir).collect()[0]
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    orders["cents"] = (orders["o_totalprice"] * 100).round().astype("int64")
+    daily = orders.groupby("o_orderdate")["cents"].sum()
+    idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+    y = daily.reindex(idx.date, fill_value=0).to_numpy(dtype=float) / 100.0
+    t = np.arange(len(y), dtype=float)
+    b = np.cov(t, y, bias=True)[0, 1] / np.var(t)
+    a = y.mean() - b * t.mean()
+    e = y - a - b * t
+    dw = ((e[1:] - e[:-1]) ** 2).sum() / (e**2).sum()
+    assert r.n_days == len(y)
+    assert abs(r.durbin_watson - dw) < 1e-3
+    assert 0 <= r.durbin_watson <= 4
