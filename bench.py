@@ -295,6 +295,10 @@ HEADLINE = [
     "stats_mcnemar_quality_raters",
     "dedup_content_defined_chunks",
     "events_markov_entropy_rate",
+    "text_burrows_delta_sources",
+    "stats_hill_tail_index_orders",
+    "stats_breusch_pagan_price_quantity",
+    "stats_durbin_watson_daily_revenue",
 ]
 
 

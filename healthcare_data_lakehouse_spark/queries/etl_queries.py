@@ -1662,3 +1662,116 @@ def quality_schema_drift_versions(
         "version int, n_columns int, columns string, "
         "added_vs_prev string, removed_vs_prev string",
     ).orderBy("version")
+
+
+# --------------------------- CDF replication: feed -> MERGE apply
+@register(
+    "load_cdf_replication_apply",
+    oracle="""
+    WITH keys AS (SELECT o_orderkey AS id, o_totalprice AS value FROM orders),
+    counts AS (
+        SELECT
+            CAST(SUM(CASE WHEN id % 5 = 0 AND id % 7 <> 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS applied_inserts,
+            CAST(SUM(CASE WHEN id % 5 <> 0 AND id % 7 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS applied_deletes,
+            CAST(SUM(CASE WHEN id % 5 <> 0 AND id % 7 <> 0 AND id % 3 = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS applied_updates,
+            CAST(SUM(CASE WHEN id % 7 <> 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_source,
+            CAST(SUM(CASE WHEN id % 7 <> 0 THEN
+                     CASE WHEN id % 3 = 0
+                          THEN 2 * CAST(ROUND(CAST(value * 100
+                               AS DECIMAL(38,8)), 0) AS BIGINT)
+                          ELSE CAST(ROUND(CAST(value * 100
+                               AS DECIMAL(38,8)), 0) AS BIGINT) END
+                     ELSE 0 END) AS BIGINT) AS source_cents
+        FROM keys
+    )
+    SELECT applied_inserts, applied_updates, applied_deletes,
+           n_source, n_source AS n_replica,
+           CAST(0 AS BIGINT) AS n_mismatch,
+           source_cents, source_cents AS replica_cents
+    FROM counts
+    """,
+    description="Change-data-feed REPLICATION end-to-end: a source table "
+    "moves v1 -> v2 (inserts + deletes + value-doubling updates), the "
+    "row-level feed comes from ZoneStore.diff_versions, payloads for "
+    "insert/update ids are fetched from the new version, and ONE full-"
+    "clause MERGE applies the batch to an independent replica seeded at "
+    "v1 (NULL-value sentinel rows drive WHEN MATCHED DELETE; NULL-"
+    "discipline predicates make that safe). The query returns the "
+    "applied clause counts AND a full-outer reconciliation of replica "
+    "vs source (row mismatches, integer-cents mass both sides) — the "
+    "downstream-sync contract that CDC consumers must satisfy: applying "
+    "the feed IS equivalent to re-reading the table. Every step is a "
+    "key-partitioned join or one copy-on-write commit; the feed, not "
+    "the table, crosses the wire at 100 TB.",
+)
+def load_cdf_replication_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"), F.col("o_totalprice").alias("value")
+    )
+    v1 = orders.filter(F.col("id") % 5 != 0)
+    v2 = orders.filter(F.col("id") % 7 != 0).withColumn(
+        "value",
+        F.when(F.col("id") % 3 == 0, F.col("value") * 2).otherwise(
+            F.col("value")
+        ),
+    )
+    src = ZoneStore(spark, scratch_dir("zs_cdfrep_src_"))
+    src.write(DataZone.SILVER, "orders_rep", v1, LoadType.FULL)
+    src.write(DataZone.SILVER, "orders_rep", v2, LoadType.FULL)
+    feed = src.diff_versions(DataZone.SILVER, "orders_rep", 1, 2, id_field="id")
+
+    replica = ZoneStore(spark, scratch_dir("zs_cdfrep_dst_"))
+    replica.write(DataZone.SILVER, "orders_rep", v1, LoadType.FULL)
+
+    changed = feed.filter(F.col("_change_type") != "unchanged")
+    new_img = src.read_version(DataZone.SILVER, "orders_rep", 2)
+    batch = (
+        changed.join(new_img, "id", "left")  # deletes get value NULL
+        .select("id", "value")
+    )
+    stats = replica.merge_into(
+        DataZone.SILVER,
+        "orders_rep",
+        batch,
+        id_field="id",
+        matched_delete="src_value IS NULL",
+        matched_update={"value": "src_value"},
+        insert_not_matched=True,
+    )
+
+    cents = lambda c: F.round(  # noqa: E731
+        (F.col(c) * 100).cast("decimal(38,8)"), 0
+    ).cast("bigint")
+    rep = replica.read(DataZone.SILVER, "orders_rep").select(
+        "id", cents("value").alias("rc")
+    )
+    srcf = new_img.select("id", cents("value").alias("sc"))
+    recon = rep.join(srcf, "id", "full_outer").agg(
+        F.sum(
+            (
+                F.col("rc").isNull()
+                | F.col("sc").isNull()
+                | (F.col("rc") != F.col("sc"))
+            ).cast("int")
+        )
+        .cast("bigint")
+        .alias("n_mismatch"),
+        F.count(F.col("rc")).cast("bigint").alias("n_replica"),
+        F.count(F.col("sc")).cast("bigint").alias("n_source"),
+        F.sum("sc").cast("bigint").alias("source_cents"),
+        F.sum("rc").cast("bigint").alias("replica_cents"),
+    )
+    return recon.select(
+        F.lit(stats["inserted"]).cast("bigint").alias("applied_inserts"),
+        F.lit(stats["updated"]).cast("bigint").alias("applied_updates"),
+        F.lit(stats["deleted_matched"]).cast("bigint").alias("applied_deletes"),
+        "n_source",
+        "n_replica",
+        "n_mismatch",
+        "source_cents",
+        "replica_cents",
+    )

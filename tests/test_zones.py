@@ -887,3 +887,19 @@ def test_publish_commit_reraises_non_conflict_oserror(
     monkeypatch.undo()
     assert exc_info.value.errno == _errno.ENOSPC
     assert os.path.isdir(staging)  # evidence preserved, not deleted
+
+
+def test_cdf_replication_apply_reaches_source_state(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.etl_queries import (
+        load_cdf_replication_apply,
+    )
+
+    r = load_cdf_replication_apply(spark, sf_dir).collect()[0]
+    # the replication contract: applying the feed == re-reading the table
+    assert r.n_mismatch == 0
+    assert r.n_replica == r.n_source
+    assert r.replica_cents == r.source_cents
+    # all three clause kinds actually fired
+    assert r.applied_inserts > 0
+    assert r.applied_updates > 0
+    assert r.applied_deletes > 0
