@@ -159,3 +159,52 @@ def sample_frames(
             yield pd.DataFrame(out)
 
     return assets.mapInPandas(sample, schema=FRAME_SCHEMA)
+
+
+VAD_SCHEMA = StructType([
+    StructField("asset_id", LongType()),
+    StructField("source", StringType()),
+    StructField("win_idx", LongType()),
+    StructField("energy", LongType()),
+    StructField("voiced", LongType()),
+])
+
+
+def vad_energy_windows(
+    assets: DataFrame,
+    window_bytes: int = 16,
+    threshold: int = 90_000,
+) -> DataFrame:
+    """Audio-style voice-activity detection over PCM-like binary payloads:
+    Arrow-batched ``mapInPandas`` slices each payload into fixed-width
+    sample windows, computes per-window energy sum((b-128)^2) with numpy,
+    and flags windows above ``threshold``. The decode step treats bytes as
+    unsigned 8-bit samples (the deterministic stand-in for a real codec —
+    same stub discipline as :func:`decode_stub`); the batch mechanics,
+    schema, and variable-cardinality fan-out (asset -> windows) are the
+    real production shape. Expects columns (asset_id, source, payload)."""
+    import numpy as np
+
+    def vad(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "asset_id": [], "source": [], "win_idx": [],
+                "energy": [], "voiced": [],
+            }
+            for aid, src, payload in zip(
+                pdf["asset_id"], pdf["source"], pdf["payload"]
+            ):
+                arr = np.frombuffer(bytes(payload), dtype=np.uint8).astype(
+                    np.int64
+                )
+                n_win = len(arr) // window_bytes
+                wins = arr[: n_win * window_bytes].reshape(-1, window_bytes)
+                en = ((wins - 128) ** 2).sum(axis=1)
+                out["asset_id"].extend([aid] * n_win)
+                out["source"].extend([src] * n_win)
+                out["win_idx"].extend(range(n_win))
+                out["energy"].extend(int(e) for e in en)
+                out["voiced"].extend(int(e > threshold) for e in en)
+            yield pd.DataFrame(out)
+
+    return assets.mapInPandas(vad, VAD_SCHEMA)

@@ -9713,3 +9713,77 @@ def text_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     )
+
+
+# ------------------------------------- multimodal audio VAD energy
+@register(
+    "multimodal_audio_vad_energy",
+    oracle=f"""
+    WITH av_blob AS (
+        SELECT doc_id, source,
+               md5(CAST(doc_id AS VARCHAR) || ':0')
+               || md5(CAST(doc_id AS VARCHAR) || ':1')
+               || md5(CAST(doc_id AS VARCHAR) || ':2')
+               || md5(CAST(doc_id AS VARCHAR) || ':3') AS hx
+        FROM documents
+    ),
+    av_energy AS (
+        SELECT b.doc_id, b.source, w.w,
+               SUM((('0x' || substr(b.hx, CAST(32 * w.w + 2 * s.b + 1
+                                               AS BIGINT), 2))::BIGINT - 128)
+                   * (('0x' || substr(b.hx, CAST(32 * w.w + 2 * s.b + 1
+                                                 AS BIGINT), 2))::BIGINT
+                      - 128)) AS energy
+        FROM av_blob b
+        CROSS JOIN (SELECT UNNEST(range(0, 4)) AS w) w
+        CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) s
+        GROUP BY b.doc_id, b.source, w.w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN energy > 90000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_voiced,
+           {dround_sql(
+               "CAST(SUM(CASE WHEN energy > 90000 THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / COUNT(*)", 6)} AS voiced_frac,
+           {dround_sql("CAST(SUM(energy) AS DOUBLE) / COUNT(*)", 2)}
+               AS avg_energy
+    FROM av_energy GROUP BY source
+    """,
+    description="Audio-modality plumbing: 64-byte PCM-like payloads "
+    "(deterministic md5 synthesis — no audio fixtures in the container) "
+    "flow through an Arrow-batched mapInPandas VAD that slices 16-byte "
+    "sample windows, computes numpy energy sum((b-128)^2), and flags "
+    "voiced windows; per-source rollup of window counts, voiced "
+    "fraction, mean energy. The Python path (functions/multimodal.py "
+    "vad_energy_windows) is the REAL batch shape a decode would use — "
+    "variable-cardinality fan-out, integer-exact features — and the "
+    "oracle recomputes the identical windows byte-by-byte in SQL, so "
+    "the Arrow boundary itself is what is being verified. Completes "
+    "the multimodal set: image features, video frames, tile manifest, "
+    "header parse, audio windows.",
+)
+def multimodal_audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.multimodal import (
+        vad_energy_windows,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    blob = F.unhex(
+        F.concat(*[F.md5(F.concat(did, F.lit(f":{i}"))) for i in range(4)])
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), "source", blob.alias("payload")
+    )
+    wins = vad_energy_windows(assets, window_bytes=16, threshold=90_000)
+    return wins.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("voiced").cast("bigint").alias("n_voiced"),
+        dround(
+            F.sum("voiced").cast("double") / F.count(F.lit(1)), 6
+        ).alias("voiced_frac"),
+        dround(F.sum("energy").cast("double") / F.count(F.lit(1)), 2).alias(
+            "avg_energy"
+        ),
+    )

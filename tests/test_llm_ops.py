@@ -2171,3 +2171,38 @@ def test_burrows_delta_is_metric_like(spark, sf_dir):
         c[r.source_a] += 1
         c[r.source_b] += 1
     assert set(c.values()) == {19}
+
+
+def test_vad_energy_matches_bruteforce(spark, sf_dir):
+    import hashlib
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        multimodal_audio_vad_energy,
+    )
+
+    rows = {
+        r.source: r for r in multimodal_audio_vad_energy(spark, sf_dir).collect()
+    }
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    agg: dict = {}
+    for doc_id, src in zip(docs["doc_id"], docs["source"]):
+        hx = "".join(
+            hashlib.md5(f"{doc_id}:{i}".encode()).hexdigest() for i in range(4)
+        )
+        data = bytes.fromhex(hx)
+        st = agg.setdefault(src, [0, 0, 0])  # windows, voiced, energy
+        for w in range(4):
+            e = sum((b - 128) ** 2 for b in data[16 * w : 16 * w + 16])
+            st[0] += 1
+            st[1] += int(e > 90_000)
+            st[2] += e
+    assert set(rows) == set(agg)
+    for src, (nw, nv, en) in agg.items():
+        r = rows[src]
+        assert r.n_windows == nw
+        assert r.n_voiced == nv
+        assert abs(r.avg_energy - en / nw) < 0.01
+        assert 0.0 <= r.voiced_frac <= 1.0
