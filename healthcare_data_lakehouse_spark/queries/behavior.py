@@ -3922,3 +3922,90 @@ def stats_durbin_watson_daily_revenue(
         dround(F.col("b"), 4).alias("trend_slope"),
         dround(F.col("num") / F.col("den"), 4).alias("durbin_watson"),
     )
+
+
+# ------------------------- one-sample KS vs fitted exponential
+@register(
+    "stats_ks_exponential_interarrival",
+    oracle=f"""
+    WITH gaps AS (
+        SELECT CAST(datediff('microsecond',
+                    LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                    ts) AS BIGINT) AS g
+        FROM events
+    ),
+    kept AS (SELECT g FROM gaps WHERE g IS NOT NULL AND g > 0),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(g) AS BIGINT) AS sg
+        FROM kept
+    ),
+    vals AS (
+        SELECT g, CAST(COUNT(*) AS BIGINT) AS c FROM kept GROUP BY g
+    ),
+    ranked AS (
+        SELECT g, c,
+               SUM(c) OVER (ORDER BY g
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM vals
+    ),
+    dev AS (
+        SELECT MAX(CAST(r.cum AS DOUBLE) / t.n
+                   - (1.0 - exp(-(CAST(r.g AS DOUBLE) * t.n / t.sg))))
+                   AS d_plus,
+               MAX((1.0 - exp(-(CAST(r.g AS DOUBLE) * t.n / t.sg)))
+                   - CAST(r.cum - r.c AS DOUBLE) / t.n) AS d_minus
+        FROM ranked r CROSS JOIN tot t
+    )
+    SELECT t.n AS n_gaps,
+           {dround_sql("3600000000.0 * t.n / t.sg", 6)} AS lambda_per_hour,
+           {dround_sql("GREATEST(d.d_plus, d.d_minus)", 6)} AS ks_d,
+           {dround_sql("1.36 / sqrt(t.n)", 6)} AS ks_crit_95
+    FROM dev d CROSS JOIN tot t
+    """,
+    description="One-sample Kolmogorov-Smirnov test of per-user "
+    "interarrival gaps against the fitted exponential (lambda = 1/mean): "
+    "the is-this-a-Poisson-process check underpinning every queueing "
+    "assumption (Little's law, capacity planning) and the "
+    "overdispersion story events_burstiness_fano tells — KS localizes "
+    "WHERE the empirical CDF departs, jump-aware via D+ (cum/n above "
+    "the curve) and D- (curve above the pre-jump step). Gaps stay "
+    "EXACT integer microseconds; lambda enters as the ratio of two "
+    "BIGINTs, so every CDF evaluation is a deterministic expression. "
+    "Prefix counts run over the distinct-gap aggregate (continuous "
+    "scale: bin or partition-offset at 100 TB, same caveat as the "
+    "rank-test family).",
+)
+def stats_ks_exponential_interarrival(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        (
+            F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(wu))
+        ).alias("g")
+    ).filter(F.col("g").isNotNull() & (F.col("g") > 0))
+    tot = gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("g").cast("bigint").alias("sg"),
+    )
+    vals = gaps.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    wv = Window.orderBy("g").rowsBetween(Window.unboundedPreceding, 0)
+    ranked = vals.withColumn("cum", F.sum("c").over(wv))
+    fexp = 1.0 - F.exp(
+        -(F.col("g").cast("double") * F.col("n") / F.col("sg"))
+    )
+    dev = ranked.crossJoin(F.broadcast(tot)).agg(
+        F.max(F.col("cum").cast("double") / F.col("n") - fexp).alias("d_plus"),
+        F.max(
+            fexp - (F.col("cum") - F.col("c")).cast("double") / F.col("n")
+        ).alias("d_minus"),
+    )
+    return dev.crossJoin(F.broadcast(tot)).select(
+        F.col("n").alias("n_gaps"),
+        dround(3600000000.0 * F.col("n") / F.col("sg"), 6).alias(
+            "lambda_per_hour"
+        ),
+        dround(F.greatest(F.col("d_plus"), F.col("d_minus")), 6).alias("ks_d"),
+        dround(1.36 / F.sqrt(F.col("n")), 6).alias("ks_crit_95"),
+    )

@@ -9787,3 +9787,72 @@ def multimodal_audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_energy"
         ),
     )
+
+
+# ------------------------------------- Chao1 vocabulary richness
+@register(
+    "text_chao1_vocab_richness",
+    oracle=f"""
+    WITH ch_freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
+            SELECT unnest(string_split(text, ' ')) AS w FROM documents
+        ) WHERE w <> '' GROUP BY w
+    ),
+    ch_coc AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
+               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
+               CAST(SUM(c) AS BIGINT) AS n_tokens
+        FROM ch_freq
+    )
+    SELECT s_obs, f1, f2, n_tokens,
+           {dround_sql(
+               "s_obs + CAST(f1 AS DOUBLE) * f1 / (2.0 * (f2 + 1))"
+               " - CAST(f1 AS DOUBLE) * f2 / (2.0 * (f2 + 1) * (f2 + 1))",
+               2)} AS chao1_estimate,
+           {dround_sql(
+               "1.0 - CAST(f1 AS DOUBLE) / n_tokens", 6)}
+               AS good_turing_coverage
+    FROM ch_coc
+    """,
+    description="Chao1 richness estimator of the UNSEEN vocabulary "
+    "(bias-corrected form S_obs + f1^2/(2(f2+1)) - f1*f2/(2(f2+1)^2), "
+    "from singleton/doubleton counts) next to Good-Turing sample "
+    "coverage 1 - f1/N: together they answer 'how much vocabulary does "
+    "this corpus still hide?' — the crawl-more-or-stop signal for "
+    "corpus growth planning, and the ecology-standard richness bound "
+    "repurposed for token space. One token explode -> vocab groupBy -> "
+    "count-of-counts reduce; three exact BIGINTs feed one closed-form "
+    "scalar.",
+)
+def text_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    freq = (
+        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.col("w") != "")
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    coc = freq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
+        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("f1"),
+        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("f2"),
+        F.sum("c").cast("bigint").alias("n_tokens"),
+    )
+    f1d = F.col("f1").cast("double")
+    f2p = 2.0 * (F.col("f2") + 1)
+    chao1 = (
+        F.col("s_obs")
+        + f1d * F.col("f1") / f2p
+        - f1d * F.col("f2") / (f2p * (F.col("f2") + 1))
+    )
+    return coc.select(
+        "s_obs",
+        "f1",
+        "f2",
+        "n_tokens",
+        dround(chao1, 2).alias("chao1_estimate"),
+        dround(1.0 - f1d / F.col("n_tokens"), 6).alias(
+            "good_turing_coverage"
+        ),
+    )

@@ -917,3 +917,37 @@ def test_durbin_watson_matches_bruteforce(spark, sf_dir):
     assert r.n_days == len(y)
     assert abs(r.durbin_watson - dw) < 1e-3
     assert 0 <= r.durbin_watson <= 4
+
+
+def test_ks_exponential_matches_bruteforce(spark, sf_dir):
+    import math
+
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_ks_exponential_interarrival,
+    )
+
+    r = stats_ks_exponential_interarrival(spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    gaps = []
+    for _, g in ev.groupby("user_id"):
+        ts = g["ts"].to_numpy().astype("datetime64[us]").astype("int64")
+        d = np.diff(ts)  # us
+        gaps.extend(int(x) for x in d if x > 0)
+    gaps = np.sort(np.array(gaps, dtype=np.int64))
+    n = len(gaps)
+    sg = int(gaps.sum())
+    cdf = 1.0 - np.exp(-(gaps.astype(float) * n / sg))
+    # jump-aware sup over the sorted sample (ties collapse naturally)
+    d_plus = (np.arange(1, n + 1) / n - cdf).max()
+    d_minus = (cdf - np.arange(0, n) / n).max()
+    ks = max(d_plus, d_minus)
+    assert r.n_gaps == n
+    assert abs(r.lambda_per_hour - 3.6e9 * n / sg) < 1e-3
+    assert abs(r.ks_d - ks) < 1e-4
+    assert abs(r.ks_crit_95 - 1.36 / math.sqrt(n)) < 1e-6

@@ -2206,3 +2206,30 @@ def test_vad_energy_matches_bruteforce(spark, sf_dir):
         assert r.n_voiced == nv
         assert abs(r.avg_energy - en / nw) < 0.01
         assert 0.0 <= r.voiced_frac <= 1.0
+
+
+def test_chao1_matches_bruteforce(spark, sf_dir):
+    from collections import Counter
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_chao1_vocab_richness,
+    )
+
+    r = text_chao1_vocab_richness(spark, sf_dir).collect()[0]
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    c = Counter()
+    for t in docs["text"]:
+        c.update(w for w in t.split(" ") if w)
+    s = len(c)
+    f1 = sum(1 for v in c.values() if v == 1)
+    f2 = sum(1 for v in c.values() if v == 2)
+    n = sum(c.values())
+    chao1 = s + f1 * f1 / (2 * (f2 + 1)) - f1 * f2 / (2 * (f2 + 1) ** 2)
+    assert (r.s_obs, r.f1, r.f2, r.n_tokens) == (s, f1, f2, n)
+    assert abs(r.chao1_estimate - chao1) < 0.05
+    # the estimator can only add unseen species
+    assert r.chao1_estimate >= s
+    assert 0.0 <= r.good_turing_coverage <= 1.0

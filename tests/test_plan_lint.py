@@ -54,6 +54,7 @@ GRAIN_BOUNDS = {
     "stats_nelson_aalen_cumhaz": 100,
     "stats_ks_value_drift": 400,
     "stats_kruskal_wallis_value_by_type": 3_000,
+    "stats_ks_exponential_interarrival": 3_000,
     "stats_mann_whitney_u": 1_200,
     "stats_isotonic_calibration_pav": 16,
     "stats_roc_auc_quality_vs_gopher": 1_200,

@@ -39,6 +39,7 @@ PYTHON_OK = {
     "multimodal_binary_features",
     "multimodal_frame_sample",
     "multimodal_tile_manifest",
+    "multimodal_audio_vad_energy",
     # grouped scientific compute: numpy eigensolver per label group is
     # the designed Arrow-batched Python surface (see the query docstring)
     "embedding_label_pca",
@@ -98,6 +99,10 @@ GLOBAL_WINDOW_OK = {
     "stats_spearman_rank_corr":
         "prefix sums over the two distinct-value aggregates (same scale "
         "note as stats_mann_whitney_u)",
+    "stats_ks_exponential_interarrival":
+        "CDF prefix sum over the distinct-gap aggregate (continuous-"
+        "microsecond scale: bin or partition-offset at 100 TB, same "
+        "caveat as the rank-test family)",
     "stats_kruskal_wallis_value_by_type":
         "rank prefix sum over the distinct-value aggregate (continuous-"
         "double scale: bin values or partition-offset at 100 TB, same "
