@@ -299,6 +299,9 @@ HEADLINE = [
     "stats_hill_tail_index_orders",
     "stats_breusch_pagan_price_quantity",
     "stats_durbin_watson_daily_revenue",
+    "multimodal_audio_vad_energy",
+    "text_chao1_vocab_richness",
+    "stats_ks_exponential_interarrival",
 ]
 
 

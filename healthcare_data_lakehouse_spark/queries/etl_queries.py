@@ -1775,3 +1775,81 @@ def load_cdf_replication_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source_cents",
         "replica_cents",
     )
+
+
+# --------------------------- Bloom data-skipping point lookup
+@register(
+    "load_bloom_index_point_lookup",
+    oracle="""
+    WITH probe AS (SELECT MIN(o_orderkey) AS pk FROM orders),
+    pos AS (
+        SELECT j.j,
+               ('0x' || substr(md5(CAST((SELECT pk FROM probe) AS VARCHAR)
+                                   || ':' || j.j), 1, 12))::BIGINT % 65536 AS p
+        FROM (SELECT UNNEST(range(0, 3)) AS j) j
+    ),
+    passing AS (
+        SELECT c.c
+        FROM (SELECT UNNEST(range(0, 4)) AS c) c
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pos
+            WHERE NOT EXISTS (
+                SELECT 1
+                FROM orders o
+                CROSS JOIN (SELECT UNNEST(range(0, 3)) AS j) jj
+                WHERE o.o_orderkey % 4 = c.c
+                  AND ('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)
+                                          || ':' || jj.j), 1, 12))::BIGINT
+                      % 65536 = pos.p
+            )
+        )
+    )
+    SELECT CAST((SELECT COUNT(*) FROM orders
+                 WHERE o_orderkey = (SELECT pk FROM probe)) AS BIGINT)
+               AS n_rows,
+           CAST(ROUND(CAST((SELECT SUM(o_totalprice) FROM orders
+                            WHERE o_orderkey = (SELECT pk FROM probe))
+                           AS DECIMAL(38,8)), 2) AS DOUBLE) AS total,
+           CAST(4 AS INT) AS commits_total,
+           CAST((SELECT COUNT(*) FROM passing) AS INT) AS commits_scanned,
+           CAST(4 - (SELECT COUNT(*) FROM passing) AS INT) AS commits_skipped
+    """,
+    description="Bloom-filter data-skipping index on the ZoneStore "
+    "(Delta Bloom index analog): 4 APPEND commits partition orders by "
+    "key residue, build_bloom_index computes each commit's 65536-bit/"
+    "3-hash filter DISTRIBUTED (distinct bit positions collapse before "
+    "reaching the driver) and persists it beside the manifest; a point "
+    "lookup probes the filter and opens only commits whose bloom holds "
+    "all three probe bits — zone maps cannot skip here because every "
+    "commit's [min,max] key range overlaps every probe. The md5 bit "
+    "positions are engine-portable, so the ORACLE REBUILDS THE INDEX IN "
+    "SQL and derives the same scanned/skipped counts (bloom false "
+    "positives included) — the skipping decision itself is "
+    "hash-verified, not just the returned rows. At 100 TB this is the "
+    "needle-in-haystack primitive: O(commits) driver-side set probes, "
+    "then one file's worth of scan.",
+)
+def load_bloom_index_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    store = ZoneStore(spark, scratch_dir("zs_bloom_"))
+    for i in range(4):
+        store.write(
+            DataZone.SILVER,
+            "orders_bloom",
+            orders.filter(F.col("o_orderkey") % 4 == i),
+            LoadType.APPEND,
+        )
+    store.build_bloom_index(DataZone.SILVER, "orders_bloom", "o_orderkey")
+    probe = orders.agg(F.min("o_orderkey")).collect()[0][0]
+    df, report = store.read_bloom_pruned(
+        DataZone.SILVER, "orders_bloom", "o_orderkey", probe
+    )
+    return df.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.round(F.sum("o_totalprice").cast("decimal(38,8)"), 2)
+        .cast("double")
+        .alias("total"),
+        F.lit(report["commits_total"]).cast("int").alias("commits_total"),
+        F.lit(report["commits_scanned"]).cast("int").alias("commits_scanned"),
+        F.lit(report["commits_skipped"]).cast("int").alias("commits_skipped"),
+    )

@@ -482,6 +482,113 @@ class ZoneStore:
             )
         return out
 
+    # ------------------------------------------------- bloom data skipping
+    @staticmethod
+    def _bloom_positions_expr(column: str, k: int, m_bits: int):
+        """Portable bloom bit positions for a value: md5 of
+        ``"<value>:<j>"``, first 12 hex chars, mod m — identical in
+        Spark, DuckDB SQL, and Python hashlib, so an index built by any
+        engine serves probes from any other."""
+        return [
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col(column).cast("string"), F.lit(f":{j}"))),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % m_bits
+            for j in range(k)
+        ]
+
+    def build_bloom_index(
+        self,
+        zone: DataZone,
+        dataset: str,
+        column: str,
+        m_bits: int = 65536,
+        k: int = 3,
+    ) -> dict:
+        """Build a per-commit Bloom data-skipping index for ``column``
+        (the Delta Bloom-filter-index analog): each commit's distinct set
+        bit positions are computed DISTRIBUTED (one column scan per
+        commit, k md5 positions per value, distinct-collapsed before
+        they reach the driver — at most ``m_bits`` ints per commit) and
+        persisted as a side JSON next to the manifest. Zone maps skip
+        commits for RANGE predicates; the bloom index skips them for
+        POINT lookups, where min/max ranges almost always overlap."""
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        index: dict[str, list[int]] = {}
+        for commit in manifest["commits"]:
+            cdir = os.path.join(path, commit)
+            df = self.spark.read.parquet(cdir)
+            if column not in df.columns:
+                index[commit] = []
+                continue
+            pos_cols = self._bloom_positions_expr(column, k, m_bits)
+            positions = (
+                df.select(
+                    F.explode(F.array(*pos_cols)).alias("p")
+                )
+                .distinct()
+                .collect()
+            )
+            index[commit] = sorted(int(r.p) for r in positions)
+        side = os.path.join(path, f"_bloom_{column}.json")
+        with open(side, "w") as fh:
+            json.dump(
+                {"m_bits": m_bits, "k": k, "commits": index}, fh
+            )
+        return {
+            "commits_indexed": len(index),
+            "total_set_bits": sum(len(v) for v in index.values()),
+            "m_bits": m_bits,
+            "k": k,
+        }
+
+    def read_bloom_pruned(
+        self, zone: DataZone, dataset: str, column: str, value
+    ) -> tuple[DataFrame, dict]:
+        """Point-lookup read through the Bloom index: commits whose
+        filter lacks ANY of the probe's k bit positions provably do not
+        contain the value and are never opened; surviving commits (true
+        commit + bloom false positives) still get the exact equality
+        filter, so the result is EXACTLY ``read(...).filter(col ==
+        value)``. Report records scanned vs skipped commits."""
+        import hashlib
+
+        path = self.dataset_path(zone, dataset)
+        side = os.path.join(path, f"_bloom_{column}.json")
+        with open(side) as fh:
+            idx = json.load(fh)
+        m_bits, k = idx["m_bits"], idx["k"]
+        probe = [
+            int(
+                hashlib.md5(f"{value}:{j}".encode()).hexdigest()[:12], 16
+            )
+            % m_bits
+            for j in range(k)
+        ]
+        keep = [
+            c
+            for c, bits in idx["commits"].items()
+            if all(p in set(bits) for p in probe)
+        ]
+        report = {
+            "commits_total": len(idx["commits"]),
+            "commits_scanned": len(keep),
+            "commits_skipped": len(idx["commits"]) - len(keep),
+        }
+        if not keep:
+            df = self.read(zone, dataset).filter(F.lit(False))
+        else:
+            dirs = [os.path.join(path, c) for c in keep]
+            df = self.spark.read.option("mergeSchema", "true").parquet(*dirs)
+        return df.filter(F.col(column) == F.lit(value)), report
+
     def read_pruned(
         self,
         zone: DataZone,

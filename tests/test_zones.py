@@ -903,3 +903,45 @@ def test_cdf_replication_apply_reaches_source_state(spark, sf_dir):
     assert r.applied_inserts > 0
     assert r.applied_updates > 0
     assert r.applied_deletes > 0
+
+
+def test_bloom_index_skips_commits_and_preserves_results(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.scratch import scratch_dir
+    from healthcare_data_lakehouse_spark.tables import table
+    from healthcare_data_lakehouse_spark.zones import DataZone, LoadType, ZoneStore
+
+    orders = table(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    store = ZoneStore(spark, scratch_dir("zs_bloom_t_"))
+    for i in range(4):
+        store.write(
+            DataZone.SILVER,
+            "ob",
+            orders.filter(F.col("o_orderkey") % 4 == i),
+            LoadType.APPEND,
+        )
+    stats = store.build_bloom_index(DataZone.SILVER, "ob", "o_orderkey")
+    assert stats["commits_indexed"] == 4
+    assert 0 < stats["total_set_bits"] <= 4 * stats["m_bits"]
+
+    keys = [r.o_orderkey for r in orders.limit(20).collect()]
+    skipped_any = False
+    for key in keys[:5]:
+        df, report = store.read_bloom_pruned(
+            DataZone.SILVER, "ob", "o_orderkey", key
+        )
+        exact = orders.filter(F.col("o_orderkey") == key).count()
+        assert df.count() == exact  # pruning never changes the answer
+        assert report["commits_scanned"] >= 1
+        skipped_any = skipped_any or report["commits_skipped"] > 0
+    # the true commit always passes; with 3 hashes over a 65536-bit
+    # filter at this fill factor at least one probe must skip something
+    assert skipped_any
+
+    # a key that exists nowhere: typically all commits skipped; result
+    # is empty regardless
+    df, report = store.read_bloom_pruned(
+        DataZone.SILVER, "ob", "o_orderkey", -987654321
+    )
+    assert df.count() == 0
