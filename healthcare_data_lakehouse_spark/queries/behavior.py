@@ -4009,3 +4009,66 @@ def stats_ks_exponential_interarrival(
         dround(F.greatest(F.col("d_plus"), F.col("d_minus")), 6).alias("ks_d"),
         dround(1.36 / F.sqrt(F.col("n")), 6).alias("ks_crit_95"),
     )
+
+
+# --------------------------------- Gumbel fit of daily maxima (EVT)
+@register(
+    "stats_gumbel_daily_max_value",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day, MAX(value) AS mx
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               AVG(mx) AS m,
+               stddev_samp(mx) AS s
+        FROM daily
+    )
+    SELECT n_days,
+           {dround_sql("m - 0.5772156649015329 * (s * sqrt(6.0) / pi())", 4)}
+               AS gumbel_mu,
+           {dround_sql("s * sqrt(6.0) / pi()", 4)} AS gumbel_beta,
+           {dround_sql(
+               "(m - 0.5772156649015329 * (s * sqrt(6.0) / pi()))"
+               " - (s * sqrt(6.0) / pi()) * ln(-ln(1.0 - 1.0 / 30.0))", 4)}
+               AS return_level_30d,
+           {dround_sql(
+               "(m - 0.5772156649015329 * (s * sqrt(6.0) / pi()))"
+               " - (s * sqrt(6.0) / pi()) * ln(-ln(1.0 - 1.0 / 365.0))", 4)}
+               AS return_level_365d
+    FROM mom
+    """,
+    description="Extreme-value theory capacity planning: method-of-"
+    "moments Gumbel fit to the block (daily) maxima of event value — "
+    "beta = s*sqrt(6)/pi, mu = mean - gamma*beta — with the 30-day and "
+    "365-day return levels (the value exceeded once per period in "
+    "expectation). Percentile monitors describe the bulk; the Fisher-"
+    "Tippett limit says block maxima are what you must model to answer "
+    "'how big is the spike we'll see this year', and the return level "
+    "is the provisioning number. One day-grain max agg + one moments "
+    "reduce; closed form, no iteration.",
+)
+def stats_gumbel_daily_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.max("value").alias("mx")
+    )
+    mom = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.avg("mx").alias("m"),
+        F.stddev_samp("mx").alias("s"),
+    )
+    gamma = 0.5772156649015329
+    beta = F.col("s") * math.sqrt(6.0) / math.pi
+    mu = F.col("m") - gamma * beta
+    rl = lambda p: mu - beta * math.log(-math.log(1.0 - 1.0 / p))  # noqa: E731
+    return mom.select(
+        "n_days",
+        dround(mu, 4).alias("gumbel_mu"),
+        dround(beta, 4).alias("gumbel_beta"),
+        dround(rl(30.0), 4).alias("return_level_30d"),
+        dround(rl(365.0), 4).alias("return_level_365d"),
+    )

@@ -951,3 +951,28 @@ def test_ks_exponential_matches_bruteforce(spark, sf_dir):
     assert abs(r.lambda_per_hour - 3.6e9 * n / sg) < 1e-3
     assert abs(r.ks_d - ks) < 1e-4
     assert abs(r.ks_crit_95 - 1.36 / math.sqrt(n)) < 1e-6
+
+
+def test_gumbel_fit_matches_bruteforce(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_gumbel_daily_max_value,
+    )
+
+    r = stats_gumbel_daily_max_value(spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupby(ev["ts"].dt.normalize())["value"].max()
+    m, s, n = daily.mean(), daily.std(ddof=1), len(daily)
+    beta = s * math.sqrt(6.0) / math.pi
+    mu = m - 0.5772156649015329 * beta
+    rl30 = mu - beta * math.log(-math.log(1 - 1 / 30.0))
+    assert r.n_days == n
+    assert abs(r.gumbel_mu - mu) < 1e-3
+    assert abs(r.gumbel_beta - beta) < 1e-3
+    assert abs(r.return_level_30d - rl30) < 1e-3
+    # return levels order correctly and sit above the location parameter
+    assert r.return_level_365d > r.return_level_30d > r.gumbel_mu
