@@ -9856,3 +9856,119 @@ def text_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_turing_coverage"
         ),
     )
+
+
+# ------------------------------------- Platt scaling via Newton steps
+def _platt_round_sql(i: int) -> str:
+    """One unrolled Newton-Raphson round for the 2-parameter logistic
+    (intercept b0, slope b1 on the quality score), reading beta from
+    pl_beta{i} and emitting pl_beta{i+1}. Closed-form 2x2 inverse."""
+    return f"""
+    pl_mom{i} AS (
+        SELECT SUM(p * (1 - p)) AS sw,
+               SUM(p * (1 - p) * q) AS swq,
+               SUM(p * (1 - p) * q * q) AS swqq,
+               SUM(label - p) AS g0,
+               SUM((label - p) * q) AS g1
+        FROM (
+            SELECT d.q, d.label,
+                   1.0 / (1.0 + exp(-(b.b0 + b.b1 * d.q))) AS p
+            FROM pl_data d CROSS JOIN pl_beta{i} b
+        )
+    ),
+    pl_beta{i + 1} AS (
+        SELECT b.b0 + (m.swqq * m.g0 - m.swq * m.g1)
+                      / (m.sw * m.swqq - m.swq * m.swq) AS b0,
+               b.b1 + (m.sw * m.g1 - m.swq * m.g0)
+                      / (m.sw * m.swqq - m.swq * m.swq) AS b1
+        FROM pl_beta{i} b CROSS JOIN pl_mom{i} m
+    )"""
+
+
+@register(
+    "stats_platt_scaling_newton",
+    oracle=f"""
+    WITH {_QEVAL_SQL},
+    pl_data AS (
+        SELECT q, CAST(label AS DOUBLE) AS label FROM qe_labeled
+    ),
+    pl_beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
+    {",".join(_platt_round_sql(i) for i in range(3))},
+    pl_fit AS (SELECT b0, b1 FROM pl_beta3),
+    pl_eval AS (
+        SELECT SUM(CASE WHEN (1.0 / (1.0 + exp(-(f.b0 + f.b1 * d.q))) >= 0.5)
+                             = (d.label = 1.0)
+                        THEN 1 ELSE 0 END) AS n_correct,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(-(d.label * ln(1.0 / (1.0 + exp(-(f.b0 + f.b1 * d.q))))
+                     + (1.0 - d.label)
+                       * ln(1.0 - 1.0 / (1.0 + exp(-(f.b0 + f.b1 * d.q))))))
+                   AS nll
+        FROM pl_data d CROSS JOIN pl_fit f
+    )
+    SELECT e.n AS n_docs,
+           {dround_sql("f.b0", 4)} AS platt_b0,
+           {dround_sql("f.b1", 4)} AS platt_b1,
+           {dround_sql("CAST(e.n_correct AS DOUBLE) / e.n", 6)} AS accuracy,
+           {dround_sql("e.nll / e.n", 6)} AS mean_nll
+    FROM pl_fit f CROSS JOIN pl_eval e
+    """,
+    description="Platt scaling — the logistic recalibration that turns "
+    "the raw quality score into a probability of passing the Gopher "
+    "gate — trained IN THE ENGINE with three unrolled Newton-Raphson "
+    "rounds: per round one scan computes the five weighted moments "
+    "(X'WX entries and the gradient) and the closed-form 2x2 solve "
+    "updates (b0, b1); no driver-side optimizer, constant-depth job "
+    "graph, every pass map-side combinable. Reports the fitted "
+    "coefficients plus held-in accuracy and mean negative log-"
+    "likelihood. The parametric sibling of "
+    "stats_isotonic_calibration_pav (monotone nonparametric) — Platt "
+    "is what you use when the calibration set is small. Three "
+    "fixed rounds from (0,0) are inside Newton's quadratic-"
+    "convergence basin for this well-separated 1-D problem.",
+)
+def stats_platt_scaling_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    labeled = _quality_vs_gopher(spark, sf_dir).select(
+        "q", F.col("label").cast("double").alias("label")
+    )
+    labeled = labeled.persist()
+    beta = (0.0, 0.0)
+    for _ in range(3):
+        b0, b1 = beta
+        p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("q"))))
+        w = p * (1.0 - p)
+        m = labeled.agg(
+            F.sum(w).alias("sw"),
+            F.sum(w * F.col("q")).alias("swq"),
+            F.sum(w * F.col("q") * F.col("q")).alias("swqq"),
+            F.sum(F.col("label") - p).alias("g0"),
+            F.sum((F.col("label") - p) * F.col("q")).alias("g1"),
+        ).collect()[0]
+        det = m.sw * m.swqq - m.swq * m.swq
+        beta = (
+            b0 + (m.swqq * m.g0 - m.swq * m.g1) / det,
+            b1 + (m.sw * m.g1 - m.swq * m.g0) / det,
+        )
+    b0, b1 = beta
+    p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("q"))))
+    ev = labeled.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(
+            ((p >= 0.5) == (F.col("label") == 1.0)).cast("int")
+        ).alias("n_correct"),
+        F.sum(
+            -(
+                F.col("label") * F.log(p)
+                + (1.0 - F.col("label")) * F.log(1.0 - p)
+            )
+        ).alias("nll"),
+    )
+    return ev.select(
+        "n_docs",
+        dround(F.lit(b0), 4).alias("platt_b0"),
+        dround(F.lit(b1), 4).alias("platt_b1"),
+        dround(F.col("n_correct").cast("double") / F.col("n_docs"), 6).alias(
+            "accuracy"
+        ),
+        dround(F.col("nll") / F.col("n_docs"), 6).alias("mean_nll"),
+    )

@@ -2233,3 +2233,36 @@ def test_chao1_matches_bruteforce(spark, sf_dir):
     # the estimator can only add unseen species
     assert r.chao1_estimate >= s
     assert 0.0 <= r.good_turing_coverage <= 1.0
+
+
+def test_platt_scaling_matches_bruteforce_newton(spark, sf_dir):
+    import math
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        _quality_vs_gopher,
+        stats_platt_scaling_newton,
+    )
+
+    r = stats_platt_scaling_newton(spark, sf_dir).collect()[0]
+
+    rows = [(x.q, float(x.label)) for x in _quality_vs_gopher(spark, sf_dir).collect()]
+    b0 = b1 = 0.0
+    for _ in range(3):
+        sw = swq = swqq = g0 = g1 = 0.0
+        for q, y in rows:
+            p = 1.0 / (1.0 + math.exp(-(b0 + b1 * q)))
+            w = p * (1 - p)
+            sw += w
+            swq += w * q
+            swqq += w * q * q
+            g0 += y - p
+            g1 += (y - p) * q
+        det = sw * swqq - swq * swq
+        b0 += (swqq * g0 - swq * g1) / det
+        b1 += (sw * g1 - swq * g0) / det
+    assert abs(r.platt_b0 - b0) < 1e-2
+    assert abs(r.platt_b1 - b1) < 1e-2
+    # a calibrated monotone score must separate better than chance
+    assert r.accuracy > 0.5
+    assert r.platt_b1 > 0  # higher quality -> higher pass probability
+    assert r.mean_nll < math.log(2)  # beats the uninformative coin
