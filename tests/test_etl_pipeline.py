@@ -326,3 +326,20 @@ def test_t_closeness_emd_bounds(spark, sf_dir):
     # the global distribution is a weighted mix of the groups, so not
     # every group can sit at the extreme
     assert any(r.t_emd < 0.5 for r in rows)
+
+
+def test_length_of_stay_profile_contract(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.etl_queries import (
+        etl_length_of_stay_profile,
+    )
+
+    rows = sorted(
+        etl_length_of_stay_profile(spark, sf_dir).collect(),
+        key=lambda r: r.los_days,
+    )
+    # fixture construction: discharge = admission + (k % 10) days
+    assert [r.los_days for r in rows] == list(range(10))
+    assert all(r.n_stays > 0 for r in rows)
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    # the %19 discharge-before-admission violations never leak through
+    assert all(r.los_days >= 0 for r in rows)
