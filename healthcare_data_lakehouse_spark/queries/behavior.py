@@ -4072,3 +4072,162 @@ def stats_gumbel_daily_max_value(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(rl(30.0), 4).alias("return_level_30d"),
         dround(rl(365.0), 4).alias("return_level_365d"),
     )
+
+
+# --------------------------------- PACF via Durbin-Levinson (lags 1-4)
+_DL_SQL = """
+    SELECT r1, r2, r3, r4,
+           p11,
+           (r2 - p11 * r1) / (1 - p11 * r1) AS p22,
+           p11 - ((r2 - p11 * r1) / (1 - p11 * r1)) * p11 AS p21
+    FROM (SELECT r1, r2, r3, r4, r1 AS p11 FROM pf_rho_wide)
+"""
+
+
+@register(
+    "stats_pacf_daily_volume",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    calendar AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    raw AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day
+    ),
+    daily AS (
+        SELECT c.day, COALESCE(r.n, 0) AS n
+        FROM calendar c LEFT JOIN raw r ON r.day = c.day
+    ),
+    stats AS (
+        SELECT (SELECT AVG(CAST(n AS DOUBLE)) FROM daily) AS m,
+               (SELECT SUM((CAST(n AS DOUBLE)
+                            - (SELECT AVG(CAST(n AS DOUBLE)) FROM daily))
+                           * (CAST(n AS DOUBLE)
+                              - (SELECT AVG(CAST(n AS DOUBLE)) FROM daily)))
+                FROM daily) AS ss
+    ),
+    lags AS (SELECT UNNEST(range(1, 5)) AS k),
+    rho AS (
+        SELECT l.k,
+               SUM((CAST(a.n AS DOUBLE) - s.m) * (CAST(b.n AS DOUBLE) - s.m))
+                   / MAX(s.ss) AS r
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(l.k AS BIGINT) * INTERVAL 1 DAY
+        CROSS JOIN stats s
+        GROUP BY l.k
+    ),
+    pf_rho_wide AS (
+        SELECT MAX(CASE WHEN k = 1 THEN r END) AS r1,
+               MAX(CASE WHEN k = 2 THEN r END) AS r2,
+               MAX(CASE WHEN k = 3 THEN r END) AS r3,
+               MAX(CASE WHEN k = 4 THEN r END) AS r4
+        FROM rho
+    ),
+    dl2 AS ({_DL_SQL}),
+    dl3 AS (
+        SELECT *,
+               (r3 - (p21 * r2 + p22 * r1)) / (1 - (p21 * r1 + p22 * r2))
+                   AS p33
+        FROM dl2
+    ),
+    dl3b AS (
+        SELECT *, p21 - p33 * p22 AS p31, p22 - p33 * p21 AS p32 FROM dl3
+    ),
+    dl4 AS (
+        SELECT *,
+               (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+               / (1 - (p31 * r1 + p32 * r2 + p33 * r3)) AS p44
+        FROM dl3b
+    )
+    SELECT u.lag,
+           {dround_sql(
+               "CASE u.lag WHEN 1 THEN r1 WHEN 2 THEN r2"
+               " WHEN 3 THEN r3 ELSE r4 END", 6)} AS acf,
+           {dround_sql(
+               "CASE u.lag WHEN 1 THEN p11 WHEN 2 THEN p22"
+               " WHEN 3 THEN p33 ELSE p44 END", 6)} AS pacf
+    FROM dl4 CROSS JOIN (SELECT UNNEST(range(1, 5)) AS lag) u
+    """,
+    description="Partial autocorrelation of daily event volume at lags "
+    "1-4 via the Durbin-Levinson recursion unrolled to closed-form "
+    "scalar algebra over the ACF — PACF is THE AR-order selector (an "
+    "AR(p) process cuts off after lag p in PACF but tails forever in "
+    "ACF), completing the Box-Jenkins identification kit next to "
+    "events_periodicity_autocorr (raw ACF), stats_ljung_box_daily_"
+    "volume (portmanteau), and stats_durbin_watson_daily_revenue "
+    "(lag-1 residuals). ACF comes from calendar-spine offset joins; "
+    "the recursion is four levels of 1-row column arithmetic — "
+    "identical expression trees both engines, no iteration, no "
+    "matrix solver.",
+)
+def stats_pacf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    raw = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = calendar.join(F.broadcast(raw), "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).alias("n")
+    ).persist()
+    stats = daily.agg(F.avg(F.col("n").cast("double")).alias("m"))
+    ss = daily.crossJoin(F.broadcast(stats)).agg(
+        F.sum(
+            (F.col("n").cast("double") - F.col("m"))
+            * (F.col("n").cast("double") - F.col("m"))
+        ).alias("ss")
+    )
+    lags = spark.range(1, 5).select(F.col("id").cast("int").alias("k"))
+    a, b = daily.alias("a"), daily.alias("b")
+    rho = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.day") == F.expr("date_add(a.day, k)"))
+        .crossJoin(F.broadcast(stats))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("a.n").cast("double") - F.col("m"))
+                * (F.col("b.n").cast("double") - F.col("m"))
+            ).alias("num")
+        )
+        .crossJoin(F.broadcast(ss))
+        .select("k", (F.col("num") / F.col("ss")).alias("r"))
+    )
+    wide = rho.agg(
+        *[
+            F.max(F.when(F.col("k") == i, F.col("r"))).alias(f"r{i}")
+            for i in range(1, 5)
+        ]
+    )
+    r1, r2, r3, r4 = [F.col(f"r{i}") for i in range(1, 5)]
+    p11 = r1
+    p22 = (r2 - p11 * r1) / (1 - p11 * r1)
+    p21 = p11 - p22 * p11
+    p33 = (r3 - (p21 * r2 + p22 * r1)) / (1 - (p21 * r1 + p22 * r2))
+    p31 = p21 - p33 * p22
+    p32 = p22 - p33 * p21
+    p44 = (r4 - (p31 * r3 + p32 * r2 + p33 * r1)) / (
+        1 - (p31 * r1 + p32 * r2 + p33 * r3)
+    )
+    acfs = {1: r1, 2: r2, 3: r3, 4: r4}
+    pacfs = {1: p11, 2: p22, 3: p33, 4: p44}
+    out = None
+    for lag in range(1, 5):
+        row = wide.select(
+            F.lit(lag).cast("bigint").alias("lag"),
+            dround(acfs[lag], 6).alias("acf"),
+            dround(pacfs[lag], 6).alias("pacf"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

@@ -976,3 +976,46 @@ def test_gumbel_fit_matches_bruteforce(spark, sf_dir):
     assert abs(r.return_level_30d - rl30) < 1e-3
     # return levels order correctly and sit above the location parameter
     assert r.return_level_365d > r.return_level_30d > r.gumbel_mu
+
+
+def test_pacf_matches_statsmodels_free_bruteforce(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_pacf_daily_volume,
+    )
+
+    rows = {r.lag: r for r in stats_pacf_daily_volume(spark, sf_dir).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupby(ev["ts"].dt.normalize()).size()
+    idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+    y = daily.reindex(idx, fill_value=0).to_numpy(dtype=float)
+    dev = y - y.mean()
+    ss = (dev**2).sum()
+    rho = [1.0] + [
+        (dev[:-k] * dev[k:]).sum() / ss for k in range(1, 5)
+    ]
+    # Durbin-Levinson reference
+    phi_prev = {}
+    pacf = {}
+    for k in range(1, 5):
+        if k == 1:
+            pacf[1] = rho[1]
+            phi_prev = {1: rho[1]}
+        else:
+            num = rho[k] - sum(phi_prev[j] * rho[k - j] for j in phi_prev)
+            den = 1 - sum(phi_prev[j] * rho[j] for j in phi_prev)
+            pk = num / den
+            pacf[k] = pk
+            phi_prev = {
+                j: phi_prev[j] - pk * phi_prev[k - j] for j in phi_prev
+            } | {k: pk}
+    for k in range(1, 5):
+        assert abs(rows[k].acf - rho[k]) < 1e-4, k
+        assert abs(rows[k].pacf - pacf[k]) < 1e-4, k
+        assert -1.0 <= rows[k].pacf <= 1.0
+    # PACF lag 1 equals ACF lag 1 by definition
+    assert abs(rows[1].pacf - rows[1].acf) < 1e-9
