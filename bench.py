@@ -285,7 +285,6 @@ HEADLINE = [
     "stats_cramers_v_lang_source",
     "graph_hits_hubs_authorities",
     "text_readability_flesch",
-    "streaming_left_outer_interval_join",
     "stats_ljung_box_daily_volume",
     "sample_horvitz_thompson_chars",
     "sketch_ams_f2_user_moment",

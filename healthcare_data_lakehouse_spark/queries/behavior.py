@@ -4231,3 +4231,99 @@ def stats_pacf_daily_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# --------------------------------- Cook's distance: influential points
+@register(
+    "stats_cooks_distance_price_quantity",
+    oracle=f"""
+    WITH fit AS (
+        SELECT REGR_SLOPE(l_extendedprice, l_quantity) AS b,
+               REGR_INTERCEPT(l_extendedprice, l_quantity) AS a,
+               AVG(l_quantity) AS mx,
+               SUM((l_quantity - (SELECT AVG(l_quantity) FROM lineitem))
+                   * (l_quantity - (SELECT AVG(l_quantity) FROM lineitem)))
+                   AS sxx,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem
+    ),
+    resid AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               l.l_extendedprice - f.a - f.b * l.l_quantity AS e,
+               1.0 / f.n + (l.l_quantity - f.mx) * (l.l_quantity - f.mx)
+                   / f.sxx AS h,
+               f.n
+        FROM lineitem l CROSS JOIN fit f
+    ),
+    mse AS (
+        SELECT SUM(e * e) / (MAX(n) - 2) AS s2 FROM resid
+    )
+    SELECT r.l_orderkey, r.l_linenumber,
+           {dround_sql("r.e", 2)} AS residual,
+           {dround_sql("r.h", 8)} AS leverage,
+           {dround_sql(
+               "r.e * r.e / (2.0 * m.s2) * r.h / ((1.0 - r.h) * (1.0 - r.h))",
+               8)} AS cooks_d
+    FROM resid r CROSS JOIN mse m
+    ORDER BY r.e * r.e / (2.0 * m.s2) * r.h / ((1.0 - r.h) * (1.0 - r.h))
+                 DESC,
+             r.l_orderkey, r.l_linenumber
+    LIMIT 10
+    """,
+    description="Cook's distance top-10 for the price ~ quantity fit: "
+    "per-row influence D_i = e_i^2/(p*s^2) * h_i/(1-h_i)^2 with the "
+    "simple-regression closed-form leverage h_i = 1/n + (x-xbar)^2/Sxx "
+    "— the which-rows-own-this-fit diagnostic that closes the "
+    "regression-diagnostics triple (Breusch-Pagan: variance; Durbin-"
+    "Watson: serial residuals; Cook: influence), and in a data-quality "
+    "pipeline the shortlist of records to audit before trusting any "
+    "fitted monitor. Two aggregate passes (fit moments, MSE) broadcast "
+    "onto one row-grain scan; top-10 via TakeOrderedAndProject with "
+    "(orderkey, linenumber) tiebreak so the boundary is total-ordered.",
+)
+def stats_cooks_distance_price_quantity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    mx_ = li.agg(F.avg("l_quantity").alias("mx")).collect()[0].mx
+    fit = li.agg(
+        F.regr_slope("l_extendedprice", "l_quantity").alias("b"),
+        F.regr_intercept("l_extendedprice", "l_quantity").alias("a"),
+        F.avg("l_quantity").alias("mx"),
+        F.sum(
+            (F.col("l_quantity") - F.lit(mx_))
+            * (F.col("l_quantity") - F.lit(mx_))
+        ).alias("sxx"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    e = F.col("l_extendedprice") - F.col("a") - F.col("b") * F.col("l_quantity")
+    h = 1.0 / F.col("n") + (F.col("l_quantity") - F.col("mx")) * (
+        F.col("l_quantity") - F.col("mx")
+    ) / F.col("sxx")
+    resid = li.crossJoin(F.broadcast(fit)).select(
+        "l_orderkey",
+        "l_linenumber",
+        e.alias("e"),
+        h.alias("h"),
+        "n",
+    )
+    mse = resid.agg((F.sum(F.col("e") * F.col("e")) / (F.max("n") - 2)).alias("s2"))
+    d = (
+        F.col("e")
+        * F.col("e")
+        / (2.0 * F.col("s2"))
+        * F.col("h")
+        / ((1.0 - F.col("h")) * (1.0 - F.col("h")))
+    )
+    return (
+        resid.crossJoin(F.broadcast(mse))
+        .orderBy(d.desc(), "l_orderkey", "l_linenumber")
+        .limit(10)
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            dround(F.col("e"), 2).alias("residual"),
+            dround(F.col("h"), 8).alias("leverage"),
+            dround(d, 8).alias("cooks_d"),
+        )
+    )

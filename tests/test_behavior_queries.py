@@ -1019,3 +1019,35 @@ def test_pacf_matches_statsmodels_free_bruteforce(spark, sf_dir):
         assert -1.0 <= rows[k].pacf <= 1.0
     # PACF lag 1 equals ACF lag 1 by definition
     assert abs(rows[1].pacf - rows[1].acf) < 1e-9
+
+
+def test_cooks_distance_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_cooks_distance_price_quantity,
+    )
+
+    rows = stats_cooks_distance_price_quantity(spark, sf_dir).collect()
+    assert len(rows) == 10
+
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    x = li["l_quantity"].to_numpy(dtype=float)
+    y = li["l_extendedprice"].to_numpy(dtype=float)
+    n = len(x)
+    b = np.cov(x, y, bias=True)[0, 1] / np.var(x)
+    a = y.mean() - b * x.mean()
+    e = y - a - b * x
+    sxx = ((x - x.mean()) ** 2).sum()
+    h = 1.0 / n + (x - x.mean()) ** 2 / sxx
+    s2 = (e**2).sum() / (n - 2)
+    d = e**2 / (2 * s2) * h / (1 - h) ** 2
+    top = np.argsort(-d)[:10]
+    exp_top = sorted(float(d[i]) for i in top)
+    got_top = sorted(r.cooks_d for r in rows)
+    for gv, ev_ in zip(got_top, exp_top):
+        assert abs(gv - ev_) < 1e-6
+    # ranking is by influence, strictly ordered after the tiebreak
+    ds = [r.cooks_d for r in rows]
+    assert ds == sorted(ds, reverse=True)
