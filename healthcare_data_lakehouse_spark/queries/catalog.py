@@ -165,9 +165,17 @@ PRIORITY = [
     # sample_horvitz_thompson_chars, sketch_ams_f2_user_moment,
     # stats_fleiss_kappa_quality_raters, stats_nelson_aalen_cumhaz,
     # events_cmh_purchase_by_variant_daystrata,
-    # stats_mcnemar_quality_raters, dedup_content_defined_chunks) ride
-    # the refreshed end-of-round full sweep + per-query brute-force
-    # pytests and join the same rotation pool.
+    # stats_mcnemar_quality_raters, dedup_content_defined_chunks,
+    # events_markov_entropy_rate, text_burrows_delta_sources,
+    # stats_hill_tail_index_orders, stats_breusch_pagan_price_quantity,
+    # stats_durbin_watson_daily_revenue, load_cdf_replication_apply,
+    # multimodal_audio_vad_energy, text_chao1_vocab_richness,
+    # stats_ks_exponential_interarrival, load_bloom_index_point_lookup,
+    # stats_gumbel_daily_max_value, stats_platt_scaling_newton,
+    # etl_length_of_stay_profile, stats_pacf_daily_volume,
+    # stats_cooks_distance_price_quantity) ride the refreshed
+    # end-of-round full sweep + per-query brute-force pytests and join
+    # the same rotation pool.
 ]
 
 
