@@ -4327,3 +4327,86 @@ def stats_cooks_distance_price_quantity(
             dround(d, 8).alias("cooks_d"),
         )
     )
+
+
+# --------------------------------- longest daily-activity streaks
+@register(
+    "events_longest_daily_streaks",
+    oracle=f"""
+    WITH ud AS (
+        SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ),
+    marked AS (
+        SELECT user_id, day,
+               CASE WHEN LAG(day) OVER (PARTITION BY user_id ORDER BY day)
+                         = day - INTERVAL 1 DAY
+                    THEN 0 ELSE 1 END AS is_start
+        FROM ud
+    ),
+    islands AS (
+        SELECT user_id, day,
+               SUM(is_start) OVER (PARTITION BY user_id ORDER BY day
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS streak_id
+        FROM marked
+    ),
+    streaks AS (
+        SELECT user_id, streak_id, CAST(COUNT(*) AS BIGINT) AS len
+        FROM islands GROUP BY user_id, streak_id
+    ),
+    best AS (
+        SELECT user_id, CAST(MAX(len) AS BIGINT) AS best_streak
+        FROM streaks GROUP BY user_id
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_users FROM best)
+    SELECT b.best_streak,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {dround_sql(
+               "CAST(COUNT(*) AS DOUBLE) / MAX(t.n_users)", 6)} AS user_share
+    FROM best b CROSS JOIN tot t
+    GROUP BY b.best_streak
+    """,
+    description="Longest consecutive-daily-activity streak per user, "
+    "rolled up to the streak-length distribution — the engagement/"
+    "habit metric (retention cohorts measure IF users return; streaks "
+    "measure the rhythm). Gap-island decomposition: distinct (user, "
+    "day), a lag-is-yesterday start flag, a per-user prefix sum "
+    "labelling islands — every window PARTITIONED by user, never a "
+    "global sort; the rollup is |distinct streak lengths| rows "
+    "(bounded by the observation span, not the user count). The "
+    "bitmap twin events_user_activity_bitmap answers set queries; "
+    "this answers duration queries.",
+)
+def events_longest_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    ud = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    wu = Window.partitionBy("user_id").orderBy("day")
+    marked = ud.withColumn(
+        "is_start",
+        F.when(
+            F.lag("day").over(wu) == F.date_add(F.col("day"), -1), 0
+        ).otherwise(1),
+    )
+    islands = marked.withColumn(
+        "streak_id",
+        F.sum("is_start").over(wu.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    streaks = islands.groupBy("user_id", "streak_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("len")
+    )
+    best = streaks.groupBy("user_id").agg(
+        F.max("len").cast("bigint").alias("best_streak")
+    )
+    tot = best.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    return (
+        best.groupBy("best_streak")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+        .crossJoin(F.broadcast(tot).withColumnRenamed("n_users", "nt"))
+        .select(
+            "best_streak",
+            "n_users",
+            dround(F.col("n_users").cast("double") / F.col("nt"), 6).alias(
+                "user_share"
+            ),
+        )
+    )

@@ -1051,3 +1051,35 @@ def test_cooks_distance_matches_bruteforce(spark, sf_dir):
     # ranking is by influence, strictly ordered after the tiebreak
     ds = [r.cooks_d for r in rows]
     assert ds == sorted(ds, reverse=True)
+
+
+def test_longest_streaks_match_bruteforce(spark, sf_dir):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_longest_daily_streaks,
+    )
+
+    rows = {
+        r.best_streak: r.n_users
+        for r in events_longest_daily_streaks(spark, sf_dir).collect()
+    }
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ud = (
+        ev.assign(day=ev["ts"].dt.normalize())[["user_id", "day"]]
+        .drop_duplicates()
+        .sort_values(["user_id", "day"])
+    )
+    best: dict = {}
+    for uid, g in ud.groupby("user_id"):
+        days = list(g["day"])
+        longest = cur = 1
+        for a, b in zip(days, days[1:]):
+            cur = cur + 1 if (b - a).days == 1 else 1
+            longest = max(longest, cur)
+        best[uid] = longest
+    from collections import Counter
+
+    exp = Counter(best.values())
+    assert rows == dict(exp)
