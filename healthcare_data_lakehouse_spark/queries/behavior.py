@@ -4410,3 +4410,80 @@ def events_longest_daily_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --------------------------------- TOST equivalence test
+@register(
+    "stats_tost_equivalence_purchase_click",
+    oracle=f"""
+    WITH g AS (
+        SELECT COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n1,
+               AVG(CASE WHEN event_type = 'purchase' THEN value END) AS m1,
+               var_samp(CASE WHEN event_type = 'purchase' THEN value END)
+                   AS v1,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n2,
+               AVG(CASE WHEN event_type = 'click' THEN value END) AS m2,
+               var_samp(CASE WHEN event_type = 'click' THEN value END) AS v2
+        FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    calc AS (
+        SELECT n1, n2, m1 - m2 AS diff,
+               0.05 * (m1 + m2) / 2.0 AS delta,
+               sqrt(v1 / n1 + v2 / n2) AS se
+        FROM g
+    )
+    SELECT n1, n2,
+           {dround_sql("diff", 4)} AS mean_diff,
+           {dround_sql("delta", 4)} AS margin_delta,
+           {dround_sql("(diff + delta) / se", 4)} AS z_lower,
+           {dround_sql("(delta - diff) / se", 4)} AS z_upper,
+           CAST(CASE WHEN (diff + delta) / se > 1.6448536269514722
+                      AND (delta - diff) / se > 1.6448536269514722
+                     THEN 1 ELSE 0 END AS INT) AS equivalent_at_95
+    FROM calc
+    """,
+    description="TOST equivalence test (two one-sided tests) on "
+    "purchase-vs-click mean value with a +-5%-of-grand-mean margin: "
+    "stats_welch_ttest_purchase_click can only FAIL to find a "
+    "difference — absence of significance is not equivalence — while "
+    "TOST positively demonstrates the means are within the margin "
+    "(both one-sided z's past 1.645), the correct readout for 'did "
+    "this refactor change the metric?' ship gates and A/A tests. Same "
+    "one-pass conditional-moments scan as Welch; the verdict is one "
+    "exact expression over the six moments.",
+)
+def stats_tost_equivalence_purchase_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "click")
+    )
+    p = F.when(F.col("event_type") == "purchase", F.col("value"))
+    c = F.when(F.col("event_type") == "click", F.col("value"))
+    g = ev.agg(
+        F.count(p).alias("n1"),
+        F.avg(p).alias("m1"),
+        F.var_samp(p).alias("v1"),
+        F.count(c).alias("n2"),
+        F.avg(c).alias("m2"),
+        F.var_samp(c).alias("v2"),
+    )
+    diff = F.col("m1") - F.col("m2")
+    delta = 0.05 * (F.col("m1") + F.col("m2")) / 2.0
+    se = F.sqrt(F.col("v1") / F.col("n1") + F.col("v2") / F.col("n2"))
+    zcrit = 1.6448536269514722
+    return g.select(
+        "n1",
+        "n2",
+        dround(diff, 4).alias("mean_diff"),
+        dround(delta, 4).alias("margin_delta"),
+        dround((diff + delta) / se, 4).alias("z_lower"),
+        dround((delta - diff) / se, 4).alias("z_upper"),
+        F.when(
+            ((diff + delta) / se > zcrit) & ((delta - diff) / se > zcrit),
+            1,
+        )
+        .otherwise(0)
+        .cast("int")
+        .alias("equivalent_at_95"),
+    )

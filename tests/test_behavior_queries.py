@@ -1083,3 +1083,30 @@ def test_longest_streaks_match_bruteforce(spark, sf_dir):
 
     exp = Counter(best.values())
     assert rows == dict(exp)
+
+
+def test_tost_matches_bruteforce_and_welch_consistency(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_tost_equivalence_purchase_click,
+    )
+
+    r = stats_tost_equivalence_purchase_click(spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    pv = ev.loc[ev.event_type == "purchase", "value"]
+    cv = ev.loc[ev.event_type == "click", "value"]
+    diff = pv.mean() - cv.mean()
+    delta = 0.05 * (pv.mean() + cv.mean()) / 2
+    se = math.sqrt(pv.var(ddof=1) / len(pv) + cv.var(ddof=1) / len(cv))
+    assert r.n1 == len(pv) and r.n2 == len(cv)
+    assert abs(r.mean_diff - diff) < 1e-3
+    assert abs(r.z_lower - (diff + delta) / se) < 1e-3
+    assert abs(r.z_upper - (delta - diff) / se) < 1e-3
+    exp_eq = int((diff + delta) / se > 1.645 and (delta - diff) / se > 1.645)
+    assert r.equivalent_at_95 == exp_eq
+    # TOST internal consistency: z_lower + z_upper == 2*delta/se
+    assert abs((r.z_lower + r.z_upper) - 2 * delta / se) < 1e-3
