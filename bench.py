@@ -301,6 +301,13 @@ HEADLINE = [
     "multimodal_audio_vad_energy",
     "text_chao1_vocab_richness",
     "stats_ks_exponential_interarrival",
+    "stats_gumbel_daily_max_value",
+    "stats_platt_scaling_newton",
+    "etl_length_of_stay_profile",
+    "stats_pacf_daily_volume",
+    "stats_cooks_distance_price_quantity",
+    "events_longest_daily_streaks",
+    "stats_tost_equivalence_purchase_click",
 ]
 
 
