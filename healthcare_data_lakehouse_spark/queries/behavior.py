@@ -4487,3 +4487,139 @@ def stats_tost_equivalence_purchase_click(
         .cast("int")
         .alias("equivalent_at_95"),
     )
+
+
+# --------------------------------- Fisher / Stouffer combined tests
+@register(
+    "stats_fisher_combined_pvalue",
+    oracle=f"""
+    WITH moments AS (
+        SELECT e.event_type AS grp,
+               COUNT(CASE WHEN v.et = e.event_type THEN 1 END) AS n1,
+               AVG(CASE WHEN v.et = e.event_type THEN value END) AS m1,
+               var_samp(CASE WHEN v.et = e.event_type THEN value END) AS v1,
+               COUNT(CASE WHEN v.et <> e.event_type THEN 1 END) AS n2,
+               AVG(CASE WHEN v.et <> e.event_type THEN value END) AS m2,
+               var_samp(CASE WHEN v.et <> e.event_type THEN value END) AS v2
+        FROM (SELECT DISTINCT event_type FROM events) e
+        CROSS JOIN (SELECT event_type AS et, value FROM events) v
+        GROUP BY e.event_type
+    ),
+    tests AS (
+        SELECT grp,
+               (m1 - m2) / sqrt(v1 / n1 + v2 / n2) AS z,
+               GREATEST(
+                   1.0 - {_erf_sql("abs((m1 - m2) / sqrt(v1 / n1 + v2 / n2)) / sqrt(2.0)")},
+                   1e-12) AS p
+        FROM moments
+    ),
+    comb AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               -2.0 * SUM(ln(p)) AS x2,
+               SUM(z) / sqrt(CAST(COUNT(*) AS DOUBLE)) AS stouffer_z
+        FROM tests
+    ),
+    pval AS (
+        SELECT c.k, c.x2, c.stouffer_z,
+               EXP(-c.x2 / 2.0)
+               * SUM(POWER(c.x2 / 2.0, j.j) / factorial(CAST(j.j AS INT)))
+                   AS p_fisher
+        FROM comb c
+        CROSS JOIN (SELECT UNNEST(range(0, (SELECT k FROM comb))) AS j) j
+        GROUP BY c.k, c.x2, c.stouffer_z
+    )
+    SELECT k AS k_tests, CAST(2 * k AS BIGINT) AS df,
+           {dround_sql("x2", 4)} AS fisher_x2,
+           {dround_sql("LEAST(p_fisher, 1.0)", 10)} AS p_fisher,
+           {dround_sql(
+               "(x2 / 2.0 - ln(p_fisher / EXP(-x2 / 2.0))) / ln(10.0)", 4)}
+               AS neg_log10_p,
+           {dround_sql("stouffer_z", 4)} AS stouffer_z
+    FROM pval
+    """,
+    description="Fisher's combined-probability meta-analysis over the "
+    "per-event-type mean-vs-rest z-tests (the same one-scan test family "
+    "stats_benjamini_hochberg controls individually): X = -2*sum ln p "
+    "~ chi-square(2k), with the survival function computed EXACTLY — "
+    "for even df it is the finite Poisson sum exp(-X/2) * sum_{{j<k}} "
+    "(X/2)^j/j!, so no incomplete-gamma library is needed and both "
+    "engines evaluate the identical closed form. Stouffer's sum-z "
+    "companion (sensitive to consistent direction where Fisher is "
+    "sensitive to any strong test) rides the same aggregate. BH asks "
+    "'WHICH tests are real?'; Fisher asks 'is there ANY effect at "
+    "all?' — the global gate run before per-group drill-down.",
+)
+def stats_fisher_combined_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select("event_type", "value")
+    per = ev.groupBy(F.col("event_type").alias("grp")).agg(
+        F.count("value").cast("bigint").alias("n1"),
+        F.avg("value").alias("m1"),
+        F.var_samp("value").alias("v1"),
+    )
+    wall0 = Window.partitionBy()
+    n_all = F.sum("n1").over(wall0)
+    m_all = F.sum(F.col("n1") * F.col("m1")).over(wall0) / n_all
+    withg = per.select(
+        "*",
+        n_all.alias("n_all"),
+        m_all.alias("m_all"),
+        F.sum(F.col("v1") * (F.col("n1") - 1)).over(wall0).alias("m2_within"),
+    ).withColumn(
+        "m2_between",
+        F.sum(
+            F.col("n1")
+            * (F.col("m1") - F.col("m_all"))
+            * (F.col("m1") - F.col("m_all"))
+        ).over(Window.partitionBy("n_all")),
+    )
+    n2c = F.col("n_all") - F.col("n1")
+    m2c = (F.col("n_all") * F.col("m_all") - F.col("n1") * F.col("m1")) / n2c
+    m2_total = F.col("m2_within") + F.col("m2_between")
+    m2_grp = F.col("v1") * (F.col("n1") - 1)
+    delta = F.col("m1") - m2c
+    v2c = (
+        m2_total - m2_grp - delta * delta * F.col("n1") * n2c / F.col("n_all")
+    ) / (n2c - 1)
+    zc = (F.col("m1") - m2c) / F.sqrt(
+        F.col("v1") / F.col("n1") + v2c / n2c
+    )
+    tests = withg.select(
+        zc.alias("z"),
+        F.greatest(
+            1.0 - _erf_col(F.abs(zc) / F.sqrt(F.lit(2.0))), F.lit(1e-12)
+        ).alias("p"),
+    )
+    comb = tests.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        (-2.0 * F.sum(F.log("p"))).alias("x2"),
+        (F.sum("z") / F.sqrt(F.count(F.lit(1)).cast("double"))).alias(
+            "stouffer_z"
+        ),
+    )
+    js = comb.select(
+        "k", "x2", "stouffer_z", F.explode(F.sequence(F.lit(0), F.col("k") - 1)).alias("j")
+    )
+    pval = js.groupBy("k", "x2", "stouffer_z").agg(
+        (
+            F.exp(-F.col("x2") / 2.0)
+            * F.sum(
+                F.pow(F.col("x2") / 2.0, F.col("j"))
+                / F.factorial(F.col("j").cast("int"))
+            )
+        ).alias("p_fisher")
+    )
+    return pval.select(
+        F.col("k").alias("k_tests"),
+        (2 * F.col("k")).cast("bigint").alias("df"),
+        dround(F.col("x2"), 4).alias("fisher_x2"),
+        dround(F.least(F.col("p_fisher"), F.lit(1.0)), 10).alias("p_fisher"),
+        dround(
+            (
+                F.col("x2") / 2.0
+                - F.log(F.col("p_fisher") / F.exp(-F.col("x2") / 2.0))
+            )
+            / F.log(F.lit(10.0)),
+            4,
+        ).alias("neg_log10_p"),
+        dround(F.col("stouffer_z"), 4).alias("stouffer_z"),
+    )

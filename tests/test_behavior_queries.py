@@ -1110,3 +1110,53 @@ def test_tost_matches_bruteforce_and_welch_consistency(spark, sf_dir):
     assert r.equivalent_at_95 == exp_eq
     # TOST internal consistency: z_lower + z_upper == 2*delta/se
     assert abs((r.z_lower + r.z_upper) - 2 * delta / se) < 1e-3
+
+
+def test_fisher_combined_matches_bruteforce(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_fisher_combined_pvalue,
+    )
+
+    r = stats_fisher_combined_pvalue(spark, sf_dir).collect()[0]
+
+    def erf_as(x):
+        t = 1.0 / (1.0 + 0.3275911 * x)
+        poly = (
+            0.254829592 * t
+            - 0.284496736 * t**2
+            + 1.421413741 * t**3
+            - 1.453152027 * t**4
+            + 1.061405429 * t**5
+        )
+        return 1.0 - poly * math.exp(-x * x)
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    types = sorted(ev["event_type"].unique())
+    x2 = 0.0
+    zs = []
+    for t in types:
+        a = ev.loc[ev.event_type == t, "value"]
+        b = ev.loc[ev.event_type != t, "value"]
+        z = (a.mean() - b.mean()) / math.sqrt(
+            a.var(ddof=1) / len(a) + b.var(ddof=1) / len(b)
+        )
+        p = max(1.0 - erf_as(abs(z) / math.sqrt(2)), 1e-12)
+        x2 += -2 * math.log(p)
+        zs.append(z)
+    k = len(types)
+    half = x2 / 2
+    p_fisher = math.exp(-half) * sum(
+        half**j / math.factorial(j) for j in range(k)
+    )
+    assert r.k_tests == k and r.df == 2 * k
+    assert abs(r.fisher_x2 - x2) < 1e-2
+    assert abs(r.p_fisher - min(p_fisher, 1.0)) < 1e-6
+    assert abs(r.stouffer_z - sum(zs) / math.sqrt(k)) < 1e-2
+    # survival function sanity: p in [0, 1], -log10 consistent
+    assert 0.0 <= r.p_fisher <= 1.0
+    if r.p_fisher > 1e-9:
+        assert abs(r.neg_log10_p + math.log10(r.p_fisher)) < 1e-2

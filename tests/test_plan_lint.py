@@ -49,6 +49,7 @@ GRAIN_BOUNDS = {
     "rfm_customer_segments": 50,
     "sample_temperature_lang": 16,
     "stats_benjamini_hochberg": 16,
+    "stats_fisher_combined_pvalue": 16,
     "stats_gini_customer_revenue": 500,
     "stats_kaplan_meier_session_duration": 100,
     "stats_nelson_aalen_cumhaz": 100,

@@ -99,6 +99,10 @@ GLOBAL_WINDOW_OK = {
     "stats_spearman_rank_corr":
         "prefix sums over the two distinct-value aggregates (same scale "
         "note as stats_mann_whitney_u)",
+    "stats_fisher_combined_pvalue":
+        "global-moment windows over the |event_types|-row aggregate "
+        "(same one-scan complement-moments construction as "
+        "stats_benjamini_hochberg)",
     "stats_ks_exponential_interarrival":
         "CDF prefix sum over the distinct-gap aggregate (continuous-"
         "microsecond scale: bin or partition-offset at 100 TB, same "
