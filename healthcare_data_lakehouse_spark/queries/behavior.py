@@ -4623,3 +4623,268 @@ def stats_fisher_combined_pvalue(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("neg_log10_p"),
         dround(F.col("stouffer_z"), 4).alias("stouffer_z"),
     )
+
+
+# --------------------------------- Bartlett variance homogeneity
+@register(
+    "stats_bartlett_variance_homogeneity",
+    oracle=f"""
+    WITH g AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               var_samp(value) AS v
+        FROM events GROUP BY event_type
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(n) AS BIGINT) AS n_tot,
+               SUM((n - 1) * v) / SUM(n - 1) AS sp2,
+               SUM((n - 1) * ln(v)) AS sum_ln,
+               SUM(1.0 / (n - 1)) AS sum_inv
+        FROM g
+    )
+    SELECT k AS k_groups, n_tot,
+           {dround_sql("sp2", 4)} AS pooled_var,
+           {dround_sql(
+               "((n_tot - k) * ln(sp2) - sum_ln)"
+               " / (1.0 + (sum_inv - 1.0 / (n_tot - k)) / (3.0 * (k - 1)))",
+               4)} AS bartlett_t
+    FROM agg
+    """,
+    description="Bartlett's test of variance homogeneity across all "
+    "event types — the assumption gate in front of "
+    "stats_anova_value_by_type (the F-test's p-value is only honest "
+    "under equal variances; Bartlett is the most powerful check when "
+    "normality holds, and stats_brown_forsythe_variance is its robust "
+    "fallback when it doesn't). T = ((N-k) ln s_p^2 - sum (n_i-1) ln "
+    "s_i^2) / C against chi-square(k-1), computed entirely from the "
+    "|types|-row (n, variance) aggregate: one grouped-moments scan, "
+    "one 1-row reduce, no second pass.",
+)
+def stats_bartlett_variance_homogeneity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    g = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.var_samp("value").alias("v"),
+    )
+    agg = g.agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum("n").cast("bigint").alias("n_tot"),
+        (
+            F.sum((F.col("n") - 1) * F.col("v")) / F.sum(F.col("n") - 1)
+        ).alias("sp2"),
+        F.sum((F.col("n") - 1) * F.log("v")).alias("sum_ln"),
+        F.sum(1.0 / (F.col("n") - 1)).alias("sum_inv"),
+    )
+    t = (
+        (F.col("n_tot") - F.col("k")) * F.log("sp2") - F.col("sum_ln")
+    ) / (
+        1.0
+        + (F.col("sum_inv") - 1.0 / (F.col("n_tot") - F.col("k")))
+        / (3.0 * (F.col("k") - 1))
+    )
+    return agg.select(
+        F.col("k").alias("k_groups"),
+        "n_tot",
+        dround(F.col("sp2"), 4).alias("pooled_var"),
+        dround(t, 4).alias("bartlett_t"),
+    )
+
+
+# --------------------------------- daily-volume periodogram
+@register(
+    "events_periodogram_daily",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    calendar AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    raw AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day
+    ),
+    daily AS (
+        SELECT CAST(datediff('day', b.lo, c.day) AS BIGINT) AS t,
+               CAST(COALESCE(r.n, 0) AS DOUBLE)
+               - (SELECT AVG(CAST(COALESCE(r2.n, 0) AS DOUBLE))
+                  FROM calendar c2 LEFT JOIN raw r2 ON r2.day = c2.day)
+                   AS y
+        FROM calendar c LEFT JOIN raw r ON r.day = c.day CROSS JOIN bounds b
+    ),
+    ndays AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    spec AS (
+        SELECT p.p,
+               SUM(d.y * cos(2 * pi() * d.t / p.p)) AS c,
+               SUM(d.y * sin(2 * pi() * d.t / p.p)) AS s
+        FROM daily d
+        CROSS JOIN (SELECT UNNEST(range(2, 15)) AS p) p
+        GROUP BY p.p
+    )
+    SELECT CAST(spec.p AS BIGINT) AS period_days,
+           {dround_sql("2.0 * (c * c + s * s) / n.n", 4)} AS power
+    FROM spec CROSS JOIN ndays n
+    """,
+    description="Periodogram of daily event volume at candidate periods "
+    "2-14 days: explicit cos/sin projections of the mean-centered "
+    "gap-filled series — the frequency-domain twin of "
+    "events_periodicity_autocorr (ACF says correlation at lag 7; the "
+    "periodogram says how much VARIANCE the weekly cycle owns, the "
+    "number a seasonal forecast term must justify). The fact table "
+    "collapses to the day-grain spine before any trig; 13 candidate "
+    "periods ride one explode over that spine, one grouped sum each — "
+    "no FFT library, no driver math, scan-bound at any corpus size.",
+)
+def events_periodogram_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    ev = table(spark, sf_dir, "events")
+    raw = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        "lo",
+    )
+    filled = calendar.join(F.broadcast(raw), "day", "left").select(
+        F.datediff("day", "lo").cast("bigint").alias("t"),
+        F.coalesce("n", F.lit(0)).cast("double").alias("yraw"),
+    ).persist()
+    mean = filled.agg(F.avg("yraw").alias("m"))
+    nd = filled.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    daily = filled.crossJoin(F.broadcast(mean)).select(
+        "t", (F.col("yraw") - F.col("m")).alias("y")
+    )
+    periods = spark.range(2, 15).select(F.col("id").cast("int").alias("p"))
+    spec = (
+        daily.crossJoin(F.broadcast(periods))
+        .groupBy("p")
+        .agg(
+            F.sum(
+                F.col("y") * F.cos(2 * math.pi * F.col("t") / F.col("p"))
+            ).alias("c"),
+            F.sum(
+                F.col("y") * F.sin(2 * math.pi * F.col("t") / F.col("p"))
+            ).alias("s"),
+        )
+    )
+    return spec.crossJoin(F.broadcast(nd)).select(
+        F.col("p").cast("bigint").alias("period_days"),
+        dround(
+            2.0 * (F.col("c") * F.col("c") + F.col("s") * F.col("s")) / F.col("n"),
+            4,
+        ).alias("power"),
+    )
+
+
+# --------------------------------- XYZ demand-variability classes
+@register(
+    "orders_xyz_classification",
+    oracle=f"""
+    WITH pm AS (
+        SELECT l.l_partkey AS part,
+               strftime(o.o_orderdate, '%Y-%m') AS mon,
+               SUM(l.l_quantity) AS q
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    mspan AS (
+        SELECT CAST(COUNT(DISTINCT strftime(o_orderdate, '%Y-%m')) AS BIGINT)
+               AS m
+        FROM orders
+    ),
+    per_part AS (
+        SELECT part,
+               SUM(q) AS sq,
+               SUM(q * q) AS sqq
+        FROM pm GROUP BY part
+    ),
+    cv AS (
+        SELECT p.part,
+               sqrt((p.sqq - p.sq * p.sq / s.m) / (s.m - 1))
+                   / (p.sq / s.m) AS cv
+        FROM per_part p CROSS JOIN mspan s
+    ),
+    classed AS (
+        SELECT CASE WHEN cv <= 0.5 THEN 'X'
+                    WHEN cv <= 1.0 THEN 'Y' ELSE 'Z' END AS xyz, cv
+        FROM cv
+    ),
+    tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM classed)
+    SELECT c.xyz,
+           CAST(COUNT(*) AS BIGINT) AS n_parts,
+           {dround_sql("CAST(COUNT(*) AS DOUBLE) / MAX(t.n)", 6)}
+               AS part_share,
+           {dround_sql("AVG(c.cv)", 4)} AS avg_cv
+    FROM classed c CROSS JOIN tot t
+    GROUP BY c.xyz
+    """,
+    description="XYZ demand-variability classification per part "
+    "(coefficient of variation of MONTHLY demand: X steady <= 0.5, Y "
+    "seasonal <= 1.0, Z erratic) — the variability axis that pairs "
+    "with orders_abc_classification's value axis into the standard "
+    "ABC-XYZ inventory policy grid. The zero-demand months every naive "
+    "implementation forgets are handled ALGEBRAICALLY: per-part sum "
+    "and sum-of-squares over observed months plus the global month "
+    "count M give the zero-filled variance as (sqq - sq^2/M)/(M-1) — "
+    "no part x month grid is ever materialized, so the plan is one "
+    "(part, month) groupBy + one part-grain reduce at any scale.",
+)
+def orders_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    orders = table(spark, sf_dir, "orders")
+    pm = (
+        li.join(orders, F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy(
+            F.col("l_partkey").alias("part"),
+            F.date_format("o_orderdate", "yyyy-MM").alias("mon"),
+        )
+        .agg(F.sum("l_quantity").alias("q"))
+    )
+    mspan = orders.agg(
+        F.countDistinct(F.date_format("o_orderdate", "yyyy-MM"))
+        .cast("bigint")
+        .alias("m")
+    )
+    per_part = pm.groupBy("part").agg(
+        F.sum("q").alias("sq"), F.sum(F.col("q") * F.col("q")).alias("sqq")
+    )
+    cv_col = F.sqrt(
+        (F.col("sqq") - F.col("sq") * F.col("sq") / F.col("m"))
+        / (F.col("m") - 1)
+    ) / (F.col("sq") / F.col("m"))
+    classed = (
+        per_part.crossJoin(F.broadcast(mspan))
+        .select(
+            F.when(cv_col <= 0.5, "X")
+            .when(cv_col <= 1.0, "Y")
+            .otherwise("Z")
+            .alias("xyz"),
+            cv_col.alias("cv"),
+        )
+    )
+    tot = classed.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    return (
+        classed.groupBy("xyz")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_parts"),
+            F.avg("cv").alias("avg_cv_raw"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "xyz",
+            "n_parts",
+            dround(F.col("n_parts").cast("double") / F.col("n"), 6).alias(
+                "part_share"
+            ),
+            dround(F.col("avg_cv_raw"), 4).alias("avg_cv"),
+        )
+    )

@@ -1160,3 +1160,79 @@ def test_fisher_combined_matches_bruteforce(spark, sf_dir):
     assert 0.0 <= r.p_fisher <= 1.0
     if r.p_fisher > 1e-9:
         assert abs(r.neg_log10_p + math.log10(r.p_fisher)) < 1e-2
+
+
+def test_bartlett_matches_bruteforce(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_bartlett_variance_homogeneity,
+    )
+
+    r = stats_bartlett_variance_homogeneity(spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    groups = [g["value"] for _, g in ev.groupby("event_type")]
+    k = len(groups)
+    n_tot = sum(len(g) for g in groups)
+    sp2 = sum((len(g) - 1) * g.var(ddof=1) for g in groups) / (n_tot - k)
+    num = (n_tot - k) * math.log(sp2) - sum(
+        (len(g) - 1) * math.log(g.var(ddof=1)) for g in groups
+    )
+    c = 1 + (sum(1 / (len(g) - 1) for g in groups) - 1 / (n_tot - k)) / (
+        3 * (k - 1)
+    )
+    assert r.k_groups == k and r.n_tot == n_tot
+    assert abs(r.pooled_var - sp2) < 1e-2
+    assert abs(r.bartlett_t - num / c) < 1e-2
+    assert r.bartlett_t >= 0
+
+
+def test_periodogram_parseval_and_bruteforce(spark, sf_dir):
+    import math
+
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_periodogram_daily,
+    )
+
+    rows = {
+        r.period_days: r.power
+        for r in events_periodogram_daily(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(range(2, 15))
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupby(ev["ts"].dt.normalize()).size()
+    idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+    y = daily.reindex(idx, fill_value=0).to_numpy(dtype=float)
+    y = y - y.mean()
+    n = len(y)
+    for p in range(2, 15):
+        c = sum(v * math.cos(2 * math.pi * t / p) for t, v in enumerate(y))
+        s = sum(v * math.sin(2 * math.pi * t / p) for t, v in enumerate(y))
+        assert abs(rows[p] - 2 * (c * c + s * s) / n) < 1e-2, p
+        assert rows[p] >= 0
+
+
+def test_xyz_classes_partition_all_parts(spark, sf_dir):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        orders_xyz_classification,
+    )
+
+    rows = orders_xyz_classification(spark, sf_dir).collect()
+    n_parts = (
+        pd.read_parquet(f"{sf_dir}/lineitem.parquet")["l_partkey"].nunique()
+    )
+    assert sum(r.n_parts for r in rows) == n_parts
+    assert abs(sum(r.part_share for r in rows) - 1.0) < 1e-3
+    order = {"X": 0, "Y": 1, "Z": 2}
+    got = sorted(rows, key=lambda r: order[r.xyz])
+    # avg cv must increase across X -> Y -> Z by construction
+    cvs = [r.avg_cv for r in got]
+    assert cvs == sorted(cvs)
