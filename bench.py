@@ -308,6 +308,10 @@ HEADLINE = [
     "stats_cooks_distance_price_quantity",
     "events_longest_daily_streaks",
     "stats_tost_equivalence_purchase_click",
+    "stats_fisher_combined_pvalue",
+    "stats_bartlett_variance_homogeneity",
+    "events_periodogram_daily",
+    "orders_xyz_classification",
 ]
 
 

@@ -4888,3 +4888,118 @@ def orders_xyz_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
             dround(F.col("avg_cv_raw"), 4).alias("avg_cv"),
         )
     )
+
+
+# --------------------------------- purchase/click lead-lag CCF
+@register(
+    "events_cross_correlation_purchase_click",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    calendar AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    raw AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS xc,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS yp
+        FROM events GROUP BY CAST(ts AS DATE)
+    ),
+    daily AS (
+        SELECT c.day,
+               CAST(COALESCE(r.xc, 0) AS DOUBLE) AS x,
+               CAST(COALESCE(r.yp, 0) AS DOUBLE) AS y
+        FROM calendar c LEFT JOIN raw r ON r.day = c.day
+    ),
+    mom AS (
+        SELECT AVG(x) AS mx, AVG(y) AS my,
+               SUM((x - (SELECT AVG(x) FROM daily))
+                   * (x - (SELECT AVG(x) FROM daily))) AS sxx,
+               SUM((y - (SELECT AVG(y) FROM daily))
+                   * (y - (SELECT AVG(y) FROM daily))) AS syy
+        FROM daily
+    ),
+    lags AS (SELECT UNNEST(range(-7, 8)) AS k),
+    ccf AS (
+        SELECT l.k,
+               SUM((a.x - m.mx) * (b.y - m.my)) AS num
+        FROM lags l
+        JOIN daily a ON TRUE
+        JOIN daily b ON b.day = a.day + CAST(l.k AS BIGINT) * INTERVAL 1 DAY
+        CROSS JOIN mom m
+        GROUP BY l.k
+    )
+    SELECT CAST(c.k AS BIGINT) AS lag_days,
+           {dround_sql("c.num / sqrt(m.sxx * m.syy)", 6)} AS ccf
+    FROM ccf c CROSS JOIN mom m
+    """,
+    description="Cross-correlation function between daily click volume "
+    "and daily purchase volume at lags -7..+7: positive-lag peaks mean "
+    "clicks LEAD purchases by that many days — the lead-lag "
+    "identification step behind any 'does marketing activity predict "
+    "revenue k days out' model, and the bivariate member of the "
+    "time-series kit (ACF/PACF are its autocorrelation specializations). "
+    "Both series reduce to the same gap-filled day spine in ONE "
+    "conditional-count groupBy; 15 lags ride one explode + day-offset "
+    "equi-joins over that spine; normalization uses the full-series "
+    "variances so values are comparable across lags.",
+)
+def events_cross_correlation_purchase_click(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    raw = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("int"))
+        .cast("bigint")
+        .alias("xc"),
+        F.sum((F.col("event_type") == "purchase").cast("int"))
+        .cast("bigint")
+        .alias("yp"),
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = calendar.join(F.broadcast(raw), "day", "left").select(
+        "day",
+        F.coalesce("xc", F.lit(0)).cast("double").alias("x"),
+        F.coalesce("yp", F.lit(0)).cast("double").alias("y"),
+    ).persist()
+    means = daily.agg(F.avg("x").alias("mx"), F.avg("y").alias("my"))
+    mom = daily.crossJoin(F.broadcast(means)).agg(
+        F.max("mx").alias("mx"),
+        F.max("my").alias("my"),
+        F.sum((F.col("x") - F.col("mx")) * (F.col("x") - F.col("mx"))).alias(
+            "sxx"
+        ),
+        F.sum((F.col("y") - F.col("my")) * (F.col("y") - F.col("my"))).alias(
+            "syy"
+        ),
+    )
+    lags = spark.range(-7, 8).select(F.col("id").cast("int").alias("k"))
+    a, b = daily.alias("a"), daily.alias("b")
+    ccf = (
+        a.crossJoin(F.broadcast(lags))
+        .join(b, F.col("b.day") == F.expr("date_add(a.day, k)"))
+        .crossJoin(F.broadcast(mom))
+        .groupBy("k")
+        .agg(
+            F.sum(
+                (F.col("a.x") - F.col("mx")) * (F.col("b.y") - F.col("my"))
+            ).alias("num")
+        )
+    )
+    return ccf.crossJoin(F.broadcast(mom.select("sxx", "syy"))).select(
+        F.col("k").cast("bigint").alias("lag_days"),
+        dround(
+            F.col("num") / F.sqrt(F.col("sxx") * F.col("syy")), 6
+        ).alias("ccf"),
+    )

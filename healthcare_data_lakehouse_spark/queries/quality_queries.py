@@ -1408,3 +1408,106 @@ def privacy_t_closeness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround(emd, 6).alias("t_emd"),
         (emd <= 0.2).cast("boolean").alias("t_close_02"),
     )
+
+
+# --------------------------- semantic type inference
+@register(
+    "quality_semantic_type_inference",
+    oracle=f"""
+    WITH {HEALTHCARE_CTE},
+    cols AS (
+        SELECT 'patient_id' AS col, patient_id AS v FROM records
+        UNION ALL SELECT 'birth_date', birth_date FROM records
+        UNION ALL SELECT 'admission_date', admission_date FROM records
+        UNION ALL SELECT 'ssn', ssn FROM records
+        UNION ALL SELECT 'diagnosis_code', diagnosis_code FROM records
+    ),
+    scored AS (
+        SELECT col,
+               CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(COUNT(v) AS BIGINT) AS n_nonnull,
+               CAST(SUM(CASE WHEN regexp_matches(trim(v),
+                    '^MRN[0-9]{{9}}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_mrn,
+               CAST(SUM(CASE WHEN regexp_matches(trim(v),
+                    '^[0-9]{{4}}-[0-9]{{2}}-[0-9]{{2}}$') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_iso_date,
+               CAST(SUM(CASE WHEN regexp_matches(trim(v),
+                    '^[0-9]{{3}}-[0-9]{{2}}-[0-9]{{4}}$') THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_ssn,
+               CAST(SUM(CASE WHEN regexp_matches(trim(v),
+                    '^[A-Za-z][0-9.]+$') THEN 1 ELSE 0 END) AS BIGINT)
+                    AS n_code
+        FROM cols GROUP BY col
+    )
+    SELECT col, n_rows, n_nonnull,
+           {dround_sql("CAST(n_mrn AS DOUBLE) / n_nonnull", 4)} AS mrn_share,
+           {dround_sql("CAST(n_iso_date AS DOUBLE) / n_nonnull", 4)}
+               AS iso_date_share,
+           {dround_sql("CAST(n_ssn AS DOUBLE) / n_nonnull", 4)} AS ssn_share,
+           {dround_sql("CAST(n_code AS DOUBLE) / n_nonnull", 4)} AS code_share,
+           CASE GREATEST(n_mrn, n_iso_date, n_ssn, n_code)
+                WHEN 0 THEN 'unknown'
+                WHEN n_mrn THEN 'mrn'
+                WHEN n_iso_date THEN 'iso_date'
+                WHEN n_ssn THEN 'ssn'
+                ELSE 'code' END AS inferred_type
+    FROM scored
+    """,
+    description="Semantic type inference over the dirty healthcare "
+    "columns: per-column match shares against candidate value patterns "
+    "(MRN id, ISO date, SSN, alphanumeric code) with argmax-wins "
+    "inference — the schema-on-read discovery step that tells a data "
+    "catalog WHAT a string column holds before any rule (DQ002 format "
+    "checks, PII redaction) can be assigned to it; the dirty-injection "
+    "rates make the shares a fixture-pinned contract. One stacked "
+    "union scan (5 columns x one regexp each) + a column-grain agg; "
+    "GREATEST ties break by candidate priority, identical in both "
+    "engines.",
+)
+def quality_semantic_type_inference(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    df = healthcare_frame(spark, sf_dir)
+    cols = None
+    for c in ["patient_id", "birth_date", "admission_date", "ssn", "diagnosis_code"]:
+        part = df.select(F.lit(c).alias("col"), F.col(c).cast("string").alias("v"))
+        cols = part if cols is None else cols.unionByName(part)
+    tv = F.trim(F.col("v"))
+    pats = {
+        "n_mrn": r"^MRN[0-9]{9}$",
+        "n_iso_date": r"^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+        "n_ssn": r"^[0-9]{3}-[0-9]{2}-[0-9]{4}$",
+        "n_code": r"^[A-Za-z][0-9.]+$",
+    }
+    scored = cols.groupBy("col").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.count("v").cast("bigint").alias("n_nonnull"),
+        *[
+            F.sum(tv.rlike(p).cast("int")).cast("bigint").alias(name)
+            for name, p in pats.items()
+        ],
+    )
+    best = F.greatest("n_mrn", "n_iso_date", "n_ssn", "n_code")
+    return scored.select(
+        "col",
+        "n_rows",
+        "n_nonnull",
+        dround(F.col("n_mrn").cast("double") / F.col("n_nonnull"), 4).alias(
+            "mrn_share"
+        ),
+        dround(
+            F.col("n_iso_date").cast("double") / F.col("n_nonnull"), 4
+        ).alias("iso_date_share"),
+        dround(F.col("n_ssn").cast("double") / F.col("n_nonnull"), 4).alias(
+            "ssn_share"
+        ),
+        dround(F.col("n_code").cast("double") / F.col("n_nonnull"), 4).alias(
+            "code_share"
+        ),
+        F.when(best == 0, "unknown")
+        .when(best == F.col("n_mrn"), "mrn")
+        .when(best == F.col("n_iso_date"), "iso_date")
+        .when(best == F.col("n_ssn"), "ssn")
+        .otherwise("code")
+        .alias("inferred_type"),
+    )

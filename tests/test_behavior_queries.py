@@ -1236,3 +1236,37 @@ def test_xyz_classes_partition_all_parts(spark, sf_dir):
     # avg cv must increase across X -> Y -> Z by construction
     cvs = [r.avg_cv for r in got]
     assert cvs == sorted(cvs)
+
+
+def test_ccf_symmetric_construction_and_bruteforce(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_cross_correlation_purchase_click,
+    )
+
+    rows = {
+        r.lag_days: r.ccf
+        for r in events_cross_correlation_purchase_click(spark, sf_dir).collect()
+    }
+    assert set(rows) == set(range(-7, 8))
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["day"] = ev["ts"].dt.normalize()
+    idx = pd.date_range(ev["day"].min(), ev["day"].max(), freq="D")
+    x = (
+        ev[ev.event_type == "click"].groupby("day").size().reindex(idx, fill_value=0)
+    ).to_numpy(dtype=float)
+    y = (
+        ev[ev.event_type == "purchase"].groupby("day").size().reindex(idx, fill_value=0)
+    ).to_numpy(dtype=float)
+    dx, dy = x - x.mean(), y - y.mean()
+    den = np.sqrt((dx**2).sum() * (dy**2).sum())
+    for k in range(-7, 8):
+        if k >= 0:
+            num = (dx[: len(dx) - k] * dy[k:]).sum() if k else (dx * dy).sum()
+        else:
+            num = (dx[-k:] * dy[: len(dy) + k]).sum()
+        assert abs(rows[k] - num / den) < 1e-4, k
+        assert -1.0 <= rows[k] <= 1.0

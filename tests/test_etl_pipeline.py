@@ -343,3 +343,25 @@ def test_length_of_stay_profile_contract(spark, sf_dir):
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     # the %19 discharge-before-admission violations never leak through
     assert all(r.los_days >= 0 for r in rows)
+
+
+def test_semantic_type_inference_fixture_contract(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.quality_queries import (
+        quality_semantic_type_inference,
+    )
+
+    rows = {
+        r.col: r for r in quality_semantic_type_inference(spark, sf_dir).collect()
+    }
+    assert set(rows) == {
+        "patient_id", "birth_date", "admission_date", "ssn", "diagnosis_code",
+    }
+    # the injection rates make the argmax unambiguous per column
+    assert rows["patient_id"].inferred_type == "mrn"
+    assert rows["admission_date"].inferred_type == "iso_date"
+    assert rows["ssn"].inferred_type == "ssn"
+    assert rows["diagnosis_code"].inferred_type == "code"
+    for r in rows.values():
+        assert r.n_nonnull <= r.n_rows
+        for share in (r.mrn_share, r.iso_date_share, r.ssn_share, r.code_share):
+            assert 0.0 <= share <= 1.0
