@@ -5003,3 +5003,123 @@ def events_cross_correlation_purchase_click(
             F.col("num") / F.sqrt(F.col("sxx") * F.col("syy")), 6
         ).alias("ccf"),
     )
+
+
+# --------------------------------- weekly growth accounting
+@register(
+    "events_growth_accounting_weekly",
+    oracle=f"""
+    WITH uw AS (
+        SELECT DISTINCT user_id,
+               CAST(date_trunc('week', ts) AS DATE) AS wk
+        FROM events
+    ),
+    fw AS (SELECT user_id, MIN(wk) AS first_wk FROM uw GROUP BY user_id),
+    classified AS (
+        SELECT cur.wk,
+               CASE WHEN cur.wk = fw.first_wk THEN 'new'
+                    WHEN prev.user_id IS NOT NULL THEN 'retained'
+                    ELSE 'resurrected' END AS state
+        FROM uw cur
+        JOIN fw ON fw.user_id = cur.user_id
+        LEFT JOIN uw prev ON prev.user_id = cur.user_id
+                         AND prev.wk = cur.wk - INTERVAL 7 DAY
+    ),
+    active AS (
+        SELECT wk,
+               CAST(SUM(CASE WHEN state = 'new' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_new,
+               CAST(SUM(CASE WHEN state = 'retained' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_retained,
+               CAST(SUM(CASE WHEN state = 'resurrected' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_resurrected
+        FROM classified GROUP BY wk
+    ),
+    churn AS (
+        SELECT CAST(prev.wk + INTERVAL 7 DAY AS DATE) AS wk,
+               CAST(COUNT(*) AS BIGINT) AS n_churned
+        FROM uw prev
+        LEFT JOIN uw cur ON cur.user_id = prev.user_id
+                        AND cur.wk = prev.wk + INTERVAL 7 DAY
+        WHERE cur.user_id IS NULL
+        GROUP BY prev.wk
+    )
+    SELECT a.wk AS week_start, a.n_new, a.n_retained, a.n_resurrected,
+           COALESCE(c.n_churned, 0) AS n_churned,
+           (a.n_new + a.n_retained + a.n_resurrected) AS n_active,
+           {dround_sql(
+               "CAST(a.n_new + a.n_resurrected AS DOUBLE)"
+               " / NULLIF(COALESCE(c.n_churned, 0), 0)", 4)} AS quick_ratio
+    FROM active a LEFT JOIN churn c ON c.wk = a.wk
+    """,
+    description="Weekly growth accounting: every active user classified "
+    "as new (first-ever week), retained (also active last week), or "
+    "resurrected (returning after a gap), plus churned (active last "
+    "week, absent this week) and the quick ratio (new + resurrected) / "
+    "churned — the canonical growth-team decomposition that retention "
+    "cohorts and DAU/WAU can't express (they never separate "
+    "resurrection from acquisition). Identity n_active = new + retained "
+    "+ resurrected holds by construction. All joins are (user, week) "
+    "equi-joins on the distinct activity table; first-week is one "
+    "groupBy — integer counts end to end, no windows.",
+)
+def events_growth_accounting_weekly(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    uw = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("wk")
+    ).distinct().persist()
+    fw = uw.groupBy("user_id").agg(F.min("wk").alias("first_wk"))
+    prev = uw.select("user_id", F.col("wk").alias("pwk"))
+    classified = (
+        uw.join(fw, "user_id")
+        .join(
+            prev,
+            (prev.user_id == uw.user_id)
+            & (F.col("pwk") == F.date_sub(uw.wk, 7)),
+            "left",
+        )
+        .select(
+            uw.wk.alias("wk"),
+            F.when(uw.wk == F.col("first_wk"), "new")
+            .when(F.col("pwk").isNotNull(), "retained")
+            .otherwise("resurrected")
+            .alias("state"),
+        )
+    )
+    active = classified.groupBy("wk").agg(
+        F.sum((F.col("state") == "new").cast("int")).cast("bigint").alias("n_new"),
+        F.sum((F.col("state") == "retained").cast("int"))
+        .cast("bigint")
+        .alias("n_retained"),
+        F.sum((F.col("state") == "resurrected").cast("int"))
+        .cast("bigint")
+        .alias("n_resurrected"),
+    )
+    cur = uw.select("user_id", F.col("wk").alias("cwk"))
+    churn = (
+        uw.join(
+            cur,
+            (cur.user_id == uw.user_id)
+            & (F.col("cwk") == F.date_add(uw.wk, 7)),
+            "left_anti",
+        )
+        .groupBy(F.date_add("wk", 7).alias("wk"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_churned"))
+    )
+    return active.join(churn, "wk", "left").select(
+        F.col("wk").alias("week_start"),
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        F.coalesce("n_churned", F.lit(0)).alias("n_churned"),
+        (F.col("n_new") + F.col("n_retained") + F.col("n_resurrected")).alias(
+            "n_active"
+        ),
+        dround(
+            (F.col("n_new") + F.col("n_resurrected")).cast("double")
+            / F.nullif(F.coalesce("n_churned", F.lit(0)), F.lit(0)),
+            4,
+        ).alias("quick_ratio"),
+    )

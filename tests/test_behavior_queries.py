@@ -1270,3 +1270,47 @@ def test_ccf_symmetric_construction_and_bruteforce(spark, sf_dir):
             num = (dx[-k:] * dy[: len(dy) + k]).sum()
         assert abs(rows[k] - num / den) < 1e-4, k
         assert -1.0 <= rows[k] <= 1.0
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_growth_accounting_weekly,
+    )
+
+    rows = sorted(
+        events_growth_accounting_weekly(spark, sf_dir).collect(),
+        key=lambda r: r.week_start,
+    )
+    assert rows
+    # identity: active = new + retained + resurrected, every week
+    for r in rows:
+        assert r.n_active == r.n_new + r.n_retained + r.n_resurrected
+    # first week: everyone is new, nobody churned into it
+    assert rows[0].n_retained == 0 and rows[0].n_resurrected == 0
+    assert rows[0].n_churned == 0
+    # conservation vs brute force on the raw activity table
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ev["wk"] = ev["ts"].dt.to_period("W-SUN").dt.start_time.dt.normalize()
+    uw = ev[["user_id", "wk"]].drop_duplicates()
+    weeks = sorted(uw["wk"].unique())
+    by_week = {w: set(uw.loc[uw.wk == w, "user_id"]) for w in weeks}
+    seen: set = set()
+    got = {r.week_start: r for r in rows}
+    import datetime
+
+    for i, w in enumerate(weeks):
+        cur = by_week[w]
+        prev = by_week.get(w - pd.Timedelta(days=7), set())
+        new = cur - seen
+        retained = cur & prev
+        resurrected = cur - new - retained
+        churned = prev - cur
+        key = w.date()
+        r = got[key]
+        assert r.n_new == len(new), w
+        assert r.n_retained == len(retained), w
+        assert r.n_resurrected == len(resurrected), w
+        assert r.n_churned == len(churned), w
+        seen |= cur
