@@ -5123,3 +5123,55 @@ def events_growth_accounting_weekly(
             4,
         ).alias("quick_ratio"),
     )
+
+
+# --------------------------------- negative-binomial overdispersion fit
+@register(
+    "stats_negbin_fit_user_counts",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id, CAST(COUNT(*) AS BIGINT) AS k
+        FROM events GROUP BY user_id
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+               AVG(CAST(k AS DOUBLE)) AS m,
+               var_samp(CAST(k AS DOUBLE)) AS v
+        FROM c
+    )
+    SELECT n_users,
+           {dround_sql("m", 4)} AS mean_events,
+           {dround_sql("v", 4)} AS var_events,
+           {dround_sql("v / m", 4)} AS dispersion_index,
+           {dround_sql("m * m / (v - m)", 4)} AS nb_r,
+           {dround_sql("m / v", 6)} AS nb_p
+    FROM mom
+    """,
+    description="Method-of-moments negative-binomial fit to per-user "
+    "event counts: dispersion index v/m (Poisson predicts exactly 1; "
+    "the observed value quantifies user heterogeneity), NB size r = "
+    "m^2/(v-m) and success probability p = m/v — the distributional "
+    "model behind BG/NBD-style customer-activity models, and the "
+    "user-grain companion to events_burstiness_fano (per-minute "
+    "arrivals) and stats_ks_exponential_interarrival (gap law). One "
+    "groupBy(user) count + one moments reduce; the fit is a closed "
+    "form over three aggregates.",
+)
+def stats_negbin_fit_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id").agg(F.count(F.lit(1)).cast("bigint").alias("k"))
+    mom = c.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.avg(F.col("k").cast("double")).alias("m"),
+        F.var_samp(F.col("k").cast("double")).alias("v"),
+    )
+    return mom.select(
+        "n_users",
+        dround(F.col("m"), 4).alias("mean_events"),
+        dround(F.col("v"), 4).alias("var_events"),
+        dround(F.col("v") / F.col("m"), 4).alias("dispersion_index"),
+        dround(
+            F.col("m") * F.col("m") / (F.col("v") - F.col("m")), 4
+        ).alias("nb_r"),
+        dround(F.col("m") / F.col("v"), 6).alias("nb_p"),
+    )

@@ -1314,3 +1314,24 @@ def test_growth_accounting_identities(spark, sf_dir):
         assert r.n_resurrected == len(resurrected), w
         assert r.n_churned == len(churned), w
         seen |= cur
+
+
+def test_negbin_fit_matches_bruteforce(spark, sf_dir):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        stats_negbin_fit_user_counts,
+    )
+
+    r = stats_negbin_fit_user_counts(spark, sf_dir).collect()[0]
+    counts = (
+        pd.read_parquet(f"{sf_dir}/events.parquet").groupby("user_id").size()
+    )
+    m, v = counts.mean(), counts.var(ddof=1)
+    assert r.n_users == len(counts)
+    assert abs(r.mean_events - m) < 1e-3
+    assert abs(r.dispersion_index - v / m) < 1e-3
+    assert abs(r.nb_r - m * m / (v - m)) < 1e-2
+    # overdispersion must be present for the NB fit to be valid
+    assert r.dispersion_index > 1.0
+    assert 0.0 < r.nb_p < 1.0
