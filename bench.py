@@ -312,6 +312,10 @@ HEADLINE = [
     "stats_bartlett_variance_homogeneity",
     "events_periodogram_daily",
     "orders_xyz_classification",
+    "events_cross_correlation_purchase_click",
+    "quality_semantic_type_inference",
+    "events_growth_accounting_weekly",
+    "stats_negbin_fit_user_counts",
 ]
 
 
