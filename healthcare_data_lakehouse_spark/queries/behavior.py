@@ -5175,3 +5175,99 @@ def stats_negbin_fit_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nb_r"),
         dround(F.col("m") / F.col("v"), 6).alias("nb_p"),
     )
+
+
+# --------------------------------- retention power-law fit
+@register(
+    "events_retention_powerlaw_fit",
+    oracle=f"""
+    WITH act AS (
+        SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week
+        FROM events
+    ),
+    coh AS (SELECT user_id, MIN(week) AS cohort_week FROM act GROUP BY user_id),
+    cells AS (
+        SELECT c.cohort_week,
+               datediff('day', c.cohort_week, a.week) // 7 AS wk_off,
+               CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n
+        FROM act a JOIN coh c ON a.user_id = c.user_id
+        GROUP BY 1, 2
+    ),
+    rates AS (
+        SELECT o.wk_off,
+               CAST(SUM(o.n) AS DOUBLE) / SUM(z.n) AS r
+        FROM cells o
+        JOIN (SELECT cohort_week, n FROM cells WHERE wk_off = 0) z
+          ON z.cohort_week = o.cohort_week
+        WHERE o.wk_off >= 1
+        GROUP BY o.wk_off
+    ),
+    fit AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS k,
+               REGR_SLOPE(ln(r), ln(CAST(wk_off AS DOUBLE))) AS b,
+               REGR_INTERCEPT(ln(r), ln(CAST(wk_off AS DOUBLE))) AS a,
+               REGR_R2(ln(r), ln(CAST(wk_off AS DOUBLE))) AS r2
+        FROM rates WHERE r > 0
+    )
+    SELECT k AS n_offsets,
+           {dround_sql("-b", 4)} AS decay_exponent,
+           {dround_sql("EXP(a)", 4)} AS week1_level,
+           {dround_sql("r2", 4)} AS loglog_r2,
+           {dround_sql("EXP(a) * POWER(12.0, b)", 4)} AS projected_week12
+    FROM fit
+    """,
+    description="Power-law fit to the pooled retention curve r(t) = "
+    "a * t^(-b) via log-log OLS over the cohort-offset aggregate: "
+    "retention curves are famously power-law (rapid early decay, fat "
+    "tail), so the exponent + level pair summarize the whole matrix "
+    "that events_retention_cohorts reports raw, the log-log R^2 says "
+    "whether the law actually holds, and the extrapolated week-12 "
+    "rate is the number LTV models consume. Rates pool offsets across "
+    "cohorts weighted by cohort size (sum active / sum cohort size — "
+    "not a mean of ratios); all regression inputs live at the "
+    "|offsets|-row grain, so the fit costs one regr_* reduce after "
+    "the same two scans the retention matrix already pays.",
+)
+def events_retention_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    act = ev.select(
+        "user_id", F.date_trunc("week", F.col("ts")).cast("date").alias("week")
+    ).distinct()
+    coh = act.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    cells = (
+        act.join(coh, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff("week", "cohort_week") / 7).cast("long").alias("wk_off"),
+        )
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n"))
+        .persist()
+    )
+    base = cells.filter(F.col("wk_off") == 0).select(
+        "cohort_week", F.col("n").alias("n0")
+    )
+    rates = (
+        cells.filter(F.col("wk_off") >= 1)
+        .join(F.broadcast(base), "cohort_week")
+        .groupBy("wk_off")
+        .agg(
+            (F.sum("n").cast("double") / F.sum("n0")).alias("r")
+        )
+    )
+    lnr = F.log("r")
+    lnt = F.log(F.col("wk_off").cast("double"))
+    fit = rates.filter(F.col("r") > 0).agg(
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.regr_slope(lnr, lnt).alias("b"),
+        F.regr_intercept(lnr, lnt).alias("a"),
+        F.regr_r2(lnr, lnt).alias("r2"),
+    )
+    return fit.select(
+        F.col("k").alias("n_offsets"),
+        dround(-F.col("b"), 4).alias("decay_exponent"),
+        dround(F.exp("a"), 4).alias("week1_level"),
+        dround(F.col("r2"), 4).alias("loglog_r2"),
+        dround(F.exp("a") * F.pow(F.lit(12.0), F.col("b")), 4).alias(
+            "projected_week12"
+        ),
+    )

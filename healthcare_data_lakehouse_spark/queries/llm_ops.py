@@ -9972,3 +9972,89 @@ def stats_platt_scaling_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dround(F.col("nll") / F.col("n_docs"), 6).alias("mean_nll"),
     )
+
+
+# ------------------------------------- source vocabulary Jaccard
+@register(
+    "text_vocab_jaccard_sources",
+    oracle=f"""
+    WITH vj_vocab AS (
+        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    vj_sizes AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
+        FROM vj_vocab GROUP BY source
+    ),
+    vj_inter AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(COUNT(*) AS BIGINT) AS n_inter
+        FROM vj_vocab a JOIN vj_vocab b
+          ON a.w = b.w AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT i.source_a, i.source_b, i.n_inter,
+           {dround_sql(
+               "CAST(i.n_inter AS DOUBLE)"
+               " / (sa.sz + sb.sz - i.n_inter)", 6)} AS vocab_jaccard,
+           {dround_sql("CAST(i.n_inter AS DOUBLE) / LEAST(sa.sz, sb.sz)", 6)}
+               AS vocab_containment
+    FROM vj_inter i
+    JOIN vj_sizes sa ON sa.source = i.source_a
+    JOIN vj_sizes sb ON sb.source = i.source_b
+    """,
+    description="Pairwise vocabulary Jaccard and min-containment "
+    "between crawl sources: the SET-overlap complement to "
+    "text_js_divergence_lang_pairs (distributional) and "
+    "text_burrows_delta_sources (stylometric z-scores) — high "
+    "containment with low Jaccard flags a source that is a topical "
+    "subset of another (scrape-of-a-scrape), which both distribution "
+    "distances blur. One distinct (source, word) projection; the "
+    "intersection join is word-keyed (each word meets only its own "
+    "postings), sizes broadcast back onto the |sources|^2/2-row "
+    "output.",
+)
+def text_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .distinct()
+        .persist()
+    )
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("sz")
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sza"))
+    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("szb"))
+    return (
+        inter.join(F.broadcast(sa), "source_a")
+        .join(F.broadcast(sb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_inter",
+            dround(
+                F.col("n_inter").cast("double")
+                / (F.col("sza") + F.col("szb") - F.col("n_inter")),
+                6,
+            ).alias("vocab_jaccard"),
+            dround(
+                F.col("n_inter").cast("double")
+                / F.least(F.col("sza"), F.col("szb")),
+                6,
+            ).alias("vocab_containment"),
+        )
+    )

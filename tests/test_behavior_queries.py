@@ -1335,3 +1335,20 @@ def test_negbin_fit_matches_bruteforce(spark, sf_dir):
     # overdispersion must be present for the NB fit to be valid
     assert r.dispersion_index > 1.0
     assert 0.0 < r.nb_p < 1.0
+
+
+def test_retention_powerlaw_fit_sanity(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_retention_powerlaw_fit,
+    )
+
+    r = events_retention_powerlaw_fit(spark, sf_dir).collect()[0]
+    assert r.n_offsets >= 2
+    # retention decays: positive exponent; level is a rate in (0, 1+]
+    assert 0 < r.week1_level <= 1.5
+    assert 0.0 <= r.loglog_r2 <= 1.0
+    # the projection follows the fitted law exactly
+    import math
+
+    proj = r.week1_level * 12.0 ** (-r.decay_exponent)
+    assert abs(r.projected_week12 - proj) < 1e-2

@@ -2266,3 +2266,42 @@ def test_platt_scaling_matches_bruteforce_newton(spark, sf_dir):
     assert r.accuracy > 0.5
     assert r.platt_b1 > 0  # higher quality -> higher pass probability
     assert r.mean_nll < math.log(2)  # beats the uninformative coin
+
+
+def test_vocab_jaccard_matches_bruteforce(spark, sf_dir):
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.llm_ops import (
+        text_vocab_jaccard_sources,
+    )
+
+    rows = {
+        (r.source_a, r.source_b): r
+        for r in text_vocab_jaccard_sources(spark, sf_dir).collect()
+    }
+    assert len(rows) == 190
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    vocab: dict = {}
+    for src, g in docs.groupby("source"):
+        v: set = set()
+        for t in g["text"]:
+            v.update(t.split(" "))
+        vocab[src] = v
+    srcs = sorted(vocab)
+    for i, a in enumerate(srcs):
+        for b in srcs[i + 1 :]:
+            inter = len(vocab[a] & vocab[b])
+            r = rows[(a, b)]
+            assert r.n_inter == inter
+            assert (
+                abs(r.vocab_jaccard - inter / len(vocab[a] | vocab[b])) < 1e-5
+            )
+            assert (
+                abs(
+                    r.vocab_containment
+                    - inter / min(len(vocab[a]), len(vocab[b]))
+                )
+                < 1e-5
+            )
+            assert r.vocab_jaccard <= r.vocab_containment + 1e-9
