@@ -316,6 +316,8 @@ HEADLINE = [
     "quality_semantic_type_inference",
     "events_growth_accounting_weekly",
     "stats_negbin_fit_user_counts",
+    "events_retention_powerlaw_fit",
+    "text_vocab_jaccard_sources",
 ]
 
 

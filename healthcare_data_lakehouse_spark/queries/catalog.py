@@ -173,9 +173,15 @@ PRIORITY = [
     # stats_ks_exponential_interarrival, load_bloom_index_point_lookup,
     # stats_gumbel_daily_max_value, stats_platt_scaling_newton,
     # etl_length_of_stay_profile, stats_pacf_daily_volume,
-    # stats_cooks_distance_price_quantity) ride the refreshed
-    # end-of-round full sweep + per-query brute-force pytests and join
-    # the same rotation pool.
+    # stats_cooks_distance_price_quantity, events_longest_daily_streaks,
+    # stats_tost_equivalence_purchase_click, stats_fisher_combined_pvalue,
+    # stats_bartlett_variance_homogeneity, events_periodogram_daily,
+    # orders_xyz_classification, events_cross_correlation_purchase_click,
+    # quality_semantic_type_inference, events_growth_accounting_weekly,
+    # stats_negbin_fit_user_counts, events_retention_powerlaw_fit,
+    # text_vocab_jaccard_sources) ride the refreshed end-of-round full
+    # sweep + per-query brute-force pytests and join the same rotation
+    # pool.
 ]
 
 
