@@ -318,6 +318,7 @@ HEADLINE = [
     "stats_negbin_fit_user_counts",
     "events_retention_powerlaw_fit",
     "text_vocab_jaccard_sources",
+    "events_seasonal_strength_daily",
 ]
 
 

@@ -2076,7 +2076,6 @@ def stats_cramers_v_lang_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ct.agg(F.count(F.lit(1)).cast("bigint").alias("c"))))
         .crossJoin(F.broadcast(n.select(F.col("n").cast("bigint").alias("n"))))
     )
-    nd = F.col("n").cast("double")
     phi2 = F.col("chi2") / F.col("n")
     phi2_t = F.greatest(
         F.lit(0.0),

@@ -5271,3 +5271,126 @@ def events_retention_powerlaw_fit(spark: SparkSession, sf_dir: str) -> DataFrame
             "projected_week12"
         ),
     )
+
+
+# --------------------------------- seasonal & trend strength
+@register(
+    "events_seasonal_strength_daily",
+    oracle=f"""
+    WITH bounds AS (
+        SELECT CAST(MIN(ts) AS DATE) AS lo, CAST(MAX(ts) AS DATE) AS hi
+        FROM events
+    ),
+    calendar AS (
+        SELECT CAST(UNNEST(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+               AS day
+        FROM bounds
+    ),
+    raw AS (
+        SELECT CAST(ts AS DATE) AS day, CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY day
+    ),
+    daily AS (
+        SELECT c.day, CAST(COALESCE(r.n, 0) AS DOUBLE) AS y
+        FROM calendar c LEFT JOIN raw r ON r.day = c.day
+    ),
+    trend AS (
+        SELECT a.day, a.y, AVG(b.y) AS tr, COUNT(*) AS w
+        FROM daily a
+        JOIN daily b
+          ON b.day BETWEEN a.day - INTERVAL 3 DAY
+                       AND a.day + INTERVAL 3 DAY
+        GROUP BY a.day, a.y
+    ),
+    interior AS (
+        SELECT day, y, tr, y - tr AS detr,
+               dayofweek(day) AS dow
+        FROM trend WHERE w = 7
+    ),
+    seas AS (
+        SELECT dow, AVG(detr) AS s FROM interior GROUP BY dow
+    ),
+    comp AS (
+        SELECT i.y, i.tr, i.detr, i.detr - s.s AS resid, i.y - s.s AS deseas
+        FROM interior i JOIN seas s ON s.dow = i.dow
+    ),
+    vars AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_interior,
+               var_samp(detr) AS v_detr,
+               var_samp(resid) AS v_resid,
+               var_samp(deseas) AS v_deseas
+        FROM comp
+    )
+    SELECT n_interior,
+           {dround_sql("GREATEST(0.0, 1.0 - v_resid / v_detr)", 4)}
+               AS seasonal_strength,
+           {dround_sql("GREATEST(0.0, 1.0 - v_resid / v_deseas)", 4)}
+               AS trend_strength
+    FROM vars
+    """,
+    description="Hyndman-style seasonal and trend strength of daily "
+    "event volume: F_s = max(0, 1 - Var(remainder)/Var(detrended)) and "
+    "F_t = max(0, 1 - Var(remainder)/Var(deseasonalized)) from a "
+    "classical decomposition (centered MA-7 trend via a +-3-day "
+    "offset join on the calendar spine, day-of-week seasonal means, "
+    "interior days only so every MA window is complete) — the pair of "
+    "0-1 scalars feature stores use to route series to seasonal vs "
+    "non-seasonal forecasters, condensing what the periodogram/STL "
+    "queries report in full. Everything runs on the day-grain spine: "
+    "one banded self-join, two tiny aggs.",
+)
+def events_seasonal_strength_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    raw = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    bounds = ev.agg(
+        F.to_date(F.min("ts")).alias("lo"), F.to_date(F.max("ts")).alias("hi")
+    )
+    calendar = bounds.select(
+        F.explode(F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))).alias("day")
+    )
+    daily = calendar.join(F.broadcast(raw), "day", "left").select(
+        "day", F.coalesce("n", F.lit(0)).cast("double").alias("y")
+    ).persist()
+    a, b = daily.alias("a"), daily.alias("b")
+    trend = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.day") >= F.date_sub(F.col("a.day"), 3))
+            & (F.col("b.day") <= F.date_add(F.col("a.day"), 3)),
+        )
+        .groupBy(F.col("a.day").alias("day"), F.col("a.y").alias("y"))
+        .agg(F.avg("b.y").alias("tr"), F.count(F.lit(1)).alias("w"))
+    )
+    interior = trend.filter(F.col("w") == 7).select(
+        "day",
+        "y",
+        "tr",
+        (F.col("y") - F.col("tr")).alias("detr"),
+        F.dayofweek("day").alias("dow"),
+    )
+    seas = interior.groupBy("dow").agg(F.avg("detr").alias("s"))
+    comp = interior.join(F.broadcast(seas), "dow").select(
+        "detr",
+        (F.col("detr") - F.col("s")).alias("resid"),
+        (F.col("y") - F.col("s")).alias("deseas"),
+    )
+    vars_ = comp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_interior"),
+        F.var_samp("detr").alias("v_detr"),
+        F.var_samp("resid").alias("v_resid"),
+        F.var_samp("deseas").alias("v_deseas"),
+    )
+    return vars_.select(
+        "n_interior",
+        dround(
+            F.greatest(F.lit(0.0), 1.0 - F.col("v_resid") / F.col("v_detr")), 4
+        ).alias("seasonal_strength"),
+        dround(
+            F.greatest(F.lit(0.0), 1.0 - F.col("v_resid") / F.col("v_deseas")),
+            4,
+        ).alias("trend_strength"),
+    )

@@ -1352,3 +1352,35 @@ def test_retention_powerlaw_fit_sanity(spark, sf_dir):
 
     proj = r.week1_level * 12.0 ** (-r.decay_exponent)
     assert abs(r.projected_week12 - proj) < 1e-2
+
+
+def test_seasonal_strength_matches_bruteforce(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    from healthcare_data_lakehouse_spark.queries.behavior import (
+        events_seasonal_strength_daily,
+    )
+
+    r = events_seasonal_strength_daily(spark, sf_dir).collect()[0]
+
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    daily = ev.groupby(ev["ts"].dt.normalize()).size()
+    idx = pd.date_range(daily.index.min(), daily.index.max(), freq="D")
+    y = daily.reindex(idx, fill_value=0).astype(float)
+    tr = y.rolling(7, center=True).mean()
+    interior = tr.dropna().index
+    detr = (y - tr).loc[interior]
+    # Spark dayofweek: 1=Sunday; pandas dayofweek: 0=Monday — grouping key
+    # only needs to partition days consistently, so pandas' is fine here
+    dow = pd.Series(interior.dayofweek, index=interior)
+    seas = detr.groupby(dow).transform("mean")
+    resid = detr - seas
+    deseas = y.loc[interior] - seas
+    fs = max(0.0, 1 - resid.var(ddof=1) / detr.var(ddof=1))
+    ft = max(0.0, 1 - resid.var(ddof=1) / deseas.var(ddof=1))
+    assert r.n_interior == len(interior)
+    assert abs(r.seasonal_strength - fs) < 1e-3
+    assert abs(r.trend_strength - ft) < 1e-3
+    assert 0.0 <= r.seasonal_strength <= 1.0
+    assert 0.0 <= r.trend_strength <= 1.0
