@@ -321,6 +321,28 @@ HEADLINE = [
     "events_seasonal_strength_daily",
 ]
 
+# Write-path / streaming representatives (VERDICT r7 ask #3): these
+# materialize zone state or drain a stream, so they are excluded from the
+# read-only HEADLINE total — but a write-path regression (like r6's
+# staged-commit +0.5s) must still be visible per-round. They are timed
+# with the same median-of-N protocol into a separate committed table
+# ("write_queries"/"write_total" in BENCH_FULL.json + the compact line).
+# load_merge_full_clauses already rides HEADLINE; the rest cover CDF
+# apply, bloom-index point lookup, the run_job state machine + quarantine
+# split, OCC publish (update_set), compact+vacuum, and the two heaviest
+# streaming drains.
+WRITE_HEADLINE = [
+    "load_cdf_replication_apply",
+    "load_bloom_index_point_lookup",
+    "load_delete_where",
+    "load_restore_version",
+    "storage_compact_vacuum_audit",
+    "etl_run_job_silver",
+    "etl_quarantine_split",
+    "streaming_left_outer_interval_join",
+    "streaming_neardup_admission_gate",
+]
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -362,7 +384,27 @@ def main() -> None:
             errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
             print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
 
+    # Write-path/streaming representatives: same protocol, separate table
+    # (never summed into the read-only headline total).
+    wtimes: dict[str, float] = {}
+    for name in WRITE_HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        samples = []
+        try:
+            for _ in range(runs):
+                spark.catalog.clearCache()
+                t0 = time.time()
+                fn(spark, sf_dir).count()
+                samples.append(time.time() - t0)
+            wtimes[name] = round(sorted(samples)[len(samples) // 2], 3)
+        except Exception as ex:  # noqa: BLE001
+            errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
+            print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
+
     total = round(sum(times.values()), 3)
+    write_total = round(sum(wtimes.values()), 3)
     sf_val = float(sf) if sf.replace(".", "").isdigit() else sf
 
     # Full per-query detail goes to a file: the driver records only the
@@ -373,12 +415,14 @@ def main() -> None:
     # No-silent-caps: the headline list curates the catalog (streaming
     # drains, zone-write loads, shape-duplicates excluded) — record how
     # many and which, so the curation is visible, not implicit.
-    excluded = sorted(set(qs) - set(HEADLINE))
+    excluded = sorted(set(qs) - set(HEADLINE) - set(WRITE_HEADLINE))
     full = {
         "metric": "headline_queries_total_wall",
         "value": total,
         "unit": "sec",
         "queries": times,
+        "write_total": write_total,
+        "write_queries": wtimes,
         "sf": sf_val,
         "catalog": len(qs),
         "headline": len(times),
@@ -400,6 +444,8 @@ def main() -> None:
         "errors_n": len(errors),
         "catalog": len(qs),
         "excluded": len(excluded),
+        "write_total": write_total,
+        "write_n": len(wtimes),
         "full": "BENCH_FULL.json",
         "queries": dict(ranked),
     }

@@ -94,94 +94,70 @@ PRIORITY = [
     # recently added queries. The full TPC-H Q1-Q22 sweep and every
     # LLM-pipeline family are verified by tools/compare.py and pytest
     # every round regardless.
-    # -- zone-write surface over the r6 OCC rework + r7 vacuum-retention/
-    #    errno-narrowing/with_retry changes (load_delete_where and
-    #    load_restore_version rotated out in r7: green in CORRECTNESS_r06,
-    #    their rewrite paths untouched this round; update_set still covers
-    #    the shared publish path and compact_vacuum covers vacuum)
-    "load_update_set",
-    "storage_compact_vacuum_audit",
-    # (stats_benjamini_hochberg, graph_supplier_copart_pairs rotated out
-    # in round 7: r5 rewrites, green in the r6 driver window and in every
-    # full compare.py sweep since)
-    # -- rewritten again in round 7: round-1 doubling gate (propagation)
-    #    + converged-path roots fast path (star)
+    # Round-8 rotation. The driver samples the FIRST 50 catalog entries —
+    # the §2 parity surface above stays pinned (21 slots); the remaining
+    # 29 rotate (a) queries whose CODE PATHS were rewritten this round so
+    # oracle parity after a rewrite is evidenced in the committed driver
+    # record, and (b) the r7 late-stretch queries that have never appeared
+    # in any driver window (VERDICT r7 ask #4 — green in every full
+    # compare.py sweep, but the driver's own record should confirm a
+    # rotation slice). Everything rotated out (r7 window: load_update_set,
+    # storage_compact_vacuum_audit, text_bpe_encode_token_counts,
+    # dedup_winnowing_fingerprints, pipeline_shard_dup_leakage,
+    # text_script_mix_audit, pipeline_doremi_mixture_step,
+    # privacy_l_diversity_audit, pipeline_embedding_decontamination,
+    # sample_leakage_free_split, streaming_quality_admission_gate,
+    # quality_schema_drift_versions, text_unigram_viterbi_segment,
+    # text_unigram_lm_em_round, forecast_backtest_mape,
+    # pipeline_curriculum_phases, quality_null_pattern_clusters,
+    # similarity_lsh_multiprobe_top5, sketch_kmv_distinct_users, the
+    # classifier-evaluation quartet) is hash-green in CORRECTNESS_r07 and
+    # re-verified by every full compare.py sweep.
+    # -- (a) rewritten in round 8: shared _DupEvalBase pipeline
+    #    (selectivity/bcubed/ground-truth/sweep/band-planner), fused-init
+    #    connected components (duplicate_clusters, bcubed), group-grain
+    #    B-cubed fold, inclusion-exclusion simhash candidate counting
     "dedup_duplicate_clusters",
     "dedup_clusters_star",
-    # (round-5-new batch — text_unigram_kl_by_source,
-    # load_observed_write_metrics, quality_dup_cluster_size_distribution,
-    # dedup_cross_source_overlap, text_tokenizer_fertility_by_lang,
-    # pipeline_packing_efficiency_curve, privacy_k_anonymity_audit,
-    # streaming_neardup_admission_gate — and text_bpe_merge_rounds rotated
-    # out in round 7: all evidenced green in CORRECTNESS_r06 and verified
-    # by every full compare.py sweep)
-    # -- round-6-new encode side, rotated in per ADVICE r6 (landed in
-    #    r6's final commit and missed the driver window)
-    "text_bpe_encode_token_counts",
-    # -- round-7-new
-    "dedup_winnowing_fingerprints",
-    "dedup_threshold_sweep_pr",
-    "pipeline_shard_dup_leakage",
-    "text_script_mix_audit",
-    "pipeline_doremi_mixture_step",
-    "privacy_l_diversity_audit",
-    "dedup_minhash_band_planner",
-    "pipeline_embedding_decontamination",
-    "sample_leakage_free_split",
-    "streaming_quality_admission_gate",
-    "quality_schema_drift_versions",
-    "text_unigram_viterbi_segment",
-    "text_unigram_lm_em_round",
-    "forecast_backtest_mape",
-    "pipeline_curriculum_phases",
-    "quality_null_pattern_clusters",
-    "similarity_lsh_multiprobe_top5",
     "dedup_bcubed_cluster_eval",
-    "sketch_kmv_distinct_users",
     "dedup_candidate_selectivity_compare",
-    # -- round-7-new classifier-evaluation family (quality score vs
-    #    Gopher gate: ranking, calibration, repair, rater agreement)
-    "stats_roc_auc_quality_vs_gopher",
-    "quality_calibration_ece_brier",
-    "stats_isotonic_calibration_pav",
-    "stats_cohens_kappa_quality_raters",
-    # ROUND-8 ROTATION PLAN (window stays exactly 50): the 23 queries
-    # added late in r7 (sample_unimax_language_budget, text_bm25_topk,
-    # sketch_bloom_filter_fpr, graph_modularity_supplier_nations,
-    # stats_permutation_test_purchase_click, text_good_turing_trigrams,
-    # privacy_dp_laplace_histogram, text_mattr_lexical_diversity,
-    # sample_pps_systematic_suppliers, graph_label_propagation_communities,
-    # stats_brown_forsythe_variance, streaming_sliding_topk_event_types,
-    # pipeline_shard_assignment_rendezvous, multimodal_tile_manifest,
-    # sketch_join_cardinality_estimate, text_js_divergence_lang_pairs,
-    # privacy_t_closeness_audit, graph_adamic_adar_link_prediction,
-    # stats_kendall_tau_daily) ride COMPARE_FULL_r07.txt (336/336) +
-    # pytest this round; once CORRECTNESS_r07 lands green, rotate them
-    # into the slots of the r7-early entries above that the driver record
-    # then evidences. The final-stretch r7 additions
-    # (stats_kruskal_wallis_value_by_type, stats_cramers_v_lang_source,
-    # graph_hits_hubs_authorities, text_readability_flesch,
-    # streaming_left_outer_interval_join, stats_ljung_box_daily_volume,
-    # sample_horvitz_thompson_chars, sketch_ams_f2_user_moment,
-    # stats_fleiss_kappa_quality_raters, stats_nelson_aalen_cumhaz,
-    # events_cmh_purchase_by_variant_daystrata,
-    # stats_mcnemar_quality_raters, dedup_content_defined_chunks,
-    # events_markov_entropy_rate, text_burrows_delta_sources,
+    "dedup_ground_truth_eval",
+    "dedup_threshold_sweep_pr",
+    "dedup_minhash_band_planner",
+    # -- (b) never-driver-sampled r7 late-stretch queries (22)
+    "load_cdf_replication_apply",
+    "multimodal_audio_vad_energy",
+    "events_retention_powerlaw_fit",
+    "text_vocab_jaccard_sources",
+    "events_seasonal_strength_daily",
+    "stats_fisher_combined_pvalue",
+    "stats_pacf_daily_volume",
+    "events_periodogram_daily",
+    "stats_kruskal_wallis_value_by_type",
+    "stats_cramers_v_lang_source",
+    "graph_hits_hubs_authorities",
+    "text_readability_flesch",
+    "stats_ljung_box_daily_volume",
+    "sample_horvitz_thompson_chars",
+    "sketch_ams_f2_user_moment",
+    "stats_fleiss_kappa_quality_raters",
+    "stats_nelson_aalen_cumhaz",
+    "events_cmh_purchase_by_variant_daystrata",
+    "stats_mcnemar_quality_raters",
+    "dedup_content_defined_chunks",
+    "events_markov_entropy_rate",
+    "text_burrows_delta_sources",
+    # Still never sampled after this round (next rotation pool):
     # stats_hill_tail_index_orders, stats_breusch_pagan_price_quantity,
-    # stats_durbin_watson_daily_revenue, load_cdf_replication_apply,
-    # multimodal_audio_vad_energy, text_chao1_vocab_richness,
+    # stats_durbin_watson_daily_revenue, text_chao1_vocab_richness,
     # stats_ks_exponential_interarrival, load_bloom_index_point_lookup,
     # stats_gumbel_daily_max_value, stats_platt_scaling_newton,
-    # etl_length_of_stay_profile, stats_pacf_daily_volume,
-    # stats_cooks_distance_price_quantity, events_longest_daily_streaks,
-    # stats_tost_equivalence_purchase_click, stats_fisher_combined_pvalue,
-    # stats_bartlett_variance_homogeneity, events_periodogram_daily,
-    # orders_xyz_classification, events_cross_correlation_purchase_click,
+    # etl_length_of_stay_profile, stats_cooks_distance_price_quantity,
+    # events_longest_daily_streaks, stats_tost_equivalence_purchase_click,
+    # stats_bartlett_variance_homogeneity, orders_xyz_classification,
+    # events_cross_correlation_purchase_click,
     # quality_semantic_type_inference, events_growth_accounting_weekly,
-    # stats_negbin_fit_user_counts, events_retention_powerlaw_fit,
-    # text_vocab_jaccard_sources) ride the refreshed end-of-round full
-    # sweep + per-query brute-force pytests and join the same rotation
-    # pool.
+    # stats_negbin_fit_user_counts, plus whatever round 8 adds.
 ]
 
 
