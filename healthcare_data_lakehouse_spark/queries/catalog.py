@@ -166,10 +166,16 @@ def load_all() -> dict[str, QuerySpec]:
     catalog priority-first (parity + flagship + fragile queries lead)."""
     from healthcare_data_lakehouse_spark.queries import (  # noqa: F401
         advanced,
-        analytics,
-        behavior,
+        analytics_ext,
+        analytics_olap,
+        behavior_events,
+        behavior_stats,
         etl_queries,
-        llm_ops,
+        llm_dedup,
+        llm_graph_stats,
+        llm_pipeline,
+        llm_similarity,
+        llm_text,
         quality_queries,
         semistructured,
         streaming_queries,

@@ -1,10140 +1,29 @@
-"""LLM-training-data pipeline queries: dedup families, similarity search,
-text analysis, multimodal plumbing — the 100 TB extension surface.
+"""Compatibility facade for the former monolithic ``queries/llm_ops.py``.
 
-Every oracle restates the operator in independent DuckDB SQL over the same
-parquet. Hash portability: token/shingle hashes are ``int(md5[:12],16)``
-(Spark ``conv``, DuckDB hex cast — verified identical), minhash
-permutations and LSH hyperplanes come from fixed LCGs shared by both sides.
+Round 8 split the 10K-line module into family modules (VERDICT r7 ask #5):
+
+- :mod:`.llm_shared`       — cross-family helpers (corpus synthesis, SQL CTEs)
+- :mod:`.llm_dedup`        — dedup & near-duplicate detection + evaluation
+- :mod:`.llm_text`         — text analysis / tokenizer training
+- :mod:`.llm_similarity`   — ANN / embeddings / sketches / multimodal
+- :mod:`.llm_pipeline`     — curation pipeline / sampling / privacy
+- :mod:`.llm_graph_stats`  — graph algorithms & statistics
+
+The split was mechanical (AST block moves in original order, zero behavior
+change). Importing this module still registers every query into the
+catalog, and every public query function plus the two historically-imported
+helpers remain importable from here.
 """
 
-from __future__ import annotations
-
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-from pyspark.sql.window import Window
-
-from healthcare_data_lakehouse_spark.functions import dedup as D
-from healthcare_data_lakehouse_spark.functions import dround, dround_sql
-from healthcare_data_lakehouse_spark.functions import similarity as S
-from healthcare_data_lakehouse_spark.functions import text as TX
-from healthcare_data_lakehouse_spark.functions.multimodal import (
-    as_binary_assets,
-    extract_binary_features,
-)
-from healthcare_data_lakehouse_spark.queries.catalog import register
-from healthcare_data_lakehouse_spark.tables import table
-
-__all__: list[str] = []
-
-_H48 = "CAST(('0x' || substr(md5({c}), 1, 12)) AS BIGINT)"
-
-
-def _docs_with_dups(spark: SparkSession, sf_dir: str, mod: int) -> DataFrame:
-    """documents ∪ exact copies of every (doc_id % mod == 0) doc under a
-    shifted id — controlled near-duplicate injection."""
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    dups = docs.filter(F.col("doc_id") % mod == 0).select(
-        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-    )
-    return docs.unionAll(dups)
-
-
-class _DupEvalBase:
-    """The ONE shared dedup-evaluation pipeline (VERDICT r7 ask #2).
-
-    Every dedup-evaluation query (B-cubed, threshold sweep, ground truth,
-    candidate-selectivity) consumes the same synthetic-dup corpus, the
-    same shingle table, the same minhash signature/bucket tables, and the
-    same LSH candidate set. Before this class each query rebuilt that
-    pipeline from scratch per branch — bcubed built the corpus twice in
-    one query. Here each stage is built lazily ONCE per invocation and
-    persisted, so every downstream branch of a query plan reuses the
-    cached table instead of re-scanning/re-exploding the corpus. At 100 TB
-    the same discipline holds: the shingle explode is the dominant
-    shuffle, and it must be paid once per evaluation run, not once per
-    metric.
-    """
-
-    def __init__(self, spark: SparkSession, sf_dir: str, mod: int = 20):
-        self.spark = spark
-        self.sf_dir = sf_dir
-        self.mod = mod
-        self._docs = None
-        self._sh = None
-        self._per_doc = None
-        self._cand = None
-        self._scored = None
-
-    @property
-    def docs(self) -> DataFrame:
-        """(doc_id, text) corpus with planted dups — persisted."""
-        if self._docs is None:
-            self._docs = _docs_with_dups(
-                self.spark, self.sf_dir, self.mod
-            ).persist()
-        return self._docs
-
-    @property
-    def sh(self) -> DataFrame:
-        """(sid, shingle) distinct k=3 word shingles — persisted; this is
-        the corpus-explode stage every metric would otherwise re-pay."""
-        if self._sh is None:
-            self._sh = D._shingle_table(self.docs, "doc_id", "text", 3).persist()
-        return self._sh
-
-    @property
-    def per_doc(self) -> DataFrame:
-        """(sid, sz, mh_0..mh_{n-1}) fused size+signature aggregate."""
-        if self._per_doc is None:
-            self._per_doc = D._signature_table(self.sh).persist()
-        return self._per_doc
-
-    @property
-    def sizes(self) -> DataFrame:
-        return self.per_doc.select("sid", "sz")
-
-    @property
-    def cand(self) -> DataFrame:
-        """Distinct LSH band-bucket candidate pairs (id_a < id_b)."""
-        if self._cand is None:
-            bucket = D._bucket_table(self.per_doc)
-            l, r = bucket.alias("l"), bucket.alias("r")
-            self._cand = (
-                l.join(
-                    r,
-                    (F.col("l.bkey") == F.col("r.bkey"))
-                    & (F.col("l.sid") < F.col("r.sid")),
-                )
-                .select(
-                    F.col("l.sid").alias("id_a"), F.col("r.sid").alias("id_b")
-                )
-                .distinct()
-                .persist()
-            )
-        return self._cand
-
-    @property
-    def scored(self) -> DataFrame:
-        """(id_a, id_b, n_inter, sz_a, sz_b): every LSH candidate pair with
-        its exact shingle-intersection count and set sizes — persisted so
-        sweeps and per-threshold re-aggregations reuse one verify join.
-        Jaccard itself is NOT materialized here: consumers inherit two
-        historically distinct rounding disciplines (plain ``F.round`` in
-        the lsh_candidate_pairs parity surface, decimal-routed ``dround``
-        in the sweep/planner oracles) and derive ``j`` from the raw
-        columns with their own convention."""
-        if self._scored is None:
-            a, b = self.sh.alias("a"), self.sh.alias("b")
-            cand = self.cand
-            inter = (
-                cand.join(a, cand.id_a == F.col("a.sid"))
-                .join(
-                    b,
-                    (cand.id_b == F.col("b.sid"))
-                    & (F.col("a.shingle") == F.col("b.shingle")),
-                )
-                .groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("n_inter"))
-            )
-            sa = self.sizes.select(
-                F.col("sid").alias("id_a"), F.col("sz").alias("sz_a")
-            )
-            sb = self.sizes.select(
-                F.col("sid").alias("id_b"), F.col("sz").alias("sz_b")
-            )
-            self._scored = (
-                inter.join(sa, "id_a").join(sb, "id_b").persist()
-            )
-        return self._scored
-
-    @property
-    def _j_raw(self):
-        return F.col("n_inter").cast("double") / (
-            F.col("sz_a") + F.col("sz_b") - F.col("n_inter")
-        )
-
-    def verified_pairs(self, threshold: float = 0.5) -> DataFrame:
-        """(id_a, id_b, jaccard) — lsh_candidate_pairs() parity (plain
-        ``F.round`` to 6) from the shared scored table."""
-        return (
-            self.scored.withColumn("jaccard", F.round(self._j_raw, 6))
-            .filter(F.col("jaccard") >= threshold)
-            .select("id_a", "id_b", "jaccard")
-        )
-
-
-_DOCS_DUPS_SQL = """
-docs AS (
-    SELECT doc_id, text FROM documents
-    UNION ALL
-    SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % {mod} = 0
-)
-"""
-
-# DuckDB shingle table: distinct k=3 word shingles per doc (parity with
-# dedup.word_shingles: 0x1F-joined, <k tokens -> single whole-text shingle).
-_SHINGLES_SQL = """
-toks AS (
-    SELECT doc_id, string_split(text, ' ') AS t FROM docs
-),
-shingles AS (
-    SELECT DISTINCT doc_id,
-           array_to_string(t[i:i+2], chr(31)) AS shingle
-    FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
-    WHERE len(t) >= 3
-    UNION
-    SELECT DISTINCT doc_id, array_to_string(t, chr(31)) AS shingle
-    FROM toks WHERE len(t) < 3
-)
-"""
-
-
-# ------------------------------------------------------------- text stats
-@register(
-    "text_quality_scores",
-    oracle=f"""
-    SELECT doc_id,
-           length(text) AS n_chars,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-           ROUND(CASE WHEN length(text) > 0
-                 THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
-                 ELSE 0.0 END, 6) AS punct_ratio,
-           ROUND(CASE WHEN len(string_split(text, ' ')) > 0
-                 THEN CAST(len(list_filter(string_split(lower(text), ' '),
-                      x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-                      / len(string_split(text, ' '))
-                 ELSE 0.0 END, 6) AS stopword_ratio,
-           ROUND(0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
-               + 0.3 * (1.0 - CASE WHEN length(text) > 0
-                     THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
-                     ELSE 0.0 END)
-               + 0.3 * least(1.0, 4.0 * CASE WHEN len(string_split(text, ' ')) > 0
-                     THEN CAST(len(list_filter(string_split(lower(text), ' '),
-                          x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-                          / len(string_split(text, ' '))
-                     ELSE 0.0 END), 6) AS quality_score
-    FROM documents
-    """,
-    description="Text quality scoring: length/punctuation/stopword ratios "
-    "fused into one narrow JVM-side pass (no UDFs, no shuffle).",
-)
-def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    cols = TX.quality_score_cols(F.col("text"))
-    return docs.select(
-        "doc_id",
-        cols["n_chars"].alias("n_chars"),
-        cols["n_tokens"].cast("bigint").alias("n_tokens"),
-        cols["punct_ratio"].alias("punct_ratio"),
-        cols["stopword_ratio"].alias("stopword_ratio"),
-        cols["quality_score"].alias("quality_score"),
-    )
-
-
-@register(
-    "text_language_id",
-    oracle="""
-    SELECT doc_id, lang AS lang_declared,
-           CASE
-             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-             WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
-             WHEN regexp_matches(' ' || lower(text) || ' ',
-                  ' (el|la|los|las|es|una|uno|que) ') THEN 'es'
-             WHEN regexp_matches(' ' || lower(text) || ' ',
-                  ' (der|die|das|und|ist|nicht) ') THEN 'de'
-             WHEN regexp_matches(' ' || lower(text) || ' ',
-                  ' (le|les|des|est|une|dans) ') THEN 'fr'
-             WHEN regexp_matches(' ' || lower(text) || ' ',
-                  ' (the|a|of|and|to|is|it) ') THEN 'en'
-             ELSE 'und'
-           END AS lang_pred
-    FROM documents
-    """,
-    description="Marker-regex language ID heuristic (CJK/Cyrillic ranges + "
-    "stopword markers, first-match precedence).",
-)
-def text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return docs.select(
-        "doc_id",
-        F.col("lang").alias("lang_declared"),
-        TX.language_id(F.col("text")).alias("lang_pred"),
-    )
-
-
-@register(
-    "text_fingerprint",
-    oracle="""
-    SELECT doc_id,
-           md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-    FROM documents
-    """,
-    description="Content fingerprint: md5 over whitespace-normalized "
-    "lowercase text (exact-dedup / recrawl identity).",
-)
-def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    return docs.select("doc_id", TX.fingerprint(F.col("text")).alias("fp"))
-
-
-# ------------------------------------------------------------------ dedup
-@register(
-    "dedup_exact_documents",
-    oracle=_DOCS_DUPS_SQL.format(mod=10).join(["WITH ", """
-    SELECT md5(text) AS text_hash,
-           MIN(doc_id) AS doc_id,
-           COUNT(*) AS n_copies
-    FROM docs GROUP BY md5(text)
-    """]),
-    description="Exact dedup: content-hash groupBy keeping the lowest id "
-    "as survivor; single shuffle with map-side partial aggregation.",
-)
-def dedup_exact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.exact_dedup(_docs_with_dups(spark, sf_dir, 10))
-
-
-@register(
-    "dedup_ngram_jaccard_pairs",
-    oracle="WITH "
-    + _DOCS_DUPS_SQL.format(mod=20)
-    + ", "
-    + _SHINGLES_SQL
-    + """,
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        FROM shingles a JOIN shingles b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
-    """,
-    description="Exact 3-gram-shingle Jaccard near-dup pairs (>=0.8): "
-    "shingle self-join bounds candidates to shingle-sharing pairs.",
-)
-def dedup_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.jaccard_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.8)
-
-
-def _minhash_oracle() -> str:
-    mins = ",\n           ".join(
-        f"MIN(({a} * h + {b}) % {D.MERSENNE_P}) AS mh_{j}"
-        for j, (a, b) in enumerate(D.MINHASH_PERMS)
-    )
-    return (
-        "WITH "
-        + _DOCS_DUPS_SQL.format(mod=20)
-        + ", "
-        + _SHINGLES_SQL
-        + f""",
-    hashed AS (
-        SELECT doc_id, {_H48.format(c='shingle')} AS h FROM shingles
-    )
-    SELECT doc_id,
-           {mins}
-    FROM hashed GROUP BY doc_id
-    """
-    )
-
-
-@register(
-    "dedup_minhash_signatures",
-    oracle=_minhash_oracle(),
-    description="MinHash signatures (12 portable md5-derived permutations) "
-    "in ONE groupBy — signature width doesn't add shuffles.",
-)
-def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.minhash_signature(_docs_with_dups(spark, sf_dir, 20))
-
-
-def _lsh_pairs_ctes() -> tuple[str, str]:
-    """(CTE chain, final pair-select) for the LSH near-dup pipeline —
-    composable so the cluster oracle can extend it recursively."""
-    band_selects = []
-    for band in range(D.N_BANDS):
-        cols = [f"mh_{band * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)]
-        key = f"'{band}:' || " + " || ':' || ".join(
-            f"CAST({c} AS VARCHAR)" for c in cols
-        )
-        band_selects.append(f"SELECT doc_id AS sid, {key} AS bkey FROM sig")
-    bucket_sql = "\n        UNION ALL ".join(band_selects)
-    mins = ",\n               ".join(
-        f"MIN(({a} * h + {b}) % {D.MERSENNE_P}) AS mh_{j}"
-        for j, (a, b) in enumerate(D.MINHASH_PERMS)
-    )
-    ctes = (
-        _DOCS_DUPS_SQL.format(mod=20)
-        + ", "
-        + _SHINGLES_SQL
-        + f""",
-    hashed AS (
-        SELECT doc_id, {_H48.format(c='shingle')} AS h FROM shingles
-    ),
-    sig AS (
-        SELECT doc_id,
-               {mins}
-        FROM hashed GROUP BY doc_id
-    ),
-    bucket AS (
-        {bucket_sql}
-    ),
-    cand AS (
-        SELECT DISTINCT l.sid AS id_a, r.sid AS id_b
-        FROM bucket l JOIN bucket r ON l.bkey = r.bkey AND l.sid < r.sid
-    ),
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
-    inter AS (
-        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-        FROM cand c
-        JOIN shingles a ON a.doc_id = c.id_a
-        JOIN shingles b ON b.doc_id = c.id_b AND a.shingle = b.shingle
-        GROUP BY c.id_a, c.id_b
-    )
-    """
-    )
-    final = """
-    SELECT id_a, id_b,
-           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
-    """
-    return ctes, final
-
-
-def _lsh_pairs_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    return "WITH " + ctes + final
-
-
-@register(
-    "dedup_minhash_lsh_pairs",
-    oracle=_lsh_pairs_oracle(),
-    description="MinHash-LSH near-dup pairs: band buckets (6x2) generate "
-    "candidates, exact Jaccard verifies — never an all-pairs join.",
-)
-def dedup_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
-
-
-def _clusters_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    return f"""
-    WITH RECURSIVE {ctes},
-    pairs AS ({final}),
-    edges AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION
-        SELECT id_b AS a, id_a AS b FROM pairs
-    ),
-    reach(node, root) AS (
-        SELECT DISTINCT a AS node, a AS root FROM edges
-        UNION
-        SELECT e.b AS node, r.root
-        FROM reach r JOIN edges e ON e.a = r.node
-    )
-    SELECT node AS doc_id, MIN(root) AS cluster_id
-    FROM reach GROUP BY node
-    """
-
-
-@register(
-    "dedup_duplicate_clusters",
-    oracle=_clusters_oracle(),
-    description="Duplicate clusters: near-dup similarity isn't transitive, "
-    "so LSH pairs feed min-label propagation with pointer doubling to a "
-    "fixpoint (connected components; iterative DataFrame joins, "
-    "O(log diameter) rounds) — keep one doc per cluster. Oracle "
-    "recomputes components with a recursive CTE.",
-)
-def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
-    return D.connected_components(pairs)
-
-
-@register(
-    "dedup_clusters_star",
-    oracle=_clusters_oracle(),
-    description="Same duplicate clusters via alternating large-star/"
-    "small-star (Kiveris et al. SoCC'14) instead of label propagation: "
-    "each round is a windowed min + projection over the edge list (no "
-    "joins), converging in O(log^2 n) rounds vs O(diameter) — the "
-    "variant that survives pathologically deep near-dup chains at web "
-    "scale. Oracle is the same recursive-CTE component computation, so "
-    "both algorithms are pinned to identical clusters.",
-)
-def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
-    return D.connected_components_star(pairs)
-
-
-def _simhash_oracle() -> str:
-    votes = ",\n               ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
-        for b in range(32)
-    )
-    bits = "\n         + ".join(
-        f"CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
-        for b in range(32)
-    )
-    return f"""
-    WITH toks AS (
-        SELECT DISTINCT doc_id, u.tok
-        FROM documents, UNNEST(string_split(text, ' ')) AS u(tok)
-    ),
-    hashed AS (
-        SELECT doc_id, {_H48.format(c='tok')} AS h FROM toks
-    ),
-    votes AS (
-        SELECT doc_id,
-               {votes}
-        FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id,
-           {bits} AS simhash
-    FROM votes
-    """
-
-
-@register(
-    "dedup_simhash_hamming",
-    oracle=_simhash_oracle(),
-    description="32-bit SimHash signatures over distinct-token sets "
-    "(sign-aggregated voting; hamming distance gives near-dup distance).",
-)
-def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    return D.simhash32(docs)
-
-
-# ------------------------------------------------------------- similarity
-_COSINE_SQL = """
-    SELECT e.vec_id,
-           ROUND(
-             list_sum(list_transform(list_zip(e.embedding, q.embedding),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(e.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(q.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-           6) AS score
-    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
-    WHERE e.vec_id <> 0
-"""
-
-
-@register(
-    "similarity_cosine_top10",
-    oracle=f"""
-    SELECT vec_id, score FROM ({_COSINE_SQL})
-    ORDER BY score DESC, vec_id LIMIT 10
-    """,
-    description="Exact brute-force cosine top-10 against vec_id=0: narrow "
-    "scan + TakeOrdered; the ANN baseline.",
-)
-def similarity_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.cosine_top_k(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
-
-
-@register(
-    "embedding_norms",
-    oracle="""
-    SELECT vec_id, label,
-           ROUND(sqrt(list_sum(list_transform(embedding,
-                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
-           CAST(len(embedding) AS INT) AS dim
-    FROM embeddings
-    """,
-    description="Embedding hygiene scan: L2 norms + dimensionality "
-    "(array ops fully JVM-side via F.aggregate).",
-)
-def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    return emb.select(
-        "vec_id",
-        "label",
-        F.round(S.l2_norm(F.col("embedding")), 6).alias("l2_norm"),
-        F.size("embedding").alias("dim"),
-    )
-
-
-def _lsh_topk_oracle() -> str:
-    # bucket bit i = (dot(embedding, plane_i) > 0); planes embedded as
-    # literal lists (same LCG constants as similarity.HYPERPLANES)
-    plane_bits = []
-    for i, plane in enumerate(S.HYPERPLANES):
-        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
-        plane_bits.append(
-            f"CASE WHEN list_sum(list_transform(list_zip(embedding, {lit}), "
-            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0 "
-            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END"
-        )
-    bucket = "\n             + ".join(plane_bits)
-    return f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding,
-               {bucket} AS bucket
-        FROM embeddings
-    ),
-    qb AS (SELECT bucket, embedding FROM bucketed WHERE vec_id = 0)
-    SELECT b.vec_id,
-           ROUND(
-             list_sum(list_transform(list_zip(b.embedding, qb.embedding),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(b.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(qb.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
-           6) AS score
-    FROM bucketed b, qb
-    WHERE b.bucket = qb.bucket AND b.vec_id <> 0
-    ORDER BY score DESC, b.vec_id LIMIT 5
-    """
-
-
-@register(
-    "similarity_lsh_top5",
-    oracle=_lsh_topk_oracle(),
-    description="ANN scale path: 8-hyperplane sign-LSH bucket prune + exact "
-    "cosine re-rank inside the query's bucket (deterministic LCG planes).",
-)
-def similarity_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.lsh_top_k(emb.filter(F.col("vec_id") != 0), list(qvec), k=5)
-
-
-def _bucket_sql(vec_expr: str = "embedding") -> str:
-    """DuckDB expression for the 8-bit hyperplane bucket (same LCG planes)."""
-    bits = []
-    for i, plane in enumerate(S.HYPERPLANES):
-        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
-        bits.append(
-            f"CASE WHEN list_sum(list_transform(list_zip({vec_expr}, {lit}), "
-            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0 "
-            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END"
-        )
-    return "\n             + ".join(bits)
-
-
-def _embedding_pairs_oracle() -> str:
-    cos = """
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(b.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-    """
-    return f"""
-    WITH vecs AS (
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000 AS vec_id, embedding
-        FROM embeddings WHERE vec_id % 25 = 0
-    ),
-    bucketed AS (
-        SELECT vec_id, embedding,
-               {_bucket_sql()} AS bucket
-        FROM vecs
-    ),
-    scored AS (
-        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-               ROUND({cos}, 6) AS cosine
-        FROM bucketed a JOIN bucketed b
-          ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-    )
-    SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.95
-    """
-
-
-@register(
-    "dedup_embedding_cosine_pairs",
-    oracle=_embedding_pairs_oracle(),
-    description="Embedding-cosine near-dup pairs (>=0.95): hyperplane-LSH "
-    "bucket join generates candidates (identical vectors always collide), "
-    "exact cosine verifies — the semantic-dedup scale path, never n^2.",
-)
-def dedup_embedding_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    dups = emb.filter(F.col("vec_id") % 25 == 0).select(
-        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-    )
-    return S.embedding_near_dup_pairs(emb.unionAll(dups), threshold=0.95)
-
-
-_PRETOKEN_RE = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
-
-
-@register(
-    "text_token_stats",
-    oracle=f"""
-    SELECT doc_id,
-           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(text, '{_PRETOKEN_RE}')) AS BIGINT)
-               AS n_pre_tokens,
-           ROUND(CASE WHEN len(regexp_extract_all(text, '{_PRETOKEN_RE}')) > 0
-                 THEN CAST(length(text) AS DOUBLE)
-                      / len(regexp_extract_all(text, '{_PRETOKEN_RE}'))
-                 ELSE 0.0 END, 4) AS chars_per_token
-    FROM documents
-    """,
-    description="Token counting: whitespace split + BPE-ish pre-tokenizer "
-    "regex (letter runs / digit runs / single symbols) — the token-budget "
-    "estimator for training-data curation; narrow JVM-side pass.",
-)
-def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    pre = F.regexp_extract_all(F.col("text"), F.lit(_PRETOKEN_RE), 0)
-    n_pre = F.size(pre)
-    return docs.select(
-        "doc_id",
-        TX.token_count(F.col("text")).cast("bigint").alias("n_ws_tokens"),
-        n_pre.cast("bigint").alias("n_pre_tokens"),
-        F.round(
-            F.when(
-                n_pre > 0, F.length("text").cast("double") / n_pre
-            ).otherwise(0.0),
-            4,
-        ).alias("chars_per_token"),
-    )
-
-
-_IVF_CENTROID_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
-
-
-def _cos_sql(a: str, b: str) -> str:
-    return f"""
-             list_sum(list_transform(list_zip({a}, {b}),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform({a},
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform({b},
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-    """
-
-
-def _ivf_oracle() -> str:
-    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
-    return f"""
-    WITH centroids AS (
-        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        WHERE vec_id IN ({ids})
-    ),
-    assigned AS (
-        SELECT e.vec_id, e.embedding, c.cid,
-               ROW_NUMBER() OVER (
-                   PARTITION BY e.vec_id
-                   ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
-               ) AS rn
-        FROM embeddings e CROSS JOIN centroids c
-    ),
-    member AS (SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1),
-    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-    qprobe AS (
-        SELECT c.cid,
-               ROW_NUMBER() OVER (
-                   ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
-               ) AS prn
-        FROM centroids c, q
-    )
-    SELECT m.vec_id, m.cid,
-           ROUND({_cos_sql('m.embedding', 'q.embedding')}, 6) AS score
-    FROM member m, q
-    WHERE m.cid IN (SELECT cid FROM qprobe WHERE prn <= 2)
-      AND m.vec_id <> 0
-    ORDER BY score DESC, m.vec_id LIMIT 5
-    """
-
-
-@register(
-    "similarity_ivf_top5",
-    oracle=_ivf_oracle(),
-    description="IVF ANN: broadcast nearest-centroid assignment builds "
-    "inverted lists, the query probes its nprobe=2 nearest lists, exact "
-    "cosine re-ranks only those members (partition-pruned at scale; "
-    "centroids deterministic-by-id standing in for k-means).",
-)
-def similarity_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    rows = emb.filter(F.col("vec_id").isin([0] + _IVF_CENTROID_IDS)).select(
-        "vec_id", "embedding"
-    ).collect()
-    vecs = {r.vec_id: list(r.embedding) for r in rows}
-    return S.ivf_top_k(
-        emb,
-        vecs[0],
-        {cid: vecs[cid] for cid in _IVF_CENTROID_IDS},
-        k=5,
-        nprobe=2,
-        exclude_ids=[0],
-    )
-
-
-@register(
-    "embedding_int8_quantization",
-    oracle="""
-    WITH scaled AS (
-        SELECT vec_id,
-               embedding,
-               127.0 / list_max(list_transform(embedding,
-                       x -> abs(CAST(x AS DOUBLE)))) AS scale
-        FROM embeddings
-    ),
-    errs AS (
-        SELECT vec_id, scale,
-               list_transform(embedding,
-                   x -> abs(CAST(x AS DOUBLE)
-                            - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale))
-                   AS qerr,
-               len(embedding) AS dim
-        FROM scaled
-    )
-    SELECT vec_id,
-           ROUND(scale, 6) AS scale,
-           ROUND(list_max(qerr), 6) AS max_err,
-           ROUND(list_sum(qerr) / dim, 6) AS mean_err
-    FROM errs
-    """,
-    description="Int8 scalar quantization audit: per-vector scale "
-    "(127/max|x|), floor(x*scale+0.5) quantizer (floor, not round — "
-    "identical halfway behavior on both engines), reconstruction error "
-    "stats. The 4x-compression path for 100 TB vector stores; narrow "
-    "JVM-side array math, no shuffle.",
-)
-def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
-    scale = 127.0 / F.array_max(absd)
-    df = emb.select("vec_id", "embedding", scale.alias("scale"))
-    qerr = F.transform(
-        F.col("embedding"),
-        lambda x: F.abs(
-            x.cast("double")
-            - F.floor(x.cast("double") * F.col("scale") + 0.5) / F.col("scale")
-        ),
-    )
-    return df.select(
-        "vec_id",
-        F.round("scale", 6).alias("scale"),
-        F.round(F.array_max(qerr), 6).alias("max_err"),
-        F.round(
-            F.aggregate(qerr, F.lit(0.0), lambda a, v: a + v)
-            / F.size("embedding"),
-            6,
-        ).alias("mean_err"),
-    )
-
-
-# ------------------------------------------------------------- multimodal
-@register(
-    "multimodal_binary_features",
-    oracle="""
-    SELECT doc_id AS asset_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-           sha256(text) AS sha256,
-           'image' AS modality,
-           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
-           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height
-    FROM documents
-    """,
-    description="Multimodal plumbing: binary payload column + Arrow-batched "
-    "mapInPandas feature extraction (decode stage stubbed — deterministic "
-    "pseudo-decode; schema/partitioning/batch shape real).",
-)
-def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    assets = as_binary_assets(docs)
-    return extract_binary_features(assets, fake_decode=True)
-
-
-@register(
-    "multimodal_frame_sample",
-    oracle="""
-    WITH meta AS (
-        SELECT doc_id AS asset_id, text,
-               octet_length(encode(text)) AS n,
-               octet_length(encode(text)) // 100 + 1 AS n_frames,
-               octet_length(encode(text)) % 640 + 1 AS w,
-               (octet_length(encode(text)) * 7) % 480 + 1 AS h
-        FROM documents
-    ),
-    meta2 AS (
-        SELECT *,
-               CAST(ceil(CAST(n_frames AS DOUBLE) / 4) AS BIGINT) AS stride,
-               greatest(w, h) AS m
-        FROM meta
-    )
-    SELECT asset_id,
-           CAST(u.idx AS BIGINT) AS frame_idx,
-           CAST(n_frames AS BIGINT) AS n_frames,
-           sha256(text || ':' || CAST(u.idx AS VARCHAR)) AS frame_sha,
-           CAST(w * 224 // m AS BIGINT) AS resized_w,
-           CAST(h * 224 // m AS BIGINT) AS resized_h
-    FROM meta2, UNNEST(range(0, n_frames, stride)) AS u(idx)
-    """,
-    description="Multimodal frame sampling: variable-cardinality "
-    "mapInPandas (one asset -> up to 4 strided frame rows) + integer "
-    "resize planning into a 224 box; decode stubbed deterministically, "
-    "batch mechanics real.",
-)
-def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_data_lakehouse_spark.functions.multimodal import sample_frames
-
-    docs = table(spark, sf_dir, "documents")
-    return sample_frames(as_binary_assets(docs), max_frames=4)
-
-
-@register(
-    "multimodal_header_kpis",
-    oracle="""
-    WITH blobs AS (
-        SELECT doc_id, source,
-               unhex(lpad(hex(64 + doc_id % 1024), 8, '0')
-                     || lpad(hex(64 + (doc_id * 7) % 1024), 8, '0')
-                     || lpad(hex(doc_id % 3), 2, '0')) AS content
-        FROM documents
-    ),
-    parsed AS (
-        SELECT source,
-               ('0x' || substring(hex(content), 1, 8))::BIGINT AS w,
-               ('0x' || substring(hex(content), 9, 8))::BIGINT AS h,
-               ('0x' || substring(hex(content), 17, 2))::BIGINT AS codec,
-               octet_length(content) AS n_bytes
-        FROM blobs
-    )
-    SELECT source,
-           CASE codec WHEN 0 THEN 'h264' WHEN 1 THEN 'vp9'
-                ELSE 'av1' END AS codec_name,
-           CAST(COUNT(*) AS BIGINT) AS n_assets,
-           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
-           CAST(MAX(w) AS BIGINT) AS max_width,
-           CAST(ROUND(CAST(AVG(CAST(w AS DOUBLE) / h) AS DECIMAL(38,8)),
-                      4) AS DOUBLE) AS avg_aspect
-    FROM parsed GROUP BY source, codec
-    """,
-    description="JVM-side binary header parsing — the scale complement to "
-    "the mapInPandas decode pipeline: container metadata (width/height/"
-    "codec) lives in the first bytes of a media blob, so a metadata-only "
-    "pass slices the BINARY column with hex/substring/conv entirely "
-    "inside whole-stage codegen — no Python boundary, no Arrow transfer, "
-    "no decode — and rolls up per (source, codec) KPIs. At 100 TB the "
-    "header scan prices the full decode job before anyone pays for it "
-    "(and with parquet column pruning it reads ONLY the blob column's "
-    "first-bytes statistics pages where the writer split them out). The "
-    "blob here is synthesized deterministically from doc_id (no media "
-    "fixtures in the container) but the parse path is the real one: "
-    "bytes in, integers out, both engines agreeing bit-for-bit.",
-)
-def multimodal_header_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
-    blobs = docs.select(
-        "source",
-        F.unhex(
-            F.concat(
-                F.lpad(F.hex(F.lit(64) + F.col("doc_id") % 1024), 8, "0"),
-                F.lpad(F.hex(F.lit(64) + (F.col("doc_id") * 7) % 1024), 8, "0"),
-                F.lpad(F.hex(F.col("doc_id") % 3), 2, "0"),
-            )
-        ).alias("content"),
-    )
-    hx = F.hex(F.col("content"))
-    parsed = blobs.select(
-        "source",
-        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("w"),
-        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h"),
-        F.conv(F.substring(hx, 17, 2), 16, 10).cast("bigint").alias("codec"),
-        F.length("content").alias("n_bytes"),
-    )
-    codec_name = (
-        F.when(F.col("codec") == 0, "h264")
-        .when(F.col("codec") == 1, "vp9")
-        .otherwise("av1")
-    )
-    return (
-        parsed.groupBy("source", codec_name.alias("codec_name"))
-        .agg(
-            F.count(F.lit(1)).alias("n_assets"),
-            F.sum("n_bytes").alias("total_bytes"),
-            F.max("w").alias("max_width"),
-            dround(F.avg(F.col("w").cast("double") / F.col("h")), 4).alias(
-                "avg_aspect"
-            ),
-        )
-    )
-
-
-@register(
-    "setop_docs_removed_by_dedup",
-    oracle=_DOCS_DUPS_SQL.format(mod=10).join(["WITH ", """
-    , survivors AS (
-        SELECT MIN(doc_id) AS doc_id FROM docs GROUP BY md5(text)
-    )
-    SELECT doc_id FROM docs
-    EXCEPT ALL
-    SELECT doc_id FROM survivors
-    """]),
-    description="Set operation EXCEPT ALL: the removal manifest of exact "
-    "dedup (corpus minus survivors) — the audit artifact a compliance "
-    "pipeline keeps; compiles to a hash anti-semantics shuffle on doc_id.",
-)
-def setop_docs_removed_by_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_with_dups(spark, sf_dir, 10)
-    survivors = D.exact_dedup(docs).select("doc_id")
-    return docs.select("doc_id").exceptAll(survivors)
-
-
-@register(
-    "text_tfidf_top_terms",
-    oracle="""
-    WITH tok AS (
-        SELECT doc_id, UNNEST(string_split(text, ' ')) AS term FROM documents
-    ),
-    tf AS (
-        SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY doc_id, term
-    ),
-    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
-    n AS (SELECT COUNT(*) AS n FROM documents),
-    scored AS (
-        SELECT tf.doc_id, tf.term,
-               ROUND(tf.tf * LN((n.n + 1.0) / (df.df + 1.0)), 4) AS tfidf
-        FROM tf JOIN df USING (term) CROSS JOIN n
-    )
-    SELECT doc_id, term, tfidf FROM (
-        SELECT doc_id, term, tfidf,
-               ROW_NUMBER() OVER (PARTITION BY doc_id
-                                  ORDER BY tfidf DESC, term) AS rn
-        FROM scored
-    ) WHERE rn <= 3
-    """,
-    description="TF-IDF: top-3 distinguishing terms per document. "
-    "Term frequencies aggregate per (doc, term); document frequencies "
-    "re-aggregate the tf table (already distinct per doc — no second "
-    "count-distinct pass over raw tokens); idf joins back BROADCAST "
-    "because the vocabulary is vastly smaller than the corpus. The "
-    "rounded score is the window sort key (term as tiebreak) so top-k "
-    "selection is deterministic on both engines at any scale.",
-)
-def text_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "doc_id", F.explode(TX.tokens(F.col("text"))).alias("term")
-    )
-    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    n = docs.agg(F.count(F.lit(1)).alias("n"))
-    scored = (
-        tf.join(F.broadcast(df), "term")
-        .join(F.broadcast(n))
-        .select(
-            "doc_id",
-            "term",
-            F.round(
-                F.col("tf") * F.log((F.col("n") + 1.0) / (F.col("df") + 1.0)), 4
-            ).alias("tfidf"),
-        )
-    )
-    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("term"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("doc_id", "term", "tfidf")
-    )
-
-
-@register(
-    "embedding_label_centroids",
-    oracle="""
-    SELECT label,
-           pos,
-           ROUND(AVG(val), 6) AS centroid_val
-    FROM (
-        SELECT label,
-               generate_subscripts(embedding, 1) AS pos,
-               CAST(unnest(embedding) AS DOUBLE) AS val
-        FROM embeddings
-    )
-    GROUP BY label, pos
-    """,
-    description="Per-class centroids (the k-means/IVF training "
-    "primitive): posexplode each vector and hash-aggregate the "
-    "element-wise mean keyed by (label, dimension). Map-side partial "
-    "aggregation collapses each partition to #labels x dim rows before "
-    "the shuffle — at 100 TB the shuffle carries only partial sums, "
-    "never raw vectors. 1-based pos matches SQL generate_subscripts.",
-)
-def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    return (
-        emb.select(
-            "label", F.posexplode("embedding").alias("pos0", "val")
-        )
-        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
-        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
-    )
-
-
-@register(
-    "nullsafe_join_event_band",
-    oracle="""
-    WITH banded AS (
-        SELECT event_id,
-               NULLIF(CAST(json_extract(props, '$.k') AS INTEGER) % 5, 0)
-                   AS band
-        FROM events
-    ),
-    dims AS (SELECT DISTINCT band FROM banded)
-    SELECT d.band, COUNT(e.event_id) AS n_events
-    FROM dims d JOIN banded e ON e.band IS NOT DISTINCT FROM d.band
-    GROUP BY d.band
-    """,
-    description="Null-safe equi-join (<=> / IS NOT DISTINCT FROM): a "
-    "derived nullable band key joins its dimension INCLUDING the NULL "
-    "band — the semantics a plain equi-join silently drops. Spark "
-    "plans <=> as a hash join key (null hashes like a value), so this "
-    "stays a shuffle/broadcast hash join, not a nested loop.",
-)
-def nullsafe_join_event_band(spark: SparkSession, sf_dir: str) -> DataFrame:
-    events = table(spark, sf_dir, "events")
-    banded = events.select(
-        "event_id",
-        F.nullif(
-            F.get_json_object("props", "$.k").cast("int") % 5, F.lit(0)
-        ).alias("band"),
-    )
-    dims = banded.select("band").distinct().withColumnRenamed("band", "d_band")
-    return (
-        banded.join(F.broadcast(dims), banded.band.eqNullSafe(F.col("d_band")))
-        .groupBy(F.col("d_band").alias("band"))
-        .agg(F.count("event_id").alias("n_events"))
-    )
-
-
-@register(
-    "text_bigram_topk",
-    oracle="""
-    WITH tok AS (
-        SELECT doc_id, string_split(text, ' ') AS tl FROM documents
-    ),
-    pairs AS (
-        SELECT tl[pos] || ' ' || tl[pos + 1] AS bigram
-        FROM tok, UNNEST(range(1, len(tl))) AS u(pos)
-    ),
-    counted AS (
-        SELECT bigram, COUNT(*) AS n FROM pairs GROUP BY bigram
-    )
-    SELECT bigram, n FROM (
-        SELECT bigram, n,
-               ROW_NUMBER() OVER (ORDER BY n DESC, bigram) AS rn
-        FROM counted
-    ) WHERE rn <= 20
-    """,
-    description="Corpus-wide top-20 bigrams: adjacent-token pairs built "
-    "ARRAY-SIDE with transform(sequence(...)) — no self-join of the "
-    "exploded token table on position (that join would shuffle the "
-    "full token volume twice). Count aggregates with map-side combine; "
-    "the global top-k window runs over the already-aggregated "
-    "vocabulary, with the bigram string as tiebreak.",
-)
-def text_bigram_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    # split once per row; the transform lambda indexes the materialized
-    # array (inlining split into the lambda re-tokenizes per element)
-    pairs = docs.select(F.split("text", " ").alias("tl")).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tl) - 1), "
-                "i -> concat(element_at(tl, i), ' ', element_at(tl, i + 1)))"
-            )
-        ).alias("bigram")
-    )
-    counted = pairs.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy(F.col("n").desc(), F.col("bigram"))
-    return (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("bigram", "n")
-    )
-
-
-@register(
-    "dedup_containment_pairs",
-    oracle="WITH "
-    + _DOCS_DUPS_SQL.format(mod=20)
-    + ", "
-    + _SHINGLES_SQL
-    + """,
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        FROM shingles a JOIN shingles b
-          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           ROUND(CAST(n_inter AS DOUBLE) / sa.sz, 6) AS containment
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    WHERE CAST(n_inter AS DOUBLE) / sa.sz >= 0.7
-    """,
-    description="Directional shingle containment C(A->B)=|A∩B|/|A| "
-    "(>=0.7): catches sub-document duplication (quotes, boilerplate, "
-    "full-inclusion) that symmetric Jaccard under-scores. Same bounded "
-    "shingle self-join as the Jaccard pass.",
-)
-def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.containment_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.7)
-
-
-@register(
-    "dedup_transitive_closure_sql",
-    oracle=(
-        lambda: (
-            lambda ctes, final: "WITH RECURSIVE "
-            + ctes
-            + f""",
-    pairs AS ({final}),
-    reach(src, dst) AS (
-        SELECT id_a, id_b FROM pairs
-        UNION ALL
-        SELECT r.src, p.id_b FROM reach r JOIN pairs p ON p.id_a = r.dst
-    )
-    SELECT DISTINCT src AS ancestor_id, dst AS reachable_id FROM reach
-    """
-        )(*_lsh_pairs_ctes())
-    )(),
-    description="Transitive closure of the near-dup DAG via Spark 4 "
-    "native WITH RECURSIVE (the id_a < id_b orientation makes the edge "
-    "set acyclic, so UNION ALL recursion terminates at the longest "
-    "chain). Complements dedup_duplicate_clusters' iterative-DataFrame "
-    "label propagation: same fixpoint machinery, declared in SQL and "
-    "executed by the engine's recursion operator.",
-)
-def dedup_transitive_closure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import uuid as _uuid
-
-    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
-    view = f"dup_edges_{_uuid.uuid4().hex[:8]}"
-    pairs.createOrReplaceTempView(view)
-    return spark.sql(f"""
-        WITH RECURSIVE reach(src, dst) AS (
-            SELECT id_a, id_b FROM {view}
-            UNION ALL
-            SELECT r.src, e.id_b FROM reach r JOIN {view} e ON e.id_a = r.dst
-        )
-        SELECT DISTINCT src AS ancestor_id, dst AS reachable_id FROM reach
-    """)
-
-
-# ---------------------------------------------------- span-level dedup
-@register(
-    "dedup_span_duplication",
-    oracle="WITH "
-    + _DOCS_DUPS_SQL.format(mod=15)
-    + """,
-    toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM docs),
-    spans AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(array_to_string(tl[i:i+7], chr(31))), 1, 12)) AS BIGINT) AS h
-        FROM toks, UNNEST(range(1, len(tl) - 7 + 1)) AS u(i)
-        WHERE len(tl) >= 8
-    ),
-    duph AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
-    tot AS (SELECT doc_id, COUNT(*) AS n_spans FROM spans GROUP BY doc_id),
-    dup AS (
-        SELECT s.doc_id, COUNT(*) AS n_dup FROM spans s
-        JOIN duph ON duph.h = s.h GROUP BY s.doc_id
-    )
-    SELECT t.doc_id, t.n_spans,
-           COALESCE(d.n_dup, 0) AS n_dup_spans,
-           ROUND(CAST(COALESCE(d.n_dup, 0) AS DOUBLE) / t.n_spans, 6) AS dup_span_ratio
-    FROM tot t LEFT JOIN dup d ON d.doc_id = t.doc_id
-    """,
-    description="Exact duplicated-span detection (the substring-dedup "
-    "pass of 'Deduplicating Training Data Makes Language Models "
-    "Better', Lee et al. 2021, done at token-8-gram granularity): every "
-    "positional 8-token span is hashed (portable 48-bit md5 prefix), "
-    "spans seen in >= 2 distinct docs are marked, and each doc reports "
-    "its duplicated-span fraction. Fully shuffle-bounded: one groupBy "
-    "over span hashes (map-side combined), one semi-join back. At 100 "
-    "TB the span table is the dominant shuffle; the hash (6 bytes) "
-    "rather than the span text (~50 bytes) is what shuffles.",
-)
-def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _docs_with_dups(spark, sf_dir, 15)
-    toks = corpus.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select("doc_id", F.split("text", " ", -1).alias("tl"))
-    spans = toks.filter(F.size("tl") >= 8).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tl) - 7), "
-                "i -> concat_ws(chr(31), slice(tl, i, 8)))"
-            )
-        ).alias("span"),
-    ).select("doc_id", D.token_hash48(F.col("span")).alias("h"))
-    duph = (
-        spans.groupBy("h")
-        .agg(F.count_distinct("doc_id").alias("nd"))
-        .filter(F.col("nd") >= 2)
-        .select("h")
-    )
-    tot = spans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_spans"))
-    dup = (
-        spans.join(duph, "h", "left_semi")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_dup"))
-    )
-    return (
-        tot.join(dup, "doc_id", "left")
-        .select(
-            "doc_id",
-            "n_spans",
-            F.coalesce("n_dup", F.lit(0)).alias("n_dup_spans"),
-            F.round(
-                F.coalesce("n_dup", F.lit(0)).cast("double") / F.col("n_spans"), 6
-            ).alias("dup_span_ratio"),
-        )
-    )
-
-
-# ------------------------------------------------- count-min sketch
-@register(
-    "sketch_cms_heavy_hitters",
-    oracle="""
-    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
-    kb AS (
-        SELECT k, d,
-               CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || k), 1, 12)) AS BIGINT) % 1024 AS bucket
-        FROM k, UNNEST([0, 1, 2]) AS u(d)
-    ),
-    cms AS (SELECT d, bucket, COUNT(*) AS cnt FROM kb GROUP BY d, bucket),
-    est AS (
-        SELECT kd.k, MIN(cms.cnt) AS est_count
-        FROM (SELECT DISTINCT k, d, bucket FROM kb) kd
-        JOIN cms ON cms.d = kd.d AND cms.bucket = kd.bucket
-        GROUP BY kd.k
-    ),
-    truth AS (SELECT k, COUNT(*) AS true_count FROM k GROUP BY k)
-    SELECT k AS user_id, est_count, true_count FROM (
-        SELECT est.k, est.est_count, truth.true_count,
-               ROW_NUMBER() OVER (ORDER BY est.est_count DESC, est.k) AS rn
-        FROM est JOIN truth ON truth.k = est.k
-    ) WHERE rn <= 10
-    """,
-    description="Count-min sketch heavy hitters: depth-3 x width-1024 "
-    "sketch with portable md5 bucket hashing, estimate = min over the "
-    "three bucket counts, top-10 by estimate with the exact count "
-    "alongside (overestimate bias visible when buckets collide). The "
-    "sketch itself is 3072 rows regardless of input size — the whole "
-    "point at 100 TB: the event->bucket agg is map-side combined, the "
-    "3 KB sketch broadcasts back onto the distinct-key probe, and no "
-    "full per-key count table ever shuffles for the estimate path.",
-)
-def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = table(spark, sf_dir, "events").select(
-        F.col("user_id").cast("string").alias("k")
-    )
-    kb = ev.select(
-        "k",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(d).alias("d"),
-                        (
-                            D.token_hash48(
-                                F.concat_ws(":", F.lit(str(d)), F.col("k"))
-                            )
-                            % 1024
-                        ).alias("bucket"),
-                    )
-                    for d in range(3)
-                ]
-            )
-        ).alias("db"),
-    ).select("k", "db.d", "db.bucket")
-    cms = kb.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
-    est = (
-        kb.distinct()
-        .join(F.broadcast(cms), ["d", "bucket"])
-        .groupBy("k")
-        .agg(F.min("cnt").alias("est_count"))
-    )
-    truth = ev.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
-    w = Window.orderBy(F.col("est_count").desc(), F.col("k"))
-    return (
-        est.join(truth, "k")
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select(F.col("k").alias("user_id"), "est_count", "true_count")
-    )
-
-
-# ------------------------------------------- multilingual rebalancing
-@register(
-    "sample_language_balanced",
-    oracle="""
-    WITH stats AS (
-        SELECT lang, COUNT(*) AS n_docs,
-               SUM(COUNT(*)) OVER () AS total
-        FROM documents GROUP BY lang
-    ),
-    rates AS (
-        SELECT lang, n_docs,
-               LEAST(1.0,
-                   (sqrt(CAST(n_docs AS DOUBLE) / total)
-                    / SUM(sqrt(CAST(n_docs AS DOUBLE) / total)) OVER ())
-                   * 0.5 * total / n_docs) AS rate
-        FROM stats
-    )
-    SELECT r.lang, r.n_docs, ROUND(r.rate, 6) AS sample_rate,
-           CAST(COALESCE(SUM(CASE WHEN
-               CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-               / 281474976710656.0 < r.rate THEN 1 ELSE 0 END), 0)
-               AS BIGINT) AS n_sampled
-    FROM rates r JOIN documents d ON d.lang = r.lang
-    GROUP BY r.lang, r.n_docs, r.rate
-    """,
-    description="Temperature-balanced multilingual resampling (the "
-    "alpha=0.5 exponentiated-smoothing scheme of XLM-R / mC4): per-lang "
-    "rates q_l ~ p_l^0.5 renormalized to a 50% corpus budget, capped at "
-    "1.0, then applied as a deterministic md5-threshold Bernoulli on "
-    "doc_id (reproducible across engines and runs, unlike seeded "
-    "sample()). Lang stats are a handful of rows — the rate computation "
-    "is driver-scale; the only big-data pass is the one hash-filter "
-    "scan, which is embarrassingly parallel with zero shuffle beyond "
-    "the final per-lang count.",
-)
-def sample_language_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
-    stats = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    # lang cardinality is tiny: the scalar total and sqrt-sum denominators
-    # are one-row aggregates broadcast back (window-free, stays parallel)
-    total = stats.agg(F.sum("n_docs").alias("total"))
-    with_p = stats.join(F.broadcast(total)).withColumn(
-        "sq", F.sqrt(F.col("n_docs").cast("double") / F.col("total"))
-    )
-    sqsum = with_p.agg(F.sum("sq").alias("sqsum"))
-    rates = with_p.join(F.broadcast(sqsum)).select(
-        "lang",
-        "n_docs",
-        F.least(
-            F.lit(1.0),
-            (F.col("sq") / F.col("sqsum")) * 0.5 * F.col("total") / F.col("n_docs"),
-        ).alias("rate"),
-    )
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(281474976710656.0)
-    )
-    return (
-        docs.join(F.broadcast(rates), "lang")
-        .groupBy("lang", "n_docs", "rate")
-        .agg(F.coalesce(F.sum(F.when(u < F.col("rate"), 1).otherwise(0)), F.lit(0)).alias("n_sampled"))
-        .select("lang", "n_docs", F.round("rate", 6).alias("sample_rate"), "n_sampled")
-    )
-
-
-# ------------------------------------------------- bigram LM scoring
-@register(
-    "text_bigram_lm_score",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
-    bi AS (
-        SELECT doc_id, tl[i] AS w1, tl[i + 1] AS w2
-        FROM toks, UNNEST(range(1, len(tl))) AS u(i)
-        WHERE len(tl) >= 2
-    ),
-    uni AS (
-        SELECT t.tok AS w, COUNT(*) AS un
-        FROM toks, UNNEST(tl) AS t(tok) GROUP BY t.tok
-    ),
-    vocab AS (SELECT COUNT(*) AS v FROM uni),
-    bn AS (SELECT w1, w2, COUNT(*) AS bn FROM bi GROUP BY w1, w2)
-    SELECT bi.doc_id,
-           COUNT(*) AS n_bigrams,
-           ROUND(AVG(log2(CAST(bn.bn + 1 AS DOUBLE) / (uni.un + vocab.v))), 4)
-               AS avg_log2_prob
-    FROM bi
-    JOIN bn ON bn.w1 = bi.w1 AND bn.w2 = bi.w2
-    JOIN uni ON uni.w = bi.w1
-    CROSS JOIN vocab
-    GROUP BY bi.doc_id
-    """,
-    description="Bigram language-model document scoring (the KenLM-style "
-    "perplexity filter of CCNet/Gopher, self-trained on the corpus): "
-    "add-one-smoothed P(w2|w1) = (B+1)/(U+V) from corpus bigram/unigram "
-    "counts, each doc scored by its mean log2 probability. Counts build "
-    "with map-side combine; the per-doc score is two hash joins against "
-    "the (much smaller) vocabulary aggregates plus a broadcast scalar "
-    "|V|. Sub-4-decimal rounding keeps the cross-engine float sum "
-    "order-insensitive.",
-)
-def text_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ", -1).alias("tl"))
-    bi = toks.filter(F.size("tl") >= 2).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tl) - 1), "
-                "i -> struct(element_at(tl, i) AS w1, element_at(tl, i + 1) AS w2))"
-            )
-        ).alias("p"),
-    ).select("doc_id", "p.w1", "p.w2")
-    uni = (
-        toks.select(F.explode("tl").alias("w"))
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("un"))
-    )
-    vocab = uni.agg(F.count(F.lit(1)).alias("v"))
-    bn = bi.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("bn"))
-    return (
-        bi.join(bn, ["w1", "w2"])
-        .join(uni, uni.w == bi.w1)
-        .join(F.broadcast(vocab))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    F.log2((F.col("bn") + 1).cast("double") / (F.col("un") + F.col("v")))
-                ),
-                4,
-            ).alias("avg_log2_prob"),
-        )
-    )
-
-
-# --------------------------------------------------- ANN quality eval
-def _cos_sql(a: str, b: str) -> str:
-    return f"""
-             list_sum(list_transform(list_zip({a}, {b}),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform({a},
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform({b},
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-    """
-
-
-def _recall_oracle() -> str:
-    return f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding,
-               {_bucket_sql()} AS bucket
-        FROM embeddings
-    ),
-    q AS (
-        SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
-        FROM bucketed WHERE vec_id < 10
-    ),
-    exact5 AS (
-        SELECT qid, vec_id FROM (
-            SELECT q.qid, e.vec_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.qid
-                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
-                                e.vec_id) AS rn
-            FROM embeddings e, q WHERE e.vec_id <> q.qid
-        ) WHERE rn <= 5
-    ),
-    lsh5 AS (
-        SELECT qid, vec_id FROM (
-            SELECT q.qid, b.vec_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.qid
-                       ORDER BY ROUND({_cos_sql("b.embedding", "q.qv")}, 6) DESC,
-                                b.vec_id) AS rn
-            FROM bucketed b JOIN q
-              ON b.bucket = q.qbucket AND b.vec_id <> q.qid
-        ) WHERE rn <= 5
-    ),
-    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
-    agg_l AS (SELECT qid, COUNT(*) AS n_lsh FROM lsh5 GROUP BY qid),
-    agg_o AS (
-        SELECT e.qid, COUNT(*) AS n_overlap
-        FROM exact5 e JOIN lsh5 l ON l.qid = e.qid AND l.vec_id = e.vec_id
-        GROUP BY e.qid
-    )
-    SELECT a.qid AS query_id, a.n_exact,
-           COALESCE(b.n_lsh, 0) AS n_lsh,
-           COALESCE(c.n_overlap, 0) AS n_overlap,
-           ROUND(CAST(COALESCE(c.n_overlap, 0) AS DOUBLE) / 5, 2) AS recall_at_5
-    FROM agg_e a
-    LEFT JOIN agg_l b ON b.qid = a.qid
-    LEFT JOIN agg_o c ON c.qid = a.qid
-    """
-
-
-@register(
-    "similarity_recall_lsh_at5",
-    oracle=_recall_oracle(),
-    description="ANN quality harness: recall@5 of the 8-plane sign-LSH "
-    "index against exact brute-force cosine, evaluated over a 10-query "
-    "panel in one shot. The query panel broadcasts (rows, not a "
-    "collect-loop); exact scoring is a broadcast nested-loop against "
-    "the 10-row side, LSH scoring probes only same-bucket candidates; "
-    "both re-rank on the ROUNDED score with id tiebreak so the top-5 "
-    "sets are engine-deterministic. This is the measurement loop you "
-    "run before trusting an ANN index at 100 TB — recall ~1.0 on "
-    "identical-distribution panels, degrading as planes get too few "
-    "for the corpus density.",
-)
-def similarity_recall_lsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bucket")
-    )
-    q = b.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.col("bucket").alias("qbucket"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
-    exact5 = (
-        emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
-    lsh5 = (
-        b.join(
-            F.broadcast(q),
-            (b.bucket == q.qbucket) & (b.vec_id != q.qid),
-        )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
-    agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
-    agg_l = lsh5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_lsh"))
-    agg_o = (
-        exact5.join(lsh5, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return (
-        agg_e.join(agg_l, "qid", "left")
-        .join(agg_o, "qid", "left")
-        .select(
-            F.col("qid").alias("query_id"),
-            "n_exact",
-            F.coalesce("n_lsh", F.lit(0)).alias("n_lsh"),
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.round(F.coalesce("n_overlap", F.lit(0)).cast("double") / 5, 2).alias(
-                "recall_at_5"
-            ),
-        )
-    )
-
-
-# ------------------------------------------------ per-group reservoir
-@register(
-    "sample_reservoir_per_lang",
-    oracle="""
-    SELECT lang, doc_id FROM (
-        SELECT lang, doc_id,
-               ROW_NUMBER() OVER (
-                   PARTITION BY lang
-                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
-        FROM documents
-    ) WHERE rn <= 20
-    """,
-    description="Deterministic k=20 per-language reservoir: rank by the "
-    "md5 of the id inside each lang partition and keep the first 20. "
-    "Equivalent in distribution to uniform reservoir sampling but "
-    "reproducible across engines, runs, and partitionings (a seeded "
-    "sample() is none of those). The window partitions by lang, so "
-    "parallelism follows group count; no global sort exists.",
-)
-def sample_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("lang", "doc_id")
-    w = Window.partitionBy("lang").orderBy(
-        F.md5(F.col("doc_id").cast("string")), F.col("doc_id")
-    )
-    return (
-        docs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .select("lang", "doc_id")
-    )
-
-
-# ------------------------------------------------------- graph: PageRank
-def _pagerank_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    step = """
-    r{next} AS (
-        SELECT n.id,
-               0.15 / nn.n + 0.85 * COALESCE(SUM(r{prev}.pr / deg.d), 0) AS pr
-        FROM nodes n CROSS JOIN nn
-        LEFT JOIN ed ON ed.dst = n.id
-        LEFT JOIN r{prev} ON r{prev}.id = ed.src
-        LEFT JOIN deg ON deg.src = ed.src
-        GROUP BY n.id, nn.n
-    )"""
-    iters = ",".join(step.format(next=i + 1, prev=i) for i in range(3))
-    return f"""
-    WITH {ctes},
-    pairs AS ({final}),
-    ed AS (
-        SELECT id_a AS src, id_b AS dst FROM pairs
-        UNION ALL
-        SELECT id_b AS src, id_a AS dst FROM pairs
-    ),
-    nodes AS (SELECT DISTINCT src AS id FROM ed),
-    nn AS (SELECT COUNT(*) AS n FROM nodes),
-    deg AS (SELECT src, COUNT(*) AS d FROM ed GROUP BY src),
-    r0 AS (SELECT id, 1.0 / nn.n AS pr FROM nodes CROSS JOIN nn),
-    {iters}
-    SELECT id AS doc_id, ROUND(pr, 6) AS pagerank FROM r3
-    """
-
-
-@register(
-    "graph_pagerank_neardup",
-    oracle=_pagerank_oracle(),
-    description="Three synchronous PageRank iterations (d=0.85) over the "
-    "undirected MinHash-LSH near-dup graph: contribution = join(edges, "
-    "ranks) / out-degree, new rank = teleport + damped sum — each "
-    "iteration is one equi-join + one hash agg, the canonical "
-    "iterative-graph pattern on a relational engine (every node in the "
-    "edge set has degree >= 1, so no dangling-mass term). The oracle "
-    "unrolls all three iterations as CTEs on top of the full LSH "
-    "pipeline. At 100 TB-scale graphs you checkpoint ranks every few "
-    "iterations to cut the lineage chain; noted here because 3 "
-    "iterations compose lazily without it.",
-)
-def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
-    ed = pairs.select(
-        F.col("id_a").alias("src"), F.col("id_b").alias("dst")
-    ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    ed = ed.persist()
-    nodes = ed.select(F.col("src").alias("id")).distinct().persist()
-    n = nodes.count()
-    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    ranks = nodes.select("id", (F.lit(1.0) / n).alias("pr"))
-    for _ in range(3):
-        contrib = (
-            ed.join(ranks, ranks.id == ed.src)
-            .join(deg, "src")
-            .select("dst", (F.col("pr") / F.col("d")).alias("c"))
-            .groupBy("dst")
-            .agg(F.sum("c").alias("s"))
-        )
-        ranks = nodes.join(contrib, nodes.id == F.col("dst"), "left").select(
-            "id", (0.15 / n + 0.85 * F.coalesce("s", F.lit(0.0))).alias("pr")
-        )
-    return ranks.select(F.col("id").alias("doc_id"), F.round("pr", 6).alias("pagerank"))
-
-
-# ---------------------------------------- grouped scientific compute
-@register(
-    "embedding_label_pca",
-    oracle=None,
-    description="Per-label PCA condition scan via applyInPandas: each "
-    "label group's covariance spectrum (numpy eigh on the 64x64 Gram "
-    "matrix) yields the top-eigenvalue share — a collapse/anisotropy "
-    "monitor for embedding spaces. The Arrow-batched grouped-map is "
-    "the designed Python surface (one group per task, 64^2 floats of "
-    "state regardless of group row count: the O(n) work is the Gram "
-    "accumulation, which pandas does vectorized). Rows-only check: "
-    "eigensolver float details are platform-dependent, so no SQL "
-    "oracle — the engine-side test asserts spectral invariants "
-    "(ratios in [1/64, 1], eigenvalue sum equals total variance).",
-)
-def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import pandas as pd
-
-    emb = table(spark, sf_dir, "embeddings").select("label", "embedding")
-
-    def pca_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        import numpy as np
-
-        mat = np.stack(pdf["embedding"].to_numpy())
-        centered = mat - mat.mean(axis=0, keepdims=True)
-        cov = centered.T @ centered / max(len(mat) - 1, 1)
-        evals = np.linalg.eigvalsh(cov)
-        total = float(evals.sum())
-        top = float(evals[-1])
-        return pd.DataFrame(
-            {
-                "label": [int(pdf["label"].iloc[0])],
-                "n_vecs": [len(mat)],
-                "top_var_ratio": [round(top / total, 4) if total > 0 else 0.0],
-                "total_variance": [round(total, 4)],
-            }
-        )
-
-    return emb.groupBy("label").applyInPandas(
-        pca_group,
-        "label int, n_vecs bigint, top_var_ratio double, total_variance double",
-    )
-
-
-# -------------------------------------------------- BPE pair counts
-@register(
-    "text_bpe_pair_counts",
-    oracle="""
-    WITH words AS (
-        SELECT t.tok AS w, COUNT(*) AS freq
-        FROM (SELECT string_split(text, ' ') AS tl FROM documents),
-             UNNEST(tl) AS t(tok)
-        WHERE t.tok <> ''
-        GROUP BY t.tok
-    ),
-    pairs AS (
-        SELECT substr(w, i, 2) AS pair, CAST(SUM(freq) AS BIGINT) AS n
-        FROM words, UNNEST(range(1, length(w))) AS u(i)
-        WHERE length(w) >= 2
-        GROUP BY substr(w, i, 2)
-    )
-    SELECT pair, n FROM (
-        SELECT pair, n, ROW_NUMBER() OVER (ORDER BY n DESC, pair) AS rn
-        FROM pairs
-    ) WHERE rn <= 15
-    """,
-    description="The BPE merge-selection primitive: corpus-weighted "
-    "adjacent character-pair frequencies (a tokenizer-training step, "
-    "computed over the word-frequency table rather than raw text — the "
-    "standard factorization that turns an O(corpus chars) pass into "
-    "O(vocab chars) after one word-count agg). Character semantics, "
-    "not bytes, on both engines, so the CJK/Cyrillic fixture docs "
-    "count correctly. Top-15 by count with pair tiebreak.",
-)
-def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
-    pairs = (
-        words.filter(F.length("w") >= 2)
-        .select(
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"
-                )
-            ).alias("pair"),
-            "freq",
-        )
-        .groupBy("pair")
-        .agg(F.sum("freq").alias("n"))
-    )
-    w = Window.orderBy(F.col("n").desc(), F.col("pair"))
-    return (
-        pairs.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 15)
-        .select("pair", "n")
-    )
-
-
-# -------------------------------------------------- BPE merge rounds
-_BPE_SEP = "\x1f"  # unit separator: absent from document text
-_BPE_ROUNDS = 6
-
-
-def _bpe_oracle(n_rounds: int) -> str:
-    """Unrolled-CTE oracle for the iterative BPE merge loop (the
-    kmeans_embeddings_lloyd pattern): each round counts symbol pairs over
-    the word-frequency table, picks the top pair (count desc, then left/
-    right symbol), and applies the merge via the double-separator string
-    encoding — ``replace(s, SEP a SEP SEP b SEP, SEP ab SEP)`` is exactly
-    the greedy left-to-right non-overlapping BPE merge, because the
-    interior ``SEP SEP`` delimiter donates one SEP to each of two
-    adjacent matches while symbol-boundary SEPs make partial-symbol
-    matches impossible."""
-    sep = "chr(31)"
-    sep2 = f"{sep}||{sep}"
-    ctes = [
-        f"""w0 AS (
-        SELECT {sep} || array_to_string(string_split(t.tok, ''), {sep2})
-                 || {sep} AS s,
-               COUNT(*) AS freq
-        FROM (SELECT string_split(text, ' ') AS tl FROM documents),
-             UNNEST(tl) AS t(tok)
-        WHERE t.tok <> ''
-        GROUP BY t.tok
-    )"""
-    ]
-    for k in range(1, n_rounds + 1):
-        ctes.append(f"""p{k} AS (
-        SELECT l[i] AS a, l[i+1] AS b, SUM(freq) AS n
-        FROM (SELECT string_split(trim(s, chr(31)), {sep2}) AS l, freq
-              FROM w{k - 1}),
-             UNNEST(range(1, len(l))) AS u(i)
-        WHERE len(l) >= 2
-        GROUP BY 1, 2
-    )""")
-        ctes.append(
-            f"b{k} AS (SELECT a, b, CAST(n AS BIGINT) AS n FROM p{k} "
-            "ORDER BY n DESC, a, b LIMIT 1)"
-        )
-        ctes.append(f"""w{k} AS (
-        SELECT replace(w.s, {sep}||b.a||{sep2}||b.b||{sep},
-                       {sep}||b.a||b.b||{sep}) AS s, w.freq
-        FROM w{k - 1} w CROSS JOIN b{k} b
-    )""")
-    selects = "\n    UNION ALL ".join(
-        f"SELECT CAST({k} AS INTEGER) AS merge_round, a AS left_sym, "
-        f"b AS right_sym, n AS pair_freq FROM b{k}"
-        for k in range(1, n_rounds + 1)
-    )
-    return (
-        "WITH " + ",\n    ".join(ctes)
-        + f"\n    SELECT * FROM ({selects}) ORDER BY merge_round"
-    )
-
-
-def _bpe_encode_col(w) -> "F.Column":
-    """Word -> double-separator symbol-string encoding."""
-    sep, sep2 = _BPE_SEP, _BPE_SEP + _BPE_SEP
-    return F.concat(
-        F.lit(sep), F.array_join(F.split(w, ""), sep2), F.lit(sep)
-    )
-
-
-def _bpe_learn(
-    spark: SparkSession, sf_dir: str, n_rounds: int
-) -> list[tuple[int, str, str, int]]:
-    """Run ``n_rounds`` of BPE merge learning over the corpus-wide word-
-    frequency table; returns [(round, left, right, pair_freq)]."""
-    sep, sep2 = _BPE_SEP, _BPE_SEP + _BPE_SEP
-    docs = table(spark, sf_dir, "documents")
-    words = (
-        docs.select(F.explode(F.split("text", " ", -1)).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(_bpe_encode_col(F.col("w")).alias("s"), "freq")
-        .localCheckpoint()
-    )
-    merges: list[tuple[int, str, str, int]] = []
-    for k in range(1, n_rounds + 1):
-        pairs = (
-            words.withColumn(
-                "l", F.split(F.expr("substring(s, 2, length(s) - 2)"), sep2)
-            )
-            .filter(F.size("l") >= 2)
-            .select(
-                F.explode(
-                    F.expr(
-                        "transform(sequence(1, size(l) - 1), "
-                        "i -> struct(l[i-1] AS a, l[i] AS b))"
-                    )
-                ).alias("p"),
-                "freq",
-            )
-            .groupBy("p.a", "p.b")
-            .agg(F.sum("freq").alias("n"))
-        )
-        # top-1 merge selection: a 1-row collect (metadata scale), same
-        # convergence-scalar pattern as the k-means / pagerank loops
-        best = pairs.orderBy(F.col("n").desc(), "a", "b").first()
-        if best is None:  # pragma: no cover - corpus of 1-char words
-            break
-        merges.append((k, best.a, best.b, int(best.n)))
-        # localCheckpoint: each round's replace materializes, keeping the
-        # per-round plan constant-depth instead of stacking k replaces
-        words = words.withColumn(
-            "s",
-            F.replace(
-                F.col("s"),
-                F.lit(sep + best.a + sep2 + best.b + sep),
-                F.lit(sep + best.a + best.b + sep),
-            ),
-        ).localCheckpoint()
-    return merges
-
-
-@register(
-    "text_bpe_merge_rounds",
-    oracle=_bpe_oracle(_BPE_ROUNDS),
-    description="An actual BPE tokenizer-training loop, not just one "
-    "round of pair counts: 6 iterative merge rounds over the word-"
-    "frequency table — count adjacent symbol pairs (corpus-weighted), "
-    "merge the argmax pair everywhere, re-count. Words are encoded as "
-    "separator-delimited symbol strings so the merge is ONE map-side "
-    "replace() per round (no re-tokenization scan); per-round cost is "
-    "one vocab-sized groupBy plus a top-1 collect (metadata-scale). The "
-    "oracle unrolls all 6 rounds as CTEs, pinning every intermediate "
-    "argmax and the greedy non-overlapping merge semantics.",
-)
-def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merges = _bpe_learn(spark, sf_dir, _BPE_ROUNDS)
-    return spark.createDataFrame(
-        merges,
-        "merge_round int, left_sym string, right_sym string, pair_freq long",
-    )
-
-
-def _bpe_encode_oracle(n_rounds: int) -> str:
-    """Oracle for the ENCODE side: learn merges corpus-wide (same CTE
-    chain as :func:`_bpe_oracle`), then apply them in learned order to a
-    per-language word-frequency table and aggregate token statistics."""
-    sep = "chr(31)"
-    sep2 = f"{sep}||{sep}"
-    learn = _bpe_oracle(n_rounds)
-    learn_ctes = learn[len("WITH ") : learn.rindex("\n    SELECT")]
-    apply_ctes = [
-        f"""wl0 AS (
-        SELECT lang,
-               {sep} || array_to_string(string_split(t.tok, ''), {sep2})
-                 || {sep} AS s,
-               COUNT(*) AS freq, length(t.tok) AS wchars
-        FROM (SELECT lang, string_split(text, ' ') AS tl FROM documents),
-             UNNEST(tl) AS t(tok)
-        WHERE t.tok <> ''
-        GROUP BY lang, t.tok
-    )"""
-    ]
-    for k in range(1, n_rounds + 1):
-        apply_ctes.append(f"""wl{k} AS (
-        SELECT w.lang,
-               replace(w.s, {sep}||b.a||{sep2}||b.b||{sep},
-                       {sep}||b.a||b.b||{sep}) AS s,
-               w.freq, w.wchars
-        FROM wl{k - 1} w CROSS JOIN b{k} b
-    )""")
-    fertility = dround_sql(
-        "CAST(SUM(freq * ntok) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE)", 6
-    )
-    compression = dround_sql(
-        "CAST(SUM(freq * wchars) AS DOUBLE) / CAST(SUM(freq * ntok) AS DOUBLE)",
-        6,
-    )
-    applied = ",\n    ".join(apply_ctes)
-    return f"""WITH {learn_ctes},
-    {applied},
-    toks AS (
-        SELECT lang, freq, wchars,
-               len(string_split(trim(s, chr(31)), {sep2})) AS ntok
-        FROM wl{n_rounds}
-    )
-    SELECT lang,
-           CAST(SUM(freq) AS BIGINT) AS n_words,
-           CAST(SUM(freq * wchars) AS BIGINT) AS n_chars,
-           CAST(SUM(freq * ntok) AS BIGINT) AS bpe_tokens,
-           {fertility} AS fertility,
-           {compression} AS chars_per_token
-    FROM toks GROUP BY lang ORDER BY lang"""
-
-
-@register(
-    "text_bpe_encode_token_counts",
-    oracle=_bpe_encode_oracle(_BPE_ROUNDS),
-    description="The ENCODE side of the BPE loop: apply the 6 corpus-"
-    "learned merges in order to a per-language word-frequency table "
-    "(each application is one map-side replace — tokenizing the corpus "
-    "costs O(vocab) string work after the one word-count shuffle, never "
-    "a per-document scan per merge) and report per-language token "
-    "counts, fertility (tokens/word) and chars-per-token compression — "
-    "the metrics that decide whether a tokenizer under-serves a "
-    "language. Oracle re-learns the merges in unrolled CTEs and applies "
-    "them to the same per-language table.",
-)
-def text_bpe_encode_token_counts(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    sep, sep2 = _BPE_SEP, _BPE_SEP + _BPE_SEP
-    merges = _bpe_learn(spark, sf_dir, _BPE_ROUNDS)
-    docs = table(spark, sf_dir, "documents")
-    wl = (
-        docs.select(
-            "lang", F.explode(F.split("text", " ", -1)).alias("w")
-        )
-        .filter(F.col("w") != "")
-        .groupBy("lang", "w")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        .select(
-            "lang",
-            _bpe_encode_col(F.col("w")).alias("s"),
-            "freq",
-            F.length("w").alias("wchars"),
-        )
-    )
-    s = F.col("s")
-    for _, a, b, _n in merges:
-        s = F.replace(s, F.lit(sep + a + sep2 + b + sep), F.lit(sep + a + b + sep))
-    toks = (
-        wl.withColumn("s2", s)
-        .withColumn(
-            "ntok",
-            F.size(
-                F.split(F.expr("substring(s2, 2, length(s2) - 2)"), sep2)
-            ),
-        )
-    )
-    return (
-        toks.groupBy("lang")
-        .agg(
-            F.sum("freq").alias("n_words"),
-            F.sum(F.col("freq") * F.col("wchars")).alias("n_chars"),
-            F.sum(F.col("freq") * F.col("ntok")).alias("bpe_tokens"),
-            dround(
-                F.sum(F.col("freq") * F.col("ntok")).cast("double")
-                / F.sum("freq").cast("double"),
-                6,
-            ).alias("fertility"),
-            dround(
-                F.sum(F.col("freq") * F.col("wchars")).cast("double")
-                / F.sum(F.col("freq") * F.col("ntok")).cast("double"),
-                6,
-            ).alias("chars_per_token"),
-        )
-        .orderBy("lang")
-    )
-
-
-# --------------------------------------- composite curation pipeline
-_SCORE_SQL = """
-    ROUND(0.4 * least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100)
-        + 0.3 * (1.0 - CASE WHEN length(text) > 0
-              THEN CAST(length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS DOUBLE) / length(text)
-              ELSE 0.0 END)
-        + 0.3 * least(1.0, 4.0 * CASE WHEN len(string_split(text, ' ')) > 0
-              THEN CAST(len(list_filter(string_split(lower(text), ' '),
-                   x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-                   / len(string_split(text, ' '))
-              ELSE 0.0 END), 6)
-"""
-
-
-@register(
-    "pipeline_llm_corpus_curation",
-    oracle=f"""
-    WITH scored AS (
-        SELECT doc_id, lang, text, {_SCORE_SQL} AS q FROM documents
-    ),
-    kept AS (SELECT * FROM scored WHERE q >= 0.5),
-    surv AS (
-        SELECT MIN(doc_id) AS doc_id FROM kept
-        GROUP BY md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
-    ),
-    uniq AS (SELECT k.* FROM kept k JOIN surv s ON s.doc_id = k.doc_id),
-    raw AS (SELECT lang, COUNT(*) AS n_raw FROM documents GROUP BY lang),
-    nq AS (SELECT lang, COUNT(*) AS n_quality FROM kept GROUP BY lang),
-    nu AS (
-        SELECT lang, COUNT(*) AS n_unique,
-               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS tokens_kept
-        FROM uniq GROUP BY lang
-    )
-    SELECT raw.lang, raw.n_raw,
-           COALESCE(nq.n_quality, 0) AS n_quality,
-           COALESCE(nu.n_unique, 0) AS n_unique,
-           COALESCE(nu.tokens_kept, 0) AS tokens_kept
-    FROM raw
-    LEFT JOIN nq ON nq.lang = raw.lang
-    LEFT JOIN nu ON nu.lang = raw.lang
-    """,
-    description="The composite LLM-corpus curation funnel — quality "
-    "filter (heuristic score >= 0.5) then exact near-normalized dedup "
-    "(min-id survivor per whitespace-normalized md5 fingerprint) — "
-    "reported as a per-language attrition funnel (raw -> quality -> "
-    "unique) with surviving token mass. This is the operator "
-    "COMPOSITION story: each stage is the already-tested primitive "
-    "(quality_score_cols, fingerprint, exact-dedup groupBy) chained "
-    "lazily so Catalyst fuses the scan; only the dedup groupBy and the "
-    "per-lang rollup shuffle. At 100 TB insert the MinHash stage "
-    "between them — same shape, one more keyed agg.",
-)
-def pipeline_llm_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    scored = docs.select(
-        "doc_id",
-        "lang",
-        "text",
-        TX.quality_score_cols(F.col("text"))["quality_score"].alias("q"),
-    )
-    kept = scored.filter(F.col("q") >= 0.5)
-    surv = (
-        kept.groupBy(TX.fingerprint(F.col("text")).alias("fp"))
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
-    uniq = kept.join(surv, "doc_id", "left_semi")
-    raw = docs.groupBy("lang").agg(F.count(F.lit(1)).alias("n_raw"))
-    nq = kept.groupBy("lang").agg(F.count(F.lit(1)).alias("n_quality"))
-    nu = uniq.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_unique"),
-        F.sum(F.size(F.split("text", " ", -1))).cast("bigint").alias("tokens_kept"),
-    )
-    return (
-        raw.join(nq, "lang", "left")
-        .join(nu, "lang", "left")
-        .select(
-            "lang",
-            "n_raw",
-            F.coalesce("n_quality", F.lit(0)).alias("n_quality"),
-            F.coalesce("n_unique", F.lit(0)).alias("n_unique"),
-            F.coalesce("tokens_kept", F.lit(0)).alias("tokens_kept"),
-        )
-    )
-
-
-# ------------------------------------------------ train/test split
-@register(
-    "sample_train_test_split",
-    oracle="""
-    WITH split AS (
-        SELECT label,
-               CASE WHEN CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 12)) AS BIGINT)
-                         / 281474976710656.0 < 0.8
-                    THEN 'train' ELSE 'test' END AS split
-        FROM embeddings
-    ),
-    per AS (SELECT split, label, COUNT(*) AS n FROM split GROUP BY split, label),
-    tot AS (SELECT split, SUM(n) AS nt FROM per GROUP BY split)
-    SELECT per.split, per.label, per.n,
-           ROUND(CAST(per.n AS DOUBLE) / tot.nt, 6) AS frac_within_split
-    FROM per JOIN tot ON tot.split = per.split
-    """,
-    description="Deterministic 80/20 train/test split by id-hash "
-    "threshold with per-split class-balance audit: the md5 split is "
-    "stable across engines, runs, partitionings, AND dataset growth "
-    "(a row's split never changes when new rows arrive — the property "
-    "randomSplit() lacks, and the one that matters for 100 TB "
-    "incremental corpora where yesterday's test row must not leak "
-    "into today's train set).",
-)
-def sample_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    u = (
-        F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 12), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(281474976710656.0)
-    )
-    split = emb.select(
-        "label", F.when(u < 0.8, "train").otherwise("test").alias("split")
-    )
-    per = split.groupBy("split", "label").agg(F.count(F.lit(1)).alias("n"))
-    tot = per.groupBy("split").agg(F.sum("n").alias("nt"))
-    return per.join(F.broadcast(tot), "split").select(
-        "split",
-        "label",
-        "n",
-        F.round(F.col("n").cast("double") / F.col("nt"), 6).alias("frac_within_split"),
-    )
-
-
-# ---------------------------------------------- sequence packing
-@register(
-    "pipeline_sequence_packing",
-    oracle="""
-    WITH toks AS (
-        SELECT lang, doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
-        FROM documents
-    ),
-    packed AS (
-        SELECT lang, doc_id, n_tokens,
-               CAST(FLOOR((SUM(n_tokens) OVER (
-                   PARTITION BY lang ORDER BY doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) - 1) / 2048) AS BIGINT) AS bin_id
-        FROM toks
-    )
-    SELECT lang, bin_id,
-           COUNT(*) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS tokens,
-           ROUND(LEAST(SUM(n_tokens), 2048) / 2048.0, 6) AS fill_ratio
-    FROM packed
-    GROUP BY lang, bin_id
-    """,
-    description="Sequential sequence-packing for pretraining batches: "
-    "docs are packed in stable doc_id order into 2048-token context "
-    "bins via a running-sum window, PER SHARD (lang) — the per-shard "
-    "partitioning is what makes packing distributable at 100 TB (a "
-    "global greedy pack would serialize the corpus through one "
-    "partition; per-shard packing keys the window on the shard and "
-    "scales with shard count). Bin id = floor((cumsum-1)/capacity), "
-    "so a doc straddling a boundary starts its own bin — the simple "
-    "deterministic variant of first-fit used by most LLM data loaders.",
-)
-def pipeline_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "lang",
-        "doc_id",
-        F.size(F.split("text", " ", -1)).cast("bigint").alias("n_tokens"),
-    )
-    w = (
-        Window.partitionBy("lang")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    packed = toks.withColumn(
-        "bin_id", F.floor((F.sum("n_tokens").over(w) - 1) / 2048).cast("bigint")
-    )
-    return packed.groupBy("lang", "bin_id").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("tokens"),
-        F.round(F.least(F.sum("n_tokens"), F.lit(2048)) / 2048.0, 6).alias(
-            "fill_ratio"
-        ),
-    )
-
-
-# ------------------------------------------- decontamination
-@register(
-    "pipeline_decontaminate_train",
-    oracle="""
-    WITH eval_docs AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 37 = 0
-    ),
-    train_docs AS (
-        SELECT doc_id, text FROM documents WHERE doc_id % 37 <> 0
-    ),
-    eval_spans AS (
-        SELECT DISTINCT
-               CAST(('0x' || substr(md5(array_to_string(tl[i:i+7], chr(31))), 1, 12)) AS BIGINT) AS h
-        FROM (SELECT string_split(text, ' ') AS tl FROM eval_docs),
-             UNNEST(range(1, len(tl) - 7 + 1)) AS u(i)
-        WHERE len(tl) >= 8
-    ),
-    train_spans AS (
-        SELECT doc_id,
-               CAST(('0x' || substr(md5(array_to_string(tl[i:i+7], chr(31))), 1, 12)) AS BIGINT) AS h
-        FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM train_docs),
-             UNNEST(range(1, len(tl) - 7 + 1)) AS u(i)
-        WHERE len(tl) >= 8
-    ),
-    contaminated AS (
-        SELECT DISTINCT t.doc_id
-        FROM train_spans t JOIN eval_spans e ON e.h = t.h
-    )
-    SELECT (SELECT COUNT(*) FROM train_docs) AS n_train,
-           (SELECT COUNT(*) FROM eval_docs) AS n_eval,
-           (SELECT COUNT(*) FROM contaminated) AS n_contaminated,
-           ROUND(CAST((SELECT COUNT(*) FROM contaminated) AS DOUBLE)
-                 / (SELECT COUNT(*) FROM train_docs), 6) AS contamination_rate
-    """,
-    description="Benchmark decontamination (the n-gram overlap scrub "
-    "every serious pretraining pipeline runs before training): train "
-    "docs sharing any 8-token span hash with the held-out eval slice "
-    "are flagged. The eval span set is the SMALL side — at 100 TB it "
-    "broadcasts (benchmarks are MBs) and the train scan never "
-    "shuffles its spans at all; here both sides are expressed as the "
-    "general semi-join so the same plan covers eval sets too big to "
-    "broadcast. Returns the audit scalar row (counts + rate).",
-)
-def pipeline_decontaminate_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    is_eval = F.col("doc_id") % 37 == 0
-    span_expr = F.expr(
-        "transform(sequence(1, size(tl) - 7), "
-        "i -> concat_ws(chr(31), slice(tl, i, 8)))"
-    )
-
-    def spans(df: DataFrame) -> DataFrame:
-        return (
-            df.select("doc_id", F.split("text", " ", -1).alias("tl"))
-            .filter(F.size("tl") >= 8)
-            .select("doc_id", F.explode(span_expr).alias("span"))
-            .select("doc_id", D.token_hash48(F.col("span")).alias("h"))
-        )
-
-    eval_spans = spans(docs.filter(is_eval)).select("h").distinct()
-    train_spans = spans(docs.filter(~is_eval))
-    contaminated = (
-        train_spans.join(F.broadcast(eval_spans), "h", "left_semi")
-        .select("doc_id")
-        .distinct()
-    )
-    # one fully-lazy plan: three one-row aggregates broadcast-cross-joined
-    # (no driver-side .count() actions — the audit row is itself a query)
-    nt = docs.filter(~is_eval).agg(F.count(F.lit(1)).alias("n_train"))
-    ne = docs.filter(is_eval).agg(F.count(F.lit(1)).alias("n_eval"))
-    nc = contaminated.agg(F.count(F.lit(1)).alias("n_contaminated"))
-    return (
-        nt.join(F.broadcast(ne))
-        .join(F.broadcast(nc))
-        .select(
-            "n_train",
-            "n_eval",
-            "n_contaminated",
-            F.round(
-                F.col("n_contaminated").cast("double") / F.col("n_train"), 6
-            ).alias("contamination_rate"),
-        )
-    )
-
-
-# ------------------------------------------- within-doc repetition
-@register(
-    "text_repetition_ratio",
-    oracle="""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
-    grams AS (
-        SELECT doc_id,
-               len(tl) - 2 AS n_grams,
-               len(list_distinct(list_transform(range(1, len(tl) - 2 + 1),
-                   i -> array_to_string(tl[i:i+2], chr(31))))) AS n_distinct
-        FROM toks WHERE len(tl) >= 3
-    )
-    SELECT doc_id, n_grams, n_distinct,
-           ROUND(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS repetition_ratio
-    FROM grams
-    """,
-    description="Within-document repetition ratio (the Gopher/MassiveText "
-    "duplicate-3-gram quality signal): 1 - distinct/total positional "
-    "3-grams, computed ENTIRELY inside the array column (transform + "
-    "array_distinct, zero explode, zero shuffle) — each doc's signal "
-    "is one narrow projection; boilerplate-heavy and looping docs "
-    "score high and get filtered before training.",
-)
-def text_repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ", -1).alias("tl"))
-    grams = toks.filter(F.size("tl") >= 3).select(
-        "doc_id",
-        (F.size("tl") - 2).alias("n_grams"),
-        F.size(
-            F.array_distinct(
-                F.expr(
-                    "transform(sequence(1, size(tl) - 2), "
-                    "i -> concat_ws(chr(31), slice(tl, i, 3)))"
-                )
-            )
-        ).alias("n_distinct"),
-    )
-    return grams.select(
-        "doc_id",
-        "n_grams",
-        "n_distinct",
-        F.round(1.0 - F.col("n_distinct").cast("double") / F.col("n_grams"), 6).alias(
-            "repetition_ratio"
-        ),
-    )
-
-
-# ---------------------------------------- matryoshka truncation audit
-@register(
-    "embedding_matryoshka_fidelity",
-    oracle="""
-    WITH pair AS (
-        SELECT label,
-               list_sum(list_transform(list_zip(embedding[1:16], embedding[1:16]),
-                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS t_dot,
-               list_sum(list_transform(embedding,
-                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS full_sq
-        FROM embeddings
-    )
-    SELECT label,
-           COUNT(*) AS n_vecs,
-           ROUND(AVG(sqrt(t_dot) / sqrt(full_sq)), 6) AS avg_truncation_cosine,
-           ROUND(MIN(sqrt(t_dot) / sqrt(full_sq)), 6) AS min_truncation_cosine
-    FROM pair GROUP BY label
-    """,
-    description="Matryoshka-truncation fidelity audit: cosine between "
-    "each full 64-d vector and its first-16-dims truncation reduces "
-    "algebraically to ||head|| / ||full|| (the truncated dims "
-    "contribute zero to the dot product), so the whole audit is one "
-    "narrow array-slice projection + a per-label agg — zero shuffle "
-    "beyond the 10-row rollup. The go/no-go measurement before "
-    "serving MRL-style truncated embeddings at a fraction of the "
-    "index cost: avg near 1 means the head dims carry the geometry.",
-)
-def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    head = F.slice(F.col("embedding"), 1, 16)
-    t_dot = F.aggregate(
-        head, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
-    )
-    full_sq = F.aggregate(
-        F.col("embedding"),
-        F.lit(0.0),
-        lambda acc, v: acc + v.cast("double") * v.cast("double"),
-    )
-    ratio = F.sqrt(t_dot) / F.sqrt(full_sq)
-    return (
-        emb.select("label", ratio.alias("r"))
-        .groupBy("label")
-        .agg(
-            F.count(F.lit(1)).alias("n_vecs"),
-            F.round(F.avg("r"), 6).alias("avg_truncation_cosine"),
-            F.round(F.min("r"), 6).alias("min_truncation_cosine"),
-        )
-    )
-
-
-# --------------------------------------- canonical survivor selection
-@register(
-    "dedup_canonical_selection",
-    oracle="WITH "
-    + _DOCS_DUPS_SQL.format(mod=10)
-    + f""",
-    scored AS (
-        SELECT doc_id, text,
-               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp,
-               {_SCORE_SQL} AS q
-        FROM docs
-    )
-    SELECT fp,
-           COUNT(*) AS n_members,
-           MIN(doc_id) FILTER (WHERE rn = 1) AS canonical_doc_id,
-           ROUND(MAX(q), 6) AS best_quality
-    FROM (
-        SELECT *, ROW_NUMBER() OVER (
-            PARTITION BY fp ORDER BY q DESC, doc_id) AS rn
-        FROM scored
-    )
-    GROUP BY fp
-    HAVING COUNT(*) >= 2
-    """,
-    description="Canonical-survivor dedup: within each exact-fingerprint "
-    "duplicate group keep the HIGHEST-QUALITY member (quality-desc, "
-    "id tiebreak), not the arbitrary or first one — the policy real "
-    "corpus pipelines want when mirrors differ in OCR/boilerplate "
-    "damage. One fingerprint-keyed window; reporting only groups with "
-    ">= 2 members keeps the output the exception list, not the corpus.",
-)
-def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_with_dups(spark, sf_dir, 10)
-    scored = docs.select(
-        "doc_id",
-        TX.fingerprint(F.col("text")).alias("fp"),
-        TX.quality_score_cols(F.col("text"))["quality_score"].alias("q"),
-    )
-    w = Window.partitionBy("fp").orderBy(F.col("q").desc(), F.col("doc_id"))
-    ranked = scored.withColumn("rn", F.row_number().over(w))
-    return (
-        ranked.groupBy("fp")
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.min(F.when(F.col("rn") == 1, F.col("doc_id"))).alias(
-                "canonical_doc_id"
-            ),
-            F.round(F.max("q"), 6).alias("best_quality"),
-        )
-        .filter(F.col("n_members") >= 2)
-    )
-
-
-# -------------------------------------- multi-signal dedup fusion
-def _multisignal_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    cos = """
-             list_sum(list_transform(list_zip(ea.embedding, eb.embedding),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(ea.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(eb.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-    """
-    return f"""
-    WITH {ctes},
-    text_pairs AS ({final}),
-    emb_aug AS (
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id % 20 = 0
-    )
-    SELECT p.id_a, p.id_b, p.jaccard,
-           ROUND({cos}, 6) AS cosine,
-           p.jaccard >= 0.5 AND {cos} >= 0.95 AS confirmed
-    FROM text_pairs p
-    JOIN emb_aug ea ON ea.vec_id = p.id_a
-    JOIN emb_aug eb ON eb.vec_id = p.id_b
-    """
-
-
-@register(
-    "dedup_multisignal_pairs",
-    oracle=_multisignal_oracle(),
-    description="Multi-signal dedup fusion: the cheap signal (MinHash-LSH "
-    "text pairs) PROPOSES, the expensive signal (embedding cosine) "
-    "VERIFIES — candidates carry both scores and a confirmed flag "
-    "(J >= 0.5 AND cos >= 0.95). This staging is the 100 TB shape: "
-    "the quadratic-ish candidate generation runs on 48-bit text "
-    "hashes; the 64-float dot products run only on the surviving "
-    "pair list (orders of magnitude smaller), joined by id against "
-    "the vector table. Doc/vector ids are aligned by the fixture; "
-    "injected text dups get their source's vector.",
-)
-def dedup_multisignal_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    emb_aug = emb.unionAll(
-        emb.filter(F.col("vec_id") % 20 == 0).select(
-            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-        )
-    )
-    ea = emb_aug.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
-    eb = emb_aug.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
-    cos = S.cosine(F.col("va"), F.col("vb"))
-    return (
-        pairs.join(ea, ea.ia == pairs.id_a)
-        .join(eb, eb.ib == pairs.id_b)
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            F.round(cos, 6).alias("cosine"),
-            ((F.col("jaccard") >= 0.5) & (cos >= 0.95)).alias("confirmed"),
-        )
-    )
-
-
-# --------------------------------------- weighted reservoir sampling
-@register(
-    "sample_weighted_reservoir_per_lang",
-    oracle="""
-    WITH keyed AS (
-        SELECT lang, doc_id, n_chars,
-               POWER(
-                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT)
-                       / 281474976710656.0,
-                   1.0 / n_chars) AS k
-        FROM documents WHERE n_chars > 0
-    )
-    SELECT lang, doc_id, n_chars FROM (
-        SELECT lang, doc_id, n_chars,
-               ROW_NUMBER() OVER (PARTITION BY lang ORDER BY k DESC, doc_id) AS rn
-        FROM keyed
-    ) WHERE rn <= 10
-    """,
-    description="Weighted reservoir sampling (Efraimidis-Spirakis A-Res: "
-    "key = u^(1/w), keep the top-k keys) with deterministic md5 "
-    "uniforms — longer documents win proportionally to n_chars, "
-    "reproducibly across engines and partitionings. The one-pass, "
-    "merge-friendly way to draw weight-proportional samples at 100 TB: "
-    "each partition keeps its local top-k, the combiner merges — "
-    "exactly what the lang-partitioned window computes.",
-)
-def sample_weighted_reservoir_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(281474976710656.0)
-    )
-    keyed = docs.select(
-        "lang", "doc_id", "n_chars", F.pow(u, 1.0 / F.col("n_chars")).alias("k")
-    )
-    w = Window.partitionBy("lang").orderBy(F.col("k").desc(), F.col("doc_id"))
-    return (
-        keyed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 10)
-        .select("lang", "doc_id", "n_chars")
-    )
-
-
-# ------------------------------------------------- inverted index
-@register(
-    "text_inverted_index_sample",
-    oracle="""
-    WITH tok AS (
-        SELECT DISTINCT doc_id, t.term
-        FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
-             UNNEST(tl) AS t(term)
-        WHERE t.term <> ''
-    ),
-    df AS (SELECT term, COUNT(*) AS df FROM tok GROUP BY term),
-    top_terms AS (
-        SELECT term, df FROM (
-            SELECT term, df, ROW_NUMBER() OVER (ORDER BY df DESC, term) AS rn
-            FROM df
-        ) WHERE rn <= 20
-    )
-    SELECT t.term, tt.df,
-           list_sort(list(t.doc_id))[1:10] AS posting_sample
-    FROM tok t JOIN top_terms tt ON tt.term = t.term
-    GROUP BY t.term, tt.df
-    """,
-    description="Inverted-index construction (the search/retrieval "
-    "primitive): distinct (doc, term) postings, document frequencies, "
-    "and for the 20 highest-df terms a sorted 10-doc posting-list "
-    "sample. Posting lists are per-term sorted arrays — build cost is "
-    "one distinct agg + one term-keyed agg; the cap keeps driver "
-    "output bounded while the full index would write partitioned BY "
-    "TERM for point lookups.",
-)
-def text_inverted_index_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    tok = (
-        docs.select("doc_id", F.explode(F.split("text", " ", -1)).alias("term"))
-        .filter(F.col("term") != "")
-        .distinct()
-    )
-    df = tok.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    wtop = Window.orderBy(F.col("df").desc(), F.col("term"))
-    top_terms = (
-        df.withColumn("rn", F.row_number().over(wtop))
-        .filter(F.col("rn") <= 20)
-        .select("term", "df")
-    )
-    return (
-        tok.join(F.broadcast(top_terms), "term")
-        .groupBy("term", "df")
-        .agg(
-            F.slice(F.sort_array(F.collect_list("doc_id")), 1, 10).alias(
-                "posting_sample"
-            )
-        )
-    )
-
-
-# ------------------------------------------- centroid drift monitor
-@register(
-    "embedding_centroid_drift",
-    oracle="""
-    WITH pts AS (
-        SELECT label, vec_id % 2 AS half, generate_subscripts(embedding, 1) AS i,
-               CAST(UNNEST(embedding) AS DOUBLE) AS x
-        FROM embeddings
-    ),
-    cent AS (
-        SELECT label, half, i, AVG(x) AS c FROM pts GROUP BY label, half, i
-    ),
-    paired AS (
-        SELECT a.label, a.i, a.c AS ca, b.c AS cb
-        FROM cent a JOIN cent b
-          ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1
-    )
-    SELECT label,
-           ROUND(SUM(ca * cb) / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))), 6)
-               AS centroid_cosine,
-           ROUND(sqrt(SUM((ca - cb) * (ca - cb))), 6) AS centroid_l2_dist
-    FROM paired GROUP BY label
-    """,
-    description="Embedding representation-drift monitor: per-label "
-    "centroids of two deterministic halves of the corpus (stand-ins "
-    "for two ingestion batches), compared by cosine and L2 — the "
-    "embedding-space analogue of the PSI value-drift monitor, catching "
-    "encoder regressions/model swaps before they poison the index. "
-    "Centroids are O(labels x dims) from one posexplode agg; the "
-    "comparison is a dim-keyed self-join of that tiny aggregate.",
-)
-def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    pts = emb.select(
-        "label",
-        (F.col("vec_id") % 2).alias("half"),
-        F.posexplode("embedding").alias("i", "xf"),
-    ).select("label", "half", (F.col("i") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
-    cent = pts.groupBy("label", "half", "i").agg(F.avg("x").alias("c"))
-    a = cent.filter(F.col("half") == 0).select("label", "i", F.col("c").alias("ca"))
-    b = cent.filter(F.col("half") == 1).select(
-        F.col("label").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("cb")
-    )
-    paired = a.join(b, (a.label == F.col("lb")) & (a.i == F.col("ib")))
-    return paired.groupBy("label").agg(
-        F.round(
-            F.sum(F.col("ca") * F.col("cb"))
-            / (F.sqrt(F.sum(F.col("ca") * F.col("ca"))) * F.sqrt(F.sum(F.col("cb") * F.col("cb")))),
-            6,
-        ).alias("centroid_cosine"),
-        F.round(
-            F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))), 6
-        ).alias("centroid_l2_dist"),
-    )
-
-
-# ------------------------------------------- incremental dedup gate
-def _probe_ctes(corpus_sql: str, incoming_sql: str, threshold: float = 0.5) -> str:
-    """WITH-body CTE chain for an LSH probe of ``incoming_sql`` against
-    ``corpus_sql`` (both ``SELECT doc_id, text ...``), ending in a
-    ``hits(incoming_id, corpus_id, jaccard)`` CTE at >= threshold —
-    shared by the batch gate oracle and the streaming admission oracle."""
-    mins = ",\n               ".join(
-        f"MIN(({a} * h + {b}) % {D.MERSENNE_P}) AS mh_{j}"
-        for j, (a, b) in enumerate(D.MINHASH_PERMS)
-    )
-    band_selects = []
-    for band in range(D.N_BANDS):
-        cols = [f"mh_{band * D.BAND_ROWS + r}" for r in range(D.BAND_ROWS)]
-        key = f"'{band}:' || " + " || ':' || ".join(
-            f"CAST({c} AS VARCHAR)" for c in cols
-        )
-        band_selects.append("SELECT sid, {k} AS bkey FROM {{t}}".format(k=key))
-    buckets = "\n        UNION ALL ".join(band_selects)
-    shingle_body = """
-        SELECT DISTINCT doc_id AS sid,
-               array_to_string(t[i:i+2], chr(31)) AS shingle
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
-             , UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
-        WHERE len(t) >= 3
-        UNION
-        SELECT DISTINCT doc_id, array_to_string(t, chr(31))
-        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM {src})
-        WHERE len(t) < 3
-    """
-    return f"""
-    corpus AS ({corpus_sql}),
-    incoming AS ({incoming_sql}),
-    shc AS ({shingle_body.format(src="corpus")}),
-    shi AS ({shingle_body.format(src="incoming")}),
-    hc AS (SELECT sid, {_H48.format(c="shingle")} AS h FROM shc),
-    hi AS (SELECT sid, {_H48.format(c="shingle")} AS h FROM shi),
-    pc AS (SELECT sid, COUNT(*) AS sz, {mins} FROM hc GROUP BY sid),
-    pi AS (SELECT sid, COUNT(*) AS sz, {mins} FROM hi GROUP BY sid),
-    bc AS ({buckets.format(t="pc")}),
-    bi AS ({buckets.format(t="pi")}),
-    cand AS (
-        SELECT DISTINCT i.sid AS incoming_id, c.sid AS corpus_id
-        FROM bi i JOIN bc c ON c.bkey = i.bkey
-    ),
-    inter AS (
-        SELECT cand.incoming_id, cand.corpus_id, COUNT(*) AS n_inter
-        FROM cand
-        JOIN shi a ON a.sid = cand.incoming_id
-        JOIN shc b ON b.sid = cand.corpus_id AND b.shingle = a.shingle
-        GROUP BY cand.incoming_id, cand.corpus_id
-    ),
-    hits AS (
-        SELECT incoming_id, corpus_id,
-               ROUND(CAST(n_inter AS DOUBLE) / (pi.sz + pc.sz - n_inter), 6)
-                   AS jaccard
-        FROM inter
-        JOIN pi ON pi.sid = incoming_id
-        JOIN pc ON pc.sid = corpus_id
-        WHERE CAST(n_inter AS DOUBLE) / (pi.sz + pc.sz - n_inter)
-              >= {threshold}
-    )"""
-
-
-def _probe_oracle() -> str:
-    ctes = _probe_ctes(
-        "SELECT doc_id, text FROM documents WHERE doc_id % 13 <> 5",
-        "SELECT doc_id + 2000000 AS doc_id, text FROM documents "
-        "WHERE doc_id % 13 = 5",
-    )
-    return f"""
-    WITH {ctes}
-    SELECT incoming_id, corpus_id, jaccard FROM hits
-    """
-
-
-@register(
-    "dedup_incremental_lsh_gate",
-    oracle=_probe_oracle(),
-    description="Incremental dedup gate (the admission check every new "
-    "crawl batch passes before joining the corpus): incoming docs probe "
-    "the corpus LSH index via a bucket EQUI-join — never a self-join "
-    "over corpus ∪ batch — and only bucket-colliding candidates pay "
-    "exact Jaccard verification. In deployment the corpus "
-    "signature/bucket tables are materialized once and appended per "
-    "batch, so each increment costs its own signatures plus a probe "
-    "proportional to candidate volume (functions/dedup.py lsh_probe).",
-)
-def dedup_incremental_lsh_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.filter(F.col("doc_id") % 13 != 5)
-    incoming = docs.filter(F.col("doc_id") % 13 == 5).select(
-        (F.col("doc_id") + 2_000_000).alias("doc_id"), "text"
-    )
-    return D.lsh_probe(corpus, incoming, threshold=0.5)
-
-
-# ------------------------------------------- chunk-level boilerplate
-@register(
-    "text_chunk_boilerplate",
-    oracle="WITH "
-    + _DOCS_DUPS_SQL.format(mod=12)
-    + """,
-    toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM docs),
-    chunks AS (
-        SELECT doc_id,
-               array_to_string(tl[i * 12 + 1 : i * 12 + 12], chr(31)) AS chunk
-        FROM toks,
-             UNNEST(range(0, CAST(ceil(len(tl) / 12.0) AS INT))) AS u(i)
-    ),
-    freq AS (
-        SELECT chunk, COUNT(DISTINCT doc_id) AS n_docs
-        FROM chunks GROUP BY chunk
-    ),
-    boiler AS (SELECT chunk FROM freq WHERE n_docs >= 2)
-    SELECT c.doc_id,
-           COUNT(*) AS n_chunks,
-           CAST(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_boilerplate,
-           ROUND(SUM(CASE WHEN b.chunk IS NOT NULL THEN 1.0 ELSE 0 END) / COUNT(*), 6)
-               AS boilerplate_ratio
-    FROM chunks c LEFT JOIN boiler b ON b.chunk = c.chunk
-    GROUP BY c.doc_id
-    """,
-    description="Chunk-level boilerplate detection (the line/sentence "
-    "dedup stage of CCNet/RefinedWeb, at NON-OVERLAPPING 12-token "
-    "chunk grain — the cheap unit those pipelines use when text has "
-    "no sentence structure): chunks recurring across >= 2 distinct "
-    "docs mark contamination, each doc reports its ratio. "
-    "Non-overlapping chunking emits n/12 units per doc versus the "
-    "span pass's n overlapping units — an order of magnitude less "
-    "shuffle for the coarse screen, with the span pass as the "
-    "precise follow-up. Same hash-don't-shuffle-text rule at scale.",
-)
-def text_chunk_boilerplate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus = _docs_with_dups(spark, sf_dir, 12)
-    toks = corpus.select("doc_id", F.split("text", " ", -1).alias("tl"))
-    chunks = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(0, int(ceil(size(tl) / 12.0)) - 1), "
-                "i -> concat_ws(chr(31), slice(tl, i * 12 + 1, 12)))"
-            )
-        ).alias("chunk"),
-    )
-    boiler = (
-        chunks.groupBy("chunk")
-        .agg(F.count_distinct("doc_id").alias("n_docs"))
-        .filter(F.col("n_docs") >= 2)
-        .select("chunk")
-    )
-    marked = chunks.join(boiler.withColumn("is_boiler", F.lit(1)), "chunk", "left")
-    return marked.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_chunks"),
-        F.coalesce(F.sum("is_boiler"), F.lit(0)).alias("n_boilerplate"),
-        F.round(
-            F.coalesce(F.sum("is_boiler"), F.lit(0)).cast("double")
-            / F.count(F.lit(1)),
-            6,
-        ).alias("boilerplate_ratio"),
-    )
-
-
-# ------------------------------------------------ triangle counting
-def _tri_pairs_oracle_ctes() -> str:
-    cos = """
-             list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(b.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-    """
-    return f"""
-    vecs AS (
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + 1000000 AS vec_id, embedding
-        FROM embeddings WHERE vec_id % 25 = 0
-        UNION ALL
-        SELECT vec_id + 2000000 AS vec_id, embedding
-        FROM embeddings WHERE vec_id % 25 = 0
-    ),
-    bucketed AS (
-        SELECT vec_id, embedding, {_bucket_sql()} AS bucket FROM vecs
-    ),
-    pairs AS (
-        SELECT id_a, id_b FROM (
-            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-                   ROUND({cos}, 6) AS cosine
-            FROM bucketed a JOIN bucketed b
-              ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        ) WHERE cosine >= 0.95
-    )
-    """
-
-
-@register(
-    "graph_triangle_count_neardup",
-    oracle=f"""
-    WITH {_tri_pairs_oracle_ctes()},
-    tri AS (
-        SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
-        FROM pairs e1
-        JOIN pairs e2 ON e2.id_a = e1.id_b
-        JOIN pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
-    )
-    SELECT vec_id, COUNT(*) AS n_triangles
-    FROM (SELECT UNNEST([a, b, c]) AS vec_id FROM tri)
-    GROUP BY vec_id
-    """,
-    description="Per-node triangle counts over the embedding near-dup "
-    "graph (two injected copies per selected vector close each triangle). "
-    "Compact-forward orientation: edges stored once as (lo, hi), wedges "
-    "built by joining hi->lo, closed by an equi-join back onto the edge "
-    "set — 3 hash joins on edge keys, never an all-pairs pass. At 100 TB "
-    "the orientation key becomes degree (low-degree vertex first), which "
-    "bounds wedge fan-out by the arboricity instead of the max degree; "
-    "the plan shape (2 self equi-joins + explode + count) is unchanged. "
-    "Triangle density is the standard cluster-cohesion check on a "
-    "near-dup graph before transitive-closure dedup: bridges (low "
-    "triangle support) are the edges that over-merge clusters.",
-)
-def graph_triangle_count_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    sel = emb.filter(F.col("vec_id") % 25 == 0)
-    vecs = emb.unionAll(
-        sel.select((F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding")
-    ).unionAll(
-        sel.select((F.col("vec_id") + 2_000_000).alias("vec_id"), "embedding")
-    )
-    pairs = (
-        S.embedding_near_dup_pairs(vecs, threshold=0.95)
-        .select("id_a", "id_b")
-        .persist()
-    )
-    e1, e2, e3 = pairs.alias("e1"), pairs.alias("e2"), pairs.alias("e3")
-    tri = (
-        e1.join(e2, F.col("e2.id_a") == F.col("e1.id_b"))
-        .join(
-            e3,
-            (F.col("e3.id_a") == F.col("e1.id_a"))
-            & (F.col("e3.id_b") == F.col("e2.id_b")),
-        )
-        .select(
-            F.col("e1.id_a").alias("a"),
-            F.col("e1.id_b").alias("b"),
-            F.col("e2.id_b").alias("c"),
-        )
-    )
-    return (
-        tri.select(F.explode(F.array("a", "b", "c")).alias("vec_id"))
-        .groupBy("vec_id")
-        .agg(F.count(F.lit(1)).alias("n_triangles"))
-    )
-
-
-# ------------------------------------ minhash estimator error audit
-def _minhash_error_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    eq = " + ".join(
-        f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
-        for j in range(len(D.MINHASH_PERMS))
-    )
-    return f"""
-    WITH {ctes},
-    pairs AS ({final})
-    SELECT p.id_a, p.id_b, p.jaccard,
-           ROUND(({eq}) / {float(len(D.MINHASH_PERMS))}, 6) AS mh_estimate,
-           ROUND(ABS(p.jaccard - ({eq}) / {float(len(D.MINHASH_PERMS))}), 6)
-             AS abs_err
-    FROM pairs p
-    JOIN sig sa ON sa.doc_id = p.id_a
-    JOIN sig sb ON sb.doc_id = p.id_b
-    """
-
-
-@register(
-    "similarity_minhash_jaccard_error",
-    oracle=_minhash_error_oracle(),
-    description="Estimator-quality audit for the MinHash sketch: on every "
-    "LSH-verified near-dup pair, the signature-agreement estimate "
-    "(fraction of 12 permutations whose minima collide — the unbiased "
-    "MinHash Jaccard estimator) is laid beside the exact shingle-set "
-    "Jaccard it approximates, with per-pair absolute error. The "
-    "companion to similarity_recall_lsh_at5: that measures candidate "
-    "RECALL, this measures estimate FIDELITY, the two knobs (bands x "
-    "rows, permutation count) a 100 TB dedup run must tune before "
-    "trusting the sketch in place of exact verification. Signatures "
-    "join broadcast-size per pair; the corpus is shingled once.",
-)
-def similarity_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = _docs_with_dups(spark, sf_dir, 20)
-    # one shingle pass feeds both the pair verification and the signature
-    # columns the estimate reads — lsh_candidate_pairs + minhash_signature
-    # separately would shingle and aggregate the corpus twice
-    pairs, sig = D.lsh_pairs_and_signatures(docs, threshold=0.5)
-    n = len(D.MINHASH_PERMS)
-    sa = sig.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(n)],
-    )
-    sb = sig.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(n)],
-    )
-    est = (
-        sum(
-            F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
-            for j in range(n)
-        )
-        / float(n)
-    )
-    return (
-        pairs.join(sa, "id_a")
-        .join(sb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            "jaccard",
-            F.round(est, 6).alias("mh_estimate"),
-            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
-        )
-    )
-
-
-# ----------------------------------------------- bloom-filter prefilter
-_BLOOM_M = 4096
-_BLOOM_K = 3
-
-
-@register(
-    "dedup_bloom_prefilter_probe",
-    oracle=f"""
-    WITH corpus AS (
-        SELECT md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-        FROM documents
-    ),
-    bits AS (
-        SELECT DISTINCT
-               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || fp), 1, 12))
-                    AS BIGINT) % {_BLOOM_M} AS pos
-        FROM corpus, UNNEST([0, 1, 2]) AS u(j)
-    ),
-    incoming AS (
-        SELECT doc_id + 1000000 AS doc_id,
-               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g')) AS fp
-        FROM documents WHERE doc_id % 7 = 0
-        UNION ALL
-        SELECT doc_id + 2000000 AS doc_id,
-               md5(regexp_replace(trim(lower(text || ' xyzzy')), '\\s+', ' ', 'g'))
-          AS fp
-        FROM documents WHERE doc_id % 7 = 1
-    ),
-    probe AS (
-        SELECT i.doc_id, i.fp,
-               CAST(('0x' || substr(md5(CAST(j AS VARCHAR) || ':' || i.fp), 1, 12))
-                    AS BIGINT) % {_BLOOM_M} AS pos
-        FROM incoming i, UNNEST([0, 1, 2]) AS u(j)
-    ),
-    hits AS (
-        SELECT p.doc_id, p.fp,
-               COUNT(b.pos) AS n_hit
-        FROM probe p LEFT JOIN bits b ON b.pos = p.pos
-        GROUP BY p.doc_id, p.fp
-    )
-    SELECT h.doc_id,
-           (h.n_hit = {_BLOOM_K}) AS bloom_hit,
-           (c.fp IS NOT NULL) AS exact_member
-    FROM hits h
-    LEFT JOIN (SELECT DISTINCT fp FROM corpus) c ON c.fp = h.fp
-    """,
-    description="Portable Bloom-filter dedup prefilter: the corpus's "
-    f"fingerprints set k={_BLOOM_K} md5-derived bits in an m={_BLOOM_M} "
-    "filter (the bit table aggregates to <= m rows REGARDLESS of corpus "
-    "size, then broadcasts); an incoming batch claims membership only "
-    "when all k probed bits are set, laid beside exact membership so "
-    "false positives are observable in the result. One-sided by "
-    "construction: bloom_hit is always true for true members (no false "
-    "negatives). The explicit DataFrame twin of the engine's runtime "
-    "bloom pushdown (tests/test_plans.py): at 100 TB the filter gates "
-    "the expensive shingle/LSH machinery to candidate novel docs only, "
-    "and the bit table unions incrementally across ingest batches.",
-)
-def dedup_bloom_prefilter_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    fp = TX.fingerprint(F.col("text"))
-    corpus = docs.select(fp.alias("fp"))
-    j = F.explode(F.array(*[F.lit(i) for i in range(_BLOOM_K)])).alias("j")
-    pos = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("j").cast("string"), F.col("fp"))),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % _BLOOM_M
-    ).alias("pos")
-    bits = corpus.select("fp", j).select(pos).distinct()
-    incoming = (
-        docs.filter(F.col("doc_id") % 7 == 0)
-        .select((F.col("doc_id") + 1_000_000).alias("doc_id"), fp.alias("fp"))
-        .unionAll(
-            docs.filter(F.col("doc_id") % 7 == 1).select(
-                (F.col("doc_id") + 2_000_000).alias("doc_id"),
-                TX.fingerprint(F.concat(F.col("text"), F.lit(" xyzzy"))).alias("fp"),
-            )
-        )
-    )
-    probe = incoming.select("doc_id", "fp", j).select("doc_id", "fp", pos)
-    hits = (
-        probe.join(F.broadcast(bits.withColumnRenamed("pos", "bpos")),
-                   F.col("pos") == F.col("bpos"), "left")
-        .groupBy("doc_id", "fp")
-        .agg(F.count("bpos").alias("n_hit"))
-    )
-    members = corpus.distinct().withColumnRenamed("fp", "mfp")
-    return (
-        hits.join(F.broadcast(members), F.col("fp") == F.col("mfp"), "left")
-        .select(
-            "doc_id",
-            (F.col("n_hit") == _BLOOM_K).alias("bloom_hit"),
-            F.col("mfp").isNotNull().alias("exact_member"),
-        )
-    )
-
-
-# ------------------------------------------------ training shard manifest
-@register(
-    "pipeline_shard_manifest",
-    oracle="""
-    WITH sharded AS (
-        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-                    AS BIGINT) % 16 AS shard,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               n_chars
-        FROM documents
-    ),
-    per AS (
-        SELECT shard, COUNT(*) AS n_docs,
-               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-               CAST(SUM(n_chars) AS BIGINT) AS n_chars
-        FROM sharded GROUP BY shard
-    ),
-    tot AS (SELECT AVG(n_tokens) AS mean_tokens FROM per)
-    SELECT shard, n_docs, n_tokens, n_chars,
-           ROUND(n_tokens / tot.mean_tokens, 6) AS load_factor
-    FROM per, tot
-    """,
-    description="Deterministic 16-way output-shard manifest for a "
-    "training-data write: content-hash shard assignment (stable under "
-    "reruns and cluster resizing, unlike round-robin), per-shard doc / "
-    "token / byte mass, and load_factor against the mean shard so "
-    "stragglers are visible BEFORE the write. The pre-write audit every "
-    "100 TB pipeline runs: a load_factor far from 1.0 means one output "
-    "file dominates the epoch's read parallelism. One hash aggregate to "
-    "16 rows; the scalar mean broadcasts back.",
-)
-def pipeline_shard_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    sharded = docs.select(
-        (
-            F.conv(
-                F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
-            ).cast("bigint")
-            % 16
-        ).alias("shard"),
-        TX.token_count(F.col("text")).cast("bigint").alias("n_tokens"),
-        "n_chars",
-    )
-    per = sharded.groupBy("shard").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_tokens").alias("n_tokens"),
-        F.sum("n_chars").alias("n_chars"),
-    )
-    tot = per.agg(F.avg("n_tokens").alias("mean_tokens"))
-    return per.crossJoin(F.broadcast(tot)).select(
-        "shard",
-        "n_docs",
-        "n_tokens",
-        "n_chars",
-        F.round(F.col("n_tokens") / F.col("mean_tokens"), 6).alias("load_factor"),
-    )
-
-
-# ------------------------------------------- language-ID confusion audit
-_LANGID_SQL = """
-           CASE
-             WHEN regexp_matches(text, '[\\x{4e00}-\\x{9fff}]') THEN 'zh'
-             WHEN regexp_matches(text, '[\\x{0400}-\\x{04ff}]') THEN 'ru'
-             WHEN regexp_matches(' ' || lower(text) || ' ',
-                  ' (el|la|los|las|es|una|uno|que) ') THEN 'es'
-             WHEN regexp_matches(' ' || lower(text) || ' ',
-                  ' (der|die|das|und|ist|nicht) ') THEN 'de'
-             WHEN regexp_matches(' ' || lower(text) || ' ',
-                  ' (le|les|des|est|une|dans) ') THEN 'fr'
-             WHEN regexp_matches(' ' || lower(text) || ' ',
-                  ' (the|a|of|and|to|is|it) ') THEN 'en'
-             ELSE 'und'
-           END
-"""
-
-
-@register(
-    "text_langid_confusion",
-    oracle=f"""
-    WITH pred AS (
-        SELECT lang AS lang_declared, {_LANGID_SQL} AS lang_pred
-        FROM documents
-    ),
-    tot AS (
-        SELECT lang_declared, COUNT(*) AS n_lang FROM pred GROUP BY lang_declared
-    )
-    SELECT p.lang_declared, p.lang_pred, COUNT(*) AS n_docs,
-           ROUND(COUNT(*) * 1.0 / MAX(t.n_lang), 6) AS recall
-    FROM pred p JOIN tot t ON t.lang_declared = p.lang_declared
-    GROUP BY p.lang_declared, p.lang_pred
-    """,
-    description="Classifier-evaluation confusion matrix for the marker "
-    "language-ID heuristic against the declared lang label: per "
-    "(declared, predicted) cell counts plus per-class recall (the "
-    "diagonal cell's share of its row). The eval harness every "
-    "heuristic filter in a curation pipeline needs before it gates "
-    "data at scale — same pattern as similarity_recall_lsh_at5 but "
-    "for a classification stage. One regex scan, one |langs|^2-cell "
-    "aggregate, row totals broadcast back.",
-)
-def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    pred = docs.select(
-        F.col("lang").alias("lang_declared"),
-        TX.language_id(F.col("text")).alias("lang_pred"),
-    )
-    tot = pred.groupBy("lang_declared").agg(F.count(F.lit(1)).alias("n_lang"))
-    return (
-        pred.join(F.broadcast(tot), "lang_declared")
-        .groupBy("lang_declared", "lang_pred")
-        .agg(
-            F.count(F.lit(1)).alias("n_docs"),
-            F.round(F.count(F.lit(1)) * 1.0 / F.max("n_lang"), 6).alias("recall"),
-        )
-    )
-
-
-# ------------------------------------------------------- RAG chunking
-@register(
-    "pipeline_rag_chunks",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    chunks AS (
-        SELECT doc_id,
-               CAST((i - 1) / 48 AS BIGINT) AS chunk_idx,
-               t[i:least(i + 63, len(t))] AS chunk
-        FROM toks, UNNEST(range(1, len(t) + 1, 48)) AS u(i)
-    )
-    SELECT doc_id, chunk_idx,
-           CAST(len(chunk) AS INT) AS n_tokens,
-           chunk[1] AS first_token,
-           md5(array_to_string(chunk, ' ')) AS chunk_hash
-    FROM chunks
-    """,
-    description="Retrieval-corpus chunking: each document splits into "
-    "64-token windows with 16-token overlap (stride 48), emitting per "
-    "chunk its token count, anchor token, and content hash (the "
-    "embedding/index key). Entirely array-side: slice over a stride "
-    "sequence then ONE posexplode — no Python, no per-token explode "
-    "(the naive token-explode + window shuffles |tokens| rows; this "
-    "shuffles |chunks|). The front half of every RAG/embedding "
-    "pipeline; downstream the chunk_hash is the dedup + incremental "
-    "re-embed key.",
-)
-def pipeline_rag_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("t"))
-    # stride positions 0, 48, 96, ... (0-based); slice is 1-based
-    chunks = toks.select(
-        "doc_id",
-        F.posexplode(
-            F.expr(
-                "transform(sequence(1, size(t), 48), i -> slice(t, i, 64))"
-            )
-        ).alias("chunk_idx", "chunk"),
-    )
-    return chunks.select(
-        "doc_id",
-        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
-        F.size("chunk").alias("n_tokens"),
-        F.element_at("chunk", 1).alias("first_token"),
-        F.md5(F.array_join("chunk", " ")).alias("chunk_hash"),
-    )
-
-
-# ------------------------------------------- global stable row index
-@register(
-    "pipeline_global_row_index",
-    oracle="""
-    SELECT doc_id,
-           ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS row_idx
-    FROM documents
-    """,
-    description="Contiguous 0-based global sample index over the corpus "
-    "WITHOUT a single-partition sort: range-repartition on the key, "
-    "rank within each range partition, then add per-partition offsets "
-    "(prefix sum over the tiny partition-count table, broadcast back). "
-    "The two-pass partition-offset scheme every epoch-indexed training "
-    "loader needs at 100 TB — the naive ROW_NUMBER() OVER (ORDER BY "
-    "key) funnels the corpus through one task; here no stage sees more "
-    "than one range partition's rows. Result is partition-boundary-"
-    "independent, so the oracle is the naive window.",
-)
-def pipeline_global_row_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-    n_parts = max(docs.sparkSession.sparkContext.defaultParallelism // 2, 4)
-    ranged = docs.repartitionByRange(n_parts, "doc_id").withColumn(
-        "pid", F.spark_partition_id()
-    )
-    ranged = ranged.persist()
-    # per-partition counts -> exclusive prefix offsets (|parts| rows)
-    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    w_off = (
-        Window.orderBy("pid")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = counts.select(
-        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
-    )
-    w_local = Window.partitionBy("pid").orderBy("doc_id")
-    return (
-        ranged.withColumn("local_rank", F.row_number().over(w_local))
-        .join(F.broadcast(offsets), "pid")
-        .select(
-            "doc_id",
-            (F.col("offset") + F.col("local_rank") - 1).alias("row_idx"),
-        )
-    )
-
-
-# ---------------------------------------------------------- SemDeDup
-def _semdedup_oracle() -> str:
-    cos = """
-             list_sum(list_transform(list_zip(va.embedding, vb.embedding),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(va.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(vb.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-    """
-    return f"""
-    WITH vecs AS (
-      SELECT vec_id, embedding FROM embeddings
-      UNION ALL
-      SELECT vec_id + 1000000 AS vec_id, embedding
-      FROM embeddings WHERE vec_id % 25 = 0
-    ),
-    pts AS (
-      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-             CAST(UNNEST(embedding) AS DOUBLE) AS x
-      FROM vecs
-    ),
-    cent0 AS (SELECT vec_id AS c, i, x FROM pts WHERE vec_id < 4),
-    d0 AS (
-      SELECT p.vec_id, c.c, SUM((p.x - c.x) * (p.x - c.x)) AS d
-      FROM pts p JOIN cent0 c ON p.i = c.i GROUP BY 1, 2
-    ),
-    a0 AS (
-      SELECT vec_id, c FROM (
-        SELECT vec_id, c,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
-        FROM d0
-      ) WHERE rn = 1
-    ),
-    cent1 AS (
-      SELECT a0.c, p.i, AVG(p.x) AS x
-      FROM pts p JOIN a0 ON p.vec_id = a0.vec_id GROUP BY a0.c, p.i
-    ),
-    d1 AS (
-      SELECT p.vec_id, c.c, SUM((p.x - c.x) * (p.x - c.x)) AS d
-      FROM pts p JOIN cent1 c ON p.i = c.i GROUP BY 1, 2
-    ),
-    a1 AS (
-      SELECT vec_id, c FROM (
-        SELECT vec_id, c,
-               ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, c) AS rn
-        FROM d1
-      ) WHERE rn = 1
-    ),
-    pairs AS (
-      SELECT a.vec_id AS ia, b.vec_id AS ib
-      FROM a1 a JOIN a1 b ON a.c = b.c AND a.vec_id < b.vec_id
-      JOIN vecs va ON va.vec_id = a.vec_id
-      JOIN vecs vb ON vb.vec_id = b.vec_id
-      WHERE ROUND({cos}, 6) >= 0.95
-    ),
-    pruned AS (SELECT DISTINCT ib FROM pairs)
-    SELECT a1.c AS cluster_id,
-           COUNT(*) AS n_points,
-           COUNT(p.ib) AS n_pruned,
-           ROUND(COUNT(p.ib) * 1.0 / COUNT(*), 6) AS prune_rate
-    FROM a1 LEFT JOIN pruned p ON p.ib = a1.vec_id
-    GROUP BY a1.c
-    """
-
-
-@register(
-    "dedup_semdedup_clusters",
-    oracle=_semdedup_oracle(),
-    description="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
-    "dedup where k-means clusters BOUND the candidate set — cosine pairs "
-    "are only computed within a cluster, so candidate volume is the sum "
-    "of per-cluster squares, never corpus^2 (the whole point at 100 TB: "
-    "k scales with corpus size to keep clusters bounded). Two Lloyd "
-    "iterations (seeded from vec_id 0..3, same loop as "
-    "kmeans_embeddings_lloyd) assign every vector incl. injected "
-    "copies; within-cluster pairs at cosine >= 0.95 prune the higher "
-    "id (deterministic survivor); per-cluster census of points / "
-    "pruned / prune_rate. Oracle unrolls the full pipeline — Lloyd "
-    "iterations AND the prune — as one CTE chain.",
-)
-def dedup_semdedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    vecs = emb.unionAll(
-        emb.filter(F.col("vec_id") % 25 == 0).select(
-            (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
-        )
-    ).persist()
-    pts = vecs.select(
-        "vec_id", F.posexplode("embedding").alias("i", "xf")
-    ).select(
-        "vec_id", (F.col("i") + 1).alias("i"), F.col("xf").cast("double").alias("x")
-    )
-    cent = pts.filter(F.col("vec_id") < 4).select(F.col("vec_id").alias("c"), "i", "x")
-    assign = None
-    for _ in range(2):
-        diff = F.col("p.x") - F.col("c.x")
-        d = (
-            pts.alias("p")
-            .join(F.broadcast(cent.alias("c")), F.col("p.i") == F.col("c.i"))
-            .groupBy(F.col("p.vec_id").alias("vec_id"), F.col("c.c").alias("c"))
-            .agg(F.sum(diff * diff).alias("d"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("d", "c")
-        assign = (
-            d.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "c")
-        )
-        cent = (
-            pts.join(assign, "vec_id").groupBy("c", "i").agg(F.avg("x").alias("x"))
-        )
-    assign = assign.persist()
-    av = assign.join(vecs, "vec_id")
-    a, b = av.alias("a"), av.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.c") == F.col("b.c"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(
-            F.round(S.cosine(F.col("a.embedding"), F.col("b.embedding")), 6)
-            >= 0.95
-        )
-        .select(F.col("b.vec_id").alias("ib"))
-    )
-    pruned = pairs.distinct()
-    return (
-        assign.join(pruned, assign.vec_id == pruned.ib, "left")
-        .groupBy(F.col("c").alias("cluster_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_points"),
-            F.count("ib").alias("n_pruned"),
-            F.round(F.count("ib") * 1.0 / F.count(F.lit(1)), 6).alias("prune_rate"),
-        )
-    )
-
-
-# ------------------------------------------------ DSIR importance weights
-@register(
-    "sample_dsir_importance",
-    oracle="""
-    WITH toks AS (
-        SELECT doc_id, lang, t.tok AS w
-        FROM (SELECT doc_id, lang, string_split(text, ' ') AS tl
-              FROM documents), UNNEST(tl) AS t(tok)
-    ),
-    hashed AS (
-        SELECT doc_id, lang,
-               CAST(('0x' || substr(md5(w), 1, 12)) AS BIGINT) % 1024 AS b
-        FROM toks
-    ),
-    tgt AS (
-        SELECT b, COUNT(*) AS cnt FROM hashed WHERE lang = 'en' GROUP BY b
-    ),
-    raw AS (SELECT b, COUNT(*) AS cnt FROM hashed GROUP BY b),
-    tot AS (
-        SELECT (SELECT SUM(cnt) FROM tgt) AS nt,
-               (SELECT SUM(cnt) FROM raw) AS nr
-    )
-    SELECT h.doc_id,
-           COUNT(*) AS n_tokens,
-           ROUND(AVG(
-             ln((COALESCE(t.cnt, 0) + 1.0) / (tot.nt + 1024))
-             - ln((r.cnt + 1.0) / (tot.nr + 1024))
-           ), 4) AS dsir_logratio
-    FROM hashed h
-    LEFT JOIN tgt t ON t.b = h.b
-    JOIN raw r ON r.b = h.b
-    CROSS JOIN tot
-    GROUP BY h.doc_id
-    """,
-    description="DSIR importance weights (Xie et al. 2023, "
-    "arXiv:2302.03169): hashed-unigram (1024-bucket) feature models for "
-    "the TARGET distribution (lang='en' here) and the RAW corpus, each "
-    "doc scored by its mean log importance ratio ln(p_tgt/p_raw) — "
-    "positive means target-like, the resampling key for domain-matched "
-    "pretraining selection. The hash trick is the scale move: model "
-    "state is a fixed 1024-row table per side regardless of vocabulary, "
-    "so both models broadcast; scoring is two broadcast joins on the "
-    "bucket id, never a vocabulary-sized shuffle.",
-)
-def sample_dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    hashed = docs.select(
-        "doc_id",
-        "lang",
-        F.explode(F.split("text", " ", -1)).alias("w"),
-    ).select("doc_id", "lang", (D.token_hash48(F.col("w")) % 1024).alias("b"))
-    tgt = (
-        hashed.filter(F.col("lang") == "en")
-        .groupBy("b")
-        .agg(F.count(F.lit(1)).alias("tcnt"))
-    )
-    raw = hashed.groupBy("b").agg(F.count(F.lit(1)).alias("rcnt"))
-    nt = tgt.agg(F.sum("tcnt").alias("nt"))
-    nr = raw.agg(F.sum("rcnt").alias("nr"))
-    return (
-        hashed.join(F.broadcast(tgt), "b", "left")
-        .join(F.broadcast(raw), "b")
-        .join(F.broadcast(nt))
-        .join(F.broadcast(nr))
-        .groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.avg(
-                    F.log(
-                        (F.coalesce(F.col("tcnt"), F.lit(0)) + 1.0)
-                        / (F.col("nt") + 1024)
-                    )
-                    - F.log((F.col("rcnt") + 1.0) / (F.col("nr") + 1024))
-                ),
-                4,
-            ).alias("dsir_logratio"),
-        )
-    )
-
-
-# ------------------------------------------- quantile normalization map
-@register(
-    "stats_quantile_normalize_sources",
-    oracle="""
-    WITH pooled AS (
-        SELECT quantile_cont(n_chars,
-               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS pq
-        FROM documents
-    ),
-    per_src AS (
-        SELECT source, COUNT(*) AS n_docs,
-               quantile_cont(n_chars,
-               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS sq
-        FROM documents GROUP BY source
-    )
-    SELECT s.source, s.n_docs,
-           ROUND(CAST(0.1 * i AS DOUBLE), 2) AS quantile,
-           ROUND(s.sq[i], 4) AS src_value,
-           ROUND(p.pq[i], 4) AS pooled_value,
-           ROUND(s.sq[i] - p.pq[i], 4) AS shift
-    FROM per_src s CROSS JOIN pooled p,
-         UNNEST(generate_series(1, 9)) AS u(i)
-    """,
-    description="Quantile-normalization mapping table: each source's "
-    "doc-length deciles laid against the pooled corpus deciles, with the "
-    "per-knot shift — the batch-effect correction primitive (align "
-    "heterogeneous crawl sources onto one reference distribution before "
-    "mixing, the tabular twin of embedding centroid alignment). One "
-    "grouped percentile-array pass + one global pass; the 9-knot "
-    "mapping broadcasts onto any downstream rescale scan. Same "
-    "percentile-array trick as stats_qq_purchase_click, grouped.",
-)
-def stats_quantile_normalize_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    probs = "array(0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9)"
-    pooled = docs.agg(F.expr(f"percentile(n_chars, {probs})").alias("pq"))
-    per_src = docs.groupBy("source").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.expr(f"percentile(n_chars, {probs})").alias("sq"),
-    )
-    return (
-        per_src.crossJoin(F.broadcast(pooled))
-        .select(
-            "source",
-            "n_docs",
-            F.posexplode(F.arrays_zip("sq", "pq")).alias("i", "z"),
-        )
-        .select(
-            "source",
-            "n_docs",
-            F.round((F.col("i") + 1) * 0.1, 2).alias("quantile"),
-            F.round(F.col("z.sq"), 4).alias("src_value"),
-            F.round(F.col("z.pq"), 4).alias("pooled_value"),
-            F.round(F.col("z.sq") - F.col("z.pq"), 4).alias("shift"),
-        )
-    )
-
-
-# --------------------------------------------- PPJoin prefix filtering
-@register(
-    "dedup_prefix_filter_jaccard",
-    oracle="WITH "
-    + _DOCS_DUPS_SQL.format(mod=20)
-    + ", "
-    + _SHINGLES_SQL
-    + """,
-    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
-    inter AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_inter
-        FROM shingles a JOIN shingles b
-          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id
-    )
-    SELECT id_a, id_b,
-           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = id_a
-    JOIN sizes sb ON sb.doc_id = id_b
-    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.7
-    """,
-    description="PPJoin prefix-filtered exact-Jaccard join (Xiao et al., "
-    "WWW'08): shingles ranked rarest-first, only the |d|-ceil(t|d|)+1 "
-    "prefix is self-joined — LOSSLESS by the pigeonhole bound, so the "
-    "oracle is plain exhaustive shingle-join Jaccard and the hashes "
-    "must agree exactly. The scale story over dedup_ngram_jaccard_"
-    "pairs: the full shingle join fans out on COMMON shingles (the "
-    "quadratic hot keys), while prefixes keep only each doc's RAREST "
-    "shingles — the join keys with the smallest fan-out — cutting "
-    "candidate volume by orders of magnitude at corpus scale with "
-    "zero recall loss (test asserts candidates strictly shrink).",
-)
-def dedup_prefix_filter_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return D.prefix_filter_jaccard_pairs(
-        _docs_with_dups(spark, sf_dir, 20), threshold=0.7
-    )
-
-
-# ------------------------------------------------- product quantization
-_PQ_M, _PQ_SUB, _PQ_K = 4, 16, 8  # 4 subspaces x 16 dims, 8 codes each
-
-
-def _pq_d2_sql(a: str, b: str, m: int, sub: int = _PQ_SUB) -> str:
-    """DuckDB squared-L2 over subspace ``m`` (sequential double sum, same
-    fold order as the Spark side's F.aggregate)."""
-    lo, hi = m * sub + 1, (m + 1) * sub
-    return (
-        f"list_sum(list_transform(list_zip(list_slice({a}, {lo}, {hi}), "
-        f"list_slice({b}, {lo}, {hi})), "
-        f"p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
-        f"* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))))"
-    )
-
-
-def _pq_cte() -> str:
-    """Shared CTE block: codebook (vec_id 1..8 -> codes 0..7), query
-    (vec_id 0), corpus (the rest), and per-subspace code assignment
-    (rounded-distance argmin, ties to lowest code — mirrors pq_encode)."""
-    code_cols = ",\n               ".join(
-        f"CAST(min(struct_pack(d := ROUND("
-        f"{_pq_d2_sql('c.embedding', 'cb.embedding', m)}, 6), "
-        f"c := cb.code)).c AS INT) AS code_{m}"
-        for m in range(_PQ_M)
-    )
-    adc_terms = "\n               + ".join(
-        _pq_d2_sql("q.embedding", f"cb{m}.embedding", m) for m in range(_PQ_M)
-    )
-    adc_joins = "\n        ".join(
-        f"JOIN cb cb{m} ON cb{m}.code = codes.code_{m}" for m in range(_PQ_M)
-    )
-    return f"""
-    WITH cb AS (
-        SELECT CAST(vec_id - 1 AS INT) AS code, embedding
-        FROM embeddings WHERE vec_id BETWEEN 1 AND {_PQ_K}
-    ),
-    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-    corpus AS (
-        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id > {_PQ_K}
-    ),
-    codes AS (
-        SELECT c.vec_id,
-               {code_cols}
-        FROM corpus c CROSS JOIN cb
-        GROUP BY c.vec_id
-    ),
-    adc AS (
-        SELECT codes.vec_id,
-               codes.code_0, codes.code_1, codes.code_2, codes.code_3,
-               ROUND({adc_terms}, 6) AS adc_dist
-        FROM codes
-        {adc_joins}
-        CROSS JOIN q
-    )
-    """
-
-
-def _pq_parts(spark: SparkSession, sf_dir: str):
-    """Collect the metadata-scale PQ inputs (query vector + 8-row codebook)
-    and return (corpus_df, query_vec, codebook)."""
-    emb = table(spark, sf_dir, "embeddings")
-    rows = (
-        emb.filter(F.col("vec_id") <= _PQ_K)
-        .select("vec_id", "embedding")
-        .collect()
-    )
-    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
-    codebook = [vecs[i + 1] for i in range(_PQ_K)]
-    return emb.filter(F.col("vec_id") > _PQ_K), vecs[0], codebook
-
-
-@register(
-    "similarity_pq_adc_top5",
-    oracle=_pq_cte()
-    + """
-    SELECT vec_id, code_0, code_1, code_2, code_3, adc_dist
-    FROM adc ORDER BY adc_dist, vec_id LIMIT 5
-    """,
-    description="Product quantization ANN (Jegou et al., TPAMI'11): encode "
-    "the corpus to 4x 3-bit codes against an 8-entry-per-subspace codebook "
-    "(deterministic-by-id training rows standing in for k-means), answer "
-    "with asymmetric-distance (ADC) top-5 — the M*K distance table is "
-    "driver-side metadata baked into the plan, so the per-row cost is 4 "
-    "array lookups, no shuffle until the final 5-row TakeOrdered. The "
-    "~21x compression (64 floats -> 4 codes) is how a 100 TB embedding "
-    "corpus fits a scan budget.",
-)
-def similarity_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus, qvec, codebook = _pq_parts(spark, sf_dir)
-    enc = S.pq_encode(corpus, codebook, n_sub=_PQ_M)
-    return (
-        enc.select(
-            "vec_id",
-            "code_0",
-            "code_1",
-            "code_2",
-            "code_3",
-            F.round(S.pq_adc_dist(qvec, codebook, n_sub=_PQ_M), 6).alias(
-                "adc_dist"
-            ),
-        )
-        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
-        .limit(5)
-    )
-
-
-@register(
-    "similarity_pq_distortion",
-    oracle=_pq_cte()
-    + f"""
-    , perrow AS (
-        SELECT c.label,
-               CAST(ROUND(a.adc_dist, 6) AS DECIMAL(28,6)) AS d_adc,
-               CAST(ROUND({_pq_d2_sql('c.embedding', 'q.embedding', 0, 64)},
-                    6) AS DECIMAL(28,6)) AS d_exact
-        FROM adc a
-        JOIN corpus c ON c.vec_id = a.vec_id
-        CROSS JOIN q
-    )
-    SELECT label,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(CAST(SUM(d_adc) AS DOUBLE) / COUNT(*), 4) AS avg_adc,
-           ROUND(CAST(SUM(d_exact) AS DOUBLE) / COUNT(*), 4) AS avg_exact,
-           ROUND(CAST(SUM(d_adc - d_exact) AS DOUBLE) / COUNT(*), 4)
-               AS avg_bias
-    FROM perrow GROUP BY label
-    """,
-    description="PQ quantization-quality audit: per-label mean ADC vs exact "
-    "squared distance to the query and the ADC bias — the recall/compression "
-    "dial a production deployment tunes (more subspaces/codes -> less "
-    "distortion). Per-row values are 6dp-rounded then decimal-summed so the "
-    "cross-row aggregation is order-independent on both engines.",
-)
-def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    corpus, qvec, codebook = _pq_parts(spark, sf_dir)
-    enc = S.pq_encode(corpus, codebook, n_sub=_PQ_M)
-    qlit = F.array(*[F.lit(v) for v in qvec])
-    perrow = enc.select(
-        "label",
-        F.round(S.pq_adc_dist(qvec, codebook, n_sub=_PQ_M), 6)
-        .cast("decimal(28,6)")
-        .alias("d_adc"),
-        F.round(S.pq_sub_dist2(F.col("embedding"), qlit, 0, 64), 6)
-        .cast("decimal(28,6)")
-        .alias("d_exact"),
-    )
-    n = F.count(F.lit(1))
-    return perrow.groupBy("label").agg(
-        n.cast("bigint").alias("n"),
-        F.round(F.sum("d_adc").cast("double") / n, 4).alias("avg_adc"),
-        F.round(F.sum("d_exact").cast("double") / n, 4).alias("avg_exact"),
-        F.round(
-            F.sum(F.col("d_adc") - F.col("d_exact")).cast("double") / n, 4
-        ).alias("avg_bias"),
-    )
-
-
-# ----------------------------------------------- k-center coreset sample
-def _kcenter_oracle(k: int = 5) -> str:
-    """Chained-CTE farthest-point sampling: s1 = seed (vec_id 0); each
-    c{i} scores every unselected vector by its 6dp-rounded min squared
-    distance to s1..s{i-1}, and s{i} keeps the argmax (ties to lowest
-    vec_id) — the same rounded-argmax contract as the Spark loop."""
-
-    def d2(a: str, b: str) -> str:
-        return _pq_d2_sql(a, b, 0, 64)
-
-    ctes = [
-        "e AS (SELECT vec_id, embedding FROM embeddings)",
-        "s1 AS (SELECT vec_id, embedding FROM e WHERE vec_id = 0)",
-    ]
-    for i in range(2, k + 1):
-        prev = [f"s{j}" for j in range(1, i)]
-        terms = [d2("e.embedding", f"{s}.embedding") for s in prev]
-        dexpr = terms[0] if len(terms) == 1 else "LEAST(" + ", ".join(terms) + ")"
-        notin = " UNION ALL ".join(f"SELECT vec_id FROM {s}" for s in prev)
-        ctes.append(
-            f"c{i} AS (SELECT e.vec_id, e.embedding, "
-            f"ROUND({dexpr}, 6) AS d "
-            f"FROM e, {', '.join(prev)} "
-            f"WHERE e.vec_id NOT IN ({notin}))"
-        )
-        ctes.append(
-            f"s{i} AS (SELECT vec_id, embedding, d FROM c{i} "
-            f"ORDER BY d DESC, vec_id LIMIT 1)"
-        )
-    selects = [
-        "SELECT CAST(1 AS INT) AS step, vec_id, CAST(NULL AS DOUBLE) AS dist FROM s1"
-    ] + [
-        f"SELECT CAST({i} AS INT) AS step, vec_id, d AS dist FROM s{i}"
-        for i in range(2, k + 1)
-    ]
-    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(selects)
-
-
-@register(
-    "sample_coreset_kcenter",
-    oracle=_kcenter_oracle(5),
-    description="Greedy k-center / farthest-point coreset (Gonzalez'85 "
-    "2-approximation) over the embedding corpus: k-1 rounds of one narrow "
-    "scan (min distance to <=k broadcast literal vectors) + a struct-min "
-    "reduction each — no corpus shuffle, no pairwise join, so the cost at "
-    "100 TB is k sequential scans. The trace of coverage radii it returns "
-    "is the diversity-sampling dial for training-data curation.",
-)
-def sample_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    return S.kcenter_greedy(emb, k=5, start_id=0)
-
-
-# ------------------------------------------- token-budget source mixture
-@register(
-    "pipeline_token_budget_mix",
-    oracle="""
-    WITH tok AS (
-        SELECT doc_id, source,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-                    AS BIGINT) / 281474976710656.0 AS u
-        FROM documents
-    ),
-    stats AS (
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_docs_total,
-               CAST(SUM(toks) AS BIGINT) AS tokens_total
-        FROM tok GROUP BY source
-    ),
-    weighted AS (
-        SELECT source, n_docs_total, tokens_total,
-               sqrt(CAST(tokens_total AS DOUBLE)
-                    / CAST(SUM(tokens_total) OVER () AS DOUBLE)) AS sq,
-               CAST(SUM(tokens_total) OVER () AS DOUBLE) AS grand
-        FROM stats
-    ),
-    budgets AS (
-        SELECT source, n_docs_total, tokens_total,
-               (sq / SUM(sq) OVER ()) * 0.25 * grand AS token_budget
-        FROM weighted
-    ),
-    ranked AS (
-        SELECT t.source, t.toks,
-               CAST(SUM(t.toks) OVER (
-                   PARTITION BY t.source ORDER BY t.u, t.doc_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS cum
-        FROM tok t
-    )
-    SELECT b.source, b.n_docs_total, b.tokens_total,
-           ROUND(b.token_budget, 2) AS token_budget,
-           CAST(COALESCE(SUM(CASE WHEN r.cum <= b.token_budget
-                                  THEN 1 ELSE 0 END), 0) AS BIGINT)
-               AS n_docs_kept,
-           CAST(COALESCE(SUM(CASE WHEN r.cum <= b.token_budget
-                                  THEN r.toks ELSE 0 END), 0) AS BIGINT)
-               AS tokens_kept
-    FROM budgets b JOIN ranked r ON r.source = b.source
-    GROUP BY b.source, b.n_docs_total, b.tokens_total, b.token_budget
-    """,
-    description="Token-budget domain mixture (the Pile/Dolma-style source "
-    "reweighting): per-source token mass is smoothed with temperature "
-    "alpha=0.5 and renormalized to a 25%-of-corpus token budget, then each "
-    "source greedily fills its budget in deterministic md5-rank order "
-    "(reproducible across engines/runs — no seeded sample()). Source "
-    "stats are metadata-scale; the corpus-side work is one narrow scan + "
-    "one per-source window cumsum, so the only shuffle is on `source` — "
-    "at 100 TB a skewed giant source salts the cumsum into ranked "
-    "sub-segments, same plan otherwise.",
-)
-def pipeline_token_budget_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "source", "text")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(281474976710656.0)
-    )
-    tok = docs.select(
-        "doc_id",
-        "source",
-        F.size(F.split("text", " ", -1)).cast("bigint").alias("toks"),
-        u.alias("u"),
-    )
-    stats = tok.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs_total"),
-        F.sum("toks").cast("bigint").alias("tokens_total"),
-    )
-    # source cardinality is tiny: scalar denominators via one-row
-    # broadcast aggregates (window-free, stays parallel)
-    grand = stats.agg(F.sum("tokens_total").cast("double").alias("grand"))
-    with_sq = stats.join(F.broadcast(grand)).withColumn(
-        "sq", F.sqrt(F.col("tokens_total").cast("double") / F.col("grand"))
-    )
-    sqsum = with_sq.agg(F.sum("sq").alias("sqsum"))
-    budgets = with_sq.join(F.broadcast(sqsum)).select(
-        "source",
-        "n_docs_total",
-        "tokens_total",
-        ((F.col("sq") / F.col("sqsum")) * 0.25 * F.col("grand")).alias(
-            "token_budget"
-        ),
-    )
-    w = (
-        Window.partitionBy("source")
-        .orderBy("u", "doc_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    ranked = tok.select(
-        "source", "toks", F.sum("toks").over(w).cast("bigint").alias("cum")
-    )
-    kept = F.when(F.col("cum") <= F.col("token_budget"), 1).otherwise(0)
-    kept_toks = F.when(
-        F.col("cum") <= F.col("token_budget"), F.col("toks")
-    ).otherwise(F.lit(0))
-    return (
-        ranked.join(F.broadcast(budgets), "source")
-        .groupBy("source", "n_docs_total", "tokens_total", "token_budget")
-        .agg(
-            F.coalesce(F.sum(kept), F.lit(0)).cast("bigint").alias("n_docs_kept"),
-            F.coalesce(F.sum(kept_toks), F.lit(0))
-            .cast("bigint")
-            .alias("tokens_kept"),
-        )
-        .select(
-            "source",
-            "n_docs_total",
-            "tokens_total",
-            F.round("token_budget", 2).alias("token_budget"),
-            "n_docs_kept",
-            "tokens_kept",
-        )
-    )
-
-
-# ------------------------------------------- gopher-style quality gate
-# Rule names in the fixed order they are evaluated; ``reasons`` joins the
-# fired ones with ',' so the output is a deterministic scalar per doc.
-_GOPHER_RULES = [
-    ("too_few_words", "n_words < 15"),
-    ("too_many_words", "n_words > 500"),
-    ("word_len_out_of_range", "mean_word_len < 2.5 OR mean_word_len > 8.0"),
-    ("excessive_repetition", "dup_word_frac > 0.7"),
-    ("no_stopwords", "stop_hits = 0"),
-]
-
-_GOPHER_REASONS_SQL = ", ".join(
-    f"CASE WHEN {pred} THEN '{name}' END" for name, pred in _GOPHER_RULES
-)
-_GOPHER_PASS_SQL = " OR ".join(f"({pred})" for _, pred in _GOPHER_RULES)
-
-
-@register(
-    "text_gopher_quality_filter",
-    oracle=f"""
-    WITH words AS (
-        SELECT doc_id, string_split(text, ' ') AS w FROM documents
-    ),
-    feats AS (
-        SELECT doc_id,
-               CAST(len(w) AS BIGINT) AS n_words,
-               {dround_sql("CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)", 6)} AS mean_word_len,
-               {dround_sql("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)", 6)} AS dup_word_frac,
-               CAST(len(list_filter(w, x -> lower(x) IN
-                    ('the','a','of','and','to','in','is','it'))) AS BIGINT)
-                    AS stop_hits
-        FROM words
-    )
-    SELECT doc_id, n_words, mean_word_len, dup_word_frac,
-           CAST(CASE WHEN {_GOPHER_PASS_SQL} THEN 0 ELSE 1 END AS INT) AS passes,
-           COALESCE(array_to_string(list_filter([{_GOPHER_REASONS_SQL}],
-                x -> x IS NOT NULL), ','), '') AS reasons
-    FROM feats
-    """,
-    description="Gopher-style composite quality gate: word-count bounds, "
-    "mean-word-length band, duplicate-word fraction, stopword presence — "
-    "one narrow JVM-side scan, no shuffle, rule reasons as a deterministic "
-    "CSV column. Scale: embarrassingly parallel map over documents.",
-)
-def text_gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    w = F.split(F.col("text"), " ")
-    n_words = F.size(w)
-    char_sum = F.aggregate(
-        w, F.lit(0), lambda acc, x: acc + F.length(x)
-    )
-    mean_word_len = dround(char_sum.cast("double") / n_words, 6)
-    dup_frac = dround(
-        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / n_words, 6
-    )
-    stop_hits = F.size(
-        F.filter(w, lambda x: F.lower(x).isin(*TX.STOPWORDS))
-    ).cast("bigint")
-    feats = docs.select(
-        "doc_id",
-        n_words.cast("bigint").alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        dup_frac.alias("dup_word_frac"),
-        stop_hits.alias("stop_hits"),
-    )
-    preds = {
-        "too_few_words": F.col("n_words") < 15,
-        "too_many_words": F.col("n_words") > 500,
-        "word_len_out_of_range": (F.col("mean_word_len") < 2.5)
-        | (F.col("mean_word_len") > 8.0),
-        "excessive_repetition": F.col("dup_word_frac") > 0.7,
-        "no_stopwords": F.col("stop_hits") == 0,
-    }
-    fired = F.array(
-        *[F.when(preds[name], F.lit(name)) for name, _ in _GOPHER_RULES]
-    )
-    any_fired = None
-    for name, _ in _GOPHER_RULES:
-        any_fired = preds[name] if any_fired is None else (any_fired | preds[name])
-    return feats.select(
-        "doc_id",
-        "n_words",
-        "mean_word_len",
-        "dup_word_frac",
-        F.when(any_fired, 0).otherwise(1).cast("int").alias("passes"),
-        F.concat_ws(",", F.filter(fired, lambda x: x.isNotNull())).alias(
-            "reasons"
-        ),
-    )
-
-
-# ------------------------------------------- temperature sampling mix
-@register(
-    "sample_temperature_lang",
-    oracle=f"""
-    WITH c AS (
-        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY lang
-    )
-    SELECT lang, n_docs,
-           {dround_sql("sqrt(CAST(n_docs AS DOUBLE)) / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER ()", 6)} AS weight,
-           CAST({dround_sql("1000.0 * sqrt(CAST(n_docs AS DOUBLE)) / SUM(sqrt(CAST(n_docs AS DOUBLE))) OVER ()", 0)} AS BIGINT) AS alloc_docs
-    FROM c
-    """,
-    description="Temperature-based multilingual sampling (alpha=0.5): "
-    "per-language sampling weight n^alpha / sum(n^alpha) and a 1000-doc "
-    "budget allocation — the standard rebalancing used for multilingual "
-    "LM training mixes. One groupBy + a broadcast-size window; the "
-    "per-language table is metadata-scale at any corpus size.",
-)
-def sample_temperature_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    c = docs.groupBy("lang").agg(F.count("*").cast("bigint").alias("n_docs"))
-    wall = Window.partitionBy()
-    sq = F.sqrt(F.col("n_docs").cast("double"))
-    share = sq / F.sum(sq).over(wall)
-    return c.select(
-        "lang",
-        "n_docs",
-        dround(share, 6).alias("weight"),
-        dround(F.lit(1000.0) * share, 0).cast("bigint").alias("alloc_docs"),
-    )
-
-
-# ------------------------------------------- token entropy by language
-@register(
-    "text_token_entropy_by_lang",
-    oracle=f"""
-    WITH tok AS (
-        SELECT lang, unnest(string_split(text, ' ')) AS token FROM documents
-    ),
-    tc AS (
-        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS c
-        FROM tok GROUP BY lang, token
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS vocab,
-           CAST(SUM(c) AS BIGINT) AS n_tokens,
-           {dround_sql("log2(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)", 6)} AS entropy_bits,
-           {dround_sql("(log2(CAST(SUM(c) AS DOUBLE)) - SUM(CAST(c AS DOUBLE) * log2(CAST(c AS DOUBLE))) / CAST(SUM(c) AS DOUBLE)) / log2(CAST(COUNT(*) AS DOUBLE))", 6)} AS entropy_norm
-    FROM tc GROUP BY lang
-    """,
-    description="Shannon token entropy per language via the single-agg "
-    "identity H = log2(T) - sum(c*log2 c)/T over token counts, plus "
-    "vocab-normalized entropy — a corpus diversity KPI. Two partial-agg "
-    "shuffles on (lang, token) then (lang); map-side combine keeps the "
-    "shuffle at vocabulary scale, not token scale.",
-)
-def text_token_entropy_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    tc = (
-        docs.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
-        .groupBy("lang", "token")
-        .agg(F.count("*").cast("bigint").alias("c"))
-    )
-    cd = F.col("c").cast("double")
-    t = F.sum("c").cast("double")
-    h = F.log2(t) - F.sum(cd * F.log2(cd)) / t
-    return tc.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("vocab"),
-        F.sum("c").cast("bigint").alias("n_tokens"),
-        dround(h, 6).alias("entropy_bits"),
-        dround(h / F.log2(F.count("*").cast("double")), 6).alias("entropy_norm"),
-    )
-
-
-# ------------------------------------------- per-source dataset cards
-@register(
-    "pipeline_dataset_cards",
-    oracle=f"""
-    WITH per_doc AS (
-        SELECT source, lang, text,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS toks
-        FROM documents
-    ),
-    lang_counts AS (
-        SELECT source, lang, COUNT(*) AS n
-        FROM per_doc GROUP BY source, lang
-    ),
-    top_lang AS (
-        SELECT source, lang AS top_lang,
-               {dround_sql("CAST(n AS DOUBLE) / tot", 6)} AS top_lang_frac
-        FROM (
-            SELECT source, lang, n,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY source ORDER BY n DESC, lang
-                   ) AS rk,
-                   SUM(n) OVER (PARTITION BY source) AS tot
-            FROM lang_counts
-        ) WHERE rk = 1
-    ),
-    base AS (
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(toks) AS BIGINT) AS total_tokens,
-               {dround_sql("AVG(CAST(toks AS DOUBLE))", 6)} AS avg_doc_tokens,
-               CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
-               {dround_sql("1.0 - CAST(COUNT(DISTINCT text) AS DOUBLE) / COUNT(*)", 6)} AS exact_dup_frac
-        FROM per_doc GROUP BY source
-    )
-    SELECT b.source, n_docs, total_tokens, avg_doc_tokens, n_langs,
-           top_lang, top_lang_frac, exact_dup_frac
-    FROM base b JOIN top_lang t ON b.source = t.source
-    """,
-    description="Per-source dataset card: doc/token counts, language mix "
-    "(mode language with deterministic tie-break), exact-duplicate "
-    "fraction — the summary table a corpus curator publishes per shard "
-    "source. Two agg shuffles on source grain; distinct-text counting is "
-    "the only wide state and is itself a hash agg (at 100 TB swap "
-    "COUNT(DISTINCT text) for a fingerprint-first groupBy).",
-)
-def pipeline_dataset_cards(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "source",
-        "lang",
-        "text",
-        F.size(F.split("text", " ")).cast("bigint").alias("toks"),
-    )
-    lang_counts = docs.groupBy("source", "lang").agg(F.count("*").alias("n"))
-    wrk = Window.partitionBy("source").orderBy(F.desc("n"), F.asc("lang"))
-    wsrc = Window.partitionBy("source")
-    top_lang = (
-        lang_counts.withColumn("rk", F.row_number().over(wrk))
-        .withColumn("tot", F.sum("n").over(wsrc))
-        .filter(F.col("rk") == 1)
-        .select(
-            "source",
-            F.col("lang").alias("top_lang"),
-            dround(F.col("n").cast("double") / F.col("tot"), 6).alias(
-                "top_lang_frac"
-            ),
-        )
-    )
-    base = docs.groupBy("source").agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        F.sum("toks").cast("bigint").alias("total_tokens"),
-        dround(F.avg(F.col("toks").cast("double")), 6).alias("avg_doc_tokens"),
-        F.countDistinct("lang").cast("bigint").alias("n_langs"),
-        dround(
-            F.lit(1.0) - F.countDistinct("text").cast("double") / F.count("*"),
-            6,
-        ).alias("exact_dup_frac"),
-    )
-    return base.join(top_lang, "source").select(
-        "source",
-        "n_docs",
-        "total_tokens",
-        "avg_doc_tokens",
-        "n_langs",
-        "top_lang",
-        "top_lang_frac",
-        "exact_dup_frac",
-    )
-
-
-# ------------------------------------------- RAKE keyword extraction
-_RAKE_STOP_RE = r"\b(?:the|a|of|and|to|in|is|it)\b"
-
-
-@register(
-    "text_rake_keywords",
-    oracle=f"""
-    WITH phrases AS (
-        SELECT doc_id, trim(p) AS phrase
-        FROM documents,
-             UNNEST(string_split_regex(lower(text), '{_RAKE_STOP_RE}')) AS u(p)
-        WHERE trim(p) <> ''
-    ),
-    pw AS (
-        SELECT phrase,
-               len(list_filter(string_split(phrase, ' '), x -> x <> ''))
-                   AS plen,
-               unnest(list_filter(string_split(phrase, ' '), x -> x <> ''))
-                   AS word
-        FROM phrases
-    ),
-    scores AS (
-        SELECT word,
-               CAST(COUNT(*) AS BIGINT) AS freq,
-               CAST(SUM(plen) AS BIGINT) AS degree,
-               {dround_sql("CAST(SUM(plen) AS DOUBLE) / COUNT(*)", 6)} AS score
-        FROM pw GROUP BY word
-    )
-    SELECT word, freq, degree, score
-    FROM scores
-    ORDER BY score DESC, word
-    LIMIT 20
-    """,
-    description="RAKE keyword extraction: phrases are maximal stopword-free "
-    "runs (regex split), word degree = sum of containing-phrase lengths, "
-    "score = degree/freq, global top-20 with a total-order tie-break. "
-    "Explode + one hash agg at vocabulary grain; top-k is a "
-    "TakeOrdered over the aggregate, never a global sort of the corpus.",
-)
-def text_rake_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    phrases = docs.select(
-        "doc_id",
-        F.explode(F.split(F.lower("text"), _RAKE_STOP_RE)).alias("p"),
-    ).select("doc_id", F.trim("p").alias("phrase")).filter(F.col("phrase") != "")
-    words = F.filter(F.split("phrase", " "), lambda x: x != "")
-    pw = phrases.select(
-        F.size(words).alias("plen"), F.explode(words).alias("word")
-    )
-    scores = pw.groupBy("word").agg(
-        F.count("*").cast("bigint").alias("freq"),
-        F.sum("plen").cast("bigint").alias("degree"),
-        dround(F.sum("plen").cast("double") / F.count("*"), 6).alias("score"),
-    )
-    return scores.orderBy(F.desc("score"), F.asc("word")).limit(20)
-
-
-# ------------------------------------------- ridge regression (normal eq)
-@register(
-    "stats_ridge_regression_normal_eq",
-    oracle=f"""
-    WITH m AS (
-        SELECT AVG(l_quantity) AS x1b, AVG(l_discount) AS x2b,
-               AVG(l_extendedprice) AS yb,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM lineitem
-    ),
-    s AS (
-        SELECT n, x1b, x2b, yb,
-               SUM((l_quantity - x1b) * (l_quantity - x1b)) AS s11,
-               SUM((l_quantity - x1b) * (l_discount - x2b)) AS s12,
-               SUM((l_discount - x2b) * (l_discount - x2b)) AS s22,
-               SUM((l_quantity - x1b) * (l_extendedprice - yb)) AS s1y,
-               SUM((l_discount - x2b) * (l_extendedprice - yb)) AS s2y
-        FROM lineitem, m
-        GROUP BY n, x1b, x2b, yb
-    ),
-    solved AS (
-        SELECT n, x1b, x2b, yb, s11, s12, s22, s1y, s2y,
-               0.01 * n AS lam,
-               (s11 + 0.01 * n) * (s22 + 0.01 * n) - s12 * s12 AS det
-        FROM s
-    )
-    SELECT n,
-           {dround_sql("(s1y * (s22 + lam) - s2y * s12) / det", 6)} AS beta_quantity,
-           {dround_sql("((s11 + lam) * s2y - s12 * s1y) / det", 6)} AS beta_discount,
-           {dround_sql("yb - ((s1y * (s22 + lam) - s2y * s12) / det) * x1b - (((s11 + lam) * s2y - s12 * s1y) / det) * x2b", 4)} AS intercept
-    FROM solved
-    """,
-    description="Ridge regression extendedprice ~ quantity + discount via "
-    "distributed normal equations: two map-reduce passes (means, then "
-    "centered cross-products — centering avoids catastrophic cancellation "
-    "in SUM(xy) - n*xbar*ybar) and a closed-form 2x2 solve with lambda = "
-    "0.01n on the slope diagonal. The 'matrix' never leaves the plan: "
-    "at any scale the solve is a 1-row expression.",
-)
-def stats_ridge_regression_normal_eq(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_quantity", "l_discount", "l_extendedprice"
-    )
-    m = li.agg(
-        F.avg("l_quantity").alias("x1b"),
-        F.avg("l_discount").alias("x2b"),
-        F.avg("l_extendedprice").alias("yb"),
-        F.count("*").cast("bigint").alias("n"),
-    )
-    c1 = F.col("l_quantity") - F.col("x1b")
-    c2 = F.col("l_discount") - F.col("x2b")
-    cy = F.col("l_extendedprice") - F.col("yb")
-    s = (
-        li.crossJoin(F.broadcast(m))
-        .groupBy("n", "x1b", "x2b", "yb")
-        .agg(
-            F.sum(c1 * c1).alias("s11"),
-            F.sum(c1 * c2).alias("s12"),
-            F.sum(c2 * c2).alias("s22"),
-            F.sum(c1 * cy).alias("s1y"),
-            F.sum(c2 * cy).alias("s2y"),
-        )
-    )
-    lam = 0.01 * F.col("n")
-    det = (F.col("s11") + lam) * (F.col("s22") + lam) - F.col("s12") ** 2
-    b1 = (F.col("s1y") * (F.col("s22") + lam) - F.col("s2y") * F.col("s12")) / det
-    b2 = ((F.col("s11") + lam) * F.col("s2y") - F.col("s12") * F.col("s1y")) / det
-    return s.select(
-        "n",
-        dround(b1, 6).alias("beta_quantity"),
-        dround(b2, 6).alias("beta_discount"),
-        dround(
-            F.col("yb") - b1 * F.col("x1b") - b2 * F.col("x2b"), 4
-        ).alias("intercept"),
-    )
-
-
-# ------------------------------------------- n-gram novelty scoring
-@register(
-    "text_ngram_novelty_rate",
-    oracle=f"""
-    WITH docs AS (SELECT doc_id, text FROM documents),
-    {_SHINGLES_SQL.strip().rstrip()},
-    totals AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles
-        FROM shingles GROUP BY doc_id
-    ),
-    novel AS (
-        SELECT first_doc AS doc_id, CAST(COUNT(*) AS BIGINT) AS novel
-        FROM (SELECT MIN(doc_id) AS first_doc FROM shingles GROUP BY shingle)
-        GROUP BY first_doc
-    )
-    SELECT t.doc_id, t.n_shingles,
-           CAST(COALESCE(n.novel, 0) AS BIGINT) AS novel,
-           {dround_sql("CAST(COALESCE(n.novel, 0) AS DOUBLE) / t.n_shingles", 6)} AS novelty
-    FROM totals t LEFT JOIN novel n ON n.doc_id = t.doc_id
-    """,
-    description="Per-document n-gram novelty: fraction of a doc's distinct "
-    "3-word shingles whose global first occurrence (min doc_id) is this "
-    "doc — the incremental-information score used for dedup-aware corpus "
-    "ordering. One shingle-grain groupBy plus an equi-join back; shingle "
-    "attribution shuffles once on the shingle key, never self-joins docs.",
-)
-def text_ngram_novelty_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id", F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle")
-    ).localCheckpoint()  # the explode feeds two aggregations; pay it once
-    totals = sh.groupBy("doc_id").agg(
-        F.count("*").cast("bigint").alias("n_shingles")
-    )
-    # two-level aggregation instead of joining firsts back on the (wide)
-    # shingle key: shingle->min(doc), then min_doc->count. The second
-    # shuffle is doc-grain, ~100x narrower than the shingle join-back.
-    novel = (
-        sh.groupBy("shingle")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .groupBy("doc_id")
-        .agg(F.count("*").cast("bigint").alias("novel"))
-    )
-    return totals.join(novel, "doc_id", "left").select(
-        "doc_id",
-        "n_shingles",
-        F.coalesce("novel", F.lit(0)).cast("bigint").alias("novel"),
-        dround(
-            F.coalesce("novel", F.lit(0)).cast("double")
-            / F.col("n_shingles"),
-            6,
-        ).alias("novelty"),
-    )
-
-
-# ------------------------------------------- IVF recall harness
-def _ivf_recall_oracle() -> str:
-    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
-    return f"""
-    WITH centroids AS (
-        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
-        WHERE vec_id IN ({ids})
-    ),
-    member AS (
-        SELECT vec_id, embedding, cid FROM (
-            SELECT e.vec_id, e.embedding, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY e.vec_id
-                       ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
-                                c.cid) AS rn
-            FROM embeddings e CROSS JOIN centroids c
-        ) WHERE rn = 1
-    ),
-    q AS (
-        SELECT vec_id AS qid, embedding AS qv FROM embeddings
-        WHERE vec_id < 10
-    ),
-    qprobe AS (
-        SELECT qid, cid FROM (
-            SELECT q.qid, c.cid,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.qid
-                       ORDER BY {_cos_sql('q.qv', 'c.cvec')} DESC, c.cid
-                   ) AS prn
-            FROM q CROSS JOIN centroids c
-        ) WHERE prn <= 2
-    ),
-    exact5 AS (
-        SELECT qid, vec_id FROM (
-            SELECT q.qid, e.vec_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.qid
-                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
-                                e.vec_id) AS rn
-            FROM embeddings e, q WHERE e.vec_id <> q.qid
-        ) WHERE rn <= 5
-    ),
-    ivf5 AS (
-        SELECT qid, vec_id FROM (
-            SELECT q.qid, m.vec_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.qid
-                       ORDER BY ROUND({_cos_sql("m.embedding", "q.qv")}, 6) DESC,
-                                m.vec_id) AS rn
-            FROM member m
-            JOIN qprobe p ON m.cid = p.cid
-            JOIN q ON q.qid = p.qid AND m.vec_id <> q.qid
-        ) WHERE rn <= 5
-    ),
-    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
-    agg_i AS (SELECT qid, COUNT(*) AS n_ivf FROM ivf5 GROUP BY qid),
-    agg_o AS (
-        SELECT e.qid, COUNT(*) AS n_overlap
-        FROM exact5 e JOIN ivf5 i ON i.qid = e.qid AND i.vec_id = e.vec_id
-        GROUP BY e.qid
-    )
-    SELECT a.qid AS query_id,
-           CAST(a.n_exact AS BIGINT) AS n_exact,
-           CAST(COALESCE(b.n_ivf, 0) AS BIGINT) AS n_ivf,
-           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
-           CAST(ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
-                / a.n_exact, 6) AS DOUBLE) AS recall_at_5
-    FROM agg_e a
-    LEFT JOIN agg_i b ON b.qid = a.qid
-    LEFT JOIN agg_o o ON o.qid = a.qid
-    """
-
-
-@register(
-    "similarity_recall_ivf_at5",
-    oracle=_ivf_recall_oracle(),
-    description="ANN quality harness for the IVF index: recall@5 vs exact "
-    "brute-force cosine over the same 10-query panel as the LSH harness "
-    "(nprobe=2 of 8 deterministic centroids). Probe selection is a "
-    "DataFrame-side window over the panel x centroid cross (80 rows), so "
-    "the multi-query variant needs no driver loop; list membership joins "
-    "prune the scan exactly as a cid-partitioned layout would at scale.",
-)
-def similarity_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    member = S.ivf_assign(emb, _IVF_CENTROID_IDS)
-    centroids = emb.filter(F.col("vec_id").isin(_IVF_CENTROID_IDS)).select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
-    )
-    q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
-    )
-    wp = Window.partitionBy("qid").orderBy(
-        F.desc("c_sim"), F.asc("cid")
-    )
-    qprobe = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", S.cosine(F.col("qv"), F.col("cvec")))
-        .withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= 2)
-        .select("qid", "cid")
-    )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    exact5 = (
-        emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias(
-                "score"
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
-    ivf5 = (
-        member.join(F.broadcast(qprobe), "cid")
-        .join(F.broadcast(q), "qid")
-        .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias(
-                "score"
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
-    agg_e = exact5.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_exact")
-    )
-    agg_i = ivf5.groupBy("qid").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_ivf")
-    )
-    agg_o = (
-        exact5.join(ivf5, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
-    )
-    return (
-        agg_e.join(agg_i, "qid", "left")
-        .join(agg_o, "qid", "left")
-        .select(
-            F.col("qid").alias("query_id"),
-            "n_exact",
-            F.coalesce("n_ivf", F.lit(0)).cast("bigint").alias("n_ivf"),
-            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias(
-                "n_overlap"
-            ),
-            F.round(
-                F.coalesce("n_overlap", F.lit(0)).cast("double")
-                / F.col("n_exact"),
-                6,
-            ).alias("recall_at_5"),
-        )
-    )
-
-
-# ------------------------------------------- tokenizer vocab coverage
-@register(
-    "pipeline_tokenizer_vocab_coverage",
-    oracle=f"""
-    WITH train_toks AS (
-        SELECT unnest(string_split(text, ' ')) AS token
-        FROM documents WHERE doc_id % 2 = 0
-    ),
-    vocab AS (
-        SELECT token FROM (
-            SELECT token, COUNT(*) AS c,
-                   ROW_NUMBER() OVER (ORDER BY COUNT(*) DESC, token) AS rk
-            FROM train_toks GROUP BY token
-        ) WHERE rk <= 1000
-    ),
-    held AS (
-        SELECT lang, unnest(string_split(text, ' ')) AS token
-        FROM documents WHERE doc_id % 2 = 1
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END)
-                AS BIGINT) AS covered,
-           {dround_sql("CAST(SUM(CASE WHEN v.token IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)", 6)} AS coverage
-    FROM held h LEFT JOIN vocab v ON h.token = v.token
-    GROUP BY lang
-    """,
-    description="Tokenizer vocab coverage / OOV audit: build a top-1000 "
-    "token vocabulary on even doc_ids, measure per-language token "
-    "coverage on the held-out odd half — the go/no-go check before "
-    "freezing a tokenizer for a multilingual corpus. Vocab is a "
-    "vocab-grain TakeOrdered; coverage is a broadcast hash join of the "
-    "tiny vocab against the held-out token stream.",
-)
-def pipeline_tokenizer_vocab_coverage(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    train = docs.filter(F.col("doc_id") % 2 == 0).select(
-        F.explode(F.split("text", " ")).alias("token")
-    )
-    vocab = (
-        train.groupBy("token")
-        .agg(F.count("*").alias("c"))
-        .orderBy(F.desc("c"), F.asc("token"))
-        .limit(1000)
-        .select("token", F.lit(1).alias("in_vocab"))
-    )
-    held = docs.filter(F.col("doc_id") % 2 == 1).select(
-        "lang", F.explode(F.split("text", " ")).alias("token")
-    )
-    j = held.join(F.broadcast(vocab), "token", "left")
-    return j.groupBy("lang").agg(
-        F.count("*").cast("bigint").alias("n_tokens"),
-        F.sum(F.coalesce("in_vocab", F.lit(0))).cast("bigint").alias(
-            "covered"
-        ),
-        dround(
-            F.sum(F.coalesce("in_vocab", F.lit(0))).cast("double")
-            / F.count("*"),
-            6,
-        ).alias("coverage"),
-    )
-
-
-# ------------------------------------------- label balance audit
-@register(
-    "quality_label_balance_embeddings",
-    oracle=f"""
-    WITH c AS (
-        SELECT label, CAST(COUNT(*) AS BIGINT) AS n
-        FROM embeddings GROUP BY label
-    ),
-    tot AS (
-        SELECT CAST(SUM(n) AS BIGINT) AS total,
-               CAST(COUNT(*) AS BIGINT) AS k
-        FROM c
-    )
-    SELECT label, n,
-           {dround_sql("CAST(n AS DOUBLE) / total", 6)} AS share,
-           {dround_sql("(n - CAST(total AS DOUBLE) / k) * (n - CAST(total AS DOUBLE) / k) / (CAST(total AS DOUBLE) / k)", 6)} AS chisq_term,
-           CAST(CASE WHEN n < 0.5 * CAST(total AS DOUBLE) / k
-                      OR n > 2.0 * CAST(total AS DOUBLE) / k
-                THEN 1 ELSE 0 END AS INT) AS imbalanced
-    FROM c, tot
-    """,
-    description="Class-balance audit of the embedding labels: per-label "
-    "share, chi-square-vs-uniform contribution, and a 2x over/under "
-    "representation flag — the check before training on a labeled "
-    "corpus. One groupBy + a 1-row broadcast of the totals.",
-)
-def quality_label_balance_embeddings(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    c = emb.groupBy("label").agg(F.count("*").cast("bigint").alias("n"))
-    tot = c.agg(
-        F.sum("n").cast("bigint").alias("total"),
-        F.count("*").cast("bigint").alias("k"),
-    )
-    exp = F.col("total").cast("double") / F.col("k")
-    return c.crossJoin(F.broadcast(tot)).select(
-        "label",
-        "n",
-        dround(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
-        dround((F.col("n") - exp) * (F.col("n") - exp) / exp, 6).alias(
-            "chisq_term"
-        ),
-        F.when((F.col("n") < 0.5 * exp) | (F.col("n") > 2.0 * exp), 1)
-        .otherwise(0)
-        .cast("int")
-        .alias("imbalanced"),
-    )
-
-
-# ------------------------------------------- dedup ground-truth eval
-def _gt_eval_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    return f"""
-    WITH {ctes},
-    pairs AS ({final}),
-    truth AS (
-        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
-        FROM documents WHERE doc_id % 20 = 0
-    ),
-    m AS (
-        SELECT
-            (SELECT COUNT(*) FROM truth) AS n_truth,
-            (SELECT COUNT(*) FROM cand) AS n_cand,
-            (SELECT COUNT(*) FROM pairs) AS n_verified,
-            (SELECT COUNT(*) FROM truth t JOIN cand c
-                ON c.id_a = t.id_a AND c.id_b = t.id_b) AS truth_in_cand,
-            (SELECT COUNT(*) FROM truth t JOIN pairs p
-                ON p.id_a = t.id_a AND p.id_b = t.id_b) AS truth_in_verified
-    )
-    SELECT CAST(n_truth AS BIGINT) AS n_truth,
-           CAST(n_cand AS BIGINT) AS n_cand,
-           CAST(n_verified AS BIGINT) AS n_verified,
-           CAST(truth_in_cand AS BIGINT) AS truth_in_cand,
-           CAST(truth_in_verified AS BIGINT) AS truth_in_verified,
-           CAST(ROUND(CAST(truth_in_cand AS DOUBLE) / n_truth, 6) AS DOUBLE)
-               AS recall_cand,
-           CAST(ROUND(CAST(truth_in_verified AS DOUBLE) / n_truth, 6)
-                AS DOUBLE) AS recall_verified
-    FROM m
-    """
-
-
-@register(
-    "dedup_ground_truth_eval",
-    oracle=_gt_eval_oracle(),
-    description="Dedup pipeline evaluation against injected ground truth: "
-    "exact copies planted at doc_id+1e6 must surface as LSH candidates "
-    "and survive Jaccard verification (identical docs share every "
-    "signature band, so candidate recall is 1.0 by construction — the "
-    "harness exists to catch regressions in banding/hashing, and the "
-    "candidate count vs truth count exposes the filter's selectivity). "
-    "Reuses the one-shingle-pass LSH machinery; metrics are scalar "
-    "aggregates over the pair tables.",
-)
-def dedup_ground_truth_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    base = _DupEvalBase(spark, sf_dir)
-    docs = base.docs
-    cand = base.cand
-    pairs = base.verified_pairs(0.5).select("id_a", "id_b")
-    truth = docs.filter(F.col("doc_id") >= 1_000_000).select(
-        (F.col("doc_id") - 1_000_000).alias("id_a"),
-        F.col("doc_id").alias("id_b"),
-        F.lit(1).alias("is_truth"),
-    )
-    # One lazy plan, zero driver-side counts: each pair table left-joins
-    # the (broadcast-small) truth set and folds to a 1-row aggregate; the
-    # three aggregates cross-join into the single result row. The old
-    # shape ran FIVE sequential driver actions (counts + join-counts) —
-    # same answer, ~2x the wall clock, and the metrics materialized on
-    # the driver instead of in the plan.
-    tb = F.broadcast(truth)
-    cand_m = cand.join(tb, ["id_a", "id_b"], "left").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_cand"),
-        F.sum(F.coalesce("is_truth", F.lit(0))).cast("bigint").alias(
-            "truth_in_cand"
-        ),
-    )
-    ver_m = pairs.join(tb, ["id_a", "id_b"], "left").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_verified"),
-        F.sum(F.coalesce("is_truth", F.lit(0))).cast("bigint").alias(
-            "truth_in_verified"
-        ),
-    )
-    truth_m = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    return (
-        truth_m.crossJoin(F.broadcast(cand_m))
-        .crossJoin(F.broadcast(ver_m))
-        .select(
-            "n_truth",
-            "n_cand",
-            "n_verified",
-            "truth_in_cand",
-            "truth_in_verified",
-            F.when(
-                F.col("n_truth") > 0,
-                F.round(
-                    F.col("truth_in_cand").cast("double")
-                    / F.col("n_truth"),
-                    6,
-                ),
-            ).alias("recall_cand"),
-            F.when(
-                F.col("n_truth") > 0,
-                F.round(
-                    F.col("truth_in_verified").cast("double")
-                    / F.col("n_truth"),
-                    6,
-                ),
-            ).alias("recall_verified"),
-        )
-    )
-
-
-# ------------------------------------------- CCNet perplexity buckets
-_LM_SCORE_SQL = """
-    toks AS (SELECT doc_id, lang, string_split(text, ' ') AS tl FROM documents),
-    bi AS (
-        SELECT doc_id, lang, tl[i] AS w1, tl[i + 1] AS w2
-        FROM toks, UNNEST(range(1, len(tl))) AS u(i)
-        WHERE len(tl) >= 2
-    ),
-    uni AS (
-        SELECT t.tok AS w, COUNT(*) AS un
-        FROM toks, UNNEST(tl) AS t(tok) GROUP BY t.tok
-    ),
-    vocab AS (SELECT COUNT(*) AS v FROM uni),
-    bn AS (SELECT w1, w2, COUNT(*) AS bn FROM bi GROUP BY w1, w2),
-    scored AS (
-        SELECT bi.doc_id, bi.lang,
-               ROUND(AVG(log2(CAST(bn.bn + 1 AS DOUBLE) / (uni.un + vocab.v))), 4)
-                   AS score
-        FROM bi
-        JOIN bn ON bn.w1 = bi.w1 AND bn.w2 = bi.w2
-        JOIN uni ON uni.w = bi.w1
-        CROSS JOIN vocab
-        GROUP BY bi.doc_id, bi.lang
-    ),
-    tiled AS (
-        SELECT doc_id, lang, score,
-               NTILE(3) OVER (
-                   PARTITION BY lang ORDER BY score DESC, doc_id
-               ) AS tile
-        FROM scored
-    )
-"""
-
-
-@register(
-    "text_perplexity_buckets_ccnet",
-    oracle=f"""
-    WITH {_LM_SCORE_SQL.strip()}
-    SELECT lang,
-           CASE tile WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
-                ELSE 'tail' END AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           {dround_sql("AVG(score)", 4)} AS avg_score
-    FROM tiled
-    GROUP BY 1, 2
-    """,
-    description="CCNet-style perplexity partitioning: per-doc bigram-LM "
-    "scores (add-one smoothing, self-trained) cut into head/middle/tail "
-    "thirds per language by NTILE over a total order, with per-bucket counts and "
-    "mean score. The standard quality-stratified sampling layout for web "
-    "corpora. Cutoffs are per-language scalars from a doc-grain "
-    "aggregate; the bucket assignment is a broadcast join back.",
-)
-def text_perplexity_buckets_ccnet(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", "lang", F.split("text", " ", -1).alias("tl"))
-    bi = (
-        toks.filter(F.size("tl") >= 2)
-        .select(
-            "doc_id",
-            "lang",
-            F.explode(
-                F.expr(
-                    "transform(sequence(1, size(tl) - 1), "
-                    "i -> struct(element_at(tl, i) AS w1, "
-                    "element_at(tl, i + 1) AS w2))"
-                )
-            ).alias("p"),
-        )
-        .select("doc_id", "lang", "p.w1", "p.w2")
-    )
-    uni = (
-        toks.select(F.explode("tl").alias("w"))
-        .groupBy("w")
-        .agg(F.count("*").alias("un"))
-    )
-    vocab = uni.agg(F.count("*").alias("v"))
-    bn = bi.groupBy("w1", "w2").agg(F.count("*").alias("bn"))
-    scored = (
-        bi.join(bn, ["w1", "w2"])
-        .join(uni, bi.w1 == uni.w)
-        .crossJoin(F.broadcast(vocab))
-        .groupBy("doc_id", "lang")
-        .agg(
-            F.round(
-                F.avg(
-                    F.log2(
-                        (F.col("bn") + 1).cast("double")
-                        / (F.col("un") + F.col("v"))
-                    )
-                ),
-                4,
-            ).alias("score")
-        )
-    )
-    # NTILE over a TOTAL order (score desc, doc_id): exact thirds with no
-    # quantile interpolation — Spark and DuckDB percentile() disagree in
-    # the 8th decimal, which flips boundary docs; tiling cannot.
-    wt = Window.partitionBy("lang").orderBy(F.desc("score"), F.asc("doc_id"))
-    tiled = scored.withColumn("tile", F.ntile(3).over(wt))
-    bucket = (
-        F.when(F.col("tile") == 1, "head")
-        .when(F.col("tile") == 2, "middle")
-        .otherwise("tail")
-    )
-    return tiled.groupBy("lang", bucket.alias("bucket")).agg(
-        F.count("*").cast("bigint").alias("n_docs"),
-        dround(F.avg("score"), 4).alias("avg_score"),
-    )
-
-
-# ------------------------------------------- PMI collocations
-@register(
-    "text_bigram_pmi_topk",
-    oracle=f"""
-    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
-    bi AS (
-        SELECT tl[i] AS w1, tl[i + 1] AS w2
-        FROM toks, UNNEST(range(1, len(tl))) AS u(i)
-        WHERE len(tl) >= 2
-    ),
-    bn AS (
-        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c
-        FROM bi GROUP BY w1, w2
-    ),
-    un AS (
-        SELECT w, CAST(SUM(c) AS BIGINT) AS u FROM (
-            SELECT w1 AS w, c FROM bn UNION ALL SELECT w2, c FROM bn
-        ) GROUP BY w
-    ),
-    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS t FROM bn)
-    SELECT w1, w2, c,
-           {dround_sql("log2(CAST(c AS DOUBLE) * t / (CAST(u1.u AS DOUBLE) * u2.u))", 6)} AS pmi
-    FROM bn
-    JOIN un u1 ON u1.w = bn.w1
-    JOIN un u2 ON u2.w = bn.w2
-    CROSS JOIN tot
-    WHERE c >= 5
-    ORDER BY pmi DESC, w1, w2
-    LIMIT 20
-    """,
-    description="PMI collocation mining: top-20 bigrams by pointwise "
-    "mutual information (log2 c*T / u1*u2, unigram mass from bigram "
-    "position counts), min support 5, total-order tie-break. Counts "
-    "build with map-side combine; the PMI join touches only the "
-    "vocabulary-grain aggregates — the classic keyphrase primitive.",
-)
-def text_bigram_pmi_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(F.split("text", " ", -1).alias("tl"))
-    bi = toks.filter(F.size("tl") >= 2).select(
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(tl) - 1), "
-                "i -> struct(element_at(tl, i) AS w1, "
-                "element_at(tl, i + 1) AS w2))"
-            )
-        ).alias("p")
-    ).select("p.w1", "p.w2")
-    bn = bi.groupBy("w1", "w2").agg(F.count("*").cast("bigint").alias("c"))
-    un = (
-        bn.select(F.col("w1").alias("w"), "c")
-        .unionAll(bn.select(F.col("w2").alias("w"), "c"))
-        .groupBy("w")
-        .agg(F.sum("c").cast("bigint").alias("u"))
-    )
-    tot = bn.agg(F.sum("c").cast("bigint").alias("t"))
-    u1 = un.select(F.col("w").alias("w1"), F.col("u").alias("u1"))
-    u2 = un.select(F.col("w").alias("w2"), F.col("u").alias("u2"))
-    pmi = F.log2(
-        F.col("c").cast("double") * F.col("t")
-        / (F.col("u1").cast("double") * F.col("u2"))
-    )
-    return (
-        bn.filter(F.col("c") >= 5)
-        .join(u1, "w1")
-        .join(u2, "w2")
-        .crossJoin(F.broadcast(tot))
-        .select("w1", "w2", "c", dround(pmi, 6).alias("pmi"))
-        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
-        .limit(20)
-    )
-
-
-# ---------------------------------------- round 5: corpus-mixing diagnostics
-@register(
-    "text_unigram_kl_by_source",
-    oracle="""
-    WITH tok AS (
-        SELECT source, unnest(string_split(text, ' ')) AS w FROM documents
-    ),
-    c AS (
-        SELECT source, w, COUNT(*) AS n_sw FROM tok WHERE w <> ''
-        GROUP BY source, w
-    ),
-    s AS (
-        SELECT source, SUM(n_sw) AS t_s, COUNT(*) AS vocab FROM c
-        GROUP BY source
-    ),
-    g AS (SELECT w, SUM(n_sw) AS n_w FROM c GROUP BY w),
-    tot AS (SELECT SUM(n_sw) AS n FROM c)
-    SELECT c.source,
-           CAST(s.t_s AS BIGINT) AS n_tokens,
-           CAST(s.vocab AS BIGINT) AS vocab,
-           ROUND(SUM((CAST(n_sw AS DOUBLE) / t_s)
-                     * ln((CAST(n_sw AS DOUBLE) / t_s)
-                          / (CAST(n_w AS DOUBLE) / n))), 6) AS kl_vs_corpus
-    FROM c JOIN s USING (source) JOIN g USING (w) CROSS JOIN tot
-    GROUP BY c.source, s.t_s, s.vocab
-    """,
-    description="Per-source unigram KL divergence vs the corpus "
-    "distribution — the data-mixing drift diagnostic (which sources are "
-    "lexically off-distribution, e.g. code vs prose vs boilerplate "
-    "farms). One tokenize + one (source, token) count shuffle; "
-    "per-source totals and per-token corpus totals come from "
-    "partitioned windows over that count table (token-grain, never "
-    "row-grain), the scalar corpus total broadcasts. Support(p_source) "
-    "is a subset of support(p_corpus) by construction, so the KL needs "
-    "no smoothing. At 100 TB the count table is |sources| x |vocab| — "
-    "the windows stay partitioned on real keys; nothing "
-    "single-partitions.",
-)
-def text_unigram_kl_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    c = tok.groupBy("source", "w").agg(F.count(F.lit(1)).alias("n_sw"))
-    ws = Window.partitionBy("source")
-    wg = Window.partitionBy("w")
-    tot = c.agg(F.sum("n_sw").alias("n"))
-    j = (
-        c.withColumn("t_s", F.sum("n_sw").over(ws))
-        .withColumn("vocab", F.count(F.lit(1)).over(ws))
-        .withColumn("n_w", F.sum("n_sw").over(wg))
-        .crossJoin(F.broadcast(tot))
-    )
-    p = F.col("n_sw").cast("double") / F.col("t_s")
-    q = F.col("n_w").cast("double") / F.col("n")
-    return j.groupBy("source").agg(
-        F.first("t_s").cast("bigint").alias("n_tokens"),
-        F.first("vocab").cast("bigint").alias("vocab"),
-        dround(F.sum(p * F.log(p / q)), 6).alias("kl_vs_corpus"),
-    )
-
-
-@register(
-    "quality_dup_cluster_size_distribution",
-    oracle="WITH "
-    + _DOCS_DUPS_SQL.format(mod=10)
-    + """,
-    clusters AS (
-        SELECT md5(text) AS h, COUNT(*) AS n_copies FROM docs GROUP BY md5(text)
-    ),
-    tot AS (SELECT SUM(n_copies) AS n_docs_total FROM clusters)
-    SELECT CAST(n_copies AS BIGINT) AS n_copies,
-           CAST(COUNT(*) AS BIGINT) AS n_clusters,
-           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
-           CAST(SUM(n_copies - 1) AS BIGINT) AS redundant_docs,
-           ROUND(CAST(SUM(n_copies - 1) AS DOUBLE) / tot.n_docs_total, 6)
-               AS redundant_share
-    FROM clusters CROSS JOIN tot
-    GROUP BY n_copies, tot.n_docs_total
-    """,
-    description="Duplicate-cluster size distribution over the exact-dedup "
-    "clustering: how many content clusters exist at each copy count, how "
-    "many documents they hold, and what share of the corpus is redundant "
-    "at that multiplicity — the dedup diagnostic that distinguishes 'a "
-    "few viral boilerplate pages copied 10^6 times' from 'long tail of "
-    "double-posts', which drive opposite curation responses. Two "
-    "aggregations (content-hash grain, then cluster-size grain — "
-    "monotonically tiny) plus a broadcast scalar total.",
-)
-def quality_dup_cluster_size_distribution(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    clusters = (
-        _docs_with_dups(spark, sf_dir, 10)
-        .groupBy(F.md5("text").alias("h"))
-        .agg(F.count(F.lit(1)).alias("n_copies"))
-    )
-    tot = clusters.agg(F.sum("n_copies").alias("n_docs_total"))
-    return (
-        clusters.crossJoin(F.broadcast(tot))
-        .groupBy(F.col("n_copies").cast("bigint").alias("n_copies"))
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
-            F.sum("n_copies").cast("bigint").alias("n_docs"),
-            F.sum(F.col("n_copies") - 1).cast("bigint").alias("redundant_docs"),
-            dround(
-                F.sum(F.col("n_copies") - 1).cast("double")
-                / F.first("n_docs_total"),
-                6,
-            ).alias("redundant_share"),
-        )
-    )
-
-
-@register(
-    "dedup_cross_source_overlap",
-    oracle="""
-    WITH toks AS (
-        SELECT source, string_split(text, ' ') AS t FROM documents
-    ),
-    shingles AS (
-        SELECT DISTINCT source,
-               array_to_string(t[i:i+2], chr(31)) AS shingle
-        FROM toks, UNNEST(range(1, greatest(len(t) - 2, 1) + 1)) AS u(i)
-        WHERE len(t) >= 3
-        UNION
-        SELECT DISTINCT source, array_to_string(t, chr(31)) AS shingle
-        FROM toks WHERE len(t) < 3
-    ),
-    sizes AS (SELECT source, COUNT(*) AS sz FROM shingles GROUP BY source),
-    inter AS (
-        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_shared
-        FROM shingles a JOIN shingles b
-          ON a.shingle = b.shingle AND a.source < b.source
-        GROUP BY a.source, b.source
-    )
-    SELECT source_a, source_b, CAST(n_shared AS BIGINT) AS n_shared,
-           ROUND(CAST(n_shared AS DOUBLE)
-                 / (sa.sz + sb.sz - n_shared), 6) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.source = source_a
-    JOIN sizes sb ON sb.source = source_b
-    """,
-    description="Cross-source contamination matrix: 3-gram-shingle "
-    "Jaccard between every pair of corpus sources — the diagnostic for "
-    "'how much of source X is already inside source Y' (CommonCrawl vs "
-    "curated-web overlap, mirror detection, licensing double-counting). "
-    "Shingle sets are per-SOURCE (array_distinct per doc, distinct "
-    "again per source), the pair join is keyed on the shared shingle so "
-    "candidates are bounded by shingle co-occurrence — never a "
-    "|sources|^2 x |vocab| blow-up — and the output is "
-    "|sources| choose 2 rows. Same plan measures train/eval split "
-    "contamination when 'source' is the split label.",
-)
-def dedup_cross_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    sh = (
-        docs.repartition(docs.sparkSession.sparkContext.defaultParallelism)
-        .select(
-            "source", F.explode(D.word_shingles(F.col("text"), 3)).alias("shingle")
-        )
-        .distinct()
-        .persist()
-    )
-    sizes = sh.groupBy("source").agg(F.count(F.lit(1)).alias("sz"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
-    )
-    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("sz_b"))
-    return (
-        inter.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_shared",
-            dround(
-                F.col("n_shared").cast("double")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_shared")),
-                6,
-            ).alias("jaccard"),
-        )
-    )
-
-
-@register(
-    "text_tokenizer_fertility_by_lang",
-    oracle=f"""
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_words,
-           CAST(SUM(len(regexp_extract_all(text, '{_PRETOKEN_RE}')))
-               AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(length(text)) AS DOUBLE)
-                 / SUM(len(regexp_extract_all(text, '{_PRETOKEN_RE}'))), 4)
-               AS chars_per_token,
-           ROUND(CAST(SUM(len(regexp_extract_all(text, '{_PRETOKEN_RE}')))
-                      AS DOUBLE)
-                 / SUM(len(string_split(text, ' '))), 4) AS tokens_per_word
-    FROM documents
-    GROUP BY lang
-    """,
-    description="Tokenizer fertility by language: corpus-level "
-    "chars-per-token and tokens-per-word under the BPE-ish "
-    "pre-tokenizer — the cost model behind multilingual token budgets "
-    "(a language at 2x fertility pays 2x context length and 2x compute "
-    "for the same text; the metric that drives vocab-allocation and "
-    "per-language sampling decisions). Narrow single-pass scan-agg: "
-    "token counts are computed per row with regexp_extract_all and "
-    "summed lang-wise — no explode, no shuffle beyond the |langs|-group "
-    "final merge. Complements pipeline_tokenizer_vocab_coverage (OOV "
-    "rate) with the length-inflation axis.",
-)
-def text_tokenizer_fertility_by_lang(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    n_words = F.size(F.split(F.col("text"), " ", -1))
-    n_toks = F.size(F.regexp_extract_all(F.col("text"), F.lit(_PRETOKEN_RE), 0))
-    return docs.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(n_words).cast("bigint").alias("n_words"),
-        F.sum(n_toks).cast("bigint").alias("n_tokens"),
-        dround(
-            F.sum(F.length("text")).cast("double") / F.sum(n_toks), 4
-        ).alias("chars_per_token"),
-        dround(F.sum(n_toks).cast("double") / F.sum(n_words), 4).alias(
-            "tokens_per_word"
-        ),
-    )
-
-
-@register(
-    "pipeline_packing_efficiency_curve",
-    oracle="""
-    WITH lens AS (
-        SELECT doc_id,
-               least(len(regexp_extract_all(text,
-                     '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')), 512) AS n
-        FROM documents
-    ),
-    tiled AS (
-        SELECT doc_id, n,
-               NTILE(1) OVER (ORDER BY n, doc_id) AS k1,
-               NTILE(2) OVER (ORDER BY n, doc_id) AS k2,
-               NTILE(4) OVER (ORDER BY n, doc_id) AS k4,
-               NTILE(8) OVER (ORDER BY n, doc_id) AS k8
-        FROM lens
-    ),
-    unp AS (
-        SELECT 1 AS n_buckets, k1 AS b, n FROM tiled
-        UNION ALL SELECT 2, k2, n FROM tiled
-        UNION ALL SELECT 4, k4, n FROM tiled
-        UNION ALL SELECT 8, k8, n FROM tiled
-    ),
-    bucketed AS (
-        SELECT n_buckets, b, MAX(n) AS pad_to, SUM(n) AS toks, COUNT(*) AS docs
-        FROM unp GROUP BY n_buckets, b
-    )
-    SELECT CAST(n_buckets AS INT) AS n_buckets,
-           CAST(SUM(toks) AS BIGINT) AS real_tokens,
-           CAST(SUM(CAST(pad_to AS BIGINT) * docs) AS BIGINT) AS padded_tokens,
-           ROUND(1.0 - CAST(SUM(toks) AS DOUBLE)
-                       / SUM(CAST(pad_to AS BIGINT) * docs), 6) AS waste_ratio
-    FROM bucketed
-    GROUP BY n_buckets
-    """,
-    description="Length-bucketed padding-waste curve: documents (capped "
-    "at a 512-token context) are split into 1/2/4/8 length-quantile "
-    "buckets and padded to each bucket's max length — the curve "
-    "quantifies how much compute naive fixed-length batching burns on "
-    "pad tokens and how fast sorted bucketing reclaims it (the "
-    "bucketed-batching / sequence-packing tradeoff every trainer "
-    "tunes; compare pipeline_sequence_packing, which eliminates the "
-    "waste entirely by first-fit packing). All four NTILE assignments "
-    "ride ONE window pass over the doc-length projection (doc-grain, "
-    "tiebroken on doc_id for cross-engine determinism), then one "
-    "bucket-grain and one curve-grain aggregate. At 1e9+ docs the "
-    "quantile cuts come from a binned length histogram instead of "
-    "NTILE (length <= context cap makes the bins exact).",
-)
-def pipeline_packing_efficiency_curve(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    n = F.least(
-        F.size(F.regexp_extract_all(F.col("text"), F.lit(_PRETOKEN_RE), 0)),
-        F.lit(512),
-    )
-    lens = docs.select("doc_id", n.alias("n"))
-    w = Window.orderBy("n", "doc_id")
-    tiled = lens.select(
-        "n",
-        F.ntile(1).over(w).alias("k1"),
-        F.ntile(2).over(w).alias("k2"),
-        F.ntile(4).over(w).alias("k4"),
-        F.ntile(8).over(w).alias("k8"),
-    )
-    unp = None
-    for kb in (1, 2, 4, 8):
-        part = tiled.select(
-            F.lit(kb).alias("n_buckets"), F.col(f"k{kb}").alias("b"), "n"
-        )
-        unp = part if unp is None else unp.unionAll(part)
-    bucketed = unp.groupBy("n_buckets", "b").agg(
-        F.max("n").alias("pad_to"),
-        F.sum("n").alias("toks"),
-        F.count(F.lit(1)).alias("docs"),
-    )
-    return (
-        bucketed.groupBy(F.col("n_buckets").cast("int").alias("n_buckets"))
-        .agg(
-            F.sum("toks").cast("bigint").alias("real_tokens"),
-            F.sum(F.col("pad_to") * F.col("docs"))
-            .cast("bigint")
-            .alias("padded_tokens"),
-            dround(
-                1.0
-                - F.sum("toks").cast("double")
-                / F.sum(F.col("pad_to") * F.col("docs")),
-                6,
-            ).alias("waste_ratio"),
-        )
-    )
-
-
-# =============================================================== round 7
-# Winnowing fingerprints, threshold-sweep PR, shard leakage, script audit,
-# and a DoReMi-style mixture reweighting step — all pure DataFrame plans.
-
-_WINNOW_K = 4  # word k-gram length
-_WINNOW_W = 4  # winnowing window (k-grams per window)
-_WINNOW_CAP = 50  # drop fingerprints shared by more docs (boilerplate)
-
-
-def _winnow_oracle() -> str:
-    k, w, cap = _WINNOW_K, _WINNOW_W, _WINNOW_CAP
-    return (
-        "WITH "
-        + _DOCS_DUPS_SQL.format(mod=25)
-        + f""",
-    toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM docs),
-    kg AS (
-        SELECT doc_id, i,
-               {_H48.format(c=f"array_to_string(tl[i:i+{k - 1}], chr(31))")} AS h
-        FROM toks, UNNEST(range(1, len(tl) - {k} + 2)) AS u(i)
-        WHERE len(tl) >= {k}
-    ),
-    win AS (
-        SELECT doc_id, i,
-               MIN(h) OVER (PARTITION BY doc_id ORDER BY i
-                            ROWS BETWEEN CURRENT ROW AND {w - 1} FOLLOWING)
-                   AS fp,
-               COUNT(*) OVER (PARTITION BY doc_id) AS m
-        FROM kg
-    ),
-    fps AS (
-        SELECT DISTINCT doc_id, fp FROM win
-        WHERE i <= greatest(m - {w} + 1, 1)
-    ),
-    keepfp AS (SELECT fp FROM fps GROUP BY fp HAVING COUNT(*) <= {cap}),
-    ffps AS (SELECT f.doc_id, f.fp FROM fps f JOIN keepfp USING (fp)),
-    nf AS (SELECT doc_id, COUNT(*) AS nfp FROM ffps GROUP BY doc_id),
-    shared AS (
-        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
-        FROM ffps a JOIN ffps b ON a.fp = b.fp AND a.doc_id < b.doc_id
-        GROUP BY 1, 2
-        HAVING COUNT(*) >= 2
-    )
-    SELECT id_a, id_b, CAST(n_shared AS BIGINT) AS n_shared,
-           {dround_sql("CAST(n_shared AS DOUBLE) / least(na.nfp, nb.nfp)", 6)}
-               AS overlap
-    FROM shared
-    JOIN nf na ON na.doc_id = id_a
-    JOIN nf nb ON nb.doc_id = id_b
-    """
-    )
-
-
-@register(
-    "dedup_winnowing_fingerprints",
-    oracle=_winnow_oracle(),
-    description="Winnowing document fingerprints (Schleimer et al., "
-    "SIGMOD'03 — the MOSS algorithm): hash word 4-grams, slide a "
-    "4-hash window per doc and keep each window's minimum, giving a "
-    "~1/w-density fingerprint set with the guarantee that any shared "
-    "run of >= w+k-1 words yields a shared fingerprint. Candidate "
-    "pairs = docs sharing >= 2 fingerprints (equi-join on the "
-    "fingerprint hash — never all-pairs); ubiquitous fingerprints "
-    "(> 50 docs, boilerplate) are dropped before the join, exactly the "
-    "frequency cap MOSS applies, so no bucket goes quadratic at scale. "
-    "Complements dedup_span_duplication (all overlapping 8-gram "
-    "hashes): winnowing keeps 1/w of the positions, which is the "
-    "storage/shuffle budget that makes fingerprint dedup feasible at "
-    "100 TB.",
-)
-def dedup_winnowing_fingerprints(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    k, w, cap = _WINNOW_K, _WINNOW_W, _WINNOW_CAP
-    sep = "\x1f"
-    docs = _docs_with_dups(spark, sf_dir, 25)
-    base = docs.select(
-        "doc_id", F.split(F.col("text"), " ").alias("tl")
-    ).filter(F.size("tl") >= k)
-    kg = base.select(
-        "doc_id",
-        F.explode(F.sequence(F.lit(1), F.size("tl") - k + 1)).alias("i"),
-        F.col("tl"),
-    ).select(
-        "doc_id",
-        "i",
-        D.token_hash48(
-            F.concat_ws(sep, F.slice(F.col("tl"), F.col("i"), k))
-        ).alias("h"),
-    )
-    per_doc = Window.partitionBy("doc_id")
-    win = (
-        Window.partitionBy("doc_id")
-        .orderBy("i")
-        .rowsBetween(Window.currentRow, w - 1)
-    )
-    fps = (
-        kg.withColumn("fp", F.min("h").over(win))
-        .withColumn("m", F.count(F.lit(1)).over(per_doc))
-        .filter(F.col("i") <= F.greatest(F.col("m") - w + 1, F.lit(1)))
-        .select("doc_id", "fp")
-        .distinct()
-    )
-    keep = (
-        fps.groupBy("fp")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .filter(F.col("n_docs") <= cap)
-        .select("fp")
-    )
-    ffps = fps.join(keep, "fp")
-    nf = ffps.groupBy("doc_id").agg(F.count(F.lit(1)).alias("nfp"))
-    a, b = ffps.alias("a"), ffps.alias("b")
-    shared = (
-        a.join(
-            b,
-            (F.col("a.fp") == F.col("b.fp"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .groupBy(
-            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_shared"))
-        .filter(F.col("n_shared") >= 2)
-    )
-    na = nf.select(F.col("doc_id").alias("id_a"), F.col("nfp").alias("nfp_a"))
-    nb = nf.select(F.col("doc_id").alias("id_b"), F.col("nfp").alias("nfp_b"))
-    return (
-        shared.join(na, "id_a")
-        .join(nb, "id_b")
-        .select(
-            "id_a",
-            "id_b",
-            F.col("n_shared").cast("bigint").alias("n_shared"),
-            dround(
-                F.col("n_shared").cast("double")
-                / F.least("nfp_a", "nfp_b"),
-                6,
-            ).alias("overlap"),
-        )
-    )
-
-
-_SWEEP_THRESHOLDS = [0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]
-
-
-def _threshold_sweep_oracle() -> str:
-    ctes, _ = _lsh_pairs_ctes()
-    ths = ", ".join(str(t) for t in _SWEEP_THRESHOLDS)
-    return f"""
-    WITH {ctes},
-    pairs AS (
-        SELECT id_a, id_b,
-               {dround_sql(
-                   "CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)", 6
-               )} AS j
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-    ),
-    truth AS (
-        SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
-        FROM documents WHERE doc_id % 20 = 0
-    ),
-    flagged AS (
-        SELECT p.j,
-               CASE WHEN t.id_a IS NOT NULL THEN 1 ELSE 0 END AS is_truth
-        FROM pairs p
-        LEFT JOIN truth t ON t.id_a = p.id_a AND t.id_b = p.id_b
-    ),
-    nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
-    sweep AS (
-        SELECT th.threshold,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               CAST(SUM(is_truth) AS BIGINT) AS n_truth_hit
-        FROM flagged, UNNEST([{ths}]) AS th(threshold)
-        WHERE j >= th.threshold
-        GROUP BY 1
-    )
-    SELECT CAST(threshold AS DOUBLE) AS threshold, n_pairs, n_truth_hit,
-           {dround_sql("CAST(n_truth_hit AS DOUBLE) / n_pairs", 6)}
-               AS precision_at_t,
-           {dround_sql("CAST(n_truth_hit AS DOUBLE) / n_truth", 6)}
-               AS recall_at_t
-    FROM sweep, nt
-    ORDER BY threshold
-    """
-
-
-def _scored_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(id_a, id_b, j) for every LSH CANDIDATE pair (no threshold filter) —
-    the scored pair table both the threshold sweep and the band planner
-    re-aggregate. One shared-base build: one shingle pass, one band
-    bucket join, one verify join (see :class:`_DupEvalBase`)."""
-    base = _DupEvalBase(spark, sf_dir)
-    return base.scored.select(
-        "id_a", "id_b", dround(base._j_raw, 6).alias("j")
-    )
-
-
-@register(
-    "dedup_threshold_sweep_pr",
-    oracle=_threshold_sweep_oracle(),
-    description="Precision/recall sweep for the LSH near-dup verifier in "
-    "ONE pass: exact Jaccard is computed once per candidate pair (the "
-    "expensive shingle-intersection join runs once), then a 7-value "
-    "threshold array is exploded against the scored pairs so every "
-    "operating point is a cheap re-aggregation of the same pair table — "
-    "vs re-running the pipeline per threshold. Ground truth is the "
-    "planted exact-copy set; precision counts how many surviving pairs "
-    "are planted copies, recall how many planted copies survive. The "
-    "curve is what picks the production threshold before a 100 TB run.",
-)
-def dedup_threshold_sweep_pr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _scored_lsh_pairs(spark, sf_dir)
-    truth = (
-        table(spark, sf_dir, "documents")
-        .filter(F.col("doc_id") % 20 == 0)
-        .select(
-            F.col("doc_id").alias("id_a"),
-            (F.col("doc_id") + 1_000_000).alias("id_b"),
-            F.lit(1).alias("is_truth"),
-        )
-    )
-    flagged = pairs.join(F.broadcast(truth), ["id_a", "id_b"], "left").select(
-        "j", F.coalesce("is_truth", F.lit(0)).alias("is_truth")
-    )
-    ths = F.array(*[F.lit(t) for t in _SWEEP_THRESHOLDS])
-    sweep = (
-        flagged.select(
-            "j", "is_truth", F.explode(ths).alias("threshold")
-        )
-        .filter(F.col("j") >= F.col("threshold"))
-        .groupBy("threshold")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
-            F.sum("is_truth").cast("bigint").alias("n_truth_hit"),
-        )
-    )
-    nt = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_truth"))
-    return (
-        sweep.crossJoin(F.broadcast(nt))
-        .select(
-            "threshold",
-            "n_pairs",
-            "n_truth_hit",
-            dround(
-                F.col("n_truth_hit").cast("double") / F.col("n_pairs"), 6
-            ).alias("precision_at_t"),
-            dround(
-                F.col("n_truth_hit").cast("double") / F.col("n_truth"), 6
-            ).alias("recall_at_t"),
-        )
-        .orderBy("threshold")
-    )
-
-
-_N_SHARDS = 8
-
-
-def _shard_leakage_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    h = _H48.format(c="CAST(id_a AS VARCHAR)")
-    h2 = _H48.format(c="CAST(id_b AS VARCHAR)")
-    return f"""
-    WITH {ctes},
-    pairs AS ({final}),
-    sharded AS (
-        SELECT least({h} % {_N_SHARDS}, {h2} % {_N_SHARDS}) AS shard_a,
-               greatest({h} % {_N_SHARDS}, {h2} % {_N_SHARDS}) AS shard_b
-        FROM pairs
-    )
-    SELECT shard_a, shard_b,
-           CAST(COUNT(*) AS BIGINT) AS n_pairs,
-           CAST(shard_a <> shard_b AS INT) AS cross_shard
-    FROM sharded GROUP BY shard_a, shard_b
-    ORDER BY shard_a, shard_b
-    """
-
-
-@register(
-    "pipeline_shard_dup_leakage",
-    oracle=_shard_leakage_oracle(),
-    description="Duplicate leakage across training shards: assign every "
-    "doc to one of 8 shards by portable content-independent id hash, "
-    "then count verified near-dup pairs within vs across shard "
-    "boundaries. Cross-shard duplicates are the pairs a shard-local "
-    "dedup pass would MISS — the number that decides whether global "
-    "dedup (this repo's LSH bucket-join, which is shard-oblivious) is "
-    "required before a multi-node training run, or per-shard dedup "
-    "suffices. Shard ids derive from the pair table directly (a hash "
-    "expression, no extra join); the heavy lifting is the one shared "
-    "LSH pipeline.",
-)
-def pipeline_shard_dup_leakage(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    pairs = D.lsh_candidate_pairs(
-        _docs_with_dups(spark, sf_dir, 20), threshold=0.5
-    )
-    sh_a = F.pmod(D.token_hash48(F.col("id_a").cast("string")), F.lit(_N_SHARDS))
-    sh_b = F.pmod(D.token_hash48(F.col("id_b").cast("string")), F.lit(_N_SHARDS))
-    return (
-        pairs.select(
-            F.least(sh_a, sh_b).alias("shard_a"),
-            F.greatest(sh_a, sh_b).alias("shard_b"),
-        )
-        .groupBy("shard_a", "shard_b")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs"))
-        .withColumn(
-            "cross_shard",
-            (F.col("shard_a") != F.col("shard_b")).cast("int"),
-        )
-        .orderBy("shard_a", "shard_b")
-    )
-
-
-@register(
-    "text_script_mix_audit",
-    oracle=r"""
-    WITH per_doc AS (
-        SELECT lang,
-               length(text) AS n_chars,
-               length(text) - length(regexp_replace(
-                   text, '[\x{4e00}-\x{9fff}]', '', 'g')) AS n_cjk,
-               length(text) - length(regexp_replace(
-                   text, '[\x{0400}-\x{04ff}]', '', 'g')) AS n_cyr,
-               length(text) - length(regexp_replace(
-                   text, '[A-Za-z]', '', 'g')) AS n_latin
-        FROM documents
-    ),
-    classed AS (
-        SELECT lang,
-               CASE
-                 WHEN n_cjk > 0 AND n_cyr > 0 THEN 'mixed'
-                 WHEN n_cjk > 0 THEN 'cjk'
-                 WHEN n_cyr > 0 THEN 'cyrillic'
-                 ELSE 'latin'
-               END AS script_profile,
-               CASE WHEN n_chars > 0
-                    THEN CAST(n_cjk AS DOUBLE) / n_chars ELSE 0.0 END AS cjk_ratio,
-               CASE WHEN n_chars > 0
-                    THEN CAST(n_latin AS DOUBLE) / n_chars ELSE 0.0 END AS latin_ratio
-        FROM per_doc
-    )
-    SELECT lang, script_profile,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(ROUND(CAST(AVG(cjk_ratio) AS DECIMAL(38,8)), 6) AS DOUBLE)
-               AS avg_cjk_ratio,
-           CAST(ROUND(CAST(AVG(latin_ratio) AS DECIMAL(38,8)), 6) AS DOUBLE)
-               AS avg_latin_ratio
-    FROM classed GROUP BY lang, script_profile
-    ORDER BY lang, script_profile
-    """,
-    description="Script-mix audit: per doc, count CJK / Cyrillic / Latin "
-    "codepoints with three regexp-strip length deltas (one narrow "
-    "JVM-side scan, no UDF, no shuffle until the tiny per-language "
-    "rollup), classify the script profile, and aggregate "
-    "lang x profile counts and ratios. Catches mislabeled-language and "
-    "mixed-script (spam/injection) documents — the cheap pre-filter "
-    "that runs before any per-doc language model at corpus scale.",
-)
-def text_script_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    n_chars = F.length("text")
-    n_cjk = n_chars - F.length(
-        F.regexp_replace(F.col("text"), "[一-鿿]", "")
-    )
-    n_cyr = n_chars - F.length(
-        F.regexp_replace(F.col("text"), "[Ѐ-ӿ]", "")
-    )
-    n_latin = n_chars - F.length(
-        F.regexp_replace(F.col("text"), "[A-Za-z]", "")
-    )
-    profile = (
-        F.when((n_cjk > 0) & (n_cyr > 0), F.lit("mixed"))
-        .when(n_cjk > 0, F.lit("cjk"))
-        .when(n_cyr > 0, F.lit("cyrillic"))
-        .otherwise(F.lit("latin"))
-    )
-    ratio = lambda n: F.when(  # noqa: E731
-        n_chars > 0, n.cast("double") / n_chars
-    ).otherwise(F.lit(0.0))
-    return (
-        docs.select(
-            "lang",
-            profile.alias("script_profile"),
-            ratio(n_cjk).alias("cjk_ratio"),
-            ratio(n_latin).alias("latin_ratio"),
-        )
-        .groupBy("lang", "script_profile")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            dround(F.avg("cjk_ratio"), 6).alias("avg_cjk_ratio"),
-            dround(F.avg("latin_ratio"), 6).alias("avg_latin_ratio"),
-        )
-        .orderBy("lang", "script_profile")
-    )
-
-
-_DOREMI_ETA = 5.0
-
-
-@register(
-    "pipeline_doremi_mixture_step",
-    oracle=f"""
-    WITH scored AS (
-        SELECT source,
-               CAST(len(string_split(text, ' ')) AS DOUBLE) AS n_tokens,
-               {_SCORE_SQL} AS q
-        FROM documents
-    ),
-    per_source AS (
-        SELECT source,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               SUM(n_tokens) AS toks,
-               AVG(q) AS mean_quality
-        FROM scored GROUP BY source
-    ),
-    with_share AS (
-        SELECT *, toks / SUM(toks) OVER () AS token_share FROM per_source
-    ),
-    with_excess AS (
-        SELECT *,
-               mean_quality - SUM(token_share * mean_quality) OVER ()
-                   AS excess
-        FROM with_share
-    ),
-    with_w AS (
-        SELECT *, token_share * exp({_DOREMI_ETA} * excess) AS unnorm
-        FROM with_excess
-    )
-    SELECT source, n_docs,
-           {dround_sql("token_share", 6)} AS token_share,
-           {dround_sql("mean_quality", 6)} AS mean_quality,
-           {dround_sql("excess", 6)} AS excess,
-           {dround_sql("unnorm / SUM(unnorm) OVER ()", 6)} AS new_weight
-    FROM with_w
-    ORDER BY source
-    """,
-    description="One DoReMi-style mixture-reweighting step (Xie et al. "
-    "2023, simplified): start from token-share proportional sampling "
-    "weights per source, use mean quality score as the per-domain "
-    "excess-reward proxy, and take one exponentiated-gradient step "
-    "(w ∝ p·exp(eta·excess)) toward upweighting above-average domains. "
-    "All domain-level scalar math over a sources-sized table; the only "
-    "corpus-scale work is one scan + one groupBy(source) with partial "
-    "aggregation — the shape that holds at 100 TB where the domain "
-    "table stays tiny. Global sums are window aggregates over the "
-    "20-row domain table (single-partition by design at that grain).",
-)
-def pipeline_doremi_mixture_step(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    q = TX.quality_score_cols(F.col("text"))["quality_score"]
-    per_source = docs.select(
-        "source",
-        F.size(F.split(F.col("text"), " ")).cast("double").alias("n_tokens"),
-        q.alias("q"),
-    ).groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").alias("toks"),
-        F.avg("q").alias("mean_quality"),
-    )
-    tot = per_source.agg(F.sum("toks").alias("total_toks"))
-    shared = per_source.crossJoin(F.broadcast(tot)).withColumn(
-        "token_share", F.col("toks") / F.col("total_toks")
-    )
-    qbar = shared.agg(
-        F.sum(F.col("token_share") * F.col("mean_quality")).alias("qbar")
-    )
-    exc = shared.crossJoin(F.broadcast(qbar)).withColumn(
-        "excess", F.col("mean_quality") - F.col("qbar")
-    ).withColumn(
-        "unnorm",
-        F.col("token_share") * F.exp(F.lit(_DOREMI_ETA) * F.col("excess")),
-    )
-    z = exc.agg(F.sum("unnorm").alias("z"))
-    return (
-        exc.crossJoin(F.broadcast(z))
-        .select(
-            "source",
-            "n_docs",
-            dround(F.col("token_share"), 6).alias("token_share"),
-            dround(F.col("mean_quality"), 6).alias("mean_quality"),
-            dround(F.col("excess"), 6).alias("excess"),
-            dround(F.col("unnorm") / F.col("z"), 6).alias("new_weight"),
-        )
-        .orderBy("source")
-    )
-
-
-_BAND_CONFIGS = [(12, 1), (6, 2), (4, 3), (3, 4), (2, 6), (1, 12)]
-
-
-def _band_planner_oracle() -> str:
-    ctes, _ = _lsh_pairs_ctes()
-    grid = ", ".join(f"({b}, {r})" for b, r in _BAND_CONFIGS)
-    return f"""
-    WITH {ctes},
-    pairs AS (
-        SELECT id_a, id_b,
-               {dround_sql(
-                   "CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter)", 6
-               )} AS j
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = id_a
-        JOIN sizes sb ON sb.doc_id = id_b
-    ),
-    grid(n_bands, rows_per_band) AS (VALUES {grid}),
-    probed AS (
-        SELECT g.n_bands, g.rows_per_band,
-               1.0 - POWER(1.0 - POWER(p.j, g.rows_per_band), g.n_bands)
-                   AS p,
-               p.j
-        FROM pairs p, grid g
-    )
-    SELECT CAST(n_bands AS INT) AS n_bands,
-           CAST(rows_per_band AS INT) AS rows_per_band,
-           {dround_sql("SUM(p)", 6)} AS expected_candidates,
-           {dround_sql(
-               "SUM(CASE WHEN j >= 0.5 THEN p ELSE 0.0 END)"
-               " / SUM(CASE WHEN j >= 0.5 THEN 1.0 ELSE 0.0 END)", 6
-           )} AS recall_at_05,
-           {dround_sql(
-               "SUM(CASE WHEN j < 0.5 THEN p ELSE 0.0 END) / SUM(p)", 6
-           )} AS lowj_share
-    FROM probed
-    GROUP BY n_bands, rows_per_band
-    ORDER BY n_bands DESC
-    """
-
-
-@register(
-    "dedup_minhash_band_planner",
-    oracle=_band_planner_oracle(),
-    description="LSH banding operating-point planner: before committing a "
-    "100 TB corpus to one (bands, rows) choice, price every split of "
-    "the 12-perm budget against the corpus's OWN observed pair-"
-    "similarity distribution. For each config the S-curve "
-    "p(j) = 1-(1-j^r)^b gives the per-pair detection probability; "
-    "summing it over the scored candidate pairs yields expected "
-    "candidate volume, expected recall on true near-dups (j >= 0.5), "
-    "and the share of candidate load wasted on low-j pairs — the "
-    "recall/cost frontier the production banding is picked from. One "
-    "shared LSH scoring pipeline + a 6-row grid explode; each config "
-    "is a re-aggregation, never a re-run. (The pair sample is the "
-    "current 6x2 banding's candidate set, so low-j mass is a lower "
-    "bound — stated, not silent.)",
-)
-def dedup_minhash_band_planner(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    pairs = _scored_lsh_pairs(spark, sf_dir)
-    grid = F.array(
-        *[
-            F.struct(
-                F.lit(b).alias("n_bands"), F.lit(r).alias("rows_per_band")
-            )
-            for b, r in _BAND_CONFIGS
-        ]
-    )
-    probed = (
-        pairs.select("j", F.explode(grid).alias("g"))
-        .select(
-            F.col("g.n_bands").alias("n_bands"),
-            F.col("g.rows_per_band").alias("rows_per_band"),
-            "j",
-        )
-        .withColumn(
-            "p",
-            1.0
-            - F.pow(
-                1.0 - F.pow(F.col("j"), F.col("rows_per_band")),
-                F.col("n_bands"),
-            ),
-        )
-    )
-    hi = F.when(F.col("j") >= 0.5, F.col("p")).otherwise(F.lit(0.0))
-    hi_n = F.when(F.col("j") >= 0.5, F.lit(1.0)).otherwise(F.lit(0.0))
-    lo = F.when(F.col("j") < 0.5, F.col("p")).otherwise(F.lit(0.0))
-    return (
-        probed.groupBy(
-            F.col("n_bands").cast("int").alias("n_bands"),
-            F.col("rows_per_band").cast("int").alias("rows_per_band"),
-        )
-        .agg(
-            dround(F.sum("p"), 6).alias("expected_candidates"),
-            dround(F.sum(hi) / F.sum(hi_n), 6).alias("recall_at_05"),
-            dround(F.sum(lo) / F.sum("p"), 6).alias("lowj_share"),
-        )
-        .orderBy(F.col("n_bands").desc())
-    )
-
-
-@register(
-    "pipeline_embedding_decontamination",
-    oracle=f"""
-    WITH ev AS (
-        SELECT vec_id AS eval_id, embedding AS eval_emb
-        FROM embeddings WHERE vec_id % 50 = 0
-    ),
-    corpus AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 50 <> 0),
-    scored AS (
-        SELECT c.vec_id, ev.eval_id,
-               {dround_sql(
-                   "list_sum(list_transform(list_zip(c.embedding, ev.eval_emb),"
-                   " p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))"
-                   " / (sqrt(list_sum(list_transform(c.embedding,"
-                   " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-                   " * sqrt(list_sum(list_transform(ev.eval_emb,"
-                   " x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))", 6
-               )} AS cos
-        FROM corpus c, ev
-    ),
-    best AS (
-        SELECT vec_id, eval_id AS nearest_eval_id, cos AS max_cos,
-               ROW_NUMBER() OVER (PARTITION BY vec_id
-                                  ORDER BY cos DESC, eval_id DESC) AS rn
-        FROM scored
-    )
-    SELECT vec_id, nearest_eval_id, max_cos,
-           CAST(max_cos >= 0.9 AS INT) AS contaminated
-    FROM best WHERE rn = 1
-    ORDER BY vec_id
-    """,
-    description="Embedding-space decontamination, the semantic companion "
-    "to pipeline_decontaminate_train's n-gram overlap: score every "
-    "corpus vector against the (tiny, broadcast) eval/benchmark "
-    "embedding set and flag cosine >= 0.9 as contaminated — catches "
-    "paraphrased benchmark leakage that exact n-gram matching misses "
-    "(the scheme used for GSM8K/MMLU leak audits). The eval side is "
-    "MBs against a 100 TB corpus, so the join is a broadcast "
-    "nested-loop that never shuffles the corpus; per-vector argmax is "
-    "a struct-max aggregation, no window over corpus-scale data.",
-)
-def pipeline_embedding_decontamination(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    ev = emb.filter(F.col("vec_id") % 50 == 0).select(
-        F.col("vec_id").alias("eval_id"),
-        F.col("embedding").alias("eval_emb"),
-    )
-    corpus = emb.filter(F.col("vec_id") % 50 != 0)
-    cos = dround(
-        S.cosine(F.col("embedding"), F.col("eval_emb")), 6
-    )
-    best = (
-        corpus.crossJoin(F.broadcast(ev))
-        .select("vec_id", F.struct(cos.alias("c"), "eval_id").alias("sc"))
-        .groupBy("vec_id")
-        .agg(F.max("sc").alias("m"))
-    )
-    return best.select(
-        "vec_id",
-        F.col("m.eval_id").alias("nearest_eval_id"),
-        F.col("m.c").alias("max_cos"),
-        (F.col("m.c") >= 0.9).cast("int").alias("contaminated"),
-    ).orderBy("vec_id")
-
-
-def _leakage_free_split_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    u = "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) / 281474976710656.0"
-    return f"""
-    WITH {ctes},
-    pairs AS ({final}),
-    split AS (
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               CASE WHEN {u} < 0.8 THEN 'train' ELSE 'test' END AS part
-        FROM docs
-    ),
-    sym AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION
-        SELECT id_b AS a, id_a AS b FROM pairs
-    ),
-    leaked AS (
-        SELECT DISTINCT s.doc_id
-        FROM split s
-        JOIN sym e ON e.a = s.doc_id
-        JOIN split t ON t.doc_id = e.b AND t.part = 'test'
-        WHERE s.part = 'train'
-    ),
-    labeled AS (
-        SELECT s.doc_id, s.n_tokens,
-               CASE WHEN s.part = 'train' AND l.doc_id IS NOT NULL
-                    THEN 'train_removed' ELSE s.part END AS bucket
-        FROM split s LEFT JOIN leaked l ON l.doc_id = s.doc_id
-    )
-    SELECT bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-    FROM labeled GROUP BY bucket ORDER BY bucket
-    """
-
-
-@register(
-    "sample_leakage_free_split",
-    oracle=_leakage_free_split_oracle(),
-    description="Leakage-free train/test split: after the deterministic "
-    "80/20 id-hash split, any TRAIN doc that is a verified near-dup of "
-    "a TEST doc is evicted to a 'train_removed' bucket — the standard "
-    "guard against evaluating on paraphrases of the training set "
-    "(Lee et al. 2021 show near-dup train/test leakage inflates eval). "
-    "Composes the hash split (stable under dataset growth) with the "
-    "LSH-verified near-dup pair table via one semi-join against the "
-    "test side; reports doc and token mass per bucket, which is what "
-    "the training-budget accounting consumes.",
-)
-def sample_leakage_free_split(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = _docs_with_dups(spark, sf_dir, 20)
-    u = (
-        F.conv(
-            F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10
-        ).cast("bigint")
-        / F.lit(281474976710656.0)
-    )
-    split = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
-        F.when(u < 0.8, F.lit("train")).otherwise(F.lit("test")).alias("part"),
-    )
-    pairs = D.lsh_candidate_pairs(docs, threshold=0.5)
-    sym = pairs.select(
-        F.col("id_a").alias("a"), F.col("id_b").alias("b")
-    ).unionAll(
-        pairs.select(F.col("id_b").alias("a"), F.col("id_a").alias("b"))
-    ).distinct()
-    test_ids = split.filter(F.col("part") == "test").select(
-        F.col("doc_id").alias("b")
-    )
-    leaked = (
-        sym.join(test_ids, "b")
-        .select(F.col("a").alias("doc_id"))
-        .distinct()
-        .withColumn("leak", F.lit(1))
-    )
-    labeled = split.join(leaked, "doc_id", "left").select(
-        "n_tokens",
-        F.when(
-            (F.col("part") == "train") & F.col("leak").isNotNull(),
-            F.lit("train_removed"),
-        )
-        .otherwise(F.col("part"))
-        .alias("bucket"),
-    )
-    return (
-        labeled.groupBy("bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        )
-        .orderBy("bucket")
-    )
-
-
-_VIT_MAXLEN = 12  # words longer than this are excluded (stated cap)
-_VIT_MAXPIECE = 4
-
-
-def _viterbi_oracle() -> str:
-    K, P = _VIT_MAXLEN, _VIT_MAXPIECE
-    parts = [
-        f"""wl AS MATERIALIZED (
-        SELECT lang, u.w FROM documents,
-             UNNEST(string_split(text, ' ')) AS u(w)
-        WHERE u.w <> '' AND length(u.w) <= {K}
-    )""",
-        """lwf AS MATERIALIZED (
-        SELECT lang, w, COUNT(*) AS freq FROM wl GROUP BY lang, w
-    )""",
-        """wf AS MATERIALIZED (
-        SELECT w, CAST(SUM(freq) AS BIGINT) AS wfreq FROM lwf GROUP BY w
-    )""",
-        f"""spans AS MATERIALIZED (
-        SELECT w, wfreq, s.i AS s, l.j AS len,
-               substr(w, s.i, l.j) AS piece, s.i + l.j - 1 AS e
-        FROM wf,
-             UNNEST(range(1, length(w) + 1)) AS s(i),
-             UNNEST(range(1, {P} + 1)) AS l(j)
-        WHERE s.i + l.j - 1 <= length(w)
-    )""",
-        """pc AS MATERIALIZED (
-        SELECT piece, CAST(SUM(wfreq) AS BIGINT) AS pcount
-        FROM spans GROUP BY piece
-    )""",
-        """sp AS MATERIALIZED (
-        SELECT spans.w, spans.s, spans.e, pc.pcount
-        FROM spans JOIN pc USING (piece)
-    )""",
-        "dp0 AS MATERIALIZED (SELECT w, 0 AS np, CAST(0 AS BIGINT) AS sc FROM wf)",
-    ]
-    for i in range(1, K + 1):
-        lo = max(0, i - P)
-        prev = "\n            UNION ALL ".join(
-            f"SELECT w, {j} AS i, np, sc FROM dp{j}"
-            for j in range(lo, i)
-        )
-        parts.append(f"""dp{i} AS MATERIALIZED (
-        SELECT w, np, sc FROM (
-            SELECT sp.w, b.np + 1 AS np, b.sc + sp.pcount AS sc,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY sp.w
-                       ORDER BY b.np + 1 ASC, b.sc + sp.pcount DESC
-                   ) AS rn
-            FROM sp
-            JOIN ({prev}) b
-              ON b.w = sp.w AND sp.s = b.i + 1
-            WHERE sp.e = {i}
-        ) WHERE rn = 1
-    )""")
-    final_union = "\n        UNION ALL ".join(
-        f"SELECT w, {i} AS i, np FROM dp{i}" for i in range(1, K + 1)
-    )
-    ctes = ",\n    ".join(parts)
-    return f"""
-    WITH {ctes},
-    npw AS MATERIALIZED (
-        SELECT d.w, d.np FROM ({final_union}) d
-        JOIN wf ON wf.w = d.w AND length(wf.w) = d.i
-    )
-    SELECT lang,
-           CAST(SUM(freq) AS BIGINT) AS n_words,
-           CAST(SUM(freq * np) AS BIGINT) AS total_pieces,
-           {dround_sql(
-               "CAST(SUM(freq * np) AS DOUBLE) / CAST(SUM(freq) AS DOUBLE)", 6
-           )} AS pieces_per_word,
-           {dround_sql(
-               "CAST(SUM(freq * length(w)) AS DOUBLE)"
-               " / CAST(SUM(freq * np) AS DOUBLE)", 6
-           )} AS chars_per_piece
-    FROM lwf JOIN npw USING (w)
-    GROUP BY lang ORDER BY lang
-    """
-
-
-def _viterbi_tables(spark: SparkSession, sf_dir: str):
-    """(lwf, wf, sp): per-lang word freqs, distinct-word corpus freqs, and
-    span costs (w, s, e, pcount) for the substring seed vocabulary."""
-    K, P = _VIT_MAXLEN, _VIT_MAXPIECE
-    docs = table(spark, sf_dir, "documents")
-    wl = (
-        docs.select(
-            "lang", F.explode(F.split("text", " ", -1)).alias("w")
-        )
-        .filter((F.col("w") != "") & (F.length("w") <= K))
-    )
-    lwf = wl.groupBy("lang", "w").agg(F.count(F.lit(1)).alias("freq"))
-    wf = (
-        lwf.groupBy("w")
-        .agg(F.sum("freq").cast("bigint").alias("wfreq"))
-        .persist()
-    )
-    spans = (
-        wf.select(
-            "w",
-            "wfreq",
-            F.explode(F.sequence(F.lit(1), F.length("w"))).alias("s"),
-        )
-        .select(
-            "w",
-            "wfreq",
-            "s",
-            F.explode(
-                F.sequence(
-                    F.lit(1),
-                    F.least(F.lit(P), F.length("w") - F.col("s") + 1),
-                )
-            ).alias("len"),
-        )
-        .select(
-            "w",
-            "wfreq",
-            "s",
-            (F.col("s") + F.col("len") - 1).alias("e"),
-            F.substring(F.col("w"), F.col("s"), F.col("len")).alias("piece"),
-        )
-    )
-    pc = spans.groupBy("piece").agg(
-        F.sum("wfreq").cast("bigint").alias("pcount")
-    )
-    sp = spans.join(pc, "piece").select("w", "s", "e", "pcount").persist()
-    return lwf, wf, sp
-
-
-def _viterbi_best(spark: SparkSession, wf: DataFrame, sp: DataFrame) -> DataFrame:
-    """DP rounds over positions: returns (w, i, np, sc, L) — the optimal
-    (piece count, score) per (word, prefix length) plus the chosen last-
-    piece length L as a deterministic backpointer. Lexicographic
-    (np asc, sc desc, L desc) via integer struct-min (negations), so the
-    argmin is exact in any engine. localCheckpoint per round keeps plan
-    depth constant — same discipline as the CC loops."""
-    K = _VIT_MAXLEN
-    best = wf.select(
-        "w",
-        F.lit(0).alias("i"),
-        F.lit(0).alias("np"),
-        F.lit(0).cast("bigint").alias("sc"),
-        F.lit(0).alias("L"),
-    ).localCheckpoint()
-    # One metadata-scale scalar (like the BPE loop's per-round top-1):
-    # rounds beyond the longest word are provable no-ops, so don't pay
-    # their checkpoint jobs. The cap K still bounds the plan statically.
-    maxlen = wf.agg(F.max(F.length("w"))).collect()[0][0] or 0
-    for i in range(1, min(K, maxlen) + 1):
-        ends = sp.filter(F.col("e") == i).alias("sp")
-        cand = ends.join(
-            best.alias("b"),
-            (F.col("sp.w") == F.col("b.w"))
-            & (F.col("b.i") == F.col("sp.s") - 1),
-        ).select(
-            F.col("sp.w").alias("w"),
-            (F.col("b.np") + 1).alias("np"),
-            (F.col("b.sc") + F.col("sp.pcount")).alias("sc"),
-            (F.col("sp.e") - F.col("sp.s") + 1).alias("L"),
-        )
-        bi = (
-            cand.groupBy("w")
-            .agg(
-                F.min(
-                    F.struct(
-                        F.col("np"),
-                        (-F.col("sc")).alias("nsc"),
-                        (-F.col("L")).alias("nL"),
-                    )
-                ).alias("m")
-            )
-            .select(
-                "w",
-                F.lit(i).alias("i"),
-                F.col("m.np").alias("np"),
-                (-F.col("m.nsc")).alias("sc"),
-                (-F.col("m.nL")).alias("L"),
-            )
-        )
-        best = best.unionAll(bi).localCheckpoint()
-    return best
-
-
-
-@register(
-    "text_unigram_viterbi_segment",
-    oracle=_viterbi_oracle(),
-    description="SentencePiece-style subword segmentation via Viterbi DP "
-    "over a substring seed vocabulary: every 1..4-char substring of the "
-    "word inventory (corpus-frequency weighted) is a candidate piece, "
-    "and each word is segmented optimally by dynamic programming — "
-    "fewest pieces first, then highest total piece frequency (an "
-    "INTEGER-exact objective, chosen over log-prob costs so the argmin "
-    "can never diverge across engines by a ulp of ln; the DP shape is "
-    "identical to unigram-LM Viterbi). The DP runs on the DISTINCT "
-    "word-frequency table, never the corpus: one scan + groupBy builds "
-    "the word inventory, and each of the 12 position rounds is a "
-    "vocab-sized join — the same O(vocab)-per-round contract as the "
-    "BPE loop, so segmentation cost is independent of corpus size. "
-    "Words longer than 12 chars are excluded (cap stated, matched by "
-    "the oracle; production raises the unroll depth). Reports "
-    "per-language pieces/word and chars/piece — tie-invariant metrics "
-    "(optimal np and score are unique even when segmentations tie).",
-)
-def text_unigram_viterbi_segment(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    lwf, wf, sp = _viterbi_tables(spark, sf_dir)
-    best = _viterbi_best(spark, wf, sp)
-    npw = best.join(
-        wf.select("w", F.length("w").alias("wlen")),
-        "w",
-    ).filter(F.col("i") == F.col("wlen")).select("w", "np")
-    out = (
-        lwf.join(npw, "w")
-        .groupBy("lang")
-        .agg(
-            F.sum("freq").cast("bigint").alias("n_words"),
-            F.sum(F.col("freq") * F.col("np")).cast("bigint").alias(
-                "total_pieces"
-            ),
-            dround(
-                F.sum(F.col("freq") * F.col("np")).cast("double")
-                / F.sum("freq").cast("double"),
-                6,
-            ).alias("pieces_per_word"),
-            dround(
-                F.sum(F.col("freq") * F.length("w")).cast("double")
-                / F.sum(F.col("freq") * F.col("np")).cast("double"),
-                6,
-            ).alias("chars_per_piece"),
-        )
-        .orderBy("lang")
-    )
-    return out
-
-
-def _viterbi_bp_ctes() -> str:
-    """Shared CTE prefix through the backpointered DP tables dp1..dpK —
-    identical seeding/spans as :func:`_viterbi_oracle`, with each dp
-    round keeping the chosen last-piece length L (tie-break np asc,
-    sc desc, L desc — all integers)."""
-    K, P = _VIT_MAXLEN, _VIT_MAXPIECE
-    parts = [
-        f"""wl AS MATERIALIZED (
-        SELECT lang, u.w FROM documents,
-             UNNEST(string_split(text, ' ')) AS u(w)
-        WHERE u.w <> '' AND length(u.w) <= {K}
-    )""",
-        """lwf AS MATERIALIZED (
-        SELECT lang, w, COUNT(*) AS freq FROM wl GROUP BY lang, w
-    )""",
-        """wf AS MATERIALIZED (
-        SELECT w, CAST(SUM(freq) AS BIGINT) AS wfreq FROM lwf GROUP BY w
-    )""",
-        f"""spans AS MATERIALIZED (
-        SELECT w, wfreq, s.i AS s, l.j AS len,
-               substr(w, s.i, l.j) AS piece, s.i + l.j - 1 AS e
-        FROM wf,
-             UNNEST(range(1, length(w) + 1)) AS s(i),
-             UNNEST(range(1, {P} + 1)) AS l(j)
-        WHERE s.i + l.j - 1 <= length(w)
-    )""",
-        """pc AS MATERIALIZED (
-        SELECT piece, CAST(SUM(wfreq) AS BIGINT) AS pcount
-        FROM spans GROUP BY piece
-    )""",
-        """sp AS MATERIALIZED (
-        SELECT spans.w, spans.s, spans.e, pc.pcount
-        FROM spans JOIN pc USING (piece)
-    )""",
-        "dp0 AS MATERIALIZED (SELECT w, 0 AS np, CAST(0 AS BIGINT) AS sc,"
-        " 0 AS L FROM wf)",
-    ]
-    for i in range(1, K + 1):
-        lo = max(0, i - P)
-        prev = "\n            UNION ALL ".join(
-            f"SELECT w, {j} AS i, np, sc FROM dp{j}"
-            for j in range(lo, i)
-        )
-        parts.append(f"""dp{i} AS MATERIALIZED (
-        SELECT w, np, sc, L FROM (
-            SELECT sp.w, b.np + 1 AS np, b.sc + sp.pcount AS sc,
-                   sp.e - sp.s + 1 AS L,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY sp.w
-                       ORDER BY b.np + 1 ASC, b.sc + sp.pcount DESC,
-                                sp.e - sp.s + 1 DESC
-                   ) AS rn
-            FROM sp
-            JOIN ({prev}) b
-              ON b.w = sp.w AND sp.s = b.i + 1
-            WHERE sp.e = {i}
-        ) WHERE rn = 1
-    )""")
-    bp_union = "\n        UNION ALL ".join(
-        f"SELECT w, {i} AS i, L FROM dp{i}" for i in range(1, K + 1)
-    )
-    parts.append(f"bp AS MATERIALIZED (\n        {bp_union}\n    )")
-    return ",\n    ".join(parts)
-
-
-def _unigram_em_oracle() -> str:
-    K = _VIT_MAXLEN
-    walk_parts = ["walk0 AS MATERIALIZED (SELECT w, length(w) AS i FROM wf)"]
-    for t in range(1, K + 1):
-        walk_parts.append(f"""step{t} AS MATERIALIZED (
-        SELECT k.w, substr(k.w, k.i - bp.L + 1, bp.L) AS piece,
-               k.i - bp.L AS ni
-        FROM walk{t - 1} k JOIN bp ON bp.w = k.w AND bp.i = k.i
-        WHERE k.i > 0
-    )""")
-        walk_parts.append(
-            f"walk{t} AS MATERIALIZED "
-            f"(SELECT w, ni AS i FROM step{t} WHERE ni > 0)"
-        )
-    pieces_union = "\n        UNION ALL ".join(
-        f"SELECT w, piece FROM step{t}" for t in range(1, K + 1)
-    )
-    walk_sql = ",\n    ".join(walk_parts)
-    return f"""
-    WITH {_viterbi_bp_ctes()},
-    {walk_sql},
-    pieces AS MATERIALIZED ({pieces_union}),
-    usage AS (
-        SELECT p.piece,
-               CAST(COUNT(DISTINCT p.w) AS BIGINT) AS n_words,
-               CAST(SUM(wf.wfreq) AS BIGINT) AS usage
-        FROM pieces p JOIN wf ON wf.w = p.w
-        GROUP BY p.piece
-    ),
-    tot AS (SELECT CAST(SUM(usage) AS BIGINT) AS total FROM usage)
-    SELECT piece, n_words, usage,
-           {dround_sql("CAST(usage AS DOUBLE) / total", 6)} AS usage_share
-    FROM usage, tot
-    ORDER BY usage DESC, piece
-    LIMIT 20
-    """
-
-
-@register(
-    "text_unigram_lm_em_round",
-    oracle=_unigram_em_oracle(),
-    description="The M-step completing the unigram-LM EM round: "
-    "reconstruct every word's OPTIMAL segmentation by walking the "
-    "Viterbi backpointers (deterministic integer tie-break: fewest "
-    "pieces, highest score, longest last piece), then re-estimate piece "
-    "usage — corpus-frequency-weighted counts over the chosen "
-    "segmentations, exactly what SentencePiece feeds its next EM "
-    "iteration and prune step. The walk is <= 12 vocab-sized joins "
-    "(positions strictly decrease by the chosen piece length), so like "
-    "the E-step it never touches the corpus after the one word-count "
-    "scan. Returns the top-20 pieces by usage with share — the vocab "
-    "head the prune step would keep.",
-)
-def text_unigram_lm_em_round(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    _lwf, wf, sp = _viterbi_tables(spark, sf_dir)
-    best = _viterbi_best(spark, wf, sp)
-    bp = best.filter(F.col("i") > 0).select("w", "i", "L").localCheckpoint()
-    walk = wf.select("w", F.length("w").alias("i"))
-    pieces = None
-    # positions strictly decrease by >= 1 per round, so maxlen rounds
-    # suffice — the same no-op-round trim as the DP loop (wf is cached,
-    # the scalar is a metadata-scale agg)
-    maxlen = wf.agg(F.max(F.length("w"))).collect()[0][0] or 0
-    for _t in range(min(_VIT_MAXLEN, maxlen)):
-        step = (
-            walk.filter(F.col("i") > 0)
-            .join(bp, ["w", "i"])
-            .select(
-                "w",
-                F.substring(
-                    F.col("w"), F.col("i") - F.col("L") + 1, F.col("L")
-                ).alias("piece"),
-                (F.col("i") - F.col("L")).alias("ni"),
-            )
-        )
-        emitted = step.select("w", "piece")
-        pieces = emitted if pieces is None else pieces.unionAll(emitted)
-        walk = step.select("w", F.col("ni").alias("i")).localCheckpoint()
-    usage = (
-        pieces.join(wf, "w")
-        .groupBy("piece")
-        .agg(
-            F.countDistinct("w").cast("bigint").alias("n_words"),
-            F.sum("wfreq").cast("bigint").alias("usage"),
-        )
-    )
-    tot = usage.agg(F.sum("usage").cast("bigint").alias("total"))
-    return (
-        usage.crossJoin(F.broadcast(tot))
-        .select(
-            "piece",
-            "n_words",
-            "usage",
-            dround(F.col("usage").cast("double") / F.col("total"), 6).alias(
-                "usage_share"
-            ),
-        )
-        .orderBy(F.col("usage").desc(), "piece")
-        .limit(20)
-    )
-
-
-@register(
-    "pipeline_curriculum_phases",
-    oracle=f"""
-    WITH scored AS (
-        SELECT doc_id,
-               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
-               {_SCORE_SQL} AS q
-        FROM documents
-    ),
-    phased AS (
-        SELECT doc_id, n_tokens, q,
-               NTILE(4) OVER (ORDER BY q DESC, doc_id) AS phase
-        FROM scored
-    ),
-    per AS (
-        SELECT phase,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-               AVG(q) AS mq
-        FROM phased GROUP BY phase
-    ),
-    tot AS (SELECT CAST(SUM(n_tokens) AS BIGINT) AS total FROM per)
-    SELECT phase,
-           n_docs,
-           n_tokens,
-           {dround_sql("mq", 6)} AS mean_quality,
-           {dround_sql(
-               "SUM(n_tokens) OVER (ORDER BY phase)"
-               " / CAST(total AS DOUBLE)", 6
-           )} AS cum_token_share
-    FROM per, tot
-    ORDER BY phase
-    """,
-    description="Curriculum-learning schedule: rank the corpus by quality "
-    "score (deterministic total order, doc_id tiebreak) and cut it into "
-    "4 curriculum phases — training consumes phase 1 (cleanest) first "
-    "and anneals toward the noisier tail, the schedule used by "
-    "quality-curriculum pretraining recipes. Reports per-phase doc/"
-    "token budgets, mean quality, and the cumulative token share the "
-    "scheduler feeds the data loader. NTILE runs at doc grain here "
-    "(same declared trade-off as pipeline_packing_efficiency_curve: "
-    "at 1e9+ docs the cuts come from a binned score histogram instead "
-    "— noted, not silent); everything after the cut is a 4-row "
-    "aggregate.",
-)
-def pipeline_curriculum_phases(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    from pyspark.sql.window import Window as W
-
-    docs = table(spark, sf_dir, "documents")
-    q = TX.quality_score_cols(F.col("text"))["quality_score"]
-    scored = docs.select(
-        "doc_id",
-        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_tokens"),
-        q.alias("q"),
-    )
-    phased = scored.withColumn(
-        "phase",
-        F.ntile(4).over(W.orderBy(F.col("q").desc(), F.col("doc_id"))),
-    )
-    per = phased.groupBy("phase").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_tokens").cast("bigint").alias("n_tokens"),
-        F.avg("q").alias("mq"),
-    )
-    tot = per.agg(F.sum("n_tokens").cast("bigint").alias("total"))
-    return (
-        per.crossJoin(F.broadcast(tot))
-        .select(
-            "phase",
-            "n_docs",
-            "n_tokens",
-            dround(F.col("mq"), 6).alias("mean_quality"),
-            dround(
-                F.sum("n_tokens")
-                .over(W.orderBy("phase"))
-                .cast("double")
-                / F.col("total"),
-                6,
-            ).alias("cum_token_share"),
-        )
-        .orderBy("phase")
-    )
-
-
-def _lsh_multiprobe_oracle(nprobe: int = 4) -> str:
-    dots = []
-    for i, plane in enumerate(S.HYPERPLANES):
-        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
-        dots.append(
-            f"SELECT {i} AS i, "
-            f"list_sum(list_transform(list_zip(embedding, {lit}), "
-            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot "
-            f"FROM q"
-        )
-    dots_sql = "\n        UNION ALL ".join(dots)
-    return f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding,
-               {_bucket_sql()} AS bucket
-        FROM embeddings
-    ),
-    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
-    qb AS (SELECT bucket, embedding FROM bucketed WHERE vec_id = 0),
-    margins AS (
-        SELECT i, ABS(dot) AS m FROM ({dots_sql})
-    ),
-    flips AS (SELECT i FROM margins ORDER BY m, i LIMIT {nprobe - 1}),
-    probes AS (
-        SELECT qb.bucket AS pb FROM qb
-        UNION ALL
-        SELECT xor(qb.bucket, CAST(1 AS BIGINT) << f.i) FROM qb, flips f
-    )
-    SELECT b.vec_id,
-           ROUND(
-             list_sum(list_transform(list_zip(b.embedding, qb.embedding),
-                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(b.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-              * sqrt(list_sum(list_transform(qb.embedding,
-                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-           , 6) AS score
-    FROM bucketed b, qb
-    WHERE b.vec_id <> 0 AND b.bucket IN (SELECT pb FROM probes)
-    ORDER BY score DESC, b.vec_id
-    LIMIT 5
-    """
-
-
-@register(
-    "similarity_lsh_multiprobe_top5",
-    oracle=_lsh_multiprobe_oracle(),
-    description="Multi-probe LSH ANN (Lv et al., VLDB'07): probe the "
-    "query's bucket PLUS the 3 buckets across the lowest-|margin| "
-    "hyperplanes — where a true neighbor most likely landed on the "
-    "other side of a close plane. Raises recall toward exact without "
-    "extra hash tables or index duplication (the classic memory/recall "
-    "trade of multi-table LSH); the probe set derives from the query "
-    "vector alone, so the corpus-side plan is one bucket-membership "
-    "filter + exact cosine re-rank, same as single-probe.",
-)
-def similarity_lsh_multiprobe_top5(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings")
-    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
-    return S.lsh_multiprobe_top_k(
-        emb.filter(F.col("vec_id") != 0), list(qvec), k=5, nprobe=4
-    )
-
-
-def _bcubed_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    return f"""
-    WITH RECURSIVE {ctes},
-    pairs AS ({final}),
-    edges AS (
-        SELECT id_a AS a, id_b AS b FROM pairs
-        UNION
-        SELECT id_b AS a, id_a AS b FROM pairs
-    ),
-    reach(node, root) AS (
-        SELECT DISTINCT a AS node, a AS root FROM edges
-        UNION
-        SELECT e.b AS node, r.root
-        FROM reach r JOIN edges e ON e.a = r.node
-    ),
-    comp AS (SELECT node AS doc_id, MIN(root) AS c FROM reach GROUP BY node),
-    assign AS (
-        SELECT d.doc_id,
-               COALESCE(comp.c, d.doc_id) AS c,
-               CASE WHEN d.doc_id >= 1000000
-                         AND (d.doc_id - 1000000) % 20 = 0
-                    THEN d.doc_id - 1000000
-                    ELSE d.doc_id END AS t
-        FROM docs d LEFT JOIN comp ON comp.doc_id = d.doc_id
-    ),
-    isz AS (SELECT c, t, COUNT(*) AS ni FROM assign GROUP BY c, t),
-    csz AS (SELECT c, SUM(ni) AS nc FROM isz GROUP BY c),
-    tsz AS (SELECT t, SUM(ni) AS nt FROM isz GROUP BY t),
-    per AS (
-        SELECT isz.ni,
-               CAST(isz.ni AS DOUBLE) * isz.ni / csz.nc AS sp,
-               CAST(isz.ni AS DOUBLE) * isz.ni / tsz.nt AS sr
-        FROM isz
-        JOIN csz ON csz.c = isz.c
-        JOIN tsz ON tsz.t = isz.t
-    ),
-    agg AS (
-        SELECT CAST(SUM(ni) AS BIGINT) AS n_docs,
-               SUM(sp) / SUM(ni) AS bp, SUM(sr) / SUM(ni) AS br
-        FROM per
-    )
-    SELECT n_docs,
-           {dround_sql("bp", 6)} AS bcubed_precision,
-           {dround_sql("br", 6)} AS bcubed_recall,
-           {dround_sql("2.0 * bp * br / (bp + br)", 6)} AS bcubed_f1
-    FROM agg
-    """
-
-
-@register(
-    "dedup_bcubed_cluster_eval",
-    oracle=_bcubed_oracle(),
-    description="B-cubed CLUSTER-level evaluation of the dedup pipeline "
-    "(Bagga & Baldwin '98 — the standard for coreference/dedup "
-    "clustering, unlike pair-level PR it rewards partial credit and "
-    "punishes both over- and under-merging per document): every doc "
-    "scores |C∩T|/|C| precision and |C∩T|/|T| recall against the "
-    "planted truth clustering (planted copy + original together, "
-    "everything else singleton), averaged corpus-wide. Docs outside "
-    "any near-dup pair count as their own singleton cluster — the "
-    "full-corpus accounting pair-level eval silently skips. Three "
-    "cluster-grain aggregates + joins back on the assignment table; "
-    "no step exceeds O(docs).",
-)
-def dedup_bcubed_cluster_eval(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    base = _DupEvalBase(spark, sf_dir)
-    docs = base.docs.select("doc_id")
-    pairs = base.verified_pairs(0.5)
-    comp = D.connected_components(pairs).withColumnRenamed("cluster_id", "c")
-    t = F.when(
-        (F.col("doc_id") >= 1_000_000)
-        & ((F.col("doc_id") - 1_000_000) % 20 == 0),
-        F.col("doc_id") - 1_000_000,
-    ).otherwise(F.col("doc_id"))
-    # Group-grain B-cubed: avg over docs of ni/nc equals
-    # Σ_{(c,t)} ni²/nc / N, so the whole metric folds from the
-    # (cluster, truth)-intersection table alone — the doc-grain
-    # assignment table is aggregated ONCE (groupBy c,t) and never joined
-    # back. At corpus scale that skips three doc-grain hash joins; the
-    # cluster/truth marginals come from re-aggregating the (tiny)
-    # intersection table.
-    assign = docs.join(comp, "doc_id", "left").select(
-        F.coalesce("c", F.col("doc_id")).alias("c"), t.alias("t")
-    )
-    isz = (
-        assign.groupBy("c", "t")
-        .agg(F.count(F.lit(1)).alias("ni"))
-        .persist()
-    )
-    csz = isz.groupBy("c").agg(F.sum("ni").alias("nc"))
-    tsz = isz.groupBy("t").agg(F.sum("ni").alias("nt"))
-    per = (
-        isz.join(csz, "c")
-        .join(tsz, "t")
-        .select(
-            "ni",
-            (F.col("ni").cast("double") * F.col("ni") / F.col("nc")).alias(
-                "sp"
-            ),
-            (F.col("ni").cast("double") * F.col("ni") / F.col("nt")).alias(
-                "sr"
-            ),
-        )
-    )
-    agg = per.agg(
-        F.sum("ni").cast("bigint").alias("n_docs"),
-        (F.sum("sp") / F.sum("ni")).alias("bp"),
-        (F.sum("sr") / F.sum("ni")).alias("br"),
-    )
-    return agg.select(
-        "n_docs",
-        dround(F.col("bp"), 6).alias("bcubed_precision"),
-        dround(F.col("br"), 6).alias("bcubed_recall"),
-        dround(
-            2.0 * F.col("bp") * F.col("br") / (F.col("bp") + F.col("br")), 6
-        ).alias("bcubed_f1"),
-    )
-
-
-def _recall_multiprobe_oracle(nprobe: int = 4) -> str:
-    dots = []
-    for i, plane in enumerate(S.HYPERPLANES):
-        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
-        dots.append(
-            f"SELECT qid, {i} AS i, "
-            f"ABS(list_sum(list_transform(list_zip(qv, {lit}), "
-            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS m "
-            f"FROM q"
-        )
-    dots_sql = "\n        UNION ALL ".join(dots)
-    return f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding,
-               {_bucket_sql()} AS bucket
-        FROM embeddings
-    ),
-    q AS (
-        SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
-        FROM bucketed WHERE vec_id < 10
-    ),
-    exact5 AS (
-        SELECT qid, vec_id FROM (
-            SELECT q.qid, e.vec_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY q.qid
-                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
-                                e.vec_id) AS rn
-            FROM embeddings e, q WHERE e.vec_id <> q.qid
-        ) WHERE rn <= 5
-    ),
-    qm AS ({dots_sql}),
-    flips AS (
-        SELECT qid, i FROM (
-            SELECT qid, i,
-                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY m, i) AS rn
-            FROM qm
-        ) WHERE rn <= {nprobe - 1}
-    ),
-    probes AS (
-        SELECT qid, qbucket AS pb FROM q
-        UNION ALL
-        SELECT f.qid, xor(q.qbucket, CAST(1 AS BIGINT) << f.i)
-        FROM flips f JOIN q USING (qid)
-    ),
-    mp5 AS (
-        SELECT qid, vec_id FROM (
-            SELECT p.qid, b.vec_id,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY p.qid
-                       ORDER BY ROUND({_cos_sql("b.embedding", "q.qv")}, 6) DESC,
-                                b.vec_id) AS rn
-            FROM bucketed b
-            JOIN probes p ON b.bucket = p.pb
-            JOIN q ON q.qid = p.qid AND b.vec_id <> q.qid
-        ) WHERE rn <= 5
-    ),
-    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
-    agg_m AS (SELECT qid, COUNT(*) AS n_multiprobe FROM mp5 GROUP BY qid),
-    agg_o AS (
-        SELECT e.qid, COUNT(*) AS n_overlap
-        FROM exact5 e JOIN mp5 l ON l.qid = e.qid AND l.vec_id = e.vec_id
-        GROUP BY e.qid
-    )
-    SELECT a.qid AS query_id, a.n_exact,
-           COALESCE(b.n_multiprobe, 0) AS n_multiprobe,
-           COALESCE(c.n_overlap, 0) AS n_overlap,
-           ROUND(CAST(COALESCE(c.n_overlap, 0) AS DOUBLE) / 5, 2) AS recall_at_5
-    FROM agg_e a
-    LEFT JOIN agg_m b ON b.qid = a.qid
-    LEFT JOIN agg_o c ON c.qid = a.qid
-    """
-
-
-@register(
-    "similarity_recall_multiprobe_at5",
-    oracle=_recall_multiprobe_oracle(),
-    description="Recall@5 of MULTI-PROBE LSH over the same 10-query panel "
-    "as similarity_recall_lsh_at5 — the probe set (own bucket + 3 "
-    "lowest-|margin| bit flips, per query) is computed as a DataFrame "
-    "over the broadcast panel, no driver loop; per-query recall "
-    "dominates single-probe by construction since every single-probe "
-    "candidate is also a multi-probe candidate. The pair of harnesses "
-    "is the memory/recall frontier you price before choosing probe "
-    "count at 100 TB.",
-)
-def similarity_recall_multiprobe_at5(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    nprobe = 4
-    emb = table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bucket")
-    )
-    q = b.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").alias("qv"),
-        F.col("bucket").alias("qbucket"),
-    )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
-    exact5 = (
-        emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
-    planes = F.array(
-        *[
-            F.array(*[F.lit(float(v)) for v in plane])
-            for plane in S.HYPERPLANES
-        ]
-    )
-    qm = q.select(
-        "qid",
-        "qbucket",
-        F.posexplode(planes).alias("i", "plane"),
-        F.col("qv"),
-    ).select(
-        "qid",
-        "qbucket",
-        "i",
-        F.abs(S.dot(F.col("qv"), F.col("plane"))).alias("m"),
-    )
-    wq = Window.partitionBy("qid").orderBy("m", "i")
-    flips = (
-        qm.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe - 1)
-        .select(
-            "qid",
-            F.expr("qbucket ^ CAST(shiftleft(1, i) AS BIGINT)").alias("pb"),
-        )
-    )
-    probes = q.select("qid", F.col("qbucket").alias("pb")).unionAll(flips)
-    mp5 = (
-        b.join(F.broadcast(probes), b.bucket == probes.pb)
-        .join(
-            F.broadcast(q.select("qid", "qv")).withColumnRenamed("qid", "q2"),
-            (F.col("qid") == F.col("q2")) & (b.vec_id != F.col("qid")),
-        )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
-    agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
-    agg_m = mp5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_multiprobe"))
-    agg_o = (
-        exact5.join(mp5, ["qid", "vec_id"])
-        .groupBy("qid")
-        .agg(F.count(F.lit(1)).alias("n_overlap"))
-    )
-    return (
-        agg_e.join(agg_m, "qid", "left")
-        .join(agg_o, "qid", "left")
-        .select(
-            F.col("qid").alias("query_id"),
-            "n_exact",
-            F.coalesce("n_multiprobe", F.lit(0)).alias("n_multiprobe"),
-            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
-            F.round(
-                F.coalesce("n_overlap", F.lit(0)).cast("double") / 5, 2
-            ).alias("recall_at_5"),
-        )
-    )
-
-
-_KMV_K = 64
-
-
-def _kmv_oracle() -> str:
-    k = _KMV_K
-    raw_est = (
-        f"({k} - 1) / (CAST(k.kth_h AS DOUBLE) / 281474976710656.0)"
-    )
-    est = (
-        f"CASE WHEN k.n_kept < {k} THEN CAST(k.n_kept AS DOUBLE) "
-        f"ELSE {dround_sql(raw_est, 6)} END"
-    )
-    return f"""
-    WITH du AS (
-        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
-    ),
-    hashed AS (
-        SELECT day, {_H48.format(c="CAST(user_id AS VARCHAR)")} AS h FROM du
-    ),
-    ranked AS (
-        SELECT day, h,
-               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
-        FROM hashed
-    ),
-    kth AS (
-        SELECT day,
-               MAX(h) AS kth_h,
-               CAST(COUNT(*) AS BIGINT) AS n_kept
-        FROM ranked WHERE rn <= {k} GROUP BY day
-    ),
-    exact AS (
-        SELECT day, CAST(COUNT(*) AS BIGINT) AS exact_users
-        FROM du GROUP BY day
-    )
-    SELECT e.day, e.exact_users,
-           {est} AS kmv_estimate,
-           {dround_sql(f"ABS(({est}) - e.exact_users) / e.exact_users", 6)}
-               AS rel_error
-    FROM exact e JOIN kth k ON k.day = e.day
-    ORDER BY e.day
-    """
-
-
-@register(
-    "sketch_kmv_distinct_users",
-    oracle=_kmv_oracle(),
-    description="KMV (k-minimum-values) distinct sketch, the mergeable "
-    "alternative to HLL with a fully DETERMINISTIC estimate: keep the "
-    "64 smallest md5-derived hashes per day; the estimator "
-    "(k-1)/normalized-kth-minimum is exact arithmetic over portable "
-    "integer hashes, so unlike HLL no engine-specific register math "
-    "exists to paper over — the oracle reproduces the estimate "
-    "bit-for-bit. Days with fewer than k users fall back to the exact "
-    "kept count (the sketch IS the distinct set there). Merge across "
-    "partitions/days = k smallest of the union of k-min sets — an "
-    "associative combine, which is what makes the sketch rollup-able "
-    "at 100 TB. Per-day window is keyed (never global); reports "
-    "estimate vs exact with relative error.",
-)
-def sketch_kmv_distinct_users(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    k = _KMV_K
-    ev = table(spark, sf_dir, "events")
-    du = ev.select(
-        F.to_date("ts").alias("day"), "user_id"
-    ).distinct()
-    hashed = du.select(
-        "day", D.token_hash48(F.col("user_id").cast("string")).alias("h")
-    )
-    w = Window.partitionBy("day").orderBy("h")
-    kth = (
-        hashed.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-        .groupBy("day")
-        .agg(
-            F.max("h").alias("kth_h"),
-            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
-        )
-    )
-    exact = du.groupBy("day").agg(
-        F.count(F.lit(1)).cast("bigint").alias("exact_users")
-    )
-    est = F.when(
-        F.col("n_kept") < k, F.col("n_kept").cast("double")
-    ).otherwise(
-        dround(
-            (k - 1)
-            / (F.col("kth_h").cast("double") / F.lit(281474976710656.0)),
-            6,
-        )
-    )
-    return (
-        exact.join(kth, "day")
-        .select(
-            "day",
-            "exact_users",
-            est.alias("kmv_estimate"),
-            dround(
-                F.abs(est - F.col("exact_users").cast("double"))
-                / F.col("exact_users"),
-                6,
-            ).alias("rel_error"),
-        )
-        .orderBy("day")
-    )
-
-
-def _lcc_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    return f"""
-    WITH {ctes},
-    pairs AS ({final}),
-    e AS (
-        SELECT LEAST(id_a, id_b) AS u, GREATEST(id_a, id_b) AS v
-        FROM pairs GROUP BY 1, 2
-    ),
-    sym AS (
-        SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e
-    ),
-    deg AS (SELECT a AS node, COUNT(*) AS d FROM sym GROUP BY a),
-    wedge AS (
-        SELECT s1.a AS node, s1.b AS x, s2.b AS y
-        FROM sym s1 JOIN sym s2 ON s2.a = s1.a AND s1.b < s2.b
-    ),
-    tri AS (
-        SELECT w.node, COUNT(*) AS t
-        FROM wedge w JOIN e ON e.u = w.x AND e.v = w.y
-        GROUP BY w.node
-    ),
-    lcc AS (
-        SELECT deg.node, deg.d,
-               CASE WHEN deg.d >= 2
-                    THEN 2.0 * COALESCE(tri.t, 0) / (deg.d * (deg.d - 1))
-                    ELSE 0.0 END AS c
-        FROM deg LEFT JOIN tri ON tri.node = deg.node
-    ),
-    banded AS (
-        SELECT CASE WHEN d = 1 THEN '1'
-                    WHEN d <= 3 THEN '2-3'
-                    WHEN d <= 7 THEN '4-7'
-                    ELSE '8+' END AS degree_band,
-               d, c
-        FROM lcc
-    )
-    SELECT degree_band,
-           CAST(COUNT(*) AS BIGINT) AS n_nodes,
-           {dround_sql("AVG(CAST(d AS DOUBLE))", 6)} AS avg_degree,
-           {dround_sql("AVG(c)", 6)} AS avg_lcc
-    FROM banded GROUP BY degree_band ORDER BY degree_band
-    """
-
-
-@register(
-    "graph_clustering_coefficient_neardup",
-    oracle=_lcc_oracle(),
-    description="Local clustering coefficient over the near-dup graph "
-    "(2T(v) / d(v)(d(v)-1)): high LCC marks cliquish duplicate "
-    "neighborhoods (template families — safe to collapse to one "
-    "survivor), low LCC marks chain/star shapes where transitive "
-    "merging deserves scrutiny before deleting data. Per-node "
-    "triangles come from one wedge self-join checked against the "
-    "oriented edge set — the compact-forward pattern whose fan-out is "
-    "bounded by degree, same discipline as the global triangle count; "
-    "reported as degree-banded averages so the output is "
-    "band-cardinality-sized at any graph size.",
-)
-def graph_clustering_coefficient_neardup(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    pairs = D.lsh_candidate_pairs(
-        _docs_with_dups(spark, sf_dir, 20), threshold=0.5
-    )
-    e = (
-        pairs.select(
-            F.least("id_a", "id_b").alias("u"),
-            F.greatest("id_a", "id_b").alias("v"),
-        )
-        .distinct()
-        .persist()
-    )
-    sym = e.unionAll(
-        e.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).select(F.col("u").alias("a"), F.col("v").alias("b"))
-    deg = sym.groupBy(F.col("a").alias("node")).agg(
-        F.count(F.lit(1)).alias("d")
-    )
-    s1, s2 = sym.alias("s1"), sym.alias("s2")
-    wedge = s1.join(
-        s2,
-        (F.col("s2.a") == F.col("s1.a")) & (F.col("s1.b") < F.col("s2.b")),
-    ).select(
-        F.col("s1.a").alias("node"),
-        F.col("s1.b").alias("x"),
-        F.col("s2.b").alias("y"),
-    )
-    tri = (
-        wedge.join(
-            e, (e.u == wedge.x) & (e.v == wedge.y)
-        )
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("t"))
-    )
-    lcc = deg.join(tri, "node", "left").select(
-        "d",
-        F.when(
-            F.col("d") >= 2,
-            2.0
-            * F.coalesce("t", F.lit(0))
-            / (F.col("d") * (F.col("d") - 1)),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("c"),
-    )
-    band = (
-        F.when(F.col("d") == 1, F.lit("1"))
-        .when(F.col("d") <= 3, F.lit("2-3"))
-        .when(F.col("d") <= 7, F.lit("4-7"))
-        .otherwise(F.lit("8+"))
-    )
-    return (
-        lcc.select(band.alias("degree_band"), "d", "c")
-        .groupBy("degree_band")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
-            dround(F.avg(F.col("d").cast("double")), 6).alias("avg_degree"),
-            dround(F.avg("c"), 6).alias("avg_lcc"),
-        )
-        .orderBy("degree_band")
-    )
-
-
-def _selectivity_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    votes = ",\n               ".join(
-        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
-        for b in range(32)
-    )
-    bits = "\n         + ".join(
-        f"CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
-        for b in range(32)
-    )
-    return f"""
-    WITH {ctes},
-    lsh_pairs AS ({final}),
-    exact_groups AS (
-        SELECT md5(text) AS h, COUNT(*) AS s FROM docs GROUP BY md5(text)
-    ),
-    exact_m AS (
-        SELECT CAST(CAST(SUM(s * (s - 1)) AS BIGINT) / 2 AS BIGINT)
-                   AS n_candidates
-        FROM exact_groups
-    ),
-    stoks AS (
-        SELECT DISTINCT doc_id, u.tok
-        FROM docs, UNNEST(string_split(text, ' ')) AS u(tok)
-    ),
-    shashed AS (
-        SELECT doc_id, {_H48.format(c='tok')} AS h FROM stoks
-    ),
-    svotes AS (
-        SELECT doc_id,
-               {votes}
-        FROM shashed GROUP BY doc_id
-    ),
-    ssig AS (
-        SELECT doc_id,
-               {bits} AS simhash
-        FROM svotes
-    ),
-    sband AS (
-        SELECT doc_id, b.i AS band, (simhash >> (8 * b.i)) & 255 AS key
-        FROM ssig, UNNEST(range(0, 4)) AS b(i)
-    ),
-    scand AS (
-        SELECT DISTINCT l.doc_id AS id_a, r.doc_id AS id_b
-        FROM sband l JOIN sband r
-          ON l.band = r.band AND l.key = r.key AND l.doc_id < r.doc_id
-    ),
-    sinter AS (
-        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
-        FROM scand c
-        JOIN shingles a ON a.doc_id = c.id_a
-        JOIN shingles b ON b.doc_id = c.id_b AND a.shingle = b.shingle
-        GROUP BY c.id_a, c.id_b
-    ),
-    sver AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_verified
-        FROM sinter
-        JOIN sizes sa ON sa.doc_id = sinter.id_a
-        JOIN sizes sb ON sb.doc_id = sinter.id_b
-        WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.5
-    ),
-    rows_ AS (
-        SELECT 'exact_hash' AS method, n_candidates,
-               n_candidates AS n_verified
-        FROM exact_m
-        UNION ALL
-        SELECT 'minhash_lsh',
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM cand),
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM lsh_pairs)
-        UNION ALL
-        SELECT 'simhash_banded',
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM scand),
-               (SELECT n_verified FROM sver)
-    )
-    SELECT method, n_candidates, n_verified,
-           {dround_sql(
-               "CASE WHEN n_candidates > 0 THEN "
-               "CAST(n_verified AS DOUBLE) / n_candidates ELSE 0.0 END", 6
-           )} AS precision_at_05
-    FROM rows_ ORDER BY method
-    """
-
-
-@register(
-    "dedup_candidate_selectivity_compare",
-    oracle=_selectivity_oracle(),
-    description="Strategy-selection table for dedup at scale: the three "
-    "candidate generators (exact content hash, 4x8-bit SimHash band "
-    "blocking, MinHash-LSH banding) run over the SAME corpus and are "
-    "verified against the SAME exact-Jaccard >= 0.5 ground truth from "
-    "ONE shared shingle pass — reporting candidate volume vs verified "
-    "volume vs precision. This is the measurement that prices the "
-    "shuffle budget before a 100 TB run: exact hashing is "
-    "perfect-precision but recalls only byte-identical docs, SimHash "
-    "bands are cheapest per doc but loosest, LSH sits between; all "
-    "three stay equi-join candidate generation — never all-pairs.",
-)
-def dedup_candidate_selectivity_compare(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    base = _DupEvalBase(spark, sf_dir)
-    docs, sh, sizes = base.docs, base.sh, base.sizes
-
-    # Ground truth ONCE via the shingle inverted index (pairs sharing >=1
-    # shingle -> exact Jaccard filter), then each generator is verified
-    # against this small truth set. The r6 shape verified per candidate
-    # set by exploding candidates x shingles — quadratic in bucket skew:
-    # the 8-bit simhash bands emit ~7M candidate pairs on this
-    # near-uniform corpus (that IS the query's finding) and the explode
-    # cost 60s at sf0.1. Any J>=0.5 pair shares a shingle, so
-    # |cand ∩ truth| is exactly the old n_verified.
-    a, b = sh.alias("a"), sh.alias("b")
-    sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
-    truth = (
-        a.join(
-            b,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.sid") < F.col("b.sid")),
-        )
-        .groupBy(
-            F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b")
-        )
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-        .join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(
-            F.col("n_inter").cast("double")
-            / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-            >= 0.5
-        )
-        .select("id_a", "id_b")
-        .persist()
-    )
-
-    # exact content hash: every within-group pair is J=1 by construction
-    exact_m = (
-        docs.groupBy(F.md5("text").alias("h"))
-        .agg(F.count(F.lit(1)).alias("s"))
-        .agg(
-            (F.sum(F.col("s") * (F.col("s") - 1)).cast("bigint") / 2)
-            .cast("bigint")
-            .alias("n_candidates")
-        )
-    )
-    exact_row = exact_m.select(
-        F.lit("exact_hash").alias("method"),
-        "n_candidates",
-        F.col("n_candidates").alias("n_verified"),
-    )
-
-    # minhash-LSH banding: candidate set from the shared base (small —
-    # banding at threshold 0.5 is selective here); verified via broadcast
-    # semi-join against truth.
-    lsh_cand = base.cand
-    lsh_ver = lsh_cand.join(
-        F.broadcast(truth), ["id_a", "id_b"], "left_semi"
-    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
-    lsh_row = (
-        lsh_cand.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
-        .crossJoin(F.broadcast(lsh_ver))
-        .select(F.lit("minhash_lsh").alias("method"), "n_candidates", "n_verified")
-    )
-
-    # simhash 4x8-bit band blocking. The ~7M-pair candidate set is NEVER
-    # enumerated (r7 was: band self-join -> 7M-row distinct -> count,
-    # 7.6s idle at sf0.1; at 100 TB that distinct IS the job):
-    #   n_candidates — inclusion-exclusion over the 4 collision events
-    #     A_b = "pair agrees on band b": |∪A_b| = Σ_{S≠∅} (-1)^{|S|+1} N_S
-    #     where N_S = Σ_buckets s(s-1)/2 grouping docs by the key tuple of
-    #     bands in S. All 15 subsets ride ONE explode (doc -> 15
-    #     (mask, sign, key-tuple) rows) and two aggregations — one job,
-    #     two narrow shuffles, zero pair enumeration (15 separate
-    #     aggregates cost ~30 stages of pure scheduling overhead).
-    #   n_verified — truth-side: the truth set is small, so join IT to the
-    #     signatures of both endpoints and keep pairs agreeing on >=1 band.
-    sig = D.simhash32(docs).select(
-        "doc_id",
-        *[
-            F.shiftright(F.col("simhash"), 8 * bnd)
-            .bitwiseAND(F.lit(255))
-            .alias(f"k{bnd}")
-            for bnd in range(4)
-        ],
-    ).persist()
-    subset_structs = []
-    for mask in range(1, 16):
-        keys = [F.col(f"k{bnd}") for bnd in range(4) if (mask >> bnd) & 1]
-        sign = 1 if bin(mask).count("1") % 2 == 1 else -1
-        subset_structs.append(
-            F.struct(
-                F.lit(mask).alias("mask"),
-                F.lit(sign).alias("sign"),
-                F.concat_ws(",", *[k.cast("string") for k in keys]).alias(
-                    "key"
-                ),
-            )
-        )
-    sim_count = (
-        sig.select(F.explode(F.array(*subset_structs)).alias("sub"))
-        .groupBy("sub.mask", "sub.key")
-        .agg(F.count(F.lit(1)).alias("s"), F.first("sub.sign").alias("sign"))
-        .agg(
-            F.sum(F.col("sign") * F.col("s") * (F.col("s") - 1) / 2)
-            .cast("bigint")
-            .alias("n_candidates")
-        )
-    )
-    siga = sig.select(
-        F.col("doc_id").alias("id_a"),
-        *[F.col(f"k{bnd}").alias(f"ka{bnd}") for bnd in range(4)],
-    )
-    sigb = sig.select(
-        F.col("doc_id").alias("id_b"),
-        *[F.col(f"k{bnd}").alias(f"kb{bnd}") for bnd in range(4)],
-    )
-    band_match = None
-    for bnd in range(4):
-        eq = F.col(f"ka{bnd}") == F.col(f"kb{bnd}")
-        band_match = eq if band_match is None else (band_match | eq)
-    sim_ver = (
-        F.broadcast(truth)
-        .join(siga, "id_a")
-        .join(sigb, "id_b")
-        .filter(band_match)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_verified"))
-    )
-    sim_row = sim_count.crossJoin(F.broadcast(sim_ver)).select(
-        F.lit("simhash_banded").alias("method"), "n_candidates", "n_verified"
-    )
-
-    out = exact_row.unionAll(lsh_row).unionAll(sim_row)
-    return out.select(
-        "method",
-        "n_candidates",
-        "n_verified",
-        dround(
-            F.when(
-                F.col("n_candidates") > 0,
-                F.col("n_verified").cast("double") / F.col("n_candidates"),
-            ).otherwise(F.lit(0.0)),
-            6,
-        ).alias("precision_at_05"),
-    ).orderBy("method")
-
-
-# ------------------------------------- quality-classifier evaluation
-# The continuous length/punct/stopword quality score (text_quality_scores)
-# is the cheap "distilled classifier"; the Gopher rule gate
-# (text_gopher_quality_filter) is the expensive "gold" labeler. This
-# family measures how well the score ranks (ROC-AUC), how honest its
-# probabilities are (ECE / Brier), how to repair them (isotonic PAV
-# calibration), and how much two rule-based raters agree beyond chance
-# (Cohen's kappa) — the evaluation loop every production quality filter
-# for LLM training data goes through before it gates a 100 TB corpus.
-# Corpus-scale work in every query is ONE scan + one groupBy; all the
-# evaluation math happens on score-grain / bin-grain aggregates.
-
-_QEVAL_SQL = f"""
-qe_scored AS (
-    SELECT doc_id, {_SCORE_SQL} AS q, string_split(text, ' ') AS w
-    FROM documents
-),
-qe_feats AS (
-    SELECT doc_id, q,
-           CAST(len(w) AS BIGINT) AS n_words,
-           {dround_sql("CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w)", 6)} AS mean_word_len,
-           {dround_sql("1.0 - CAST(len(list_distinct(w)) AS DOUBLE) / len(w)", 6)} AS dup_word_frac,
-           CAST(len(list_filter(w, x -> lower(x) IN
-                ('the','a','of','and','to','in','is','it'))) AS BIGINT)
-                AS stop_hits
-    FROM qe_scored
-),
-qe_labeled AS (
-    SELECT doc_id, q,
-           CAST(CASE WHEN {_GOPHER_PASS_SQL} THEN 0 ELSE 1 END AS INT)
-               AS label
-    FROM qe_feats
-)
-"""
-
-
-def _quality_vs_gopher(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(doc_id, q, label): the continuous quality score next to the
-    Gopher-gate 0/1 label, both reusing the exact expressions of their
-    standalone queries so cross-engine parity is inherited."""
-    docs = table(spark, sf_dir, "documents")
-    q = TX.quality_score_cols(F.col("text"))["quality_score"]
-    w = F.split(F.col("text"), " ")
-    mean_word_len = dround(
-        F.aggregate(w, F.lit(0), lambda a, x: a + F.length(x)).cast("double")
-        / F.size(w),
-        6,
-    )
-    dup_frac = dround(
-        F.lit(1.0) - F.size(F.array_distinct(w)).cast("double") / F.size(w), 6
-    )
-    stop_hits = F.size(
-        F.filter(w, lambda x: F.lower(x).isin(*TX.STOPWORDS))
-    ).cast("bigint")
-    feats = docs.select(
-        "doc_id",
-        q.alias("q"),
-        F.size(w).cast("bigint").alias("n_words"),
-        mean_word_len.alias("mean_word_len"),
-        dup_frac.alias("dup_word_frac"),
-        stop_hits.alias("stop_hits"),
-    )
-    fail = (
-        (F.col("n_words") < 15)
-        | (F.col("n_words") > 500)
-        | (F.col("mean_word_len") < 2.5)
-        | (F.col("mean_word_len") > 8.0)
-        | (F.col("dup_word_frac") > 0.7)
-        | (F.col("stop_hits") == 0)
-    )
-    return feats.select(
-        "doc_id", "q", F.when(fail, 0).otherwise(1).cast("int").alias("label")
-    )
-
-
-@register(
-    "stats_roc_auc_quality_vs_gopher",
-    oracle=f"""
-    WITH {_QEVAL_SQL},
-    qe_groups AS (
-        SELECT q, CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(label) AS BIGINT) AS pos
-        FROM qe_labeled GROUP BY q
-    ),
-    qe_ranked AS (
-        SELECT q, n, pos,
-               CAST(COALESCE(SUM(n) OVER (ORDER BY q
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-                    AS BIGINT) AS cum_before
-        FROM qe_groups
-    ),
-    qe_tot AS (
-        SELECT CAST(SUM(pos) AS BIGINT) AS n_pos,
-               CAST(SUM(n - pos) AS BIGINT) AS n_neg,
-               SUM(pos * (cum_before + (n + 1) / 2.0)) AS rank_sum
-        FROM qe_ranked
-    )
-    SELECT n_pos, n_neg,
-           {dround_sql("(rank_sum - n_pos * (n_pos + 1) / 2.0)"
-                       " / (n_pos * n_neg)", 6)} AS auc,
-           {dround_sql("2.0 * ((rank_sum - n_pos * (n_pos + 1) / 2.0)"
-                       " / (n_pos * n_neg)) - 1.0", 6)} AS gini
-    FROM qe_tot
-    """,
-    description="Tie-aware ROC-AUC (Mann-Whitney form) of the continuous "
-    "quality score against the Gopher-gate label: group by distinct "
-    "score, prefix-sum group sizes for average ranks, then "
-    "AUC = (rank_sum_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg). Average "
-    "ranks are multiples of 0.5 (exactly representable), so the rank "
-    "sum is order-independent and bit-identical across engines. The "
-    "corpus-scale work is one scan + one groupBy(score); the prefix "
-    "window runs over the distinct-rounded-score aggregate (<= 1e6 "
-    "rows at any corpus size for 6-decimal scores in [0,1] — bin-grain, "
-    "same argument as stats_mann_whitney_u).",
-)
-def stats_roc_auc_quality_vs_gopher(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    labeled = _quality_vs_gopher(spark, sf_dir)
-    groups = labeled.groupBy("q").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("label").cast("bigint").alias("pos"),
-    )
-    wspec = Window.orderBy("q").rowsBetween(Window.unboundedPreceding, -1)
-    ranked = groups.withColumn(
-        "cum_before",
-        F.coalesce(F.sum("n").over(wspec), F.lit(0)).cast("bigint"),
-    )
-    tot = ranked.agg(
-        F.sum("pos").cast("bigint").alias("n_pos"),
-        F.sum(F.col("n") - F.col("pos")).cast("bigint").alias("n_neg"),
-        F.sum(
-            F.col("pos") * (F.col("cum_before") + (F.col("n") + 1) / 2.0)
-        ).alias("rank_sum"),
-    )
-    auc = (
-        F.col("rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0
-    ) / (F.col("n_pos") * F.col("n_neg"))
-    return tot.select(
-        "n_pos",
-        "n_neg",
-        dround(auc, 6).alias("auc"),
-        dround(2.0 * auc - 1.0, 6).alias("gini"),
-    )
-
-
-@register(
-    "quality_calibration_ece_brier",
-    oracle=f"""
-    WITH {_QEVAL_SQL},
-    qe_binned AS (
-        SELECT least(CAST(floor(q * 10) AS INT), 9) AS bin, q, label
-        FROM qe_labeled
-    ),
-    qe_bins AS (
-        SELECT bin,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               AVG(q) AS conf,
-               AVG(CAST(label AS DOUBLE)) AS acc,
-               SUM((q - label) * (q - label)) AS sq_sum
-        FROM qe_binned GROUP BY bin
-    )
-    SELECT bin, n_docs,
-           {dround_sql("conf", 6)} AS conf,
-           {dround_sql("acc", 6)} AS acc,
-           {dround_sql("abs(acc - conf)", 6)} AS gap,
-           {dround_sql("SUM(n_docs * abs(acc - conf)) OVER ()"
-                       " / SUM(n_docs) OVER ()", 6)} AS ece,
-           {dround_sql("SUM(sq_sum) OVER () / SUM(n_docs) OVER ()", 6)}
-               AS brier
-    FROM qe_bins
-    ORDER BY bin
-    """,
-    description="Reliability diagram + expected calibration error + "
-    "Brier score for the quality score read as P(passes the Gopher "
-    "gate): 10 equal-width probability bins, per-bin mean confidence "
-    "vs empirical accuracy, ECE as the doc-weighted |acc - conf| sum, "
-    "Brier as mean squared error. Equal-width binning (not NTILE) so "
-    "bin membership is a pure map — one scan + groupBy(bin); the "
-    "normalizing window runs over the <=10-row bin table.",
-)
-def quality_calibration_ece_brier(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    labeled = _quality_vs_gopher(spark, sf_dir)
-    binned = labeled.select(
-        F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9)).alias("bin"),
-        "q",
-        "label",
-    )
-    bins = binned.groupBy("bin").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.avg("q").alias("conf"),
-        F.avg(F.col("label").cast("double")).alias("acc"),
-        F.sum(
-            (F.col("q") - F.col("label")) * (F.col("q") - F.col("label"))
-        ).alias("sq_sum"),
-    )
-    wall = Window.partitionBy()
-    gap = F.abs(F.col("acc") - F.col("conf"))
-    return bins.select(
-        "bin",
-        "n_docs",
-        dround(F.col("conf"), 6).alias("conf"),
-        dround(F.col("acc"), 6).alias("acc"),
-        dround(gap, 6).alias("gap"),
-        dround(
-            F.sum(F.col("n_docs") * gap).over(wall)
-            / F.sum("n_docs").over(wall),
-            6,
-        ).alias("ece"),
-        dround(
-            F.sum("sq_sum").over(wall) / F.sum("n_docs").over(wall), 6
-        ).alias("brier"),
-    ).orderBy("bin")
-
-
-@register(
-    "stats_isotonic_calibration_pav",
-    oracle=f"""
-    WITH {_QEVAL_SQL},
-    iso_bins AS (
-        SELECT least(CAST(floor(q * 10) AS INT), 9) AS bin,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(label) AS BIGINT) AS pos
-        FROM qe_labeled GROUP BY 1
-    ),
-    iso_pref AS (
-        SELECT bin, n_docs, pos,
-               CAST(SUM(n_docs) OVER (ORDER BY bin) AS BIGINT) AS cn,
-               CAST(SUM(pos) OVER (ORDER BY bin) AS BIGINT) AS cp
-        FROM iso_bins
-    ),
-    iso_pairs AS (
-        SELECT lo.bin AS i, hi.bin AS j,
-               CAST(hi.cp - lo.cp + lo.pos AS DOUBLE)
-                   / (hi.cn - lo.cn + lo.n_docs) AS avg_ij
-        FROM iso_pref lo JOIN iso_pref hi ON lo.bin <= hi.bin
-    ),
-    iso_trip AS (
-        SELECT p.i, k.bin AS k, MIN(p.avg_ij) AS mn
-        FROM iso_pairs p
-        JOIN iso_bins k ON p.i <= k.bin AND p.j >= k.bin
-        GROUP BY p.i, k.bin
-    ),
-    iso_fit AS (
-        SELECT k AS bin, MAX(mn) AS iso FROM iso_trip GROUP BY k
-    )
-    SELECT b.bin, b.n_docs,
-           {dround_sql("CAST(b.pos AS DOUBLE) / b.n_docs", 6)} AS raw_rate,
-           {dround_sql("f.iso", 6)} AS iso_rate
-    FROM iso_bins b JOIN iso_fit f ON f.bin = b.bin
-    ORDER BY b.bin
-    """,
-    description="Isotonic calibration of the quality score via the "
-    "pool-adjacent-violators solution in closed minimax form: over the "
-    "10 equal-width score bins, fit(k) = max over i<=k of min over "
-    "j>=k of the weighted mean label on bins i..j — the exact PAV "
-    "fixpoint without iteration (Ayer et al. 1955 minimax identity), "
-    "so no driver loop and no cross-engine convergence drift. Bin "
-    "means are exact integer ratios (pos/count), making every "
-    "min/max comparison bit-identical. Corpus-scale work is one scan "
-    "+ groupBy(bin); the minimax runs as tiny broadcast joins over "
-    "the <=10-row bin table (<=55 pairs, <=550 triples).",
-)
-def stats_isotonic_calibration_pav(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    labeled = _quality_vs_gopher(spark, sf_dir)
-    bins = labeled.groupBy(
-        F.least(F.floor(F.col("q") * 10).cast("int"), F.lit(9)).alias("bin")
-    ).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("label").cast("bigint").alias("pos"),
-    )
-    wb = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
-    pref = bins.select(
-        "bin",
-        "n_docs",
-        "pos",
-        F.sum("n_docs").over(wb).cast("bigint").alias("cn"),
-        F.sum("pos").over(wb).cast("bigint").alias("cp"),
-    )
-    lo = pref.alias("lo")
-    hi = pref.alias("hi")
-    pairs = lo.join(
-        F.broadcast(hi), F.col("lo.bin") <= F.col("hi.bin")
-    ).select(
-        F.col("lo.bin").alias("i"),
-        F.col("hi.bin").alias("j"),
-        (
-            (F.col("hi.cp") - F.col("lo.cp") + F.col("lo.pos")).cast("double")
-            / (F.col("hi.cn") - F.col("lo.cn") + F.col("lo.n_docs"))
-        ).alias("avg_ij"),
-    )
-    ks = bins.select(F.col("bin").alias("k"))
-    trip = (
-        pairs.join(
-            F.broadcast(ks),
-            (F.col("i") <= F.col("k")) & (F.col("j") >= F.col("k")),
-        )
-        .groupBy("i", "k")
-        .agg(F.min("avg_ij").alias("mn"))
-    )
-    fit = trip.groupBy(F.col("k").alias("bin")).agg(F.max("mn").alias("iso"))
-    return (
-        bins.join(fit, "bin")
-        .select(
-            "bin",
-            "n_docs",
-            dround(F.col("pos").cast("double") / F.col("n_docs"), 6).alias(
-                "raw_rate"
-            ),
-            dround(F.col("iso"), 6).alias("iso_rate"),
-        )
-        .orderBy("bin")
-    )
-
-
-@register(
-    "stats_cohens_kappa_quality_raters",
-    oracle=f"""
-    WITH {_QEVAL_SQL},
-    kp_rated AS (
-        SELECT label AS a,
-               CAST(CASE WHEN q >= 0.55 THEN 1 ELSE 0 END AS INT) AS b
-        FROM qe_labeled
-    ),
-    kp_cells AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n11,
-               CAST(SUM(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n10,
-               CAST(SUM(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n01,
-               CAST(SUM(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n00
-        FROM kp_rated
-    )
-    SELECT n, n11, n10, n01, n00,
-           {dround_sql("CAST(n11 + n00 AS DOUBLE) / n", 6)} AS po,
-           {dround_sql("(CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)"
-                       " + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)", 6)} AS pe,
-           {dround_sql("(CAST(n11 + n00 AS DOUBLE) / n"
-                       " - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)"
-                       "    + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))"
-                       " / (1.0 - ((CAST(n11 + n10 AS DOUBLE) / n) * (CAST(n11 + n01 AS DOUBLE) / n)"
-                       "    + (CAST(n01 + n00 AS DOUBLE) / n) * (CAST(n10 + n00 AS DOUBLE) / n)))", 6)} AS kappa
-    FROM kp_cells
-    """,
-    description="Cohen's kappa between two independent rule-based "
-    "quality raters — the Gopher gate vs a 0.55 threshold on the "
-    "continuous score — chance-corrected agreement for deciding "
-    "whether a cheap distilled filter can replace an expensive one. "
-    "The 2x2 contingency table is one scan of conditional-sum "
-    "aggregates (integer-exact, so po/pe/kappa are bit-identical); "
-    "no window, no join, no shuffle beyond the final 1-row reduce.",
-)
-def stats_cohens_kappa_quality_raters(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    labeled = _quality_vs_gopher(spark, sf_dir)
-    rated = labeled.select(
-        F.col("label").alias("a"),
-        F.when(F.col("q") >= 0.55, 1).otherwise(0).cast("int").alias("b"),
-    )
-    cells = rated.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(((F.col("a") == 1) & (F.col("b") == 1)).cast("int"))
-        .cast("bigint")
-        .alias("n11"),
-        F.sum(((F.col("a") == 1) & (F.col("b") == 0)).cast("int"))
-        .cast("bigint")
-        .alias("n10"),
-        F.sum(((F.col("a") == 0) & (F.col("b") == 1)).cast("int"))
-        .cast("bigint")
-        .alias("n01"),
-        F.sum(((F.col("a") == 0) & (F.col("b") == 0)).cast("int"))
-        .cast("bigint")
-        .alias("n00"),
-    )
-    nd = F.col("n").cast("double")
-    po = (F.col("n11") + F.col("n00")).cast("double") / nd
-    pe = ((F.col("n11") + F.col("n10")).cast("double") / nd) * (
-        (F.col("n11") + F.col("n01")).cast("double") / nd
-    ) + ((F.col("n01") + F.col("n00")).cast("double") / nd) * (
-        (F.col("n10") + F.col("n00")).cast("double") / nd
-    )
-    return cells.select(
-        "n",
-        "n11",
-        "n10",
-        "n01",
-        "n00",
-        dround(po, 6).alias("po"),
-        dround(pe, 6).alias("pe"),
-        dround((po - pe) / (1.0 - pe), 6).alias("kappa"),
-    )
-
-
-# ------------------------------------- UniMax language budget allocation
-@register(
-    "sample_unimax_language_budget",
-    oracle=f"""
-    WITH um_mass AS (
-        SELECT lang,
-               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS m,
-               CAST(4 * SUM(len(string_split(text, ' '))) AS BIGINT) AS cap
-        FROM documents GROUP BY lang
-    ),
-    um_ranked AS (
-        SELECT lang, m, cap,
-               CAST(ROW_NUMBER() OVER (ORDER BY cap, lang) AS BIGINT) AS k,
-               CAST(SUM(cap) OVER (ORDER BY cap, lang) AS BIGINT) AS pref
-        FROM um_mass
-    ),
-    um_tot AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(m) AS BIGINT) AS t,
-               CAST(2 * SUM(m) AS BIGINT) AS b
-        FROM um_mass
-    ),
-    um_seg AS (
-        SELECT CAST(COALESCE(MAX(CASE WHEN pref + (n - k) * cap <= b
-                                      THEN k END), 0) AS BIGINT) AS ks,
-               CAST(COALESCE(MAX(CASE WHEN pref + (n - k) * cap <= b
-                                      THEN pref END), 0) AS BIGINT) AS p
-        FROM um_ranked, um_tot
-    ),
-    um_thr AS (
-        SELECT CAST(b - p AS DOUBLE) / (n - ks) AS tstar, b, t
-        FROM um_seg, um_tot
-    )
-    SELECT r.lang, r.m AS lang_tokens, r.cap AS cap_tokens,
-           {dround_sql("least(CAST(r.cap AS DOUBLE), h.tstar)", 4)}
-               AS alloc_tokens,
-           {dround_sql("least(CAST(r.cap AS DOUBLE), h.tstar) / r.m", 6)}
-               AS epochs,
-           {dround_sql("least(CAST(r.cap AS DOUBLE), h.tstar) / h.b", 6)}
-               AS alloc_share
-    FROM um_ranked r, um_thr h
-    """,
-    description="UniMax language budget allocation (Chung et al. 2023): "
-    "distribute a 2x-corpus token budget across languages as uniformly "
-    "as possible subject to a 4-epoch-per-language repeat cap — the "
-    "closed-form water-filling solution. Rank languages by capped "
-    "capacity ascending; the largest k with pref_k + (n-k)*cap_k <= B "
-    "marks the saturated segment (an all-bigint comparison, so the "
-    "segment choice is bit-identical across engines); the water level "
-    "T* = (B - pref_k)/(n - k) caps every remaining language. Corpus-"
-    "scale work is ONE scan + groupBy(lang) with map-side combine; the "
-    "water-filling runs entirely over the language-grain aggregate "
-    "(tens of rows at any corpus size).",
-)
-def sample_unimax_language_budget(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = F.size(F.split(F.col("text"), " ")).cast("bigint")
-    mass = docs.groupBy("lang").agg(
-        F.sum(toks).cast("bigint").alias("m"),
-        (F.lit(4) * F.sum(toks)).cast("bigint").alias("cap"),
-    )
-    wrank = Window.orderBy("cap", "lang")
-    ranked = mass.select(
-        "lang",
-        "m",
-        "cap",
-        F.row_number().over(wrank).cast("bigint").alias("k"),
-        F.sum("cap").over(
-            wrank.rowsBetween(Window.unboundedPreceding, 0)
-        ).cast("bigint").alias("pref"),
-    )
-    tot = mass.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("m").cast("bigint").alias("t"),
-        (F.lit(2) * F.sum("m")).cast("bigint").alias("b"),
-    )
-    feasible = (
-        F.col("pref") + (F.col("n") - F.col("k")) * F.col("cap")
-    ) <= F.col("b")
-    seg = ranked.crossJoin(F.broadcast(tot)).agg(
-        F.coalesce(F.max(F.when(feasible, F.col("k"))), F.lit(0))
-        .cast("bigint")
-        .alias("ks"),
-        F.coalesce(F.max(F.when(feasible, F.col("pref"))), F.lit(0))
-        .cast("bigint")
-        .alias("p"),
-    )
-    thr = seg.crossJoin(F.broadcast(tot)).select(
-        (
-            (F.col("b") - F.col("p")).cast("double")
-            / (F.col("n") - F.col("ks"))
-        ).alias("tstar"),
-        "b",
-    )
-    alloc = F.least(F.col("cap").cast("double"), F.col("tstar"))
-    return ranked.crossJoin(F.broadcast(thr)).select(
-        "lang",
-        F.col("m").alias("lang_tokens"),
-        F.col("cap").alias("cap_tokens"),
-        dround(alloc, 4).alias("alloc_tokens"),
-        dround(alloc / F.col("m"), 6).alias("epochs"),
-        dround(alloc / F.col("b"), 6).alias("alloc_share"),
-    )
-
-
-# --------------------------------------------------- BM25 retrieval
-_BM25_PANEL: list[tuple[str, str]] = [
-    ("q1", "hash"), ("q1", "join"), ("q1", "table"),
-    ("q2", "stream"), ("q2", "window"), ("q2", "agg"),
-    ("q3", "vector"), ("q3", "scan"), ("q3", "filter"),
-]
-_BM25_K1 = 1.2
-_BM25_B = 0.75
-
-
-def _bm25_oracle() -> str:
-    panel_rows = ", ".join(f"('{q}', '{t}')" for q, t in _BM25_PANEL)
-    terms = ", ".join(sorted({f"'{t}'" for _, t in _BM25_PANEL}))
-    # contribution is rounded to integer micro-units BEFORE the per-doc
-    # sum, so the aggregate is an order-free BIGINT sum on both engines
-    micro = f"""CAST(ROUND(CAST(
-        (ln(1 + (s.n - d.df + 0.5) / (d.df + 0.5))
-         * ((t.tf * {_BM25_K1 + 1.0}) / (t.tf + {_BM25_K1} * ({1.0 - _BM25_B}
-            + {_BM25_B} * (CAST(t.dl AS DOUBLE)
-                           / (CAST(s.sumdl AS DOUBLE) / s.n))))))
-        * 1000000 AS DECIMAL(38,8)), 0) AS BIGINT)"""
-    return f"""
-    WITH toks AS (
-        SELECT doc_id, string_split(text, ' ') AS t FROM documents
-    ),
-    stats AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(len(t)) AS BIGINT) AS sumdl
-        FROM toks
-    ),
-    panel(query_id, term) AS (VALUES {panel_rows}),
-    tf AS (
-        SELECT doc_id, term,
-               CAST(COUNT(*) AS BIGINT) AS tf,
-               CAST(MAX(dl) AS BIGINT) AS dl
-        FROM (
-            SELECT doc_id, len(t) AS dl, UNNEST(t) AS term FROM toks
-        )
-        WHERE term IN ({terms})
-        GROUP BY doc_id, term
-    ),
-    dfreq AS (
-        SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY term
-    ),
-    contrib AS (
-        SELECT p.query_id, t.doc_id, {micro} AS micro
-        FROM tf t
-        JOIN panel p ON p.term = t.term
-        JOIN dfreq d ON d.term = t.term
-        CROSS JOIN stats s
-    ),
-    scored AS (
-        SELECT query_id, doc_id,
-               CAST(SUM(micro) AS BIGINT) AS s_micro,
-               CAST(COUNT(*) AS BIGINT) AS n_terms_matched
-        FROM contrib GROUP BY query_id, doc_id
-    )
-    SELECT query_id, doc_id, n_terms_matched,
-           {dround_sql("s_micro / 1000000.0", 6)} AS score, rank
-    FROM (
-        SELECT *, CAST(ROW_NUMBER() OVER (
-            PARTITION BY query_id ORDER BY s_micro DESC, doc_id
-        ) AS BIGINT) AS rank
-        FROM scored
-    )
-    WHERE rank <= 5
-    """
-
-
-@register(
-    "text_bm25_topk",
-    oracle=_bm25_oracle(),
-    description="BM25 top-5 retrieval (k1=1.2, b=0.75, Lucene's "
-    "ln(1+(N-df+0.5)/(df+0.5)) idf) for a fixed 3-query panel over the "
-    "documents table. One tokenize+explode pass filtered to the 9 panel "
-    "terms feeds term frequencies, document lengths ride the same pass "
-    "(no second doc-length join); document frequencies and corpus stats "
-    "are tiny aggregates broadcast back onto the postings. Per-term "
-    "contributions are rounded to integer MICRO-units before the per-doc "
-    "sum, so the score aggregate is an order-free BIGINT sum — immune to "
-    "double-accumulation ordering across engines and partitionings. "
-    "Top-5 per query by (score desc, doc_id) row_number. At 100 TB the "
-    "postings build shuffles once on (doc,term); everything joined onto "
-    "it (panel, df, corpus stats) is broadcast-sized.",
-)
-def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", F.split(F.col("text"), " ", -1).alias("t")
-    )
-    stats = docs.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(F.size("t")).cast("bigint").alias("sumdl"),
-    )
-    panel = spark.createDataFrame(_BM25_PANEL, "query_id string, term string")
-    terms = sorted({t for _, t in _BM25_PANEL})
-    tf = (
-        docs.select(
-            "doc_id",
-            F.size("t").alias("dl"),
-            F.explode("t").alias("term"),
-        )
-        .filter(F.col("term").isin(terms))
-        .groupBy("doc_id", "term")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("tf"),
-            F.max("dl").cast("bigint").alias("dl"),
-        )
-        .persist()  # feeds both the postings join and dfreq: one
-        # tokenize+explode scan instead of two (Catalyst doesn't share
-        # subplans across the df-count and score branches)
-    )
-    dfreq = tf.groupBy("term").agg(
-        F.count(F.lit(1)).cast("bigint").alias("df")
-    )
-    avgdl = F.col("sumdl").cast("double") / F.col("n")
-    idf = F.log(
-        F.lit(1)
-        + (F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5)
-    )
-    tfpart = (F.col("tf") * F.lit(_BM25_K1 + 1.0)) / (
-        F.col("tf")
-        + F.lit(_BM25_K1)
-        * (
-            F.lit(1.0 - _BM25_B)
-            + F.lit(_BM25_B) * (F.col("dl").cast("double") / avgdl)
-        )
-    )
-    micro = (
-        F.round(((idf * tfpart) * 1000000).cast("decimal(38,8)"), 0)
-        .cast("bigint")
-        .alias("micro")
-    )
-    contrib = (
-        tf.join(F.broadcast(panel), "term")
-        .join(F.broadcast(dfreq), "term")
-        .crossJoin(F.broadcast(stats))
-        .select("query_id", "doc_id", micro)
-    )
-    scored = contrib.groupBy("query_id", "doc_id").agg(
-        F.sum("micro").cast("bigint").alias("s_micro"),
-        F.count(F.lit(1)).cast("bigint").alias("n_terms_matched"),
-    )
-    w = Window.partitionBy("query_id").orderBy(
-        F.col("s_micro").desc(), F.col("doc_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rank") <= 5)
-        .select(
-            "query_id",
-            "doc_id",
-            "n_terms_matched",
-            dround(F.col("s_micro") / 1000000.0, 6).alias("score"),
-            "rank",
-        )
-    )
-
-
-# --------------------------------------------- Bloom-filter FPR audit
-_BLOOM_M = 4096
-_BLOOM_K = 3
-
-
-def _bloom_pos_sql(key_expr: str) -> str:
-    return (
-        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)"
-        f" || ':' || j), 1, 12)) AS BIGINT) % {_BLOOM_M}"
-    )
-
-
-@register(
-    "sketch_bloom_filter_fpr",
-    oracle=f"""
-    WITH members AS (
-        SELECT c_custkey AS key FROM customer WHERE c_custkey % 3 <> 0
-    ),
-    jj(j) AS (VALUES (0), (1), (2)),
-    bits AS (
-        SELECT DISTINCT {_bloom_pos_sql("key")} AS pos
-        FROM members CROSS JOIN jj
-    ),
-    nonmembers AS (
-        SELECT c_custkey AS key FROM customer WHERE c_custkey % 3 = 0
-    ),
-    probe AS (
-        SELECT n.key, CAST(COUNT(b.pos) AS BIGINT) AS hits
-        FROM nonmembers n
-        CROSS JOIN jj
-        LEFT JOIN bits b ON b.pos = {_bloom_pos_sql("n.key")}
-        GROUP BY n.key
-    ),
-    agg AS (
-        SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
-               CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
-               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
-               CAST(COUNT(*) AS BIGINT) AS n_nonmembers,
-               CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END)
-                    AS BIGINT) AS false_positives
-        FROM probe
-    )
-    SELECT m_bits, k_hashes, n_members, bits_set, n_nonmembers,
-           false_positives,
-           {dround_sql("CAST(false_positives AS DOUBLE) / n_nonmembers", 6)}
-               AS fpr_measured,
-           {dround_sql(f"CAST(bits_set AS DOUBLE) / {_BLOOM_M}", 6)}
-               AS occupancy,
-           {dround_sql(
-               f"(CAST(bits_set AS DOUBLE) / {_BLOOM_M})"
-               f" * (CAST(bits_set AS DOUBLE) / {_BLOOM_M})"
-               f" * (CAST(bits_set AS DOUBLE) / {_BLOOM_M})", 6)}
-               AS fpr_expected
-    FROM agg
-    """,
-    description="Bloom-filter false-positive-rate audit: a 4096-bit, "
-    "3-hash Bloom filter is built over the member shard of the customer "
-    "keyspace (custkey % 3 != 0 — a structural split that holds at every "
-    "SF; portable md5-derived positions, key:j salting) and probed with "
-    "every key of the held-out shard; measured FPR is laid beside the "
-    "occupancy-based expectation rho^k (rho = bits_set/m, an EXACT "
-    "power-of-two division, cubed with plain multiplies — no pow(), so "
-    "no cross-engine libm drift). This is the sizing check a 100 TB "
-    "pipeline runs before shipping a Bloom filter into a broadcast "
-    "semi-join or an LSH pre-filter (dedup_bloom_prefilter_probe): the "
-    "bit array build is one groupBy-distinct over member hashes "
-    "(map-side combinable), the filter itself is KB-sized and "
-    "broadcast to the probe side regardless of member cardinality.",
-)
-def sketch_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = table(spark, sf_dir, "customer").select("c_custkey")
-    members = cust.filter(F.col("c_custkey") % 3 != 0).select(
-        F.col("c_custkey").alias("key")
-    )
-    jj = spark.range(_BLOOM_K).select(F.col("id").alias("j"))
-
-    def pos(key: F.Column) -> F.Column:
-        return (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            key.cast("string"),
-                            F.lit(":"),
-                            F.col("j").cast("string"),
-                        )
-                    ),
-                    1,
-                    12,
-                ),
-                16,
-                10,
-            ).cast("bigint")
-            % _BLOOM_M
-        )
-
-    bits = (
-        members.crossJoin(F.broadcast(jj))
-        .select(pos(F.col("key")).alias("pos"))
-        .distinct()
-    )
-    nonmembers = cust.filter(F.col("c_custkey") % 3 == 0).select(
-        F.col("c_custkey").alias("key")
-    )
-    probe = (
-        nonmembers.crossJoin(F.broadcast(jj))
-        .select("key", pos(F.col("key")).alias("pos"))
-        .join(F.broadcast(bits).withColumnRenamed("pos", "hit"),
-              F.col("pos") == F.col("hit"), "left")
-        .groupBy("key")
-        .agg(F.count("hit").cast("bigint").alias("hits"))
-    )
-    counts = probe.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nonmembers"),
-        F.sum(F.when(F.col("hits") == _BLOOM_K, 1).otherwise(0))
-        .cast("bigint")
-        .alias("false_positives"),
-    )
-    n_mem = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
-    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
-    occ = F.col("bits_set").cast("double") / _BLOOM_M
-    return (
-        counts.crossJoin(F.broadcast(n_mem))
-        .crossJoin(F.broadcast(n_bits))
-        .select(
-            F.lit(_BLOOM_M).cast("bigint").alias("m_bits"),
-            F.lit(_BLOOM_K).cast("bigint").alias("k_hashes"),
-            "n_members",
-            "bits_set",
-            "n_nonmembers",
-            "false_positives",
-            dround(
-                F.col("false_positives").cast("double")
-                / F.col("n_nonmembers"),
-                6,
-            ).alias("fpr_measured"),
-            dround(occ, 6).alias("occupancy"),
-            dround(occ * occ * occ, 6).alias("fpr_expected"),
-        )
-    )
-
-
-# --------------------------------------- Good-Turing count smoothing
-@register(
-    "text_good_turing_trigrams",
-    oracle=f"""
-    WITH toks AS (
-        SELECT string_split(text, ' ') AS t FROM documents
-    ),
-    tris AS (
-        SELECT array_to_string(t[i:i+2], chr(31)) AS g
-        FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
-        WHERE len(t) >= 3
-    ),
-    cnt AS (
-        SELECT g, CAST(COUNT(*) AS BIGINT) AS r FROM tris GROUP BY g
-    ),
-    coc AS (
-        SELECT r, CAST(COUNT(*) AS BIGINT) AS n_r FROM cnt GROUP BY r
-    ),
-    tot AS (
-        SELECT CAST(SUM(r * n_r) AS BIGINT) AS n_tok,
-               CAST(COALESCE(MAX(CASE WHEN r = 1 THEN n_r END), 0)
-                    AS BIGINT) AS n1
-        FROM coc
-    )
-    SELECT c.r, c.n_r,
-           {dround_sql("(c.r + 1) * CAST(c2.n_r AS DOUBLE) / c.n_r", 6)}
-               AS r_star,
-           t.n_tok AS total_trigrams,
-           {dround_sql("CAST(t.n1 AS DOUBLE) / t.n_tok", 8)}
-               AS missing_mass
-    FROM coc c
-    LEFT JOIN coc c2 ON c2.r = c.r + 1
-    CROSS JOIN tot t
-    """,
-    description="Good-Turing frequency re-estimation over corpus "
-    "trigram counts: the count-of-counts table N_r and the smoothed "
-    "count r* = (r+1) N_(r+1)/N_r, plus the unseen-event missing mass "
-    "N_1/N — the LM-smoothing primitive behind Katz backoff and the "
-    "coverage estimator ('how much probability mass belongs to n-grams "
-    "this corpus has never seen') a training-data curation run uses to "
-    "decide whether more data will still teach the model new text. "
-    "Everything before the final dim-sized join is integer counting — "
-    "trigram explode, two nested groupBys, all map-side combinable; the "
-    "count-of-counts table is at most max-frequency rows, so the r+1 "
-    "self-join and the totals broadcast are free at any corpus size. "
-    "r* where N_(r+1)=0 publishes NULL (the raw Good-Turing estimator "
-    "is undefined there; smoothing N_r, e.g. Simple GT, is a fit "
-    "problem, not a counting problem).",
-)
-def text_good_turing_trigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        F.split(F.col("text"), " ", -1).alias("t")
-    )
-    tris = (
-        docs.filter(F.size("t") >= 3)
-        .select(
-            F.explode(
-                F.sequence(F.lit(1), F.size("t") - 2)
-            ).alias("i"),
-            "t",
-        )
-        .select(
-            F.concat_ws("\x1f", F.slice(F.col("t"), F.col("i"), 3)).alias("g")
-        )
-    )
-    cnt = tris.groupBy("g").agg(F.count(F.lit(1)).cast("bigint").alias("r"))
-    coc = cnt.groupBy("r").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
-    tot = coc.agg(
-        F.sum(F.col("r") * F.col("n_r")).cast("bigint").alias("n_tok"),
-        F.coalesce(
-            F.max(F.when(F.col("r") == 1, F.col("n_r"))), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n1"),
-    )
-    nxt = coc.select(
-        (F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next")
-    )
-    return (
-        coc.join(F.broadcast(nxt), "r", "left")
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "r",
-            "n_r",
-            dround(
-                ((F.col("r") + 1) * F.col("n_r_next").cast("double"))
-                / F.col("n_r"),
-                6,
-            ).alias("r_star"),
-            F.col("n_tok").alias("total_trigrams"),
-            dround(F.col("n1").cast("double") / F.col("n_tok"), 8).alias(
-                "missing_mass"
-            ),
-        )
-    )
-
-
-# ------------------------------------- MATTR lexical diversity
-_MATTR_W = 50
-
-
-@register(
-    "text_mattr_lexical_diversity",
-    oracle=f"""
-    WITH toks AS (
-        SELECT doc_id, lang, string_split(text, ' ') AS t FROM documents
-    ),
-    win AS (
-        SELECT doc_id, lang,
-               CAST(SUM(len(list_distinct(t[i:i+{_MATTR_W - 1}])))
-                    AS BIGINT) AS d_sum,
-               CAST(COUNT(*) AS BIGINT) AS n_windows
-        FROM toks, UNNEST(range(1, len(t) - {_MATTR_W} + 2)) AS u(i)
-        WHERE len(t) >= {_MATTR_W}
-        GROUP BY doc_id, lang
-    ),
-    ttr AS (
-        SELECT doc_id,
-               CAST(len(list_distinct(t)) AS BIGINT) AS n_types,
-               CAST(len(t) AS BIGINT) AS n_tokens
-        FROM toks
-    )
-    SELECT w.lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(w.n_windows) AS BIGINT) AS n_windows,
-           {dround_sql(
-               f"CAST(SUM(w.d_sum) AS DOUBLE)"
-               f" / ({_MATTR_W} * SUM(w.n_windows))", 6)} AS pooled_mattr,
-           {dround_sql(
-               "CAST(SUM(tt.n_types) AS DOUBLE) / SUM(tt.n_tokens)", 6)}
-               AS pooled_ttr
-    FROM win w JOIN ttr tt ON tt.doc_id = w.doc_id
-    GROUP BY w.lang
-    """,
-    description=f"Moving-average type-token ratio (MATTR, window "
-    f"{_MATTR_W}) pooled per language, beside the pooled plain TTR it "
-    "corrects: TTR collapses as documents grow (Heaps' law), MATTR "
-    "holds the measurement window fixed so lexical diversity is "
-    "comparable across document lengths — a standard quality-filter "
-    "feature (repetitive/boilerplate text scores low). Per doc the "
-    "window pass keeps only TWO integers (sum of per-window distinct "
-    "counts, window count), so the language rollup is an order-free "
-    "BIGINT sum and each published ratio is ONE division — no double "
-    "accumulation anywhere. The per-doc O(len x W) distinct-count work "
-    "is row-local map work (higher-order functions, no shuffle); the "
-    "rollup is a dim-sized groupBy(lang).",
-)
-def text_mattr_lexical_diversity(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select(
-        "doc_id", "lang", F.split(F.col("text"), " ", -1).alias("t")
-    )
-    w = _MATTR_W
-    idx = F.sequence(F.lit(1), F.size("t") - (w - 1))
-    d_sum = F.aggregate(
-        idx,
-        F.lit(0).cast("bigint"),
-        lambda acc, i: acc
-        + F.size(F.array_distinct(F.slice(F.col("t"), i, w))),
-    )
-    win = docs.filter(F.size("t") >= w).select(
-        "doc_id",
-        "lang",
-        d_sum.alias("d_sum"),
-        (F.size("t") - (w - 1)).cast("bigint").alias("n_windows"),
-        F.size(F.array_distinct("t")).cast("bigint").alias("n_types"),
-        F.size("t").cast("bigint").alias("n_tokens"),
-    )
-    return win.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_windows").cast("bigint").alias("n_windows"),
-        dround(
-            F.sum("d_sum").cast("double")
-            / (F.lit(w) * F.sum("n_windows")),
-            6,
-        ).alias("pooled_mattr"),
-        dround(
-            F.sum("n_types").cast("double") / F.sum("n_tokens"), 6
-        ).alias("pooled_ttr"),
-    )
-
-
-# --------------------------------- PPS systematic sampling (suppliers)
-_PPS_N = 20
-
-
-@register(
-    "sample_pps_systematic_suppliers",
-    oracle=f"""
-    WITH sizes AS (
-        SELECT l_suppkey AS s_suppkey,
-               CAST(SUM(CAST(ROUND(CAST(l_extendedprice * (1 - l_discount)
-                    * 100 AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT)
-                   AS revenue_cents
-        FROM lineitem GROUP BY l_suppkey
-    ),
-    cum AS (
-        SELECT s_suppkey, revenue_cents,
-               CAST(SUM(revenue_cents) OVER (
-                   ORDER BY s_suppkey
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-               ) AS BIGINT) AS c_hi
-        FROM sizes WHERE revenue_cents > 0
-    ),
-    tot AS (SELECT CAST(SUM(revenue_cents) AS BIGINT) AS t
-            FROM sizes WHERE revenue_cents > 0),
-    hits AS (
-        SELECT c.s_suppkey, c.revenue_cents, c.c_hi, tot.t,
-               LEAST({_PPS_N}, CASE WHEN 2 * {_PPS_N} * c.c_hi >= tot.t
-                   THEN (2 * {_PPS_N} * c.c_hi - tot.t) // (2 * tot.t) + 1
-                   ELSE 0 END)
-             - LEAST({_PPS_N}, CASE
-                   WHEN 2 * {_PPS_N} * (c.c_hi - c.revenue_cents) >= tot.t
-                   THEN (2 * {_PPS_N} * (c.c_hi - c.revenue_cents) - tot.t)
-                        // (2 * tot.t) + 1
-                   ELSE 0 END) AS n_hits
-        FROM cum c CROSS JOIN tot
-    )
-    SELECT s_suppkey, revenue_cents, CAST(n_hits AS BIGINT) AS n_hits,
-           {dround_sql(
-               f"{_PPS_N} * CAST(revenue_cents AS DOUBLE) / t", 8)}
-               AS expected_hits
-    FROM hits WHERE n_hits >= 1
-    """,
-    description=f"Probability-proportional-to-size SYSTEMATIC sample of "
-    f"{_PPS_N} supplier draws, size = lineitem revenue: selection points "
-    "sit at the deterministic midpoints T(2k+1)/2n of the cumulative-"
-    "size axis, a supplier is drawn once per point inside its interval "
-    "(large units can be drawn multiple times - n_hits is the "
-    "multiplicity, E[n_hits] = n*size/T). The entire selection rule is "
-    "INTEGER arithmetic on exact revenue cents - the point-in-interval "
-    "count telescopes to g(C_i) - g(C_(i-1)) with g(C) = "
-    "floor((2nC - T)/2T) + 1 - so engines can never disagree on the "
-    "drawn set. Per-lineitem cents are fixed scalar expressions, the "
-    "supplier rollup is one map-side-combinable groupBy; the prefix sum "
-    "runs over the supplier DIM (declared in the plan lint - at 1e8+ "
-    "suppliers it becomes the standard two-pass partition-offset "
-    "prefix sum).",
-)
-def sample_pps_systematic_suppliers(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select(
-        "l_suppkey", "l_extendedprice", "l_discount"
-    )
-    cents = (
-        F.round(
-            (F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
-            .cast("decimal(38,8)"),
-            0,
-        ).cast("bigint")
-    )
-    sizes = (
-        li.select("l_suppkey", cents.alias("cents"))
-        .groupBy(F.col("l_suppkey").alias("s_suppkey"))
-        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
-        .filter(F.col("revenue_cents") > 0)
-    )
-    wcum = Window.orderBy("s_suppkey").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    cum = sizes.select(
-        "s_suppkey",
-        "revenue_cents",
-        F.sum("revenue_cents").over(wcum).cast("bigint").alias("c_hi"),
-    )
-    tot = sizes.agg(F.sum("revenue_cents").cast("bigint").alias("t"))
-    n = _PPS_N
-
-    def g(c: str) -> F.Column:
-        lo = F.lit(2) * n * F.col(c) >= F.col("t")
-        val = F.expr(
-            f"(2 * {n} * {c} - t) DIV (2 * t)"
-        ) + 1
-        return F.least(F.lit(n).cast("bigint"), F.when(lo, val).otherwise(0))
-
-    hits = (
-        cum.crossJoin(F.broadcast(tot))
-        .withColumn("c_lo", F.col("c_hi") - F.col("revenue_cents"))
-        .withColumn("n_hits", (g("c_hi") - g("c_lo")).cast("bigint"))
-    )
-    return hits.filter(F.col("n_hits") >= 1).select(
-        "s_suppkey",
-        "revenue_cents",
-        "n_hits",
-        dround(
-            F.lit(n) * F.col("revenue_cents").cast("double") / F.col("t"), 8
-        ).alias("expected_hits"),
-    )
-
-
-# ------------------------------------- label propagation communities
-_LPA_ROUNDS = 3
-
-
-def _lpa_oracle() -> str:
-    ctes, final = _lsh_pairs_ctes()
-    head = f"""
-    WITH {ctes},
-    pairs AS ({final}),
-    adj AS MATERIALIZED (
-        SELECT id_a AS x, id_b AS y FROM pairs
-        UNION ALL
-        SELECT id_b AS x, id_a AS y FROM pairs
-    ),
-    l0 AS MATERIALIZED (
-        SELECT DISTINCT x AS node, x AS label FROM adj
-    )"""
-    steps = []
-    for r in range(_LPA_ROUNDS):
-        steps.append(f"""    v{r + 1} AS MATERIALIZED (
-        SELECT a.x AS node, l.label, CAST(COUNT(*) AS BIGINT) AS c
-        FROM adj a JOIN l{r} l ON l.node = a.y
-        GROUP BY a.x, l.label
-    ),
-    l{r + 1} AS MATERIALIZED (
-        SELECT node, label FROM (
-            SELECT node, label,
-                   ROW_NUMBER() OVER (
-                       PARTITION BY node ORDER BY c DESC, label
-                   ) AS rn
-            FROM v{r + 1}
-        ) WHERE rn = 1
-    )""")
-    return (
-        head + ",\n" + ",\n".join(steps) + f"""
-    SELECT label AS community,
-           CAST(COUNT(*) AS BIGINT) AS n_nodes
-    FROM l{_LPA_ROUNDS}
-    GROUP BY label
-    """
-    )
-
-
-@register(
-    "graph_label_propagation_communities",
-    oracle=_lpa_oracle(),
-    description=f"Synchronous label propagation ({_LPA_ROUNDS} unrolled "
-    "rounds) over the MinHash-LSH near-dup graph: every node adopts the "
-    "most frequent label among its neighbors each round, ties broken by "
-    "smallest label — asynchronous LPA's update-order dependence is "
-    "exactly what a distributed engine cannot reproduce, so the "
-    "synchronous sweep with a total tie-break is the only shippable "
-    "variant. Unlike min-label propagation (= connected components), "
-    "frequency voting can split bridged near-dup blobs into dense "
-    "cores. Each round is one neighbor-join + one (node,label) count + "
-    "one per-node argmax window — key-partitioned shuffles mirroring "
-    "the oracle's MATERIALIZED CTE chain; the Pregel-style state is one "
-    "(node,label) table per round, checkpointed to cut lineage.",
-)
-def graph_label_propagation_communities(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    pairs = D.lsh_candidate_pairs(
-        _docs_with_dups(spark, sf_dir, 20), threshold=0.5
-    )
-    adj = (
-        pairs.select(F.col("id_a").alias("x"), F.col("id_b").alias("y"))
-        .unionAll(
-            pairs.select(F.col("id_b").alias("x"), F.col("id_a").alias("y"))
-        )
-        .localCheckpoint()
-    )
-    labels = (
-        adj.select(F.col("x").alias("node"))
-        .distinct()
-        .select("node", F.col("node").alias("label"))
-    )
-    w = Window.partitionBy("node").orderBy(F.col("c").desc(), F.col("label"))
-    for _ in range(_LPA_ROUNDS):
-        votes = (
-            adj.join(labels.withColumnRenamed("node", "y"), "y")
-            .groupBy(F.col("x").alias("node"), "label")
-            .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        )
-        labels = (
-            votes.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("node", "label")
-            .localCheckpoint()
-        )
-    return labels.groupBy(F.col("label").alias("community")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_nodes")
-    )
-
-
-# --------------------------------- rendezvous (HRW) shard assignment
-_HRW_SHARDS = [f"s{i}" for i in range(9)]  # 8 before, s8 added after
-
-
-def _hrw_oracle() -> str:
-    def h(s: str) -> str:
-        return (
-            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)"
-            f" || '@' || '{s}'), 1, 12)) AS BIGINT)"
-        )
-
-    l9 = "[" + ", ".join(h(s) for s in _HRW_SHARDS) + "]"
-    l8 = "[" + ", ".join(h(s) for s in _HRW_SHARDS[:8]) + "]"
-    return f"""
-    WITH assign AS (
-        SELECT doc_id,
-               list_position({l8}, list_max({l8})) AS a8,
-               list_position({l9}, list_max({l9})) AS a9
-        FROM documents
-    ),
-    tot AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(CASE WHEN a8 <> a9 THEN 1 ELSE 0 END) AS BIGINT)
-                   AS moved_total
-        FROM assign
-    ),
-    shards AS (
-        SELECT UNNEST(range(1, 10)) AS sid
-    )
-    SELECT 's' || CAST(s.sid - 1 AS VARCHAR) AS shard,
-           CAST(COALESCE(SUM(CASE WHEN a.a8 = s.sid THEN 1 END), 0)
-                AS BIGINT) AS n_before,
-           CAST(COALESCE(SUM(CASE WHEN a.a9 = s.sid THEN 1 END), 0)
-                AS BIGINT) AS n_after,
-           CAST(COALESCE(SUM(CASE WHEN a.a8 = s.sid AND a.a9 = s.sid
-                THEN 1 END), 0) AS BIGINT) AS stayed,
-           t.moved_total,
-           {dround_sql("CAST(t.moved_total AS DOUBLE) / t.n_docs", 6)}
-               AS moved_frac
-    FROM shards s
-    LEFT JOIN assign a ON a.a8 = s.sid OR a.a9 = s.sid
-    CROSS JOIN tot t
-    GROUP BY s.sid, t.moved_total, t.n_docs
-    """
-
-
-@register(
-    "pipeline_shard_assignment_rendezvous",
-    oracle=_hrw_oracle(),
-    description="Rendezvous (highest-random-weight) shard assignment "
-    "audit: every document hashes once per shard (portable md5, "
-    "doc@shard salting) and lands on the arg-max shard; the query "
-    "compares the 8-shard assignment with the 9-shard assignment after "
-    "adding s8. HRW's minimal-disruption guarantee is checked "
-    "structurally: a document moves IFF its new-shard hash wins, so "
-    "stayed == n_after on every pre-existing shard and moved_frac "
-    "concentrates at ~1/9 — this is the consistent-hashing property "
-    "that lets a 100 TB corpus re-shard without a full shuffle (only "
-    "the moving 1/n of rows rewrites). All per-doc work is row-local "
-    "scalar hashing (no join, no shuffle before the 9-row rollup); the "
-    "argmax is a fixed-order list_position(max) with lowest-index "
-    "tie-break, bit-identical across engines.",
-)
-def pipeline_shard_assignment_rendezvous(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id")
-
-    def h(s: str) -> F.Column:
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("doc_id").cast("string"), F.lit("@" + s)
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-
-    arr9 = F.array(*[h(s) for s in _HRW_SHARDS])
-    arr8 = F.array(*[h(s) for s in _HRW_SHARDS[:8]])
-    assign = docs.select(
-        F.array_position(arr8, F.array_max(arr8)).alias("a8"),
-        F.array_position(arr9, F.array_max(arr9)).alias("a9"),
-    )
-    tot = assign.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(F.when(F.col("a8") != F.col("a9"), 1).otherwise(0))
-        .cast("bigint")
-        .alias("moved_total"),
-    )
-    shards = spark.range(1, 10).select(F.col("id").alias("sid"))
-    joined = F.broadcast(shards).join(
-        assign, (F.col("a8") == F.col("sid")) | (F.col("a9") == F.col("sid")),
-        "left",
-    )
-    per = joined.groupBy("sid").agg(
-        F.coalesce(
-            F.sum(F.when(F.col("a8") == F.col("sid"), 1)), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_before"),
-        F.coalesce(
-            F.sum(F.when(F.col("a9") == F.col("sid"), 1)), F.lit(0)
-        )
-        .cast("bigint")
-        .alias("n_after"),
-        F.coalesce(
-            F.sum(
-                F.when(
-                    (F.col("a8") == F.col("sid"))
-                    & (F.col("a9") == F.col("sid")),
-                    1,
-                )
-            ),
-            F.lit(0),
-        )
-        .cast("bigint")
-        .alias("stayed"),
-    )
-    return per.crossJoin(F.broadcast(tot)).select(
-        F.concat(F.lit("s"), (F.col("sid") - 1).cast("string")).alias(
-            "shard"
-        ),
-        "n_before",
-        "n_after",
-        "stayed",
-        "moved_total",
-        dround(
-            F.col("moved_total").cast("double") / F.col("n_docs"), 6
-        ).alias("moved_frac"),
-    )
-
-
-# ------------------------------------------ multimodal tile manifest
-_TILE = 128
-
-
-@register(
-    "multimodal_tile_manifest",
-    oracle=f"""
-    WITH dims AS (
-        SELECT doc_id AS asset_id,
-               octet_length(encode(text)) AS n,
-               octet_length(encode(text)) % 640 + 1 AS w,
-               (octet_length(encode(text)) * 7) % 480 + 1 AS h
-        FROM documents
-    ),
-    grid AS (
-        SELECT asset_id, w, h, tx.i AS tile_x, ty.i AS tile_y
-        FROM dims,
-             UNNEST(range(0, CAST(ceil(w / {_TILE}.0) AS BIGINT))) AS tx(i),
-             UNNEST(range(0, CAST(ceil(h / {_TILE}.0) AS BIGINT))) AS ty(i)
-    )
-    SELECT asset_id, CAST(tile_x AS BIGINT) AS tile_x,
-           CAST(tile_y AS BIGINT) AS tile_y,
-           CAST(LEAST({_TILE}, w - tile_x * {_TILE}) AS BIGINT) AS tile_w,
-           CAST(LEAST({_TILE}, h - tile_y * {_TILE}) AS BIGINT) AS tile_h,
-           CAST(tile_y * {_TILE} * w + tile_x * {_TILE} AS BIGINT)
-               AS byte_offset,
-           CAST(LEAST({_TILE}, w - tile_x * {_TILE})
-                * LEAST({_TILE}, h - tile_y * {_TILE}) AS BIGINT)
-               AS byte_len
-    FROM grid
-    """,
-    description=f"Tiled-decode planning manifest for image assets: the "
-    "asset table rides the REAL multimodal path (binary payloads, "
-    "Arrow-batched mapInPandas fake-decode for dimensions — the "
-    "container has no image libs, so decode_stub derives deterministic "
-    f"pseudo-dims), then each asset fans out to its {_TILE}x{_TILE} "
-    "tile grid with row-major byte ranges — the unit of work a "
-    "GPU/CPU decode stage schedules, sized so one tile fits cache and "
-    "one task never holds a whole 100k-px image. The DuckDB oracle "
-    "recomputes the stub's dimension arithmetic relationally "
-    "(octet_length of the payload), so this query cross-checks the "
-    "Python mapInPandas plumbing against SQL end-to-end. Grid "
-    "explode is row-local (sequence + explode, no shuffle); manifest "
-    "grain is tiles, partitioned by asset hash.",
-)
-def multimodal_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    feats = extract_binary_features(as_binary_assets(docs), fake_decode=True)
-    t = _TILE
-    dims = feats.select(
-        "asset_id",
-        F.col("fake_width").cast("bigint").alias("w"),
-        F.col("fake_height").cast("bigint").alias("h"),
-    )
-    grid = dims.select(
-        "asset_id",
-        "w",
-        "h",
-        F.explode(
-            F.sequence(F.lit(0), F.ceil(F.col("w") / t).cast("bigint") - 1)
-        ).alias("tile_x"),
-    ).select(
-        "asset_id",
-        "w",
-        "h",
-        "tile_x",
-        F.explode(
-            F.sequence(F.lit(0), F.ceil(F.col("h") / t).cast("bigint") - 1)
-        ).alias("tile_y"),
-    )
-    tile_w = F.least(F.lit(t), F.col("w") - F.col("tile_x") * t)
-    tile_h = F.least(F.lit(t), F.col("h") - F.col("tile_y") * t)
-    return grid.select(
-        "asset_id",
-        F.col("tile_x").cast("bigint").alias("tile_x"),
-        F.col("tile_y").cast("bigint").alias("tile_y"),
-        tile_w.cast("bigint").alias("tile_w"),
-        tile_h.cast("bigint").alias("tile_h"),
-        (F.col("tile_y") * t * F.col("w") + F.col("tile_x") * t)
-        .cast("bigint")
-        .alias("byte_offset"),
-        (tile_w * tile_h).cast("bigint").alias("byte_len"),
-    )
-
-
-# ----------------------------- sampled join-cardinality estimation
-_JCE_MOD = 16
-
-
-@register(
-    "sketch_join_cardinality_estimate",
-    oracle=f"""
-    WITH keys AS (
-        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n
-        FROM lineitem GROUP BY l_partkey
-    ),
-    agg AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
-               CAST(SUM(n * n) AS BIGINT) AS exact_join_size,
-               CAST(COUNT(*) FILTER (WHERE {_H48.format(
-                   c="CAST(k AS VARCHAR)")} % {_JCE_MOD} = 0)
-                   AS BIGINT) AS sampled_keys,
-               CAST({_JCE_MOD} * SUM(n * n) FILTER (WHERE {_H48.format(
-                   c="CAST(k AS VARCHAR)")} % {_JCE_MOD} = 0)
-                   AS BIGINT) AS estimate
-        FROM keys
-    )
-    SELECT n_keys, exact_join_size, sampled_keys, estimate,
-           {dround_sql(
-               "ABS(CAST(estimate AS DOUBLE) - exact_join_size)"
-               " / exact_join_size", 6)} AS rel_err
-    FROM agg
-    """,
-    description="Sampled join-cardinality estimation — the optimizer "
-    "statistic behind join reordering: the lineitem self-join size on "
-    "l_partkey is sum_k n(k)^2; a 1/16 DISTINCT-KEY sample (portable "
-    "md5 coin on the key, so every engine samples the same keys) "
-    "estimates it as 16 * sum over sampled keys, laid beside the exact "
-    "answer with relative error. Key-level sampling is the correct "
-    "design for join estimation (row-level Bernoulli biases n(k)^2 "
-    "terms down); at 100 TB both the exact and sampled sums are one "
-    "map-side-combinable groupBy(key) + one scalar aggregate — the "
-    "exact pass here is the audit, production keeps only the sampled "
-    "pass. Everything is BIGINT until the published rel_err.",
-)
-def sketch_join_cardinality_estimate(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_partkey")
-    keys = li.groupBy(F.col("l_partkey").alias("k")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    coin = (
-        F.conv(
-            F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10
-        ).cast("bigint")
-        % _JCE_MOD
-        == 0
-    )
-    nn = F.col("n") * F.col("n")
-    agg = keys.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
-        F.sum(nn).cast("bigint").alias("exact_join_size"),
-        F.count(F.when(coin, 1)).cast("bigint").alias("sampled_keys"),
-        (F.lit(_JCE_MOD) * F.sum(F.when(coin, nn)))
-        .cast("bigint")
-        .alias("estimate"),
-    )
-    return agg.select(
-        "n_keys",
-        "exact_join_size",
-        "sampled_keys",
-        "estimate",
-        dround(
-            F.abs(
-                F.col("estimate").cast("double") - F.col("exact_join_size")
-            )
-            / F.col("exact_join_size"),
-            6,
-        ).alias("rel_err"),
-    )
-
-
-# --------------------------------- Jensen-Shannon divergence, lang pairs
-@register(
-    "text_js_divergence_lang_pairs",
-    oracle=f"""
-    WITH tok AS (
-        SELECT lang, unnest(string_split(text, ' ')) AS w FROM documents
-    ),
-    c AS (
-        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS n FROM tok
-        WHERE w <> '' GROUP BY lang, w
-    ),
-    t AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS tot FROM c GROUP BY lang),
-    lp AS (
-        SELECT a.lang AS lang_a, b.lang AS lang_b
-        FROM t a JOIN t b ON a.lang < b.lang
-    ),
-    terms AS (
-        SELECT p.lang_a, p.lang_b, c.w,
-               CAST(SUM(CASE WHEN c.lang = p.lang_a THEN c.n END)
-                    AS BIGINT) AS n_a,
-               CAST(SUM(CASE WHEN c.lang = p.lang_b THEN c.n END)
-                    AS BIGINT) AS n_b
-        FROM lp p JOIN c ON c.lang IN (p.lang_a, p.lang_b)
-        GROUP BY p.lang_a, p.lang_b, c.w
-    ),
-    contrib AS (
-        SELECT lang_a, lang_b,
-               CAST(ROUND(CAST((
-                 CASE WHEN COALESCE(n_a, 0) > 0 THEN
-                   0.5 * (CAST(n_a AS DOUBLE) / ta.tot)
-                   * ln((CAST(n_a AS DOUBLE) / ta.tot)
-                        / (0.5 * (COALESCE(CAST(n_a AS DOUBLE), 0) / ta.tot
-                           + COALESCE(CAST(n_b AS DOUBLE), 0) / tb.tot)))
-                 ELSE 0 END
-                 +
-                 CASE WHEN COALESCE(n_b, 0) > 0 THEN
-                   0.5 * (CAST(n_b AS DOUBLE) / tb.tot)
-                   * ln((CAST(n_b AS DOUBLE) / tb.tot)
-                        / (0.5 * (COALESCE(CAST(n_a AS DOUBLE), 0) / ta.tot
-                           + COALESCE(CAST(n_b AS DOUBLE), 0) / tb.tot)))
-                 ELSE 0 END
-               ) * 1000000000 AS DECIMAL(38,8)), 0) AS BIGINT) AS nano
-        FROM terms
-        JOIN t ta ON ta.lang = terms.lang_a
-        JOIN t tb ON tb.lang = terms.lang_b
-    )
-    SELECT lang_a, lang_b,
-           {dround_sql("SUM(nano) / 1000000000.0", 6)} AS jsd_nats,
-           {dround_sql("SUM(nano) / 1000000000.0 / ln(2)", 6)} AS jsd_bits
-    FROM contrib GROUP BY lang_a, lang_b
-    """,
-    description="Jensen-Shannon divergence between every pair of "
-    "language unigram distributions — the SYMMETRIC, always-finite "
-    "corpus-comparison metric (KL blows up on support mismatch; JSD's "
-    "mixture midpoint never does), the standard 'how different are "
-    "these corpus slices' number when planning a multilingual data "
-    "mix. Per-term contributions are rounded to integer NANO-units "
-    "before the per-pair sum, so the aggregate is an order-free BIGINT "
-    "sum — immune to double-accumulation order across engines and "
-    "partitionings (the vocab-grain term table is where all float work "
-    "happens, as one fixed scalar expression per row). Corpus-scale "
-    "work is ONE tokenize + one (lang, token) count; the pair fan-out "
-    "joins the dim-sized count table against a |langs|^2 literal.",
-)
-def text_js_divergence_lang_pairs(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    tok = docs.select(
-        "lang", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).filter(F.col("w") != "")
-    c = tok.groupBy("lang", "w").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
-    ).persist()
-    t = c.groupBy("lang").agg(F.sum("n").cast("bigint").alias("tot"))
-    ta, tb = t.alias("ta"), t.alias("tb")
-    lp = ta.join(
-        tb, F.col("ta.lang") < F.col("tb.lang")
-    ).select(
-        F.col("ta.lang").alias("lang_a"),
-        F.col("tb.lang").alias("lang_b"),
-        F.col("ta.tot").alias("tot_a"),
-        F.col("tb.tot").alias("tot_b"),
-    )
-    terms = (
-        F.broadcast(lp)
-        .join(
-            c,
-            (c["lang"] == F.col("lang_a")) | (c["lang"] == F.col("lang_b")),
-        )
-        .groupBy("lang_a", "lang_b", "w")
-        .agg(
-            F.sum(F.when(F.col("lang") == F.col("lang_a"), F.col("n")))
-            .cast("bigint")
-            .alias("n_a"),
-            F.sum(F.when(F.col("lang") == F.col("lang_b"), F.col("n")))
-            .cast("bigint")
-            .alias("n_b"),
-            F.max("tot_a").alias("tot_a"),
-            F.max("tot_b").alias("tot_b"),
-        )
-    )
-    pa = F.coalesce(F.col("n_a").cast("double"), F.lit(0.0)) / F.col("tot_a")
-    pb = F.coalesce(F.col("n_b").cast("double"), F.lit(0.0)) / F.col("tot_b")
-    m = 0.5 * (pa + pb)
-    part = F.when(
-        F.coalesce(F.col("n_a"), F.lit(0)) > 0,
-        0.5
-        * (F.col("n_a").cast("double") / F.col("tot_a"))
-        * F.log((F.col("n_a").cast("double") / F.col("tot_a")) / m),
-    ).otherwise(F.lit(0.0)) + F.when(
-        F.coalesce(F.col("n_b"), F.lit(0)) > 0,
-        0.5
-        * (F.col("n_b").cast("double") / F.col("tot_b"))
-        * F.log((F.col("n_b").cast("double") / F.col("tot_b")) / m),
-    ).otherwise(F.lit(0.0))
-    nano = (
-        F.round((part * 1000000000).cast("decimal(38,8)"), 0)
-        .cast("bigint")
-        .alias("nano")
-    )
-    import math
-
-    return (
-        terms.select("lang_a", "lang_b", nano)
-        .groupBy("lang_a", "lang_b")
-        .agg(
-            dround(F.sum("nano") / 1000000000.0, 6).alias("jsd_nats"),
-            dround(
-                F.sum("nano") / 1000000000.0 / math.log(2), 6
-            ).alias("jsd_bits"),
-        )
-    )
-
-
-
-# ------------------------------------- Adamic-Adar link prediction
-_AA_PANEL_MOD = 97
-
-
-@register(
-    "graph_adamic_adar_link_prediction",
-    oracle=f"""
-    WITH edges AS MATERIALIZED (
-        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
-        FROM lineitem a JOIN lineitem b
-          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-    ),
-    adj AS MATERIALIZED (
-        SELECT u AS x, v AS y FROM edges
-        UNION ALL
-        SELECT v AS x, u AS y FROM edges
-    ),
-    deg AS MATERIALIZED (
-        SELECT x AS node, CAST(COUNT(*) AS BIGINT) AS d FROM adj GROUP BY x
-    ),
-    wedges AS (
-        SELECT l.x AS src, r.y AS dst, l.y AS z
-        FROM adj l JOIN adj r ON r.x = l.y AND r.y <> l.x
-        WHERE l.x % {_AA_PANEL_MOD} = 0
-    ),
-    nonedges AS (
-        SELECT w.src, w.dst, w.z FROM wedges w
-        WHERE NOT EXISTS (
-            SELECT 1 FROM adj a WHERE a.x = w.src AND a.y = w.dst
-        )
-    ),
-    scored AS (
-        SELECT src, dst,
-               CAST(COUNT(*) AS BIGINT) AS n_common,
-               CAST(SUM(CAST(ROUND(CAST(1000000 / ln(d.d)
-                    AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT) AS s_micro
-        FROM nonedges n JOIN deg d ON d.node = n.z
-        GROUP BY src, dst
-    )
-    SELECT src AS source_part, dst AS candidate_part, n_common,
-           {dround_sql("s_micro / 1000000.0", 6)} AS adamic_adar, rnk
-    FROM (
-        SELECT *, CAST(ROW_NUMBER() OVER (
-            PARTITION BY src ORDER BY s_micro DESC, dst
-        ) AS BIGINT) AS rnk
-        FROM scored
-    )
-    WHERE rnk <= 5
-    """,
-    description="Adamic-Adar link prediction on the part co-order graph "
-    "(parts linked when they appear in the same order — a SPARSE "
-    "market-basket graph, ~4% density, unlike the complete supplier "
-    "graphs): for a deterministic panel of source parts (partkey % 97 "
-    "= 0), every two-hop neighbor NOT already co-ordered is scored "
-    "sum_z 1/ln(deg z) over common neighbors — rare shared baskets are "
-    "stronger evidence than hub parts; these are the 'never bought "
-    "together yet, most likely next' recommendations. Wedge fan-out is "
-    "panel-bounded (|panel| x deg^2, linear in the panel — the honest "
-    "production shape for a query set, never the all-pairs wedge "
-    "blow-up); contributions round to integer MICRO-units before the "
-    "per-pair sum (order-free BIGINT aggregate; common neighbors have "
-    "deg >= 2 so ln never vanishes); top-5 per source via a "
-    "source-partitioned window.",
-)
-def graph_adamic_adar_link_prediction(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
-    adj = (
-        edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
-        .unionAll(edges.select(F.col("v").alias("x"), F.col("u").alias("y")))
-        .persist()
-    )
-    deg = adj.groupBy(F.col("x").alias("node")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("d")
-    )
-    l = adj.filter(F.col("x") % _AA_PANEL_MOD == 0).alias("l")
-    r = adj.alias("r")
-    wedges = l.join(
-        r, (F.col("r.x") == F.col("l.y")) & (F.col("r.y") != F.col("l.x"))
-    ).select(
-        F.col("l.x").alias("src"),
-        F.col("r.y").alias("dst"),
-        F.col("l.y").alias("z"),
-    )
-    nonedges = wedges.join(
-        adj.withColumnsRenamed({"x": "src", "y": "dst"}),
-        ["src", "dst"],
-        "left_anti",
-    )
-    micro = F.round(
-        (F.lit(1000000) / F.log(F.col("d"))).cast("decimal(38,8)"), 0
-    ).cast("bigint")
-    scored = (
-        nonedges.join(F.broadcast(deg).withColumnRenamed("node", "z"), "z")
-        .groupBy("src", "dst")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_common"),
-            F.sum(micro).cast("bigint").alias("s_micro"),
-        )
-    )
-    w = Window.partitionBy("src").orderBy(F.col("s_micro").desc(), "dst")
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("bigint"))
-        .filter(F.col("rnk") <= 5)
-        .select(
-            F.col("src").alias("source_part"),
-            F.col("dst").alias("candidate_part"),
-            "n_common",
-            dround(F.col("s_micro") / 1000000.0, 6).alias("adamic_adar"),
-            "rnk",
-        )
-    )
-
-
-# ---------------------------------------------- Flesch readability
-@register(
-    "text_readability_flesch",
-    oracle=f"""
-    WITH scored AS (
-        SELECT lang,
-               GREATEST(1, length(regexp_replace(text, '[^.!?]', '', 'g')))
-                   AS sents,
-               length(string_split_regex(trim(text), '\\s+')) AS words,
-               GREATEST(
-                   length(string_split_regex(trim(text), '\\s+')),
-                   length(regexp_replace(lower(text), '[aeiouy]+', '#', 'g'))
-                   - length(regexp_replace(lower(text), '[aeiouy]+', '', 'g'))
-               ) AS sylls
-        FROM documents WHERE lang IN ('en', 'es', 'de', 'fr')
-    )
-    SELECT lang,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           {dround_sql("AVG(CAST(words AS DOUBLE) / sents)", 4)}
-               AS words_per_sentence,
-           {dround_sql("AVG(CAST(sylls AS DOUBLE) / words)", 4)}
-               AS syllables_per_word,
-           {dround_sql(
-               "AVG(206.835 - 1.015 * (CAST(words AS DOUBLE) / sents)"
-               " - 84.6 * (CAST(sylls AS DOUBLE) / words))", 4)}
-               AS flesch_reading_ease
-    FROM scored GROUP BY lang
-    """,
-    description="Flesch reading-ease profile per language: sentence "
-    "count from terminal-punctuation chars, words from a whitespace "
-    "split, syllables from the vowel-group proxy (count of [aeiouy]+ "
-    "runs, floored at one per word) — the classic corpus-readability "
-    "screen used alongside Gopher-style quality gates to spot sources "
-    "whose prose is boilerplate-short or run-on-long. Latin-script "
-    "languages only (the formula is undefined for zh's unsegmented "
-    "script). Pure per-row JVM expressions (regexp_replace/split) "
-    "folded into one scan + one lang-grain agg; zero shuffles beyond "
-    "the 4-group hash agg, trivially scan-bound at 100 TB.",
-)
-def text_readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").filter(
-        F.col("lang").isin("en", "es", "de", "fr")
-    )
-    lowered = F.lower(F.col("text"))
-    sents = F.greatest(
-        F.lit(1), F.length(F.regexp_replace(F.col("text"), r"[^.!?]", ""))
-    )
-    words = F.size(F.split(F.trim(F.col("text")), r"\s+"))
-    vgroups = F.length(
-        F.regexp_replace(lowered, r"[aeiouy]+", "#")
-    ) - F.length(F.regexp_replace(lowered, r"[aeiouy]+", ""))
-    sylls = F.greatest(words, vgroups)
-    scored = docs.select(
-        "lang",
-        sents.alias("sents"),
-        words.alias("words"),
-        sylls.alias("sylls"),
-    )
-    wps = F.col("words").cast("double") / F.col("sents")
-    spw = F.col("sylls").cast("double") / F.col("words")
-    return scored.groupBy("lang").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        dround(F.avg(wps), 4).alias("words_per_sentence"),
-        dround(F.avg(spw), 4).alias("syllables_per_word"),
-        dround(F.avg(206.835 - 1.015 * wps - 84.6 * spw), 4).alias(
-            "flesch_reading_ease"
-        ),
-    )
-
-
-# ------------------------------------------ Horvitz-Thompson PPS audit
-@register(
-    "sample_horvitz_thompson_chars",
-    oracle=f"""
-    WITH base AS (
-        SELECT doc_id, n_chars,
-               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
-                    AS BIGINT) / 281474976710656.0 AS u
-        FROM documents
-    ),
-    tot AS (
-        SELECT CAST(SUM(n_chars) AS BIGINT) AS x,
-               CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM base
-    ),
-    marked AS (
-        SELECT b.n_chars, t.x, t.n_docs,
-               LEAST(1.0, 200.0 * b.n_chars / t.x) AS pi,
-               b.u < LEAST(1.0, 200.0 * b.n_chars / t.x) AS sampled,
-               200.0 * b.n_chars >= t.x AS certainty
-        FROM base b CROSS JOIN tot t
-    ),
-    agg AS (
-        SELECT MAX(x) AS x, MAX(n_docs) AS n_docs,
-               CAST(COUNT(*) FILTER (WHERE sampled) AS BIGINT) AS n_sampled,
-               CAST(COUNT(*) FILTER (WHERE sampled AND NOT certainty)
-                    AS BIGINT) AS n_small,
-               CAST(COALESCE(SUM(n_chars)
-                    FILTER (WHERE sampled AND NOT certainty), 0)
-                    AS BIGINT) AS sx_small,
-               CAST(COALESCE(SUM(n_chars)
-                    FILTER (WHERE sampled AND certainty), 0)
-                    AS BIGINT) AS sx_big
-        FROM marked
-    )
-    SELECT n_docs, n_sampled, x AS true_total,
-           {dround_sql("n_small * (CAST(x AS DOUBLE) / 200.0) + sx_big", 2)}
-               AS ht_total,
-           {dround_sql(
-               "100.0 * ((n_small * (CAST(x AS DOUBLE) / 200.0) + sx_big) - x)"
-               " / x", 4)} AS rel_error_pct,
-           {dround_sql(
-               "sqrt((CAST(x AS DOUBLE) / 200.0) * (CAST(x AS DOUBLE) / 200.0)"
-               " * (n_small - 200.0 * sx_small / x))", 2)} AS se_est
-    FROM agg
-    """,
-    description="Horvitz-Thompson estimation under deterministic "
-    "Poisson-PPS sampling (inclusion probability proportional to "
-    "n_chars, expected sample ~200 docs, md5-hash uniforms so the "
-    "'random' draw is reproducible across engines, runs, and "
-    "partitionings): the design-unbiased answer to 'estimate corpus "
-    "token mass from a size-biased sample'. The key identity is kept "
-    "EXACT: under strict PPS every non-certainty sampled unit "
-    "contributes x_i/pi_i = X/n0 — a constant — so the estimator "
-    "collapses to integer counts times one ratio, plus certainty units "
-    "verbatim; the HT variance estimator collapses the same way. One "
-    "scan + one broadcast total; no per-row float accumulation to "
-    "drift.",
-)
-def sample_horvitz_thompson_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    u = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
-        .cast("bigint")
-        .cast("double")
-        / F.lit(281474976710656.0)
-    )
-    base = docs.select("doc_id", "n_chars", u.alias("u"))
-    tot = base.agg(
-        F.sum("n_chars").cast("bigint").alias("x"),
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-    )
-    pi = F.least(F.lit(1.0), 200.0 * F.col("n_chars") / F.col("x"))
-    marked = base.crossJoin(F.broadcast(tot)).select(
-        "n_chars",
-        "x",
-        "n_docs",
-        (F.col("u") < pi).alias("sampled"),
-        (200.0 * F.col("n_chars") >= F.col("x")).alias("certainty"),
-    )
-    sm = F.col("sampled") & ~F.col("certainty")
-    bg = F.col("sampled") & F.col("certainty")
-    agg = marked.agg(
-        F.max("x").alias("x"),
-        F.max("n_docs").alias("n_docs"),
-        F.sum(F.col("sampled").cast("int")).cast("bigint").alias("n_sampled"),
-        F.sum(sm.cast("int")).cast("bigint").alias("n_small"),
-        F.coalesce(F.sum(F.when(sm, F.col("n_chars"))), F.lit(0))
-        .cast("bigint")
-        .alias("sx_small"),
-        F.coalesce(F.sum(F.when(bg, F.col("n_chars"))), F.lit(0))
-        .cast("bigint")
-        .alias("sx_big"),
-    )
-    ratio = F.col("x").cast("double") / 200.0
-    ht = F.col("n_small") * ratio + F.col("sx_big")
-    return agg.select(
-        "n_docs",
-        "n_sampled",
-        F.col("x").alias("true_total"),
-        dround(ht, 2).alias("ht_total"),
-        dround(100.0 * (ht - F.col("x")) / F.col("x"), 4).alias(
-            "rel_error_pct"
-        ),
-        dround(
-            F.sqrt(
-                ratio * ratio * (F.col("n_small") - 200.0 * F.col("sx_small") / F.col("x"))
-            ),
-            2,
-        ).alias("se_est"),
-    )
-
-
-# ------------------------------------- Fleiss' kappa, three raters
-@register(
-    "stats_fleiss_kappa_quality_raters",
-    oracle=f"""
-    WITH {_QEVAL_SQL},
-    fk_rated AS (
-        SELECT (label
-                + CASE WHEN q >= 0.55 THEN 1 ELSE 0 END
-                + CASE WHEN q >= 0.45 THEN 1 ELSE 0 END) AS n1
-        FROM qe_labeled
-    ),
-    fk_agg AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(n1) AS BIGINT) AS s1,
-               CAST(SUM(n1 * n1 + (3 - n1) * (3 - n1)) AS BIGINT) AS sq
-        FROM fk_rated
-    )
-    SELECT n AS n_docs, s1 AS votes_keep,
-           {dround_sql("CAST(sq - 3 * n AS DOUBLE) / (6.0 * n)", 6)} AS p_bar,
-           {dround_sql(
-               "(CAST(s1 AS DOUBLE) / (3.0 * n)) * (CAST(s1 AS DOUBLE) / (3.0 * n))"
-               " + (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))"
-               "   * (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))", 6)} AS p_e,
-           {dround_sql(
-               "(CAST(sq - 3 * n AS DOUBLE) / (6.0 * n)"
-               " - ((CAST(s1 AS DOUBLE) / (3.0 * n)) * (CAST(s1 AS DOUBLE) / (3.0 * n))"
-               "    + (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))"
-               "      * (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))))"
-               " / (1.0 - ((CAST(s1 AS DOUBLE) / (3.0 * n)) * (CAST(s1 AS DOUBLE) / (3.0 * n))"
-               "    + (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))"
-               "      * (1.0 - CAST(s1 AS DOUBLE) / (3.0 * n))))", 6)}
-               AS fleiss_kappa
-    FROM fk_agg
-    """,
-    description="Fleiss' kappa across THREE rule-based quality raters "
-    "(the Gopher gate, a strict 0.55 threshold, a lenient 0.45 "
-    "threshold on the continuous score) — the multi-rater "
-    "generalization of stats_cohens_kappa_quality_raters, the "
-    "standard agreement statistic for LLM-judge panels and labeling "
-    "crowds. Per-doc agreement P_i collapses to integer vote counts "
-    "(n1 in 0..3), so N, sum n1, and sum of squared votes are the ONLY "
-    "aggregates needed; kappa is one exact scalar expression over "
-    "three BIGINTs — engines cannot diverge. One scan, one 1-row "
-    "reduce; rater count is a constant, not a data dimension.",
-)
-def stats_fleiss_kappa_quality_raters(
-    spark: SparkSession, sf_dir: str
-) -> DataFrame:
-    labeled = _quality_vs_gopher(spark, sf_dir)
-    n1 = (
-        F.col("label")
-        + F.when(F.col("q") >= 0.55, 1).otherwise(0)
-        + F.when(F.col("q") >= 0.45, 1).otherwise(0)
-    )
-    agg = labeled.select(n1.alias("n1")).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum("n1").cast("bigint").alias("s1"),
-        F.sum(
-            F.col("n1") * F.col("n1") + (3 - F.col("n1")) * (3 - F.col("n1"))
-        )
-        .cast("bigint")
-        .alias("sq"),
-    )
-    nd = F.col("n").cast("double")
-    p_bar = (F.col("sq") - 3 * F.col("n")).cast("double") / (6.0 * nd)
-    p1 = F.col("s1").cast("double") / (3.0 * nd)
-    p_e = p1 * p1 + (1.0 - p1) * (1.0 - p1)
-    return agg.select(
-        F.col("n").alias("n_docs"),
-        F.col("s1").alias("votes_keep"),
-        dround(p_bar, 6).alias("p_bar"),
-        dround(p_e, 6).alias("p_e"),
-        dround((p_bar - p_e) / (1.0 - p_e), 6).alias("fleiss_kappa"),
-    )
-
-
-# ------------------------------------- McNemar paired-rater test
-@register(
-    "stats_mcnemar_quality_raters",
-    oracle=f"""
-    WITH {_QEVAL_SQL},
-    mc_cells AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n,
-               CAST(SUM(CASE WHEN label = 1 AND q < 0.55 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n10,
-               CAST(SUM(CASE WHEN label = 0 AND q >= 0.55 THEN 1 ELSE 0 END)
-                    AS BIGINT) AS n01
-        FROM qe_labeled
-    )
-    SELECT n, n10 AS gopher_only_keeps, n01 AS score_only_keeps,
-           {dround_sql(
-               "CAST((n10 - n01) * (n10 - n01) AS DOUBLE) / (n10 + n01)", 4)}
-               AS mcnemar_chi2,
-           {dround_sql(
-               "(abs(CAST(n10 - n01 AS DOUBLE)) - 1.0)"
-               " * (abs(CAST(n10 - n01 AS DOUBLE)) - 1.0) / (n10 + n01)", 4)}
-               AS mcnemar_chi2_cc
-    FROM mc_cells
-    """,
-    description="McNemar's paired test on the SAME documents rated by "
-    "the Gopher gate and the 0.55 score threshold: kappa "
-    "(stats_cohens_kappa_quality_raters) asks 'do they agree'; McNemar "
-    "asks the sharper replacement question — 'when they disagree, is "
-    "one systematically stricter?' Only the discordant cells enter the "
-    "statistic, so it detects marginal-rate bias that high agreement "
-    "can hide. Integer cells from one scan; chi2 (plus the "
-    "continuity-corrected variant) is one exact expression over two "
-    "BIGINTs.",
-)
-def stats_mcnemar_quality_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labeled = _quality_vs_gopher(spark, sf_dir)
-    cells = labeled.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.sum(((F.col("label") == 1) & (F.col("q") < 0.55)).cast("int"))
-        .cast("bigint")
-        .alias("n10"),
-        F.sum(((F.col("label") == 0) & (F.col("q") >= 0.55)).cast("int"))
-        .cast("bigint")
-        .alias("n01"),
-    )
-    diff = (F.col("n10") - F.col("n01")).cast("double")
-    tot = F.col("n10") + F.col("n01")
-    return cells.select(
-        "n",
-        F.col("n10").alias("gopher_only_keeps"),
-        F.col("n01").alias("score_only_keeps"),
-        dround(diff * diff / tot, 4).alias("mcnemar_chi2"),
-        dround(
-            (F.abs(diff) - 1.0) * (F.abs(diff) - 1.0) / tot, 4
-        ).alias("mcnemar_chi2_cc"),
-    )
-
-
-# ------------------------------------- content-defined chunk dedup
-@register(
-    "dedup_content_defined_chunks",
-    oracle=f"""
-    WITH cdc_toks AS (
-        SELECT doc_id,
-               generate_subscripts(string_split(text, ' '), 1) AS pos,
-               unnest(string_split(text, ' ')) AS tok
-        FROM documents
-    ),
-    cdc_marked AS (
-        SELECT doc_id, pos, tok,
-               CASE WHEN ('0x' || substr(md5(tok), 1, 1))::BIGINT % 8 = 0
-                    THEN 1 ELSE 0 END AS boundary
-        FROM cdc_toks
-    ),
-    cdc_chunked AS (
-        SELECT doc_id, pos, tok,
-               COALESCE(SUM(boundary) OVER (
-                   PARTITION BY doc_id ORDER BY pos
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
-               ), 0) AS cid
-        FROM cdc_marked
-    ),
-    cdc_chunks AS (
-        SELECT doc_id, cid,
-               md5(string_agg(tok, ' ' ORDER BY pos)) AS chash,
-               CAST(COUNT(*) AS BIGINT) AS n_toks
-        FROM cdc_chunked GROUP BY doc_id, cid
-    ),
-    cdc_reuse AS (
-        SELECT chash, CAST(COUNT(*) AS BIGINT) AS uses,
-               CAST(MAX(n_toks) AS BIGINT) AS n_toks
-        FROM cdc_chunks GROUP BY chash
-    )
-    SELECT CAST(SUM(uses) AS BIGINT) AS n_chunks,
-           CAST(COUNT(*) AS BIGINT) AS n_unique_chunks,
-           {dround_sql(
-               "1.0 - CAST(COUNT(*) AS DOUBLE) / SUM(uses)", 6)}
-               AS dup_chunk_frac,
-           {dround_sql(
-               "CAST(SUM(uses * n_toks) AS DOUBLE) / SUM(uses)", 4)}
-               AS avg_chunk_tokens,
-           CAST(MAX(uses) AS BIGINT) AS max_chunk_reuse
-    FROM cdc_reuse
-    """,
-    description="Content-defined chunking (CDC) dedup audit: chunk "
-    "boundaries come from each token's OWN hash (md5 first hex digit % "
-    "8 == 0, expected chunk ~8 tokens), so a one-token insertion "
-    "reshifts at most one chunk instead of every fixed-width block "
-    "downstream — the property that makes CDC the storage-dedup "
-    "standard (LBFS/restic/borg) and the right primitive for detecting "
-    "COPIED SPANS across documents that exact-doc and minhash dedup "
-    "both miss. Corpus-level readout: chunk count, unique chunks, "
-    "duplicated-chunk fraction, mean chunk length, hottest chunk "
-    "reuse. One explode + one partitioned prefix sum + two hash aggs — "
-    "all keyed shuffles, no global ordering anywhere.",
-)
-def dedup_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "doc_id",
-        F.posexplode(F.split(F.col("text"), " ")).alias("pos0", "tok"),
-    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
-    marked = toks.withColumn(
-        "boundary",
-        (
-            F.conv(F.substring(F.md5(F.col("tok")), 1, 1), 16, 10).cast(
-                "bigint"
-            )
-            % 8
-            == 0
-        ).cast("int"),
-    )
-    wdoc = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(
-        Window.unboundedPreceding, -1
-    )
-    chunked = marked.withColumn(
-        "cid", F.coalesce(F.sum("boundary").over(wdoc), F.lit(0))
-    )
-    chunks = chunked.groupBy("doc_id", "cid").agg(
-        F.md5(
-            F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda x: x["tok"],
-                ),
-                " ",
-            )
-        ).alias("chash"),
-        F.count(F.lit(1)).cast("bigint").alias("n_toks"),
-    )
-    reuse = chunks.groupBy("chash").agg(
-        F.count(F.lit(1)).cast("bigint").alias("uses"),
-        F.max("n_toks").cast("bigint").alias("n_toks"),
-    )
-    return reuse.agg(
-        F.sum("uses").cast("bigint").alias("n_chunks"),
-        F.count(F.lit(1)).cast("bigint").alias("n_unique_chunks"),
-        dround(
-            1.0 - F.count(F.lit(1)).cast("double") / F.sum("uses"), 6
-        ).alias("dup_chunk_frac"),
-        dround(
-            F.sum(F.col("uses") * F.col("n_toks")).cast("double")
-            / F.sum("uses"),
-            4,
-        ).alias("avg_chunk_tokens"),
-        F.max("uses").cast("bigint").alias("max_chunk_reuse"),
-    )
-
-
-# ------------------------------------- Burrows' Delta stylometry
-@register(
-    "text_burrows_delta_sources",
-    oracle=f"""
-    WITH bd_toks AS (
-        SELECT source, unnest(string_split(text, ' ')) AS w
-        FROM documents
-    ),
-    bd_mfw AS (
-        SELECT w FROM (
-            SELECT w, CAST(COUNT(*) AS BIGINT) AS c
-            FROM bd_toks GROUP BY w
-            ORDER BY c DESC, w LIMIT 50
-        )
-    ),
-    bd_srctot AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS toks
-        FROM bd_toks GROUP BY source
-    ),
-    bd_counts AS (
-        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
-        FROM bd_toks WHERE w IN (SELECT w FROM bd_mfw)
-        GROUP BY source, w
-    ),
-    bd_grid AS (
-        SELECT s.source, m.w,
-               CAST(COALESCE(c.c, 0) AS DOUBLE) / s.toks AS f
-        FROM bd_srctot s CROSS JOIN bd_mfw m
-        LEFT JOIN bd_counts c ON c.source = s.source AND c.w = m.w
-    ),
-    bd_norm AS (
-        SELECT w, AVG(f) AS mu,
-               sqrt(AVG(f * f) - AVG(f) * AVG(f)) AS sigma
-        FROM bd_grid GROUP BY w
-    ),
-    bd_z AS (
-        SELECT g.source, g.w, (g.f - n.mu) / n.sigma AS z
-        FROM bd_grid g JOIN bd_norm n ON n.w = g.w
-        WHERE n.sigma > 0
-    )
-    SELECT a.source AS source_a, b.source AS source_b,
-           {dround_sql("AVG(abs(a.z - b.z))", 6)} AS burrows_delta
-    FROM bd_z a JOIN bd_z b ON a.w = b.w AND a.source < b.source
-    GROUP BY a.source, b.source
-    """,
-    description="Burrows' Delta between crawl sources: z-scores of the "
-    "50 most-frequent corpus words per source (zero-filled grid, "
-    "population sigma), pairwise mean |z_a - z_b| — the standard "
-    "stylometric distance used for authorship attribution, here "
-    "repurposed as a which-sources-write-alike monitor (near-zero "
-    "Delta between two 'independent' crawls is a mirrored-content "
-    "flag that token-count KPIs miss). Fact-scale work is ONE token "
-    "explode; everything after runs on the |sources| x 50 grid. The "
-    "MFW pick uses a total order (count desc, word) so both engines "
-    "choose the identical vocabulary.",
-)
-def text_burrows_delta_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    toks = docs.select(
-        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
-    ).persist()
-    mfw = (
-        toks.groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-        .orderBy(F.col("c").desc(), "w")
-        .limit(50)
-        .select("w")
-    )
-    srctot = toks.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("toks")
-    )
-    counts = (
-        toks.join(F.broadcast(mfw), "w")
-        .groupBy("source", "w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    grid = (
-        srctot.crossJoin(F.broadcast(mfw))
-        .join(F.broadcast(counts), ["source", "w"], "left")
-        .select(
-            "source",
-            "w",
-            (F.coalesce("c", F.lit(0)).cast("double") / F.col("toks")).alias(
-                "f"
-            ),
-        )
-    )
-    norm = grid.groupBy("w").agg(
-        F.avg("f").alias("mu"),
-        F.sqrt(F.avg(F.col("f") * F.col("f")) - F.avg("f") * F.avg("f")).alias(
-            "sigma"
-        ),
-    )
-    z = (
-        grid.join(F.broadcast(norm), "w")
-        .filter(F.col("sigma") > 0)
-        .select(
-            "source", "w", ((F.col("f") - F.col("mu")) / F.col("sigma")).alias("z")
-        )
-    )
-    a, b = z.alias("a"), z.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(
-            dround(F.avg(F.abs(F.col("a.z") - F.col("b.z"))), 6).alias(
-                "burrows_delta"
-            )
-        )
-    )
-
-
-# ------------------------------------- multimodal audio VAD energy
-@register(
-    "multimodal_audio_vad_energy",
-    oracle=f"""
-    WITH av_blob AS (
-        SELECT doc_id, source,
-               md5(CAST(doc_id AS VARCHAR) || ':0')
-               || md5(CAST(doc_id AS VARCHAR) || ':1')
-               || md5(CAST(doc_id AS VARCHAR) || ':2')
-               || md5(CAST(doc_id AS VARCHAR) || ':3') AS hx
-        FROM documents
-    ),
-    av_energy AS (
-        SELECT b.doc_id, b.source, w.w,
-               SUM((('0x' || substr(b.hx, CAST(32 * w.w + 2 * s.b + 1
-                                               AS BIGINT), 2))::BIGINT - 128)
-                   * (('0x' || substr(b.hx, CAST(32 * w.w + 2 * s.b + 1
-                                                 AS BIGINT), 2))::BIGINT
-                      - 128)) AS energy
-        FROM av_blob b
-        CROSS JOIN (SELECT UNNEST(range(0, 4)) AS w) w
-        CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) s
-        GROUP BY b.doc_id, b.source, w.w
-    )
-    SELECT source,
-           CAST(COUNT(*) AS BIGINT) AS n_windows,
-           CAST(SUM(CASE WHEN energy > 90000 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_voiced,
-           {dround_sql(
-               "CAST(SUM(CASE WHEN energy > 90000 THEN 1 ELSE 0 END)"
-               " AS DOUBLE) / COUNT(*)", 6)} AS voiced_frac,
-           {dround_sql("CAST(SUM(energy) AS DOUBLE) / COUNT(*)", 2)}
-               AS avg_energy
-    FROM av_energy GROUP BY source
-    """,
-    description="Audio-modality plumbing: 64-byte PCM-like payloads "
-    "(deterministic md5 synthesis — no audio fixtures in the container) "
-    "flow through an Arrow-batched mapInPandas VAD that slices 16-byte "
-    "sample windows, computes numpy energy sum((b-128)^2), and flags "
-    "voiced windows; per-source rollup of window counts, voiced "
-    "fraction, mean energy. The Python path (functions/multimodal.py "
-    "vad_energy_windows) is the REAL batch shape a decode would use — "
-    "variable-cardinality fan-out, integer-exact features — and the "
-    "oracle recomputes the identical windows byte-by-byte in SQL, so "
-    "the Arrow boundary itself is what is being verified. Completes "
-    "the multimodal set: image features, video frames, tile manifest, "
-    "header parse, audio windows.",
-)
-def multimodal_audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from healthcare_data_lakehouse_spark.functions.multimodal import (
-        vad_energy_windows,
-    )
-
-    docs = table(spark, sf_dir, "documents")
-    did = F.col("doc_id").cast("string")
-    blob = F.unhex(
-        F.concat(*[F.md5(F.concat(did, F.lit(f":{i}"))) for i in range(4)])
-    )
-    assets = docs.select(
-        F.col("doc_id").alias("asset_id"), "source", blob.alias("payload")
-    )
-    wins = vad_energy_windows(assets, window_bytes=16, threshold=90_000)
-    return wins.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
-        F.sum("voiced").cast("bigint").alias("n_voiced"),
-        dround(
-            F.sum("voiced").cast("double") / F.count(F.lit(1)), 6
-        ).alias("voiced_frac"),
-        dround(F.sum("energy").cast("double") / F.count(F.lit(1)), 2).alias(
-            "avg_energy"
-        ),
-    )
-
-
-# ------------------------------------- Chao1 vocabulary richness
-@register(
-    "text_chao1_vocab_richness",
-    oracle=f"""
-    WITH ch_freq AS (
-        SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM (
-            SELECT unnest(string_split(text, ' ')) AS w FROM documents
-        ) WHERE w <> '' GROUP BY w
-    ),
-    ch_coc AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS s_obs,
-               CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
-               CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2,
-               CAST(SUM(c) AS BIGINT) AS n_tokens
-        FROM ch_freq
-    )
-    SELECT s_obs, f1, f2, n_tokens,
-           {dround_sql(
-               "s_obs + CAST(f1 AS DOUBLE) * f1 / (2.0 * (f2 + 1))"
-               " - CAST(f1 AS DOUBLE) * f2 / (2.0 * (f2 + 1) * (f2 + 1))",
-               2)} AS chao1_estimate,
-           {dround_sql(
-               "1.0 - CAST(f1 AS DOUBLE) / n_tokens", 6)}
-               AS good_turing_coverage
-    FROM ch_coc
-    """,
-    description="Chao1 richness estimator of the UNSEEN vocabulary "
-    "(bias-corrected form S_obs + f1^2/(2(f2+1)) - f1*f2/(2(f2+1)^2), "
-    "from singleton/doubleton counts) next to Good-Turing sample "
-    "coverage 1 - f1/N: together they answer 'how much vocabulary does "
-    "this corpus still hide?' — the crawl-more-or-stop signal for "
-    "corpus growth planning, and the ecology-standard richness bound "
-    "repurposed for token space. One token explode -> vocab groupBy -> "
-    "count-of-counts reduce; three exact BIGINTs feed one closed-form "
-    "scalar.",
-)
-def text_chao1_vocab_richness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    freq = (
-        docs.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .filter(F.col("w") != "")
-        .groupBy("w")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
-    )
-    coc = freq.agg(
-        F.count(F.lit(1)).cast("bigint").alias("s_obs"),
-        F.sum((F.col("c") == 1).cast("int")).cast("bigint").alias("f1"),
-        F.sum((F.col("c") == 2).cast("int")).cast("bigint").alias("f2"),
-        F.sum("c").cast("bigint").alias("n_tokens"),
-    )
-    f1d = F.col("f1").cast("double")
-    f2p = 2.0 * (F.col("f2") + 1)
-    chao1 = (
-        F.col("s_obs")
-        + f1d * F.col("f1") / f2p
-        - f1d * F.col("f2") / (f2p * (F.col("f2") + 1))
-    )
-    return coc.select(
-        "s_obs",
-        "f1",
-        "f2",
-        "n_tokens",
-        dround(chao1, 2).alias("chao1_estimate"),
-        dround(1.0 - f1d / F.col("n_tokens"), 6).alias(
-            "good_turing_coverage"
-        ),
-    )
-
-
-# ------------------------------------- Platt scaling via Newton steps
-def _platt_round_sql(i: int) -> str:
-    """One unrolled Newton-Raphson round for the 2-parameter logistic
-    (intercept b0, slope b1 on the quality score), reading beta from
-    pl_beta{i} and emitting pl_beta{i+1}. Closed-form 2x2 inverse."""
-    return f"""
-    pl_mom{i} AS (
-        SELECT SUM(p * (1 - p)) AS sw,
-               SUM(p * (1 - p) * q) AS swq,
-               SUM(p * (1 - p) * q * q) AS swqq,
-               SUM(label - p) AS g0,
-               SUM((label - p) * q) AS g1
-        FROM (
-            SELECT d.q, d.label,
-                   1.0 / (1.0 + exp(-(b.b0 + b.b1 * d.q))) AS p
-            FROM pl_data d CROSS JOIN pl_beta{i} b
-        )
-    ),
-    pl_beta{i + 1} AS (
-        SELECT b.b0 + (m.swqq * m.g0 - m.swq * m.g1)
-                      / (m.sw * m.swqq - m.swq * m.swq) AS b0,
-               b.b1 + (m.sw * m.g1 - m.swq * m.g0)
-                      / (m.sw * m.swqq - m.swq * m.swq) AS b1
-        FROM pl_beta{i} b CROSS JOIN pl_mom{i} m
-    )"""
-
-
-@register(
-    "stats_platt_scaling_newton",
-    oracle=f"""
-    WITH {_QEVAL_SQL},
-    pl_data AS (
-        SELECT q, CAST(label AS DOUBLE) AS label FROM qe_labeled
-    ),
-    pl_beta0 AS (SELECT 0.0 AS b0, 0.0 AS b1),
-    {",".join(_platt_round_sql(i) for i in range(3))},
-    pl_fit AS (SELECT b0, b1 FROM pl_beta3),
-    pl_eval AS (
-        SELECT SUM(CASE WHEN (1.0 / (1.0 + exp(-(f.b0 + f.b1 * d.q))) >= 0.5)
-                             = (d.label = 1.0)
-                        THEN 1 ELSE 0 END) AS n_correct,
-               CAST(COUNT(*) AS BIGINT) AS n,
-               SUM(-(d.label * ln(1.0 / (1.0 + exp(-(f.b0 + f.b1 * d.q))))
-                     + (1.0 - d.label)
-                       * ln(1.0 - 1.0 / (1.0 + exp(-(f.b0 + f.b1 * d.q))))))
-                   AS nll
-        FROM pl_data d CROSS JOIN pl_fit f
-    )
-    SELECT e.n AS n_docs,
-           {dround_sql("f.b0", 4)} AS platt_b0,
-           {dround_sql("f.b1", 4)} AS platt_b1,
-           {dround_sql("CAST(e.n_correct AS DOUBLE) / e.n", 6)} AS accuracy,
-           {dround_sql("e.nll / e.n", 6)} AS mean_nll
-    FROM pl_fit f CROSS JOIN pl_eval e
-    """,
-    description="Platt scaling — the logistic recalibration that turns "
-    "the raw quality score into a probability of passing the Gopher "
-    "gate — trained IN THE ENGINE with three unrolled Newton-Raphson "
-    "rounds: per round one scan computes the five weighted moments "
-    "(X'WX entries and the gradient) and the closed-form 2x2 solve "
-    "updates (b0, b1); no driver-side optimizer, constant-depth job "
-    "graph, every pass map-side combinable. Reports the fitted "
-    "coefficients plus held-in accuracy and mean negative log-"
-    "likelihood. The parametric sibling of "
-    "stats_isotonic_calibration_pav (monotone nonparametric) — Platt "
-    "is what you use when the calibration set is small. Three "
-    "fixed rounds from (0,0) are inside Newton's quadratic-"
-    "convergence basin for this well-separated 1-D problem.",
-)
-def stats_platt_scaling_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
-    labeled = _quality_vs_gopher(spark, sf_dir).select(
-        "q", F.col("label").cast("double").alias("label")
-    )
-    labeled = labeled.persist()
-    beta = (0.0, 0.0)
-    for _ in range(3):
-        b0, b1 = beta
-        p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("q"))))
-        w = p * (1.0 - p)
-        m = labeled.agg(
-            F.sum(w).alias("sw"),
-            F.sum(w * F.col("q")).alias("swq"),
-            F.sum(w * F.col("q") * F.col("q")).alias("swqq"),
-            F.sum(F.col("label") - p).alias("g0"),
-            F.sum((F.col("label") - p) * F.col("q")).alias("g1"),
-        ).collect()[0]
-        det = m.sw * m.swqq - m.swq * m.swq
-        beta = (
-            b0 + (m.swqq * m.g0 - m.swq * m.g1) / det,
-            b1 + (m.sw * m.g1 - m.swq * m.g0) / det,
-        )
-    b0, b1 = beta
-    p = 1.0 / (1.0 + F.exp(-(F.lit(b0) + F.lit(b1) * F.col("q"))))
-    ev = labeled.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum(
-            ((p >= 0.5) == (F.col("label") == 1.0)).cast("int")
-        ).alias("n_correct"),
-        F.sum(
-            -(
-                F.col("label") * F.log(p)
-                + (1.0 - F.col("label")) * F.log(1.0 - p)
-            )
-        ).alias("nll"),
-    )
-    return ev.select(
-        "n_docs",
-        dround(F.lit(b0), 4).alias("platt_b0"),
-        dround(F.lit(b1), 4).alias("platt_b1"),
-        dround(F.col("n_correct").cast("double") / F.col("n_docs"), 6).alias(
-            "accuracy"
-        ),
-        dround(F.col("nll") / F.col("n_docs"), 6).alias("mean_nll"),
-    )
-
-
-# ------------------------------------- source vocabulary Jaccard
-@register(
-    "text_vocab_jaccard_sources",
-    oracle=f"""
-    WITH vj_vocab AS (
-        SELECT DISTINCT source, unnest(string_split(text, ' ')) AS w
-        FROM documents
-    ),
-    vj_sizes AS (
-        SELECT source, CAST(COUNT(*) AS BIGINT) AS sz
-        FROM vj_vocab GROUP BY source
-    ),
-    vj_inter AS (
-        SELECT a.source AS source_a, b.source AS source_b,
-               CAST(COUNT(*) AS BIGINT) AS n_inter
-        FROM vj_vocab a JOIN vj_vocab b
-          ON a.w = b.w AND a.source < b.source
-        GROUP BY a.source, b.source
-    )
-    SELECT i.source_a, i.source_b, i.n_inter,
-           {dround_sql(
-               "CAST(i.n_inter AS DOUBLE)"
-               " / (sa.sz + sb.sz - i.n_inter)", 6)} AS vocab_jaccard,
-           {dround_sql("CAST(i.n_inter AS DOUBLE) / LEAST(sa.sz, sb.sz)", 6)}
-               AS vocab_containment
-    FROM vj_inter i
-    JOIN vj_sizes sa ON sa.source = i.source_a
-    JOIN vj_sizes sb ON sb.source = i.source_b
-    """,
-    description="Pairwise vocabulary Jaccard and min-containment "
-    "between crawl sources: the SET-overlap complement to "
-    "text_js_divergence_lang_pairs (distributional) and "
-    "text_burrows_delta_sources (stylometric z-scores) — high "
-    "containment with low Jaccard flags a source that is a topical "
-    "subset of another (scrape-of-a-scrape), which both distribution "
-    "distances blur. One distinct (source, word) projection; the "
-    "intersection join is word-keyed (each word meets only its own "
-    "postings), sizes broadcast back onto the |sources|^2/2-row "
-    "output.",
-)
-def text_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents")
-    vocab = (
-        docs.select("source", F.explode(F.split(F.col("text"), " ")).alias("w"))
-        .distinct()
-        .persist()
-    )
-    sizes = vocab.groupBy("source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("sz")
-    )
-    a, b = vocab.alias("a"), vocab.alias("b")
-    inter = (
-        a.join(
-            b,
-            (F.col("a.w") == F.col("b.w"))
-            & (F.col("a.source") < F.col("b.source")),
-        )
-        .groupBy(
-            F.col("a.source").alias("source_a"),
-            F.col("b.source").alias("source_b"),
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
-    )
-    sa = sizes.select(F.col("source").alias("source_a"), F.col("sz").alias("sza"))
-    sb = sizes.select(F.col("source").alias("source_b"), F.col("sz").alias("szb"))
-    return (
-        inter.join(F.broadcast(sa), "source_a")
-        .join(F.broadcast(sb), "source_b")
-        .select(
-            "source_a",
-            "source_b",
-            "n_inter",
-            dround(
-                F.col("n_inter").cast("double")
-                / (F.col("sza") + F.col("szb") - F.col("n_inter")),
-                6,
-            ).alias("vocab_jaccard"),
-            dround(
-                F.col("n_inter").cast("double")
-                / F.least(F.col("sza"), F.col("szb")),
-                6,
-            ).alias("vocab_containment"),
-        )
-    )
+from healthcare_data_lakehouse_spark.queries.llm_shared import (  # noqa: F401
+    _docs_with_dups,
+)
+from healthcare_data_lakehouse_spark.queries.llm_dedup import *  # noqa: F401,F403
+from healthcare_data_lakehouse_spark.queries.llm_dedup import (  # noqa: F401
+    _DupEvalBase,
+    _probe_ctes,
+)
+from healthcare_data_lakehouse_spark.queries.llm_text import *  # noqa: F401,F403
+from healthcare_data_lakehouse_spark.queries.llm_similarity import *  # noqa: F401,F403
+from healthcare_data_lakehouse_spark.queries.llm_pipeline import *  # noqa: F401,F403
+from healthcare_data_lakehouse_spark.queries.llm_graph_stats import *  # noqa: F401,F403

@@ -1,0 +1,1883 @@
+"""Similarity / embedding / sketch / multimodal query family (split from llm_ops.py).
+
+Mechanically split from queries/llm_ops.py (round 8); blocks moved
+verbatim in original order — zero behavior change. See llm_ops.py for
+the compatibility facade.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from healthcare_data_lakehouse_spark.functions import dedup as D
+from healthcare_data_lakehouse_spark.functions import dround, dround_sql
+from healthcare_data_lakehouse_spark.functions import similarity as S
+from healthcare_data_lakehouse_spark.functions import text as TX
+from healthcare_data_lakehouse_spark.functions.multimodal import (
+    as_binary_assets,
+    extract_binary_features,
+)
+from healthcare_data_lakehouse_spark.queries.catalog import register
+from healthcare_data_lakehouse_spark.tables import table
+
+
+from healthcare_data_lakehouse_spark.queries.llm_shared import (  # noqa: F401
+    _BLOOM_K,
+    _BLOOM_M,
+    _H48,
+    _PQ_K,
+    _PQ_M,
+    _bucket_sql,
+    _docs_with_dups,
+    _lsh_pairs_ctes,
+    _pq_d2_sql,
+)
+
+
+# ------------------------------------------------------------- similarity
+_COSINE_SQL = """
+    SELECT e.vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(e.embedding, q.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(q.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS score
+    FROM embeddings e, (SELECT embedding FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+"""
+
+
+@register(
+    "similarity_cosine_top10",
+    oracle=f"""
+    SELECT vec_id, score FROM ({_COSINE_SQL})
+    ORDER BY score DESC, vec_id LIMIT 10
+    """,
+    description="Exact brute-force cosine top-10 against vec_id=0: narrow "
+    "scan + TakeOrdered; the ANN baseline.",
+)
+def similarity_cosine_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.cosine_top_k(emb.filter(F.col("vec_id") != 0), list(qvec), k=10)
+
+
+@register(
+    "embedding_norms",
+    oracle="""
+    SELECT vec_id, label,
+           ROUND(sqrt(list_sum(list_transform(embedding,
+                 x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+           CAST(len(embedding) AS INT) AS dim
+    FROM embeddings
+    """,
+    description="Embedding hygiene scan: L2 norms + dimensionality "
+    "(array ops fully JVM-side via F.aggregate).",
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        "label",
+        F.round(S.l2_norm(F.col("embedding")), 6).alias("l2_norm"),
+        F.size("embedding").alias("dim"),
+    )
+
+
+def _lsh_topk_oracle() -> str:
+    # bucket bit i = (dot(embedding, plane_i) > 0); planes embedded as
+    # literal lists (same LCG constants as similarity.HYPERPLANES)
+    plane_bits = []
+    for i, plane in enumerate(S.HYPERPLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        plane_bits.append(
+            f"CASE WHEN list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0 "
+            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        )
+    bucket = "\n             + ".join(plane_bits)
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {bucket} AS bucket
+        FROM embeddings
+    ),
+    qb AS (SELECT bucket, embedding FROM bucketed WHERE vec_id = 0)
+    SELECT b.vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(b.embedding, qb.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qb.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+           6) AS score
+    FROM bucketed b, qb
+    WHERE b.bucket = qb.bucket AND b.vec_id <> 0
+    ORDER BY score DESC, b.vec_id LIMIT 5
+    """
+
+
+@register(
+    "similarity_lsh_top5",
+    oracle=_lsh_topk_oracle(),
+    description="ANN scale path: 8-hyperplane sign-LSH bucket prune + exact "
+    "cosine re-rank inside the query's bucket (deterministic LCG planes).",
+)
+def similarity_lsh_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.lsh_top_k(emb.filter(F.col("vec_id") != 0), list(qvec), k=5)
+
+
+_IVF_CENTROID_IDS = [1, 2, 3, 4, 5, 6, 7, 8]
+
+
+def _cos_sql(a: str, b: str) -> str:
+    return f"""
+             list_sum(list_transform(list_zip({a}, {b}),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform({a},
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform({b},
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+
+
+def _ivf_oracle() -> str:
+    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id IN ({ids})
+    ),
+    assigned AS (
+        SELECT e.vec_id, e.embedding, c.cid,
+               ROW_NUMBER() OVER (
+                   PARTITION BY e.vec_id
+                   ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC, c.cid
+               ) AS rn
+        FROM embeddings e CROSS JOIN centroids c
+    ),
+    member AS (SELECT vec_id, embedding, cid FROM assigned WHERE rn = 1),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    qprobe AS (
+        SELECT c.cid,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_cos_sql('q.embedding', 'c.cvec')} DESC, c.cid
+               ) AS prn
+        FROM centroids c, q
+    )
+    SELECT m.vec_id, m.cid,
+           ROUND({_cos_sql('m.embedding', 'q.embedding')}, 6) AS score
+    FROM member m, q
+    WHERE m.cid IN (SELECT cid FROM qprobe WHERE prn <= 2)
+      AND m.vec_id <> 0
+    ORDER BY score DESC, m.vec_id LIMIT 5
+    """
+
+
+@register(
+    "similarity_ivf_top5",
+    oracle=_ivf_oracle(),
+    description="IVF ANN: broadcast nearest-centroid assignment builds "
+    "inverted lists, the query probes its nprobe=2 nearest lists, exact "
+    "cosine re-ranks only those members (partition-pruned at scale; "
+    "centroids deterministic-by-id standing in for k-means).",
+)
+def similarity_ivf_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    rows = emb.filter(F.col("vec_id").isin([0] + _IVF_CENTROID_IDS)).select(
+        "vec_id", "embedding"
+    ).collect()
+    vecs = {r.vec_id: list(r.embedding) for r in rows}
+    return S.ivf_top_k(
+        emb,
+        vecs[0],
+        {cid: vecs[cid] for cid in _IVF_CENTROID_IDS},
+        k=5,
+        nprobe=2,
+        exclude_ids=[0],
+    )
+
+
+@register(
+    "embedding_int8_quantization",
+    oracle="""
+    WITH scaled AS (
+        SELECT vec_id,
+               embedding,
+               127.0 / list_max(list_transform(embedding,
+                       x -> abs(CAST(x AS DOUBLE)))) AS scale
+        FROM embeddings
+    ),
+    errs AS (
+        SELECT vec_id, scale,
+               list_transform(embedding,
+                   x -> abs(CAST(x AS DOUBLE)
+                            - floor(CAST(x AS DOUBLE) * scale + 0.5) / scale))
+                   AS qerr,
+               len(embedding) AS dim
+        FROM scaled
+    )
+    SELECT vec_id,
+           ROUND(scale, 6) AS scale,
+           ROUND(list_max(qerr), 6) AS max_err,
+           ROUND(list_sum(qerr) / dim, 6) AS mean_err
+    FROM errs
+    """,
+    description="Int8 scalar quantization audit: per-vector scale "
+    "(127/max|x|), floor(x*scale+0.5) quantizer (floor, not round — "
+    "identical halfway behavior on both engines), reconstruction error "
+    "stats. The 4x-compression path for 100 TB vector stores; narrow "
+    "JVM-side array math, no shuffle.",
+)
+def embedding_int8_quantization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    absd = F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))
+    scale = 127.0 / F.array_max(absd)
+    df = emb.select("vec_id", "embedding", scale.alias("scale"))
+    qerr = F.transform(
+        F.col("embedding"),
+        lambda x: F.abs(
+            x.cast("double")
+            - F.floor(x.cast("double") * F.col("scale") + 0.5) / F.col("scale")
+        ),
+    )
+    return df.select(
+        "vec_id",
+        F.round("scale", 6).alias("scale"),
+        F.round(F.array_max(qerr), 6).alias("max_err"),
+        F.round(
+            F.aggregate(qerr, F.lit(0.0), lambda a, v: a + v)
+            / F.size("embedding"),
+            6,
+        ).alias("mean_err"),
+    )
+
+
+# ------------------------------------------------------------- multimodal
+@register(
+    "multimodal_binary_features",
+    oracle="""
+    SELECT doc_id AS asset_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           sha256(text) AS sha256,
+           'image' AS modality,
+           CAST(octet_length(encode(text)) % 640 + 1 AS BIGINT) AS fake_width,
+           CAST((octet_length(encode(text)) * 7) % 480 + 1 AS BIGINT) AS fake_height
+    FROM documents
+    """,
+    description="Multimodal plumbing: binary payload column + Arrow-batched "
+    "mapInPandas feature extraction (decode stage stubbed — deterministic "
+    "pseudo-decode; schema/partitioning/batch shape real).",
+)
+def multimodal_binary_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    assets = as_binary_assets(docs)
+    return extract_binary_features(assets, fake_decode=True)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle="""
+    WITH meta AS (
+        SELECT doc_id AS asset_id, text,
+               octet_length(encode(text)) AS n,
+               octet_length(encode(text)) // 100 + 1 AS n_frames,
+               octet_length(encode(text)) % 640 + 1 AS w,
+               (octet_length(encode(text)) * 7) % 480 + 1 AS h
+        FROM documents
+    ),
+    meta2 AS (
+        SELECT *,
+               CAST(ceil(CAST(n_frames AS DOUBLE) / 4) AS BIGINT) AS stride,
+               greatest(w, h) AS m
+        FROM meta
+    )
+    SELECT asset_id,
+           CAST(u.idx AS BIGINT) AS frame_idx,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           sha256(text || ':' || CAST(u.idx AS VARCHAR)) AS frame_sha,
+           CAST(w * 224 // m AS BIGINT) AS resized_w,
+           CAST(h * 224 // m AS BIGINT) AS resized_h
+    FROM meta2, UNNEST(range(0, n_frames, stride)) AS u(idx)
+    """,
+    description="Multimodal frame sampling: variable-cardinality "
+    "mapInPandas (one asset -> up to 4 strided frame rows) + integer "
+    "resize planning into a 224 box; decode stubbed deterministically, "
+    "batch mechanics real.",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.multimodal import sample_frames
+
+    docs = table(spark, sf_dir, "documents")
+    return sample_frames(as_binary_assets(docs), max_frames=4)
+
+
+@register(
+    "multimodal_header_kpis",
+    oracle="""
+    WITH blobs AS (
+        SELECT doc_id, source,
+               unhex(lpad(hex(64 + doc_id % 1024), 8, '0')
+                     || lpad(hex(64 + (doc_id * 7) % 1024), 8, '0')
+                     || lpad(hex(doc_id % 3), 2, '0')) AS content
+        FROM documents
+    ),
+    parsed AS (
+        SELECT source,
+               ('0x' || substring(hex(content), 1, 8))::BIGINT AS w,
+               ('0x' || substring(hex(content), 9, 8))::BIGINT AS h,
+               ('0x' || substring(hex(content), 17, 2))::BIGINT AS codec,
+               octet_length(content) AS n_bytes
+        FROM blobs
+    )
+    SELECT source,
+           CASE codec WHEN 0 THEN 'h264' WHEN 1 THEN 'vp9'
+                ELSE 'av1' END AS codec_name,
+           CAST(COUNT(*) AS BIGINT) AS n_assets,
+           CAST(SUM(n_bytes) AS BIGINT) AS total_bytes,
+           CAST(MAX(w) AS BIGINT) AS max_width,
+           CAST(ROUND(CAST(AVG(CAST(w AS DOUBLE) / h) AS DECIMAL(38,8)),
+                      4) AS DOUBLE) AS avg_aspect
+    FROM parsed GROUP BY source, codec
+    """,
+    description="JVM-side binary header parsing — the scale complement to "
+    "the mapInPandas decode pipeline: container metadata (width/height/"
+    "codec) lives in the first bytes of a media blob, so a metadata-only "
+    "pass slices the BINARY column with hex/substring/conv entirely "
+    "inside whole-stage codegen — no Python boundary, no Arrow transfer, "
+    "no decode — and rolls up per (source, codec) KPIs. At 100 TB the "
+    "header scan prices the full decode job before anyone pays for it "
+    "(and with parquet column pruning it reads ONLY the blob column's "
+    "first-bytes statistics pages where the writer split them out). The "
+    "blob here is synthesized deterministically from doc_id (no media "
+    "fixtures in the container) but the parse path is the real one: "
+    "bytes in, integers out, both engines agreeing bit-for-bit.",
+)
+def multimodal_header_kpis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "source")
+    blobs = docs.select(
+        "source",
+        F.unhex(
+            F.concat(
+                F.lpad(F.hex(F.lit(64) + F.col("doc_id") % 1024), 8, "0"),
+                F.lpad(F.hex(F.lit(64) + (F.col("doc_id") * 7) % 1024), 8, "0"),
+                F.lpad(F.hex(F.col("doc_id") % 3), 2, "0"),
+            )
+        ).alias("content"),
+    )
+    hx = F.hex(F.col("content"))
+    parsed = blobs.select(
+        "source",
+        F.conv(F.substring(hx, 1, 8), 16, 10).cast("bigint").alias("w"),
+        F.conv(F.substring(hx, 9, 8), 16, 10).cast("bigint").alias("h"),
+        F.conv(F.substring(hx, 17, 2), 16, 10).cast("bigint").alias("codec"),
+        F.length("content").alias("n_bytes"),
+    )
+    codec_name = (
+        F.when(F.col("codec") == 0, "h264")
+        .when(F.col("codec") == 1, "vp9")
+        .otherwise("av1")
+    )
+    return (
+        parsed.groupBy("source", codec_name.alias("codec_name"))
+        .agg(
+            F.count(F.lit(1)).alias("n_assets"),
+            F.sum("n_bytes").alias("total_bytes"),
+            F.max("w").alias("max_width"),
+            dround(F.avg(F.col("w").cast("double") / F.col("h")), 4).alias(
+                "avg_aspect"
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_label_centroids",
+    oracle="""
+    SELECT label,
+           pos,
+           ROUND(AVG(val), 6) AS centroid_val
+    FROM (
+        SELECT label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    )
+    GROUP BY label, pos
+    """,
+    description="Per-class centroids (the k-means/IVF training "
+    "primitive): posexplode each vector and hash-aggregate the "
+    "element-wise mean keyed by (label, dimension). Map-side partial "
+    "aggregation collapses each partition to #labels x dim rows before "
+    "the shuffle — at 100 TB the shuffle carries only partial sums, "
+    "never raw vectors. 1-based pos matches SQL generate_subscripts.",
+)
+def embedding_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return (
+        emb.select(
+            "label", F.posexplode("embedding").alias("pos0", "val")
+        )
+        .groupBy("label", (F.col("pos0") + 1).alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("centroid_val"))
+    )
+
+
+# ------------------------------------------------- count-min sketch
+@register(
+    "sketch_cms_heavy_hitters",
+    oracle="""
+    WITH k AS (SELECT CAST(user_id AS VARCHAR) AS k FROM events),
+    kb AS (
+        SELECT k, d,
+               CAST(('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || k), 1, 12)) AS BIGINT) % 1024 AS bucket
+        FROM k, UNNEST([0, 1, 2]) AS u(d)
+    ),
+    cms AS (SELECT d, bucket, COUNT(*) AS cnt FROM kb GROUP BY d, bucket),
+    est AS (
+        SELECT kd.k, MIN(cms.cnt) AS est_count
+        FROM (SELECT DISTINCT k, d, bucket FROM kb) kd
+        JOIN cms ON cms.d = kd.d AND cms.bucket = kd.bucket
+        GROUP BY kd.k
+    ),
+    truth AS (SELECT k, COUNT(*) AS true_count FROM k GROUP BY k)
+    SELECT k AS user_id, est_count, true_count FROM (
+        SELECT est.k, est.est_count, truth.true_count,
+               ROW_NUMBER() OVER (ORDER BY est.est_count DESC, est.k) AS rn
+        FROM est JOIN truth ON truth.k = est.k
+    ) WHERE rn <= 10
+    """,
+    description="Count-min sketch heavy hitters: depth-3 x width-1024 "
+    "sketch with portable md5 bucket hashing, estimate = min over the "
+    "three bucket counts, top-10 by estimate with the exact count "
+    "alongside (overestimate bias visible when buckets collide). The "
+    "sketch itself is 3072 rows regardless of input size — the whole "
+    "point at 100 TB: the event->bucket agg is map-side combined, the "
+    "3 KB sketch broadcasts back onto the distinct-key probe, and no "
+    "full per-key count table ever shuffles for the estimate path.",
+)
+def sketch_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        F.col("user_id").cast("string").alias("k")
+    )
+    kb = ev.select(
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"),
+                        (
+                            D.token_hash48(
+                                F.concat_ws(":", F.lit(str(d)), F.col("k"))
+                            )
+                            % 1024
+                        ).alias("bucket"),
+                    )
+                    for d in range(3)
+                ]
+            )
+        ).alias("db"),
+    ).select("k", "db.d", "db.bucket")
+    cms = kb.groupBy("d", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    est = (
+        kb.distinct()
+        .join(F.broadcast(cms), ["d", "bucket"])
+        .groupBy("k")
+        .agg(F.min("cnt").alias("est_count"))
+    )
+    truth = ev.groupBy("k").agg(F.count(F.lit(1)).alias("true_count"))
+    w = Window.orderBy(F.col("est_count").desc(), F.col("k"))
+    return (
+        est.join(truth, "k")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select(F.col("k").alias("user_id"), "est_count", "true_count")
+    )
+
+
+# --------------------------------------------------- ANN quality eval
+def _cos_sql(a: str, b: str) -> str:
+    return f"""
+             list_sum(list_transform(list_zip({a}, {b}),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform({a},
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform({b},
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+    """
+
+
+def _recall_oracle() -> str:
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+        FROM bucketed WHERE vec_id < 10
+    ),
+    exact5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    lsh5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, b.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("b.embedding", "q.qv")}, 6) DESC,
+                                b.vec_id) AS rn
+            FROM bucketed b JOIN q
+              ON b.bucket = q.qbucket AND b.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
+    agg_l AS (SELECT qid, COUNT(*) AS n_lsh FROM lsh5 GROUP BY qid),
+    agg_o AS (
+        SELECT e.qid, COUNT(*) AS n_overlap
+        FROM exact5 e JOIN lsh5 l ON l.qid = e.qid AND l.vec_id = e.vec_id
+        GROUP BY e.qid
+    )
+    SELECT a.qid AS query_id, a.n_exact,
+           COALESCE(b.n_lsh, 0) AS n_lsh,
+           COALESCE(c.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(c.n_overlap, 0) AS DOUBLE) / 5, 2) AS recall_at_5
+    FROM agg_e a
+    LEFT JOIN agg_l b ON b.qid = a.qid
+    LEFT JOIN agg_o c ON c.qid = a.qid
+    """
+
+
+@register(
+    "similarity_recall_lsh_at5",
+    oracle=_recall_oracle(),
+    description="ANN quality harness: recall@5 of the 8-plane sign-LSH "
+    "index against exact brute-force cosine, evaluated over a 10-query "
+    "panel in one shot. The query panel broadcasts (rows, not a "
+    "collect-loop); exact scoring is a broadcast nested-loop against "
+    "the 10-row side, LSH scoring probes only same-bucket candidates; "
+    "both re-rank on the ROUNDED score with id tiebreak so the top-5 "
+    "sets are engine-deterministic. This is the measurement loop you "
+    "run before trusting an ANN index at 100 TB — recall ~1.0 on "
+    "identical-distribution panels, degrading as planes get too few "
+    "for the corpus density.",
+)
+def similarity_recall_lsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    exact5 = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    lsh5 = (
+        b.join(
+            F.broadcast(q),
+            (b.bucket == q.qbucket) & (b.vec_id != q.qid),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    agg_l = lsh5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_lsh"))
+    agg_o = (
+        exact5.join(lsh5, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        agg_e.join(agg_l, "qid", "left")
+        .join(agg_o, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce("n_lsh", F.lit(0)).alias("n_lsh"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)).cast("double") / 5, 2).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+# ---------------------------------------- grouped scientific compute
+@register(
+    "embedding_label_pca",
+    oracle=None,
+    description="Per-label PCA condition scan via applyInPandas: each "
+    "label group's covariance spectrum (numpy eigh on the 64x64 Gram "
+    "matrix) yields the top-eigenvalue share — a collapse/anisotropy "
+    "monitor for embedding spaces. The Arrow-batched grouped-map is "
+    "the designed Python surface (one group per task, 64^2 floats of "
+    "state regardless of group row count: the O(n) work is the Gram "
+    "accumulation, which pandas does vectorized). Rows-only check: "
+    "eigensolver float details are platform-dependent, so no SQL "
+    "oracle — the engine-side test asserts spectral invariants "
+    "(ratios in [1/64, 1], eigenvalue sum equals total variance).",
+)
+def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    emb = table(spark, sf_dir, "embeddings").select("label", "embedding")
+
+    def pca_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        mat = np.stack(pdf["embedding"].to_numpy())
+        centered = mat - mat.mean(axis=0, keepdims=True)
+        cov = centered.T @ centered / max(len(mat) - 1, 1)
+        evals = np.linalg.eigvalsh(cov)
+        total = float(evals.sum())
+        top = float(evals[-1])
+        return pd.DataFrame(
+            {
+                "label": [int(pdf["label"].iloc[0])],
+                "n_vecs": [len(mat)],
+                "top_var_ratio": [round(top / total, 4) if total > 0 else 0.0],
+                "total_variance": [round(total, 4)],
+            }
+        )
+
+    return emb.groupBy("label").applyInPandas(
+        pca_group,
+        "label int, n_vecs bigint, top_var_ratio double, total_variance double",
+    )
+
+
+# ---------------------------------------- matryoshka truncation audit
+@register(
+    "embedding_matryoshka_fidelity",
+    oracle="""
+    WITH pair AS (
+        SELECT label,
+               list_sum(list_transform(list_zip(embedding[1:16], embedding[1:16]),
+                        p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS t_dot,
+               list_sum(list_transform(embedding,
+                        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS full_sq
+        FROM embeddings
+    )
+    SELECT label,
+           COUNT(*) AS n_vecs,
+           ROUND(AVG(sqrt(t_dot) / sqrt(full_sq)), 6) AS avg_truncation_cosine,
+           ROUND(MIN(sqrt(t_dot) / sqrt(full_sq)), 6) AS min_truncation_cosine
+    FROM pair GROUP BY label
+    """,
+    description="Matryoshka-truncation fidelity audit: cosine between "
+    "each full 64-d vector and its first-16-dims truncation reduces "
+    "algebraically to ||head|| / ||full|| (the truncated dims "
+    "contribute zero to the dot product), so the whole audit is one "
+    "narrow array-slice projection + a per-label agg — zero shuffle "
+    "beyond the 10-row rollup. The go/no-go measurement before "
+    "serving MRL-style truncated embeddings at a fraction of the "
+    "index cost: avg near 1 means the head dims carry the geometry.",
+)
+def embedding_matryoshka_fidelity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    head = F.slice(F.col("embedding"), 1, 16)
+    t_dot = F.aggregate(
+        head, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double")
+    )
+    full_sq = F.aggregate(
+        F.col("embedding"),
+        F.lit(0.0),
+        lambda acc, v: acc + v.cast("double") * v.cast("double"),
+    )
+    ratio = F.sqrt(t_dot) / F.sqrt(full_sq)
+    return (
+        emb.select("label", ratio.alias("r"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("n_vecs"),
+            F.round(F.avg("r"), 6).alias("avg_truncation_cosine"),
+            F.round(F.min("r"), 6).alias("min_truncation_cosine"),
+        )
+    )
+
+
+# ------------------------------------------- centroid drift monitor
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH pts AS (
+        SELECT label, vec_id % 2 AS half, generate_subscripts(embedding, 1) AS i,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    cent AS (
+        SELECT label, half, i, AVG(x) AS c FROM pts GROUP BY label, half, i
+    ),
+    paired AS (
+        SELECT a.label, a.i, a.c AS ca, b.c AS cb
+        FROM cent a JOIN cent b
+          ON b.label = a.label AND b.i = a.i AND a.half = 0 AND b.half = 1
+    )
+    SELECT label,
+           ROUND(SUM(ca * cb) / (sqrt(SUM(ca * ca)) * sqrt(SUM(cb * cb))), 6)
+               AS centroid_cosine,
+           ROUND(sqrt(SUM((ca - cb) * (ca - cb))), 6) AS centroid_l2_dist
+    FROM paired GROUP BY label
+    """,
+    description="Embedding representation-drift monitor: per-label "
+    "centroids of two deterministic halves of the corpus (stand-ins "
+    "for two ingestion batches), compared by cosine and L2 — the "
+    "embedding-space analogue of the PSI value-drift monitor, catching "
+    "encoder regressions/model swaps before they poison the index. "
+    "Centroids are O(labels x dims) from one posexplode agg; the "
+    "comparison is a dim-keyed self-join of that tiny aggregate.",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "label",
+        (F.col("vec_id") % 2).alias("half"),
+        F.posexplode("embedding").alias("i", "xf"),
+    ).select("label", "half", (F.col("i") + 1).alias("i"), F.col("xf").cast("double").alias("x"))
+    cent = pts.groupBy("label", "half", "i").agg(F.avg("x").alias("c"))
+    a = cent.filter(F.col("half") == 0).select("label", "i", F.col("c").alias("ca"))
+    b = cent.filter(F.col("half") == 1).select(
+        F.col("label").alias("lb"), F.col("i").alias("ib"), F.col("c").alias("cb")
+    )
+    paired = a.join(b, (a.label == F.col("lb")) & (a.i == F.col("ib")))
+    return paired.groupBy("label").agg(
+        F.round(
+            F.sum(F.col("ca") * F.col("cb"))
+            / (F.sqrt(F.sum(F.col("ca") * F.col("ca"))) * F.sqrt(F.sum(F.col("cb") * F.col("cb")))),
+            6,
+        ).alias("centroid_cosine"),
+        F.round(
+            F.sqrt(F.sum((F.col("ca") - F.col("cb")) * (F.col("ca") - F.col("cb")))), 6
+        ).alias("centroid_l2_dist"),
+    )
+
+
+# ------------------------------------ minhash estimator error audit
+def _minhash_error_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    eq = " + ".join(
+        f"CASE WHEN sa.mh_{j} = sb.mh_{j} THEN 1 ELSE 0 END"
+        for j in range(len(D.MINHASH_PERMS))
+    )
+    return f"""
+    WITH {ctes},
+    pairs AS ({final})
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ROUND(({eq}) / {float(len(D.MINHASH_PERMS))}, 6) AS mh_estimate,
+           ROUND(ABS(p.jaccard - ({eq}) / {float(len(D.MINHASH_PERMS))}), 6)
+             AS abs_err
+    FROM pairs p
+    JOIN sig sa ON sa.doc_id = p.id_a
+    JOIN sig sb ON sb.doc_id = p.id_b
+    """
+
+
+@register(
+    "similarity_minhash_jaccard_error",
+    oracle=_minhash_error_oracle(),
+    description="Estimator-quality audit for the MinHash sketch: on every "
+    "LSH-verified near-dup pair, the signature-agreement estimate "
+    "(fraction of 12 permutations whose minima collide — the unbiased "
+    "MinHash Jaccard estimator) is laid beside the exact shingle-set "
+    "Jaccard it approximates, with per-pair absolute error. The "
+    "companion to similarity_recall_lsh_at5: that measures candidate "
+    "RECALL, this measures estimate FIDELITY, the two knobs (bands x "
+    "rows, permutation count) a 100 TB dedup run must tune before "
+    "trusting the sketch in place of exact verification. Signatures "
+    "join broadcast-size per pair; the corpus is shingled once.",
+)
+def similarity_minhash_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    # one shingle pass feeds both the pair verification and the signature
+    # columns the estimate reads — lsh_candidate_pairs + minhash_signature
+    # separately would shingle and aggregate the corpus twice
+    pairs, sig = D.lsh_pairs_and_signatures(docs, threshold=0.5)
+    n = len(D.MINHASH_PERMS)
+    sa = sig.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"mh_{j}").alias(f"a_{j}") for j in range(n)],
+    )
+    sb = sig.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"mh_{j}").alias(f"b_{j}") for j in range(n)],
+    )
+    est = (
+        sum(
+            F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+            for j in range(n)
+        )
+        / float(n)
+    )
+    return (
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(est, 6).alias("mh_estimate"),
+            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
+        )
+    )
+
+
+def _pq_cte() -> str:
+    """Shared CTE block: codebook (vec_id 1..8 -> codes 0..7), query
+    (vec_id 0), corpus (the rest), and per-subspace code assignment
+    (rounded-distance argmin, ties to lowest code — mirrors pq_encode)."""
+    code_cols = ",\n               ".join(
+        f"CAST(min(struct_pack(d := ROUND("
+        f"{_pq_d2_sql('c.embedding', 'cb.embedding', m)}, 6), "
+        f"c := cb.code)).c AS INT) AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    adc_terms = "\n               + ".join(
+        _pq_d2_sql("q.embedding", f"cb{m}.embedding", m) for m in range(_PQ_M)
+    )
+    adc_joins = "\n        ".join(
+        f"JOIN cb cb{m} ON cb{m}.code = codes.code_{m}" for m in range(_PQ_M)
+    )
+    return f"""
+    WITH cb AS (
+        SELECT CAST(vec_id - 1 AS INT) AS code, embedding
+        FROM embeddings WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    corpus AS (
+        SELECT vec_id, label, embedding FROM embeddings WHERE vec_id > {_PQ_K}
+    ),
+    codes AS (
+        SELECT c.vec_id,
+               {code_cols}
+        FROM corpus c CROSS JOIN cb
+        GROUP BY c.vec_id
+    ),
+    adc AS (
+        SELECT codes.vec_id,
+               codes.code_0, codes.code_1, codes.code_2, codes.code_3,
+               ROUND({adc_terms}, 6) AS adc_dist
+        FROM codes
+        {adc_joins}
+        CROSS JOIN q
+    )
+    """
+
+
+def _pq_parts(spark: SparkSession, sf_dir: str):
+    """Collect the metadata-scale PQ inputs (query vector + 8-row codebook)
+    and return (corpus_df, query_vec, codebook)."""
+    emb = table(spark, sf_dir, "embeddings")
+    rows = (
+        emb.filter(F.col("vec_id") <= _PQ_K)
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in rows}
+    codebook = [vecs[i + 1] for i in range(_PQ_K)]
+    return emb.filter(F.col("vec_id") > _PQ_K), vecs[0], codebook
+
+
+@register(
+    "similarity_pq_adc_top5",
+    oracle=_pq_cte()
+    + """
+    SELECT vec_id, code_0, code_1, code_2, code_3, adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 5
+    """,
+    description="Product quantization ANN (Jegou et al., TPAMI'11): encode "
+    "the corpus to 4x 3-bit codes against an 8-entry-per-subspace codebook "
+    "(deterministic-by-id training rows standing in for k-means), answer "
+    "with asymmetric-distance (ADC) top-5 — the M*K distance table is "
+    "driver-side metadata baked into the plan, so the per-row cost is 4 "
+    "array lookups, no shuffle until the final 5-row TakeOrdered. The "
+    "~21x compression (64 floats -> 4 codes) is how a 100 TB embedding "
+    "corpus fits a scan budget.",
+)
+def similarity_pq_adc_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, qvec, codebook = _pq_parts(spark, sf_dir)
+    enc = S.pq_encode(corpus, codebook, n_sub=_PQ_M)
+    return (
+        enc.select(
+            "vec_id",
+            "code_0",
+            "code_1",
+            "code_2",
+            "code_3",
+            F.round(S.pq_adc_dist(qvec, codebook, n_sub=_PQ_M), 6).alias(
+                "adc_dist"
+            ),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
+@register(
+    "similarity_pq_distortion",
+    oracle=_pq_cte()
+    + f"""
+    , perrow AS (
+        SELECT c.label,
+               CAST(ROUND(a.adc_dist, 6) AS DECIMAL(28,6)) AS d_adc,
+               CAST(ROUND({_pq_d2_sql('c.embedding', 'q.embedding', 0, 64)},
+                    6) AS DECIMAL(28,6)) AS d_exact
+        FROM adc a
+        JOIN corpus c ON c.vec_id = a.vec_id
+        CROSS JOIN q
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(CAST(SUM(d_adc) AS DOUBLE) / COUNT(*), 4) AS avg_adc,
+           ROUND(CAST(SUM(d_exact) AS DOUBLE) / COUNT(*), 4) AS avg_exact,
+           ROUND(CAST(SUM(d_adc - d_exact) AS DOUBLE) / COUNT(*), 4)
+               AS avg_bias
+    FROM perrow GROUP BY label
+    """,
+    description="PQ quantization-quality audit: per-label mean ADC vs exact "
+    "squared distance to the query and the ADC bias — the recall/compression "
+    "dial a production deployment tunes (more subspaces/codes -> less "
+    "distortion). Per-row values are 6dp-rounded then decimal-summed so the "
+    "cross-row aggregation is order-independent on both engines.",
+)
+def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus, qvec, codebook = _pq_parts(spark, sf_dir)
+    enc = S.pq_encode(corpus, codebook, n_sub=_PQ_M)
+    qlit = F.array(*[F.lit(v) for v in qvec])
+    perrow = enc.select(
+        "label",
+        F.round(S.pq_adc_dist(qvec, codebook, n_sub=_PQ_M), 6)
+        .cast("decimal(28,6)")
+        .alias("d_adc"),
+        F.round(S.pq_sub_dist2(F.col("embedding"), qlit, 0, 64), 6)
+        .cast("decimal(28,6)")
+        .alias("d_exact"),
+    )
+    n = F.count(F.lit(1))
+    return perrow.groupBy("label").agg(
+        n.cast("bigint").alias("n"),
+        F.round(F.sum("d_adc").cast("double") / n, 4).alias("avg_adc"),
+        F.round(F.sum("d_exact").cast("double") / n, 4).alias("avg_exact"),
+        F.round(
+            F.sum(F.col("d_adc") - F.col("d_exact")).cast("double") / n, 4
+        ).alias("avg_bias"),
+    )
+
+
+# ------------------------------------------- IVF recall harness
+def _ivf_recall_oracle() -> str:
+    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id IN ({ids})
+    ),
+    member AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT e.vec_id, e.embedding, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                                c.cid) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id < 10
+    ),
+    qprobe AS (
+        SELECT qid, cid FROM (
+            SELECT q.qid, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY {_cos_sql('q.qv', 'c.cvec')} DESC, c.cid
+                   ) AS prn
+            FROM q CROSS JOIN centroids c
+        ) WHERE prn <= 2
+    ),
+    exact5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    ivf5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, m.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("m.embedding", "q.qv")}, 6) DESC,
+                                m.vec_id) AS rn
+            FROM member m
+            JOIN qprobe p ON m.cid = p.cid
+            JOIN q ON q.qid = p.qid AND m.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
+    agg_i AS (SELECT qid, COUNT(*) AS n_ivf FROM ivf5 GROUP BY qid),
+    agg_o AS (
+        SELECT e.qid, COUNT(*) AS n_overlap
+        FROM exact5 e JOIN ivf5 i ON i.qid = e.qid AND i.vec_id = e.vec_id
+        GROUP BY e.qid
+    )
+    SELECT a.qid AS query_id,
+           CAST(a.n_exact AS BIGINT) AS n_exact,
+           CAST(COALESCE(b.n_ivf, 0) AS BIGINT) AS n_ivf,
+           CAST(COALESCE(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           CAST(ROUND(CAST(COALESCE(o.n_overlap, 0) AS DOUBLE)
+                / a.n_exact, 6) AS DOUBLE) AS recall_at_5
+    FROM agg_e a
+    LEFT JOIN agg_i b ON b.qid = a.qid
+    LEFT JOIN agg_o o ON o.qid = a.qid
+    """
+
+
+@register(
+    "similarity_recall_ivf_at5",
+    oracle=_ivf_recall_oracle(),
+    description="ANN quality harness for the IVF index: recall@5 vs exact "
+    "brute-force cosine over the same 10-query panel as the LSH harness "
+    "(nprobe=2 of 8 deterministic centroids). Probe selection is a "
+    "DataFrame-side window over the panel x centroid cross (80 rows), so "
+    "the multi-query variant needs no driver loop; list membership joins "
+    "prune the scan exactly as a cid-partitioned layout would at scale.",
+)
+def similarity_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    member = S.ivf_assign(emb, _IVF_CENTROID_IDS)
+    centroids = emb.filter(F.col("vec_id").isin(_IVF_CENTROID_IDS)).select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    wp = Window.partitionBy("qid").orderBy(
+        F.desc("c_sim"), F.asc("cid")
+    )
+    qprobe = (
+        q.crossJoin(F.broadcast(centroids))
+        .withColumn("c_sim", S.cosine(F.col("qv"), F.col("cvec")))
+        .withColumn("prn", F.row_number().over(wp))
+        .filter(F.col("prn") <= 2)
+        .select("qid", "cid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
+    exact5 = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    ivf5 = (
+        member.join(F.broadcast(qprobe), "cid")
+        .join(F.broadcast(q), "qid")
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "score"
+            ),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    agg_e = exact5.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_exact")
+    )
+    agg_i = ivf5.groupBy("qid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ivf")
+    )
+    agg_o = (
+        exact5.join(ivf5, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_overlap"))
+    )
+    return (
+        agg_e.join(agg_i, "qid", "left")
+        .join(agg_o, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce("n_ivf", F.lit(0)).cast("bigint").alias("n_ivf"),
+            F.coalesce("n_overlap", F.lit(0)).cast("bigint").alias(
+                "n_overlap"
+            ),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double")
+                / F.col("n_exact"),
+                6,
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+def _lsh_multiprobe_oracle(nprobe: int = 4) -> str:
+    dots = []
+    for i, plane in enumerate(S.HYPERPLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dots.append(
+            f"SELECT {i} AS i, "
+            f"list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) AS dot "
+            f"FROM q"
+        )
+    dots_sql = "\n        UNION ALL ".join(dots)
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    qb AS (SELECT bucket, embedding FROM bucketed WHERE vec_id = 0),
+    margins AS (
+        SELECT i, ABS(dot) AS m FROM ({dots_sql})
+    ),
+    flips AS (SELECT i FROM margins ORDER BY m, i LIMIT {nprobe - 1}),
+    probes AS (
+        SELECT qb.bucket AS pb FROM qb
+        UNION ALL
+        SELECT xor(qb.bucket, CAST(1 AS BIGINT) << f.i) FROM qb, flips f
+    )
+    SELECT b.vec_id,
+           ROUND(
+             list_sum(list_transform(list_zip(b.embedding, qb.embedding),
+                      p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(b.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+              * sqrt(list_sum(list_transform(qb.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+           , 6) AS score
+    FROM bucketed b, qb
+    WHERE b.vec_id <> 0 AND b.bucket IN (SELECT pb FROM probes)
+    ORDER BY score DESC, b.vec_id
+    LIMIT 5
+    """
+
+
+@register(
+    "similarity_lsh_multiprobe_top5",
+    oracle=_lsh_multiprobe_oracle(),
+    description="Multi-probe LSH ANN (Lv et al., VLDB'07): probe the "
+    "query's bucket PLUS the 3 buckets across the lowest-|margin| "
+    "hyperplanes — where a true neighbor most likely landed on the "
+    "other side of a close plane. Raises recall toward exact without "
+    "extra hash tables or index duplication (the classic memory/recall "
+    "trade of multi-table LSH); the probe set derives from the query "
+    "vector alone, so the corpus-side plan is one bucket-membership "
+    "filter + exact cosine re-rank, same as single-probe.",
+)
+def similarity_lsh_multiprobe_top5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return S.lsh_multiprobe_top_k(
+        emb.filter(F.col("vec_id") != 0), list(qvec), k=5, nprobe=4
+    )
+
+
+def _recall_multiprobe_oracle(nprobe: int = 4) -> str:
+    dots = []
+    for i, plane in enumerate(S.HYPERPLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        dots.append(
+            f"SELECT qid, {i} AS i, "
+            f"ABS(list_sum(list_transform(list_zip(qv, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))) AS m "
+            f"FROM q"
+        )
+    dots_sql = "\n        UNION ALL ".join(dots)
+    return f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding,
+               {_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv, bucket AS qbucket
+        FROM bucketed WHERE vec_id < 10
+    ),
+    exact5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    qm AS ({dots_sql}),
+    flips AS (
+        SELECT qid, i FROM (
+            SELECT qid, i,
+                   ROW_NUMBER() OVER (PARTITION BY qid ORDER BY m, i) AS rn
+            FROM qm
+        ) WHERE rn <= {nprobe - 1}
+    ),
+    probes AS (
+        SELECT qid, qbucket AS pb FROM q
+        UNION ALL
+        SELECT f.qid, xor(q.qbucket, CAST(1 AS BIGINT) << f.i)
+        FROM flips f JOIN q USING (qid)
+    ),
+    mp5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT p.qid, b.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY p.qid
+                       ORDER BY ROUND({_cos_sql("b.embedding", "q.qv")}, 6) DESC,
+                                b.vec_id) AS rn
+            FROM bucketed b
+            JOIN probes p ON b.bucket = p.pb
+            JOIN q ON q.qid = p.qid AND b.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
+    agg_m AS (SELECT qid, COUNT(*) AS n_multiprobe FROM mp5 GROUP BY qid),
+    agg_o AS (
+        SELECT e.qid, COUNT(*) AS n_overlap
+        FROM exact5 e JOIN mp5 l ON l.qid = e.qid AND l.vec_id = e.vec_id
+        GROUP BY e.qid
+    )
+    SELECT a.qid AS query_id, a.n_exact,
+           COALESCE(b.n_multiprobe, 0) AS n_multiprobe,
+           COALESCE(c.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(c.n_overlap, 0) AS DOUBLE) / 5, 2) AS recall_at_5
+    FROM agg_e a
+    LEFT JOIN agg_m b ON b.qid = a.qid
+    LEFT JOIN agg_o c ON c.qid = a.qid
+    """
+
+
+@register(
+    "similarity_recall_multiprobe_at5",
+    oracle=_recall_multiprobe_oracle(),
+    description="Recall@5 of MULTI-PROBE LSH over the same 10-query panel "
+    "as similarity_recall_lsh_at5 — the probe set (own bucket + 3 "
+    "lowest-|margin| bit flips, per query) is computed as a DataFrame "
+    "over the broadcast panel, no driver loop; per-query recall "
+    "dominates single-probe by construction since every single-probe "
+    "candidate is also a multi-probe candidate. The pair of harnesses "
+    "is the memory/recall frontier you price before choosing probe "
+    "count at 100 TB.",
+)
+def similarity_recall_multiprobe_at5(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    nprobe = 4
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bucket")
+    )
+    q = b.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("bucket").alias("qbucket"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    exact5 = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    planes = F.array(
+        *[
+            F.array(*[F.lit(float(v)) for v in plane])
+            for plane in S.HYPERPLANES
+        ]
+    )
+    qm = q.select(
+        "qid",
+        "qbucket",
+        F.posexplode(planes).alias("i", "plane"),
+        F.col("qv"),
+    ).select(
+        "qid",
+        "qbucket",
+        "i",
+        F.abs(S.dot(F.col("qv"), F.col("plane"))).alias("m"),
+    )
+    wq = Window.partitionBy("qid").orderBy("m", "i")
+    flips = (
+        qm.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= nprobe - 1)
+        .select(
+            "qid",
+            F.expr("qbucket ^ CAST(shiftleft(1, i) AS BIGINT)").alias("pb"),
+        )
+    )
+    probes = q.select("qid", F.col("qbucket").alias("pb")).unionAll(flips)
+    mp5 = (
+        b.join(F.broadcast(probes), b.bucket == probes.pb)
+        .join(
+            F.broadcast(q.select("qid", "qv")).withColumnRenamed("qid", "q2"),
+            (F.col("qid") == F.col("q2")) & (b.vec_id != F.col("qid")),
+        )
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    agg_m = mp5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_multiprobe"))
+    agg_o = (
+        exact5.join(mp5, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        agg_e.join(agg_m, "qid", "left")
+        .join(agg_o, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce("n_multiprobe", F.lit(0)).alias("n_multiprobe"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(
+                F.coalesce("n_overlap", F.lit(0)).cast("double") / 5, 2
+            ).alias("recall_at_5"),
+        )
+    )
+
+
+_KMV_K = 64
+
+
+def _kmv_oracle() -> str:
+    k = _KMV_K
+    raw_est = (
+        f"({k} - 1) / (CAST(k.kth_h AS DOUBLE) / 281474976710656.0)"
+    )
+    est = (
+        f"CASE WHEN k.n_kept < {k} THEN CAST(k.n_kept AS DOUBLE) "
+        f"ELSE {dround_sql(raw_est, 6)} END"
+    )
+    return f"""
+    WITH du AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ),
+    hashed AS (
+        SELECT day, {_H48.format(c="CAST(user_id AS VARCHAR)")} AS h FROM du
+    ),
+    ranked AS (
+        SELECT day, h,
+               ROW_NUMBER() OVER (PARTITION BY day ORDER BY h) AS rn
+        FROM hashed
+    ),
+    kth AS (
+        SELECT day,
+               MAX(h) AS kth_h,
+               CAST(COUNT(*) AS BIGINT) AS n_kept
+        FROM ranked WHERE rn <= {k} GROUP BY day
+    ),
+    exact AS (
+        SELECT day, CAST(COUNT(*) AS BIGINT) AS exact_users
+        FROM du GROUP BY day
+    )
+    SELECT e.day, e.exact_users,
+           {est} AS kmv_estimate,
+           {dround_sql(f"ABS(({est}) - e.exact_users) / e.exact_users", 6)}
+               AS rel_error
+    FROM exact e JOIN kth k ON k.day = e.day
+    ORDER BY e.day
+    """
+
+
+@register(
+    "sketch_kmv_distinct_users",
+    oracle=_kmv_oracle(),
+    description="KMV (k-minimum-values) distinct sketch, the mergeable "
+    "alternative to HLL with a fully DETERMINISTIC estimate: keep the "
+    "64 smallest md5-derived hashes per day; the estimator "
+    "(k-1)/normalized-kth-minimum is exact arithmetic over portable "
+    "integer hashes, so unlike HLL no engine-specific register math "
+    "exists to paper over — the oracle reproduces the estimate "
+    "bit-for-bit. Days with fewer than k users fall back to the exact "
+    "kept count (the sketch IS the distinct set there). Merge across "
+    "partitions/days = k smallest of the union of k-min sets — an "
+    "associative combine, which is what makes the sketch rollup-able "
+    "at 100 TB. Per-day window is keyed (never global); reports "
+    "estimate vs exact with relative error.",
+)
+def sketch_kmv_distinct_users(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    k = _KMV_K
+    ev = table(spark, sf_dir, "events")
+    du = ev.select(
+        F.to_date("ts").alias("day"), "user_id"
+    ).distinct()
+    hashed = du.select(
+        "day", D.token_hash48(F.col("user_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("day").orderBy("h")
+    kth = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .groupBy("day")
+        .agg(
+            F.max("h").alias("kth_h"),
+            F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        )
+    )
+    exact = du.groupBy("day").agg(
+        F.count(F.lit(1)).cast("bigint").alias("exact_users")
+    )
+    est = F.when(
+        F.col("n_kept") < k, F.col("n_kept").cast("double")
+    ).otherwise(
+        dround(
+            (k - 1)
+            / (F.col("kth_h").cast("double") / F.lit(281474976710656.0)),
+            6,
+        )
+    )
+    return (
+        exact.join(kth, "day")
+        .select(
+            "day",
+            "exact_users",
+            est.alias("kmv_estimate"),
+            dround(
+                F.abs(est - F.col("exact_users").cast("double"))
+                / F.col("exact_users"),
+                6,
+            ).alias("rel_error"),
+        )
+        .orderBy("day")
+    )
+
+
+def _bloom_pos_sql(key_expr: str) -> str:
+    return (
+        f"CAST(('0x' || substr(md5(CAST({key_expr} AS VARCHAR)"
+        f" || ':' || j), 1, 12)) AS BIGINT) % {_BLOOM_M}"
+    )
+
+
+@register(
+    "sketch_bloom_filter_fpr",
+    oracle=f"""
+    WITH members AS (
+        SELECT c_custkey AS key FROM customer WHERE c_custkey % 3 <> 0
+    ),
+    jj(j) AS (VALUES (0), (1), (2)),
+    bits AS (
+        SELECT DISTINCT {_bloom_pos_sql("key")} AS pos
+        FROM members CROSS JOIN jj
+    ),
+    nonmembers AS (
+        SELECT c_custkey AS key FROM customer WHERE c_custkey % 3 = 0
+    ),
+    probe AS (
+        SELECT n.key, CAST(COUNT(b.pos) AS BIGINT) AS hits
+        FROM nonmembers n
+        CROSS JOIN jj
+        LEFT JOIN bits b ON b.pos = {_bloom_pos_sql("n.key")}
+        GROUP BY n.key
+    ),
+    agg AS (
+        SELECT CAST({_BLOOM_M} AS BIGINT) AS m_bits,
+               CAST({_BLOOM_K} AS BIGINT) AS k_hashes,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM members) AS n_members,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM bits) AS bits_set,
+               CAST(COUNT(*) AS BIGINT) AS n_nonmembers,
+               CAST(SUM(CASE WHEN hits = {_BLOOM_K} THEN 1 ELSE 0 END)
+                    AS BIGINT) AS false_positives
+        FROM probe
+    )
+    SELECT m_bits, k_hashes, n_members, bits_set, n_nonmembers,
+           false_positives,
+           {dround_sql("CAST(false_positives AS DOUBLE) / n_nonmembers", 6)}
+               AS fpr_measured,
+           {dround_sql(f"CAST(bits_set AS DOUBLE) / {_BLOOM_M}", 6)}
+               AS occupancy,
+           {dround_sql(
+               f"(CAST(bits_set AS DOUBLE) / {_BLOOM_M})"
+               f" * (CAST(bits_set AS DOUBLE) / {_BLOOM_M})"
+               f" * (CAST(bits_set AS DOUBLE) / {_BLOOM_M})", 6)}
+               AS fpr_expected
+    FROM agg
+    """,
+    description="Bloom-filter false-positive-rate audit: a 4096-bit, "
+    "3-hash Bloom filter is built over the member shard of the customer "
+    "keyspace (custkey % 3 != 0 — a structural split that holds at every "
+    "SF; portable md5-derived positions, key:j salting) and probed with "
+    "every key of the held-out shard; measured FPR is laid beside the "
+    "occupancy-based expectation rho^k (rho = bits_set/m, an EXACT "
+    "power-of-two division, cubed with plain multiplies — no pow(), so "
+    "no cross-engine libm drift). This is the sizing check a 100 TB "
+    "pipeline runs before shipping a Bloom filter into a broadcast "
+    "semi-join or an LSH pre-filter (dedup_bloom_prefilter_probe): the "
+    "bit array build is one groupBy-distinct over member hashes "
+    "(map-side combinable), the filter itself is KB-sized and "
+    "broadcast to the probe side regardless of member cardinality.",
+)
+def sketch_bloom_filter_fpr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select("c_custkey")
+    members = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    jj = spark.range(_BLOOM_K).select(F.col("id").alias("j"))
+
+    def pos(key: F.Column) -> F.Column:
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            key.cast("string"),
+                            F.lit(":"),
+                            F.col("j").cast("string"),
+                        )
+                    ),
+                    1,
+                    12,
+                ),
+                16,
+                10,
+            ).cast("bigint")
+            % _BLOOM_M
+        )
+
+    bits = (
+        members.crossJoin(F.broadcast(jj))
+        .select(pos(F.col("key")).alias("pos"))
+        .distinct()
+    )
+    nonmembers = cust.filter(F.col("c_custkey") % 3 == 0).select(
+        F.col("c_custkey").alias("key")
+    )
+    probe = (
+        nonmembers.crossJoin(F.broadcast(jj))
+        .select("key", pos(F.col("key")).alias("pos"))
+        .join(F.broadcast(bits).withColumnRenamed("pos", "hit"),
+              F.col("pos") == F.col("hit"), "left")
+        .groupBy("key")
+        .agg(F.count("hit").cast("bigint").alias("hits"))
+    )
+    counts = probe.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nonmembers"),
+        F.sum(F.when(F.col("hits") == _BLOOM_K, 1).otherwise(0))
+        .cast("bigint")
+        .alias("false_positives"),
+    )
+    n_mem = members.agg(F.count(F.lit(1)).cast("bigint").alias("n_members"))
+    n_bits = bits.agg(F.count(F.lit(1)).cast("bigint").alias("bits_set"))
+    occ = F.col("bits_set").cast("double") / _BLOOM_M
+    return (
+        counts.crossJoin(F.broadcast(n_mem))
+        .crossJoin(F.broadcast(n_bits))
+        .select(
+            F.lit(_BLOOM_M).cast("bigint").alias("m_bits"),
+            F.lit(_BLOOM_K).cast("bigint").alias("k_hashes"),
+            "n_members",
+            "bits_set",
+            "n_nonmembers",
+            "false_positives",
+            dround(
+                F.col("false_positives").cast("double")
+                / F.col("n_nonmembers"),
+                6,
+            ).alias("fpr_measured"),
+            dround(occ, 6).alias("occupancy"),
+            dround(occ * occ * occ, 6).alias("fpr_expected"),
+        )
+    )
+
+
+# ------------------------------------------ multimodal tile manifest
+_TILE = 128
+
+
+@register(
+    "multimodal_tile_manifest",
+    oracle=f"""
+    WITH dims AS (
+        SELECT doc_id AS asset_id,
+               octet_length(encode(text)) AS n,
+               octet_length(encode(text)) % 640 + 1 AS w,
+               (octet_length(encode(text)) * 7) % 480 + 1 AS h
+        FROM documents
+    ),
+    grid AS (
+        SELECT asset_id, w, h, tx.i AS tile_x, ty.i AS tile_y
+        FROM dims,
+             UNNEST(range(0, CAST(ceil(w / {_TILE}.0) AS BIGINT))) AS tx(i),
+             UNNEST(range(0, CAST(ceil(h / {_TILE}.0) AS BIGINT))) AS ty(i)
+    )
+    SELECT asset_id, CAST(tile_x AS BIGINT) AS tile_x,
+           CAST(tile_y AS BIGINT) AS tile_y,
+           CAST(LEAST({_TILE}, w - tile_x * {_TILE}) AS BIGINT) AS tile_w,
+           CAST(LEAST({_TILE}, h - tile_y * {_TILE}) AS BIGINT) AS tile_h,
+           CAST(tile_y * {_TILE} * w + tile_x * {_TILE} AS BIGINT)
+               AS byte_offset,
+           CAST(LEAST({_TILE}, w - tile_x * {_TILE})
+                * LEAST({_TILE}, h - tile_y * {_TILE}) AS BIGINT)
+               AS byte_len
+    FROM grid
+    """,
+    description=f"Tiled-decode planning manifest for image assets: the "
+    "asset table rides the REAL multimodal path (binary payloads, "
+    "Arrow-batched mapInPandas fake-decode for dimensions — the "
+    "container has no image libs, so decode_stub derives deterministic "
+    f"pseudo-dims), then each asset fans out to its {_TILE}x{_TILE} "
+    "tile grid with row-major byte ranges — the unit of work a "
+    "GPU/CPU decode stage schedules, sized so one tile fits cache and "
+    "one task never holds a whole 100k-px image. The DuckDB oracle "
+    "recomputes the stub's dimension arithmetic relationally "
+    "(octet_length of the payload), so this query cross-checks the "
+    "Python mapInPandas plumbing against SQL end-to-end. Grid "
+    "explode is row-local (sequence + explode, no shuffle); manifest "
+    "grain is tiles, partitioned by asset hash.",
+)
+def multimodal_tile_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    feats = extract_binary_features(as_binary_assets(docs), fake_decode=True)
+    t = _TILE
+    dims = feats.select(
+        "asset_id",
+        F.col("fake_width").cast("bigint").alias("w"),
+        F.col("fake_height").cast("bigint").alias("h"),
+    )
+    grid = dims.select(
+        "asset_id",
+        "w",
+        "h",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("w") / t).cast("bigint") - 1)
+        ).alias("tile_x"),
+    ).select(
+        "asset_id",
+        "w",
+        "h",
+        "tile_x",
+        F.explode(
+            F.sequence(F.lit(0), F.ceil(F.col("h") / t).cast("bigint") - 1)
+        ).alias("tile_y"),
+    )
+    tile_w = F.least(F.lit(t), F.col("w") - F.col("tile_x") * t)
+    tile_h = F.least(F.lit(t), F.col("h") - F.col("tile_y") * t)
+    return grid.select(
+        "asset_id",
+        F.col("tile_x").cast("bigint").alias("tile_x"),
+        F.col("tile_y").cast("bigint").alias("tile_y"),
+        tile_w.cast("bigint").alias("tile_w"),
+        tile_h.cast("bigint").alias("tile_h"),
+        (F.col("tile_y") * t * F.col("w") + F.col("tile_x") * t)
+        .cast("bigint")
+        .alias("byte_offset"),
+        (tile_w * tile_h).cast("bigint").alias("byte_len"),
+    )
+
+
+# ----------------------------- sampled join-cardinality estimation
+_JCE_MOD = 16
+
+
+@register(
+    "sketch_join_cardinality_estimate",
+    oracle=f"""
+    WITH keys AS (
+        SELECT l_partkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(n * n) AS BIGINT) AS exact_join_size,
+               CAST(COUNT(*) FILTER (WHERE {_H48.format(
+                   c="CAST(k AS VARCHAR)")} % {_JCE_MOD} = 0)
+                   AS BIGINT) AS sampled_keys,
+               CAST({_JCE_MOD} * SUM(n * n) FILTER (WHERE {_H48.format(
+                   c="CAST(k AS VARCHAR)")} % {_JCE_MOD} = 0)
+                   AS BIGINT) AS estimate
+        FROM keys
+    )
+    SELECT n_keys, exact_join_size, sampled_keys, estimate,
+           {dround_sql(
+               "ABS(CAST(estimate AS DOUBLE) - exact_join_size)"
+               " / exact_join_size", 6)} AS rel_err
+    FROM agg
+    """,
+    description="Sampled join-cardinality estimation — the optimizer "
+    "statistic behind join reordering: the lineitem self-join size on "
+    "l_partkey is sum_k n(k)^2; a 1/16 DISTINCT-KEY sample (portable "
+    "md5 coin on the key, so every engine samples the same keys) "
+    "estimates it as 16 * sum over sampled keys, laid beside the exact "
+    "answer with relative error. Key-level sampling is the correct "
+    "design for join estimation (row-level Bernoulli biases n(k)^2 "
+    "terms down); at 100 TB both the exact and sampled sums are one "
+    "map-side-combinable groupBy(key) + one scalar aggregate — the "
+    "exact pass here is the audit, production keeps only the sampled "
+    "pass. Everything is BIGINT until the published rel_err.",
+)
+def sketch_join_cardinality_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_partkey")
+    keys = li.groupBy(F.col("l_partkey").alias("k")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    coin = (
+        F.conv(
+            F.substring(F.md5(F.col("k").cast("string")), 1, 12), 16, 10
+        ).cast("bigint")
+        % _JCE_MOD
+        == 0
+    )
+    nn = F.col("n") * F.col("n")
+    agg = keys.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum(nn).cast("bigint").alias("exact_join_size"),
+        F.count(F.when(coin, 1)).cast("bigint").alias("sampled_keys"),
+        (F.lit(_JCE_MOD) * F.sum(F.when(coin, nn)))
+        .cast("bigint")
+        .alias("estimate"),
+    )
+    return agg.select(
+        "n_keys",
+        "exact_join_size",
+        "sampled_keys",
+        "estimate",
+        dround(
+            F.abs(
+                F.col("estimate").cast("double") - F.col("exact_join_size")
+            )
+            / F.col("exact_join_size"),
+            6,
+        ).alias("rel_err"),
+    )
+
+
+# ------------------------------------- multimodal audio VAD energy
+@register(
+    "multimodal_audio_vad_energy",
+    oracle=f"""
+    WITH av_blob AS (
+        SELECT doc_id, source,
+               md5(CAST(doc_id AS VARCHAR) || ':0')
+               || md5(CAST(doc_id AS VARCHAR) || ':1')
+               || md5(CAST(doc_id AS VARCHAR) || ':2')
+               || md5(CAST(doc_id AS VARCHAR) || ':3') AS hx
+        FROM documents
+    ),
+    av_energy AS (
+        SELECT b.doc_id, b.source, w.w,
+               SUM((('0x' || substr(b.hx, CAST(32 * w.w + 2 * s.b + 1
+                                               AS BIGINT), 2))::BIGINT - 128)
+                   * (('0x' || substr(b.hx, CAST(32 * w.w + 2 * s.b + 1
+                                                 AS BIGINT), 2))::BIGINT
+                      - 128)) AS energy
+        FROM av_blob b
+        CROSS JOIN (SELECT UNNEST(range(0, 4)) AS w) w
+        CROSS JOIN (SELECT UNNEST(range(0, 16)) AS b) s
+        GROUP BY b.doc_id, b.source, w.w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_windows,
+           CAST(SUM(CASE WHEN energy > 90000 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_voiced,
+           {dround_sql(
+               "CAST(SUM(CASE WHEN energy > 90000 THEN 1 ELSE 0 END)"
+               " AS DOUBLE) / COUNT(*)", 6)} AS voiced_frac,
+           {dround_sql("CAST(SUM(energy) AS DOUBLE) / COUNT(*)", 2)}
+               AS avg_energy
+    FROM av_energy GROUP BY source
+    """,
+    description="Audio-modality plumbing: 64-byte PCM-like payloads "
+    "(deterministic md5 synthesis — no audio fixtures in the container) "
+    "flow through an Arrow-batched mapInPandas VAD that slices 16-byte "
+    "sample windows, computes numpy energy sum((b-128)^2), and flags "
+    "voiced windows; per-source rollup of window counts, voiced "
+    "fraction, mean energy. The Python path (functions/multimodal.py "
+    "vad_energy_windows) is the REAL batch shape a decode would use — "
+    "variable-cardinality fan-out, integer-exact features — and the "
+    "oracle recomputes the identical windows byte-by-byte in SQL, so "
+    "the Arrow boundary itself is what is being verified. Completes "
+    "the multimodal set: image features, video frames, tile manifest, "
+    "header parse, audio windows.",
+)
+def multimodal_audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.multimodal import (
+        vad_energy_windows,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    did = F.col("doc_id").cast("string")
+    blob = F.unhex(
+        F.concat(*[F.md5(F.concat(did, F.lit(f":{i}"))) for i in range(4)])
+    )
+    assets = docs.select(
+        F.col("doc_id").alias("asset_id"), "source", blob.alias("payload")
+    )
+    wins = vad_energy_windows(assets, window_bytes=16, threshold=90_000)
+    return wins.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_windows"),
+        F.sum("voiced").cast("bigint").alias("n_voiced"),
+        dround(
+            F.sum("voiced").cast("double") / F.count(F.lit(1)), 6
+        ).alias("voiced_frac"),
+        dround(F.sum("energy").cast("double") / F.count(F.lit(1)), 2).alias(
+            "avg_energy"
+        ),
+    )

@@ -325,7 +325,7 @@ def streaming_upsert_merge_zone(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _admission_oracle() -> str:
-    from healthcare_data_lakehouse_spark.queries.llm_ops import _probe_ctes
+    from healthcare_data_lakehouse_spark.queries.llm_dedup import _probe_ctes
 
     ctes = _probe_ctes(
         "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0",
