@@ -17,6 +17,7 @@ helpers remain importable from here.
 
 from healthcare_data_lakehouse_spark.queries.llm_shared import (  # noqa: F401
     _docs_with_dups,
+    _quality_vs_gopher,
 )
 from healthcare_data_lakehouse_spark.queries.llm_dedup import *  # noqa: F401,F403
 from healthcare_data_lakehouse_spark.queries.llm_dedup import (  # noqa: F401
@@ -24,6 +25,9 @@ from healthcare_data_lakehouse_spark.queries.llm_dedup import (  # noqa: F401
     _probe_ctes,
 )
 from healthcare_data_lakehouse_spark.queries.llm_text import *  # noqa: F401,F403
+from healthcare_data_lakehouse_spark.queries.llm_text import (  # noqa: F401
+    _BM25_PANEL,
+)
 from healthcare_data_lakehouse_spark.queries.llm_similarity import *  # noqa: F401,F403
 from healthcare_data_lakehouse_spark.queries.llm_pipeline import *  # noqa: F401,F403
 from healthcare_data_lakehouse_spark.queries.llm_graph_stats import *  # noqa: F401,F403

@@ -1354,7 +1354,7 @@ def test_script_mix_covers_corpus_and_classifies_consistently(spark):
             Row(doc_id=4, text="plain latin text", lang="en", source="s", n_chars=16),
         ]
     )
-    import healthcare_data_lakehouse_spark.queries.llm_ops as L
+    import healthcare_data_lakehouse_spark.queries.llm_text as L
     from healthcare_data_lakehouse_spark.tables import table as _table
     import unittest.mock as mock
 
@@ -1484,7 +1484,7 @@ def test_unigram_viterbi_invariants_and_pinned_case(spark):
 
     from pyspark.sql import Row
 
-    import healthcare_data_lakehouse_spark.queries.llm_ops as L
+    import healthcare_data_lakehouse_spark.queries.llm_text as L
 
     rows = L.text_unigram_viterbi_segment(spark, SF001).collect()
     assert rows and {r.lang for r in rows} == {"de", "en", "es", "fr", "zh"}
@@ -1517,7 +1517,7 @@ def test_unigram_em_usage_head_and_pinned_case(spark):
 
     from pyspark.sql import Row
 
-    import healthcare_data_lakehouse_spark.queries.llm_ops as L
+    import healthcare_data_lakehouse_spark.queries.llm_text as L
 
     rows = L.text_unigram_lm_em_round(spark, SF001).collect()
     assert 0 < len(rows) <= 20
@@ -2074,8 +2074,10 @@ def test_horvitz_thompson_identities(spark, sf_dir):
 
 def test_fleiss_kappa_matches_bruteforce(spark, sf_dir):
     from healthcare_data_lakehouse_spark.queries.llm_ops import (
-        _quality_vs_gopher,
         stats_fleiss_kappa_quality_raters,
+    )
+    from healthcare_data_lakehouse_spark.queries.llm_shared import (
+        _quality_vs_gopher,
     )
 
     r = stats_fleiss_kappa_quality_raters(spark, sf_dir).collect()[0]
@@ -2100,8 +2102,10 @@ def test_fleiss_kappa_matches_bruteforce(spark, sf_dir):
 
 def test_mcnemar_matches_kappa_cells(spark, sf_dir):
     from healthcare_data_lakehouse_spark.queries.llm_ops import (
-        _quality_vs_gopher,
         stats_mcnemar_quality_raters,
+    )
+    from healthcare_data_lakehouse_spark.queries.llm_shared import (
+        _quality_vs_gopher,
     )
 
     r = stats_mcnemar_quality_raters(spark, sf_dir).collect()[0]
@@ -2239,8 +2243,10 @@ def test_platt_scaling_matches_bruteforce_newton(spark, sf_dir):
     import math
 
     from healthcare_data_lakehouse_spark.queries.llm_ops import (
-        _quality_vs_gopher,
         stats_platt_scaling_newton,
+    )
+    from healthcare_data_lakehouse_spark.queries.llm_shared import (
+        _quality_vs_gopher,
     )
 
     r = stats_platt_scaling_newton(spark, sf_dir).collect()[0]

@@ -434,8 +434,10 @@ def test_bm25_matches_bruteforce(spark, docs):
     from pyspark.sql import Row as R
 
     from healthcare_data_lakehouse_spark.queries.llm_ops import (
-        _BM25_PANEL,
         text_bm25_topk,
+    )
+    from healthcare_data_lakehouse_spark.queries.llm_text import (
+        _BM25_PANEL,
     )
 
     frame = spark.createDataFrame(
