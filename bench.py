@@ -341,6 +341,10 @@ WRITE_HEADLINE = [
     "etl_quarantine_split",
     "streaming_left_outer_interval_join",
     "streaming_neardup_admission_gate",
+    # r9 (VERDICT r8 ask #7): both heaviest streaming families tracked —
+    # sliding-window top-k state and the quality-rule admission gate.
+    "streaming_sliding_topk_event_types",
+    "streaming_quality_admission_gate",
 ]
 
 

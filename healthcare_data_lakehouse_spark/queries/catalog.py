@@ -44,7 +44,12 @@ def register(
 # lineage_*/quality_*), the flagship, and historically fragile queries come
 # FIRST so any prefix sample of the catalog exercises the queries that
 # matter most for parity evidence. Everything else follows in registration
-# order.
+# order — which, since the round-8 module split, means load_all()'s import
+# order below (analytics_ext before analytics_olap, llm families
+# alphabetical), NOT the pre-split monolith order. Only the PRIORITY
+# prefix (50 entries, exactly the driver's sample window) is
+# position-stable across rounds; never compare tail positions against
+# pre-split rounds.
 PRIORITY = [
     "gold_revenue_by_mktsegment",
     # reference-parity surface (SURVEY.md §2): transforms + loads + ETL +
@@ -113,51 +118,46 @@ PRIORITY = [
     # similarity_lsh_multiprobe_top5, sketch_kmv_distinct_users, the
     # classifier-evaluation quartet) is hash-green in CORRECTNESS_r07 and
     # re-verified by every full compare.py sweep.
-    # -- (a) rewritten in round 8: shared _DupEvalBase pipeline
-    #    (selectivity/bcubed/ground-truth/sweep/band-planner), fused-init
-    #    connected components (duplicate_clusters, bcubed), group-grain
-    #    B-cubed fold, inclusion-exclusion simhash candidate counting
-    "dedup_duplicate_clusters",
-    "dedup_clusters_star",
-    "dedup_bcubed_cluster_eval",
-    "dedup_candidate_selectivity_compare",
-    "dedup_ground_truth_eval",
-    "dedup_threshold_sweep_pr",
-    "dedup_minhash_band_planner",
-    # -- (b) never-driver-sampled r7 late-stretch queries (22)
-    "load_cdf_replication_apply",
-    "multimodal_audio_vad_energy",
-    "events_retention_powerlaw_fit",
-    "text_vocab_jaccard_sources",
-    "events_seasonal_strength_daily",
-    "stats_fisher_combined_pvalue",
-    "stats_pacf_daily_volume",
-    "events_periodogram_daily",
-    "stats_kruskal_wallis_value_by_type",
-    "stats_cramers_v_lang_source",
-    "graph_hits_hubs_authorities",
-    "text_readability_flesch",
-    "stats_ljung_box_daily_volume",
-    "sample_horvitz_thompson_chars",
-    "sketch_ams_f2_user_moment",
-    "stats_fleiss_kappa_quality_raters",
-    "stats_nelson_aalen_cumhaz",
-    "events_cmh_purchase_by_variant_daystrata",
-    "stats_mcnemar_quality_raters",
-    "dedup_content_defined_chunks",
-    "events_markov_entropy_rate",
-    "text_burrows_delta_sources",
-    # Still never sampled after this round (next rotation pool):
-    # stats_hill_tail_index_orders, stats_breusch_pagan_price_quantity,
-    # stats_durbin_watson_daily_revenue, text_chao1_vocab_richness,
-    # stats_ks_exponential_interarrival, load_bloom_index_point_lookup,
-    # stats_gumbel_daily_max_value, stats_platt_scaling_newton,
-    # etl_length_of_stay_profile, stats_cooks_distance_price_quantity,
-    # events_longest_daily_streaks, stats_tost_equivalence_purchase_click,
-    # stats_bartlett_variance_homogeneity, orders_xyz_classification,
-    # events_cross_correlation_purchase_click,
-    # quality_semantic_type_inference, events_growth_accounting_weekly,
-    # stats_negbin_fit_user_counts, plus whatever round 8 adds.
+    # Round-9 rotation (VERDICT r8 ask #6). Everything rotated out (the r8
+    # window: the seven rewritten dedup-eval queries + the 22 r7
+    # late-stretch rotations) is hash-green in CORRECTNESS_r08 and
+    # re-verified by every full compare.py sweep (COMPARE_FULL_r08.txt).
+    # All 29 slots below are catalog queries that have NEVER appeared in
+    # any driver 50-slot window (checked against CORRECTNESS_r01..r08):
+    # -- the r8 "next rotation pool" (18)
+    "stats_hill_tail_index_orders",
+    "stats_breusch_pagan_price_quantity",
+    "stats_durbin_watson_daily_revenue",
+    "text_chao1_vocab_richness",
+    "stats_ks_exponential_interarrival",
+    "load_bloom_index_point_lookup",
+    "stats_gumbel_daily_max_value",
+    "stats_platt_scaling_newton",
+    "etl_length_of_stay_profile",
+    "stats_cooks_distance_price_quantity",
+    "events_longest_daily_streaks",
+    "stats_tost_equivalence_purchase_click",
+    "stats_bartlett_variance_homogeneity",
+    "orders_xyz_classification",
+    "events_cross_correlation_purchase_click",
+    "quality_semantic_type_inference",
+    "events_growth_accounting_weekly",
+    "stats_negbin_fit_user_counts",
+    # -- 11 more, chosen for family diversity so every major family has
+    #    at least one driver-evidenced representative (TPC-H, dedup, ANN,
+    #    text-ranking, pipeline, multimodal, SCD2, privacy, graph, sketch,
+    #    streaming)
+    "tpch_q8_market_share",
+    "dedup_semdedup_clusters",
+    "similarity_pq_adc_top5",
+    "text_bm25_topk",
+    "pipeline_sequence_packing",
+    "multimodal_binary_features",
+    "scd2_customer_dimension",
+    "privacy_dp_laplace_histogram",
+    "graph_adamic_adar_link_prediction",
+    "sketch_cms_heavy_hitters",
+    "streaming_sliding_topk_event_types",
 ]
 
 
