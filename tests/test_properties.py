@@ -138,11 +138,19 @@ def test_connected_components_both_algorithms_match_union_find(spark, edges):
     prop = sorted(
         (r.doc_id, r.cluster_id) for r in connected_components(df).collect()
     )
+    # threshold=0 forces the distributed label-propagation path, so both
+    # the driver union-find fast path (above, default threshold) and the
+    # 100 TB loop stay covered by the same generator
+    dist = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    )
     star = sorted(
         (r.doc_id, r.cluster_id)
         for r in connected_components_star(df).collect()
     )
     assert prop == want
+    assert dist == want
     assert star == want
 
 
