@@ -1615,58 +1615,50 @@ def _viterbi_tables(spark: SparkSession, sf_dir: str):
     return lwf, wf, sp
 
 
-def _viterbi_best(spark: SparkSession, wf: DataFrame, sp: DataFrame) -> DataFrame:
-    """DP rounds over positions: returns (w, i, np, sc, L) — the optimal
-    (piece count, score) per (word, prefix length) plus the chosen last-
-    piece length L as a deterministic backpointer. Lexicographic
-    (np asc, sc desc, L desc) via integer struct-min (negations), so the
-    argmin is exact in any engine. localCheckpoint per round keeps plan
-    depth constant — same discipline as the CC loops."""
-    K = _VIT_MAXLEN
-    best = wf.select(
-        "w",
-        F.lit(0).alias("i"),
-        F.lit(0).alias("np"),
-        F.lit(0).cast("bigint").alias("sc"),
-        F.lit(0).alias("L"),
-    ).localCheckpoint()
-    # One metadata-scale scalar (like the BPE loop's per-round top-1):
-    # rounds beyond the longest word are provable no-ops, so don't pay
-    # their checkpoint jobs. The cap K still bounds the plan statically.
-    maxlen = wf.agg(F.max(F.length("w"))).collect()[0][0] or 0
-    for i in range(1, min(K, maxlen) + 1):
-        ends = sp.filter(F.col("e") == i).alias("sp")
-        cand = ends.join(
-            best.alias("b"),
-            (F.col("sp.w") == F.col("b.w"))
-            & (F.col("b.i") == F.col("sp.s") - 1),
-        ).select(
-            F.col("sp.w").alias("w"),
-            (F.col("b.np") + 1).alias("np"),
-            (F.col("b.sc") + F.col("sp.pcount")).alias("sc"),
-            (F.col("sp.e") - F.col("sp.s") + 1).alias("L"),
+def _viterbi_best_arr(wf: DataFrame, sp: DataFrame) -> DataFrame:
+    """Per-word Viterbi DP folded into ONE whole-stage-codegen expression:
+    returns (w, ba) where ``ba[k]`` is the optimal struct
+    (np, nsc, nL) — piece count, NEGATED score, NEGATED last-piece
+    length — for the length-(k-1) prefix of ``w`` (``ba[1]`` is the empty
+    prefix). Lexicographic struct-min on integers keeps the argmin
+    engine-exact (np asc, sc desc, L desc), identical to the checkpointed
+    formulation this replaces.
+
+    The DP for a word never reads another word's state, so the former
+    12 localCheckpoint rounds (each a vocab-sized join + a fixed ~0.3 s
+    of job-scheduling overhead, paid even when the data is tiny) collapse
+    to one groupBy(w) shuffle + one ``F.aggregate`` over the word's own
+    span list (<= 4*len structs). At 100 TB the contract strengthens:
+    segmentation is one shuffle of the distinct-word table, with zero
+    iterative driver round-trips."""
+    spans_by_w = sp.groupBy("w").agg(
+        F.collect_list(F.struct("s", "e", "pcount")).alias("spans")
+    )
+    init = F.array(
+        F.struct(
+            F.lit(0).alias("np"),
+            F.lit(0).cast("bigint").alias("nsc"),
+            F.lit(0).alias("nL"),
         )
-        bi = (
-            cand.groupBy("w")
-            .agg(
-                F.min(
-                    F.struct(
-                        F.col("np"),
-                        (-F.col("sc")).alias("nsc"),
-                        (-F.col("L")).alias("nL"),
-                    )
-                ).alias("m")
-            )
-            .select(
-                "w",
-                F.lit(i).alias("i"),
-                F.col("m.np").alias("np"),
-                (-F.col("m.nsc")).alias("sc"),
-                (-F.col("m.nL")).alias("L"),
-            )
+    )
+
+    def dp_step(acc, i):
+        # candidates = spans ending at position i; best-of-prefix comes
+        # from acc[s] (1-based: acc[k] holds position k-1)
+        cands = F.transform(
+            F.filter(F.col("spans"), lambda s: s["e"] == i),
+            lambda s: F.struct(
+                (F.element_at(acc, s["s"])["np"] + 1).alias("np"),
+                (F.element_at(acc, s["s"])["nsc"] - s["pcount"]).alias(
+                    "nsc"
+                ),
+                (s["s"] - s["e"] - 1).alias("nL"),
+            ),
         )
-        best = best.unionAll(bi).localCheckpoint()
-    return best
+        return F.concat(acc, F.array(F.array_min(cands)))
+
+    ba = F.aggregate(F.sequence(F.lit(1), F.length("w")), init, dp_step)
+    return spans_by_w.select("w", ba.alias("ba"))
 
 
 
@@ -1682,9 +1674,11 @@ def _viterbi_best(spark: SparkSession, wf: DataFrame, sp: DataFrame) -> DataFram
     "can never diverge across engines by a ulp of ln; the DP shape is "
     "identical to unigram-LM Viterbi). The DP runs on the DISTINCT "
     "word-frequency table, never the corpus: one scan + groupBy builds "
-    "the word inventory, and each of the 12 position rounds is a "
-    "vocab-sized join — the same O(vocab)-per-round contract as the "
-    "BPE loop, so segmentation cost is independent of corpus size. "
+    "the word inventory, and the whole per-word DP folds into a single "
+    "whole-stage-codegen F.aggregate over the word's own span list — "
+    "one vocab shuffle total, zero iterative joins or checkpoints, so "
+    "segmentation cost is independent of corpus size AND of engine "
+    "round-trips. "
     "Words longer than 12 chars are excluded (cap stated, matched by "
     "the oracle; production raises the unroll depth). Reports "
     "per-language pieces/word and chars/piece — tie-invariant metrics "
@@ -1694,11 +1688,13 @@ def text_unigram_viterbi_segment(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     lwf, wf, sp = _viterbi_tables(spark, sf_dir)
-    best = _viterbi_best(spark, wf, sp)
-    npw = best.join(
-        wf.select("w", F.length("w").alias("wlen")),
+    best = _viterbi_best_arr(wf, sp)
+    # ba[len(w)+1] is the full word's optimum — no join/filter needed to
+    # pick the final DP row, it's an array lookup
+    npw = best.select(
         "w",
-    ).filter(F.col("i") == F.col("wlen")).select("w", "np")
+        F.element_at(F.col("ba"), F.length("w") + 1)["np"].alias("np"),
+    )
     out = (
         lwf.join(npw, "w")
         .groupBy("lang")
@@ -1835,39 +1831,51 @@ def _unigram_em_oracle() -> str:
     "pieces, highest score, longest last piece), then re-estimate piece "
     "usage — corpus-frequency-weighted counts over the chosen "
     "segmentations, exactly what SentencePiece feeds its next EM "
-    "iteration and prune step. The walk is <= 12 vocab-sized joins "
-    "(positions strictly decrease by the chosen piece length), so like "
-    "the E-step it never touches the corpus after the one word-count "
-    "scan. Returns the top-20 pieces by usage with share — the vocab "
-    "head the prune step would keep.",
+    "iteration and prune step. The walk folds into one whole-stage "
+    "expression over the per-word DP array (positions strictly decrease "
+    "by the chosen piece length, so length(w) unrolled steps suffice), "
+    "so like the E-step it never touches the corpus after the one "
+    "word-count scan and pays zero iterative joins. Returns the top-20 "
+    "pieces by usage with share — the vocab head the prune step would "
+    "keep.",
 )
 def text_unigram_lm_em_round(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     _lwf, wf, sp = _viterbi_tables(spark, sf_dir)
-    best = _viterbi_best(spark, wf, sp)
-    bp = best.filter(F.col("i") > 0).select("w", "i", "L").localCheckpoint()
-    walk = wf.select("w", F.length("w").alias("i"))
-    pieces = None
-    # positions strictly decrease by >= 1 per round, so maxlen rounds
-    # suffice — the same no-op-round trim as the DP loop (wf is cached,
-    # the scalar is a metadata-scale agg)
-    maxlen = wf.agg(F.max(F.length("w"))).collect()[0][0] or 0
-    for _t in range(min(_VIT_MAXLEN, maxlen)):
-        step = (
-            walk.filter(F.col("i") > 0)
-            .join(bp, ["w", "i"])
-            .select(
-                "w",
-                F.substring(
-                    F.col("w"), F.col("i") - F.col("L") + 1, F.col("L")
-                ).alias("piece"),
-                (F.col("i") - F.col("L")).alias("ni"),
-            )
-        )
-        emitted = step.select("w", "piece")
-        pieces = emitted if pieces is None else pieces.unionAll(emitted)
-        walk = step.select("w", F.col("ni").alias("i")).localCheckpoint()
+    best = _viterbi_best_arr(wf, sp)
+
+    # Backpointer walk folded into one expression (same collapse as the
+    # DP itself): positions strictly decrease by the chosen piece length,
+    # so length(w) steps always suffice; each step reads the chosen
+    # last-piece length from ba[i+1] and emits substr(w, i-L+1, L).
+    # Zero joins, zero checkpoints — the former 12 checkpointed walk
+    # rounds were pure scheduling overhead on a vocab-sized table.
+    def walk_step(acc, _):
+        i = acc["i"]
+        length = -F.element_at(F.col("ba"), i + 1)["nL"]
+        return F.when(
+            i > F.lit(0),
+            F.struct(
+                (i - length).alias("i"),
+                F.concat(
+                    acc["pieces"],
+                    F.array(F.substring(F.col("w"), i - length + 1, length)),
+                ).alias("pieces"),
+            ),
+        ).otherwise(acc)
+
+    walk_init = F.struct(
+        F.length("w").alias("i"),
+        F.array().cast("array<string>").alias("pieces"),
+    )
+    pieces_arr = F.aggregate(
+        F.sequence(F.lit(1), F.length("w")),
+        walk_init,
+        walk_step,
+        lambda acc: acc["pieces"],
+    )
+    pieces = best.select("w", F.explode(pieces_arr).alias("piece"))
     usage = (
         pieces.join(wf, "w")
         .groupBy("piece")
