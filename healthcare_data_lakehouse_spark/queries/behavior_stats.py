@@ -1354,21 +1354,33 @@ def stats_spearman_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ------------------------------------------------ randomization test
 _PERM_B = 64
-_PERM_H48 = (
-    "CAST(('0x' || substr(md5(CAST(o.event_id AS VARCHAR) || ':' || r.b),"
-    " 1, 12)) AS BIGINT) % 2"
+# One md5 per observation supplies ALL 64 relabelings: the first 16 hex
+# chars split into two 32-bit halves (c1 = bits 0..31, c2 = bits 32..63),
+# and permutation b reads bit b. md5 bits are independent, both engines
+# compute the identical hex, and the per-(row, b) work drops from a fresh
+# md5(concat) to one shift+mask — at 64 permutations that removes 63/64
+# of the hash cost from the blown-up side of the cross join.
+_PERM_C1 = "CAST(('0x' || substr(md5(CAST(o.event_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+_PERM_C2 = "CAST(('0x' || substr(md5(CAST(o.event_id AS VARCHAR)), 9, 8)) AS BIGINT)"
+_PERM_GRP = (
+    "CASE WHEN r.b < 32 THEN (o.c1 >> r.b) & 1"
+    " ELSE (o.c2 >> (r.b - 32)) & 1 END"
 )
 
 
 @register(
     "stats_permutation_test_purchase_click",
     oracle=f"""
-    WITH obs AS (
+    WITH obs0 AS (
         SELECT event_id,
                event_type,
                CAST(ROUND(CAST(value * 100 AS DECIMAL(38,8)), 0) AS BIGINT)
                    AS cents
         FROM events WHERE event_type IN ('purchase', 'click')
+    ),
+    obs AS (
+        SELECT event_type, cents, {_PERM_C1} AS c1, {_PERM_C2} AS c2
+        FROM obs0 o
     ),
     base AS (
         SELECT
@@ -1389,7 +1401,7 @@ _PERM_H48 = (
           CAST(SUM(CASE WHEN grp = 1 THEN cents END) AS BIGINT) AS sum_b,
           CAST(COUNT(CASE WHEN grp = 1 THEN 1 END) AS BIGINT) AS n_b
         FROM (
-            SELECT o.cents, r.b, {_PERM_H48} AS grp
+            SELECT o.cents, r.b, {_PERM_GRP} AS grp
             FROM obs o
             CROSS JOIN (SELECT UNNEST(range(0, {_PERM_B})) AS b) r
         )
@@ -1421,8 +1433,10 @@ _PERM_H48 = (
     """,
     description="Randomization (permutation) test for the purchase-vs-"
     "click mean-value difference: 64 deterministic md5-derived "
-    "relabelings of every observation (event_id:b salting — the same "
-    "portable coin every engine flips identically), two-sided statistic "
+    "relabelings of every observation (ONE md5 per row; permutation b "
+    "reads bit b of the 64-bit hash prefix — the same portable coins "
+    "every engine flips identically, at 1/64th the hash cost of "
+    "per-(row,b) salting), two-sided statistic "
     "|mean_A - mean_B|, p = (1 + #{b: stat_b >= stat_obs}) / (B+1). "
     "Values are quantized to exact integer CENTS before any aggregation, "
     "so every per-relabeling sum is an order-free BIGINT sum (immune to "
@@ -1436,12 +1450,15 @@ def stats_permutation_test_purchase_click(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     ev = table(spark, sf_dir, "events")
+    h = F.md5(F.col("event_id").cast("string"))
     obs = ev.filter(F.col("event_type").isin("purchase", "click")).select(
-        "event_id",
         "event_type",
         F.round((F.col("value") * 100).cast("decimal(38,8)"), 0)
         .cast("bigint")
         .alias("cents"),
+        # one md5 per row feeds all 64 relabelings (two 32-bit halves)
+        F.conv(F.substring(h, 1, 8), 16, 10).cast("bigint").alias("c1"),
+        F.conv(F.substring(h, 9, 8), 16, 10).cast("bigint").alias("c2"),
     ).persist()  # feeds the observed stats AND the 64-fold relabeling
     base = obs.agg(
         F.sum(F.when(F.col("event_type") == "purchase", F.col("cents")))
@@ -1458,23 +1475,9 @@ def stats_permutation_test_purchase_click(
         .alias("n_c"),
     )
     bb = spark.range(_PERM_B).select(F.col("id").alias("b"))
-    grp = (
-        F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        F.col("event_id").cast("string"),
-                        F.lit(":"),
-                        F.col("b").cast("string"),
-                    )
-                ),
-                1,
-                12,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
+    grp = F.expr(
+        "CASE WHEN b < 32 THEN shiftright(c1, CAST(b AS INT)) & 1 "
+        "ELSE shiftright(c2, CAST(b AS INT) - 32) & 1 END"
     )
     perms = (
         obs.crossJoin(F.broadcast(bb))
