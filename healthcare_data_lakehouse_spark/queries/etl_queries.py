@@ -13,7 +13,7 @@ mirrors Spark's ``try_to_timestamp`` chain exactly (both NULL on mismatch).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_spark import transforms as T
@@ -1904,16 +1904,20 @@ def etl_length_of_stay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     stays = std.filter(
         adm.isNotNull() & dis.isNotNull() & (dis >= adm)
     ).select(F.datediff(dis, adm).cast("bigint").alias("los_days"))
-    tot = stays.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    return (
-        stays.groupBy("los_days")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_stays"))
-        .crossJoin(F.broadcast(tot))
-        .select(
-            "los_days",
-            "n_stays",
-            dround(F.col("n_stays").cast("double") / F.col("n"), 6).alias(
-                "share"
-            ),
-        )
+    # total = sum of the group counts, taken as a window over the
+    # (<= 10-row) histogram — a separate stays.agg() branch would
+    # recompute the whole parse pipeline (the total sits BEFORE the
+    # groupBy exchange, so AQE's ReusedExchange can't dedupe it)
+    grouped = stays.groupBy("los_days").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_stays")
+    )
+    w = Window.partitionBy()
+    return grouped.select(
+        "los_days",
+        "n_stays",
+        dround(
+            F.col("n_stays").cast("double")
+            / F.sum("n_stays").over(w).cast("double"),
+            6,
+        ).alias("share"),
     )
