@@ -2718,3 +2718,142 @@ def text_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("vocab_containment"),
         )
     )
+
+
+# ------------------------------- Kneser-Ney interpolated bigram LM
+@register(
+    "text_kneser_ney_bigram_probs",
+    oracle=f"""
+    WITH kn_tok AS (
+        SELECT string_split(text, ' ') AS tl FROM documents
+    ),
+    kn_bi AS (
+        SELECT tl[i] AS w1, tl[i + 1] AS w2
+        FROM kn_tok, UNNEST(range(1, len(tl))) AS u(i)
+        WHERE len(tl) >= 2
+    ),
+    kn_counted AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c12
+        FROM kn_bi GROUP BY w1, w2
+    ),
+    kn_ctx AS (
+        SELECT w1, CAST(SUM(c12) AS BIGINT) AS c1,
+               CAST(COUNT(*) AS BIGINT) AS n1p_fwd
+        FROM kn_counted GROUP BY w1
+    ),
+    kn_cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p_bwd
+        FROM kn_counted GROUP BY w2
+    ),
+    kn_n AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_types FROM kn_counted
+    ),
+    kn_top AS (
+        SELECT w1, w2, c12 FROM (
+            SELECT w1, w2, c12,
+                   ROW_NUMBER() OVER (
+                       ORDER BY c12 DESC, w1, w2
+                   ) AS rn
+            FROM kn_counted
+        ) WHERE rn <= 20
+    )
+    SELECT t.w1, t.w2, t.c12,
+           x.c1 AS c_context,
+           x.n1p_fwd, b.n1p_bwd,
+           {dround_sql("CAST(t.c12 AS DOUBLE) / x.c1", 6)} AS p_mle,
+           {dround_sql("CAST(b.n1p_bwd AS DOUBLE) / n.n_types", 6)}
+               AS p_continuation,
+           {dround_sql(
+               "(CAST(t.c12 AS DOUBLE) - 0.75) / x.c1"
+               " + (0.75 * x.n1p_fwd / x.c1)"
+               "   * (CAST(b.n1p_bwd AS DOUBLE) / n.n_types)", 6)}
+               AS p_kneser_ney
+    FROM kn_top t
+    JOIN kn_ctx x ON x.w1 = t.w1
+    JOIN kn_cont b ON b.w2 = t.w2
+    CROSS JOIN kn_n n
+    ORDER BY t.c12 DESC, t.w1, t.w2
+    """,
+    description="Interpolated Kneser-Ney bigram probabilities (Kneser & "
+    "Ney '95, the standard n-gram smoothing before neural LMs and still "
+    "the KenLM default used to perplexity-filter web corpora): for the "
+    "top-20 bigrams, the discounted MLE term max(c12-D,0)/c(w1) "
+    "interpolates with the CONTINUATION probability — how many distinct "
+    "contexts w2 follows, normalized by bigram-type count — which is "
+    "what demotes 'Francisco' (frequent but only after 'San'). D=0.75, "
+    "the textbook discount. Every statistic derives from ONE bigram-type "
+    "count table: context totals and fan-out via groupBy(w1), "
+    "continuation fan-in via groupBy(w2), type total as a broadcast "
+    "scalar — three reuses of one shuffle, no corpus rescan; the "
+    "probability itself is one fixed scalar expression over BIGINT "
+    "counts, bit-stable across engines. Complements "
+    "text_good_turing_trigrams (count-of-count mass re-estimation) with "
+    "the interpolated-backoff family actually shipped in KenLM.",
+)
+def text_kneser_ney_bigram_probs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    # split once per row; transform indexes the materialized array (the
+    # same array-side bigram build as text_bigram_topk — no positional
+    # self-join of the exploded token table)
+    bi = (
+        docs.select(F.split("text", " ").alias("tl"))
+        .filter(F.size("tl") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(tl) - 1), "
+                    "i -> struct(element_at(tl, i) AS w1, "
+                    "element_at(tl, i + 1) AS w2))"
+                )
+            ).alias("b")
+        )
+        .select("b.w1", "b.w2")
+    )
+    counted = bi.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c12")
+    ).persist()  # one bigram-type table feeds all four statistics
+    ctx = counted.groupBy("w1").agg(
+        F.sum("c12").cast("bigint").alias("c_context"),
+        F.count(F.lit(1)).cast("bigint").alias("n1p_fwd"),
+    )
+    cont = counted.groupBy("w2").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n1p_bwd")
+    )
+    n_types = counted.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_types")
+    )
+    w = Window.orderBy(F.col("c12").desc(), "w1", "w2")
+    top = (
+        counted.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .drop("rn")
+    )
+    d = F.lit(0.75)
+    return (
+        top.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(n_types))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c_context",
+            "n1p_fwd",
+            "n1p_bwd",
+            dround(
+                F.col("c12").cast("double") / F.col("c_context"), 6
+            ).alias("p_mle"),
+            dround(
+                F.col("n1p_bwd").cast("double") / F.col("n_types"), 6
+            ).alias("p_continuation"),
+            dround(
+                (F.col("c12").cast("double") - d) / F.col("c_context")
+                + (d * F.col("n1p_fwd") / F.col("c_context"))
+                * (F.col("n1p_bwd").cast("double") / F.col("n_types")),
+                6,
+            ).alias("p_kneser_ney"),
+        )
+        .orderBy(F.col("c12").desc(), "w1", "w2")
+    )

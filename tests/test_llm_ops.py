@@ -2311,3 +2311,68 @@ def test_vocab_jaccard_matches_bruteforce(spark, sf_dir):
                 < 1e-5
             )
             assert r.vocab_jaccard <= r.vocab_containment + 1e-9
+
+
+def test_kneser_ney_bigram_pinned_and_bruteforce(spark):
+    """Pinned micro-corpus: 'san francisco' is the most frequent bigram
+    but 'francisco' has fan-in 1 (only ever follows 'san'), so its
+    continuation probability is LOW relative to its raw frequency — the
+    canonical KN demotion. Every reported probability is re-derived by
+    brute force from the same corpus."""
+    from collections import Counter
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import healthcare_data_lakehouse_spark.queries.llm_text as L
+
+    texts = [
+        "san francisco is big",
+        "san francisco is old",
+        "new york is big",
+        "america is very big",
+    ]
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=i, text=t, lang="en", source="s", n_chars=len(t))
+            for i, t in enumerate(texts)
+        ]
+    )
+    with mock.patch.object(L, "table", lambda *_a, **_k: probe):
+        rows = L.text_kneser_ney_bigram_probs(spark, "unused").collect()
+
+    bigrams = Counter()
+    for t in texts:
+        ws = t.split(" ")
+        for a, b in zip(ws, ws[1:]):
+            bigrams[(a, b)] += 1
+    ctx = Counter()
+    fan_fwd = Counter()
+    fan_bwd = Counter()
+    for (a, b), c in bigrams.items():
+        ctx[a] += c
+        fan_fwd[a] += 1
+        fan_bwd[b] += 1
+    n_types = len(bigrams)
+    D = 0.75
+
+    assert rows, "no output"
+    assert len(rows) == min(20, n_types)
+    got = {(r.w1, r.w2): r for r in rows}
+    for (a, b), r in got.items():
+        c12 = bigrams[(a, b)]
+        assert r.c12 == c12
+        assert r.c_context == ctx[a]
+        assert r.n1p_fwd == fan_fwd[a]
+        assert r.n1p_bwd == fan_bwd[b]
+        p_cont = fan_bwd[b] / n_types
+        p_kn = (c12 - D) / ctx[a] + (D * fan_fwd[a] / ctx[a]) * p_cont
+        assert abs(r.p_mle - c12 / ctx[a]) < 1e-6
+        assert abs(r.p_continuation - p_cont) < 1e-6
+        assert abs(r.p_kneser_ney - p_kn) < 1e-6
+    # the KN demotion itself: 'francisco' follows only 'san', so its
+    # continuation probability is below that of 'is' (three contexts)
+    assert got[("san", "francisco")].p_continuation < got[("is", "big")].p_continuation
+    # and despite 'san francisco' outnumbering 'is big' in raw counts,
+    # interpolated KN ranks the versatile continuation higher
+    assert got[("san", "francisco")].c12 >= got[("new", "york")].c12
