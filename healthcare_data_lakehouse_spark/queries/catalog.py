@@ -142,7 +142,9 @@ PRIORITY = [
     "events_cross_correlation_purchase_click",
     "quality_semantic_type_inference",
     "events_growth_accounting_weekly",
-    "stats_negbin_fit_user_counts",
+    # new in round 9 (never sampled by definition); stats_negbin_fit_
+    # user_counts returns to the rotation pool for round 10
+    "text_kneser_ney_bigram_probs",
     # -- 11 more, chosen for family diversity so every major family has
     #    at least one driver-evidenced representative (TPC-H, dedup, ANN,
     #    text-ranking, pipeline, multimodal, SCD2, privacy, graph, sketch,
