@@ -204,6 +204,22 @@ def test_connected_components_transitive_closure(spark):
     assert out == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5}  # chain 1-2-3 merges
 
 
+def test_connected_components_selfloop_and_type_parity(spark):
+    """Both the driver-union-find fast path and the distributed loop must
+    (a) keep a self-loop-only node labeled as its own singleton and
+    (b) return cluster_id with the SAME dtype as the input ids."""
+    pairs = spark.createDataFrame(
+        [(7, 7), (2, 3)], "id_a int, id_b int"
+    )
+    fast = D.connected_components(pairs)
+    dist = D.connected_components(pairs, small_graph_threshold=0)
+    want = {7: 7, 2: 2, 3: 2}
+    assert {r.doc_id: r.cluster_id for r in fast.collect()} == want
+    assert {r.doc_id: r.cluster_id for r in dist.collect()} == want
+    assert fast.schema["cluster_id"].dataType == dist.schema["cluster_id"].dataType
+    assert fast.schema["doc_id"].dataType.simpleString() == "int"
+
+
 def test_star_components_unconverged_chain_regression(spark):
     """Round-5 regression: a 30-node chain with max_iter=1 exhausts the
     star budget, forcing the pointer-jumping fallback. The bug was (a) the
@@ -2376,3 +2392,28 @@ def test_kneser_ney_bigram_pinned_and_bruteforce(spark):
     # and despite 'san francisco' outnumbering 'is big' in raw counts,
     # interpolated KN ranks the versatile continuation higher
     assert got[("san", "francisco")].c12 >= got[("new", "york")].c12
+
+
+def test_viterbi_length_cap_boundary(spark):
+    """A 12-char word drives the per-word DP through all 12 positions
+    (the stated cap); a 13-char word is excluded from the inventory
+    exactly as the oracle excludes it. 12 distinct chars with a 4-char
+    piece cap segment into ceil(12/4) = 3 pieces."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import healthcare_data_lakehouse_spark.queries.llm_text as L
+
+    probe = spark.createDataFrame(
+        [Row(doc_id=1, text="abcdefghijkl abcdefghijklm xy",
+             lang="xx", source="s", n_chars=29)]
+    )
+    with mock.patch.object(L, "table", lambda *_a, **_k: probe):
+        rows = L.text_unigram_viterbi_segment(spark, "unused").collect()
+    r = {x.lang: x for x in rows}["xx"]
+    # 13-char word excluded -> 2 words; 12-char word = 3 pieces, 'xy' = 1
+    assert r.n_words == 2
+    assert r.total_pieces == 4
+    assert abs(r.pieces_per_word - 2.0) < 1e-9
+    assert abs(r.chars_per_piece - 3.5) < 1e-9
