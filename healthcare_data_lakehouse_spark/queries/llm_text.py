@@ -2764,7 +2764,7 @@ def text_vocab_jaccard_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
            {dround_sql("CAST(b.n1p_bwd AS DOUBLE) / n.n_types", 6)}
                AS p_continuation,
            {dround_sql(
-               "(CAST(t.c12 AS DOUBLE) - 0.75) / x.c1"
+               "GREATEST(CAST(t.c12 AS DOUBLE) - 0.75, 0) / x.c1"
                " + (0.75 * x.n1p_fwd / x.c1)"
                "   * (CAST(b.n1p_bwd AS DOUBLE) / n.n_types)", 6)}
                AS p_kneser_ney
@@ -2824,12 +2824,12 @@ def text_kneser_ney_bigram_probs(
     n_types = counted.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_types")
     )
-    w = Window.orderBy(F.col("c12").desc(), "w1", "w2")
-    top = (
-        counted.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 20)
-        .drop("rn")
-    )
+    # global top-20: the tiebreak (c12 desc, w1, w2) is total, so
+    # orderBy().limit() is output-identical to a row_number window and
+    # plans as distributed TakeOrderedAndProject (per-partition top-k +
+    # driver merge) — no single-task funnel of the full bigram-type table
+    # (ADVICE r9; same pattern as text_bm25_topk)
+    top = counted.orderBy(F.col("c12").desc(), "w1", "w2").limit(20)
     d = F.lit(0.75)
     return (
         top.join(ctx, "w1")
@@ -2849,7 +2849,14 @@ def text_kneser_ney_bigram_probs(
                 F.col("n1p_bwd").cast("double") / F.col("n_types"), 6
             ).alias("p_continuation"),
             dround(
-                (F.col("c12").cast("double") - d) / F.col("c_context")
+                # max(c12 - D, 0): the clamp never binds for observed
+                # bigrams (c12 >= 1 > D=0.75) but is part of the stated
+                # KN formula and keeps the term non-negative if D is
+                # ever raised or unseen bigrams scored (ADVICE r9)
+                F.greatest(
+                    F.col("c12").cast("double") - d, F.lit(0.0)
+                )
+                / F.col("c_context")
                 + (d * F.col("n1p_fwd") / F.col("c_context"))
                 * (F.col("n1p_bwd").cast("double") / F.col("n_types")),
                 6,

@@ -154,6 +154,28 @@ def test_connected_components_both_algorithms_match_union_find(spark, edges):
     assert star == want
 
 
+def test_connected_components_null_ids_same_on_both_paths(spark):
+    """NULL-id pairs are dropped up front (ADVICE r9): the driver
+    union-find fast path must not TypeError on `None < int`, and both
+    paths must return the identical edge-set-derived labeling."""
+    from healthcare_data_lakehouse_spark.functions.dedup import (
+        connected_components,
+    )
+
+    rows = [(1, 2), (2, 3), (None, 4), (5, None), (None, None), (7, 8)]
+    df = spark.createDataFrame(rows, "id_a long, id_b long")
+    want = sorted(_union_find_components([(1, 2), (2, 3), (7, 8)]).items())
+    fast = sorted(
+        (r.doc_id, r.cluster_id) for r in connected_components(df).collect()
+    )
+    dist = sorted(
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(df, small_graph_threshold=0).collect()
+    )
+    assert fast == want
+    assert dist == want
+
+
 @given(
     rows=st.lists(
         st.tuples(
