@@ -2395,25 +2395,28 @@ def test_kneser_ney_bigram_pinned_and_bruteforce(spark):
 
 
 def test_viterbi_length_cap_boundary(spark):
-    """A 12-char word drives the per-word DP through all 12 positions
-    (the stated cap); a 13-char word is excluded from the inventory
-    exactly as the oracle excludes it. 12 distinct chars with a 4-char
-    piece cap segment into ceil(12/4) = 3 pieces."""
+    """A 24-char word drives the per-word DP through all 24 positions
+    (the stated cap, raised from 12 in r10); a 25-char word is excluded
+    from the inventory exactly as the oracle excludes it. 24 distinct
+    chars with a 4-char piece cap segment into ceil(24/4) = 6 pieces."""
     from unittest import mock
 
     from pyspark.sql import Row
 
     import healthcare_data_lakehouse_spark.queries.llm_text as L
 
+    w24 = "abcdefghijklmnopqrstuvwx"
+    w25 = w24 + "y"
     probe = spark.createDataFrame(
-        [Row(doc_id=1, text="abcdefghijkl abcdefghijklm xy",
-             lang="xx", source="s", n_chars=29)]
+        [Row(doc_id=1, text=f"{w24} {w25} xy",
+             lang="xx", source="s", n_chars=52)]
     )
     with mock.patch.object(L, "table", lambda *_a, **_k: probe):
         rows = L.text_unigram_viterbi_segment(spark, "unused").collect()
     r = {x.lang: x for x in rows}["xx"]
-    # 13-char word excluded -> 2 words; 12-char word = 3 pieces, 'xy' = 1
+    # 25-char word excluded -> 2 words; 24-char word = 6 pieces, 'xy' = 1
     assert r.n_words == 2
-    assert r.total_pieces == 4
-    assert abs(r.pieces_per_word - 2.0) < 1e-9
-    assert abs(r.chars_per_piece - 3.5) < 1e-9
+    assert r.total_pieces == 7
+    assert abs(r.pieces_per_word - 3.5) < 1e-9
+    # chars_per_piece is dround(6)-ed in the query output
+    assert abs(r.chars_per_piece - (26 / 7)) < 1e-6
