@@ -118,48 +118,44 @@ PRIORITY = [
     # similarity_lsh_multiprobe_top5, sketch_kmv_distinct_users, the
     # classifier-evaluation quartet) is hash-green in CORRECTNESS_r07 and
     # re-verified by every full compare.py sweep.
-    # Round-9 rotation (VERDICT r8 ask #6). Everything rotated out (the r8
-    # window: the seven rewritten dedup-eval queries + the 22 r7
-    # late-stretch rotations) is hash-green in CORRECTNESS_r08 and
-    # re-verified by every full compare.py sweep (COMPARE_FULL_r08.txt).
-    # All 29 slots below are catalog queries that have NEVER appeared in
-    # any driver 50-slot window (checked against CORRECTNESS_r01..r08):
-    # -- the r8 "next rotation pool" (18)
-    "stats_hill_tail_index_orders",
-    "stats_breusch_pagan_price_quantity",
-    "stats_durbin_watson_daily_revenue",
-    "text_chao1_vocab_richness",
-    "stats_ks_exponential_interarrival",
-    "load_bloom_index_point_lookup",
-    "stats_gumbel_daily_max_value",
-    "stats_platt_scaling_newton",
-    "etl_length_of_stay_profile",
-    "stats_cooks_distance_price_quantity",
-    "events_longest_daily_streaks",
-    "stats_tost_equivalence_purchase_click",
-    "stats_bartlett_variance_homogeneity",
-    "orders_xyz_classification",
-    "events_cross_correlation_purchase_click",
-    "quality_semantic_type_inference",
-    "events_growth_accounting_weekly",
-    # new in round 9 (never sampled by definition); stats_negbin_fit_
-    # user_counts returns to the rotation pool for round 10
-    "text_kneser_ney_bigram_probs",
-    # -- 11 more, chosen for family diversity so every major family has
-    #    at least one driver-evidenced representative (TPC-H, dedup, ANN,
-    #    text-ranking, pipeline, multimodal, SCD2, privacy, graph, sketch,
-    #    streaming)
-    "tpch_q8_market_share",
-    "dedup_semdedup_clusters",
-    "similarity_pq_adc_top5",
-    "text_bm25_topk",
-    "pipeline_sequence_packing",
-    "multimodal_binary_features",
-    "scd2_customer_dimension",
-    "privacy_dp_laplace_histogram",
-    "graph_adamic_adar_link_prediction",
-    "sketch_cms_heavy_hitters",
-    "streaming_sliding_topk_event_types",
+    # Round-10 rotation (VERDICT r9 ask #2). Everything rotated out (the
+    # r9 window: the 29 first-time names in CORRECTNESS_r09) is hash-green
+    # there and re-verified by every full compare.py sweep
+    # (COMPARE_FULL_r09.txt). All 29 slots below are first-time names:
+    # 28 from the 190-query never-sampled tail (checked against
+    # CORRECTNESS_r01..r09) + the new-in-r10 span-merge query, chosen for
+    # family diversity (TPC-H, OLAP windows/grouping-sets, dedup, ANN,
+    # text, pipeline, sampling, graph, sketch, events, stats, quality,
+    # privacy, multimodal, streaming).
+    "tpch_q12_lateness_priority",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q22_dormant_high_balance",
+    "window_customer_value_deciles",
+    "groupingsets_lineitem_flag_status",
+    "unpivot_lineitem_metrics",
+    "dedup_prefix_filter_jaccard",
+    "dedup_transitive_closure_sql",
+    "dedup_span_duplication",
+    "dedup_span_merge_intervals",
+    "similarity_recall_ivf_at5",
+    "similarity_minhash_jaccard_error",
+    "text_good_turing_trigrams",
+    "text_perplexity_buckets_ccnet",
+    "text_gopher_quality_filter",
+    "text_bigram_pmi_topk",
+    "pipeline_rag_chunks",
+    "pipeline_shard_assignment_rendezvous",
+    "sample_dsir_importance",
+    "sample_unimax_language_budget",
+    "graph_kcore_supplier_coorder",
+    "graph_triangle_count_neardup",
+    "sketch_hll_mergeable_daily_rollup",
+    "sketch_bloom_filter_fpr",
+    "streaming_stateful_user_totals",
+    "stats_ridge_regression_normal_eq",
+    "quality_fd_discovery",
+    "privacy_forget_user_erasure",
+    "multimodal_tile_manifest",
 ]
 
 

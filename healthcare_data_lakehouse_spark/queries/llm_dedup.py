@@ -548,6 +548,162 @@ def dedup_span_duplication(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------- span merging (ExactSubstr)
+@register(
+    "dedup_span_merge_intervals",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=15)
+    + """,
+    toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM docs),
+    spans AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substr(md5(array_to_string(tl[i:i+7], chr(31))), 1, 12)) AS BIGINT) AS h
+        FROM toks, UNNEST(range(1, len(tl) - 7 + 1)) AS u(i)
+        WHERE len(tl) >= 8
+    ),
+    duph AS (SELECT h FROM spans GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2),
+    ds AS (
+        SELECT s.doc_id, s.i AS st, s.i + 7 AS en
+        FROM spans s JOIN duph ON duph.h = s.h
+    ),
+    brk AS (
+        SELECT doc_id, st, en,
+               CASE WHEN st > COALESCE(MAX(en) OVER (
+                        PARTITION BY doc_id ORDER BY st
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1000000000) + 1 THEN 1 ELSE 0 END AS new_isl
+        FROM ds
+    ),
+    gid AS (
+        SELECT doc_id, st, en,
+               SUM(new_isl) OVER (
+                   PARTITION BY doc_id ORDER BY st
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island
+        FROM brk
+    ),
+    islands AS (
+        SELECT doc_id, island, MIN(st) AS ist, MAX(en) AS ien,
+               COUNT(*) AS n_spans
+        FROM gid GROUP BY doc_id, island
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_islands,
+               CAST(SUM(n_spans) AS BIGINT) AS n_dup_spans,
+               CAST(SUM(ien - ist + 1) AS BIGINT) AS dup_tokens
+        FROM islands GROUP BY doc_id
+    )
+    SELECT p.doc_id,
+           CAST(len(t.tl) AS BIGINT) AS n_tokens,
+           p.n_dup_spans, p.n_islands, p.dup_tokens,
+           ROUND(CAST(p.dup_tokens AS DOUBLE) / len(t.tl), 6)
+               AS dup_token_ratio
+    FROM per_doc p JOIN toks t USING (doc_id)
+    ORDER BY p.doc_id
+    """,
+    description="Span MERGING — the second half of the ExactSubstr dedup "
+    "of 'Deduplicating Training Data Makes Language Models Better' (Lee "
+    "et al. 2021, section 4.1): dedup_span_duplication only counts "
+    "duplicated positional 8-gram spans, but a duplicated RUN of k "
+    "tokens appears as k-7 overlapping spans — deleting per span would "
+    "over-count and fragment. This pass coalesces each doc's duplicated "
+    "span set into MAXIMAL intervals (gaps-and-islands: an island breaks "
+    "where a span starts past the running max end + 1, i.e. overlapping "
+    "OR token-adjacent spans merge), then reports per affected doc the "
+    "island count, merged duplicated-token mass, and removable fraction "
+    "— exactly the numbers a trainer needs to budget the cut. Scale "
+    "shape: the span-hash groupBy and the semi-join back are the same "
+    "two shuffles as dedup_span_duplication (6-byte hashes, map-side "
+    "combined); the merge itself is ONE window partitioned BY DOC "
+    "(never global), so island assembly parallelizes per doc and the "
+    "output is the affected-doc exception list, not the corpus.",
+)
+def dedup_span_merge_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _docs_with_dups(spark, sf_dir, 15)
+    toks = corpus.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select("doc_id", F.split("text", " ", -1).alias("tl")).persist()
+    spans = toks.filter(F.size("tl") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tl) - 7), "
+                "i -> struct(i AS i, concat_ws(chr(31), slice(tl, i, 8)) "
+                "AS span))"
+            )
+        ).alias("sp"),
+    ).select(
+        "doc_id",
+        F.col("sp.i").alias("i"),
+        D.token_hash48(F.col("sp.span")).alias("h"),
+    )
+    duph = (
+        spans.groupBy("h")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("h")
+    )
+    ds = spans.join(duph, "h", "left_semi").select(
+        "doc_id",
+        F.col("i").alias("st"),
+        (F.col("i") + F.lit(7)).alias("en"),
+    )
+    # gaps-and-islands, one window PER DOC: island breaks where this
+    # span starts beyond the running max end + 1 (merge overlapping or
+    # token-adjacent duplicated spans into one maximal interval)
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    gid = ds.withColumn(
+        "new_isl",
+        F.when(
+            F.col("st")
+            > F.coalesce(
+                F.max("en").over(w_prev), F.lit(-1_000_000_000)
+            )
+            + 1,
+            1,
+        ).otherwise(0),
+    ).withColumn("island", F.sum("new_isl").over(w_run))
+    islands = gid.groupBy("doc_id", "island").agg(
+        F.min("st").alias("ist"),
+        F.max("en").alias("ien"),
+        F.count(F.lit(1)).alias("n_spans"),
+    )
+    per_doc = islands.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_islands"),
+        F.sum("n_spans").cast("bigint").alias("n_dup_spans"),
+        F.sum(F.col("ien") - F.col("ist") + 1)
+        .cast("bigint")
+        .alias("dup_tokens"),
+    )
+    n_tok = toks.select(
+        "doc_id", F.size("tl").cast("bigint").alias("n_tokens")
+    )
+    return (
+        per_doc.join(n_tok, "doc_id")
+        .select(
+            "doc_id",
+            "n_tokens",
+            "n_dup_spans",
+            "n_islands",
+            "dup_tokens",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("n_tokens"), 6
+            ).alias("dup_token_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 # --------------------------------------- canonical survivor selection
 @register(
     "dedup_canonical_selection",

@@ -2329,6 +2329,45 @@ def test_vocab_jaccard_matches_bruteforce(spark, sf_dir):
             assert r.vocab_jaccard <= r.vocab_containment + 1e-9
 
 
+def test_span_merge_intervals_pinned(spark):
+    """Pinned micro-corpus for the ExactSubstr merge pass: two docs share
+    a 10-token run (3 overlapping duplicated 8-gram spans -> ONE merged
+    island of 10 tokens) and a separate 8-token run (1 span -> its own
+    island), separated by per-doc-unique filler so no cross-boundary
+    8-gram duplicates."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import healthcare_data_lakehouse_spark.queries.llm_dedup as LD
+
+    s1 = "a b c d e f g h i j"          # 10 shared tokens
+    s2 = "p q r s t u v w"              # 8 shared tokens
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=f"{s1} x1 x2 x3 {s2}"),          # 21 tokens
+            Row(doc_id=2, text=f"y1 y2 {s1} y3 y4 y5 y6 {s2}"),  # 24 tokens
+        ]
+    )
+    with mock.patch.object(LD, "_docs_with_dups", lambda *_a, **_k: probe):
+        rows = {
+            r.doc_id: r
+            for r in LD.dedup_span_merge_intervals(spark, "unused").collect()
+        }
+    assert set(rows) == {1, 2}
+    r1, r2 = rows[1], rows[2]
+    # doc1: S1 spans start 1,2,3 -> island [1,10]; S2 span at 14 -> [14,21]
+    assert (r1.n_tokens, r1.n_dup_spans, r1.n_islands, r1.dup_tokens) == (
+        21, 4, 2, 18,
+    )
+    assert abs(r1.dup_token_ratio - 18 / 21) < 1e-6
+    # doc2: S1 spans start 3,4,5 -> island [3,12]; S2 span at 17 -> [17,24]
+    assert (r2.n_tokens, r2.n_dup_spans, r2.n_islands, r2.dup_tokens) == (
+        24, 4, 2, 18,
+    )
+    assert abs(r2.dup_token_ratio - 0.75) < 1e-6
+
+
 def test_kneser_ney_bigram_pinned_and_bruteforce(spark):
     """Pinned micro-corpus: 'san francisco' is the most frequent bigram
     but 'francisco' has fan-in 1 (only ever follows 'san'), so its
