@@ -1,0 +1,55 @@
+"""Bench coverage is a closed partition of the catalog (VERDICT r9 #1).
+
+Every catalog query must be in exactly one of:
+  - the derived read-only headline set (timed),
+  - WRITE_HEADLINE (timed separately), or
+  - EXCLUDED_WITH_REASON (untimed, reason required).
+A new query therefore lands in the bench by default; excluding it takes
+an explicit reason, and stale names in either curated set fail here.
+No Spark session needed — this is pure set algebra over the registry.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import bench  # noqa: E402
+from healthcare_data_lakehouse_spark.queries.catalog import load_all  # noqa: E402
+
+
+def _catalog_names() -> list[str]:
+    return list(load_all())
+
+
+def test_catalog_is_partitioned_across_bench_sets():
+    names = set(_catalog_names())
+    write = set(bench.WRITE_HEADLINE)
+    excluded = set(bench.EXCLUDED_WITH_REASON)
+    headline = set(bench.headline_names(_catalog_names()))
+
+    # no stale curated names
+    assert write <= names, f"stale WRITE_HEADLINE: {sorted(write - names)}"
+    assert excluded <= names, (
+        f"stale EXCLUDED_WITH_REASON: {sorted(excluded - names)}"
+    )
+    # curated sets are disjoint
+    assert not (write & excluded), sorted(write & excluded)
+    # the three sets cover the catalog exactly once
+    assert headline | write | excluded == names
+    assert not (headline & write)
+    assert not (headline & excluded)
+
+
+def test_every_exclusion_has_a_reason():
+    for name, reason in bench.EXCLUDED_WITH_REASON.items():
+        assert isinstance(reason, str) and reason.strip(), name
+
+
+def test_sentinels_are_timed_headline_queries():
+    headline = set(bench.headline_names(_catalog_names()))
+    for name, ref in bench.SENTINEL_REF.items():
+        assert name in headline, f"sentinel {name} not in headline set"
+        assert ref is None or ref > 0
