@@ -138,7 +138,7 @@ PRIORITY = [
     "dedup_span_duplication",
     "dedup_span_merge_intervals",
     "similarity_recall_ivf_at5",
-    "similarity_minhash_jaccard_error",
+    "similarity_ivfpq_top5",
     "text_good_turing_trigrams",
     "text_perplexity_buckets_ccnet",
     "text_gopher_quality_filter",

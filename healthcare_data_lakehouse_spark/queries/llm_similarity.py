@@ -998,6 +998,147 @@ def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# --------------------------------------------------- IVF+PQ composition
+_IVFPQ_CENTROID_IDS = list(range(9, 17))  # coarse quantizer rows
+
+
+def _ivfpq_oracle() -> str:
+    cids = ", ".join(str(i) for i in _IVFPQ_CENTROID_IDS)
+    code_cols = ",\n               ".join(
+        f"CAST(min(struct_pack(d := ROUND("
+        f"{_pq_d2_sql('c.embedding', 'cb.embedding', m)}, 6), "
+        f"c := cb.code)).c AS INT) AS code_{m}"
+        for m in range(_PQ_M)
+    )
+    adc_terms = "\n               + ".join(
+        _pq_d2_sql("q.embedding", f"cb{m}.embedding", m)
+        for m in range(_PQ_M)
+    )
+    adc_joins = "\n        ".join(
+        f"JOIN cb cb{m} ON cb{m}.code = codes.code_{m}"
+        for m in range(_PQ_M)
+    )
+    return f"""
+    WITH cb AS (
+        SELECT CAST(vec_id - 1 AS INT) AS code, embedding
+        FROM embeddings WHERE vec_id BETWEEN 1 AND {_PQ_K}
+    ),
+    cent AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id IN ({cids})
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    corpus AS (
+        SELECT vec_id, embedding FROM embeddings WHERE vec_id > 16
+    ),
+    assigned AS (
+        SELECT vec_id, embedding, cid FROM (
+            SELECT c.vec_id, c.embedding, t.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY c.vec_id
+                       ORDER BY {_cos_sql('c.embedding', 't.cvec')} DESC,
+                                t.cid
+                   ) AS rn
+            FROM corpus c CROSS JOIN cent t
+        ) WHERE rn = 1
+    ),
+    qprobe AS (
+        SELECT cid FROM (
+            SELECT t.cid,
+                   ROW_NUMBER() OVER (
+                       ORDER BY {_cos_sql('q.embedding', 't.cvec')} DESC,
+                                t.cid
+                   ) AS prn
+            FROM cent t, q
+        ) WHERE prn <= 2
+    ),
+    cand AS (
+        SELECT a.vec_id, a.embedding, a.cid FROM assigned a
+        WHERE a.cid IN (SELECT cid FROM qprobe)
+    ),
+    codes AS (
+        SELECT c.vec_id, c.cid,
+               {code_cols}
+        FROM cand c CROSS JOIN cb
+        GROUP BY c.vec_id, c.cid
+    ),
+    adc AS (
+        SELECT codes.vec_id, codes.cid,
+               codes.code_0, codes.code_1, codes.code_2, codes.code_3,
+               ROUND({adc_terms}, 6) AS adc_dist
+        FROM codes
+        {adc_joins}
+        CROSS JOIN q
+    )
+    SELECT vec_id, cid, code_0, code_1, code_2, code_3, adc_dist
+    FROM adc ORDER BY adc_dist, vec_id LIMIT 5
+    """
+
+
+@register(
+    "similarity_ivfpq_top5",
+    oracle=_ivfpq_oracle(),
+    description="IVF+PQ ANN — the composition FAISS ships as IVFPQ (with "
+    "by_residual=false: raw-vector codes, not residuals) and THE standard "
+    "way to search a 100 TB vector corpus: the coarse quantizer (8 "
+    "deterministic-by-id centroids standing in for k-means) prunes the "
+    "scan to the query's nprobe=2 inverted lists, and PQ asymmetric "
+    "distance (4x 3-bit codes, M*K lookup table baked into the plan as "
+    "literals) ranks the survivors — exact vectors are never touched at "
+    "query time. Scale shape: assignment is one broadcast nested-loop "
+    "pass (no vector shuffle); at scale the encoded corpus is "
+    "materialized partitioned BY cid so non-probed lists are never read, "
+    "and query cost is (corpus/k_lists)*nprobe code lookups + a 5-row "
+    "TakeOrdered. Complements similarity_ivf_top5 (exact re-rank, full "
+    "vectors) and similarity_pq_adc_top5 (codes, full scan) by combining "
+    "both of their scale levers.",
+)
+def similarity_ivfpq_top5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    meta = (
+        emb.filter(F.col("vec_id") <= 16)
+        .select("vec_id", "embedding")
+        .collect()
+    )  # metadata-scale: query + 8 codebook rows + 8 centroids
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in meta}
+    qvec = vecs[0]
+    codebook = [vecs[i + 1] for i in range(_PQ_K)]
+
+    def _cos(a: list[float], b: list[float]) -> float:
+        dp = sum(x * y for x, y in zip(a, b))
+        na = sum(x * x for x in a) ** 0.5
+        nb = sum(y * y for y in b) ** 0.5
+        return dp / (na * nb)
+
+    probes = [
+        cid
+        for cid, _ in sorted(
+            ((c, vecs[c]) for c in _IVFPQ_CENTROID_IDS),
+            key=lambda kv: (-_cos(qvec, kv[1]), kv[0]),
+        )[:2]
+    ]
+    assigned = S.ivf_assign(emb, _IVFPQ_CENTROID_IDS).filter(
+        F.col("vec_id") > 16
+    )
+    cand = assigned.filter(F.col("cid").isin(probes))
+    enc = S.pq_encode(cand, codebook, n_sub=_PQ_M)
+    return (
+        enc.select(
+            "vec_id",
+            "cid",
+            "code_0",
+            "code_1",
+            "code_2",
+            "code_3",
+            F.round(
+                S.pq_adc_dist(qvec, codebook, n_sub=_PQ_M), 6
+            ).alias("adc_dist"),
+        )
+        .orderBy(F.col("adc_dist").asc(), F.col("vec_id").asc())
+        .limit(5)
+    )
+
+
 # ------------------------------------------- IVF recall harness
 def _ivf_recall_oracle() -> str:
     ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)

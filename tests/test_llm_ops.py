@@ -863,6 +863,59 @@ def test_pq_encode_and_adc(spark):
     assert abs(a_dist - exact) < 1e-9
 
 
+def test_ivfpq_top5_invariants(spark):
+    """IVF+PQ composition: results come only from the query's 2 probed
+    lists, codes are in range, ADC distances are non-decreasing, and each
+    returned row's ADC distance matches the driver-recomputed lookup-table
+    sum for its codes."""
+    from healthcare_data_lakehouse_spark.queries.llm_similarity import (
+        _IVFPQ_CENTROID_IDS,
+        similarity_ivfpq_top5,
+    )
+    from healthcare_data_lakehouse_spark.queries.llm_shared import _PQ_K
+    from healthcare_data_lakehouse_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    rows = similarity_ivfpq_top5(spark, sf).collect()
+    assert len(rows) == 5
+    dists = [r.adc_dist for r in rows]
+    assert dists == sorted(dists)
+    assert len({r.cid for r in rows}) <= 2
+    for r in rows:
+        assert r.vec_id > 16
+        for m in range(4):
+            assert 0 <= getattr(r, f"code_{m}") < _PQ_K
+
+    meta = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in _table(spark, sf, "embeddings")
+        .filter(F.col("vec_id") <= 16)
+        .collect()
+    }
+    q, codebook = meta[0], [meta[i + 1] for i in range(_PQ_K)]
+
+    def cos(a, b):
+        dp = sum(x * y for x, y in zip(a, b))
+        return dp / (
+            sum(x * x for x in a) ** 0.5 * sum(y * y for y in b) ** 0.5
+        )
+
+    probes = sorted(
+        _IVFPQ_CENTROID_IDS, key=lambda c: (-cos(q, meta[c]), c)
+    )[:2]
+    assert {r.cid for r in rows} <= set(probes)
+    # ADC = sum over subspaces of ||q_m - codeword_m||^2
+    for r in rows:
+        want = sum(
+            sum(
+                (q[d] - codebook[getattr(r, f"code_{m}")][d]) ** 2
+                for d in range(m * 16, (m + 1) * 16)
+            )
+            for m in range(4)
+        )
+        assert abs(r.adc_dist - want) < 1e-4
+
+
 def test_pq_code_ties_break_to_lowest_code(spark):
     emb = spark.createDataFrame(
         [(1, [0.5, 0.5])], "vec_id int, embedding array<float>"
