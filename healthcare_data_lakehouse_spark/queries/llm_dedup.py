@@ -462,7 +462,17 @@ def dedup_containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_transitive_closure_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid as _uuid
 
-    pairs = D.lsh_candidate_pairs(_docs_with_dups(spark, sf_dir, 20), threshold=0.5)
+    # Materialize the edge set ONCE before recursing: the recursive scan
+    # references the view per iteration, and without truncating lineage
+    # each round would re-run the whole LSH candidate pipeline (shingle
+    # explode + signature agg + band join + verify). localCheckpoint
+    # makes every recursion step a scan of the stored edge blocks — the
+    # verified pair set is candidate-bounded, so this is metadata-scale
+    # storage, never the corpus (r10; was the slowest newly-timed query
+    # at 3.99 s, recursion re-derivation being the cost).
+    pairs = D.lsh_candidate_pairs(
+        _docs_with_dups(spark, sf_dir, 20), threshold=0.5
+    ).localCheckpoint()
     view = f"dup_edges_{_uuid.uuid4().hex[:8]}"
     pairs.createOrReplaceTempView(view)
     return spark.sql(f"""
