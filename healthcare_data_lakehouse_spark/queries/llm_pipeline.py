@@ -2209,3 +2209,253 @@ def sample_horvitz_thompson_chars(spark: SparkSession, sf_dir: str) -> DataFrame
             2,
         ).alias("se_est"),
     )
+
+
+# ------------------------------------------ effective token yield table
+@register(
+    "pipeline_effective_token_yield",
+    oracle="""
+    WITH corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000 AS doc_id, text, 'mirror' AS source
+        FROM documents WHERE doc_id % 10 = 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id,
+               text || ' mirrored copy disclaimer' AS text,
+               'mirror' AS source
+        FROM documents WHERE doc_id % 12 = 0
+    ),
+    tok AS (
+        SELECT doc_id, source, string_split(text, ' ') AS tl,
+               md5(regexp_replace(trim(lower(text)), '\\s+', ' ', 'g'))
+                   AS fp
+        FROM corpus
+    ),
+    raw AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS raw_docs,
+               CAST(SUM(len(tl)) AS BIGINT) AS raw_tokens
+        FROM tok GROUP BY source
+    ),
+    fpmin AS (SELECT fp, MIN(doc_id) AS keep_id FROM tok GROUP BY fp),
+    kept AS (
+        SELECT t.doc_id, t.source, t.tl FROM tok t
+        JOIN fpmin m ON m.fp = t.fp AND m.keep_id = t.doc_id
+    ),
+    keptagg AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(len(tl)) AS BIGINT) AS kept_tokens
+        FROM kept GROUP BY source
+    ),
+    spans AS (
+        SELECT doc_id, i,
+               CAST(('0x' || substr(md5(array_to_string(tl[i:i+7], chr(31))), 1, 12)) AS BIGINT) AS h
+        FROM kept, UNNEST(range(1, len(tl) - 7 + 1)) AS u(i)
+        WHERE len(tl) >= 8
+    ),
+    duph AS (
+        SELECT h, MIN(doc_id) AS min_doc FROM spans
+        GROUP BY h HAVING COUNT(DISTINCT doc_id) >= 2
+    ),
+    rem AS (
+        SELECT s.doc_id, s.i AS st, s.i + 7 AS en
+        FROM spans s JOIN duph d ON d.h = s.h AND s.doc_id > d.min_doc
+    ),
+    brk AS (
+        SELECT doc_id, st, en,
+               CASE WHEN st > COALESCE(MAX(en) OVER (
+                        PARTITION BY doc_id ORDER BY st
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                    ), -1000000000) + 1 THEN 1 ELSE 0 END AS new_isl
+        FROM rem
+    ),
+    gid AS (
+        SELECT doc_id, st, en,
+               SUM(new_isl) OVER (
+                   PARTITION BY doc_id ORDER BY st
+                   ROWS UNBOUNDED PRECEDING
+               ) AS island
+        FROM brk
+    ),
+    islands AS (
+        SELECT doc_id, island, MIN(st) AS ist, MAX(en) AS ien
+        FROM gid GROUP BY doc_id, island
+    ),
+    remdoc AS (
+        SELECT doc_id, CAST(SUM(ien - ist + 1) AS BIGINT) AS rm
+        FROM islands GROUP BY doc_id
+    ),
+    remsrc AS (
+        SELECT k.source, CAST(SUM(COALESCE(r.rm, 0)) AS BIGINT)
+                   AS removable_span_tokens
+        FROM kept k LEFT JOIN remdoc r ON r.doc_id = k.doc_id
+        GROUP BY k.source
+    )
+    SELECT raw.source, raw.raw_docs, raw.raw_tokens,
+           k.kept_docs, k.kept_tokens,
+           s.removable_span_tokens,
+           (k.kept_tokens - s.removable_span_tokens) AS effective_tokens,
+           ROUND(CAST(k.kept_tokens - s.removable_span_tokens AS DOUBLE)
+                 / raw.raw_tokens, 6) AS token_yield
+    FROM raw
+    JOIN keptagg k ON k.source = raw.source
+    JOIN remsrc s ON s.source = raw.source
+    ORDER BY raw.source
+    """,
+    description="Effective-token yield table — the corpus-planning "
+    "summary a 100 TB training-data build is budgeted from: per source, "
+    "raw doc/token mass, what survives exact dedup (fingerprint identity, "
+    "keep-lowest-id), the keep-first ExactSubstr cut-list mass (merged "
+    "duplicated-span tokens charged only to docs that are NOT the span's "
+    "first owner, so one copy of every span survives — the same "
+    "occurrence policy as Lee et al.'s deduplication), and the resulting "
+    "effective tokens and yield ratio. The corpus plants two realistic "
+    "mirror classes into a 'mirror' pseudo-source: exact copies (caught "
+    "by fingerprint dedup) and suffix-wrapped copies (caught only by the "
+    "span pass). Scale shape: fingerprint keep-first is one fp groupBy + "
+    "one equi-join; the span stages are the dedup_span_merge_intervals "
+    "machinery (hash groupBy + semi-join-with-owner + per-doc window); "
+    "everything collapses to O(sources) rows before the final join.",
+)
+def pipeline_effective_token_yield(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    corpus = (
+        docs.unionAll(
+            docs.filter(F.col("doc_id") % 10 == 0).select(
+                (F.col("doc_id") + 1_000_000).alias("doc_id"),
+                "text",
+                F.lit("mirror").alias("source"),
+            )
+        ).unionAll(
+            docs.filter(F.col("doc_id") % 12 == 0).select(
+                (F.col("doc_id") + 2_000_000).alias("doc_id"),
+                F.concat(
+                    F.col("text"), F.lit(" mirrored copy disclaimer")
+                ).alias("text"),
+                F.lit("mirror").alias("source"),
+            )
+        )
+    )
+    tok = corpus.select(
+        "doc_id",
+        "source",
+        F.split("text", " ", -1).alias("tl"),
+        TX.fingerprint(F.col("text")).alias("fp"),
+    ).persist()
+    raw = tok.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("raw_docs"),
+        F.sum(F.size("tl")).cast("bigint").alias("raw_tokens"),
+    )
+    fpmin = tok.groupBy("fp").agg(F.min("doc_id").alias("keep_id")).select(
+        F.col("fp").alias("k_fp"), "keep_id"
+    )
+    kept = tok.join(
+        fpmin,
+        (F.col("fp") == F.col("k_fp"))
+        & (F.col("doc_id") == F.col("keep_id")),
+        "left_semi",
+    ).persist()
+    keptagg = kept.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("kept_docs"),
+        F.sum(F.size("tl")).cast("bigint").alias("kept_tokens"),
+    )
+    spans = kept.filter(F.size("tl") >= 8).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(tl) - 7), "
+                "i -> struct(i AS i, concat_ws(chr(31), slice(tl, i, 8)) "
+                "AS span))"
+            )
+        ).alias("sp"),
+    ).select(
+        "doc_id",
+        F.col("sp.i").alias("i"),
+        D.token_hash48(F.col("sp.span")).alias("h"),
+    )
+    duph = (
+        spans.groupBy("h")
+        .agg(
+            F.count_distinct("doc_id").alias("nd"),
+            F.min("doc_id").alias("min_doc"),
+        )
+        .filter(F.col("nd") >= 2)
+        .select("h", "min_doc")
+    )
+    rem = (
+        spans.join(duph, "h")
+        .filter(F.col("doc_id") > F.col("min_doc"))
+        .select(
+            "doc_id",
+            F.col("i").alias("st"),
+            (F.col("i") + F.lit(7)).alias("en"),
+        )
+    )
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_run = (
+        Window.partitionBy("doc_id")
+        .orderBy("st")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    islands = (
+        rem.withColumn(
+            "new_isl",
+            F.when(
+                F.col("st")
+                > F.coalesce(
+                    F.max("en").over(w_prev), F.lit(-1_000_000_000)
+                )
+                + 1,
+                1,
+            ).otherwise(0),
+        )
+        .withColumn("island", F.sum("new_isl").over(w_run))
+        .groupBy("doc_id", "island")
+        .agg(F.min("st").alias("ist"), F.max("en").alias("ien"))
+    )
+    remdoc = islands.groupBy("doc_id").agg(
+        F.sum(F.col("ien") - F.col("ist") + 1).cast("bigint").alias("rm")
+    )
+    remsrc = (
+        kept.select("doc_id", "source")
+        .join(remdoc, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.sum(F.coalesce("rm", F.lit(0)))
+            .cast("bigint")
+            .alias("removable_span_tokens")
+        )
+    )
+    return (
+        raw.join(keptagg, "source")
+        .join(remsrc, "source")
+        .select(
+            "source",
+            "raw_docs",
+            "raw_tokens",
+            "kept_docs",
+            "kept_tokens",
+            "removable_span_tokens",
+            (F.col("kept_tokens") - F.col("removable_span_tokens")).alias(
+                "effective_tokens"
+            ),
+            F.round(
+                (
+                    F.col("kept_tokens") - F.col("removable_span_tokens")
+                ).cast("double")
+                / F.col("raw_tokens"),
+                6,
+            ).alias("token_yield"),
+        )
+        .orderBy("source")
+    )

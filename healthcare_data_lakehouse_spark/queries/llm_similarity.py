@@ -998,6 +998,78 @@ def similarity_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ------------------------------------------------ IVF list-balance audit
+def _ivf_balance_oracle() -> str:
+    ids = ", ".join(str(i) for i in _IVF_CENTROID_IDS)
+    k = len(_IVF_CENTROID_IDS)
+    return f"""
+    WITH centroids AS (
+        SELECT vec_id AS cid, embedding AS cvec FROM embeddings
+        WHERE vec_id IN ({ids})
+    ),
+    assigned AS (
+        SELECT vec_id, cid FROM (
+            SELECT e.vec_id, c.cid,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY e.vec_id
+                       ORDER BY {_cos_sql('e.embedding', 'c.cvec')} DESC,
+                                c.cid
+                   ) AS rn
+            FROM embeddings e CROSS JOIN centroids c
+        ) WHERE rn = 1
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM assigned)
+    SELECT a.cid,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           ROUND(CAST(COUNT(*) AS DOUBLE) / t.n, 6) AS list_share,
+           ROUND(CAST(COUNT(*) AS DOUBLE) * {k} / t.n, 6)
+               AS balance_factor
+    FROM assigned a CROSS JOIN tot t
+    GROUP BY a.cid, t.n
+    ORDER BY a.cid
+    """
+
+
+@register(
+    "similarity_ivf_list_balance",
+    oracle=_ivf_balance_oracle(),
+    description="IVF inverted-list balance audit — the observability an "
+    "IVF/IVFPQ deployment needs BEFORE it bets partition pruning on the "
+    "coarse quantizer: per-list vector count, corpus share, and balance "
+    "factor (n·k/total; 1.0 = perfectly even). A hot list (factor >> 1) "
+    "is the ANN equivalent of join skew — probe latency concentrates on "
+    "one partition and the (corpus/k)·nprobe cost model collapses — and "
+    "the fix (split the hot centroid, re-train, or salt into sub-lists) "
+    "is a layout decision this table drives. One broadcast nested-loop "
+    "assignment pass + one O(k)-group aggregate; the audit output is k "
+    "rows at any corpus size.",
+)
+def similarity_ivf_list_balance(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    k = len(_IVF_CENTROID_IDS)
+    assigned = S.ivf_assign(emb, _IVF_CENTROID_IDS)
+    counts = assigned.groupBy("cid").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_vecs")
+    )
+    tot = counts.agg(F.sum("n_vecs").cast("bigint").alias("n"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "cid",
+            "n_vecs",
+            F.round(F.col("n_vecs").cast("double") / F.col("n"), 6).alias(
+                "list_share"
+            ),
+            F.round(
+                F.col("n_vecs").cast("double") * k / F.col("n"), 6
+            ).alias("balance_factor"),
+        )
+        .orderBy("cid")
+    )
+
+
 # --------------------------------------------------- IVF+PQ composition
 _IVFPQ_CENTROID_IDS = list(range(9, 17))  # coarse quantizer rows
 

@@ -2421,6 +2421,76 @@ def test_span_merge_intervals_pinned(spark):
     assert abs(r2.dup_token_ratio - 0.75) < 1e-6
 
 
+def test_effective_token_yield_pinned(spark):
+    """Pinned micro-corpus: doc 10 gets an exact mirror (killed by
+    fingerprint dedup), doc 12 gets a suffix-wrapped near mirror (its
+    10 copied tokens are the keep-first span cut list, charged to the
+    mirror), doc 3 is untouched."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import healthcare_data_lakehouse_spark.queries.llm_pipeline as LP
+
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="a b c d e f g h i j", lang="en",
+                source="s1", n_chars=19),
+            Row(doc_id=12, text="p q r s t u v w x y", lang="en",
+                source="s2", n_chars=19),
+            Row(doc_id=3, text="z1 z2 z3", lang="en", source="s1",
+                n_chars=8),
+        ]
+    )
+    with mock.patch.object(LP, "table", lambda *_a, **_k: probe):
+        rows = {
+            r.source: r
+            for r in LP.pipeline_effective_token_yield(
+                spark, "unused"
+            ).collect()
+        }
+    assert set(rows) == {"s1", "s2", "mirror"}
+    s1, s2, mi = rows["s1"], rows["s2"], rows["mirror"]
+    assert (s1.raw_docs, s1.raw_tokens, s1.kept_docs, s1.kept_tokens,
+            s1.removable_span_tokens, s1.effective_tokens) == (
+        2, 13, 2, 13, 0, 13,
+    )
+    assert s1.token_yield == 1.0
+    assert (s2.raw_docs, s2.raw_tokens, s2.kept_docs, s2.kept_tokens,
+            s2.removable_span_tokens, s2.effective_tokens) == (
+        1, 10, 1, 10, 0, 10,
+    )
+    # mirror: exact copy of doc 10 (10 tok, fp-killed) + near copy of
+    # doc 12 (13 tok, kept, its 10 copied tokens removable)
+    assert (mi.raw_docs, mi.raw_tokens, mi.kept_docs, mi.kept_tokens,
+            mi.removable_span_tokens, mi.effective_tokens) == (
+        2, 23, 1, 13, 10, 3,
+    )
+    assert abs(mi.token_yield - 3 / 23) < 1e-6
+
+
+def test_ivf_list_balance_invariants(spark):
+    """List counts partition the corpus, shares sum to 1, the mean
+    balance factor is 1 by construction, and every centroid owns at
+    least its own vector."""
+    from healthcare_data_lakehouse_spark.queries.llm_similarity import (
+        _IVF_CENTROID_IDS,
+        similarity_ivf_list_balance,
+    )
+    from healthcare_data_lakehouse_spark.tables import table as _table
+
+    sf = "/root/testdata/sf0.001"
+    rows = similarity_ivf_list_balance(spark, sf).collect()
+    k = len(_IVF_CENTROID_IDS)
+    assert len(rows) == k
+    assert sorted(r.cid for r in rows) == sorted(_IVF_CENTROID_IDS)
+    total = _table(spark, sf, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == total
+    assert abs(sum(r.list_share for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.balance_factor for r in rows) / k - 1.0) < 1e-4
+    assert all(r.n_vecs >= 1 for r in rows)
+
+
 def test_kneser_ney_bigram_pinned_and_bruteforce(spark):
     """Pinned micro-corpus: 'san francisco' is the most frequent bigram
     but 'francisco' has fan-in 1 (only ever follows 'san'), so its
