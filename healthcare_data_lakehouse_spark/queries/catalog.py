@@ -152,8 +152,11 @@ PRIORITY = [
     "sketch_hll_mergeable_daily_rollup",
     "sketch_bloom_filter_fpr",
     "streaming_stateful_user_totals",
-    "stats_ridge_regression_normal_eq",
-    "quality_fd_discovery",
+    # all four new-in-r10 operators get driver evidence this round
+    # (span-merge and ivfpq are slotted above); ridge regression and FD
+    # discovery return to the never-sampled rotation pool for r11
+    "pipeline_effective_token_yield",
+    "similarity_ivf_list_balance",
     "privacy_forget_user_erasure",
     "multimodal_tile_manifest",
 ]
