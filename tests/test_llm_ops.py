@@ -2421,6 +2421,52 @@ def test_span_merge_intervals_pinned(spark):
     assert abs(r2.dup_token_ratio - 0.75) < 1e-6
 
 
+def test_simhash_block_index_pinned_and_exact(spark):
+    """The 4x8-bit block index is EXACT for Hamming <= 3 by pigeonhole:
+    on a micro-corpus its pair set must equal brute-force all-pairs
+    popcount filtering. An exact-duplicate pair surfaces at distance 0;
+    an unrelated doc (disjoint shingles -> ~Binomial(32,.5) distance)
+    never pairs."""
+    from itertools import combinations
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import healthcare_data_lakehouse_spark.queries.llm_dedup as LD
+    from healthcare_data_lakehouse_spark.functions import dedup as D
+
+    shared = " ".join(f"t{i}" for i in range(20))
+    probe = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=shared),
+            Row(doc_id=2, text=shared),
+            Row(doc_id=7, text=" ".join(f"z{i}" for i in range(20))),
+        ]
+    )
+    with mock.patch.object(LD, "table", lambda *_a, **_k: probe):
+        got = {
+            (r.id_a, r.id_b): r.hamming
+            for r in LD.dedup_simhash_block_index(spark, "unused").collect()
+        }
+    assert got[(1, 2)] == 0
+    assert all(7 not in pair for pair in got)
+
+    # brute-force referee over the same shingle-feature signatures
+    feats = probe.select(
+        "doc_id", F.explode(D.word_shingles(F.col("text"), 3)).alias("f")
+    )
+    sigs = {
+        r.doc_id: r.simhash
+        for r in D.simhash32_features(feats, "doc_id", "f").collect()
+    }
+    want = {
+        (a, b): bin(sigs[a] ^ sigs[b]).count("1")
+        for a, b in combinations(sorted(sigs), 2)
+        if bin(sigs[a] ^ sigs[b]).count("1") <= 3
+    }
+    assert got == want
+
+
 def test_effective_token_yield_pinned(spark):
     """Pinned micro-corpus: doc 10 gets an exact mirror (killed by
     fingerprint dedup), doc 12 gets a suffix-wrapped near mirror (its
