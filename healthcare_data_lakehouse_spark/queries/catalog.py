@@ -133,7 +133,7 @@ PRIORITY = [
     "window_customer_value_deciles",
     "groupingsets_lineitem_flag_status",
     "unpivot_lineitem_metrics",
-    "dedup_prefix_filter_jaccard",
+    "dedup_simhash_block_index",
     "dedup_transitive_closure_sql",
     "dedup_span_duplication",
     "dedup_span_merge_intervals",
