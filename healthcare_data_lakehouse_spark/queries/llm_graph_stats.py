@@ -1177,3 +1177,149 @@ def stats_platt_scaling_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         dround(F.col("nll") / F.col("n_docs"), 6).alias("mean_nll"),
     )
+
+
+# -------------------------------------- k-hop BFS expansion profile
+_KHOP_SEED_MOD = 997
+
+
+@register(
+    "graph_khop_expansion_profile",
+    oracle=f"""
+    WITH eg AS MATERIALIZED (
+        SELECT DISTINCT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    adj AS MATERIALIZED (
+        SELECT u AS x, v AS y FROM eg
+        UNION ALL
+        SELECT v AS x, u AS y FROM eg
+    ),
+    nn AS (SELECT CAST(COUNT(DISTINCT x) AS BIGINT) AS n_nodes FROM adj),
+    v0 AS (
+        SELECT DISTINCT x AS seed, x AS node FROM adj
+        WHERE x % {_KHOP_SEED_MOD} = 0
+    ),
+    h1 AS (
+        SELECT DISTINCT v0.seed, a.y AS node
+        FROM v0 JOIN adj a ON a.x = v0.node
+        EXCEPT SELECT seed, node FROM v0
+    ),
+    h2 AS (
+        SELECT DISTINCT h1.seed, a.y AS node
+        FROM h1 JOIN adj a ON a.x = h1.node
+        EXCEPT (SELECT seed, node FROM v0
+                UNION ALL SELECT seed, node FROM h1)
+    ),
+    counts AS (
+        SELECT seed, 0 AS hop, CAST(COUNT(*) AS BIGINT) AS n_first
+        FROM v0 GROUP BY seed
+        UNION ALL
+        SELECT seed, 1, CAST(COUNT(*) AS BIGINT) FROM h1 GROUP BY seed
+        UNION ALL
+        SELECT seed, 2, CAST(COUNT(*) AS BIGINT) FROM h2 GROUP BY seed
+    )
+    SELECT seed AS seed_part, CAST(hop AS BIGINT) AS hop,
+           n_first AS n_first_reached,
+           CAST(SUM(n_first) OVER (
+               PARTITION BY seed ORDER BY hop
+               ROWS UNBOUNDED PRECEDING
+           ) AS BIGINT) AS cum_reached,
+           {dround_sql(
+               "SUM(n_first) OVER (PARTITION BY seed ORDER BY hop "
+               "ROWS UNBOUNDED PRECEDING) / CAST(nn.n_nodes AS DOUBLE)",
+               6,
+           )} AS reach_frac
+    FROM counts CROSS JOIN nn
+    ORDER BY seed_part, hop
+    """,
+    description="k-hop BFS expansion profile of the part co-order graph "
+    "(min-hop semantics): from a deterministic seed panel (partkey % "
+    "997 = 0), count nodes FIRST reached at hop 1 and hop 2 — the "
+    "graph's expansion rate, which is what decides whether "
+    "friend-of-friend candidate generation / label propagation rounds "
+    "/ dedup-cluster growth saturate in 2 hops or 10 on a given corpus "
+    "(this co-order graph saturates by hop 2: reach_frac ~= 1). BFS is "
+    "level-synchronous and UNROLLED (frontier equi-join + "
+    "set-difference against the visited set), never a recursive "
+    "path-enumeration — UNION ALL recursion enumerates PATHS and "
+    "explodes combinatorially on dense graphs. Honest cost model: a "
+    "BFS round's join fan-out is sum of deg(node) over the frontier, "
+    "worst case |panel| x |edges| once the frontier saturates — which "
+    "is WHY the profile stops at hop 2 here (a measured hop-3 round on "
+    "the saturated frontier costs ~|panel|x|E| ~ 240M rows at sf0.1 "
+    "for zero new information); panel size and hop cap are the "
+    "explicit budget levers. Each hop's first-reached count is "
+    "integer-exact; cum/frac derive from a seed-keyed window over the "
+    "3-row-per-seed profile.",
+)
+def graph_khop_expansion_profile(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
+        )
+        .distinct()
+    )
+    adj = (
+        edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .unionAll(edges.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .persist()
+    )
+    n_nodes = adj.agg(
+        F.count_distinct("x").cast("bigint").alias("n_nodes")
+    )
+    v0 = (
+        adj.filter(F.col("x") % _KHOP_SEED_MOD == 0)
+        .select(F.col("x").alias("seed"), F.col("x").alias("node"))
+        .distinct()
+        .persist()
+    )
+    levels = [v0]
+    visited = v0
+    for _ in range(2):
+        frontier = (
+            levels[-1]
+            .join(adj, levels[-1]["node"] == adj["x"])
+            .select("seed", F.col("y").alias("node"))
+            .distinct()
+            .join(visited, ["seed", "node"], "left_anti")
+            .persist()
+        )
+        levels.append(frontier)
+        visited = visited.unionAll(frontier)
+    counts = None
+    for hop, lvl in enumerate(levels):
+        c = lvl.groupBy("seed").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_first")
+        ).select("seed", F.lit(hop).cast("bigint").alias("hop"), "n_first")
+        counts = c if counts is None else counts.unionAll(c)
+    w = (
+        Window.partitionBy("seed")
+        .orderBy("hop")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        counts.crossJoin(F.broadcast(n_nodes))
+        .select(
+            F.col("seed").alias("seed_part"),
+            "hop",
+            F.col("n_first").alias("n_first_reached"),
+            F.sum("n_first").over(w).cast("bigint").alias("cum_reached"),
+            dround(
+                F.sum("n_first").over(w)
+                / F.col("n_nodes").cast("double"),
+                6,
+            ).alias("reach_frac"),
+        )
+        .orderBy("seed_part", "hop")
+    )

@@ -2421,6 +2421,38 @@ def test_span_merge_intervals_pinned(spark):
     assert abs(r2.dup_token_ratio - 0.75) < 1e-6
 
 
+def test_khop_expansion_profile_pinned_path_graph(spark):
+    """Path graph 997 - 1 - 2 - 3 (co-order edges from three 2-part
+    orders): seed 997 reaches exactly one new node per hop, so the
+    profile is (hop0: 1, hop1: 1, hop2: 1) with reach_frac 1/4, 2/4,
+    3/4 over the 4-node graph; node 3 (hop 3) is beyond the cap and
+    never counted."""
+    from unittest import mock
+
+    from pyspark.sql import Row
+
+    import healthcare_data_lakehouse_spark.queries.llm_graph_stats as LG
+
+    probe = spark.createDataFrame(
+        [
+            Row(l_orderkey=1, l_partkey=997),
+            Row(l_orderkey=1, l_partkey=1),
+            Row(l_orderkey=2, l_partkey=1),
+            Row(l_orderkey=2, l_partkey=2),
+            Row(l_orderkey=3, l_partkey=2),
+            Row(l_orderkey=3, l_partkey=3),
+        ]
+    )
+    with mock.patch.object(LG, "table", lambda *_a, **_k: probe):
+        rows = sorted(
+            LG.graph_khop_expansion_profile(spark, "unused").collect(),
+            key=lambda r: r.hop,
+        )
+    assert [(r.seed_part, r.hop, r.n_first_reached, r.cum_reached)
+            for r in rows] == [(997, 0, 1, 1), (997, 1, 1, 2), (997, 2, 1, 3)]
+    assert [round(r.reach_frac, 6) for r in rows] == [0.25, 0.5, 0.75]
+
+
 def test_simhash_block_index_pinned_and_exact(spark):
     """The 4x8-bit block index is EXACT for Hamming <= 3 by pigeonhole:
     on a micro-corpus its pair set must equal brute-force all-pairs
