@@ -92,6 +92,48 @@ SENTINEL_REF = {
     "text_quality_scores": 0.175,
 }
 
+# The refs above are wall-clock medians frozen on ONE machine (ADVICE
+# r10): on a different host the drift ratio would conflate hardware
+# speed with transient load. Record the fingerprint of the freeze host
+# and skip drift when the current host differs (or when
+# SPARK_GRAFT_SENTINEL_HOST overrides it for a deliberate re-freeze).
+SENTINEL_HOST = {"cpus": 32, "machine": "x86_64", "system": "Linux"}
+
+
+def _host_fingerprint() -> dict:
+    import os as _os
+    import platform as _platform
+
+    return {
+        "cpus": _os.cpu_count(),
+        "machine": _platform.machine(),
+        "system": _platform.system(),
+    }
+
+
+def sentinel_drift(sentinel_times: dict, sf_val) -> float | None:
+    """Median of measured/frozen ratios, or None when not comparable.
+
+    None (drift unscored, raw walls still recorded) when: not sf0.1, any
+    sentinel missing/errored (a 2-of-3 'median' is really the upper of
+    two values — biased high, ADVICE r10), or the host fingerprint does
+    not match the freeze host (ADVICE r10) and no env override is set.
+    """
+    if str(sf_val) != "0.1":
+        return None
+    if set(sentinel_times) != set(SENTINEL_REF):
+        return None
+    if (
+        os.environ.get("SPARK_GRAFT_SENTINEL_HOST") != "trusted"
+        and _host_fingerprint() != SENTINEL_HOST
+    ):
+        return None
+    ratios = sorted(sentinel_times[n] / SENTINEL_REF[n] for n in SENTINEL_REF)
+    mid = len(ratios) // 2
+    if len(ratios) % 2:
+        return round(ratios[mid], 3)
+    return round((ratios[mid - 1] + ratios[mid]) / 2, 3)
+
 # Write-path / streaming representatives (VERDICT r7 ask #3): these
 # materialize zone state or drain a stream, so they are excluded from the
 # read-only HEADLINE total — but a write-path regression (like r6's
@@ -198,13 +240,10 @@ def main() -> None:
     # Sentinel drift (VERDICT r9 ask #4): ratio of this run's sentinel
     # medians to their frozen idle medians. >1 means the machine was
     # loaded; per-query regressions should be judged on time/drift.
+    # None when any sentinel is missing or the host differs from the
+    # freeze host (ADVICE r10) — raw sentinel walls are still recorded.
     sentinel_times = {n: times[n] for n in SENTINEL_REF if n in times}
-    drift = None
-    if str(sf_val) == "0.1" and sentinel_times:
-        ratios = sorted(
-            sentinel_times[n] / SENTINEL_REF[n] for n in sentinel_times
-        )
-        drift = round(ratios[len(ratios) // 2], 3)
+    drift = sentinel_drift(sentinel_times, sf_val)
 
     full = {
         "metric": "headline_queries_total_wall",
@@ -221,6 +260,8 @@ def main() -> None:
         "sentinel_ref": SENTINEL_REF,
         "sentinel_times": sentinel_times,
         "sentinel_drift": drift,
+        "sentinel_host": SENTINEL_HOST,
+        "host": _host_fingerprint(),
     }
     if errors:
         full["errors"] = errors
@@ -240,6 +281,8 @@ def main() -> None:
         "write_total": write_total,
         "write_n": len(wtimes),
         "sentinel_drift": drift,
+        "sentinel_host": SENTINEL_HOST,
+        "host": _host_fingerprint(),
         "full": "BENCH_FULL.json",
         "queries": dict(ranked),
     }

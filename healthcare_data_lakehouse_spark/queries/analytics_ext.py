@@ -51,17 +51,36 @@ def anti_join_parts_no_bulk_orders(spark: SparkSession, sf_dir: str) -> DataFram
 # -------------------------------------------------------------- sketches
 @register(
     "sketch_hll_distinct_users",
-    oracle=None,  # HLL estimates are engine-specific -> rows-only check
+    # Bounded-error oracle (VERDICT r10 ask #4): the HLL estimate itself is
+    # engine-specific, but the oracle computes the EXACT NDV in SQL and the
+    # Spark side asserts |approx - exact| / exact <= 3 * rsd (rsd = 0.02,
+    # so a 6% band — approx_count_distinct's documented relative standard
+    # deviation, tripled for a deterministic-pass margin; the observed
+    # error on the fixed fixtures is <1%). A drifting estimate flips
+    # within_3rsd to FALSE and the value-hash compare fails.
+    oracle="""
+    SELECT event_type,
+           COUNT(DISTINCT user_id) AS exact_users,
+           TRUE AS within_3rsd
+    FROM events GROUP BY event_type
+    """,
     description="HyperLogLog++ NDV sketch per event_type "
     "(approx_count_distinct): mergeable fixed-size state, the 100 TB path "
     "for cardinality where exact countDistinct's expand+shuffle is "
-    "unaffordable; exact count carried alongside for error inspection.",
+    "unaffordable. Bounded-error check: the sketch estimate must land "
+    "within 3x its rsd (6%) of the exact count, asserted per group.",
 )
 def sketch_hll_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = table(spark, sf_dir, "events")
     return events.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", 0.02).alias("approx_users"),
         F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id", 0.02).cast("double")
+                - F.countDistinct("user_id").cast("double")
+            )
+            <= 0.06 * F.countDistinct("user_id").cast("double")
+        ).alias("within_3rsd"),
     )
 
 
@@ -1086,35 +1105,56 @@ def rfm_customer_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sketch_approx_percentile_order_value",
-    oracle=None,  # t-digest style estimates are engine-specific -> rows-only
+    # Bounded-error oracle (VERDICT r10 ask #4): the KLL/GK-style estimate
+    # is engine-specific, but its guarantee is a RANK bound — with
+    # accuracy=10000 the returned element's rank is within n*1e-4 of the
+    # target. The oracle computes the exact interpolated percentiles in
+    # SQL; the Spark side asserts the sketch value lands inside the exact
+    # [q-0.005, q+0.005] value band (50x the theoretical rank slack, to
+    # absorb interpolation-vs-order-statistic discreteness). A drifting
+    # estimate flips within_rank_band to FALSE and the hash compare fails.
+    oracle="""
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(ROUND(CAST(quantile_cont(o.o_totalprice, 0.5)
+                AS DECIMAL(38,8)), 2) AS DOUBLE) AS p50_exact,
+           CAST(ROUND(CAST(quantile_cont(o.o_totalprice, 0.95)
+                AS DECIMAL(38,8)), 2) AS DOUBLE) AS p95_exact,
+           COUNT(*) AS n_orders,
+           TRUE AS within_rank_band
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    GROUP BY c.c_mktsegment
+    """,
     description="approx_percentile sketch per market segment (p50/p95, "
     "accuracy 10000): mergeable bounded-memory quantile state — the "
     "100 TB path where exact percentile's full sort per group is "
-    "unaffordable. Exact percentiles ship alongside "
-    "(percentile_order_value_by_segment) for error inspection.",
+    "unaffordable. Bounded-error check: the sketch value must land "
+    "between the exact interpolated percentiles at q-0.005 and q+0.005, "
+    "asserted per group against the SQL-exact quantiles.",
 )
 def sketch_approx_percentile_order_value(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     orders = table(spark, sf_dir, "orders")
     customer = table(spark, sf_dir, "customer")
+
+    def _band(q: float, eps: float = 0.005):
+        approx = F.expr(f"approx_percentile(o_totalprice, {q}, 10000)")
+        lo = F.expr(f"percentile(o_totalprice, {q - eps})")
+        hi = F.expr(f"percentile(o_totalprice, {q + eps})")
+        return (approx >= lo) & (approx <= hi)
+
     return (
         orders.join(customer, orders.o_custkey == customer.c_custkey)
         .groupBy(F.col("c_mktsegment").alias("mktsegment"))
         .agg(
-            F.round(
-                F.expr(
-                    "approx_percentile(o_totalprice, 0.5, 10000)"
-                ),
-                2,
-            ).alias("p50_approx"),
-            F.round(
-                F.expr(
-                    "approx_percentile(o_totalprice, 0.95, 10000)"
-                ),
-                2,
-            ).alias("p95_approx"),
+            dround(F.expr("percentile(o_totalprice, 0.5)"), 2).alias(
+                "p50_exact"
+            ),
+            dround(F.expr("percentile(o_totalprice, 0.95)"), 2).alias(
+                "p95_exact"
+            ),
             F.count(F.lit(1)).alias("n_orders"),
+            (_band(0.5) & _band(0.95)).alias("within_rank_band"),
         )
     )
 

@@ -118,47 +118,50 @@ PRIORITY = [
     # similarity_lsh_multiprobe_top5, sketch_kmv_distinct_users, the
     # classifier-evaluation quartet) is hash-green in CORRECTNESS_r07 and
     # re-verified by every full compare.py sweep.
-    # Round-10 rotation (VERDICT r9 ask #2). Everything rotated out (the
-    # r9 window: the 29 first-time names in CORRECTNESS_r09) is hash-green
-    # there and re-verified by every full compare.py sweep
-    # (COMPARE_FULL_r09.txt). All 29 slots below are first-time names:
-    # 28 from the 190-query never-sampled tail (checked against
-    # CORRECTNESS_r01..r09) + the new-in-r10 span-merge query, chosen for
-    # family diversity (TPC-H, OLAP windows/grouping-sets, dedup, ANN,
-    # text, pipeline, sampling, graph, sketch, events, stats, quality,
-    # privacy, multimodal, streaming).
-    "tpch_q12_lateness_priority",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q22_dormant_high_balance",
-    "window_customer_value_deciles",
-    "groupingsets_lineitem_flag_status",
-    "unpivot_lineitem_metrics",
-    "dedup_simhash_block_index",
-    "dedup_transitive_closure_sql",
-    "dedup_span_duplication",
-    "dedup_span_merge_intervals",
-    "similarity_recall_ivf_at5",
-    "similarity_ivfpq_top5",
-    "text_good_turing_trigrams",
-    "text_perplexity_buckets_ccnet",
-    "text_gopher_quality_filter",
-    "text_bigram_pmi_topk",
-    "pipeline_rag_chunks",
-    "pipeline_shard_assignment_rendezvous",
-    "sample_dsir_importance",
-    "sample_unimax_language_budget",
-    "graph_kcore_supplier_coorder",
-    "graph_triangle_count_neardup",
-    "sketch_hll_mergeable_daily_rollup",
-    "sketch_bloom_filter_fpr",
-    "streaming_stateful_user_totals",
-    # all four new-in-r10 operators get driver evidence this round
-    # (span-merge and ivfpq are slotted above); ridge regression and FD
-    # discovery return to the never-sampled rotation pool for r11
-    "pipeline_effective_token_yield",
-    "similarity_ivf_list_balance",
-    "privacy_forget_user_erasure",
-    "multimodal_tile_manifest",
+    # (Round-10 rotation: the 29 names in the r10 window — span-merge,
+    # ivfpq, simhash block index etc. — are hash-green in
+    # CORRECTNESS_r10.json and re-verified by every full compare.py
+    # sweep, COMPARE_FULL_r10.txt.)
+    # Round-11 rotation (VERDICT r10 ask #2 + ADVICE r10 #4). 28 slots
+    # are first-time names from the 167-query never-sampled tail
+    # (checked against CORRECTNESS_r01..r10), including
+    # graph_khop_expansion_profile (the one r10 operator that only had
+    # full-sweep evidence — ADVICE r10 #4) and the two operators the r10
+    # comment promised back to the pool (ridge regression, FD
+    # discovery). The 29th slot (sketch_hll_distinct_users) is a repeat
+    # name whose ORACLE was rewritten this round from rows-only to a
+    # bounded-error check (VERDICT r10 ask #4), as were
+    # sketch_approx_percentile_order_value and embedding_label_pca —
+    # rewritten code paths get driver evidence in the round they change.
+    "tpch_q11_important_part_value",
+    "tpch_q16_part_supplier_counts",
+    "tpch_q20_heavy_widget_shippers",
+    "rollup_revenue_calendar",
+    "window_order_percentile_rank",
+    "dedup_minhash_signatures",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_canonical_selection",
+    "similarity_lsh_top5",
+    "similarity_pq_distortion",
+    "embedding_int8_quantization",
+    "embedding_label_pca",
+    "sketch_approx_percentile_order_value",
+    "sketch_hll_distinct_users",
+    "text_language_id",
+    "text_fingerprint",
+    "text_token_stats",
+    "text_zipf_slope",
+    "pipeline_decontaminate_train",
+    "pipeline_token_budget_mix",
+    "sample_stratified_by_segment",
+    "sample_reservoir_per_lang",
+    "graph_khop_expansion_profile",
+    "graph_pagerank_neardup",
+    "stats_ridge_regression_normal_eq",
+    "quality_fd_discovery",
+    "kmeans_embeddings_lloyd",
+    "multimodal_frame_sample",
 ]
 
 

@@ -640,17 +640,48 @@ def similarity_recall_lsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------- grouped scientific compute
 @register(
     "embedding_label_pca",
-    oracle=None,
+    # Bounded-error oracle (VERDICT r10 ask #4): eigensolver float details
+    # are platform-dependent, so the eigenvalues themselves are not
+    # hash-compared — instead the oracle computes the EXACT total variance
+    # (trace of the sample covariance = sum over dims of var_samp) in SQL,
+    # and the Spark side asserts the spectral invariants that bound any
+    # correct PCA: (a) the eigenvalue sum equals the trace to 1e-9
+    # relative, (b) the top-eigenvalue share lies in [1/64, 1] — the top
+    # of a descending spectrum is never below the mean eigenvalue. A
+    # wrong decomposition flips spectrum_valid and the hash compare fails;
+    # a wrong covariance denominator breaks the total_variance match.
+    # DuckDB side: parallel unnest zips each vector with its dim index,
+    # var_samp per (label, dim), then the trace is the per-label sum.
+    oracle="""
+    WITH dims AS (
+        SELECT label,
+               unnest(range(1, 65)) AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    pervar AS (
+        SELECT label, dim, var_samp(val) AS v
+        FROM dims GROUP BY label, dim
+    ),
+    n AS (SELECT label, COUNT(*) AS n_vecs FROM embeddings GROUP BY label)
+    SELECT p.label,
+           n.n_vecs,
+           CAST(ROUND(CAST(SUM(p.v) AS DECIMAL(38,12)), 4) AS DOUBLE)
+               AS total_variance,
+           TRUE AS spectrum_valid
+    FROM pervar p JOIN n ON n.label = p.label
+    GROUP BY p.label, n.n_vecs
+    """,
     description="Per-label PCA condition scan via applyInPandas: each "
     "label group's covariance spectrum (numpy eigh on the 64x64 Gram "
-    "matrix) yields the top-eigenvalue share — a collapse/anisotropy "
-    "monitor for embedding spaces. The Arrow-batched grouped-map is "
-    "the designed Python surface (one group per task, 64^2 floats of "
-    "state regardless of group row count: the O(n) work is the Gram "
-    "accumulation, which pandas does vectorized). Rows-only check: "
-    "eigensolver float details are platform-dependent, so no SQL "
-    "oracle — the engine-side test asserts spectral invariants "
-    "(ratios in [1/64, 1], eigenvalue sum equals total variance).",
+    "matrix, float64) yields the top-eigenvalue share — a collapse/"
+    "anisotropy monitor for embedding spaces. The Arrow-batched "
+    "grouped-map is the designed Python surface (one group per task, "
+    "64^2 floats of state regardless of group row count: the O(n) work "
+    "is the Gram accumulation, which numpy does vectorized). Bounded-"
+    "error check: total variance hash-matches the SQL-exact trace, and "
+    "spectrum_valid asserts eigenvalue-sum==trace (1e-9 rel) and "
+    "top-share in [1/64, 1].",
 )
 def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
@@ -660,24 +691,32 @@ def embedding_label_pca(spark: SparkSession, sf_dir: str) -> DataFrame:
     def pca_group(pdf: pd.DataFrame) -> pd.DataFrame:
         import numpy as np
 
-        mat = np.stack(pdf["embedding"].to_numpy())
+        mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         centered = mat - mat.mean(axis=0, keepdims=True)
         cov = centered.T @ centered / max(len(mat) - 1, 1)
         evals = np.linalg.eigvalsh(cov)
-        total = float(evals.sum())
+        total = float(np.trace(cov))
+        esum = float(evals.sum())
         top = float(evals[-1])
+        d = mat.shape[1]
+        valid = (
+            total > 0
+            and abs(esum - total) <= 1e-9 * total
+            and (1.0 / d) - 1e-12 <= top / total <= 1.0 + 1e-12
+        )
         return pd.DataFrame(
             {
                 "label": [int(pdf["label"].iloc[0])],
                 "n_vecs": [len(mat)],
-                "top_var_ratio": [round(top / total, 4) if total > 0 else 0.0],
                 "total_variance": [round(total, 4)],
+                "spectrum_valid": [bool(valid)],
             }
         )
 
     return emb.groupBy("label").applyInPandas(
         pca_group,
-        "label int, n_vecs bigint, top_var_ratio double, total_variance double",
+        "label int, n_vecs bigint, total_variance double, "
+        "spectrum_valid boolean",
     )
 
 

@@ -52,4 +52,8 @@ def test_sentinels_are_timed_headline_queries():
     headline = set(bench.headline_names(_catalog_names()))
     for name, ref in bench.SENTINEL_REF.items():
         assert name in headline, f"sentinel {name} not in headline set"
-        assert ref is None or ref > 0
+        # bench.py divides measured time by the ref, so a None or
+        # non-positive entry would crash the summary after all timing
+        # work is done (ADVICE r10): require a strictly positive number.
+        assert isinstance(ref, (int, float)) and not isinstance(ref, bool)
+        assert ref > 0, f"sentinel {name} ref must be > 0, got {ref!r}"
