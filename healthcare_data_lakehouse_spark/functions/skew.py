@@ -21,7 +21,12 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["with_salt", "replicate_for_salt", "salted_join"]
+__all__ = [
+    "with_salt",
+    "replicate_for_salt",
+    "salted_join",
+    "salted_self_pair_join",
+]
 
 
 def with_salt(df: DataFrame, unique_col: str, n_salts: int) -> DataFrame:
@@ -54,3 +59,38 @@ def salted_join(
     f = with_salt(fact, fact_unique_col, n_salts)
     d = replicate_for_salt(dim, n_salts)
     return f.join(d, [on, "_salt"], how).drop("_salt")
+
+
+def salted_self_pair_join(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Self-join candidate generation with hot-key salting.
+
+    Produces exactly the pairs of ``df.alias('a').join(df.alias('b'),
+    keys).filter(a.id < b.id)`` — every unordered pair sharing the key
+    appears once — but spreads each hot key's probe side over ``n_salts``
+    reducers: side A gets a deterministic salt from its unique ``id_col``,
+    side B is replicated across all salts, and the join key becomes
+    (keys..., _salt). Pair (x, y) surfaces once, at x's salt (the reverse
+    orientation lands at y's salt and is dropped by the ``<`` filter).
+
+    The quadratic candidate volume of a hot key is inherent to blocked
+    candidate generation; what salting fixes is its PLACEMENT — |hot|/n x
+    |hot| work per reducer instead of |hot|^2 on one. Output columns:
+    every non-key column of ``df`` suffixed ``_a`` / ``_b`` plus the keys.
+    """
+    payload = [c for c in df.columns if c not in keys]
+    a = with_salt(df, id_col, n_salts).select(
+        *keys, "_salt", *[F.col(c).alias(f"{c}_a") for c in payload]
+    )
+    b = replicate_for_salt(df, n_salts).select(
+        *keys, "_salt", *[F.col(c).alias(f"{c}_b") for c in payload]
+    )
+    return (
+        a.join(b, [*keys, "_salt"])
+        .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
+        .drop("_salt")
+    )

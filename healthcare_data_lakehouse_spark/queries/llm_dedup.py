@@ -341,7 +341,7 @@ def dedup_simhash_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------- simhash block-permutation index
-def _simhash_block_oracle() -> str:
+def _simhash_blocks_cte() -> str:
     votes = ",\n               ".join(
         f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS v_{b}"
         for b in range(32)
@@ -378,7 +378,11 @@ def _simhash_block_oracle() -> str:
         SELECT doc_id, simhash, b.i AS block_id,
                (simhash >> (8 * CAST(b.i AS INT))) & 255 AS block_val
         FROM sig, UNNEST(range(0, 4)) AS b(i)
-    ),
+    )"""
+
+
+def _simhash_block_oracle() -> str:
+    return f"""{_simhash_blocks_cte()},
     cand AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                a.simhash AS sh_a, b.simhash AS sh_b
@@ -417,41 +421,7 @@ def _simhash_block_oracle() -> str:
     "no text ever shuffles past the signature stage.",
 )
 def dedup_simhash_block_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
-    corpus = docs.unionAll(
-        docs.filter(F.col("doc_id") % 15 == 0).select(
-            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
-        )
-    ).unionAll(
-        docs.filter(F.col("doc_id") % 12 == 0).select(
-            (F.col("doc_id") + 2_000_000).alias("doc_id"),
-            F.concat(F.col("text"), F.lit(" xqzyextra")).alias("text"),
-        )
-    )
-    feats = corpus.repartition(
-        spark.sparkContext.defaultParallelism
-    ).select(
-        "doc_id",
-        F.explode(D.word_shingles(F.col("text"), 3)).alias("f"),
-    )
-    sh = D.simhash32_features(feats, "doc_id", "f")
-    blocks = sh.select(
-        "doc_id",
-        "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("block_id"),
-                        F.shiftright("simhash", 8 * i)
-                        .bitwiseAND(F.lit(255))
-                        .alias("block_val"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("blk"),
-    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+    blocks = _simhash_corpus_blocks(spark, sf_dir)
     a = blocks.select(
         F.col("doc_id").alias("id_a"),
         F.col("simhash").alias("sh_a"),
@@ -475,6 +445,143 @@ def dedup_simhash_block_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.select(
             "id_a", "id_b", ham.cast("bigint").alias("hamming")
         )
+        .filter(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _simhash_corpus_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared stage of the simhash block-index family: the planted-mirror
+    corpus -> 3-word shingle features -> 32-bit signatures -> 4x 8-bit
+    block keys (doc_id, simhash, block_id, block_val)."""
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus = docs.unionAll(
+        docs.filter(F.col("doc_id") % 15 == 0).select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+        )
+    ).unionAll(
+        docs.filter(F.col("doc_id") % 12 == 0).select(
+            (F.col("doc_id") + 2_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" xqzyextra")).alias("text"),
+        )
+    )
+    feats = corpus.repartition(
+        spark.sparkContext.defaultParallelism
+    ).select(
+        "doc_id",
+        F.explode(D.word_shingles(F.col("text"), 3)).alias("f"),
+    )
+    sh = D.simhash32_features(feats, "doc_id", "f")
+    return sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("block_id"),
+                        F.shiftright("simhash", 8 * i)
+                        .bitwiseAND(F.lit(255))
+                        .alias("block_val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("blk"),
+    ).select("doc_id", "simhash", "blk.block_id", "blk.block_val")
+
+
+@register(
+    "dedup_simhash_block_population",
+    oracle=f"""{_simhash_blocks_cte()},
+    pop AS (
+        SELECT block_id, block_val, COUNT(*) AS c
+        FROM blocks GROUP BY block_id, block_val
+    )
+    SELECT block_id,
+           COUNT(*) AS n_block_vals,
+           MAX(c) AS max_population,
+           CAST(ROUND(CAST(AVG(c) AS DECIMAL(38,8)), 2) AS DOUBLE)
+               AS avg_population,
+           CAST(SUM(c * (c - 1) // 2) AS BIGINT) AS candidate_pairs
+    FROM pop GROUP BY block_id ORDER BY block_id
+    """,
+    description="The measurement behind the simhash hot-block skew lever "
+    "(VERDICT r10 ask #3): per 8-bit block table, the occupied bucket "
+    "count, the max/avg bucket population, and the exact candidate-pair "
+    "volume sum(c*(c-1)/2) the block equi-join will generate. max_"
+    "population IS the join-skew number — the largest single-reducer "
+    "key before mitigation — and candidate_pairs is the verification "
+    "work. The regression bound lives in tests/test_llm_dedup_scale.py: "
+    "on the sf0.1 corpus no block value may exceed ~6x the mean "
+    "occupied-bucket population, which is the threshold where the "
+    "salted variant (dedup_simhash_salted_blocks) becomes the cheaper "
+    "plan. One groupBy over the block table — the audit costs one "
+    "shuffle of O(blocks) rows.",
+)
+def dedup_simhash_block_population(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    blocks = _simhash_corpus_blocks(spark, sf_dir)
+    pop = blocks.groupBy("block_id", "block_val").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        pop.groupBy("block_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_block_vals"),
+            F.max("c").alias("max_population"),
+            dround(F.avg("c"), 2).alias("avg_population"),
+            F.sum(
+                (F.col("c") * (F.col("c") - 1) / 2).cast("bigint")
+            ).alias("candidate_pairs"),
+        )
+        .orderBy("block_id")
+    )
+
+
+@register(
+    "dedup_simhash_salted_blocks",
+    # IDENTICAL oracle to dedup_simhash_block_index: the salted plan must
+    # produce byte-identical pairs — only the shuffle layout changes.
+    oracle=_simhash_block_oracle(),
+    description="Salted variant of the simhash block equi-join "
+    "(VERDICT r10 ask #3 — the production lever the block index "
+    "documents): probe side salted 8 ways on doc_id, build side "
+    "replicated per salt, join key (block_id, block_val, salt). A hot "
+    "block value's quadratic candidate volume is inherent; salting "
+    "changes its PLACEMENT — |hot|/8 x |hot| per reducer instead of "
+    "|hot|^2 on one straggler. Hash-matched against the same oracle as "
+    "the unsalted index, so output parity is driver-verified, not "
+    "claimed. At this corpus's skew (max block population ~2x mean — "
+    "see dedup_simhash_block_population) the unsalted plan is fine; "
+    "this query exists so the lever is a tested one-line swap "
+    "(salted_self_pair_join) when a production corpus's template "
+    "boilerplate makes one block value hot.",
+)
+def dedup_simhash_salted_blocks(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.skew import (
+        salted_self_pair_join,
+    )
+
+    blocks = _simhash_corpus_blocks(spark, sf_dir)
+    pairs = salted_self_pair_join(
+        blocks, keys=["block_id", "block_val"], id_col="doc_id", n_salts=8
+    )
+    cand = (
+        pairs.select(
+            F.col("doc_id_a").alias("id_a"),
+            F.col("doc_id_b").alias("id_b"),
+            F.col("simhash_a").alias("sh_a"),
+            F.col("simhash_b").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("id_a", "id_b", ham.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     )

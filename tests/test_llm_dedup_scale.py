@@ -1,0 +1,92 @@
+"""SimHash hot-block skew: measurement + regression bound (VERDICT r10 #3).
+
+The block-permutation index's scale risk is a hot block value — one 8-bit
+bucket holding a disproportionate share of signatures turns the block
+equi-join into a single-reducer straggler. Measured on the sf0.1 corpus
+(round 11): max bucket population 67 vs mean 22.46 (skew ratio ~3.0x,
+candidate volume ~68k pairs/table). These tests pin that measurement with
+headroom (bound: max <= 6x mean — the point where salting becomes the
+cheaper plan) and prove the salted variant is output-identical to the
+unsalted index, so flipping the lever in production is a verified one-line
+swap, not a semantics change.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.1"])
+def test_simhash_block_skew_within_bound(spark, sf_dir):
+    from healthcare_data_lakehouse_spark.queries.llm_dedup import (
+        dedup_simhash_block_population,
+    )
+
+    rows = dedup_simhash_block_population(spark, sf_dir).collect()
+    assert len(rows) == 4  # one row per 8-bit block table
+    for r in rows:
+        # every bucket occupied at sf0.1 (3-word shingles spread well)
+        assert r.n_block_vals == 256
+        # regression bound: no hot bucket beyond 6x the mean population.
+        # Measured headroom 2x (max/mean ~3.0 in r11); a generator or
+        # signature change that concentrates buckets trips this first.
+        assert r.max_population <= 6 * r.avg_population, (
+            f"block {r.block_id}: max {r.max_population} vs "
+            f"avg {r.avg_population}"
+        )
+
+
+def test_simhash_salted_equals_unsalted(spark):
+    from healthcare_data_lakehouse_spark.queries.llm_dedup import (
+        dedup_simhash_block_index,
+        dedup_simhash_salted_blocks,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    plain = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup_simhash_block_index(spark, sf).collect()
+    }
+    salted = {
+        (r.id_a, r.id_b, r.hamming)
+        for r in dedup_simhash_salted_blocks(spark, sf).collect()
+    }
+    assert plain, "expected planted mirrors to produce pairs"
+    assert plain == salted
+
+
+def test_salted_self_pair_join_generic_parity(spark):
+    """Property-style parity of salted_self_pair_join on a synthetic
+    skewed key distribution: one hot key with 40 members (quadratic
+    fan-out), several cold keys, plus a singleton (no pairs)."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.functions.skew import (
+        salted_self_pair_join,
+    )
+
+    rows = [("hot", i) for i in range(40)]
+    rows += [(f"cold{k}", 1000 + 10 * k + i) for k in range(5) for i in range(3)]
+    rows += [("single", 9999)]
+    df = spark.createDataFrame(rows, "k string, id int")
+
+    expected = {
+        (r.k, r.id_a, r.id_b)
+        for r in df.alias("a")
+        .join(df.alias("b"), "k")
+        .select(
+            "k",
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .collect()
+    }
+    got = {
+        (r.k, r.id_a, r.id_b)
+        for r in salted_self_pair_join(
+            df, keys=["k"], id_col="id", n_salts=4
+        ).collect()
+    }
+    assert len(expected) == 40 * 39 // 2 + 5 * 3
+    assert got == expected
