@@ -4,9 +4,9 @@ The driver ships read-only fixtures at sf <= 0.1 (`TESTDATA.md`); measuring
 the scale exponent needs one decade more data. This generator reproduces the
 driver tables' schemas and distributions — verified against the shipped
 parquet at all three SFs (row-count ratios, value domains, the documents
-near-dup planting recipe, the unit-norm weakly-clustered embeddings, the
-TIMESTAMP(NANOS) events quirk) — at an arbitrary SF into a SCRATCH directory
-(never `/root/testdata`, which is read-only).
+near-dup planting recipe, the unit-norm weakly-clustered embeddings,
+microsecond timestamps per the shipped footers) — at an arbitrary SF into a
+SCRATCH directory (never `/root/testdata`, which is read-only).
 
 Distribution recipes mirrored from the shipped data:
   - rows: customer 150k/sf-unit, supplier 10k, part 200k, orders 1.5M,
@@ -18,8 +18,9 @@ Distribution recipes mirrored from the shipped data:
     lines/order, linenumber cycles 1..7).
   - part: 8x8 "adj noun" names, Brand#0..24, 6 types,
     retailprice = 900 + (key % 1000) * 0.1.
-  - events: ts ~ U(Jan 2024, 30 days) at NANOS precision, value ~
-    Exp(mean 50), props = {"k": U{0..99}}.
+  - events: ts ~ U(Jan 2024, 30 days) at microsecond precision, value ~
+    Exp(mean 50), props = {"k": U{0..99}}. All timestamps are
+    timestamp[us], matching the shipped parquet footers.
   - documents: 10..100 words from the 30-word vocab; lang en 40% /
     {zh,es,fr,de} 15% each; source = src{i%20}; ~5% planted dups copying a
     random earlier base doc, of which ~3% byte-exact and the rest with the
@@ -56,7 +57,7 @@ DOC_VOCAB = [
 LANGS = ["en", "zh", "es", "fr", "de"]
 LANG_P = [0.4, 0.15, 0.15, 0.15, 0.15]
 
-DAY_MS = 86_400_000
+DAY_US = 86_400_000_000
 
 
 def _write(out: Path, name: str, table: pa.Table) -> None:
@@ -119,10 +120,10 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
         "p_retailprice": pa.array(np.round(900.0 + (pk % 1000) * 0.1, 2)),
     }))
 
-    # orders: dates uniform over 1995-01-01 .. 2001-08-01 (day-aligned ms)
-    d0 = np.datetime64("1995-01-01").astype("datetime64[ms]").astype(np.int64)
-    d1 = np.datetime64("2001-08-01").astype("datetime64[ms]").astype(np.int64)
-    odate_ms = d0 + rng.integers(0, (d1 - d0) // DAY_MS + 1, n_ord) * DAY_MS
+    # orders: dates uniform over 1995-01-01 .. 2001-08-01 (day-aligned us)
+    d0 = np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64)
+    d1 = np.datetime64("2001-08-01").astype("datetime64[us]").astype(np.int64)
+    odate_us = d0 + rng.integers(0, (d1 - d0) // DAY_US + 1, n_ord) * DAY_US
     _write(out, "orders", pa.table({
         "o_orderkey": pa.array(range(n_ord), pa.int64()),
         "o_custkey": pa.array(rng.integers(0, n_cust, n_ord), pa.int64()),
@@ -130,7 +131,7 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
             np.array(ORDERSTATUS)[rng.integers(0, 3, n_ord)]),
         "o_totalprice": pa.array(
             np.round(rng.uniform(1000.0, 500_000.0, n_ord), 2)),
-        "o_orderdate": pa.array(odate_ms, pa.timestamp("ms")),
+        "o_orderdate": pa.array(odate_us, pa.timestamp("us")),
         "o_orderpriority": pa.array(
             np.array(PRIORITIES)[rng.integers(0, 5, n_ord)]),
     }))
@@ -141,8 +142,8 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
     starts = np.flatnonzero(np.r_[True, lok[1:] != lok[:-1]])
     occ = np.arange(n_li) - np.repeat(starts, np.diff(np.r_[starts, n_li]))
     qty = rng.integers(1, 51, n_li).astype(np.float64)
-    ship_ms = (
-        odate_ms[lok] + rng.integers(1, 96, n_li) * DAY_MS
+    ship_us = (
+        odate_us[lok] + rng.integers(1, 96, n_li) * DAY_US
     )
     _write(out, "lineitem", pa.table({
         "l_orderkey": pa.array(lok, pa.int64()),
@@ -159,17 +160,16 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
             np.array(["A", "N", "R"])[rng.integers(0, 3, n_li)]),
         "l_linestatus": pa.array(
             np.array(["O", "F"])[rng.integers(0, 2, n_li)]),
-        "l_shipdate": pa.array(ship_ms, pa.timestamp("ms")),
+        "l_shipdate": pa.array(ship_us, pa.timestamp("us")),
     }))
 
-    # events: the shipped file is TIMESTAMP(NANOS) — keep that quirk so
-    # tables.table()'s nanosAsLong read path is exercised identically.
-    t0 = np.datetime64("2024-01-01").astype("datetime64[ns]").astype(np.int64)
-    span_ns = 30 * 86_400 * 1_000_000_000
+    # events: microsecond timestamps, matching the shipped footers
+    t0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    span_us = 30 * 86_400 * 1_000_000
     _write(out, "events", pa.table({
         "event_id": pa.array(range(n_ev), pa.int64()),
         "ts": pa.array(
-            t0 + rng.integers(0, span_ns, n_ev), pa.timestamp("ns")),
+            t0 + rng.integers(0, span_us, n_ev), pa.timestamp("us")),
         "user_id": pa.array(rng.integers(0, n_users, n_ev), pa.int64()),
         "event_type": pa.array(
             np.array(EVENT_TYPES)[rng.integers(0, 5, n_ev)]),
