@@ -235,6 +235,136 @@ def dedup_minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.minhash_signature(_docs_with_dups(spark, sf_dir, 20))
 
 
+# ----------------------------------- one-permutation hashing (OPH)
+def _oph_chain() -> str:
+    """The OPH CTE chain (shingle hash -> per-bin conditional mins ->
+    rotation-densified signature), mirroring functions.dedup.
+    oph_signature exactly; expects a ``shingles`` CTE in scope."""
+    B = D.OPH_BINS
+    raw = ",\n               ".join(
+        f"MIN(CASE WHEN h % {B} = {j} THEN h END) AS raw_{j}"
+        for j in range(B)
+    )
+    dens = ",\n           ".join(
+        "COALESCE("
+        + ", ".join(f"raw_{(j + i) % B}" for i in range(B))
+        + f") AS oph_{j}"
+        for j in range(B)
+    )
+    return f"""oph_hashed AS (
+        SELECT doc_id, {_H48.format(c='shingle')} AS h FROM shingles
+    ),
+    oph_raw AS (
+        SELECT doc_id,
+               {raw}
+        FROM oph_hashed GROUP BY doc_id
+    ),
+    oph AS (
+        SELECT doc_id,
+           {dens}
+        FROM oph_raw
+    )"""
+
+
+def _oph_ctes() -> str:
+    return (
+        _DOCS_DUPS_SQL.format(mod=20)
+        + ", "
+        + _SHINGLES_SQL
+        + ",\n    "
+        + _oph_chain()
+    )
+
+
+@register(
+    "dedup_minhash_oph_signatures",
+    oracle="WITH "
+    + _oph_ctes()
+    + "\n    SELECT * FROM oph ORDER BY doc_id",
+    description="One-permutation-hashing MinHash (Shrivastava & Li, "
+    "ICML'14): ONE hash per shingle partitioned into 16 bins (min per "
+    "bin), rotation-densified for empty bins — estimator resolution of "
+    "a 16-perm classic sketch at 1/16 the hashing. At 100 TB the "
+    "signature pass is the dominant dedup cost and it is linear in the "
+    "permutation count, so OPH is the difference between k scans' worth "
+    "of hash work and one. Same plan shape as the classic sketch: one "
+    "explode + one groupBy(doc) with conditional mins; densification is "
+    "a post-agg coalesce projection, zero extra shuffle.",
+)
+def dedup_minhash_oph_signatures(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return D.oph_signature(_docs_with_dups(spark, sf_dir, 20)).orderBy(
+        "doc_id"
+    )
+
+
+def _oph_error_oracle() -> str:
+    B = D.OPH_BINS
+    ctes, final = _lsh_pairs_ctes()
+    matches = " + ".join(
+        f"CASE WHEN a.oph_{j} = b.oph_{j} THEN 1 ELSE 0 END"
+        for j in range(B)
+    )
+    # _lsh_pairs_ctes already defines docs/toks/shingles; reuse them and
+    # append only the OPH chain (hashed/raw/densified).
+    return f"""
+    WITH {ctes},
+    pairs AS ({final}),
+    {_oph_chain()}
+    SELECT p.id_a, p.id_b, p.jaccard,
+           ROUND(({matches}) / {B}.0, 6) AS oph_estimate,
+           ROUND(ABS(p.jaccard - ({matches}) / {B}.0), 6) AS abs_err
+    FROM pairs p
+    JOIN oph a ON a.doc_id = p.id_a
+    JOIN oph b ON b.doc_id = p.id_b
+    """
+
+
+@register(
+    "dedup_oph_jaccard_error",
+    oracle=_oph_error_oracle(),
+    description="Estimator-fidelity audit for the OPH sketch: on every "
+    "LSH-verified near-dup pair, the densified-signature agreement "
+    "estimate (matching bins / 16) is laid beside the exact shingle-set "
+    "Jaccard. The OPH twin of similarity_minhash_jaccard_error — "
+    "together they answer whether the 1-hash sketch can replace the "
+    "k-hash sketch at a given error budget before a 100 TB run commits "
+    "to one. Signatures join broadcast-size per pair.",
+)
+def dedup_oph_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    pairs = D.lsh_candidate_pairs(docs, threshold=0.5)
+    oph = D.oph_signature(docs)
+    B = D.OPH_BINS
+    oa = oph.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"oph_{j}").alias(f"a_{j}") for j in range(B)],
+    )
+    ob = oph.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"oph_{j}").alias(f"b_{j}") for j in range(B)],
+    )
+    est = (
+        sum(
+            F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
+            for j in range(B)
+        )
+        / float(B)
+    )
+    return (
+        pairs.join(oa, "id_a")
+        .join(ob, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            "jaccard",
+            F.round(est, 6).alias("oph_estimate"),
+            F.round(F.abs(F.col("jaccard") - est), 6).alias("abs_err"),
+        )
+    )
+
+
 def _lsh_pairs_oracle() -> str:
     ctes, final = _lsh_pairs_ctes()
     return "WITH " + ctes + final

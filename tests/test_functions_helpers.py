@@ -90,3 +90,31 @@ def test_prefix_filter_equals_exhaustive_jaccard(spark, sf_dir):
         for r in prefix_filter_jaccard_pairs(docs, threshold=t).collect()
     }
     assert got == want
+
+
+def test_oph_signature_properties(spark):
+    """OPH (one-permutation hashing): densification leaves no NULL bins,
+    identical texts get identical signatures (estimate 1.0), and the
+    estimator tracks Jaccard on a known-overlap pair."""
+    from pyspark.sql import functions as F
+
+    from healthcare_data_lakehouse_spark.functions import dedup as D
+
+    rows = [
+        (0, "a b c d e f g h"),
+        (1, "a b c d e f g h"),          # exact dup of 0
+        (2, "a b c d e f zz yy"),        # partial overlap with 0
+        (3, "q"),                        # single-shingle doc
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sig = D.oph_signature(df).collect()
+    byid = {r.doc_id: [r[f"oph_{j}"] for j in range(D.OPH_BINS)] for r in sig}
+    assert len(byid) == 4
+    for vals in byid.values():
+        assert all(v is not None for v in vals)  # densified
+    assert byid[0] == byid[1]  # identical docs -> identical signatures
+    # doc 3 has ONE shingle: every bin densifies to the same single hash
+    assert len(set(byid[3])) == 1
+    # partial overlap: estimate strictly between 0 and 1 of doc 0
+    matches = sum(a == b for a, b in zip(byid[0], byid[2]))
+    assert 0 < matches < D.OPH_BINS
