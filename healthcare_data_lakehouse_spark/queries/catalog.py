@@ -128,16 +128,20 @@ PRIORITY = [
     # graph_khop_expansion_profile (the one r10 operator that only had
     # full-sweep evidence — ADVICE r10 #4) and the two operators the r10
     # comment promised back to the pool (ridge regression, FD
-    # discovery). The 29th slot (sketch_hll_distinct_users) is a repeat
-    # name whose ORACLE was rewritten this round from rows-only to a
-    # bounded-error check (VERDICT r10 ask #4), as were
+    # discovery). Four slots carry the operators NEW in r11 (simhash
+    # skew measurement + salted variant, OPH signatures + fidelity
+    # audit) — new code paths get driver evidence in the round they
+    # land, and all four are first-time names too. One slot
+    # (sketch_hll_distinct_users) is a repeat name whose ORACLE was
+    # rewritten this round from rows-only to a bounded-error check
+    # (VERDICT r10 ask #4), as were
     # sketch_approx_percentile_order_value and embedding_label_pca —
     # rewritten code paths get driver evidence in the round they change.
     "tpch_q11_important_part_value",
-    "tpch_q16_part_supplier_counts",
-    "tpch_q20_heavy_widget_shippers",
-    "rollup_revenue_calendar",
-    "window_order_percentile_rank",
+    "dedup_simhash_block_population",
+    "dedup_simhash_salted_blocks",
+    "dedup_minhash_oph_signatures",
+    "dedup_oph_jaccard_error",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine_pairs",
