@@ -142,6 +142,7 @@ PRIORITY = [
     "dedup_simhash_salted_blocks",
     "dedup_minhash_oph_signatures",
     "dedup_oph_jaccard_error",
+    "dedup_oph_lsh_pairs",
     "dedup_minhash_signatures",
     "dedup_ngram_jaccard_pairs",
     "dedup_embedding_cosine_pairs",
@@ -153,7 +154,6 @@ PRIORITY = [
     "sketch_approx_percentile_order_value",
     "sketch_hll_distinct_users",
     "text_language_id",
-    "text_fingerprint",
     "text_token_stats",
     "text_zipf_slope",
     "pipeline_decontaminate_train",
