@@ -35,6 +35,9 @@ __all__ = [
     "pq_encode",
     "pq_adc_dist",
     "kcenter_greedy",
+    "JL_SIGNS",
+    "JL_K",
+    "jl_project",
 ]
 
 
@@ -479,3 +482,45 @@ def lsh_multiprobe_top_k(
         .orderBy(F.col("score").desc(), F.col(id_col).asc())
         .limit(k)
     )
+
+
+# --------------------------------- Johnson-Lindenstrauss random projection
+JL_K = 16
+
+
+def _lcg_signs(k: int, dim: int) -> list[list[float]]:
+    """Deterministic Rademacher (+1/-1) projection matrix, k rows x dim cols.
+
+    Bit 16 of the LCG state drives the sign — the low bit of a power-of-two
+    modulus LCG alternates and would give a striped (useless) matrix."""
+    rows, state = [], 7707
+    for _ in range(k):
+        row = []
+        for _ in range(dim):
+            state = (1103515245 * state + 12345) % (2**31)
+            row.append(1.0 if (state >> 16) & 1 else -1.0)
+        rows.append(row)
+    return rows
+
+
+JL_SIGNS: list[list[float]] = _lcg_signs(JL_K, _DIM)
+_JL_SCALE = JL_K**0.5
+
+
+def jl_project(vec_col: str = "embedding") -> Column:
+    """Project a 64-dim vector to JL_K dims with the Rademacher sign matrix
+    (Achlioptas 2003: +-1 entries satisfy the JL lemma at the same k as
+    Gaussians). One generated-SQL expression — k zip_with/aggregate dot
+    products over sign literals, scaled 1/sqrt(k); stays inside whole-stage
+    codegen, zero shuffle, and cuts downstream distance math + memory 4x,
+    which at 100 TB is the difference between an in-memory re-rank tier
+    and a spill."""
+    dims = []
+    for row in JL_SIGNS:
+        lits = ", ".join(f"{float(v)!r}D" for v in row)
+        dims.append(
+            f"(aggregate(zip_with({vec_col}, array({lits}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v) "
+            f"/ {_JL_SCALE!r}D)"
+        )
+    return F.expr("array(" + ", ".join(dims) + ")")

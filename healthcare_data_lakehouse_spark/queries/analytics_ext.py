@@ -2863,3 +2863,106 @@ def sketch_ams_f2_user_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rel_error_pct"
         ),
     )
+
+
+# ------------------------------------ sorted-neighborhood entity resolution
+@register(
+    "er_sorted_neighborhood_pairs",
+    oracle="""
+    WITH recs AS (
+        SELECT c_custkey AS rec_id, c_name AS name FROM customer
+        UNION ALL
+        SELECT c_custkey + 1000000 AS rec_id,
+               substr(c_name, 1, length(c_name) - 1) AS name
+        FROM customer WHERE c_custkey % 10 = 3
+    ),
+    ranked AS (
+        SELECT rec_id, name,
+               ROW_NUMBER() OVER (ORDER BY name, rec_id) - 1 AS rnk
+        FROM recs
+    ),
+    pairs AS (
+        SELECT a.rec_id AS id_a, b.rec_id AS id_b,
+               levenshtein(a.name, b.name) AS name_dist,
+               b.rnk - a.rnk AS rank_gap
+        FROM ranked a JOIN ranked b
+          ON b.rnk - a.rnk BETWEEN 1 AND 4
+    )
+    SELECT id_a, id_b, name_dist, rank_gap FROM pairs
+    WHERE name_dist <= 2 AND (id_a >= 1000000 OR id_b >= 1000000)
+    """,
+    description="Sorted-neighborhood entity resolution (Hernandez & "
+    "Stolfo 1995), the OTHER classic blocking family next to "
+    "er_fuzzy_customer_match's prefix blocks: all records (masters + "
+    "truncated-tail dirty variants) are ranked by sort key ONCE using "
+    "the same two-pass range-partition + broadcast-offset scheme as "
+    "pipeline_global_row_index (no single-partition sort), then the "
+    "sliding window of width 4 becomes a rank-band EQUI-join — each "
+    "record probes buckets floor(rnk/4) and floor(rnk/4)+1, so a "
+    "candidate pair costs one hash lookup instead of an O(N^2) scan "
+    "or a skew-prone range join. Survivors verify with Levenshtein "
+    "<= 2 and keep only variant-involved pairs. SNM's value at 100 TB "
+    "is that window size (candidate budget) is independent of block-"
+    "key skew: a million identical prefixes cannot blow up one "
+    "reducer, the window stays 4.",
+)
+def er_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = table(spark, sf_dir, "customer")
+    masters = cust.select(
+        F.col("c_custkey").alias("rec_id"), F.col("c_name").alias("name")
+    )
+    variants = cust.filter(F.col("c_custkey") % 10 == 3).select(
+        (F.col("c_custkey") + 1_000_000).alias("rec_id"),
+        F.expr("substr(c_name, 1, length(c_name) - 1)").alias("name"),
+    )
+    recs = masters.unionAll(variants)
+    n_parts = max(spark.sparkContext.defaultParallelism // 2, 4)
+    ranged = recs.repartitionByRange(n_parts, "name", "rec_id").withColumn(
+        "pid", F.spark_partition_id()
+    )
+    ranged = ranged.persist()
+    counts = ranged.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        "pid", F.coalesce(F.sum("cnt").over(w_off), F.lit(0)).alias("offset")
+    )
+    w_local = Window.partitionBy("pid").orderBy("name", "rec_id")
+    ranked = (
+        ranged.withColumn("lr", F.row_number().over(w_local))
+        .join(F.broadcast(offsets), "pid")
+        .select(
+            "rec_id", "name", (F.col("offset") + F.col("lr") - 1).alias("rnk")
+        )
+    )
+    win = 4
+    a = ranked.select(
+        F.col("rec_id").alias("id_a"),
+        F.col("name").alias("name_a"),
+        F.col("rnk").alias("rnk_a"),
+        F.explode(
+            F.array(
+                F.floor(F.col("rnk") / win), F.floor(F.col("rnk") / win) + 1
+            )
+        ).alias("gk"),
+    )
+    b = ranked.select(
+        F.col("rec_id").alias("id_b"),
+        F.col("name").alias("name_b"),
+        F.col("rnk").alias("rnk_b"),
+        F.floor(F.col("rnk") / win).alias("gk"),
+    )
+    pairs = a.join(b, "gk").filter(
+        (F.col("rnk_b") - F.col("rnk_a")).between(1, win)
+    )
+    return (
+        pairs.select(
+            "id_a",
+            "id_b",
+            F.levenshtein("name_a", "name_b").alias("name_dist"),
+            (F.col("rnk_b") - F.col("rnk_a")).cast("bigint").alias("rank_gap"),
+        )
+        .filter(
+            (F.col("name_dist") <= 2)
+            & ((F.col("id_a") >= 1_000_000) | (F.col("id_b") >= 1_000_000))
+        )
+    )

@@ -2658,3 +2658,94 @@ def dedup_content_defined_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("avg_chunk_tokens"),
         F.max("uses").cast("bigint").alias("max_chunk_reuse"),
     )
+
+
+# --------------------------------------------- C4 global line-level dedup
+@register(
+    "dedup_c4_line_global",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    lines AS (
+        SELECT doc_id, i AS line_idx,
+               array_to_string(tl[i*8+1 : i*8+8], ' ') AS line,
+               least(8, len(tl) - i*8) AS n_tok
+        FROM toks, UNNEST(range(0, CAST(ceil(len(tl) / 8.0) AS BIGINT))) AS u(i)
+    ),
+    winners AS (
+        SELECT doc_id, n_tok FROM (
+            SELECT doc_id, n_tok, ROW_NUMBER() OVER (
+                PARTITION BY line ORDER BY doc_id, line_idx) AS rn
+            FROM lines
+        ) WHERE rn = 1
+    ),
+    keptagg AS (
+        SELECT doc_id, COUNT(*) AS n_kept,
+               CAST(SUM(n_tok) AS BIGINT) AS kept_tokens
+        FROM winners GROUP BY doc_id
+    ),
+    totals AS (
+        SELECT doc_id, COUNT(*) AS n_lines,
+               CAST(SUM(n_tok) AS BIGINT) AS total_tokens
+        FROM lines GROUP BY doc_id
+    )
+    SELECT t.doc_id, t.n_lines, t.total_tokens,
+           COALESCE(k.n_kept, 0) AS n_kept,
+           COALESCE(k.kept_tokens, 0) AS kept_tokens,
+           ROUND(CAST(COALESCE(k.kept_tokens, 0) AS DOUBLE) / t.total_tokens,
+                 6) AS kept_frac
+    FROM totals t LEFT JOIN keptagg k ON k.doc_id = t.doc_id
+    """,
+    description="C4-style GLOBAL line-level dedup (Raffel et al. 2020 "
+    "deduplicate exact lines across the whole corpus, keeping one "
+    "occurrence): docs chunk into consecutive 8-token lines inside the "
+    "array column, every line shuffles once on its content key, the "
+    "first occurrence (min doc_id, line_idx) wins via a map-side-"
+    "combinable min-struct agg — no window, no second scan — and the "
+    "per-doc retained-token profile comes back from one more key-local "
+    "agg. This is THE canonical 100 TB dedup shuffle: one global "
+    "groupBy on the line key; production would key on xxhash64(line) "
+    "to shuffle 8 bytes instead of the text (same winners, smaller "
+    "exchange), and boilerplate-heavy corpora make a few line keys hot "
+    "- the salting lever measured for SimHash blocks applies as-is.",
+)
+def dedup_c4_line_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("tl"))
+    lines = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.expr(
+                "transform(sequence(0, CAST(ceil(size(tl) / 8.0) AS INT) - 1), "
+                "i -> struct(concat_ws(' ', slice(tl, i * 8 + 1, 8)) AS line, "
+                "size(slice(tl, i * 8 + 1, 8)) AS n_tok))"
+            )
+        ).alias("line_idx", "s"),
+    ).select(
+        "doc_id",
+        "line_idx",
+        F.col("s.line").alias("line"),
+        F.col("s.n_tok").alias("n_tok"),
+    )
+    winners = lines.groupBy("line").agg(
+        F.min(F.struct("doc_id", "line_idx", "n_tok")).alias("w")
+    )
+    keptagg = winners.groupBy(F.col("w.doc_id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("w.n_tok").cast("bigint").alias("kept_tokens"),
+    )
+    totals = lines.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("n_tok").cast("bigint").alias("total_tokens"),
+    )
+    return totals.join(keptagg, "doc_id", "left").select(
+        "doc_id",
+        "n_lines",
+        "total_tokens",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+        F.coalesce("kept_tokens", F.lit(0)).alias("kept_tokens"),
+        F.round(
+            F.coalesce("kept_tokens", F.lit(0)).cast("double")
+            / F.col("total_tokens"),
+            6,
+        ).alias("kept_frac"),
+    )

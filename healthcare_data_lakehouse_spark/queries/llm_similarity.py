@@ -2133,3 +2133,191 @@ def multimodal_audio_vad_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "avg_energy"
         ),
     )
+
+
+# ------------------------- Johnson-Lindenstrauss random projection tier
+def _jl_proj_sql(vec_expr: str = "embedding") -> str:
+    """DuckDB expression for the JL_K-dim Rademacher projection (same
+    deterministic sign matrix as functions.similarity.JL_SIGNS)."""
+    dims = []
+    for row in S.JL_SIGNS:
+        lit = "[" + ", ".join(repr(v) for v in row) + "]"
+        dims.append(
+            f"(list_sum(list_transform(list_zip({vec_expr}, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) "
+            f"/ {S._JL_SCALE!r})"
+        )
+    return "[" + ",\n             ".join(dims) + "]"
+
+
+def _jl_recall_oracle() -> str:
+    return f"""
+    WITH proj AS (
+        SELECT vec_id, embedding, {_jl_proj_sql("embedding")} AS pv
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv, pv AS qpv
+        FROM proj WHERE vec_id < 10
+    ),
+    exact5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, e.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6) DESC,
+                                e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    jl5 AS (
+        SELECT qid, vec_id FROM (
+            SELECT q.qid, p.vec_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("p.pv", "q.qpv")}, 6) DESC,
+                                p.vec_id) AS rn
+            FROM proj p, q WHERE p.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    agg_e AS (SELECT qid, COUNT(*) AS n_exact FROM exact5 GROUP BY qid),
+    agg_j AS (SELECT qid, COUNT(*) AS n_jl FROM jl5 GROUP BY qid),
+    agg_o AS (
+        SELECT e.qid, COUNT(*) AS n_overlap
+        FROM exact5 e JOIN jl5 l ON l.qid = e.qid AND l.vec_id = e.vec_id
+        GROUP BY e.qid
+    )
+    SELECT a.qid AS query_id, a.n_exact,
+           COALESCE(b.n_jl, 0) AS n_jl,
+           COALESCE(c.n_overlap, 0) AS n_overlap,
+           ROUND(CAST(COALESCE(c.n_overlap, 0) AS DOUBLE) / 5, 2) AS recall_at_5
+    FROM agg_e a
+    LEFT JOIN agg_j b ON b.qid = a.qid
+    LEFT JOIN agg_o c ON c.qid = a.qid
+    """
+
+
+@register(
+    "similarity_recall_jl_at5",
+    oracle=_jl_recall_oracle(),
+    description="ANN quality harness for the Johnson-Lindenstrauss "
+    "compression tier: recall@5 of brute-force cosine in the 16-dim "
+    "Rademacher-projected space vs exact 64-dim cosine, over the same "
+    "10-query broadcast panel as the LSH/IVF/PQ harnesses. JL is a "
+    "COMPRESSION (4x fewer dims for every distance and every byte "
+    "moved), not a pruning index — so n_jl is always k and the knob "
+    "being measured is pure rank fidelity at reduced dimension; at "
+    "100 TB the projected copy is the tier that fits in executor "
+    "memory for re-rank while the full vectors stay on disk. The "
+    "projection itself is a generated codegen expression (zero "
+    "shuffle, zero Python).",
+)
+def similarity_recall_jl_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    p = emb.select("vec_id", "embedding", S.jl_project("embedding").alias("pv"))
+    q = p.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("pv").alias("qpv"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    exact5 = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    jl5 = (
+        p.join(F.broadcast(q), p.vec_id != q.qid)
+        .select(
+            "qid",
+            "vec_id",
+            F.round(S.cosine(F.col("pv"), F.col("qpv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("qid", "vec_id")
+    )
+    agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
+    agg_j = jl5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_jl"))
+    agg_o = (
+        exact5.join(jl5, ["qid", "vec_id"])
+        .groupBy("qid")
+        .agg(F.count(F.lit(1)).alias("n_overlap"))
+    )
+    return (
+        agg_e.join(agg_j, "qid", "left")
+        .join(agg_o, "qid", "left")
+        .select(
+            F.col("qid").alias("query_id"),
+            "n_exact",
+            F.coalesce("n_jl", F.lit(0)).alias("n_jl"),
+            F.coalesce("n_overlap", F.lit(0)).alias("n_overlap"),
+            F.round(F.coalesce("n_overlap", F.lit(0)).cast("double") / 5, 2).alias(
+                "recall_at_5"
+            ),
+        )
+    )
+
+
+@register(
+    "embedding_jl_cosine_error",
+    oracle=f"""
+    WITH proj AS (
+        SELECT vec_id, embedding, {_jl_proj_sql("embedding")} AS pv
+        FROM embeddings
+    ),
+    q AS (
+        SELECT vec_id AS qid, embedding AS qv, pv AS qpv
+        FROM proj WHERE vec_id < 10
+    ),
+    errs AS (
+        SELECT q.qid,
+               abs({_cos_sql("p.pv", "q.qpv")}
+                 - {_cos_sql("p.embedding", "q.qv")}) AS err
+        FROM proj p, q WHERE p.vec_id <> q.qid
+    )
+    SELECT qid AS query_id, COUNT(*) AS n_pairs,
+           ROUND(AVG(err), 4) AS mean_abs_err,
+           ROUND(MAX(err), 4) AS max_abs_err
+    FROM errs GROUP BY qid
+    """,
+    description="Distortion audit for the JL tier (companion to "
+    "similarity_recall_jl_at5, the fidelity/recall split the "
+    "minhash_jaccard_error pair establishes for sketches): per panel "
+    "query, the mean and max absolute error between 16-dim projected "
+    "cosine and exact 64-dim cosine over every corpus pair. The JL "
+    "lemma puts the expected error near sqrt((1-cos^2)/k) ~ 0.25 at "
+    "k=16 for orthogonal pairs, shrinking as cosine -> 1 — exactly "
+    "the regime (near-dup detection) where the compressed tier must "
+    "be trustworthy. Final aggregates round to 4 decimals so the "
+    "hash compare tolerates engine-side float-fold differences "
+    "without weakening the check.",
+)
+def embedding_jl_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    p = emb.select("vec_id", "embedding", S.jl_project("embedding").alias("pv"))
+    q = p.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("pv").alias("qpv"),
+    )
+    errs = p.join(F.broadcast(q), p.vec_id != q.qid).select(
+        "qid",
+        F.abs(
+            S.cosine(F.col("pv"), F.col("qpv"))
+            - S.cosine(F.col("embedding"), F.col("qv"))
+        ).alias("err"),
+    )
+    return errs.groupBy("qid").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg("err"), 4).alias("mean_abs_err"),
+        F.round(F.max("err"), 4).alias("max_abs_err"),
+    ).select(
+        F.col("qid").alias("query_id"), "n_pairs", "mean_abs_err", "max_abs_err"
+    )

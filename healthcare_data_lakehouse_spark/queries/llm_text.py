@@ -2872,3 +2872,57 @@ def text_kneser_ney_bigram_probs(
         )
         .orderBy(F.col("c12").desc(), "w1", "w2")
     )
+
+
+# --------------------------------- hashing-trick linear quality classifier
+@register(
+    "text_hashed_linear_classifier",
+    oracle="""
+    WITH toks AS (SELECT doc_id, string_split(text, ' ') AS tl FROM documents),
+    scored AS (
+        SELECT doc_id, len(tl) AS n_tokens,
+               list_sum(list_transform(tl, t ->
+                   (CAST((CAST(('0x' || substr(md5(t), 1, 12)) AS BIGINT)
+                          % 997) * 2654435761 % 2001 AS DOUBLE)
+                    / 1000.0 - 1.0)))
+               / len(tl) AS raw
+        FROM toks
+    )
+    SELECT doc_id, n_tokens, ROUND(raw, 6) AS score,
+           raw > 0 AS label_pred
+    FROM scored
+    """,
+    description="fastText-style hashing-trick linear classifier scoring "
+    "(Joulin et al. 2016; the quality-filter shape used by CCNet/LLaMA "
+    "corpus curation): each token hashes into a fixed 997-bucket "
+    "feature space (md5-48bit, the repo's portable token hash), the "
+    "doc score is the mean of its buckets' weights, label = sign. The "
+    "weight vector here is a deterministic function of the bucket id "
+    "standing in for trained parameters — in production it is a "
+    "~997-float broadcast and NOTHING else changes: scoring stays one "
+    "narrow whole-stage-codegen scan (transform + aggregate inside "
+    "the token array, zero explode, zero shuffle, zero Python), which "
+    "is why the hashing trick beats a vocabulary join at 100 TB — the "
+    "feature space is fixed-width, so there is no vocab table to "
+    "shuffle or skew.",
+)
+def text_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ", -1).alias("tl"))
+    raw = (
+        "aggregate(transform(tl, t -> "
+        "(CAST((CAST(conv(substr(md5(t), 1, 12), 16, 10) AS BIGINT) % 997) "
+        "* 2654435761 % 2001 AS DOUBLE) / 1000.0D - 1.0D)), "
+        "0.0D, (acc, v) -> acc + v) / size(tl)"
+    )
+    scored = toks.select(
+        "doc_id",
+        F.size("tl").cast("bigint").alias("n_tokens"),
+        F.expr(raw).alias("raw"),
+    )
+    return scored.select(
+        "doc_id",
+        "n_tokens",
+        F.round("raw", 6).alias("score"),
+        (F.col("raw") > 0).alias("label_pred"),
+    )

@@ -44,6 +44,8 @@ GRAIN_BOUNDS = {
     "pipeline_curriculum_phases": 1_600,
     "pipeline_packing_efficiency_curve": 1_600,
     "pipeline_global_row_index": 64,
+    # offset prefix sum over the |partitions|-row count table
+    "er_sorted_neighborhood_pairs": 64,
     "quality_calibration_ece_brier": 16,
     "quality_rule_mining_bounds": 18_000,
     "rfm_customer_segments": 50,

@@ -1,0 +1,148 @@
+"""Unit tests for the round-11 additions: JL random projection,
+C4 global line dedup, hashing-trick linear classifier, and
+sorted-neighborhood entity resolution."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Row
+
+from healthcare_data_lakehouse_spark.functions import similarity as S
+from healthcare_data_lakehouse_spark.queries.catalog import load_all
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return load_all()
+
+
+# ------------------------------------------------ JL random projection
+def test_jl_sign_matrix_is_balanced_and_deterministic():
+    assert len(S.JL_SIGNS) == S.JL_K
+    assert all(len(r) == 64 for r in S.JL_SIGNS)
+    assert all(v in (1.0, -1.0) for r in S.JL_SIGNS for v in r)
+    # a striped (alternating) matrix would make every projected dim
+    # identical up to sign — require the rows to be genuinely distinct
+    assert len({tuple(r) for r in S.JL_SIGNS}) == S.JL_K
+    flat = [v for r in S.JL_SIGNS for v in r]
+    bal = sum(flat) / len(flat)
+    assert abs(bal) < 0.2  # roughly mean-zero, else dots are biased
+
+
+def test_jl_project_preserves_cosine_roughly(spark):
+    df = spark.createDataFrame(
+        [Row(vec_id=i, embedding=[float((i * 37 + d * 11) % 13 - 6) for d in range(64)])
+         for i in range(6)]
+    )
+    p = df.select("vec_id", S.jl_project("embedding").alias("pv")).collect()
+    by_id = {r.vec_id: r.pv for r in p}
+    assert all(len(v) == S.JL_K for v in by_id.values())
+    raw = {r.vec_id: r.embedding for r in df.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        den = (sum(x * x for x in a) ** 0.5) * (sum(y * y for y in b) ** 0.5)
+        return num / den
+
+    # JL with k=16 keeps cosine within ~3/sqrt(k) of exact
+    for i in range(5):
+        err = abs(cos(by_id[i], by_id[i + 1]) - cos(raw[i], raw[i + 1]))
+        assert err < 0.75
+
+
+def test_jl_recall_query_shape_and_bounds(spark, sf_dir, qs):
+    rows = qs["similarity_recall_jl_at5"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        assert r.n_exact == 5 and r.n_jl == 5
+        assert 0 <= r.n_overlap <= 5
+        assert r.recall_at_5 == round(r.n_overlap / 5, 2)
+
+
+def test_jl_cosine_error_within_lemma_scale(spark, sf_dir, qs):
+    rows = qs["embedding_jl_cosine_error"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        # k=16 Rademacher: typical error ~0.25, tails bounded well under 1
+        assert 0.0 <= r.mean_abs_err < 0.45
+        assert r.mean_abs_err <= r.max_abs_err <= 1.2
+
+
+# ------------------------------------------------ C4 global line dedup
+def test_c4_line_global_first_doc_keeps_everything(spark, qs, monkeypatch):
+    # the query module binds `table` at import time — patch ITS binding
+    import healthcare_data_lakehouse_spark.queries.llm_dedup as M
+
+    base = " ".join(f"w{i}" for i in range(16))  # exactly 2 lines of 8
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=base),
+            Row(doc_id=2, text=base),                      # full dup: keeps 0
+            Row(doc_id=3, text=base + " tail extra"),      # 2 dup lines + 1 new
+        ]
+    )
+    monkeypatch.setattr(M, "table", lambda s, d, n: df)
+    out = {
+        r.doc_id: r
+        for r in M.dedup_c4_line_global(spark, "unused").collect()
+    }
+    assert set(out) == {1, 2, 3}
+    assert out[1].n_kept == out[1].n_lines == 2
+    assert out[1].kept_frac == 1.0
+    assert out[2].n_kept == 0 and out[2].kept_frac == 0.0
+    # doc 3: lines 1-2 duplicate doc 1's, line 3 is the new 2-token tail
+    assert out[3].n_lines == 3 and out[3].n_kept == 1
+    assert out[3].kept_tokens == 2
+
+
+def test_c4_line_global_invariants_on_fixture(spark, sf_dir, qs):
+    rows = qs["dedup_c4_line_global"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    total_lines = sum(r.n_lines for r in rows)
+    total_kept = sum(r.n_kept for r in rows)
+    assert 0 < total_kept <= total_lines
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_lines
+        assert 0 <= r.kept_tokens <= r.total_tokens
+        assert 0.0 <= r.kept_frac <= 1.0
+
+
+# ------------------------------------- hashing-trick linear classifier
+def test_hashed_classifier_deterministic_and_bounded(spark, sf_dir, qs):
+    fn = qs["text_hashed_linear_classifier"].fn
+    a = {r.doc_id: (r.score, r.label_pred) for r in fn(spark, sf_dir).collect()}
+    b = {r.doc_id: (r.score, r.label_pred) for r in fn(spark, sf_dir).collect()}
+    assert a == b
+    for score, label in a.values():
+        assert -1.0 <= score <= 1.0  # mean of weights in [-1, 1]
+        assert label == (score > 0) or abs(score) < 1e-6
+
+
+# ------------------------------------ sorted-neighborhood entity resolution
+def test_snm_finds_truncation_variants(spark, sf_dir, qs):
+    rows = qs["er_sorted_neighborhood_pairs"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    # every emitted pair involves a variant, passed the distance gate,
+    # and sits inside the window
+    for r in rows:
+        assert r.id_a >= 1_000_000 or r.id_b >= 1_000_000
+        assert r.name_dist <= 2
+        assert 1 <= r.rank_gap <= 4
+    # a truncated variant sorts immediately before its master (prefix
+    # order), so every variant must be matched to its own master at
+    # distance 1 somewhere in the pair set
+    matched = {
+        (r.id_a, r.id_b) for r in rows if r.name_dist == 1
+    }
+    import duckdb
+
+    keys = [
+        k
+        for (k,) in duckdb.sql(
+            f"SELECT c_custkey FROM read_parquet('{sf_dir}/customer.parquet') "
+            "WHERE c_custkey % 10 = 3"
+        ).fetchall()
+    ]
+    assert len(keys) > 0
+    for k in keys:
+        assert (k + 1_000_000, k) in matched or (k, k + 1_000_000) in matched

@@ -71,6 +71,9 @@ GLOBAL_WINDOW_OK = {
     "stats_ks_value_drift": "CDF prefix sum over the 200-bin histogram aggregate",
     "pipeline_global_row_index":
         "offset prefix sum over the |partitions|-row count table",
+    "er_sorted_neighborhood_pairs":
+        "offset prefix sum over the |partitions|-row count table "
+        "(partition-offset scheme, see pipeline_global_row_index)",
     "events_concurrent_sessions_sweepline":
         "partition-offset scheme (functions/ordered.py): the only ordered "
         "single-partition stage left is the offset prefix sum over the "
