@@ -2321,3 +2321,264 @@ def embedding_jl_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(
         F.col("qid").alias("query_id"), "n_pairs", "mean_abs_err", "max_abs_err"
     )
+
+
+# ------------------------------- perceptual-hash near-dup over binary assets
+@register(
+    "multimodal_phash_neardup",
+    oracle="""
+    WITH base AS (
+        SELECT doc_id, text, length(text) AS n,
+               CAST(ceil(length(text) / 16.0) AS BIGINT) AS w
+        FROM documents
+    ),
+    en AS (
+        SELECT doc_id,
+               list_transform(range(0, 16), j ->
+                   coalesce(list_sum(list_transform(
+                       range(j*w + 1, least((j+1)*w, n) + 1),
+                       i -> unicode(substr(text, i, 1)))), 0)) AS e
+        FROM base
+    ),
+    sigs AS (
+        SELECT doc_id,
+               list_sum(list_transform(range(0, 16), j ->
+                   CASE WHEN e[j+1] * 16 > list_sum(e)
+                        THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS sig
+        FROM en
+    ),
+    bands AS (
+        SELECT doc_id, sig, t, (sig >> CAST(4*t AS INT)) & 15 AS nib
+        FROM sigs, UNNEST(range(0, 4)) AS u(t)
+    ),
+    pairs AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+               bit_count(xor(a.sig, b.sig)) AS hamming
+        FROM bands a JOIN bands b
+          ON a.t = b.t AND a.nib = b.nib AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
+    """,
+    description="Perceptual-hash near-duplicate detection over the "
+    "multimodal BINARY path — the image-dedup shape (pHash/aHash) run "
+    "through this repo's asset plumbing: payload bytes stream through "
+    "the Arrow mapInPandas extractor into a 16-bit energy-profile "
+    "signature (the declared multimodal Python surface; the DCT of a "
+    "real pHash slots into the same extractor), and from there "
+    "EVERYTHING is 8-byte signature space: Manku pigeonhole banding "
+    "(4 x 4-bit blocks => Hamming <= 3 guaranteed caught, verified "
+    "<= 2 by bit_count on XOR) turns near-dup search into 4 equi-"
+    "joins, never a Hamming scan. The oracle recomputes the byte "
+    "windows character-by-character in SQL, so the Arrow boundary "
+    "itself is hash-verified — same discipline as the tile manifest "
+    "and VAD windows.",
+)
+def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.multimodal import (
+        phash16_signatures,
+    )
+
+    docs = table(spark, sf_dir, "documents")
+    assets = as_binary_assets(docs, id_col="doc_id", payload_col="text")
+    sig = phash16_signatures(assets)
+    bands = sig.select(
+        "asset_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(t).alias("t"),
+                        F.expr(f"shiftright(sig, {4 * t}) & 15").alias("nib"),
+                    )
+                    for t in range(4)
+                ]
+            )
+        ).alias("band"),
+    ).select("asset_id", "sig", F.col("band.t").alias("t"), F.col("band.nib").alias("nib"))
+    a = bands.select(
+        F.col("asset_id").alias("id_a"),
+        F.col("sig").alias("sig_a"),
+        "t",
+        "nib",
+    )
+    b = bands.select(
+        F.col("asset_id").alias("id_b"),
+        F.col("sig").alias("sig_b"),
+        "t",
+        "nib",
+    )
+    pairs = (
+        a.join(b, ["t", "nib"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b"))).alias(
+                "hamming"
+            ),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.col("hamming") <= 2)
+
+
+# --------------------------------------- theta-sketch set operations (KMV)
+@register(
+    "sketch_kmv_theta_intersection",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    hashed AS (
+        SELECT event_type, {_H48.format(c="CAST(user_id AS VARCHAR)")} AS h
+        FROM du
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h, ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed
+        ) WHERE rn <= 64
+    ),
+    st AS (
+        SELECT event_type, MAX(h) AS kth, COUNT(*) AS n_kept
+        FROM sk GROUP BY event_type
+    ),
+    theta AS (
+        SELECT MIN(CASE WHEN n_kept < 64 THEN 1.0
+                        ELSE CAST(kth AS DOUBLE) / 281474976710656.0
+                   END) AS th
+        FROM st
+    ),
+    ninter AS (
+        SELECT COUNT(*) AS n_common
+        FROM (SELECT a.h FROM sk a JOIN sk b ON a.h = b.h
+              WHERE a.event_type = 'click' AND b.event_type = 'purchase'),
+             theta
+        WHERE CAST(h AS DOUBLE) / 281474976710656.0 < th
+    ),
+    nuni AS (
+        SELECT COUNT(*) AS n_union
+        FROM (SELECT DISTINCT h FROM sk), theta
+        WHERE CAST(h AS DOUBLE) / 281474976710656.0 < th
+    ),
+    exact AS (
+        SELECT COUNT(*) AS exact_intersection FROM (
+            SELECT user_id FROM du WHERE event_type = 'click'
+            INTERSECT
+            SELECT user_id FROM du WHERE event_type = 'purchase')
+    )
+    SELECT CAST(64 AS BIGINT) AS k,
+           ROUND(th, 6) AS theta,
+           n_common,
+           ROUND(n_common / th, 4) AS est_intersection,
+           n_union,
+           ROUND(n_union / th, 4) AS est_union,
+           ROUND(CAST(n_common AS DOUBLE) / n_union, 6) AS est_jaccard,
+           exact_intersection,
+           ROUND(ABS(n_common / th - exact_intersection)
+                 / exact_intersection, 4) AS rel_error
+    FROM theta, ninter, nuni, exact
+    """,
+    description="Theta-sketch set algebra on KMV sketches (the "
+    "DataSketches intersection/union model): two audiences (click vs "
+    "purchase users) each keep only their 64 smallest portable hashes "
+    "— TakeOrderedAndProject, distributed, never a per-side global "
+    "sort — theta = min of the two kth minima, and the intersection/"
+    "union/Jaccard ESTIMATES are |sketch-hash set op| / theta over "
+    "hashes below theta. This is how audience overlap is priced at "
+    "100 TB without ever co-shuffling the raw sets: each side ships "
+    "64 numbers, the set ops run on 128 rows. Fully deterministic "
+    "(md5-48bit), so the oracle reproduces every estimate bit-for-bit "
+    "and the exact intersection rides along for the error audit.",
+)
+def sketch_kmv_theta_intersection(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    k = 64
+    norm = 281474976710656.0
+    ev = table(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hashed = du.select(
+        "event_type", D.token_hash48(F.col("user_id").cast("string")).alias("h")
+    )
+    ska = (
+        hashed.filter(F.col("event_type") == "click")
+        .select("h")
+        .orderBy("h")
+        .limit(k)
+    )
+    skb = (
+        hashed.filter(F.col("event_type") == "purchase")
+        .select("h")
+        .orderBy("h")
+        .limit(k)
+    )
+
+    def th_side(sk: DataFrame) -> DataFrame:
+        return sk.agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(1.0))
+            .otherwise(F.max("h").cast("double") / norm)
+            .alias("th_side")
+        )
+
+    theta = (
+        th_side(ska)
+        .crossJoin(F.broadcast(th_side(skb).withColumnRenamed("th_side", "th_b")))
+        .select(F.least("th_side", "th_b").alias("th"))
+    )
+    ninter = (
+        ska.join(skb, "h")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h").cast("double") / norm < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    nuni = (
+        ska.union(skb)
+        .distinct()
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h").cast("double") / norm < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_union"))
+    )
+    exact = (
+        du.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .join(
+            du.filter(F.col("event_type") == "purchase").select("user_id"),
+            "user_id",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_intersection"))
+    )
+    return (
+        theta.crossJoin(F.broadcast(ninter))
+        .crossJoin(F.broadcast(nuni))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(64).cast("bigint").alias("k"),
+            F.round("th", 6).alias("theta"),
+            "n_common",
+            F.round(F.col("n_common") / F.col("th"), 4).alias(
+                "est_intersection"
+            ),
+            "n_union",
+            F.round(F.col("n_union") / F.col("th"), 4).alias("est_union"),
+            F.round(
+                F.col("n_common").cast("double") / F.col("n_union"), 6
+            ).alias("est_jaccard"),
+            "exact_intersection",
+            F.round(
+                F.abs(
+                    F.col("n_common") / F.col("th")
+                    - F.col("exact_intersection")
+                )
+                / F.col("exact_intersection"),
+                4,
+            ).alias("rel_error"),
+        )
+    )

@@ -1,6 +1,7 @@
 """Unit tests for the round-11 additions: JL random projection,
-C4 global line dedup, hashing-trick linear classifier, and
-sorted-neighborhood entity resolution."""
+C4 global line dedup, hashing-trick linear classifier,
+sorted-neighborhood entity resolution, perceptual-hash near-dup,
+and the KMV theta-sketch intersection."""
 
 from __future__ import annotations
 
@@ -146,3 +147,51 @@ def test_snm_finds_truncation_variants(spark, sf_dir, qs):
     assert len(keys) > 0
     for k in keys:
         assert (k + 1_000_000, k) in matched or (k, k + 1_000_000) in matched
+
+
+# ----------------------------------- perceptual-hash near-dup (multimodal)
+def test_phash16_signature_bits_and_determinism(spark):
+    from healthcare_data_lakehouse_spark.functions.multimodal import (
+        as_binary_assets,
+        phash16_signatures,
+    )
+
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="aaaa zzzz aaaa zzzz aaaa zzzz aaaa zzzz"),
+            Row(doc_id=2, text="aaaa zzzz aaaa zzzz aaaa zzzz aaaa zzzz"),
+            Row(doc_id=3, text="zzzz aaaa zzzz aaaa zzzz aaaa zzzz aaaa"),
+        ]
+    )
+    sig = {
+        r.asset_id: r.sig
+        for r in phash16_signatures(as_binary_assets(df)).collect()
+    }
+    assert sig[1] == sig[2]            # identical payloads, identical sigs
+    assert 0 <= sig[1] < 2**16
+    assert sig[1] != sig[3]            # swapped energy profile flips bits
+
+
+def test_phash_neardup_pairs_symmetric_and_banded(spark, sf_dir, qs):
+    rows = qs["multimodal_phash_neardup"].fn(spark, sf_dir).collect()
+    seen = set()
+    for r in rows:
+        assert r.id_a < r.id_b
+        assert 0 <= r.hamming <= 2
+        assert (r.id_a, r.id_b) not in seen  # distinct pairs only
+        seen.add((r.id_a, r.id_b))
+
+
+# ----------------------------------------- KMV theta-sketch intersection
+def test_kmv_theta_intersection_estimates(spark, sf_dir, qs):
+    rows = qs["sketch_kmv_theta_intersection"].fn(spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.k == 64
+    assert 0.0 < r.theta <= 1.0
+    assert 0 <= r.n_common <= r.n_union
+    assert r.est_intersection <= r.est_union + 1e-9
+    assert 0.0 <= r.est_jaccard <= 1.0
+    # estimator sanity: within 60% of exact at k=64 on this fixture
+    assert r.exact_intersection > 0
+    assert r.rel_error < 0.6

@@ -40,6 +40,7 @@ PYTHON_OK = {
     "multimodal_frame_sample",
     "multimodal_tile_manifest",
     "multimodal_audio_vad_energy",
+    "multimodal_phash_neardup",
     # grouped scientific compute: numpy eigensolver per label group is
     # the designed Arrow-batched Python surface (see the query docstring)
     "embedding_label_pca",
