@@ -137,28 +137,37 @@ PRIORITY = [
     # (VERDICT r10 ask #4), as were
     # sketch_approx_percentile_order_value and embedding_label_pca —
     # rewritten code paths get driver evidence in the round they change.
+    # Mid-round-11 update: seven MORE operators landed after the first
+    # r11 rotation (JL recall + distortion, C4 global line dedup, hashed
+    # linear classifier, sorted-neighborhood ER, pHash near-dup, KMV
+    # theta intersection). They take the slots of seven old stable
+    # never-sampled names (minhash signatures, ngram jaccard pairs,
+    # embedding cosine pairs, lsh_top5, language_id, token_stats,
+    # stratified sample) — those return to the tail pool with full-sweep
+    # evidence; all seven incoming names are first-time too, so the
+    # >=20-first-time streak holds (28 first-time slots).
     "tpch_q11_important_part_value",
     "dedup_simhash_block_population",
     "dedup_simhash_salted_blocks",
     "dedup_minhash_oph_signatures",
     "dedup_oph_jaccard_error",
     "dedup_oph_lsh_pairs",
-    "dedup_minhash_signatures",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine_pairs",
+    "dedup_c4_line_global",
+    "similarity_recall_jl_at5",
+    "embedding_jl_cosine_error",
     "dedup_canonical_selection",
-    "similarity_lsh_top5",
+    "text_hashed_linear_classifier",
     "similarity_pq_distortion",
     "embedding_int8_quantization",
     "embedding_label_pca",
     "sketch_approx_percentile_order_value",
     "sketch_hll_distinct_users",
-    "text_language_id",
-    "text_token_stats",
+    "er_sorted_neighborhood_pairs",
+    "multimodal_phash_neardup",
     "text_zipf_slope",
     "pipeline_decontaminate_train",
     "pipeline_token_budget_mix",
-    "sample_stratified_by_segment",
+    "sketch_kmv_theta_intersection",
     "sample_reservoir_per_lang",
     "graph_khop_expansion_profile",
     "graph_pagerank_neardup",
