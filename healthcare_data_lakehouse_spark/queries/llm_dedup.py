@@ -2749,3 +2749,96 @@ def dedup_c4_line_global(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("kept_frac"),
     )
+
+
+# ------------------------------------------- weighted (multiset) Jaccard
+def _weighted_jaccard_oracle() -> str:
+    ctes, final = _lsh_pairs_ctes()
+    return (
+        "\n    WITH "
+        + ctes
+        + f""",
+    pairs AS ({final}),
+    tokc AS (
+        SELECT doc_id, t.tok, COUNT(*) AS cnt
+        FROM (SELECT doc_id, string_split(text, ' ') AS tl FROM docs),
+             UNNEST(tl) AS t(tok)
+        GROUP BY doc_id, t.tok
+    ),
+    tots AS (
+        SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS tot
+        FROM tokc GROUP BY doc_id
+    ),
+    summin AS (
+        SELECT p.id_a, p.id_b,
+               CAST(SUM(least(a.cnt, b.cnt)) AS BIGINT) AS n_min
+        FROM pairs p
+        JOIN tokc a ON a.doc_id = p.id_a
+        JOIN tokc b ON b.doc_id = p.id_b AND b.tok = a.tok
+        GROUP BY p.id_a, p.id_b
+    )
+    SELECT s.id_a, s.id_b, p.jaccard AS set_jaccard,
+           ROUND(CAST(s.n_min AS DOUBLE) / (ta.tot + tb.tot - s.n_min), 6)
+               AS weighted_jaccard
+    FROM summin s
+    JOIN pairs p ON p.id_a = s.id_a AND p.id_b = s.id_b
+    JOIN tots ta ON ta.doc_id = s.id_a
+    JOIN tots tb ON tb.doc_id = s.id_b
+    """
+    )
+
+
+@register(
+    "dedup_weighted_jaccard_pairs",
+    oracle=_weighted_jaccard_oracle(),
+    description="Weighted (multiset) Jaccard re-verification of the LSH "
+    "candidate set: sum of per-token MIN counts over sum of MAX counts, "
+    "computed as sum_min / (tot_a + tot_b - sum_min) so only the COMMON-"
+    "token join is materialized — the union side is two per-doc totals. "
+    "Set-Jaccard (what MinHash sketches) ignores token multiplicity, so "
+    "boilerplate that repeats a phrase 50x scores the same as one "
+    "mention; the weighted score is what spam/template dedup actually "
+    "wants to rank on, and laying both per pair shows exactly where the "
+    "two disagree. Candidate generation stays the banded equi-join — "
+    "the multiset verification only ever touches LSH survivors, never "
+    "all pairs, so the added cost at 100 TB is proportional to the "
+    "candidate volume the band planner already prices.",
+)
+def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    pairs = D.lsh_candidate_pairs(docs, threshold=0.5)
+    toks = docs.select(
+        "doc_id", F.explode(F.split("text", " ", -1)).alias("tok")
+    )
+    cnts = toks.groupBy("doc_id", "tok").agg(F.count(F.lit(1)).alias("cnt"))
+    tots = cnts.groupBy("doc_id").agg(F.sum("cnt").cast("bigint").alias("tot"))
+    ca = cnts.select(
+        F.col("doc_id").alias("id_a"), "tok", F.col("cnt").alias("ca")
+    )
+    cb = cnts.select(
+        F.col("doc_id").alias("id_b"), "tok", F.col("cnt").alias("cb")
+    )
+    summin = (
+        pairs.select("id_a", "id_b")
+        .join(ca, "id_a")
+        .join(cb, ["id_b", "tok"])
+        .groupBy("id_a", "id_b")
+        .agg(F.sum(F.least("ca", "cb")).cast("bigint").alias("n_min"))
+    )
+    ta = tots.select(F.col("doc_id").alias("id_a"), F.col("tot").alias("tot_a"))
+    tb = tots.select(F.col("doc_id").alias("id_b"), F.col("tot").alias("tot_b"))
+    return (
+        summin.join(pairs, ["id_a", "id_b"])
+        .join(ta, "id_a")
+        .join(tb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            F.col("jaccard").alias("set_jaccard"),
+            F.round(
+                F.col("n_min").cast("double")
+                / (F.col("tot_a") + F.col("tot_b") - F.col("n_min")),
+                6,
+            ).alias("weighted_jaccard"),
+        )
+    )

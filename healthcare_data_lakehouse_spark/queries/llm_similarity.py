@@ -2328,59 +2328,74 @@ def embedding_jl_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     "multimodal_phash_neardup",
     oracle="""
     WITH base AS (
-        SELECT doc_id, text, length(text) AS n,
-               CAST(ceil(length(text) / 16.0) AS BIGINT) AS w
+        SELECT doc_id, text, length(text) AS n
         FROM documents
     ),
     en AS (
-        SELECT doc_id,
-               list_transform(range(0, 16), j ->
-                   coalesce(list_sum(list_transform(
-                       range(j*w + 1, least((j+1)*w, n) + 1),
-                       i -> unicode(substr(text, i, 1)))), 0)) AS e
+        SELECT doc_id, n,
+               list_transform(range(0, 32), j -> struct_pack(
+                   e := coalesce(list_sum(list_transform(
+                       range((j*n)//32 + 1, ((j+1)*n)//32 + 1),
+                       i -> unicode(substr(text, i, 1)))), 0),
+                   sz := ((j+1)*n)//32 - (j*n)//32)) AS wins
         FROM base
+    ),
+    dens AS (
+        SELECT doc_id,
+               list_transform(wins, w -> w.e * n / w.sz) AS vs
+        FROM en
     ),
     sigs AS (
         SELECT doc_id,
-               list_sum(list_transform(range(0, 16), j ->
-                   CASE WHEN e[j+1] * 16 > list_sum(e)
+               list_sum(list_transform(range(0, 32), j ->
+                   CASE WHEN vs[j+1] >
+                            (list_sort(vs)[16] + list_sort(vs)[17]) / 2.0
                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS sig
-        FROM en
+        FROM dens
     ),
     bands AS (
-        SELECT doc_id, sig, t, (sig >> CAST(4*t AS INT)) & 15 AS nib
+        SELECT doc_id, sig, t, (sig >> CAST(8*t AS INT)) & 255 AS blk
         FROM sigs, UNNEST(range(0, 4)) AS u(t)
     ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
                bit_count(xor(a.sig, b.sig)) AS hamming
         FROM bands a JOIN bands b
-          ON a.t = b.t AND a.nib = b.nib AND a.doc_id < b.doc_id
+          ON a.t = b.t AND a.blk = b.blk AND a.doc_id < b.doc_id
     )
     SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 2
     """,
     description="Perceptual-hash near-duplicate detection over the "
     "multimodal BINARY path — the image-dedup shape (pHash/aHash) run "
     "through this repo's asset plumbing: payload bytes stream through "
-    "the Arrow mapInPandas extractor into a 16-bit energy-profile "
+    "the Arrow mapInPandas extractor into a 32-bit energy-profile "
     "signature (the declared multimodal Python surface; the DCT of a "
     "real pHash slots into the same extractor), and from there "
     "EVERYTHING is 8-byte signature space: Manku pigeonhole banding "
-    "(4 x 4-bit blocks => Hamming <= 3 guaranteed caught, verified "
+    "(4 x 8-bit blocks => Hamming <= 3 guaranteed caught, verified "
     "<= 2 by bit_count on XOR) turns near-dup search into 4 equi-"
-    "joins, never a Hamming scan. The oracle recomputes the byte "
-    "windows character-by-character in SQL, so the Arrow boundary "
-    "itself is hash-verified — same discipline as the tile manifest "
-    "and VAD windows.",
+    "joins, never a Hamming scan. Signature design is the measured "
+    "scale lever (three defects found AND fixed by measurement at "
+    "sf1.0, 50k assets): a 16-bit sig put ~3e8 block-collision pairs "
+    "through the verify and exhausted executor memory; equal-WIDTH "
+    "windows left zero-filled tails that packed 16,241 same-length "
+    "assets into ONE block value; and a payload-mean threshold "
+    "degenerated to a space-position detector on bimodal ASCII bytes. "
+    "The shipped 32-bit equal-fraction median-threshold signature "
+    "measures 2.7e7 candidates, max block 1,140 (see SCALE_BENCH.md). "
+    "The oracle recomputes the byte windows "
+    "character-by-character in SQL, so the Arrow boundary itself is "
+    "hash-verified — same discipline as the tile manifest and VAD "
+    "windows.",
 )
 def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     from healthcare_data_lakehouse_spark.functions.multimodal import (
-        phash16_signatures,
+        phash_signatures,
     )
 
     docs = table(spark, sf_dir, "documents")
     assets = as_binary_assets(docs, id_col="doc_id", payload_col="text")
-    sig = phash16_signatures(assets)
+    sig = phash_signatures(assets)
     bands = sig.select(
         "asset_id",
         "sig",
@@ -2389,27 +2404,27 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        F.expr(f"shiftright(sig, {4 * t}) & 15").alias("nib"),
+                        F.expr(f"shiftright(sig, {8 * t}) & 255").alias("blk"),
                     )
                     for t in range(4)
                 ]
             )
         ).alias("band"),
-    ).select("asset_id", "sig", F.col("band.t").alias("t"), F.col("band.nib").alias("nib"))
+    ).select("asset_id", "sig", F.col("band.t").alias("t"), F.col("band.blk").alias("blk"))
     a = bands.select(
         F.col("asset_id").alias("id_a"),
         F.col("sig").alias("sig_a"),
         "t",
-        "nib",
+        "blk",
     )
     b = bands.select(
         F.col("asset_id").alias("id_b"),
         F.col("sig").alias("sig_b"),
         "t",
-        "nib",
+        "blk",
     )
     pairs = (
-        a.join(b, ["t", "nib"])
+        a.join(b, ["t", "blk"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
             "id_a",

@@ -153,22 +153,22 @@ def test_snm_finds_truncation_variants(spark, sf_dir, qs):
 def test_phash16_signature_bits_and_determinism(spark):
     from healthcare_data_lakehouse_spark.functions.multimodal import (
         as_binary_assets,
-        phash16_signatures,
+        phash_signatures,
     )
 
     df = spark.createDataFrame(
         [
-            Row(doc_id=1, text="aaaa zzzz aaaa zzzz aaaa zzzz aaaa zzzz"),
-            Row(doc_id=2, text="aaaa zzzz aaaa zzzz aaaa zzzz aaaa zzzz"),
-            Row(doc_id=3, text="zzzz aaaa zzzz aaaa zzzz aaaa zzzz aaaa"),
+            Row(doc_id=1, text="aaaa aaaa aaaa aaaa zzzz zzzz zzzz zzzz"),
+            Row(doc_id=2, text="aaaa aaaa aaaa aaaa zzzz zzzz zzzz zzzz"),
+            Row(doc_id=3, text="zzzz zzzz zzzz zzzz aaaa aaaa aaaa aaaa"),
         ]
     )
     sig = {
         r.asset_id: r.sig
-        for r in phash16_signatures(as_binary_assets(df)).collect()
+        for r in phash_signatures(as_binary_assets(df)).collect()
     }
     assert sig[1] == sig[2]            # identical payloads, identical sigs
-    assert 0 <= sig[1] < 2**16
+    assert 0 <= sig[1] < 2**32
     assert sig[1] != sig[3]            # swapped energy profile flips bits
 
 
@@ -195,3 +195,16 @@ def test_kmv_theta_intersection_estimates(spark, sf_dir, qs):
     # estimator sanity: within 60% of exact at k=64 on this fixture
     assert r.exact_intersection > 0
     assert r.rel_error < 0.6
+
+
+# ----------------------------------------- weighted (multiset) Jaccard
+def test_weighted_jaccard_exact_dups_score_one(spark, sf_dir, qs):
+    rows = qs["dedup_weighted_jaccard_pairs"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    injected = [r for r in rows if r.id_b == r.id_a + 1_000_000]
+    assert len(injected) > 0  # the controlled exact copies must surface
+    for r in injected:
+        assert r.set_jaccard == 1.0 and r.weighted_jaccard == 1.0
+    for r in rows:
+        assert 0.0 < r.weighted_jaccard <= 1.0
+        assert 0.5 <= r.set_jaccard <= 1.0  # LSH threshold gate
