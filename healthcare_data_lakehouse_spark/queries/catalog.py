@@ -140,11 +140,11 @@ PRIORITY = [
     # Mid-round-11 update: seven MORE operators landed after the first
     # r11 rotation (JL recall + distortion, C4 global line dedup, hashed
     # linear classifier, sorted-neighborhood ER, pHash near-dup, KMV
-    # theta intersection). They take the slots of seven old stable
-    # never-sampled names (minhash signatures, ngram jaccard pairs,
+    # theta intersection, weighted Jaccard). They take the slots of eight old stable
+    # never-sampled names (minhash signatures, canonical selection, ngram jaccard pairs,
     # embedding cosine pairs, lsh_top5, language_id, token_stats,
     # stratified sample) — those return to the tail pool with full-sweep
-    # evidence; all seven incoming names are first-time too, so the
+    # evidence; all eight incoming names are first-time too, so the
     # >=20-first-time streak holds (28 first-time slots).
     "tpch_q11_important_part_value",
     "dedup_simhash_block_population",
@@ -155,7 +155,7 @@ PRIORITY = [
     "dedup_c4_line_global",
     "similarity_recall_jl_at5",
     "embedding_jl_cosine_error",
-    "dedup_canonical_selection",
+    "dedup_weighted_jaccard_pairs",
     "text_hashed_linear_classifier",
     "similarity_pq_distortion",
     "embedding_int8_quantization",
