@@ -140,11 +140,11 @@ PRIORITY = [
     # Mid-round-11 update: seven MORE operators landed after the first
     # r11 rotation (JL recall + distortion, C4 global line dedup, hashed
     # linear classifier, sorted-neighborhood ER, pHash near-dup, KMV
-    # theta intersection, weighted Jaccard). They take the slots of eight old stable
-    # never-sampled names (minhash signatures, canonical selection, ngram jaccard pairs,
+    # theta intersection, weighted Jaccard, silhouette + kNN-probe eval). They take the slots of ten old stable
+    # never-sampled names (minhash signatures, canonical selection, pq_distortion, reservoir sample, ngram jaccard pairs,
     # embedding cosine pairs, lsh_top5, language_id, token_stats,
     # stratified sample) — those return to the tail pool with full-sweep
-    # evidence; all eight incoming names are first-time too, so the
+    # evidence; all ten incoming names are first-time too, so the
     # >=20-first-time streak holds (28 first-time slots).
     "tpch_q11_important_part_value",
     "dedup_simhash_block_population",
@@ -157,7 +157,7 @@ PRIORITY = [
     "embedding_jl_cosine_error",
     "dedup_weighted_jaccard_pairs",
     "text_hashed_linear_classifier",
-    "similarity_pq_distortion",
+    "embedding_silhouette_by_label",
     "embedding_int8_quantization",
     "embedding_label_pca",
     "sketch_approx_percentile_order_value",
@@ -168,7 +168,7 @@ PRIORITY = [
     "pipeline_decontaminate_train",
     "pipeline_token_budget_mix",
     "sketch_kmv_theta_intersection",
-    "sample_reservoir_per_lang",
+    "embedding_knn_label_accuracy",
     "graph_khop_expansion_profile",
     "graph_pagerank_neardup",
     "stats_ridge_regression_normal_eq",

@@ -2597,3 +2597,180 @@ def sketch_kmv_theta_intersection(
             ).alias("rel_error"),
         )
     )
+
+
+# ------------------------------- cluster-quality and label-fidelity audits
+@register(
+    "embedding_silhouette_by_label",
+    oracle="""
+    WITH cent AS (
+        SELECT label, list(centroid_val ORDER BY pos) AS cvec
+        FROM (
+            SELECT label, pos, ROUND(AVG(val), 6) AS centroid_val
+            FROM (SELECT label,
+                         generate_subscripts(embedding, 1) AS pos,
+                         CAST(unnest(embedding) AS DOUBLE) AS val
+                  FROM embeddings)
+            GROUP BY label, pos
+        ) GROUP BY label
+    ),
+    dists AS (
+        SELECT e.vec_id, e.label AS plabel, c.label AS clabel,
+               sqrt(list_sum(list_transform(list_zip(e.embedding, c.cvec),
+                   p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                      * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))
+                   AS dist
+        FROM embeddings e, cent c
+    ),
+    ab AS (
+        SELECT vec_id, plabel,
+               MIN(CASE WHEN clabel = plabel THEN dist END) AS a,
+               MIN(CASE WHEN clabel <> plabel THEN dist END) AS b
+        FROM dists GROUP BY vec_id, plabel
+    )
+    SELECT plabel AS label, COUNT(*) AS n,
+           ROUND(AVG((b - a) / greatest(a, b)), 4) AS mean_silhouette,
+           ROUND(AVG(CASE WHEN b < a THEN 1.0 ELSE 0.0 END), 4)
+               AS frac_misclustered
+    FROM ab GROUP BY plabel
+    """,
+    description="Centroid-based (simplified) silhouette per label — the "
+    "cluster-quality audit a SemDeDup / k-means-bucketed pipeline runs "
+    "before trusting its partitions: a_i = distance to own-label "
+    "centroid, b_i = nearest other centroid, s_i = (b-a)/max(a,b); "
+    "mean silhouette and the misclustered fraction (b < a) per label. "
+    "Centroids come from one posexplode + map-side-combined avg "
+    "(shuffle carries #labels x dims partial sums, never vectors), "
+    "points score against a BROADCAST #labels-row centroid table in "
+    "one narrow scan — O(n*k) with k=4, the only silhouette variant "
+    "that exists at 100 TB (the classic pairwise form is O(n^2)). "
+    "Centroid components round to 6dp on both engines so the distance "
+    "math starts from identical literals.",
+)
+def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    cent = (
+        emb.select("label", F.posexplode("embedding").alias("pos0", "val"))
+        .groupBy("label", F.col("pos0").alias("pos"))
+        .agg(F.round(F.avg(F.col("val").cast("double")), 6).alias("cv"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, cv))), "
+                "s -> s.cv)"
+            ).alias("cvec")
+        )
+        .select(F.col("label").alias("clabel"), "cvec")
+    )
+    d2 = F.expr(
+        "sqrt(aggregate(zip_with(embedding, cvec, "
+        "(x, y) -> (CAST(x AS DOUBLE) - y) * (CAST(x AS DOUBLE) - y)), "
+        "0.0D, (acc, v) -> acc + v))"
+    )
+    dists = emb.crossJoin(F.broadcast(cent)).select(
+        "vec_id",
+        F.col("label").alias("plabel"),
+        "clabel",
+        d2.alias("dist"),
+    )
+    ab = dists.groupBy("vec_id", "plabel").agg(
+        F.min(F.when(F.col("clabel") == F.col("plabel"), F.col("dist"))).alias(
+            "a"
+        ),
+        F.min(F.when(F.col("clabel") != F.col("plabel"), F.col("dist"))).alias(
+            "b"
+        ),
+    )
+    s = (F.col("b") - F.col("a")) / F.greatest("a", "b")
+    return ab.groupBy(F.col("plabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg(s), 4).alias("mean_silhouette"),
+        F.round(
+            F.avg(F.when(F.col("b") < F.col("a"), 1.0).otherwise(0.0)), 4
+        ).alias("frac_misclustered"),
+    )
+
+
+@register(
+    "embedding_knn_label_accuracy",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv, label AS qlabel
+        FROM embeddings WHERE vec_id < 50
+    ),
+    nn AS (
+        SELECT qid, qlabel, label FROM (
+            SELECT q.qid, q.qlabel, e.label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.qid
+                       ORDER BY ROUND({_cos_sql("e.embedding", "q.qv")}, 6)
+                                DESC, e.vec_id) AS rn
+            FROM embeddings e, q WHERE e.vec_id <> q.qid
+        ) WHERE rn <= 5
+    ),
+    votes AS (
+        SELECT qid, qlabel, label, COUNT(*) AS v
+        FROM nn GROUP BY qid, qlabel, label
+    ),
+    pred AS (
+        SELECT qid, qlabel, label AS plabel FROM (
+            SELECT qid, qlabel, label,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY v DESC, label) AS rv
+            FROM votes
+        ) WHERE rv = 1
+    )
+    SELECT qlabel AS label, COUNT(*) AS n_panel,
+           CAST(SUM(CASE WHEN plabel = qlabel THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_correct,
+           ROUND(AVG(CASE WHEN plabel = qlabel THEN 1.0 ELSE 0.0 END), 4)
+               AS accuracy
+    FROM pred GROUP BY qlabel
+    """,
+    description="Leave-one-out k-NN label accuracy (k=5, majority vote, "
+    "ties to the smallest label) over a 50-point broadcast panel — the "
+    "embedding-quality eval that tells a curation pipeline whether its "
+    "vectors carry the label signal before anything downstream trusts "
+    "them (the kNN-probe benchmark standard in representation "
+    "learning). Panel broadcasts; neighbor scoring is the same "
+    "broadcast nested-loop + per-qid top-5 window as the recall "
+    "harnesses; votes aggregate per (query, label) and the argmax is "
+    "a deterministic (votes DESC, label) rank. Per-label accuracy "
+    "exposes which clusters are separable rather than one blended "
+    "number.",
+)
+def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 50).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("label").alias("qlabel"),
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
+    nn = (
+        emb.join(F.broadcast(q), emb.vec_id != q.qid)
+        .select(
+            "qid",
+            "qlabel",
+            "label",
+            "vec_id",
+            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+    )
+    votes = nn.groupBy("qid", "qlabel", "label").agg(
+        F.count(F.lit(1)).alias("v")
+    )
+    wv = Window.partitionBy("qid").orderBy(F.col("v").desc(), F.col("label"))
+    pred = (
+        votes.withColumn("rv", F.row_number().over(wv))
+        .filter(F.col("rv") == 1)
+        .select("qid", "qlabel", F.col("label").alias("plabel"))
+    )
+    hit = F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0)
+    return pred.groupBy(F.col("qlabel").alias("label")).agg(
+        F.count(F.lit(1)).alias("n_panel"),
+        F.sum(hit).cast("bigint").alias("n_correct"),
+        F.round(F.avg(hit.cast("double")), 4).alias("accuracy"),
+    )

@@ -208,3 +208,21 @@ def test_weighted_jaccard_exact_dups_score_one(spark, sf_dir, qs):
     for r in rows:
         assert 0.0 < r.weighted_jaccard <= 1.0
         assert 0.5 <= r.set_jaccard <= 1.0  # LSH threshold gate
+
+
+# --------------------------------------- embedding eval: silhouette + kNN
+def test_silhouette_bounds_and_labels(spark, sf_dir, qs):
+    rows = qs["embedding_silhouette_by_label"].fn(spark, sf_dir).collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert -1.0 <= r.mean_silhouette <= 1.0
+        assert 0.0 <= r.frac_misclustered <= 1.0
+        assert r.n > 0
+
+
+def test_knn_label_accuracy_shape(spark, sf_dir, qs):
+    rows = qs["embedding_knn_label_accuracy"].fn(spark, sf_dir).collect()
+    assert sum(r.n_panel for r in rows) == 50  # leave-one-out panel size
+    for r in rows:
+        assert 0 <= r.n_correct <= r.n_panel
+        assert abs(r.accuracy - round(r.n_correct / r.n_panel, 4)) < 1e-9
