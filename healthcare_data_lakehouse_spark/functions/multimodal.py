@@ -250,7 +250,11 @@ def phash_signatures(assets: DataFrame, bits: int = PHASH_BITS) -> DataFrame:
                 for j in range(bits):
                     lo = (j * n) // bits
                     hi = ((j + 1) * n) // bits
-                    vs.append(sum(b[lo:hi]) * n / (hi - lo))
+                    # payloads shorter than `bits` leave some windows
+                    # empty — density 0, never a divide-by-zero
+                    vs.append(
+                        sum(b[lo:hi]) * n / (hi - lo) if hi > lo else 0.0
+                    )
                 s = sorted(vs)
                 med = (s[mid - 1] + s[mid]) / 2.0
                 sig = 0

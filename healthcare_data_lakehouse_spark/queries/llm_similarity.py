@@ -2342,7 +2342,8 @@ def embedding_jl_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     dens AS (
         SELECT doc_id,
-               list_transform(wins, w -> w.e * n / w.sz) AS vs
+               list_transform(wins, w ->
+                   CASE WHEN w.sz > 0 THEN w.e * n / w.sz ELSE 0.0 END) AS vs
         FROM en
     ),
     sigs AS (
