@@ -2988,3 +2988,74 @@ def stats_negbin_fit_user_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("nb_r"),
         dround(F.col("m") / F.col("v"), 6).alias("nb_p"),
     )
+
+
+# --------------------------------------- Chatterjee's xi rank correlation
+@register(
+    "stats_chatterjee_xi_value_by_type",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id, ts, CAST(value AS DOUBLE) AS y
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, event_id, ts, y,
+               COUNT(*) OVER (
+                   PARTITION BY event_type ORDER BY y
+                   RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS r
+        FROM base
+    ),
+    seq AS (
+        SELECT event_type, r,
+               LEAD(r) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS r_next
+        FROM ranked
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           ROUND(1.0 - 3.0 * SUM(ABS(r_next - r))
+                     / (CAST(COUNT(*) AS DOUBLE) * COUNT(*) - 1), 6)
+               AS xi
+    FROM seq
+    WHERE r_next IS NOT NULL OR r IS NOT NULL
+    GROUP BY event_type
+    """,
+    description="Chatterjee's xi rank correlation (Chatterjee 2021 JASA) "
+    "of event value against time order, per event type: xi = 1 - "
+    "3*sum|r_(i+1) - r_i| / (n^2 - 1) with r_i = #{y_j <= y_i}, data "
+    "walked in (ts, event_id) order. Unlike Pearson/Spearman/Kendall "
+    "(already in this family), xi detects ARBITRARY functional "
+    "dependence y = f(x) (oscillations included) and is 0 in "
+    "expectation under independence — the modern drift/dependence "
+    "screen. Both windows are KEYED by event_type (rank via a RANGE "
+    "frame that counts ties correctly, the walk via LEAD) — no global "
+    "sort; per-type partitions are the 100 TB sharding unit and the "
+    "final rollup is #types rows. Note the n term uses n = count of "
+    "walk steps per type (rows), matching the estimator's n.",
+)
+def stats_chatterjee_xi_value_by_type(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "ts", F.col("value").cast("double").alias("y")
+    )
+    w_rank = (
+        Window.partitionBy("event_type")
+        .orderBy("y")
+        .rangeBetween(Window.unboundedPreceding, 0)
+    )
+    ranked = ev.withColumn("r", F.count(F.lit(1)).over(w_rank))
+    w_seq = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    seq = ranked.withColumn("r_next", F.lead("r").over(w_seq))
+    return seq.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(
+            1.0
+            - 3.0
+            * F.sum(F.abs(F.col("r_next") - F.col("r")))
+            / (F.count(F.lit(1)).cast("double") * F.count(F.lit(1)) - 1),
+            6,
+        ).alias("xi"),
+    )

@@ -2459,3 +2459,134 @@ def pipeline_effective_token_yield(
         )
         .orderBy("source")
     )
+
+
+# ------------------------------ consistent-hash ring with virtual nodes
+_RING_SHARDS = 8
+_RING_VNODES = 16
+
+
+def _ring_table() -> list[tuple[int, int]]:
+    """(position, shard) for every virtual node, sorted by position —
+    computed once at plan time with the repo's portable md5-48bit hash
+    (hashlib here == token_hash48 in either engine by construction)."""
+    import hashlib
+
+    pts = []
+    for s in range(_RING_SHARDS):
+        for v in range(_RING_VNODES):
+            h = int(
+                hashlib.md5(f"s{s}#v{v}".encode()).hexdigest()[:12], 16
+            )
+            pts.append((h, s))
+    pts.sort()
+    return pts
+
+
+def _ring_arcs() -> dict[int, float]:
+    """Exact ring-arc share owned by each shard (plan-time constant)."""
+    pts = _ring_table()
+    span = float(2**48)
+    arcs: dict[int, float] = {s: 0.0 for s in range(_RING_SHARDS)}
+    for i, (pos, _s) in enumerate(pts):
+        nxt = pts[(i + 1) % len(pts)][0]
+        arc = (nxt - pos) % (2**48)
+        # the arc ABOVE a vnode belongs to the NEXT vnode clockwise
+        arcs[pts[(i + 1) % len(pts)][1]] += arc / span
+    return arcs
+
+
+def _ring_oracle() -> str:
+    pts = _ring_table()
+    pos_lit = "[" + ", ".join(str(p) for p, _ in pts) + "]"
+    sh_lit = "[" + ", ".join(str(s) for _, s in pts) + "]"
+    arcs = _ring_arcs()
+    arc_rows = ", ".join(
+        f"({s}, {arcs[s]!r})" for s in range(_RING_SHARDS)
+    )
+    return f"""
+    WITH docs AS (
+        SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12))
+                    AS BIGINT) AS h
+        FROM documents
+    ),
+    assigned AS (
+        SELECT CAST({sh_lit}[
+                   list_position({pos_lit},
+                       coalesce(list_min(list_filter({pos_lit},
+                                                     p -> p >= h)),
+                                list_min({pos_lit})))] AS BIGINT) AS shard
+        FROM docs
+    ),
+    counts AS (
+        SELECT shard, COUNT(*) AS n_docs FROM assigned GROUP BY shard
+    ),
+    arcs(shard, arc_frac) AS (VALUES {arc_rows}),
+    tot AS (SELECT COUNT(*) AS n FROM docs)
+    SELECT a.shard,
+           CAST({_RING_VNODES} AS BIGINT) AS n_vnodes,
+           ROUND(CAST(a.arc_frac AS DOUBLE), 6) AS arc_frac,
+           COALESCE(c.n_docs, 0) AS n_docs,
+           ROUND(CAST(COALESCE(c.n_docs, 0) AS DOUBLE) / t.n, 6)
+               AS doc_share
+    FROM arcs a
+    LEFT JOIN counts c ON c.shard = a.shard
+    CROSS JOIN tot t
+    """
+
+
+@register(
+    "pipeline_shard_ring_balance",
+    oracle=_ring_oracle(),
+    description="Consistent-hash RING shard balance audit, the companion "
+    "to pipeline_shard_assignment_rendezvous (the other consistent-"
+    "hashing family): 8 shards x 16 virtual nodes placed on a 2^48 md5 "
+    "ring at plan time; each document hashes once and binds to the "
+    "first vnode clockwise (min position >= h, wrapping to the ring "
+    "minimum). Per shard the audit lays the THEORETICAL arc share each "
+    "shard owns (exact plan-time ring geometry) beside the REALIZED "
+    "document share, which is how you validate a vnode count before "
+    "resharding 100 TB: too few vnodes and arc variance makes hot "
+    "shards (expected max/mean ~ 1 + sqrt(ln(S*V)/V)); doc assignment "
+    "is one row-local generated expression over the broadcast-by-value "
+    "128-entry sorted ring — no join, no shuffle before the 8-row "
+    "rollup.",
+)
+def pipeline_shard_ring_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pts = _ring_table()
+    pos_lit = ", ".join(f"CAST({p} AS BIGINT)" for p, _ in pts)
+    sh_lit = ", ".join(f"CAST({s} AS BIGINT)" for _, s in pts)
+    docs = table(spark, sf_dir, "documents").select("doc_id")
+    h = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12), 16, 10)
+        .cast("bigint")
+        .alias("h")
+    )
+    assigned = docs.select(h).select(
+        F.expr(
+            f"element_at(array({sh_lit}), "
+            f"CAST(array_position(array({pos_lit}), "
+            f"coalesce(array_min(filter(array({pos_lit}), p -> p >= h)), "
+            f"array_min(array({pos_lit})))) AS INT))"
+        ).alias("shard")
+    )
+    counts = assigned.groupBy("shard").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )
+    arcs = spark.createDataFrame(
+        [(s, _RING_VNODES, a) for s, a in sorted(_ring_arcs().items())],
+        "shard bigint, n_vnodes bigint, arc_frac double",
+    )
+    n_total = docs.count()
+    return (
+        arcs.join(counts, "shard", "left")
+        .select(
+            "shard",
+            "n_vnodes",
+            F.round("arc_frac", 6).alias("arc_frac"),
+            F.coalesce("n_docs", F.lit(0)).alias("n_docs"),
+            F.round(
+                F.coalesce("n_docs", F.lit(0)).cast("double") / n_total, 6
+            ).alias("doc_share"),
+        )
+    )

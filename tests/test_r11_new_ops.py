@@ -226,3 +226,25 @@ def test_knn_label_accuracy_shape(spark, sf_dir, qs):
     for r in rows:
         assert 0 <= r.n_correct <= r.n_panel
         assert abs(r.accuracy - round(r.n_correct / r.n_panel, 4)) < 1e-9
+
+
+# ----------------------------- consistent-hash ring + Chatterjee's xi
+def test_ring_balance_arcs_and_shares(spark, sf_dir, qs):
+    rows = qs["pipeline_shard_ring_balance"].fn(spark, sf_dir).collect()
+    assert len(rows) == 8
+    assert abs(sum(r.arc_frac for r in rows) - 1.0) < 1e-4
+    assert abs(sum(r.doc_share for r in rows) - 1.0) < 1e-3
+    assert sum(r.n_docs for r in rows) > 0
+    for r in rows:
+        assert r.n_vnodes == 16
+        assert 0.0 < r.arc_frac < 1.0
+
+
+def test_chatterjee_xi_bounds_and_independence(spark, sf_dir, qs):
+    rows = qs["stats_chatterjee_xi_value_by_type"].fn(spark, sf_dir).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # xi in [-0.5, 1]; iid value-vs-time should hover near 0
+        assert -0.5 <= r.xi <= 1.0
+        assert abs(r.xi) < 0.25  # fixture values are time-independent
+        assert r.n > 0
