@@ -2407,3 +2407,74 @@ def events_seasonal_strength_daily(
             4,
         ).alias("trend_strength"),
     )
+
+
+# --------------------------------------------- skyline (Pareto front)
+@register(
+    "orders_skyline_price_quantity",
+    oracle="""
+    WITH oq AS (
+        SELECT c.c_mktsegment AS mktsegment, o.o_orderkey,
+               o.o_totalprice AS price,
+               CAST(SUM(l.l_quantity) AS BIGINT) AS qty
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY c.c_mktsegment, o.o_orderkey, o.o_totalprice
+    )
+    SELECT mktsegment, o_orderkey, ROUND(price, 2) AS price, qty
+    FROM oq a
+    WHERE NOT EXISTS (
+        SELECT 1 FROM oq b
+        WHERE b.mktsegment = a.mktsegment
+          AND b.price < a.price AND b.qty > a.qty
+    )
+    """,
+    description="Skyline / Pareto-front operator (Borzsonyi et al. 2001 "
+    "ICDE), per market segment: the orders no other same-segment order "
+    "STRICTLY dominates on (lower price, higher total quantity) — the "
+    "classic multi-criteria shortlist (cheapest-for-the-volume "
+    "frontier). The Spark plan is the sort-filter skyline: collapse to "
+    "price grain (max qty per price), one KEYED window per segment "
+    "computes the running max quantity over strictly-cheaper price "
+    "grains, and an order survives iff its quantity meets that "
+    "dominance bound — O(n log n) per segment and shuffle-keyed, never "
+    "the O(n^2) all-pairs. The ORACLE is the definitionally-correct "
+    "NOT EXISTS anti-join — two independent algorithms, one hash: the "
+    "strongest kind of oracle check in this repo.",
+)
+def orders_skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    cust = table(spark, sf_dir, "customer")
+    li = table(spark, sf_dir, "lineitem")
+    oq = (
+        orders.join(cust, orders.o_custkey == cust.c_custkey)
+        .join(li, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("c_mktsegment").alias("mktsegment"),
+            "o_orderkey",
+            F.col("o_totalprice").alias("price"),
+        )
+        .agg(F.sum("l_quantity").cast("bigint").alias("qty"))
+    )
+    # price-grain best quantity, then the running dominance bound over
+    # strictly cheaper grains (rows-based is exact AT price grain)
+    grain = oq.groupBy("mktsegment", "price").agg(F.max("qty").alias("gqty"))
+    w = (
+        Window.partitionBy("mktsegment")
+        .orderBy("price")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    bound = grain.withColumn("dom_qty", F.max("gqty").over(w))
+    front = (
+        oq.join(bound.select("mktsegment", "price", "dom_qty"),
+                ["mktsegment", "price"])
+        .filter(F.col("dom_qty").isNull() | (F.col("qty") >= F.col("dom_qty")))
+        .select(
+            "mktsegment",
+            "o_orderkey",
+            F.round("price", 2).alias("price"),
+            "qty",
+        )
+    )
+    return front

@@ -141,13 +141,14 @@ PRIORITY = [
     # r11 rotation (JL recall + distortion, C4 global line dedup, hashed
     # linear classifier, sorted-neighborhood ER, pHash near-dup, KMV
     # theta intersection, weighted Jaccard, silhouette + kNN-probe eval,
-    # hash-ring balance, Chatterjee xi). They take the slots of twelve old
+    # hash-ring balance, Chatterjee xi, skyline). They take the slots of
+    # thirteen old
     # stable
     # never-sampled names (minhash signatures, canonical selection, pq_distortion, reservoir
     # sample, decontaminate, token_budget_mix, ngram jaccard pairs,
     # embedding cosine pairs, lsh_top5, language_id, token_stats,
     # stratified sample) — those return to the tail pool with full-sweep
-    # evidence; all twelve incoming names are first-time too, so the
+    # evidence; all thirteen incoming names are first-time too, so the
     # >=20-first-time streak holds (28 first-time slots).
     "tpch_q11_important_part_value",
     "dedup_simhash_block_population",
@@ -167,7 +168,7 @@ PRIORITY = [
     "sketch_hll_distinct_users",
     "er_sorted_neighborhood_pairs",
     "multimodal_phash_neardup",
-    "text_zipf_slope",
+    "orders_skyline_price_quantity",
     "pipeline_shard_ring_balance",
     "stats_chatterjee_xi_value_by_type",
     "sketch_kmv_theta_intersection",

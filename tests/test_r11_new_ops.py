@@ -248,3 +248,20 @@ def test_chatterjee_xi_bounds_and_independence(spark, sf_dir, qs):
         assert -0.5 <= r.xi <= 1.0
         assert abs(r.xi) < 0.25  # fixture values are time-independent
         assert r.n > 0
+
+
+# ------------------------------------------------- skyline Pareto front
+def test_skyline_no_strict_dominators(spark, sf_dir, qs):
+    rows = qs["orders_skyline_price_quantity"].fn(spark, sf_dir).collect()
+    assert len(rows) > 0
+    by_seg = {}
+    for r in rows:
+        by_seg.setdefault(r.mktsegment, []).append((r.price, r.qty))
+    for seg, pts in by_seg.items():
+        for p1, q1 in pts:
+            # no front point strictly dominates another front point
+            assert not any(
+                p2 < p1 and q2 > q1 for p2, q2 in pts
+            ), f"{seg}: ({p1},{q1}) dominated within front"
+        # the segment's cheapest order is always on the front
+        assert min(p for p, _ in pts) > 0
