@@ -137,19 +137,19 @@ PRIORITY = [
     # (VERDICT r10 ask #4), as were
     # sketch_approx_percentile_order_value and embedding_label_pca —
     # rewritten code paths get driver evidence in the round they change.
-    # Mid-round-11 update: seven MORE operators landed after the first
-    # r11 rotation (JL recall + distortion, C4 global line dedup, hashed
-    # linear classifier, sorted-neighborhood ER, pHash near-dup, KMV
-    # theta intersection, weighted Jaccard, silhouette + kNN-probe eval,
-    # hash-ring balance, Chatterjee xi, skyline). They take the slots of
-    # thirteen old
-    # stable
-    # never-sampled names (minhash signatures, canonical selection, pq_distortion, reservoir
-    # sample, decontaminate, token_budget_mix, ngram jaccard pairs,
-    # embedding cosine pairs, lsh_top5, language_id, token_stats,
-    # stratified sample) — those return to the tail pool with full-sweep
-    # evidence; all thirteen incoming names are first-time too, so the
-    # >=20-first-time streak holds (28 first-time slots).
+    # Mid-round-11 update: eleven MORE operators (13 queries) landed
+    # after the first r11 rotation (JL recall + distortion, C4 global
+    # line dedup, hashed linear classifier, sorted-neighborhood ER,
+    # pHash near-dup, KMV theta intersection, weighted Jaccard,
+    # silhouette + kNN-probe eval, hash-ring balance, Chatterjee xi,
+    # skyline). They take the slots of thirteen old stable never-sampled
+    # names (minhash signatures, canonical selection, pq_distortion,
+    # reservoir sample, decontaminate, token_budget_mix, ngram jaccard
+    # pairs, embedding cosine pairs, lsh_top5, language_id, token_stats,
+    # stratified sample, text_zipf_slope) — those return to the tail
+    # pool with full-sweep evidence; all thirteen incoming names are
+    # first-time too, so the >=20-first-time streak holds (28 first-time
+    # slots).
     "tpch_q11_important_part_value",
     "dedup_simhash_block_population",
     "dedup_simhash_salted_blocks",

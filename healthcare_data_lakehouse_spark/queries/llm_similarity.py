@@ -2327,6 +2327,14 @@ def embedding_jl_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "multimodal_phash_neardup",
     oracle="""
+    -- ASCII invariant (ADVICE r11): this oracle equates
+    -- unicode(substr(text,i,1))/length(text) with UTF-8 byte values and
+    -- byte length, which holds ONLY for pure-ASCII text. The Spark path
+    -- hashes encode(text,'utf-8') bytes. The fixture generators emit
+    -- ASCII-only documents (DOC_VOCAB is ASCII; dup marker ' dup' is
+    -- ASCII) and tests/test_r12_fixes.py::test_documents_fixture_is_ascii
+    -- pins the invariant on every shipped SF, so a non-ASCII generator
+    -- change fails loudly instead of silently shifting window boundaries.
     WITH base AS (
         SELECT doc_id, text, length(text) AS n
         FROM documents
@@ -2495,7 +2503,7 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
            ROUND(CAST(n_common AS DOUBLE) / n_union, 6) AS est_jaccard,
            exact_intersection,
            ROUND(ABS(n_common / th - exact_intersection)
-                 / exact_intersection, 4) AS rel_error
+                 / NULLIF(exact_intersection, 0), 4) AS rel_error
     FROM theta, ninter, nuni, exact
     """,
     description="Theta-sketch set algebra on KMV sketches (the "
@@ -2588,12 +2596,15 @@ def sketch_kmv_theta_intersection(
                 F.col("n_common").cast("double") / F.col("n_union"), 6
             ).alias("est_jaccard"),
             "exact_intersection",
+            # NULLIF twin of the oracle (ADVICE r11): a zero-overlap
+            # audience pair must yield NULL on BOTH engines, not
+            # Spark-NULL vs DuckDB-inf.
             F.round(
                 F.abs(
                     F.col("n_common") / F.col("th")
                     - F.col("exact_intersection")
                 )
-                / F.col("exact_intersection"),
+                / F.nullif(F.col("exact_intersection"), F.lit(0)),
                 4,
             ).alias("rel_error"),
         )
