@@ -26,6 +26,9 @@ __all__ = [
     "replicate_for_salt",
     "salted_join",
     "salted_self_pair_join",
+    "plain_self_pair_join",
+    "block_population_stats",
+    "auto_self_pair_join",
 ]
 
 
@@ -94,3 +97,76 @@ def salted_self_pair_join(
         .filter(F.col(f"{id_col}_a") < F.col(f"{id_col}_b"))
         .drop("_salt")
     )
+
+
+def plain_self_pair_join(
+    df: DataFrame, keys: list[str], id_col: str
+) -> DataFrame:
+    """Unsalted twin of :func:`salted_self_pair_join` with IDENTICAL
+    output columns (non-key columns suffixed ``_a``/``_b`` plus the
+    keys), so a planner can swap the two without touching downstream
+    expressions."""
+    payload = [c for c in df.columns if c not in keys]
+    a = df.select(*keys, *[F.col(c).alias(f"{c}_a") for c in payload])
+    b = df.select(*keys, *[F.col(c).alias(f"{c}_b") for c in payload])
+    return a.join(b, list(keys)).filter(
+        F.col(f"{id_col}_a") < F.col(f"{id_col}_b")
+    )
+
+
+def block_population_stats(df: DataFrame, keys: list[str]) -> tuple:
+    """(max, mean, n_blocks) of the per-key block populations — one
+    scalar aggregate over the blocking table (the same statistic
+    ``dedup_simhash_block_population`` reports as a query). Cost: one
+    groupBy-count over the key table, negligible next to the candidate
+    join it gates."""
+    row = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.max("c").alias("mx"),
+            F.avg("c").alias("mn"),
+            F.count(F.lit(1)).alias("n_blocks"),
+        )
+        .first()
+    )
+    return row.mx, row.mn, row.n_blocks
+
+
+def auto_self_pair_join(
+    df: DataFrame,
+    keys: list[str],
+    id_col: str,
+    n_salts: int = 8,
+    skew_bound: float = 6.0,
+) -> tuple[DataFrame, dict]:
+    """Skew-aware planner for blocked self-pair candidate generation
+    (VERDICT r11 ask #5): measure the block-population skew (max/mean
+    count per key) and pick :func:`salted_self_pair_join` when it
+    exceeds ``skew_bound``, else :func:`plain_self_pair_join`.
+
+    The default bound 6.0 is the regression ceiling
+    ``tests/test_llm_dedup_scale.py`` pins for the SimHash block index
+    (measured max ~3x mean at sf0.1); beyond it a single reducer owns a
+    quadratic hot block and salting's |hot|/n_salts placement wins.
+    Both paths emit identical rows and columns — only the shuffle
+    layout differs — so the decision is a pure physical-plan choice,
+    and callers can surface it (ratio + chosen path) for oracle
+    checking. The one driver-side action is the scalar stats aggregate
+    (3 numbers), the same threshold-gating pattern as the dedup
+    union-find."""
+    mx, mn, n_blocks = block_population_stats(df, keys)
+    ratio = float(mx) / float(mn) if mn else 0.0
+    decision = {
+        "max_pop": mx,
+        "mean_pop": mn,
+        "n_blocks": n_blocks,
+        "ratio": ratio,
+        "chosen": "salted" if ratio > skew_bound else "unsalted",
+        "skew_bound": skew_bound,
+    }
+    if ratio > skew_bound:
+        pairs = salted_self_pair_join(df, keys, id_col, n_salts)
+    else:
+        pairs = plain_self_pair_join(df, keys, id_col)
+    return pairs, decision

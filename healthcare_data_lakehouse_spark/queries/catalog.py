@@ -150,35 +150,58 @@ PRIORITY = [
     # pool with full-sweep evidence; all thirteen incoming names are
     # first-time too, so the >=20-first-time streak holds (28 first-time
     # slots).
-    "tpch_q11_important_part_value",
-    "dedup_simhash_block_population",
-    "dedup_simhash_salted_blocks",
-    "dedup_minhash_oph_signatures",
-    "dedup_oph_jaccard_error",
-    "dedup_oph_lsh_pairs",
-    "dedup_c4_line_global",
-    "similarity_recall_jl_at5",
-    "embedding_jl_cosine_error",
-    "dedup_weighted_jaccard_pairs",
-    "text_hashed_linear_classifier",
-    "embedding_silhouette_by_label",
-    "embedding_int8_quantization",
-    "embedding_label_pca",
-    "sketch_approx_percentile_order_value",
-    "sketch_hll_distinct_users",
-    "er_sorted_neighborhood_pairs",
-    "multimodal_phash_neardup",
-    "orders_skyline_price_quantity",
-    "pipeline_shard_ring_balance",
-    "stats_chatterjee_xi_value_by_type",
-    "sketch_kmv_theta_intersection",
-    "embedding_knn_label_accuracy",
-    "graph_khop_expansion_profile",
-    "graph_pagerank_neardup",
-    "stats_ridge_regression_normal_eq",
-    "quality_fd_discovery",
-    "kmeans_embeddings_lloyd",
-    "multimodal_frame_sample",
+    # Round-12 rotation (VERDICT r11 ask #1): all 29 rotating slots are
+    # FIRST-TIME names (absent from every CORRECTNESS_r01..r11 window,
+    # checked mechanically against the committed records). 27 come from
+    # the 157-query never-sampled tail, prioritizing the verdict-named
+    # heavy/novel plans (dedup_prefix_filter_jaccard — the r11 PPJoin
+    # rewrite, dedup_multisignal_pairs, assoc_part_pairs_lift,
+    # er_fuzzy_customer_match, events_markov_stationary,
+    # events_uplift_qini_deciles; the verdict's seventh name
+    # forecast_holt_winters_monthly was already sampled in r9, so its
+    # never-sampled sibling forecast_holt_monthly_revenue rides instead,
+    # plus the STL decomposition), the heavy graph family
+    # (modularity, label propagation, clustering coefficient), the top
+    # scale-ratio query text_ngram_novelty_rate, the dedup candidate-
+    # pipeline tail (bloom prefilter, incremental LSH gate, containment
+    # — also a bench sentinel), and one representative each from the
+    # stats/quality-drift, privacy, sampling, pipeline, embedding-
+    # fidelity, ANN-recall, and SCD2 families. The final 2 slots carry
+    # the operators NEW in r12 — the automatic skew-lever planner and
+    # the driver-evidenced Python transform hatch (VERDICT r11 asks #5
+    # and #7) — new code paths get driver evidence in the round they
+    # land. Everything rotated out (the r11 window names) is hash-green
+    # in CORRECTNESS_r11.json and re-verified by every full compare.py
+    # sweep.
+    "dedup_prefix_filter_jaccard",
+    "dedup_multisignal_pairs",
+    "assoc_part_pairs_lift",
+    "er_fuzzy_customer_match",
+    "events_markov_stationary",
+    "events_uplift_qini_deciles",
+    "forecast_holt_monthly_revenue",
+    "forecast_stl_decompose_monthly",
+    "graph_modularity_supplier_nations",
+    "graph_label_propagation_communities",
+    "graph_clustering_coefficient_neardup",
+    "sketch_hll_audience_overlap",
+    "text_ngram_novelty_rate",
+    "dedup_bloom_prefilter_probe",
+    "dedup_incremental_lsh_gate",
+    "dedup_containment_pairs",
+    "stats_ks_value_drift",
+    "rfm_customer_segments",
+    "orders_abc_classification",
+    "events_did_difference_in_differences",
+    "quality_psi_value_drift",
+    "privacy_t_closeness_audit",
+    "sample_coreset_kcenter",
+    "pipeline_tokenizer_vocab_coverage",
+    "embedding_matryoshka_fidelity",
+    "similarity_recall_multiprobe_at5",
+    "scd2_point_in_time_revenue",
+    "dedup_auto_skew_blocking",
+    "transform_python_hatch_features",
 ]
 
 

@@ -2842,3 +2842,95 @@ def dedup_weighted_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("weighted_jaccard"),
         )
     )
+
+
+# --------------------------- skew-aware planner: auto salted/unsalted pick
+@register(
+    "dedup_auto_skew_blocking",
+    oracle="""
+    WITH b AS (
+        SELECT lang, COUNT(*) AS c FROM documents GROUP BY lang
+    ),
+    st AS (
+        SELECT MAX(c) AS mx, AVG(c) AS mn,
+               CAST(COUNT(*) AS BIGINT) AS n_blocks
+        FROM b
+    ),
+    p AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM((a.doc_id * 31 + b.doc_id) % 1000003) AS BIGINT)
+                   AS pair_checksum
+        FROM documents a JOIN documents b
+          ON a.lang = b.lang AND a.doc_id < b.doc_id
+    ),
+    bounds AS (
+        SELECT CAST(v.b AS DOUBLE) AS skew_bound
+        FROM (VALUES (6.0), (1.5)) AS v(b)
+    )
+    SELECT skew_bound,
+           CASE WHEN st.mx / st.mn > skew_bound
+                THEN 'salted' ELSE 'unsalted' END AS chosen,
+           ROUND(st.mx / st.mn, 4) AS pop_ratio,
+           st.n_blocks, p.n_pairs, p.pair_checksum
+    FROM bounds, st, p
+    ORDER BY skew_bound
+    """,
+    description="The automatic skew lever (VERDICT r11 ask #5): "
+    "auto_self_pair_join (functions/skew.py) measures the block-"
+    "population skew (max/mean count per key — the same statistic "
+    "dedup_simhash_block_population reports) with one scalar aggregate "
+    "and PICKS the salted or unsalted self-pair join per table, instead "
+    "of the r11 manual one-line swap. This query runs the planner twice "
+    "over lang-blocked documents — once at the production bound 6.0 "
+    "(the tests/test_llm_dedup_scale.py ceiling; this corpus sits at "
+    "~2.2x so the plain join is chosen) and once at bound 1.5 (forcing "
+    "the salted branch) — and emits, per run, the decision, the "
+    "engine-computed skew ratio, and count + checksum aggregates over "
+    "the emitted pairs. Because both physical paths must produce "
+    "IDENTICAL pairs, one oracle pair-aggregate checks both branches "
+    "value-for-value: the salted branch's correctness and the "
+    "decision logic are driver-hash-verified in one query. Zipf-key "
+    "property tests (tests/test_r12_new_ops.py) pin the picker on "
+    "genuinely hot keys where the fixture is uniform.",
+)
+def dedup_auto_skew_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.skew import (
+        auto_self_pair_join,
+    )
+
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    # engine-side skew stats (the oracle recomputes these in SQL; the
+    # planner's driver-side copy only gates the plan choice)
+    stats = (
+        docs.groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            F.max("c").alias("mx"),
+            F.avg("c").alias("mn"),
+            F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        )
+    )
+    out = None
+    for bound in (6.0, 1.5):
+        pairs, decision = auto_self_pair_join(
+            docs, keys=["lang"], id_col="doc_id", n_salts=8, skew_bound=bound
+        )
+        agg = pairs.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(
+                (F.col("doc_id_a") * 31 + F.col("doc_id_b")) % 1000003
+            ).cast("bigint").alias("pair_checksum"),
+        )
+        row = (
+            agg.crossJoin(F.broadcast(stats))
+            .select(
+                F.lit(bound).alias("skew_bound"),
+                F.lit(decision["chosen"]).alias("chosen"),
+                F.round(F.col("mx") / F.col("mn"), 4).alias("pop_ratio"),
+                "n_blocks",
+                "n_pairs",
+                "pair_checksum",
+            )
+        )
+        out = row if out is None else out.unionAll(row)
+    return out.orderBy("skew_bound")

@@ -44,6 +44,10 @@ PYTHON_OK = {
     # grouped scientific compute: numpy eigensolver per label group is
     # the designed Arrow-batched Python surface (see the query docstring)
     "embedding_label_pca",
+    # the reference's arbitrary dict->dict Python transform escape hatch,
+    # deliberately routed through mapInPandas for driver evidence
+    # (VERDICT r11 ask #7); never a hot-path pattern
+    "transform_python_hatch_features",
 }
 
 # Single-partition ordered stages justified by small post-aggregation
