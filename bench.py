@@ -182,6 +182,14 @@ def main() -> None:
     # with cached intermediates cleared so every run pays the full cost.
     runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
     times: dict[str, float] = {}
+    # Per-query [min, median, max] across the runs (VERDICT r11 ask #2):
+    # a single median made round-over-round movers unattributable — with
+    # the spread in the committed record, a >1.3x mover whose r12 min
+    # already exceeds the r11 max is a real regression, while overlapping
+    # spreads close as noise. tests/test_bench_coverage.py bounds the
+    # record's dispersion so a run on a loaded machine can't be committed
+    # as the reference record.
+    spread: dict[str, list[float]] = {}
     errors: dict[str, str] = {}
     headline = headline_names(list(qs))
     for name in headline:
@@ -198,6 +206,9 @@ def main() -> None:
                 fn(spark, sf_dir).count()  # force full execution
                 samples.append(time.time() - t0)
             times[name] = round(sorted(samples)[len(samples) // 2], 3)
+            spread[name] = [
+                round(min(samples), 3), times[name], round(max(samples), 3)
+            ]
         except Exception as ex:  # noqa: BLE001
             errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
             print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
@@ -205,6 +216,7 @@ def main() -> None:
     # Write-path/streaming representatives: same protocol, separate table
     # (never summed into the read-only headline total).
     wtimes: dict[str, float] = {}
+    wspread: dict[str, list[float]] = {}
     for name in WRITE_HEADLINE:
         fn = qs.get(name)
         if fn is None:
@@ -217,6 +229,9 @@ def main() -> None:
                 fn(spark, sf_dir).count()
                 samples.append(time.time() - t0)
             wtimes[name] = round(sorted(samples)[len(samples) // 2], 3)
+            wspread[name] = [
+                round(min(samples), 3), wtimes[name], round(max(samples), 3)
+            ]
         except Exception as ex:  # noqa: BLE001
             errors[name] = f"{type(ex).__name__}: {str(ex).splitlines()[0][:200]}"
             print(f"ERROR {name}: {errors[name]}", file=sys.stderr)
@@ -250,8 +265,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": times,
+        "queries_spread": spread,
         "write_total": write_total,
         "write_queries": wtimes,
+        "write_queries_spread": wspread,
         "sf": sf_val,
         "catalog": len(qs),
         "headline": len(times),

@@ -57,3 +57,37 @@ def test_sentinels_are_timed_headline_queries():
         # work is done (ADVICE r10): require a strictly positive number.
         assert isinstance(ref, (int, float)) and not isinstance(ref, bool)
         assert ref > 0, f"sentinel {name} ref must be > 0, got {ref!r}"
+
+
+def test_committed_bench_record_has_bounded_dispersion():
+    """VERDICT r11 ask #2: the committed BENCH_FULL.json must carry
+    per-query [min, median, max] across the runs, internally consistent
+    and with bounded dispersion — a record captured on a loaded machine
+    (wild spreads) must not be committed as the round's reference, since
+    movers are judged against it."""
+    import json
+
+    rec = json.loads((Path(__file__).resolve().parent.parent
+                      / "BENCH_FULL.json").read_text())
+    spread = rec.get("queries_spread")
+    assert spread, "BENCH_FULL.json must record [min, med, max] (r12+)"
+    qts = rec["queries"]
+    assert set(spread) == set(qts)
+    ratios = []
+    for n, (lo, med, hi) in spread.items():
+        assert 0 < lo <= med <= hi, n
+        assert med == qts[n], n
+        if lo >= 0.05:  # sub-50ms queries are timer-noise dominated
+            ratios.append(hi / lo)
+    ratios.sort()
+    med_disp = ratios[len(ratios) // 2]
+    # median max/min across the catalog: an idle local[32] run sits well
+    # under 1.5x; a loaded machine blows past it
+    assert med_disp <= 1.5, f"median dispersion {med_disp:.2f}"
+    wild = sum(1 for r in ratios if r > 4.0) / len(ratios)
+    assert wild <= 0.05, f"{wild:.1%} of queries have >4x spread"
+
+    wspread = rec.get("write_queries_spread")
+    assert wspread and set(wspread) == set(rec["write_queries"])
+    for n, (lo, med, hi) in wspread.items():
+        assert 0 < lo <= med <= hi, n

@@ -81,3 +81,80 @@ def test_value_domains_match(gen_dir):
         "WHERE text LIKE '% dup'"
     ).fetchone()
     assert n_dupmark >= 10  # ~5% of 500, minus the exact-copy share
+
+
+# ------------------------------------------- open-vocabulary mode (r12)
+@pytest.fixture(scope="module")
+def open_dirs(tmp_path_factory):
+    base = tmp_path_factory.mktemp("openfix")
+    small, big = base / "s", base / "b"
+    G.generate(0.02, str(small), seed=7, vocab="open")
+    G.generate(0.2, str(big), seed=7, vocab="open")
+    return small, big
+
+
+def test_open_vocab_grows_heaps_like(open_dirs):
+    """The whole point of open mode (VERDICT r11 ask #4): the realized
+    vocabulary must GROW with corpus size (Heaps regime) instead of
+    saturating at the closed mode's 30 types, and shingle document
+    frequency must stay roughly flat instead of scaling with N."""
+    import duckdb
+
+    con = duckdb.connect()
+
+    def stats(d):
+        return con.sql(f"""
+            WITH toks AS (
+                SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                FROM '{d}/documents.parquet'
+            )
+            SELECT COUNT(DISTINCT w) AS types, COUNT(*) AS tokens,
+                   (SELECT AVG(df) FROM (
+                       SELECT COUNT(DISTINCT doc_id) AS df FROM toks
+                       GROUP BY w)) AS avg_df
+            FROM toks
+        """).fetchone()
+
+    (types_s, tokens_s, df_s) = stats(open_dirs[0])
+    (types_b, tokens_b, df_b) = stats(open_dirs[1])
+    assert types_s > 1000  # far beyond the closed 30-word lexicon
+    # Heaps: 10x tokens must yield substantially more types (beta > 0,
+    # sublinear) but nowhere near saturation
+    assert 2.0 < types_b / types_s < 10.0
+    # per-word document frequency must not explode 10x like closed mode
+    # (PERF_r11: closed avg shingle df went 10.1 -> 99.5 at 10x data)
+    assert df_b / df_s < 3.0
+
+
+def test_open_vocab_keeps_recipe_and_ascii(open_dirs):
+    import duckdb
+
+    con = duckdb.connect()
+    small = open_dirs[0]
+    n, n_dupmark = con.sql(f"""
+        SELECT COUNT(*),
+               SUM(CASE WHEN text LIKE '% dup' THEN 1 ELSE 0 END)
+        FROM '{small}/documents.parquet'
+    """).fetchone()
+    assert n == 1000
+    assert n_dupmark > 20  # planted-dup recipe intact (~5% minus exacts)
+    texts = pq.read_table(
+        small / "documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    assert all(t.isascii() for t in texts)  # phash oracle invariant
+    # doc-length recipe unchanged: 10..100 words per doc
+    lens = [len(t.split(" ")) for t in texts]
+    assert 10 <= min(lens) and max(lens) <= 101
+
+
+def test_closed_mode_unchanged_by_vocab_plumbing(gen_dir):
+    """Adding the vocab parameter must not perturb the closed-mode rng
+    stream: the same seed still yields the shipped-fixture twin (the
+    fidelity tests above run on closed mode), and a doc built from the
+    closed lexicon contains only DOC_VOCAB words."""
+    texts = pq.read_table(
+        gen_dir / "documents.parquet", columns=["text"]
+    )["text"].to_pylist()
+    vocab = set(G.DOC_VOCAB)
+    words = set(texts[0].split(" "))
+    assert words <= vocab

@@ -28,7 +28,20 @@ Distribution recipes mirrored from the shipped data:
   - embeddings: x = normalize(N(0, 1/64 I) + mu_label), ||mu_label|| = 0.07
     (observed per-label centroid norm ~0.07, intra std ~1/8, norms 1.0).
 
-Usage: python tools/gen_scale_fixture.py SF OUTDIR [SEED]
+Vocabulary modes (VERDICT r11 ask #4). The shipped fixture's 30-word
+closed vocabulary saturates the 3-shingle space as the corpus grows
+(PERF_r11.md: avg shingle df 10.1 -> 99.5 at 10x), driving ARTIFICIAL
+quadratic candidate growth in shingle-keyed dedup — a generator artifact,
+not an operator property. ``vocab="open"`` instead draws words
+Zipf(a=1.5)-distributed over an unbounded integer vocabulary ("w{rank}"),
+so the realized type count grows Heaps-like with corpus size (the
+real-corpus regime) and shingle document frequencies stay bounded. The
+default stays "closed" — `tests/test_scale_fixture.py` pins closed-mode
+fidelity against the shipped parquet; open mode only changes the word
+source, keeping doc lengths, languages, sources, and the planted-dup
+recipe identical.
+
+Usage: python tools/gen_scale_fixture.py SF OUTDIR [SEED] [closed|open]
 """
 
 from __future__ import annotations
@@ -65,7 +78,11 @@ def _write(out: Path, name: str, table: pa.Table) -> None:
     print(f"  {name}: {table.num_rows} rows")
 
 
-def generate(sf: float, outdir: str, seed: int = 42) -> None:
+def generate(
+    sf: float, outdir: str, seed: int = 42, vocab: str = "closed"
+) -> None:
+    if vocab not in ("closed", "open"):
+        raise ValueError(f"vocab must be 'closed' or 'open', got {vocab!r}")
     rng = np.random.default_rng(seed)
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -180,11 +197,26 @@ def generate(sf: float, outdir: str, seed: int = 42) -> None:
 
     # documents: base word salads + ~5% planted dups (3% of those exact,
     # the rest with the ' dup' marker appended), scattered doc ids.
-    vocab = np.array(DOC_VOCAB)
     lens = rng.integers(10, 101, n_doc)
     texts: list[str] = []
-    for ln in lens:
-        texts.append(" ".join(vocab[rng.integers(0, len(vocab), ln)]))
+    if vocab == "closed":
+        words = np.array(DOC_VOCAB)
+        for ln in lens:
+            texts.append(" ".join(words[rng.integers(0, len(words), ln)]))
+    else:
+        # open vocabulary: Zipf(a=1.5) word ranks over an unbounded
+        # integer lexicon — realized type count grows Heaps-like with
+        # corpus size, shingle document frequencies stay bounded (the
+        # real-corpus regime the closed 30-word mode cannot model).
+        # ASCII by construction ("w" + digits), preserving the phash
+        # oracle's char-as-byte invariant.
+        all_words = rng.zipf(1.5, int(lens.sum()))
+        pos = 0
+        for ln in lens:
+            texts.append(
+                " ".join(f"w{r}" for r in all_words[pos:pos + ln])
+            )
+            pos += ln
     n_dup = int(round(n_doc * 0.05))
     dup_ids = rng.choice(np.arange(1, n_doc), size=n_dup, replace=False)
     for i in dup_ids:
@@ -222,5 +254,6 @@ if __name__ == "__main__":
     sf = float(sys.argv[1])
     outdir = sys.argv[2]
     seed = int(sys.argv[3]) if len(sys.argv) > 3 else 42
-    print(f"generating sf={sf} -> {outdir} (seed {seed})")
-    generate(sf, outdir, seed)
+    vocab_mode = sys.argv[4] if len(sys.argv) > 4 else "closed"
+    print(f"generating sf={sf} -> {outdir} (seed {seed}, vocab {vocab_mode})")
+    generate(sf, outdir, seed, vocab_mode)

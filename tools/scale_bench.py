@@ -95,11 +95,38 @@ def median(xs: list[float]) -> float:
     return s[mid] if len(s) % 2 else (s[mid - 1] + s[mid]) / 2
 
 
+def fit_exponent(points: list[tuple[float, float]]) -> float | None:
+    """Least-squares slope of ln(t) vs ln(sf) — the scale exponent
+    (VERDICT r11 ask #3: a two-point ratio can hide superlinear onset;
+    three points expose curvature). 1.0 = linear; <=~1.1 passes."""
+    import math
+
+    pts = [(sf, t) for sf, t in points if t and t > 0]
+    if len(pts) < 2:
+        return None
+    xs = [math.log(sf) for sf, _ in pts]
+    ys = [math.log(t) for _, t in pts]
+    n = len(pts)
+    mx, my = sum(xs) / n, sum(ys) / n
+    denom = sum((x - mx) ** 2 for x in xs)
+    if denom == 0:
+        return None
+    return round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--runs", type=int, default=3)
     ap.add_argument("--small", default="/tmp/scale_sf0.1")
     ap.add_argument("--big", default="/tmp/scale_sf1.0")
+    ap.add_argument("--third", default=None,
+                    help="optional third scale point dir (e.g. sf3.0 "
+                         "fixture) — adds t_third and a fitted exponent")
+    ap.add_argument("--third-sf", type=float, default=3.0)
+    ap.add_argument("--out", default=str(OUT),
+                    help="record file (use a separate file for "
+                         "open-vocabulary fixture runs so the closed-"
+                         "vocab record stays comparable across rounds)")
     ap.add_argument("names", nargs="*")
     args = ap.parse_args()
 
@@ -109,21 +136,32 @@ def main() -> None:
     spark = get_spark("scale_bench")
     qs = e.queries()
 
+    out_path = Path(args.out)
     names = args.names or (HEAVY_25 + LINEAR_CONTROLS + WRITE_11)
     results: dict = (
-        json.loads(OUT.read_text()) if OUT.exists() else {"queries": {}}
+        json.loads(out_path.read_text())
+        if out_path.exists()
+        else {"queries": {}}
     )
     results.setdefault("meta", {})
     results["meta"].update(
         {"runs": args.runs, "small": args.small, "big": args.big,
          "data_ratio": 10.0}
     )
+    if args.third:
+        results["meta"]["third"] = args.third
+        results["meta"]["third_sf"] = args.third_sf
 
     from healthcare_data_lakehouse_spark.tables import TABLE_NAMES, table
 
-    for d in (args.small, args.big):
+    point_dirs = [args.small, args.big] + ([args.third] if args.third else [])
+    for d in point_dirs:
         for t in TABLE_NAMES:
             table(spark, d, t).count()
+
+    points = [("t_small", args.small, 0.1), ("t_big", args.big, 1.0)]
+    if args.third:
+        points.append(("t_third", args.third, args.third_sf))
 
     for name in names:
         fn = qs.get(name)
@@ -131,7 +169,7 @@ def main() -> None:
             print(f"SKIP {name}: not in catalog", flush=True)
             continue
         rec = results["queries"].setdefault(name, {})
-        for key, d in (("t_small", args.small), ("t_big", args.big)):
+        for key, d, _sf in points:
             if key in rec:
                 continue
             samples = []
@@ -148,15 +186,24 @@ def main() -> None:
                 )
             if "t_small" in rec and "t_big" in rec:
                 rec["ratio"] = round(rec["t_big"] / max(rec["t_small"], 1e-9), 2)
-            OUT.write_text(json.dumps(results, indent=1))
+            exp = fit_exponent(
+                [(sf, rec.get(k)) for k, _d, sf in points if k in rec]
+            )
+            if exp is not None and "t_third" in rec:
+                rec["exponent"] = exp
+            out_path.write_text(json.dumps(results, indent=1))
             print(f"{name} {key}: {rec.get(key, rec.get(f'{key}_error'))}",
                   flush=True)
 
     done = {n: r for n, r in results["queries"].items() if "ratio" in r}
     print(f"\n{len(done)} measured; ratios (t_sf1.0 / t_sf0.1, data 10x):")
     for n, r in sorted(done.items(), key=lambda kv: -kv[1]["ratio"]):
+        third = (
+            f" -> {r['t_third']:8.3f}s@sf3 exp={r.get('exponent')}"
+            if "t_third" in r else ""
+        )
         print(f"  {r['ratio']:6.2f}x  {r['t_small']:7.3f}s -> "
-              f"{r['t_big']:8.3f}s  {n}")
+              f"{r['t_big']:8.3f}s{third}  {n}")
 
 
 if __name__ == "__main__":
