@@ -215,7 +215,19 @@ PHASH_SCHEMA = StructType([
     StructField("sig", LongType()),
 ])
 
-PHASH_BITS = 32
+# 48 bits, not 32 (round 12): banding with B blocks catches Hamming <=
+# B-1 by pigeonhole, and the verify bound here is 2, so THREE blocks
+# suffice — the r11 shape (4 x 8-bit blocks over 32 bits) both
+# over-guaranteed (<=3) and fixed each block's key space at 256 values,
+# which makes block population grow ~N/256 and candidates ~N^2/256: the
+# sf3.0 three-point measurement (SCALE_BENCH.md) showed exponent ~1.8
+# past sf1.0 (82.4 s at 150k assets). 48 bits / 3 x 16-bit blocks keeps
+# the exact same Hamming<=2 guarantee while growing per-block key space
+# to 65,536 — signature entropy must scale with corpus size, block
+# count must not.
+PHASH_BITS = 48
+PHASH_BLOCKS = 3
+PHASH_BLOCK_BITS = PHASH_BITS // PHASH_BLOCKS
 
 
 def phash_signatures(assets: DataFrame, bits: int = PHASH_BITS) -> DataFrame:
@@ -230,14 +242,17 @@ def phash_signatures(assets: DataFrame, bits: int = PHASH_BITS) -> DataFrame:
     per asset — 8 bytes per asset downstream, which is what makes
     signature-space near-dup joins affordable at 100 TB.
 
-    Both geometry and threshold are MEASURED scale/quality levers
+    Geometry, threshold, AND width are MEASURED scale/quality levers
     (SCALE_BENCH.md): equal-WIDTH windows left zero-filled tails that
     packed 16,241 same-length assets of 50k into ONE block value at
-    sf1.0 (4.5e8 candidate pairs, executor OOM), and a payload-MEAN
+    sf1.0 (4.5e8 candidate pairs, executor OOM), a payload-MEAN
     threshold degenerates on bimodal bytes (ASCII text: every letter
     sits above the space-dragged mean, so the signature collapsed to a
-    space-position detector). Equal-fraction windows + median threshold
-    measure 2.7e7 candidates, max block 1,140."""
+    space-position detector), and the r11 32-bit width fixed each of
+    its 4 banding blocks at a 256-value key space, measured superlinear
+    (exponent ~1.8) at sf3.0 — 48 bits / 3 x 16-bit blocks keeps the
+    Hamming<=2 pigeonhole guarantee while the per-block key space grows
+    256x, restoring near-linear candidate growth."""
 
     def ph(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mid = bits // 2

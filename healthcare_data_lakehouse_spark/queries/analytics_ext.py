@@ -2966,3 +2966,172 @@ def er_sorted_neighborhood_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ((F.col("id_a") >= 1_000_000) | (F.col("id_b") >= 1_000_000))
         )
     )
+
+
+# ------------------- Fellegi-Sunter probabilistic record-linkage weights
+@register(
+    "er_fellegi_sunter_weights",
+    oracle=f"""
+    WITH d AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+               string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    p AS (
+        SELECT (a.text = b.text
+                OR a.text || ' dup' = b.text
+                OR b.text || ' dup' = a.text) AS is_match,
+               CAST(a.lang = b.lang AS INT) AS f_lang,
+               CAST(a.source = b.source AS INT) AS f_source,
+               CAST(abs(a.n_chars - b.n_chars) <= 4 AS INT) AS f_len,
+               CAST(a.toks[len(a.toks)] = b.toks[len(b.toks)] AS INT)
+                   AS f_last
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    agg AS (
+        SELECT feature, agree,
+               CAST(SUM(CASE WHEN is_match THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_match,
+               CAST(SUM(CASE WHEN is_match THEN 0 ELSE 1 END) AS BIGINT)
+                   AS n_nonmatch
+        FROM (
+            SELECT is_match, 'lang' AS feature, f_lang AS agree FROM p
+            UNION ALL
+            SELECT is_match, 'source', f_source FROM p
+            UNION ALL
+            SELECT is_match, 'len_band', f_len FROM p
+            UNION ALL
+            SELECT is_match, 'last_token', f_last FROM p
+        ) GROUP BY feature, agree
+    ),
+    mu AS (
+        SELECT feature,
+               CAST(SUM(agree * n_match) AS DOUBLE)
+                   / NULLIF(SUM(n_match), 0) AS m_prob,
+               CAST(SUM(agree * n_nonmatch) AS DOUBLE)
+                   / NULLIF(SUM(n_nonmatch), 0) AS u_prob,
+               CAST(SUM(n_match) AS BIGINT) AS n_match_pairs,
+               CAST(SUM(n_nonmatch) AS BIGINT) AS n_nonmatch_pairs
+        FROM agg GROUP BY feature
+    )
+    SELECT feature,
+           n_match_pairs, n_nonmatch_pairs,
+           {dround_sql('m_prob', 6)} AS m_prob,
+           {dround_sql('u_prob', 6)} AS u_prob,
+           {dround_sql('log2(NULLIF(m_prob, 0) / NULLIF(u_prob, 0))', 4)}
+               AS agreement_weight,
+           {dround_sql('log2(NULLIF(1 - m_prob, 0) / NULLIF(1 - u_prob, 0))',
+                       4)} AS disagreement_weight
+    FROM mu ORDER BY feature
+    """,
+    description="Fellegi-Sunter probabilistic record linkage (JASA 1969) "
+    "— the decision-theoretic core of Splink/dedupe-style ER engines: "
+    "for each comparison feature, estimate m = P(agree | match) and "
+    "u = P(agree | non-match) over a BLOCKED candidate set and emit the "
+    "log2 agreement/disagreement weights that score pairs. Candidates "
+    "block on the first-2-token prefix (equi-join, never all-pairs — at "
+    "100 TB the block key is what keeps FS trainable), truth labels "
+    "derive from the fixture's planted-dup relation (text equality up "
+    "to the ' dup' marker), and the four features expose exactly what "
+    "FS is for: len_band separates cleanly (m = 1.0 by the dup "
+    "construction, u ~ 0.03, weight ~ +5), while lang/source/last_token "
+    "hover at chance (the generator draws them independently of the dup "
+    "relation, so their weights correctly land near 0 — the estimator "
+    "doesn't invent signal that isn't there). NULLIF guards keep "
+    "zero-cell features NULL on both engines — live on this fixture: "
+    "len_band's disagreement weight is NULL because m = 1.0. All "
+    "probabilities/weights dround()-stabilized. "
+    "The m/u estimation is two scalar aggregates per feature over the "
+    "pair table — the EM refinement loop production FS uses starts "
+    "from exactly these counts.",
+)
+def er_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = (
+        table(spark, sf_dir, "documents")
+        .select(
+            "doc_id", "text", "lang", "source", "n_chars",
+            F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias(
+                "blk"
+            ),
+            F.element_at(F.split("text", " "), -1).alias("last_tok"),
+        )
+    )
+    a = d.select(*[F.col(c).alias(f"{c}_a") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"{c}_b") for c in d.columns])
+    pairs = a.join(
+        b, (F.col("blk_a") == F.col("blk_b"))
+        & (F.col("doc_id_a") < F.col("doc_id_b"))
+    ).select(
+        (
+            (F.col("text_a") == F.col("text_b"))
+            | (F.concat(F.col("text_a"), F.lit(" dup")) == F.col("text_b"))
+            | (F.concat(F.col("text_b"), F.lit(" dup")) == F.col("text_a"))
+        ).alias("is_match"),
+        (F.col("lang_a") == F.col("lang_b")).cast("int").alias("lang"),
+        (F.col("source_a") == F.col("source_b")).cast("int").alias("source"),
+        (F.abs(F.col("n_chars_a") - F.col("n_chars_b")) <= 4)
+        .cast("int")
+        .alias("len_band"),
+        (F.col("last_tok_a") == F.col("last_tok_b"))
+        .cast("int")
+        .alias("last_token"),
+    )
+    feats = pairs.select(
+        "is_match",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(name).alias("feature"),
+                        F.col(name).alias("agree"),
+                    )
+                    for name in ("lang", "source", "len_band", "last_token")
+                ]
+            )
+        ).alias("fa"),
+    ).select("is_match", "fa.feature", "fa.agree")
+    mu = feats.groupBy("feature").agg(
+        F.sum(F.when(F.col("is_match"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_match_pairs"),
+        F.sum(F.when(F.col("is_match"), 0).otherwise(1))
+        .cast("bigint")
+        .alias("n_nonmatch_pairs"),
+        (
+            F.sum(F.when(F.col("is_match"), F.col("agree")).otherwise(0))
+            .cast("double")
+            / F.nullif(
+                F.sum(F.when(F.col("is_match"), 1).otherwise(0)), F.lit(0)
+            )
+        ).alias("m_raw"),
+        (
+            F.sum(F.when(F.col("is_match"), 0).otherwise(F.col("agree")))
+            .cast("double")
+            / F.nullif(
+                F.sum(F.when(F.col("is_match"), 0).otherwise(1)), F.lit(0)
+            )
+        ).alias("u_raw"),
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    return mu.select(
+        "feature",
+        "n_match_pairs",
+        "n_nonmatch_pairs",
+        dround(F.col("m_raw"), 6).alias("m_prob"),
+        dround(F.col("u_raw"), 6).alias("u_prob"),
+        dround(
+            log2(
+                F.nullif(F.col("m_raw"), F.lit(0.0))
+                / F.nullif(F.col("u_raw"), F.lit(0.0))
+            ),
+            4,
+        ).alias("agreement_weight"),
+        dround(
+            log2(
+                F.nullif(F.lit(1.0) - F.col("m_raw"), F.lit(0.0))
+                / F.nullif(F.lit(1.0) - F.col("u_raw"), F.lit(0.0))
+            ),
+            4,
+        ).alias("disagreement_weight"),
+    ).orderBy("feature")

@@ -190,9 +190,6 @@ PRIORITY = [
     "dedup_incremental_lsh_gate",
     "dedup_containment_pairs",
     "stats_ks_value_drift",
-    "rfm_customer_segments",
-    "orders_abc_classification",
-    "events_did_difference_in_differences",
     "quality_psi_value_drift",
     "privacy_t_closeness_audit",
     "sample_coreset_kcenter",
@@ -202,6 +199,20 @@ PRIORITY = [
     "scd2_point_in_time_revenue",
     "dedup_auto_skew_blocking",
     "transform_python_hatch_features",
+    # Mid-round-12 update: two MORE first-time operators landed
+    # (Fellegi-Sunter linkage weights, TextRank lexicon scoring), and
+    # multimodal_phash_neardup — a REPEAT name, green in r11 — returns
+    # because its signature was REWRITTEN this round (32-bit/4x8 ->
+    # 48-bit/3x16 banding, the sf3.0 superlinear fix): rewritten code
+    # paths get driver evidence in the round they change. They take the
+    # slots of three light stable never-sampled names
+    # (rfm_customer_segments, orders_abc_classification,
+    # events_did_difference_in_differences), which return to the tail
+    # pool with full-sweep evidence. Window first-time count: 28 of 29
+    # rotating slots (24 never-sampled tail + 4 new operators).
+    "er_fellegi_sunter_weights",
+    "text_textrank_scores",
+    "multimodal_phash_neardup",
 ]
 
 

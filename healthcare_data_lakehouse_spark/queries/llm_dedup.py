@@ -2934,3 +2934,60 @@ def dedup_auto_skew_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionAll(row)
     return out.orderBy("skew_bound")
+
+
+# --------------------- df-capped candidate generation (stop-shingle lever)
+@register(
+    "dedup_dfcap_jaccard_pairs",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=20)
+    + ", "
+    + _SHINGLES_SQL
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    rare AS (
+        SELECT s.doc_id, s.shingle
+        FROM shingles s JOIN (
+            SELECT shingle FROM shingles
+            GROUP BY shingle HAVING COUNT(*) <= 64
+        ) r USING (shingle)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6)
+               AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = id_a
+    JOIN sizes sb ON sb.doc_id = id_b
+    WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= 0.8
+    """,
+    description="DF-capped exact Jaccard pairs (round 12, the stop-"
+    "shingle survival lever, measured): candidates come ONLY from "
+    "shingles with document frequency <= 64, then TRUE Jaccard is "
+    "verified over each candidate's FULL shingle sets via two "
+    "candidate-bounded equi-joins — never the raw shingle self-join, "
+    "whose sum(df^2) cost is dominated by boilerplate shingles on real "
+    "corpora (the Zipf(1.5) stress fixture measured the raw join at "
+    "332 s / ratio 123x at sf1.0 with one stop-shingle in ~90% of "
+    "docs; the capped plan is linear there — SCALE_BENCH.md). Recall "
+    "condition stated, not hidden: a >=0.8 pair is missed only if "
+    "EVERY shared shingle has df > 64 (pure-boilerplate near-dups — "
+    "the LSH/SimHash families' catch); on this fixture the output is "
+    "hash-identical to dedup_ngram_jaccard_pairs' exhaustive join, "
+    "which the shared driver record evidences.",
+)
+def dedup_dfcap_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return D.dfcap_jaccard_pairs(
+        _docs_with_dups(spark, sf_dir, 20), threshold=0.8, max_df=64
+    )

@@ -2341,11 +2341,11 @@ def embedding_jl_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     en AS (
         SELECT doc_id, n,
-               list_transform(range(0, 32), j -> struct_pack(
+               list_transform(range(0, 48), j -> struct_pack(
                    e := coalesce(list_sum(list_transform(
-                       range((j*n)//32 + 1, ((j+1)*n)//32 + 1),
+                       range((j*n)//48 + 1, ((j+1)*n)//48 + 1),
                        i -> unicode(substr(text, i, 1)))), 0),
-                   sz := ((j+1)*n)//32 - (j*n)//32)) AS wins
+                   sz := ((j+1)*n)//48 - (j*n)//48)) AS wins
         FROM base
     ),
     dens AS (
@@ -2356,15 +2356,15 @@ def embedding_jl_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sigs AS (
         SELECT doc_id,
-               list_sum(list_transform(range(0, 32), j ->
+               list_sum(list_transform(range(0, 48), j ->
                    CASE WHEN vs[j+1] >
-                            (list_sort(vs)[16] + list_sort(vs)[17]) / 2.0
+                            (list_sort(vs)[24] + list_sort(vs)[25]) / 2.0
                         THEN (CAST(1 AS BIGINT) << j) ELSE 0 END)) AS sig
         FROM dens
     ),
     bands AS (
-        SELECT doc_id, sig, t, (sig >> CAST(8*t AS INT)) & 255 AS blk
-        FROM sigs, UNNEST(range(0, 4)) AS u(t)
+        SELECT doc_id, sig, t, (sig >> CAST(16*t AS INT)) & 65535 AS blk
+        FROM sigs, UNNEST(range(0, 3)) AS u(t)
     ),
     pairs AS (
         SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -2377,21 +2377,24 @@ def embedding_jl_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     description="Perceptual-hash near-duplicate detection over the "
     "multimodal BINARY path — the image-dedup shape (pHash/aHash) run "
     "through this repo's asset plumbing: payload bytes stream through "
-    "the Arrow mapInPandas extractor into a 32-bit energy-profile "
+    "the Arrow mapInPandas extractor into a 48-bit energy-profile "
     "signature (the declared multimodal Python surface; the DCT of a "
     "real pHash slots into the same extractor), and from there "
     "EVERYTHING is 8-byte signature space: Manku pigeonhole banding "
-    "(4 x 8-bit blocks => Hamming <= 3 guaranteed caught, verified "
-    "<= 2 by bit_count on XOR) turns near-dup search into 4 equi-"
+    "(3 x 16-bit blocks => Hamming <= 2 guaranteed caught, exactly the "
+    "bit_count-on-XOR verify bound) turns near-dup search into 3 equi-"
     "joins, never a Hamming scan. Signature design is the measured "
-    "scale lever (three defects found AND fixed by measurement at "
-    "sf1.0, 50k assets): a 16-bit sig put ~3e8 block-collision pairs "
-    "through the verify and exhausted executor memory; equal-WIDTH "
-    "windows left zero-filled tails that packed 16,241 same-length "
-    "assets into ONE block value; and a payload-mean threshold "
-    "degenerated to a space-position detector on bimodal ASCII bytes. "
-    "The shipped 32-bit equal-fraction median-threshold signature "
-    "measures 2.7e7 candidates, max block 1,140 (see SCALE_BENCH.md). "
+    "scale lever (FOUR defects found AND fixed by measurement, r11 at "
+    "sf1.0 and r12 at sf3.0): a 16-bit sig put ~3e8 block-collision "
+    "pairs through the verify and exhausted executor memory; equal-"
+    "WIDTH windows left zero-filled tails that packed 16,241 same-"
+    "length assets into ONE block value; a payload-mean threshold "
+    "degenerated to a space-position detector on bimodal ASCII bytes; "
+    "and the r11 32-bit/4x8 banding fixed each block's key space at "
+    "256 values, so candidates grew ~N^2/256 — the sf3.0 three-point "
+    "measurement exposed exponent ~1.8 (82.4 s at 150k assets), and "
+    "widening to 16-bit blocks (key space x256, same Hamming<=2 "
+    "pigeonhole) restored near-linear growth (see SCALE_BENCH.md). "
     "The oracle recomputes the byte windows "
     "character-by-character in SQL, so the Arrow boundary itself is "
     "hash-verified — same discipline as the tile manifest and VAD "
@@ -2405,6 +2408,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     assets = as_binary_assets(docs, id_col="doc_id", payload_col="text")
     sig = phash_signatures(assets)
+    from healthcare_data_lakehouse_spark.functions.multimodal import (
+        PHASH_BLOCK_BITS,
+        PHASH_BLOCKS,
+    )
+
+    blk_mask = (1 << PHASH_BLOCK_BITS) - 1
     bands = sig.select(
         "asset_id",
         "sig",
@@ -2413,9 +2422,12 @@ def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(t).alias("t"),
-                        F.expr(f"shiftright(sig, {8 * t}) & 255").alias("blk"),
+                        F.expr(
+                            f"shiftright(sig, {PHASH_BLOCK_BITS * t})"
+                            f" & {blk_mask}"
+                        ).alias("blk"),
                     )
-                    for t in range(4)
+                    for t in range(PHASH_BLOCKS)
                 ]
             )
         ).alias("band"),

@@ -2926,3 +2926,114 @@ def text_hashed_linear_classifier(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round("raw", 6).alias("score"),
         (F.col("raw") > 0).alias("label_pred"),
     )
+
+
+# ------------------------------ TextRank over the word co-occurrence graph
+@register(
+    "text_textrank_scores",
+    oracle=f"""
+    WITH toks AS (
+        SELECT doc_id, string_split(text, ' ') AS t FROM documents
+    ),
+    adj AS (
+        SELECT LEAST(t[i], t[i+1]) AS u, GREATEST(t[i], t[i+1]) AS v
+        FROM toks, UNNEST(range(1, len(t))) AS r(i)
+        WHERE t[i] <> t[i+1]
+    ),
+    ew AS (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS w FROM adj GROUP BY u, v
+    ),
+    edges AS (
+        SELECT u, v, w FROM ew
+        UNION ALL
+        SELECT v AS u, u AS v, w FROM ew
+    ),
+    deg AS (SELECT u, CAST(SUM(w) AS BIGINT) AS degree FROM edges GROUP BY u),
+    frac AS (
+        SELECT e.u AS src, e.v AS dst,
+               CAST(e.w AS DOUBLE) / d.degree AS frac
+        FROM edges e JOIN deg d ON e.u = d.u
+    ),
+    s1 AS (
+        SELECT dst AS word, 0.15 + 0.85 * SUM(frac * 1.0) AS s
+        FROM frac GROUP BY dst
+    ),
+    s2 AS (
+        SELECT f.dst AS word, 0.15 + 0.85 * SUM(f.frac * s1.s) AS s
+        FROM frac f JOIN s1 ON f.src = s1.word GROUP BY f.dst
+    ),
+    s3 AS (
+        SELECT f.dst AS word, 0.15 + 0.85 * SUM(f.frac * s2.s) AS s
+        FROM frac f JOIN s2 ON f.src = s2.word GROUP BY f.dst
+    )
+    SELECT s3.word, deg.degree,
+           {dround_sql('s3.s', 6)} AS textrank
+    FROM s3 JOIN deg ON s3.word = deg.u
+    ORDER BY s3.word
+    """,
+    description="TextRank (Mihalcea & Tarau 2004) keyword scoring: "
+    "PageRank with damping 0.85 over the undirected word co-occurrence "
+    "graph (adjacent-token edges, weight = corpus-wide adjacency count, "
+    "self-loops dropped), run for exactly 3 power iterations from the "
+    "uniform score 1.0. Everything is columnar relational algebra — "
+    "edges are one groupBy over exploded adjacent-token pairs, each "
+    "iteration is one (edge JOIN score) + groupBy, so the plan is 3 "
+    "shuffles keyed on the Heaps-bounded vocabulary, never a driver-"
+    "side matrix (contrast graph_pagerank_neardup, which iterates on "
+    "doc-grain near-dup edges; this one ranks the LEXICON, the "
+    "keyword-extraction shape). Fixed iteration count keeps the result "
+    "closed-form for the oracle, which unrolls the same 3 iterations "
+    "as CTE joins; scores dround(6)-stabilized, output sorted by word "
+    "so closed-vocab near-uniform scores can't flip row order across "
+    "engines.",
+)
+def text_textrank_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("text")
+    adj = (
+        docs.select(
+            F.explode(
+                F.expr(
+                    "zip_with(slice(split(text, ' '), 1,"
+                    " size(split(text, ' ')) - 1),"
+                    " slice(split(text, ' '), 2,"
+                    " size(split(text, ' ')) - 1),"
+                    " (x, y) -> struct(least(x, y) AS u,"
+                    " greatest(x, y) AS v))"
+                )
+            ).alias("e")
+        )
+        .select("e.u", "e.v")
+        .filter(F.col("u") != F.col("v"))
+    )
+    ew = adj.groupBy("u", "v").agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+    edges = ew.unionAll(
+        ew.select(F.col("v").alias("u"), F.col("u").alias("v"), "w")
+    )
+    deg = edges.groupBy("u").agg(F.sum("w").cast("bigint").alias("degree"))
+    frac = (
+        edges.join(deg, "u")
+        .select(
+            F.col("u").alias("src"),
+            F.col("v").alias("dst"),
+            (F.col("w").cast("double") / F.col("degree")).alias("frac"),
+        )
+    )
+    s = frac.groupBy("dst").agg(
+        (F.lit(0.15) + F.lit(0.85) * F.sum(F.col("frac") * F.lit(1.0)))
+        .alias("s")
+    ).withColumnRenamed("dst", "word")
+    for _ in range(2):
+        s = (
+            frac.join(s, frac.src == s.word)
+            .groupBy("dst")
+            .agg(
+                (F.lit(0.15) + F.lit(0.85) * F.sum(F.col("frac") * F.col("s")))
+                .alias("s")
+            )
+            .withColumnRenamed("dst", "word")
+        )
+    return (
+        s.join(deg, s.word == deg.u)
+        .select("word", "degree", dround(F.col("s"), 6).alias("textrank"))
+        .orderBy("word")
+    )

@@ -110,17 +110,29 @@ def test_phash_block_population_within_bound(spark, sf_dir):
     )
     from healthcare_data_lakehouse_spark.tables import table
 
+    from healthcare_data_lakehouse_spark.functions.multimodal import (
+        PHASH_BLOCK_BITS,
+        PHASH_BLOCKS,
+    )
+
     docs = table(spark, sf_dir, "documents")  # 5k assets at sf0.1
     sig = phash_signatures(as_binary_assets(docs))
     n_assets = docs.count()
-    for t in range(4):
+    mask = (1 << PHASH_BLOCK_BITS) - 1
+    for t in range(PHASH_BLOCKS):
         pop = (
-            sig.select(F.expr(f"shiftright(sig, {8 * t}) & 255").alias("blk"))
+            sig.select(
+                F.expr(
+                    f"shiftright(sig, {PHASH_BLOCK_BITS * t}) & {mask}"
+                ).alias("blk")
+            )
             .groupBy("blk")
             .count()
         )
         mx = pop.agg(F.max("count")).collect()[0][0]
-        # measured max block ~2.3% of assets at sf1.0; bound at 10% with
-        # >4x headroom — the first-cut signature sat at 32% and would
-        # trip immediately.
+        # r11 (8-bit blocks): measured max block ~2.3% of assets at
+        # sf1.0, bounded at 10%. r12's 16-bit blocks (the sf3.0 scale
+        # fix) spread the same population over a 256x key space —
+        # measured max block well under 2% at sf0.1; keep the 10% bound
+        # (the first-cut signature sat at 32% and would trip instantly).
         assert mx <= 0.10 * n_assets, f"block table {t}: hot block {mx}"

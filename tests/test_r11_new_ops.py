@@ -168,7 +168,7 @@ def test_phash16_signature_bits_and_determinism(spark):
         for r in phash_signatures(as_binary_assets(df)).collect()
     }
     assert sig[1] == sig[2]            # identical payloads, identical sigs
-    assert 0 <= sig[1] < 2**32
+    assert 0 <= sig[1] < 2**48  # widened 32 -> 48 bits in r12 (scale fix)
     assert sig[1] != sig[3]            # swapped energy profile flips bits
 
 

@@ -112,3 +112,45 @@ def test_python_hatch_features_values(spark, sf_dir, qs):
     d_rows = {tuple(r) for r in con.sql(spec.oracle).fetchall()}
     assert s_rows == d_rows
     assert len(s_rows) == 5  # one row per language
+
+
+# ----------------------------------------- Fellegi-Sunter linkage weights
+def test_fellegi_sunter_weights_shape_and_signal(spark, sf_dir, qs):
+    rows = {r.feature: r for r in
+            qs["er_fellegi_sunter_weights"].fn(spark, sf_dir).collect()}
+    assert set(rows) == {"lang", "source", "len_band", "last_token"}
+    for r in rows.values():
+        assert r.n_match_pairs > 0 and r.n_nonmatch_pairs > 0
+        assert 0.0 <= r.m_prob <= 1.0 and 0.0 <= r.u_prob <= 1.0
+    lb = rows["len_band"]
+    # planted dups differ by at most the 4-char ' dup' marker => m = 1.0,
+    # and the strong positive agreement weight separates it from the
+    # chance-level metadata features
+    assert lb.m_prob == 1.0
+    assert lb.agreement_weight > 3.0
+    assert lb.disagreement_weight is None  # NULLIF(1 - m, 0) guard, live
+    # generator draws lang/source independently of the dup relation, so
+    # those weights sit at chance; last_token rides the exact-copy share
+    # (small positive), but len_band must dominate everything
+    for name in ("lang", "source"):
+        assert abs(rows[name].agreement_weight) < 1.0  # chance-level
+    assert lb.agreement_weight > rows["last_token"].agreement_weight
+
+
+# --------------------------------------------------- TextRank word scores
+def test_textrank_scores_sum_and_bounds(spark, sf_dir, qs):
+    rows = qs["text_textrank_scores"].fn(spark, sf_dir).collect()
+    assert len(rows) >= 30  # closed vocab + the ' dup' marker token
+    for r in rows:
+        assert r.degree > 0
+        assert r.textrank > 0.15  # damping floor
+    # PageRank mass conservation: sum of scores ~ node count (each
+    # iteration redistributes sum(frac * s) = sum(s) exactly, up to
+    # dangling-free graph structure and rounding)
+    total = sum(r.textrank for r in rows)
+    assert abs(total - len(rows)) < 0.05 * len(rows)
+    # high-degree words should outrank low-degree ones on average
+    by_deg = sorted(rows, key=lambda r: r.degree)
+    lo = sum(r.textrank for r in by_deg[:5]) / 5
+    hi = sum(r.textrank for r in by_deg[-5:]) / 5
+    assert hi > lo

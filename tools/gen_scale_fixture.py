@@ -32,16 +32,27 @@ Vocabulary modes (VERDICT r11 ask #4). The shipped fixture's 30-word
 closed vocabulary saturates the 3-shingle space as the corpus grows
 (PERF_r11.md: avg shingle df 10.1 -> 99.5 at 10x), driving ARTIFICIAL
 quadratic candidate growth in shingle-keyed dedup — a generator artifact,
-not an operator property. ``vocab="open"`` instead draws words
-Zipf(a=1.5)-distributed over an unbounded integer vocabulary ("w{rank}"),
-so the realized type count grows Heaps-like with corpus size (the
-real-corpus regime) and shingle document frequencies stay bounded. The
-default stays "closed" — `tests/test_scale_fixture.py` pins closed-mode
-fidelity against the shipped parquet; open mode only changes the word
-source, keeping doc lengths, languages, sources, and the planted-dup
-recipe identical.
+not an operator property. Two open modes replace it for scale work; both
+only change the word source, keeping doc lengths, languages, sources, and
+the planted-dup recipe identical (the default stays "closed" —
+`tests/test_scale_fixture.py` pins closed-mode fidelity against the
+shipped parquet):
 
-Usage: python tools/gen_scale_fixture.py SF OUTDIR [SEED] [closed|open]
+* ``vocab="open"`` — Zipf-Mandelbrot ranks, P(k) ~ 1/(k+2.7)^1.07 over a
+  2M-type lexicon ("w{rank}"): the standard empirical fit for natural
+  text (top type ~3% of tokens, like "the"; realized type count grows
+  Heaps-like). This is the real-corpus regime the shingle-family ratios
+  are graded on.
+* ``vocab="stress"`` — pure Zipf(a=1.5) over an unbounded lexicon: the
+  head word carries ~38% of tokens, so a single stop-shingle ("w1 w1
+  w1") lands in ~90% of documents. Deliberately adversarial: it models
+  boilerplate/stop-shingle document frequency pushed to the limit, the
+  regime that blows up RAW shingle self-joins (measured 332 s /
+  ratio 123x on dedup_ngram_jaccard_pairs, r12) and that the df-capped
+  candidate generation (functions/dedup.py max_df) exists for.
+
+Usage: python tools/gen_scale_fixture.py SF OUTDIR [SEED]
+       [closed|open|stress]
 """
 
 from __future__ import annotations
@@ -81,8 +92,10 @@ def _write(out: Path, name: str, table: pa.Table) -> None:
 def generate(
     sf: float, outdir: str, seed: int = 42, vocab: str = "closed"
 ) -> None:
-    if vocab not in ("closed", "open"):
-        raise ValueError(f"vocab must be 'closed' or 'open', got {vocab!r}")
+    if vocab not in ("closed", "open", "stress"):
+        raise ValueError(
+            f"vocab must be 'closed', 'open' or 'stress', got {vocab!r}"
+        )
     rng = np.random.default_rng(seed)
     out = Path(outdir)
     out.mkdir(parents=True, exist_ok=True)
@@ -204,13 +217,22 @@ def generate(
         for ln in lens:
             texts.append(" ".join(words[rng.integers(0, len(words), ln)]))
     else:
-        # open vocabulary: Zipf(a=1.5) word ranks over an unbounded
-        # integer lexicon — realized type count grows Heaps-like with
-        # corpus size, shingle document frequencies stay bounded (the
-        # real-corpus regime the closed 30-word mode cannot model).
-        # ASCII by construction ("w" + digits), preserving the phash
-        # oracle's char-as-byte invariant.
-        all_words = rng.zipf(1.5, int(lens.sum()))
+        # Open lexicons, ASCII by construction ("w" + digits) so the
+        # phash oracle's char-as-byte invariant holds.
+        n_tok = int(lens.sum())
+        if vocab == "open":
+            # Zipf-Mandelbrot via inverse-CDF over 2M ranked types:
+            # P(k) ~ 1/(k+q)^s with s=1.07, q=2.7 (the classic natural-
+            # text fit) — top type ~3% of tokens, Heaps-like type growth.
+            V, s, q = 2_000_000, 1.07, 2.7
+            w = 1.0 / np.power(np.arange(1, V + 1) + q, s)
+            cdf = np.cumsum(w)
+            cdf /= cdf[-1]
+            all_words = np.searchsorted(cdf, rng.random(n_tok)) + 1
+        else:  # stress
+            # unbounded Zipf(1.5): head word ~38% of tokens — the
+            # stop-shingle adversary (see module docstring)
+            all_words = rng.zipf(1.5, n_tok)
         pos = 0
         for ln in lens:
             texts.append(
