@@ -189,7 +189,6 @@ PRIORITY = [
     "dedup_bloom_prefilter_probe",
     "dedup_incremental_lsh_gate",
     "dedup_containment_pairs",
-    "stats_ks_value_drift",
     "quality_psi_value_drift",
     "privacy_t_closeness_audit",
     "sample_coreset_kcenter",
@@ -199,19 +198,22 @@ PRIORITY = [
     "scd2_point_in_time_revenue",
     "dedup_auto_skew_blocking",
     "transform_python_hatch_features",
-    # Mid-round-12 update: two MORE first-time operators landed
-    # (Fellegi-Sunter linkage weights, TextRank lexicon scoring), and
-    # multimodal_phash_neardup — a REPEAT name, green in r11 — returns
-    # because its signature was REWRITTEN this round (32-bit/4x8 ->
-    # 48-bit/3x16 banding, the sf3.0 superlinear fix): rewritten code
-    # paths get driver evidence in the round they change. They take the
-    # slots of three light stable never-sampled names
+    # Mid-round-12 update: three MORE first-time operators landed
+    # (Fellegi-Sunter linkage weights, TextRank lexicon scoring, and the
+    # df-capped Jaccard candidate lever born from the stress-fixture
+    # measurement), and multimodal_phash_neardup — a REPEAT name, green
+    # in r11 — returns because its signature was REWRITTEN this round
+    # (32-bit/4x8 -> 48-bit/3x16 banding, the sf3.0 superlinear fix):
+    # rewritten code paths get driver evidence in the round they change.
+    # They take the slots of four light stable never-sampled names
     # (rfm_customer_segments, orders_abc_classification,
-    # events_did_difference_in_differences), which return to the tail
-    # pool with full-sweep evidence. Window first-time count: 28 of 29
-    # rotating slots (24 never-sampled tail + 4 new operators).
+    # events_did_difference_in_differences, stats_ks_value_drift), which
+    # return to the tail pool with full-sweep evidence. Window
+    # first-time count: 28 of 29 rotating slots (23 never-sampled tail
+    # + 5 new operators).
     "er_fellegi_sunter_weights",
     "text_textrank_scores",
+    "dedup_dfcap_jaccard_pairs",
     "multimodal_phash_neardup",
 ]
 
