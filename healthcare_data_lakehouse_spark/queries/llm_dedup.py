@@ -2991,3 +2991,55 @@ def dedup_dfcap_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return D.dfcap_jaccard_pairs(
         _docs_with_dups(spark, sf_dir, 20), threshold=0.8, max_df=64
     )
+
+
+@register(
+    "dedup_dfcap_containment_pairs",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=20)
+    + ", "
+    + _SHINGLES_SQL
+    + """,
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+    rare AS (
+        SELECT s.doc_id, s.shingle
+        FROM shingles s JOIN (
+            SELECT shingle FROM shingles
+            GROUP BY shingle HAVING COUNT(*) <= 64
+        ) r USING (shingle)
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM rare a JOIN rare b
+          ON a.shingle = b.shingle AND a.doc_id <> b.doc_id
+    ),
+    inter AS (
+        SELECT c.id_a, c.id_b, COUNT(*) AS n_inter
+        FROM cand c
+        JOIN shingles sa ON sa.doc_id = c.id_a
+        JOIN shingles sb ON sb.doc_id = c.id_b AND sb.shingle = sa.shingle
+        GROUP BY c.id_a, c.id_b
+    )
+    SELECT id_a, id_b,
+           ROUND(CAST(n_inter AS DOUBLE) / sa.sz, 6) AS containment
+    FROM inter JOIN sizes sa ON sa.doc_id = id_a
+    WHERE CAST(n_inter AS DOUBLE) / sa.sz >= 0.7
+    """,
+    description="DF-capped directional containment C(A->B)=|A∩B|/|A| "
+    ">= 0.7 — the lever that keeps sub-document/boilerplate-inclusion "
+    "detection alive under stop-shingle document frequency: the RAW "
+    "containment self-join measurably DIED (executor OOM) at stress-"
+    "fixture sf1.0, where one shingle sits in ~0.8N docs and the "
+    "asymmetric join pays the full sum(df^2) both ways "
+    "(SCALE_BENCH.md, r12). Candidates come only from df <= 64 "
+    "shingles (both orientations — containment is directional), true "
+    "containment is then verified over full shingle sets via candidate-"
+    "bounded equi-joins. Recall condition as dedup_dfcap_jaccard_pairs; "
+    "on this fixture the output is hash-identical to the raw join's.",
+)
+def dedup_dfcap_containment_pairs(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    return D.dfcap_containment_pairs(
+        _docs_with_dups(spark, sf_dir, 20), threshold=0.7, max_df=64
+    )

@@ -2798,3 +2798,118 @@ def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(hit).cast("bigint").alias("n_correct"),
         F.round(F.avg(hit.cast("double")), 4).alias("accuracy"),
     )
+
+
+# -------------------------- hybrid retrieval: reciprocal-rank fusion (RRF)
+_SHINGLE_LIST_SQL = """
+    list_distinct(CASE WHEN len(string_split({t}, ' ')) >= 3 THEN
+        list_transform(range(1, len(string_split({t}, ' ')) - 1),
+            i -> array_to_string(string_split({t}, ' ')[i:i+2], chr(31)))
+    ELSE [array_to_string(string_split({t}, ' '), chr(31))] END)
+"""
+
+
+@register(
+    "similarity_rrf_hybrid_top10",
+    oracle=f"""
+    WITH linked AS (
+        SELECT d.doc_id, d.text, e.embedding
+        FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    sh AS (
+        SELECT doc_id, embedding,
+               {_SHINGLE_LIST_SQL.format(t='text')} AS sh
+        FROM linked
+    ),
+    q AS (SELECT sh AS qsh, embedding AS qv FROM sh WHERE doc_id = 0),
+    scored AS (
+        SELECT c.doc_id,
+               {dround_sql(
+                   'CAST(len(list_intersect(c.sh, q.qsh)) AS DOUBLE)'
+                   ' / (len(c.sh) + len(q.qsh)'
+                   ' - len(list_intersect(c.sh, q.qsh)))', 6)} AS lex,
+               {dround_sql(_cos_sql('c.embedding', 'q.qv'), 6)} AS sem
+        FROM sh c, q WHERE c.doc_id <> 0
+    ),
+    ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY lex DESC, doc_id) AS lex_rank,
+               ROW_NUMBER() OVER (ORDER BY sem DESC, doc_id) AS sem_rank
+        FROM scored
+    )
+    SELECT doc_id, lex_rank, sem_rank,
+           {dround_sql('1.0/(60 + lex_rank) + 1.0/(60 + sem_rank)', 6)}
+               AS rrf
+    FROM ranked
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    description="Hybrid retrieval via reciprocal-rank fusion (Cormack et "
+    "al. 2009, the standard BM25+dense fusion in production RAG stacks): "
+    "a lexical arm (distinct-3-shingle Jaccard against the query "
+    "document) and a semantic arm (embedding cosine against the query "
+    "vector, over the doc_id=vec_id linked corpus) are each reduced to "
+    "RANKS, then fused as 1/(60+r_lex) + 1/(60+r_sem) — rank fusion "
+    "needs no score calibration between arms, which is exactly why RRF "
+    "survives heterogeneous retrievers. Scores are dround(6)-stabilized "
+    "BEFORE ranking with a doc_id tiebreak so float ulp differences "
+    "can't flip ranks across engines. At fixture scale the per-arm "
+    "ranks are full ROW_NUMBERs (declared single-partition stage, "
+    "GLOBAL_WINDOW_OK); at 100 TB each arm is a top-k retrieval "
+    "(BM25 index / the IVF+LSH ANN tiers measured in this catalog) and "
+    "the fusion runs on the k∪k candidate set — the plan shape "
+    "downstream of the ranks is identical.",
+)
+def similarity_rrf_hybrid_top10(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "text")
+    emb = table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), "embedding"
+    )
+    sh = docs.join(emb, "doc_id").select(
+        "doc_id", "embedding", D.word_shingles(F.col("text")).alias("sh")
+    )
+    q = sh.filter(F.col("doc_id") == 0).select(
+        F.col("sh").alias("qsh"), F.col("embedding").alias("qv")
+    )
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("qsh")))
+    scored = (
+        sh.filter(F.col("doc_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "doc_id",
+            dround(
+                inter.cast("double")
+                / (F.size("sh") + F.size("qsh") - inter),
+                6,
+            ).alias("lex"),
+            dround(S.cosine(F.col("embedding"), F.col("qv")), 6).alias(
+                "sem"
+            ),
+        )
+    )
+    ranked = scored.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("lex"), "doc_id"))
+        .cast("bigint")
+        .alias("lex_rank"),
+        F.row_number()
+        .over(Window.orderBy(F.desc("sem"), "doc_id"))
+        .cast("bigint")
+        .alias("sem_rank"),
+    )
+    return (
+        ranked.select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            dround(
+                F.lit(1.0) / (F.lit(60) + F.col("lex_rank"))
+                + F.lit(1.0) / (F.lit(60) + F.col("sem_rank")),
+                6,
+            ).alias("rrf"),
+        )
+        .orderBy(F.desc("rrf"), "doc_id")
+        .limit(10)
+    )

@@ -154,3 +154,55 @@ def test_textrank_scores_sum_and_bounds(spark, sf_dir, qs):
     lo = sum(r.textrank for r in by_deg[:5]) / 5
     hi = sum(r.textrank for r in by_deg[-5:]) / 5
     assert hi > lo
+
+
+# ------------------------------------- df-capped candidate generation
+def test_dfcap_jaccard_matches_exhaustive_on_fixture(spark, sf_dir, qs):
+    """On the driver fixture every >=0.8 pair shares rare shingles, so
+    the capped plan must reproduce the exhaustive raw-join output
+    exactly; on stop-shingle corpora only the capped plan SURVIVES
+    (SCALE_BENCH_STRESS.json: 332s/OOM raw vs 26.7s capped)."""
+    raw = {(r.id_a, r.id_b, r.jaccard) for r in
+           qs["dedup_ngram_jaccard_pairs"].fn(spark, sf_dir).collect()}
+    cap = {(r.id_a, r.id_b, r.jaccard) for r in
+           qs["dedup_dfcap_jaccard_pairs"].fn(spark, sf_dir).collect()}
+    assert cap == raw and len(cap) > 0
+
+
+def test_dfcap_containment_matches_exhaustive_on_fixture(spark, sf_dir, qs):
+    raw = {(r.id_a, r.id_b, r.containment) for r in
+           qs["dedup_containment_pairs"].fn(spark, sf_dir).collect()}
+    cap = {(r.id_a, r.id_b, r.containment) for r in
+           qs["dedup_dfcap_containment_pairs"].fn(spark, sf_dir).collect()}
+    assert cap == raw and len(cap) > 0
+
+
+def test_dfcap_drops_hot_shingle_candidates(spark):
+    """Synthetic stop-shingle corpus: every doc shares the boilerplate
+    trigram 'the end here'; only the planted near-identical pair also
+    shares rare content shingles. The capped plan must still find the
+    real pair while generating candidates ONLY from sub-cap shingles."""
+    from healthcare_data_lakehouse_spark.functions.dedup import (
+        dfcap_jaccard_pairs,
+    )
+
+    rows = [(i, f"uniq{i}a uniq{i}b uniq{i}c uniq{i}d the end here")
+            for i in range(30)]
+    rows.append((100, rows[5][1]))  # exact copy of doc 5
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = dfcap_jaccard_pairs(df, threshold=0.8, max_df=5).collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(5, 100)}
+    assert got[0].jaccard == 1.0
+
+
+# ------------------------------------------- RRF hybrid retrieval fusion
+def test_rrf_hybrid_top10_properties(spark, sf_dir, qs):
+    rows = qs["similarity_rrf_hybrid_top10"].fn(spark, sf_dir).collect()
+    assert len(rows) == 10
+    assert 0 not in {r.doc_id for r in rows}  # query doc excluded
+    rrfs = [r.rrf for r in rows]
+    assert rrfs == sorted(rrfs, reverse=True)
+    for r in rows:
+        assert r.lex_rank >= 1 and r.sem_rank >= 1
+        expect = round(1.0 / (60 + r.lex_rank) + 1.0 / (60 + r.sem_rank), 6)
+        assert abs(r.rrf - expect) < 1e-9

@@ -122,6 +122,10 @@ GLOBAL_WINDOW_OK = {
     "stats_mann_whitney_u":
         "prefix sum over the distinct-value aggregate (bin or "
         "partition-offset at continuous-double scale, noted on the query)",
+    "similarity_rrf_hybrid_top10":
+        "per-arm ROW_NUMBER over the linked-id corpus at fixture scale; "
+        "at 100 TB each arm is a top-k retrieval (ANN/BM25) and fusion "
+        "runs on the k∪k candidate set (noted on the query)",
     "stats_benjamini_hochberg":
         "rank/step-up windows over the |event_types|-row test table",
     "sample_temperature_lang":
