@@ -136,3 +136,56 @@ def test_phash_block_population_within_bound(spark, sf_dir):
         # measured max block well under 2% at sf0.1; keep the 10% bound
         # (the first-cut signature sat at 32% and would trip instantly).
         assert mx <= 0.10 * n_assets, f"block table {t}: hot block {mx}"
+
+
+# ---------------------------------------------------------------------------
+# Stop-shingle candidate-volume audit (round 12, SCALE_BENCH_STRESS.md
+# lineage): on a heavy-head Zipf corpus the raw shingle self-join pays
+# sum(df^2) dominated by one boilerplate shingle (measured df ~ 0.8N at
+# every scale; 332 s / executor death at stress sf1.0), while the df-cap
+# lever bounds candidate volume by cap * |shingle rows|. This test pins
+# the mechanism on a freshly generated stress corpus without running the
+# join: the raw candidate count must exceed the capped one by >= 50x.
+def test_stress_corpus_dfcap_candidate_volume_reduction(tmp_path):
+    import sys
+
+    import duckdb
+
+    sys.path.insert(0, "/root/repo/tools")
+    import gen_scale_fixture as G
+
+    con = duckdb.connect()
+
+    def volumes(sf, d):
+        G.generate(sf, str(d), seed=7, vocab="stress")
+        return con.sql(f"""
+            WITH toks AS (
+                SELECT doc_id, string_split(text, ' ') AS t
+                FROM '{d}/documents.parquet'
+            ),
+            sh AS (
+                SELECT DISTINCT doc_id,
+                       array_to_string(t[i:i+2], chr(31)) AS s
+                FROM toks, UNNEST(range(1, greatest(len(t)-2,1)+1)) AS u(i)
+                WHERE len(t) >= 3
+            ),
+            df AS (SELECT s, COUNT(*) AS c FROM sh GROUP BY s)
+            SELECT CAST(SUM(c*(c-1)//2) AS BIGINT),
+                   CAST(SUM(CASE WHEN c <= 64 THEN c*(c-1)//2 ELSE 0 END)
+                        AS BIGINT),
+                   MAX(c), CAST(COUNT(DISTINCT NULL) AS BIGINT)
+            FROM df
+        """).fetchone()
+
+    raw_s, cap_s, hot_s, _ = volumes(0.01, tmp_path / "s")   # 500 docs
+    raw_b, cap_b, hot_b, _ = volumes(0.05, tmp_path / "b")   # 2500 docs
+
+    # the stop-shingle really is hot at BOTH scales (df ~ 0.8N)
+    assert hot_s > 0.5 * 500 and hot_b > 0.5 * 2500
+    # raw mass is quadratic (hot df^2), capped mass ~linear: 5x docs must
+    # grow raw ~25x-ish but capped far less — the RATIO must widen
+    assert raw_b / raw_s > 15
+    assert (raw_b / max(cap_b, 1)) > 3 * (raw_s / max(cap_s, 1))
+    # and the hot shingle alone carries more pairs than the entire capped
+    # candidate set at the larger scale
+    assert hot_b * (hot_b - 1) // 2 > cap_b

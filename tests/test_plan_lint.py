@@ -25,6 +25,9 @@ def test_catalog_passes_plan_lint(spark, sf_dir):
 # the fact-table row count at tiny SF — their bounds pin today's volume so
 # growth is still caught.
 GRAIN_BOUNDS = {
+    # per-arm rank over the linked doc/vec corpus (sf0.001: 499 rows —
+    # the fixture-scale stand-in for the k∪k fused candidate set)
+    "similarity_rrf_hybrid_top10": 1500,
     # water-filling runs over the language-grain aggregate
     "sample_unimax_language_budget": 16,
     # cumulative-size prefix sum over the supplier dim (sf0.001: 100)
