@@ -1,6 +1,9 @@
 """Round-12 additions: the automatic skew-lever planner
-(auto_self_pair_join, VERDICT r11 ask #5) and the driver-evidenced
-arbitrary-Python transform hatch query (VERDICT r11 ask #7)."""
+(auto_self_pair_join, VERDICT r11 ask #5), the driver-evidenced
+arbitrary-Python transform hatch query (ask #7), Fellegi-Sunter
+record-linkage weights, TextRank lexicon scoring, the df-capped
+Jaccard/containment candidate levers (stress-fixture fix), and
+reciprocal-rank-fusion hybrid retrieval."""
 
 from __future__ import annotations
 
