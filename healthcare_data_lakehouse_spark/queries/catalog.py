@@ -173,48 +173,58 @@ PRIORITY = [
     # land. Everything rotated out (the r11 window names) is hash-green
     # in CORRECTNESS_r11.json and re-verified by every full compare.py
     # sweep.
-    "dedup_prefix_filter_jaccard",
-    "dedup_multisignal_pairs",
-    "assoc_part_pairs_lift",
-    "er_fuzzy_customer_match",
-    "events_markov_stationary",
-    "events_uplift_qini_deciles",
-    "forecast_holt_monthly_revenue",
-    "forecast_stl_decompose_monthly",
-    "graph_modularity_supplier_nations",
-    "graph_label_propagation_communities",
-    "graph_clustering_coefficient_neardup",
-    "sketch_hll_audience_overlap",
-    "text_ngram_novelty_rate",
-    "dedup_bloom_prefilter_probe",
-    "dedup_incremental_lsh_gate",
-    "dedup_containment_pairs",
-    "quality_psi_value_drift",
-    "privacy_t_closeness_audit",
-    "sample_coreset_kcenter",
-    "pipeline_tokenizer_vocab_coverage",
-    "embedding_matryoshka_fidelity",
-    "similarity_recall_multiprobe_at5",
-    "scd2_point_in_time_revenue",
-    "dedup_auto_skew_blocking",
-    "transform_python_hatch_features",
-    # Mid-round-12 update: three MORE first-time operators landed
-    # (Fellegi-Sunter linkage weights, TextRank lexicon scoring, and the
-    # df-capped Jaccard candidate lever born from the stress-fixture
-    # measurement), and multimodal_phash_neardup — a REPEAT name, green
-    # in r11 — returns because its signature was REWRITTEN this round
-    # (32-bit/4x8 -> 48-bit/3x16 banding, the sf3.0 superlinear fix):
-    # rewritten code paths get driver evidence in the round they change.
-    # They take the slots of four light stable never-sampled names
-    # (rfm_customer_segments, orders_abc_classification,
-    # events_did_difference_in_differences, stats_ks_value_drift), which
-    # return to the tail pool with full-sweep evidence. Window
-    # first-time count: 28 of 29 rotating slots (23 never-sampled tail
-    # + 5 new operators).
-    "er_fellegi_sunter_weights",
-    "text_textrank_scores",
-    "dedup_dfcap_jaccard_pairs",
-    "multimodal_phash_neardup",
+    # Round-13 rotation (VERDICT r12 ask #1): 28 of the 29 rotating
+    # slots are FIRST-TIME names (absent from every CORRECTNESS_r01..r12
+    # window, checked mechanically against the committed records). The
+    # verdict's eight named targets lead (dedup_dfcap_containment_pairs
+    # — 5.2 s, new in r12, never windowed — plus the RRF hybrid,
+    # minhash-error, ngram-jaccard, Little's-law, bucketed-join,
+    # LSH-recall and decontamination queries). Three slots carry this
+    # round's code changes: dedup_dfcap_recall_audit (NEW — measures the
+    # dfcap recall condition, ask #3), multimodal_phash_neardup_seeded
+    # (NEW — the non-vacuous driver row for the Arrow signature path,
+    # ask #2), and dedup_candidate_selectivity_compare (the one REPEAT
+    # name: its ground-truth arm was REWRITTEN df-capped this round,
+    # ask #4 — rewritten code paths get driver evidence in the round
+    # they change). The remaining 18 pull never-sampled family
+    # representatives: the streaming trio (interval join, session
+    # window, watermark dedup), the zone-feature trio (CDF, schema
+    # evolution, shallow clone), text (BPE pair counts, RAKE, language
+    # id), stats (negative-binomial fit, partial correlation), events
+    # (CUPED, segment migration), sampling (Neyman, weighted
+    # reservoir), PQ distortion, the sketch join-cardinality estimator,
+    # and the multimodal header-KPI path. Everything rotated out (the
+    # r12 window names) is hash-green in CORRECTNESS_r12.json and
+    # re-verified by every full compare.py sweep.
+    "dedup_dfcap_containment_pairs",
+    "similarity_rrf_hybrid_top10",
+    "similarity_minhash_jaccard_error",
+    "dedup_ngram_jaccard_pairs",
+    "orders_littles_law_check",
+    "join_bucketed_colocated",
+    "similarity_recall_lsh_at5",
+    "pipeline_decontaminate_train",
+    "dedup_dfcap_recall_audit",
+    "multimodal_phash_neardup_seeded",
+    "dedup_candidate_selectivity_compare",
+    "streaming_interval_join_clicks_purchases",
+    "streaming_session_window_counts",
+    "streaming_dedup_within_watermark",
+    "load_change_data_feed",
+    "load_schema_evolution_append",
+    "load_shallow_clone",
+    "text_bpe_pair_counts",
+    "text_rake_keywords",
+    "text_language_id",
+    "stats_negbin_fit_user_counts",
+    "stats_partial_correlation",
+    "events_ab_experiment_cuped",
+    "events_segment_migration_matrix",
+    "sample_neyman_allocation",
+    "sample_weighted_reservoir_per_lang",
+    "similarity_pq_distortion",
+    "sketch_join_cardinality_estimate",
+    "multimodal_header_kpis",
 ]
 
 

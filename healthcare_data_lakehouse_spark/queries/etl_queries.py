@@ -1942,9 +1942,13 @@ def etl_length_of_stay_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(DISTINCT first_tok) AS BIGINT) AS distinct_first_toks
     FROM f GROUP BY lang ORDER BY lang
     """,
-    description="The reference's arbitrary row-level Python transform "
-    "escape hatch (transform_fn: dict -> dict, etl_manager.py:118-124), "
-    "driver-evidenced end-to-end (VERDICT r11 ask #7): a per-record "
+    description="The record-wise subset of the reference's arbitrary "
+    "Python transform escape hatch (the reference types transform_fn as "
+    "list[dict] -> list[dict], BATCH-level, etl_manager.py:123; this "
+    "adapter covers the per-record dict -> dict case applied "
+    "element-wise — batch-level cross-record transforms ride "
+    "mapInPandas directly), driver-evidenced end-to-end (VERDICT r11 "
+    "ask #7): a per-record "
     "Python callable computes two derived fields (first whitespace token, "
     "vowel count) and rides python_record_transform's Arrow-batched "
     "mapInPandas adapter — the DECLARED Python surface, allow-listed in "

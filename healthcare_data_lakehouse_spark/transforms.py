@@ -256,10 +256,17 @@ def python_record_transform(
     record_fn: Callable[[dict], dict],
     description: str = "",
 ) -> TransformSpec:
-    """Adapter for the reference's arbitrary row-level Python transforms
-    (``transform_fn: dict -> dict``, reference ``src/etl/etl_manager.py:
-    123``): wraps the per-record callable in Arrow-batched ``mapInPandas``
-    so it plugs into the registry next to the Column-native transforms.
+    """Adapter for the RECORD-WISE SUBSET of the reference's arbitrary
+    Python transform escape hatch. The reference's TransformSpec types
+    ``transform_fn`` as ``Callable[[list[dict]], list[dict]]`` — BATCH
+    level (reference ``src/etl/etl_manager.py:123``); a reference
+    transform doing cross-record work within a batch (dedup inside the
+    list, running totals) cannot ride this adapter. This wrapper covers
+    the common per-record case (``dict -> dict`` applied element-wise),
+    wrapping the callable in Arrow-batched ``mapInPandas`` so it plugs
+    into the registry next to the Column-native transforms; batch-level
+    reference transforms map onto ``mapInPandas`` directly (each Arrow
+    batch IS a list of records) rather than through this helper.
 
     THE PERF CLIFF, explicitly: this moves every row through Python.
     Arrow batching keeps it ~10-100x faster than a row-at-a-time UDF, but

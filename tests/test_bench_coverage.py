@@ -80,6 +80,7 @@ def test_committed_bench_record_has_bounded_dispersion():
         if lo >= 0.05:  # sub-50ms queries are timer-noise dominated
             ratios.append(hi / lo)
     ratios.sort()
+    assert ratios, "no queries above the 50ms timer-noise floor"
     med_disp = ratios[len(ratios) // 2]
     # median max/min across the catalog: an idle local[32] run sits well
     # under 1.5x; a loaded machine blows past it

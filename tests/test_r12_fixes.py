@@ -62,7 +62,7 @@ def test_phash_neardup_nonempty_and_matches_oracle(spark, tmp_path, qs):
         " ".join(vocab[rng.integers(0, len(vocab), int(n))])
         for n in rng.integers(10, 101, 40)
     ]
-    # exact copies of 6 base docs — identical payload => identical 32-bit
+    # exact copies of 6 base docs — identical payload => identical
     # signature => Hamming 0, so the banded join MUST emit these pairs
     texts.extend(texts[i] for i in range(6))
     _write_documents(tmp_path, texts)

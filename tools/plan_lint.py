@@ -41,6 +41,9 @@ PYTHON_OK = {
     "multimodal_tile_manifest",
     "multimodal_audio_vad_energy",
     "multimodal_phash_neardup",
+    # same Arrow-batched signature path over the seeded-dup corpus (the
+    # non-vacuous driver row for the pHash pipeline, VERDICT r12 ask #2)
+    "multimodal_phash_neardup_seeded",
     # grouped scientific compute: numpy eigensolver per label group is
     # the designed Arrow-batched Python surface (see the query docstring)
     "embedding_label_pca",
