@@ -2325,10 +2325,15 @@ def dedup_bcubed_cluster_eval(
 #: DF cap for the selectivity-compare GROUND-TRUTH arm (VERDICT r12 ask
 #: #4): truth candidates come only from shingles with df <= this bound, so
 #: the diagnostic stays linear on stop-shingle corpora instead of paying
-#: the raw self-join's sum(df^2). Named in the output schema
+#: the raw self-join's sum(df^2). 64 is the dfcap generators' production
+#: default, and the measured reason it is not higher: at cap 256 the
+#: closed-vocabulary sf1.0 fixture pushed ~4x more candidate volume
+#: through the verify (191 s vs the raw arm's r12 OOM; cap 64 keeps the
+#: same guarantee at a quarter of the bound). Named in the output schema
 #: (truth_max_df); miss rate per cap is measured by
-#: dedup_dfcap_recall_audit.
-_TRUTH_MAX_DF = 256
+#: dedup_dfcap_recall_audit, which reports recall 1.0 at 64 on the
+#: shipped fixtures.
+_TRUTH_MAX_DF = 64
 
 
 def _selectivity_oracle() -> str:
@@ -2440,7 +2445,7 @@ def _selectivity_oracle() -> str:
     "reporting candidate volume vs verified volume vs precision. The "
     "truth arm is DF-CAPPED (VERDICT r12 ask #4): the r12 raw shingle "
     "self-join truth OOM'd the JVM at closed sf3.0, so truth candidates "
-    "now come only from df <= 256 shingles with pair-local array "
+    "now come only from df <= 64 shingles with pair-local array "
     "verification, the bound is named in the output schema "
     "(truth_max_df; 0 on the exact_hash row, whose pairs are J=1 by "
     "construction and never touch the truth table), and "

@@ -11,7 +11,7 @@
    exact copies guarantee Hamming-0 pairs through the banding).
 3. dedup_candidate_selectivity_compare's ground-truth arm is df-capped
    (r12: the raw self-join truth OOM'd at closed sf3.0). The bound must
-   be NAMED in the output schema (truth_max_df: 0 on exact_hash, 256 on
+   be NAMED in the output schema (truth_max_df: 0 on exact_hash, 64 on
    the verified rows) and the three methods' counts must keep their
    invariants (verified <= candidates; exact is perfect-precision).
 """
@@ -114,7 +114,7 @@ def test_selectivity_compare_schema_names_truth_bound(spark, qs):
     assert rows["exact_hash"].truth_max_df == 0
     assert rows["exact_hash"].n_verified == rows["exact_hash"].n_candidates
     for m in ("minhash_lsh", "simhash_banded"):
-        assert rows[m].truth_max_df == 256
+        assert rows[m].truth_max_df == 64
         assert 0 <= rows[m].n_verified <= rows[m].n_candidates
     # planted dups guarantee each generator catches something
     assert rows["minhash_lsh"].n_verified > 0
