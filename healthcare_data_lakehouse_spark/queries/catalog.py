@@ -215,7 +215,11 @@ PRIORITY = [
     "load_shallow_clone",
     "text_bpe_pair_counts",
     "text_rake_keywords",
-    "text_language_id",
+    # (text_language_id swapped out mid-round for the dfcap budget
+    # planner, NEW this round — the third leg of the dfcap trilogy; new
+    # code paths get driver evidence in the round they land. Both are
+    # first-time names, so the window's first-time count is unchanged.)
+    "dedup_dfcap_budget_planner",
     "stats_negbin_fit_user_counts",
     "stats_partial_correlation",
     "events_ab_experiment_cuped",

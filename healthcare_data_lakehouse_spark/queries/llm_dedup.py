@@ -3261,3 +3261,123 @@ def dedup_dfcap_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("recall"),
     )
+
+
+@register(
+    "dedup_dfcap_budget_planner",
+    oracle="WITH "
+    + _DOCS_DUPS_SQL.format(mod=20)
+    + ", "
+    + _SHINGLES_SQL
+    + f""",
+    sdf AS (
+        SELECT shingle, CAST(COUNT(*) AS BIGINT) AS df
+        FROM shingles GROUP BY shingle
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_shingles,
+               CAST(SUM(df) AS BIGINT) AS n_occurrences
+        FROM sdf
+    ),
+    caps AS (SELECT UNNEST([4, 16, 64, 256, 1024]) AS max_df)
+    SELECT CAST(c.max_df AS INT) AS max_df,
+           CAST(COALESCE(SUM(CASE WHEN s.df <= c.max_df THEN 1 ELSE 0 END),
+                0) AS BIGINT) AS n_shingles_under_cap,
+           {dround_sql(
+               "CAST(SUM(CASE WHEN s.df <= c.max_df THEN 1 ELSE 0 END) "
+               "AS DOUBLE) / MAX(t.n_shingles)", 6)} AS frac_shingles,
+           CAST(COALESCE(SUM(CASE WHEN s.df <= c.max_df THEN s.df
+                              ELSE 0 END), 0) AS BIGINT)
+               AS n_occurrences_under_cap,
+           {dround_sql(
+               "CAST(SUM(CASE WHEN s.df <= c.max_df THEN s.df ELSE 0 END) "
+               "AS DOUBLE) / MAX(t.n_occurrences)", 6)} AS frac_occurrences,
+           CAST(COALESCE(SUM(CASE WHEN s.df <= c.max_df
+                              THEN (s.df * (s.df - 1)) // 2 ELSE 0 END), 0)
+               AS BIGINT) AS candidate_pairs_bound
+    FROM caps c CROSS JOIN tot t LEFT JOIN sdf s ON TRUE
+    GROUP BY c.max_df
+    """,
+    description="The dfcap SHUFFLE PRICER — the third leg of the dfcap "
+    "trilogy (generator: dedup_dfcap_jaccard_pairs; fidelity: "
+    "dedup_dfcap_recall_audit; this: cost). For each candidate cap c in "
+    "{4,16,64,256,1024} it reports the EXACT candidate-pair volume the "
+    "df-capped generator would emit before dedup — sum over df<=c "
+    "shingles of df(df-1)/2 — plus what fraction of the distinct "
+    "vocabulary and of shingle OCCURRENCES the cap retains. All caps "
+    "are priced analytically from ONE shingle-df aggregate (a single "
+    "scan + one groupBy; conditional sums, no per-cap candidate "
+    "generation), so at 100 TB this is the cheap pre-run measurement "
+    "that picks the largest max_df whose pair volume fits the cluster's "
+    "shuffle budget — run the pricer, read the recall audit's miss rate "
+    "at that cap, THEN run the generator. The same pattern a cost-based "
+    "optimizer uses: price from statistics, never by executing the "
+    "plan.",
+)
+def dedup_dfcap_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    sh = D._shingle_table(docs, "doc_id", "text", 3)
+    dfreq = sh.groupBy("shingle").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    caps = [4, 16, 64, 256, 1024]
+    conds = []
+    for c in caps:
+        under = F.when(F.col("df") <= c, F.col("df"))
+        conds += [
+            F.sum(F.when(F.col("df") <= c, 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"ns{c}"),
+            F.sum(F.coalesce(under, F.lit(0))).cast("bigint").alias(f"no{c}"),
+            # integer DIV keeps the pair count exact past 2^53
+            # (df(df-1) is always even, so DIV 2 is lossless)
+            F.sum(
+                F.coalesce(
+                    F.when(
+                        F.col("df") <= c,
+                        F.expr("df * (df - 1) DIV 2"),
+                    ),
+                    F.lit(0),
+                )
+            )
+            .cast("bigint")
+            .alias(f"cp{c}"),
+        ]
+    agg = dfreq.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_shingles"),
+        F.sum("df").cast("bigint").alias("n_occurrences"),
+        *conds,
+    )
+    rows = agg.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).cast("int").alias("max_df"),
+                        F.col(f"ns{c}").alias("n_shingles_under_cap"),
+                        dround(
+                            F.col(f"ns{c}").cast("double")
+                            / F.col("n_shingles"),
+                            6,
+                        ).alias("frac_shingles"),
+                        F.col(f"no{c}").alias("n_occurrences_under_cap"),
+                        dround(
+                            F.col(f"no{c}").cast("double")
+                            / F.col("n_occurrences"),
+                            6,
+                        ).alias("frac_occurrences"),
+                        F.col(f"cp{c}").alias("candidate_pairs_bound"),
+                    )
+                    for c in caps
+                ]
+            )
+        ).alias("r")
+    )
+    return rows.select(
+        "r.max_df",
+        "r.n_shingles_under_cap",
+        "r.frac_shingles",
+        "r.n_occurrences_under_cap",
+        "r.frac_occurrences",
+        "r.candidate_pairs_bound",
+    )

@@ -119,3 +119,56 @@ def test_selectivity_compare_schema_names_truth_bound(spark, qs):
     # planted dups guarantee each generator catches something
     assert rows["minhash_lsh"].n_verified > 0
     assert rows["simhash_banded"].n_verified > 0
+
+
+# ----------------------- 4. dfcap budget planner prices caps exactly
+def test_dfcap_budget_planner_exact_on_known_corpus(spark, tmp_path, qs):
+    """Hand-computable corpus: 3 copies of one text (plus the planted
+    dup of doc 0 => 4 copies) and one unique doc. Every shingle of the
+    repeated text has df=4 (6 pairs each); the unique doc's shingles
+    have df=1 (0 pairs). The planner must report these EXACT counts at
+    every cap, monotone in the cap."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    texts = ["a b c d e", "a b c d e", "a b c d e", "p q r s"]
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts),
+                "lang": pa.array(["en"] * len(texts)),
+                "source": pa.array(["src0"] * len(texts)),
+                "n_chars": pa.array([len(t) for t in texts], pa.int64()),
+            }
+        ),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r.max_df: r
+        for r in qs["dedup_dfcap_budget_planner"]
+        .fn(spark, str(tmp_path))
+        .orderBy("max_df")
+        .collect()
+    }
+    assert set(rows) == {4, 16, 64, 256, 1024}
+    # corpus after planted dup of doc 0: 4x "a b c d e" + 1x "p q r s"
+    # shingles: {a b c, b c d, c d e} df=4 each; {p q r, q r s} df=1 each
+    # cap 4 retains everything: 5 shingles, 4*3+1*2 = 14 occurrences,
+    # pairs = 3 * C(4,2) = 18
+    for c in (4, 16, 64, 256, 1024):
+        r = rows[c]
+        assert r.n_shingles_under_cap == 5
+        assert r.frac_shingles == 1.0
+        assert r.n_occurrences_under_cap == 14
+        assert r.frac_occurrences == 1.0
+        assert r.candidate_pairs_bound == 18
+    # monotonicity invariant on a real fixture (non-degenerate df mix)
+    sf_rows = (
+        qs["dedup_dfcap_budget_planner"].fn(spark, SF).orderBy("max_df").collect()
+    )
+    for a, b in zip(sf_rows, sf_rows[1:]):
+        assert a.n_shingles_under_cap <= b.n_shingles_under_cap
+        assert a.n_occurrences_under_cap <= b.n_occurrences_under_cap
+        assert a.candidate_pairs_bound <= b.candidate_pairs_bound
+        assert 0.0 <= a.frac_shingles <= b.frac_shingles <= 1.0
