@@ -3135,3 +3135,562 @@ def er_fellegi_sunter_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("disagreement_weight"),
     ).orderBy("feature")
+
+
+# --------------------------- forecast: Theta method (A&N 2000, M3 winner)
+_THETA_H = 6
+
+
+def _theta_oracle() -> str:
+    st = "(n*(n+1)/2.0)"
+    stt = "(CAST(n AS DOUBLE)*(n+1)*(2*n+1)/6.0)"
+    slope = dround_sql(
+        f"(n*sty - {st}*sy) / (n*{stt} - {st}*{st})", 6
+    )
+    return f"""
+    WITH RECURSIVE monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               ROUND(SUM(o_totalprice), 2) AS rev,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE)
+               ) AS rn
+        FROM orders GROUP BY 1
+    ),
+    mom AS (
+        SELECT COUNT(*) AS n,
+               list_sum(list(rev ORDER BY rn)) AS sy,
+               list_sum(list(rn * rev ORDER BY rn)) AS sty
+        FROM monthly
+    ),
+    reg0 AS (SELECT n, sy, {slope} AS slope FROM mom),
+    reg AS (
+        SELECT n, slope,
+               {dround_sql(f"(sy - slope*{st}) / n", 6)} AS intercept
+        FROM reg0
+    ),
+    ses AS (
+        SELECT m.rn, m.month, m.rev,
+               CAST(2.0*m.rev - (r.intercept + r.slope*m.rn) AS DOUBLE) AS s,
+               CAST(NULL AS DOUBLE) AS f
+        FROM monthly m, reg r WHERE m.rn = 1
+        UNION ALL
+        SELECT m.rn, m.month, m.rev,
+               0.5*(2.0*m.rev - (r.intercept + r.slope*m.rn)) + 0.5*h.s,
+               0.5*(r.intercept + r.slope*m.rn) + 0.5*h.s
+        FROM ses h JOIN monthly m ON m.rn = h.rn + 1, reg r
+    ),
+    lastrow AS (
+        SELECT s.month, s.s, r.n, r.slope, r.intercept
+        FROM ses s, reg r WHERE s.rn = r.n
+    )
+    SELECT month, rev,
+           {dround_sql("r.intercept + r.slope*s.rn", 4)} AS trend_line,
+           {dround_sql("s.s", 4)} AS ses_level,
+           {dround_sql("s.f", 4)} AS fitted,
+           FALSE AS is_forecast
+    FROM ses s, reg r
+    UNION ALL
+    SELECT CAST(l.month + u.h * INTERVAL 1 MONTH AS DATE),
+           CAST(NULL AS DOUBLE),
+           {dround_sql("l.intercept + l.slope*(l.n + u.h)", 4)},
+           CAST(NULL AS DOUBLE),
+           {dround_sql(
+               "0.5*(l.intercept + l.slope*(l.n + u.h)) + 0.5*l.s", 4)},
+           TRUE
+    FROM lastrow l, UNNEST(range(1, {_THETA_H} + 1)) AS u(h)
+    """
+
+
+@register(
+    "forecast_theta_monthly_revenue",
+    oracle=_theta_oracle(),
+    description="Theta-method forecast (Assimakopoulos & Nikolopoulos "
+    "2000 — the M3-competition winner, equivalent to SES with drift per "
+    "Hyndman & Billah 2003) over monthly order revenue: theta-0 line = "
+    "OLS linear trend on t=1..n, theta-2 line z_t = 2*y_t - trend_t "
+    "smoothed by SES (alpha=0.5, binary-exact), fitted = equal-weight "
+    "combination of the two lines one step ahead, plus a 6-month-ahead "
+    "forecast fan. One agg shuffle collapses 100 TB of orders to a "
+    "#months-row series; the OLS moment sums fold SEQUENTIALLY over the "
+    "sorted month array (bit-parity with the oracle's ordered-list "
+    "sums — St/Stt are closed-form integers), slope/intercept are "
+    "dround-pinned before the SES recurrence so both engines smooth the "
+    "identical theta-2 line, and the recurrence runs as one F.aggregate "
+    "fold at metadata scale — the same plan shape as "
+    "forecast_holt_monthly_revenue.",
+)
+def forecast_theta_monthly_revenue(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+    ).agg(F.round(F.sum("o_totalprice"), 2).alias("rev"))
+    series = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("month", "rev"))).alias("s")
+    )
+    base = series.select(
+        "s",
+        F.size("s").alias("n"),
+        F.aggregate("s", F.lit(0.0), lambda a, x: a + x["rev"]).alias("sy"),
+        F.aggregate(
+            F.col("s"),
+            F.struct(F.lit(0).alias("i"), F.lit(0.0).alias("sty")),
+            lambda a, x: F.struct(
+                (a["i"] + 1).alias("i"),
+                (a["sty"] + (a["i"] + 1).cast("double") * x["rev"]).alias(
+                    "sty"
+                ),
+            ),
+        )["sty"].alias("sty"),
+    )
+    nn = F.col("n").cast("double")
+    st = (F.col("n") * (F.col("n") + 1) / 2).cast("double")
+    stt = (
+        F.col("n").cast("double") * (F.col("n") + 1) * (2 * F.col("n") + 1) / 6
+    )
+    params = base.select(
+        "s",
+        "n",
+        "sy",
+        dround(
+            (nn * F.col("sty") - st * F.col("sy")) / (nn * stt - st * st), 6
+        ).alias("slope"),
+    ).select(
+        "s",
+        "n",
+        "slope",
+        dround((F.col("sy") - F.col("slope") * st) / nn, 6).alias("intercept"),
+    )
+
+    def step(acc, x):
+        first = acc["i"] == 0
+        t = (acc["i"] + 1).cast("double")
+        trend = F.col("intercept") + F.col("slope") * t
+        z = 2.0 * x["rev"] - trend
+        prev_s = acc["s"]
+        new_s = F.when(first, z).otherwise(0.5 * z + 0.5 * prev_s)
+        row = F.struct(
+            x["month"].alias("month"),
+            x["rev"].alias("rev"),
+            dround(trend, 4).alias("trend_line"),
+            dround(new_s, 4).alias("ses_level"),
+            F.when(first, F.lit(None).cast("double"))
+            .otherwise(dround(0.5 * trend + 0.5 * prev_s, 4))
+            .alias("fitted"),
+        )
+        return F.struct(
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+            new_s.alias("s"),
+            (acc["i"] + 1).alias("i"),
+        )
+
+    init = F.struct(
+        F.array()
+        .cast(
+            "array<struct<month:date,rev:double,trend_line:double,"
+            "ses_level:double,fitted:double>>"
+        )
+        .alias("rows"),
+        F.lit(0.0).alias("s"),
+        F.lit(0).alias("i"),
+    )
+    folded = params.select(
+        "n",
+        "slope",
+        "intercept",
+        F.element_at(F.col("s"), -1)["month"].alias("last_month"),
+        F.aggregate(F.col("s"), init, step).alias("acc"),
+    )
+    insample = folded.select(
+        F.explode(F.col("acc")["rows"]).alias("r")
+    ).select(
+        "r.month",
+        "r.rev",
+        "r.trend_line",
+        "r.ses_level",
+        "r.fitted",
+        F.lit(False).alias("is_forecast"),
+    )
+    fut = (
+        folded.select(
+            "n",
+            "slope",
+            "intercept",
+            "last_month",
+            F.col("acc")["s"].alias("s_n"),
+            F.explode(F.expr(f"sequence(1, {_THETA_H})")).alias("h"),
+        )
+        .select(
+            F.add_months(F.col("last_month"), F.col("h")).alias("month"),
+            F.lit(None).cast("double").alias("rev"),
+            dround(
+                F.col("intercept")
+                + F.col("slope") * (F.col("n") + F.col("h")).cast("double"),
+                4,
+            ).alias("trend_line"),
+            F.lit(None).cast("double").alias("ses_level"),
+            dround(
+                0.5
+                * (
+                    F.col("intercept")
+                    + F.col("slope") * (F.col("n") + F.col("h")).cast("double")
+                )
+                + 0.5 * F.col("s_n"),
+                4,
+            ).alias("fitted"),
+            F.lit(True).alias("is_forecast"),
+        )
+    )
+    return insample.unionAll(fut)
+
+
+# ------------------- forecast: Croston's method for intermittent demand
+@register(
+    "forecast_croston_demand",
+    oracle=f"""
+    WITH RECURSIVE wk AS (
+        SELECT CAST(date_trunc('week', o_orderdate) AS DATE) AS week,
+               COUNT(*) AS d
+        FROM orders
+        WHERE o_orderpriority = '1-URGENT' AND o_custkey % 19 = 0
+        GROUP BY 1
+    ),
+    span AS (SELECT MIN(week) AS w0, MAX(week) AS w1 FROM wk),
+    spine AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY g.week) AS rn,
+               CAST(g.week AS DATE) AS week,
+               COALESCE(wk.d, 0) AS d
+        FROM (
+            SELECT UNNEST(generate_series(w0, w1, INTERVAL 7 DAY)) AS week
+            FROM span
+        ) g LEFT JOIN wk ON CAST(g.week AS DATE) = wk.week
+    ),
+    cro AS (
+        SELECT rn, week, d,
+               CASE WHEN d > 0 THEN CAST(d AS DOUBLE) END AS z,
+               CASE WHEN d > 0 THEN CAST(1 AS DOUBLE) END AS p,
+               CASE WHEN d > 0 THEN 0 ELSE 1 END AS q,
+               (d > 0) AS started
+        FROM spine WHERE rn = 1
+        UNION ALL
+        SELECT s.rn, s.week, s.d,
+               CASE WHEN s.d = 0 THEN c.z
+                    WHEN NOT c.started THEN CAST(s.d AS DOUBLE)
+                    ELSE 0.5*s.d + 0.5*c.z END,
+               CASE WHEN s.d = 0 THEN c.p
+                    WHEN NOT c.started THEN CAST(c.q + 1 AS DOUBLE)
+                    ELSE 0.5*(c.q + 1) + 0.5*c.p END,
+               CASE WHEN s.d > 0 THEN 0 ELSE c.q + 1 END,
+               c.started OR s.d > 0
+        FROM cro c JOIN spine s ON s.rn = c.rn + 1
+    )
+    SELECT week, CAST(d AS BIGINT) AS demand,
+           {dround_sql("z", 4)} AS z_size,
+           {dround_sql("p", 4)} AS p_interval,
+           {dround_sql("z / p", 4)} AS croston_forecast
+    FROM cro
+    """,
+    description="Croston's method (1972) for intermittent demand — the "
+    "standard forecaster for sparse series (most weeks zero): separate "
+    "SES (alpha=0.5, binary-exact) on the nonzero demand SIZES and on "
+    "the inter-demand INTERVALS, forecast = size/interval. The demand "
+    "series (weekly urgent-order count from a 1-in-19 customer cohort; "
+    "67% zero weeks at oracle scale) is one map-side-combined groupBy "
+    "over 100 TB of orders; the week spine and the Croston recurrence "
+    "run at week grain as a single F.aggregate fold over the sorted "
+    "spine — metadata scale, the same plan shape as the Holt/Theta "
+    "forecasters. Convention (pinned in both engines): state updates "
+    "only on demand weeks, p initializes to the 1-based index of the "
+    "first demand week, zero weeks carry state forward, and "
+    "z/p/forecast are NULL before the first demand.",
+)
+def forecast_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    wk = (
+        orders.filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & (F.col("o_custkey") % 19 == 0)
+        )
+        .groupBy(F.trunc(F.to_date("o_orderdate"), "week").alias("week"))
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    span = wk.agg(F.min("week").alias("w0"), F.max("week").alias("w1"))
+    spine = span.select(
+        F.explode(F.expr("sequence(w0, w1, interval 7 day)")).alias("week")
+    )
+    series = spine.join(wk, "week", "left").select(
+        "week", F.coalesce("d", F.lit(0)).cast("bigint").alias("d")
+    )
+    arr = series.agg(
+        F.sort_array(F.collect_list(F.struct("week", "d"))).alias("s")
+    )
+
+    def step(acc, x):
+        qp = acc["q"] + 1
+        has = x["d"] > 0
+        z_new = (
+            F.when(~has, acc["z"])
+            .when(~acc["started"], x["d"].cast("double"))
+            .otherwise(0.5 * x["d"] + 0.5 * acc["z"])
+        )
+        p_new = (
+            F.when(~has, acc["p"])
+            .when(~acc["started"], qp.cast("double"))
+            .otherwise(0.5 * qp.cast("double") + 0.5 * acc["p"])
+        )
+        row = F.struct(
+            x["week"].alias("week"),
+            x["d"].alias("demand"),
+            dround(z_new, 4).alias("z_size"),
+            dround(p_new, 4).alias("p_interval"),
+            dround(z_new / p_new, 4).alias("croston_forecast"),
+        )
+        return F.struct(
+            F.concat(acc["rows"], F.array(row)).alias("rows"),
+            z_new.alias("z"),
+            p_new.alias("p"),
+            F.when(has, F.lit(0)).otherwise(qp).alias("q"),
+            (acc["started"] | has).alias("started"),
+        )
+
+    init = F.struct(
+        F.array()
+        .cast(
+            "array<struct<week:date,demand:bigint,z_size:double,"
+            "p_interval:double,croston_forecast:double>>"
+        )
+        .alias("rows"),
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("double").alias("p"),
+        F.lit(0).alias("q"),
+        F.lit(False).alias("started"),
+    )
+    return (
+        arr.select(F.aggregate(F.col("s"), init, step)["rows"].alias("rows"))
+        .select(F.explode("rows").alias("r"))
+        .select(
+            "r.week", "r.demand", "r.z_size", "r.p_interval",
+            "r.croston_forecast",
+        )
+    )
+
+
+# ---------------- Fellegi-Sunter EM parameter estimation (Winkler 1988)
+_EM_ITERS = 20
+_EM_FEATS = ("lang", "source", "len_band", "last_token")
+
+
+def _er_em_oracle() -> str:
+    """Unrolled-CTE EM over the 16-row comparison-pattern table.
+
+    Every per-iteration sum runs over an ORDERED pattern list
+    (list_sum folds in list order), mirroring the Spark side's
+    sorted sequential Python accumulation — bit-parity by
+    construction, the same discipline as the forecast folds."""
+    g_expr = (
+        "i.lam * "
+        "((CASE WHEN p.f1 = 1 THEN i.m1 ELSE 1.0 - i.m1 END)"
+        " * (CASE WHEN p.f2 = 1 THEN i.m2 ELSE 1.0 - i.m2 END)"
+        " * (CASE WHEN p.f3 = 1 THEN i.m3 ELSE 1.0 - i.m3 END)"
+        " * (CASE WHEN p.f4 = 1 THEN i.m4 ELSE 1.0 - i.m4 END))"
+        " / (i.lam * "
+        "((CASE WHEN p.f1 = 1 THEN i.m1 ELSE 1.0 - i.m1 END)"
+        " * (CASE WHEN p.f2 = 1 THEN i.m2 ELSE 1.0 - i.m2 END)"
+        " * (CASE WHEN p.f3 = 1 THEN i.m3 ELSE 1.0 - i.m3 END)"
+        " * (CASE WHEN p.f4 = 1 THEN i.m4 ELSE 1.0 - i.m4 END))"
+        " + (1.0 - i.lam) * "
+        "((CASE WHEN p.f1 = 1 THEN i.u1 ELSE 1.0 - i.u1 END)"
+        " * (CASE WHEN p.f2 = 1 THEN i.u2 ELSE 1.0 - i.u2 END)"
+        " * (CASE WHEN p.f3 = 1 THEN i.u3 ELSE 1.0 - i.u3 END)"
+        " * (CASE WHEN p.f4 = 1 THEN i.u4 ELSE 1.0 - i.u4 END)))"
+    )
+    head = """
+    WITH d AS (
+        SELECT doc_id, text, lang, source, n_chars,
+               array_to_string(string_split(text, ' ')[1:2], ' ') AS blk,
+               string_split(text, ' ') AS toks
+        FROM documents
+    ),
+    pr AS (
+        SELECT CAST(a.lang = b.lang AS INT) AS f1,
+               CAST(a.source = b.source AS INT) AS f2,
+               CAST(abs(a.n_chars - b.n_chars) <= 4 AS INT) AS f3,
+               CAST(a.toks[len(a.toks)] = b.toks[len(b.toks)] AS INT) AS f4
+        FROM d a JOIN d b ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ),
+    pat AS (
+        SELECT f1, f2, f3, f4, COUNT(*) AS c
+        FROM pr GROUP BY f1, f2, f3, f4
+    ),
+    pats AS (
+        SELECT list(struct_pack(
+                   c := CAST(c AS DOUBLE), f1 := f1, f2 := f2,
+                   f3 := f3, f4 := f4)
+                   ORDER BY f1, f2, f3, f4) AS ps,
+               CAST(SUM(c) AS DOUBLE) AS cd,
+               CAST(SUM(c) AS BIGINT) AS n_pairs
+        FROM pat
+    ),
+    it0 AS (
+        SELECT CAST(0.1 AS DOUBLE) AS lam,
+               CAST(0.9 AS DOUBLE) AS m1, CAST(0.9 AS DOUBLE) AS m2,
+               CAST(0.9 AS DOUBLE) AS m3, CAST(0.9 AS DOUBLE) AS m4,
+               CAST(0.1 AS DOUBLE) AS u1, CAST(0.1 AS DOUBLE) AS u2,
+               CAST(0.1 AS DOUBLE) AS u3, CAST(0.1 AS DOUBLE) AS u4
+    )"""
+    steps = []
+    for k in range(_EM_ITERS):
+        steps.append(f"""
+    g{k} AS MATERIALIZED (
+        SELECT list_transform(ps, p -> struct_pack(
+                   c := p.c, f1 := p.f1, f2 := p.f2, f3 := p.f3,
+                   f4 := p.f4, g := {g_expr})) AS gs,
+               cd
+        FROM pats, it{k} i
+    ),
+    it{k + 1} AS MATERIALIZED (
+        SELECT w / cd AS lam,
+               sm1 / w AS m1, sm2 / w AS m2, sm3 / w AS m3, sm4 / w AS m4,
+               su1 / (cd - w) AS u1, su2 / (cd - w) AS u2,
+               su3 / (cd - w) AS u3, su4 / (cd - w) AS u4
+        FROM (
+            SELECT list_sum(list_transform(gs, x -> x.c * x.g)) AS w,
+                   list_sum(list_transform(gs, x -> x.c * x.g * x.f1)) AS sm1,
+                   list_sum(list_transform(gs, x -> x.c * x.g * x.f2)) AS sm2,
+                   list_sum(list_transform(gs, x -> x.c * x.g * x.f3)) AS sm3,
+                   list_sum(list_transform(gs, x -> x.c * x.g * x.f4)) AS sm4,
+                   list_sum(list_transform(gs,
+                       x -> x.c * (1.0 - x.g) * x.f1)) AS su1,
+                   list_sum(list_transform(gs,
+                       x -> x.c * (1.0 - x.g) * x.f2)) AS su2,
+                   list_sum(list_transform(gs,
+                       x -> x.c * (1.0 - x.g) * x.f3)) AS su3,
+                   list_sum(list_transform(gs,
+                       x -> x.c * (1.0 - x.g) * x.f4)) AS su4,
+                   cd
+            FROM g{k}
+        )
+    )""")
+    feats = []
+    for j, name in enumerate(_EM_FEATS, start=1):
+        feats.append(f"""
+        SELECT '{name}' AS feature,
+               {dround_sql(f"i.m{j}", 6)} AS m_em,
+               {dround_sql(f"i.u{j}", 6)} AS u_em,
+               {dround_sql(
+                   f"log2(NULLIF(i.m{j}, 0) / NULLIF(i.u{j}, 0))", 4
+               )} AS agreement_weight,
+               {dround_sql("i.lam", 6)} AS lambda_em,
+               p.n_pairs
+        FROM it{_EM_ITERS} i, pats p""")
+    return head + "," + ",".join(steps) + "\n" + "\n UNION ALL ".join(
+        feats
+    ) + "\n ORDER BY feature"
+
+
+@register(
+    "er_em_mu_estimation",
+    oracle=_er_em_oracle(),
+    description="UNSUPERVISED Fellegi-Sunter parameter estimation via EM "
+    "(Winkler 1988) — the training loop behind Splink/fastLink-style "
+    "probabilistic linkage, and the promised refinement of "
+    "er_fellegi_sunter_weights' labeled counts: over the SAME blocked "
+    "candidate pairs (first-2-token prefix block, never all-pairs) but "
+    "with NO truth labels, the 4 binary comparison features collapse to "
+    "a <=16-row pattern-count table (one map-side-combined groupBy over "
+    "any corpus size — the EM never touches pair grain), then 20 EM "
+    "iterations under conditional independence re-estimate lambda = "
+    "P(match), m_k = P(agree_k | match), u_k = P(agree_k | non-match) "
+    "from pattern counts alone. The iteration runs driver-side over the "
+    "16 collected rows (metadata scale by construction, the "
+    "events_markov_stationary precedent) in SORTED pattern order with "
+    "sequential accumulation — bit-parity with the oracle's "
+    "ordered-list list_sum folds. On this fixture EM recovers the "
+    "structure the labeled estimator found: len_band separates "
+    "(m ~ 1, u ~ small) while lang/source/last_token converge toward "
+    "chance agreement rates.",
+)
+def er_em_mu_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.concat_ws(" ", F.slice(F.split("text", " "), 1, 2)).alias("blk"),
+        F.element_at(F.split("text", " "), -1).alias("last_tok"),
+    )
+    a = d.select(*[F.col(c).alias(f"{c}_a") for c in d.columns])
+    b = d.select(*[F.col(c).alias(f"{c}_b") for c in d.columns])
+    pat = (
+        a.join(
+            b,
+            (F.col("blk_a") == F.col("blk_b"))
+            & (F.col("doc_id_a") < F.col("doc_id_b")),
+        )
+        .select(
+            (F.col("lang_a") == F.col("lang_b")).cast("int").alias("f1"),
+            (F.col("source_a") == F.col("source_b")).cast("int").alias("f2"),
+            (F.abs(F.col("n_chars_a") - F.col("n_chars_b")) <= 4)
+            .cast("int")
+            .alias("f3"),
+            (F.col("last_tok_a") == F.col("last_tok_b"))
+            .cast("int")
+            .alias("f4"),
+        )
+        .groupBy("f1", "f2", "f3", "f4")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # <= 2^4 = 16 pattern rows: metadata scale by construction
+    )
+    pats = sorted(
+        ((int(r.c), r.f1, r.f2, r.f3, r.f4) for r in pat),
+        key=lambda t: (t[1], t[2], t[3], t[4]),
+    )
+    n_pairs = sum(c for c, *_ in pats)
+    cd = float(n_pairs)
+    lam = 0.1
+    m = [0.9, 0.9, 0.9, 0.9]
+    u = [0.1, 0.1, 0.1, 0.1]
+    for _ in range(_EM_ITERS):
+        w = 0.0
+        sm = [0.0, 0.0, 0.0, 0.0]
+        su = [0.0, 0.0, 0.0, 0.0]
+        for c, f1, f2, f3, f4 in pats:
+            cf = float(c)
+            fs = (f1, f2, f3, f4)
+            pm = 1.0
+            pu = 1.0
+            for j in range(4):
+                pm = pm * (m[j] if fs[j] == 1 else 1.0 - m[j])
+                pu = pu * (u[j] if fs[j] == 1 else 1.0 - u[j])
+            g = lam * pm / (lam * pm + (1.0 - lam) * pu)
+            w += cf * g
+            for j in range(4):
+                sm[j] += cf * g * fs[j]
+                su[j] += cf * (1.0 - g) * fs[j]
+        lam = w / cd
+        m = [sm[j] / w for j in range(4)]
+        u = [su[j] / (cd - w) for j in range(4)]
+    out = spark.createDataFrame(
+        [
+            (name, m[j], u[j], lam, n_pairs)
+            for j, name in enumerate(_EM_FEATS)
+        ],
+        "feature string, m_raw double, u_raw double, lam double, "
+        "n_pairs bigint",
+    )
+    log2 = lambda c: F.log(c) / F.log(F.lit(2.0))  # noqa: E731
+    return out.select(
+        "feature",
+        dround("m_raw", 6).alias("m_em"),
+        dround("u_raw", 6).alias("u_em"),
+        dround(
+            log2(
+                F.nullif(F.col("m_raw"), F.lit(0.0))
+                / F.nullif(F.col("u_raw"), F.lit(0.0))
+            ),
+            4,
+        ).alias("agreement_weight"),
+        dround("lam", 6).alias("lambda_em"),
+        "n_pairs",
+    ).orderBy("feature")

@@ -3059,3 +3059,253 @@ def stats_chatterjee_xi_value_by_type(
             6,
         ).alias("xi"),
     )
+
+
+# ----------------- Pettitt nonparametric change-point test (Pettitt 1979)
+@register(
+    "stats_pettitt_changepoint",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    ranked AS (
+        SELECT day, rev,
+               CAST(RANK() OVER (ORDER BY rev) AS DOUBLE)
+                   + (COUNT(*) OVER (PARTITION BY rev) - 1) / 2.0 AS r,
+               ROW_NUMBER() OVER (ORDER BY day) AS k,
+               COUNT(*) OVER () AS n
+        FROM daily
+    ),
+    u AS (
+        SELECT day, k, n,
+               2.0 * SUM(r) OVER (ORDER BY day) - k * (n + 1.0) AS uk
+        FROM ranked
+    ),
+    cp AS (
+        SELECT day AS cp_day, ABS(uk) AS k_stat, n
+        FROM u WHERE k < n
+        ORDER BY ABS(uk) DESC, day ASC LIMIT 1
+    )
+    SELECT CAST(cp.n AS BIGINT) AS n_days,
+           cp.k_stat,
+           cp.cp_day AS changepoint_day,
+           {dround_sql(
+               "2.0 * exp((-6.0 * cp.k_stat * cp.k_stat) / "
+               "(CAST(cp.n AS DOUBLE)*cp.n*cp.n + CAST(cp.n AS DOUBLE)*cp.n))",
+               6)} AS p_value,
+           {dround_sql(
+               "(SELECT AVG(rev) FROM daily WHERE day <= cp.cp_day)", 4
+           )} AS mean_before,
+           {dround_sql(
+               "(SELECT AVG(rev) FROM daily WHERE day > cp.cp_day)", 4
+           )} AS mean_after
+    FROM cp
+    """,
+    description="Pettitt test (1979) — the rank-based nonparametric "
+    "change-point detector (no normality assumption, unlike CUSUM): "
+    "U_k = sum_{{i<=k}} sum_{{j>k}} sgn(x_i - x_j) computed in O(n log n) "
+    "via the midrank identity U_k = 2*cumsum(r_i) - k(n+1) (ties get "
+    "average ranks, so every U_k is an exact half-integer — both engines "
+    "agree bitwise with no float discipline needed until the p-value), "
+    "K = max|U_k| over k < n with earliest-day tiebreak, and the "
+    "approximate significance p ~ 2 exp(-6K^2/(n^3+n^2)). One agg "
+    "shuffle collapses 100 TB of orders to the day-grain series; the "
+    "rank/prefix windows run over that post-aggregation series "
+    "(GLOBAL_WINDOW_OK: day grain). Pre/post means ride along for "
+    "effect-size context.",
+)
+def stats_pettitt_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    ranked = daily.select(
+        "day",
+        "rev",
+        (
+            F.rank().over(Window.orderBy("rev")).cast("double")
+            + (F.count(F.lit(1)).over(Window.partitionBy("rev")) - 1) / 2.0
+        ).alias("r"),
+        F.row_number().over(Window.orderBy("day")).alias("k"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("n"),
+    )
+    u = ranked.select(
+        "day",
+        "k",
+        "n",
+        (
+            2.0
+            * F.sum("r").over(
+                Window.orderBy("day").rowsBetween(
+                    Window.unboundedPreceding, 0
+                )
+            )
+            - F.col("k") * (F.col("n") + 1.0)
+        ).alias("uk"),
+    )
+    cp = (
+        u.filter(F.col("k") < F.col("n"))
+        .orderBy(F.abs(F.col("uk")).desc(), F.col("day").asc())
+        .limit(1)
+        .select(
+            F.col("day").alias("cp_day"),
+            F.abs(F.col("uk")).alias("k_stat"),
+            "n",
+        )
+    )
+    nd = F.col("n").cast("double")
+    sides = daily.crossJoin(F.broadcast(cp)).agg(
+        dround(
+            F.avg(F.when(F.col("day") <= F.col("cp_day"), F.col("rev"))), 4
+        ).alias("mean_before"),
+        dround(
+            F.avg(F.when(F.col("day") > F.col("cp_day"), F.col("rev"))), 4
+        ).alias("mean_after"),
+    )
+    return (
+        cp.crossJoin(F.broadcast(sides))
+        .select(
+            F.col("n").cast("bigint").alias("n_days"),
+            "k_stat",
+            F.col("cp_day").alias("changepoint_day"),
+            dround(
+                2.0
+                * F.exp(
+                    (-6.0 * F.col("k_stat") * F.col("k_stat"))
+                    / (nd * nd * nd + nd * nd)
+                ),
+                6,
+            ).alias("p_value"),
+            "mean_before",
+            "mean_after",
+        )
+    )
+
+
+# ------------------- Wald sequential probability ratio test (SPRT, 1945)
+# Embedded as repr'd Python floats so both engines use the identical
+# IEEE-754 constants (libm ln() rounding may differ between engines).
+_SPRT_LA = 0.6931471805599453  # ln(p1/p0) = ln(0.30/0.15)
+_SPRT_LB = -0.1941560144409575  # ln((1-p1)/(1-p0)) = ln(0.70/0.85)
+_SPRT_BOUND = 2.9444389791664403  # ln((1-beta)/alpha) = ln(19), a=b=0.05
+
+
+@register(
+    "stats_sprt_purchase_rate",
+    oracle=f"""
+    WITH c AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS k,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN {_SPRT_LA!r} ELSE {_SPRT_LB!r} END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS llr
+        FROM events
+    ),
+    marked AS (
+        SELECT user_id, k, llr,
+               CASE WHEN llr >= {_SPRT_BOUND!r} THEN 'accept_h1'
+                    WHEN llr <= {-_SPRT_BOUND!r} THEN 'accept_h0'
+               END AS dec
+        FROM c
+    ),
+    firstk AS (
+        SELECT user_id, MIN(k) AS kd
+        FROM marked WHERE dec IS NOT NULL GROUP BY user_id
+    ),
+    decided AS (
+        SELECT m.user_id, m.k, m.llr, m.dec
+        FROM marked m JOIN firstk f
+          ON f.user_id = m.user_id AND f.kd = m.k
+    ),
+    lastk AS (SELECT user_id, MAX(k) AS kd FROM marked GROUP BY user_id),
+    undecided AS (
+        SELECT m.user_id, m.k, m.llr, 'undecided' AS dec
+        FROM marked m JOIN lastk l
+          ON l.user_id = m.user_id AND l.kd = m.k
+        WHERE m.user_id NOT IN (SELECT user_id FROM firstk)
+    ),
+    outcomes AS (
+        SELECT * FROM decided UNION ALL SELECT * FROM undecided
+    )
+    SELECT dec AS decision,
+           CAST(COUNT(*) AS BIGINT) AS n_users,
+           {dround_sql("AVG(k)", 4)} AS avg_n_events_to_decision,
+           {dround_sql("AVG(llr)", 4)} AS avg_llr_at_decision
+    FROM outcomes GROUP BY dec ORDER BY dec
+    """,
+    description="Wald's SPRT (1945) run independently over every user's "
+    "event stream: H0 purchase-rate p0=0.15 vs H1 p1=0.3, "
+    "alpha=beta=0.05 (log-boundary ln 19); each event adds ln(p1/p0) or "
+    "ln((1-p1)/(1-p0)) to the user's log-likelihood ratio and the test "
+    "stops at the FIRST boundary crossing — the sequential design that "
+    "needs ~half the samples of a fixed-n test. All state is per-user "
+    "windows (partitioned cumsum + row_number, never a global sort), so "
+    "the plan shards by user at any scale; the three LLR constants are "
+    "embedded as repr'd doubles so both engines walk bit-identical "
+    "random walks (libm ln() is not cross-engine deterministic). Output "
+    "is the per-decision operating summary: user counts, average "
+    "stopping time, average terminal LLR.",
+)
+def stats_sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    c = ev.select(
+        "user_id",
+        F.row_number().over(w).alias("k"),
+        F.sum(
+            F.when(
+                F.col("event_type") == "purchase", F.lit(_SPRT_LA)
+            ).otherwise(F.lit(_SPRT_LB))
+        )
+        .over(w.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("llr"),
+    )
+    marked = c.select(
+        "user_id",
+        "k",
+        "llr",
+        F.when(F.col("llr") >= _SPRT_BOUND, "accept_h1")
+        .when(F.col("llr") <= -_SPRT_BOUND, "accept_h0")
+        .alias("dec"),
+    )
+    firstk = (
+        marked.filter(F.col("dec").isNotNull())
+        .groupBy(F.col("user_id").alias("uid"))
+        .agg(F.min("k").alias("kd"))
+    )
+    decided = marked.join(
+        firstk,
+        (marked.user_id == firstk.uid) & (marked.k == firstk.kd),
+    ).select("user_id", "k", "llr", "dec")
+    lastk = marked.groupBy(F.col("user_id").alias("uid")).agg(
+        F.max("k").alias("kd")
+    )
+    undecided = (
+        marked.join(
+            lastk, (marked.user_id == lastk.uid) & (marked.k == lastk.kd)
+        )
+        .select("user_id", "k", "llr")
+        .join(
+            firstk.select(F.col("uid").alias("user_id")),
+            "user_id",
+            "left_anti",
+        )
+        .select("user_id", "k", "llr", F.lit("undecided").alias("dec"))
+    )
+    outcomes = decided.unionAll(undecided)
+    return (
+        outcomes.groupBy(F.col("dec").alias("decision"))
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            dround(F.avg("k"), 4).alias("avg_n_events_to_decision"),
+            dround(F.avg("llr"), 4).alias("avg_llr_at_decision"),
+        )
+        .orderBy("decision")
+    )

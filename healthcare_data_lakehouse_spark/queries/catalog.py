@@ -220,15 +220,26 @@ PRIORITY = [
     # code paths get driver evidence in the round they land. Both are
     # first-time names, so the window's first-time count is unchanged.)
     "dedup_dfcap_budget_planner",
-    "stats_negbin_fit_user_counts",
-    "stats_partial_correlation",
-    "events_ab_experiment_cuped",
-    "events_segment_migration_matrix",
-    "sample_neyman_allocation",
+    # Mid-round-13 update: eight NEW operators landed after the first
+    # r13 rotation (Theta-method and Croston forecasters, Pettitt
+    # change-point, per-user Wald SPRT, theta-sketch A-NOT-B, mutual
+    # kNN graph, scene-cut detection, unsupervised Fellegi-Sunter EM).
+    # New code paths get driver evidence in the round they land, so
+    # they take the slots of eight old stable never-sampled family
+    # representatives (negbin fit, partial correlation, CUPED, segment
+    # migration, Neyman allocation, PQ distortion, join-cardinality
+    # sketch, header KPIs) — those return to the tail pool with
+    # full-sweep evidence. All eight incoming names are first-time
+    # too, so the window's first-time count is unchanged (28).
+    "forecast_theta_monthly_revenue",
+    "forecast_croston_demand",
+    "stats_pettitt_changepoint",
+    "stats_sprt_purchase_rate",
+    "sketch_theta_anotb_estimate",
+    "similarity_knn_graph_mutual",
+    "multimodal_scene_cut_detect",
+    "er_em_mu_estimation",
     "sample_weighted_reservoir_per_lang",
-    "similarity_pq_distortion",
-    "sketch_join_cardinality_estimate",
-    "multimodal_header_kpis",
 ]
 
 

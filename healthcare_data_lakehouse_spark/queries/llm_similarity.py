@@ -2960,3 +2960,378 @@ def similarity_rrf_hybrid_top10(
         .orderBy(F.desc("rrf"), "doc_id")
         .limit(10)
     )
+
+
+# ------------------------------------- theta-sketch A-NOT-B (difference)
+@register(
+    "sketch_theta_anotb_estimate",
+    oracle=f"""
+    WITH du AS (
+        SELECT DISTINCT event_type, user_id FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    hashed AS (
+        SELECT event_type, {_H48.format(c="CAST(user_id AS VARCHAR)")} AS h
+        FROM du
+    ),
+    sk AS (
+        SELECT event_type, h FROM (
+            SELECT event_type, h, ROW_NUMBER() OVER (
+                PARTITION BY event_type ORDER BY h) AS rn
+            FROM hashed
+        ) WHERE rn <= 64
+    ),
+    st AS (
+        SELECT event_type, MAX(h) AS kth, COUNT(*) AS n_kept
+        FROM sk GROUP BY event_type
+    ),
+    theta AS (
+        SELECT MIN(CASE WHEN n_kept < 64 THEN 1.0
+                        ELSE CAST(kth AS DOUBLE) / 281474976710656.0
+                   END) AS th
+        FROM st
+    ),
+    anotb AS (
+        SELECT COUNT(*) AS n_anotb
+        FROM (
+            SELECT a.h FROM sk a
+            WHERE a.event_type = 'click'
+              AND a.h NOT IN (SELECT h FROM sk WHERE event_type = 'purchase')
+        ), theta
+        WHERE CAST(h AS DOUBLE) / 281474976710656.0 < th
+    ),
+    exact AS (
+        SELECT COUNT(*) AS exact_anotb FROM (
+            SELECT user_id FROM du WHERE event_type = 'click'
+            EXCEPT
+            SELECT user_id FROM du WHERE event_type = 'purchase')
+    )
+    SELECT CAST(64 AS BIGINT) AS k,
+           ROUND(th, 6) AS theta,
+           n_anotb,
+           ROUND(n_anotb / th, 4) AS est_anotb,
+           exact_anotb,
+           ROUND(ABS(n_anotb / th - exact_anotb)
+                 / NULLIF(exact_anotb, 0), 4) AS rel_error
+    FROM theta, anotb, exact
+    """,
+    description="Theta-sketch A-NOT-B (the DataSketches set-difference "
+    "estimator, the missing third of the union/intersection algebra "
+    "sketch_kmv_theta_intersection ships): click-audience MINUS "
+    "purchase-audience, estimated as |A-sketch hashes below theta that "
+    "are absent from the B-sketch| / theta with theta = min of the two "
+    "kth-minimum normalized hashes. Correct because B's KMV sketch "
+    "retains EVERY B-hash below theta_B >= theta, so a theta-filtered "
+    "A-hash is in B iff it appears in B's sketch — a left-anti join on "
+    "64-row sides. This is how decontamination and audience-exclusion "
+    "volumes are priced at 100 TB: each side ships 64 numbers "
+    "(TakeOrderedAndProject, never a global sort of the raw sets). "
+    "Deterministic md5-48bit hashing, so the oracle reproduces every "
+    "estimate bit-for-bit and the exact difference rides along for the "
+    "error audit. Cites the reference's audience/quality gate surface "
+    "only insofar as SURVEY.md §2 requires sketches; the operator "
+    "itself is the public DataSketches model.",
+)
+def sketch_theta_anotb_estimate(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    k = 64
+    norm = 281474976710656.0
+    ev = table(spark, sf_dir, "events")
+    du = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .select("event_type", "user_id")
+        .distinct()
+    )
+    hashed = du.select(
+        "event_type",
+        D.token_hash48(F.col("user_id").cast("string")).alias("h"),
+    )
+    ska = (
+        hashed.filter(F.col("event_type") == "click")
+        .select("h")
+        .orderBy("h")
+        .limit(k)
+    )
+    skb = (
+        hashed.filter(F.col("event_type") == "purchase")
+        .select("h")
+        .orderBy("h")
+        .limit(k)
+    )
+
+    def th_side(sk: DataFrame) -> DataFrame:
+        return sk.agg(
+            F.when(F.count(F.lit(1)) < k, F.lit(1.0))
+            .otherwise(F.max("h").cast("double") / norm)
+            .alias("th_side")
+        )
+
+    theta = (
+        th_side(ska)
+        .crossJoin(
+            F.broadcast(th_side(skb).withColumnRenamed("th_side", "th_b"))
+        )
+        .select(F.least("th_side", "th_b").alias("th"))
+    )
+    anotb = (
+        ska.join(skb, "h", "left_anti")
+        .crossJoin(F.broadcast(theta))
+        .filter(F.col("h").cast("double") / norm < F.col("th"))
+        .agg(F.count(F.lit(1)).alias("n_anotb"))
+    )
+    exact = (
+        du.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .join(
+            du.filter(F.col("event_type") == "purchase").select("user_id"),
+            "user_id",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("exact_anotb"))
+    )
+    return (
+        theta.crossJoin(F.broadcast(anotb))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            F.lit(64).cast("bigint").alias("k"),
+            F.round("th", 6).alias("theta"),
+            "n_anotb",
+            F.round(F.col("n_anotb") / F.col("th"), 4).alias("est_anotb"),
+            "exact_anotb",
+            F.round(
+                F.abs(
+                    F.col("n_anotb") / F.col("th") - F.col("exact_anotb")
+                )
+                / F.nullif(
+                    F.col("exact_anotb").cast("double"), F.lit(0.0)
+                ),
+                4,
+            ).alias("rel_error"),
+        )
+    )
+
+
+# ------------------------------- mutual kNN graph over LSH buckets
+@register(
+    "similarity_knn_graph_mutual",
+    oracle=f"""
+    WITH bucketed AS (
+        SELECT vec_id, embedding, {_bucket_sql()} AS bucket
+        FROM embeddings
+    ),
+    cand AS (
+        SELECT a.vec_id AS ida, b.vec_id AS idb,
+               ROUND({_cos_sql("a.embedding", "b.embedding")}, 6) AS score
+        FROM bucketed a JOIN bucketed b
+          ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+    ),
+    knn AS (
+        SELECT ida, idb FROM (
+            SELECT ida, idb, ROW_NUMBER() OVER (
+                PARTITION BY ida ORDER BY score DESC, idb) AS rn
+            FROM cand
+        ) WHERE rn <= 3
+    ),
+    mut AS (
+        SELECT k1.ida, k1.idb
+        FROM knn k1 JOIN knn k2 ON k1.ida = k2.idb AND k1.idb = k2.ida
+    ),
+    deg AS (
+        SELECT e.vec_id, COUNT(m.idb) AS mutual_degree
+        FROM embeddings e LEFT JOIN mut m ON m.ida = e.vec_id
+        GROUP BY e.vec_id
+    )
+    SELECT CAST(mutual_degree AS BIGINT) AS mutual_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM deg GROUP BY 1 ORDER BY 1
+    """,
+    description="Mutual k-nearest-neighbor graph (k=3) built inside LSH "
+    "buckets — the candidate-graph backbone of SemDeDup-style semantic "
+    "curation and graph-based ANN (an edge survives only if BOTH "
+    "endpoints rank each other top-3, the standard noise filter for "
+    "kNN graphs): 8-plane sign-LSH buckets bound the candidate join "
+    "(never all-pairs), per-node top-3 is a window PARTITIONED BY node "
+    "(sharded at any scale, no global sort), mutuality is one "
+    "self-equi-join of the directed edge list on the reversed key, and "
+    "the output is the mutual-degree histogram (degree 0 = nodes whose "
+    "bucket offered no reciprocated neighbor). Re-ranking uses the "
+    "ROUNDED cosine with id tiebreak so the edge set is engine-"
+    "deterministic. At 100 TB the bucket key is the partitioner; denser "
+    "corpora add planes or multiprobe (similarity_lsh_multiprobe_top5) "
+    "to keep bucket populations bounded.",
+)
+def similarity_knn_graph_mutual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    b = emb.select(
+        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bk")
+    )
+    left = b.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("va"),
+        "bk",
+    )
+    right = b.select(
+        F.col("vec_id").alias("idb"),
+        F.col("embedding").alias("vb"),
+        "bk",
+    )
+    scored = (
+        left.join(right, "bk")
+        .filter(F.col("ida") != F.col("idb"))
+        .select(
+            "ida",
+            "idb",
+            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+        )
+    )
+    w = Window.partitionBy("ida").orderBy(
+        F.col("score").desc(), F.col("idb").asc()
+    )
+    knn = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("ida", "idb")
+    )
+    rev = knn.select(
+        F.col("ida").alias("r_idb"), F.col("idb").alias("r_ida")
+    )
+    mut = knn.join(
+        rev,
+        (F.col("ida") == F.col("r_ida")) & (F.col("idb") == F.col("r_idb")),
+    ).select("ida", "idb")
+    mdeg = mut.groupBy("ida").agg(F.count(F.lit(1)).alias("md"))
+    deg = (
+        emb.select(F.col("vec_id").alias("ida"))
+        .join(mdeg, "ida", "left")
+        .select(F.coalesce("md", F.lit(0)).cast("bigint").alias(
+            "mutual_degree"
+        ))
+    )
+    return (
+        deg.groupBy("mutual_degree")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .orderBy("mutual_degree")
+    )
+
+
+# ----------------------------- multimodal: video scene-cut detection
+@register(
+    "multimodal_scene_cut_detect",
+    oracle=f"""
+    WITH meta AS (
+        SELECT doc_id AS asset_id,
+               n_chars % 96 + 8 AS n_frames,
+               doc_id % 5 + 2 AS scene_len
+        FROM documents
+    ),
+    frames AS (
+        SELECT asset_id, n_frames, scene_len,
+               CAST(u.idx AS BIGINT) AS idx,
+               {_H48.format(
+                   c="CAST(asset_id AS VARCHAR) || ':' || "
+                     "CAST(u.idx // scene_len AS VARCHAR)")} AS sig
+        FROM meta, UNNEST(range(0, n_frames)) AS u(idx)
+    ),
+    dist AS (
+        SELECT asset_id, n_frames, scene_len, idx, sig,
+               bit_count(xor(sig, LAG(sig) OVER (
+                   PARTITION BY asset_id ORDER BY idx))) AS hamming
+        FROM frames
+    ),
+    cuts AS (
+        SELECT asset_id, n_frames, scene_len,
+               CASE WHEN hamming IS NULL OR hamming >= 1
+                    THEN 1 ELSE 0 END AS is_cut
+        FROM dist
+    )
+    SELECT asset_id,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(SUM(is_cut) AS BIGINT) AS n_scenes_detected,
+           CAST((n_frames + scene_len - 1) // scene_len AS BIGINT)
+               AS n_scenes_true,
+           SUM(is_cut) = (n_frames + scene_len - 1) // scene_len
+               AS detect_ok
+    FROM cuts GROUP BY asset_id, n_frames, scene_len
+    """,
+    description="Scene-cut detection over per-frame signatures — the "
+    "shot-segmentation pass of a video curation pipeline: each asset's "
+    "frames carry a 48-bit content signature (here synthesized with a "
+    "PLANTED scene structure — signature constant within a scene, "
+    "scene length 2-6 frames derived from the asset id — since no "
+    "video decoder ships in this container; with a real decoder the "
+    "signature column is the pHash of the decoded frame and NOTHING "
+    "downstream changes), consecutive-frame Hamming distance via "
+    "xor+bit_count, a cut wherever distance crosses the threshold, and "
+    "scene counting as a per-asset sum of cut flags. The lag window is "
+    "PARTITIONED BY asset (frame counts are bounded per asset, so no "
+    "global sort at any corpus size) and the detector provably recovers "
+    "the planted segmentation: detect_ok audits detected == true scene "
+    "count per asset, with the only divergence being a 48-bit signature "
+    "collision between adjacent scenes (~3.6e-15 per boundary).",
+)
+def multimodal_scene_cut_detect(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    meta = docs.select(
+        F.col("doc_id").alias("asset_id"),
+        (F.col("n_chars") % 96 + 8).alias("n_frames"),
+        (F.col("doc_id") % 5 + 2).alias("scene_len"),
+    )
+    frames = meta.select(
+        "asset_id",
+        "n_frames",
+        "scene_len",
+        F.explode(F.expr("sequence(0, n_frames - 1)")).alias("idx0"),
+    ).select(
+        "asset_id",
+        "n_frames",
+        "scene_len",
+        F.col("idx0").cast("bigint").alias("idx"),
+    ).select(
+        "asset_id",
+        "n_frames",
+        "scene_len",
+        "idx",
+        D.token_hash48(
+            F.concat_ws(
+                ":",
+                F.col("asset_id").cast("string"),
+                F.floor(F.col("idx") / F.col("scene_len")).cast("string"),
+            )
+        ).alias("sig"),
+    )
+    w = Window.partitionBy("asset_id").orderBy("idx")
+    dist = frames.select(
+        "asset_id",
+        "n_frames",
+        "scene_len",
+        F.bit_count(
+            F.col("sig").bitwiseXOR(F.lag("sig").over(w))
+        ).alias("hamming"),
+    )
+    cuts = dist.select(
+        "asset_id",
+        "n_frames",
+        "scene_len",
+        F.when(
+            F.col("hamming").isNull() | (F.col("hamming") >= 1), 1
+        )
+        .otherwise(0)
+        .alias("is_cut"),
+    )
+    true_scenes = F.floor(
+        (F.col("n_frames") + F.col("scene_len") - 1) / F.col("scene_len")
+    ).cast("bigint")
+    return cuts.groupBy("asset_id", "n_frames", "scene_len").agg(
+        F.sum("is_cut").cast("bigint").alias("n_scenes_detected")
+    ).select(
+        "asset_id",
+        F.col("n_frames").cast("bigint").alias("n_frames"),
+        "n_scenes_detected",
+        true_scenes.alias("n_scenes_true"),
+        (F.col("n_scenes_detected") == true_scenes).alias("detect_ok"),
+    )

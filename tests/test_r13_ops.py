@@ -1,0 +1,283 @@
+"""Round-13 operators, each pinned at value level:
+
+* forecast_theta_monthly_revenue — fan shape + linear theta-0 line
+* forecast_croston_demand        — hand-computed SES states on a 4-week
+                                   planted intermittent series
+* stats_pettitt_changepoint      — hand-computed U_k on a 6-day step series
+* stats_sprt_purchase_rate       — planted always/never/short purchasers
+                                   hit the exact Wald stopping times
+* sketch_theta_anotb_estimate    — below-k regime is EXACT (theta = 1)
+* similarity_knn_graph_mutual    — planted clique + isolate recover the
+                                   expected mutual-degree histogram
+* multimodal_scene_cut_detect    — detector recovers the planted scene
+                                   count for every asset (independent
+                                   recomputation from the raw fixture)
+* er_em_mu_estimation            — EM convergence invariants + the
+                                   separating feature stays separated
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from healthcare_data_lakehouse_spark.queries.catalog import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return load_all()
+
+
+def _write_orders(path, rows):
+    """rows: list of (orderkey, custkey, totalprice, orderdate, priority)."""
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(rows)),
+            "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [dt.datetime.combine(r[3], dt.time()) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array([r[4] for r in rows]),
+        }),
+        str(path / "orders.parquet"),
+    )
+
+
+def _write_events(path, rows):
+    """rows: list of (event_id, ts, user_id, event_type, value)."""
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        str(path / "events.parquet"),
+    )
+
+
+def _write_embeddings(path, vecs):
+    """vecs: list of (vec_id, 64-dim list, label)."""
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }),
+        str(path / "embeddings.parquet"),
+    )
+
+
+# --------------------------------------------------------- theta forecast
+def test_theta_forecast_shape_and_linear_trend(spark, qs):
+    rows = qs["forecast_theta_monthly_revenue"].fn(spark, SF_DIR).collect()
+    fut = [r for r in rows if r.is_forecast]
+    ins = [r for r in rows if not r.is_forecast]
+    assert len(fut) == 6
+    assert len(ins) >= 12
+    # future rows carry no observation and no SES state
+    assert all(r.rev is None and r.ses_level is None for r in fut)
+    # first in-sample month has no one-step-ahead forecast
+    first = min(ins, key=lambda r: r.month)
+    assert first.fitted is None
+    # theta-0 line is linear: consecutive trend diffs equal the slope
+    tl = [r.trend_line for r in sorted(rows, key=lambda r: r.month)]
+    diffs = [round(b - a, 3) for a, b in zip(tl, tl[1:])]
+    assert len(set(diffs)) == 1, diffs
+    # future months continue monthly from the last observed month
+    last_obs = max(r.month for r in ins)
+    months = sorted(r.month for r in fut)
+    assert months[0] == (
+        last_obs.replace(year=last_obs.year + (last_obs.month == 12),
+                         month=last_obs.month % 12 + 1)
+    )
+
+
+# ------------------------------------------------------- Croston by hand
+def test_croston_hand_computed_states(spark, tmp_path, qs):
+    # custkey 19 -> 19 % 19 == 0 cohort; weeks are Mondays.
+    wk1, wk4 = dt.date(2020, 1, 6), dt.date(2020, 1, 27)
+    rows = [
+        (1, 19, 10.0, wk1, "1-URGENT"),
+        (2, 19, 10.0, wk1, "1-URGENT"),
+        (3, 19, 10.0, wk4, "1-URGENT"),
+        (4, 19, 10.0, wk4, "1-URGENT"),
+        (5, 19, 10.0, wk4, "1-URGENT"),
+        # noise outside the filter: wrong priority / wrong cohort
+        (6, 19, 10.0, dt.date(2020, 1, 13), "5-LOW"),
+        (7, 20, 10.0, dt.date(2020, 1, 13), "1-URGENT"),
+    ]
+    _write_orders(tmp_path, rows)
+    got = {
+        r.week: r
+        for r in qs["forecast_croston_demand"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert sorted(got) == [wk1, dt.date(2020, 1, 13),
+                           dt.date(2020, 1, 20), wk4]
+    # wk1: first demand d=2 -> z=2, p=1, f=2
+    assert (got[wk1].demand, got[wk1].z_size, got[wk1].p_interval,
+            got[wk1].croston_forecast) == (2, 2.0, 1.0, 2.0)
+    # zero weeks carry state
+    z2 = got[dt.date(2020, 1, 13)]
+    assert (z2.demand, z2.z_size, z2.p_interval, z2.croston_forecast) == (
+        0, 2.0, 1.0, 2.0)
+    # wk4: d=3 after interval q'=3: z=.5*3+.5*2=2.5, p=.5*3+.5*1=2, f=1.25
+    assert (got[wk4].demand, got[wk4].z_size, got[wk4].p_interval,
+            got[wk4].croston_forecast) == (3, 2.5, 2.0, 1.25)
+
+
+# ------------------------------------------------------- Pettitt by hand
+def test_pettitt_hand_computed_step(spark, tmp_path, qs):
+    days = [dt.date(2021, 3, d) for d in range(1, 7)]
+    revs = [1.0, 1.0, 1.0, 10.0, 10.0, 10.0]
+    _write_orders(
+        tmp_path,
+        [(i, 1, rev, day, "1-URGENT")
+         for i, (day, rev) in enumerate(zip(days, revs))],
+    )
+    r = qs["stats_pettitt_changepoint"].fn(spark, str(tmp_path)).collect()[0]
+    # midranks: 2,2,2,5,5,5 -> U = (-3,-6,-9,-6,-3); K = 9 at day 3
+    assert r.n_days == 6
+    assert r.k_stat == 9.0
+    assert r.changepoint_day == dt.date(2021, 3, 3)
+    assert (r.mean_before, r.mean_after) == (1.0, 10.0)
+    expect_p = round(2.0 * math.exp(-6.0 * 81 / (216.0 + 36.0)), 6)
+    assert abs(r.p_value - expect_p) < 1e-9
+
+
+# --------------------------------------------------------- SPRT stopping
+def test_sprt_planted_cohorts_stop_at_wald_times(spark, tmp_path, qs):
+    t0 = dt.datetime(2022, 1, 1)
+    rows = []
+    eid = 0
+    # user 1: all purchases -> LLR = k*ln2 >= ln19 at k = 5
+    for k in range(8):
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 1, "purchase", 1.0))
+        eid += 1
+    # user 2: never purchases -> LLR = -k*0.19416 <= -ln19 at k = 16
+    for k in range(20):
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 2, "click", 1.0))
+        eid += 1
+    # user 3: 3 clicks -> never crosses either boundary
+    for k in range(3):
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 3, "click", 1.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    got = {
+        r.decision: r
+        for r in qs["stats_sprt_purchase_rate"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert set(got) == {"accept_h0", "accept_h1", "undecided"}
+    assert got["accept_h1"].n_users == 1
+    assert got["accept_h1"].avg_n_events_to_decision == 5.0
+    assert got["accept_h0"].n_users == 1
+    assert got["accept_h0"].avg_n_events_to_decision == 16.0
+    assert got["undecided"].n_users == 1
+    assert got["undecided"].avg_n_events_to_decision == 3.0
+    assert got["accept_h1"].avg_llr_at_decision > 0
+    assert got["accept_h0"].avg_llr_at_decision < 0
+
+
+# ----------------------------------------------- theta A-not-B exactness
+def test_theta_anotb_exact_below_k(spark, tmp_path, qs):
+    t0 = dt.datetime(2022, 1, 1)
+    rows = []
+    eid = 0
+    for u in range(1, 31):  # clicks: users 1..30
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "click", 1.0))
+        eid += 1
+    for u in range(20, 41):  # purchases: users 20..40
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), u, "purchase", 1.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    r = qs["sketch_theta_anotb_estimate"].fn(spark, str(tmp_path)).collect()[0]
+    # both sets below k=64 -> theta = 1 and the sketch difference is exact
+    assert r.theta == 1.0
+    assert r.exact_anotb == 19
+    assert r.n_anotb == 19
+    assert r.est_anotb == 19.0
+    assert r.rel_error == 0.0
+
+
+# ------------------------------------------------- mutual kNN graph shape
+def test_knn_graph_planted_cliques(spark, tmp_path, qs):
+    def unit(axis, sign=1.0):
+        v = [0.0] * 64
+        v[axis] = sign
+        return v
+
+    vecs = []
+    vid = 0
+    for _ in range(4):  # clique A: four identical vectors
+        vecs.append((vid, unit(0), 0))
+        vid += 1
+    for _ in range(4):  # clique B: four identical vectors
+        vecs.append((vid, unit(1), 1))
+        vid += 1
+    vecs.append((vid, unit(0, -1.0), 2))  # isolate: anti-aligned with A
+    _write_embeddings(tmp_path, vecs)
+    hist = {
+        r.mutual_degree: r.n_nodes
+        for r in qs["similarity_knn_graph_mutual"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # each clique member's top-3 = its three twins (cosine 1.0 beats any
+    # cross-cluster candidate), all reciprocated; the isolate is nobody's
+    # top-3 so it keeps no mutual edge
+    assert hist == {0: 1, 3: 8}
+
+
+# ------------------------------------------- scene cuts: planted recovery
+def test_scene_cuts_recover_planted_segmentation(spark, qs):
+    rows = qs["multimodal_scene_cut_detect"].fn(spark, SF_DIR).collect()
+    assert rows
+    meta = pq.read_table(f"{SF_DIR}/documents.parquet").to_pylist()
+    expect = {
+        d["doc_id"]: -(-(d["n_chars"] % 96 + 8) // (d["doc_id"] % 5 + 2))
+        for d in meta
+    }
+    assert len(rows) == len(expect)
+    for r in rows:
+        assert r.n_scenes_true == expect[r.asset_id]
+        assert r.n_scenes_detected == expect[r.asset_id]
+        assert bool(r.detect_ok) is True
+
+
+# ------------------------------------------------- EM m/u: invariants
+def test_er_em_converges_and_separates(spark, qs):
+    rows = {r.feature: r for r in
+            qs["er_em_mu_estimation"].fn(spark, SF_DIR).collect()}
+    assert set(rows) == {"lang", "source", "len_band", "last_token"}
+    for r in rows.values():
+        assert 0.0 <= r.m_em <= 1.0
+        assert 0.0 <= r.u_em <= 1.0
+        assert 0.0 < r.lambda_em < 1.0
+        assert r.n_pairs > 0
+    # the planted-dup feature stays separating under unsupervised EM
+    lb = rows["len_band"]
+    assert lb.m_em > lb.u_em
+    assert lb.agreement_weight is not None and lb.agreement_weight > 0
+    # determinism: a second run reproduces the same estimates
+    again = {r.feature: r for r in
+             qs["er_em_mu_estimation"].fn(spark, SF_DIR).collect()}
+    for k in rows:
+        assert rows[k] == again[k]

@@ -90,6 +90,9 @@ GLOBAL_WINDOW_OK = {
         "rank window over the customer-grain aggregate (partition-offset "
         "scheme at 1e8+ customers, see pipeline_global_row_index)",
     "events_changepoint_cusum": "CUSUM prefix sum over the day-grain series",
+    "stats_pettitt_changepoint":
+        "rank/prefix windows over the day-grain post-aggregation series "
+        "(midrank identity needs one global rank; day grain at any scale)",
     "stats_nelson_aalen_cumhaz":
         "hazard/variance prefix sums over the duration-grain table "
         "(<= max-session-minutes rows, same grain as Kaplan-Meier)",
