@@ -3309,3 +3309,683 @@ def stats_sprt_purchase_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decision")
     )
+
+
+# ------------------- Mann-Kendall trend test (Mann 1945, Kendall 1975)
+@register(
+    "stats_mann_kendall_trend",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100 AS DECIMAL(38,8)),
+                    0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.cents > a.cents THEN 1
+                             WHEN b.cents < a.cents THEN -1
+                             ELSE 0 END) AS BIGINT) AS s_stat
+        FROM daily a JOIN daily b ON a.day < b.day
+    ),
+    nties AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COALESCE(SUM(CASE WHEN t > 1
+                   THEN t*(t-1)*(2*t+5) ELSE 0 END), 0) AS BIGINT) AS tie_term
+        FROM (SELECT COUNT(*) AS t FROM daily GROUP BY cents)
+    ),
+    z AS (
+        SELECT n, s_stat,
+               (CAST(n AS DOUBLE)*(n-1)*(2*n+5) - tie_term) / 18.0 AS var_s
+        FROM s, nties
+    )
+    SELECT n AS n_days, s_stat,
+           {dround_sql("var_s", 4)} AS var_s,
+           {dround_sql(
+               "CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s) "
+               "WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s) "
+               "ELSE 0.0 END", 4)} AS z_score,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'no_trend' END AS trend,
+           ABS(CASE WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                    WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                    ELSE 0.0 END) > 1.959964 AS significant_05
+    FROM z
+    """,
+    description="Mann-Kendall trend test — the standard nonparametric "
+    "monotone-trend detector (hydrology/climatology's default, and the "
+    "trend complement to stats_pettitt_changepoint's step detector): "
+    "S = sum over day pairs of sgn(x_j - x_i), tie-corrected variance "
+    "(n(n-1)(2n+5) - sum t(t-1)(2t+5))/18, continuity-corrected "
+    "Z = (S -/+ 1)/sqrt(Var). Revenue is integer CENTS (the "
+    "stats_kendall_tau_daily discipline) so S and the tie term are "
+    "EXACT integers on both engines regardless of aggregation order; "
+    "the only float ops are the final division and sqrt over identical "
+    "inputs. The pair comparison is a broadcast nested-loop over the "
+    "DAY-GRAIN aggregate (bounded by calendar span, not data volume — "
+    "one agg shuffle collapses 100 TB first); Sen's slope lives in the "
+    "companion stats_theil_sen_daily_trend.",
+)
+def stats_mann_kendall_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round((F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    ).persist()  # feeds the pair join, the tie groups, and the count
+    a = daily.select(F.col("day").alias("day_a"), F.col("cents").alias("ca"))
+    b = daily.select(F.col("day").alias("day_b"), F.col("cents").alias("cb"))
+    s = a.join(b, F.col("day_a") < F.col("day_b")).agg(
+        F.sum(
+            F.when(F.col("cb") > F.col("ca"), 1)
+            .when(F.col("cb") < F.col("ca"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    nties = (
+        daily.groupBy("cents")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("t") > 1,
+                        F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5),
+                    ).otherwise(0)
+                ),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("tie_term"),
+        )
+    )
+    z = s.crossJoin(F.broadcast(nties)).select(
+        "n",
+        "s_stat",
+        (
+            (
+                F.col("n").cast("double")
+                * (F.col("n") - 1)
+                * (2 * F.col("n") + 5)
+                - F.col("tie_term")
+            )
+            / 18.0
+        ).alias("var_s"),
+    )
+    zsc = (
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1) / F.sqrt(F.col("var_s")),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1) / F.sqrt(F.col("var_s")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return z.select(
+        F.col("n").alias("n_days"),
+        "s_stat",
+        dround("var_s", 4).alias("var_s"),
+        dround(zsc, 4).alias("z_score"),
+        F.when(F.col("s_stat") > 0, "increasing")
+        .when(F.col("s_stat") < 0, "decreasing")
+        .otherwise("no_trend")
+        .alias("trend"),
+        (F.abs(zsc) > 1.959964).alias("significant_05"),
+    )
+
+
+# ----------------- Granger causality, lag-1, day grain (Granger 1969)
+@register(
+    "stats_granger_causality_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS p
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT p AS y,
+               LAG(p) OVER (ORDER BY day) AS yl,
+               LAG(c) OVER (ORDER BY day) AS xl
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(yl) AS BIGINT) AS syl,
+               CAST(SUM(xl) AS BIGINT) AS sxl,
+               CAST(SUM(y*y) AS BIGINT) AS sy2,
+               CAST(SUM(yl*yl) AS BIGINT) AS syl2,
+               CAST(SUM(xl*xl) AS BIGINT) AS sxl2,
+               CAST(SUM(y*yl) AS BIGINT) AS syyl,
+               CAST(SUM(y*xl) AS BIGINT) AS syxl,
+               CAST(SUM(yl*xl) AS BIGINT) AS sylxl
+        FROM lagged WHERE yl IS NOT NULL
+    ),
+    r AS (
+        SELECT *,
+               (CAST(n AS DOUBLE)*syyl - CAST(syl AS DOUBLE)*sy)
+                   / (CAST(n AS DOUBLE)*syl2 - CAST(syl AS DOUBLE)*syl)
+                   AS br
+        FROM m
+    ),
+    r2 AS (
+        SELECT *, (sy - br*syl) / n AS ar,
+               CAST(n AS DOUBLE)*(CAST(syl2 AS DOUBLE)*sxl2
+                    - CAST(sylxl AS DOUBLE)*sylxl)
+               - CAST(syl AS DOUBLE)*(CAST(syl AS DOUBLE)*sxl2
+                    - CAST(sylxl AS DOUBLE)*sxl)
+               + CAST(sxl AS DOUBLE)*(CAST(syl AS DOUBLE)*sylxl
+                    - CAST(syl2 AS DOUBLE)*sxl) AS det
+        FROM r
+    ),
+    u AS (
+        SELECT *,
+               (CAST(sy AS DOUBLE)*(CAST(syl2 AS DOUBLE)*sxl2
+                    - CAST(sylxl AS DOUBLE)*sylxl)
+                - CAST(syl AS DOUBLE)*(CAST(syyl AS DOUBLE)*sxl2
+                    - CAST(sylxl AS DOUBLE)*syxl)
+                + CAST(sxl AS DOUBLE)*(CAST(syyl AS DOUBLE)*sylxl
+                    - CAST(syl2 AS DOUBLE)*syxl)) / det AS au,
+               (CAST(n AS DOUBLE)*(CAST(syyl AS DOUBLE)*sxl2
+                    - CAST(sylxl AS DOUBLE)*syxl)
+                - CAST(sy AS DOUBLE)*(CAST(syl AS DOUBLE)*sxl2
+                    - CAST(sylxl AS DOUBLE)*sxl)
+                + CAST(sxl AS DOUBLE)*(CAST(syl AS DOUBLE)*syxl
+                    - CAST(syyl AS DOUBLE)*sxl)) / det AS bu,
+               (CAST(n AS DOUBLE)*(CAST(syl2 AS DOUBLE)*syxl
+                    - CAST(syyl AS DOUBLE)*sylxl)
+                - CAST(syl AS DOUBLE)*(CAST(syl AS DOUBLE)*syxl
+                    - CAST(syyl AS DOUBLE)*sxl)
+                + CAST(sy AS DOUBLE)*(CAST(syl AS DOUBLE)*sylxl
+                    - CAST(syl2 AS DOUBLE)*sxl)) / det AS cu
+        FROM r2
+    ),
+    rss AS (
+        SELECT n,
+               sy2 - ar*sy - br*syyl AS rss_r,
+               sy2 - au*sy - bu*syyl - cu*syxl AS rss_u,
+               bu, cu
+        FROM u
+    )
+    SELECT CAST(n AS BIGINT) AS n_obs,
+           {dround_sql("rss_r", 4)} AS rss_restricted,
+           {dround_sql("rss_u", 4)} AS rss_unrestricted,
+           {dround_sql("bu", 6)} AS coef_lag_purchases,
+           {dround_sql("cu", 6)} AS coef_lag_clicks,
+           {dround_sql("(rss_r - rss_u) / (rss_u / (n - 3))", 4)} AS f_stat,
+           {dround_sql("(rss_r - rss_u) / (rss_u / (n - 3))", 4)}
+               > 3.8415 AS granger_significant_05
+    FROM rss
+    """,
+    description="Granger causality (1969), lag 1, at day grain: do "
+    "yesterday's CLICKS improve the prediction of today's PURCHASES "
+    "beyond yesterday's purchases alone? Restricted OLS (p_t ~ p_t-1) "
+    "vs unrestricted (p_t ~ p_t-1 + c_t-1) solved in closed form — the "
+    "3x3 normal equations by explicit Cramer cofactors — and the Wald "
+    "F = (RSS_r - RSS_u)/(RSS_u/(n-3)) against F(1,inf) at 5%. Every "
+    "moment is a sum of INTEGER day counts and their products (exact "
+    "in doubles far past this fixture's magnitudes), so the distributed "
+    "aggregation order cannot perturb a bit; both engines then evaluate "
+    "the identical rational formulas. One agg shuffle collapses 100 TB "
+    "of events to the day series; the lag window runs at day grain "
+    "(GLOBAL_WINDOW_OK). RSS via the moment identity "
+    "RSS = Syy - a*Sy - b*Syyl - c*Syxl (no residual second pass).",
+)
+def stats_granger_causality_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.col("ts").cast("date").alias("day")).agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("p"),
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        F.col("p").alias("y"),
+        F.lag("p").over(w).alias("yl"),
+        F.lag("c").over(w).alias("xl"),
+    ).filter(F.col("yl").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum("yl").cast("bigint").alias("syl"),
+        F.sum("xl").cast("bigint").alias("sxl"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("sy2"),
+        F.sum(F.col("yl") * F.col("yl")).cast("bigint").alias("syl2"),
+        F.sum(F.col("xl") * F.col("xl")).cast("bigint").alias("sxl2"),
+        F.sum(F.col("y") * F.col("yl")).cast("bigint").alias("syyl"),
+        F.sum(F.col("y") * F.col("xl")).cast("bigint").alias("syxl"),
+        F.sum(F.col("yl") * F.col("xl")).cast("bigint").alias("sylxl"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    br = (d("n") * F.col("syyl") - d("syl") * F.col("sy")) / (
+        d("n") * F.col("syl2") - d("syl") * F.col("syl")
+    )
+    r = m.select("*", br.alias("br"))
+    det = (
+        d("n") * (d("syl2") * F.col("sxl2") - d("sylxl") * F.col("sylxl"))
+        - d("syl") * (d("syl") * F.col("sxl2") - d("sylxl") * F.col("sxl"))
+        + d("sxl") * (d("syl") * F.col("sylxl") - d("syl2") * F.col("sxl"))
+    )
+    r2 = r.select(
+        "*",
+        ((F.col("sy") - F.col("br") * F.col("syl")) / F.col("n")).alias("ar"),
+        det.alias("det"),
+    )
+    au = (
+        d("sy") * (d("syl2") * F.col("sxl2") - d("sylxl") * F.col("sylxl"))
+        - d("syl") * (d("syyl") * F.col("sxl2") - d("sylxl") * F.col("syxl"))
+        + d("sxl") * (d("syyl") * F.col("sylxl") - d("syl2") * F.col("syxl"))
+    ) / F.col("det")
+    bu = (
+        d("n") * (d("syyl") * F.col("sxl2") - d("sylxl") * F.col("syxl"))
+        - d("sy") * (d("syl") * F.col("sxl2") - d("sylxl") * F.col("sxl"))
+        + d("sxl") * (d("syl") * F.col("syxl") - d("syyl") * F.col("sxl"))
+    ) / F.col("det")
+    cu = (
+        d("n") * (d("syl2") * F.col("syxl") - d("syyl") * F.col("sylxl"))
+        - d("syl") * (d("syl") * F.col("syxl") - d("syyl") * F.col("sxl"))
+        + d("sy") * (d("syl") * F.col("sylxl") - d("syl2") * F.col("sxl"))
+    ) / F.col("det")
+    u = r2.select("*", au.alias("au"), bu.alias("bu"), cu.alias("cu"))
+    rss = u.select(
+        "n",
+        "bu",
+        "cu",
+        (F.col("sy2") - F.col("ar") * F.col("sy")
+         - F.col("br") * F.col("syyl")).alias("rss_r"),
+        (F.col("sy2") - F.col("au") * F.col("sy")
+         - F.col("bu") * F.col("syyl")
+         - F.col("cu") * F.col("syxl")).alias("rss_u"),
+    )
+    fstat = dround(
+        (F.col("rss_r") - F.col("rss_u"))
+        / (F.col("rss_u") / (F.col("n") - 3)),
+        4,
+    )
+    return rss.select(
+        F.col("n").alias("n_obs"),
+        dround("rss_r", 4).alias("rss_restricted"),
+        dround("rss_u", 4).alias("rss_unrestricted"),
+        dround("bu", 6).alias("coef_lag_purchases"),
+        dround("cu", 6).alias("coef_lag_clicks"),
+        fstat.alias("f_stat"),
+        (fstat > 3.8415).alias("granger_significant_05"),
+    )
+
+
+# ------------- split conformal prediction intervals (Vovk et al. 2005)
+@register(
+    "stats_conformal_interval_coverage",
+    oracle=f"""
+    WITH base AS (
+        SELECT o.o_orderkey AS okey,
+               CAST(ROUND(CAST(o.o_totalprice * 100 AS DECIMAL(38,8)), 0)
+                    AS BIGINT) AS y_cents,
+               CAST(ROUND(CAST(SUM(l.l_quantity) AS DECIMAL(38,8)), 0)
+                    AS BIGINT) AS q,
+               CAST(('0x' || substr(md5(CAST(o.o_orderkey AS VARCHAR)), 1,
+                    12)) AS BIGINT) % 4 AS fold
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderkey, o.o_totalprice
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(q) AS BIGINT) AS sq,
+               CAST(SUM(y_cents) AS BIGINT) AS sy,
+               CAST(SUM(q*q) AS BIGINT) AS sqq,
+               CAST(SUM(q*y_cents) AS BIGINT) AS sqy
+        FROM base WHERE fold >= 2
+    ),
+    fit AS (
+        SELECT n AS n_train,
+               (CAST(n AS DOUBLE)*sqy - CAST(sq AS DOUBLE)*sy)
+                   / (CAST(n AS DOUBLE)*sqq - CAST(sq AS DOUBLE)*sq) AS b
+        FROM m
+    ),
+    fit2 AS (
+        SELECT n_train, b, (sy - b*sq) / n AS a
+        FROM fit, m
+    ),
+    cal AS (
+        SELECT abs(y_cents - (a + b*q)) AS r, okey
+        FROM base, fit2 WHERE fold = 1
+    ),
+    kq AS (
+        SELECT r AS q_hat,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM cal) AS n_cal
+        FROM (
+            SELECT r, ROW_NUMBER() OVER (ORDER BY r, okey) AS rn FROM cal
+        ), (SELECT COUNT(*) AS nc FROM cal)
+        WHERE rn = CAST(ceil((nc + 1) * 0.9) AS BIGINT)
+    ),
+    test AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_test,
+               CAST(SUM(CASE WHEN abs(y_cents - (a + b*q)) <= q_hat
+                             THEN 1 ELSE 0 END) AS BIGINT) AS covered
+        FROM base, fit2, kq WHERE fold = 0
+    )
+    SELECT f.n_train, k.n_cal, t.n_test,
+           {dround_sql("f.b", 6)} AS slope_cents_per_unit,
+           {dround_sql("f.a", 4)} AS intercept_cents,
+           {dround_sql("k.q_hat", 4)} AS q_hat_cents,
+           {dround_sql(
+               "CAST(t.covered AS DOUBLE) / t.n_test", 4)} AS coverage,
+           CAST(0.9 AS DOUBLE) AS target_coverage
+    FROM fit2 f, kq k, test t
+    """,
+    description="Split conformal prediction intervals (Vovk et al. 2005; "
+    "Lei et al. 2018) — the distribution-free interval wrapper every "
+    "production regressor should ship with: hash-split orders into "
+    "train/calibration/test (md5 fold, engine-portable), fit OLS "
+    "price ~ order quantity on train, take the ceil((n_cal+1)*0.9)-th "
+    "smallest absolute calibration residual as the interval half-width "
+    "q_hat, and audit empirical test coverage against the 90% target — "
+    "the finite-sample guarantee needs NO distributional assumption. "
+    "Price is integer CENTS and quantity integer units, so every OLS "
+    "moment is an exact integer and both engines fit identical "
+    "coefficients; the calibration order statistic uses a rank window "
+    "with orderkey tiebreak (GLOBAL_WINDOW_OK — at 1e9+ calibration "
+    "rows this becomes the two-pass histogram selection of "
+    "stats_twopass_exact_median, noted here). One join + one agg "
+    "collapse 100 TB; scoring passes are scan-shaped.",
+)
+def stats_conformal_interval_coverage(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.dedup import token_hash48
+
+    orders = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    base = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.round(F.sum("l_quantity").cast("decimal(38,8)"), 0)
+            .cast("bigint")
+            .alias("q")
+        )
+        .select(
+            F.col("o_orderkey").alias("okey"),
+            F.round((F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0)
+            .cast("bigint")
+            .alias("y_cents"),
+            "q",
+            (token_hash48(F.col("o_orderkey").cast("string")) % 4).alias(
+                "fold"
+            ),
+        )
+        .persist()  # feeds the fit, the calibration rank, and the test scan
+    )
+    m = base.filter(F.col("fold") >= 2).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("q").cast("bigint").alias("sq"),
+        F.sum("y_cents").cast("bigint").alias("sy"),
+        F.sum(F.col("q") * F.col("q")).cast("bigint").alias("sqq"),
+        F.sum(F.col("q") * F.col("y_cents")).cast("bigint").alias("sqy"),
+    )
+    d = lambda c: F.col(c).cast("double")  # noqa: E731
+    fit = m.select(
+        F.col("n").alias("n_train"),
+        (
+            (d("n") * F.col("sqy") - d("sq") * F.col("sy"))
+            / (d("n") * F.col("sqq") - d("sq") * F.col("sq"))
+        ).alias("b"),
+        "sy",
+        "sq",
+        "n",
+    ).select(
+        "n_train",
+        "b",
+        ((F.col("sy") - F.col("b") * F.col("sq")) / F.col("n")).alias("a"),
+    )
+    cal = base.filter(F.col("fold") == 1).crossJoin(F.broadcast(fit)).select(
+        F.abs(
+            F.col("y_cents") - (F.col("a") + F.col("b") * F.col("q"))
+        ).alias("r"),
+        "okey",
+    )
+    nc = cal.agg(F.count(F.lit(1)).cast("bigint").alias("n_cal"))
+    wq = Window.orderBy("r", "okey")
+    kq = (
+        cal.crossJoin(F.broadcast(nc))
+        .withColumn("rn", F.row_number().over(wq))
+        .filter(
+            F.col("rn")
+            == F.ceil((F.col("n_cal") + 1) * 0.9).cast("bigint")
+        )
+        .select(F.col("r").alias("q_hat"), "n_cal")
+    )
+    test = (
+        base.filter(F.col("fold") == 0)
+        .crossJoin(F.broadcast(fit))
+        .crossJoin(F.broadcast(kq.select("q_hat")))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(
+                F.when(
+                    F.abs(
+                        F.col("y_cents")
+                        - (F.col("a") + F.col("b") * F.col("q"))
+                    )
+                    <= F.col("q_hat"),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("covered"),
+        )
+    )
+    return (
+        fit.crossJoin(F.broadcast(kq))
+        .crossJoin(F.broadcast(test))
+        .select(
+            "n_train",
+            "n_cal",
+            "n_test",
+            dround("b", 6).alias("slope_cents_per_unit"),
+            dround("a", 4).alias("intercept_cents"),
+            dround("q_hat", 4).alias("q_hat_cents"),
+            dround(
+                F.col("covered").cast("double") / F.col("n_test"), 4
+            ).alias("coverage"),
+            F.lit(0.9).alias("target_coverage"),
+        )
+    )
+
+
+# --------------------- Hurst exponent via rescaled-range (Hurst 1951)
+_RS_SIZES = (8, 16, 32, 64)
+
+
+@register(
+    "stats_hurst_rescaled_range",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100 AS DECIMAL(38,8)),
+                    0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    seq AS (
+        SELECT cents, ROW_NUMBER() OVER (ORDER BY day) AS rn FROM daily
+    ),
+    blocks AS (
+        SELECT s.sz, (rn - 1) // s.sz AS blk, rn, cents
+        FROM seq, (SELECT UNNEST([{", ".join(str(s) for s in _RS_SIZES)}])
+                   AS sz) s
+    ),
+    full_blocks AS (
+        SELECT sz, blk FROM blocks GROUP BY sz, blk
+        HAVING COUNT(*) = sz
+    ),
+    bstat AS (
+        SELECT b.sz, b.blk,
+               CAST(SUM(b.cents) AS BIGINT) AS sc,
+               CAST(SUM(b.cents * b.cents) AS BIGINT) AS scc
+        FROM blocks b JOIN full_blocks f
+          ON f.sz = b.sz AND f.blk = b.blk
+        GROUP BY b.sz, b.blk
+    ),
+    dev AS (
+        SELECT b.sz, b.blk, b.rn,
+               SUM(b.cents - CAST(s.sc AS DOUBLE) / b.sz) OVER (
+                   PARTITION BY b.sz, b.blk ORDER BY b.rn) AS cum
+        FROM blocks b JOIN bstat s ON s.sz = b.sz AND s.blk = b.blk
+    ),
+    rs AS (
+        SELECT d.sz, d.blk,
+               (MAX(d.cum) - MIN(d.cum))
+                   / sqrt((s.scc - CAST(s.sc AS DOUBLE) * s.sc / d.sz)
+                          / d.sz) AS rs_val
+        FROM dev d JOIN bstat s ON s.sz = d.sz AND s.blk = d.blk
+        GROUP BY d.sz, d.blk, s.scc, s.sc
+        HAVING (s.scc - CAST(s.sc AS DOUBLE) * s.sc / d.sz) > 0
+    ),
+    per_size AS (
+        SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_blocks,
+               {dround_sql("AVG(rs_val)", 6)} AS avg_rs
+        FROM rs GROUP BY sz
+    ),
+    fitm AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS k,
+               SUM(ln(CAST(sz AS DOUBLE))) AS sx,
+               SUM(ln(avg_rs)) AS sy,
+               SUM(ln(CAST(sz AS DOUBLE)) * ln(CAST(sz AS DOUBLE))) AS sxx,
+               SUM(ln(CAST(sz AS DOUBLE)) * ln(avg_rs)) AS sxy
+        FROM per_size
+    ),
+    h AS (
+        SELECT (k*sxy - sx*sy) / (k*sxx - sx*sx) AS hurst FROM fitm
+    )
+    SELECT CAST(p.sz AS BIGINT) AS window_size, p.n_blocks, p.avg_rs,
+           {dround_sql("h.hurst", 4)} AS hurst_exponent
+    FROM per_size p, h ORDER BY p.sz
+    """,
+    description="Hurst exponent by rescaled-range (R/S) analysis (Hurst "
+    "1951; Mandelbrot-Wallis 1969) on daily order revenue — the "
+    "long-range-dependence diagnostic complementing "
+    "stats_pacf_daily_volume (short memory) and stats_ljung_box "
+    "(portmanteau): for window sizes 8/16/32/64 days the series splits "
+    "into full blocks, each block's range of mean-centered cumulative "
+    "sums is rescaled by its population SD, and the log-log slope of "
+    "avg(R/S) against window size estimates H (0.5 = random walk, "
+    ">0.5 persistent). Revenue is integer cents, so block sums/squares "
+    "are exact integers and the SD comes from the exact moment identity "
+    "(never a float variance aggregate whose order could drift); the "
+    "cumulative deviations are per-block ordered windows (block grain "
+    "at any scale). One agg shuffle collapses 100 TB to the day series; "
+    "the single global row-number runs at day grain (GLOBAL_WINDOW_OK). "
+    "avg_rs is dround-pinned before the 4-point log-log fit.",
+)
+def stats_hurst_rescaled_range(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round((F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    seq = daily.select(
+        "cents", F.row_number().over(Window.orderBy("day")).alias("rn")
+    )
+    blocks = seq.select(
+        "cents",
+        "rn",
+        F.explode(F.array(*[F.lit(s) for s in _RS_SIZES])).alias("sz"),
+    ).select(
+        "sz",
+        ((F.col("rn") - 1) / F.col("sz")).cast("bigint").alias("blk"),
+        "rn",
+        "cents",
+    )
+    full_blocks = (
+        blocks.groupBy("sz", "blk")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") == F.col("sz"))
+        .select("sz", "blk")
+    )
+    fb = blocks.join(full_blocks, ["sz", "blk"])
+    bstat = fb.groupBy("sz", "blk").agg(
+        F.sum("cents").cast("bigint").alias("sc"),
+        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("scc"),
+    )
+    wcum = (
+        Window.partitionBy("sz", "blk")
+        .orderBy("rn")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    dev = fb.join(bstat, ["sz", "blk"]).select(
+        "sz",
+        "blk",
+        "scc",
+        "sc",
+        F.sum(
+            F.col("cents") - F.col("sc").cast("double") / F.col("sz")
+        )
+        .over(wcum)
+        .alias("cum"),
+    )
+    varn = F.col("scc") - F.col("sc").cast("double") * F.col("sc") / F.col(
+        "sz"
+    )
+    rs = (
+        dev.groupBy("sz", "blk", "scc", "sc")
+        .agg(F.max("cum").alias("mx"), F.min("cum").alias("mn"))
+        .filter(varn > 0)
+        .select(
+            "sz",
+            (
+                (F.col("mx") - F.col("mn"))
+                / F.sqrt(varn / F.col("sz"))
+            ).alias("rs_val"),
+        )
+    )
+    per_size = rs.groupBy("sz").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        dround(F.avg("rs_val"), 6).alias("avg_rs"),
+    )
+    lnsz = F.log(F.col("sz").cast("double"))
+    fitm = per_size.agg(
+        F.count(F.lit(1)).cast("double").alias("k"),
+        F.sum(lnsz).alias("sx"),
+        F.sum(F.log("avg_rs")).alias("sy"),
+        F.sum(lnsz * lnsz).alias("sxx"),
+        F.sum(lnsz * F.log("avg_rs")).alias("sxy"),
+    )
+    h = fitm.select(
+        (
+            (F.col("k") * F.col("sxy") - F.col("sx") * F.col("sy"))
+            / (F.col("k") * F.col("sxx") - F.col("sx") * F.col("sx"))
+        ).alias("hurst")
+    )
+    return (
+        per_size.crossJoin(F.broadcast(h))
+        .select(
+            F.col("sz").cast("bigint").alias("window_size"),
+            "n_blocks",
+            "avg_rs",
+            dround("hurst", 4).alias("hurst_exponent"),
+        )
+        .orderBy("window_size")
+    )

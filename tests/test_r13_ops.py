@@ -281,3 +281,93 @@ def test_er_em_converges_and_separates(spark, qs):
              qs["er_em_mu_estimation"].fn(spark, SF_DIR).collect()}
     for k in rows:
         assert rows[k] == again[k]
+
+
+# --------------------------------------------- Mann-Kendall by hand
+def test_mann_kendall_monotone_series(spark, tmp_path, qs):
+    days = [dt.date(2021, 5, d) for d in range(1, 6)]
+    _write_orders(
+        tmp_path,
+        [(i, 1, 100.0 * (i + 1), day, "1-URGENT")
+         for i, day in enumerate(days)],
+    )
+    r = qs["stats_mann_kendall_trend"].fn(spark, str(tmp_path)).collect()[0]
+    # strictly increasing, no ties: S = C(5,2) = 10, Var = 300/18
+    assert r.n_days == 5
+    assert r.s_stat == 10
+    assert abs(r.var_s - round(300 / 18, 4)) < 1e-9
+    assert abs(r.z_score - round(9 / math.sqrt(300 / 18), 4)) < 1e-9
+    assert r.trend == "increasing"
+    assert bool(r.significant_05) is True
+
+
+# ------------------------------------------ Granger planted causality
+def test_granger_detects_planted_lag(spark, tmp_path, qs):
+    c = [3, 1, 4, 1, 5, 9, 2, 6]
+    p = [2] + c[:-1]
+    p[-1] += 1  # one deviation so the unrestricted fit is not singular
+    t0 = dt.datetime(2022, 3, 1)
+    rows, eid = [], 0
+    for day, (nc, np_) in enumerate(zip(c, p)):
+        base = t0 + dt.timedelta(days=day)
+        for _ in range(nc):
+            rows.append((eid, base + dt.timedelta(minutes=eid % 60), 1,
+                         "click", 1.0))
+            eid += 1
+        for _ in range(np_):
+            rows.append((eid, base + dt.timedelta(minutes=eid % 60), 2,
+                         "purchase", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    r = qs["stats_granger_causality_daily"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r.n_obs == 7
+    # yesterday's clicks almost perfectly predict today's purchases
+    assert abs(r.coef_lag_clicks - 1.0) < 0.25
+    assert r.rss_unrestricted < r.rss_restricted
+    assert r.f_stat > 3.8415
+    assert bool(r.granger_significant_05) is True
+
+
+# --------------------------------------- conformal: exact-fit fixture
+def test_conformal_perfect_linear_coverage(spark, tmp_path, qs):
+    n = 60
+    _write_orders(
+        tmp_path,
+        [(k, 1, 2.0 * (k % 7 + 1), dt.date(2020, 6, 1), "1-URGENT")
+         for k in range(n)],
+    )
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array(list(range(n)), pa.int64()),
+            "l_quantity": pa.array([float(k % 7 + 1) for k in range(n)],
+                                   pa.float64()),
+        }),
+        str(tmp_path / "lineitem.parquet"),
+    )
+    r = qs["stats_conformal_interval_coverage"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    # y = 2q dollars = 200q cents exactly: zero residuals everywhere
+    assert r.n_train + r.n_cal + r.n_test == n
+    assert r.slope_cents_per_unit == 200.0
+    assert r.intercept_cents == 0.0
+    assert r.q_hat_cents == 0.0
+    assert r.coverage == 1.0
+
+
+# --------------------------------------------- Hurst: shape invariants
+def test_hurst_shape_and_range(spark, qs):
+    rows = qs["stats_hurst_rescaled_range"].fn(spark, SF_DIR).collect()
+    assert [r.window_size for r in rows] == [8, 16, 32, 64]
+    hs = {r.hurst_exponent for r in rows}
+    assert len(hs) == 1  # fit is global, repeated per row
+    h = hs.pop()
+    assert 0.0 < h < 1.5
+    for r in rows:
+        assert r.avg_rs > 0
+        assert r.n_blocks >= 1
+    # more blocks at smaller windows
+    nb = [r.n_blocks for r in rows]
+    assert nb == sorted(nb, reverse=True)

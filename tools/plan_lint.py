@@ -93,6 +93,15 @@ GLOBAL_WINDOW_OK = {
     "stats_pettitt_changepoint":
         "rank/prefix windows over the day-grain post-aggregation series "
         "(midrank identity needs one global rank; day grain at any scale)",
+    "stats_granger_causality_daily":
+        "lag-1 window over the day-grain post-aggregation series",
+    "stats_conformal_interval_coverage":
+        "calibration-residual rank window picks one order statistic; at "
+        "1e9+ calibration rows becomes the two-pass histogram selection "
+        "(noted on the query)",
+    "stats_hurst_rescaled_range":
+        "one row-number over the day-grain series; all R/S windows are "
+        "per-(size, block) partitioned",
     "stats_nelson_aalen_cumhaz":
         "hazard/variance prefix sums over the duration-grain table "
         "(<= max-session-minutes rows, same grain as Kaplan-Meier)",
