@@ -2478,3 +2478,227 @@ def orders_skyline_price_quantity(spark: SparkSession, sf_dir: str) -> DataFrame
         )
     )
     return front
+
+
+# ------------- burst-interval extraction via 2-state integer-cost DP
+@register(
+    "events_burst_intervals_dp",
+    oracle="""
+    WITH RECURSIVE hourly0 AS (
+        SELECT date_trunc('hour', ts) AS hr,
+               CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS c
+        FROM events GROUP BY 1
+    ),
+    span AS (SELECT MIN(hr) AS h0, MAX(hr) AS h1 FROM hourly0),
+    spine AS (
+        SELECT ROW_NUMBER() OVER (ORDER BY g.hr) AS rn, g.hr,
+               COALESCE(h.c, 0) AS c
+        FROM (SELECT UNNEST(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hr
+              FROM span) g
+        LEFT JOIN hourly0 h ON h.hr = g.hr
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM spine),
+    ranked AS (
+        SELECT c, ROW_NUMBER() OVER (ORDER BY c, hr) AS cr FROM spine
+    ),
+    rates0 AS (
+        SELECT (SELECT c FROM ranked, n WHERE cr = (n + 1) // 2) AS r0,
+               (SELECT c FROM ranked, n
+                WHERE cr = CAST(ceil(0.9 * n) AS BIGINT)) AS p90
+    ),
+    rates AS (
+        SELECT r0, GREATEST(p90, r0 + 1) AS r1,
+               GREATEST(1, (GREATEST(p90, r0 + 1) - r0) // 2) AS lam
+        FROM rates0
+    ),
+    dp AS (
+        SELECT CAST(0 AS BIGINT) AS rn,
+               CAST(0 AS BIGINT) AS c0, CAST([] AS INTEGER[]) AS p0,
+               lam AS c1, CAST([] AS INTEGER[]) AS p1
+        FROM rates
+        UNION ALL
+        SELECT s.rn,
+               LEAST(d.c0, d.c1 + r.lam) + abs(s.c - r.r0),
+               list_append(CASE WHEN d.c1 + r.lam < d.c0
+                                THEN d.p1 ELSE d.p0 END, 0),
+               LEAST(d.c0 + r.lam, d.c1) + abs(s.c - r.r1),
+               list_append(CASE WHEN d.c0 + r.lam < d.c1
+                                THEN d.p0 ELSE d.p1 END, 1)
+        FROM dp d JOIN spine s ON s.rn = d.rn + 1, rates r
+    ),
+    best AS (
+        SELECT CASE WHEN d.c1 < d.c0 THEN d.p1 ELSE d.p0 END AS states
+        FROM dp d, n WHERE d.rn = n
+    ),
+    unrolled AS (
+        SELECT UNNEST(states) AS st,
+               generate_subscripts(states, 1) AS ord
+        FROM best
+    ),
+    labeled AS (
+        SELECT s.rn, s.hr, s.c, u.st
+        FROM unrolled u JOIN spine s ON s.rn = u.ord
+    ),
+    chg AS (
+        SELECT rn, hr, c, st,
+               CASE WHEN st <> COALESCE(LAG(st) OVER (ORDER BY rn), -1)
+                    THEN 1 ELSE 0 END AS is_chg
+        FROM labeled
+    ),
+    seg AS (
+        SELECT rn, hr, c, st,
+               SUM(is_chg) OVER (ORDER BY rn) AS seg_id
+        FROM chg
+    )
+    SELECT MIN(hr) AS burst_start,
+           MAX(hr) AS burst_end,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(c) AS BIGINT) AS total_events,
+           CAST(MAX(c) AS BIGINT) AS peak_hourly
+    FROM seg WHERE st = 1
+    GROUP BY seg_id ORDER BY burst_start
+    """,
+    description="Burst-interval extraction over the hourly error-event "
+    "series via a 2-state shortest-path DP (the HMM/Kleinberg-automaton "
+    "shape with INTEGER costs — the text_unigram_viterbi_segment "
+    "discipline, chosen over Poisson log-likelihoods so the argmin can "
+    "never diverge across engines by a ulp of ln): states base/burst "
+    "carry self-calibrated integer rates r0 = exact median hourly "
+    "count, r1 = max(p90, r0+1); emission cost |c_t - r_state|, switch "
+    "penalty lam = max(1, (r1-r0)/2); ties prefer staying put and the "
+    "base state, so the optimal state sequence is engine-unique. The "
+    "whole DP folds into ONE F.aggregate over the hour spine (bounded "
+    "by calendar span, not data volume — one agg shuffle collapses "
+    "100 TB of events first), path-tracked per state so the burst "
+    "intervals come straight out of the winning path; output is one "
+    "row per maximal burst run (start, end, hours, volume, peak).",
+)
+def events_burst_intervals_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    hourly0 = ev.groupBy(F.date_trunc("hour", "ts").alias("hr")).agg(
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+        .cast("bigint")
+        .alias("c")
+    )
+    span = hourly0.agg(F.min("hr").alias("h0"), F.max("hr").alias("h1"))
+    spine = (
+        span.select(
+            F.explode(
+                F.expr("sequence(h0, h1, interval 1 hour)")
+            ).alias("hr")
+        )
+        .join(hourly0, "hr", "left")
+        .select("hr", F.coalesce("c", F.lit(0)).cast("bigint").alias("c"))
+    )
+    wr = Window.orderBy("c", "hr")
+    ranked = spine.select(
+        "c",
+        F.row_number().over(wr).alias("cr"),
+        F.count(F.lit(1))
+        .over(
+            Window.rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        )
+        .alias("n"),
+    )
+    r0 = ranked.filter(
+        F.col("cr") == F.floor((F.col("n") + 1) / 2).cast("bigint")
+    ).select(F.col("c").alias("r0"), "n")
+    p90 = ranked.filter(
+        F.col("cr") == F.ceil(0.9 * F.col("n")).cast("bigint")
+    ).select(F.col("c").alias("p90"))
+    rates = r0.crossJoin(F.broadcast(p90)).select(
+        "n",
+        "r0",
+        F.greatest(F.col("p90"), F.col("r0") + 1).alias("r1"),
+        F.greatest(
+            F.lit(1).cast("bigint"),
+            F.floor(
+                (F.greatest(F.col("p90"), F.col("r0") + 1) - F.col("r0")) / 2
+            ).cast("bigint"),
+        ).alias("lam"),
+    )
+    arr = spine.agg(
+        F.sort_array(F.collect_list(F.struct("hr", "c"))).alias("s")
+    ).crossJoin(F.broadcast(rates))
+
+    def step(acc, x):
+        lam = F.col("lam")
+        from1_0 = acc["c1"] + lam
+        came0_from1 = from1_0 < acc["c0"]
+        newc0 = F.least(acc["c0"], from1_0) + F.abs(x["c"] - F.col("r0"))
+        newp0 = F.concat(
+            F.when(came0_from1, acc["p1"]).otherwise(acc["p0"]),
+            F.array(F.lit(0)),
+        )
+        from0_1 = acc["c0"] + lam
+        came1_from0 = from0_1 < acc["c1"]
+        newc1 = F.least(from0_1, acc["c1"]) + F.abs(x["c"] - F.col("r1"))
+        newp1 = F.concat(
+            F.when(came1_from0, acc["p0"]).otherwise(acc["p1"]),
+            F.array(F.lit(1)),
+        )
+        return F.struct(
+            newc0.alias("c0"),
+            newp0.alias("p0"),
+            newc1.alias("c1"),
+            newp1.alias("p1"),
+        )
+
+    init = F.struct(
+        F.lit(0).cast("bigint").alias("c0"),
+        F.array().cast("array<int>").alias("p0"),
+        F.col("lam").alias("c1"),
+        F.array().cast("array<int>").alias("p1"),
+    )
+    folded = arr.select(
+        "s", F.aggregate(F.col("s"), init, step).alias("dp")
+    )
+    best = folded.select(
+        "s",
+        F.when(
+            F.col("dp")["c1"] < F.col("dp")["c0"], F.col("dp")["p1"]
+        )
+        .otherwise(F.col("dp")["p0"])
+        .alias("states"),
+    )
+    labeled = best.select(
+        F.posexplode(F.arrays_zip("s", "states")).alias("i", "z")
+    ).select(
+        F.col("z")["s"]["hr"].alias("hr"),
+        F.col("z")["s"]["c"].alias("c"),
+        F.col("z")["states"].alias("st"),
+    )
+    wseg = Window.orderBy("hr")
+    seg = labeled.select(
+        "hr",
+        "c",
+        "st",
+        F.sum(
+            F.when(
+                F.col("st")
+                != F.coalesce(F.lag("st").over(wseg), F.lit(-1)),
+                1,
+            ).otherwise(0)
+        )
+        .over(wseg.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("seg_id"),
+    )
+    return (
+        seg.filter(F.col("st") == 1)
+        .groupBy("seg_id")
+        .agg(
+            F.min("hr").alias("burst_start"),
+            F.max("hr").alias("burst_end"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+            F.sum("c").cast("bigint").alias("total_events"),
+            F.max("c").cast("bigint").alias("peak_hourly"),
+        )
+        .select(
+            "burst_start", "burst_end", "n_hours", "total_events",
+            "peak_hourly",
+        )
+        .orderBy("burst_start")
+    )

@@ -3836,27 +3836,37 @@ _RS_SIZES = (8, 16, 32, 64)
         HAVING COUNT(*) = sz
     ),
     bstat AS (
+        -- squared cents overflow BIGINT on big fixtures (caught by the
+        -- open-fixture scale run): moments ride DECIMAL(38,0), exact
+        -- under any aggregation order, and the variance numerator
+        -- sz*scc - sc^2 cancels in DECIMAL before any double cast
         SELECT b.sz, b.blk,
                CAST(SUM(b.cents) AS BIGINT) AS sc,
-               CAST(SUM(b.cents * b.cents) AS BIGINT) AS scc
+               SUM(CAST(b.cents AS DECIMAL(38,0)) * b.cents) AS scc
         FROM blocks b JOIN full_blocks f
           ON f.sz = b.sz AND f.blk = b.blk
         GROUP BY b.sz, b.blk
+    ),
+    vstat AS (
+        SELECT sz, blk, sc,
+               CAST(sz * scc - CAST(sc AS DECIMAL(38,0)) * sc AS DOUBLE)
+                   AS var_num
+        FROM bstat
     ),
     dev AS (
         SELECT b.sz, b.blk, b.rn,
                SUM(b.cents - CAST(s.sc AS DOUBLE) / b.sz) OVER (
                    PARTITION BY b.sz, b.blk ORDER BY b.rn) AS cum
-        FROM blocks b JOIN bstat s ON s.sz = b.sz AND s.blk = b.blk
+        FROM blocks b JOIN vstat s ON s.sz = b.sz AND s.blk = b.blk
     ),
     rs AS (
         SELECT d.sz, d.blk,
                (MAX(d.cum) - MIN(d.cum))
-                   / sqrt((s.scc - CAST(s.sc AS DOUBLE) * s.sc / d.sz)
-                          / d.sz) AS rs_val
-        FROM dev d JOIN bstat s ON s.sz = d.sz AND s.blk = d.blk
-        GROUP BY d.sz, d.blk, s.scc, s.sc
-        HAVING (s.scc - CAST(s.sc AS DOUBLE) * s.sc / d.sz) > 0
+                   / sqrt(s.var_num / (CAST(d.sz AS DOUBLE) * d.sz))
+                   AS rs_val
+        FROM dev d JOIN vstat s ON s.sz = d.sz AND s.blk = d.blk
+        GROUP BY d.sz, d.blk, s.var_num
+        HAVING s.var_num > 0
     ),
     per_size AS (
         SELECT sz, CAST(COUNT(*) AS BIGINT) AS n_blocks,
@@ -3887,7 +3897,9 @@ _RS_SIZES = (8, 16, 32, 64)
     "sums is rescaled by its population SD, and the log-log slope of "
     "avg(R/S) against window size estimates H (0.5 = random walk, "
     ">0.5 persistent). Revenue is integer cents, so block sums/squares "
-    "are exact integers and the SD comes from the exact moment identity "
+    "are exact (DECIMAL(38,0) — squared cents overflow BIGINT, caught "
+    "by the open-fixture scale run) and the SD's cancellation-prone "
+    "numerator sz*scc - sc^2 is computed in decimal, "
     "(never a float variance aggregate whose order could drift); the "
     "cumulative deviations are per-block ordered windows (block grain "
     "at any scale). One agg shuffle collapses 100 TB to the day series; "
@@ -3926,38 +3938,54 @@ def stats_hurst_rescaled_range(
         .select("sz", "blk")
     )
     fb = blocks.join(full_blocks, ["sz", "blk"])
+    # squared cents overflow BIGINT on big fixtures (caught by the
+    # open-fixture scale run): moments ride DECIMAL(38,0), exact under
+    # any aggregation order, and the variance numerator sz*scc - sc^2
+    # cancels in DECIMAL before any double cast
     bstat = fb.groupBy("sz", "blk").agg(
         F.sum("cents").cast("bigint").alias("sc"),
-        F.sum(F.col("cents") * F.col("cents")).cast("bigint").alias("scc"),
+        F.sum(F.col("cents").cast("decimal(38,0)") * F.col("cents")).alias(
+            "scc"
+        ),
+    )
+    vstat = bstat.select(
+        "sz",
+        "blk",
+        "sc",
+        (
+            F.col("sz") * F.col("scc")
+            - F.col("sc").cast("decimal(38,0)") * F.col("sc")
+        )
+        .cast("double")
+        .alias("var_num"),
     )
     wcum = (
         Window.partitionBy("sz", "blk")
         .orderBy("rn")
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    dev = fb.join(bstat, ["sz", "blk"]).select(
+    dev = fb.join(vstat, ["sz", "blk"]).select(
         "sz",
         "blk",
-        "scc",
-        "sc",
+        "var_num",
         F.sum(
             F.col("cents") - F.col("sc").cast("double") / F.col("sz")
         )
         .over(wcum)
         .alias("cum"),
     )
-    varn = F.col("scc") - F.col("sc").cast("double") * F.col("sc") / F.col(
-        "sz"
-    )
     rs = (
-        dev.groupBy("sz", "blk", "scc", "sc")
+        dev.groupBy("sz", "blk", "var_num")
         .agg(F.max("cum").alias("mx"), F.min("cum").alias("mn"))
-        .filter(varn > 0)
+        .filter(F.col("var_num") > 0)
         .select(
             "sz",
             (
                 (F.col("mx") - F.col("mn"))
-                / F.sqrt(varn / F.col("sz"))
+                / F.sqrt(
+                    F.col("var_num")
+                    / (F.col("sz").cast("double") * F.col("sz"))
+                )
             ).alias("rs_val"),
         )
     )

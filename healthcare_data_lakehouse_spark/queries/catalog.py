@@ -213,8 +213,15 @@ PRIORITY = [
     "load_change_data_feed",
     "load_schema_evolution_append",
     "load_shallow_clone",
-    "text_bpe_pair_counts",
-    "text_rake_keywords",
+    # (text_bpe_pair_counts, text_rake_keywords and
+    # sample_weighted_reservoir_per_lang swapped out late-round for the
+    # second wave of round-13 operators — the 2-state burst DP, Granger
+    # causality, and split conformal intervals; new code paths get
+    # driver evidence in the round they land, and all swaps are
+    # first-time-for-first-time so the window's first-time count is
+    # unchanged.)
+    "events_burst_intervals_dp",
+    "stats_granger_causality_daily",
     # (text_language_id swapped out mid-round for the dfcap budget
     # planner, NEW this round — the third leg of the dfcap trilogy; new
     # code paths get driver evidence in the round they land. Both are
@@ -239,7 +246,7 @@ PRIORITY = [
     "similarity_knn_graph_mutual",
     "multimodal_scene_cut_detect",
     "er_em_mu_estimation",
-    "sample_weighted_reservoir_per_lang",
+    "stats_conformal_interval_coverage",
 ]
 
 

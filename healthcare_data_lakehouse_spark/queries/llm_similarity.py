@@ -3113,12 +3113,61 @@ def sketch_theta_anotb_estimate(
 
 
 # ------------------------------- mutual kNN graph over LSH buckets
+# Adaptive plane count (measured fix: the fixed 8-plane/256-bucket key
+# space made the candidate join quadratic — 23.8x per 10x data on the
+# open fixture; buckets must multiply as the corpus grows). The LCG
+# sequence continues the 8 shared planes, so the first 8 of these are
+# byte-identical to S.HYPERPLANES and n_planes=8 reproduces
+# hyperplane_bucket exactly.
+_KNN_MAX_PLANES = 14
+_KNN_PLANES = S._lcg_planes(_KNN_MAX_PLANES, 64)
+
+# n_planes = 8 + #{p in 9..14 : N >= 8 * 2^p} — pure integer
+# comparisons (no log() whose cross-engine ulp could flip a floor), so
+# bucket population stays ~8-16 at ANY corpus size while both engines
+# always agree on the plane count.
+_KNN_PLANES_CASE = "8 + " + " + ".join(
+    f"CASE WHEN n_vec >= {8 * (1 << p)} THEN 1 ELSE 0 END"
+    for p in range(9, _KNN_MAX_PLANES + 1)
+)
+
+
+def _knn_bucket_spark_expr() -> str:
+    terms = []
+    for i, plane in enumerate(_KNN_PLANES):
+        lits = ", ".join(f"{float(v)!r}D" for v in plane)
+        d = (
+            f"aggregate(zip_with(embedding, array({lits}), "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), 0.0D, (acc, v) -> acc + v)"
+        )
+        terms.append(
+            f"CASE WHEN {i} < npl AND {d} > 0 "
+            f"THEN CAST({2**i} AS BIGINT) ELSE CAST(0 AS BIGINT) END"
+        )
+    return "CAST(0 AS BIGINT) + " + " + ".join(terms)
+
+
+def _knn_bucket_duck_sql() -> str:
+    bits = []
+    for i, plane in enumerate(_KNN_PLANES):
+        lit = "[" + ", ".join(repr(v) for v in plane) + "]"
+        bits.append(
+            f"CASE WHEN {i} < npl AND "
+            f"list_sum(list_transform(list_zip(embedding, {lit}), "
+            f"p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))) > 0 "
+            f"THEN CAST({2**i} AS BIGINT) ELSE 0 END"
+        )
+    return "\n             + ".join(bits)
+
+
 @register(
     "similarity_knn_graph_mutual",
     oracle=f"""
-    WITH bucketed AS (
-        SELECT vec_id, embedding, {_bucket_sql()} AS bucket
-        FROM embeddings
+    WITH nv AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vec FROM embeddings),
+    np AS (SELECT ({_KNN_PLANES_CASE}) AS npl FROM nv),
+    bucketed AS (
+        SELECT vec_id, embedding, {_knn_bucket_duck_sql()} AS bucket
+        FROM embeddings, np
     ),
     cand AS (
         SELECT a.vec_id AS ida, b.vec_id AS idb,
@@ -3150,23 +3199,33 @@ def sketch_theta_anotb_estimate(
     "buckets — the candidate-graph backbone of SemDeDup-style semantic "
     "curation and graph-based ANN (an edge survives only if BOTH "
     "endpoints rank each other top-3, the standard noise filter for "
-    "kNN graphs): 8-plane sign-LSH buckets bound the candidate join "
-    "(never all-pairs), per-node top-3 is a window PARTITIONED BY node "
+    "kNN graphs): sign-LSH buckets bound the candidate join (never "
+    "all-pairs), per-node top-3 is a window PARTITIONED BY node "
     "(sharded at any scale, no global sort), mutuality is one "
     "self-equi-join of the directed edge list on the reversed key, and "
     "the output is the mutual-degree histogram (degree 0 = nodes whose "
     "bucket offered no reciprocated neighbor). Re-ranking uses the "
     "ROUNDED cosine with id tiebreak so the edge set is engine-"
-    "deterministic. At 100 TB the bucket key is the partitioner; denser "
-    "corpora add planes or multiprobe (similarity_lsh_multiprobe_top5) "
-    "to keep bucket populations bounded.",
+    "deterministic. The plane count is ADAPTIVE — 8 + one per "
+    "power-of-two of corpus size past 4096 vectors (integer "
+    "thresholds, engine-exact) — because the first scale measurement "
+    "of the fixed-8-plane version came out 23.8x per 10x data on the "
+    "open fixture (bucket population ~N/256 makes candidates ~N^2/256); "
+    "with buckets multiplying alongside N the candidate join stays "
+    "~linear (re-measured: 2.25x per 10x data, SCALE_BENCH_OPEN). At "
+    "100 TB the bucket key is the partitioner and the plane count "
+    "lands around 14-20.",
 )
 def similarity_knn_graph_mutual(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bk")
+    nv = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
+    npl = nv.select(F.expr(_KNN_PLANES_CASE).alias("npl"))
+    b = emb.crossJoin(F.broadcast(npl)).select(
+        "vec_id",
+        "embedding",
+        F.expr(_knn_bucket_spark_expr()).alias("bk"),
     )
     left = b.select(
         F.col("vec_id").alias("ida"),

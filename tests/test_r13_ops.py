@@ -371,3 +371,27 @@ def test_hurst_shape_and_range(spark, qs):
     # more blocks at smaller windows
     nb = [r.n_blocks for r in rows]
     assert nb == sorted(nb, reverse=True)
+
+
+# ------------------------------------------- burst DP: planted episode
+def test_burst_dp_recovers_planted_burst(spark, tmp_path, qs):
+    t0 = dt.datetime(2022, 7, 1)
+    rows, eid = [], 0
+    for h in range(48):
+        n = 10 if 20 <= h <= 25 else 2
+        for k in range(n):
+            rows.append((eid, t0 + dt.timedelta(hours=h, minutes=k), 1,
+                         "error", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    got = qs["events_burst_intervals_dp"].fn(spark, str(tmp_path)).collect()
+    # r0 = median = 2, r1 = p90 = 10, lam = 4: switching twice (cost 8)
+    # beats six base-state hours at |10-2| = 48, so the DP recovers the
+    # planted 6-hour episode exactly
+    assert len(got) == 1
+    b = got[0]
+    assert b.burst_start == t0 + dt.timedelta(hours=20)
+    assert b.burst_end == t0 + dt.timedelta(hours=25)
+    assert b.n_hours == 6
+    assert b.total_events == 60
+    assert b.peak_hourly == 10

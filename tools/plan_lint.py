@@ -102,6 +102,9 @@ GLOBAL_WINDOW_OK = {
     "stats_hurst_rescaled_range":
         "one row-number over the day-grain series; all R/S windows are "
         "per-(size, block) partitioned",
+    "events_burst_intervals_dp":
+        "order-statistic rank + segment windows over the hour-grain "
+        "spine (bounded by calendar span; the DP itself is one fold)",
     "stats_nelson_aalen_cumhaz":
         "hazard/variance prefix sums over the duration-grain table "
         "(<= max-session-minutes rows, same grain as Kaplan-Meier)",
