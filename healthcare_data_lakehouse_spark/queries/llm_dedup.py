@@ -3192,7 +3192,7 @@ def dedup_dfcap_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides; the swap-cache bounds accumulation across repeated runs
     # (same ADVICE-r12 discipline as the dfcap generators themselves).
     sh = D._dfcap_cache_swap(
-        D._shingle_table(docs, "doc_id", "text", 3).persist()
+        D._shingle_table(docs, "doc_id", "text", 3)
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ann = sh.join(dfreq, "shingle")

@@ -395,3 +395,25 @@ def test_burst_dp_recovers_planted_burst(spark, tmp_path, qs):
     assert b.n_hours == 6
     assert b.total_events == 60
     assert b.peak_hourly == 10
+
+
+# ---------------- dfcap cache guard: eviction must not kill the new entry
+def test_dfcap_cache_swap_keeps_new_entry_cached(spark, qs):
+    """r13 bench regression, root-caused by A/B: unpersist() evicts by
+    CANONICALIZED plan, and a repeat invocation's shingle table has the
+    same canonical plan as its predecessor — evicting after the new
+    persist() silently removed the new entry too, so every invocation
+    after the first ran uncached (~40% slower). Pin the fixed order:
+    after two back-to-back invocations, the guard holds exactly one
+    table and that table IS in the cache manager."""
+    from healthcare_data_lakehouse_spark.functions import dedup as D
+
+    for _ in range(2):
+        qs["dedup_dfcap_jaccard_pairs"].fn(spark, SF_DIR).count()
+    assert len(D._DFCAP_SETS_CACHE) == 1
+    # Dataset.storageLevel consults the cache manager: the buggy order
+    # left the just-persisted table evicted (StorageLevel NONE)
+    lvl = D._DFCAP_SETS_CACHE[-1].storageLevel
+    assert lvl.useMemory or lvl.useDisk, (
+        "swap evicted the entry it just persisted"
+    )
