@@ -3694,3 +3694,347 @@ def er_em_mu_estimation(spark: SparkSession, sf_dir: str) -> DataFrame:
         dround("lam", 6).alias("lambda_em"),
         "n_pairs",
     ).orderBy("feature")
+
+
+# ---------------- newsvendor critical-fractile stocking (Arrow 1951)
+@register(
+    "orders_newsvendor_quantile",
+    oracle=f"""
+    WITH daily AS (
+        SELECT o_orderpriority AS priority, CAST(o_orderdate AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS d
+        FROM orders GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT priority, d,
+               ROW_NUMBER() OVER (PARTITION BY priority ORDER BY d, day)
+                   AS rn,
+               COUNT(*) OVER (PARTITION BY priority) AS n
+        FROM daily
+    ),
+    qstar AS (
+        SELECT priority, n AS n_days, d AS q_star
+        FROM ranked WHERE rn = CAST(ceil(0.9 * n) AS BIGINT)
+    ),
+    cost AS (
+        SELECT d.priority,
+               SUM(GREATEST(d.d - q.q_star, 0)) AS under_units,
+               SUM(GREATEST(q.q_star - d.d, 0)) AS over_units,
+               COUNT(*) AS nd
+        FROM daily d JOIN qstar q ON q.priority = d.priority
+        GROUP BY d.priority
+    )
+    SELECT q.priority, q.n_days, q.q_star,
+           {dround_sql("CAST(c.under_units AS DOUBLE) / c.nd", 4)}
+               AS exp_daily_underage,
+           {dround_sql("CAST(c.over_units AS DOUBLE) / c.nd", 4)}
+               AS exp_daily_overage,
+           {dround_sql(
+               "(9.0 * c.under_units + 1.0 * c.over_units) / c.nd", 4
+           )} AS exp_daily_cost
+    FROM qstar q JOIN cost c ON c.priority = q.priority
+    ORDER BY q.priority
+    """,
+    description="Newsvendor critical-fractile stocking (Arrow et al. "
+    "1951) per order priority: with underage cost 9 and overage cost 1 "
+    "the optimal stock is the cu/(cu+co) = 0.9 fractile of daily "
+    "demand, taken as the EXACT ceil(0.9n)-th order statistic of the "
+    "per-priority daily order counts (integer demand, day tiebreak — "
+    "engine-exact selection, no interpolation ambiguity), and the "
+    "realized expected daily underage/overage/cost at q* ride along "
+    "from a second pass over the same demand table. The rank windows "
+    "are PARTITIONED BY priority over day-grain aggregates (bounded by "
+    "calendar span x 5 priorities at any volume); at 100 TB the only "
+    "data-scale pass is the first groupBy. This is the inventory "
+    "counterpart of the quantile machinery the catalog already audits "
+    "(exact median, conformal order statistic).",
+)
+def orders_newsvendor_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("priority"),
+        F.to_date("o_orderdate").alias("day"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    wr = Window.partitionBy("priority").orderBy("d", "day")
+    wn = Window.partitionBy("priority")
+    ranked = daily.select(
+        "priority",
+        "d",
+        F.row_number().over(wr).alias("rn"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    qstar = ranked.filter(
+        F.col("rn") == F.ceil(0.9 * F.col("n")).cast("bigint")
+    ).select("priority", F.col("n").alias("n_days"), F.col("d").alias("q_star"))
+    cost = (
+        daily.join(qstar.select("priority", "q_star"), "priority")
+        .groupBy("priority")
+        .agg(
+            F.sum(F.greatest(F.col("d") - F.col("q_star"), F.lit(0))).alias(
+                "under_units"
+            ),
+            F.sum(F.greatest(F.col("q_star") - F.col("d"), F.lit(0))).alias(
+                "over_units"
+            ),
+            F.count(F.lit(1)).alias("nd"),
+        )
+    )
+    return (
+        qstar.join(cost, "priority")
+        .select(
+            "priority",
+            "n_days",
+            "q_star",
+            dround(
+                F.col("under_units").cast("double") / F.col("nd"), 4
+            ).alias("exp_daily_underage"),
+            dround(
+                F.col("over_units").cast("double") / F.col("nd"), 4
+            ).alias("exp_daily_overage"),
+            dround(
+                (9.0 * F.col("under_units") + 1.0 * F.col("over_units"))
+                / F.col("nd"),
+                4,
+            ).alias("exp_daily_cost"),
+        )
+        .orderBy("priority")
+    )
+
+
+# ------------- STL-residual anomaly days (decompose -> robust flag)
+@register(
+    "quality_anomaly_stl_residual",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               ROUND(SUM(o_totalprice), 2) AS rev
+        FROM orders GROUP BY 1
+    ),
+    t AS (
+        SELECT day, rev,
+               {dround_sql(
+                   "AVG(rev) OVER (ORDER BY day "
+                   "ROWS BETWEEN 14 PRECEDING AND 14 FOLLOWING)", 4)}
+                   AS trend
+        FROM daily
+    ),
+    d AS (SELECT day, rev, trend, rev - trend AS detr FROM t),
+    s AS (
+        SELECT day, rev, trend, detr,
+               {dround_sql("AVG(detr) OVER (PARTITION BY dayofweek(day))",
+                           4)} AS seasonal
+        FROM d
+    ),
+    r AS (
+        SELECT day, rev, trend, seasonal,
+               {dround_sql("detr - seasonal", 4)} AS resid
+        FROM s
+    ),
+    med AS (
+        SELECT resid AS med_r FROM (
+            SELECT resid, ROW_NUMBER() OVER (ORDER BY resid, day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM r
+        ) WHERE rn = (n + 1) // 2
+    ),
+    absdev AS (
+        SELECT r.day, r.rev, r.trend, r.seasonal, r.resid,
+               ABS(r.resid - m.med_r) AS ad
+        FROM r, med m
+    ),
+    mad AS (
+        SELECT ad AS mad_r FROM (
+            SELECT ad, ROW_NUMBER() OVER (ORDER BY ad, day) AS rn,
+                   COUNT(*) OVER () AS n
+            FROM absdev
+        ) WHERE rn = (n + 1) // 2
+    )
+    SELECT a.day, a.rev, a.trend, a.seasonal, a.resid,
+           {dround_sql(
+               "(a.resid - m.med_r) / (1.4826 * d.mad_r)", 4
+           )} AS robust_z
+    FROM absdev a, med m, mad d
+    WHERE ABS((a.resid - m.med_r) / (1.4826 * d.mad_r)) > 3.0
+    ORDER BY a.day
+    """,
+    description="Anomalous-revenue-day detection via STL-style "
+    "decomposition plus a robust residual flag — the standard "
+    "production anomaly recipe (decompose out what is EXPLAINED — "
+    "centered 29-day trend, day-of-week seasonal — then flag what "
+    "remains): robust z = (residual - median) / (1.4826 * MAD) with "
+    "|z| > 3 as the alarm line; median/MAD resist the very outliers "
+    "being hunted, which a mean/sigma rule would absorb. Medians are "
+    "exact lower-median order statistics with day tiebreaks "
+    "(engine-exact selection); trend/seasonal/residual are "
+    "dround-pinned before the flag so the alarm set cannot differ by "
+    "a ulp across engines. One agg shuffle collapses 100 TB to the "
+    "day-grain series; every window after that is post-aggregation "
+    "metadata scale (GLOBAL_WINDOW_OK).",
+)
+def quality_anomaly_stl_residual(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.round(F.sum("o_totalprice"), 2).alias("rev")
+    )
+    w29 = Window.orderBy("day").rowsBetween(-14, 14)
+    t = daily.withColumn("trend", dround(F.avg("rev").over(w29), 4))
+    d = t.withColumn("detr", F.col("rev") - F.col("trend"))
+    s = d.withColumn(
+        "seasonal",
+        dround(
+            F.avg("detr").over(Window.partitionBy(F.dayofweek("day"))), 4
+        ),
+    )
+    r = s.select(
+        "day",
+        "rev",
+        "trend",
+        "seasonal",
+        dround(F.col("detr") - F.col("seasonal"), 4).alias("resid"),
+    )
+
+    def lower_median(df: DataFrame, col: str) -> DataFrame:
+        wrk = Window.orderBy(col, "day")
+        return (
+            df.withColumn("rn", F.row_number().over(wrk))
+            .withColumn(
+                "n",
+                F.count(F.lit(1)).over(
+                    Window.rowsBetween(
+                        Window.unboundedPreceding, Window.unboundedFollowing
+                    )
+                ),
+            )
+            .filter(
+                F.col("rn")
+                == F.floor((F.col("n") + 1) / 2).cast("bigint")
+            )
+            .select(F.col(col).alias(f"med_{col}"))
+        )
+
+    med = lower_median(r, "resid")
+    absdev = r.crossJoin(F.broadcast(med)).withColumn(
+        "ad", F.abs(F.col("resid") - F.col("med_resid"))
+    )
+    mad = lower_median(absdev, "ad")
+    z = (F.col("resid") - F.col("med_resid")) / (
+        1.4826 * F.col("med_ad")
+    )
+    return (
+        absdev.crossJoin(F.broadcast(mad))
+        .filter(F.abs(z) > 3.0)
+        .select(
+            "day",
+            "rev",
+            "trend",
+            "seasonal",
+            "resid",
+            dround(z, 4).alias("robust_z"),
+        )
+        .orderBy("day")
+    )
+
+
+# -------------- absorbing-chain expected steps to conversion
+_ABS_ITERS = 40
+
+
+def _absorbing_oracle() -> str:
+    head = """
+    WITH seq AS MATERIALIZED (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts,
+                   event_id) AS prev_type
+        FROM events
+    ),
+    counts AS MATERIALIZED (
+        SELECT prev_type, event_type AS next_type, COUNT(*) AS c
+        FROM seq
+        WHERE prev_type IS NOT NULL AND prev_type <> 'purchase'
+        GROUP BY 1, 2
+    ),
+    trans AS MATERIALIZED (SELECT DISTINCT prev_type AS state FROM counts),
+    q AS MATERIALIZED (
+        SELECT prev_type, next_type,
+               CAST(c AS DOUBLE)
+                   / SUM(CAST(c AS DOUBLE)) OVER (PARTITION BY prev_type)
+                   AS prob
+        FROM counts
+    ),
+    t0 AS (SELECT state, CAST(0 AS DOUBLE) AS t FROM trans)"""
+    steps = ",\n".join(
+        f"""    t{k + 1} AS MATERIALIZED (
+        SELECT s.state,
+               1.0 + COALESCE(SUM(q.prob * v.t), 0.0) AS t
+        FROM trans s
+        LEFT JOIN q ON q.prev_type = s.state
+                   AND q.next_type <> 'purchase'
+        LEFT JOIN t{k} v ON v.state = q.next_type
+        GROUP BY s.state
+    )"""
+        for k in range(_ABS_ITERS)
+    )
+    from healthcare_data_lakehouse_spark.functions import dround_sql as _ds
+
+    return (
+        head + ",\n" + steps + f"""
+    SELECT state, {_ds("t", 4)} AS expected_steps_to_purchase
+    FROM t{_ABS_ITERS} ORDER BY state
+    """
+    )
+
+
+@register(
+    "events_absorbing_markov_steps",
+    oracle=_absorbing_oracle(),
+    description="Expected number of events until the next PURCHASE from "
+    "each behavioral state, via the absorbing-Markov-chain fundamental "
+    "matrix: purchase is absorbing, Q is the transient-to-transient "
+    "transition matrix from per-user lag pairs, and t = (I-Q)^-1 * 1 "
+    "solved as the 40-term truncated Neumann iteration "
+    "t_{{k+1}} = 1 + Q t_k — the same unrolled-CTE-vs-driver-numpy "
+    "discipline as events_markov_stationary, truncation identical on "
+    "both engines so the committed values agree bitwise (a chain with "
+    "low purchase reachability simply shows the 40-step partial sum, "
+    "still a valid 'expected events within horizon' read). Transition "
+    "counting is the only data-scale pass (one lag window per user + "
+    "one groupBy over 100 TB of events); the |event_types|^2 matrix is "
+    "metadata scale and the iteration runs driver-side in numpy.",
+)
+def events_absorbing_markov_steps(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    import numpy as np
+
+    ev = table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.withColumn("prev_type", F.lag("event_type").over(w)).filter(
+        F.col("prev_type").isNotNull() & (F.col("prev_type") != "purchase")
+    )
+    counts = (
+        seq.groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()  # |event_types|^2 rows: metadata scale by construction
+    )
+    states = sorted({r.prev_type for r in counts})
+    idx = {s: i for i, s in enumerate(states)}
+    n = len(states)
+    full = np.zeros((n, n + 1))  # extra col collects absorbing mass
+    for r in counts:
+        j = idx.get(r.next_type, n)
+        full[idx[r.prev_type], j] = r.c
+    row_tot = full.sum(axis=1, keepdims=True)
+    probs = full / row_tot
+    q = probs[:, :n]  # transient-to-transient only
+    t = np.zeros(n)
+    for _ in range(_ABS_ITERS):
+        t = 1.0 + q @ t
+    out = spark.createDataFrame(
+        [(s, float(t[idx[s]])) for s in states],
+        "state string, t double",
+    )
+    return out.select(
+        "state", dround("t", 4).alias("expected_steps_to_purchase")
+    ).orderBy("state")

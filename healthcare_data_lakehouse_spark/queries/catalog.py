@@ -208,11 +208,17 @@ PRIORITY = [
     "multimodal_phash_neardup_seeded",
     "dedup_candidate_selectivity_compare",
     "streaming_interval_join_clicks_purchases",
-    "streaming_session_window_counts",
     "streaming_dedup_within_watermark",
     "load_change_data_feed",
     "load_schema_evolution_append",
-    "load_shallow_clone",
+    # (streaming_session_window_counts and load_shallow_clone swapped
+    # out late-round for two batch-4 operators — the fully-oracle-paired
+    # covariance/participation-ratio pipeline and the second
+    # driver-numpy iteration path (absorbing chain); both families keep
+    # two never-sampled representatives in the window, and the swaps
+    # are first-time-for-first-time.)
+    "embedding_participation_ratio",
+    "events_absorbing_markov_steps",
     # (text_bpe_pair_counts, text_rake_keywords and
     # sample_weighted_reservoir_per_lang swapped out late-round for the
     # second wave of round-13 operators — the 2-state burst DP, Granger

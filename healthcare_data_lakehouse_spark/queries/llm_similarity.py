@@ -3394,3 +3394,108 @@ def multimodal_scene_cut_detect(
         true_scenes.alias("n_scenes_true"),
         (F.col("n_scenes_detected") == true_scenes).alias("detect_ok"),
     )
+
+
+# ------------- effective dimensionality via participation ratio
+@register(
+    "embedding_participation_ratio",
+    oracle=f"""
+    WITH dims AS (
+        SELECT vec_id,
+               generate_subscripts(embedding, 1) AS i,
+               CAST(UNNEST(embedding) AS DOUBLE) AS x
+        FROM embeddings
+    ),
+    pairs AS (
+        SELECT a.i AS i, b.i AS j,
+               {dround_sql(
+                   "(SUM(a.x * b.x) - SUM(a.x) * SUM(b.x) "
+                   "/ COUNT(*)) / (COUNT(*) - 1)", 8)} AS cov
+        FROM dims a JOIN dims b
+          ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i
+    ),
+    m AS (
+        SELECT SUM(CASE WHEN i = j THEN cov ELSE 0 END) AS trace,
+               SUM(CASE WHEN i = j THEN cov * cov
+                        ELSE 2 * cov * cov END) AS frob2
+        FROM pairs
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_vecs FROM embeddings)
+    SELECT n.n_vecs,
+           {dround_sql("m.trace", 6)} AS total_variance,
+           {dround_sql("m.frob2", 6)} AS frobenius_sq,
+           {dround_sql("m.trace * m.trace / m.frob2", 4)}
+               AS participation_ratio,
+           {dround_sql("m.trace * m.trace / m.frob2 / 64.0", 4)}
+               AS pr_fraction
+    FROM m, n
+    """,
+    description="Effective dimensionality of the embedding space via "
+    "the PARTICIPATION RATIO PR = trace(C)^2 / ||C||_F^2 = "
+    "(sum lambda)^2 / sum lambda^2 — the eigendecomposition-FREE "
+    "effective-rank measure (the RankMe/alpha-ReQ family's robust "
+    "cousin): both invariants come straight from the sample covariance "
+    "matrix, trace from the diagonal and the Frobenius norm from all "
+    "entries, so unlike spectral entropy no eigensolver is needed and "
+    "the WHOLE metric is oracle-paired value-for-value (the "
+    "embedding_label_pca eigenpath only gets a bounded-error oracle). "
+    "PR near dim = isotropic use of the space; PR near 1 = collapse — "
+    "the standard representation-quality alarm for embedding "
+    "pipelines. The covariance needs one shuffle of (row, dim, value) "
+    "triples grouped by dim pair (64 dims -> 2080 cells regardless of "
+    "corpus size; map-side combined), each cell dround(8)-pinned "
+    "before the quadratic forms so engines agree bitwise.",
+)
+def embedding_participation_ratio(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "vec_id",
+        F.posexplode("embedding").alias("i0", "x"),
+    ).select(
+        "vec_id", (F.col("i0") + 1).alias("i"), F.col("x").cast("double").alias("x")
+    )
+    a = dims.select(
+        F.col("vec_id").alias("vid"), F.col("i").alias("i"),
+        F.col("x").alias("xa"),
+    )
+    b = dims.select(
+        F.col("vec_id").alias("vid"), F.col("i").alias("j"),
+        F.col("x").alias("xb"),
+    )
+    pairs = (
+        a.join(b, "vid")
+        .filter(F.col("i") <= F.col("j"))
+        .groupBy("i", "j")
+        .agg(
+            dround(
+                (
+                    F.sum(F.col("xa") * F.col("xb"))
+                    - F.sum("xa") * F.sum("xb") / F.count(F.lit(1))
+                )
+                / (F.count(F.lit(1)) - 1),
+                8,
+            ).alias("cov")
+        )
+    )
+    m = pairs.agg(
+        F.sum(
+            F.when(F.col("i") == F.col("j"), F.col("cov")).otherwise(0.0)
+        ).alias("trace"),
+        F.sum(
+            F.when(
+                F.col("i") == F.col("j"), F.col("cov") * F.col("cov")
+            ).otherwise(2 * F.col("cov") * F.col("cov"))
+        ).alias("frob2"),
+    )
+    n = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vecs"))
+    pr = F.col("trace") * F.col("trace") / F.col("frob2")
+    return m.crossJoin(F.broadcast(n)).select(
+        "n_vecs",
+        dround("trace", 6).alias("total_variance"),
+        dround("frob2", 6).alias("frobenius_sq"),
+        dround(pr, 4).alias("participation_ratio"),
+        dround(pr / 64.0, 4).alias("pr_fraction"),
+    )

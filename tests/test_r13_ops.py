@@ -417,3 +417,95 @@ def test_dfcap_cache_swap_keeps_new_entry_cached(spark, qs):
     assert lvl.useMemory or lvl.useDisk, (
         "swap evicted the entry it just persisted"
     )
+
+
+# ------------------------------------------- newsvendor by hand
+def test_newsvendor_hand_quantile(spark, tmp_path, qs):
+    days = [dt.date(2021, 8, d) for d in range(1, 11)]
+    rows = []
+    oid = 0
+    for i, day in enumerate(days):
+        for _ in range(i + 1):  # demands 1..10
+            rows.append((oid, 1, 10.0, day, "1-URGENT"))
+            oid += 1
+    _write_orders(tmp_path, rows)
+    r = qs["orders_newsvendor_quantile"].fn(spark, str(tmp_path)).collect()
+    assert len(r) == 1
+    row = r[0]
+    # ceil(0.9*10) = 9th smallest of 1..10 -> q* = 9
+    assert (row.n_days, row.q_star) == (10, 9)
+    assert row.exp_daily_underage == 0.1   # only demand 10 exceeds
+    assert row.exp_daily_overage == 3.6    # sum(9-d, d=1..8)/10
+    assert row.exp_daily_cost == 4.5       # (9*1 + 1*36)/10
+
+
+# ------------------------------------- STL anomaly: planted spike day
+def test_stl_anomaly_flags_planted_spike(spark, tmp_path, qs):
+    days = [dt.date(2021, 1, 1) + dt.timedelta(days=i) for i in range(56)]
+    rows = []
+    for i, day in enumerate(days):
+        rev = 100.0 + (i % 7) * 10 + (i % 5)
+        if i == 30:
+            rev = 5000.0
+        rows.append((i, 1, rev, day, "1-URGENT"))
+    _write_orders(tmp_path, rows)
+    got = qs["quality_anomaly_stl_residual"].fn(spark, str(tmp_path)).collect()
+    spike = dt.date(2021, 1, 31)
+    flagged = {r.day: r for r in got}
+    assert spike in flagged
+    assert abs(flagged[spike].robust_z) == max(
+        abs(r.robust_z) for r in got
+    )
+
+
+# ------------------------------- participation ratio: planted ranks
+def test_participation_ratio_rank1_and_rank4(spark, tmp_path, qs):
+    def unit(axis, scale):
+        v = [0.0] * 64
+        v[axis] = scale
+        return v
+
+    # rank-1 cloud: all variance on one axis -> PR = 1
+    _write_embeddings(
+        tmp_path, [(i, unit(0, float(i + 1)), 0) for i in range(20)]
+    )
+    r1 = qs["embedding_participation_ratio"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r1.participation_ratio == 1.0
+    # balanced 4-axis cloud (+c/-c on each of 4 axes): diagonal
+    # covariance with 4 equal entries -> PR = 4
+    vecs = []
+    vid = 0
+    for axis in range(4):
+        for sign in (1.0, -1.0):
+            vecs.append((vid, unit(axis, sign * 3.0), axis))
+            vid += 1
+    sub = tmp_path / "four"
+    sub.mkdir()
+    _write_embeddings(sub, vecs)
+    r4 = qs["embedding_participation_ratio"].fn(spark, str(sub)).collect()[0]
+    assert r4.participation_ratio == 4.0
+
+
+# ------------------------------- absorbing chain: exact step counts
+def test_absorbing_markov_hand_chain(spark, tmp_path, qs):
+    t0 = dt.datetime(2022, 9, 1)
+    rows, eid = [], 0
+    # user 1: click -> purchase three times: t(click) = 1
+    for _ in range(3):
+        for etype in ("click", "purchase"):
+            rows.append((eid, t0 + dt.timedelta(minutes=eid), 1, etype, 1.0))
+            eid += 1
+    # user 2: view -> click -> purchase: t(view) = 2
+    for etype in ("view", "click", "purchase"):
+        rows.append((eid, t0 + dt.timedelta(minutes=eid), 2, etype, 1.0))
+        eid += 1
+    _write_events(tmp_path, rows)
+    got = {
+        r.state: r.expected_steps_to_purchase
+        for r in qs["events_absorbing_markov_steps"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    assert got == {"click": 1.0, "view": 2.0}

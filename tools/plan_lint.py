@@ -105,6 +105,9 @@ GLOBAL_WINDOW_OK = {
     "events_burst_intervals_dp":
         "order-statistic rank + segment windows over the hour-grain "
         "spine (bounded by calendar span; the DP itself is one fold)",
+    "quality_anomaly_stl_residual":
+        "trend/median/MAD windows over the day-grain post-aggregation "
+        "series (bounded by calendar span)",
     "stats_nelson_aalen_cumhaz":
         "hazard/variance prefix sums over the duration-grain table "
         "(<= max-session-minutes rows, same grain as Kaplan-Meier)",
