@@ -70,6 +70,14 @@ GRAIN_BOUNDS = {
     "window_customer_value_deciles": 500,
     "window_mom_revenue_growth": 240,
     "window_moving_avg_daily_revenue": 3_300,
+    # round-13 entries (measured at sf0.001: orders day grain 1094,
+    # events day grain 30, hour spine 720, calibration split 372)
+    "stats_pettitt_changepoint": 4_800,
+    "stats_granger_causality_daily": 100,
+    "stats_conformal_interval_coverage": 2_000,
+    "stats_hurst_rescaled_range": 4_800,
+    "events_burst_intervals_dp": 1_000,
+    "quality_anomaly_stl_residual": 4_800,
 }
 
 
