@@ -4038,3 +4038,124 @@ def events_absorbing_markov_steps(
     return out.select(
         "state", dround("t", 4).alias("expected_steps_to_purchase")
     ).orderBy("state")
+
+
+# ----------------- SES smoothing-constant selection by in-sample SSE
+_SES_ALPHAS = (0.1, 0.3, 0.5, 0.7, 0.9)
+
+
+@register(
+    "forecast_ses_alpha_grid",
+    oracle=f"""
+    WITH RECURSIVE monthly AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100
+                    AS DECIMAL(38,8)), 0) AS BIGINT)) AS DOUBLE) AS rev_c,
+               ROW_NUMBER() OVER (
+                   ORDER BY CAST(date_trunc('month', o_orderdate) AS DATE)
+               ) AS rn
+        FROM orders GROUP BY 1
+    ),
+    alphas AS (
+        SELECT CAST(UNNEST(
+            [{", ".join(repr(a) for a in _SES_ALPHAS)}]
+        ) AS DOUBLE) AS alpha
+    ),
+    ses AS (
+        SELECT a.alpha, m.rn, m.rev_c AS s, CAST(0 AS DOUBLE) AS sse
+        FROM monthly m, alphas a WHERE m.rn = 1
+        UNION ALL
+        SELECT h.alpha, m.rn,
+               {dround_sql("h.alpha * m.rev_c", 0)}
+                   + {dround_sql("(1.0 - h.alpha) * h.s", 0)},
+               h.sse + {dround_sql("(m.rev_c - h.s) * (m.rev_c - h.s)", 0)}
+        FROM ses h JOIN monthly m ON m.rn = h.rn + 1
+    ),
+    final AS (
+        SELECT s.alpha,
+               {dround_sql("sqrt(s.sse / (t.n - 1)) / 100.0", 4)} AS rmse
+        FROM ses s, (SELECT MAX(rn) AS n FROM monthly) t
+        WHERE s.rn = t.n
+    ),
+    best AS (SELECT MIN(rmse) AS best_rmse FROM final)
+    SELECT f.alpha, f.rmse, f.rmse = b.best_rmse AS is_best
+    FROM final f, best b ORDER BY f.alpha
+    """,
+    description="Smoothing-constant model selection for simple "
+    "exponential smoothing: the alpha grid 0.1/0.3/0.5/0.7/0.9 is "
+    "scored by in-sample one-step-ahead RMSE (dollars) over monthly "
+    "order revenue (s_1 = y_1, error from t = 2) and the minimizer is "
+    "flagged — the smallest honest version of the grid search every "
+    "forecasting library runs before it ships an alpha. Float "
+    "discipline earned the hard way (three failed cuts, all recorded "
+    "in PERF_r13.md SS11): the raw `a*y + (1-a)*s` recurrence is an "
+    "FMA-contraction site whose fused/unfused difference crossed a "
+    "rounding boundary at step 13 of THIS series, so the state lives "
+    "in INTEGER CENTS and each product is dround(0)-pinned separately "
+    "(function calls block contraction; integer state makes every "
+    "err^2 term and the SSE accumulation engine-exact). One agg "
+    "shuffle collapses 100 TB to the month series; the 5 recurrences "
+    "fold as one F.aggregate over (alpha x sorted months) at metadata "
+    "scale, mirroring the oracle's multi-row recursive CTE.",
+)
+def forecast_ses_alpha_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    monthly = orders.groupBy(
+        F.trunc(F.to_date("o_orderdate"), "month").alias("month")
+    ).agg(
+        F.sum(
+            F.round((F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0)
+            .cast("bigint")
+        )
+        .cast("double")
+        .alias("rev_c")
+    )
+    series = monthly.agg(
+        F.sort_array(F.collect_list(F.struct("month", "rev_c"))).alias("s")
+    )
+    grid = series.select(
+        "s",
+        F.explode(
+            F.array(*[F.lit(a).cast("double") for a in _SES_ALPHAS])
+        ).alias("alpha"),
+    )
+
+    def step(acc, x):
+        first = acc["i"] == 0
+        err = x["rev_c"] - acc["s"]
+        # integer-cents state, each product dround(0)-pinned separately:
+        # blocks FMA contraction and keeps s / err / err^2 engine-exact
+        new_s = F.when(first, x["rev_c"]).otherwise(
+            dround(F.col("alpha") * x["rev_c"], 0)
+            + dround((1.0 - F.col("alpha")) * acc["s"], 0)
+        )
+        new_sse = F.when(first, F.lit(0.0)).otherwise(
+            acc["sse"] + dround(err * err, 0)
+        )
+        return F.struct(
+            new_s.alias("s"), new_sse.alias("sse"), (acc["i"] + 1).alias("i")
+        )
+
+    init = F.struct(
+        F.lit(0.0).alias("s"), F.lit(0.0).alias("sse"), F.lit(0).alias("i")
+    )
+    n = series.select(F.size("s").alias("n"))
+    scored = grid.select(
+        "alpha",
+        F.aggregate(F.col("s"), init, step)["sse"].alias("sse"),
+    ).crossJoin(F.broadcast(n)).select(
+        "alpha",
+        dround(
+            F.sqrt(F.col("sse") / (F.col("n") - 1)) / 100.0, 4
+        ).alias("rmse"),
+    )
+    best = scored.agg(F.min("rmse").alias("best_rmse"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            "alpha",
+            "rmse",
+            (F.col("rmse") == F.col("best_rmse")).alias("is_best"),
+        )
+        .orderBy("alpha")
+    )

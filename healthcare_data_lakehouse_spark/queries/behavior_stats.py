@@ -4017,3 +4017,156 @@ def stats_hurst_rescaled_range(
         )
         .orderBy("window_size")
     )
+
+
+# ---------- multiple change-points via binary segmentation (depth 2)
+def _binseg_level_sql(k: int) -> str:
+    """One binary-segmentation level: argmax |cumdev| per segment."""
+    return f"""
+    st{k} AS (
+        SELECT seg, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sc,
+               MAX(day) AS seg_end
+        FROM lab{k} GROUP BY seg
+    ),
+    cum{k} AS (
+        SELECT l.day, l.cents, l.seg, s.seg_end,
+               SUM(l.cents - CAST(s.sc AS DOUBLE) / s.n) OVER (
+                   PARTITION BY l.seg ORDER BY l.day) AS cum
+        FROM lab{k} l JOIN st{k} s ON s.seg = l.seg
+    ),
+    scored{k} AS (
+        SELECT day, cents, seg, seg_end,
+               CAST(ROUND(CAST(ABS(cum) AS DECIMAL(38,8)), 4) AS DOUBLE)
+                   AS score
+        FROM cum{k}
+    ),
+    cp{k} AS (
+        SELECT seg, day AS cp_day FROM (
+            SELECT seg, day,
+                   ROW_NUMBER() OVER (PARTITION BY seg
+                       ORDER BY score DESC, day) AS rn
+            FROM scored{k} WHERE day < seg_end
+        ) WHERE rn = 1
+    ),
+    lab{k + 1} AS (
+        SELECT l.day, l.cents,
+               l.seg * 2 + CASE WHEN c.cp_day IS NOT NULL
+                                     AND l.day > c.cp_day
+                                THEN 1 ELSE 0 END AS seg
+        FROM lab{k} l LEFT JOIN cp{k} c ON c.seg = l.seg
+    )"""
+
+
+@register(
+    "stats_binseg_changepoints",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100
+                    AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    lab0 AS (SELECT day, cents, 0 AS seg FROM daily),
+    {_binseg_level_sql(0).lstrip()},
+    {_binseg_level_sql(1).lstrip()}
+    SELECT MIN(day) AS start_day, MAX(day) AS end_day,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(ROUND(CAST((CAST(SUM(cents) AS DOUBLE) / COUNT(*) / 100.0)
+               AS DECIMAL(38,8)), 4) AS DOUBLE) AS mean_rev
+    FROM lab2 GROUP BY seg ORDER BY start_day
+    """,
+    description="Multiple change-point detection by BINARY SEGMENTATION "
+    "(Scott & Knott 1974; the workhorse behind ruptures/changepoint "
+    "libraries) at depth 2 — up to 3 change-points / 4 segments: each "
+    "level picks, per current segment, the day maximizing the absolute "
+    "mean-centered cumulative sum (the CUSUM argmax), splits there, and "
+    "recurses. Complements stats_pettitt_changepoint (single, "
+    "rank-based) with the standard multi-break extension. Revenue is "
+    "integer CENTS so segment sums are exact; the cumulative deviations "
+    "are per-segment ordered windows over the day-grain aggregate "
+    "(bounded by calendar span), and the argmax ranks on the "
+    "dround(4)-pinned score with a day tiebreak so both engines split "
+    "at identical days. Output is the final segment table: bounds, "
+    "length, mean revenue in dollars.",
+)
+def stats_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    lab = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round((F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0)
+            .cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    ).select("day", "cents", F.lit(0).alias("seg"))
+
+    for _ in range(2):
+        st = lab.groupBy("seg").agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("cents").cast("bigint").alias("sc"),
+            F.max("day").alias("seg_end"),
+        )
+        wcum = (
+            Window.partitionBy("seg")
+            .orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        scored = (
+            lab.join(F.broadcast(st), "seg")
+            .select(
+                "day",
+                "cents",
+                "seg",
+                "seg_end",
+                F.sum(
+                    F.col("cents") - F.col("sc").cast("double") / F.col("n")
+                )
+                .over(wcum)
+                .alias("cum"),
+            )
+            .select(
+                "day",
+                "cents",
+                "seg",
+                "seg_end",
+                dround(F.abs(F.col("cum")), 4).alias("score"),
+            )
+        )
+        wrk = Window.partitionBy("seg").orderBy(
+            F.col("score").desc(), F.col("day")
+        )
+        cp = (
+            scored.filter(F.col("day") < F.col("seg_end"))
+            .withColumn("rn", F.row_number().over(wrk))
+            .filter(F.col("rn") == 1)
+            .select("seg", F.col("day").alias("cp_day"))
+        )
+        lab = (
+            lab.join(F.broadcast(cp), "seg", "left")
+            .select(
+                "day",
+                "cents",
+                (
+                    F.col("seg") * 2
+                    + F.when(
+                        F.col("cp_day").isNotNull()
+                        & (F.col("day") > F.col("cp_day")),
+                        1,
+                    ).otherwise(0)
+                ).alias("seg"),
+            )
+        )
+    return (
+        lab.groupBy("seg")
+        .agg(
+            F.min("day").alias("start_day"),
+            F.max("day").alias("end_day"),
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            dround(
+                F.sum("cents").cast("double") / F.count(F.lit(1)) / 100.0, 4
+            ).alias("mean_rev"),
+        )
+        .select("start_day", "end_day", "n_days", "mean_rev")
+        .orderBy("start_day")
+    )

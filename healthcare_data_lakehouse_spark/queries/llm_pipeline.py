@@ -2590,3 +2590,135 @@ def pipeline_shard_ring_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("doc_share"),
         )
     )
+
+
+# -------------- LPT (longest-processing-time) shard balancing
+_LPT_BINS = 4
+
+
+@register(
+    "pipeline_lpt_shard_balance",
+    oracle=f"""
+    WITH RECURSIVE grp AS (
+        SELECT lang, source, CAST(SUM(n_chars) AS BIGINT) AS sz
+        FROM documents GROUP BY lang, source
+    ),
+    ranked AS (
+        SELECT lang, source, sz,
+               ROW_NUMBER() OVER (ORDER BY sz DESC, lang, source) AS rn
+        FROM grp
+    ),
+    lpt AS (
+        SELECT CAST(0 AS BIGINT) AS rn,
+               CAST([0, 0, 0, 0] AS BIGINT[]) AS loads,
+               CAST([] AS INTEGER[]) AS bins
+        UNION ALL
+        SELECT r.rn,
+               list_transform(range(1, {_LPT_BINS} + 1),
+                   i -> l.loads[i] + CASE WHEN i = list_indexof(l.loads,
+                        list_min(l.loads)) THEN r.sz ELSE 0 END),
+               list_append(l.bins,
+                   CAST(list_indexof(l.loads, list_min(l.loads)) AS INTEGER))
+        FROM lpt l JOIN ranked r ON r.rn = l.rn + 1
+    ),
+    final AS (
+        SELECT bins, loads FROM lpt
+        WHERE rn = (SELECT MAX(rn) FROM ranked)
+    ),
+    assign AS (
+        SELECT UNNEST(bins) AS bin, generate_subscripts(bins, 1) AS rn
+        FROM final
+    ),
+    tot AS (SELECT CAST(SUM(sz) AS BIGINT) AS total FROM grp)
+    SELECT a.bin,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(r.sz) AS BIGINT) AS bin_chars,
+           {dround_sql(
+               "CAST(MAX(list_max(f.loads)) AS DOUBLE) "
+               f"/ (MAX(t.total) / CAST({_LPT_BINS} AS DOUBLE))", 4)}
+               AS makespan_ratio
+    FROM assign a
+    JOIN ranked r ON r.rn = a.rn, final f, tot t
+    GROUP BY a.bin ORDER BY a.bin
+    """,
+    description="LPT (longest-processing-time-first, Graham 1969) shard "
+    "balancing of the corpus into 4 equal-work shards: (lang, source) "
+    "group sizes sort descending and each goes to the currently "
+    "lightest shard (first-index tiebreak) — the classic 4/3-OPT "
+    "greedy for makespan, here applied to training-shard planning "
+    "where the unit of assignment is a GROUP (bounded grain: languages "
+    "x sources, not documents — the groupBy is the only data-scale "
+    "pass at 100 TB, and the greedy folds over the bounded group table "
+    "as one F.aggregate). Everything is exact integers (char counts, "
+    "loads, argmin with deterministic first-min tiebreak mirrored by "
+    "list_indexof/array_position), so both engines walk the identical "
+    "assignment sequence; makespan_ratio = max shard load over the "
+    "perfect-balance load reports how close LPT got to 1.0. "
+    "Complements the hash-based shard planners "
+    "(pipeline_shard_assignment_rendezvous, pipeline_shard_ring_"
+    "balance): hashing balances in expectation, LPT balances the "
+    "measured sizes.",
+)
+def pipeline_lpt_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    grp = docs.groupBy("lang", "source").agg(
+        F.sum("n_chars").cast("bigint").alias("sz")
+    )
+    ranked = grp.select(
+        "lang",
+        "source",
+        "sz",
+        F.row_number()
+        .over(Window.orderBy(F.col("sz").desc(), "lang", "source"))
+        .alias("rn"),
+    )
+    arr = ranked.agg(
+        F.sort_array(F.collect_list(F.struct("rn", "sz"))).alias("s")
+    )
+
+    def step(acc, x):
+        b = F.array_position(acc["loads"], F.array_min(acc["loads"]))
+        new_loads = F.transform(
+            F.sequence(F.lit(1), F.lit(_LPT_BINS)),
+            lambda i: F.element_at(acc["loads"], i)
+            + F.when(i == b, x["sz"]).otherwise(F.lit(0).cast("bigint")),
+        )
+        return F.struct(
+            new_loads.alias("loads"),
+            F.concat(acc["bins"], F.array(b.cast("int"))).alias("bins"),
+        )
+
+    init = F.struct(
+        F.array(
+            *[F.lit(0).cast("bigint") for _ in range(_LPT_BINS)]
+        ).alias("loads"),
+        F.array().cast("array<int>").alias("bins"),
+    )
+    folded = arr.select(
+        "s", F.aggregate(F.col("s"), init, step).alias("acc")
+    )
+    assign = folded.select(
+        F.array_max(F.col("acc")["loads"]).alias("max_load"),
+        F.posexplode(
+            F.arrays_zip(F.col("s"), F.col("acc")["bins"])
+        ).alias("i", "z"),
+    ).select(
+        "max_load",
+        F.col("z")["s"]["sz"].alias("sz"),
+        F.col("z")["bins"].alias("bin"),
+    )
+    tot = grp.agg(F.sum("sz").cast("bigint").alias("total"))
+    return (
+        assign.crossJoin(F.broadcast(tot))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+            F.sum("sz").cast("bigint").alias("bin_chars"),
+            dround(
+                F.max("max_load").cast("double")
+                / (F.max("total") / float(_LPT_BINS)),
+                4,
+            ).alias("makespan_ratio"),
+        )
+        .orderBy("bin")
+    )

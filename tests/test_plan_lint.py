@@ -78,6 +78,8 @@ GRAIN_BOUNDS = {
     "stats_hurst_rescaled_range": 4_800,
     "events_burst_intervals_dp": 1_000,
     "quality_anomaly_stl_residual": 4_800,
+    "pipeline_lpt_shard_balance": 600,
+    "stats_binseg_changepoints": 4_800,
 }
 
 

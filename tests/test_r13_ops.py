@@ -509,3 +509,71 @@ def test_absorbing_markov_hand_chain(spark, tmp_path, qs):
         ).collect()
     }
     assert got == {"click": 1.0, "view": 2.0}
+
+
+# --------------------------------------- SES alpha grid: zero-error series
+def test_ses_alpha_grid_constant_series(spark, tmp_path, qs):
+    months = [dt.date(2021, m, 5) for m in range(1, 7)]
+    _write_orders(
+        tmp_path,
+        [(i, 1, 100.0, d, "1-URGENT") for i, d in enumerate(months)],
+    )
+    rows = qs["forecast_ses_alpha_grid"].fn(spark, str(tmp_path)).collect()
+    assert [r.alpha for r in rows] == [0.1, 0.3, 0.5, 0.7, 0.9]
+    # constant series: SES is exact at every alpha -> all tie at rmse 0
+    assert all(r.rmse == 0.0 for r in rows)
+    assert all(bool(r.is_best) for r in rows)
+
+
+def test_ses_alpha_grid_unique_best_on_fixture(spark, qs):
+    rows = qs["forecast_ses_alpha_grid"].fn(spark, SF_DIR).collect()
+    assert len(rows) == 5
+    assert all(r.rmse > 0 for r in rows)
+    best = [r for r in rows if r.is_best]
+    assert len(best) >= 1
+    assert min(r.rmse for r in rows) == best[0].rmse
+
+
+# ------------------------------------------------- LPT packing by hand
+def test_lpt_shard_balance_hand_packing(spark, tmp_path, qs):
+    sizes = [10, 7, 5, 4, 3, 3]
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array(range(len(sizes)), pa.int64()),
+            "text": pa.array(["x"] * len(sizes)),
+            "lang": pa.array([f"l{i}" for i in range(len(sizes))]),
+            "source": pa.array(["s"] * len(sizes)),
+            "n_chars": pa.array(sizes, pa.int64()),
+        }),
+        str(tmp_path / "documents.parquet"),
+    )
+    rows = {
+        r.bin: r
+        for r in qs["pipeline_lpt_shard_balance"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    }
+    # LPT trace: 10->b1, 7->b2, 5->b3, 4->b4, 3->b4(4), 3->b2? no: loads
+    # after four: [10,7,5,4]; 3 -> b4 (min 4) -> 7; 3 -> b3? min is now
+    # b2=7,b3=5,b4=7 -> b3 -> 8. Final [10,7,8,7].
+    assert (rows[1].n_groups, rows[1].bin_chars) == (1, 10)
+    assert (rows[2].n_groups, rows[2].bin_chars) == (1, 7)
+    assert (rows[3].n_groups, rows[3].bin_chars) == (2, 8)
+    assert (rows[4].n_groups, rows[4].bin_chars) == (2, 7)
+    assert all(r.makespan_ratio == 1.25 for r in rows.values())
+
+
+# --------------------------------------- binary segmentation by hand
+def test_binseg_recovers_planted_staircase(spark, tmp_path, qs):
+    days = [dt.date(2021, 10, d) for d in range(1, 9)]
+    revs = [1.0, 1.0, 5.0, 5.0, 9.0, 9.0, 13.0, 13.0]
+    _write_orders(
+        tmp_path,
+        [(i, 1, rev, d, "1-URGENT")
+         for i, (d, rev) in enumerate(zip(days, revs))],
+    )
+    rows = qs["stats_binseg_changepoints"].fn(spark, str(tmp_path)).collect()
+    got = [(r.start_day.day, r.end_day.day, r.n_days, r.mean_rev)
+           for r in rows]
+    assert got == [(1, 2, 2, 1.0), (3, 4, 2, 5.0),
+                   (5, 6, 2, 9.0), (7, 8, 2, 13.0)]

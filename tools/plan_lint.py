@@ -108,6 +108,13 @@ GLOBAL_WINDOW_OK = {
     "quality_anomaly_stl_residual":
         "trend/median/MAD windows over the day-grain post-aggregation "
         "series (bounded by calendar span)",
+    "pipeline_lpt_shard_balance":
+        "size rank over the (lang x source) group table (bounded grain; "
+        "the LPT greedy itself is one fold)",
+    "stats_binseg_changepoints":
+        "per-segment CUSUM windows over the day-grain series (level-0 "
+        "segment label is a constant, so its window plans as a single "
+        "partition; bounded by calendar span)",
     "stats_nelson_aalen_cumhaz":
         "hazard/variance prefix sums over the duration-grain table "
         "(<= max-session-minutes rows, same grain as Kaplan-Meier)",
