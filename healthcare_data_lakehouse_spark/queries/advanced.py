@@ -2234,3 +2234,114 @@ def stats_nelson_aalen_cumhaz(spark: SparkSession, sf_dir: str) -> DataFrame:
             "fh_survival",
         )
     )
+
+
+# --------------------------------------- maximum drawdown (running extreme)
+@register(
+    "finance_max_drawdown_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100 AS DECIMAL(38,8)),
+                    0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    curve2 AS (
+        SELECT day, cents AS equity,
+               CAST(MAX(cents) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS runmax
+        FROM daily
+    ),
+    trough AS (
+        SELECT day, equity, runmax, dd FROM (
+            SELECT day, equity, runmax, runmax - equity AS dd,
+                   ROW_NUMBER() OVER (ORDER BY runmax - equity DESC, day)
+                       AS rn
+            FROM curve2
+        ) WHERE rn = 1
+    ),
+    peak AS (
+        SELECT MIN(c.day) AS peak_day
+        FROM curve2 c, trough t
+        WHERE c.equity = t.runmax AND c.day <= t.day
+    )
+    SELECT p.peak_day, t.day AS trough_day,
+           t.runmax AS peak_day_cents,
+           t.equity AS trough_day_cents,
+           CAST(t.dd AS BIGINT) AS max_drawdown_cents,
+           {dround_sql("CAST(t.dd AS DOUBLE) / t.runmax", 6)}
+               AS drawdown_frac
+    FROM trough t, peak p
+    """,
+    description="Maximum drawdown of the daily-revenue level series — "
+    "the canonical running-extreme scan analytic (finance risk metric "
+    "applied to the ops KPI: the deepest slump below the best revenue "
+    "day seen so far; a CUMULATIVE revenue curve is monotone because "
+    "daily revenue is nonnegative, so the level series is the curve "
+    "with actual drawdowns): runmax_t = prefix max of day cents, "
+    "drawdown_t = runmax_t - cents_t; report the deepest drawdown with "
+    "its peak day (earliest day attaining the trough's running max) "
+    "and trough day (earliest day attaining the max drawdown — "
+    "ROW_NUMBER tiebreak on day). Revenue is integer CENTS so every "
+    "prefix max / difference is exact on both engines; the only float "
+    "op is the final drawdown fraction over identical integers. The "
+    "running-max window runs over the DAY-GRAIN post-aggregation "
+    "series (bounded by calendar span — one agg shuffle collapses "
+    "100 TB of orders first); the peak lookup is a broadcast join of "
+    "the 1-row trough against the same day-grain curve.",
+)
+def finance_max_drawdown_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round(
+                (F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    curve2 = daily.select(
+        "day",
+        F.col("cents").alias("equity"),
+        F.max("cents").over(w).cast("bigint").alias("runmax"),
+    )
+    trough = (
+        curve2.withColumn("dd", F.col("runmax") - F.col("equity"))
+        .withColumn(
+            "rn",
+            F.row_number().over(Window.orderBy(F.desc("dd"), "day")),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    peak = (
+        curve2.select(
+            F.col("day").alias("pday"),
+            F.col("equity").alias("pequity"),
+        )
+        .join(
+            F.broadcast(
+                trough.select(
+                    F.col("day").alias("tday"),
+                    F.col("runmax").alias("trunmax"),
+                )
+            ),
+            (F.col("pequity") == F.col("trunmax"))
+            & (F.col("pday") <= F.col("tday")),
+        )
+        .agg(F.min("pday").alias("peak_day"))
+    )
+    return trough.crossJoin(F.broadcast(peak)).select(
+        "peak_day",
+        F.col("day").alias("trough_day"),
+        F.col("runmax").alias("peak_day_cents"),
+        F.col("equity").alias("trough_day_cents"),
+        F.col("dd").cast("bigint").alias("max_drawdown_cents"),
+        dround(
+            F.col("dd").cast("double") / F.col("runmax"), 6
+        ).alias("drawdown_frac"),
+    )

@@ -4159,3 +4159,178 @@ def forecast_ses_alpha_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("alpha")
     )
+
+
+# -------------------- hierarchical forecast reconciliation (top-down)
+@register(
+    "forecast_hierarchical_topdown",
+    oracle=f"""
+    WITH mp AS (
+        SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+               o_orderpriority AS priority,
+               CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100
+                    AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1, 2
+    ),
+    mm AS (SELECT MIN(month) AS minm, MAX(month) AS maxm FROM mp),
+    monthly AS (
+        SELECT month, CAST(SUM(cents) AS BIGINT) AS cents
+        FROM mp GROUP BY 1
+    ),
+    idxed AS (
+        SELECT CAST(datediff('month', mm.minm, m.month) AS BIGINT) AS x,
+               m.cents AS y
+        FROM monthly m, mm
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy,
+               CAST(SUM(x * x) AS BIGINT) AS sx2,
+               CAST(MAX(x) AS BIGINT) AS maxx
+        FROM idxed
+    ),
+    fit AS (
+        SELECT n, sx, sy, maxx,
+               (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+               / (CAST(n AS DOUBLE) * sx2 - CAST(sx AS DOUBLE) * sx)
+                   AS slope
+        FROM mom
+    ),
+    fit2 AS (
+        SELECT maxx, slope,
+               (CAST(sy AS DOUBLE) - slope * sx) / n AS intercept
+        FROM fit
+    ),
+    sh AS (
+        SELECT mp.priority, CAST(SUM(mp.cents) AS BIGINT) AS sp
+        FROM mp, mm
+        WHERE mp.month >= (mm.maxm - INTERVAL 11 MONTH)
+        GROUP BY 1
+    ),
+    sht AS (
+        SELECT priority, sp,
+               CAST(SUM(sp) OVER () AS BIGINT) AS stot
+        FROM sh
+    ),
+    hz AS (SELECT CAST(u.h AS BIGINT) AS h FROM UNNEST([1, 2, 3]) AS u(h))
+    SELECT CAST((mm.maxm + h * INTERVAL 1 MONTH) AS DATE)
+               AS forecast_month,
+           s.priority,
+           {dround_sql("CAST(s.sp AS DOUBLE) / s.stot", 6)} AS share,
+           {dround_sql(
+               "(f.intercept + f.slope * (f.maxx + h)) / 100.0", 2)}
+               AS total_forecast_usd,
+           {dround_sql(
+               "(f.intercept + f.slope * (f.maxx + h))"
+               " * (CAST(s.sp AS DOUBLE) / s.stot) / 100.0", 2)}
+               AS forecast_usd
+    FROM hz, fit2 f, sht s, mm
+    ORDER BY forecast_month, priority
+    """,
+    description="Hierarchical forecast reconciliation, top-down (the "
+    "standard coherence strategy for forecasting at scale — fit ONE "
+    "reliable aggregate model, allocate to the hierarchy by historical "
+    "proportions, and every level sums to its parent by construction; "
+    "Hyndman & Athanasopoulos FPP ch. 11): an exact-OLS linear trend on "
+    "monthly TOTAL revenue (integer-cents moments, closed-form slope/"
+    "intercept — deterministic on both engines) projects 3 months "
+    "ahead; trailing-12-month revenue shares per order priority "
+    "allocate each total. At 100 TB with 1M bottom-level series this "
+    "shape is why top-down survives: the model fits on the day/month "
+    "grain aggregate (one shuffle collapses the fact table), the "
+    "allocation is a broadcast join of the |hierarchy|-row share "
+    "table, and no per-series state is ever materialized. The share "
+    "normalization is one window over the 5-row priority aggregate; "
+    "month indexes derive from datediff (no ordered window).",
+)
+def forecast_hierarchical_topdown(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    mp = orders.groupBy(
+        F.trunc("o_orderdate", "month").alias("month"),
+        F.col("o_orderpriority").alias("priority"),
+    ).agg(
+        F.sum(
+            F.round(
+                (F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    mm = mp.agg(
+        F.min("month").alias("minm"), F.max("month").alias("maxm")
+    )
+    monthly = mp.groupBy("month").agg(
+        F.sum("cents").cast("bigint").alias("cents")
+    )
+    idxed = monthly.crossJoin(F.broadcast(mm)).select(
+        F.months_between(F.col("month"), F.col("minm"))
+        .cast("bigint")
+        .alias("x"),
+        F.col("cents").alias("y"),
+    )
+    mom = idxed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sx2"),
+        F.max("x").cast("bigint").alias("maxx"),
+    )
+    fit = mom.select(
+        "n",
+        "sx",
+        "sy",
+        "maxx",
+        (
+            (F.col("n").cast("double") * F.col("sxy")
+             - F.col("sx").cast("double") * F.col("sy"))
+            / (F.col("n").cast("double") * F.col("sx2")
+               - F.col("sx").cast("double") * F.col("sx"))
+        ).alias("slope"),
+    )
+    fit2 = fit.select(
+        "maxx",
+        "slope",
+        (
+            (F.col("sy").cast("double") - F.col("slope") * F.col("sx"))
+            / F.col("n")
+        ).alias("intercept"),
+    )
+    sh = (
+        mp.crossJoin(F.broadcast(mm))
+        .filter(F.col("month") >= F.add_months(F.col("maxm"), -11))
+        .groupBy("priority")
+        .agg(F.sum("cents").cast("bigint").alias("sp"))
+    )
+    sht = sh.select(
+        "priority",
+        "sp",
+        F.sum("sp")
+        .over(Window.partitionBy())
+        .cast("bigint")
+        .alias("stot"),
+    )
+    hz = spark.range(1, 4).select(F.col("id").cast("bigint").alias("h"))
+    share = F.col("sp").cast("double") / F.col("stot")
+    total_fc = F.col("intercept") + F.col("slope") * (
+        F.col("maxx") + F.col("h")
+    )
+    return (
+        hz.crossJoin(F.broadcast(fit2))
+        .crossJoin(F.broadcast(sht))
+        .crossJoin(F.broadcast(mm))
+        .select(
+            F.add_months(F.col("maxm"), F.col("h").cast("int"))
+            .alias("forecast_month"),
+            "priority",
+            dround(share, 6).alias("share"),
+            dround(total_fc / 100.0, 2).alias("total_forecast_usd"),
+            dround(total_fc * share / 100.0, 2).alias("forecast_usd"),
+        )
+        .orderBy("forecast_month", "priority")
+    )

@@ -2702,3 +2702,225 @@ def events_burst_intervals_dp(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("burst_start")
     )
+
+
+# --------------------- row-pattern matching: V-shape days (MATCH_RECOGNIZE)
+@register(
+    "events_pattern_vshape_days",
+    oracle="""
+    WITH daily AS (
+        SELECT CAST(ts AS DATE) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    ctx AS (
+        SELECT day, n,
+               LAG(n, 2)  OVER (ORDER BY day) AS l2,
+               LAG(n, 1)  OVER (ORDER BY day) AS l1,
+               LEAD(n, 1) OVER (ORDER BY day) AS r1,
+               LEAD(n, 2) OVER (ORDER BY day) AS r2
+        FROM daily
+    )
+    SELECT day AS trough_day, n AS n_trough,
+           CAST(l2 - n AS BIGINT) AS depth_left,
+           CAST(r2 - n AS BIGINT) AS depth_right
+    FROM ctx
+    WHERE l2 > l1 AND l1 > n AND n < r1 AND r1 < r2
+    ORDER BY trough_day
+    """,
+    description="SQL:2016 MATCH_RECOGNIZE-style row-pattern matching, "
+    "emulated with lag/lead chains (the standard rewrite on engines "
+    "without native MATCH_RECOGNIZE; Spark has none): find every "
+    "V-shape in the daily event-count series — a strict two-step "
+    "decline into a trough followed by a strict two-step recovery "
+    "(PATTERN (DOWN DOWN UP UP) with DOWN AS n < PREV(n), UP AS "
+    "n > PREV(n), reported at the trough row). Fixed-length patterns "
+    "compile to a constant number of LAG/LEAD taps on one ordered "
+    "window — no joins, no state machine; variable-length quantifiers "
+    "are the segment-id construction used by events_type_runs. Matches "
+    "are over ROW adjacency in the day series (calendar gaps compress, "
+    "as MATCH_RECOGNIZE over an ordered cursor would). Counts are "
+    "integer-exact on both engines; the single ordered window runs "
+    "over the DAY-GRAIN post-aggregation series (bounded by calendar "
+    "span — the 100 TB event scan collapses in the one groupBy first).",
+)
+def events_pattern_vshape_days(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    daily = events.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    w = Window.orderBy("day")
+    ctx = daily.select(
+        "day",
+        "n",
+        F.lag("n", 2).over(w).alias("l2"),
+        F.lag("n", 1).over(w).alias("l1"),
+        F.lead("n", 1).over(w).alias("r1"),
+        F.lead("n", 2).over(w).alias("r2"),
+    )
+    return (
+        ctx.filter(
+            (F.col("l2") > F.col("l1"))
+            & (F.col("l1") > F.col("n"))
+            & (F.col("n") < F.col("r1"))
+            & (F.col("r1") < F.col("r2"))
+        )
+        .select(
+            F.col("day").alias("trough_day"),
+            F.col("n").alias("n_trough"),
+            (F.col("l2") - F.col("n")).cast("bigint").alias("depth_left"),
+            (F.col("r2") - F.col("n")).cast("bigint").alias("depth_right"),
+        )
+        .orderBy("trough_day")
+    )
+
+
+# ----------------- funnel latency: exact time-to-convert percentiles
+@register(
+    "events_funnel_time_to_convert",
+    oracle=f"""
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS vts FROM events
+        WHERE event_type = 'view' GROUP BY 1
+    ),
+    conv AS (
+        SELECT v.user_id,
+               CAST(epoch_us(MIN(e.ts)) - epoch_us(v.vts) AS BIGINT)
+                   AS delta_us
+        FROM v JOIN events e
+          ON e.user_id = v.user_id
+         AND e.event_type = 'purchase' AND e.ts > v.vts
+        GROUP BY v.user_id, v.vts
+    ),
+    n AS (
+        SELECT CAST((SELECT COUNT(*) FROM v) AS BIGINT) AS n_viewers,
+               CAST(COUNT(*) AS BIGINT) AS n_conv,
+               CAST(SUM(delta_us) AS BIGINT) AS sum_us
+        FROM conv
+    ),
+    dist AS (
+        SELECT delta_us, CAST(COUNT(*) AS BIGINT) AS c FROM conv GROUP BY 1
+    ),
+    cum AS (
+        SELECT delta_us,
+               CAST(SUM(c) OVER (ORDER BY delta_us
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cc
+        FROM dist
+    ),
+    ks AS (
+        SELECT n_viewers, n_conv, sum_us,
+               CAST(FLOOR((n_conv + 1) / 2.0) AS BIGINT) AS k_med,
+               CAST(FLOOR((9 * n_conv + 9) / 10.0) AS BIGINT) AS k_p90
+        FROM n
+    )
+    SELECT k.n_viewers, k.n_conv,
+           {dround_sql("CAST(k.n_conv AS DOUBLE) / k.n_viewers", 6)}
+               AS conversion_rate,
+           {dround_sql(
+               "CAST((SELECT MIN(delta_us) FROM cum WHERE cc >= k.k_med)"
+               " AS DOUBLE) / 1000000.0", 3)} AS median_s,
+           {dround_sql(
+               "CAST((SELECT MIN(delta_us) FROM cum WHERE cc >= k.k_p90)"
+               " AS DOUBLE) / 1000000.0", 3)} AS p90_s,
+           {dround_sql(
+               "CAST(k.sum_us AS DOUBLE) / k.n_conv / 1000000.0", 3)}
+               AS mean_s
+    FROM ks k
+    """,
+    description="Funnel latency distribution — EXACT time-to-convert "
+    "percentiles from first view to first subsequent purchase (the "
+    "metric behind conversion-SLA dashboards; the latency complement "
+    "to events_funnel_view_click_purchase's step counts and "
+    "events_conversion_window_sensitivity's window sweep): per user, "
+    "delta = first purchase after the first view, in INTEGER "
+    "microseconds (epoch_us on both engines — sums and counts exact); "
+    "median (lower, k=floor((n+1)/2)) and p90 (k=ceil(0.9n)) are "
+    "order statistics selected from the distinct-delta aggregate's "
+    "prefix-sum — the stats_twopass_exact_median selection, never a "
+    "full sort of user rows. The one ordered window runs over the "
+    "distinct-latency aggregate (continuous-microsecond scale: bin to "
+    "seconds or use the partition-offset scheme at 1e9+ converters, "
+    "the stats_ks_exponential_interarrival caveat). The only float "
+    "ops are the final rate/second divisions over identical "
+    "integers.",
+)
+def events_funnel_time_to_convert(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    v = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    conv = (
+        v.join(
+            events.filter(F.col("event_type") == "purchase").select(
+                "user_id", F.col("ts").alias("pts")
+            ),
+            "user_id",
+        )
+        .filter(F.col("pts") > F.col("vts"))
+        .groupBy("user_id", "vts")
+        .agg(F.min("pts").alias("pts"))
+        .select(
+            (F.unix_micros("pts") - F.unix_micros("vts"))
+            .cast("bigint")
+            .alias("delta_us")
+        )
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewers"))
+    n = conv.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_conv"),
+        F.sum("delta_us").cast("bigint").alias("sum_us"),
+    ).crossJoin(F.broadcast(nv))
+    dist = conv.groupBy("delta_us").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    wcum = Window.orderBy("delta_us").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = dist.select(
+        "delta_us", F.sum("c").over(wcum).cast("bigint").alias("cc")
+    )
+    ks = n.select(
+        "n_viewers",
+        "n_conv",
+        "sum_us",
+        F.floor((F.col("n_conv") + 1) / 2.0).cast("bigint").alias("k_med"),
+        F.floor((9 * F.col("n_conv") + 9) / 10.0)
+        .cast("bigint")
+        .alias("k_p90"),
+    )
+    sel = cum.crossJoin(F.broadcast(ks))
+    med = sel.filter(F.col("cc") >= F.col("k_med")).agg(
+        F.min("delta_us").alias("med_us")
+    )
+    p90 = sel.filter(F.col("cc") >= F.col("k_p90")).agg(
+        F.min("delta_us").alias("p90_us")
+    )
+    return (
+        ks.crossJoin(F.broadcast(med))
+        .crossJoin(F.broadcast(p90))
+        .select(
+            "n_viewers",
+            "n_conv",
+            dround(
+                F.col("n_conv").cast("double") / F.col("n_viewers"), 6
+            ).alias("conversion_rate"),
+            dround(
+                F.col("med_us").cast("double") / 1000000.0, 3
+            ).alias("median_s"),
+            dround(
+                F.col("p90_us").cast("double") / 1000000.0, 3
+            ).alias("p90_s"),
+            dround(
+                F.col("sum_us").cast("double")
+                / F.col("n_conv")
+                / 1000000.0,
+                3,
+            ).alias("mean_s"),
+        )
+    )

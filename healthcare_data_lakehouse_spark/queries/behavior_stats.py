@@ -4170,3 +4170,250 @@ def stats_binseg_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("start_day", "end_day", "n_days", "mean_rev")
         .orderBy("start_day")
     )
+
+
+# ------------- regression decision stump: distributed exact best split
+@register(
+    "stats_decision_stump_split",
+    oracle=f"""
+    WITH per AS (
+        SELECT CAST(l_quantity AS INTEGER) AS v,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(CAST(l_extendedprice * 100
+                    AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT) AS s
+        FROM lineitem GROUP BY 1
+    ),
+    cum AS (
+        SELECT v,
+               CAST(SUM(n) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS nl,
+               CAST(SUM(s) OVER (ORDER BY v
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sl
+        FROM per
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nt,
+               CAST(SUM(s) AS BIGINT) AS st
+        FROM per
+    ),
+    gains AS (
+        SELECT v, nl, sl, nt - nl AS nr, st - sl AS sr,
+               (CAST(sl AS DOUBLE) * sl / nl
+                + CAST(st - sl AS DOUBLE) * (st - sl) / (nt - nl)
+                - CAST(st AS DOUBLE) * st / nt) / 100000000.0 AS gain
+        FROM cum, tot WHERE nl < nt
+    )
+    SELECT v AS split_quantity, nl AS n_left, nr AS n_right,
+           {dround_sql("CAST(sl AS DOUBLE) / nl / 100.0", 4)} AS mean_left,
+           {dround_sql("CAST(sr AS DOUBLE) / nr / 100.0", 4)} AS mean_right,
+           {dround_sql("gain", 4)} AS gain_usd2
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (
+            ORDER BY {dround_sql("gain", 4)} DESC, v) AS rn
+        FROM gains
+    ) WHERE rn = 1
+    """,
+    description="Regression decision stump via distributed exact best-split "
+    "search — the inner loop of CART / gradient-boosted trees (Breiman "
+    "1984; XGBoost's exact greedy algorithm), reduced to its Spark-native "
+    "form: ONE groupBy collapses the fact table to per-feature-value "
+    "sufficient statistics (count, target sum), ONE ordered prefix-sum "
+    "window turns them into every candidate split's left/right stats "
+    "simultaneously, and the variance-reduction objective "
+    "SL^2/NL + SR^2/NR - S^2/N (the n*Var(parent) - n*Var(children) "
+    "identity, constant terms cancelled) selects the split in a single "
+    "argmax. Target is integer CENTS so every count / sum / prefix sum "
+    "is exact on both engines; sums stay below 2^53, so the squared "
+    "terms are identical IEEE double products of identical integers, in "
+    "mirrored association order. Gain is reported in dollars^2 and "
+    "dround(4)-pinned BEFORE the argmax with a split-value tiebreak. "
+    "The ordered window runs over the DISTINCT-QUANTITY aggregate "
+    "(TPC-H quantities: <= 50 rows at any corpus size — the bounded "
+    "feature domain is what makes exact split search cheap; continuous "
+    "features go through the histogram binning the approx algorithms "
+    "use, same plan shape).",
+)
+def stats_decision_stump_split(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    per = li.groupBy(F.col("l_quantity").cast("int").alias("v")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(
+            F.round(
+                (F.col("l_extendedprice") * 100).cast("decimal(38,8)"), 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("s"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "v",
+        F.sum("n").over(w).cast("bigint").alias("nl"),
+        F.sum("s").over(w).cast("bigint").alias("sl"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("nt"),
+        F.sum("s").cast("bigint").alias("st"),
+    )
+    gains = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("nt"))
+        .select(
+            "v",
+            "nl",
+            "sl",
+            (F.col("nt") - F.col("nl")).alias("nr"),
+            (F.col("st") - F.col("sl")).alias("sr"),
+            (
+                (
+                    F.col("sl").cast("double") * F.col("sl") / F.col("nl")
+                    + (F.col("st") - F.col("sl")).cast("double")
+                    * (F.col("st") - F.col("sl"))
+                    / (F.col("nt") - F.col("nl"))
+                    - F.col("st").cast("double")
+                    * F.col("st")
+                    / F.col("nt")
+                )
+                / 100000000.0
+            ).alias("gain"),
+        )
+    )
+    return (
+        gains.withColumn(
+            "rn",
+            F.row_number().over(
+                Window.orderBy(F.desc(dround(F.col("gain"), 4)), "v")
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("v").alias("split_quantity"),
+            F.col("nl").alias("n_left"),
+            F.col("nr").alias("n_right"),
+            dround(F.col("sl").cast("double") / F.col("nl") / 100.0, 4)
+            .alias("mean_left"),
+            dround(F.col("sr").cast("double") / F.col("nr") / 100.0, 4)
+            .alias("mean_right"),
+            dround(F.col("gain"), 4).alias("gain_usd2"),
+        )
+    )
+
+
+# ---------- leave-one-out target encoding (closed-form category audit)
+@register(
+    "stats_target_encoding_loo",
+    oracle=f"""
+    WITH y AS (
+        SELECT o_orderpriority AS priority,
+               CAST(ROUND(CAST(o_totalprice * 100 AS DECIMAL(38,8)), 0)
+                    AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS nt,
+               CAST(SUM(cents) AS BIGINT) AS st
+        FROM y
+    ),
+    c AS (
+        SELECT priority,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS s,
+               CAST(MIN(cents) AS BIGINT) AS ymin,
+               CAST(MAX(cents) AS BIGINT) AS ymax
+        FROM y GROUP BY 1
+    ),
+    e AS (
+        SELECT c.priority, c.n, c.s, c.ymin, c.ymax,
+               CAST(c.s AS DOUBLE)
+                   + 20.0 * (CAST(g.st AS DOUBLE) / g.nt) AS a,
+               CAST(c.n + 19 AS DOUBLE) AS b
+        FROM c, g
+    )
+    SELECT priority, n,
+           {dround_sql("CAST(s AS DOUBLE) / n / 100.0", 4)} AS raw_mean,
+           {dround_sql(
+               "(CAST(n AS DOUBLE) * a - CAST(s AS DOUBLE))"
+               " / (CAST(n AS DOUBLE) * b) / 100.0", 4)} AS enc_avg,
+           {dround_sql("(a - CAST(ymax AS DOUBLE)) / b / 100.0", 4)}
+               AS enc_min,
+           {dround_sql("(a - CAST(ymin AS DOUBLE)) / b / 100.0", 4)}
+               AS enc_max
+    FROM e ORDER BY priority
+    """,
+    description="Leave-one-out target encoding with additive smoothing "
+    "(the CatBoost/Kaggle-standard categorical feature: enc_i = "
+    "(S_c - y_i + m*G)/(n_c - 1 + m), m=20, G = global target mean — "
+    "each row's own target is EXCLUDED from its encoding, which is "
+    "what keeps the feature leakage-free; companion discipline to "
+    "sample_leakage_free_split), audited in CLOSED FORM: because the "
+    "encoding is an affine map of y_i, the per-category average / min "
+    "/ max of the row-level encodings derive exactly from the "
+    "category's (n, sum, min, max) sufficient statistics — avg = "
+    "(n*A - S)/(n*B), extremes swap min/max through the negation — so "
+    "the audit needs ONE groupBy + a broadcast global row, never a "
+    "per-row float aggregation whose summation order could diverge "
+    "across engines. The row-level transform itself at 100 TB is the "
+    "trivial map side of this plan: broadcast the |categories|-row "
+    "stats table and apply the affine formula per row, zero extra "
+    "shuffles. Target is integer CENTS; every sufficient statistic is "
+    "exact.",
+)
+def stats_target_encoding_loo(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    y = orders.select(
+        F.col("o_orderpriority").alias("priority"),
+        F.round((F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0)
+        .cast("bigint")
+        .alias("cents"),
+    )
+    g = y.agg(
+        F.count(F.lit(1)).cast("bigint").alias("nt"),
+        F.sum("cents").cast("bigint").alias("st"),
+    )
+    c = y.groupBy("priority").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("s"),
+        F.min("cents").cast("bigint").alias("ymin"),
+        F.max("cents").cast("bigint").alias("ymax"),
+    )
+    e = c.crossJoin(F.broadcast(g)).select(
+        "priority",
+        "n",
+        "s",
+        "ymin",
+        "ymax",
+        (
+            F.col("s").cast("double")
+            + 20.0 * (F.col("st").cast("double") / F.col("nt"))
+        ).alias("a"),
+        (F.col("n") + 19).cast("double").alias("b"),
+    )
+    return e.select(
+        "priority",
+        "n",
+        dround(F.col("s").cast("double") / F.col("n") / 100.0, 4)
+        .alias("raw_mean"),
+        dround(
+            (F.col("n").cast("double") * F.col("a")
+             - F.col("s").cast("double"))
+            / (F.col("n").cast("double") * F.col("b"))
+            / 100.0,
+            4,
+        ).alias("enc_avg"),
+        dround(
+            (F.col("a") - F.col("ymax").cast("double"))
+            / F.col("b")
+            / 100.0,
+            4,
+        ).alias("enc_min"),
+        dround(
+            (F.col("a") - F.col("ymin").cast("double"))
+            / F.col("b")
+            / 100.0,
+            4,
+        ).alias("enc_max"),
+    ).orderBy("priority")

@@ -1991,3 +1991,100 @@ def transform_python_hatch_features(
         )
         .orderBy("lang")
     )
+
+
+# --------------------------------- deletion vectors (merge-on-read DELETE)
+@register(
+    "load_deletion_vector_read",
+    oracle="""
+    WITH t AS (
+        SELECT o_orderkey AS id, o_totalprice AS totalprice,
+               o_orderstatus AS status,
+               (o_orderstatus = 'F' AND o_orderkey % 10 < 3) AS p1,
+               (o_totalprice > 400000) AS p2
+        FROM orders
+    )
+    SELECT status,
+           CAST(SUM(CASE WHEN NOT p1 AND NOT p2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_live,
+           CAST(SUM(CASE WHEN p1 OR p2 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_deleted,
+           CAST(SUM(CASE WHEN NOT p1 AND NOT p2
+                THEN CAST(ROUND(CAST(totalprice * 100 AS DECIMAL(38,8)),
+                     0) AS BIGINT) ELSE 0 END) AS BIGINT) AS live_cents
+    FROM t GROUP BY status ORDER BY status
+    """,
+    description="Merge-on-read DELETE via deletion vectors "
+    "(zones_dv.DVZoneStore; Delta deletion vectors / Iceberg v2 "
+    "equality deletes): the dataset lands as TWO append commits, then "
+    "two successive DELETEs write only the deleted-key vectors — the "
+    "data commits are never rewritten (pinned by tests: the commit "
+    "list and data files are byte-identical across both deletes), and "
+    "the read path applies the vectors as one anti-join. The query "
+    "reconstructs the audit from the store's own surfaces: live "
+    "per-status counts from the DV-applied read, deleted counts by "
+    "anti-joining the pre-delete time-travel snapshot (version 2) "
+    "against the live read — so the driver row certifies scan, vector "
+    "application, AND DV time-travel replay against the one-shot SQL "
+    "predicate. At 100 TB this is the delete that costs O(|deleted "
+    "keys|) instead of rewriting every touched commit; the read-time "
+    "join tax is bounded by purge_dv() compaction (exercised in "
+    "tests).",
+)
+def load_deletion_vector_read(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.zones_dv import DVZoneStore
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    store = DVZoneStore(spark, scratch_dir("zs_dv_"))
+    store.write(
+        DataZone.SILVER, "orders_dv", orders.filter(F.col("id") % 2 == 0),
+        LoadType.FULL,
+    )
+    store.write(
+        DataZone.SILVER, "orders_dv", orders.filter(F.col("id") % 2 == 1),
+        LoadType.APPEND,
+    )
+    store.delete_where_dv(
+        DataZone.SILVER, "orders_dv", "status = 'F' AND id % 10 < 3"
+    )
+    store.delete_where_dv(
+        DataZone.SILVER, "orders_dv", "totalprice > 400000"
+    )
+    live = store.read(DataZone.SILVER, "orders_dv")
+    pre = store.read_version(DataZone.SILVER, "orders_dv", 2)
+    deleted = pre.join(live.select("id"), "id", "left_anti")
+    cents = F.sum(
+        F.round((F.col("totalprice") * 100).cast("decimal(38,8)"), 0)
+        .cast("bigint")
+    ).cast("bigint")
+    lg = live.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live"),
+        cents.alias("live_cents"),
+    )
+    dg = deleted.groupBy("status").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_deleted")
+    )
+    # full outer: a status whose rows were ALL deleted still reports
+    # (n_live=0, live_cents=0), matching the oracle's one-shot GROUP BY
+    return (
+        lg.join(dg, "status", "full_outer")
+        .select(
+            "status",
+            F.coalesce(F.col("n_live"), F.lit(0))
+            .cast("bigint")
+            .alias("n_live"),
+            F.coalesce(F.col("n_deleted"), F.lit(0))
+            .cast("bigint")
+            .alias("n_deleted"),
+            F.coalesce(F.col("live_cents"), F.lit(0))
+            .cast("bigint")
+            .alias("live_cents"),
+        )
+        .orderBy("status")
+    )

@@ -2722,3 +2722,83 @@ def pipeline_lpt_shard_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+# ------------- deterministic weighted source interleave (mixing schedule)
+@register(
+    "pipeline_mixture_interleave_order",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, lang,
+               CAST((2 * ROW_NUMBER() OVER (
+                        PARTITION BY lang ORDER BY doc_id) - 1)
+                    * (CASE lang WHEN 'en' THEN 2
+                                 WHEN 'zh' THEN 5
+                                 ELSE 10 END) AS BIGINT) AS k
+        FROM documents
+    ),
+    pref AS (
+        SELECT * FROM keyed ORDER BY k, lang, doc_id LIMIT 100
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY k, lang, doc_id) AS BIGINT)
+               AS ordinal,
+           doc_id, lang, k,
+           CAST(COUNT(*) OVER (PARTITION BY lang ORDER BY k, doc_id
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_lang_so_far
+    FROM pref
+    ORDER BY ordinal
+    """,
+    description="Deterministic weighted interleave of language sub-corpora "
+    "into one training-stream order — the materialized form of the "
+    "mixing schedule a data loader would otherwise improvise at read "
+    "time (target rates en 50%, zh 20%, es/de/fr 10% each). Pure "
+    "integer stride scheduling: the i-th document of a language with "
+    "integer stride s (s = 10 / weight_decile: en 2, zh 5, rest 10) "
+    "gets key (2i-1)*s, so sorting by key emits languages at their "
+    "target rates with NO float arithmetic, no RNG, and byte-identical "
+    "order on every engine (ties across languages at common multiples "
+    "break by lang, doc_id). Every prefix of the stream holds the "
+    "mixture property — which is the point: training can stop at any "
+    "token budget and have consumed the declared mix. The per-language "
+    "row number partitions by lang (at 1e9+ docs per language the "
+    "partition-offset scheme of pipeline_global_row_index replaces it, "
+    "same note as er_sorted_neighborhood_pairs); the first-100 prefix "
+    "is TakeOrdered (per-partition top-k + merge, never a global "
+    "sort), and the ordinal/running-count windows run over the "
+    "100-row post-limit prefix only.",
+)
+def pipeline_mixture_interleave_order(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = table(spark, sf_dir, "documents").select("doc_id", "lang")
+    wsrc = Window.partitionBy("lang").orderBy("doc_id")
+    stride = (
+        F.when(F.col("lang") == "en", 2)
+        .when(F.col("lang") == "zh", 5)
+        .otherwise(10)
+    )
+    keyed = docs.select(
+        "doc_id",
+        "lang",
+        ((2 * F.row_number().over(wsrc) - 1) * stride)
+        .cast("bigint")
+        .alias("k"),
+    )
+    pref = keyed.orderBy("k", "lang", "doc_id").limit(100)
+    word = Window.orderBy("k", "lang", "doc_id")
+    wlang = (
+        Window.partitionBy("lang")
+        .orderBy("k", "doc_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        pref.select(
+            F.row_number().over(word).cast("bigint").alias("ordinal"),
+            "doc_id",
+            "lang",
+            "k",
+            F.count(F.lit(1)).over(wlang).cast("bigint")
+            .alias("n_lang_so_far"),
+        )
+        .orderBy("ordinal")
+    )

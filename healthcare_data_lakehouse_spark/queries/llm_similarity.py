@@ -3499,3 +3499,377 @@ def embedding_participation_ratio(
         dround(pr, 4).alias("participation_ratio"),
         dround(pr / 64.0, 4).alias("pr_fraction"),
     )
+
+
+# ------------------------- MMR diversity re-ranking (greedy, unrolled k=3)
+_MMR_REL6 = (
+    "CAST(ROUND("
+    + dround_sql(_cos_sql("e.embedding", "q.qv"), 6)
+    + " * 1000000, 0) AS BIGINT)"
+)
+_MMR_SIM6 = (
+    "CAST(ROUND("
+    + dround_sql(_cos_sql("a.embedding", "b.embedding"), 6)
+    + " * 1000000, 0) AS BIGINT)"
+)
+
+
+@register(
+    "similarity_mmr_rerank_top3",
+    oracle=f"""
+    WITH q AS (
+        SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        WHERE vec_id < 8
+    ),
+    scored AS (
+        SELECT q.qid, e.vec_id, {_MMR_REL6} AS rel6
+        FROM embeddings e, q WHERE e.vec_id >= 8
+    ),
+    pool AS (
+        SELECT qid, vec_id, rel6, rn FROM (
+            SELECT qid, vec_id, rel6,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY qid ORDER BY rel6 DESC, vec_id) AS rn
+            FROM scored
+        ) WHERE rn <= 10
+    ),
+    poolv AS (
+        SELECT p.qid, p.vec_id, p.rel6, e.embedding
+        FROM pool p JOIN embeddings e USING (vec_id)
+    ),
+    sims AS (
+        SELECT a.qid, a.vec_id AS aid, b.vec_id AS bid, {_MMR_SIM6} AS sim6
+        FROM poolv a JOIN poolv b
+          ON a.qid = b.qid AND a.vec_id <> b.vec_id
+    ),
+    s1 AS (
+        SELECT qid, vec_id, rel6, 7 * rel6 AS score_micro
+        FROM pool WHERE rn = 1
+    ),
+    ms2 AS (
+        SELECT s.qid, s.aid AS vec_id, MAX(s.sim6) AS maxsim6
+        FROM sims s JOIN s1 ON s1.qid = s.qid AND s1.vec_id = s.bid
+        GROUP BY s.qid, s.aid
+    ),
+    t2 AS (
+        SELECT p.qid, p.vec_id, p.rel6,
+               7 * p.rel6 - 3 * m.maxsim6 AS score_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY 7 * p.rel6 - 3 * m.maxsim6 DESC, p.vec_id
+               ) AS rn2
+        FROM pool p
+        JOIN ms2 m ON m.qid = p.qid AND m.vec_id = p.vec_id
+        LEFT JOIN s1 ON s1.qid = p.qid AND s1.vec_id = p.vec_id
+        WHERE s1.vec_id IS NULL
+    ),
+    s2 AS (SELECT qid, vec_id, rel6, score_micro FROM t2 WHERE rn2 = 1),
+    sel2 AS (
+        SELECT qid, vec_id FROM s1
+        UNION ALL SELECT qid, vec_id FROM s2
+    ),
+    ms3 AS (
+        SELECT s.qid, s.aid AS vec_id, MAX(s.sim6) AS maxsim6
+        FROM sims s JOIN sel2 ON sel2.qid = s.qid AND sel2.vec_id = s.bid
+        GROUP BY s.qid, s.aid
+    ),
+    t3 AS (
+        SELECT p.qid, p.vec_id, p.rel6,
+               7 * p.rel6 - 3 * m.maxsim6 AS score_micro,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.qid
+                   ORDER BY 7 * p.rel6 - 3 * m.maxsim6 DESC, p.vec_id
+               ) AS rn3
+        FROM pool p
+        JOIN ms3 m ON m.qid = p.qid AND m.vec_id = p.vec_id
+        LEFT JOIN sel2 ON sel2.qid = p.qid AND sel2.vec_id = p.vec_id
+        WHERE sel2.vec_id IS NULL
+    ),
+    s3 AS (SELECT qid, vec_id, rel6, score_micro FROM t3 WHERE rn3 = 1)
+    SELECT qid AS query_id, CAST(1 AS BIGINT) AS step, vec_id,
+           rel6 / 1000000.0 AS rel,
+           score_micro / 10000000.0 AS mmr_score
+    FROM s1
+    UNION ALL
+    SELECT qid, CAST(2 AS BIGINT), vec_id, rel6 / 1000000.0,
+           score_micro / 10000000.0
+    FROM s2
+    UNION ALL
+    SELECT qid, CAST(3 AS BIGINT), vec_id, rel6 / 1000000.0,
+           score_micro / 10000000.0
+    FROM s3
+    ORDER BY query_id, step
+    """,
+    description="Maximal-marginal-relevance re-ranking (Carbonell & "
+    "Goldstein 1998) — the standard diversity-aware selection pass over "
+    "a retrieval candidate pool (RAG context assembly, dedup-aware "
+    "search results): for each of 8 panel queries, take the top-10 "
+    "cosine candidates, then greedily select 3 maximizing "
+    "lambda*rel - (1-lambda)*max_sim_to_selected with lambda = 0.7. "
+    "The greedy recurrence is inherently sequential in k, so it is "
+    "UNROLLED (k=3) as pool -> argmax -> per-candidate max-sim refresh "
+    "-> argmax, every stage a qid-partitioned join/window — the same "
+    "unrolled-frontier discipline as graph_khop_expansion_profile. All "
+    "selection arithmetic is INTEGER micro-cosines (rel6 = "
+    "round(dround(cos,6)*1e6); score = 7*rel6 - 3*maxsim6, units 1e-7) "
+    "so argmax ties and float ulp can never diverge across engines — "
+    "the PERF_r13 SES lesson applied to ranking. Scale: the panel is "
+    "FIXED (8 queries), so the brute-force relevance arm is one linear "
+    "scan (at 100 TB the pool instead comes from the IVF/LSH ANN tiers "
+    "measured in this catalog — the MMR stages downstream of the pool "
+    "are identical); everything after pool formation touches <= 80 "
+    "rows per query.",
+)
+def similarity_mmr_rerank_top3(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    q = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+
+    def _i6(col):
+        return F.round(dround(col, 6) * 1000000, 0).cast("bigint")
+
+    scored = (
+        emb.filter(F.col("vec_id") >= 8)
+        .crossJoin(F.broadcast(q))
+        .select(
+            "qid",
+            "vec_id",
+            _i6(S.cosine(F.col("embedding"), F.col("qv"))).alias("rel6"),
+        )
+    )
+    wq = Window.partitionBy("qid").orderBy(F.desc("rel6"), "vec_id")
+    # 80 rows (8 queries x top-10); persisting pins the one expensive
+    # linear cosine scan to a single computation — every greedy stage
+    # branches off this tiny table (same canonical plan on repeat
+    # invocations, so Spark reuses one cache entry; day-grain persist
+    # precedent: stats_mann_kendall_trend).
+    pool = (
+        scored.withColumn("rn", F.row_number().over(wq))
+        .filter(F.col("rn") <= 10)
+        .persist()
+    )
+    poolv = pool.join(emb, "vec_id").select(
+        "qid", "vec_id", "rel6", "embedding"
+    )
+    a = poolv.select(
+        "qid", F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    b = poolv.select(
+        "qid", F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+    sims = (
+        a.join(b, "qid")
+        .filter(F.col("aid") != F.col("bid"))
+        .select(
+            "qid",
+            "aid",
+            "bid",
+            _i6(S.cosine(F.col("av"), F.col("bv"))).alias("sim6"),
+        )
+    )
+
+    def _next_pick(selected):
+        """Argmax of 7*rel6 - 3*max(sim6 to selected) over pool-selected."""
+        ms = (
+            sims.join(
+                selected.select("qid", F.col("vec_id").alias("bid")),
+                ["qid", "bid"],
+            )
+            .groupBy("qid", F.col("aid").alias("vec_id"))
+            .agg(F.max("sim6").alias("maxsim6"))
+        )
+        wpick = Window.partitionBy("qid").orderBy(
+            F.desc("score_micro"), "vec_id"
+        )
+        return (
+            pool.join(selected.select("qid", "vec_id"), ["qid", "vec_id"],
+                      "left_anti")
+            .join(ms, ["qid", "vec_id"])
+            .withColumn(
+                "score_micro",
+                7 * F.col("rel6") - 3 * F.col("maxsim6"),
+            )
+            .withColumn("rnp", F.row_number().over(wpick))
+            .filter(F.col("rnp") == 1)
+            .select("qid", "vec_id", "rel6", "score_micro")
+        )
+
+    s1 = pool.filter(F.col("rn") == 1).select(
+        "qid", "vec_id", "rel6", (7 * F.col("rel6")).alias("score_micro")
+    )
+    s2 = _next_pick(s1)
+    s3 = _next_pick(s1.select("qid", "vec_id").unionAll(
+        s2.select("qid", "vec_id")
+    ))
+
+    def _out(df, step):
+        return df.select(
+            F.col("qid").alias("query_id"),
+            F.lit(step).cast("bigint").alias("step"),
+            "vec_id",
+            (F.col("rel6") / 1000000.0).alias("rel"),
+            (F.col("score_micro") / 10000000.0).alias("mmr_score"),
+        )
+
+    return (
+        _out(s1, 1)
+        .unionAll(_out(s2, 2))
+        .unionAll(_out(s3, 3))
+        .orderBy("query_id", "step")
+    )
+
+
+# ---------------- energy distance between embedding label populations
+_ED_DIST_SQL = """
+             sqrt(list_sum(list_transform(list_zip({a}, {b}),
+                  p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE))
+                     * (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))))
+"""
+
+
+@register(
+    "stats_energy_distance_labels",
+    oracle=f"""
+    WITH pan AS (
+        SELECT label, vec_id, embedding FROM (
+            SELECT label, vec_id, embedding,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY label ORDER BY vec_id) AS rn
+            FROM embeddings WHERE label IN (0, 1)
+        ) WHERE rn <= 128
+    ),
+    p0 AS (SELECT vec_id, embedding FROM pan WHERE label = 0),
+    p1 AS (SELECT vec_id, embedding FROM pan WHERE label = 1),
+    dxx AS (
+        SELECT CAST(ROUND({dround_sql(
+            _ED_DIST_SQL.format(a="a.embedding", b="b.embedding"), 6)}
+            * 1000000, 0) AS BIGINT) AS d6
+        FROM p0 a JOIN p0 b ON a.vec_id < b.vec_id
+    ),
+    dyy AS (
+        SELECT CAST(ROUND({dround_sql(
+            _ED_DIST_SQL.format(a="a.embedding", b="b.embedding"), 6)}
+            * 1000000, 0) AS BIGINT) AS d6
+        FROM p1 a JOIN p1 b ON a.vec_id < b.vec_id
+    ),
+    dxy AS (
+        SELECT CAST(ROUND({dround_sql(
+            _ED_DIST_SQL.format(a="a.embedding", b="b.embedding"), 6)}
+            * 1000000, 0) AS BIGINT) AS d6
+        FROM p0 a, p1 b
+    ),
+    agg AS (
+        SELECT
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM p0) AS n_x,
+            (SELECT CAST(COUNT(*) AS BIGINT) FROM p1) AS n_y,
+            (SELECT CAST(SUM(d6) AS DOUBLE) / COUNT(*) / 1000000.0
+             FROM dxx) AS mxx,
+            (SELECT CAST(SUM(d6) AS DOUBLE) / COUNT(*) / 1000000.0
+             FROM dyy) AS myy,
+            (SELECT CAST(SUM(d6) AS DOUBLE) / COUNT(*) / 1000000.0
+             FROM dxy) AS mxy
+    )
+    SELECT n_x, n_y,
+           {dround_sql("mxx", 6)} AS mean_within_x,
+           {dround_sql("myy", 6)} AS mean_within_y,
+           {dround_sql("mxy", 6)} AS mean_cross,
+           {dround_sql("2.0 * mxy - mxx - myy", 6)} AS energy_distance
+    FROM agg
+    """,
+    description="Energy distance (Szekely & Rizzo 2004) between the "
+    "label-0 and label-1 embedding populations: E = 2*E||X-Y|| - "
+    "E||X-X'|| - E||Y-Y'|| over pairwise Euclidean distances — zero "
+    "iff the distributions coincide, making it the multivariate "
+    "two-sample drift test for embedding space (the high-dimensional "
+    "complement to stats_ks_value_drift's univariate CDF test; ECF "
+    "identity gives power against ANY distributional difference, not "
+    "just mean shift like embedding_centroid_drift). Pairwise terms "
+    "run over FIXED 128-per-label panels (deterministic vec_id "
+    "order), so pair volume is a 24k-row constant at any corpus size "
+    "— the scale lever is panel size, priced O(panel^2 * dim); panels "
+    "are label-partitioned windows, pair joins are broadcast nested "
+    "loops over the 128-row sides. Every distance is pinned to "
+    "INTEGER micro-units before summation (bigint sums are "
+    "order-independent — the SES lesson applied to pair aggregation); "
+    "the only cross-engine float ops are the final mean divisions "
+    "over identical integers.",
+)
+def stats_energy_distance_labels(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    wl = Window.partitionBy("label").orderBy("vec_id")
+    pan = (
+        emb.filter(F.col("label").isin(0, 1))
+        .select("label", "vec_id", "embedding",
+                F.row_number().over(wl).alias("rn"))
+        .filter(F.col("rn") <= 128)
+    )
+    p0 = pan.filter(F.col("label") == 0).select(
+        F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+    )
+    p1 = pan.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+    )
+
+    def _d6(a, b):
+        diff2 = F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        )
+        dist = F.sqrt(
+            F.aggregate(diff2, F.lit(0.0), lambda acc, v: acc + v)
+        )
+        return F.round(dround(dist, 6) * 1000000, 0).cast("bigint")
+
+    def _mean(pairs):
+        return pairs.agg(
+            (
+                F.sum("d6").cast("double")
+                / F.count(F.lit(1))
+                / 1000000.0
+            ).alias("m"),
+            F.count(F.lit(1)).alias("npairs"),
+        )
+
+    p0b = p0.select(
+        F.col("aid").alias("bid"), F.col("av").alias("bv")
+    )
+    p1a = p1.select(
+        F.col("bid").alias("aid"), F.col("bv").alias("av")
+    )
+    dxx = p0.join(
+        F.broadcast(p0b), F.col("aid") < F.col("bid")
+    ).select(_d6(F.col("av"), F.col("bv")).alias("d6"))
+    dyy = p1a.join(
+        F.broadcast(p1), F.col("aid") < F.col("bid")
+    ).select(_d6(F.col("av"), F.col("bv")).alias("d6"))
+    dxy = p0.join(F.broadcast(p1)).select(
+        _d6(F.col("av"), F.col("bv")).alias("d6")
+    )
+    nx = p0.agg(F.count(F.lit(1)).cast("bigint").alias("n_x"))
+    ny = p1.agg(F.count(F.lit(1)).cast("bigint").alias("n_y"))
+    mxx = _mean(dxx).select(F.col("m").alias("mxx"))
+    myy = _mean(dyy).select(F.col("m").alias("myy"))
+    mxy = _mean(dxy).select(F.col("m").alias("mxy"))
+    return (
+        nx.crossJoin(F.broadcast(ny))
+        .crossJoin(F.broadcast(mxx))
+        .crossJoin(F.broadcast(myy))
+        .crossJoin(F.broadcast(mxy))
+        .select(
+            "n_x",
+            "n_y",
+            dround(F.col("mxx"), 6).alias("mean_within_x"),
+            dround(F.col("myy"), 6).alias("mean_within_y"),
+            dround(F.col("mxy"), 6).alias("mean_cross"),
+            dround(
+                2.0 * F.col("mxy") - F.col("mxx") - F.col("myy"), 6
+            ).alias("energy_distance"),
+        )
+    )

@@ -36,6 +36,18 @@ GRAIN_BOUNDS = {
     "events_concurrent_sessions_sweepline": 64,
     "events_cumulative_unique_users": 16,
     "events_uplift_qini_deciles": 50,
+    # lag/lead taps over the events day-grain series
+    "events_pattern_vshape_days": 100,
+    # share normalization over the 5-row priority aggregate
+    "forecast_hierarchical_topdown": 16,
+    # distinct time-to-convert latencies (sf0.001: <= #converters)
+    "events_funnel_time_to_convert": 600,
+    # running-max/argmax over the orders day-grain revenue series
+    "finance_max_drawdown_daily": 4_800,
+    # prefix/argmax over the distinct-quantity aggregate (TPC-H: <= 50)
+    "stats_decision_stump_split": 64,
+    # ordinal + running-count windows over the 100-row post-limit prefix
+    "pipeline_mixture_interleave_order": 256,
     "events_watermark_lateness_audit": 16,
     "forecast_backtest_mape": 240,
     "forecast_stl_decompose_monthly": 240,

@@ -1,0 +1,440 @@
+"""Round-13 batch-6 operators, each pinned at value level:
+
+* finance_max_drawdown_daily      — hand-computed peak/trough/depth on a
+                                    4-day planted revenue series
+* events_pattern_vshape_days      — planted 7-day count series with
+                                    exactly one strict V
+* stats_decision_stump_split      — 2-value feature where the split gain
+                                    is hand-computable
+* pipeline_mixture_interleave_order — stride-schedule prefix order and
+                                    running per-language counts checked
+                                    against the integer key construction
+* similarity_mmr_rerank_top3      — planted geometry where MMR's second
+                                    pick DIVERGES from pure relevance
+                                    order (the diversity term decides)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from healthcare_data_lakehouse_spark.queries.catalog import load_all
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def qs():
+    return load_all()
+
+
+def _write_orders(path, rows):
+    """rows: list of (orderkey, custkey, totalprice, orderdate)."""
+    pq.write_table(
+        pa.table({
+            "o_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "o_custkey": pa.array([r[1] for r in rows], pa.int64()),
+            "o_orderstatus": pa.array(["F"] * len(rows)),
+            "o_totalprice": pa.array([r[2] for r in rows], pa.float64()),
+            "o_orderdate": pa.array(
+                [dt.datetime.combine(r[3], dt.time()) for r in rows],
+                pa.timestamp("us"),
+            ),
+            "o_orderpriority": pa.array(["1-URGENT"] * len(rows)),
+        }),
+        str(path / "orders.parquet"),
+    )
+
+
+def _write_events(path, rows):
+    """rows: list of (event_id, ts, user_id, event_type, value)."""
+    pq.write_table(
+        pa.table({
+            "event_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            "user_id": pa.array([r[2] for r in rows], pa.int64()),
+            "event_type": pa.array([r[3] for r in rows]),
+            "value": pa.array([r[4] for r in rows], pa.float64()),
+            "props": pa.array(["{}"] * len(rows)),
+        }),
+        str(path / "events.parquet"),
+    )
+
+
+def _write_lineitem(path, rows):
+    """rows: list of (orderkey, partkey, quantity, extendedprice)."""
+    pq.write_table(
+        pa.table({
+            "l_orderkey": pa.array([r[0] for r in rows], pa.int64()),
+            "l_partkey": pa.array([r[1] for r in rows], pa.int64()),
+            "l_quantity": pa.array([r[2] for r in rows], pa.float64()),
+            "l_extendedprice": pa.array(
+                [r[3] for r in rows], pa.float64()
+            ),
+        }),
+        str(path / "lineitem.parquet"),
+    )
+
+
+def _write_documents(path, rows):
+    """rows: list of (doc_id, lang)."""
+    pq.write_table(
+        pa.table({
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array(["word " * 5] * len(rows)),
+            "lang": pa.array([r[1] for r in rows]),
+            "source": pa.array(["src1"] * len(rows)),
+            "n_chars": pa.array([25] * len(rows), pa.int64()),
+        }),
+        str(path / "documents.parquet"),
+    )
+
+
+def _write_embeddings(path, vecs):
+    """vecs: list of (vec_id, float list, label)."""
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array([v[0] for v in vecs], pa.int64()),
+            "embedding": pa.array(
+                [v[1] for v in vecs], pa.list_(pa.float32())
+            ),
+            "label": pa.array([v[2] for v in vecs], pa.int32()),
+        }),
+        str(path / "embeddings.parquet"),
+    )
+
+
+# ------------------------------------------------------ max drawdown
+def test_max_drawdown_hand_computed(spark, tmp_path, qs):
+    d = dt.date
+    # daily cents: 100, 300, 120, 250 -> runmax 100,300,300,300
+    # drawdowns 0, 0, 180, 50 -> trough day3, peak day2, frac 0.6
+    rows = [
+        (1, 1, 1.00, d(2020, 1, 1)),
+        (2, 1, 3.00, d(2020, 1, 2)),
+        (3, 1, 1.20, d(2020, 1, 3)),
+        (4, 1, 2.50, d(2020, 1, 4)),
+    ]
+    _write_orders(tmp_path, rows)
+    got = qs["finance_max_drawdown_daily"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.peak_day == d(2020, 1, 2)
+    assert r.trough_day == d(2020, 1, 3)
+    assert r.peak_day_cents == 300
+    assert r.trough_day_cents == 120
+    assert r.max_drawdown_cents == 180
+    assert r.drawdown_frac == 0.6
+
+
+def test_max_drawdown_monotone_series_is_zero(spark, tmp_path, qs):
+    d = dt.date
+    rows = [
+        (1, 1, 1.00, d(2020, 1, 1)),
+        (2, 1, 2.00, d(2020, 1, 2)),
+        (3, 1, 3.00, d(2020, 1, 3)),
+    ]
+    _write_orders(tmp_path, rows)
+    r = qs["finance_max_drawdown_daily"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    # strictly rising series: dd = 0 everywhere, earliest day wins ties
+    assert r.max_drawdown_cents == 0
+    assert r.peak_day == r.trough_day == d(2020, 1, 1)
+
+
+def test_max_drawdown_nonvacuous_on_fixture(spark, qs):
+    r = qs["finance_max_drawdown_daily"].fn(spark, SF_DIR).collect()[0]
+    assert r.max_drawdown_cents > 0
+    assert 0.0 < r.drawdown_frac < 1.0
+
+
+# ------------------------------------------------- V-shape pattern days
+def test_vshape_planted_series(spark, tmp_path, qs):
+    counts = [5, 4, 2, 1, 3, 6, 9]
+    rows, eid = [], 0
+    for i, n in enumerate(counts):
+        ts = dt.datetime(2020, 1, 1 + i, 12, 0, 0)
+        for _ in range(n):
+            rows.append((eid, ts, 1, "view", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    got = qs["events_pattern_vshape_days"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.trough_day == dt.date(2020, 1, 4)
+    assert r.n_trough == 1
+    assert r.depth_left == 3   # l2 = 4
+    assert r.depth_right == 5  # r2 = 6
+
+
+def test_vshape_plateau_is_not_a_match(spark, tmp_path, qs):
+    # 3,2,1,1,2 — trough repeats, so neither trough day satisfies the
+    # STRICT down-down-up-up pattern
+    counts = [3, 2, 1, 1, 2]
+    rows, eid = [], 0
+    for i, n in enumerate(counts):
+        ts = dt.datetime(2020, 2, 1 + i, 12, 0, 0)
+        for _ in range(n):
+            rows.append((eid, ts, 1, "view", 1.0))
+            eid += 1
+    _write_events(tmp_path, rows)
+    got = qs["events_pattern_vshape_days"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert got == []
+
+
+# ------------------------------------------------- decision stump split
+def test_stump_hand_computed_two_value_feature(spark, tmp_path, qs):
+    # qty 1: prices 10+10 -> SL=2000c, NL=2; qty 2: 20+20 -> SR=4000c
+    # gain = (2000^2/2 + 4000^2/2 - 6000^2/4)/1e8 = 0.01 usd^2
+    rows = [
+        (1, 1, 1.0, 10.0),
+        (2, 1, 1.0, 10.0),
+        (3, 1, 2.0, 20.0),
+        (4, 1, 2.0, 20.0),
+    ]
+    _write_lineitem(tmp_path, rows)
+    got = qs["stats_decision_stump_split"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert r.split_quantity == 1
+    assert (r.n_left, r.n_right) == (2, 2)
+    assert (r.mean_left, r.mean_right) == (10.0, 20.0)
+    assert r.gain_usd2 == 0.01
+
+
+def test_stump_picks_the_separating_value(spark, tmp_path, qs):
+    # values 1,2,3 with means 10,10,50: the variance-reduction argmax is
+    # the boundary BETWEEN the homogeneous {1,2} and the outlier {3}
+    rows = [
+        (1, 1, 1.0, 10.0),
+        (2, 1, 2.0, 10.0),
+        (3, 1, 3.0, 50.0),
+        (4, 1, 3.0, 50.0),
+    ]
+    _write_lineitem(tmp_path, rows)
+    r = qs["stats_decision_stump_split"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r.split_quantity == 2
+    assert r.mean_left == 10.0
+    assert r.mean_right == 50.0
+
+
+# --------------------------------------------- mixture interleave order
+def test_interleave_stride_schedule(spark, tmp_path, qs):
+    docs = (
+        [(i, "en") for i in range(10)]
+        + [(10 + i, "zh") for i in range(4)]
+        + [(20 + i, "es") for i in range(2)]
+    )
+    _write_documents(tmp_path, docs)
+    got = qs["pipeline_mixture_interleave_order"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 16
+    # ordinals are 1..16 in key order; recompute keys independently
+    expected = sorted(
+        [(2 * (i + 1) - 1) * 2, "en", i] for i in range(10)
+    )
+    keys = {("en", i): (2 * (i + 1) - 1) * 2 for i in range(10)}
+    keys.update({("zh", 10 + i): (2 * (i + 1) - 1) * 5 for i in range(4)})
+    keys.update({("es", 20 + i): (2 * (i + 1) - 1) * 10 for i in range(2)})
+    order = sorted(keys.items(), key=lambda kv: (kv[1], kv[0][0], kv[0][1]))
+    for rank, ((lang, doc_id), k) in enumerate(order, start=1):
+        row = got[rank - 1]
+        assert (row.ordinal, row.lang, row.doc_id, row.k) == (
+            rank, lang, doc_id, k
+        ), (rank, row)
+    # running per-language counts are consistent prefixes
+    seen: dict[str, int] = {}
+    for row in got:
+        seen[row.lang] = seen.get(row.lang, 0) + 1
+        assert row.n_lang_so_far == seen[row.lang]
+    # the first 20 key units emit en at ~2x the zh rate
+    first8 = [r.lang for r in got[:8]]
+    assert first8.count("en") >= 4
+    _ = expected  # documented construction; keys dict is the oracle
+
+
+# --------------------------------------------------- MMR re-rank top-3
+def test_mmr_diversity_beats_pure_relevance(spark, tmp_path, qs):
+    # query q = e0; c8 ~ c9 (near-identical, both most relevant; c9's
+    # marginally smaller norm makes it the top hit), c10 less relevant
+    # but diverse. Pure top-3 by rel: 9, 8, 10. MMR(lambda=.7) picks 9,
+    # then 10 (c8's ~1.0 similarity to the already-picked c9 costs more
+    # than its relevance edge), then 8 — the diversity term reorders.
+    vecs = [
+        (0, [1.0, 0.0, 0.0, 0.0], 0),
+        (8, [0.9, 0.436, 0.0, 0.0], 0),
+        (9, [0.9, 0.4359, 0.001, 0.0], 0),
+        (10, [0.85, 0.0, 0.527, 0.0], 0),
+    ]
+    _write_embeddings(tmp_path, vecs)
+    got = qs["similarity_mmr_rerank_top3"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert [(r.step, r.vec_id) for r in got] == [(1, 9), (2, 10), (3, 8)]
+    by_step = {r.step: r for r in got}
+    # step-1 score is pure (scaled) relevance: 0.7 * rel
+    assert abs(by_step[1].mmr_score - 0.7 * by_step[1].rel) < 1e-9
+    # diversity term strictly lowered the later picks' scores
+    assert by_step[2].mmr_score < 0.7 * by_step[2].rel
+    assert by_step[3].mmr_score < 0.7 * by_step[3].rel
+
+
+def test_mmr_panel_shape_on_fixture(spark, qs):
+    got = qs["similarity_mmr_rerank_top3"].fn(spark, SF_DIR).collect()
+    n_queries = len({r.query_id for r in got})
+    assert len(got) == 3 * n_queries
+    assert {r.step for r in got} == {1, 2, 3}
+    # within a query, the three picks are distinct documents
+    for qid in {r.query_id for r in got}:
+        picks = [r.vec_id for r in got if r.query_id == qid]
+        assert len(set(picks)) == 3
+
+
+# ------------------------------------ hierarchical top-down forecast
+def test_topdown_exact_linear_trend_and_shares(spark, tmp_path, qs):
+    d = dt.date
+    # monthly totals 100, 200, 300, 400 -> OLS is EXACT: slope 100,
+    # intercept 100; forecasts 500/600/700. A is 25% every month.
+    rows, ok = [], 1
+    for m, total in zip(range(1, 5), [100.0, 200.0, 300.0, 400.0]):
+        rows.append((ok, 1, total * 0.25, d(2020, m, 10))); ok += 1
+        rows.append((ok, 1, total * 0.75, d(2020, m, 20))); ok += 1
+    # overwrite priorities: first of each pair A, second B
+    import pyarrow as _pa, pyarrow.parquet as _pq
+    _write_orders(tmp_path, rows)
+    t = _pq.read_table(str(tmp_path / "orders.parquet"))
+    pri = ["1-A" if i % 2 == 0 else "2-B" for i in range(len(rows))]
+    t = t.set_column(
+        t.schema.get_field_index("o_orderpriority"),
+        "o_orderpriority", _pa.array(pri),
+    )
+    _pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = qs["forecast_hierarchical_topdown"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 6  # 3 horizons x 2 priorities
+    by = {(r.forecast_month, r.priority): r for r in got}
+    for h, total in zip(range(1, 4), [500.0, 600.0, 700.0]):
+        month = d(2020, 4 + h, 1)
+        a, b = by[(month, "1-A")], by[(month, "2-B")]
+        assert (a.share, b.share) == (0.25, 0.75)
+        assert a.total_forecast_usd == b.total_forecast_usd == total
+        assert a.forecast_usd == round(total * 0.25, 2)
+        assert b.forecast_usd == round(total * 0.75, 2)
+        # coherence: the allocation sums to the parent forecast
+        assert round(a.forecast_usd + b.forecast_usd, 2) == total
+
+
+# ------------------------------------------ LOO target encoding audit
+def test_loo_encoding_closed_form(spark, tmp_path, qs):
+    d = dt.date
+    rows = [
+        (1, 1, 10.0, d(2020, 1, 1)),
+        (2, 1, 20.0, d(2020, 1, 2)),
+        (3, 1, 30.0, d(2020, 1, 3)),
+    ]
+    import pyarrow as _pa, pyarrow.parquet as _pq
+    _write_orders(tmp_path, rows)
+    t = _pq.read_table(str(tmp_path / "orders.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("o_orderpriority"),
+        "o_orderpriority", _pa.array(["A", "A", "B"]),
+    )
+    _pq.write_table(t, str(tmp_path / "orders.parquet"))
+    got = {r.priority: r for r in qs["stats_target_encoding_loo"].fn(
+        spark, str(tmp_path)).collect()}
+    # G = 2000c; A: S=3000c n=2: enc(1000)=42000/21=20.00,
+    # enc(2000)=41000/21=19.5238; avg=83000/42=19.7619
+    a = got["A"]
+    assert (a.n, a.raw_mean) == (2, 15.0)
+    assert (a.enc_min, a.enc_max) == (19.5238, 20.0)
+    assert a.enc_avg == 19.7619
+    # B: single row, smoothing pulls fully to the prior-mixed mean
+    b = got["B"]
+    assert (b.n, b.raw_mean) == (1, 30.0)
+    assert b.enc_min == b.enc_max == b.enc_avg == 20.0
+
+
+# ------------------------------------------- energy distance (planted)
+def test_energy_distance_separated_clusters(spark, tmp_path, qs):
+    vecs = [
+        (0, [0.0, 0.0, 0.0, 0.0], 0),
+        (1, [0.0, 0.0, 0.0, 0.0], 0),
+        (2, [3.0, 4.0, 0.0, 0.0], 1),
+        (3, [3.0, 4.0, 0.0, 0.0], 1),
+    ]
+    _write_embeddings(tmp_path, vecs)
+    r = qs["stats_energy_distance_labels"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (r.n_x, r.n_y) == (2, 2)
+    assert r.mean_within_x == 0.0 and r.mean_within_y == 0.0
+    assert r.mean_cross == 5.0
+    assert r.energy_distance == 10.0
+
+
+def test_energy_distance_identical_populations_is_zero(
+    spark, tmp_path, qs
+):
+    # same two points in both labels: within == cross mean structure
+    # E = 2*mxy - mxx - myy; here mxx=myy=d, mxy=(0+d+d+0)/4=d/2... use
+    # all-identical vectors so every distance is 0
+    vecs = [
+        (0, [1.0, 2.0, 0.0, 0.0], 0),
+        (1, [1.0, 2.0, 0.0, 0.0], 0),
+        (2, [1.0, 2.0, 0.0, 0.0], 1),
+        (3, [1.0, 2.0, 0.0, 0.0], 1),
+    ]
+    _write_embeddings(tmp_path, vecs)
+    r = qs["stats_energy_distance_labels"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r.energy_distance == 0.0
+
+
+# --------------------------------------- deletion-vector driver query
+def test_dv_query_nonvacuous_on_fixture(spark, qs):
+    rows = qs["load_deletion_vector_read"].fn(spark, SF_DIR).collect()
+    assert rows
+    assert sum(r.n_deleted for r in rows) > 0
+    assert sum(r.n_live for r in rows) > 0
+
+
+# ------------------------------------------ funnel time-to-convert
+def test_funnel_latency_hand_computed(spark, tmp_path, qs):
+    t0 = dt.datetime(2020, 1, 1, 12, 0, 0)
+    s = dt.timedelta(seconds=1)
+    rows = [
+        (1, t0, 1, "view", 1.0),
+        (2, t0 + 10 * s, 1, "purchase", 1.0),
+        (3, t0, 2, "view", 1.0),
+        (4, t0 + 20 * s, 2, "purchase", 1.0),
+        (5, t0 + 30 * s, 2, "purchase", 1.0),  # later purchase ignored
+        (6, t0, 3, "view", 1.0),               # never converts
+        (7, t0 - 5 * s, 4, "purchase", 1.0),   # purchase w/o prior view
+    ]
+    _write_events(tmp_path, rows)
+    r = qs["events_funnel_time_to_convert"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert (r.n_viewers, r.n_conv) == (3, 2)
+    assert r.conversion_rate == 0.666667
+    assert r.median_s == 10.0   # k_med = 1
+    assert r.p90_s == 20.0      # k_p90 = ceil(1.8) = 2
+    assert r.mean_s == 15.0

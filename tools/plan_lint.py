@@ -123,6 +123,25 @@ GLOBAL_WINDOW_OK = {
         "table (<= max-lifetime-days rows)",
     "events_watermark_lateness_audit":
         "running-max window over the |event_id/250|-bucket aggregate",
+    "events_funnel_time_to_convert":
+        "order-statistic prefix sum over the distinct-latency aggregate "
+        "(bin to seconds or partition-offset at 1e9+ converters, same "
+        "caveat as stats_ks_exponential_interarrival)",
+    "forecast_hierarchical_topdown":
+        "share-normalization window over the |priorities|-row (5) "
+        "trailing-12-month aggregate",
+    "stats_decision_stump_split":
+        "prefix-sum / argmax windows over the distinct-quantity "
+        "aggregate (bounded feature domain, <= 50 rows)",
+    "pipeline_mixture_interleave_order":
+        "ordinal + running-count windows over the 100-row post-limit "
+        "prefix (the per-language row number is lang-partitioned)",
+    "finance_max_drawdown_daily":
+        "prefix-sum / running-max / argmax windows over the day-grain "
+        "post-aggregation revenue curve (bounded by calendar span)",
+    "events_pattern_vshape_days":
+        "lag/lead pattern taps over the day-grain post-aggregation "
+        "series (bounded by calendar span)",
     "orders_abc_classification":
         "rank/prefix windows over the part-grain revenue aggregate",
     "stats_runs_test_randomness":
