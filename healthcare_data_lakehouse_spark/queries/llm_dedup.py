@@ -3381,3 +3381,138 @@ def dedup_dfcap_budget_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         "r.frac_occurrences",
         "r.candidate_pairs_bound",
     )
+
+
+# ------------------------- idf-weighted SimHash (Charikar, weighted votes)
+def _wsimhash_oracle() -> str:
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN w6 ELSE -w6 END) AS v_{b}"
+        for b in range(32)
+    )
+    bits = "\n         + ".join(
+        f"CASE WHEN v_{b} > 0 THEN CAST({2**b} AS BIGINT) ELSE 0 END"
+        for b in range(32)
+    )
+    return f"""
+    WITH {_DOCS_DUPS_SQL.format(mod=20).strip()},
+    toks AS (
+        SELECT DISTINCT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+              FROM docs)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total FROM docs),
+    dft AS (
+        SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM toks GROUP BY 1
+    ),
+    weighted AS (
+        SELECT t.doc_id, {_H48.format(c="t.tok")} AS h,
+               CAST(ROUND({dround_sql(
+                   "ln(CAST(nn.n_total AS DOUBLE) / dft.df)", 6)}
+                   * 1000000, 0) AS BIGINT) AS w6
+        FROM toks t JOIN dft ON dft.tok = t.tok, nn
+    ),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM weighted GROUP BY doc_id
+    ),
+    sig AS (
+        SELECT doc_id,
+           {bits} AS simhash
+        FROM votes
+    )
+    SELECT simhash,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+           CAST(MAX(doc_id) AS BIGINT) AS max_doc
+    FROM sig
+    GROUP BY simhash HAVING COUNT(*) >= 2
+    ORDER BY simhash
+    """
+
+
+@register(
+    "dedup_simhash_idf_weighted",
+    oracle=_wsimhash_oracle(),
+    description="IDF-weighted SimHash (Charikar 2002 as actually deployed "
+    "— Manku et al. 2007 weight features by importance so boilerplate "
+    "cannot flip signature bits): bit b of the signature is the SIGN of "
+    "sum over distinct tokens of idf(token) * (+-1 from token-hash bit "
+    "b). A stopword shared by every document has idf ln(N/N) = 0 and "
+    "contributes NOTHING — exactly the stop-shingle failure mode the "
+    "dfcap family bounds, here solved by weighting instead of capping "
+    "(the two levers are complementary: dfcap bounds candidate "
+    "GENERATION, idf weighting hardens the SIGNATURE). Weights are "
+    "pinned to INTEGER micro-idf before voting, so the 32 per-doc vote "
+    "sums are order-independent bigint arithmetic on both engines and "
+    "the sign decision can never diverge by summation order. Plan: one "
+    "distinct-token explode, one token-grain df aggregate joined back "
+    "(shuffle on token — skew-safe because idf(very-common token) -> 0 "
+    "makes the heavy keys semantically irrelevant yet they still ride "
+    "one shuffle; at 100 TB broadcast the df table's top-K heavy "
+    "tokens if the join skews), one doc-grain vote aggregate. Output: "
+    "signature buckets holding >= 2 docs over the seeded-dup corpus "
+    "(mod-20 exact copies guarantee non-vacuous rows; the planted "
+    "copies MUST share signatures, pinned in tests).",
+)
+def dedup_simhash_idf_weighted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 20)
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(F.split(F.col("text"), " ", -1))
+        ).alias("tok"),
+    )
+    nn = docs.agg(F.count(F.lit(1)).cast("bigint").alias("n_total"))
+    dft = toks.groupBy("tok").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df")
+    )
+    weighted = (
+        toks.join(dft, "tok")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            D.token_hash48(F.col("tok")).alias("h"),
+            F.round(
+                dround(
+                    F.log(
+                        F.col("n_total").cast("double") / F.col("df")
+                    ),
+                    6,
+                )
+                * 1000000,
+                0,
+            )
+            .cast("bigint")
+            .alias("w6"),
+        )
+    )
+    votes = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1,
+                F.col("w6"),
+            ).otherwise(-F.col("w6"))
+        ).alias(f"v_{b}")
+        for b in range(32)
+    ]
+    agg = weighted.groupBy("doc_id").agg(*votes)
+    sig = None
+    for b in range(32):
+        bit = F.when(
+            F.col(f"v_{b}") > 0, F.lit(2**b).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+        sig = bit if sig is None else (sig + bit)
+    sigs = agg.select("doc_id", sig.alias("simhash"))
+    return (
+        sigs.groupBy("simhash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("doc_id").cast("bigint").alias("min_doc"),
+            F.max("doc_id").cast("bigint").alias("max_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy("simhash")
+    )

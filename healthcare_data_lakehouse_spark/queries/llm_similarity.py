@@ -3873,3 +3873,104 @@ def stats_energy_distance_labels(
             ).alias("energy_distance"),
         )
     )
+
+
+# --------------- out-of-distribution scoring (diagonal Mahalanobis)
+@register(
+    "embedding_ood_mahalanobis",
+    oracle=f"""
+    WITH ex AS (
+        SELECT vec_id, label,
+               generate_subscripts(embedding, 1) AS pos,
+               CAST(unnest(embedding) AS DOUBLE) AS val
+        FROM embeddings
+    ),
+    dimstats AS (
+        SELECT pos,
+               {dround_sql("AVG(val)", 6)} AS mu,
+               {dround_sql("AVG(val * val)", 6)} AS m2
+        FROM ex GROUP BY pos
+    ),
+    contrib AS (
+        SELECT e.vec_id, e.label,
+               CAST(ROUND({dround_sql(
+                   "(e.val - d.mu) * (e.val - d.mu)"
+                   " / (d.m2 - d.mu * d.mu + 0.000001)", 6)}
+                   * 1000000, 0) AS BIGINT) AS c6
+        FROM ex e JOIN dimstats d USING (pos)
+    ),
+    scored AS (
+        SELECT vec_id, label,
+               CAST(SUM(c6) AS DOUBLE) / 1000000.0 AS score
+        FROM contrib GROUP BY vec_id, label
+    )
+    SELECT vec_id, label, {dround_sql("score", 6)} AS ood_score
+    FROM scored
+    ORDER BY {dround_sql("score", 6)} DESC, vec_id
+    LIMIT 10
+    """,
+    description="Out-of-distribution scoring by diagonal Mahalanobis "
+    "distance (Lee et al. 2018's Mahalanobis OOD detector, diagonal-"
+    "covariance variant — the standard embedding-space outlier triage "
+    "for curating training corpora: vectors far from the corpus "
+    "distribution are mislabeled scans, adversarial inputs, or genuine "
+    "novelty worth routing to review): score(x) = sum_d "
+    "(x_d - mu_d)^2 / (sigma^2_d + eps), top-10 reported. The "
+    "per-dimension moments come from ONE posexplode aggregate whose "
+    "map-side partials collapse each partition to dim rows before the "
+    "shuffle (the embedding_label_centroids plan); scoring is a "
+    "broadcast join of the dim-row stats table against the exploded "
+    "scan — linear, no pairwise anything. Per-dimension contributions "
+    "are pinned to INTEGER micro-units before the per-vector sum, so "
+    "the reduce is order-independent bigint addition on both engines "
+    "(means/m2 are dround(6)-pinned first; the variance is derived "
+    "from the PINNED moments so both engines subtract identical "
+    "doubles). Top-10 is TakeOrdered — per-partition top-k + merge, "
+    "never a global sort.",
+)
+def embedding_ood_mahalanobis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    ex = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("pos0", "valf")
+    ).select(
+        "vec_id",
+        "label",
+        (F.col("pos0") + 1).alias("pos"),
+        F.col("valf").cast("double").alias("val"),
+    )
+    dimstats = ex.groupBy("pos").agg(
+        dround(F.avg("val"), 6).alias("mu"),
+        dround(F.avg(F.col("val") * F.col("val")), 6).alias("m2"),
+    )
+    contrib = ex.join(F.broadcast(dimstats), "pos").select(
+        "vec_id",
+        "label",
+        F.round(
+            dround(
+                (F.col("val") - F.col("mu"))
+                * (F.col("val") - F.col("mu"))
+                / (
+                    F.col("m2")
+                    - F.col("mu") * F.col("mu")
+                    + 0.000001
+                ),
+                6,
+            )
+            * 1000000,
+            0,
+        )
+        .cast("bigint")
+        .alias("c6"),
+    )
+    scored = contrib.groupBy("vec_id", "label").agg(
+        (F.sum("c6").cast("double") / 1000000.0).alias("score")
+    )
+    return (
+        scored.select(
+            "vec_id", "label", dround(F.col("score"), 6).alias("ood_score")
+        )
+        .orderBy(F.desc("ood_score"), "vec_id")
+        .limit(10)
+    )

@@ -438,3 +438,95 @@ def test_funnel_latency_hand_computed(spark, tmp_path, qs):
     assert r.median_s == 10.0   # k_med = 1
     assert r.p90_s == 20.0      # k_p90 = ceil(1.8) = 2
     assert r.mean_s == 15.0
+
+
+# --------------------------------------------- Mahalanobis OOD scoring
+def test_ood_outlier_ranks_first(spark, tmp_path, qs):
+    vecs = [(i, [1.0 + 0.01 * i, 1.0, 0.0, 0.0], 0) for i in range(10)]
+    vecs.append((99, [9.0, 9.0, 9.0, 9.0], 1))
+    _write_embeddings(tmp_path, vecs)
+    got = qs["embedding_ood_mahalanobis"].fn(
+        spark, str(tmp_path)
+    ).collect()
+    assert len(got) == 10
+    assert got[0].vec_id == 99 and got[0].label == 1
+    # outlier is far beyond the in-distribution cloud
+    assert got[0].ood_score > 10 * got[1].ood_score
+    scores = [r.ood_score for r in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+# --------------------------------------- idf-weighted SimHash reference
+def _ref_weighted_simhash(docs):
+    """Pure-python mirror of the query: distinct tokens, idf = ln(N/df)
+    pinned to micro-units, md5-48bit hash votes, sign per bit."""
+    import hashlib
+    import math
+
+    n = len(docs)
+    dfc: dict[str, int] = {}
+    toks = {d: set(t.split(" ")) for d, t in docs.items()}
+    for ts in toks.values():
+        for t in ts:
+            dfc[t] = dfc.get(t, 0) + 1
+    sigs = {}
+    for d, ts in toks.items():
+        votes = [0] * 32
+        for t in ts:
+            h = int(hashlib.md5(t.encode()).hexdigest()[:12], 16)
+            w6 = round(round(math.log(n / dfc[t]), 6) * 1e6)
+            for b in range(32):
+                votes[b] += w6 if (h >> b) & 1 == 1 else -w6
+        sigs[d] = sum(2**b for b in range(32) if votes[b] > 0)
+    return sigs
+
+
+def test_weighted_simhash_matches_reference(spark, tmp_path, qs):
+    texts = {
+        0: "alpha beta gamma shared common filler",
+        1: "alpha beta gamma shared common filler",   # exact copy of 0
+        2: "delta epsilon zeta shared common filler",
+        3: "eta theta iota shared common filler",
+        20: "kappa lam mu shared common filler",      # 20 % 20 == 0
+    }
+    _write_documents(tmp_path, [(d, "en") for d in texts])
+    import pyarrow as _pa, pyarrow.parquet as _pq
+    t = _pq.read_table(str(tmp_path / "documents.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("text"), "text",
+        _pa.array([texts[d] for d in texts]),
+    )
+    _pq.write_table(t, str(tmp_path / "documents.parquet"))
+    # the query injects copies of doc_id % 20 == 0 under id+1000000
+    full = dict(texts)
+    full[1000000] = texts[0]
+    full[1000020] = texts[20]
+    ref = _ref_weighted_simhash(full)
+    exp_buckets = {}
+    for d, s in ref.items():
+        exp_buckets.setdefault(s, []).append(d)
+    exp = sorted(
+        (s, len(ds), min(ds), max(ds))
+        for s, ds in exp_buckets.items() if len(ds) >= 2
+    )
+    got = sorted(
+        (r.simhash, r.n_docs, r.min_doc, r.max_doc)
+        for r in qs["dedup_simhash_idf_weighted"].fn(
+            spark, str(tmp_path)
+        ).collect()
+    )
+    assert got == exp
+    # the planted exact copies are in the reported buckets
+    flat = {(r[2], r[3]) for r in got}
+    assert any(a == 0 and b >= 1000000 for a, b in flat) or any(
+        0 in (a, b) or 1000000 in (a, b) for a, b in flat
+    )
+
+
+def test_weighted_simhash_planted_copies_share_signature(spark, qs):
+    rows = qs["dedup_simhash_idf_weighted"].fn(spark, SF_DIR).collect()
+    assert rows
+    # at least one bucket spans an original and its +1000000 copy
+    assert any(
+        r.min_doc < 1000000 <= r.max_doc for r in rows
+    )
