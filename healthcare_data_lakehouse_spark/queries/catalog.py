@@ -245,10 +245,18 @@ PRIORITY = [
     # full-sweep evidence. All eight incoming names are first-time
     # too, so the window's first-time count is unchanged (28).
     "forecast_theta_monthly_revenue",
-    "forecast_croston_demand",
+    # (Late-round-13 update: the batch-6 operators landed after the
+    # mid-round rotation. The two most distinctive new SURFACES — the
+    # deletion-vector store's merge-on-read read path (new zones_dv
+    # module) and the greedy MMR re-ranker (heaviest new plan) — take
+    # the slots of forecast_croston_demand and
+    # sketch_theta_anotb_estimate, which keep full-sweep + value-pinned
+    # pytest evidence and return to the tail pool. Both incoming names
+    # are first-time, so the window's first-time count stays 28.)
+    "load_deletion_vector_read",
     "stats_pettitt_changepoint",
     "stats_sprt_purchase_rate",
-    "sketch_theta_anotb_estimate",
+    "similarity_mmr_rerank_top3",
     "similarity_knn_graph_mutual",
     "multimodal_scene_cut_detect",
     "er_em_mu_estimation",

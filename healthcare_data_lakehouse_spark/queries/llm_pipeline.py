@@ -2802,3 +2802,144 @@ def pipeline_mixture_interleave_order(
         )
         .orderBy("ordinal")
     )
+
+
+# --------------- group-aware k-fold assignment, leakage quantified
+@register(
+    "sample_kfold_leakage_audit",
+    oracle=f"""
+    WITH {_DOCS_DUPS_SQL.format(mod=10).strip()},
+    keyed AS (
+        SELECT doc_id, md5(text) AS ck FROM docs
+    ),
+    cl AS (
+        SELECT ck, CAST(MIN(doc_id) AS BIGINT) AS cluster_id,
+               CAST(COUNT(*) AS BIGINT) AS csize
+        FROM keyed GROUP BY ck
+    ),
+    folded AS (
+        SELECT k.doc_id, c.cluster_id, c.csize,
+               {_H48.format(c="CAST(k.doc_id AS VARCHAR)")} % 5
+                   AS f_naive,
+               {_H48.format(c="CAST(c.cluster_id AS VARCHAR)")} % 5
+                   AS f_grouped
+        FROM keyed k JOIN cl c USING (ck)
+    ),
+    per_cluster AS (
+        SELECT cluster_id, MAX(csize) AS csize,
+               COUNT(DISTINCT f_naive) AS nf_naive,
+               COUNT(DISTINCT f_grouped) AS nf_grouped
+        FROM folded GROUP BY cluster_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_clusters,
+               CAST(SUM(CASE WHEN csize >= 2 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_multi,
+               CAST(SUM(CASE WHEN csize >= 2 AND nf_naive > 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS leaky_naive,
+               CAST(SUM(CASE WHEN csize >= 2 AND nf_grouped > 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS leaky_grouped
+        FROM per_cluster
+    ),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM keyed)
+    SELECT 'naive' AS scheme, nd.n_docs, m.n_multi AS n_multi_clusters,
+           m.leaky_naive AS n_leaky_clusters,
+           {dround_sql(
+               "CAST(m.leaky_naive AS DOUBLE) / m.n_multi", 6)}
+               AS leak_rate
+    FROM m, nd
+    UNION ALL
+    SELECT 'grouped', nd.n_docs, m.n_multi, m.leaky_grouped,
+           {dround_sql(
+               "CAST(m.leaky_grouped AS DOUBLE) / m.n_multi", 6)}
+    FROM m, nd
+    ORDER BY scheme
+    """,
+    description="Group-aware k-fold assignment with QUANTIFIED leakage "
+    "— the cross-validation form of sample_leakage_free_split's "
+    "train/test discipline: hashing each DOCUMENT into one of 5 folds "
+    "(the naive scheme every tutorial ships) splits exact-duplicate "
+    "clusters across folds, so a model validates on copies of its own "
+    "training rows; hashing the CLUSTER id instead keeps every "
+    "duplicate group within one fold by construction. Both schemes "
+    "run over the seeded-dup corpus (mod-10 exact copies guarantee "
+    "multi-doc clusters) and the audit reports leaky clusters per "
+    "scheme — grouped is structurally 0 (pinned in tests), naive "
+    "leaks ~1 - 5^(1-size) of multi-clusters in expectation. Plan: "
+    "one md5 groupBy builds clusters, one join assigns both fold "
+    "hashes in the same pass, one cluster-grain aggregate counts "
+    "distinct folds — at 100 TB the cluster table is the dedup "
+    "family's connected-components output and the fold hash rides "
+    "the existing cluster join; no extra shuffle beyond the dedup "
+    "pipeline itself.",
+)
+def sample_kfold_leakage_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions.dedup import (
+        token_hash48,
+    )
+    from healthcare_data_lakehouse_spark.queries.llm_shared import (
+        _docs_with_dups,
+    )
+
+    docs = _docs_with_dups(spark, sf_dir, 10)
+    keyed = docs.select("doc_id", F.md5("text").alias("ck"))
+    cl = keyed.groupBy("ck").agg(
+        F.min("doc_id").cast("bigint").alias("cluster_id"),
+        F.count(F.lit(1)).cast("bigint").alias("csize"),
+    )
+    folded = keyed.join(cl, "ck").select(
+        "doc_id",
+        "cluster_id",
+        "csize",
+        (token_hash48(F.col("doc_id").cast("string")) % 5)
+        .alias("f_naive"),
+        (token_hash48(F.col("cluster_id").cast("string")) % 5)
+        .alias("f_grouped"),
+    )
+    per_cluster = folded.groupBy("cluster_id").agg(
+        F.max("csize").alias("csize"),
+        F.countDistinct("f_naive").alias("nf_naive"),
+        F.countDistinct("f_grouped").alias("nf_grouped"),
+    )
+    m = per_cluster.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum(F.when(F.col("csize") >= 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_multi"),
+        F.sum(
+            F.when((F.col("csize") >= 2) & (F.col("nf_naive") > 1), 1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("leaky_naive"),
+        F.sum(
+            F.when(
+                (F.col("csize") >= 2) & (F.col("nf_grouped") > 1), 1
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("leaky_grouped"),
+    )
+    nd = keyed.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    base = m.crossJoin(F.broadcast(nd))
+    naive = base.select(
+        F.lit("naive").alias("scheme"),
+        "n_docs",
+        F.col("n_multi").alias("n_multi_clusters"),
+        F.col("leaky_naive").alias("n_leaky_clusters"),
+        dround(
+            F.col("leaky_naive").cast("double") / F.col("n_multi"), 6
+        ).alias("leak_rate"),
+    )
+    grouped = base.select(
+        F.lit("grouped").alias("scheme"),
+        "n_docs",
+        F.col("n_multi").alias("n_multi_clusters"),
+        F.col("leaky_grouped").alias("n_leaky_clusters"),
+        dround(
+            F.col("leaky_grouped").cast("double") / F.col("n_multi"), 6
+        ).alias("leak_rate"),
+    )
+    return naive.unionAll(grouped).orderBy("scheme")

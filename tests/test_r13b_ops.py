@@ -530,3 +530,16 @@ def test_weighted_simhash_planted_copies_share_signature(spark, qs):
     assert any(
         r.min_doc < 1000000 <= r.max_doc for r in rows
     )
+
+
+# ------------------------------------------- k-fold leakage audit
+def test_kfold_grouped_scheme_never_leaks(spark, qs):
+    rows = {r.scheme: r for r in qs["sample_kfold_leakage_audit"].fn(
+        spark, SF_DIR).collect()}
+    g, n = rows["grouped"], rows["naive"]
+    assert g.n_multi_clusters > 0          # seeded dups guarantee clusters
+    assert g.n_leaky_clusters == 0         # structural: cluster-hash folds
+    assert g.leak_rate == 0.0
+    assert n.n_leaky_clusters > 0          # doc-hash folds split clusters
+    assert n.n_docs == g.n_docs
+    assert 0.0 < n.leak_rate <= 1.0
