@@ -743,3 +743,52 @@ def test_lsh_banding_under_high_dup_density(spark, shape):
         truth = inter / len(sh[a] | sh[b])
         assert abs(truth - j) < 1e-6
         assert truth >= 0.5
+
+
+# ------------------------------- deletion-vector store vs set model
+dv_ops_st = st.lists(
+    st.one_of(
+        st.tuples(st.just("delete"),
+                  st.integers(min_value=0, max_value=4),
+                  st.integers(min_value=1, max_value=6)),
+        st.tuples(st.just("purge"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=5,
+)
+
+
+@given(ops=dv_ops_st)
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_dv_store_matches_set_model(spark, tmp_path_factory, ops):
+    """Any interleaving of equality deletes and purges must leave the
+    DV-applied read equal to a plain python set model, and every purge
+    must preserve the read exactly while clearing vector state."""
+    from healthcare_data_lakehouse_spark.zones import DataZone, LoadType
+    from healthcare_data_lakehouse_spark.zones_dv import DVZoneStore
+
+    root = tmp_path_factory.mktemp("dvprop")
+    store = DVZoneStore(spark, str(root))
+    ids = list(range(18))
+    df = spark.createDataFrame([(i, i % 3) for i in ids],
+                               "id long, grp long")
+    store.write(DataZone.SILVER, "t", df, LoadType.FULL)
+    live = set(ids)
+    for op, r, m in ops:
+        if op == "delete":
+            pred = f"id % {m} = {r % m}"
+            expected_doomed = {i for i in live if i % m == r % m}
+            n = store.delete_where_dv(DataZone.SILVER, "t", pred)
+            assert n == len(expected_doomed)
+            live -= expected_doomed
+        else:
+            before = {x.id for x in store.read(DataZone.SILVER, "t").collect()}
+            store.purge_dv(DataZone.SILVER, "t")
+            after = {x.id for x in store.read(DataZone.SILVER, "t").collect()}
+            assert after == before
+            st_ = store.dv_stats(DataZone.SILVER, "t")
+            assert st_["n_dvs"] == 0
+        got = {x.id for x in store.read(DataZone.SILVER, "t").collect()}
+        assert got == live
