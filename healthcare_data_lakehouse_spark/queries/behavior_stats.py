@@ -4417,3 +4417,142 @@ def stats_target_encoding_loo(
             4,
         ).alias("enc_max"),
     ).orderBy("priority")
+
+
+# ----------------- Dickey-Fuller unit-root test (lag-1, with drift)
+@register(
+    "stats_adf_unit_root_daily",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100
+                    AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    lagged AS (
+        SELECT cents - LAG(cents) OVER (ORDER BY day) AS z,
+               LAG(cents) OVER (ORDER BY day) AS x
+        FROM daily
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(z) AS BIGINT) AS sz,
+               SUM(CAST(x AS DECIMAL(38,0)) * z) AS sxz,
+               SUM(CAST(x AS DECIMAL(38,0)) * x) AS sx2,
+               SUM(CAST(z AS DECIMAL(38,0)) * z) AS szz
+        FROM lagged WHERE x IS NOT NULL
+    ),
+    fit AS (
+        SELECT n,
+               (CAST(n AS DOUBLE) * CAST(sxz AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sz AS DOUBLE))
+               / (CAST(n AS DOUBLE) * CAST(sx2 AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS rho,
+               CAST(sx AS DOUBLE) AS sxd, CAST(sz AS DOUBLE) AS szd,
+               CAST(sxz AS DOUBLE) AS sxzd, CAST(sx2 AS DOUBLE) AS sx2d,
+               CAST(szz AS DOUBLE) AS szzd
+        FROM m
+    ),
+    fit2 AS (
+        SELECT n, rho, (szd - rho * sxd) / n AS alpha,
+               szzd - ((szd - rho * sxd) / n) * szd - rho * sxzd AS sse,
+               CAST(n AS DOUBLE) * sx2d - sxd * sxd AS denom
+        FROM fit
+    )
+    SELECT n AS n_obs,
+           {dround_sql("rho", 6)} AS rho,
+           CASE WHEN sse > 0 THEN {dround_sql(
+               "rho / sqrt((sse / (n - 2)) * n / denom)", 4)}
+                ELSE NULL END AS t_stat,
+           CASE WHEN sse > 0
+                THEN rho / sqrt((sse / (n - 2)) * n / denom) < -2.86
+                ELSE NULL END AS stationary_5pct
+    FROM fit2
+    """,
+    description="Dickey-Fuller unit-root test (lag-1 with drift; Dickey "
+    "& Fuller 1979) on daily revenue: regress delta_y on y_{{t-1}}, "
+    "report rho and its t-statistic against the 5% DF critical value "
+    "-2.86 — the stationarity gate that decides whether the forecast "
+    "family may difference the series first (the complement to "
+    "stats_hurst_rescaled_range's long-memory exponent and "
+    "stats_mann_kendall_trend's monotone-trend test). Revenue is "
+    "integer CENTS; every moment (including the BIGINT-overflowing "
+    "squared and cross terms — the Hurst lesson) rides DECIMAL(38,0), "
+    "exact under any aggregation order, and the OLS/SE algebra runs in "
+    "mirrored-order double over those identical exact sums. One agg "
+    "shuffle collapses 100 TB to the day-grain series; the lag window "
+    "runs post-aggregation (bounded by calendar span). The t-stat is "
+    "reported against the asymptotic DF critical value; exact "
+    "small-sample quantiles would come from a lookup table, not the "
+    "engine.",
+)
+def stats_adf_unit_root_daily(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round(
+                (F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    w = Window.orderBy("day")
+    lagged = daily.select(
+        (F.col("cents") - F.lag("cents").over(w)).alias("z"),
+        F.lag("cents").over(w).alias("x"),
+    ).filter(F.col("x").isNotNull())
+    m = lagged.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("z").cast("bigint").alias("sz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("z")).alias("sxz"),
+        F.sum(F.col("x").cast("decimal(38,0)") * F.col("x")).alias("sx2"),
+        F.sum(F.col("z").cast("decimal(38,0)") * F.col("z")).alias("szz"),
+    )
+    fit = m.select(
+        "n",
+        (
+            (F.col("n").cast("double") * F.col("sxz").cast("double")
+             - F.col("sx").cast("double") * F.col("sz").cast("double"))
+            / (F.col("n").cast("double") * F.col("sx2").cast("double")
+               - F.col("sx").cast("double") * F.col("sx").cast("double"))
+        ).alias("rho"),
+        F.col("sx").cast("double").alias("sxd"),
+        F.col("sz").cast("double").alias("szd"),
+        F.col("sxz").cast("double").alias("sxzd"),
+        F.col("sx2").cast("double").alias("sx2d"),
+        F.col("szz").cast("double").alias("szzd"),
+    )
+    fit2 = fit.select(
+        "n",
+        "rho",
+        ((F.col("szd") - F.col("rho") * F.col("sxd")) / F.col("n"))
+        .alias("alpha"),
+        (
+            F.col("szzd")
+            - ((F.col("szd") - F.col("rho") * F.col("sxd")) / F.col("n"))
+            * F.col("szd")
+            - F.col("rho") * F.col("sxzd")
+        ).alias("sse"),
+        (
+            F.col("n").cast("double") * F.col("sx2d")
+            - F.col("sxd") * F.col("sxd")
+        ).alias("denom"),
+    )
+    t = F.col("rho") / F.sqrt(
+        (F.col("sse") / (F.col("n") - 2)) * F.col("n") / F.col("denom")
+    )
+    # a deterministic (perfect-fit) series has SSE = 0 -> the standard
+    # error is 0 and the t-stat undefined; report NULL instead of an
+    # ANSI divide-by-zero (caught by the planted-series test)
+    guard = F.col("sse") > 0
+    return fit2.select(
+        F.col("n").alias("n_obs"),
+        dround(F.col("rho"), 6).alias("rho"),
+        F.when(guard, dround(t, 4)).alias("t_stat"),
+        F.when(guard, t < -2.86).alias("stationary_5pct"),
+    )

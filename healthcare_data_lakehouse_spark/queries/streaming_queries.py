@@ -694,3 +694,90 @@ def streaming_left_outer_interval_join(
         query_name=f"lojo_result_{uuid.uuid4().hex[:8]}",
         how="left_outer",
     ).select("user_id", "l_ts", "click_id", "r_ts", "purchase_id")
+
+
+# ------------------- streaming right-to-erasure over deletion vectors
+@register(
+    "streaming_dv_forget_flow",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events
+    WHERE user_id % 13 <> 0
+    GROUP BY event_type ORDER BY event_type
+    """,
+    description="Continuous right-to-erasure (GDPR Article 17) over the "
+    "deletion-vector store: forget requests stream through foreachBatch "
+    "into DVZoneStore.delete_keys_dv — each micro-batch writes only its "
+    "deleted-KEY vector (O(|requests|) per batch, data commits never "
+    "rewritten), the erased users' events disappear from every "
+    "subsequent read via the vector anti-join, and checkpointed batch "
+    "ids plus the key-delete's idempotence (already-deleted keys add "
+    "an empty vector -> no-op, no version bump) make replays "
+    "exactly-once in effect. This is the streaming twin of "
+    "privacy_forget_user_erasure's batch path and the reason the DV "
+    "design exists: at 100 TB a copy-on-write erasure per request "
+    "would rewrite the table continuously, while the MoR vector "
+    "absorbs a request stream at key-write cost and defers the "
+    "rewrite to scheduled purge_dv compaction. The erasure feed is "
+    "split into TWO source files so the drain provably applies "
+    "multiple sequential DV commits. Oracle restates the drained "
+    "result as one batch anti-filter.",
+)
+def streaming_dv_forget_flow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.streaming.ingest import (
+        stream_forget_to_zone,
+    )
+    from healthcare_data_lakehouse_spark.tables import table
+    from healthcare_data_lakehouse_spark.zones import DataZone, LoadType
+    from healthcare_data_lakehouse_spark.zones_dv import DVZoneStore
+
+    work = scratch_dir("stream_dvforget_")
+    ev = table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type"
+    )
+    store = DVZoneStore(spark, os.path.join(work, "zones"))
+    store.write(DataZone.SILVER, "events_dv", ev, LoadType.FULL)
+    # forget feed: two files -> two micro-batches -> two DV commits
+    forget = ev.filter(F.col("user_id") % 13 == 0).select("user_id")
+    landing = os.path.join(work, "landing")
+    forget.filter(F.col("user_id") % 2 == 0).distinct().write.parquet(
+        os.path.join(landing, "f0")
+    )
+    forget.filter(F.col("user_id") % 2 == 1).distinct().write.parquet(
+        os.path.join(landing, "f1")
+    )
+    # the file-source reader wants ONE flat dir; lay the two request
+    # files side by side so maxFilesPerTrigger=1 drains them as two
+    # separate micro-batches
+    flat = os.path.join(work, "requests")
+    import shutil as _sh
+
+    os.makedirs(flat, exist_ok=True)
+    for sub in ("f0", "f1"):
+        for name in os.listdir(os.path.join(landing, sub)):
+            if name.endswith(".parquet"):
+                _sh.copy(
+                    os.path.join(landing, sub, name),
+                    os.path.join(flat, f"{sub}_{name}"),
+                )
+    remaining = stream_forget_to_zone(
+        spark,
+        flat,
+        os.path.join(work, "w"),
+        store,
+        DataZone.SILVER,
+        "events_dv",
+        key_col="user_id",
+    )
+    return (
+        remaining.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.countDistinct("user_id").cast("bigint").alias("n_users"),
+        )
+        .orderBy("event_type")
+    )

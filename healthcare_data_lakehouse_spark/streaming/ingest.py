@@ -962,3 +962,41 @@ def sliding_topk_event_types(
             "rank",
         )
     )
+
+
+def stream_forget_to_zone(
+    spark: SparkSession,
+    source_parquet: str,
+    work_dir: str,
+    store,
+    zone,
+    dataset: str,
+    key_col: str = "user_id",
+):
+    """Continuous right-to-erasure: each micro-batch of forget requests
+    (rows carrying ``key_col``) is applied to a deletion-vector zone
+    table via :meth:`zones_dv.DVZoneStore.delete_keys_dv` — the GDPR
+    stream shape. Deletes never rewrite data commits (O(|keys|) per
+    batch); checkpointed batch ids plus the key-delete's idempotence
+    (already-deleted keys add an empty vector -> no-op) make replays
+    exactly-once in effect. Compaction (`purge_dv`) runs on the
+    maintenance schedule, not in the hot erasure path."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(source_parquet).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stream_source_dir(source_parquet, work_dir))
+    )
+
+    def forget(batch_df: DataFrame, batch_id: int) -> None:
+        store.delete_keys_dv(zone, dataset, batch_df, key_col=key_col)
+
+    q = (
+        stream.writeStream.foreachBatch(forget)
+        .option("checkpointLocation", os.path.join(work_dir, "chk"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return store.read(zone, dataset)

@@ -31,6 +31,7 @@ import os
 import uuid
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 from healthcare_data_lakehouse_spark.zones import DataZone, ZoneStore
 
@@ -108,7 +109,56 @@ class DVZoneStore(ZoneStore):
                 f"{manifest['dv_key']!r}; cannot mix with {key_col!r}"
             )
         live = self.read(zone, dataset)
-        doomed = live.filter(predicate).select(key_col).distinct().persist()
+        doomed = live.filter(predicate).select(key_col).distinct()
+        return self._commit_dv(zone, dataset, path, manifest, doomed,
+                               key_col)
+
+    def delete_keys_dv(
+        self,
+        zone: DataZone,
+        dataset: str,
+        keys: DataFrame,
+        key_col: str = "id",
+    ) -> int:
+        """Set-based equality delete: every LIVE row whose ``key_col``
+        appears in ``keys`` is deleted via a new vector artifact — the
+        GDPR-erasure shape, where the delete list arrives as data (a
+        stream of forget requests) rather than a predicate string. Keys
+        with no live rows contribute nothing (idempotent replays add
+        empty vectors -> no-op, no version bump). No driver-side
+        collection: the key set stays a DataFrame end-to-end."""
+        path = self.dataset_path(zone, dataset)
+        manifest = self._read_manifest(path)
+        if not manifest["commits"]:
+            raise ValueError(
+                f"{zone.value}/{dataset} does not exist or is empty"
+            )
+        if manifest.get("dvs") and manifest.get("dv_key", key_col) != key_col:
+            raise ValueError(
+                f"deletion vectors for {zone.value}/{dataset} are keyed on "
+                f"{manifest['dv_key']!r}; cannot mix with {key_col!r}"
+            )
+        live = self.read(zone, dataset)
+        doomed = (
+            live.join(
+                keys.select(F.col(key_col)).distinct(), key_col, "left_semi"
+            )
+            .select(key_col)
+            .distinct()
+        )
+        return self._commit_dv(zone, dataset, path, manifest, doomed,
+                               key_col)
+
+    def _commit_dv(
+        self,
+        zone: DataZone,
+        dataset: str,
+        path: str,
+        manifest: dict,
+        doomed: DataFrame,
+        key_col: str,
+    ) -> int:
+        doomed = doomed.persist()
         try:
             n = doomed.count()
             if n == 0:
@@ -118,7 +168,7 @@ class DVZoneStore(ZoneStore):
             self._check_unchanged(
                 path,
                 manifest["version"],
-                f"delete_where_dv {zone.value}/{dataset}",
+                f"dv delete {zone.value}/{dataset}",
             )
             os.makedirs(os.path.join(path, self.DV_DIR), exist_ok=True)
             dv_name = f"dv{manifest['version'] + 1:06d}"

@@ -543,3 +543,72 @@ def test_kfold_grouped_scheme_never_leaks(spark, qs):
     assert n.n_leaky_clusters > 0          # doc-hash folds split clusters
     assert n.n_docs == g.n_docs
     assert 0.0 < n.leak_rate <= 1.0
+
+
+# ---------------------------------------------- ADF unit-root (planted)
+def _ref_adf(cents):
+    """Independent python recomputation of the lag-1 DF regression."""
+    xs = cents[:-1]
+    zs = [b - a for a, b in zip(cents, cents[1:])]
+    n = len(xs)
+    sx, sz = sum(xs), sum(zs)
+    sxz = sum(x * z for x, z in zip(xs, zs))
+    sx2 = sum(x * x for x in xs)
+    szz = sum(z * z for z in zs)
+    rho = (n * sxz - sx * sz) / (n * sx2 - sx * sx)
+    alpha = (sz - rho * sx) / n
+    sse = szz - alpha * sz - rho * sxz
+    if sse <= 0:
+        return n, rho, None
+    t = rho / (((sse / (n - 2)) * n / (n * sx2 - sx * sx)) ** 0.5)
+    return n, rho, t
+
+
+def _plant_daily(tmp_path, dollars):
+    d = dt.date(2020, 1, 1)
+    rows = [
+        (i + 1, 1, v, d + dt.timedelta(days=i))
+        for i, v in enumerate(dollars)
+    ]
+    _write_orders(tmp_path, rows)
+
+
+def test_adf_matches_reference_on_mean_reverting_series(
+    spark, tmp_path, qs
+):
+    # alternating with a small deterministic wobble so SSE > 0
+    dollars = [
+        (1.0 if i % 2 == 0 else 3.0) + 0.01 * (i % 5) for i in range(40)
+    ]
+    _plant_daily(tmp_path, dollars)
+    cents = [round(v * 100) for v in dollars]
+    n, rho, t = _ref_adf(cents)
+    r = qs["stats_adf_unit_root_daily"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_obs == n == 39
+    assert abs(r.rho - rho) < 1e-6
+    assert abs(r.t_stat - t) < 1e-3
+    assert bool(r.stationary_5pct) is (t < -2.86) is True
+
+
+def test_adf_trending_series_matches_reference(spark, tmp_path, qs):
+    # strictly trending series (unit-root-like): reference recomputation
+    # agrees and the verdict is NOT stationary
+    dollars = [100.0 + 2.0 * i + (0.07 * ((i * i) % 11)) for i in range(40)]
+    _plant_daily(tmp_path, dollars)
+    cents = [round(v * 100) for v in dollars]
+    n, rho, t = _ref_adf(cents)
+    r = qs["stats_adf_unit_root_daily"].fn(spark, str(tmp_path)).collect()[0]
+    assert abs(r.rho - rho) < 1e-6
+    assert abs(r.t_stat - t) < 1e-3
+    assert bool(r.stationary_5pct) is (t < -2.86)
+
+
+def test_adf_perfect_fit_yields_null_tstat(spark, tmp_path, qs):
+    # strictly alternating levels: z is an exact affine function of x,
+    # SSE = 0 -> undefined standard error; the query must report NULL,
+    # not an ANSI divide-by-zero
+    dollars = [1.0 if i % 2 == 0 else 3.0 for i in range(20)]
+    _plant_daily(tmp_path, dollars)
+    r = qs["stats_adf_unit_root_daily"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.t_stat is None and r.stationary_5pct is None
+    assert r.rho < -1.0

@@ -114,3 +114,21 @@ def test_dv_stats_reports_scan_tax(spark, tmp_path):
     assert st["n_deleted_keys"] == 6
     assert st["dv_key"] == "id"
     assert st["n_commits"] == 2
+
+
+def test_dv_delete_keys_set_based_and_idempotent(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    keys = spark.createDataFrame([(2,), (4,), (99,)], "id long")
+    # 99 has no live row: contributes nothing
+    assert store.delete_keys_dv(DataZone.SILVER, "t", keys) == 2
+    v = store._read_manifest(store.dataset_path(DataZone.SILVER, "t"))[
+        "version"
+    ]
+    # replay of the same request batch: all keys already dead -> no-op
+    assert store.delete_keys_dv(DataZone.SILVER, "t", keys) == 0
+    v2 = store._read_manifest(store.dataset_path(DataZone.SILVER, "t"))[
+        "version"
+    ]
+    assert v2 == v
+    live = {r.id for r in store.read(DataZone.SILVER, "t").collect()}
+    assert live == set(range(20)) - {2, 4}

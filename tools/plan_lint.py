@@ -123,6 +123,9 @@ GLOBAL_WINDOW_OK = {
         "table (<= max-lifetime-days rows)",
     "events_watermark_lateness_audit":
         "running-max window over the |event_id/250|-bucket aggregate",
+    "stats_adf_unit_root_daily":
+        "lag-1 window over the day-grain post-aggregation series "
+        "(same grain as stats_granger_causality_daily)",
     "events_funnel_time_to_convert":
         "order-statistic prefix sum over the distinct-latency aggregate "
         "(bin to seconds or partition-offset at 1e9+ converters, same "
