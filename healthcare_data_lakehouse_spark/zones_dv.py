@@ -234,6 +234,45 @@ class DVZoneStore(ZoneStore):
         finally:
             live.unpersist()
 
+    # ----------------- copy-on-write interop: fold vectors first
+    #
+    # The base class's rewrite paths (FULL/MERGE write, delete_where,
+    # update_set, compact) reason about data FILES and the plain
+    # `history` map; run over a table with outstanding vectors they
+    # would (a) leave stale vectors that wrongly re-delete a key a
+    # MERGE just re-inserted, and (b) record new versions with no
+    # dv_history entry, so time travel at those versions would replay
+    # the data without the vectors. Folding the vectors into the data
+    # (purge) before any such path keeps every invariant trivially —
+    # the same simplification Iceberg makes when equality deletes only
+    # apply to data files with OLDER sequence numbers: after a rewrite
+    # the surviving rows ARE the table and old vectors must not touch
+    # them. APPEND needs no fold (it rewrites nothing and appends rows
+    # that, like Iceberg's, are newer than every outstanding delete —
+    # but the read-path vector would still hit matching NEW keys, so
+    # fold there too for strict newer-than semantics).
+
+    def _fold_outstanding(self, zone: DataZone, dataset: str) -> None:
+        path = self.dataset_path(zone, dataset)
+        if self._read_manifest(path).get("dvs"):
+            self.purge_dv(zone, dataset)
+
+    def write(self, zone, dataset, df, *args, **kwargs):
+        self._fold_outstanding(zone, dataset)
+        return super().write(zone, dataset, df, *args, **kwargs)
+
+    def delete_where(self, zone, dataset, predicate, *args, **kwargs):
+        self._fold_outstanding(zone, dataset)
+        return super().delete_where(zone, dataset, predicate, *args, **kwargs)
+
+    def update_set(self, zone, dataset, predicate, assignments):
+        self._fold_outstanding(zone, dataset)
+        return super().update_set(zone, dataset, predicate, assignments)
+
+    def compact(self, zone, dataset, *args, **kwargs):
+        self._fold_outstanding(zone, dataset)
+        return super().compact(zone, dataset, *args, **kwargs)
+
     # ----------------------------------------------------------------- audit
     def dv_stats(self, zone: DataZone, dataset: str) -> dict:
         """MoR bookkeeping: commit/vector counts and the deleted-key

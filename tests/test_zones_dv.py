@@ -132,3 +132,44 @@ def test_dv_delete_keys_set_based_and_idempotent(spark, tmp_path):
     assert v2 == v
     live = {r.id for r in store.read(DataZone.SILVER, "t").collect()}
     assert live == set(range(20)) - {2, 4}
+
+
+def test_dv_merge_reinsert_after_delete_is_not_refiltered(spark, tmp_path):
+    # stale-vector resurrection bug: a MERGE that re-inserts a key the
+    # vector deleted must produce a LIVE row — the rewrite folds
+    # outstanding vectors first, so no old vector can touch newer data
+    store = _mk(spark, tmp_path)
+    store.delete_where_dv(DataZone.SILVER, "t", "id = 3")
+    assert 3 not in {
+        r.id for r in store.read(DataZone.SILVER, "t").collect()
+    }
+    upsert = spark.createDataFrame(
+        [(3, 999.0, "A")], "id long, val double, grp string"
+    )
+    store.write(DataZone.SILVER, "t", upsert, LoadType.MERGE)
+    rows = {r.id: r for r in store.read(DataZone.SILVER, "t").collect()}
+    assert 3 in rows and rows[3].val == 999.0
+    assert store.dv_stats(DataZone.SILVER, "t")["n_dvs"] == 0
+
+
+def test_dv_append_after_delete_keeps_new_rows(spark, tmp_path):
+    store = _mk(spark, tmp_path)
+    store.delete_where_dv(DataZone.SILVER, "t", "id = 7")
+    fresh = spark.createDataFrame(
+        [(7, 777.0, "B")], "id long, val double, grp string"
+    )
+    store.write(DataZone.SILVER, "t", fresh, LoadType.APPEND)
+    rows = [r for r in store.read(DataZone.SILVER, "t").collect()
+            if r.id == 7]
+    assert len(rows) == 1 and rows[0].val == 777.0
+
+
+def test_dv_cow_delete_counts_only_live_rows(spark, tmp_path):
+    # copy-on-write DELETE after a vector delete: the fold runs first,
+    # so the CoW pass never sees (or counts) rows the vector removed
+    store = _mk(spark, tmp_path)
+    store.delete_where_dv(DataZone.SILVER, "t", "id < 10")   # 10 rows
+    n = store.delete_where(DataZone.SILVER, "t", "id < 12")
+    assert n == 2  # only 10, 11 were still live
+    live = {r.id for r in store.read(DataZone.SILVER, "t").collect()}
+    assert live == set(range(12, 20))
