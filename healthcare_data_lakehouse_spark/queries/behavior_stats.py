@@ -4556,3 +4556,107 @@ def stats_adf_unit_root_daily(
         F.when(guard, dround(t, 4)).alias("t_stat"),
         F.when(guard, t < -2.86).alias("stationary_5pct"),
     )
+
+
+# ---------------------- KPSS stationarity test (level, l=0 variant)
+@register(
+    "stats_kpss_level_stationarity",
+    oracle=f"""
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100
+                    AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(cents) AS BIGINT) AS sy
+        FROM daily
+    ),
+    e AS (
+        -- scaled residual E_i = n*y_i - sum(y): exact integers, so the
+        -- prefix sums and squares below never see a fractional mean
+        SELECT d.day,
+               CAST(t.n * d.cents - t.sy AS BIGINT) AS ei
+        FROM daily d, tot t
+    ),
+    s AS (
+        SELECT day, ei,
+               CAST(SUM(ei) OVER (ORDER BY day
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS si
+        FROM e
+    ),
+    m AS (
+        SELECT SUM(CAST(si AS DECIMAL(38,0)) * si) AS ss2,
+               SUM(CAST(ei AS DECIMAL(38,0)) * ei) AS se2
+        FROM s
+    )
+    SELECT t.n AS n_days,
+           {dround_sql(
+               "CAST(m.ss2 AS DOUBLE) / (CAST(t.n AS DOUBLE)"
+               " * CAST(m.se2 AS DOUBLE))", 6)} AS kpss_stat,
+           CAST(m.ss2 AS DOUBLE) / (CAST(t.n AS DOUBLE)
+               * CAST(m.se2 AS DOUBLE)) < 0.463 AS level_stationary_5pct
+    FROM m, tot t
+    """,
+    description="KPSS level-stationarity test (Kwiatkowski, Phillips, "
+    "Schmidt & Shin 1992; bandwidth l=0 variant) on daily revenue — "
+    "the NULL-stationary complement to stats_adf_unit_root_daily's "
+    "null-unit-root test (running both is the standard joint decision: "
+    "ADF rejects + KPSS accepts => confidently stationary): eta = "
+    "sum_t S_t^2 / (n^2 * sigma2) with S_t the partial sums of "
+    "demeaned residuals, compared to the 5% critical value 0.463. "
+    "Demeaning is done in SCALED INTEGERS (E_i = n*y_i - sum_y), so "
+    "residuals, their prefix sums, and both quadratic moments are "
+    "exact on any aggregation order (DECIMAL(38,0) for the squares — "
+    "the Hurst lesson); the identity eta = sum(S'^2)/(n * sum(E^2)) "
+    "over the scaled sums avoids ever materializing a fractional "
+    "mean. One agg shuffle collapses 100 TB to the day grain; the "
+    "prefix-sum window runs post-aggregation over the calendar-span "
+    "series.",
+)
+def stats_kpss_level_stationarity(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.sum(
+            F.round(
+                (F.col("o_totalprice") * 100).cast("decimal(38,8)"), 0
+            ).cast("bigint")
+        )
+        .cast("bigint")
+        .alias("cents")
+    )
+    tot = daily.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("cents").cast("bigint").alias("sy"),
+    )
+    e = daily.crossJoin(F.broadcast(tot)).select(
+        "day",
+        "n",
+        (F.col("n") * F.col("cents") - F.col("sy"))
+        .cast("bigint")
+        .alias("ei"),
+    )
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    s = e.select(
+        "n", "ei", F.sum("ei").over(w).cast("bigint").alias("si")
+    )
+    m = s.agg(
+        F.max("n").alias("n"),
+        F.sum(F.col("si").cast("decimal(38,0)") * F.col("si")).alias(
+            "ss2"
+        ),
+        F.sum(F.col("ei").cast("decimal(38,0)") * F.col("ei")).alias(
+            "se2"
+        ),
+    )
+    stat = F.col("ss2").cast("double") / (
+        F.col("n").cast("double") * F.col("se2").cast("double")
+    )
+    return m.select(
+        F.col("n").alias("n_days"),
+        dround(stat, 6).alias("kpss_stat"),
+        (stat < 0.463).alias("level_stationary_5pct"),
+    )

@@ -3516,3 +3516,129 @@ def dedup_simhash_idf_weighted(
         .filter(F.col("n_docs") >= 2)
         .orderBy("simhash")
     )
+
+
+# ------------- duplicate-rate estimation from a 1/K hash-bucket sample
+@register(
+    "dedup_sampled_rate_estimator",
+    oracle=f"""
+    WITH {_DOCS_DUPS_SQL.format(mod=10).strip()},
+    keyed AS (
+        SELECT doc_id, md5(text) AS ck,
+               {_H48.format(c="md5(text)")} % 8 AS bucket
+        FROM docs
+    ),
+    exact_cl AS (
+        SELECT ck, CAST(COUNT(*) AS BIGINT) AS c FROM keyed GROUP BY ck
+    ),
+    exact AS (
+        SELECT CAST(SUM(c) AS BIGINT) AS n_docs,
+               CAST(SUM(c * (c - 1) / 2) AS BIGINT) AS exact_pairs,
+               CAST(SUM(c - 1) AS BIGINT) AS exact_dup_docs
+        FROM exact_cl
+    ),
+    samp_cl AS (
+        SELECT ck, CAST(COUNT(*) AS BIGINT) AS c
+        FROM keyed WHERE bucket = 0 GROUP BY ck
+    ),
+    samp AS (
+        SELECT CAST(COALESCE(SUM(c), 0) AS BIGINT) AS n_samp,
+               CAST(COALESCE(SUM(c * (c - 1) / 2), 0) AS BIGINT)
+                   AS samp_pairs,
+               CAST(COALESCE(SUM(c - 1), 0) AS BIGINT) AS samp_dup_docs
+        FROM samp_cl
+    )
+    SELECT e.n_docs,
+           e.exact_pairs,
+           CAST(s.samp_pairs * 8 AS BIGINT) AS est_pairs,
+           e.exact_dup_docs,
+           CAST(s.samp_dup_docs * 8 AS BIGINT) AS est_dup_docs,
+           {dround_sql(
+               "CAST(e.exact_dup_docs AS DOUBLE) / e.n_docs", 6)}
+               AS exact_dup_rate,
+           {dround_sql(
+               "CAST(s.samp_dup_docs * 8 AS DOUBLE) / e.n_docs", 6)}
+               AS est_dup_rate,
+           {dround_sql(
+               "ABS(CAST(s.samp_dup_docs * 8 AS DOUBLE)"
+               " - e.exact_dup_docs)"
+               " / NULLIF(e.exact_dup_docs, 0)", 4)} AS rel_error
+    FROM exact e, samp s
+    """,
+    description="Duplicate-rate estimation from a 1/8 hash-bucket sample "
+    "— how exact-dedup cost is PRICED before running it at 100 TB: "
+    "because the sample key is the CONTENT hash, every exact-duplicate "
+    "cluster lands wholly inside one bucket, so bucket-0's cluster-size "
+    "sums are an unbiased 1/8 Horvitz-Thompson estimate of corpus dup "
+    "pairs and dup docs (sampling DOCUMENTS instead would break "
+    "clusters and bias pair counts quadratically low — the same "
+    "whole-group principle as sample_kfold_leakage_audit's fold "
+    "assignment). The audit runs the estimator AND the exact count on "
+    "the seeded-dup corpus and reports the realized relative error; at "
+    "production scale only the 1/K scan runs, and K trades variance "
+    "for cost (the estimator touches K× less data with the SAME plan "
+    "shape — one hash groupBy on the sampled partition). All counts "
+    "are exact integers; the only float ops are the final rate/error "
+    "divisions.",
+)
+def dedup_sampled_rate_estimator(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    docs = _docs_with_dups(spark, sf_dir, 10)
+    keyed = docs.select(
+        "doc_id",
+        F.md5("text").alias("ck"),
+        (D.token_hash48(F.md5("text")) % 8).alias("bucket"),
+    )
+    exact_cl = keyed.groupBy("ck").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    exact = exact_cl.agg(
+        F.sum("c").cast("bigint").alias("n_docs"),
+        F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint"))
+        .cast("bigint")
+        .alias("exact_pairs"),
+        F.sum(F.col("c") - 1).cast("bigint").alias("exact_dup_docs"),
+    )
+    samp_cl = (
+        keyed.filter(F.col("bucket") == 0)
+        .groupBy("ck")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    samp = samp_cl.agg(
+        F.coalesce(F.sum("c"), F.lit(0)).cast("bigint").alias("n_samp"),
+        F.coalesce(
+            F.sum((F.col("c") * (F.col("c") - 1) / 2).cast("bigint")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("samp_pairs"),
+        F.coalesce(F.sum(F.col("c") - 1), F.lit(0))
+        .cast("bigint")
+        .alias("samp_dup_docs"),
+    )
+    return exact.crossJoin(F.broadcast(samp)).select(
+        "n_docs",
+        "exact_pairs",
+        (F.col("samp_pairs") * 8).cast("bigint").alias("est_pairs"),
+        "exact_dup_docs",
+        (F.col("samp_dup_docs") * 8)
+        .cast("bigint")
+        .alias("est_dup_docs"),
+        dround(
+            F.col("exact_dup_docs").cast("double") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        dround(
+            (F.col("samp_dup_docs") * 8).cast("double")
+            / F.col("n_docs"),
+            6,
+        ).alias("est_dup_rate"),
+        dround(
+            F.abs(
+                (F.col("samp_dup_docs") * 8).cast("double")
+                - F.col("exact_dup_docs")
+            )
+            / F.nullif(F.col("exact_dup_docs"), F.lit(0)),
+            4,
+        ).alias("rel_error"),
+    )

@@ -612,3 +612,95 @@ def test_adf_perfect_fit_yields_null_tstat(spark, tmp_path, qs):
     r = qs["stats_adf_unit_root_daily"].fn(spark, str(tmp_path)).collect()[0]
     assert r.t_stat is None and r.stationary_5pct is None
     assert r.rho < -1.0
+
+
+# ---------------------------------------------- KPSS (reference math)
+def _ref_kpss(cents):
+    n = len(cents)
+    sy = sum(cents)
+    es = [n * y - sy for y in cents]
+    si, acc = [], 0
+    for e in es:
+        acc += e
+        si.append(acc)
+    return sum(s * s for s in si) / (n * sum(e * e for e in es))
+
+
+def test_kpss_matches_reference_and_flags_trend(spark, tmp_path, qs):
+    # stationary wobble: small eta; strong trend: large eta
+    for dollars, expect_stationary in [
+        ([2.0 + 0.1 * ((i * 3) % 7) for i in range(40)], True),
+        ([1.0 + 5.0 * i for i in range(40)], False),
+    ]:
+        sub = tmp_path / ("s" if expect_stationary else "t")
+        sub.mkdir()
+        _plant_daily(sub, dollars)
+        cents = [round(v * 100) for v in dollars]
+        ref = _ref_kpss(cents)
+        r = qs["stats_kpss_level_stationarity"].fn(
+            spark, str(sub)
+        ).collect()[0]
+        assert r.n_days == 40
+        assert abs(r.kpss_stat - ref) < 1e-6
+        assert bool(r.level_stationary_5pct) is (ref < 0.463)
+        assert bool(r.level_stationary_5pct) is expect_stationary
+
+
+# ------------------------------------- sampled dup-rate estimator
+def test_dup_rate_estimator_math_on_planted_corpus(spark, tmp_path, qs):
+    import hashlib
+
+    texts = {}
+    # 12 clusters of size 2 (planted via distinct texts repeated by the
+    # query's own mod-10 injection is NOT used here: write texts with
+    # explicit repeats instead) plus singletons
+    for i in range(40):
+        texts[i] = f"unique text number {i} with payload"
+    # make ids 0,10,20,30 duplicates of each other? no — make pairs:
+    for i in range(0, 8, 2):
+        texts[i + 1] = texts[i]  # 4 planted pairs among ids 0..7
+    _write_documents(tmp_path, [(d, "en") for d in texts])
+    import pyarrow as _pa, pyarrow.parquet as _pq
+    t = _pq.read_table(str(tmp_path / "documents.parquet"))
+    t = t.set_column(
+        t.schema.get_field_index("text"), "text",
+        _pa.array([texts[d] for d in sorted(texts)]),
+    )
+    _pq.write_table(t, str(tmp_path / "documents.parquet"))
+    # the query adds copies of doc_id % 10 == 0 under +1000000
+    full = {d: texts[d] for d in sorted(texts)}
+    for d in sorted(texts):
+        if d % 10 == 0:
+            full[d + 1000000] = texts[d]
+    clusters = {}
+    for d, tx in full.items():
+        clusters.setdefault(tx, []).append(d)
+    sizes = [len(v) for v in clusters.values()]
+    n_docs = sum(sizes)
+    exact_pairs = sum(c * (c - 1) // 2 for c in sizes)
+    exact_dup_docs = sum(c - 1 for c in sizes)
+
+    def bucket(tx):
+        hx = hashlib.md5(tx.encode()).hexdigest()
+        return int(hashlib.md5(hx.encode()).hexdigest()[:12], 16) % 8
+
+    samp_sizes = [len(v) for tx, v in clusters.items() if bucket(tx) == 0]
+    est_pairs = 8 * sum(c * (c - 1) // 2 for c in samp_sizes)
+    est_dup_docs = 8 * sum(c - 1 for c in samp_sizes)
+    r = qs["dedup_sampled_rate_estimator"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r.n_docs == n_docs
+    assert r.exact_pairs == exact_pairs
+    assert r.exact_dup_docs == exact_dup_docs
+    assert r.est_pairs == est_pairs
+    assert r.est_dup_docs == est_dup_docs
+
+
+def test_dup_rate_estimator_nonvacuous_on_fixture(spark, qs):
+    r = qs["dedup_sampled_rate_estimator"].fn(spark, SF_DIR).collect()[0]
+    assert r.exact_dup_docs > 0       # seeded mod-10 copies guarantee dups
+    assert r.exact_dup_rate > 0.05
+    # the 1/8 sample produces a nonzero, same-order estimate
+    assert r.est_dup_docs > 0
+    assert 0.0 <= r.rel_error < 1.0

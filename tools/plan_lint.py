@@ -123,6 +123,9 @@ GLOBAL_WINDOW_OK = {
         "table (<= max-lifetime-days rows)",
     "events_watermark_lateness_audit":
         "running-max window over the |event_id/250|-bucket aggregate",
+    "stats_kpss_level_stationarity":
+        "residual prefix-sum window over the day-grain post-aggregation "
+        "series (bounded by calendar span)",
     "stats_adf_unit_root_daily":
         "lag-1 window over the day-grain post-aggregation series "
         "(same grain as stats_granger_causality_daily)",
