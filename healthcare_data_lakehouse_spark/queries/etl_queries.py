@@ -2088,3 +2088,67 @@ def load_deletion_vector_read(
         )
         .orderBy("status")
     )
+
+
+# -------------------------------- branch / merge (zero-copy experiment)
+@register(
+    "load_branch_merge_flow",
+    oracle="""
+    SELECT o_orderstatus AS status,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(CAST(o_totalprice * 100
+                AS DECIMAL(38,8)), 0) AS BIGINT)) AS BIGINT) AS cents
+    FROM orders GROUP BY status ORDER BY status
+    """,
+    description="Git-like branch-and-merge on the zone store "
+    "(zones_branch.BranchingZoneStore; the Iceberg/Nessie zero-copy "
+    "experimentation workflow): the main table lands half the orders, "
+    "a branch is cut at that state (shallow — zero data copied), the "
+    "other half is appended ON THE BRANCH (main provably unchanged "
+    "while the branch diverges — pinned in tests), and a fast-forward "
+    "MERGE adopts the branch's commits back into main by reference. "
+    "The driver row certifies the full cycle: the final main read "
+    "must equal ALL orders, which only happens if the branch write "
+    "landed, stayed isolated, and merged without copying or losing a "
+    "commit. Divergent merges (main advanced since the cut) raise and "
+    "re-branch — OCC, not silent three-way merges; at 100 TB the "
+    "whole cycle is manifest metadata, never a data rewrite.",
+)
+def load_branch_merge_flow(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from healthcare_data_lakehouse_spark.zones_branch import (
+        BranchingZoneStore,
+    )
+
+    orders = table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("id"),
+        F.col("o_totalprice").alias("totalprice"),
+        F.col("o_orderstatus").alias("status"),
+    )
+    store = BranchingZoneStore(spark, scratch_dir("zs_branch_"))
+    store.write(
+        DataZone.SILVER, "orders_b", orders.filter(F.col("id") % 2 == 0),
+        LoadType.FULL,
+    )
+    store.create_branch(DataZone.SILVER, "orders_b", "exp")
+    store.branch_write(
+        DataZone.SILVER, "orders_b", "exp",
+        orders.filter(F.col("id") % 2 == 1), LoadType.APPEND,
+    )
+    store.merge_branch(DataZone.SILVER, "orders_b", "exp")
+    out = store.read(DataZone.SILVER, "orders_b")
+    return (
+        out.groupBy("status")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.round(
+                    (F.col("totalprice") * 100).cast("decimal(38,8)"), 0
+                ).cast("bigint")
+            )
+            .cast("bigint")
+            .alias("cents"),
+        )
+        .orderBy("status")
+    )
