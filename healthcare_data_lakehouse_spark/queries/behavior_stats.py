@@ -4660,3 +4660,184 @@ def stats_kpss_level_stationarity(
         dround(stat, 6).alias("kpss_stat"),
         (stat < 0.463).alias("level_stationary_5pct"),
     )
+
+
+# -------- clustering external validation: NMI vs labels (reuses Lloyd)
+_NMI_T8 = "CAST(ROUND({t} * 100000000, 0) AS BIGINT)"
+
+
+@register(
+    "kmeans_nmi_vs_labels",
+    oracle=_KMEANS_ORACLE[: _KMEANS_ORACLE.rindex("SELECT")]
+    + f"""
+    , lab AS (SELECT vec_id, label FROM embeddings),
+    cont AS (
+        SELECT a1.c, lab.label, CAST(COUNT(*) AS BIGINT) AS nc
+        FROM a1 JOIN lab USING (vec_id) GROUP BY 1, 2
+    ),
+    tot AS (SELECT CAST(SUM(nc) AS BIGINT) AS n FROM cont),
+    rows_ AS (
+        SELECT c, CAST(SUM(nc) AS BIGINT) AS sc FROM cont GROUP BY c
+    ),
+    cols_ AS (
+        SELECT label, CAST(SUM(nc) AS BIGINT) AS sl
+        FROM cont GROUP BY label
+    ),
+    hc AS (
+        SELECT CAST(SUM({_NMI_T8.format(
+            t="-(CAST(r.sc AS DOUBLE) / t.n)"
+              " * ln(CAST(r.sc AS DOUBLE) / t.n)")}) AS BIGINT) AS h8
+        FROM rows_ r, tot t
+    ),
+    hl AS (
+        SELECT CAST(SUM({_NMI_T8.format(
+            t="-(CAST(l.sl AS DOUBLE) / t.n)"
+              " * ln(CAST(l.sl AS DOUBLE) / t.n)")}) AS BIGINT) AS h8
+        FROM cols_ l, tot t
+    ),
+    mi AS (
+        SELECT CAST(SUM({_NMI_T8.format(
+            t="(CAST(k.nc AS DOUBLE) / t.n)"
+              " * ln(CAST(k.nc AS DOUBLE) * t.n"
+              " / (CAST(r.sc AS DOUBLE) * l.sl))")}) AS BIGINT) AS mi8
+        FROM cont k
+        JOIN rows_ r USING (c)
+        JOIN cols_ l USING (label), tot t
+    )
+    SELECT t.n AS n_points,
+           {dround_sql("hc.h8 / 100000000.0", 6)} AS h_cluster,
+           {dround_sql("hl.h8 / 100000000.0", 6)} AS h_label,
+           {dround_sql("mi.mi8 / 100000000.0", 6)} AS mutual_info,
+           {dround_sql(
+               "(mi.mi8 / 100000000.0)"
+               " / sqrt((hc.h8 / 100000000.0)"
+               " * (hl.h8 / 100000000.0))", 6)} AS nmi
+    FROM tot t, hc, hl, mi
+    """,
+    description="External clustering validation: normalized mutual "
+    "information (Strehl & Ghosh 2002, sqrt normalization) between the "
+    "two-iteration Lloyd k-means assignment (k=4, the deterministic "
+    "seeding of kmeans_embeddings_lloyd, whose oracle CTEs this query "
+    "extends verbatim) and the fixture's ground-truth labels — the "
+    "standard answer to 'did the clusters find the classes', "
+    "complementing embedding_silhouette_by_label's internal geometry "
+    "score. All entropies and MI reduce to the k x |labels| "
+    "CONTINGENCY table (one small aggregate over the assignment "
+    "join); each log term is pinned to INTEGER 1e-8 units before the "
+    "cell sum so summation order cannot drift across engines (the "
+    "energy-distance discipline), and the only inputs to the logs are "
+    "identical exact integer counts. At 100 TB the expensive part is "
+    "the Lloyd iterations already priced by the kmeans query; the NMI "
+    "itself is metadata-scale.",
+)
+def kmeans_nmi_vs_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    pts = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select(
+        "vec_id",
+        (F.col("i") + 1).alias("i"),
+        F.col("xf").cast("double").alias("x"),
+    )
+    cent = pts.filter(F.col("vec_id") < 4).select(
+        F.col("vec_id").alias("c"), "i", "x"
+    )
+    assign = None
+    for _ in range(2):
+        diff = F.col("p.x") - F.col("c.x")
+        d = (
+            pts.alias("p")
+            .join(
+                F.broadcast(cent.alias("c")), F.col("p.i") == F.col("c.i")
+            )
+            .groupBy(
+                F.col("p.vec_id").alias("vec_id"), F.col("c.c").alias("c")
+            )
+            .agg(F.sum(diff * diff).alias("d"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("d", "c")
+        assign = (
+            d.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        cent = (
+            pts.join(assign.select("vec_id", "c"), "vec_id")
+            .groupBy("c", "i")
+            .agg(F.avg("x").alias("x"))
+        )
+    cont = (
+        assign.select("vec_id", "c")
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .groupBy("c", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nc"))
+    )
+    tot = cont.agg(F.sum("nc").cast("bigint").alias("n"))
+    rows_ = cont.groupBy("c").agg(
+        F.sum("nc").cast("bigint").alias("sc")
+    )
+    cols_ = cont.groupBy("label").agg(
+        F.sum("nc").cast("bigint").alias("sl")
+    )
+
+    def _t8(col):
+        return F.round(col * 100000000, 0).cast("bigint")
+
+    hc = rows_.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            _t8(
+                -(F.col("sc").cast("double") / F.col("n"))
+                * F.log(F.col("sc").cast("double") / F.col("n"))
+            )
+        )
+        .cast("bigint")
+        .alias("hc8")
+    )
+    hl = cols_.crossJoin(F.broadcast(tot)).agg(
+        F.sum(
+            _t8(
+                -(F.col("sl").cast("double") / F.col("n"))
+                * F.log(F.col("sl").cast("double") / F.col("n"))
+            )
+        )
+        .cast("bigint")
+        .alias("hl8")
+    )
+    mi = (
+        cont.join(rows_, "c")
+        .join(cols_, "label")
+        .crossJoin(F.broadcast(tot))
+        .agg(
+            F.sum(
+                _t8(
+                    (F.col("nc").cast("double") / F.col("n"))
+                    * F.log(
+                        F.col("nc").cast("double")
+                        * F.col("n")
+                        / (F.col("sc").cast("double") * F.col("sl"))
+                    )
+                )
+            )
+            .cast("bigint")
+            .alias("mi8")
+        )
+    )
+    return (
+        tot.crossJoin(F.broadcast(hc))
+        .crossJoin(F.broadcast(hl))
+        .crossJoin(F.broadcast(mi))
+        .select(
+            F.col("n").alias("n_points"),
+            dround(F.col("hc8") / 100000000.0, 6).alias("h_cluster"),
+            dround(F.col("hl8") / 100000000.0, 6).alias("h_label"),
+            dround(F.col("mi8") / 100000000.0, 6).alias("mutual_info"),
+            dround(
+                (F.col("mi8") / 100000000.0)
+                / F.sqrt(
+                    (F.col("hc8") / 100000000.0)
+                    * (F.col("hl8") / 100000000.0)
+                ),
+                6,
+            ).alias("nmi"),
+        )
+    )

@@ -704,3 +704,55 @@ def test_dup_rate_estimator_nonvacuous_on_fixture(spark, qs):
     # the 1/8 sample produces a nonzero, same-order estimate
     assert r.est_dup_docs > 0
     assert 0.0 <= r.rel_error < 1.0
+
+
+# ------------------------------------------- k-means NMI vs labels
+def test_nmi_perfect_correspondence_is_one(spark, tmp_path, qs):
+    # four tight blobs; vec_ids 0..3 (the Lloyd seeds) are the blob
+    # exemplars and labels equal blob id -> partitions coincide and
+    # NMI must be exactly 1.0
+    import itertools
+
+    blobs = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0],
+    ]
+    vecs = []
+    vid = 0
+    for b in range(4):
+        vecs.append((vid, blobs[b], b)); vid += 1
+    for b, j in itertools.product(range(4), range(5)):
+        v = list(blobs[b]); v[(b + 1) % 4] += 0.05 * (j + 1)
+        vecs.append((vid, v, b)); vid += 1
+    _write_embeddings(tmp_path, vecs)
+    r = qs["kmeans_nmi_vs_labels"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.n_points == 24
+    assert r.nmi == 1.0
+    assert abs(r.mutual_info - r.h_cluster) < 1e-6
+    assert abs(r.h_cluster - r.h_label) < 1e-6
+
+
+def test_nmi_label_independent_clusters_near_zero(spark, tmp_path, qs):
+    # same 4 spatial blobs but labels assigned ORTHOGONALLY to geometry
+    # (round-robin across blobs): clusters carry ~no label information
+    import itertools
+
+    blobs = [
+        [10.0, 0.0, 0.0, 0.0],
+        [0.0, 10.0, 0.0, 0.0],
+        [0.0, 0.0, 10.0, 0.0],
+        [0.0, 0.0, 0.0, 10.0],
+    ]
+    vecs = []
+    vid = 0
+    for b in range(4):
+        vecs.append((vid, blobs[b], 0)); vid += 1
+    k = 0
+    for b, j in itertools.product(range(4), range(8)):
+        v = list(blobs[b]); v[(b + 1) % 4] += 0.05 * (j + 1)
+        vecs.append((vid, v, k % 4)); vid += 1; k += 1
+    _write_embeddings(tmp_path, vecs)
+    r = qs["kmeans_nmi_vs_labels"].fn(spark, str(tmp_path)).collect()[0]
+    assert r.nmi < 0.2
