@@ -2924,3 +2924,154 @@ def events_funnel_time_to_convert(
             ).alias("mean_s"),
         )
     )
+
+
+# -------- confounder-adjusted ATE: stratified standardization (IPTW twin)
+@register(
+    "events_ate_stratified_standardization",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS ncl,
+               CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0
+                    END) AS BIGINT) AS nsg,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+                    END) AS BIGINT) AS np
+        FROM events GROUP BY user_id
+    ),
+    strat AS (
+        SELECT CASE WHEN ncl > nsg THEN 1 ELSE 0 END AS t, np,
+               NTILE(4) OVER (ORDER BY n_events, user_id) AS s
+        FROM u
+    ),
+    per AS (
+        SELECT s,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(t) AS BIGINT) AS nt,
+               CAST(SUM(t * np) AS BIGINT) AS yt,
+               CAST(SUM((1 - t) * np) AS BIGINT) AS yc
+        FROM strat GROUP BY s
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_users,
+               CAST(SUM(nt) AS BIGINT) AS ntt,
+               CAST(SUM(yt) AS BIGINT) AS ytt,
+               CAST(SUM(n - nt) AS BIGINT) AS nct,
+               CAST(SUM(yc) AS BIGINT) AS yct
+        FROM per
+    ),
+    ate AS (
+        SELECT CAST(SUM(CASE WHEN nt > 0 AND n - nt > 0 THEN 1 ELSE 0
+                    END) AS BIGINT) AS n_strata_used,
+               CAST(SUM(CASE WHEN nt > 0 AND n - nt > 0 THEN
+                   CAST(ROUND((CAST(n AS DOUBLE) / t2.n_users)
+                        * (CAST(yt AS DOUBLE) / nt
+                           - CAST(yc AS DOUBLE) / (n - nt))
+                        * 100000000, 0) AS BIGINT)
+                   ELSE 0 END) AS BIGINT) AS ate8
+        FROM per, tot t2
+        GROUP BY t2.n_users
+    )
+    SELECT t.n_users,
+           CAST(ROUND(CAST((CAST(t.ytt AS DOUBLE) / t.ntt
+                - CAST(t.yct AS DOUBLE) / t.nct)
+                AS DECIMAL(38,8)), 6) AS DOUBLE) AS naive_diff,
+           CAST(ROUND(CAST((a.ate8 / 100000000.0) AS DECIMAL(38,8)), 6)
+                AS DOUBLE) AS stratified_ate,
+           CAST(ROUND(CAST(((CAST(t.ytt AS DOUBLE) / t.ntt
+                - CAST(t.yct AS DOUBLE) / t.nct)
+                - a.ate8 / 100000000.0) AS DECIMAL(38,8)), 6)
+                AS DOUBLE) AS confounding_bias,
+           a.n_strata_used
+    FROM tot t, ate a
+    """,
+    description="Confounder-adjusted treatment effect by stratified "
+    "standardization (the discrete-stratum equivalent of inverse-"
+    "propensity weighting; Rosenbaum & Rubin 1983 subclassification — "
+    "the observational complement to events_did_difference_in_"
+    "differences and events_ab_experiment_cuped, which assume a "
+    "design): treatment = click-dominant behavior (more clicks than "
+    "signups), outcome = purchase count, confounder = activity "
+    "quartile. ATE = sum over strata of (n_s/N) * (mean_y_treated - "
+    "mean_y_control), reported against the naive pooled difference — "
+    "the gap IS the measured confounding bias (near zero on this "
+    "homogeneous synthetic fixture; the planted pytest corpus builds "
+    "REAL activity confounding and pins that the stratified estimate "
+    "removes what the naive one absorbs). Positivity is enforced per "
+    "stratum (strata missing either arm are excluded and counted). "
+    "Every input is an exact integer count; per-stratum terms are "
+    "pinned to integer 1e-8 units before the 4-term sum (the NMI "
+    "discipline). The NTILE runs over the USER-GRAIN aggregate "
+    "(partition-offset at 1e8+ users, the events_uplift_qini_deciles "
+    "note); everything else is one user-grain agg and a 4-row "
+    "rollup.",
+)
+def events_ate_stratified_standardization(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    events = table(spark, sf_dir, "events")
+    u = events.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum((F.col("event_type") == "click").cast("bigint"))
+        .cast("bigint")
+        .alias("ncl"),
+        F.sum((F.col("event_type") == "signup").cast("bigint"))
+        .cast("bigint")
+        .alias("nsg"),
+        F.sum((F.col("event_type") == "purchase").cast("bigint"))
+        .cast("bigint")
+        .alias("np"),
+    )
+    strat = u.select(
+        F.when(F.col("ncl") > F.col("nsg"), 1).otherwise(0).alias("t"),
+        "np",
+        F.ntile(4).over(Window.orderBy("n_events", "user_id")).alias("s"),
+    )
+    per = strat.groupBy("s").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("t").cast("bigint").alias("nt"),
+        F.sum(F.col("t") * F.col("np")).cast("bigint").alias("yt"),
+        F.sum((1 - F.col("t")) * F.col("np")).cast("bigint").alias("yc"),
+    )
+    tot = per.agg(
+        F.sum("n").cast("bigint").alias("n_users"),
+        F.sum("nt").cast("bigint").alias("ntt"),
+        F.sum("yt").cast("bigint").alias("ytt"),
+        F.sum(F.col("n") - F.col("nt")).cast("bigint").alias("nct"),
+        F.sum("yc").cast("bigint").alias("yct"),
+    )
+    ok = (F.col("nt") > 0) & ((F.col("n") - F.col("nt")) > 0)
+    term = (
+        (F.col("n").cast("double") / F.col("n_users"))
+        * (
+            F.col("yt").cast("double") / F.col("nt")
+            - F.col("yc").cast("double") / (F.col("n") - F.col("nt"))
+        )
+    )
+    ate = (
+        per.filter(ok)
+        .crossJoin(F.broadcast(tot.select("n_users")))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_strata_used"),
+            F.coalesce(
+                F.sum(F.round(term * 100000000, 0).cast("bigint")),
+                F.lit(0),
+            )
+            .cast("bigint")
+            .alias("ate8"),
+        )
+    )
+    naive = (
+        F.col("ytt").cast("double") / F.col("ntt")
+        - F.col("yct").cast("double") / F.col("nct")
+    )
+    return tot.crossJoin(F.broadcast(ate)).select(
+        "n_users",
+        dround(naive, 6).alias("naive_diff"),
+        dround(F.col("ate8") / 100000000.0, 6).alias("stratified_ate"),
+        dround(naive - F.col("ate8") / 100000000.0, 6)
+        .alias("confounding_bias"),
+        "n_strata_used",
+    )

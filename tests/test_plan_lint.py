@@ -46,6 +46,8 @@ GRAIN_BOUNDS = {
     "stats_adf_unit_root_daily": 4_800,
     # residual prefix sums over the orders day-grain series
     "stats_kpss_level_stationarity": 4_800,
+    # NTILE over the user-grain aggregate
+    "events_ate_stratified_standardization": 600,
     # running-max/argmax over the orders day-grain revenue series
     "finance_max_drawdown_daily": 4_800,
     # prefix/argmax over the distinct-quantity aggregate (TPC-H: <= 50)

@@ -756,3 +756,40 @@ def test_nmi_label_independent_clusters_near_zero(spark, tmp_path, qs):
     _write_embeddings(tmp_path, vecs)
     r = qs["kmeans_nmi_vs_labels"].fn(spark, str(tmp_path)).collect()[0]
     assert r.nmi < 0.2
+
+
+# ---------------------------- stratified standardization (planted)
+def test_ate_strat_removes_planted_confounding(spark, tmp_path, qs):
+    # 4 activity tiers x 10 users; treatment share rises with tier
+    # (2/10, 4/10, 6/10, 8/10) but purchases depend ONLY on tier ->
+    # true ATE 0. Naive diff absorbs the activity confounder exactly:
+    # E[y|t] = 3.0, E[y|c] = 2.0 -> naive 1.0, stratified 0.0.
+    rows, eid = [], 0
+    t0 = dt.datetime(2020, 3, 1, 9, 0, 0)
+
+    def emit(uid, etype, k):
+        nonlocal eid
+        for _ in range(k):
+            rows.append((eid, t0 + dt.timedelta(seconds=eid), uid,
+                         etype, 1.0))
+            eid += 1
+
+    uid = 0
+    for g in range(1, 5):
+        for j in range(10):
+            treated = j < 2 * g
+            clicks = 2 if treated else 0
+            emit(uid, "click", clicks)
+            emit(uid, "signup", 1)
+            emit(uid, "purchase", g)
+            emit(uid, "view", 10 * g - clicks - 1 - g)
+            uid += 1
+    _write_events(tmp_path, rows)
+    r = qs["events_ate_stratified_standardization"].fn(
+        spark, str(tmp_path)
+    ).collect()[0]
+    assert r.n_users == 40
+    assert r.n_strata_used == 4
+    assert r.naive_diff == 1.0
+    assert r.stratified_ate == 0.0
+    assert r.confounding_bias == 1.0

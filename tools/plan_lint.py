@@ -123,6 +123,9 @@ GLOBAL_WINDOW_OK = {
         "table (<= max-lifetime-days rows)",
     "events_watermark_lateness_audit":
         "running-max window over the |event_id/250|-bucket aggregate",
+    "events_ate_stratified_standardization":
+        "NTILE over the user-grain aggregate (partition-offset at 1e8+ "
+        "users, same note as events_uplift_qini_deciles)",
     "stats_kpss_level_stationarity":
         "residual prefix-sum window over the day-grain post-aggregation "
         "series (bounded by calendar span)",
