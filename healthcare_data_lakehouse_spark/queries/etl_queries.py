@@ -479,6 +479,18 @@ register(
     "aggregate over the re-read copy hash-matches the original.",
 )(_roundtrip_query("csv"))
 
+register(
+    "source_xml_roundtrip_events",
+    oracle=_ROUNDTRIP_ORACLE,
+    description="XML sink+source round-trip via Spark 4's BUILT-IN xml "
+    "datasource (the spark-xml package merged into core; rowTag=row, "
+    "explicit schema, no inference): aggregate over the re-read copy "
+    "hash-matches the original — the fifth connector in the format "
+    "matrix (parquet/csv/json/orc/xml), one line of format plumbing "
+    "because read_source/write_sink abstract the connector exactly as "
+    "the reference's loader registry does.",
+)(_roundtrip_query("xml"))
+
 
 @register(
     "platinum_customer_features",

@@ -29,7 +29,7 @@ __all__ = [
     "DEFAULT_RECORD_SCHEMA",
 ]
 
-SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc")
+SUPPORTED_FORMATS = ("parquet", "csv", "json", "orc", "xml")
 
 
 def read_source(
@@ -50,6 +50,11 @@ def read_source(
     reader = spark.read.format(fmt)
     if schema is not None:
         reader = reader.schema(schema)
+    if fmt == "xml":
+        # Spark 4's built-in XML datasource (the spark-xml merge): one
+        # row element per record, same explicit-schema discipline as
+        # csv/json
+        reader = reader.option("rowTag", "row")
     if fmt == "csv":
         reader = reader.option("header", "true").option(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"
@@ -72,6 +77,8 @@ def write_sink(
     if fmt not in SUPPORTED_FORMATS:
         raise ValueError(f"unsupported sink format: {fmt!r}")
     writer = df.write.format(fmt).mode(mode)
+    if fmt == "xml":
+        writer = writer.option("rowTag", "row")
     if fmt == "csv":
         writer = writer.option("header", "true").option(
             "timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX"

@@ -793,3 +793,23 @@ def test_ate_strat_removes_planted_confounding(spark, tmp_path, qs):
     assert r.naive_diff == 1.0
     assert r.stratified_ate == 0.0
     assert r.confounding_bias == 1.0
+
+
+# ------------------------------------------------ XML connector
+def test_xml_roundtrip_row_fidelity(spark, tmp_path, qs):
+    from healthcare_data_lakehouse_spark.sources import (
+        read_source,
+        write_sink,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)],
+        "id long, v string, x double",
+    )
+    out = str(tmp_path / "xmlrt")
+    write_sink(df, out, fmt="xml")
+    back = read_source(spark, out, fmt="xml", schema=df.schema)
+    got = sorted(
+        (r.id, r.v, r.x) for r in back.collect()
+    )
+    assert got == [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)]
