@@ -2943,3 +2943,126 @@ def sample_kfold_leakage_audit(
         ).alias("leak_rate"),
     )
     return naive.unionAll(grouped).orderBy("scheme")
+
+
+# ----------- k-anonymization generalization-ladder search (one pass)
+_KGEN_KEY = """
+    CASE
+      WHEN lv.l = 0 THEN c_nationkey || '|' || c_mktsegment || '|'
+           || CAST(floor(c_acctbal / 500.0) AS BIGINT)
+      WHEN lv.l = 1 THEN c_nationkey || '|' || c_mktsegment || '|'
+           || CAST(floor(c_acctbal / 1000.0) AS BIGINT)
+      WHEN lv.l = 2 THEN c_nationkey || '|' || c_mktsegment || '|'
+           || CAST(floor(c_acctbal / 2000.0) AS BIGINT)
+      WHEN lv.l = 3 THEN c_nationkey || '|' || c_mktsegment || '|'
+           || CAST(floor(c_acctbal / 5000.0) AS BIGINT)
+      WHEN lv.l = 4 THEN c_nationkey || '|' || c_mktsegment
+      ELSE CAST(c_nationkey AS VARCHAR)
+    END
+"""
+
+
+@register(
+    "privacy_k_generalization_search",
+    oracle=f"""
+    WITH lev AS (
+        SELECT CAST(lv.l AS BIGINT) AS level,
+               {_KGEN_KEY} AS qi_key
+        FROM customer, (SELECT UNNEST(range(0, 6)) AS l) lv
+    ),
+    cls AS (
+        SELECT level, qi_key, CAST(COUNT(*) AS BIGINT) AS grp_n
+        FROM lev GROUP BY 1, 2
+    ),
+    per AS (
+        SELECT level,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(MIN(grp_n) AS BIGINT) AS min_class_size,
+               CAST(SUM(grp_n) AS BIGINT) AS n_rows,
+               CAST(SUM(CASE WHEN grp_n < 5 THEN grp_n ELSE 0 END)
+                    AS BIGINT) AS at_risk_rows
+        FROM cls GROUP BY level
+    ),
+    ch AS (
+        SELECT CAST(MIN(level) AS BIGINT) AS chosen_level
+        FROM per WHERE min_class_size >= 5
+    )
+    SELECT p.level, p.n_classes, p.min_class_size,
+           {dround_sql(
+               "CAST(p.at_risk_rows AS DOUBLE) / p.n_rows", 6)}
+               AS at_risk_share,
+           p.level = ch.chosen_level AS chosen
+    FROM per p, ch
+    ORDER BY p.level
+    """,
+    description="k-anonymization GENERALIZATION SEARCH (the decision "
+    "step privacy_k_anonymity_audit's measurement feeds): walk a "
+    "6-level generalization ladder over the QI tuple — account-balance "
+    "bands widening 500 -> 1000 -> 2000 -> 5000, then full suppression "
+    "of balance, then of segment — and pick the LEAST generalized "
+    "level whose smallest equivalence class reaches k=5 (minimal "
+    "information loss satisfying the release gate, the lattice-search "
+    "core of Samarati 2001 / Incognito on a monotone ladder: k-"
+    "anonymity only improves up the ladder, so the first satisfying "
+    "level is optimal). All 6 levels are evaluated in ONE pass: the "
+    "level spine explodes each row 6x into (level, qi_key) and a "
+    "single groupBy prices every ladder rung — at 100 TB use "
+    "GROUPING SETS to share the scan without the 6x exchange, same "
+    "plan downstream. Counts are exact integers; the only float op "
+    "is the at-risk share.",
+)
+def privacy_k_generalization_search(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    cust = table(spark, sf_dir, "customer").select(
+        "c_nationkey", "c_mktsegment", "c_acctbal"
+    )
+    lv = spark.range(0, 6).select(F.col("id").cast("bigint").alias("level"))
+    sep = F.lit("|")
+    band = lambda w: F.floor(F.col("c_acctbal") / w).cast("bigint")  # noqa: E731
+    full3 = lambda w: F.concat(  # noqa: E731
+        F.col("c_nationkey").cast("string"), sep,
+        F.col("c_mktsegment"), sep, band(w).cast("string"),
+    )
+    key = (
+        F.when(F.col("level") == 0, full3(500.0))
+        .when(F.col("level") == 1, full3(1000.0))
+        .when(F.col("level") == 2, full3(2000.0))
+        .when(F.col("level") == 3, full3(5000.0))
+        .when(
+            F.col("level") == 4,
+            F.concat(
+                F.col("c_nationkey").cast("string"), sep,
+                F.col("c_mktsegment"),
+            ),
+        )
+        .otherwise(F.col("c_nationkey").cast("string"))
+    )
+    lev = cust.crossJoin(F.broadcast(lv)).select("level", key.alias("qi_key"))
+    cls = lev.groupBy("level", "qi_key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("grp_n")
+    )
+    per = cls.groupBy("level").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.min("grp_n").cast("bigint").alias("min_class_size"),
+        F.sum("grp_n").cast("bigint").alias("n_rows"),
+        F.sum(F.when(F.col("grp_n") < 5, F.col("grp_n")).otherwise(0))
+        .cast("bigint")
+        .alias("at_risk_rows"),
+    )
+    ch = per.filter(F.col("min_class_size") >= 5).agg(
+        F.min("level").cast("bigint").alias("chosen_level")
+    )
+    return (
+        per.crossJoin(F.broadcast(ch))
+        .select(
+            "level",
+            "n_classes",
+            "min_class_size",
+            dround(
+                F.col("at_risk_rows").cast("double") / F.col("n_rows"), 6
+            ).alias("at_risk_share"),
+            (F.col("level") == F.col("chosen_level")).alias("chosen"),
+        )
+        .orderBy("level")
+    )

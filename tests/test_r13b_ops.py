@@ -813,3 +813,47 @@ def test_xml_roundtrip_row_fidelity(spark, tmp_path, qs):
         (r.id, r.v, r.x) for r in back.collect()
     )
     assert got == [(1, "a", 1.5), (2, "b", -2.25), (3, None, 0.0)]
+
+
+# ------------------------------------- k-generalization ladder search
+def _write_customer(path, rows):
+    """rows: list of (custkey, nationkey, mktsegment, acctbal)."""
+    pq.write_table(
+        pa.table({
+            "c_custkey": pa.array([r[0] for r in rows], pa.int64()),
+            "c_name": pa.array([f"Customer {r[0]}" for r in rows]),
+            "c_nationkey": pa.array([r[1] for r in rows], pa.int64()),
+            "c_mktsegment": pa.array([r[2] for r in rows]),
+            "c_acctbal": pa.array([r[3] for r in rows], pa.float64()),
+        }),
+        str(path / "customer.parquet"),
+    )
+
+
+def test_kgen_picks_least_generalized_satisfying_level(
+    spark, tmp_path, qs
+):
+    # one nation, one segment, 10 balances spread over distinct 500- and
+    # 1000-bands; 2000-bands group them 5+5 -> level 2 is the first
+    # rung where every class reaches k=5
+    rows = [
+        (i + 1, 7, "SEG", float(b))
+        for i, b in enumerate(
+            [100, 600, 1100, 1600, 1900, 2100, 2600, 3100, 3600, 3900]
+        )
+    ]
+    _write_customer(tmp_path, rows)
+    got = {r.level: r for r in qs["privacy_k_generalization_search"].fn(
+        spark, str(tmp_path)).collect()}
+    assert len(got) == 6
+    assert got[0].min_class_size == 1 and got[0].chosen is False
+    assert got[1].min_class_size == 2 and got[1].chosen is False
+    assert got[2].min_class_size == 5 and got[2].chosen is True
+    # monotone ladder: k-anonymity only improves with generalization
+    mins = [got[level].min_class_size for level in range(6)]
+    assert mins == sorted(mins)
+    assert got[5].min_class_size == 10
+    # exactly one chosen level
+    assert sum(1 for r in got.values() if r.chosen) == 1
+    assert got[0].at_risk_share == 1.0
+    assert got[2].at_risk_share == 0.0
