@@ -100,9 +100,26 @@ class _DupEvalBase:
 
     @property
     def per_doc(self) -> DataFrame:
-        """(sid, sz, mh_0..mh_{n-1}) fused size+signature aggregate."""
+        """(sid, sz, mh_0..mh_{n-1}) fused size+signature projection.
+
+        r13: folds over the cached per-doc shingle ARRAYS (``sets``)
+        with array_min instead of aggregating the exploded shingle
+        table — zero shuffles, and queries that never touch ``sh``
+        (bcubed, threshold sweep, ground truth) skip the corpus explode
+        entirely. Values identical (same hashes over the same distinct
+        shingles)."""
         if self._per_doc is None:
-            self._per_doc = D._signature_table(self.sh).persist()
+            self._per_doc = (
+                self.sets.withColumn(
+                    "hs", F.transform("shset", D.token_hash48)
+                )
+                .select(
+                    "sid",
+                    F.size("shset").alias("sz"),
+                    *D._minhash_cols(),
+                )
+                .persist()
+            )
         return self._per_doc
 
     @property
@@ -140,26 +157,35 @@ class _DupEvalBase:
         in the sweep/planner oracles) and derive ``j`` from the raw
         columns with their own convention."""
         if self._scored is None:
-            a, b = self.sh.alias("a"), self.sh.alias("b")
+            # r13: pair-local verification over the cached per-doc
+            # shingle arrays (one array_intersect per candidate pair)
+            # instead of re-joining exploded shingle rows per candidate
+            # + a pair groupBy + two size joins. The n_inter >= 1 filter
+            # preserves the old inner-join semantics: a hash-collision
+            # candidate pair sharing no shingle never enters the scored
+            # table. Output schema and values are unchanged.
             cand = self.cand
-            inter = (
-                cand.join(a, cand.id_a == F.col("a.sid"))
-                .join(
-                    b,
-                    (cand.id_b == F.col("b.sid"))
-                    & (F.col("a.shingle") == F.col("b.shingle")),
-                )
-                .groupBy("id_a", "id_b")
-                .agg(F.count(F.lit(1)).alias("n_inter"))
+            sa = self.sets.select(
+                F.col("sid").alias("id_a"), F.col("shset").alias("set_a")
             )
-            sa = self.sizes.select(
-                F.col("sid").alias("id_a"), F.col("sz").alias("sz_a")
+            sb = self.sets.select(
+                F.col("sid").alias("id_b"), F.col("shset").alias("set_b")
             )
-            sb = self.sizes.select(
-                F.col("sid").alias("id_b"), F.col("sz").alias("sz_b")
+            n_inter = F.size(
+                F.array_intersect(F.col("set_a"), F.col("set_b"))
             )
             self._scored = (
-                inter.join(sa, "id_a").join(sb, "id_b").persist()
+                cand.join(sa, "id_a")
+                .join(sb, "id_b")
+                .select(
+                    "id_a",
+                    "id_b",
+                    n_inter.alias("n_inter"),
+                    F.size("set_a").alias("sz_a"),
+                    F.size("set_b").alias("sz_b"),
+                )
+                .filter(F.col("n_inter") > 0)
+                .persist()
             )
         return self._scored
 
@@ -406,18 +432,59 @@ def dedup_oph_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to one. Signatures join broadcast-size per pair.",
 )
 def dedup_oph_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13: ONE per-doc pass (shingle arrays + minhash + OPH bins in a
+    # single persisted projection) feeds candidate banding, exact-Jaccard
+    # verification, AND both signature sides of the estimator — the old
+    # shape ran lsh_candidate_pairs and oph_signature as two separate
+    # corpus passes, then joined the (shuffle-free, hence un-reusable)
+    # OPH plan twice, re-hashing the corpus once per join side. The
+    # verify join and the estimator join are also fused: jaccard and the
+    # bin-agreement estimate come off the same two per-pair rows.
     docs = _docs_with_dups(spark, sf_dir, 20)
-    pairs = D.lsh_candidate_pairs(docs, threshold=0.5)
-    oph = D.oph_signature(docs)
     B = D.OPH_BINS
-    oa = oph.select(
-        F.col("doc_id").alias("id_a"),
+    raw = D._sets_table(docs, "doc_id", "text", 3).select(
+        "sid",
+        "shset",
+        F.size("shset").alias("sz"),
+        *D._minhash_cols(),
+        *D._oph_raw_cols(),
+    )
+    per_doc = raw.select(
+        "sid",
+        "shset",
+        "sz",
+        *[F.col(f"mh_{j}") for j in range(len(D.MINHASH_PERMS))],
+        *[
+            F.coalesce(
+                *[F.col(f"raw_{(j + i) % B}") for i in range(B)]
+            ).alias(f"oph_{j}")
+            for j in range(B)
+        ],
+    ).persist()
+    bucket = D._bucket_table(per_doc)
+    l, r = bucket.alias("l"), bucket.alias("r")
+    cand = (
+        l.join(
+            r,
+            (F.col("l.bkey") == F.col("r.bkey"))
+            & (F.col("l.sid") < F.col("r.sid")),
+        )
+        .select(F.col("l.sid").alias("id_a"), F.col("r.sid").alias("id_b"))
+        .distinct()
+    )
+    sa = per_doc.select(
+        F.col("sid").alias("id_a"),
+        F.col("shset").alias("set_a"),
+        F.col("sz").alias("sz_a"),
         *[F.col(f"oph_{j}").alias(f"a_{j}") for j in range(B)],
     )
-    ob = oph.select(
-        F.col("doc_id").alias("id_b"),
+    sb = per_doc.select(
+        F.col("sid").alias("id_b"),
+        F.col("shset").alias("set_b"),
+        F.col("sz").alias("sz_b"),
         *[F.col(f"oph_{j}").alias(f"b_{j}") for j in range(B)],
     )
+    n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
     est = (
         sum(
             F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
@@ -426,8 +493,19 @@ def dedup_oph_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         / float(B)
     )
     return (
-        pairs.join(oa, "id_a")
-        .join(ob, "id_b")
+        cand.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("n_inter", n_inter)
+        .filter(F.col("n_inter") > 0)
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= 0.5)
         .select(
             "id_a",
             "id_b",
