@@ -2729,9 +2729,14 @@ def graph_modularity_supplier_nations(
 )
 def graph_hits_hubs_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
+    # r13 (guide §2.4): cache the bipartite edge list hash-partitioned
+    # on p — the authority-side aggregate (groupBy p) and both p-keyed
+    # hub->authority joins reuse the cached partitioning, so of the four
+    # keyed passes only the s-keyed join re-exchanges the edge list.
     edges = (
         li.select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
         .distinct()
+        .repartition(F.col("p"))
         .persist()
     )
     a1 = edges.groupBy("p").agg(F.count(F.lit(1)).cast("bigint").alias("a1"))

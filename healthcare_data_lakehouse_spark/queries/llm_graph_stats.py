@@ -82,7 +82,12 @@ def graph_pagerank_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ed = pairs.select(
         F.col("id_a").alias("src"), F.col("id_b").alias("dst")
     ).unionAll(pairs.select(F.col("id_b").alias("src"), F.col("id_a").alias("dst")))
-    ed = ed.persist()
+    # r13 (guide §2.4): cache the edge list hash-partitioned on src —
+    # every PageRank iteration joins ed on src, and the degree aggregate
+    # and node-distinct both group by src, so all of them reuse the
+    # cached partitioning; only the (node-grain) rank vector shuffles
+    # per iteration.
+    ed = ed.repartition(F.col("src")).persist()
     nodes = ed.select(F.col("src").alias("id")).distinct().persist()
     n = nodes.count()
     deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
@@ -883,9 +888,15 @@ def graph_adamic_adar_link_prediction(
         )
         .distinct()
     )
+    # r13 (guide §2.4): adjacency cached hash-partitioned on x — the
+    # wedge join probes adj on x and the degree aggregate groups by x,
+    # so both ride the cached partitioning instead of re-exchanging the
+    # large side (the panel-filtered l side still shuffles by y, as it
+    # must).
     adj = (
         edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .unionAll(edges.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .repartition(F.col("x"))
         .persist()
     )
     deg = adj.groupBy(F.col("x").alias("node")).agg(
@@ -1270,9 +1281,15 @@ def graph_khop_expansion_profile(
         )
         .distinct()
     )
+    # r13 (guide §2.4): cache the adjacency HASH-PARTITIONED on its join
+    # key x — every BFS hop joins adj on x, and a round-robin cache made
+    # each hop re-exchange the (large) adjacency side; partitioned-then-
+    # cached, only the (small) frontier shuffles per hop, and the
+    # count_distinct(x) below rides the same partitioning.
     adj = (
         edges.select(F.col("u").alias("x"), F.col("v").alias("y"))
         .unionAll(edges.select(F.col("v").alias("x"), F.col("u").alias("y")))
+        .repartition(F.col("x"))
         .persist()
     )
     n_nodes = adj.agg(

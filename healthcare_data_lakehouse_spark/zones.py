@@ -131,6 +131,7 @@ class ZoneStore:
         path: str,
         df: DataFrame,
         partition_columns: list[str] | None,
+        rebalance: bool = True,
     ) -> str:
         """Write commit data to a uniquely-named staging directory. Racing
         writers each get their own staging dir, so the (long) Spark write
@@ -141,6 +142,23 @@ class ZoneStore:
         import uuid
 
         staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
+        # Size the commit's output files (guide §6): a df whose lineage
+        # ends in a wide shuffle otherwise lands one (tiny) file per
+        # shuffle partition — measured 64 sub-100KB parquet files for one
+        # run_job at sf0.1, and the same layout at 100 TB means footer/
+        # listing overhead on every later read. REBALANCE lets AQE
+        # coalesce (or split skewed) output partitions to the advisory
+        # size, so small commits become one file and large commits get
+        # advisory-sized files; keyed by the partition columns when
+        # present so a partitioned write doesn't fan every task across
+        # every directory. compact() opts out: it sizes its output with
+        # an explicit repartition(ceil(bytes / target_file_bytes)).
+        if rebalance:
+            df = (
+                df.hint("rebalance", *partition_columns)
+                if partition_columns
+                else df.hint("rebalance")
+            )
         writer = df.write.mode("overwrite")
         if partition_columns:
             writer = writer.partitionBy(*partition_columns)
@@ -1140,7 +1158,7 @@ class ZoneStore:
         files_before, bytes_before = _stats(manifest["commits"])
         n_files = max(1, math.ceil(bytes_before / target_file_bytes))
         df = self.read(zone, dataset).repartition(n_files)
-        staging = self._stage_commit(path, df, None)
+        staging = self._stage_commit(path, df, None, rebalance=False)
         try:
             self._check_unchanged(path, manifest["version"], "OPTIMIZE")
         except ConcurrentModificationError:

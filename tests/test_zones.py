@@ -99,6 +99,28 @@ def test_bucketed_tables_join_without_shuffle(spark):
         spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
+def test_write_right_sizes_commit_files(spark, store):
+    """r13 staged-write REBALANCE: a small df whose lineage ends in a
+    wide repartition lands as ONE parquet file per commit instead of one
+    tiny file per shuffle partition, and the rows survive unchanged."""
+    batch = (
+        spark.range(0, 200)
+        .select(F.col("id").cast("string").alias("id"))
+        .withColumn("v", F.concat(F.lit("v"), F.col("id")))
+        .repartition(8)
+    )
+    store.write(DataZone.BRONZE, "sized", batch, LoadType.APPEND)
+    path = store.dataset_path(DataZone.BRONZE, "sized")
+    manifest = store._read_manifest(path)
+    assert len(manifest["commits"]) == 1
+    cdir = os.path.join(path, manifest["commits"][0])
+    n_parquet = sum(
+        f.endswith(".parquet") for _, _, fs in os.walk(cdir) for f in fs
+    )
+    assert n_parquet == 1
+    assert store.read(DataZone.BRONZE, "sized").count() == 200
+
+
 def test_compact_bin_packs_small_files(spark, store):
     import pyspark.sql.functions as F
 
@@ -117,7 +139,11 @@ def test_compact_bin_packs_small_files(spark, store):
     before_rows = sorted(rows(store.read(DataZone.BRONZE, "many")))
     n_before = len(before_rows)
     stats = store.compact(DataZone.BRONZE, "many")
-    assert stats["files_before"] >= 20
+    # r13: the staged write right-sizes each commit's files (REBALANCE
+    # before the write), so the 4-partition input lands as ONE file per
+    # commit — compaction's job is now packing the per-commit files of
+    # many APPENDs into one, not undoing per-write fragmentation.
+    assert stats["files_before"] == 5
     assert stats["files_after"] == 1  # 500 tiny rows fit one target file
     assert stats["commits_before"] == 5
 
@@ -605,7 +631,7 @@ def test_write_detects_conflict_landing_during_spark_write(
     racer_df = spark.createDataFrame([Row(id=99, v=99)])
     orig = ZoneStore._stage_commit
 
-    def racing_stage(self, path, d, pc):
+    def racing_stage(self, path, d, pc, rebalance=True):
         staging = orig(self, path, d, pc)
         # a REAL concurrent commit (data files + manifest bump) landing
         # while our parquet write is in flight — ADVICE r5: the earlier
@@ -692,7 +718,7 @@ def test_rewrite_paths_detect_concurrent_commit(
     racer_df = spark.createDataFrame([Row(id=99, v=99)])
     orig = ZoneStore._stage_commit
 
-    def racing_stage(self, path, d, pc):
+    def racing_stage(self, path, d, pc, rebalance=True):
         staging = orig(self, path, d, pc)
         m = self._read_manifest(path)
         v = m["version"] + 1
@@ -789,7 +815,7 @@ def test_with_retry_loser_retries_and_both_commits_land(
     orig = ZoneStore._stage_commit
     raced = {"n": 0}
 
-    def racing_stage_once(self, path, d, pc):
+    def racing_stage_once(self, path, d, pc, rebalance=True):
         staging = orig(self, path, d, pc)
         if raced["n"] == 0:  # racer lands only during the FIRST attempt
             raced["n"] += 1
