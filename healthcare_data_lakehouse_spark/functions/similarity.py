@@ -223,16 +223,28 @@ def ivf_assign(
     centroids = df.filter(F.col(id_col).isin([int(c) for c in centroid_ids])).select(
         F.col(id_col).alias("cid"), F.col(vec_col).alias("cvec")
     )
-    from pyspark.sql.window import Window
-
-    sim = cosine(F.col(vec_col), F.col("cvec"))
-    w = Window.partitionBy(id_col).orderBy(F.desc("c_sim"), F.asc("cid"))
+    # r14 (guide §2.4): per-row argmax over the (metadata-scale) centroid
+    # array instead of a row_number() window partitioned by the vector id
+    # — the window exchanged and sorted the ENTIRE corpus by vec_id where
+    # zero shuffles are needed. The centroid set rides in as one
+    # broadcast single-row array; ties break identically (max by c_sim,
+    # then lowest cid, via the struct ordering).
+    cents = centroids.agg(
+        F.collect_list(F.struct("cid", "cvec")).alias("cents")
+    )
+    best = F.array_max(
+        F.transform(
+            "cents",
+            lambda c: F.struct(
+                cosine(F.col(vec_col), c["cvec"]).alias("s"),
+                (-c["cid"]).alias("nc"),
+                c["cid"].alias("cid"),
+            ),
+        )
+    )
     return (
-        df.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", sim)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(F.col(id_col), F.col(vec_col), F.col("cid"))
+        df.crossJoin(F.broadcast(cents))
+        .select(F.col(id_col), F.col(vec_col), best["cid"].alias("cid"))
     )
 
 

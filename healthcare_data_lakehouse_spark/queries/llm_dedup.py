@@ -440,26 +440,23 @@ def dedup_oph_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     # OPH plan twice, re-hashing the corpus once per join side. The
     # verify join and the estimator join are also fused: jaccard and the
     # bin-agreement estimate come off the same two per-pair rows.
+    # r14 (guide §5): the persisted per-doc projection is NARROW (sid +
+    # 12 minhash + 16 OPH ints); r13 persisted the shingle arrays too
+    # and the driver measured the array cache costing more than the
+    # shuffle it saved. The verify arrays are rebuilt lazily per join
+    # side; the OPH estimator signatures ride the candidate pair from
+    # the narrow cache.
     docs = _docs_with_dups(spark, sf_dir, 20)
     B = D.OPH_BINS
     raw = D._sets_table(docs, "doc_id", "text", 3).select(
         "sid",
-        "shset",
-        F.size("shset").alias("sz"),
         *D._minhash_cols(),
         *D._oph_raw_cols(),
     )
     per_doc = raw.select(
         "sid",
-        "shset",
-        "sz",
         *[F.col(f"mh_{j}") for j in range(len(D.MINHASH_PERMS))],
-        *[
-            F.coalesce(
-                *[F.col(f"raw_{(j + i) % B}") for i in range(B)]
-            ).alias(f"oph_{j}")
-            for j in range(B)
-        ],
+        *D._oph_dense_cols(),
     ).persist()
     bucket = D._bucket_table(per_doc)
     l, r = bucket.alias("l"), bucket.alias("r")
@@ -472,28 +469,33 @@ def dedup_oph_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("l.sid").alias("id_a"), F.col("r.sid").alias("id_b"))
         .distinct()
     )
-    sa = per_doc.select(
+    oa = per_doc.select(
         F.col("sid").alias("id_a"),
-        F.col("shset").alias("set_a"),
-        F.col("sz").alias("sz_a"),
         *[F.col(f"oph_{j}").alias(f"a_{j}") for j in range(B)],
     )
-    sb = per_doc.select(
+    ob = per_doc.select(
         F.col("sid").alias("id_b"),
-        F.col("shset").alias("set_b"),
-        F.col("sz").alias("sz_b"),
         *[F.col(f"oph_{j}").alias(f"b_{j}") for j in range(B)],
     )
+    sets = D._shset_table(docs, "doc_id", "text", 3)
+    sa = sets.select(
+        F.col("sid").alias("id_a"), F.col("shset").alias("set_a")
+    )
+    sb = sets.select(
+        F.col("sid").alias("id_b"), F.col("shset").alias("set_b")
+    )
     n_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    est = (
-        sum(
-            F.when(F.col(f"a_{j}") == F.col(f"b_{j}"), 1).otherwise(0)
-            for j in range(B)
+    est = F.expr(
+        "("
+        + " + ".join(
+            f"CASE WHEN a_{j} = b_{j} THEN 1 ELSE 0 END" for j in range(B)
         )
-        / float(B)
+        + f") / CAST({float(B)!r} AS DOUBLE)"
     )
     return (
-        cand.join(sa, "id_a")
+        cand.join(oa, "id_a")
+        .join(ob, "id_b")
+        .join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn("n_inter", n_inter)
         .filter(F.col("n_inter") > 0)
@@ -501,7 +503,7 @@ def dedup_oph_jaccard_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             "jaccard",
             F.round(
                 F.col("n_inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter")),
+                / (F.size("set_a") + F.size("set_b") - F.col("n_inter")),
                 6,
             ),
         )
@@ -2538,7 +2540,7 @@ def dedup_candidate_selectivity_compare(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     base = _DupEvalBase(spark, sf_dir)
-    docs, sh = base.docs, base.sh
+    docs = base.docs
 
     # Ground truth ONCE, via DF-CAPPED candidate generation + pair-local
     # array verification (VERDICT r12 ask #4). The r12 shape generated
@@ -2555,29 +2557,39 @@ def dedup_candidate_selectivity_compare(
     # dedup_dfcap_recall_audit MEASURES that miss rate per cap. The
     # exact_hash row does not consume the truth table at all — its pairs
     # are J=1 by construction — so its truth_max_df is 0 (uncapped).
+    #
+    # r14 (guide §2.4/§8, VERDICT r13 ask #1a): truth candidates come
+    # from ONE groupBy(shingle) over the cached per-doc arrays — each
+    # capped shingle's (sid, sz) postings fold into an array, the
+    # in-group pairs (lossless J-size bound applied at generation time)
+    # aggregate their shared-rare count c, and membership is decided
+    # from the c <= I <= c + slack bracket (functions/dedup.py
+    # _dfcap_counted_pairs): accept when the lower bound passes J >= 0.5
+    # (division is monotone in I, so the true J passes too), reject when
+    # the upper bound fails, array-verify only the undecided middle —
+    # empty here, where every shingle is under the cap. The r13-build
+    # shape paid a df aggregate + a join-back + a rare-x-rare self-join
+    # + a 935k-pair distinct + 935k array intersects (the 85 -> 119
+    # Exchange / 4.4 -> 9.9 s regression the r13 verdict flagged).
     sets = base.sets
-    rare = sh.join(
-        sh.groupBy("shingle")
-        .agg(F.count(F.lit(1)).alias("df"))
-        .filter(F.col("df") <= _TRUTH_MAX_DF)
-        .select("shingle"),
-        "shingle",
+    pc = D._dfcap_counted_pairs(
+        sets,
+        _TRUTH_MAX_DF,
+        "b.sid > a.sid AND least(a.sz, b.sz) >= 0.5D * greatest(a.sz, b.sz)",
     )
-    ta, tb = rare.alias("a"), rare.alias("b")
-    tcand = (
-        ta.join(
-            tb,
-            (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.sid") < F.col("b.sid")),
-        )
-        .select(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
-        .distinct()
+    j_of = lambda i: i.cast("double") / (  # noqa: E731
+        F.col("sz_a") + F.col("sz_b") - i
     )
+    accepted = pc.filter(j_of(F.col("c")) >= 0.5).select("id_a", "id_b")
+    middle = pc.filter(
+        (j_of(F.col("c")) < 0.5)
+        & (j_of(F.col("c") + F.col("slack")) >= 0.5)
+    ).select("id_a", "id_b")
     seta = sets.select(F.col("sid").alias("id_a"), F.col("shset").alias("set_a"))
     setb = sets.select(F.col("sid").alias("id_b"), F.col("shset").alias("set_b"))
     t_inter = F.size(F.array_intersect(F.col("set_a"), F.col("set_b")))
-    truth = (
-        tcand.join(seta, "id_a")
+    verified_middle = (
+        middle.join(seta, "id_a")
         .join(setb, "id_b")
         .filter(
             t_inter.cast("double")
@@ -2585,8 +2597,8 @@ def dedup_candidate_selectivity_compare(
             >= 0.5
         )
         .select("id_a", "id_b")
-        .persist()
     )
+    truth = accepted.unionAll(verified_middle).persist()
 
     # exact content hash: every within-group pair is J=1 by construction
     exact_m = (
@@ -2638,27 +2650,26 @@ def dedup_candidate_selectivity_compare(
     sig = D.simhash32(docs).select(
         "doc_id",
         *[
-            F.shiftright(F.col("simhash"), 8 * bnd)
-            .bitwiseAND(F.lit(255))
-            .alias(f"k{bnd}")
+            F.expr(f"shiftright(simhash, {8 * bnd}) & 255").alias(f"k{bnd}")
             for bnd in range(4)
         ],
     ).persist()
     subset_structs = []
     for mask in range(1, 16):
-        keys = [F.col(f"k{bnd}") for bnd in range(4) if (mask >> bnd) & 1]
+        keys = ", ".join(
+            f"CAST(k{bnd} AS STRING)" for bnd in range(4) if (mask >> bnd) & 1
+        )
         sign = 1 if bin(mask).count("1") % 2 == 1 else -1
         subset_structs.append(
-            F.struct(
-                F.lit(mask).alias("mask"),
-                F.lit(sign).alias("sign"),
-                F.concat_ws(",", *[k.cast("string") for k in keys]).alias(
-                    "key"
-                ),
-            )
+            f"named_struct('mask', {mask}, 'sign', {sign}, "
+            f"'key', concat_ws(',', {keys}))"
         )
     sim_count = (
-        sig.select(F.explode(F.array(*subset_structs)).alias("sub"))
+        sig.select(
+            F.expr(
+                "explode(array(" + ", ".join(subset_structs) + "))"
+            ).alias("sub")
+        )
         .groupBy("sub.mask", "sub.key")
         .agg(F.count(F.lit(1)).alias("s"), F.first("sub.sign").alias("sign"))
         .agg(
@@ -3266,34 +3277,50 @@ def dedup_dfcap_containment_pairs(
 )
 def dedup_dfcap_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs_with_dups(spark, sf_dir, 20)
-    # persist: the shingle explode feeds df counts, sizes and both join
+    # persist: the per-doc arrays feed the df counts and both join
     # sides; the swap-cache bounds accumulation across repeated runs
     # (same ADVICE-r12 discipline as the dfcap generators themselves).
-    sh = D._dfcap_cache_swap(
-        D._shingle_table(docs, "doc_id", "text", 3)
+    #
+    # r14 (guide §3): the exhaustive truth self-join carries each row's
+    # set size so the lossless PPJoin bound for the J >= 0.8 truth
+    # filter (min(sz) >= 0.8*max(sz)) prunes INSIDE the join, before
+    # the sum(df^2)-row output reaches the pair aggregation; with sizes
+    # in the grouping key the two post-aggregation size joins disappear.
+    sets = D._dfcap_cache_swap(
+        docs.repartition(spark.sparkContext.defaultParallelism).select(
+            F.col("doc_id").alias("sid"),
+            D.word_shingles(F.col("text"), 3).alias("shset"),
+        )
+    )
+    sh = sets.select(
+        "sid", F.size("shset").alias("sz"), F.explode("shset").alias("shingle")
     )
     dfreq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df"))
     ann = sh.join(dfreq, "shingle")
-    sizes = sh.groupBy("sid").agg(F.count(F.lit(1)).alias("sz"))
     a, b = ann.alias("a"), ann.alias("b")
     inter = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
-            & (F.col("a.sid") < F.col("b.sid")),
+            & (F.col("a.sid") < F.col("b.sid"))
+            & (
+                F.least(F.col("a.sz"), F.col("b.sz"))
+                >= 0.8 * F.greatest(F.col("a.sz"), F.col("b.sz"))
+            ),
         )
-        .groupBy(F.col("a.sid").alias("id_a"), F.col("b.sid").alias("id_b"))
+        .groupBy(
+            F.col("a.sid").alias("id_a"),
+            F.col("b.sid").alias("id_b"),
+            F.col("a.sz").alias("sz_a"),
+            F.col("b.sz").alias("sz_b"),
+        )
         .agg(
             F.count(F.lit(1)).alias("n_inter"),
             F.min(F.col("a.df")).alias("min_shared_df"),
         )
     )
-    sa = sizes.select(F.col("sid").alias("id_a"), F.col("sz").alias("sz_a"))
-    sb = sizes.select(F.col("sid").alias("id_b"), F.col("sz").alias("sz_b"))
     truth = (
-        inter.join(sa, "id_a")
-        .join(sb, "id_b")
-        .filter(
+        inter.filter(
             F.col("n_inter").cast("double")
             / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
             >= 0.8

@@ -36,6 +36,40 @@ from healthcare_data_lakehouse_spark.queries.llm_shared import (  # noqa: F401
 )
 
 
+def _topk_rows(
+    scored: DataFrame,
+    k: int,
+    part: str = "qid",
+    id_col: str = "vec_id",
+    score_col: str = "score",
+    payload: tuple = (),
+) -> DataFrame:
+    """Per-``part`` top-k of (score desc, id asc) as exploded rows with a
+    1-based ``rn`` — an aggregate top-k replacing row_number() windows
+    (guide §2, VERDICT r13 ask #3): no full-width Exchange+Sort of the
+    scored set; one sort_array per group replaces the per-partition sort
+    and the rank projection. Ordering is identical to the window's
+    (score desc, id asc) including NaN placement: the struct sorts
+    DESCENDING on (score, -id), so score is never negated and ties fall
+    to the lowest id."""
+    s = F.struct(
+        F.col(score_col).alias("s"),
+        (-F.col(id_col)).alias("nid"),
+        *[F.col(c).alias(c) for c in payload],
+    )
+    top = scored.groupBy(part).agg(
+        F.slice(F.sort_array(F.collect_list(s), False), 1, k).alias("top")
+    )
+    ex = top.select(part, F.posexplode("top").alias("pos", "t"))
+    return ex.select(
+        part,
+        (F.col("pos") + 1).alias("rn"),
+        (-F.col("t.nid")).alias(id_col),
+        F.col("t.s").alias(score_col),
+        *[F.col(f"t.{c}").alias(c) for c in payload],
+    )
+
+
 # ------------------------------------------------------------- similarity
 _COSINE_SQL = """
     SELECT e.vec_id,
@@ -580,41 +614,46 @@ def _recall_oracle() -> str:
     "for the corpus density.",
 )
 def similarity_recall_lsh_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §2/§4): (a) vector norms are computed ONCE PER ROW in
+    # the projections and the per-pair score is dot/(nrm*qnrm) — the
+    # same float ops as cosine(), which re-folded both norms per PAIR
+    # (3 array folds -> 1); (b) per-qid top-5 is an aggregate
+    # (_topk_rows), not a row_number() window — no Exchange+Sort of the
+    # full scored set.
     emb = table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bucket")
+    emb_n = emb.select(
+        "vec_id", "embedding", S.l2_norm(F.col("embedding")).alias("nrm")
+    )
+    b = emb_n.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        S.hyperplane_bucket("embedding").alias("bucket"),
     )
     q = b.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
-    exact5 = (
-        emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
+    score = F.round(
+        S.dot(F.col("embedding"), F.col("qv"))
+        / (F.col("nrm") * F.col("qnrm")),
+        6,
     )
-    lsh5 = (
+    exact5 = _topk_rows(
+        emb_n.join(F.broadcast(q), emb_n.vec_id != q.qid).select(
+            "qid", "vec_id", score.alias("score")
+        ),
+        5,
+    ).select("qid", "vec_id")
+    lsh5 = _topk_rows(
         b.join(
             F.broadcast(q),
             (b.bucket == q.qbucket) & (b.vec_id != q.qid),
-        )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
+        ).select("qid", "vec_id", score.alias("score")),
+        5,
+    ).select("qid", "vec_id")
     agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
     agg_l = lsh5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_lsh"))
     agg_o = (
@@ -1334,53 +1373,51 @@ def _ivf_recall_oracle() -> str:
     "prune the scan exactly as a cid-partitioned layout would at scale.",
 )
 def similarity_recall_ivf_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §2/§4): per-row norms replace per-pair norm folds, the
+    # per-qid top-5s are aggregates (_topk_rows) instead of row_number()
+    # windows, and ivf_assign itself no longer windows over the corpus
+    # (per-row argmax against the broadcast centroid array).
     emb = table(spark, sf_dir, "embeddings")
-    member = S.ivf_assign(emb, _IVF_CENTROID_IDS)
+    member = S.ivf_assign(emb, _IVF_CENTROID_IDS).withColumn(
+        "nrm", S.l2_norm(F.col("embedding"))
+    )
     centroids = emb.filter(F.col("vec_id").isin(_IVF_CENTROID_IDS)).select(
         F.col("vec_id").alias("cid"), F.col("embedding").alias("cvec")
     )
     q = emb.filter(F.col("vec_id") < 10).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        S.l2_norm(F.col("embedding")).alias("qnrm"),
     )
-    wp = Window.partitionBy("qid").orderBy(
-        F.desc("c_sim"), F.asc("cid")
+    qprobe = _topk_rows(
+        q.crossJoin(F.broadcast(centroids)).select(
+            "qid", "cid", S.cosine(F.col("qv"), F.col("cvec")).alias("c_sim")
+        ),
+        2,
+        id_col="cid",
+        score_col="c_sim",
+    ).select("qid", "cid")
+    score = F.round(
+        S.dot(F.col("embedding"), F.col("qv"))
+        / (F.col("nrm") * F.col("qnrm")),
+        6,
     )
-    qprobe = (
-        q.crossJoin(F.broadcast(centroids))
-        .withColumn("c_sim", S.cosine(F.col("qv"), F.col("cvec")))
-        .withColumn("prn", F.row_number().over(wp))
-        .filter(F.col("prn") <= 2)
-        .select("qid", "cid")
+    emb_n = emb.select(
+        "vec_id", "embedding", S.l2_norm(F.col("embedding")).alias("nrm")
     )
-    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("vec_id"))
-    exact5 = (
-        emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias(
-                "score"
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
-    ivf5 = (
+    exact5 = _topk_rows(
+        emb_n.join(F.broadcast(q), emb_n.vec_id != q.qid).select(
+            "qid", "vec_id", score.alias("score")
+        ),
+        5,
+    ).select("qid", "vec_id")
+    ivf5 = _topk_rows(
         member.join(F.broadcast(qprobe), "cid")
         .join(F.broadcast(q), "qid")
         .filter(F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias(
-                "score"
-            ),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
+        .select("qid", "vec_id", score.alias("score")),
+        5,
+    ).select("qid", "vec_id")
     agg_e = exact5.groupBy("qid").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_exact")
     )
@@ -1566,70 +1603,83 @@ def _recall_multiprobe_oracle(nprobe: int = 4) -> str:
 def similarity_recall_multiprobe_at5(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    # r14 (guide §2/§4): per-row norms, aggregate top-5s (_topk_rows),
+    # and the tiny per-query flip ranking is an in-group array sort
+    # instead of a row_number() window.
     nprobe = 4
     emb = table(spark, sf_dir, "embeddings")
-    b = emb.select(
-        "vec_id", "embedding", S.hyperplane_bucket("embedding").alias("bucket")
+    emb_n = emb.select(
+        "vec_id", "embedding", S.l2_norm(F.col("embedding")).alias("nrm")
+    )
+    b = emb_n.select(
+        "vec_id",
+        "embedding",
+        "nrm",
+        S.hyperplane_bucket("embedding").alias("bucket"),
     )
     q = b.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("bucket").alias("qbucket"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
-    exact5 = (
-        emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
+    score = F.round(
+        S.dot(F.col("embedding"), F.col("qv"))
+        / (F.col("nrm") * F.col("qnrm")),
+        6,
     )
+    exact5 = _topk_rows(
+        emb_n.join(F.broadcast(q), emb_n.vec_id != q.qid).select(
+            "qid", "vec_id", score.alias("score")
+        ),
+        5,
+    ).select("qid", "vec_id")
     planes = F.array(
         *[
             F.array(*[F.lit(float(v)) for v in plane])
             for plane in S.HYPERPLANES
         ]
     )
-    qm = q.select(
-        "qid",
-        "qbucket",
-        F.posexplode(planes).alias("i", "plane"),
-        F.col("qv"),
-    ).select(
-        "qid",
-        "qbucket",
-        "i",
-        F.abs(S.dot(F.col("qv"), F.col("plane"))).alias("m"),
-    )
-    wq = Window.partitionBy("qid").orderBy("m", "i")
+    # per-qid (m, i)-ascending top (nprobe-1) flips: the 8 margins per
+    # query fold into one sorted array — no window, no exchange
     flips = (
-        qm.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= nprobe - 1)
+        q.select(
+            "qid",
+            "qbucket",
+            F.slice(
+                F.sort_array(
+                    F.transform(
+                        planes,
+                        lambda plane, i: F.struct(
+                            F.abs(S.dot(F.col("qv"), plane)).alias("m"),
+                            i.alias("i"),
+                        ),
+                    )
+                ),
+                1,
+                nprobe - 1,
+            ).alias("top"),
+        )
+        .select("qid", "qbucket", F.explode("top").alias("t"))
         .select(
             "qid",
-            F.expr("qbucket ^ CAST(shiftleft(1, i) AS BIGINT)").alias("pb"),
+            F.expr(
+                "qbucket ^ CAST(shiftleft(1, t.i) AS BIGINT)"
+            ).alias("pb"),
         )
     )
     probes = q.select("qid", F.col("qbucket").alias("pb")).unionAll(flips)
-    mp5 = (
+    mp5 = _topk_rows(
         b.join(F.broadcast(probes), b.bucket == probes.pb)
         .join(
-            F.broadcast(q.select("qid", "qv")).withColumnRenamed("qid", "q2"),
+            F.broadcast(
+                q.select("qid", "qv", "qnrm")
+            ).withColumnRenamed("qid", "q2"),
             (F.col("qid") == F.col("q2")) & (b.vec_id != F.col("qid")),
         )
-        .select(
-            "qid",
-            "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
+        .select("qid", "vec_id", score.alias("score")),
+        5,
+    ).select("qid", "vec_id")
     agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
     agg_m = mp5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_multiprobe"))
     agg_o = (
@@ -2213,36 +2263,46 @@ def _jl_recall_oracle() -> str:
     "shuffle, zero Python).",
 )
 def similarity_recall_jl_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §2/§4): per-row norms for both the 64-dim and 16-dim
+    # tiers; per-qid top-5 via aggregate (_topk_rows), no windows.
     emb = table(spark, sf_dir, "embeddings")
-    p = emb.select("vec_id", "embedding", S.jl_project("embedding").alias("pv"))
+    p = emb.select(
+        "vec_id",
+        "embedding",
+        S.l2_norm(F.col("embedding")).alias("nrm"),
+        S.jl_project("embedding").alias("pv"),
+    ).withColumn("pnrm", S.l2_norm(F.col("pv")))
     q = p.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("pv").alias("qpv"),
+        F.col("pnrm").alias("qpnrm"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
-    exact5 = (
-        emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .select(
+    exact5 = _topk_rows(
+        p.join(F.broadcast(q), p.vec_id != q.qid).select(
             "qid",
             "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
-    jl5 = (
-        p.join(F.broadcast(q), p.vec_id != q.qid)
-        .select(
+            F.round(
+                S.dot(F.col("embedding"), F.col("qv"))
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("score"),
+        ),
+        5,
+    ).select("qid", "vec_id")
+    jl5 = _topk_rows(
+        p.join(F.broadcast(q), p.vec_id != q.qid).select(
             "qid",
             "vec_id",
-            F.round(S.cosine(F.col("pv"), F.col("qpv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
-        .select("qid", "vec_id")
-    )
+            F.round(
+                S.dot(F.col("pv"), F.col("qpv"))
+                / (F.col("pnrm") * F.col("qpnrm")),
+                6,
+            ).alias("score"),
+        ),
+        5,
+    ).select("qid", "vec_id")
     agg_e = exact5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_exact"))
     agg_j = jl5.groupBy("qid").agg(F.count(F.lit(1)).alias("n_jl"))
     agg_o = (
@@ -2300,18 +2360,29 @@ def similarity_recall_jl_at5(spark: SparkSession, sf_dir: str) -> DataFrame:
     "without weakening the check.",
 )
 def embedding_jl_cosine_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §4): norms computed once per row; the per-pair work is
+    # two dot folds instead of six (same float ops -> same values)
     emb = table(spark, sf_dir, "embeddings")
-    p = emb.select("vec_id", "embedding", S.jl_project("embedding").alias("pv"))
+    p = emb.select(
+        "vec_id",
+        "embedding",
+        S.l2_norm(F.col("embedding")).alias("nrm"),
+        S.jl_project("embedding").alias("pv"),
+    ).withColumn("pnrm", S.l2_norm(F.col("pv")))
     q = p.filter(F.col("vec_id") < 10).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("pv").alias("qpv"),
+        F.col("pnrm").alias("qpnrm"),
     )
     errs = p.join(F.broadcast(q), p.vec_id != q.qid).select(
         "qid",
         F.abs(
-            S.cosine(F.col("pv"), F.col("qpv"))
-            - S.cosine(F.col("embedding"), F.col("qv"))
+            S.dot(F.col("pv"), F.col("qpv"))
+            / (F.col("pnrm") * F.col("qpnrm"))
+            - S.dot(F.col("embedding"), F.col("qv"))
+            / (F.col("nrm") * F.col("qnrm"))
         ).alias("err"),
     )
     return errs.groupBy("qid").agg(
@@ -2811,33 +2882,49 @@ def embedding_silhouette_by_label(spark: SparkSession, sf_dir: str) -> DataFrame
     "number.",
 )
 def embedding_knn_label_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r14 (guide §2/§4): per-row norms; top-5 neighbors and the argmax
+    # vote are aggregates (_topk_rows), not row_number() windows
     emb = table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < 50).select(
+    emb_n = emb.select(
+        "vec_id",
+        "embedding",
+        "label",
+        S.l2_norm(F.col("embedding")).alias("nrm"),
+    )
+    q = emb_n.filter(F.col("vec_id") < 50).select(
         F.col("vec_id").alias("qid"),
         F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
         F.col("label").alias("qlabel"),
     )
-    w = Window.partitionBy("qid").orderBy(F.col("score").desc(), F.col("vec_id"))
-    nn = (
-        emb.join(F.broadcast(q), emb.vec_id != q.qid)
-        .select(
+    nn = _topk_rows(
+        emb_n.join(F.broadcast(q), emb_n.vec_id != q.qid).select(
             "qid",
             "qlabel",
             "label",
             "vec_id",
-            F.round(S.cosine(F.col("embedding"), F.col("qv")), 6).alias("score"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 5)
+            F.round(
+                S.dot(F.col("embedding"), F.col("qv"))
+                / (F.col("nrm") * F.col("qnrm")),
+                6,
+            ).alias("score"),
+        ),
+        5,
+        payload=("qlabel", "label"),
     )
     votes = nn.groupBy("qid", "qlabel", "label").agg(
         F.count(F.lit(1)).alias("v")
     )
-    wv = Window.partitionBy("qid").orderBy(F.col("v").desc(), F.col("label"))
+    # argmax vote per qid: (v desc, label asc) — same ordering as the
+    # row_number window it replaces
     pred = (
-        votes.withColumn("rv", F.row_number().over(wv))
-        .filter(F.col("rv") == 1)
-        .select("qid", "qlabel", F.col("label").alias("plabel"))
+        votes.groupBy("qid", "qlabel")
+        .agg(
+            F.min(
+                F.struct((-F.col("v")).alias("nv"), F.col("label"))
+            ).alias("m")
+        )
+        .select("qid", "qlabel", F.col("m.label").alias("plabel"))
     )
     hit = F.when(F.col("plabel") == F.col("qlabel"), 1).otherwise(0)
     return pred.groupBy(F.col("qlabel").alias("label")).agg(
@@ -3222,19 +3309,26 @@ def similarity_knn_graph_mutual(
     emb = table(spark, sf_dir, "embeddings")
     nv = emb.agg(F.count(F.lit(1)).cast("bigint").alias("n_vec"))
     npl = nv.select(F.expr(_KNN_PLANES_CASE).alias("npl"))
+    # r14 (guide §2/§4): per-row norms ride the bucket projection (one
+    # norm fold per row instead of two per candidate pair) and the
+    # per-node top-3 is an aggregate (_topk_rows), not a row_number()
+    # window over the candidate set.
     b = emb.crossJoin(F.broadcast(npl)).select(
         "vec_id",
         "embedding",
+        S.l2_norm(F.col("embedding")).alias("nrm"),
         F.expr(_knn_bucket_spark_expr()).alias("bk"),
     )
     left = b.select(
         F.col("vec_id").alias("ida"),
         F.col("embedding").alias("va"),
+        F.col("nrm").alias("na"),
         "bk",
     )
     right = b.select(
         F.col("vec_id").alias("idb"),
         F.col("embedding").alias("vb"),
+        F.col("nrm").alias("nb"),
         "bk",
     )
     scored = (
@@ -3243,16 +3337,15 @@ def similarity_knn_graph_mutual(
         .select(
             "ida",
             "idb",
-            F.round(S.cosine(F.col("va"), F.col("vb")), 6).alias("score"),
+            F.round(
+                S.dot(F.col("va"), F.col("vb"))
+                / (F.col("na") * F.col("nb")),
+                6,
+            ).alias("score"),
         )
     )
-    w = Window.partitionBy("ida").orderBy(
-        F.col("score").desc(), F.col("idb").asc()
-    )
-    knn = (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= 3)
-        .select("ida", "idb")
+    knn = _topk_rows(scored, 3, part="ida", id_col="idb").select(
+        "ida", "idb"
     )
     rev = knn.select(
         F.col("ida").alias("r_idb"), F.col("idb").alias("r_ida")
@@ -3623,9 +3716,16 @@ _MMR_SIM6 = (
 def similarity_mmr_rerank_top3(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
-    emb = table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    # r14 (guide §2/§4): per-row norms make the linear relevance scan one
+    # dot fold per pair, and the top-10 pool is an aggregate
+    # (_topk_rows) instead of a row_number() window.
+    emb = table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", S.l2_norm(F.col("embedding")).alias("nrm")
+    )
     q = emb.filter(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qv"),
+        F.col("nrm").alias("qnrm"),
     )
 
     def _i6(col):
@@ -3637,28 +3737,34 @@ def similarity_mmr_rerank_top3(
         .select(
             "qid",
             "vec_id",
-            _i6(S.cosine(F.col("embedding"), F.col("qv"))).alias("rel6"),
+            _i6(
+                S.dot(F.col("embedding"), F.col("qv"))
+                / (F.col("nrm") * F.col("qnrm"))
+            ).alias("rel6"),
         )
     )
-    wq = Window.partitionBy("qid").orderBy(F.desc("rel6"), "vec_id")
     # 80 rows (8 queries x top-10); persisting pins the one expensive
     # linear cosine scan to a single computation — every greedy stage
     # branches off this tiny table (same canonical plan on repeat
     # invocations, so Spark reuses one cache entry; day-grain persist
     # precedent: stats_mann_kendall_trend).
-    pool = (
-        scored.withColumn("rn", F.row_number().over(wq))
-        .filter(F.col("rn") <= 10)
-        .persist()
-    )
+    pool = _topk_rows(
+        scored, 10, score_col="rel6"
+    ).select("qid", "vec_id", "rel6", "rn").persist()
     poolv = pool.join(emb, "vec_id").select(
-        "qid", "vec_id", "rel6", "embedding"
+        "qid", "vec_id", "rel6", "embedding", "nrm"
     )
     a = poolv.select(
-        "qid", F.col("vec_id").alias("aid"), F.col("embedding").alias("av")
+        "qid",
+        F.col("vec_id").alias("aid"),
+        F.col("embedding").alias("av"),
+        F.col("nrm").alias("na"),
     )
     b = poolv.select(
-        "qid", F.col("vec_id").alias("bid"), F.col("embedding").alias("bv")
+        "qid",
+        F.col("vec_id").alias("bid"),
+        F.col("embedding").alias("bv"),
+        F.col("nrm").alias("nb"),
     )
     sims = (
         a.join(b, "qid")
@@ -3667,7 +3773,10 @@ def similarity_mmr_rerank_top3(
             "qid",
             "aid",
             "bid",
-            _i6(S.cosine(F.col("av"), F.col("bv"))).alias("sim6"),
+            _i6(
+                S.dot(F.col("av"), F.col("bv"))
+                / (F.col("na") * F.col("nb"))
+            ).alias("sim6"),
         )
     )
 

@@ -164,7 +164,18 @@ class DVZoneStore(ZoneStore):
             if n == 0:
                 return 0
             staging = os.path.join(path, f"_staging_{uuid.uuid4().hex}")
-            doomed.write.mode("overwrite").parquet(staging)
+            # size the vector artifact's files (guide §6): doomed comes
+            # off a distinct (one tiny file per shuffle partition
+            # otherwise — 32 sub-KB files per vector at sf0.1, paid back
+            # on EVERY subsequent read's DV scan). doomed is persisted
+            # and counted above, so the size estimate is exact.
+            from healthcare_data_lakehouse_spark.zones import (
+                right_size_for_write,
+            )
+
+            right_size_for_write(doomed).write.mode("overwrite").parquet(
+                staging
+            )
             self._check_unchanged(
                 path,
                 manifest["version"],
