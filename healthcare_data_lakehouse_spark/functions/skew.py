@@ -29,7 +29,46 @@ __all__ = [
     "plain_self_pair_join",
     "block_population_stats",
     "auto_self_pair_join",
+    "co_occurrence_pairs",
 ]
+
+
+def co_occurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    out_a: str = "u",
+    out_b: str = "v",
+) -> DataFrame:
+    """Distinct unordered item pairs co-occurring under a group key, via
+    ONE group fold + bounded in-group pair explode (r14, guide §2.4).
+
+    Exactly the rows of ``df.a JOIN df.b ON group AND a.item < b.item``
+    + distinct, but the self-join twin pays a second exchange of the
+    whole table plus the join build and materializes sum(d^2) rows
+    before the distinct; here the postings fold once per group
+    (map-side partial collect_set also absorbs duplicate rows) and the
+    pair explode is bounded by the group population. Use when per-group
+    populations are bounded (TPC-H orders: <= 7 lineitems); for
+    unbounded or hot groups keep a join so AQE can split skew
+    (:func:`auto_self_pair_join`)."""
+    grouped = df.groupBy(group_col).agg(
+        F.collect_set(item_col).alias("xs")
+    )
+    # filter form, not sort+slice: slice copies a sub-array per element
+    # (measured allocation-heavy on the dfcap rewrite); the filter scan
+    # is the same O(d^2) comparisons without the copies, and b > a
+    # orders the pair without sorting the postings
+    pairs = grouped.select(
+        F.expr(
+            "explode(flatten(transform(xs, x -> "
+            "transform(filter(xs, y -> y > x), "
+            "y -> struct(x AS a, y AS b)))))"
+        ).alias("pr")
+    )
+    return pairs.select(
+        F.col("pr.a").alias(out_a), F.col("pr.b").alias(out_b)
+    ).distinct()
 
 
 def with_salt(df: DataFrame, unique_col: str, n_salts: int) -> DataFrame:

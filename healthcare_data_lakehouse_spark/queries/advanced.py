@@ -1771,13 +1771,23 @@ def graph_degree_assortativity_coparts(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    op = li.select(
-        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
-    ).distinct()
-    a, b = op.alias("a"), op.alias("b")
+    # r14 (guide §2.4): per-order posting fold + bounded in-group pair
+    # explode replaces the distinct + basket self-join (one order-keyed
+    # exchange; collect_set absorbs the distinct); pair co-order counts
+    # aggregate over the exploded pairs exactly as they did over the
+    # join output.
     e = (
-        a.join(b, (F.col("a.o") == F.col("b.o")) & (F.col("a.p") < F.col("b.p")))
-        .groupBy(F.col("a.p").alias("pa"), F.col("b.p").alias("pb"))
+        li.select("l_orderkey", "l_partkey")
+        .groupBy("l_orderkey")
+        .agg(F.collect_set("l_partkey").alias("xs"))
+        .select(
+            F.expr(
+                "explode(flatten(transform(xs, x -> "
+                "transform(filter(xs, y -> y > x), "
+                "y -> struct(x AS pa, y AS pb)))))"
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.pa").alias("pa"), F.col("pr.pb").alias("pb"))
         .agg(F.count(F.lit(1)).alias("n"))
         .filter(F.col("n") >= 2)
         .select("pa", "pb")

@@ -1267,25 +1267,36 @@ def er_fuzzy_customer_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def assoc_part_pairs_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
-    baskets = li.select("l_orderkey", "l_partkey").distinct()
-    n_orders_df = baskets.agg(
-        F.count_distinct("l_orderkey").alias("n_orders_total")
+    # r14 (guide §2.4): per-order posting fold replaces the distinct +
+    # basket self-join — ONE order-keyed exchange builds the sorted
+    # per-order part set; item supports, the order count, and the
+    # in-group pair counts all derive from it. The both-parts-frequent
+    # condition moves AFTER counting (inner joins against the frequent-
+    # item table below), which leaves every pair's co-order count
+    # unchanged — frequency filtering never changed n_co, only which
+    # pairs are reported.
+    grouped = li.select("l_orderkey", "l_partkey").groupBy(
+        "l_orderkey"
+    ).agg(F.collect_set("l_partkey").alias("xs"))
+    n_orders_df = grouped.agg(
+        F.count(F.lit(1)).alias("n_orders_total")
     )
     item = (
-        baskets.groupBy("l_partkey")
+        grouped.select(F.explode("xs").alias("l_partkey"))
+        .groupBy("l_partkey")
         .agg(F.count(F.lit(1)).alias("n_item"))
         .filter(F.col("n_item") >= 20)
     )
-    freq = baskets.join(item.select("l_partkey"), "l_partkey", "left_semi")
-    a = freq.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_a")
-    )
-    b = freq.select(
-        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("part_b")
-    )
     pairs = (
-        a.join(b, (a.ok == b.ok) & (F.col("part_a") < F.col("part_b")))
-        .groupBy("part_a", "part_b")
+        grouped.select(
+            F.expr(
+                "explode(flatten(transform(xs, x -> "
+                "transform(filter(xs, y -> y > x), "
+                "y -> struct(x AS part_a, y AS part_b)))))"
+            ).alias("pr")
+        )
+        .groupBy(F.col("pr.part_a").alias("part_a"),
+                 F.col("pr.part_b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_co"))
         .filter(F.col("n_co") >= 3)
     )
@@ -2196,28 +2207,29 @@ def _kcore_oracle() -> str:
     "at every test SF (peeling converges geometrically).",
 )
 def graph_kcore_supplier_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions import skew as SK
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
-    a = li.alias("a")
-    b = li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+    # r14 (guide §2.4): co-order edges via one per-order posting fold +
+    # bounded in-group pair explode instead of the lineitem self-join
+    # (orders hold few suppliers; the old join exchanged lineitem twice).
+    edges = SK.co_occurrence_pairs(
+        li, "l_orderkey", "l_suppkey"
+    ).localCheckpoint()
+    # r14 (guide §1/§5, jobs-per-query audit): one exploded aggregate
+    # yields total_nodes AND the edge count — each edge contributes
+    # exactly two node rows, so edges = rows/2 (previously two separate
+    # distinct+count jobs per readout, 13 jobs for the query; now 8).
+    first = (
+        edges.select(F.explode(F.array("u", "v")).alias("node"))
+        .agg(
+            F.countDistinct("node").alias("n_nodes"),
+            (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
         )
-        .select(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .distinct()
-        .localCheckpoint()
+        .first()
     )
-    total_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select("v"))
-        .distinct()
-        .count()
-    )
-    prev_edges = edges.count()
+    total_nodes, prev_edges = first["n_nodes"], first["n_edges"]
+    core_nodes = total_nodes
     for _ in range(_KCORE_ROUNDS):
         deg = (
             edges.select(F.col("u").alias("node"))
@@ -2232,18 +2244,20 @@ def graph_kcore_supplier_coorder(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("u", "v")
             .localCheckpoint()
         )
-        n_edges = edges.count()
+        stats = (
+            edges.select(F.explode(F.array("u", "v")).alias("node"))
+            .agg(
+                F.countDistinct("node").alias("n_nodes"),
+                (F.count(F.lit(1)) / 2).cast("bigint").alias("n_edges"),
+            )
+            .first()
+        )
+        core_nodes, n_edges = stats["n_nodes"], stats["n_edges"]
         if n_edges == prev_edges:
             break  # peeling fixpoint: further rounds are no-ops, so the
             # early exit is result-identical to the oracle's fixed 6
         prev_edges = n_edges
-    core_nodes = (
-        edges.select(F.col("u").alias("node"))
-        .unionAll(edges.select("v"))
-        .distinct()
-        .count()
-    )
-    core_edges = edges.count()
+    core_edges = n_edges
     return spark.createDataFrame(
         [(core_nodes, core_edges, total_nodes)],
         "core_nodes bigint, core_edges bigint, total_nodes bigint",
@@ -2601,22 +2615,14 @@ def forecast_backtest_mape(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_modularity_supplier_nations(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
+    from healthcare_data_lakehouse_spark.functions import skew as SK
+
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     sup = table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
     nation = table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
-        )
-        .select(
-            F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v")
-        )
-        .distinct()
-        .persist()
-    )
+    # r14 (guide §2.4): co-order edges via one per-order posting fold +
+    # bounded in-group pair explode instead of the lineitem self-join
+    edges = SK.co_occurrence_pairs(li, "l_orderkey", "l_suppkey").persist()
     deg = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))

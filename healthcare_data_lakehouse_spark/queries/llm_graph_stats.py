@@ -14,6 +14,7 @@ from pyspark.sql.window import Window
 from healthcare_data_lakehouse_spark.functions import dedup as D
 from healthcare_data_lakehouse_spark.functions import dround, dround_sql
 from healthcare_data_lakehouse_spark.functions import similarity as S
+from healthcare_data_lakehouse_spark.functions import skew as SK
 from healthcare_data_lakehouse_spark.functions import text as TX
 from healthcare_data_lakehouse_spark.functions.multimodal import (
     as_binary_assets,
@@ -876,18 +877,9 @@ def graph_adamic_adar_link_prediction(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    # r14 (guide §2.4): co-order edges via one per-order posting fold +
+    # bounded in-group pair explode (see graph_khop_expansion_profile)
+    edges = SK.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
     # r13 (guide §2.4): adjacency cached hash-partitioned on x — the
     # wedge join probes adj on x and the degree aggregate groups by x,
     # so both ride the cached partitioning instead of re-exchanging the
@@ -1269,18 +1261,12 @@ def graph_khop_expansion_profile(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
-    a, b = li.alias("a"), li.alias("b")
-    edges = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v")
-        )
-        .distinct()
-    )
+    # r14 (guide §2.4): co-order edges via one per-order posting fold +
+    # bounded in-group pair explode — the r13 self-join exchanged
+    # lineitem twice and materialized sum(parts-per-order^2) join rows
+    # before its distinct (orders hold <= 7 parts, so the explode is
+    # bounded and skew-free).
+    edges = SK.co_occurrence_pairs(li, "l_orderkey", "l_partkey")
     # r13 (guide §2.4): cache the adjacency HASH-PARTITIONED on its join
     # key x — every BFS hop joins adj on x, and a round-robin cache made
     # each hop re-exchange the (large) adjacency side; partitioned-then-
